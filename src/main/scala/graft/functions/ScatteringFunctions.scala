@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** X-ray scattering conversions and detector geometry.
+  *
+  * Reference: trx/utils/scattering.py:45-82 (q/2θ/λ/E conversions),
+  * trx/azav.py:50-82 + 484-486 (pixel→radius/q via the poni geometry model),
+  * trx/cell.py:8-41 (unit-cell metric tensor, d-spacing).
+  * All pure `Column` arithmetic — codegen-friendly, no UDFs.
+  */
+object ScatteringFunctions {
+
+  /** hc in keV·Å — the standard constant used for E↔λ conversion. */
+  val HC_keV_A: Double = 12.398419843320026
+
+  /** Photon energy (keV) → wavelength (Å). trx/utils/scattering.py:49-55. */
+  def xrayWavelength(energyKeV: Column): Column = lit(HC_keV_A) / energyKeV
+
+  /** Wavelength (Å) → photon energy (keV). trx/utils/scattering.py:57-63. */
+  def xrayEnergy(wavelengthA: Column): Column = lit(HC_keV_A) / wavelengthA
+
+  /** Scattering angle 2θ (rad) → q (Å⁻¹): q = 4π/λ sin(2θ/2).
+    * trx/utils/scattering.py:65-70.
+    */
+  def radToQ(twoThetaRad: Column, wavelengthA: Double): Column =
+    lit(4.0 * math.Pi / wavelengthA) * sin(twoThetaRad / 2.0)
+
+  /** 2θ in degrees → q. trx/utils/scattering.py:72-74. */
+  def degToQ(twoThetaDeg: Column, wavelengthA: Double): Column =
+    radToQ(radians(twoThetaDeg), wavelengthA)
+
+  /** q → 2θ (rad): 2 asin(qλ/4π). trx/utils/scattering.py:76-82;
+    * used to derive the 2θ axes in trx/azav.py:396-397.
+    */
+  def qToTwoTheta(q: Column, wavelengthA: Double): Column =
+    asin(q * lit(wavelengthA / (4.0 * math.Pi))) * 2.0
+
+  /** Pixel distance from beam center in pixels (trx/azav.py:484-486,
+    * trx/center.py:49-51).
+    */
+  def pixelRadius(x: Column, y: Column, cx: Double, cy: Double): Column =
+    sqrt(pow(x - cx, 2) + pow(y - cy, 2))
+
+  /** Detector geometry in the (public) pyFAI "poni" convention: sample-
+    * detector distance (m), poni1/poni2 (m, intersection of the rotated
+    * detector normal), rot1/rot2/rot3 (rad), pixel sizes (m), wavelength (Å).
+    * trx stores exactly these scalars (trx/azav.py:50-82, 173-228).
+    */
+  final case class Poni(
+      dist: Double,
+      poni1: Double,
+      poni2: Double,
+      rot1: Double = 0.0,
+      rot2: Double = 0.0,
+      rot3: Double = 0.0,
+      pixel1: Double = 100e-6,
+      pixel2: Double = 100e-6,
+      wavelengthA: Double = 1.0)
+
+  /** Lab-frame coordinates (t1, t2, t3) of pixel (row=y, col=x) under the
+    * poni model: detector-plane offsets rotated by R1(rot1)·R2(rot2)·R3(rot3)
+    * acting on (p1, p2, L). This is the published pyFAI geometry (their docs,
+    * "Image representation and geometry"); re-derived here as closed-form
+    * trig on literal rotation angles so Catalyst constant-folds everything
+    * except the (x, y) terms.
+    */
+  def labCoords(x: Column, y: Column, g: Poni): (Column, Column, Column) = {
+    val p1 = (y + 0.5) * g.pixel1 - g.poni1
+    val p2 = (x + 0.5) * g.pixel2 - g.poni2
+    val L  = lit(g.dist)
+    val (c1, s1) = (math.cos(g.rot1), math.sin(g.rot1))
+    val (c2, s2) = (math.cos(g.rot2), math.sin(g.rot2))
+    val (c3, s3) = (math.cos(g.rot3), math.sin(g.rot3))
+    // R = R1·R2·R3 applied to column vector (p1, p2, L) — rotation about
+    // the three detector axes; with rot1=rot2=rot3=0 this reduces to the
+    // orthogonal flat-detector geometry (t3 = dist).
+    val t1 = p1 * (c2 * c3) +
+      p2 * (s1 * s2 * c3 - c1 * s3) +
+      L * (c1 * s2 * c3 + s1 * s3)
+    val t2 = p1 * (c2 * s3) +
+      p2 * (s1 * s2 * s3 + c1 * c3) +
+      L * (c1 * s2 * s3 - s1 * c3)
+    val t3 = p1 * (-s2) + p2 * (s1 * c2) + L * (c1 * c2)
+    (t1, t2, t3)
+  }
+
+  /** Per-pixel scattering angle 2θ = atan2(r_perp, t3). */
+  def pixelTwoTheta(x: Column, y: Column, g: Poni): Column = {
+    val (t1, t2, t3) = labCoords(x, y, g)
+    atan2(sqrt(t1 * t1 + t2 * t2), t3)
+  }
+
+  /** Per-pixel q (Å⁻¹) from the full poni geometry. */
+  def pixelQ(x: Column, y: Column, g: Poni): Column =
+    radToQ(pixelTwoTheta(x, y, g), g.wavelengthA)
+
+  /** Per-pixel azimuth χ (rad, in (-π, π]). */
+  def pixelChi(x: Column, y: Column, g: Poni): Column = {
+    val (t1, t2, _) = labCoords(x, y, g)
+    atan2(t1, t2)
+  }
+
+  /** Triclinic unit cell; metric-tensor d-spacing (trx/cell.py:8-41). */
+  final case class UnitCell(
+      a: Double, b: Double, c: Double,
+      alphaDeg: Double = 90, betaDeg: Double = 90, gammaDeg: Double = 90) {
+    private val al = math.toRadians(alphaDeg)
+    private val be = math.toRadians(betaDeg)
+    private val ga = math.toRadians(gammaDeg)
+    /** Unit-cell volume via the triclinic determinant. */
+    val volume: Double = a * b * c * math.sqrt(
+      1 - math.pow(math.cos(al), 2) - math.pow(math.cos(be), 2) -
+        math.pow(math.cos(ga), 2) +
+        2 * math.cos(al) * math.cos(be) * math.cos(ga))
+    // reciprocal metric tensor coefficients (standard crystallography)
+    val s11: Double = math.pow(b * c * math.sin(al), 2)
+    val s22: Double = math.pow(a * c * math.sin(be), 2)
+    val s33: Double = math.pow(a * b * math.sin(ga), 2)
+    val s12: Double = a * b * c * c * (math.cos(al) * math.cos(be) - math.cos(ga))
+    val s23: Double = a * a * b * c * (math.cos(be) * math.cos(ga) - math.cos(al))
+    val s13: Double = a * b * b * c * (math.cos(ga) * math.cos(al) - math.cos(be))
+  }
+
+  /** d-spacing of reflection (h,k,l): 1/d² from the reciprocal metric tensor
+    * (trx/cell.py:30-37).
+    */
+  def dSpacing(h: Column, k: Column, l: Column, cell: UnitCell): Column = {
+    val invD2 = (lit(cell.s11) * h * h + lit(cell.s22) * k * k +
+      lit(cell.s33) * l * l +
+      lit(2 * cell.s12) * h * k + lit(2 * cell.s23) * k * l +
+      lit(2 * cell.s13) * h * l) / lit(cell.volume * cell.volume)
+    lit(1.0) / sqrt(invD2)
+  }
+
+  /** Q = 2π/d (trx/cell.py:39-41), computed as 2π·√(1/d²) so the (0,0,0)
+    * reflection yields 0 instead of a division error.
+    */
+  def qOfReflection(h: Column, k: Column, l: Column, cell: UnitCell): Column = {
+    val invD2 = (lit(cell.s11) * h * h + lit(cell.s22) * k * k +
+      lit(cell.s33) * l * l +
+      lit(2 * cell.s12) * h * k + lit(2 * cell.s23) * k * l +
+      lit(2 * cell.s13) * h * l) / lit(cell.volume * cell.volume)
+    lit(2.0 * math.Pi) * sqrt(invD2)
+  }
+
+  /** Transmission through thickness t of a material with attenuation length
+    * Λ: T = exp(-t/Λ) (trx/utils/absorption.py:52-66).
+    */
+  def transmission(thickness: Column, attenuationLength: Column): Column =
+    exp(-thickness / attenuationLength)
+
+  /** Absorbance A = -ln(T) (trx/utils/absorption.py:68-74). */
+  def absorbance(t: Column): Column = -log(t)
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines: token
+  * counting, quality scoring, n-gram heuristic language ID, fingerprinting,
+  * shingling. These extend the reference's string utilities
+  * (trx/utils/string.py) with the document-corpus operators a training-data
+  * pipeline needs; all pure `Column` expressions so they stay codegen'd and
+  * scale linearly over a 100 TB `documents` table.
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal runs of word characters (ASCII letters/digits/_). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9_]+"), lit(0))
+
+  /** Whitespace-ish token count via regexp (robust to repeated/trailing
+    * separators, unlike a bare split).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word proxy count: ceil(chars-sans-spaces / 4) + tokens/4,
+    * the standard "~4 chars per token" heuristic used to budget LLM corpora.
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    ceil(chars / lit(4.0)).cast("long")
+  }
+
+  /** Number of occurrences of literal `word` as a whole token. */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    // (len(s) - len(replace(s, w, ''))) / len(w) — portable occurrence count
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) /
+      lit(needle.length)).cast("long")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")) /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword-token ratio for a given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val hits = stopwords.map(w => wordOccurrences(text, w))
+      .reduce(_ + _)
+    hits / greatest(tokenCount(text), lit(1L)).cast("double")
+  }
+
+  /** Default English stopword list used by the quality score. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Composite document quality score in [0, 1]:
+    * mean of (length score, non-punct score, stopword-presence score).
+    * Deterministic, fully arithmetic — a stand-in for classifier-based
+    * quality filters, shaped like Gopher/C4-style heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text) / lit(500.0), lit(1.0))
+    val punct     = punctRatio(text)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punct * 5.0)
+    val stopScore = least(stopwordRatio(text, EnStopwords) * 5.0, lit(1.0))
+    (lenScore + punctScore + stopScore) / 3.0
+  }
+
+  /** Language-ID stopword profiles (tiny n-gram/stopword heuristic).
+    * Each language is scored by whole-word hits of its marker words; argmax
+    * wins, ties broken by profile order. Works on any engine (pure counts).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "con"),
+    "fr" -> Seq("le", "la", "et", "les", "dans"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2")
+  )
+
+  /** Per-language hit counts as named columns. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      lang -> words.map(w => wordOccurrences(text, w)).reduce(_ + _)
+    }
+
+  /** Heuristic language ID: argmax of profile hits; "und" when all zero.
+    * First profile in `LangProfiles` wins ties (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Stable 128-bit content fingerprint (hex) over normalized text:
+    * lowercase, collapse whitespace. Used for exact dedup at scale —
+    * hash-groupBy on the fingerprint instead of the full text avoids
+    * shuffling document bodies.
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalizeText(text))
+
+  /** Normalization used by exact dedup: lowercase + whitespace collapse. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Modulus for the rolling polynomial hash — prime, small enough that
+    * `acc * 31 + c` never overflows a signed 64-bit intermediate.
+    */
+  val RollingHashMod: Long = 1000000007L
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) of the normalized text —
+    * the reference-style "document fingerprint (rolling hash)". Implemented
+    * with `aggregate` over the char codes so it is still a native Catalyst
+    * expression (no UDF); modular so the value is portable to engines with
+    * checked 64-bit arithmetic.
+    */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(split(normalizeText(text), ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, lit(RollingHashMod)))
+  }
+
+  /** Word n-gram shingles: array of space-joined n-word windows.
+    * `shingles("a b c d", 3) = ["a b c", "b c d"]`. Core input to MinHash /
+    * Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(
+      sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+}

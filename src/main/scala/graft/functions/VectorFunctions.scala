@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType` embedding columns, plus the hashing
+  * primitives for near-duplicate detection (MinHash, SimHash, random-
+  * hyperplane LSH). All built from `zip_with` / `aggregate` / `transform`
+  * higher-order functions — native Catalyst expressions, no UDFs, so the
+  * hot loops run inside whole-stage codegen and scale to 100 TB embedding
+  * tables.
+  */
+object VectorFunctions {
+
+  /** Elementwise product then sum — dot(a, b). Arrays are cast to double
+    * first so float inputs accumulate in double (deterministic across
+    * engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cast array<float|int|...> to array<double>. */
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe via greatest(eps) in the denominator. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(l2Norm(a) * l2Norm(b), lit(1e-300))
+
+  /** Deterministic pseudo-random hyperplane h_j ∈ R^dim, j = plane index:
+    * h_j[d] = sin(1 + j*dim + d). Cheap, seedless, identical on every
+    * engine/executor — good enough for LSH bucketing (only signs matter).
+    */
+  def hyperplane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => math.sin(1.0 + j * dim + d))
+
+  /** Sign bit of <v, h_j> as 0/1. */
+  def hyperplaneBit(v: Column, j: Int, dim: Int): Column = {
+    val h = hyperplane(j, dim)
+    val prod = aggregate(
+      zip_with(asDouble(v), lit(h.toArray), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    when(prod >= 0, 1).otherwise(0)
+  }
+
+  /** Random-hyperplane LSH signature: `nBits`-char string of 0/1. Vectors
+    * with high cosine similarity collide with high probability; used to
+    * bucket candidates before exact re-ranking (the scale path for ANN —
+    * the bucket join shuffles only same-signature groups instead of the
+    * full n² cross join).
+    */
+  def lshSignature(v: Column, nBits: Int, dim: Int): Column =
+    concat((0 until nBits).map(j => hyperplaneBit(v, j, dim).cast("string")): _*)
+
+  /** 64-bit SimHash over an array of token strings: each token is hashed
+    * (xxhash64), each of the 64 bit positions accumulates +1/-1, sign of
+    * the sum is the output bit. Near-identical documents differ in few bits.
+    */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Large prime for the MinHash universal-hash family. */
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  /** Deterministic (a, b) coefficients for permutation i. */
+  def minhashCoeffs(i: Int): (Long, Long) = {
+    // splitmix-style mixing of the permutation index; constants public.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = (mix(i.toLong * 2 + 1) & 0x7fffffffL) | 1L // odd, positive
+    val b = mix(i.toLong * 2 + 2) & 0x7fffffffL
+    (a, b)
+  }
+
+  /** MinHash signature (array<long>, length `nHashes`) over an array of
+    * shingle strings. h_i(x) = (a_i * xxhash64(x) + b_i) mod p, minimized
+    * over shingles. Empty shingle sets get p (sentinel max).
+    */
+  def minhashSignature(shinglesCol: Column, nHashes: Int): Column = {
+    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    val sigs = (0 until nHashes).map { i =>
+      val (a, b) = minhashCoeffs(i)
+      aggregate(
+        base, lit(MinhashPrime),
+        (acc, h) => least(acc, pmod(h * a + b, lit(MinhashPrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `nBands` strings, each a
+    * hash of `rowsPerBand` consecutive signature entries. Documents sharing
+    * any band key are near-dup candidates (then verified by exact Jaccard).
+    */
+  def minhashBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      concat_ws("_", lit(b),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+
+  /** Estimated Jaccard similarity from two equal-length MinHash signatures:
+    * fraction of agreeing positions.
+    */
+  def minhashJaccard(sigA: Column, sigB: Column): Column = {
+    val agree = aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v)
+    when(size(sigA) > 0, agree / size(sigA).cast("double"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque `binary` payloads + typed metadata structs, with
+  * decode / feature-extract / resize / frame-sample as per-partition
+  * batch transforms.
+  *
+  * The actual codec libraries are not available in this environment, so the
+  * decode kernel is STUBBED with a deterministic fake (clearly marked
+  * below); everything Spark-side — schema, batching, partition sizing, the
+  * typed mapPartitions shape — is real and tested. On a cluster you swap
+  * `stubDecode` for a real decoder; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata accompanying every media payload. */
+  final case class MediaMeta(media_id: Long, kind: String, byte_len: Long,
+                             width: Int, height: Int)
+
+  final case class MediaFeature(media_id: Long, kind: String,
+                                feature: Array[Double])
+
+  // ======================================================================
+  // STUB — deterministic fake decoder. A real deployment replaces this with
+  // an image/audio codec call; the signature (bytes → fixed-length feature
+  // vector) and everything around it stay identical.
+  // ======================================================================
+  private[multimodal] def stubDecode(payload: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var acc = 1125899906842597L // deterministic rolling state
+    var i = 0
+    while (i < payload.length) {
+      acc = acc * 31 + (payload(i) & 0xff)
+      out(i % dim) += (acc & 0xffff) / 65535.0
+      i += 1
+    }
+    out
+  }
+
+  /** Attach metadata to a binary column: `(media_id, payload)` →
+    * adds byte length and (stub-sniffed) dimensions. Pure column ops where
+    * possible (`length` on binary is native).
+    */
+  def withMeta(media: DataFrame, kind: String): DataFrame =
+    media
+      .withColumn("kind", lit(kind))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      // dimension sniffing would parse the container header; stub: derive
+      // a plausible deterministic shape from the length.
+      .withColumn("width", (pmod(col("byte_len"), lit(64)) + 1).cast("int"))
+      .withColumn("height", (pmod(col("byte_len") / 64, lit(64)) + 1).cast("int"))
+
+  /** Feature extraction as a typed per-partition batch transform — the
+    * Scala analogue of `mapInPandas`: each task processes its partition as
+    * an iterator (bounded memory, no per-row UDF overhead), emitting fixed-
+    * width feature vectors. Partition sizing upstream (`repartition` by
+    * bytes) keeps batches within executor memory at 100 TB.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          MediaFeature(id, kind, stubDecode(payload, dim))
+        }
+      }
+  }
+
+  /** Frame sampling for video-like payloads: split the payload into
+    * `frameBytes` chunks, keep every `stride`-th — the plan shape of video
+    * frame-sampling (explode → filter on frame index).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
+      .filter(pmod(col("frame_idx"), lit(stride)) === 0)
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+  }
+}

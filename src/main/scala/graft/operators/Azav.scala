@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ScatteringFunctions
+import graft.functions.ScatteringFunctions.Poni
+
+/** Azimuthal integration: detector images → 1-D/2-D intensity curves.
+  *
+  * Reference: trx/azav.py:131-171 (`do1d`/`do2d`, delegated to pyFAI's CSR
+  * sparse-matrix kernel) and the per-folder loop azav.py:377-389.
+  *
+  * Spark-first design: the input is the pixel-exploded long table
+  * `(image_id, x, y, intensity)`; per-pixel `(q, chi, q_bin)` comes from
+  * pure Column geometry math (constant-folded trig, §G6), so the whole
+  * image→curve reduction is ONE hash aggregation
+  * `groupBy(image_id, q_bin).agg(...)` with map-side partial aggregation —
+  * Catalyst's equivalent of pyFAI's precomputed CSR matrix: the "matrix"
+  * is the codegen'd bin-assignment expression, so nothing is materialized
+  * per geometry and no shuffle carries raw pixels (partial agg reduces each
+  * task's output to nQ rows per image before the exchange).
+  */
+object Azav {
+
+  /** Equispaced q grid: bin index + bin center columns. */
+  final case class QGrid(qMin: Double, qMax: Double, nQ: Int) {
+    val dq: Double = (qMax - qMin) / nQ
+    def bin(q: Column): Column =
+      when(q >= qMin && q < qMax, floor((q - qMin) / dq).cast("int"))
+    def center(bin: Column): Column = lit(qMin) + (bin + 0.5) * dq
+  }
+
+  /** Add geometry-derived columns (q, chi, q_bin) to a pixel table with
+    * columns (x, y). Dark-current subtraction and masking are plain column
+    * arithmetic / predicates applied before aggregation (azav.py:133-140).
+    */
+  def withGeometry(pixels: DataFrame, g: Poni, grid: QGrid,
+                   dark: Double = 0.0, mask: Option[Column] = None): DataFrame = {
+    val x = col("x"); val y = col("y")
+    val base = pixels
+      .withColumn("q", ScatteringFunctions.pixelQ(x, y, g))
+      .withColumn("chi", ScatteringFunctions.pixelChi(x, y, g))
+      .withColumn("q_bin", grid.bin(col("q")))
+      .withColumn("i_corr", col("intensity").cast("double") - dark)
+    val kept = mask.map(m => base.filter(!m)).getOrElse(base)
+    kept.filter(col("q_bin").isNotNull)
+  }
+
+  /** 1-D integration (trx/azav.py:131-154): per (image, q_bin) mean
+    * intensity with the Poisson error model err = sqrt(sum(i))/n, optional
+    * azimuth restriction. Output: (image_id, q_bin, q, i, err, n_pix).
+    */
+  def integrate1d(pixels: DataFrame, g: Poni, grid: QGrid,
+                  dark: Double = 0.0, mask: Option[Column] = None,
+                  azimuthRange: Option[(Double, Double)] = None): DataFrame = {
+    val geo = withGeometry(pixels, g, grid, dark, mask)
+    val az = azimuthRange.map { case (lo, hi) =>
+      geo.filter(col("chi").between(lo, hi))
+    }.getOrElse(geo)
+    az.groupBy(col("image_id"), col("q_bin"))
+      .agg(
+        avg(col("i_corr")).as("i"),
+        (sqrt(sum(col("i_corr"))) / count(lit(1))).as("err"),
+        count(lit(1)).as("n_pix"))
+      .withColumn("q", grid.center(col("q_bin")))
+  }
+
+  /** 2-D "cake" integration (trx/azav.py:156-171): adds an azimuth bin key. */
+  def integrate2d(pixels: DataFrame, g: Poni, grid: QGrid, nAzim: Int = 360,
+                  dark: Double = 0.0, mask: Option[Column] = None): DataFrame = {
+    val geo = withGeometry(pixels, g, grid, dark, mask)
+    val azBin = floor((col("chi") + math.Pi) / (2 * math.Pi / nAzim)).cast("int")
+    geo.withColumn("az_bin", least(azBin, lit(nAzim - 1)))
+      .groupBy(col("image_id"), col("q_bin"), col("az_bin"))
+      .agg(avg(col("i_corr")).as("i"), count(lit(1)).as("n_pix"))
+      .withColumn("q", grid.center(col("q_bin")))
+  }
+
+  /** Dezinger (trx/azav.py:119-129, pyFAI `separate` percentile split):
+    * within each (image, q_bin) drop pixels whose intensity exceeds
+    * `factor` × the per-ring percentile. Expressed as a window percentile +
+    * filter — fully distributed, no per-image collect.
+    */
+  def dezinger(pixelsWithGeom: DataFrame, percentile: Double = 0.5,
+               factor: Double = 1.5): DataFrame = {
+    val ring = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("image_id"), col("q_bin"))
+    val thr = expr(s"percentile_approx(i_corr, $percentile, 1000)").over(ring)
+    pixelsWithGeom
+      .withColumn("ring_level", thr)
+      .filter(col("i_corr") <= col("ring_level") * factor)
+      .drop("ring_level")
+  }
+
+  /** Per-image monitor from all bins ('auto', trx/azav.py:431-433) as a
+    * window mean — used to normalize curves shot-by-shot.
+    */
+  def normalizeAuto(curves: DataFrame, idCol: String = "image_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    curves
+      .withColumn("monitor", avg(col("i")).over(w))
+      .withColumn("i_norm", safeDiv(col("i"), col("monitor")))
+      .withColumn("err_norm", safeDiv(col("err"), col("monitor")))
+  }
+
+  /** ANSI-safe division: null (the NaN→null discipline, SURVEY §1.2)
+    * instead of an error when the divisor is zero.
+    */
+  private def safeDiv(a: Column, b: Column): Column = when(b =!= 0.0, a / b)
+
+  /** Monitor from a q-range (trx/azav.py:436-441 mean; trx/dataReduction.py:
+    * 232-238 uses median) — aggregate the range per image, broadcast-join
+    * back. `useMedian` selects the dataReduction variant.
+    */
+  def normalizeQRange(curves: DataFrame, qLo: Double, qHi: Double,
+                      useMedian: Boolean = false,
+                      idCol: String = "image_id"): DataFrame = {
+    val inRange = curves.filter(col("q").between(qLo, qHi))
+    val monAgg = if (useMedian) median(col("i")) else avg(col("i"))
+    val monitors = inRange.groupBy(col(idCol)).agg(monAgg.as("monitor"))
+    curves.join(broadcast(monitors), Seq(idCol))
+      .withColumn("i_norm", safeDiv(col("i"), col("monitor")))
+      .withColumn("err_norm", safeDiv(col("err"), col("monitor")))
+  }
+
+  /** q-range projection (trx/azav.py:415-429): plain filter; the reference's
+    * `orig` backup is just the unfiltered DataFrame (lineage is free).
+    */
+  def qLims(curves: DataFrame, qLo: Double, qHi: Double): DataFrame =
+    curves.filter(col("q").between(qLo, qHi))
+
+  /** Distance histogram with unit bins (trx/center.py:331-357): groupBy
+    * floor(r); kernel smoothing is a follow-up window op (Windows.scala).
+    */
+  def distanceHistogram(pixels: DataFrame, cx: Double, cy: Double): DataFrame =
+    pixels
+      .withColumn("r_bin",
+        floor(ScatteringFunctions.pixelRadius(col("x"), col("y"), cx, cy)).cast("int"))
+      .groupBy(col("r_bin")).agg(count(lit(1)).as("n"), avg(col("intensity")).as("mean_i"))
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions
+
+/** Time-resolved data reduction: reference interpolation, difference
+  * signals, per-delay averaging with error propagation and chi² statistics.
+  *
+  * Reference: trx/dataReduction.py (`interp_references` 15-85,
+  * `averageScanPoints` 88-205, `calcTimeResolvedSignal` 208-243) and the
+  * id9 orchestration (trx/id9.py:226-303).
+  *
+  * Input model: long-form curve table `(image_idx, delay, q_bin, i, err)` —
+  * one row per (shot, q bin). `image_idx` is the acquisition order (the
+  * reference aligns arrays positionally; we key on the index explicitly).
+  *
+  * Scale notes: the as-of interpolation (J4) uses windows ordered by
+  * `image_idx` partitioned by `q_bin` — n_images rows per partition,
+  * thousands of independent q-bin partitions → parallel and spill-safe at
+  * any image count. The delay aggregation (A3) is a hash agg keyed on
+  * (delay, q_bin): output cardinality n_delays × nQ regardless of input
+  * size, so partial aggregation collapses the shuffle to near-nothing.
+  */
+object Reduction {
+
+  /** J5 — tag reference shots (trx/dataReduction.py:223-230, id9.py:276-281).
+    * `refDelay`: None → min delay excluding the laser-off sentinel (-10);
+    * Some(v) → |delay - v| < atol. Implemented with a scalar-subquery-style
+    * broadcast of the min.
+    */
+  def tagReferences(curves: DataFrame, refDelay: Option[Double] = None,
+                    atol: Double = 1e-12): DataFrame =
+    refDelay match {
+      case Some(v) =>
+        curves.withColumn("is_ref", abs(col("delay") - v) < atol)
+      case None =>
+        val minDelay = curves
+          .filter(col("delay") =!= TimeFunctions.OffSentinel)
+          .agg(min(col("delay")).as("ref_delay"))
+        curves.join(broadcast(minDelay))
+          .withColumn("is_ref", abs(col("delay") - col("ref_delay")) < atol)
+          .drop("ref_delay")
+    }
+
+  /** J4 — interpolated reference as-of join (trx/dataReduction.py:15-85).
+    *
+    * For each shot, the "reference curve" is the linear interpolation (by
+    * image index) between the nearest reference shot before and after:
+    *   - shots before the first ref clamp to the first ref (py:63-64);
+    *   - shots after the last ref clamp to the last ref (py:65-67);
+    *   - a reference shot's own reference excludes itself — it interpolates
+    *     between its neighbouring refs (clamping at the ends) (py:69-83);
+    *   - with a single reference, everything uses it verbatim (py:50-52).
+    *
+    * Emitted column: `i_ref` (same q_bin, same row grain).
+    */
+  def interpolateReferences(tagged: DataFrame): DataFrame = {
+    val byIdx = Window.partitionBy(col("q_bin")).orderBy(col("image_idx"))
+    val before = byIdx.rowsBetween(Window.unboundedPreceding, -1)
+    val after  = byIdx.rowsBetween(1, Window.unboundedFollowing)
+
+    val refIdx = when(col("is_ref"), col("image_idx"))
+    val refI   = when(col("is_ref"), col("i"))
+
+    // Nearest ref strictly before/after this row — self excluded for ref
+    // rows automatically because the frames exclude the current row.
+    // Non-ref rows may also use a ref AT their own index? No: refs are
+    // distinct rows, so "before or self" for non-refs is just `before`
+    // extended to the current row.
+    val beforeIncl = byIdx.rowsBetween(Window.unboundedPreceding, 0)
+    val afterIncl  = byIdx.rowsBetween(0, Window.unboundedFollowing)
+
+    val prevIdxStrict = last(refIdx, ignoreNulls = true).over(before)
+    val prevIStrict   = last(refI,   ignoreNulls = true).over(before)
+    val nextIdxStrict = first(refIdx, ignoreNulls = true).over(after)
+    val nextIStrict   = first(refI,   ignoreNulls = true).over(after)
+    val prevIdxIncl   = last(refIdx, ignoreNulls = true).over(beforeIncl)
+    val prevIIncl     = last(refI,   ignoreNulls = true).over(beforeIncl)
+    val nextIdxIncl   = first(refIdx, ignoreNulls = true).over(afterIncl)
+    val nextIIncl     = first(refI,   ignoreNulls = true).over(afterIncl)
+
+    // Ref rows always exclude self (strict frames); non-ref rows can use
+    // inclusive frames (identical to strict for them, but cheaper to reuse).
+    val withNbrs = tagged
+      .withColumn("_p_idx", when(col("is_ref"), prevIdxStrict).otherwise(prevIdxIncl))
+      .withColumn("_p_i",   when(col("is_ref"), prevIStrict).otherwise(prevIIncl))
+      .withColumn("_n_idx", when(col("is_ref"), nextIdxStrict).otherwise(nextIdxIncl))
+      .withColumn("_n_i",   when(col("is_ref"), nextIStrict).otherwise(nextIIncl))
+
+    // ANSI-safe: a zero denominator (possible only if image_idx is not
+    // unique within a q_bin partition) yields null instead of an error.
+    val span = (col("_n_idx") - col("_p_idx")).cast("double")
+    val frac = when(span =!= 0.0,
+      (col("image_idx") - col("_p_idx")).cast("double") / span)
+    val interp =
+      when(col("_p_idx").isNull, col("_n_i"))  // before first ref → clamp
+        .when(col("_n_idx").isNull, col("_p_i")) // after last ref → clamp
+        .otherwise(col("_p_i") + (col("_n_i") - col("_p_i")) * frac)
+
+    withNbrs
+      .withColumn("i_ref", interp)
+      .drop("_p_idx", "_p_i", "_n_idx", "_n_i")
+  }
+
+  /** Difference (or ratio) signal vs the interpolated reference —
+    * trx/dataReduction.py:144-147.
+    */
+  def diffSignal(withRef: DataFrame, useRatio: Boolean = false): DataFrame = {
+    val d = if (useRatio) col("i") / col("i_ref") else col("i") - col("i_ref")
+    withRef.withColumn("diff", d)
+  }
+
+  /** W2 — reference thinning: keep every 2nd repetition of the reference
+    * group (trx/dataReduction.py:177-179), because consecutive refs are
+    * correlated through the interpolation.
+    */
+  def thinReferences(curves: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("delay"), col("q_bin")).orderBy(col("image_idx"))
+    curves.withColumn("_rep", row_number().over(w))
+      .filter(!col("is_ref") || col("_rep") % 2 === 1)
+      .drop("_rep")
+  }
+
+  /** A3 — per-delay averaging of repetitions (trx/dataReduction.py:88-205):
+    * group (delay, q_bin); mean or median over reps (`funcForAveraging`);
+    * noise = stddev across reps; error-of-mean = noise/√n. Output grain:
+    * (delay, q_bin).
+    */
+  def averageScanPoints(diffs: DataFrame, useMedian: Boolean = false): DataFrame = {
+    val center = if (useMedian) median(col("diff")) else avg(col("diff"))
+    diffs
+      .withColumn("delay", TimeFunctions.canonicalDelay(col("delay")))
+      .groupBy(col("delay"), col("q_bin"))
+      .agg(
+        center.as("diff_av"),
+        stddev(col("diff")).as("noise"),
+        count(lit(1)).as("n_rep"),
+        (stddev(col("diff")) / sqrt(count(lit(1)))).as("err"))
+  }
+
+  /** A4 — per-repetition chi² against the group mean
+    * (trx/dataReduction.py:186-196): for each (delay, image) repetition,
+    * chi²₀ = Σ_q ((diff − mean_q)/noise_q)² / nQ. Feeds the chi² outlier
+    * filter (Filters.chi2Filter).
+    */
+  def chi2PerRepetition(diffs: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("delay"), col("q_bin"))
+    diffs
+      .withColumn("_mean", avg(col("diff")).over(grp))
+      .withColumn("_noise", stddev(col("diff")).over(grp))
+      .groupBy(col("delay"), col("image_idx"))
+      .agg(
+        (sum(pow(when(col("_noise") =!= 0.0,
+          (col("diff") - col("_mean")) / col("_noise")), 2)) /
+          count(lit(1))).as("chi2_0"))
+  }
+
+  /** Global per-q mean and median over the whole run
+    * (trx/dataReduction.py:126-127) — the second aggregation without the
+    * delay key.
+    */
+  def globalStats(diffs: DataFrame): DataFrame =
+    diffs.groupBy(col("q_bin"))
+      .agg(avg(col("diff")).as("average"), median(col("diff")).as("median"))
+
+  /** E2 composition — `calcTimeResolvedSignal` (trx/dataReduction.py:208-243)
+    * without the monitor step (compose with Azav.normalizeQRange upstream):
+    * tag refs → interpolate → diff → thin refs → per-delay average.
+    */
+  def timeResolvedSignal(curves: DataFrame, refDelay: Option[Double] = None,
+                         useRatio: Boolean = false,
+                         useMedian: Boolean = false): DataFrame = {
+    val tagged = tagReferences(curves, refDelay)
+    val withRef = interpolateReferences(tagged)
+    val diffs = diffSignal(withRef, useRatio)
+    val thinned = thinReferences(diffs)
+    averageScanPoints(thinned, useMedian)
+  }
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import QueryUtil._
+import Tables._
+
+/** Training-data-pipeline queries over the `documents` and `embeddings`
+  * tables: text analysis, exact/near deduplication, similarity search,
+  * multimodal plumbing. Queries whose kernels have no DuckDB equivalent
+  * (xxhash64-based MinHash/SimHash, the stub media decoder) carry no oracle
+  * and get the driver's rows-only check.
+  */
+object CorpusQueries {
+
+  /** DuckDB SQL for TextFunctions.wordOccurrences(p, w) where `p` is the
+    * space-padded lowercase text: non-overlapping literal count via
+    * length-difference.
+    */
+  private def occSql(p: String, w: String): String =
+    s"((len($p) - len(replace($p, ' $w ', ''))) / ${w.length + 2})::BIGINT"
+
+  private val padded = "' ' || lower(text) || ' '"
+
+  private def stopHitsSql: String =
+    TextFunctions.EnStopwords.map(w => occSql("p", w)).mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text analysis: token counts, punctuation ratio, quality score.
+    QueryDef("q33_text_stats",
+      (s, dir) =>
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          TextFunctions.approxBpeTokenCount(col("text")).as("n_bpe"),
+          r6(TextFunctions.punctRatio(col("text"))).as("punct_r"),
+          r6(TextFunctions.qualityScore(col("text"))).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, $padded AS p FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok,
+        |  ceil(len(regexp_replace(text, '\\s+', '', 'g')) / 4.0)::BIGINT AS n_bpe,
+        |  round(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |        / greatest(len(text), 1)::DOUBLE, 6) AS punct_r,
+        |  round((
+        |    least(len(text) / 500.0, 1.0)
+        |    + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |               / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |    + least((($stopHitsSql)
+        |             / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |            1.0)
+        |  ) / 3.0, 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Heuristic language ID (stopword-profile argmax).
+    QueryDef("q34_lang_id",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(TextFunctions.langId(col("text")).as("lang_id"))
+          .groupBy(col("lang_id")).agg(count(lit(1)).as("n"))
+          .orderBy("lang_id"),
+      Some {
+        val scoreDefs = TextFunctions.LangProfiles.map { case (lang, words) =>
+          s"(${words.map(w => occSql("p", w)).mkString(" + ")}) AS s_$lang"
+        }.mkString(",\n  ")
+        val langs = TextFunctions.LangProfiles.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+          .mkString("\n    ", "\n    ", "\n    ELSE 'und' END")
+        s"""WITH d AS (SELECT $padded AS p FROM documents),
+          |scores AS (SELECT
+          |  $scoreDefs
+          |FROM d),
+          |scored AS (SELECT *, $best AS best FROM scores),
+          |picked AS (SELECT CASE $pick AS lang_id FROM scored)
+          |SELECT lang_id, count(*) AS n FROM picked
+          |GROUP BY lang_id ORDER BY lang_id""".stripMargin
+      }),
+
+    // Exact dedup via 128-bit content fingerprint.
+    QueryDef("q35_dedup_exact",
+      (s, dir) =>
+        Dedup.exactGroups(table(s, dir, "documents"))
+          .select(col("fp"), col("keep_id"), col("n_dups"))
+          .orderBy("fp"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Rolling-hash document fingerprint (base 31, mod 1e9+7).
+    QueryDef("q36_rolling_hash",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+        |                   x -> ascii(x)::BIGINT),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (shingle-join blocking — never
+    // the n² cross product).
+    QueryDef("q37_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)
+          .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |    FROM (SELECT doc_id, t,
+        |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |          FROM toks))),
+        |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard
+        |FROM pairs JOIN sized sa ON id_a = sa.doc_id
+        |           JOIN sized sb ON id_b = sb.doc_id
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force cosine similarity above threshold (exact baseline).
+    QueryDef("q38_sim_threshold",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+        e.select(col("vec_id"), col("embedding").as("_cv"))
+          .join(broadcast(queries))
+          .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
+          .filter(round(col("cos"), 6) >= 0.2 && col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"), r4(col("cos")).as("cos"))
+          .orderBy("query_id", "vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |cos AS (
+        |  SELECT query_id, vec_id,
+        |         list_dot_product(cv, qv) /
+        |           greatest(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)),
+        |                    1e-300) AS cos
+        |  FROM c, q)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos
+        |FROM cos WHERE round(cos, 6) >= 0.2 AND query_id <> vec_id
+        |ORDER BY query_id, vec_id""".stripMargin)),
+
+    // Brute-force top-k (exact ANN baseline, W6-style ranking).
+    QueryDef("q39_sim_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.bruteForceTopK(e, queries, k = 10)
+          .select(col("query_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |cos AS (
+        |  SELECT query_id, vec_id,
+        |         list_dot_product(cv, qv) /
+        |           greatest(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)),
+        |                    1e-300) AS cos
+        |  FROM c, q),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, vec_id) AS rank
+        |  FROM cos)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN: same-signature candidates, exact re-rank.
+    QueryDef("q40_sim_lsh",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.lshTopK(e, queries, k = 1, dim = 64, nBits = 6)
+          .groupBy(col("query_id"))
+          .agg(first(col("vec_id")).as("best_vec"), r4(first(col("cos"))).as("best_cos"))
+          .orderBy("query_id")
+      },
+      Some {
+        val planes = (0 until 6).map { j =>
+          val h = VectorFunctions.hyperplane(j, 64)
+          s"[${h.mkString(", ")}]::DOUBLE[]"
+        }
+        val sigExpr = planes.map(p =>
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 5),
+          |cand AS (
+          |  SELECT q.query_id, s.vec_id,
+          |         list_dot_product(s.v, q.qv) /
+          |           greatest(sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv)),
+          |                    1e-300) AS cos
+          |  FROM sig s JOIN q ON s.bucket = q.bucket),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |                               ORDER BY cos DESC, vec_id) AS rank
+          |  FROM cand)
+          |SELECT query_id, vec_id AS best_vec, round(cos, 4) AS best_cos
+          |FROM ranked WHERE rank = 1 ORDER BY query_id""".stripMargin
+      }),
+
+    // Embedding near-duplicate pairs: LSH blocking + cosine verification.
+    QueryDef("q41_dedup_embedding",
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"),
+            dim = 64, nBits = 8, threshold = 0.3)
+          .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+          .orderBy("id_a", "id_b"),
+      Some {
+        val planes = (0 until 8).map { j =>
+          val h = VectorFunctions.hyperplane(j, 64)
+          s"[${h.mkString(", ")}]::DOUBLE[]"
+        }
+        val sigExpr = planes.map(p =>
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         list_dot_product(a.v, b.v) /
+          |           greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)),
+          |                    1e-300) AS cos
+          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, round(cos, 4) AS cos
+          |FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // MinHash+LSH near-dup candidates — xxhash64-based, no DuckDB
+    // equivalent → rows-only check; correctness covered by ScalaTest
+    // (band-collision ⇒ high estimated Jaccard) and cross-checked against
+    // q37's exact Jaccard in the spec suite.
+    QueryDef("q42_dedup_minhash",
+      (s, dir) =>
+        Dedup.minhashLshPairs(table(s, dir, "documents"),
+            nHashes = 32, nBands = 8, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), r4(col("est_jaccard")).as("est_jaccard"))
+          .orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash near-dup candidates — xxhash64-based → rows-only check.
+    QueryDef("q43_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(table(s, dir, "documents"),
+            prefixBits = 8, maxHamming = 12)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    // Multimodal: binary payloads + metadata + feature extraction (stub
+    // decoder — no SQL equivalent) → rows-only check.
+    QueryDef("q44_multimodal_features",
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload"))
+        val withMeta = Multimodal.withMeta(media, "image")
+        Multimodal.extractFeatures(s, withMeta, dim = 8)
+          .select(col("media_id"), col("kind"),
+            r6(element_at(col("feature"), 1)).as("f0"),
+            r6(element_at(col("feature"), 2)).as("f1"))
+          .orderBy("media_id")
+      },
+      None)
+  )
+}

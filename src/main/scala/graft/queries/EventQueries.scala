@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+import Tables._
+
+/** Event-stream queries (batch equivalents of the streaming operators in
+  * graft.streaming — Structured Streaming runs the same logical plans with
+  * a file source; the streaming path itself is covered by ScalaTest).
+  *
+  * The driver's `events.ts` is TIMESTAMP(NANOS), which Spark's Parquet
+  * reader only supports as a raw long (`spark.sql.legacy.parquet
+  * .nanosAsLong`); all second-grain arithmetic uses exact integer `DIV`
+  * (never ns→double, which loses precision at 2^63 magnitudes).
+  */
+object EventQueries {
+
+  /** Read `events` with ts as LONG nanoseconds since the epoch. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+  }
+
+  private def tsSec = expr("ts DIV 1000000000")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time window (hourly) per event type.
+    QueryDef("q45_t_tumbling_hourly",
+      (s, dir) => {
+        val hourSec = tsSec - pmod(tsSec, lit(3600L))
+        events(s, dir)
+          .groupBy(
+            date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), r2(exactSum(col("value"))).as("total"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, count(*) AS n,
+        |       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity) per user.
+    QueryDef("q46_t_sessionize",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        events(s, dir)
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"))
+          .agg(max(col("session_id")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH sess AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, ts, event_id,
+        |          date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |          - lag(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |        FROM events))
+        |SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Per-type stats with an exact percentile.
+    QueryDef("q47_t_event_stats",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            r6(exactSum(col("value")) / count(lit(1))).as("avg_v"),
+            r4(expr("percentile(value, 0.95)")).as("p95"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        |       round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_v,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

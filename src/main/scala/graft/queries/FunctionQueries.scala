@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ScatteringFunctions, TimeFunctions}
+import graft.functions.ScatteringFunctions.UnitCell
+import QueryUtil._
+import Tables._
+
+/** Scalar-function queries (SURVEY §2.8/§2.9): time-with-unit parsing and
+  * formatting, filename munging, scattering conversions, unit-cell
+  * reflection enumeration (A13). Oracle SQL interpolates the exact Scala
+  * double constants so both engines evaluate identical IEEE expressions.
+  */
+object FunctionQueries {
+
+  val Cell = UnitCell(5.64, 5.64, 5.64) // cubic NaCl-like cell
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // G1 — `"100ps"`-style parsing with the 'off' sentinel.
+    QueryDef("q26_g1_str_to_time",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val unit = when(col("l_orderkey") % 3 === 0, "ps")
+          .when(col("l_orderkey") % 3 === 1, "ns").otherwise("us")
+        val str = when(col("l_orderkey") % 11 === 0, "off")
+          .otherwise(concat((col("l_linenumber") * 10).cast("string"), unit))
+        li.select(TimeFunctions.strToTime(str).as("delay"))
+          .groupBy(col("delay")).agg(count(lit(1)).as("n"))
+          .orderBy("delay")
+      },
+      Some("""WITH parsed AS (
+        |  SELECT CASE WHEN l_orderkey % 11 = 0 THEN -10.0
+        |    ELSE (l_linenumber * 10)::DOUBLE *
+        |      CASE WHEN l_orderkey % 3 = 0 THEN 1e-12
+        |           WHEN l_orderkey % 3 = 1 THEN 1e-9
+        |           ELSE 1e-6 END
+        |    END AS delay
+        |  FROM lineitem)
+        |SELECT delay, count(*) AS n FROM parsed
+        |GROUP BY delay ORDER BY delay""".stripMargin)),
+
+    // G2 — engineering-unit time formatting.
+    QueryDef("q27_g2_time_to_str",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val factor = when(col("l_orderkey") % 2 === 0, 1e-12).otherwise(1e-9)
+        val t = (col("l_quantity") * factor) *
+          when(col("l_linenumber") % 2 === 0, -1.0).otherwise(1.0)
+        li.select(TimeFunctions.timeToStr(t).as("delay_str"))
+          .groupBy(col("delay_str")).agg(count(lit(1)).as("n"))
+          .orderBy("delay_str")
+      },
+      Some("""WITH t AS (
+        |  SELECT (l_quantity *
+        |           CASE WHEN l_orderkey % 2 = 0 THEN 1e-12 ELSE 1e-9 END) *
+        |         CASE WHEN l_linenumber % 2 = 0 THEN -1.0 ELSE 1.0 END AS v
+        |  FROM lineitem),
+        |fmt AS (
+        |  SELECT CASE
+        |    WHEN abs(v) >= 1e-9 THEN printf('%+.2f', v / 1e-9) || 'ns'
+        |    ELSE printf('%+.2f', v / 1e-12) || 'ps' END AS delay_str
+        |  FROM t)
+        |SELECT delay_str, count(*) AS n FROM fmt
+        |GROUP BY delay_str ORDER BY delay_str""".stripMargin)),
+
+    // G4 — basename / extension stripping on constructed paths.
+    QueryDef("q28_g4_paths",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val path = concat(lit("/data/run"), (col("l_orderkey") % 10).cast("string"),
+          lit("/img_"), col("l_orderkey").cast("string"), lit(".edf.gz"))
+        li.select((col("l_orderkey") % 10).as("run"),
+            TimeFunctions.basename(path).as("base"),
+            TimeFunctions.removeExtension(TimeFunctions.basename(path)).as("stem"))
+          .groupBy(col("run"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("base")).as("n_base"),
+            countDistinct(col("stem")).as("n_stem"),
+            min(col("stem")).as("first_stem"))
+          .orderBy("run")
+      },
+      Some("""WITH p AS (
+        |  SELECT l_orderkey % 10 AS run,
+        |         'img_' || l_orderkey || '.edf.gz' AS base,
+        |         'img_' || l_orderkey AS stem
+        |  FROM lineitem)
+        |SELECT run, count(*) AS n, count(DISTINCT base) AS n_base,
+        |       count(DISTINCT stem) AS n_stem, min(stem) AS first_stem
+        |FROM p GROUP BY run ORDER BY run""".stripMargin)),
+
+    // G5/G7 — q↔2θ conversion round-trip + transmission correction.
+    QueryDef("q29_g5_scattering",
+      (s, dir) => {
+        val lambda = 1.54
+        val li = table(s, dir, "lineitem")
+        val q = col("l_quantity") / 10.0
+        li.select(q.as("q"),
+            ScatteringFunctions.qToTwoTheta(q, lambda).as("tth"),
+            ScatteringFunctions.transmission(q, lit(5.0)).as("trans"))
+          .groupBy(col("q"))
+          .agg(count(lit(1)).as("n"), r6(first(col("tth"))).as("tth"),
+            r6(first(col("trans"))).as("trans"))
+          .orderBy("q")
+      },
+      Some(s"""WITH v AS (
+        |  SELECT l_quantity / 10.0 AS q,
+        |         asin((l_quantity / 10.0) * ${1.54 / (4.0 * math.Pi)}) * 2.0 AS tth,
+        |         exp(-(l_quantity / 10.0) / 5.0) AS trans
+        |  FROM lineitem)
+        |SELECT q, count(*) AS n, round(any_value(tth), 6) AS tth,
+        |       round(any_value(trans), 6) AS trans
+        |FROM v GROUP BY q ORDER BY q""".stripMargin)),
+
+    // G9 — snap-to-grid rebinning (nearest allowed value).
+    QueryDef("q30_g9_rebin",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val snapped = (floor(col("l_extendedprice") / 500.0 + 0.5) * 500.0)
+        li.select(snapped.as("price_bin"))
+          .groupBy(col("price_bin")).agg(count(lit(1)).as("n"))
+          .orderBy("price_bin")
+      },
+      Some("""SELECT floor(l_extendedprice / 500.0 + 0.5) * 500.0 AS price_bin,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // G11 — safe float parsing (parse-or-null).
+    QueryDef("q31_g11_safe_float",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val str = when(col("l_orderkey") % 13 === 0, lit("n/a"))
+          .otherwise(col("l_quantity").cast("string"))
+        li.select(TimeFunctions.safeFloat(str).as("v"))
+          .agg(count(lit(1)).as("n_total"), count(col("v")).as("n_parsed"),
+            sum(col("v")).cast("double").as("sum_v"))
+      },
+      Some("""WITH p AS (
+        |  SELECT TRY_CAST(CASE WHEN l_orderkey % 13 = 0 THEN 'n/a'
+        |                       ELSE l_quantity::VARCHAR END AS DOUBLE) AS v
+        |  FROM lineitem)
+        |SELECT count(*) AS n_total, count(v) AS n_parsed,
+        |       sum(v)::DOUBLE AS sum_v FROM p""".stripMargin)),
+
+    // A13/G12 — unit-cell reflection list: enumerate hkl, q = 2π/d,
+    // group identical q → multiplicity (trx/cell.py:43-61).
+    QueryDef("q32_a13_reflections",
+      (s, dir) => {
+        val r = s.range(-3, 4)
+        val hkl = r.toDF("h").crossJoin(r.toDF("k")).crossJoin(r.toDF("l"))
+          .filter(!(col("h") === 0 && col("k") === 0 && col("l") === 0))
+        hkl.select(round(ScatteringFunctions.qOfReflection(
+            col("h"), col("k"), col("l"), Cell), 6).as("q"))
+          .filter(col("q") < 4.0)
+          .groupBy(col("q")).agg(count(lit(1)).as("multiplicity"))
+          .orderBy("q")
+      },
+      Some {
+        val c = Cell
+        val vol2 = c.volume * c.volume
+        s"""WITH hkl AS (
+          |  SELECT h.range AS h, k.range AS k, l.range AS l
+          |  FROM range(-3, 4) h, range(-3, 4) k, range(-3, 4) l
+          |  WHERE NOT (h.range = 0 AND k.range = 0 AND l.range = 0)),
+          |q AS (
+          |  SELECT round(${2.0 * math.Pi} * sqrt(
+          |    (${c.s11} * h * h + ${c.s22} * k * k + ${c.s33} * l * l
+          |     + ${2 * c.s12} * h * k + ${2 * c.s23} * k * l
+          |     + ${2 * c.s13} * h * l) / $vol2), 6) AS q
+          |  FROM hkl)
+          |SELECT q, count(*) AS multiplicity FROM q
+          |WHERE q < 4.0 GROUP BY q ORDER BY q""".stripMargin
+      })
+  )
+}

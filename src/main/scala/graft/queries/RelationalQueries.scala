@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.ScatteringFunctions.Poni
+import graft.operators.{Azav, Masks}
+import QueryUtil._
+import Tables._
+
+/** Joins, filters, set ops, windows, masks and the azimuthal-integration
+  * aggregations (SURVEY §2.3/§2.4/§2.5/§2.6/§2.11) on the driver tables.
+  */
+object RelationalQueries {
+
+  /** Geometry used by the integration queries — irrational-ish poni offsets
+    * so no pixel lands exactly on a bin boundary.
+    */
+  val G = Poni(dist = 0.1, poni1 = 0.03217, poni2 = 0.03203,
+    pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+  val Grid = Azav.QGrid(0.0, 3.0, 30)
+
+  /** Oracle SQL fragment: per-pixel q and chi under `G` (rot1=rot2=rot3=0 →
+    * t1/t2 are the in-plane offsets, t3 = dist). Literals are interpolated
+    * from the same Scala constants the Spark side uses, so both engines
+    * evaluate identical IEEE expressions.
+    */
+  private val geoSql: String = {
+    val fourPiOverLambda = 4.0 * math.Pi / G.wavelengthA
+    s"""geo AS (
+       |  SELECT image_id, x, y, intensity,
+       |         $fourPiOverLambda * sin(atan2(sqrt(t1*t1 + t2*t2), ${G.dist}) / 2.0) AS q,
+       |         atan2(t1, t2) AS chi
+       |  FROM (SELECT *,
+       |          (y + 0.5) * ${G.pixel1} - ${G.poni1} AS t1,
+       |          (x + 0.5) * ${G.pixel2} - ${G.poni2} AS t2
+       |        FROM pixels
+       |        WHERE NOT (x < 2 OR x >= 62 OR y < 2 OR y >= 62)))""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1 — equi-joins with broadcast dims (orders ⋈ customer ⋈ nation).
+    QueryDef("q13_j1_join_broadcast",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            r2(exactSum(col("o_totalprice"))).as("total"))
+          .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_orders,
+        |       round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // J2 — left-semi join (customers having orders).
+    QueryDef("q14_j2_semi_join",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c WHERE EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // J3 — left-anti join (customers with no orders).
+    QueryDef("q15_j3_anti_join",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            r2(exactSum(col("c_acctbal"))).as("bal"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal::DECIMAL(18,6))::DOUBLE, 2) AS bal
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // F2/F4/F5 — range + equality row predicates.
+    QueryDef("q16_f_filters",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(col("l_quantity").between(10, 20))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            r2(exactSum(col("l_extendedprice"))).as("revenue"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE, 2) AS revenue
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // F3 — skip_first / skip_last positional slice over file order.
+    QueryDef("q17_f3_skip_slice",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+        // the extended key makes the positional slice deterministic.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+        val total = li.count()
+        li.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 100 && col("_rn") <= lit(total) - 100)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("double").as("sum_qty"),
+            min(col("l_orderkey")).as("first_key"),
+            max(col("l_orderkey")).as("last_key"))
+      },
+      Some("""WITH ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |           l_quantity, l_extendedprice, l_partkey, l_suppkey) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM lineitem)
+        |SELECT count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty,
+        |       min(l_orderkey) AS first_key, max(l_orderkey) AS last_key
+        |FROM ranked WHERE rn > 100 AND rn <= total - 100""".stripMargin)),
+
+    // M1/M3/M4/M6 — ordered add/subtract mask composition over pixels.
+    QueryDef("q18_m_mask_compose",
+      (s, dir) => {
+        val px = pixels(s, dir)
+        val x = col("x").cast("double"); val y = col("y").cast("double")
+        val mask = Masks.compose(Seq(
+          Masks.Component(Masks.rectangle(x, y, 5, 5, 40, 40), add = true),
+          Masks.Component(Masks.circle(x, y, 20, 20, 10), add = false),
+          Masks.Component(Masks.halfPlane("x>55", x, y), add = true)))
+        px.filter(Masks.keep(mask))
+          .groupBy(col("image_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("intensity")).cast("double").as("sum_i"))
+          .orderBy("image_id")
+      },
+      Some(s"""WITH ${pixelsSql}
+        |SELECT image_id, count(*) AS n_kept, sum(intensity)::DOUBLE AS sum_i
+        |FROM pixels
+        |WHERE NOT (((x > 5 AND x < 40 AND y > 5 AND y < 40)
+        |            AND NOT ((x - 20.0)*(x - 20.0) + (y - 20.0)*(y - 20.0) < 100.0))
+        |           OR x > 55)
+        |GROUP BY image_id ORDER BY image_id""".stripMargin)),
+
+    // W4 — triangular-kernel smoothing of a histogram (zero-padded 'same').
+    QueryDef("q19_w4_smoothing",
+      (s, dir) => {
+        val hist = table(s, dir, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        def at(off: Int) = coalesce(
+          (if (off < 0) lag(col("n"), -off).over(w)
+           else if (off > 0) lead(col("n"), off).over(w)
+           else col("n")).cast("double"), lit(0.0))
+        hist.withColumn("smooth",
+            r6((at(-2) + at(-1) * 2 + at(0) * 3 + at(1) * 2 + at(2)) / 9.0))
+          .select(col("bin"), col("n"), col("smooth"))
+          .orderBy("bin")
+      },
+      Some("""WITH hist AS (
+        |  SELECT floor(l_extendedprice / 1000)::BIGINT AS bin, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bin, n, round((
+        |    coalesce(lag(n, 2)  OVER w, 0)::DOUBLE
+        |  + coalesce(lag(n, 1)  OVER w, 0)::DOUBLE * 2
+        |  + n::DOUBLE * 3
+        |  + coalesce(lead(n, 1) OVER w, 0)::DOUBLE * 2
+        |  + coalesce(lead(n, 2) OVER w, 0)::DOUBLE) / 9.0, 6) AS smooth
+        |FROM hist WINDOW w AS (ORDER BY bin) ORDER BY bin""".stripMargin)),
+
+    // W6 — top-k per group with deterministic tie-breaks.
+    QueryDef("q20_w6_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        table(s, dir, "lineitem")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_returnflag", "rank")
+      },
+      Some("""SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        |      FROM lineitem)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin)),
+
+    // F8 as multi-granularity grouping — GROUPING SETS in one pass.
+    QueryDef("q21_f8_grouping_sets",
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+        s.sql("""SELECT coalesce(l_returnflag, '(all)') AS flag, l_linestatus,
+                |       count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+                |FROM q21_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+                |ORDER BY flag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS flag, l_linestatus,
+        |       count(*) AS n, sum(l_quantity)::DOUBLE AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY flag, l_linestatus""".stripMargin)),
+
+    // §2.11 — INTERSECT / EXCEPT set semantics.
+    QueryDef("q22_setops",
+      (s, dir) => {
+        val withOrders = table(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+        val rich = table(s, dir, "customer").filter(col("c_acctbal") > 500)
+          .select(col("c_custkey").as("k")).distinct()
+        val nInter = withOrders.intersect(rich).agg(count(lit(1)).as("n_intersect"))
+        val nExcept = withOrders.except(rich).agg(count(lit(1)).as("n_except"))
+        nInter.crossJoin(nExcept)
+      },
+      Some("""SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |    INTERSECT SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 500)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |    EXCEPT SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 500)) AS n_except""".stripMargin)),
+
+    // A11 — distance histogram with unit bins.
+    QueryDef("q23_a11_dist_histogram",
+      (s, dir) =>
+        Azav.distanceHistogram(pixels(s, dir), 32.0, 32.0)
+          .select(col("r_bin"), col("n"), r6(col("mean_i")).as("mean_i"))
+          .orderBy("r_bin"),
+      Some(s"""WITH ${pixelsSql}
+        |SELECT floor(sqrt((x - 32.0)*(x - 32.0) + (y - 32.0)*(y - 32.0)))::INT AS r_bin,
+        |       count(*) AS n, round(avg(intensity), 6) AS mean_i
+        |FROM pixels GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A1 — 1-D azimuthal integration (the reference's core kernel) with a
+    // border mask; Poisson error model err = sqrt(sum(i))/n.
+    QueryDef("q24_a1_integrate1d",
+      (s, dir) => {
+        val px = pixels(s, dir)
+        val border = Masks.border(col("x"), col("y"), 2, 64, 64)
+        Azav.integrate1d(px, G, Grid, mask = Some(border))
+          .select(col("image_id"), col("q_bin"), r6(col("i")).as("i"),
+            r6(col("err")).as("err"), col("n_pix"))
+          .orderBy("image_id", "q_bin")
+      },
+      Some(s"""WITH ${pixelsSql},
+        |${geoSql},
+        |binned AS (
+        |  SELECT image_id, floor(q / ${Grid.dq})::INT AS q_bin, intensity
+        |  FROM geo WHERE q >= ${Grid.qMin} AND q < ${Grid.qMax})
+        |SELECT image_id, q_bin, round(avg(intensity), 6) AS i,
+        |       round(sqrt(sum(intensity)) / count(*), 6) AS err,
+        |       count(*) AS n_pix
+        |FROM binned GROUP BY image_id, q_bin
+        |ORDER BY image_id, q_bin""".stripMargin)),
+
+    // A2 — 2-D "cake" integration (q_bin × azimuth bin).
+    QueryDef("q25_a2_integrate2d",
+      (s, dir) => {
+        val px = pixels(s, dir)
+        val border = Masks.border(col("x"), col("y"), 2, 64, 64)
+        Azav.integrate2d(px, G, Grid, nAzim = 8, mask = Some(border))
+          .select(col("image_id"), col("q_bin"), col("az_bin"),
+            r6(col("i")).as("i"), col("n_pix"))
+          .orderBy("image_id", "q_bin", "az_bin")
+      },
+      Some(s"""WITH ${pixelsSql},
+        |${geoSql},
+        |binned AS (
+        |  SELECT image_id, floor(q / ${Grid.dq})::INT AS q_bin,
+        |         least(floor((chi + pi()) / (2 * pi() / 8))::INT, 7) AS az_bin,
+        |         intensity
+        |  FROM geo WHERE q >= ${Grid.qMin} AND q < ${Grid.qMax})
+        |SELECT image_id, q_bin, az_bin, round(avg(intensity), 6) AS i,
+        |       count(*) AS n_pix
+        |FROM binned GROUP BY image_id, q_bin, az_bin
+        |ORDER BY image_id, q_bin, az_bin""".stripMargin))
+  )
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** DataStorage-equivalent: a named bundle of DataFrames persisted as a
+  * directory of Parquet tables plus a JSON manifest of scalar parameters.
+  *
+  * Reference: the external `datastorage` HDF5/npz bundles used throughout
+  * trx (e.g. trx/azav.py:301,408,457; trx/id9.py:221,301) and the
+  * args-comparison cache invalidation (trx/azav.py:303-343,
+  * `compare_pyfai` azav.py:106-115).
+  *
+  * Parquet-per-table keeps each member independently scannable/prunable at
+  * 100 TB; the manifest carries the reduction parameters whose change must
+  * invalidate previous results (T2).
+  */
+object Bundle {
+
+  final case class Manifest(params: Map[String, String])
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def writeManifest(dir: String, params: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val json = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.writeString(manifestPath(dir), json)
+  }
+
+  def readManifest(dir: String): Option[Map[String, String]] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
+      val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      Some(kv.findAllMatchIn(txt).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap)
+    }
+  }
+
+  private def unesc(s: String): String =
+    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Save tables + manifest (overwrite). */
+  def save(dir: String, tables: Map[String, DataFrame],
+           params: Map[String, String] = Map.empty): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    writeManifest(dir, params)
+  }
+
+  /** Reopen a saved bundle (S9). */
+  def load(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".parquet")
+        name -> spark.read.parquet(p.toString)
+      }.toMap
+
+  /** T2 — parameter-hash cache invalidation (trx/azav.py:303-343): a saved
+    * bundle is reusable iff its manifest matches the requested parameters;
+    * returns the (param, old, new) diffs otherwise, mirroring the
+    * reference's detailed warn.
+    */
+  def invalidationDiff(dir: String,
+                       requested: Map[String, String]): Option[Seq[(String, Option[String], Option[String])]] =
+    readManifest(dir).map { saved =>
+      (saved.keySet ++ requested.keySet).toSeq.sorted.flatMap { k =>
+        val (o, n) = (saved.get(k), requested.get(k))
+        if (o == n) None else Some((k, o, n))
+      }
+    }
+
+  /** True when a saved bundle can be reused as-is. */
+  def isValid(dir: String, requested: Map[String, String]): Boolean =
+    invalidationDiff(dir, requested).exists(_.isEmpty)
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions
+
+/** Beamline log ingestion.
+  *
+  * Reference: trx/utils/files.py:31-82 (`readLogFile`: whitespace table,
+  * `#` comment lines, header = LAST comment line, per-column converters,
+  * skip_first/skip_last), trx/id9.py:27-56 (`readDiagnostic`),
+  * trx/id9.py:112-188 (id9 log variant: delay-string conversion, ring-
+  * current filter), trx/id9.py:338-362 (motor dump).
+  *
+  * Design: the header line is resolved driver-side (logs are metadata-sized;
+  * one `take` over the comment prefix), then the body parses distributedly —
+  * `spark.read.text` + regexp split — so a directory of thousands of log
+  * files still scans in parallel.
+  */
+object LogReader {
+
+  /** Generic whitespace-table reader with `#`-comment header extraction. */
+  def readLogFile(spark: SparkSession, path: String,
+                  skipFirst: Int = 0, skipLast: Int = 0): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    // Header = last `#` line of the leading comment block (files.py:47-53).
+    val prefix = lines.take(1000).takeWhile(_.startsWith("#"))
+    require(prefix.nonEmpty, s"no # header found in $path")
+    val colNames = prefix.last.stripPrefix("#").trim.split("\\s+").toSeq
+
+    val data = lines.filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+    val splitDf = data.toDF("line")
+      .withColumn("_id", monotonically_increasing_id())
+      .withColumn("_f", functions.split(trim(col("line")), "\\s+"))
+    val typed = colNames.zipWithIndex.foldLeft(splitDf) { case (df, (name, i)) =>
+      df.withColumn(name, element_at(col("_f"), i + 1))
+    }.drop("line", "_f")
+
+    // skip_first / skip_last (files.py:59) — positional slice via ordered ids
+    val sliced = if (skipFirst > 0 || skipLast > 0) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_id"))
+      typed
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("_rn") > skipFirst && col("_rn") <= col("_n") - skipLast)
+        .drop("_rn", "_n")
+    } else typed
+    sliced.drop("_id")
+  }
+
+  /** id9-style log: S3 + delay string→seconds + ring-current filter
+    * (trx/id9.py:112-153). Expects `delay` and `currentmA` columns when
+    * present; missing columns pass through untouched.
+    */
+  def readId9Log(spark: SparkSession, path: String,
+                 srcurMin: Double = 30.0): DataFrame = {
+    var df = readLogFile(spark, path)
+    if (df.columns.contains("delay"))
+      df = df.withColumn("delay", TimeFunctions.strToTime(col("delay")))
+    if (df.columns.contains("currentmA"))
+      df = df.filter(col("currentmA").cast("double") > srcurMin)
+    df
+  }
+
+  /** Diagnostics reader (trx/id9.py:27-56): columns 2 (file) and 3 (delay);
+    * drop non-finite delays; basename the file; round(delay, 12).
+    * The reference's 4×0.2 s read-retry is an ingestion-time concern handled
+    * by the streaming source's file-completion semantics.
+    */
+  def readDiagnostic(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+      .toDF("line")
+      .withColumn("_f", split(trim(col("line")), "\\s+"))
+      .select(
+        TimeFunctions.basename(element_at(col("_f"), 3)).as("file"),
+        TimeFunctions.canonicalDelay(
+          TimeFunctions.safeFloat(element_at(col("_f"), 4))).as("delay"))
+      .filter(col("delay").isNotNull && !isnan(col("delay")))
+  }
+
+  /** Motor dump (trx/id9.py:338-362): named columns, drop interleaved
+    * repeated header rows, output (name, user, dial).
+    */
+  def readMotorDump(spark: SparkSession, path: String): DataFrame =
+    readLogFile(spark, path)
+      .filter(col("name") =!= "name")
+      .select(col("name"),
+        col("user").cast("double").as("user"),
+        col("dial").cast("double").as("dial"))
+
+  /** chi file (trx/azav.py:576-578): 2-column (q, i) text, optional scale. */
+  def readChi(spark: SparkSession, path: String, scale: Double = 1.0): DataFrame =
+    spark.read.textFile(path)
+      .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+      .toDF("line")
+      .withColumn("_f", split(trim(col("line")), "\\s+"))
+      .select(
+        element_at(col("_f"), 1).cast("double").as("q"),
+        (element_at(col("_f"), 2).cast("double") * scale).as("i"))
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Reduction
+
+/** "Online" incremental reprocessing — the reference's monitor loop
+  * (trx/id9.py:305-335: poll folder every 30 s, reduce new images, update
+  * plots) re-expressed as Structured Streaming.
+  *
+  * Reference batch-incremental path (trx/azav.py:300-302,361-362: reopen
+  * storage, anti-join already-processed files) becomes the file source's
+  * checkpointed offset tracking; the 30 s poll is a ProcessingTime trigger;
+  * the delay-grouped running aggregate is a stateful streaming agg in
+  * update/complete mode (delays are a small closed set, so state stays
+  * tiny). No watermark: the reference has no event-time lateness concept —
+  * late files are just new files (SURVEY §2.10 T3).
+  */
+object Online {
+
+  /** Stream a folder of curve parquet files (schema: image_idx, delay,
+    * q_bin, i, err) into a continuously-updated per-(delay, q_bin) average.
+    * foreachBatch re-runs the full reduction on the union of state — exact
+    * parity with the batch semantics including the as-of reference join,
+    * which needs ordered history (the standard pattern when an operator is
+    * not incrementally decomposable).
+    */
+  def curveFolderReduction(spark: SparkSession, inputDir: String,
+                           checkpointDir: String, outputDir: String,
+                           pollSeconds: Int = 30,
+                           schemaSource: DataFrame): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .option("maxFilesPerTrigger", 64)
+      .parquet(inputDir)
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // accumulate raw curves, then re-reduce the whole history —
+        // correct for the non-incremental as-of join; the history table is
+        // curve-grain (n_images × nQ), far smaller than pixel data.
+        batch.write.mode("append").parquet(s"$outputDir/curves")
+        val all = batch.sparkSession.read.parquet(s"$outputDir/curves")
+        Reduction.timeResolvedSignal(all)
+          .write.mode("overwrite").parquet(s"$outputDir/reduced")
+        ()
+      }
+      .start()
+  }
+
+  /** Purely-incremental variant for the operators that ARE incrementally
+    * decomposable (running per-delay mean over pre-diffed curves): a
+    * stateful streaming aggregation in update mode writing to the in-memory
+    * sink `tableName`. Demonstrates watermark-free stateful aggs (T3).
+    */
+  def incrementalDelayAverage(spark: SparkSession, inputDir: String,
+                              schemaSource: DataFrame,
+                              tableName: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .parquet(inputDir)
+    stream
+      .groupBy(col("delay"), col("q_bin"))
+      .agg(avg(col("i")).as("i_av"), count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+  }
+}
