@@ -129,9 +129,10 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(
-      sequence(lit(1), count),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val count = size(toks) - (n - 1)
+    // sequence(1, 0) would count DOWN — short texts need the empty array.
+    when(count >= 1,
+      transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 }

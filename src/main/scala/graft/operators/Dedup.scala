@@ -33,28 +33,57 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** MinHash signatures at corpus scale: explode distinct shingles to rows,
+    * hash once per shingle, then ONE hash aggregation computing all
+    * `nHashes` permutation minima (`min(pmod(h*a_i + b_i, p))`). This keeps
+    * the hot loop in vectorized whole-stage codegen — the per-document
+    * array-lambda variant (VectorFunctions.minhashSignature) builds an
+    * `nHashes`-deep expression tree per row and is ~50× slower at corpus
+    * scale. Documents with no shingles (shorter than the shingle size)
+    * produce no signature — they cannot be near-duplicates.
+    * Output: (id, sig: array<long>).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleSize: Int = 3,
+                        nHashes: Int = 32): DataFrame = {
+    val p = VectorFunctions.MinhashPrime
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("s"))
+      .withColumn("_h", pmod(xxhash64(col("s")), lit(p)))
+    val mins = (0 until nHashes).map { i =>
+      val (a, b) = VectorFunctions.minhashCoeffs(i)
+      min(pmod(col("_h") * a + b, lit(p))).as(s"_m$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until nHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
   /** Candidate near-dup pairs via MinHash + banded LSH:
-    * shingle → minhash signature → band keys → explode → self-join on band
-    * → distinct (idA < idB) pairs with estimated Jaccard ≥ `threshold`.
+    * signatures → band keys → explode → self-join on band → distinct
+    * (idA < idB) pairs with estimated Jaccard ≥ `threshold`. Only
+    * same-band groups shuffle — never the n² cross product.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", shingleSize: Int = 3,
                       nHashes: Int = 32, nBands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = nHashes / nBands
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        VectorFunctions.minhashSignature(
-          TextFunctions.shingles(col(textCol), shingleSize), nHashes).as("sig"))
-      .withColumn("band",
-        explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
-    val a = sigs.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, nHashes)
+    val banded = sigs.withColumn("band",
+      explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
+    val a = banded.select(col("band"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"))
+    // Distinct candidate pairs first (a pair colliding in k bands appears k
+    // times), THEN one signature comparison per pair.
+    val pairs = a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -79,25 +108,48 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs produced by any
-    * blocking stage: explode distinct shingles, join on shingle, count
-    * intersections, compute |A∩B| / (|A| + |B| − |A∩B|). Only same-shingle
-    * groups shuffle — never the full cross product.
+  /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
+    * filtering: candidate pairs must share one of each document's
+    * ⌊|S|·(1−t)⌋+1 globally-RAREST shingles — lossless for Jaccard ≥ t
+    * (two sets with Jaccard ≥ t must intersect within any (1−t)-prefix),
+    * so exact verification of just those candidates returns every
+    * qualifying pair. This caps the join fan-out at the rare end of the
+    * shingle frequency distribution instead of exploding on hot shingles —
+    * the difference between linear and quadratic at corpus scale.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = exploded.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = exploded.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s"))
+    // Shuffle 8-byte shingle hashes, not strings (xxhash64 collisions are
+    // ~1e-8 at corpus scale and shift one intersection count by one).
+    val sh = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("_s"))
+      .select(col("id"), xxhash64(col("_s")).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_df"), col("s"))
+    val docSize = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ranked = sh.join(df, Seq("s"))
+      .withColumn("_rn", row_number().over(byRarity))
+      .withColumn("n_sh", count(lit(1)).over(docSize))
+    val prefixLen = floor(col("n_sh") * (1.0 - threshold)).cast("int") + 1
+    val prefix = ranked.filter(col("_rn") <= prefixLen)
+    val cand = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // Exact verification: intersection size via a pair-restricted shingle
+    // join (each candidate pair expands only to its own shingles).
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

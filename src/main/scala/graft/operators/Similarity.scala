@@ -80,7 +80,7 @@ object Similarity {
       slice(reverse(array_sort(array(dists: _*))), 1, n)
     }
     val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
-      .withColumn("cell", element_at(nearestCells(col(vecCol), 1), 1).getField("cell"))
+      .withColumn("cell", element_at(nearestCells(col("_cv"), 1), 1).getField("cell"))
     val q = queries.select(col(queryIdCol), col(vecCol).as("_qv"),
       explode(nearestCells(col(vecCol), nProbe).getField("cell")).as("cell"))
     val w = Window.partitionBy(col(queryIdCol))

@@ -107,7 +107,7 @@ object CorpusQueries {
     // the n² cross product).
     QueryDef("q37_ngram_jaccard",
       (s, dir) =>
-        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.2)
+        Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.8)
           .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
           .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
@@ -128,7 +128,7 @@ object CorpusQueries {
         |       round(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 6) AS jaccard
         |FROM pairs JOIN sized sa ON id_a = sa.doc_id
         |           JOIN sized sb ON id_b = sb.doc_id
-        |WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.2
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // Brute-force cosine similarity above threshold (exact baseline).
@@ -262,7 +262,7 @@ object CorpusQueries {
     QueryDef("q43_dedup_simhash",
       (s, dir) =>
         Dedup.simhashPairs(table(s, dir, "documents"),
-            prefixBits = 8, maxHamming = 12)
+            prefixBits = 8, maxHamming = 6)
           .orderBy("id_a", "id_b"),
       None),
 

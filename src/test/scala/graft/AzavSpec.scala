@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ScatteringFunctions.Poni
+import graft.operators.{Azav, Masks}
+
+/** A1/A2/A5/A6/X8 — azimuthal integration and normalization. */
+class AzavSpec extends SparkSpec {
+  import spark.implicits._
+
+  // flat detector, beam center at pixel (32,32) (poni = 32.5 px offsets so
+  // pixel centers land symmetrically), 1 mm pixels, 100 mm distance
+  private val g = Poni(dist = 0.1, poni1 = 0.0325, poni2 = 0.0325,
+    pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+  private val grid = Azav.QGrid(0.0, 4.0, 40)
+
+  private lazy val flatImage = {
+    val px = for (y <- 0 until 64; x <- 0 until 64) yield ("img0", y, x, 100.0)
+    px.toDF("image_id", "y", "x", "intensity")
+  }
+
+  test("integrate1d of a flat image is flat with Poisson errors") {
+    val out = Azav.integrate1d(flatImage, g, grid).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(approx(r.getAs[Double]("i"), 100.0, 1e-9))
+      val n = r.getAs[Long]("n_pix")
+      // err = sqrt(sum(i))/n = sqrt(100 n)/n = 10/sqrt(n)
+      assert(approx(r.getAs[Double]("err"), 10.0 / math.sqrt(n.toDouble), 1e-9))
+    }
+  }
+
+  test("integrate1d respects dark subtraction and q binning") {
+    val out = Azav.integrate1d(flatImage, g, grid, dark = 40.0).collect()
+    out.foreach(r => assert(approx(r.getAs[Double]("i"), 60.0, 1e-9)))
+    // q of the central region is small → bin 0 exists; beyond corner radius
+    // (~45 px ≈ 0.045 m → 2θ ≈ 0.42 rad → q ≈ 2.6) no bins
+    val maxBin = out.map(_.getAs[Int]("q_bin")).max
+    assert(maxBin <= (2.8 / grid.dq).toInt)
+  }
+
+  test("masked pixels are excluded") {
+    val mask = Masks.rectangle(col("x").cast("double"), col("y").cast("double"),
+      -1, -1, 64, 64) // everything
+    assert(Azav.integrate1d(flatImage, g, grid, mask = Some(mask)).count() == 0)
+  }
+
+  test("integrate2d covers all azimuth bins for a centered flat image") {
+    val out = Azav.integrate2d(flatImage, g, grid, nAzim = 8).collect()
+    val azBins = out.map(_.getAs[Int]("az_bin")).toSet
+    assert(azBins == (0 until 8).toSet)
+    out.foreach(r => assert(approx(r.getAs[Double]("i"), 100.0, 1e-9)))
+  }
+
+  test("dezinger drops outlier pixels within a ring") {
+    val spiked = flatImage.withColumn("intensity",
+      when(col("x") === 40 && col("y") === 32, 10000.0).otherwise(col("intensity")))
+    val geo = Azav.withGeometry(spiked, g, grid)
+    val kept = Azav.dezinger(geo, percentile = 0.5, factor = 1.5)
+    assert(kept.count() == geo.count() - 1)
+    assert(kept.filter(col("i_corr") > 9000).count() == 0)
+  }
+
+  test("normalizeAuto makes per-image mean 1") {
+    val curves = Seq(("a", 1, 2.0, 0.1), ("a", 2, 4.0, 0.1),
+      ("b", 1, 10.0, 0.1), ("b", 2, 30.0, 0.1))
+      .toDF("image_id", "q_bin", "i", "err")
+    val out = Azav.normalizeAuto(curves)
+      .groupBy("image_id").agg(avg(col("i_norm")).as("m")).collect()
+    out.foreach(r => assert(approx(r.getAs[Double]("m"), 1.0, 1e-12)))
+  }
+
+  test("normalizeQRange divides by the range monitor (median variant)") {
+    val curves = Seq(("a", 1.0, 1, 2.0, 0.1), ("a", 2.0, 2, 4.0, 0.1),
+      ("a", 3.0, 3, 6.0, 0.1))
+      .toDF("image_id", "q", "q_bin", "i", "err")
+    val out = Azav.normalizeQRange(curves, 1.0, 3.0, useMedian = true)
+      .filter(col("q_bin") === 1).select("i_norm").as[Double].collect()
+    assert(approx(out(0), 0.5)) // monitor = median(2,4,6) = 4
+  }
+
+  test("qLims filters the q range, lineage keeps the original") {
+    val curves = Seq(("a", 0.5, 1.0), ("a", 1.5, 2.0), ("a", 2.5, 3.0))
+      .toDF("image_id", "q", "i")
+    assert(Azav.qLims(curves, 1.0, 2.0).count() == 1)
+    assert(curves.count() == 3)
+  }
+
+  test("distanceHistogram bins by integer radius") {
+    val px = Seq((0, 0, 1.0), (3, 4, 2.0), (6, 8, 3.0)).toDF("x", "y", "intensity")
+    val m = Azav.distanceHistogram(px, 0.0, 0.0).collect()
+      .map(r => r.getAs[Int]("r_bin") -> r.getAs[Double]("mean_i")).toMap
+    assert(m(0) == 1.0 && m(5) == 2.0 && m(10) == 3.0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Deduplication: exact, MinHash+LSH, SimHash, exact n-gram Jaccard,
+  * embedding near-dup — each on constructed corpora with known duplicates.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base + " "),                       // exact dup after normalization
+    (3L, base.replace("lazy", "sleepy")),   // near dup
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "THE  QUICK brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps smallest id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 3)
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val survivors = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds the near-duplicate pair, skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, nHashes = 32, nBands = 16,
+      threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashSignatures row-path agrees with the array-expression path") {
+    val fromRows = Dedup.minhashSignatures(docs, nHashes = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1).toList).toMap
+    val fromArray = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSignature(
+        graft.functions.TextFunctions.shingles(col("text"), 3), 8).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    fromRows.foreach { case (id, sig) => assert(fromArray(id) == sig, s"doc $id") }
+  }
+
+  test("simhash pairs near-identical docs within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs, prefixBits = 2, maxHamming = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram Jaccard: exact values, prefix filtering is lossless") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // docs 1,2,5 have identical token streams → identical shingle sets
+    assert(approx(pairs((1L, 2L)), 1.0))
+    assert(approx(pairs((1L, 5L)), 1.0))
+    assert(approx(pairs((2L, 5L)), 1.0))
+    // doc 3 differs in one word → 3 of 10 shingles changed:
+    // |A∩B| = 7, |A∪B| = 13
+    assert(approx(pairs((1L, 3L)), 7.0 / 13.0))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds a planted duplicate vector") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.5, 0.2)),
+      (2L, Seq(1.0, 0.001, 0.5, 0.2)), // near-identical
+      (3L, Seq(-1.0, 0.3, -0.5, 0.9))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, dim = 4, nBits = 4, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ScatteringFunctions, TextFunctions, TimeFunctions, VectorFunctions}
+
+/** G1–G12 scalar functions + text/vector primitives. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("_x").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  // ------------------------------------------------------------- time ----
+  test("strToTime parses units, off sentinel, null on garbage") {
+    def p(s: String): java.lang.Double =
+      Seq(s).toDF("s").select(TimeFunctions.strToTime($"s").as("v"))
+        .collect()(0).getAs[java.lang.Double]("v")
+    assert(approx(p("100ps"), 1e-10))
+    assert(approx(p("1.5ns"), 1.5e-9))
+    assert(approx(p("-2us"), -2e-6))
+    assert(approx(p("3ms"), 3e-3))
+    assert(approx(p("5fs"), 5e-15))
+    assert(approx(p("7s"), 7.0))
+    assert(approx(p("42"), 42.0)) // bare number = seconds
+    assert(approx(p("off"), -10.0))
+    assert(p("xyz") == null)
+  }
+
+  test("timeToStr formats engineering units with sign") {
+    def f(v: Double): String =
+      Seq(v).toDF("v").select(TimeFunctions.timeToStr($"v").as("s"))
+        .collect()(0).getAs[String]("s")
+    assert(f(1e-10) == "+100.00ps")
+    assert(f(-1.5e-9) == "-1.50ns")
+    assert(f(0.0) == "+0.00s")
+    assert(f(2.5e-6) == "+2.50us")
+    assert(f(3.0) == "+3.00s")
+  }
+
+  test("strToTime ∘ timeToStr round-trips on representable values") {
+    val vals = Seq(1e-12, 2.5e-9, -4e-6, 1.25e-3, 7.0)
+    val df = vals.toDF("v")
+      .select($"v", TimeFunctions.strToTime(TimeFunctions.timeToStr($"v")).as("rt"))
+    df.collect().foreach { r =>
+      val (v, rt) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(v - rt) <= math.abs(v) * 1e-9 + 1e-30, s"$v -> $rt")
+    }
+  }
+
+  test("basename / removeExtension / delay token") {
+    val df = Seq("/a/b/run3_+100ps_0001.edf.gz").toDF("p")
+    val r = df.select(
+      TimeFunctions.basename($"p").as("b"),
+      TimeFunctions.removeExtension(TimeFunctions.basename($"p")).as("s"),
+      TimeFunctions.delayTokenFromFilename($"p").as("d")).collect()(0)
+    assert(r.getAs[String]("b") == "run3_+100ps_0001.edf.gz")
+    assert(r.getAs[String]("s") == "run3_+100ps_0001")
+    assert(r.getAs[String]("d") == "+100ps")
+  }
+
+  test("safeFloat: parse-or-null under ANSI") {
+    val df = Seq("1.5", " 2e3 ", "n/a", "", "-.5").toDF("s")
+    val got = df.select(TimeFunctions.safeFloat($"s").as("v"))
+      .collect().map(r => Option(r.getAs[java.lang.Double]("v")).map(_.toDouble))
+    assert(got.toSeq == Seq(Some(1.5), Some(2000.0), None, None, Some(-0.5)))
+  }
+
+  // ------------------------------------------------------- scattering ----
+  test("q ↔ 2θ round-trip and E ↔ λ") {
+    val lambda = 1.54
+    val df = Seq(1.0, 2.0, 3.5).toDF("q")
+    df.select($"q", ScatteringFunctions.radToQ(
+        ScatteringFunctions.qToTwoTheta($"q", lambda), lambda).as("rt"))
+      .collect().foreach(r => assert(approx(r.getDouble(0), r.getDouble(1), 1e-12)))
+    assert(approx(one[Double](ScatteringFunctions.xrayWavelength(lit(12.398419843320026))), 1.0, 1e-12))
+  }
+
+  test("cubic cell d-spacing: d(100)=a, multiplicity structure") {
+    val cell = ScatteringFunctions.UnitCell(5.0, 5.0, 5.0)
+    val d100 = one[Double](ScatteringFunctions.dSpacing(lit(1), lit(0), lit(0), cell))
+    assert(approx(d100, 5.0, 1e-9))
+    val d110 = one[Double](ScatteringFunctions.dSpacing(lit(1), lit(1), lit(0), cell))
+    assert(approx(d110, 5.0 / math.sqrt(2), 1e-9))
+    val q100 = one[Double](ScatteringFunctions.qOfReflection(lit(1), lit(0), lit(0), cell))
+    assert(approx(q100, 2 * math.Pi / 5.0, 1e-9))
+  }
+
+  test("transmission / absorbance") {
+    assert(approx(one[Double](ScatteringFunctions.transmission(lit(1.0), lit(2.0))),
+      math.exp(-0.5), 1e-12))
+    assert(approx(one[Double](ScatteringFunctions.absorbance(lit(math.exp(-2.0)))), 2.0, 1e-12))
+  }
+
+  // ------------------------------------------------------------- text ----
+  test("tokens, shingles, counts") {
+    val df = Seq("The quick brown fox, the lazy dog!").toDF("t")
+    val r = df.select(
+      TextFunctions.tokenCount($"t").as("n"),
+      TextFunctions.shingles($"t", 3).as("sh"),
+      TextFunctions.wordOccurrences($"t", "the").as("the")).collect()(0)
+    assert(r.getAs[Int]("n") == 7)
+    val sh = r.getSeq[String](1)
+    assert(sh.head == "the quick brown" && sh.size == 5)
+    assert(r.getAs[Long]("the") == 2L)
+  }
+
+  test("shingles on short text are empty, minhashJaccard null-safe") {
+    val df = Seq("one two").toDF("t")
+    assert(df.select(TextFunctions.shingles($"t", 3).as("sh"))
+      .collect()(0).getSeq[String](0).isEmpty)
+    val j = df.select(VectorFunctions.minhashJaccard(
+      TextFunctions.shingles($"t", 3), TextFunctions.shingles($"t", 3)).as("j"))
+      .collect()(0).getAs[java.lang.Double]("j")
+    assert(j == null)
+  }
+
+  test("langId picks the dominant profile; und on no hits") {
+    def lid(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.langId($"t").as("l"))
+        .collect()(0).getAs[String]("l")
+    assert(lid("the cat and the dog is here with food") == "en")
+    assert(lid("der hund und die katze ist nicht hier") == "de")
+    assert(lid("zzz qqq 123") == "und")
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = Seq("", "short", "the " * 200, "!!!???;;;:::", "a solid sentence with the usual words in it.")
+    val vals = docs.toDF("t").select(TextFunctions.qualityScore($"t").as("q"))
+      .collect().map(_.getDouble(0))
+    vals.foreach(v => assert(v >= 0.0 && v <= 1.0, s"score $v out of range"))
+  }
+
+  test("fingerprint normalizes whitespace and case; rollingHash is stable") {
+    val df = Seq(("Hello   World", "hello world"), ("a  b", "A B")).toDF("x", "y")
+    df.select((TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y")).as("eq"))
+      .collect().foreach(r => assert(r.getBoolean(0)))
+    val rh = Seq("ab").toDF("t").select(TextFunctions.rollingHash($"t").as("h"))
+      .collect()(0).getLong(0)
+    assert(rh == 97L * 31 + 98) // 'a'*31 + 'b'
+  }
+
+  // ----------------------------------------------------------- vector ----
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("d"),
+      VectorFunctions.l2Norm($"a").as("n"),
+      VectorFunctions.cosine($"a", $"a").as("cs")).collect()(0)
+    assert(approx(r.getAs[Double]("d"), 32.0))
+    assert(approx(r.getAs[Double]("n"), math.sqrt(14.0)))
+    assert(approx(r.getAs[Double]("cs"), 1.0, 1e-12))
+  }
+
+  test("simhash: identical docs collide, hamming64 counts bits") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("x", "y")
+    val r = df.select(
+      VectorFunctions.hamming64(
+        VectorFunctions.simhash(TextFunctions.tokens($"x")),
+        VectorFunctions.simhash(TextFunctions.tokens($"y"))).as("h")).collect()
+    assert(r(0).getAs[Int]("h") == 0)
+    assert(r(1).getAs[Int]("h") > 0)
+  }
+
+  test("minhash signature: identical sets agree, jaccard estimate sane") {
+    val df = Seq(("a b c d e f g h", "a b c d e f g h")).toDF("x", "y")
+    val j = df.select(VectorFunctions.minhashJaccard(
+      VectorFunctions.minhashSignature(TextFunctions.shingles($"x", 2), 16),
+      VectorFunctions.minhashSignature(TextFunctions.shingles($"y", 2), 16)).as("j"))
+      .collect()(0).getDouble(0)
+    assert(approx(j, 1.0))
+  }
+}

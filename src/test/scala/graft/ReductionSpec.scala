@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Reduction
+
+/** J4/J5/A3/A4/W2 — the semantic heart (SURVEY §7.4 risk #1): hand-traced
+  * fixtures for the interpolated as-of reference join, including every edge
+  * regime of trx/dataReduction.py:15-85.
+  */
+class ReductionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (image_idx, delay, q_bin, i) — refs are delay == 0. */
+  private def curves(rows: (Int, Double, Int, Double)*) =
+    rows.toDF("image_idx", "delay", "q_bin", "i")
+      .withColumn("err", lit(1.0))
+
+  private def interp(rows: (Int, Double, Int, Double)*): Map[Int, Option[Double]] = {
+    val out = Reduction.interpolateReferences(
+      Reduction.tagReferences(curves(rows: _*)))
+    out.select("image_idx", "i_ref").collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getAs[java.lang.Double]("i_ref")).map(_.toDouble)).toMap
+  }
+
+  private implicit class OptApprox(o: Option[Double]) {
+    def ~=(v: Double): Boolean = o.exists(x => approx(x, v))
+  }
+
+  test("non-ref shot interpolates linearly between surrounding refs") {
+    // refs at idx 0 (i=10) and idx 4 (i=20); shot at idx 1 → 10 + 10*(1/4)
+    val m = interp((0, 0.0, 1, 10.0), (1, 1.0, 1, 5.0),
+      (2, 1.0, 1, 6.0), (4, 0.0, 1, 20.0))
+    assert(m(1) ~= 12.5)
+    assert(m(2) ~= 15.0)
+  }
+
+  test("shots before first ref and after last ref clamp") {
+    val m = interp((0, 1.0, 1, 5.0), (1, 0.0, 1, 10.0),
+      (3, 0.0, 1, 20.0), (5, 1.0, 1, 7.0))
+    assert(m(0) ~= 10.0) // clamp to first ref
+    assert(m(5) ~= 20.0) // clamp to last ref
+  }
+
+  test("a reference's own reference excludes itself (interpolates neighbours)") {
+    // refs at 0 (10), 2 (14), 4 (30): ref@2 must interpolate 0→4 = 20,
+    // not use itself.
+    val m = interp((0, 0.0, 1, 10.0), (2, 0.0, 1, 14.0), (4, 0.0, 1, 30.0))
+    assert(m(2) ~= 20.0)
+    assert(m(0) ~= 14.0) // first ref clamps forward to next ref (2)
+    assert(m(4) ~= 14.0) // last ref clamps backward to prev ref (2)
+  }
+
+  test("single reference: everything uses it verbatim") {
+    val m = interp((0, 1.0, 1, 5.0), (1, 0.0, 1, 10.0), (2, 1.0, 1, 7.0))
+    assert(m(0) ~= 10.0)
+    assert(m(2) ~= 10.0)
+    // the lone ref itself has no neighbouring refs → null reference
+    assert(m(1).isEmpty)
+  }
+
+  test("tagReferences excludes the laser-off sentinel from min()") {
+    val df = curves((0, -10.0, 1, 1.0), (1, 2.0, 1, 1.0), (2, 5.0, 1, 1.0))
+    val refs = Reduction.tagReferences(df)
+      .filter($"is_ref").select("image_idx").as[Int].collect()
+    assert(refs.toSeq == Seq(1)) // min over {2,5}, not -10
+  }
+
+  test("tagReferences with explicit refDelay uses atol matching") {
+    val df = curves((0, 1.0, 1, 1.0), (1, 2.0, 1, 1.0))
+    val refs = Reduction.tagReferences(df, refDelay = Some(2.0))
+      .filter($"is_ref").select("image_idx").as[Int].collect()
+    assert(refs.toSeq == Seq(1))
+  }
+
+  test("thinReferences keeps every 2nd reference repetition, all non-refs") {
+    val df = curves((0, 0.0, 1, 1.0), (1, 0.0, 1, 1.0), (2, 0.0, 1, 1.0),
+      (3, 0.0, 1, 1.0), (4, 1.0, 1, 1.0), (5, 1.0, 1, 1.0))
+    val kept = Reduction.thinReferences(Reduction.tagReferences(df))
+      .select("image_idx").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(0, 2, 4, 5)) // refs 0,2 (rows 1,3 thinned)
+  }
+
+  test("averageScanPoints: mean, noise, error-of-mean") {
+    val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 3.0), (2, 1.0, 1, 5.0))
+      .toDF("image_idx", "delay", "q_bin", "diff")
+    val r = Reduction.averageScanPoints(diffs).collect()(0)
+    assert(approx(r.getAs[Double]("diff_av"), 3.0))
+    assert(approx(r.getAs[Double]("noise"), 2.0))
+    assert(r.getAs[Long]("n_rep") == 3)
+    assert(approx(r.getAs[Double]("err"), 2.0 / math.sqrt(3.0)))
+  }
+
+  test("averageScanPoints median variant") {
+    val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 2.0), (2, 1.0, 1, 100.0))
+      .toDF("image_idx", "delay", "q_bin", "diff")
+    val r = Reduction.averageScanPoints(diffs, useMedian = true).collect()(0)
+    assert(approx(r.getAs[Double]("diff_av"), 2.0))
+  }
+
+  test("chi2PerRepetition matches hand computation") {
+    // one delay, one q_bin, diffs 1,3 → mean 2, noise sqrt(2);
+    // chi2 per image = ((d-2)/sqrt2)^2 / 1 = 0.5
+    val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 3.0))
+      .toDF("image_idx", "delay", "q_bin", "diff")
+    val m = Reduction.chi2PerRepetition(diffs).collect()
+      .map(r => r.getAs[Int]("image_idx") -> r.getAs[Double]("chi2_0")).toMap
+    assert(approx(m(0), 0.5) && approx(m(1), 0.5))
+  }
+
+  test("diffSignal ratio mode") {
+    val df = Seq((0, 1.0, 1, 6.0, 2.0)).toDF("image_idx", "delay", "q_bin", "i", "i_ref")
+    assert(approx(Reduction.diffSignal(df, useRatio = true)
+      .select("diff").as[Double].collect()(0), 3.0))
+  }
+}

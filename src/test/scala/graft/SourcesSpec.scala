@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.{Bundle, ImageSource, LogReader}
+
+/** S1–S7/K1/K6/T2 — image decode, log readers, parquet bundle + manifest
+  * invalidation.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EDF encode → decode round-trips, including gzip") {
+    val w = 8; val h = 4
+    val data = Array.tabulate(w * h)(i => i * 1.5)
+    val bytes = ImageSource.encodeEdf(w, h, data)
+    val (dw, dh, out) = ImageSource.decodeEdf(bytes, gzipped = false)
+    assert((dw, dh) == (w, h))
+    assert(out.toSeq == data.toSeq)
+
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close(); bos.toByteArray
+    }
+    val (_, _, out2) = ImageSource.decodeEdf(gz, gzipped = true)
+    assert(out2.toSeq == data.toSeq)
+  }
+
+  test("readEdfFolder explodes frames into the pixel table") {
+    val dir = Files.createTempDirectory("edf").toFile
+    val data = Array.tabulate(6)(_.toDouble) // 3x2 image
+    Files.write(Paths.get(dir.getPath, "img_a.edf"),
+      ImageSource.encodeEdf(3, 2, data))
+    val px = ImageSource.readEdfFolder(spark, dir.getPath)
+    assert(px.count() == 6)
+    val r = px.filter(col("y") === 1 && col("x") === 2).collect()(0)
+    assert(r.intensity == 5.0)
+    assert(r.image_id == "img_a.edf")
+  }
+
+  test("readLogFile: header from last comment, skip_first/skip_last") {
+    val dir = Files.createTempDirectory("log")
+    val f = dir.resolve("run.log")
+    Files.writeString(f,
+      """# some preamble
+        |# file delay currentmA
+        |f1 100ps 90.0
+        |f2 200ps 91.0
+        |f3 off 20.0
+        |f4 1ns 92.0
+        |""".stripMargin)
+    val df = LogReader.readLogFile(spark, f.toString)
+    assert(df.columns.toSeq == Seq("file", "delay", "currentmA"))
+    assert(df.count() == 4)
+    val sliced = LogReader.readLogFile(spark, f.toString, skipFirst = 1, skipLast = 1)
+    assert(sliced.select("file").as[String].collect().toSet == Set("f2", "f3"))
+  }
+
+  test("readId9Log converts delays and applies the ring-current filter") {
+    val dir = Files.createTempDirectory("log9")
+    val f = dir.resolve("run.log")
+    Files.writeString(f,
+      """# file delay currentmA
+        |f1 100ps 90.0
+        |f2 off 95.0
+        |f3 1ns 10.0
+        |""".stripMargin)
+    val df = LogReader.readId9Log(spark, f.toString, srcurMin = 30.0)
+    val rows = df.select("file", "delay").as[(String, Double)].collect().toMap
+    assert(rows.keySet == Set("f1", "f2")) // f3 fails the current cut
+    assert(approx(rows("f1"), 1e-10))
+    assert(approx(rows("f2"), -10.0))
+  }
+
+  test("readDiagnostic picks columns 3/4, drops unparseable delays") {
+    val dir = Files.createTempDirectory("diag")
+    val f = dir.resolve("diagnostics.log")
+    Files.writeString(f,
+      """# header
+        |x y /path/to/img1.edf 1.5e-9 z
+        |x y /path/to/img2.edf nan z
+        |x y /path/to/img3.edf 2.5e-9 z
+        |""".stripMargin)
+    val df = LogReader.readDiagnostic(spark, f.toString)
+    val rows = df.as[(String, Double)].collect().toMap
+    assert(rows.keySet == Set("img1.edf", "img3.edf"))
+    assert(approx(rows("img1.edf"), 1.5e-9))
+  }
+
+  test("chi reader scales the intensity column") {
+    val dir = Files.createTempDirectory("chi")
+    val f = dir.resolve("c.chi")
+    Files.writeString(f, "# q i\n0.1 10.0\n0.2 20.0\n")
+    val rows = LogReader.readChi(spark, f.toString, scale = 0.5)
+      .as[(Double, Double)].collect().toMap
+    assert(approx(rows(0.1), 5.0) && approx(rows(0.2), 10.0))
+  }
+
+  test("bundle save/load round-trip and T2 manifest invalidation") {
+    val dir = Files.createTempDirectory("bundle").toString
+    val df = Seq((1, 2.0), (3, 4.0)).toDF("k", "v")
+    Bundle.save(dir, Map("data" -> df), Map("nQ" -> "1500", "mask" -> "x>10"))
+    val loaded = Bundle.load(spark, dir)
+    assert(loaded.keySet == Set("data"))
+    assert(loaded("data").count() == 2)
+    assert(Bundle.isValid(dir, Map("nQ" -> "1500", "mask" -> "x>10")))
+    val diff = Bundle.invalidationDiff(dir, Map("nQ" -> "600", "mask" -> "x>10"))
+    assert(diff.get == Seq(("nQ", Some("1500"), Some("600"))))
+    assert(!Bundle.isValid(dir, Map("nQ" -> "600", "mask" -> "x>10")))
+  }
+}

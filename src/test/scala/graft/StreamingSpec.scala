@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.Online
+
+/** T1/T3 — incremental folder processing via Structured Streaming must
+  * reproduce the batch reduction as files arrive.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def curveBatch(idxFrom: Int, idxTo: Int) =
+    (idxFrom until idxTo).flatMap { idx =>
+      (1 to 3).map(q => (idx, (idx % 3).toDouble, q, (idx + q).toDouble, 1.0))
+    }.toDF("image_idx", "delay", "q_bin", "i", "err")
+
+  test("incremental delay average equals the batch aggregation") {
+    val inDir = Files.createTempDirectory("stream-in").toString
+    curveBatch(0, 4).write.mode("append").parquet(inDir)
+
+    val q = Online.incrementalDelayAverage(spark, inDir,
+      curveBatch(0, 1), "t_inc_avg")
+    try {
+      q.processAllAvailable()
+      // second file arrives
+      curveBatch(4, 8).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("t_inc_avg")
+        .select("delay", "q_bin", "i_av", "n").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val batch = curveBatch(0, 8)
+        .groupBy($"delay", $"q_bin")
+        .agg(avg($"i").as("i_av"), count(lit(1)).as("n")).collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch full re-reduction converges to the batch result") {
+    val inDir = Files.createTempDirectory("s2-in").toString
+    val ckDir = Files.createTempDirectory("s2-ck").toString
+    val outDir = Files.createTempDirectory("s2-out").toString
+    curveBatch(0, 6).write.mode("append").parquet(inDir)
+
+    val q = Online.curveFolderReduction(spark, inDir, ckDir, outDir,
+      pollSeconds = 1, schemaSource = curveBatch(0, 1))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$outDir/reduced")
+        .select("delay", "q_bin", "diff_av").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Reduction.timeResolvedSignal(curveBatch(0, 6))
+        .select("delay", "q_bin", "diff_av").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, v) => assert(approx(streamed(k), v, 1e-9), s"$k") }
+    } finally q.stop()
+  }
+}
