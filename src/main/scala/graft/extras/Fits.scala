@@ -1,0 +1,208 @@
+package graft.extras
+
+import breeze.linalg.{DenseMatrix, DenseVector, eig, inv, pinv}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side model fitting (SURVEY §2.9): these consume aggregated data
+  * (≤ thousands of points) collected from distributed pipelines, so they
+  * run on the driver with Breeze — matching the reference's scipy/lmfit
+  * usage (trx/center.py, trx/peaks.py) without distributed machinery.
+  */
+object Fits {
+
+  final case class Circle(cx: Double, cy: Double, r: Double, rmse: Double)
+
+  /** X1 — least-squares circle fit (trx/azav.py:494-503, trx/center.py:59-68).
+    * Kåsa algebraic fit (linear LSQ) refined by Gauss–Newton on the
+    * geometric residuals — converges to the same optimum the reference's
+    * Levenberg–Marquardt finds.
+    */
+  def leastsqCircle(pts: Seq[(Double, Double)]): Circle = {
+    require(pts.size >= 3, "circle fit needs >= 3 points")
+    val n = pts.size
+    // Kåsa: minimize ||x² + y² + D x + E y + F||
+    val A = DenseMatrix.zeros[Double](n, 3)
+    val b = DenseVector.zeros[Double](n)
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      A(i, 0) = x; A(i, 1) = y; A(i, 2) = 1.0
+      b(i) = x * x + y * y
+    }
+    val sol = pinv(A) * b
+    var cx = sol(0) / 2; var cy = sol(1) / 2
+    var r = math.sqrt(sol(2) + cx * cx + cy * cy)
+    // Gauss–Newton refinement on geometric distance residuals
+    var it = 0
+    while (it < 50) {
+      val J = DenseMatrix.zeros[Double](n, 3)
+      val res = DenseVector.zeros[Double](n)
+      pts.zipWithIndex.foreach { case ((x, y), i) =>
+        val d = math.max(math.hypot(x - cx, y - cy), 1e-12)
+        res(i) = d - r
+        J(i, 0) = -(x - cx) / d; J(i, 1) = -(y - cy) / d; J(i, 2) = -1.0
+      }
+      val step = pinv(J) * res
+      cx -= step(0); cy -= step(1); r -= step(2)
+      it += 1
+      if (breeze.linalg.norm(step) < 1e-12) it = 50
+    }
+    val rmse = math.sqrt(pts.map { case (x, y) =>
+      val d = math.hypot(x - cx, y - cy) - r; d * d
+    }.sum / n)
+    Circle(cx, cy, r, rmse)
+  }
+
+  final case class Ellipse(cx: Double, cy: Double, a: Double, b: Double,
+                           angleRad: Double)
+
+  /** X2 — direct algebraic ellipse fit (trx/center.py:71-105): Fitzgibbon's
+    * scatter-matrix pencil eigenvector method (the same published algorithm
+    * the reference implements).
+    */
+  def fitEllipse(pts: Seq[(Double, Double)]): Ellipse = {
+    require(pts.size >= 6, "ellipse fit needs >= 6 points")
+    val n = pts.size
+    val D1 = DenseMatrix.zeros[Double](n, 3) // x², xy, y²
+    val D2 = DenseMatrix.zeros[Double](n, 3) // x, y, 1
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      D1(i, 0) = x * x; D1(i, 1) = x * y; D1(i, 2) = y * y
+      D2(i, 0) = x; D2(i, 1) = y; D2(i, 2) = 1.0
+    }
+    val S1 = D1.t * D1; val S2 = D1.t * D2; val S3 = D2.t * D2
+    val T = -inv(S3) * S2.t
+    val M0 = S1 + S2 * T
+    val C = DenseMatrix((0.0, 0.0, 2.0), (0.0, -1.0, 0.0), (2.0, 0.0, 0.0))
+    val M = inv(C) * M0
+    val e = eig(M)
+    // pick the eigenvector with 4ac - b² > 0
+    val cand = (0 until 3).map { i =>
+      val v = e.eigenvectors(::, i)
+      (v, 4 * v(0) * v(2) - v(1) * v(1))
+    }.filter(_._2 > 0)
+    require(cand.nonEmpty, "no elliptical solution")
+    val a1 = cand.head._1
+    val a2 = T * a1
+    val Array(ca, cb, cc, cd, ce, cf) =
+      Array(a1(0), a1(1), a1(2), a2(0), a2(1), a2(2))
+    // conic → geometric parameters (standard formulas)
+    val den = cb * cb - 4 * ca * cc
+    val cx = (2 * cc * cd - cb * ce) / den
+    val cy = (2 * ca * ce - cb * cd) / den
+    val num = 2 * (ca * ce * ce + cc * cd * cd + cf * cb * cb -
+      cb * cd * ce - 4 * ca * cc * cf)
+    val s = math.sqrt(math.pow(ca - cc, 2) + cb * cb)
+    val axA = -math.sqrt(num * ((ca + cc) + s)) / den
+    val axB = -math.sqrt(num * ((ca + cc) - s)) / den
+    val angle =
+      if (cb == 0) { if (ca < cc) 0.0 else math.Pi / 2 }
+      else math.atan2(cc - ca - s, cb)
+    Ellipse(cx, cy, math.max(axA, axB), math.min(axA, axB), angle)
+  }
+
+  final case class Peak(center: Double, fwhm: Double, amplitude: Double,
+                        eta: Double, offset: Double, chi2: Double)
+
+  /** X6 — pseudo-Voigt peak fit (trx/peaks.py:14-40): Gauss–Newton with a
+    * numerical Jacobian; initial guess from the data extremum and FWHM
+    * search, as the reference does.
+    */
+  def fitPeak(x: Array[Double], y: Array[Double],
+              errY: Option[Array[Double]] = None): Peak = {
+    require(x.length == y.length && x.length >= 5)
+    val w = errY.map(_.map(e => 1.0 / math.max(e, 1e-12)))
+      .getOrElse(Array.fill(x.length)(1.0))
+    val iMax = y.indices.maxBy(y)
+    val off0 = y.min
+    val amp0 = y(iMax) - off0
+    val half = off0 + amp0 / 2
+    val iL = (iMax to 0 by -1).find(i => y(i) < half).getOrElse(0)
+    val iR = (iMax until y.length).find(i => y(i) < half).getOrElse(y.length - 1)
+    var p = DenseVector(x(iMax), math.max(math.abs(x(iR) - x(iL)), 1e-6), amp0, 0.5, off0)
+
+    def model(p: DenseVector[Double], xi: Double): Double = {
+      val Array(c, fw, a, eta0, off) = p.toArray
+      val eta = math.min(math.max(eta0, 0.0), 1.0)
+      val sg = fw / (2 * math.sqrt(2 * math.log(2)))
+      val g = math.exp(-0.5 * math.pow((xi - c) / sg, 2))
+      val l = 1.0 / (1.0 + math.pow((xi - c) / (fw / 2), 2))
+      off + a * (eta * l + (1 - eta) * g)
+    }
+
+    var it = 0
+    while (it < 100) {
+      val res = DenseVector(x.indices.map(i => (y(i) - model(p, x(i))) * w(i)).toArray)
+      val J = DenseMatrix.zeros[Double](x.length, 5)
+      for (j <- 0 until 5) {
+        val h = math.max(math.abs(p(j)) * 1e-7, 1e-10)
+        val pj = p.copy; pj(j) += h
+        for (i <- x.indices)
+          J(i, j) = -(model(pj, x(i)) - model(p, x(i))) / h * w(i)
+      }
+      val step = pinv(J) * res
+      p = p - step
+      it += 1
+      if (breeze.linalg.norm(step) < 1e-10) it = 100
+    }
+    val chi2 = x.indices.map(i => math.pow((y(i) - model(p, x(i))) * w(i), 2)).sum / x.length
+    Peak(p(0), math.abs(p(1)), p(2), math.min(math.max(p(3), 0.0), 1.0), p(4), chi2)
+  }
+
+  /** X7 — iterative baseline estimation per curve (trx/utils/numeric.py:66-82
+    * wraps a dual-tree wavelet method from an external package; we use the
+    * published SNIP clipping algorithm — same intent: a smooth lower
+    * envelope — implemented on plain arrays so it can run distributed via
+    * mapGroups over images).
+    */
+  def snipBaseline(y: Array[Double], iterations: Int = 24): Array[Double] = {
+    val n = y.length
+    val b = y.clone()
+    var m = math.min(iterations, n / 2 - 1)
+    while (m >= 1) {
+      var i = m
+      while (i < n - m) {
+        val avg = 0.5 * (b(i - m) + b(i + m))
+        if (avg < b(i)) b(i) = avg
+        i += 1
+      }
+      m -= 1
+    }
+    b
+  }
+
+  /** X7 distributed wrapper: subtract the SNIP baseline per image over the
+    * ordered q axis — embarrassingly parallel `mapGroups`.
+    */
+  def removeBaseline(spark: SparkSession, curves: DataFrame,
+                     iterations: Int = 24): DataFrame = {
+    import spark.implicits._
+    curves.select(col("image_id").cast("string"), col("q_bin").cast("int"),
+        col("i").cast("double"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (img, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val base = snipBaseline(rows.map(_._3), iterations)
+        rows.iterator.zipWithIndex.map { case ((_, qb, i), k) =>
+          (img, qb, i, i - base(k))
+        }
+      }
+      .toDF("image_id", "q_bin", "i", "i_sub")
+  }
+
+  /** X4 — liquid-peak beam-center finder (trx/center.py:107-166): select
+    * pixels whose intensity lies in a percentile band (distributed), then
+    * fit a circle to them (driver).
+    */
+  def findCenterLiquidPeak(pixels: DataFrame, pLo: Double = 0.99,
+                           pHi: Double = 0.999, maxPts: Int = 200000): Circle = {
+    val bounds = pixels.agg(
+      expr(s"percentile_approx(intensity, $pLo, 10000)").as("lo"),
+      expr(s"percentile_approx(intensity, $pHi, 10000)").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val pts = pixels.filter(col("intensity").between(lo, hi))
+      .select(col("x").cast("double"), col("y").cast("double"))
+      .limit(maxPts)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    leastsqCircle(pts)
+  }
+}

@@ -64,6 +64,15 @@ object TimeFunctions {
     when(c === 0.0, lit("+0.00s")).otherwise(body)
   }
 
+  /** JVM-side twin of `timeToStr` for driver-side file naming (K4/K5). */
+  def timeToStrScala(v: Double): String = {
+    if (v == 0.0) return "+0.00s"
+    val a = math.abs(v)
+    val (u, f) = unitFactors.reverse.find { case (_, f) => a >= f }
+      .getOrElse(("fs", 1e-15))
+    f"${v / f}%+.2f$u"
+  }
+
   /** Extract the `_<delay>` token from a filename (trx/utils/string.py:9-13):
     * last `_`-separated token that parses as a time-with-unit, e.g.
     * `run3_+100ps_0001.edf` → `"+100ps"`.

@@ -87,6 +87,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** SimHash values at corpus scale: explode tokens, hash once, ONE hash
+    * aggregation computing all 64 bit votes (`sum(±1)` per bit), then
+    * reassemble the word. Bit-identical to the per-document array
+    * expression (VectorFunctions.simhash) but stays in vectorized codegen
+    * instead of building a 64-deep lambda tree per row.
+    * Output: (id, sh).
+    */
+  def simhashValues(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .select(col("id"), xxhash64(col("_t")).as("_h"))
+    // One row per (token, bit): vote = ((h>>b)&1)*2-1. Two tiny-codegen
+    // hash aggregations beat one 64-column aggregate, whose generated
+    // class takes ~10 s to janino-compile; the 64× row fan-out is pure
+    // map-side partial aggregation (shuffle is n_docs × 64 rows).
+    val bits = tok
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .select(col("id"), col("b"),
+        expr("(shiftright(_h, b) & 1L) * 2L - 1L").as("v"))
+    bits.groupBy(col("id"), col("b"))
+      .agg(sum(col("v")).as("vote"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sh"))
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash; bucket on the top
     * `prefixBits` bits (cheap blocking); verify by Hamming distance ≤
     * `maxHamming` within buckets. A production variant would use several
@@ -95,9 +121,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", prefixBits: Int = 12,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("id"),
-      VectorFunctions.simhash(TextFunctions.tokens(col(textCol))).as("sh"))
+    val hashed = simhashValues(docs, textCol, idCol)
       .withColumn("bucket", shiftrightunsigned(col("sh"), 64 - prefixBits))
     val a = hashed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -81,13 +81,18 @@ object Filters {
     * chi²₀; `threshold = None` → 'auto' = 95th percentile
     * (filters.py:105-106). Returns the image indices to KEEP.
     */
-  def chi2Filter(chi2PerRep: DataFrame, threshold: Option[Double] = None): DataFrame =
+  def chi2Filter(chi2PerRep: DataFrame, threshold: Option[Double] = None): DataFrame = {
+    // null chi2 (zero-noise group: repetitions agree exactly) → keep; only
+    // a measured excess variance rejects a repetition.
+    def keep(thr: Column): Column = col("chi2_0").isNull || col("chi2_0") < thr
     threshold match {
-      case Some(t) => chi2PerRep.filter(col("chi2_0") < t)
+      case Some(t) => chi2PerRep.filter(keep(lit(t)))
       case None =>
         val auto = chi2PerRep.agg(expr("percentile(chi2_0, 0.95)").as("_thr"))
-        chi2PerRep.join(broadcast(auto)).filter(col("chi2_0") < col("_thr")).drop("_thr")
+        chi2PerRep.join(broadcast(auto))
+          .filter(col("_thr").isNull || keep(col("_thr"))).drop("_thr")
     }
+  }
 
   /** Filter application with bookkeeping (trx/filters.py:26-48): returns the
     * input annotated with a `kept` flag instead of dropping rows, so

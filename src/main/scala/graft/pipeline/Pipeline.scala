@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ScatteringFunctions
+import graft.functions.ScatteringFunctions.Poni
+import graft.operators.{Azav, Filters, Reduction}
+import graft.sources.{Bundle, ImageSource, LogReader}
+
+/** End-to-end orchestration of the reference's two entry points
+  * (SURVEY §3):
+  *
+  *  E1 `id9.doFolder_azav` (trx/id9.py:191-223): folder of detector frames
+  *     + beamline log → per-image 1-D curves, with incremental processing
+  *     and parameter-hash cache invalidation (T2, trx/azav.py:300-362).
+  *  E2 `id9.doFolder_dataRed` (trx/id9.py:226-303): curves → per-delay
+  *     difference signal with chi² outlier filtering.
+  *
+  * The reference's per-file loop becomes ONE declarative plan: decode →
+  * mask filter → geometry binning → hash aggregation; Catalyst fuses all
+  * stages and the only shuffles are the (image, q_bin) partial agg and the
+  * tiny delay-level agg.
+  */
+object Pipeline {
+
+  final case class AzavConfig(
+      geometry: Poni,
+      grid: Azav.QGrid,
+      dark: Double = 0.0,
+      mask: Option[Column] = None,
+      maskDescription: String = "",
+      dezinger: Option[Double] = None) {
+    /** T2 manifest — any change here invalidates saved results. */
+    def manifest: Map[String, String] = Map(
+      "dist" -> geometry.dist.toString,
+      "poni1" -> geometry.poni1.toString,
+      "poni2" -> geometry.poni2.toString,
+      "rot1" -> geometry.rot1.toString,
+      "rot2" -> geometry.rot2.toString,
+      "rot3" -> geometry.rot3.toString,
+      "pixel1" -> geometry.pixel1.toString,
+      "pixel2" -> geometry.pixel2.toString,
+      "wavelength" -> geometry.wavelengthA.toString,
+      "qMin" -> grid.qMin.toString, "qMax" -> grid.qMax.toString,
+      "nQ" -> grid.nQ.toString,
+      "dark" -> dark.toString,
+      "mask" -> maskDescription,
+      "dezinger" -> dezinger.map(_.toString).getOrElse(""))
+  }
+
+  /** E1 — integrate every new frame in `folder`, reusing `storageDir` when
+    * the config manifest matches (T2) and anti-joining already-processed
+    * images (J3, trx/azav.py:361-362). Returns the full curve table and
+    * persists it.
+    */
+  def doFolderAzav(spark: SparkSession, folder: String, storageDir: String,
+                   config: AzavConfig,
+                   log: Option[DataFrame] = None): DataFrame = {
+    val valid = Bundle.isValid(storageDir, config.manifest)
+    val saved: Option[DataFrame] =
+      if (valid) Bundle.load(spark, storageDir).get("curves") else None
+
+    val pixels = ImageSource.readEdfFolder(spark, folder).toDF()
+    // J1 — keep only frames present in the log (when a log is given)
+    val withLog = log match {
+      case Some(l) => pixels.join(broadcast(l.select(col("file").as("image_id"))),
+        Seq("image_id"), "left_semi")
+      case None => pixels
+    }
+    // J3 — incremental: drop already-integrated images
+    val fresh = saved match {
+      case Some(s) => withLog.join(broadcast(s.select("image_id").distinct()),
+        Seq("image_id"), "left_anti")
+      case None => withLog
+    }
+
+    val geo = Azav.withGeometry(fresh, config.geometry, config.grid,
+      config.dark, config.mask)
+    val dez = config.dezinger.map(p => Azav.dezinger(geo, p)).getOrElse(geo)
+    val curves = dez.groupBy(col("image_id"), col("q_bin"))
+      .agg(avg(col("i_corr")).as("i"),
+        (sqrt(sum(col("i_corr"))) / count(lit(1))).as("err"),
+        count(lit(1)).as("n_pix"))
+      .withColumn("q", config.grid.center(col("q_bin")))
+      .withColumn("twotheta_rad",
+        ScatteringFunctions.qToTwoTheta(col("q"), config.geometry.wavelengthA))
+      .withColumn("twotheta_deg", degrees(col("twotheta_rad")))
+
+    val all = saved match {
+      case Some(s) => s.unionByName(curves, allowMissingColumns = true)
+      case None => curves
+    }
+    val materialized = all.localCheckpoint()
+    Bundle.save(storageDir, Map("curves" -> materialized), config.manifest)
+    materialized
+  }
+
+  final case class ReductionConfig(
+      refDelay: Option[Double] = None,
+      monitorRange: Option[(Double, Double)] = None,
+      useRatio: Boolean = false,
+      useMedian: Boolean = false,
+      chi2Threshold: Option[Double] = None)
+
+  /** E2 — curves (image grain, with a `delay` column attached from the
+    * log) → per-delay difference signal. Composition:
+    * A6 monitor normalization → J5 tag → J4 interp → diff → W2 thin →
+    * A3 average; A4 chi² per repetition feeds the A10 outlier filter and
+    * surviving repetitions are re-averaged (trx/filters.py:26-48 semantics
+    * without mutation).
+    */
+  def doDataRed(curves: DataFrame, config: ReductionConfig = ReductionConfig())
+      : DataFrame = {
+    val normalized = config.monitorRange match {
+      case Some((lo, hi)) =>
+        Azav.normalizeQRange(curves, lo, hi, useMedian = true, idCol = "image_idx")
+          .withColumn("_i", col("i_norm")).drop("i").withColumnRenamed("_i", "i")
+      case None => curves
+    }
+    val tagged = Reduction.tagReferences(normalized, config.refDelay)
+    val withRef = Reduction.interpolateReferences(tagged)
+    val diffs = Reduction.diffSignal(withRef, config.useRatio)
+
+    // A4 + A10 — per-repetition chi² outlier cut, then re-average survivors
+    val chi2 = Reduction.chi2PerRepetition(diffs)
+      .withColumnRenamed("chi2_0", "chi2_0")
+    val keep = Filters.chi2Filter(chi2, config.chi2Threshold)
+      .select(col("delay"), col("image_idx"))
+    val surviving = diffs.join(keep, Seq("delay", "image_idx"), "left_semi")
+
+    val thinned = Reduction.thinReferences(surviving)
+    Reduction.averageScanPoints(thinned, config.useMedian)
+  }
+}

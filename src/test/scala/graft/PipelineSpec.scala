@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.ScatteringFunctions.Poni
+import graft.operators.Azav
+import graft.pipeline.Pipeline
+import graft.sources.ImageSource
+
+/** E1/E2 — end-to-end: synthetic EDF frames → curves (with incremental
+  * reprocessing + T2 invalidation) → per-delay reduction.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val g = Poni(dist = 0.1, poni1 = 0.016, poni2 = 0.016,
+    pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+  private val cfg = Pipeline.AzavConfig(g, Azav.QGrid(0.0, 3.0, 10))
+
+  private def writeFrame(dir: String, name: String, level: Double): Unit = {
+    val data = Array.fill(32 * 32)(level)
+    Files.write(java.nio.file.Paths.get(dir, name),
+      ImageSource.encodeEdf(32, 32, data))
+  }
+
+  test("E1 integrates a folder, processes incrementally, invalidates on config change") {
+    val folder = Files.createTempDirectory("e1-frames").toString
+    val storage = Files.createTempDirectory("e1-store").toString
+    writeFrame(folder, "img_000.edf", 100.0)
+    writeFrame(folder, "img_001.edf", 200.0)
+
+    val first = Pipeline.doFolderAzav(spark, folder, storage, cfg)
+    val images1 = first.select("image_id").distinct().as[String].collect().toSet
+    assert(images1 == Set("img_000.edf", "img_001.edf"))
+    first.filter($"image_id" === "img_000.edf").select("i").as[Double]
+      .collect().foreach(v => assert(approx(v, 100.0, 1e-9)))
+
+    // new frame arrives → only it is integrated, union with saved
+    writeFrame(folder, "img_002.edf", 300.0)
+    val second = Pipeline.doFolderAzav(spark, folder, storage, cfg)
+    assert(second.select("image_id").distinct().count() == 3)
+
+    // config change (different grid) → manifest mismatch → full redo
+    val cfg2 = cfg.copy(grid = Azav.QGrid(0.0, 3.0, 20))
+    val third = Pipeline.doFolderAzav(spark, folder, storage, cfg2)
+    assert(third.select("image_id").distinct().count() == 3)
+    assert(graft.sources.Bundle.isValid(storage, cfg2.manifest))
+    assert(!graft.sources.Bundle.isValid(storage, cfg.manifest))
+  }
+
+  test("E2 reduces curves to per-delay differences with chi2 filtering") {
+    // 8 images × 5 bins; delays alternate 0 (ref) and 1e-9
+    val rows = for (img <- 0 until 8; q <- 0 until 5) yield
+      (img, if (img % 2 == 0) 0.0 else 1e-9, q,
+        10.0 + q + (if (img % 2 == 1) 1.0 else 0.0), 0.1)
+    val curves = rows.toDF("image_idx", "delay", "q_bin", "i", "err")
+    val reduced = Pipeline.doDataRed(curves)
+    val m = reduced.collect().map(r =>
+      r.getAs[Double]("delay") -> r.getAs[Double]("diff_av")).toMap
+    // pumped shots sit exactly 1.0 above the interpolated reference
+    assert(approx(m(1e-9), 1.0, 1e-9))
+  }
+}
