@@ -153,4 +153,36 @@ object ScatteringFunctions {
 
   /** Absorbance A = -ln(T) (trx/utils/absorption.py:68-74). */
   def absorbance(t: Column): Column = -log(t)
+
+  /** G7 — phosphor absorption correction (trx/utils/absorption.py:76-97):
+    * fraction of photons absorbed by a phosphor of thickness t at
+    * incidence angle 2θ, 1 − exp(−t/(Λ·cos2θ)). The reference resolves Λ
+    * from the `periodictable` element database; here Λ is caller-supplied
+    * (column or literal), keeping the physics a pure expression.
+    */
+  def phosphorCorrection(twoThetaRad: Column, thickness: Column,
+                         attenuationLength: Column): Column =
+    lit(1.0) - exp(-thickness / (attenuationLength * cos(twoThetaRad)))
+
+  /** G7 — liquid-sheet absorption correction (trx/utils/absorption.py:
+    * 99-121): ratio of transmission along the scattered path at angle 2θ
+    * vs straight-through, for a sheet of thickness t: the standard
+    * ((exp(-t/Λ) − exp(-t/(Λ cos2θ))) / (t/Λ (1/cos2θ − 1))) / exp(-t/Λ)
+    * slab integral, guarded at 2θ→0 where the correction → 1.
+    */
+  def liquidSheetAbsorptionCorrection(twoThetaRad: Column, thickness: Column,
+                                      attenuationLength: Column): Column = {
+    val mu = thickness / attenuationLength
+    val sec = lit(1.0) / cos(twoThetaRad)
+    val d = mu * (sec - 1.0)
+    when(abs(d) < 1e-12, lit(1.0))
+      .otherwise((exp(-mu) - exp(-mu * sec)) / d / exp(-mu))
+  }
+
+  /** G7 — integrated detector charge → photon count
+    * (trx/utils/absorption.py:123-131): n = Q / (e · E/3.6eV) for silicon
+    * (3.6 eV per electron-hole pair).
+    */
+  def chargeToPhoton(chargeC: Column, energyKeV: Column): Column =
+    chargeC / (lit(1.602176634e-19) * (energyKeV * 1000.0 / 3.6))
 }

@@ -129,6 +129,24 @@ object Azav {
   def qLims(curves: DataFrame, qLo: Double, qHi: Double): DataFrame =
     curves.filter(col("q").between(qLo, qHi))
 
+  /** A7 — quick-look curve averaging (trx/azav.py:548-573 `average`,
+    * 589-619 `chiAverage`): select images (F5 delay selector), optionally
+    * normalize each by its q-range mean, then average per q_bin.
+    */
+  def average(curves: DataFrame, delaySelect: Option[Column] = None,
+              normRange: Option[(Double, Double)] = None,
+              idCol: String = "image_id"): DataFrame = {
+    val selected = delaySelect.map(curves.filter).getOrElse(curves)
+    val normalized = normRange match {
+      case Some((lo, hi)) =>
+        normalizeQRange(selected, lo, hi, useMedian = false, idCol = idCol)
+          .withColumn("_i", col("i_norm"))
+      case None => selected.withColumn("_i", col("i"))
+    }
+    normalized.groupBy(col("q_bin"))
+      .agg(avg(col("_i")).as("i_av"), count(lit(1)).as("n"))
+  }
+
   /** Distance histogram with unit bins (trx/center.py:331-357): groupBy
     * floor(r); kernel smoothing is a follow-up window op (Windows.scala).
     */

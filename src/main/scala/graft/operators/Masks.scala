@@ -100,4 +100,15 @@ object Masks {
 
   /** Keep-predicate for a mask (True = masked out → filter on !mask). */
   def keep(mask: Column): Column = !mask
+
+  /** M2 — mask from a materialized pixel table (trx/mask.py:306-307: load
+    * a boolean image as mask): drop pixels whose (x, y) appears in
+    * `maskTable`. The mask is geometry-sized (one detector frame), so the
+    * anti-join broadcasts it — no shuffle of the pixel side.
+    */
+  def applyMaskTable(pixels: org.apache.spark.sql.DataFrame,
+                     maskTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pixels.join(broadcast(maskTable.select("x", "y").distinct()),
+      Seq("x", "y"), "left_anti")
 }

@@ -74,11 +74,13 @@ object Reduction {
     // Strict frames exclude the current row, which implements the
     // ref-of-ref self-exclusion for free; for non-ref rows strict and
     // inclusive frames are identical (their own refIdx is null).
-    val withNbrs = tagged
-      .withColumn("_p_idx", last(refIdx, ignoreNulls = true).over(before))
-      .withColumn("_p_i",   last(refI,   ignoreNulls = true).over(before))
-      .withColumn("_n_idx", last(refIdx, ignoreNulls = true).over(after))
-      .withColumn("_n_i",   last(refI,   ignoreNulls = true).over(after))
+    // One projection for all four → Catalyst collapses them into exactly
+    // two Window operators (one per ordering).
+    val withNbrs = tagged.select(col("*"),
+      last(refIdx, ignoreNulls = true).over(before).as("_p_idx"),
+      last(refI,   ignoreNulls = true).over(before).as("_p_i"),
+      last(refIdx, ignoreNulls = true).over(after).as("_n_idx"),
+      last(refI,   ignoreNulls = true).over(after).as("_n_i"))
 
     // ANSI-safe: a zero denominator (possible only if image_idx is not
     // unique within a q_bin partition) yields null instead of an error.

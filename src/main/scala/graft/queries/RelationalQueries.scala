@@ -260,6 +260,94 @@ object RelationalQueries {
         |FROM binned GROUP BY image_id, q_bin
         |ORDER BY image_id, q_bin""".stripMargin)),
 
+    // A7 + F5 — quick-look averaging: delay-select, q-range normalize,
+    // mean per bin (trx/azav.py:548-573).
+    QueryDef("q48_a7_quick_average",
+      (s, dir) => {
+        val c = curves(s, dir).withColumn("q", col("q_bin").cast("double"))
+        Azav.average(c, delaySelect = Some(col("delay") > 1e-9),
+            normRange = Some((1.0, 4.0)), idCol = "image_idx")
+          .select(col("q_bin"), r6(col("i_av")).as("i_av"), col("n"))
+          .orderBy("q_bin")
+      },
+      Some(s"""WITH ${Tables.curvesSql},
+        |sel AS (SELECT * FROM curves WHERE delay > 1e-9),
+        |mon AS (SELECT image_idx, avg(i) AS monitor FROM sel
+        |        WHERE q_bin::DOUBLE BETWEEN 1.0 AND 4.0 GROUP BY image_idx)
+        |SELECT s.q_bin, round(avg(s.i / m.monitor), 6) AS i_av, count(*) AS n
+        |FROM sel s JOIN mon m ON s.image_idx = m.image_idx
+        |GROUP BY s.q_bin ORDER BY s.q_bin""".stripMargin)),
+
+    // G9 — snap to an arbitrary sorted grid (digitize-style rebin).
+    QueryDef("q49_g9_snap_grid",
+      (s, dir) => {
+        val grid = Seq(1.0, 5.0, 10.0, 20.0, 35.0, 50.0)
+        table(s, dir, "lineitem")
+          .select(graft.functions.NumericFunctions
+            .snapToGrid(col("l_quantity"), grid).as("snapped"))
+          .groupBy(col("snapped")).agg(count(lit(1)).as("n"))
+          .orderBy("snapped")
+      },
+      Some("""WITH snapped AS (
+        |  SELECT CASE
+        |    WHEN l_quantity < 3.0 THEN 1.0
+        |    WHEN l_quantity < 7.5 THEN 5.0
+        |    WHEN l_quantity < 15.0 THEN 10.0
+        |    WHEN l_quantity < 27.5 THEN 20.0
+        |    WHEN l_quantity < 42.5 THEN 35.0
+        |    ELSE 50.0 END AS snapped
+        |  FROM lineitem)
+        |SELECT snapped, count(*) AS n FROM snapped
+        |GROUP BY snapped ORDER BY snapped""".stripMargin)),
+
+    // M2 — mask from a materialized table via broadcast anti-join.
+    QueryDef("q50_m2_mask_table",
+      (s, dir) => {
+        val maskTable = table(s, dir, "supplier").select(
+          (col("s_suppkey") % 64).cast("int").as("x"),
+          (col("s_nationkey") % 64).cast("int").as("y"))
+        Masks.applyMaskTable(pixels(s, dir), maskTable)
+          .groupBy(col("image_id"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("intensity")).cast("double").as("sum_i"))
+          .orderBy("image_id")
+      },
+      Some(s"""WITH ${pixelsSql},
+        |mask AS (SELECT DISTINCT (s_suppkey % 64)::INT AS x,
+        |                (s_nationkey % 64)::INT AS y FROM supplier)
+        |SELECT image_id, count(*) AS n_kept, sum(intensity)::DOUBLE AS sum_i
+        |FROM pixels p WHERE NOT EXISTS
+        |  (SELECT 1 FROM mask m WHERE m.x = p.x AND m.y = p.y)
+        |GROUP BY image_id ORDER BY image_id""".stripMargin)),
+
+    // G7 — absorption corrections as pure column math.
+    QueryDef("q51_g7_absorption",
+      (s, dir) => {
+        val tth = col("l_quantity") / 100.0 // 0.01..0.5 rad
+        val t = lit(0.1); val lam = lit(2.0)
+        table(s, dir, "lineitem")
+          .select((col("l_quantity") / 100.0).as("tth"),
+            graft.functions.ScatteringFunctions
+              .phosphorCorrection(tth, t, lam).as("phosphor"),
+            graft.functions.ScatteringFunctions
+              .liquidSheetAbsorptionCorrection(tth, t, lam).as("sheet"))
+          .groupBy(col("tth"))
+          .agg(count(lit(1)).as("n"), r6(first(col("phosphor"))).as("phosphor"),
+            r6(first(col("sheet"))).as("sheet"))
+          .orderBy("tth")
+      },
+      Some("""WITH v AS (
+        |  SELECT l_quantity / 100.0 AS tth,
+        |         1.0 - exp(-(0.1) / (2.0 * cos(l_quantity / 100.0))) AS phosphor,
+        |         CASE WHEN abs((0.1/2.0) * (1.0/cos(l_quantity/100.0) - 1.0)) < 1e-12
+        |              THEN 1.0
+        |              ELSE (exp(-(0.1/2.0)) - exp(-(0.1/2.0) * (1.0/cos(l_quantity/100.0))))
+        |                   / ((0.1/2.0) * (1.0/cos(l_quantity/100.0) - 1.0))
+        |                   / exp(-(0.1/2.0)) END AS sheet
+        |  FROM lineitem)
+        |SELECT tth, count(*) AS n, round(any_value(phosphor), 6) AS phosphor,
+        |       round(any_value(sheet), 6) AS sheet
+        |FROM v GROUP BY tth ORDER BY tth""".stripMargin)),
+
     // A2 — 2-D "cake" integration (q_bin × azimuth bin).
     QueryDef("q25_a2_integrate2d",
       (s, dir) => {

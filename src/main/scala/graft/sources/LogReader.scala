@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFunctions
+import scala.jdk.CollectionConverters._
 
 /** Beamline log ingestion.
   *
@@ -91,6 +92,85 @@ object LogReader {
       .select(col("name"),
         col("user").cast("double").as("user"),
         col("dial").cast("double").as("dial"))
+
+  /** S8 — ESRF SPEC file reader (trx/utils/spec.py:23-73): line-oriented
+    * state machine: `#S n ...` starts a scan, `#L` carries space-separated
+    * column labels, `#O`/`#P` carry motor names/positions, data rows until
+    * the next control line. SPEC files are metadata-sized → parsed on the
+    * driver, returned as one DataFrame with a `scan` column (plus the
+    * motor snapshot per scan).
+    */
+  def readSpec(spark: SparkSession, path: String)
+      : (DataFrame, Map[Int, Map[String, Double]]) = {
+    import spark.implicits._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala
+    var scan = -1
+    var labels: Seq[String] = Nil
+    var motorNames: Seq[String] = Vector()
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Seq[Double])]()
+    val scanLabels = scala.collection.mutable.Map[Int, Seq[String]]()
+    val motors = scala.collection.mutable.Map[Int, Map[String, Double]]()
+    var pendingMotorVals = scala.collection.mutable.ArrayBuffer[Double]()
+    lines.foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("#S")) {
+        scan = line.split("\\s+")(1).toInt
+        pendingMotorVals = scala.collection.mutable.ArrayBuffer[Double]()
+      } else if (line.startsWith("#O")) {
+        motorNames = motorNames ++ line.split("\\s+").drop(1)
+      } else if (line.startsWith("#P")) {
+        pendingMotorVals ++= line.split("\\s+").drop(1).map(_.toDouble)
+        if (scan >= 0)
+          motors(scan) = motorNames.zip(pendingMotorVals).toMap
+      } else if (line.startsWith("#L")) {
+        labels = line.stripPrefix("#L").trim.split("\\s{2,}|\\s").toSeq
+        scanLabels(scan) = labels
+      } else if (line.nonEmpty && !line.startsWith("#") && scan >= 0) {
+        val vals = line.split("\\s+").flatMap(v => scala.util.Try(v.toDouble).toOption)
+        if (vals.length == labels.length) rows += ((scan, vals.toSeq))
+      }
+    }
+    val allLabels = scanLabels.values.flatten.toSeq.distinct
+    val df = rows.toSeq.map { case (s, vs) =>
+      val byName = scanLabels(s).zip(vs).toMap
+      (s, allLabels.map(l => byName.get(l)))
+    }.toDF("scan", "vals")
+      .select(col("scan") +: allLabels.zipWithIndex.map { case (l, i) =>
+        col("vals").getItem(i).as(l)
+      }: _*)
+    (df, motors.toMap)
+  }
+
+  /** G14 — run duration between "HH:MM:SS" strings with midnight wrap
+    * (trx/id9.py:69-85). Driver-side run metadata.
+    */
+  def timesToDurationSec(start: String, end: String): Int = {
+    def sec(s: String): Int = {
+      val p = s.split(":").map(_.toInt)
+      p(0) * 3600 + p(1) * 60 + (if (p.length > 2) p(2) else 0)
+    }
+    val d = sec(end) - sec(start)
+    if (d < 0) d + 24 * 3600 else d
+  }
+
+  /** G15 — parse "time between pulses" from log comment lines
+    * (trx/id9.py:87-97): returns the repetition rate in Hz.
+    */
+  def readReprate(commentLines: Seq[String]): Option[Double] = {
+    val re = """time between pulses.*?([0-9.eE+-]+)\s*(\w*)""".r
+    commentLines.collectFirst {
+      case l if re.findFirstMatchIn(l).isDefined =>
+        val m = re.findFirstMatchIn(l).get
+        val v = m.group(1).toDouble
+        val unit = m.group(2).toLowerCase
+        val factor = unit match {
+          case "ms" => 1e-3; case "us" => 1e-6; case "ns" => 1e-9
+          case _ => 1.0
+        }
+        1.0 / (v * factor)
+    }
+  }
 
   /** chi file (trx/azav.py:576-578): 2-column (q, i) text, optional scale. */
   def readChi(spark: SparkSession, path: String, scale: Double = 1.0): DataFrame =
