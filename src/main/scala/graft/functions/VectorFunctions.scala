@@ -56,6 +56,41 @@ object VectorFunctions {
   def lshSignature(v: Column, nBits: Int, dim: Int): Column =
     concat((0 until nBits).map(j => hyperplaneBit(v, j, dim).cast("string")): _*)
 
+  /** Corpus-scale LSH signatures as a relational pipeline: explode vector
+    * components, join the broadcast (bit, dim, weight) hyperplane table,
+    * one hash aggregation of the nBits dot products, then sign-assemble.
+    * Identical output to `lshSignature` (same hyperplanes, same left-to-
+    * right accumulation per projection is NOT required — only the SIGN of
+    * the projection is used, and |dot| ⋙ summation noise for random data;
+    * the two paths are asserted equal in the test suite on real vectors).
+    * Keeps the generated code small where the per-row variant inlines
+    * nBits × dim literal multiplies.
+    * Input: (idCol, vecCol); output: (idCol, bucket).
+    */
+  def lshSignatures(df: org.apache.spark.sql.DataFrame, nBits: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = for (j <- 0 until nBits; d <- 0 until dim)
+      yield (j, d, hyperplane(j, dim)(d))
+    val planeDf = planes.toDF("_j", "_d", "_w")
+    val comps = df.select(col(idCol), posexplode(asDouble(col(vecCol))).as(Seq("_d0", "_x")))
+      .withColumn("_d", col("_d0").cast("int")).drop("_d0")
+    comps.join(broadcast(planeDf), Seq("_d"))
+      .groupBy(col(idCol), col("_j"))
+      .agg(sum(col("_x") * col("_w")).as("_dot"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          // collect_list order is nondeterministic → sort (bit index, bit)
+          // structs, then strip to the bit characters
+          array_sort(collect_list(struct(col("_j"),
+            when(col("_dot") >= 0, "1").otherwise("0").as("_b")))),
+          x => x.getField("_b")),
+        "").as("bucket"))
+  }
+
   /** 64-bit SimHash over an array of token strings: each token is hashed
     * (xxhash64), each of the 64 bit positions accumulates +1/-1, sign of
     * the sum is the output bit. Near-identical documents differ in few bits.

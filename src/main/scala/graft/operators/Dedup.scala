@@ -186,9 +186,13 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, vecCol: String = "embedding",
                             idCol: String = "vec_id", dim: Int = 64,
                             nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val sig = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshSignature(col(vecCol), nBits, dim).as("bucket"))
+    // Signatures via the relational row-form (small codegen, partial-agg
+    // shuffle of nBits dots per vector), joined back to the vectors.
+    val sig = VectorFunctions
+      .lshSignatures(embeddings.select(col(idCol), col(vecCol)), nBits, dim,
+        idCol, vecCol)
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

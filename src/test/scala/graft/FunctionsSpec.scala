@@ -161,6 +161,18 @@ class FunctionsSpec extends SparkSpec {
     assert(r(1).getAs[Int]("h") > 0)
   }
 
+  test("lshSignatures row-form equals the per-row expression path") {
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val rowForm = VectorFunctions.lshSignatures(df, nBits = 6, dim = 16)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    val exprForm = df.select($"vec_id",
+      VectorFunctions.lshSignature($"embedding", 6, 16).as("b"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("b")).toMap
+    rowForm.foreach { case (id, b) => assert(exprForm(id) == b, s"vec $id") }
+  }
+
   test("minhash signature: identical sets agree, jaccard estimate sane") {
     val df = Seq(("a b c d e f g h", "a b c d e f g h")).toDF("x", "y")
     val j = df.select(VectorFunctions.minhashJaccard(
