@@ -189,6 +189,69 @@ object Fits {
       .toDF("image_id", "q_bin", "i", "i_sub")
   }
 
+  /** X3 — ring-based center finder (trx/center.py:213-469, simplified):
+    * instead of canny edges (scikit-image), rings are located as peaks of
+    * the smoothed radial intensity profile around the starting center (the
+    * A11 distance histogram + W4 smoothing, both distributed); pixels of
+    * each ring band above a per-band intensity quantile are circle-fitted
+    * (X1) and the median fitted center wins. Optionally iterate
+    * (`reprocess` in the reference) — each pass re-profiles around the
+    * improved center.
+    */
+  def findCenterRings(pixels: DataFrame, cx0: Double, cy0: Double,
+                      nRings: Int = 3, bandWidth: Double = 2.0,
+                      iterations: Int = 4): Circle = {
+    var cx = cx0; var cy = cy0
+    var last: Circle = Circle(cx0, cy0, 0.0, Double.MaxValue)
+    for (_ <- 0 until iterations) {
+      val withR = pixels.withColumn("_r",
+        sqrt(pow(col("x") - cx, 2) + pow(col("y") - cy, 2)))
+      // radial profile (A11) — small result, smoothed on the driver (W4)
+      val profile = withR
+        .groupBy(floor(col("_r")).cast("int").as("rb"))
+        .agg(avg(col("intensity")).as("mi"), count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy("rb").collect()
+        .map(r => r.getAs[Int]("rb") -> r.getAs[Double]("mi"))
+      val smooth = profile.indices.map { i =>
+        val w = Seq(-2 -> 1.0, -1 -> 2.0, 0 -> 3.0, 1 -> 2.0, 2 -> 1.0)
+        val terms = w.flatMap { case (off, wt) =>
+          profile.lift(i + off).map(p => (p._2 * wt, wt))
+        }
+        profile(i)._1 -> terms.map(_._1).sum / terms.map(_._2).sum
+      }
+      // ring radii = local maxima of the smoothed profile, strongest first
+      val peaks = smooth.indices.drop(1).dropRight(1).filter { i =>
+        smooth(i)._2 > smooth(i - 1)._2 && smooth(i)._2 > smooth(i + 1)._2
+      }.sortBy(i => -smooth(i)._2).take(nRings).map(smooth(_)._1)
+
+      val centers = peaks.flatMap { r0 =>
+        val band = withR.filter(abs(col("_r") - r0) < bandWidth)
+        // midpoint of the band's intensity range separates ring from
+        // background regardless of how small the ring arc's pixel share is
+        // (a percentile would need the arc fraction known in advance)
+        val mm = band.agg(min(col("intensity")).as("lo"), max(col("intensity")).as("hi"))
+          .collect()(0)
+        val thr = (mm.getDouble(0) + mm.getDouble(1)) / 2
+        val pts = band.filter(col("intensity") >= thr)
+          .select(col("x").cast("double"), col("y").cast("double"))
+          .limit(100000)
+          .collect().map(p => (p.getDouble(0), p.getDouble(1))).toSeq
+        if (pts.size >= 3) Some(leastsqCircle(pts)) else None
+      }
+      if (centers.nonEmpty) {
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted; val n = s.size
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
+        cx = median(centers.map(_.cx)); cy = median(centers.map(_.cy))
+        last = Circle(cx, cy, median(centers.map(_.r)),
+          median(centers.map(_.rmse)))
+      }
+    }
+    last
+  }
+
   /** X4 — liquid-peak beam-center finder (trx/center.py:107-166): select
     * pixels whose intensity lies in a percentile band (distributed), then
     * fit a circle to them (driver).

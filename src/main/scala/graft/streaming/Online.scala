@@ -19,6 +19,47 @@ import graft.operators.Reduction
   */
 object Online {
 
+  /** T1 — streaming E1: watch a folder of EDF frames, integrate each new
+    * file, append curves to `curveDir`. File-source checkpointing replaces
+    * the reference's re-list + anti-join loop (trx/azav.py:300-362); a
+    * frame never splits across batches, so the per-(image, q_bin)
+    * aggregation inside foreachBatch is complete per image without any
+    * streaming state.
+    */
+  def streamingAzav(spark: SparkSession, folder: String, checkpointDir: String,
+                    curveDir: String, geometry: graft.functions.ScatteringFunctions.Poni,
+                    grid: graft.operators.Azav.QGrid,
+                    pollSeconds: Int = 30,
+                    maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    import spark.implicits._
+    val frames = spark.readStream.format("binaryFile")
+      // streaming sources require an explicit schema; this is binaryFile's
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", "*.edf*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(folder)
+      .select(col("path"), col("content"))
+
+    frames.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pixels = batch.select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val gz = path.endsWith(".gz")
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            val (w, h, data) = graft.sources.ImageSource.decodeEdf(bytes, gz)
+            for (y <- 0 until h; x <- 0 until w)
+              yield graft.sources.ImageSource.Pixel(name, y, x, data(y * w + x))
+          }.toDF()
+        graft.operators.Azav.integrate1d(pixels, geometry, grid)
+          .write.mode("append").parquet(curveDir)
+        ()
+      }
+      .start()
+  }
+
   /** Stream a folder of curve parquet files (schema: image_idx, delay,
     * q_bin, i, err) into a continuously-updated per-(delay, q_bin) average.
     * foreachBatch re-runs the full reduction on the union of state — exact

@@ -79,6 +79,19 @@ class FitsSpec extends SparkSpec {
     assert(sub > 8.0) // the spike survives baseline subtraction
   }
 
+  test("findCenterRings recovers the center from concentric rings") {
+    val (tx, ty) = (33.0, 29.0)
+    val pts = for {
+      y <- 0 until 72; x <- 0 until 72
+      r = math.hypot(x - tx, y - ty)
+    } yield (x, y,
+      if (math.abs(r - 10) < 1.0 || math.abs(r - 20) < 1.0) 500.0 else 5.0)
+    val px = pts.toDF("x", "y", "intensity")
+    // start from a deliberately wrong center
+    val c = Fits.findCenterRings(px, 36.0, 36.0, nRings = 2, iterations = 4)
+    assert(approx(c.cx, tx, 1.0) && approx(c.cy, ty, 1.0))
+  }
+
   test("findCenterLiquidPeak locates the beam center from a ring") {
     val pts = for {
       y <- 0 until 64; x <- 0 until 64

@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAzav integrates frames as they arrive") {
+    val frames = Files.createTempDirectory("sa-frames").toString
+    val ck = Files.createTempDirectory("sa-ck").toString
+    val curves = Files.createTempDirectory("sa-curves").toString + "/curves"
+    def frame(name: String, level: Double): Unit =
+      Files.write(java.nio.file.Paths.get(frames, name),
+        graft.sources.ImageSource.encodeEdf(16, 16, Array.fill(256)(level)))
+    frame("f0.edf", 50.0)
+
+    val g = graft.functions.ScatteringFunctions.Poni(
+      dist = 0.1, poni1 = 0.008, poni2 = 0.008,
+      pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+    val q = graft.streaming.Online.streamingAzav(spark, frames, ck, curves,
+      g, graft.operators.Azav.QGrid(0.0, 3.0, 10), pollSeconds = 1)
+    try {
+      q.processAllAvailable()
+      val ids1 = spark.read.parquet(curves).select("image_id")
+        .distinct().as[String].collect().toSet
+      assert(ids1 == Set("f0.edf"))
+      frame("f1.edf", 80.0)
+      q.processAllAvailable()
+      val after = spark.read.parquet(curves)
+      assert(after.select("image_id").distinct().count() == 2)
+      after.filter($"image_id" === "f1.edf").select("i").as[Double]
+        .collect().foreach(v => assert(approx(v, 80.0, 1e-9)))
+    } finally q.stop()
+  }
+
   test("foreachBatch full re-reduction converges to the batch result") {
     val inDir = Files.createTempDirectory("s2-in").toString
     val ckDir = Files.createTempDirectory("s2-ck").toString
