@@ -135,4 +135,20 @@ object TextFunctions {
       transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** 64-bit shingle identities without materializing shingle STRINGS:
+    * hash each token once, then combine n consecutive token hashes with a
+    * multi-argument xxhash64 — O(1) per shingle instead of the O(n) array
+    * slice + string concat of `shingles`. Same distinctness structure
+    * (modulo 64-bit collisions), ~4× cheaper on shingling-bound corpora;
+    * the set operators (Jaccard, MinHash) only need identity, not text.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val tokHashes = transform(tokens(text), t => xxhash64(t))
+    val count = size(tokHashes) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count),
+        i => xxhash64((0 until n).map(k => element_at(tokHashes, i + k)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+  }
 }

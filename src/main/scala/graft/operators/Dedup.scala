@@ -33,6 +33,27 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Distinct shingle identities per document as ROWS, entirely in
+    * whole-stage codegen: hash each token after posexplode (lambda bodies
+    * inside `transform` are interpreted — measured 2–4× slower), form the
+    * n-gram identity with `lead` windows over token position, and combine
+    * with multi-argument xxhash64. Output: (id, s) distinct.
+    */
+  private def distinctShingleRows(docs: DataFrame, textCol: String,
+                                  idCol: String, n: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
+      .select(col("id"), col("_p"), xxhash64(col("_t")).as("_h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_p"))
+    val leads = (0 until n).map(k =>
+      if (k == 0) col("_h") else lead(col("_h"), k).over(w))
+    tok.select(col("id"),
+        when(leads.last.isNotNull, xxhash64(leads: _*)).as("s"))
+      .filter(col("s").isNotNull)
+      .distinct()
+  }
+
   /** MinHash signatures at corpus scale: explode distinct shingles to rows,
     * hash once per shingle, then ONE hash aggregation computing all
     * `nHashes` permutation minima (`min(pmod(h*a_i + b_i, p))`). This keeps
@@ -47,8 +68,7 @@ object Dedup {
                         idCol: String = "doc_id", shingleSize: Int = 3,
                         nHashes: Int = 32): DataFrame = {
     val p = VectorFunctions.MinhashPrime
-    val sh = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleSize))).as("s"))
+    val sh = distinctShingleRows(docs, textCol, idCol, shingleSize)
       .withColumn("_h", pmod(xxhash64(col("s")), lit(p)))
     val mins = (0 until nHashes).map { i =>
       val (a, b) = VectorFunctions.minhashCoeffs(i)
@@ -68,6 +88,8 @@ object Dedup {
                       nHashes: Int = 32, nBands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = nHashes / nBands
+    // (measured: persisting `sigs` here is a net loss — Spark's exchange
+    // reuse already shares the aggregation across the three readers)
     val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, nHashes)
     val banded = sigs.withColumn("band",
       explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
@@ -123,6 +145,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val hashed = simhashValues(docs, textCol, idCol)
       .withColumn("bucket", shiftrightunsigned(col("sh"), 64 - prefixBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hashed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("bucket"))
@@ -146,9 +169,7 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     // Shuffle 8-byte shingle hashes, not strings (xxhash64 collisions are
     // ~1e-8 at corpus scale and shift one intersection count by one).
-    val sh = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("_s"))
-      .select(col("id"), xxhash64(col("_s")).as("s"))
+    val sh = distinctShingleRows(docs, textCol, idCol, n)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_df"), col("s"))
@@ -193,6 +214,7 @@ object Dedup {
         idCol, vecCol)
       .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

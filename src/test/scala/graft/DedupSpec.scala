@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1).toList).toMap
     val fromArray = docs.select(col("doc_id"),
       graft.functions.VectorFunctions.minhashSignature(
-        graft.functions.TextFunctions.shingles(col("text"), 3), 8).as("sig"))
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3), 8).as("sig"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
     fromRows.foreach { case (id, sig) => assert(fromArray(id) == sig, s"doc $id") }
   }
