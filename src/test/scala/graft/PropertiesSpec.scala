@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{TextFunctions, TimeFunctions}
+import graft.operators.Masks
+
+/** Property-based checks (SURVEY §5.4): mask-composition laws, parse/format
+  * round-trips, normalization invariants — run through Spark on batched
+  * inputs so the properties exercise the real expressions.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strToTime ∘ timeToStr round-trips within format precision") {
+    val gen = for {
+      mant <- Gen.choose(1.0, 999.0)
+      exp <- Gen.choose(-14, 0)
+      sign <- Gen.oneOf(1.0, -1.0)
+    } yield sign * mant * math.pow(10.0, exp)
+    val values = (1 to 200).flatMap(i => gen.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+    val rows = values.toDF("v")
+      .select($"v", TimeFunctions.strToTime(TimeFunctions.timeToStr($"v")).as("rt"))
+      .collect()
+    rows.foreach { r =>
+      val (v, rt) = (r.getDouble(0), r.getDouble(1))
+      // the format keeps 2 decimals of the engineering mantissa → relative
+      // error bounded by 0.5% of the leading unit
+      assert(math.abs(v - rt) <= math.abs(v) * 5e-3 + 1e-18, s"$v -> $rt")
+    }
+  }
+
+  test("mask composition: subtract always wins over earlier adds") {
+    val grid = (for (y <- 0 until 16; x <- 0 until 16) yield (x, y)).toDF("x", "y")
+    val regions = Seq(
+      Masks.rectangle($"x", $"y", 1, 1, 10, 10),
+      Masks.circle($"x", $"y", 8, 8, 4),
+      Masks.halfPlane("x>12", $"x", $"y"))
+    for (r1 <- regions; r2 <- regions) {
+      val m = Masks.compose(Seq(Masks.Component(r1, add = true),
+        Masks.Component(r2, add = false)))
+      // nothing in r2 may remain masked
+      assert(grid.filter(m && r2).count() == 0)
+    }
+  }
+
+  test("mask union is commutative and bounded by its parts") {
+    val grid = (for (y <- 0 until 16; x <- 0 until 16) yield (x, y)).toDF("x", "y")
+    val a = Masks.circle($"x", $"y", 4, 4, 3)
+    val b = Masks.rectangle($"x", $"y", 8, 8, 14, 14)
+    val ab = grid.filter(Masks.union(Seq(a, b))).count()
+    val ba = grid.filter(Masks.union(Seq(b, a))).count()
+    assert(ab == ba)
+    assert(ab >= grid.filter(a).count() && ab >= grid.filter(b).count())
+    assert(ab <= grid.filter(a).count() + grid.filter(b).count())
+  }
+
+  test("normalizeAuto invariant: per-image mean of i_norm is exactly 1") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (img <- 0 until 20; q <- 0 until 8)
+      yield (s"img$img", q, rnd.nextInt(100) + 1.0, 1.0)
+    val curves = rows.toDF("image_id", "q_bin", "i", "err")
+    graft.operators.Azav.normalizeAuto(curves)
+      .groupBy("image_id").agg(avg($"i_norm").as("m"))
+      .collect().foreach(r => assert(approx(r.getAs[Double]("m"), 1.0, 1e-12)))
+  }
+
+  test("snapToGrid is idempotent and lands on the grid") {
+    val grid = Seq(-3.0, 0.0, 1.5, 7.0, 42.0)
+    val gen = Gen.choose(-50.0, 100.0)
+    val values = (1 to 300).flatMap(i => gen.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+    val snapped = values.toDF("v")
+      .select(graft.functions.NumericFunctions.snapToGrid($"v", grid).as("s"))
+      .select($"s", graft.functions.NumericFunctions.snapToGrid($"s", grid).as("ss"))
+      .collect()
+    snapped.foreach { r =>
+      assert(grid.contains(r.getDouble(0)))
+      assert(r.getDouble(0) == r.getDouble(1)) // idempotent
+    }
+  }
+
+  test("shingle identity: permuted docs share no order-sensitive shingles") {
+    val df = Seq(("a b c d e", "e d c b a")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.shingleHashes($"x", 3).as("sx"),
+      TextFunctions.shingleHashes($"y", 3).as("sy")).collect()(0)
+    assert(r.getSeq[Long](0).intersect(r.getSeq[Long](1)).isEmpty)
+    // and identical docs share all of them
+    val same = df.select(TextFunctions.shingleHashes($"x", 3).as("a"),
+      TextFunctions.shingleHashes($"x", 3).as("b")).collect()(0)
+    assert(same.getSeq[Long](0) == same.getSeq[Long](1))
+  }
+}
