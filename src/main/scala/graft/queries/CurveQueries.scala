@@ -245,6 +245,19 @@ object CurveQueries {
         |         THEN 1 ELSE 0 END)::BIGINT AS n_ref
         |FROM curves GROUP BY delay ORDER BY delay""".stripMargin)),
 
+    // A14 — global per-q mean/median over the whole run (the second
+    // aggregation without the delay key, trx/dataReduction.py:126-127).
+    QueryDef("q52_a14_global_stats",
+      (s, dir) =>
+        Reduction.globalStats(curves(s, dir).withColumn("diff", col("i")))
+          .select(col("q_bin"), r6(col("average")).as("average"),
+            r6(col("median")).as("median"))
+          .orderBy("q_bin"),
+      Some(s"""WITH ${curvesSql}
+        |SELECT q_bin, round(avg(i), 6) AS average,
+        |       round(median(i), 6) AS median
+        |FROM curves GROUP BY q_bin ORDER BY q_bin""".stripMargin)),
+
     // W2 — every-2nd-repetition reference thinning.
     QueryDef("q12_w2_ref_thinning",
       (s, dir) =>

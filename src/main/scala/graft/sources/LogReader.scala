@@ -83,6 +83,45 @@ object LogReader {
       .filter(col("delay").isNotNull && !isnan(col("delay")))
   }
 
+  /** J2 — log↔image reconciliation (trx/azav.py:351-356): keep only log
+    * rows whose file still exists in the image set (images may have been
+    * deleted); returns the surviving rows plus the dropped count for the
+    * reference's warning.
+    */
+  def reconcileLog(log: DataFrame, images: DataFrame,
+                   fileCol: String = "file"): (DataFrame, Long) = {
+    val kept = log.join(images.select(col(fileCol)).distinct(),
+      Seq(fileCol), "left_semi")
+    (kept, log.count() - kept.count())
+  }
+
+  /** J6 — dark-current correction (trx/id9.py:130-143): per-diode dark
+    * rates (parsed from log comments on the driver) are subtracted as
+    * `pd_i − dark_i · timeic` — broadcast scalars, plain column math.
+    */
+  def applyDarks(log: DataFrame, darks: Map[String, Double],
+                 integrationTimeCol: String = "timeic"): DataFrame =
+    darks.foldLeft(log) { case (df, (colName, rate)) =>
+      if (df.columns.contains(colName))
+        df.withColumn(colName,
+          col(colName).cast("double") - col(integrationTimeCol).cast("double") * rate)
+      else df
+    }
+
+  /** T4 — tolerant read of partially-written files (trx/id9.py:27-40):
+    * retry a driver-side read a few times before giving up.
+    */
+  def withRetry[A](attempts: Int = 4, sleepMs: Long = 200)(f: => A): A = {
+    var left = attempts
+    var last: Throwable = null
+    while (left > 0) {
+      try return f
+      catch { case e: Throwable => last = e; left -= 1
+        if (left > 0) Thread.sleep(sleepMs) }
+    }
+    throw last
+  }
+
   /** Motor dump (trx/id9.py:338-362): named columns, drop interleaved
     * repeated header rows, output (name, user, dial).
     */

@@ -97,6 +97,46 @@ class SourcesSpec extends SparkSpec {
     assert(approx(rows(0.1), 5.0) && approx(rows(0.2), 10.0))
   }
 
+  test("motor dump drops repeated header rows, parses user/dial") {
+    val dir = Files.createTempDirectory("mot")
+    val f = dir.resolve("motors.dump")
+    Files.writeString(f,
+      """# name user dial
+        |mot1 1.5 1.6
+        |name user dial
+        |mot2 2.5 2.6
+        |""".stripMargin)
+    val rows = LogReader.readMotorDump(spark, f.toString)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows == Map("mot1" -> ((1.5, 1.6)), "mot2" -> ((2.5, 2.6))))
+  }
+
+  test("J2 reconcileLog drops rows for deleted images and counts them") {
+    val log = Seq(("f1", 1.0), ("f2", 2.0), ("f3", 3.0)).toDF("file", "delay")
+    val images = Seq("f1", "f3").toDF("file")
+    val (kept, dropped) = LogReader.reconcileLog(log, images)
+    assert(kept.select("file").as[String].collect().toSet == Set("f1", "f3"))
+    assert(dropped == 1)
+  }
+
+  test("J6 applyDarks subtracts rate x integration time per diode") {
+    val log = Seq((10.0, 2.0), (20.0, 4.0)).toDF("pd1ic", "timeic")
+    val out = LogReader.applyDarks(log, Map("pd1ic" -> 0.5))
+      .select("pd1ic").as[Double].collect().sorted
+    assert(out.toSeq == Seq(9.0, 18.0))
+  }
+
+  test("T4 withRetry retries then succeeds / gives up") {
+    var n = 0
+    val v = LogReader.withRetry(attempts = 3, sleepMs = 1) {
+      n += 1; if (n < 3) sys.error("not yet"); 42
+    }
+    assert(v == 42 && n == 3)
+    intercept[RuntimeException] {
+      LogReader.withRetry(attempts = 2, sleepMs = 1)(sys.error("always"))
+    }
+  }
+
   test("bundle save/load round-trip and T2 manifest invalidation") {
     val dir = Files.createTempDirectory("bundle").toString
     val df = Seq((1, 2.0), (3, 4.0)).toDF("k", "v")
