@@ -86,6 +86,25 @@ object ScatteringFunctions {
     (t1, t2, t3)
   }
 
+  /** JVM-side twin of `pixelQ` for the fused integration kernel
+    * (Azav.integrateFrames): identical formulas on plain doubles.
+    */
+  def pixelQScala(x: Int, y: Int, g: Poni): Double = {
+    val p1 = (y + 0.5) * g.pixel1 - g.poni1
+    val p2 = (x + 0.5) * g.pixel2 - g.poni2
+    val L = g.dist
+    val c1 = math.cos(g.rot1); val s1 = math.sin(g.rot1)
+    val c2 = math.cos(g.rot2); val s2 = math.sin(g.rot2)
+    val c3 = math.cos(g.rot3); val s3 = math.sin(g.rot3)
+    val t1 = p1 * (c2 * c3) + p2 * (s1 * s2 * c3 - c1 * s3) +
+      L * (c1 * s2 * c3 + s1 * s3)
+    val t2 = p1 * (c2 * s3) + p2 * (s1 * s2 * s3 + c1 * c3) +
+      L * (c1 * s2 * s3 - s1 * c3)
+    val t3 = p1 * (-s2) + p2 * (s1 * c2) + L * (c1 * c2)
+    val tth = math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3)
+    4.0 * math.Pi / g.wavelengthA * math.sin(tth / 2.0)
+  }
+
   /** Per-pixel scattering angle 2θ = atan2(r_perp, t3). */
   def pixelTwoTheta(x: Column, y: Column, g: Poni): Column = {
     val (t1, t2, t3) = labCoords(x, y, g)

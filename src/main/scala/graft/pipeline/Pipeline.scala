@@ -28,6 +28,7 @@ object Pipeline {
       grid: Azav.QGrid,
       dark: Double = 0.0,
       mask: Option[Column] = None,
+      maskFn: Option[(Int, Int) => Boolean] = None,
       maskDescription: String = "",
       dezinger: Option[Double] = None) {
     /** T2 manifest — any change here invalidates saved results. */
@@ -60,28 +61,45 @@ object Pipeline {
     val saved: Option[DataFrame] =
       if (valid) Bundle.load(spark, storageDir).get("curves") else None
 
-    val pixels = ImageSource.readEdfFolder(spark, folder).toDF()
-    // J1 — keep only frames present in the log (when a log is given)
-    val withLog = log match {
-      case Some(l) => pixels.join(broadcast(l.select(col("file").as("image_id"))),
-        Seq("image_id"), "left_semi")
-      case None => pixels
-    }
-    // J3 — incremental: drop already-integrated images
-    val fresh = saved match {
-      case Some(s) => withLog.join(broadcast(s.select("image_id").distinct()),
-        Seq("image_id"), "left_anti")
-      case None => withLog
+    val binary = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.edf*").load(folder)
+    // The fused frame kernel (Azav.integrateFrames) is ~10-20× faster but
+    // cannot evaluate Column masks or dezinger; fall back to the pixel
+    // table when those are requested.
+    val useFused = config.mask.isEmpty && config.dezinger.isEmpty
+
+    def notProcessed(df: DataFrame): DataFrame = {
+      val withLog = log match {
+        case Some(l) => df.join(broadcast(l.select(col("file").as("image_id"))),
+          Seq("image_id"), "left_semi")
+        case None => df
+      }
+      saved match {
+        case Some(s) => withLog.join(broadcast(s.select("image_id").distinct()),
+          Seq("image_id"), "left_anti")
+        case None => withLog
+      }
     }
 
-    val geo = Azav.withGeometry(fresh, config.geometry, config.grid,
-      config.dark, config.mask)
-    val dez = config.dezinger.map(p => Azav.dezinger(geo, p)).getOrElse(geo)
-    val curves = dez.groupBy(col("image_id"), col("q_bin"))
-      .agg(avg(col("i_corr")).as("i"),
-        (sqrt(sum(col("i_corr"))) / count(lit(1))).as("err"),
-        count(lit(1)).as("n_pix"))
-      .withColumn("q", config.grid.center(col("q_bin")))
+    val integrated =
+      if (useFused) {
+        import spark.implicits._
+        val frames = ImageSource.readFrames(binary).toDF()
+        Azav.integrateFrames(
+          notProcessed(frames).as[graft.sources.ImageSource.Frame],
+          config.geometry, config.grid, config.dark, config.maskFn)
+      } else {
+        val pixels = notProcessed(ImageSource.pixelsFromBinary(binary))
+        val geo = Azav.withGeometry(pixels, config.geometry, config.grid,
+          config.dark, config.mask)
+        val dez = config.dezinger.map(p => Azav.dezinger(geo, p)).getOrElse(geo)
+        dez.groupBy(col("image_id"), col("q_bin"))
+          .agg(avg(col("i_corr")).as("i"),
+            (sqrt(sum(col("i_corr"))) / count(lit(1))).as("err"),
+            count(lit(1)).as("n_pix"))
+          .withColumn("q", config.grid.center(col("q_bin")))
+      }
+    val curves = integrated
       .withColumn("twotheta_rad",
         ScatteringFunctions.qToTwoTheta(col("q"), config.geometry.wavelengthA))
       .withColumn("twotheta_deg", degrees(col("twotheta_rad")))

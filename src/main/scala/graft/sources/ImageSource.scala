@@ -75,16 +75,39 @@ object ImageSource {
     (dim1, dim2, out)
   }
 
-  /** Read a folder of `*.edf` / `*.edf.gz` frames into the canonical pixel
-    * table `(image_id, y, x, intensity)`. One input file = one task =
-    * one image; downstream integration is a single hash aggregation.
+  /** One decoded frame: a single JVM object per FILE (never per pixel). */
+  final case class Frame(image_id: String, width: Int, height: Int,
+                         data: Array[Double])
+
+  /** Decode a (path, content) binary-file DataFrame into whole frames —
+    * one object per FILE. Input to both the pixel-table explosion and the
+    * fused integration kernel (Azav.integrateFrames).
     */
-  def readEdfFolder(spark: SparkSession, pathGlob: String): Dataset[Pixel] = {
+  def readFrames(binary: DataFrame): Dataset[Frame] = {
+    val spark = binary.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.edf*")
-      .load(pathGlob)
-      .select(col("path"), col("content"))
+    binary.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val gz = path.endsWith(".gz")
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val (w, h, data) = decodeEdf(bytes, gz)
+        Frame(name, w, h, data)
+      }
+  }
+
+  /** Decode a (path, content) binary-file DataFrame into the canonical
+    * pixel table `(image_id, x, y, intensity)` via a lazy flatMap
+    * iterator. (A whole-frame array column + posexplode was measured
+    * ~8× SLOWER — the Encoder copies the 8 MB array row before the
+    * generator runs; the flatMap streams pixels without materializing
+    * the frame row.) For maximum integration throughput skip the pixel
+    * table entirely: Azav.integrateFrames.
+    */
+  def pixelsFromBinary(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val gz = path.endsWith(".gz")
@@ -92,8 +115,18 @@ object ImageSource {
         val (w, h, data) = decodeEdf(bytes, gz)
         for (y <- 0 until h; x <- 0 until w)
           yield Pixel(name, y, x, data(y * w + x))
-      }
+      }.toDF()
   }
+
+  /** Read a folder of `*.edf` / `*.edf.gz` frames into the canonical pixel
+    * table `(image_id, x, y, intensity)`. One input file = one task =
+    * one image; downstream integration is a single hash aggregation.
+    */
+  def readEdfFolder(spark: SparkSession, pathGlob: String): DataFrame =
+    pixelsFromBinary(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.edf*")
+        .load(pathGlob))
 
   /** Encode a double image as a minimal EDF (DoubleValue, little-endian) —
     * interop sink for masks (trx/mask.py:146-155 K6).

@@ -44,15 +44,7 @@ object Online {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pixels = batch.select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (path, bytes) =>
-            val gz = path.endsWith(".gz")
-            val name = path.substring(path.lastIndexOf('/') + 1)
-            val (w, h, data) = graft.sources.ImageSource.decodeEdf(bytes, gz)
-            for (y <- 0 until h; x <- 0 until w)
-              yield graft.sources.ImageSource.Pixel(name, y, x, data(y * w + x))
-          }.toDF()
+        val pixels = graft.sources.ImageSource.pixelsFromBinary(batch)
         graft.operators.Azav.integrate1d(pixels, geometry, grid)
           .write.mode("append").parquet(curveDir)
         ()

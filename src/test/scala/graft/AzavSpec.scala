@@ -45,6 +45,35 @@ class AzavSpec extends SparkSpec {
     assert(Azav.integrate1d(flatImage, g, grid, mask = Some(mask)).count() == 0)
   }
 
+  test("fused frame kernel is equivalent to the declarative pixel path") {
+    import spark.implicits._
+    val frames = Seq(
+      graft.sources.ImageSource.Frame("a", 64, 64,
+        Array.tabulate(64 * 64)(i => (i % 37).toDouble)),
+      graft.sources.ImageSource.Frame("b", 64, 64,
+        Array.tabulate(64 * 64)(i => ((i * 7) % 53).toDouble))).toDS()
+    val pixels = frames.toDF().select(col("image_id"), col("width"),
+        posexplode(col("data")).as(Seq("pos", "intensity")))
+      .select(col("image_id"),
+        (col("pos") % col("width")).cast("int").as("x"),
+        expr("pos div width").cast("int").as("y"), col("intensity"))
+    val borderFn = (x: Int, y: Int) => x < 2 || x >= 62 || y < 2 || y >= 62
+    val borderCol = Masks.border(col("x"), col("y"), 2, 64, 64)
+    val a = Azav.integrate1d(pixels, g, grid, dark = 1.0, mask = Some(borderCol))
+      .select("image_id", "q_bin", "i", "err", "n_pix")
+      .orderBy("image_id", "q_bin").collect()
+    val b = Azav.integrateFrames(frames, g, grid, dark = 1.0, mask = Some(borderFn))
+      .select("image_id", "q_bin", "i", "err", "n_pix")
+      .orderBy("image_id", "q_bin").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (r1, r2) =>
+      assert(r1.getString(0) == r2.getString(0) && r1.getInt(1) == r2.getInt(1))
+      assert(approx(r1.getDouble(2), r2.getDouble(2)))
+      assert(approx(r1.getDouble(3), r2.getDouble(3)))
+      assert(r1.getLong(4) == r2.getLong(4))
+    }
+  }
+
   test("integrate2d covers all azimuth bins for a centered flat image") {
     val out = Azav.integrate2d(flatImage, g, grid, nAzim = 8).collect()
     val azBins = out.map(_.getAs[Int]("az_bin")).toSet

@@ -35,8 +35,8 @@ class SourcesSpec extends SparkSpec {
     val px = ImageSource.readEdfFolder(spark, dir.getPath)
     assert(px.count() == 6)
     val r = px.filter(col("y") === 1 && col("x") === 2).collect()(0)
-    assert(r.intensity == 5.0)
-    assert(r.image_id == "img_a.edf")
+    assert(r.getAs[Double]("intensity") == 5.0)
+    assert(r.getAs[String]("image_id") == "img_a.edf")
   }
 
   test("readLogFile: header from last comment, skip_first/skip_last") {
