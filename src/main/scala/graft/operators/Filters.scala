@@ -40,6 +40,16 @@ object Filters {
     med.join(mad, Seq("q_bin"))
   }
 
+  /** A8 fused: same statistics in ONE aggregation (one shuffle) via the
+    * single-pass median+MAD Aggregator — the scale path when the curve
+    * table is large enough that two shuffles dominate. Asserted equal to
+    * `zingerStats` in the test suite.
+    */
+  def zingerStatsOnePass(curves: DataFrame): DataFrame =
+    curves.groupBy(col("q_bin"))
+      .agg(graft.functions.MedianMadAgg(col("i")).as("mm"))
+      .select(col("q_bin"), col("mm.median").as("med_i"), col("mm.mad").as("mad_i"))
+
   /** Remove zingers using `zingerStats`; returns surviving rows. */
   def removeZingers(curves: DataFrame, nSigma: Double = 5.0): DataFrame = {
     val stats = zingerStats(curves)

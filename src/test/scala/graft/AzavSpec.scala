@@ -81,6 +81,23 @@ class AzavSpec extends SparkSpec {
     out.foreach(r => assert(approx(r.getAs[Double]("i"), 100.0, 1e-9)))
   }
 
+  test("geometry fidelity: a ring at known q lands in the right bin") {
+    // place a bright ring at the radius where q(r) = q0, verify the
+    // integrated peak appears in q0's bin (SURVEY §7.4 risk 3)
+    val q0 = 1.2
+    // invert q = 4π/λ sin(atan(r_m/L)/2) for the flat geometry
+    val tth = 2 * math.asin(q0 * g.wavelengthA / (4 * math.Pi))
+    val rPix = g.dist * math.tan(tth) / g.pixel1 // metres → pixels
+    val px = (for (y <- 0 until 64; x <- 0 until 64) yield {
+      val r = math.hypot(x + 0.5 - 32.5, y + 0.5 - 32.5)
+      ("ring", y, x, if (math.abs(r - rPix) < 0.7) 1000.0 else 1.0)
+    }).toDF("image_id", "y", "x", "intensity")
+    val out = Azav.integrate1d(px, g, grid).collect()
+    val peakBin = out.maxBy(_.getAs[Double]("i")).getAs[Int]("q_bin")
+    assert(math.abs(peakBin - ((q0 - grid.qMin) / grid.dq).toInt) <= 1,
+      s"peak bin $peakBin vs expected ${((q0 - grid.qMin) / grid.dq).toInt}")
+  }
+
   test("dezinger drops outlier pixels within a ring") {
     val spiked = flatImage.withColumn("intensity",
       when(col("x") === 40 && col("y") === 32, 10000.0).otherwise(col("intensity")))

@@ -16,6 +16,23 @@ class FiltersSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("mad_i"), 1.0))
   }
 
+  test("single-pass median+MAD equals the two-pass formulation") {
+    val rnd = new scala.util.Random(5)
+    val rows = for (q <- 1 to 6; i <- 1 to 40)
+      yield (i, q, rnd.nextInt(1000) / 10.0)
+    val curves = rows.toDF("image_idx", "q_bin", "i")
+    val twoPass = Filters.zingerStats(curves).collect()
+      .map(r => r.getAs[Int]("q_bin") ->
+        (r.getAs[Double]("med_i"), r.getAs[Double]("mad_i"))).toMap
+    val onePass = Filters.zingerStatsOnePass(curves).collect()
+      .map(r => r.getAs[Int]("q_bin") ->
+        (r.getAs[Double]("med_i"), r.getAs[Double]("mad_i"))).toMap
+    assert(twoPass.keySet == onePass.keySet)
+    twoPass.foreach { case (k, (m, d)) =>
+      assert(approx(onePass(k)._1, m) && approx(onePass(k)._2, d), s"bin $k")
+    }
+  }
+
   test("removeZingers drops far outliers, keeps the bulk") {
     val base = (1 to 20).map(i => (i, 1, 10.0 + (i % 3)))
     val withZinger = base :+ (21, 1, 1000.0)
