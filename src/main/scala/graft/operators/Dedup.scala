@@ -177,7 +177,10 @@ object Dedup {
     val ranked = sh.join(df, Seq("s"))
       .withColumn("_rn", row_number().over(byRarity))
       .withColumn("n_sh", count(lit(1)).over(docSize))
-    val prefixLen = floor(col("n_sh") * (1.0 - threshold)).cast("int") + 1
+    // ⌊|S|·(1−t)⌋+1 with an epsilon: in doubles 1−0.8 = 0.19999…, so
+    // 10·(1−0.8) floors to 1 instead of 2 and the prefix loses the element
+    // the losslessness proof needs. Erring long only adds candidates.
+    val prefixLen = floor(col("n_sh") * (1.0 - threshold) + 1e-9).cast("int") + 1
     val prefix = ranked.filter(col("_rn") <= prefixLen)
     val cand = prefix.select(col("s"), col("id").as("id_a"))
       .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
