@@ -59,6 +59,54 @@ class ReductionSpec extends SparkSpec {
     assert(m(1).isEmpty)
   }
 
+  test("interpolation matches a brute-force reference on random inputs") {
+    val rnd = new scala.util.Random(42)
+    val delays = Seq(0.0, 1e-9, 2e-9)
+    val rows = for {
+      q <- 1 to 4
+      idx <- 0 until 60
+      if rnd.nextDouble() > 0.2 // ragged: not every (bin, idx) present
+    } yield (idx, delays(rnd.nextInt(delays.size)), q, rnd.nextDouble() * 100)
+
+    // brute force, per q_bin: scan for nearest refs, mirror the clamping
+    // and self-exclusion rules of trx/dataReduction.py:15-85
+    def brute(part: Seq[(Int, Double, Int, Double)]): Map[Int, Option[Double]] = {
+      val sorted = part.sortBy(_._1)
+      val refs = sorted.filter(_._2 == 0.0)
+      sorted.map { case (idx, delay, _, _) =>
+        val usable = if (delay == 0.0) refs.filterNot(_._1 == idx) else refs
+        val before = usable.filter(_._1 < idx).lastOption
+        val after = usable.find(_._1 > idx)
+        val v = (before, after) match {
+          case (None, None) => None
+          case (Some(b), None) => Some(b._4)
+          case (None, Some(a)) => Some(a._4)
+          case (Some(b), Some(a)) =>
+            Some(b._4 + (a._4 - b._4) * (idx - b._1).toDouble / (a._1 - b._1))
+        }
+        idx -> v
+      }.toMap
+    }
+
+    val got = Reduction.interpolateReferences(
+      Reduction.tagReferences(rows.toDF("image_idx", "delay", "q_bin", "i")))
+      .select("q_bin", "image_idx", "i_ref").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        Option(r.getAs[java.lang.Double]("i_ref")).map(_.toDouble)).toMap
+
+    rows.groupBy(_._3).foreach { case (q, part) =>
+      val expected = brute(part)
+      part.foreach { case (idx, _, _, _) =>
+        val (g, e) = (got((q, idx)), expected(idx))
+        (g, e) match {
+          case (Some(a), Some(b)) => assert(approx(a, b), s"bin $q idx $idx: $a vs $b")
+          case (None, None) =>
+          case _ => fail(s"bin $q idx $idx: $g vs $e")
+        }
+      }
+    }
+  }
+
   test("tagReferences excludes the laser-off sentinel from min()") {
     val df = curves((0, -10.0, 1, 1.0), (1, 2.0, 1, 1.0), (2, 5.0, 1, 1.0))
     val refs = Reduction.tagReferences(df)

@@ -66,6 +66,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart resumes without reprocessing old frames") {
+    val frames = Files.createTempDirectory("cr-frames").toString
+    val ck = Files.createTempDirectory("cr-ck").toString
+    val curves = Files.createTempDirectory("cr-curves").toString + "/curves"
+    def frame(name: String, level: Double): Unit =
+      Files.write(java.nio.file.Paths.get(frames, name),
+        graft.sources.ImageSource.encodeEdf(8, 8, Array.fill(64)(level)))
+    val g = graft.functions.ScatteringFunctions.Poni(
+      dist = 0.1, poni1 = 0.004, poni2 = 0.004,
+      pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+    val grid = graft.operators.Azav.QGrid(0.0, 3.0, 5)
+
+    frame("f0.edf", 10.0)
+    val q1 = graft.streaming.Online.streamingAzav(spark, frames, ck, curves, g, grid)
+    try { q1.processAllAvailable() } finally q1.stop()
+    val n1 = spark.read.parquet(curves).count()
+
+    // restart from the same checkpoint; add one new frame
+    frame("f1.edf", 20.0)
+    val q2 = graft.streaming.Online.streamingAzav(spark, frames, ck, curves, g, grid)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val after = spark.read.parquet(curves)
+    // f0 appears exactly once (not reprocessed), f1 appended
+    assert(after.filter($"image_id" === "f0.edf").count() == n1)
+    assert(after.select("image_id").distinct().count() == 2)
+  }
+
   test("foreachBatch full re-reduction converges to the batch result") {
     val inDir = Files.createTempDirectory("s2-in").toString
     val ckDir = Files.createTempDirectory("s2-ck").toString
