@@ -65,6 +65,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(1.5), Some(2000.0), None, None, Some(-0.5)))
   }
 
+  test("SQL registry: graft_* functions callable from spark.sql") {
+    graft.functions.SqlRegistry.register(spark)
+    val r = spark.sql(
+      """SELECT graft_str_to_time('100ps') AS a,
+        |       graft_str_to_time('off') AS b,
+        |       graft_time_to_str(1.5e-9) AS c,
+        |       graft_transmission(1.0, 2.0) AS d""".stripMargin).collect()(0)
+    assert(approx(r.getAs[Double]("a"), 1e-10))
+    assert(approx(r.getAs[Double]("b"), -10.0))
+    assert(r.getAs[String]("c") == "+1.50ns")
+    assert(approx(r.getAs[Double]("d"), math.exp(-0.5), 1e-12))
+  }
+
   // ------------------------------------------------------- scattering ----
   test("q ↔ 2θ round-trip and E ↔ λ") {
     val lambda = 1.54
