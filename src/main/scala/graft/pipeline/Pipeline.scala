@@ -57,16 +57,37 @@ object Pipeline {
   def doFolderAzav(spark: SparkSession, folder: String, storageDir: String,
                    config: AzavConfig,
                    log: Option[DataFrame] = None): DataFrame = {
+    // Persistence is APPEND-mode: an incremental pass writes only the new
+    // images' curves (O(new), not O(history) — at 10⁷ images rewriting the
+    // store per increment would dominate). A manifest mismatch (T2) drops
+    // the store and reintegrates everything.
+    val curvesPath = s"$storageDir/curves.parquet"
     val valid = Bundle.isValid(storageDir, config.manifest)
+    if (!valid) {
+      val dir = new java.io.File(curvesPath)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     val saved: Option[DataFrame] =
-      if (valid) Bundle.load(spark, storageDir).get("curves") else None
+      if (valid && new java.io.File(curvesPath).exists())
+        Some(spark.read.parquet(curvesPath))
+      else None
 
-    val binary = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.edf*").load(folder)
-    // The fused frame kernel (Azav.integrateFrames) is ~10-20× faster but
-    // cannot evaluate Column masks or dezinger; fall back to the pixel
-    // table when those are requested.
-    val useFused = config.mask.isEmpty && config.dezinger.isEmpty
+    // J1 (log semi-join) and J3 (already-processed anti-join) are resolved
+    // on METADATA ONLY: binaryFile reads file content lazily per projected
+    // column, and a join cannot push its filter into the scan — so the
+    // reconciliation runs on (path, image_id) alone and only the FRESH
+    // paths are loaded with content. (This is the same driver-side file
+    // tracking the Structured Streaming file source uses.)
+    def withId(df: DataFrame): DataFrame =
+      df.withColumn("image_id", element_at(split(col("path"), "/"), -1))
+    val meta = withId(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.edf*").load(folder).select(col("path")))
 
     def notProcessed(df: DataFrame): DataFrame = {
       val withLog = log match {
@@ -80,16 +101,25 @@ object Pipeline {
         case None => withLog
       }
     }
+    val freshPaths = notProcessed(meta).select("path").collect().map(_.getString(0))
+    if (freshPaths.isEmpty) {
+      Bundle.writeManifest(storageDir, config.manifest)
+      return spark.read.parquet(curvesPath)
+    }
+    val freshBinary = withId(
+      spark.read.format("binaryFile").load(freshPaths: _*))
+
+    // The fused frame kernel (Azav.integrateFrames) is ~10-20× faster but
+    // cannot evaluate Column masks or dezinger; fall back to the pixel
+    // table when those are requested.
+    val useFused = config.mask.isEmpty && config.dezinger.isEmpty
 
     val integrated =
       if (useFused) {
-        import spark.implicits._
-        val frames = ImageSource.readFrames(binary).toDF()
-        Azav.integrateFrames(
-          notProcessed(frames).as[graft.sources.ImageSource.Frame],
+        Azav.integrateFrames(ImageSource.readFrames(freshBinary),
           config.geometry, config.grid, config.dark, config.maskFn)
       } else {
-        val pixels = notProcessed(ImageSource.pixelsFromBinary(binary))
+        val pixels = ImageSource.pixelsFromBinary(freshBinary)
         val geo = Azav.withGeometry(pixels, config.geometry, config.grid,
           config.dark, config.mask)
         val dez = config.dezinger.map(p => Azav.dezinger(geo, p)).getOrElse(geo)
@@ -104,13 +134,9 @@ object Pipeline {
         ScatteringFunctions.qToTwoTheta(col("q"), config.geometry.wavelengthA))
       .withColumn("twotheta_deg", degrees(col("twotheta_rad")))
 
-    val all = saved match {
-      case Some(s) => s.unionByName(curves, allowMissingColumns = true)
-      case None => curves
-    }
-    val materialized = all.localCheckpoint()
-    Bundle.save(storageDir, Map("curves" -> materialized), config.manifest)
-    materialized
+    curves.write.mode("append").parquet(curvesPath)
+    Bundle.writeManifest(storageDir, config.manifest)
+    spark.read.parquet(curvesPath)
   }
 
   final case class ReductionConfig(
