@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.ScatteringFunctions
 import graft.functions.ScatteringFunctions.Poni
 import graft.operators.{Azav, Filters, Reduction}
-import graft.sources.{Bundle, ImageSource, LogReader}
+import graft.sources.{Bundle, ImageSource}
 
 /** End-to-end orchestration of the reference's two entry points
   * (SURVEY §3):
@@ -104,7 +104,11 @@ object Pipeline {
     val freshPaths = notProcessed(meta).select("path").collect().map(_.getString(0))
     if (freshPaths.isEmpty) {
       Bundle.writeManifest(storageDir, config.manifest)
-      return spark.read.parquet(curvesPath)
+      return saved.getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "image_id STRING, q_bin INT, i DOUBLE, err DOUBLE, n_pix BIGINT, " +
+              "q DOUBLE, twotheta_rad DOUBLE, twotheta_deg DOUBLE")))
     }
     val freshBinary = withId(
       spark.read.format("binaryFile").load(freshPaths: _*))
@@ -167,7 +171,6 @@ object Pipeline {
 
     // A4 + A10 — per-repetition chi² outlier cut, then re-average survivors
     val chi2 = Reduction.chi2PerRepetition(diffs)
-      .withColumnRenamed("chi2_0", "chi2_0")
     val keep = Filters.chi2Filter(chi2, config.chi2Threshold)
       .select(col("delay"), col("image_idx"))
     val surviving = diffs.join(keep, Seq("delay", "image_idx"), "left_semi")
