@@ -44,8 +44,8 @@ object Online {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pixels = graft.sources.ImageSource.pixelsFromBinary(batch)
-        graft.operators.Azav.integrate1d(pixels, geometry, grid)
+        graft.operators.Azav.integrateFrames(
+          graft.sources.ImageSource.readFrames(batch), geometry, grid)
           .write.mode("append").parquet(curveDir)
         ()
       }
