@@ -105,6 +105,21 @@ object ScatteringFunctions {
     4.0 * math.Pi / g.wavelengthA * math.sin(tth / 2.0)
   }
 
+  /** JVM-side twin of `pixelChi` for the fused 2-D kernel. */
+  def pixelChiScala(x: Int, y: Int, g: Poni): Double = {
+    val p1 = (y + 0.5) * g.pixel1 - g.poni1
+    val p2 = (x + 0.5) * g.pixel2 - g.poni2
+    val L = g.dist
+    val c1 = math.cos(g.rot1); val s1 = math.sin(g.rot1)
+    val c2 = math.cos(g.rot2); val s2 = math.sin(g.rot2)
+    val c3 = math.cos(g.rot3); val s3 = math.sin(g.rot3)
+    val t1 = p1 * (c2 * c3) + p2 * (s1 * s2 * c3 - c1 * s3) +
+      L * (c1 * s2 * c3 + s1 * s3)
+    val t2 = p1 * (c2 * s3) + p2 * (s1 * s2 * s3 + c1 * c3) +
+      L * (c1 * s2 * s3 - s1 * c3)
+    math.atan2(t1, t2)
+  }
+
   /** Per-pixel scattering angle 2θ = atan2(r_perp, t3). */
   def pixelTwoTheta(x: Column, y: Column, g: Poni): Column = {
     val (t1, t2, t3) = labCoords(x, y, g)

@@ -122,6 +122,57 @@ object Azav {
     out.withColumn("q", grid.center(org.apache.spark.sql.functions.col("q_bin")))
   }
 
+  /** Fused 2-D "cake" kernel: like `integrateFrames` but keyed by
+    * (q_bin, azimuth bin) — the per-task lookup table stores both indices
+    * packed into one int.
+    */
+  def integrate2dFrames(frames: org.apache.spark.sql.Dataset[graft.sources.ImageSource.Frame],
+                        g: Poni, grid: QGrid, nAzim: Int = 360,
+                        dark: Double = 0.0,
+                        mask: Option[(Int, Int) => Boolean] = None): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val nQ = grid.nQ
+    val out = frames.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+      def bins(w: Int, h: Int): Array[Int] =
+        cache.getOrElseUpdate((w, h), {
+          val b = new Array[Int](w * h)
+          var i = 0
+          while (i < b.length) {
+            val x = i % w; val y = i / w
+            if (mask.exists(m => m(x, y))) b(i) = -1
+            else {
+              val q = graft.functions.ScatteringFunctions.pixelQScala(x, y, g)
+              if (q >= grid.qMin && q < grid.qMax) {
+                val qb = ((q - grid.qMin) / grid.dq).toInt
+                val chi = graft.functions.ScatteringFunctions.pixelChiScala(x, y, g)
+                val ab = math.min(((chi + math.Pi) / (2 * math.Pi / nAzim)).toInt, nAzim - 1)
+                b(i) = qb * nAzim + ab
+              } else b(i) = -1
+            }
+            i += 1
+          }
+          b
+        })
+      it.flatMap { f =>
+        val bi = bins(f.width, f.height)
+        val sums = new Array[Double](nQ * nAzim)
+        val counts = new Array[Long](nQ * nAzim)
+        var i = 0
+        while (i < f.data.length) {
+          val b = bi(i)
+          if (b >= 0) { sums(b) += f.data(i) - dark; counts(b) += 1 }
+          i += 1
+        }
+        (0 until nQ * nAzim).iterator.filter(counts(_) > 0).map { b =>
+          (f.image_id, b / nAzim, b % nAzim, sums(b) / counts(b), counts(b))
+        }
+      }
+    }.toDF("image_id", "q_bin", "az_bin", "i", "n_pix")
+    out.withColumn("q", grid.center(org.apache.spark.sql.functions.col("q_bin")))
+  }
+
   /** 2-D "cake" integration (trx/azav.py:156-171): adds an azimuth bin key. */
   def integrate2d(pixels: DataFrame, g: Poni, grid: QGrid, nAzim: Int = 360,
                   dark: Double = 0.0, mask: Option[Column] = None): DataFrame = {

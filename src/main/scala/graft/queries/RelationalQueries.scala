@@ -348,6 +348,29 @@ object RelationalQueries {
         |       round(any_value(sheet), 6) AS sheet
         |FROM v GROUP BY tth ORDER BY tth""".stripMargin)),
 
+    // A1 with azimuth restriction (trx/azav.py:131-154 `azimuth_range`).
+    QueryDef("q53_a1_azimuth_range",
+      (s, dir) => {
+        val px = pixels(s, dir)
+        val border = Masks.border(col("x"), col("y"), 2, 64, 64)
+        Azav.integrate1d(px, G, Grid, mask = Some(border),
+            azimuthRange = Some((0.0, math.Pi / 2)))
+          .select(col("image_id"), col("q_bin"), r6(col("i")).as("i"),
+            col("n_pix"))
+          .orderBy("image_id", "q_bin")
+      },
+      Some(s"""WITH ${pixelsSql},
+        |${geoSql},
+        |binned AS (
+        |  SELECT image_id, floor(q / ${Grid.dq})::INT AS q_bin, intensity
+        |  FROM geo
+        |  WHERE q >= ${Grid.qMin} AND q < ${Grid.qMax}
+        |    AND chi >= 0.0 AND chi <= ${math.Pi / 2})
+        |SELECT image_id, q_bin, round(avg(intensity), 6) AS i,
+        |       count(*) AS n_pix
+        |FROM binned GROUP BY image_id, q_bin
+        |ORDER BY image_id, q_bin""".stripMargin)),
+
     // A2 — 2-D "cake" integration (q_bin × azimuth bin).
     QueryDef("q25_a2_integrate2d",
       (s, dir) => {

@@ -74,6 +74,29 @@ class AzavSpec extends SparkSpec {
     }
   }
 
+  test("fused 2-D cake kernel equals the declarative integrate2d") {
+    import spark.implicits._
+    val frames = Seq(graft.sources.ImageSource.Frame("a", 64, 64,
+      Array.tabulate(64 * 64)(i => ((i * 13) % 41).toDouble))).toDS()
+    val pixels = frames.toDF().select(col("image_id"), col("width"),
+        posexplode(col("data")).as(Seq("pos", "intensity")))
+      .select(col("image_id"),
+        (col("pos") % col("width")).cast("int").as("x"),
+        expr("pos div width").cast("int").as("y"), col("intensity"))
+    val a = Azav.integrate2d(pixels, g, grid, nAzim = 8)
+      .select("image_id", "q_bin", "az_bin", "i", "n_pix")
+      .orderBy("q_bin", "az_bin").collect()
+    val b = Azav.integrate2dFrames(frames, g, grid, nAzim = 8)
+      .select("image_id", "q_bin", "az_bin", "i", "n_pix")
+      .orderBy("q_bin", "az_bin").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (r1, r2) =>
+      assert(r1.getInt(1) == r2.getInt(1) && r1.getInt(2) == r2.getInt(2))
+      assert(approx(r1.getDouble(3), r2.getDouble(3)))
+      assert(r1.getLong(4) == r2.getLong(4))
+    }
+  }
+
   test("integrate2d covers all azimuth bins for a centered flat image") {
     val out = Azav.integrate2d(flatImage, g, grid, nAzim = 8).collect()
     val azBins = out.map(_.getAs[Int]("az_bin")).toSet
