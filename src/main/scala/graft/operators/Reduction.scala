@@ -121,11 +121,16 @@ object Reduction {
     * noise = stddev across reps; error-of-mean = noise/√n. Output grain:
     * (delay, q_bin).
     */
-  def averageScanPoints(diffs: DataFrame, useMedian: Boolean = false): DataFrame = {
+  /** `extraKeys` implements F8 (trx/id9.py:246-263 `split_angle`): the
+    * reference loops the whole reduction once per unique log angle; here
+    * the angle is just one more grouping key — one pass, no loop.
+    */
+  def averageScanPoints(diffs: DataFrame, useMedian: Boolean = false,
+                        extraKeys: Seq[String] = Nil): DataFrame = {
     val center = if (useMedian) median(col("diff")) else avg(col("diff"))
     diffs
       .withColumn("delay", TimeFunctions.canonicalDelay(col("delay")))
-      .groupBy(col("delay"), col("q_bin"))
+      .groupBy((Seq("delay", "q_bin") ++ extraKeys).map(col): _*)
       .agg(
         center.as("diff_av"),
         stddev(col("diff")).as("noise"),
@@ -138,8 +143,10 @@ object Reduction {
     * chi²₀ = Σ_q ((diff − mean_q)/noise_q)² / nQ. Feeds the chi² outlier
     * filter (Filters.chi2Filter).
     */
-  def chi2PerRepetition(diffs: DataFrame): DataFrame = {
-    val grp = Window.partitionBy(col("delay"), col("q_bin"))
+  def chi2PerRepetition(diffs: DataFrame,
+                        extraKeys: Seq[String] = Nil): DataFrame = {
+    val grp = Window.partitionBy(
+      (Seq("delay", "q_bin") ++ extraKeys).map(col): _*)
     diffs
       .withColumn("_mean", avg(col("diff")).over(grp))
       .withColumn("_noise", stddev(col("diff")).over(grp))

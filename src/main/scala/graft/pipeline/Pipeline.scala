@@ -148,7 +148,11 @@ object Pipeline {
       monitorRange: Option[(Double, Double)] = None,
       useRatio: Boolean = false,
       useMedian: Boolean = false,
-      chi2Threshold: Option[Double] = None)
+      chi2Threshold: Option[Double] = None,
+      /** F8 — extra split keys (e.g. "angle"): one more grouping column
+        * instead of the reference's per-angle reduction loop.
+        */
+      splitKeys: Seq[String] = Nil)
 
   /** E2 — curves (image grain, with a `delay` column attached from the
     * log) → per-delay difference signal. Composition:
@@ -170,12 +174,14 @@ object Pipeline {
     val diffs = Reduction.diffSignal(withRef, config.useRatio)
 
     // A4 + A10 — per-repetition chi² outlier cut, then re-average survivors
-    val chi2 = Reduction.chi2PerRepetition(diffs)
+    // (ensemble statistics split by the F8 keys, as the reference's
+    // per-angle loop would)
+    val chi2 = Reduction.chi2PerRepetition(diffs, config.splitKeys)
     val keep = Filters.chi2Filter(chi2, config.chi2Threshold)
       .select(col("delay"), col("image_idx"))
     val surviving = diffs.join(keep, Seq("delay", "image_idx"), "left_semi")
 
     val thinned = Reduction.thinReferences(surviving)
-    Reduction.averageScanPoints(thinned, config.useMedian)
+    Reduction.averageScanPoints(thinned, config.useMedian, config.splitKeys)
   }
 }

@@ -48,6 +48,24 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.sources.Bundle.isValid(storage, cfg.manifest))
   }
 
+  test("E2 splitKeys (F8): one pass groups per angle, no loop") {
+    val rows = for (img <- 0 until 8; q <- 0 until 3) yield
+      (img, if (img % 2 == 0) 0.0 else 1e-9, q,
+        10.0 + q + (if (img % 2 == 1) (if (img < 4) 1.0 else 3.0) else 0.0),
+        0.1, if (img < 4) 0.0 else 45.0)
+    val curves = rows.toDF("image_idx", "delay", "q_bin", "i", "err", "angle")
+    // explicit chi2 threshold: the fixture's repetitions agree exactly, so
+    // the 'auto' 95th-percentile cut (strict <) would reject everything
+    val reduced = Pipeline.doDataRed(curves,
+      Pipeline.ReductionConfig(chi2Threshold = Some(100.0),
+        splitKeys = Seq("angle")))
+    val m = reduced.collect().map(r =>
+      (r.getAs[Double]("delay"), r.getAs[Double]("angle")) ->
+        r.getAs[Double]("diff_av")).toMap
+    assert(approx(m((1e-9, 0.0)), 1.0, 1e-9))
+    assert(approx(m((1e-9, 45.0)), 3.0, 1e-9))
+  }
+
   test("E2 reduces curves to per-delay differences with chi2 filtering") {
     // 8 images × 5 bins; delays alternate 0 (ref) and 1e-9
     val rows = for (img <- 0 until 8; q <- 0 until 5) yield
