@@ -48,6 +48,17 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.sources.Bundle.isValid(storage, cfg.manifest))
   }
 
+  test("E1 log semi-join (J1): only frames present in the log integrate") {
+    val folder = Files.createTempDirectory("j1-frames").toString
+    val storage = Files.createTempDirectory("j1-store").toString
+    writeFrame(folder, "in_log.edf", 100.0)
+    writeFrame(folder, "not_in_log.edf", 200.0)
+    val log = Seq(("in_log.edf", 1e-9)).toDF("file", "delay")
+    val curves = Pipeline.doFolderAzav(spark, folder, storage, cfg, log = Some(log))
+    val ids = curves.select("image_id").distinct().as[String].collect().toSet
+    assert(ids == Set("in_log.edf"))
+  }
+
   test("E2 splitKeys (F8): one pass groups per angle, no loop") {
     val rows = for (img <- 0 until 8; q <- 0 until 3) yield
       (img, if (img % 2 == 0) 0.0 else 1e-9, q,
