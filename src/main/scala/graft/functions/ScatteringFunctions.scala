@@ -136,6 +136,17 @@ object ScatteringFunctions {
     atan2(t1, t2)
   }
 
+  /** Polarization correction factor (Kahn convention, the published model
+    * pyFAI applies inside `integrate1d` — trx passes `polarization_factor`
+    * straight through, trx/azav.py:131-154):
+    * P(2θ, χ; p) = ½·(1 + cos²2θ − p·cos(2χ)·sin²2θ).
+    * Intensities are divided by P before binning.
+    */
+  def polarizationFactor(twoThetaRad: Column, chiRad: Column,
+                         factor: Double): Column =
+    (lit(1.0) + pow(cos(twoThetaRad), 2) -
+      lit(factor) * cos(chiRad * 2.0) * pow(sin(twoThetaRad), 2)) / 2.0
+
   /** Triclinic unit cell; metric-tensor d-spacing (trx/cell.py:8-41). */
   final case class UnitCell(
       a: Double, b: Double, c: Double,

@@ -35,13 +35,22 @@ object Azav {
     * arithmetic / predicates applied before aggregation (azav.py:133-140).
     */
   def withGeometry(pixels: DataFrame, g: Poni, grid: QGrid,
-                   dark: Double = 0.0, mask: Option[Column] = None): DataFrame = {
+                   dark: Double = 0.0, mask: Option[Column] = None,
+                   polarizationFactor: Option[Double] = None): DataFrame = {
     val x = col("x"); val y = col("y")
+    val corrected = polarizationFactor match {
+      case Some(p) =>
+        (col("intensity").cast("double") - dark) /
+          ScatteringFunctions.polarizationFactor(
+            ScatteringFunctions.pixelTwoTheta(x, y, g),
+            ScatteringFunctions.pixelChi(x, y, g), p)
+      case None => col("intensity").cast("double") - dark
+    }
     val base = pixels
       .withColumn("q", ScatteringFunctions.pixelQ(x, y, g))
       .withColumn("chi", ScatteringFunctions.pixelChi(x, y, g))
       .withColumn("q_bin", grid.bin(col("q")))
-      .withColumn("i_corr", col("intensity").cast("double") - dark)
+      .withColumn("i_corr", corrected)
     val kept = mask.map(m => base.filter(!m)).getOrElse(base)
     kept.filter(col("q_bin").isNotNull)
   }
@@ -52,8 +61,9 @@ object Azav {
     */
   def integrate1d(pixels: DataFrame, g: Poni, grid: QGrid,
                   dark: Double = 0.0, mask: Option[Column] = None,
-                  azimuthRange: Option[(Double, Double)] = None): DataFrame = {
-    val geo = withGeometry(pixels, g, grid, dark, mask)
+                  azimuthRange: Option[(Double, Double)] = None,
+                  polarizationFactor: Option[Double] = None): DataFrame = {
+    val geo = withGeometry(pixels, g, grid, dark, mask, polarizationFactor)
     val az = azimuthRange.map { case (lo, hi) =>
       geo.filter(col("chi").between(lo, hi))
     }.getOrElse(geo)

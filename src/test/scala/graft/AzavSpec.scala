@@ -39,6 +39,19 @@ class AzavSpec extends SparkSpec {
     assert(maxBin <= (2.8 / grid.dq).toInt)
   }
 
+  test("polarization correction: P = 1 at 2θ = 0, boosts in-plane intensity") {
+    val out = Azav.integrate1d(flatImage, g, grid,
+      polarizationFactor = Some(0.99)).collect()
+      .map(r => r.getAs[Int]("q_bin") -> r.getAs[Double]("i")).toMap
+    val raw = Azav.integrate1d(flatImage, g, grid).collect()
+      .map(r => r.getAs[Int]("q_bin") -> r.getAs[Double]("i")).toMap
+    // near the beam center 2θ≈0 → P≈1 → unchanged; outer bins 2θ>0 →
+    // average P < 1 → corrected intensity above raw
+    assert(approx(out(0), raw(0), 0.01))
+    val outer = out.keys.max
+    assert(out(outer) > raw(outer))
+  }
+
   test("masked pixels are excluded") {
     val mask = Masks.rectangle(col("x").cast("double"), col("y").cast("double"),
       -1, -1, 64, 64) // everything
