@@ -22,12 +22,21 @@ import graft.functions.ScatteringFunctions.Poni
   */
 object Azav {
 
-  /** Equispaced q grid: bin index + bin center columns. */
+  /** Equispaced q grid: bin index + bin center columns.
+    *
+    * `dq` is rounded, so for q just below qMax the raw index can hit nQ
+    * (FP edge); clamp to nQ-1 as pyFAI does.
+    */
   final case class QGrid(qMin: Double, qMax: Double, nQ: Int) {
     val dq: Double = (qMax - qMin) / nQ
     def bin(q: Column): Column =
-      when(q >= qMin && q < qMax, floor((q - qMin) / dq).cast("int"))
+      when(q >= qMin && q < qMax,
+        least(floor((q - qMin) / dq).cast("int"), lit(nQ - 1)))
     def center(bin: Column): Column = lit(qMin) + (bin + 0.5) * dq
+    /** Scala twin of `bin` for the fused kernels; -1 = out of range. */
+    def binScala(q: Double): Int =
+      if (q >= qMin && q < qMax) math.min(((q - qMin) / dq).toInt, nQ - 1)
+      else -1
   }
 
   /** Add geometry-derived columns (q, chi, q_bin) to a pixel table with
@@ -102,13 +111,8 @@ object Azav {
             val x = i % w; val y = i / w
             val masked = mask.exists(m => m(x, y))
             if (masked) b(i) = -1
-            else {
-              val q = graft.functions.ScatteringFunctions.pixelQScala(x, y, g)
-              b(i) =
-                if (q >= grid.qMin && q < grid.qMax)
-                  ((q - grid.qMin) / grid.dq).toInt
-                else -1
-            }
+            else b(i) = grid.binScala(
+              graft.functions.ScatteringFunctions.pixelQScala(x, y, g))
             i += 1
           }
           b
@@ -153,9 +157,9 @@ object Azav {
             val x = i % w; val y = i / w
             if (mask.exists(m => m(x, y))) b(i) = -1
             else {
-              val q = graft.functions.ScatteringFunctions.pixelQScala(x, y, g)
-              if (q >= grid.qMin && q < grid.qMax) {
-                val qb = ((q - grid.qMin) / grid.dq).toInt
+              val qb = grid.binScala(
+                graft.functions.ScatteringFunctions.pixelQScala(x, y, g))
+              if (qb >= 0) {
                 val chi = graft.functions.ScatteringFunctions.pixelChiScala(x, y, g)
                 val ab = math.min(((chi + math.Pi) / (2 * math.Pi / nAzim)).toInt, nAzim - 1)
                 b(i) = qb * nAzim + ab

@@ -182,9 +182,26 @@ object Dedup {
     // the losslessness proof needs. Erring long only adds candidates.
     val prefixLen = floor(col("n_sh") * (1.0 - threshold) + 1e-9).cast("int") + 1
     val prefix = ranked.filter(col("_rn") <= prefixLen)
-    val cand = prefix.select(col("s"), col("id").as("id_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .select(col("s"), col("id"), col("_rn"), col("n_sh"))
+    // PPJoin length + positional filters (both lossless for Jaccard ≥ t,
+    // epsilon errs toward keeping):
+    //  - length: J(a,b) ≥ t ⇒ t·|S_a| ≤ |S_b| (and symmetric);
+    //  - positional: both docs' prefixes are ranked in the SAME global
+    //    (df, s) order, so at the FIRST common shingle (ranks r_a, r_b) the
+    //    true overlap o ≤ 1 + min(n_a−r_a, n_b−r_b); a qualifying pair has
+    //    o ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉, so it survives at that match — keeping
+    //    pairs with ANY passing match loses nothing.
+    val alpha = ceil((col("n_a") + col("n_b")) * (threshold / (1.0 + threshold))
+      - 1e-9)
+    val ubound = lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))
+    val cand = prefix.select(col("s"), col("id").as("id_a"),
+        col("_rn").as("r_a"), col("n_sh").as("n_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"),
+        col("_rn").as("r_b"), col("n_sh").as("n_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b") >= col("n_a") * threshold - 1e-9 &&
+              col("n_a") >= col("n_b") * threshold - 1e-9)
+      .filter(ubound >= alpha)
       .select(col("id_a"), col("id_b"))
       .distinct()
     // Exact verification: intersection size via a pair-restricted shingle

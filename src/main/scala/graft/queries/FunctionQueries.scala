@@ -25,7 +25,14 @@ object FunctionQueries {
           .when(col("l_orderkey") % 3 === 1, "ns").otherwise("us")
         val str = when(col("l_orderkey") % 11 === 0, "off")
           .otherwise(concat((col("l_linenumber") * 10).cast("string"), unit))
-        li.select(TimeFunctions.strToTime(str).as("delay"))
+        // Project the string BEFORE parsing: strToTime references its input
+        // several times (trim/regexp/off-check); inlined, the when-concat
+        // tree is duplicated per reference and the generated class takes
+        // seconds to janino-compile (measured 5.2 s inline vs 1.5 s split —
+        // CollapseProject keeps the barrier because `_s` is non-cheap and
+        // multiply referenced).
+        li.select(str.as("_s"))
+          .select(TimeFunctions.strToTime(col("_s")).as("delay"))
           .groupBy(col("delay")).agg(count(lit(1)).as("n"))
           .orderBy("delay")
       },
@@ -70,13 +77,24 @@ object FunctionQueries {
         val li = table(s, dir, "lineitem")
         val path = concat(lit("/data/run"), (col("l_orderkey") % 10).cast("string"),
           lit("/img_"), col("l_orderkey").cast("string"), lit(".edf.gz"))
-        li.select((col("l_orderkey") % 10).as("run"),
-            TimeFunctions.basename(path).as("base"),
-            TimeFunctions.removeExtension(TimeFunctions.basename(path)).as("stem"))
+        // `base` = "img_<okey>.edf.gz" and `stem` = "img_<okey>" are both
+        // injective in l_orderkey, so count(DISTINCT base/stem) ==
+        // count(DISTINCT l_orderkey): ONE bigint distinct instead of two
+        // string distincts (two distinct aggregates force expand-mode — 2×
+        // the shuffled rows; one distinct column plans as a plain two-stage
+        // hash agg).
+        // Project `base` before removeExtension: the latter references its
+        // input several times (gz check / reverse / substr), so the barrier
+        // keeps the codegen tree flat (same janino-bloat fix as q26).
+        val nDistinct = countDistinct(col("l_orderkey"))
+        li.select((col("l_orderkey") % 10).as("run"), col("l_orderkey"),
+            TimeFunctions.basename(path).as("base"))
+          .select(col("run"), col("l_orderkey"),
+            TimeFunctions.removeExtension(col("base")).as("stem"))
           .groupBy(col("run"))
           .agg(count(lit(1)).as("n"),
-            countDistinct(col("base")).as("n_base"),
-            countDistinct(col("stem")).as("n_stem"),
+            nDistinct.as("n_base"),
+            nDistinct.as("n_stem"),
             min(col("stem")).as("first_stem"))
           .orderBy("run")
       },

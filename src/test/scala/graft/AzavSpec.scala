@@ -134,6 +134,19 @@ class AzavSpec extends SparkSpec {
       s"peak bin $peakBin vs expected ${((q0 - grid.qMin) / grid.dq).toInt}")
   }
 
+  test("q just below qMax clamps to the last bin (FP edge, no index nQ)") {
+    // dq = 3.3/40 rounds so that nextDown(3.3)/dq truncates to 40 == nQ —
+    // unclamped this crashed the fused kernels and emitted q_bin == nQ rows
+    val edgeGrid = Azav.QGrid(0.0, 3.3, 40)
+    val qEdge = math.nextAfter(3.3, 0.0)
+    assert(((qEdge - edgeGrid.qMin) / edgeGrid.dq).toInt == 40) // edge is real
+    assert(edgeGrid.binScala(qEdge) == 39)
+    assert(edgeGrid.binScala(3.3) == -1 && edgeGrid.binScala(-0.1) == -1)
+    val colBin = Seq(qEdge).toDF("q")
+      .select(edgeGrid.bin(col("q")).as("b")).as[Int].collect()
+    assert(colBin.sameElements(Array(39)))
+  }
+
   test("dezinger drops outlier pixels within a ring") {
     val spiked = flatImage.withColumn("intensity",
       when(col("x") === 40 && col("y") === 32, 10000.0).otherwise(col("intensity")))
