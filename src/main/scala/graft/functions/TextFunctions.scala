@@ -118,10 +118,34 @@ object TextFunctions {
     * expression (no UDF); modular so the value is portable to engines with
     * checked 64-bit arithmetic.
     */
-  def rollingHash(text: Column): Column = {
-    val codes = transform(split(normalizeText(text), ""), ch => ascii(ch).cast("long"))
+  def rollingHash(text: Column): Column =
+    rollingHashRaw(normalizeText(text))
+
+  /** Rolling polynomial hash of the column AS-IS (no normalization) — the
+    * SQL-portable hash family used by the oracle-verifiable dedup paths
+    * (tokens/shingles are already normalized by construction).
+    */
+  def rollingHashRaw(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, lit(RollingHashMod)))
   }
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+    * integer. md5 is a NATIVE codegen'd expression in Spark and a native
+    * function in DuckDB (`('0x' || substring(md5(s), 1, 15))::BIGINT`), so
+    * oracle SQL can recompute it exactly — unlike xxhash64 — while staying
+    * ~100× faster than an interpreted higher-order-function char fold.
+    * 15 hex chars = 60 bits: always positive, and h % 1e9+7 leaves room
+    * for overflow-free universal hashing (a·h' + b < 2^62).
+    */
+  def md5Hash60(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Hex chars 16-30 of the md5: a second, independent 60-bit word
+    * (used by the verifiable SimHash for bits 32-63).
+    */
+  def md5Hash60b(text: Column): Column =
+    conv(substring(md5(text), 16, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles: array of space-joined n-word windows.
     * `shingles("a b c d", 3) = ["a b c", "b c d"]`. Core input to MinHash /

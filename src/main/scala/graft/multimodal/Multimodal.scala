@@ -29,15 +29,19 @@ object Multimodal {
   // vector) and everything around it stay identical.
   // ======================================================================
   private[multimodal] def stubDecode(payload: Array[Byte], dim: Int): Array[Double] = {
-    val out = new Array[Double](dim)
-    var acc = 1125899906842597L // deterministic rolling state
+    // Position-salted per-byte hash, accumulated as EXACT integers and
+    // divided once at the end: deterministic regardless of byte visit
+    // order/association, and expressible in checked-64-bit SQL (no wrap-
+    // around multiply), so the driver's DuckDB oracle can recompute it.
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      acc = acc * 31 + (payload(i) & 0xff)
-      out(i % dim) += (acc & 0xffff) / 65535.0
+      val c = payload(i) & 0xff
+      val h = ((c + 1L) * 2654435761L + (i + 1L) * 40503L) % 1000000007L
+      acc(i % dim) += h & 0xffffL
       i += 1
     }
-    out
+    acc.map(_ / 65535.0)
   }
 
   /** Attach metadata to a binary column: `(media_id, payload)` →

@@ -33,23 +33,46 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Shingle-combine base for the verifiable hash family (prime, and
+    * h·base stays < 2^63 for h < 1e9+7 in checked-arithmetic engines).
+    */
+  private val CombineBase = 1000003L
+
   /** Distinct shingle identities per document as ROWS, entirely in
     * whole-stage codegen: hash each token after posexplode (lambda bodies
     * inside `transform` are interpreted — measured 2–4× slower), form the
-    * n-gram identity with `lead` windows over token position, and combine
-    * with multi-argument xxhash64. Output: (id, s) distinct.
+    * n-gram identity with `lead` windows over token position, and combine.
+    *
+    * Default: xxhash64 token hash + multi-argument xxhash64 combine.
+    * Verifiable: md5-derived 60-bit token hash mod 1e9+7 + polynomial
+    * combine — every step recomputable in DuckDB (md5 + lead window),
+    * and the plan keeps the same long-typed shape (no string shingles
+    * through the window/distinct, which measured ~4× slower cold).
+    * Output: (id, s) distinct; in verifiable mode s is already < 1e9+7.
     */
   private def distinctShingleRows(docs: DataFrame, textCol: String,
-                                  idCol: String, n: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
-      .select(col("id"), col("_p"), xxhash64(col("_t")).as("_h"))
+                                  idCol: String, n: Int,
+                                  verifiable: Boolean = false): DataFrame = {
+    val tok0 = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
+    val tok =
+      if (verifiable)
+        tok0.select(col("id"), col("_p"),
+          pmod(TextFunctions.md5Hash60(col("_t")),
+            lit(TextFunctions.RollingHashMod)).as("_h"))
+      else
+        tok0.select(col("id"), col("_p"), xxhash64(col("_t")).as("_h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_p"))
     val leads = (0 until n).map(k =>
       if (k == 0) col("_h") else lead(col("_h"), k).over(w))
+    val combined =
+      if (verifiable)
+        leads.reduceLeft((acc, h) =>
+          pmod(acc * CombineBase + h, lit(TextFunctions.RollingHashMod)))
+      else xxhash64(leads: _*)
     tok.select(col("id"),
-        when(leads.last.isNotNull, xxhash64(leads: _*)).as("s"))
+        when(leads.last.isNotNull, combined).as("s"))
       .filter(col("s").isNotNull)
       .distinct()
   }
@@ -62,14 +85,26 @@ object Dedup {
     * `nHashes`-deep expression tree per row and is ~50× slower at corpus
     * scale. Documents with no shingles (shorter than the shingle size)
     * produce no signature — they cannot be near-duplicates.
+    *
+    * `verifiable = true` swaps the shingle hash from xxhash64 (fastest) to
+    * the md5-derived 60-bit hash reduced mod 1e9+7 — same plan shape, still
+    * native codegen, but every step is expressible in DuckDB SQL, so the
+    * driver's oracle can recompute signatures from the raw documents. The
+    * permutation family (a_i·h + b_i mod p) is identical in both modes and
+    * overflow-free in checked 64-bit SQL: h < 1e9+7, a_i,b_i < 2^31.
     * Output: (id, sig: array<long>).
     */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleSize: Int = 3,
-                        nHashes: Int = 32): DataFrame = {
+                        nHashes: Int = 32, verifiable: Boolean = false): DataFrame = {
     val p = VectorFunctions.MinhashPrime
-    val sh = distinctShingleRows(docs, textCol, idCol, shingleSize)
-      .withColumn("_h", pmod(xxhash64(col("s")), lit(p)))
+    val sh =
+      if (verifiable)
+        distinctShingleRows(docs, textCol, idCol, shingleSize, verifiable = true)
+          .withColumn("_h", col("s")) // already a mod-1e9+7 shingle hash
+      else
+        distinctShingleRows(docs, textCol, idCol, shingleSize)
+          .withColumn("_h", pmod(xxhash64(col("s")), lit(p)))
     val mins = (0 until nHashes).map { i =>
       val (a, b) = VectorFunctions.minhashCoeffs(i)
       min(pmod(col("_h") * a + b, lit(p))).as(s"_m$i")
@@ -86,13 +121,25 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", shingleSize: Int = 3,
                       nHashes: Int = 32, nBands: Int = 8,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6,
+                      verifiable: Boolean = false): DataFrame = {
     val rowsPerBand = nHashes / nBands
     // (measured: persisting `sigs` here is a net loss — Spark's exchange
     // reuse already shares the aggregation across the three readers)
-    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, nHashes)
-    val banded = sigs.withColumn("band",
-      explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, nHashes,
+      verifiable)
+    // Verifiable mode: plain-text band key (band index + joined minima) so
+    // DuckDB can rebuild it; default: xxhash64-compressed key (8-byte
+    // shuffle instead of a ~40-char string — the right trade at corpus
+    // scale).
+    val bandKeys =
+      if (verifiable)
+        array((0 until nBands).map { b =>
+          concat_ws("_", lit(b),
+            concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)
+      else VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)
+    val banded = sigs.withColumn("band", explode(bandKeys))
     val a = banded.select(col("band"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("id").as("id_b"))
     // Distinct candidate pairs first (a pair colliding in k bands appears k
@@ -116,43 +163,79 @@ object Dedup {
     * instead of building a 64-deep lambda tree per row.
     * Output: (id, sh).
     */
+  /** `verifiable = false` (default): bit b's vote is bit b of the token's
+    * xxhash64. `verifiable = true`: votes come from two md5-derived 60-bit
+    * words (bits 0-31 from the first, 32-63 from the second) — native
+    * codegen in Spark AND recomputable by DuckDB, so the oracle can verify
+    * the exact simhash words.
+    */
   def simhashValues(docs: DataFrame, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("_t"))
-      .select(col("id"), xxhash64(col("_t")).as("_h"))
-    // One row per (token, bit): vote = ((h>>b)&1)*2-1. Two tiny-codegen
-    // hash aggregations beat one 64-column aggregate, whose generated
-    // class takes ~10 s to janino-compile; the 64× row fan-out is pure
-    // map-side partial aggregation (shuffle is n_docs × 64 rows).
-    val bits = tok
-      .withColumn("b", explode(sequence(lit(0), lit(63))))
-      .select(col("id"), col("b"),
-        expr("(shiftright(_h, b) & 1L) * 2L - 1L").as("v"))
+                    idCol: String = "doc_id",
+                    verifiable: Boolean = false): DataFrame = {
+    val tok0 = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    // One row per (token, bit). Two tiny-codegen hash aggregations beat one
+    // 64-column aggregate, whose generated class takes ~10 s to janino-
+    // compile; the 64× row fan-out is pure map-side partial aggregation
+    // (shuffle is n_docs × 64 rows).
+    val bits =
+      if (verifiable)
+        tok0.select(col("id"),
+            TextFunctions.md5Hash60(col("_t")).as("_h1"),
+            TextFunctions.md5Hash60b(col("_t")).as("_h2"))
+          .withColumn("b", explode(sequence(lit(0), lit(63))))
+          .select(col("id"), col("b"),
+            (expr("shiftright(CASE WHEN b < 32 THEN _h1 ELSE _h2 END, " +
+                  "CASE WHEN b < 32 THEN b ELSE b - 32 END) & 1L") * 2L - 1L).as("v"))
+      else
+        tok0.select(col("id"), xxhash64(col("_t")).as("_h"))
+          .withColumn("b", explode(sequence(lit(0), lit(63))))
+          .select(col("id"), col("b"),
+            expr("(shiftright(_h, b) & 1L) * 2L - 1L").as("v"))
     bits.groupBy(col("id"), col("b"))
       .agg(sum(col("v")).as("vote"))
       .groupBy(col("id"))
       .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sh"))
   }
 
-  /** SimHash near-dup candidate pairs: 64-bit simhash; bucket on the top
-    * `prefixBits` bits (cheap blocking); verify by Hamming distance ≤
-    * `maxHamming` within buckets. A production variant would use several
-    * rotated prefixes; one prefix demonstrates the plan shape.
+  /** SimHash near-dup candidate pairs: 64-bit simhash, split into `nBands`
+    * contiguous bit bands; documents sharing ANY band are candidates,
+    * verified by full Hamming distance ≤ `maxHamming`.
+    *
+    * By pigeonhole this blocking is LOSSLESS whenever maxHamming < nBands:
+    * two words differing in ≤ maxHamming bits cannot differ in all nBands
+    * bands, so every qualifying pair collides in at least one band —
+    * unlike the single-prefix scheme this replaces, whose recall was
+    * unquantified when differing bits fell inside the prefix. Cost is the
+    * standard LSH trade: nBands× the bucket rows, same shuffle shape.
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", prefixBits: Int = 12,
-                   maxHamming: Int = 3): DataFrame = {
-    val hashed = simhashValues(docs, textCol, idCol)
-      .withColumn("bucket", shiftrightunsigned(col("sh"), 64 - prefixBits))
+                   idCol: String = "doc_id", nBands: Int = 8,
+                   maxHamming: Int = 3,
+                   verifiable: Boolean = false): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming < nBands,
+      s"lossless blocking needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    // (band, bucket) keys: arithmetic-shift then mask — identical in every
+    // engine (bits above the mask, where arithmetic vs logical shift
+    // differ, are discarded).
+    val hashed = simhashValues(docs, textCol, idCol, verifiable)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bucket",
+        expr(s"shiftright(sh, band * $bandBits) & $mask"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = hashed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = hashed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val a = hashed.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = hashed.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", VectorFunctions.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix

@@ -246,28 +246,103 @@ object CorpusQueries {
           |FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
       }),
 
-    // MinHash+LSH near-dup candidates — xxhash64-based, no DuckDB
-    // equivalent → rows-only check; correctness covered by ScalaTest
-    // (band-collision ⇒ high estimated Jaccard) and cross-checked against
-    // q37's exact Jaccard in the spec suite.
+    // MinHash+LSH near-dup candidates, in the SQL-verifiable hash family
+    // (rolling-hash shingles + universal-hash permutations): the DuckDB
+    // oracle recomputes signatures, band keys, and estimated Jaccard from
+    // the raw documents. est_jaccard = k/32 is an exact binary double in
+    // both engines — emitted unrounded.
     QueryDef("q42_dedup_minhash",
       (s, dir) =>
         Dedup.minhashLshPairs(table(s, dir, "documents"),
-            nHashes = 32, nBands = 8, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), r4(col("est_jaccard")).as("est_jaccard"))
+            nHashes = 32, nBands = 8, threshold = 0.5, verifiable = true)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
           .orderBy("id_a", "id_b"),
-      None),
+      Some {
+        val p = VectorFunctions.MinhashPrime
+        val mins = (0 until 32).map { i =>
+          val (a, b) = VectorFunctions.minhashCoeffs(i)
+          s"min((h * $a + $b) % $p) AS m$i"
+        }.mkString(",\n  ")
+        val bandSelects = (0 until 8).map { bnd =>
+          val cols = (0 until 4).map(r => s"m${bnd * 4 + r}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, '${bnd}_' || $cols AS bk FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val agree = (0 until 32)
+          .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (
+          |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+          |        (x, i) -> {'p': i,
+          |                   'h': ('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007})) AS u
+          |    FROM documents)),
+          |led AS (
+          |  SELECT doc_id, h AS h1,
+          |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2,
+          |         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h3
+          |  FROM tok),
+          |hashed AS (
+          |  SELECT DISTINCT doc_id,
+          |         (((h1 * 1000003 + h2) % 1000000007) * 1000003 + h3) % 1000000007 AS h
+          |  FROM led WHERE h3 IS NOT NULL),
+          |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+          |bands AS ($bandSelects),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          |est AS (
+          |  SELECT id_a, id_b, ($agree) / 32.0 AS est_jaccard
+          |  FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)
+          |SELECT id_a, id_b, est_jaccard FROM est
+          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+      }),
 
-    // SimHash near-dup candidates — xxhash64-based → rows-only check.
+    // SimHash near-dup candidates, SQL-verifiable hash family; banded
+    // blocking is lossless for hamming <= 6 < 8 bands (pigeonhole).
     QueryDef("q43_dedup_simhash",
       (s, dir) =>
         Dedup.simhashPairs(table(s, dir, "documents"),
-            prefixBits = 8, maxHamming = 6)
+            nBands = 8, maxHamming = 6, verifiable = true)
           .orderBy("id_a", "id_b"),
-      None),
+      Some {
+        s"""WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |         ('0x' || substring(md5(t), 1, 15))::BIGINT AS h1,
+          |         ('0x' || substring(md5(t), 16, 15))::BIGINT AS h2 FROM tok),
+          |votes AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (((CASE WHEN b < 32 THEN h1 ELSE h2 END)
+          |                         >> (CASE WHEN b < 32 THEN b ELSE b - 32 END)) & 1) = 1
+          |                  THEN 1 ELSE -1 END) AS vote
+          |  FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bits
+          |  GROUP BY doc_id, b),
+          |sig AS (
+          |  SELECT doc_id,
+          |         sum(CASE WHEN vote > 0 THEN
+          |               CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+          |                    ELSE (1::BIGINT << b) END
+          |             ELSE 0 END)::BIGINT AS sh
+          |  FROM votes GROUP BY doc_id),
+          |bands AS (
+          |  SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS bucket
+          |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bs),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         bit_count(xor(a.sh, b.sh))::INT AS hamming
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          |                            AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, hamming FROM pairs
+          |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+      }),
 
-    // Multimodal: binary payloads + metadata + feature extraction (stub
-    // decoder — no SQL equivalent) → rows-only check.
+    // Multimodal: binary payloads + metadata + feature extraction. The
+    // stub decoder is a position-salted per-byte hash with exact integer
+    // accumulation, so the oracle recomputes it from the text (pure ASCII:
+    // byte i == char code i+1 in DuckDB's 1-based indexing).
     QueryDef("q44_multimodal_features",
       (s, dir) => {
         val media = table(s, dir, "documents")
@@ -280,6 +355,21 @@ object CorpusQueries {
             r6(element_at(col("feature"), 2)).as("f1"))
           .orderBy("media_id")
       },
-      None)
+      Some("""WITH kv AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), (ch, i) ->
+        |      {'k': (i - 1) % 8,
+        |       'v': (((ascii(ch) + 1) * 2654435761 + i * 40503) % 1000000007) & 65535})) AS s
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s.k = 0 THEN s.v ELSE 0 END) AS s0,
+        |    sum(CASE WHEN s.k = 1 THEN s.v ELSE 0 END) AS s1
+        |  FROM kv GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, 'image' AS kind,
+        |  round(coalesce(a.s0, 0) / 65535.0, 6) AS f0,
+        |  round(coalesce(a.s1, 0) / 65535.0, 6) AS f1
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -46,9 +46,44 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs near-identical docs within hamming budget") {
-    val pairs = Dedup.simhashPairs(docs, prefixBits = 2, maxHamming = 16)
+    val pairs = Dedup.simhashPairs(docs, nBands = 32, maxHamming = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("banded simhash blocking is lossless: finds ALL pairs brute force finds") {
+    // 40 docs with planted near-dups; verify banded candidates == brute force
+    val corpus = (0 until 40).map { i =>
+      val words = (0 until 12).map(w => s"w${(i * 7 + w * 3) % 25}")
+      (i.toLong, words.mkString(" "))
+    }
+    for (verifiable <- Seq(false, true)) {
+      val df = corpus.toDF("doc_id", "text")
+      val maxH = 6
+      val blocked = Dedup.simhashPairs(df, nBands = 8, maxHamming = maxH,
+          verifiable = verifiable)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val sh = Dedup.simhashValues(df, verifiable = verifiable)
+      val brute = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.VectorFunctions
+          .hamming64(col("sh_a"), col("sh_b")) <= maxH)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(blocked == brute,
+        s"verifiable=$verifiable: banded ${blocked.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("verifiable minhash finds the same planted near-dups as the xx path") {
+    for (verifiable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairs(docs, nHashes = 32, nBands = 16,
+        threshold = 0.3, verifiable = verifiable).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+        s"verifiable=$verifiable")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"verifiable=$verifiable")
+    }
   }
 
   test("ngram Jaccard: exact values, prefix filtering is lossless") {

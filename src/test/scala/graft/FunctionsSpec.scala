@@ -152,6 +152,16 @@ class FunctionsSpec extends SparkSpec {
     assert(rh == 97L * 31 + 98) // 'a'*31 + 'b'
   }
 
+  test("md5Hash60: matches hand-parsed md5 prefix, words independent") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    val r = Seq("abc").toDF("t").select(
+      TextFunctions.md5Hash60($"t").as("h1"),
+      TextFunctions.md5Hash60b($"t").as("h2")).collect()(0)
+    assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(r.getLong(1) == java.lang.Long.parseLong("0d6963f7d28e17f", 16))
+    assert(r.getLong(0) >= 0 && r.getLong(1) >= 0) // 60-bit: always positive
+  }
+
   // ----------------------------------------------------------- vector ----
   test("dot / norm / cosine on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
