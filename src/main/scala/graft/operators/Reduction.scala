@@ -88,7 +88,12 @@ object Reduction {
     val frac = when(span =!= 0.0,
       (col("image_idx") - col("_p_idx")).cast("double") / span)
     val interp =
-      when(col("_p_idx").isNull, col("_n_i"))  // before first ref → clamp
+      // A reference shot with NO neighbouring refs (single-ref run) uses
+      // its own curve verbatim (py:50-52) — the strict frames would
+      // otherwise leave it null.
+      when(col("_p_idx").isNull && col("_n_idx").isNull,
+          when(col("is_ref"), col("i")))
+        .when(col("_p_idx").isNull, col("_n_i"))  // before first ref → clamp
         .when(col("_n_idx").isNull, col("_p_i")) // after last ref → clamp
         .otherwise(col("_p_i") + (col("_n_i") - col("_p_i")) * frac)
 
@@ -105,37 +110,56 @@ object Reduction {
     withRef.withColumn("diff", d)
   }
 
+  /** Mark (don't drop) the thinned-away reference repetitions: adds a
+    * boolean `keepName` column — false for every 2nd ref rep. The MARK form
+    * lets `averageScanPoints` average over the kept rows while computing
+    * noise/err over ALL rows, as the reference does (dataReduction.py:
+    * noise at 176-180 BEFORE the `[::2]` thinning at 182-184).
+    */
+  def markThinnedReferences(curves: DataFrame,
+                            keepName: String = "_keep"): DataFrame = {
+    val w = Window.partitionBy(col("delay"), col("q_bin")).orderBy(col("image_idx"))
+    curves.withColumn("_rep", row_number().over(w))
+      .withColumn(keepName, !col("is_ref") || col("_rep") % 2 === 1)
+      .drop("_rep")
+  }
+
   /** W2 — reference thinning: keep every 2nd repetition of the reference
     * group (trx/dataReduction.py:177-179), because consecutive refs are
     * correlated through the interpolation.
     */
-  def thinReferences(curves: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("delay"), col("q_bin")).orderBy(col("image_idx"))
-    curves.withColumn("_rep", row_number().over(w))
-      .filter(!col("is_ref") || col("_rep") % 2 === 1)
-      .drop("_rep")
-  }
+  def thinReferences(curves: DataFrame): DataFrame =
+    markThinnedReferences(curves).filter(col("_keep")).drop("_keep")
 
   /** A3 — per-delay averaging of repetitions (trx/dataReduction.py:88-205):
     * group (delay, q_bin); mean or median over reps (`funcForAveraging`);
-    * noise = stddev across reps; error-of-mean = noise/√n. Output grain:
-    * (delay, q_bin).
+    * noise = population stddev across reps (np.nanstd, ddof=0, py:180);
+    * error-of-mean = noise/√n. Output grain: (delay, q_bin).
+    *
+    * `keepCol`: optional boolean column (see `markThinnedReferences`) —
+    * the center and n_rep use only kept rows, while noise and err use the
+    * FULL group, exactly like the reference (noise is computed before the
+    * `[::2]` ref thinning, and err divides by the unthinned count).
     */
   /** `extraKeys` implements F8 (trx/id9.py:246-263 `split_angle`): the
     * reference loops the whole reduction once per unique log angle; here
     * the angle is just one more grouping key — one pass, no loop.
     */
   def averageScanPoints(diffs: DataFrame, useMedian: Boolean = false,
-                        extraKeys: Seq[String] = Nil): DataFrame = {
-    val center = if (useMedian) median(col("diff")) else avg(col("diff"))
+                        extraKeys: Seq[String] = Nil,
+                        keepCol: Option[Column] = None): DataFrame = {
+    val kept = keepCol.map(k => when(k, col("diff"))).getOrElse(col("diff"))
+    val center = if (useMedian) median(kept) else avg(kept)
+    val nKept = keepCol.map(k => sum(when(k, 1L)))
+      .getOrElse(count(lit(1)))
     diffs
       .withColumn("delay", TimeFunctions.canonicalDelay(col("delay")))
       .groupBy((Seq("delay", "q_bin") ++ extraKeys).map(col): _*)
       .agg(
         center.as("diff_av"),
-        stddev(col("diff")).as("noise"),
-        count(lit(1)).as("n_rep"),
-        (stddev(col("diff")) / sqrt(count(lit(1)))).as("err"))
+        stddev_pop(col("diff")).as("noise"),
+        nKept.as("n_rep"),
+        (stddev_pop(col("diff")) / sqrt(count(lit(1)))).as("err"))
   }
 
   /** A4 — per-repetition chi² against the group mean
@@ -149,7 +173,9 @@ object Reduction {
       (Seq("delay", "q_bin") ++ extraKeys).map(col): _*)
     diffs
       .withColumn("_mean", avg(col("diff")).over(grp))
-      .withColumn("_noise", stddev(col("diff")).over(grp))
+      // population stddev: the reference's noise is np.nanstd (ddof=0,
+      // dataReduction.py:180) — same ensemble the chi² divides by.
+      .withColumn("_noise", stddev_pop(col("diff")).over(grp))
       .groupBy(col("delay"), col("image_idx"))
       .agg(
         (sum(pow(when(col("_noise") =!= 0.0,
@@ -175,7 +201,9 @@ object Reduction {
     val tagged = tagReferences(curves, refDelay)
     val withRef = interpolateReferences(tagged)
     val diffs = diffSignal(withRef, useRatio)
-    val thinned = thinReferences(diffs)
-    averageScanPoints(thinned, useMedian)
+    // Mark (not drop) the thinned refs: the center averages kept rows,
+    // noise/err keep the full ensemble (reference parity, py:176-184).
+    val marked = markThinnedReferences(diffs)
+    averageScanPoints(marked, useMedian, keepCol = Some(col("_keep")))
   }
 }

@@ -124,8 +124,20 @@ object Pipeline {
           config.geometry, config.grid, config.dark, config.maskFn)
       } else {
         val pixels = ImageSource.pixelsFromBinary(freshBinary)
+        // The pixel path must honour BOTH mask forms: a maskFn supplied
+        // together with dezinger/mask would otherwise be silently dropped.
+        // The UDF bridge is acceptable here — this is already the slow
+        // path, and correctness beats codegen for a user-supplied closure.
+        val maskFnCol = config.maskFn.map { f =>
+          val u = udf(f)
+          u(col("x"), col("y"))
+        }
+        val fullMask = (config.mask, maskFnCol) match {
+          case (Some(a), Some(b)) => Some(a || b)
+          case (a, b)             => a.orElse(b)
+        }
         val geo = Azav.withGeometry(pixels, config.geometry, config.grid,
-          config.dark, config.mask)
+          config.dark, fullMask)
         val dez = config.dezinger.map(p => Azav.dezinger(geo, p)).getOrElse(geo)
         dez.groupBy(col("image_id"), col("q_bin"))
           .agg(avg(col("i_corr")).as("i"),
@@ -181,7 +193,8 @@ object Pipeline {
       .select(col("delay"), col("image_idx"))
     val surviving = diffs.join(keep, Seq("delay", "image_idx"), "left_semi")
 
-    val thinned = Reduction.thinReferences(surviving)
-    Reduction.averageScanPoints(thinned, config.useMedian, config.splitKeys)
+    val marked = Reduction.markThinnedReferences(surviving)
+    Reduction.averageScanPoints(marked, config.useMedian, config.splitKeys,
+      keepCol = Some(col("_keep")))
   }
 }

@@ -38,7 +38,9 @@ object CurveQueries {
        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
        |interp AS (
        |  SELECT image_idx, delay, q_bin, i, err, is_ref,
-       |    CASE WHEN p_idx IS NULL THEN n_i
+       |    CASE WHEN p_idx IS NULL AND n_idx IS NULL
+       |           THEN (CASE WHEN is_ref THEN i END)
+       |         WHEN p_idx IS NULL THEN n_i
        |         WHEN n_idx IS NULL THEN p_i
        |         ELSE p_i + (n_i - p_i) *
        |              ((image_idx - p_idx)::DOUBLE / (n_idx - p_idx)::DOUBLE)
@@ -60,9 +62,9 @@ object CurveQueries {
       Some(s"""WITH ${curvesSql}
         |SELECT round(delay, 12) AS delay, q_bin,
         |       round(avg(i), 6) AS diff_av,
-        |       round(stddev_samp(i), 6) AS noise,
+        |       round(stddev_pop(i), 6) AS noise,
         |       count(*) AS n_rep,
-        |       round(stddev_samp(i) / sqrt(count(*)), 6) AS err
+        |       round(stddev_pop(i) / sqrt(count(*)), 6) AS err
         |FROM curves GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // J5 + J4 — reference tagging and interpolated as-of reference join.
@@ -90,18 +92,17 @@ object CurveQueries {
       },
       Some(s"""${interpSql(curvesSql)},
         |diffs AS (SELECT *, i - i_ref AS diff FROM interp),
-        |thinned AS (
-        |  SELECT * FROM (
+        |marked AS (
+        |  SELECT *, (NOT is_ref OR rn % 2 = 1) AS keep FROM (
         |    SELECT *, row_number() OVER (PARTITION BY delay, q_bin
         |                                ORDER BY image_idx) AS rn
-        |    FROM diffs)
-        |  WHERE NOT is_ref OR rn % 2 = 1)
+        |    FROM diffs))
         |SELECT round(delay, 12) AS delay, q_bin,
-        |       round(avg(diff), 4) AS diff_av,
-        |       round(stddev_samp(diff), 4) AS noise,
-        |       count(*) AS n_rep,
-        |       round(stddev_samp(diff) / sqrt(count(*)), 4) AS err
-        |FROM thinned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+        |       round(avg(CASE WHEN keep THEN diff END), 4) AS diff_av,
+        |       round(stddev_pop(diff), 4) AS noise,
+        |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+        |       round(stddev_pop(diff) / sqrt(count(*)), 4) AS err
+        |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // A4 — per-repetition chi² against the per-(delay,q_bin) ensemble.
     QueryDef("q04_a4_chi2_per_rep",
@@ -118,7 +119,7 @@ object CurveQueries {
         |diffs AS (SELECT *, i - i_ref AS diff FROM interp),
         |stats AS (
         |  SELECT *, avg(diff) OVER (PARTITION BY delay, q_bin) AS m,
-        |            stddev_samp(diff) OVER (PARTITION BY delay, q_bin) AS noise
+        |            stddev_pop(diff) OVER (PARTITION BY delay, q_bin) AS noise
         |  FROM diffs),
         |chi2 AS (
         |  SELECT delay, image_idx,

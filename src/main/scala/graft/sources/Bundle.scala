@@ -49,8 +49,29 @@ object Bundle {
     }
   }
 
-  private def unesc(s: String): String =
-    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Single left-to-right scan — sequential String.replace calls would
+    * corrupt adjacent escapes (e.g. `\\` followed by `n` round-tripping to
+    * a newline) and never decoded the `\uXXXX` forms `esc` emits.
+    */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => sb.append('\n'); i += 2
+          case '"'  => sb.append('"');  i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Save tables + manifest (overwrite). */
   def save(dir: String, tables: Map[String, DataFrame],

@@ -48,6 +48,22 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.sources.Bundle.isValid(storage, cfg.manifest))
   }
 
+  test("maskFn is honoured on the pixel path (with dezinger set)") {
+    val folder = Files.createTempDirectory("maskfn-frames").toString
+    val storage1 = Files.createTempDirectory("maskfn-store1").toString
+    val storage2 = Files.createTempDirectory("maskfn-store2").toString
+    writeFrame(folder, "img_000.edf", 100.0)
+    // dezinger forces the pixel path; maskFn must not be dropped there
+    val masked = Pipeline.doFolderAzav(spark, folder, storage1,
+      cfg.copy(dezinger = Some(0.999), maskFn = Some((x, _) => x < 16),
+        maskDescription = "x<16"))
+    val unmasked = Pipeline.doFolderAzav(spark, folder, storage2,
+      cfg.copy(dezinger = Some(0.999)))
+    val nMasked = masked.agg(sum("n_pix")).as[Long].collect()(0)
+    val nAll = unmasked.agg(sum("n_pix")).as[Long].collect()(0)
+    assert(nMasked < nAll, s"maskFn dropped: $nMasked vs $nAll pixels")
+  }
+
   test("E1 log semi-join (J1): only frames present in the log integrate") {
     val folder = Files.createTempDirectory("j1-frames").toString
     val storage = Files.createTempDirectory("j1-store").toString

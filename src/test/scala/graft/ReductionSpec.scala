@@ -55,8 +55,9 @@ class ReductionSpec extends SparkSpec {
     val m = interp((0, 1.0, 1, 5.0), (1, 0.0, 1, 10.0), (2, 1.0, 1, 7.0))
     assert(m(0) ~= 10.0)
     assert(m(2) ~= 10.0)
-    // the lone ref itself has no neighbouring refs → null reference
-    assert(m(1).isEmpty)
+    // the lone ref itself also uses its own curve (py:50-52) — the strict
+    // frames alone would leave it null
+    assert(m(1) ~= 10.0)
   }
 
   test("interpolation matches a brute-force reference on random inputs") {
@@ -78,7 +79,9 @@ class ReductionSpec extends SparkSpec {
         val before = usable.filter(_._1 < idx).lastOption
         val after = usable.find(_._1 > idx)
         val v = (before, after) match {
-          case (None, None) => None
+          // a ref with no OTHER refs uses its own curve (py:50-52);
+          // a non-ref with no refs at all has no reference
+          case (None, None) => if (delay == 0.0) Some(part.find(_._1 == idx).get._4) else None
           case (Some(b), None) => Some(b._4)
           case (None, Some(a)) => Some(a._4)
           case (Some(b), Some(a)) =>
@@ -129,15 +132,32 @@ class ReductionSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0, 2, 4, 5)) // refs 0,2 (rows 1,3 thinned)
   }
 
-  test("averageScanPoints: mean, noise, error-of-mean") {
+  test("averageScanPoints: mean, population noise, error-of-mean") {
     val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 3.0), (2, 1.0, 1, 5.0))
       .toDF("image_idx", "delay", "q_bin", "diff")
     val r = Reduction.averageScanPoints(diffs).collect()(0)
     assert(approx(r.getAs[Double]("diff_av"), 3.0))
-    assert(approx(r.getAs[Double]("noise"), 2.0))
+    val popSd = math.sqrt(8.0 / 3.0) // np.nanstd ddof=0, as the reference
+    assert(approx(r.getAs[Double]("noise"), popSd))
     assert(r.getAs[Long]("n_rep") == 3)
-    assert(approx(r.getAs[Double]("err"), 2.0 / math.sqrt(3.0)))
+    assert(approx(r.getAs[Double]("err"), popSd / math.sqrt(3.0)))
   }
+
+  test("averageScanPoints with keepCol: center over kept, noise over all") {
+    // 4 ref reps (1,2,3,4) at one delay: thinning keeps reps 1,3
+    val diffs = Seq((0, 0.0, 1, 1.0, true), (1, 0.0, 1, 2.0, true),
+      (2, 0.0, 1, 3.0, true), (3, 0.0, 1, 4.0, true))
+      .toDF("image_idx", "delay", "q_bin", "diff", "is_ref")
+    val marked = Reduction.markThinnedReferences(diffs)
+    val r = Reduction.averageScanPoints(marked,
+      keepCol = Some($"_keep")).collect()(0)
+    assert(approx(r.getAs[Double]("diff_av"), 2.0)) // mean of {1, 3}
+    val popSd = math.sqrt(1.25) // over ALL of {1,2,3,4}
+    assert(approx(r.getAs[Double]("noise"), popSd))
+    assert(r.getAs[Long]("n_rep") == 2)
+    assert(approx(r.getAs[Double]("err"), popSd / 2.0)) // /sqrt(4), unthinned
+  }
+
 
   test("averageScanPoints median variant") {
     val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 2.0), (2, 1.0, 1, 100.0))
@@ -147,13 +167,13 @@ class ReductionSpec extends SparkSpec {
   }
 
   test("chi2PerRepetition matches hand computation") {
-    // one delay, one q_bin, diffs 1,3 → mean 2, noise sqrt(2);
-    // chi2 per image = ((d-2)/sqrt2)^2 / 1 = 0.5
+    // one delay, one q_bin, diffs 1,3 → mean 2, pop noise 1.0;
+    // chi2 per image = ((d-2)/1)^2 / 1 = 1.0
     val diffs = Seq((0, 1.0, 1, 1.0), (1, 1.0, 1, 3.0))
       .toDF("image_idx", "delay", "q_bin", "diff")
     val m = Reduction.chi2PerRepetition(diffs).collect()
       .map(r => r.getAs[Int]("image_idx") -> r.getAs[Double]("chi2_0")).toMap
-    assert(approx(m(0), 0.5) && approx(m(1), 0.5))
+    assert(approx(m(0), 1.0) && approx(m(1), 1.0))
   }
 
   test("diffSignal ratio mode") {

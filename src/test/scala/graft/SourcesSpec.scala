@@ -149,4 +149,18 @@ class SourcesSpec extends SparkSpec {
     assert(diff.get == Seq(("nQ", Some("1500"), Some("600"))))
     assert(!Bundle.isValid(dir, Map("nQ" -> "600", "mask" -> "x>10")))
   }
+
+  test("manifest round-trips adjacent escapes and control chars") {
+    val dir = Files.createTempDirectory("bundle-esc").toString
+    // `C:\name` escapes to `C:\\name` — a sequential-replace unescape
+    // would decode it as backslash+newline; \u0001 exercises the \uXXXX arm
+    val nasty = Map(
+      "winpath" -> """C:\name""",
+      "quoted" -> """say "hi" \ bye""",
+      "ctl" -> "a\u0001b\nc",
+      "trailing" -> """ends with \""")
+    Bundle.writeManifest(dir, nasty)
+    assert(Bundle.readManifest(dir).get == nasty)
+    assert(Bundle.isValid(dir, nasty))
+  }
 }
