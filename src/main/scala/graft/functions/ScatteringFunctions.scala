@@ -230,4 +230,85 @@ object ScatteringFunctions {
     */
   def chargeToPhoton(chargeC: Column, energyKeV: Column): Column =
     chargeC / (lit(1.602176634e-19) * (energyKeV * 1000.0 / 3.6))
+
+  // ------------------------------------------------------------------ G7 —
+  // attenuation length from compound + energy. The reference resolves this
+  // through the `periodictable` X-ray database (trx/utils/absorption.py:
+  // 10-22); that dependency is unavailable here, so we tabulate the mass
+  // attenuation coefficients of the compounds the reference actually uses —
+  // Si (detector, py:24), H2O (liquid sheet, py:99) and Ce (phosphor 'auto',
+  // py:62) — from the public NIST tables (approximate to ~1%; Ce is tabled
+  // above its L-edge region only). Interpolation is piecewise-LINEAR in
+  // E^-3 (the Victoreen behaviour between edges): pure rational arithmetic,
+  // so the value is bit-identical on any IEEE-754 engine — an exp/ln
+  // log-log fit would differ in the last ulp across libm implementations.
+  // Callers needing database precision keep supplying Λ directly to the
+  // correction functions above.
+
+  /** Tabulated mass attenuation: element density (g/cm³) and
+    * (energy keV, μ/ρ cm²/g) samples, energies ascending.
+    */
+  final case class MuTable(density: Double, points: Seq[(Double, Double)])
+
+  val MassAttenuation: Map[String, MuTable] = Map(
+    "Si" -> MuTable(2.33, Seq(
+      5.0 -> 245.0, 6.0 -> 147.0, 8.0 -> 64.68, 10.0 -> 33.89,
+      15.0 -> 10.34, 20.0 -> 4.464, 30.0 -> 1.436)),
+    "H2O" -> MuTable(1.0, Seq(
+      5.0 -> 41.88, 6.0 -> 24.64, 8.0 -> 10.37, 10.0 -> 5.329,
+      15.0 -> 1.673, 20.0 -> 0.8096, 30.0 -> 0.3756)),
+    "Ce" -> MuTable(6.77, Seq(
+      6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
+      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)))
+
+  /** μ/ρ (cm²/g) at `energyKeV` for `compound`, interpolated linearly in
+    * x = E^-3 between table points, clamped to the table endpoints.
+    */
+  def massAttenuation(compound: String, energyKeV: Column): Column = {
+    val pts = MassAttenuation(compound).points
+    val x = lit(1.0) / (energyKeV * energyKeV * energyKeV)
+    def xOf(e: Double) = 1.0 / (e * e * e)
+    val segments = pts.sliding(2).toSeq.collect { case Seq((e1, m1), (e2, m2)) =>
+      // slope precomputed driver-side: (x - x1) * slope + m1 is the same
+      // 3-op IEEE sequence the oracle SQL spells out
+      val slope = (m2 - m1) / (xOf(e2) - xOf(e1))
+      (e2, (x - xOf(e1)) * slope + m1)
+    }
+    val chain = segments.foldRight(lit(pts.last._2)) {
+      case ((eHi, expr), acc) => when(energyKeV <= eHi, expr).otherwise(acc)
+    }
+    when(energyKeV <= pts.head._1, pts.head._2).otherwise(chain)
+  }
+
+  /** G7 — attenuation length Λ (metres) = 0.01 / (μ/ρ · ρ)
+    * (trx/utils/absorption.py:10-22 via the table above). `density`
+    * overrides the element default (e.g. the reference's Ce phosphor screen
+    * uses 4.75 instead of bulk 6.77, absorption.py:62).
+    */
+  def attenuationLength(compound: String, energyKeV: Column,
+                        density: Option[Double] = None): Column = {
+    val rho = density.getOrElse(MassAttenuation(compound).density)
+    lit(0.01) / (massAttenuation(compound, energyKeV) * rho)
+  }
+
+  // ------------------------------------------------------------------ G8 —
+  // SAXS concentration/mass helpers (trx/utils/scattering.py:12-42).
+
+  /** G8 — protein volume fraction from concentration (mM), molecular
+    * weight (kDa) and density (g/ml) (trx/utils/scattering.py:12-19).
+    */
+  def volumeFraction(concentrationMM: Column, molWeightKDa: Column,
+                     density: Column): Column =
+    concentrationMM * molWeightKDa / density / 1e3
+
+  /** G8 — molecular mass (Da) from the extrapolated I(0) (cm⁻¹) and
+    * concentration (g/ml) — Orthaber/Bergmann/Glatter, J. Appl. Cryst. 33,
+    * 218 (2000); trx/utils/scattering.py:21-42. Uses the reference's
+    * constants verbatim (Δρ = 2.67e10 cm⁻², N_A ≈ 6e23).
+    */
+  def molecularMassFromI0(i0: Column, concentration: Column,
+                          density: Column): Column = {
+    val deltaRhoM = lit(2.67e10) / density
+    i0 * lit(6e23) / (concentration * deltaRhoM * deltaRhoM)
+  }
 }

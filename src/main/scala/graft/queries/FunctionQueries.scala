@@ -188,6 +188,75 @@ object FunctionQueries {
           |  FROM hkl)
           |SELECT q, count(*) AS multiplicity FROM q
           |WHERE q < 4.0 GROUP BY q ORDER BY q""".stripMargin
+      }),
+
+    // G7/G8 — attenuation-length lookup (tabulated Si/H2O/Ce, E^-3
+    // piecewise-linear) + SAXS volume fraction and molecular mass from I0
+    // (trx/utils/absorption.py:10-22, trx/utils/scattering.py:12-42).
+    // Everything is rational arithmetic (no transcendentals), so the values
+    // are emitted UNROUNDED — both engines produce identical doubles given
+    // the identical op order the oracle SQL spells out.
+    QueryDef("q54_g7g8_saxs",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val e = col("k") * 0.1 + 5.0
+        val conc = (col("k") % 17 + 1).cast("double")
+        val mw = (col("k") % 7 * 3 + 2).cast("double")
+        val i0 = (col("k") % 11 + 1) / 10.0
+        val cg = (col("k") % 5 + 1) / 1000.0
+        val cmp = when(col("k") % 3 === 0, "Si")
+          .when(col("k") % 3 === 1, "H2O").otherwise("Ce")
+        // Ce uses the reference's phosphor-screen density override (4.75,
+        // absorption.py:62) instead of bulk cerium
+        val lam = when(col("k") % 3 === 0,
+            ScatteringFunctions.attenuationLength("Si", e))
+          .when(col("k") % 3 === 1,
+            ScatteringFunctions.attenuationLength("H2O", e))
+          .otherwise(ScatteringFunctions.attenuationLength("Ce", e, Some(4.75)))
+        li.select((col("l_orderkey") % 251).cast("int").as("k"))
+          .select(col("k"), cmp.as("cmp"),
+            ScatteringFunctions.volumeFraction(conc, mw, lit(1.347)).as("vf"),
+            ScatteringFunctions.molecularMassFromI0(i0, cg, lit(1.347)).as("mm"),
+            // r6: the μ interpolation chain differs by 1 ulp between the
+            // engines' expression rewrites (vf/mm are short enough to match
+            // exactly and stay unrounded)
+            r6(lam * 1000000.0).as("lam_um"))
+          .groupBy(col("k"), col("cmp"))
+          .agg(count(lit(1)).as("n"), first(col("vf")).as("vf"),
+            first(col("mm")).as("mm"), first(col("lam_um")).as("lam_um"))
+          .orderBy("k")
+      },
+      Some {
+        def muSql(compound: String, eE: String): String = {
+          val pts = ScatteringFunctions.MassAttenuation(compound).points
+          def xOf(en: Double) = 1.0 / (en * en * en)
+          val segs = pts.sliding(2).toSeq.collect { case Seq((e1, m1), (e2, m2)) =>
+            val slope = (m2 - m1) / (xOf(e2) - xOf(e1))
+            s"WHEN $eE <= $e2 THEN (1.0 / ($eE * $eE * $eE) - ${xOf(e1)}) * $slope + $m1"
+          }
+          s"CASE WHEN $eE <= ${pts.head._1} THEN ${pts.head._2} " +
+            s"${segs.mkString(" ")} ELSE ${pts.last._2} END"
+        }
+        val drm = "(26700000000.0 / 1.347)"
+        s"""WITH base AS (SELECT (l_orderkey % 251)::INT AS k FROM lineitem),
+          |v AS (
+          |  SELECT k,
+          |    CASE WHEN k % 3 = 0 THEN 'Si'
+          |         WHEN k % 3 = 1 THEN 'H2O' ELSE 'Ce' END AS cmp,
+          |    (k % 17 + 1)::DOUBLE * (k % 7 * 3 + 2)::DOUBLE / 1.347 / 1000.0 AS vf,
+          |    (k % 11 + 1) / 10.0 * 6e23 /
+          |      ((k % 5 + 1) / 1000.0 * $drm * $drm) AS mm,
+          |    round(CASE WHEN k % 3 = 0 THEN
+          |           0.01 / ((${muSql("Si", "(k * 0.1 + 5.0)")}) * 2.33) * 1000000.0
+          |         WHEN k % 3 = 1 THEN
+          |           0.01 / ((${muSql("H2O", "(k * 0.1 + 5.0)")}) * 1.0) * 1000000.0
+          |         ELSE
+          |           0.01 / ((${muSql("Ce", "(k * 0.1 + 5.0)")}) * 4.75) * 1000000.0
+          |    END, 6) AS lam_um
+          |  FROM base)
+          |SELECT k, cmp, count(*) AS n, any_value(vf) AS vf,
+          |       any_value(mm) AS mm, any_value(lam_um) AS lam_um
+          |FROM v GROUP BY k, cmp ORDER BY k""".stripMargin
       })
   )
 }

@@ -152,6 +152,33 @@ class FunctionsSpec extends SparkSpec {
     assert(rh == 97L * 31 + 98) // 'a'*31 + 'b'
   }
 
+  test("G8 volumeFraction / molecularMassFromI0 match reference formulas") {
+    // volumeFraction(1 mM, 17 kDa, 1.347 g/ml) = 17/1.347/1e3 (scattering.py:12-19)
+    val r = Seq((1.0, 17.0, 0.05, 0.002)).toDF("conc", "mw", "i0", "c")
+      .select(
+        ScatteringFunctions.volumeFraction($"conc", $"mw", lit(1.347)).as("vf"),
+        ScatteringFunctions.molecularMassFromI0($"i0", $"c", lit(1.347)).as("mm"))
+      .collect()(0)
+    assert(approx(r.getAs[Double]("vf"), 17.0 / 1.347 / 1e3))
+    val drm = 2.67e10 / 1.347
+    assert(approx(r.getAs[Double]("mm"), 0.05 * 6e23 / (0.002 * drm * drm)))
+  }
+
+  test("G7 attenuationLength: exact at table points, monotone between") {
+    // at a tabulated energy the interpolation hits the point exactly:
+    // Si @ 10 keV: 0.01/(33.89*2.33) m
+    val df = Seq(10.0, 12.5, 15.0).toDF("e")
+    val lam = df.select(ScatteringFunctions
+        .attenuationLength("Si", $"e").as("l")).as[Double].collect()
+    assert(approx(lam(0), 0.01 / (33.89 * 2.33)))
+    assert(approx(lam(2), 0.01 / (10.34 * 2.33)))
+    assert(lam(0) < lam(1) && lam(1) < lam(2)) // harder X-rays go further
+    // density override (reference phosphor screen, absorption.py:62)
+    val ce = Seq(15.0).toDF("e").select(ScatteringFunctions
+      .attenuationLength("Ce", $"e", Some(4.75)).as("l")).as[Double].collect()
+    assert(approx(ce(0), 0.01 / (28.33 * 4.75)))
+  }
+
   test("md5Hash60: matches hand-parsed md5 prefix, words independent") {
     // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
     val r = Seq("abc").toDF("t").select(
