@@ -31,12 +31,29 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / greatest(l2Norm(a) * l2Norm(b), lit(1e-300))
 
+  /** splitmix64 finalizer — the public-domain mixing constant pipeline;
+    * shared by the minhash coefficient family and the LSH hyperplanes.
+    */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pseudo-random hyperplane h_j ∈ R^dim, j = plane index:
-    * h_j[d] = sin(1 + j*dim + d). Cheap, seedless, identical on every
-    * engine/executor — good enough for LSH bucketing (only signs matter).
+    * components uniform in [-1, 1) from splitmix64(j·2^32 + d). Seedless
+    * and identical on every engine/executor. (A previous sin(1 + j·dim + d)
+    * generator made consecutive planes phase-shifted copies of each other —
+    * sin(x + 64 mod 2π) — which correlated multi-table LSH buckets and
+    * capped the recall achievable by adding tables.)
+    * Components are uniform rather than gaussian; for sign-of-dot LSH the
+    * bucketing quality is equivalent (symmetric around 0).
     */
   def hyperplane(j: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(d => math.sin(1.0 + j * dim + d))
+    (0 until dim).map { d =>
+      mix64((j.toLong << 32) + d).toDouble / 9.223372036854776e18
+    }
 
   /** Sign bit of <v, h_j> as 0/1. */
   def hyperplaneBit(v: Column, j: Int, dim: Int): Column = {
@@ -91,6 +108,38 @@ object VectorFunctions {
         "").as("bucket"))
   }
 
+  /** Multi-table LSH signatures in one relational pass: `nTables`
+    * independent `nBits` signatures per vector (table t uses hyperplanes
+    * t·nBits … t·nBits+nBits−1). Same explode + broadcast-plane-join +
+    * two-aggregation shape as `lshSignatures`, with the table index as one
+    * more key — the plane table is nTables× bigger but still tiny, and the
+    * shuffle carries nTables·nBits dots per vector. Multiple tables are the
+    * standard recall lever for single-probe LSH (union of candidates);
+    * output: (idCol, _t, bucket).
+    */
+  def lshSignaturesMulti(df: org.apache.spark.sql.DataFrame, nBits: Int,
+                         nTables: Int, dim: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = for (t <- 0 until nTables; j <- 0 until nBits; d <- 0 until dim)
+      yield (t, j, d, hyperplane(t * nBits + j, dim)(d))
+    val planeDf = planes.toDF("_t", "_j", "_d", "_w")
+    val comps = df.select(col(idCol), posexplode(asDouble(col(vecCol))).as(Seq("_d0", "_x")))
+      .withColumn("_d", col("_d0").cast("int")).drop("_d0")
+    comps.join(broadcast(planeDf), Seq("_d"))
+      .groupBy(col(idCol), col("_t"), col("_j"))
+      .agg(sum(col("_x") * col("_w")).as("_dot"))
+      .groupBy(col(idCol), col("_t"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_j"),
+            when(col("_dot") >= 0, "1").otherwise("0").as("_b")))),
+          x => x.getField("_b")),
+        "").as("bucket"))
+  }
+
   /** 64-bit SimHash over an array of token strings: each token is hashed
     * (xxhash64), each of the 64 bit positions accumulates +1/-1, sign of
     * the sum is the output bit. Near-identical documents differ in few bits.
@@ -113,17 +162,10 @@ object VectorFunctions {
   /** Large prime for the MinHash universal-hash family. */
   val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
 
-  /** Deterministic (a, b) coefficients for permutation i. */
+  /** Deterministic (a, b) coefficients for permutation i (splitmix64). */
   def minhashCoeffs(i: Int): (Long, Long) = {
-    // splitmix-style mixing of the permutation index; constants public.
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = (mix(i.toLong * 2 + 1) & 0x7fffffffL) | 1L // odd, positive
-    val b = mix(i.toLong * 2 + 2) & 0x7fffffffL
+    val a = (mix64(i.toLong * 2 + 1) & 0x7fffffffL) | 1L // odd, positive
+    val b = mix64(i.toLong * 2 + 2) & 0x7fffffffL
     (a, b)
   }
 

@@ -63,10 +63,108 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Multi-table, multi-probe LSH ANN — the recall-tunable scale path.
+    *
+    * `nTables` independent signatures per vector (union of candidates
+    * across tables) and, with `probeFlips = 1`, each query additionally
+    * probes the nBits buckets at Hamming distance 1 in every table.
+    * Single-table exact-bucket LSH (`lshTopK`) has recall
+    * p(θ)^nBits per neighbor; multiple tables lift it to
+    * 1 − (1 − p^nBits)^nTables and 1-flip probing multiplies the
+    * per-table term by ≈ (1 + nBits·(1−p)/p) — measured ≥ 0.95 vs
+    * `bruteForceTopK` on the test embeddings (see SimilaritySpec).
+    *
+    * Plan shape: corpus signatures are nTables rows per vector (linear),
+    * queries are broadcast with their probe fan-out, candidates dedupe by
+    * (query, vec) BEFORE the cosine re-rank so each pair is scored once.
+    */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   nBits: Int = 6, nTables: Int = 8, probeFlips: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= 1, "probeFlips ∈ {0, 1}")
+    val c = VectorFunctions.lshSignaturesMulti(corpus, nBits, nTables, dim,
+        idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol).as("_cv")), Seq(idCol))
+    val qsig = VectorFunctions.lshSignaturesMulti(
+      queries.withColumnRenamed(queryIdCol, idCol), nBits, nTables, dim,
+      idCol, vecCol).withColumnRenamed(idCol, queryIdCol)
+    val probes =
+      if (probeFlips == 0) array(col("bucket"))
+      else {
+        val flips = (0 until nBits).map { j =>
+          val bit = substring(col("bucket"), j + 1, 1)
+          concat(substring(col("bucket"), 1, j),
+            when(bit === "0", "1").otherwise("0"),
+            substring(col("bucket"), j + 2, nBits))
+        }
+        array(col("bucket") +: flips: _*)
+      }
+    val q = qsig.withColumn("bucket", explode(probes))
+      .select(col(queryIdCol), col("_t"), col("bucket"))
+    val cand = c.join(broadcast(q), Seq("_t", "bucket"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(first(col("_cv")).as("_cv"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    cand
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("_qv"))),
+        Seq(queryIdCol))
+      .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Sampled k-means (Lloyd's) for IVF coarse centroids: cluster a bounded
+    * driver-side sample — the standard way IVF indexes are trained (FAISS
+    * trains on a sample, not the corpus). Deterministic: the sample is the
+    * first `sampleN` vectors by id, initial centroids are every
+    * (sampleN/kCells)-th sorted sample vector. Driver memory is bounded by
+    * sampleN·dim doubles regardless of corpus size.
+    */
+  def sampledKMeans(corpus: DataFrame, kCells: Int, iters: Int = 10,
+                    sampleN: Int = 4096, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val k = math.min(kCells, sample.length)
+    val step = math.max(sample.length / k, 1)
+    var centroids = (0 until k).map(i => sample(i * step).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
   /** IVF-style coarse quantization: assign each corpus vector to the nearest
-    * of `centroids` (a driver-provided small list), search only the probe
-    * cells of each query. Centroids would come from a sampled k-means at
-    * scale; any fixed centroid set works for the plan shape.
+    * of `centroids` (a driver-provided small list, typically from
+    * `sampledKMeans`), search only the probe cells of each query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: Seq[Seq[Double]],
               k: Int, nProbe: Int = 2, idCol: String = "vec_id",
