@@ -24,14 +24,35 @@ object MedianMadAgg {
     else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
   }
 
-  private object Agg extends Aggregator[Double, List[Double], MedMad] {
-    def zero: List[Double] = Nil
-    def reduce(b: List[Double], a: Double): List[Double] = a :: b
-    def merge(b1: List[Double], b2: List[Double]): List[Double] = b1 ::: b2
-    def finish(b: List[Double]): MedMad = {
-      if (b.isEmpty) MedMad(Double.NaN, Double.NaN)
+  /** Doubling primitive buffer: 8 bytes per value (vs ~48+ for the boxed
+    * Kryo cons list this replaces), O(1) amortized append, O(n1+n2)
+    * arraycopy merge, and a product encoder (native binary array, no Kryo).
+    * Memory per group is still O(group size) — exact medians require the
+    * values — so the hard scale ceiling is unchanged: this path is for
+    * groups bounded by n_images per (q_bin); unbounded groups belong to
+    * the two-pass `zingerStats` (see Filters.scala).
+    */
+  final case class Buf(data: Array[Double], n: Int)
+
+  private object Agg extends Aggregator[Double, Buf, MedMad] {
+    def zero: Buf = Buf(new Array[Double](16), 0)
+    def reduce(b: Buf, a: Double): Buf = {
+      val d =
+        if (b.n == b.data.length) java.util.Arrays.copyOf(b.data, b.data.length * 2)
+        else b.data
+      d(b.n) = a
+      Buf(d, b.n + 1)
+    }
+    def merge(b1: Buf, b2: Buf): Buf = {
+      val out = new Array[Double](b1.n + b2.n)
+      System.arraycopy(b1.data, 0, out, 0, b1.n)
+      System.arraycopy(b2.data, 0, out, b1.n, b2.n)
+      Buf(out, out.length)
+    }
+    def finish(b: Buf): MedMad = {
+      if (b.n == 0) MedMad(Double.NaN, Double.NaN)
       else {
-        val v = b.toArray
+        val v = java.util.Arrays.copyOf(b.data, b.n)
         java.util.Arrays.sort(v)
         val med = medianOf(v)
         val dev = v.map(x => math.abs(x - med))
@@ -39,7 +60,7 @@ object MedianMadAgg {
         MedMad(med, medianOf(dev))
       }
     }
-    def bufferEncoder: Encoder[List[Double]] = Encoders.kryo[List[Double]]
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[MedMad] = Encoders.product[MedMad]
   }
 

@@ -41,9 +41,11 @@ object Filters {
   }
 
   /** A8 fused: same statistics in ONE aggregation (one shuffle) via the
-    * single-pass median+MAD Aggregator — the scale path when the curve
-    * table is large enough that two shuffles dominate. Asserted equal to
-    * `zingerStats` in the test suite.
+    * single-pass median+MAD Aggregator. Saves a shuffle, but buffers each
+    * group's values (primitive array, 8 B/value) — use when per-group
+    * cardinality is bounded (n_images per q_bin); for unbounded groups the
+    * two-pass `zingerStats` above is the scale-safe default. Asserted
+    * equal to `zingerStats` in the test suite.
     */
   def zingerStatsOnePass(curves: DataFrame): DataFrame =
     curves.groupBy(col("q_bin"))
