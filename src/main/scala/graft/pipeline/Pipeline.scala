@@ -63,16 +63,7 @@ object Pipeline {
     // the store and reintegrates everything.
     val curvesPath = s"$storageDir/curves.parquet"
     val valid = Bundle.isValid(storageDir, config.manifest)
-    if (!valid) {
-      val dir = new java.io.File(curvesPath)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-      }
-    }
+    if (!valid) Bundle.deleteRecursively(curvesPath)
     val saved: Option[DataFrame] =
       if (valid && new java.io.File(curvesPath).exists())
         Some(spark.read.parquet(curvesPath))

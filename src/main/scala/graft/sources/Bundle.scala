@@ -73,6 +73,18 @@ object Bundle {
     sb.toString
   }
 
+  /** Recursive local-filesystem delete (no-op if absent) — used by the T2
+    * invalidation paths to drop stale curve stores / stream checkpoints.
+    */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rm(f)
+  }
+
   /** Save tables + manifest (overwrite). */
   def save(dir: String, tables: Map[String, DataFrame],
            params: Map[String, String] = Map.empty): Unit = {

@@ -20,18 +20,30 @@ import graft.operators.Reduction
 object Online {
 
   /** T1 — streaming E1: watch a folder of EDF frames, integrate each new
-    * file, append curves to `curveDir`. File-source checkpointing replaces
-    * the reference's re-list + anti-join loop (trx/azav.py:300-362); a
-    * frame never splits across batches, so the per-(image, q_bin)
-    * aggregation inside foreachBatch is complete per image without any
-    * streaming state.
+    * file, append curves under `storageDir` (layout mirrors the batch
+    * `Pipeline.doFolderAzav`: curves.parquet + manifest.json, plus the
+    * stream checkpoint). File-source checkpointing replaces the
+    * reference's re-list + anti-join loop (trx/azav.py:300-362); a frame
+    * never splits across batches, so the per-(image, q_bin) aggregation
+    * inside foreachBatch is complete per image without streaming state.
+    *
+    * T2 coupling: a config change between runs invalidates BOTH the
+    * checkpoint and the curve store before (re)starting — without this, a
+    * geometry/grid change would silently keep integrating new frames on
+    * the old checkpoint while historical curves stay on the old geometry
+    * (the batch path has the same guard at Pipeline.doFolderAzav).
     */
-  def streamingAzav(spark: SparkSession, folder: String, checkpointDir: String,
-                    curveDir: String, geometry: graft.functions.ScatteringFunctions.Poni,
-                    grid: graft.operators.Azav.QGrid,
+  def streamingAzav(spark: SparkSession, folder: String, storageDir: String,
+                    config: graft.pipeline.Pipeline.AzavConfig,
                     pollSeconds: Int = 30,
                     maxFilesPerTrigger: Int = 64): StreamingQuery = {
-    import spark.implicits._
+    val checkpointDir = s"$storageDir/checkpoint"
+    val curveDir = s"$storageDir/curves.parquet"
+    if (!graft.sources.Bundle.isValid(storageDir, config.manifest)) {
+      graft.sources.Bundle.deleteRecursively(checkpointDir)
+      graft.sources.Bundle.deleteRecursively(curveDir)
+    }
+    graft.sources.Bundle.writeManifest(storageDir, config.manifest)
     val frames = spark.readStream.format("binaryFile")
       // streaming sources require an explicit schema; this is binaryFile's
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
@@ -45,7 +57,8 @@ object Online {
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Azav.integrateFrames(
-          graft.sources.ImageSource.readFrames(batch), geometry, grid)
+          graft.sources.ImageSource.readFrames(batch), config.geometry,
+          config.grid, config.dark, config.maskFn)
           .write.mode("append").parquet(curveDir)
         ()
       }

@@ -40,8 +40,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streamingAzav integrates frames as they arrive") {
     val frames = Files.createTempDirectory("sa-frames").toString
-    val ck = Files.createTempDirectory("sa-ck").toString
-    val curves = Files.createTempDirectory("sa-curves").toString + "/curves"
+    val store = Files.createTempDirectory("sa-store").toString
+    val curves = s"$store/curves.parquet"
     def frame(name: String, level: Double): Unit =
       Files.write(java.nio.file.Paths.get(frames, name),
         graft.sources.ImageSource.encodeEdf(16, 16, Array.fill(256)(level)))
@@ -50,8 +50,10 @@ class StreamingSpec extends SparkSpec {
     val g = graft.functions.ScatteringFunctions.Poni(
       dist = 0.1, poni1 = 0.008, poni2 = 0.008,
       pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
-    val q = graft.streaming.Online.streamingAzav(spark, frames, ck, curves,
-      g, graft.operators.Azav.QGrid(0.0, 3.0, 10), pollSeconds = 1)
+    val cfg = graft.pipeline.Pipeline.AzavConfig(g,
+      graft.operators.Azav.QGrid(0.0, 3.0, 10))
+    val q = graft.streaming.Online.streamingAzav(spark, frames, store, cfg,
+      pollSeconds = 1)
     try {
       q.processAllAvailable()
       val ids1 = spark.read.parquet(curves).select("image_id")
@@ -68,29 +70,64 @@ class StreamingSpec extends SparkSpec {
 
   test("checkpoint restart resumes without reprocessing old frames") {
     val frames = Files.createTempDirectory("cr-frames").toString
-    val ck = Files.createTempDirectory("cr-ck").toString
-    val curves = Files.createTempDirectory("cr-curves").toString + "/curves"
+    val store = Files.createTempDirectory("cr-store").toString
+    val curves = s"$store/curves.parquet"
     def frame(name: String, level: Double): Unit =
       Files.write(java.nio.file.Paths.get(frames, name),
         graft.sources.ImageSource.encodeEdf(8, 8, Array.fill(64)(level)))
     val g = graft.functions.ScatteringFunctions.Poni(
       dist = 0.1, poni1 = 0.004, poni2 = 0.004,
       pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
-    val grid = graft.operators.Azav.QGrid(0.0, 3.0, 5)
+    val cfg = graft.pipeline.Pipeline.AzavConfig(g,
+      graft.operators.Azav.QGrid(0.0, 3.0, 5))
 
     frame("f0.edf", 10.0)
-    val q1 = graft.streaming.Online.streamingAzav(spark, frames, ck, curves, g, grid)
+    val q1 = graft.streaming.Online.streamingAzav(spark, frames, store, cfg)
     try { q1.processAllAvailable() } finally q1.stop()
     val n1 = spark.read.parquet(curves).count()
 
     // restart from the same checkpoint; add one new frame
     frame("f1.edf", 20.0)
-    val q2 = graft.streaming.Online.streamingAzav(spark, frames, ck, curves, g, grid)
+    val q2 = graft.streaming.Online.streamingAzav(spark, frames, store, cfg)
     try { q2.processAllAvailable() } finally q2.stop()
     val after = spark.read.parquet(curves)
     // f0 appears exactly once (not reprocessed), f1 appended
     assert(after.filter($"image_id" === "f0.edf").count() == n1)
     assert(after.select("image_id").distinct().count() == 2)
+  }
+
+  test("T2: config change drops streaming checkpoint + curves, reintegrates") {
+    val frames = Files.createTempDirectory("t2-frames").toString
+    val store = Files.createTempDirectory("t2-store").toString
+    val curves = s"$store/curves.parquet"
+    def frame(name: String, level: Double): Unit =
+      Files.write(java.nio.file.Paths.get(frames, name),
+        graft.sources.ImageSource.encodeEdf(8, 8, Array.fill(64)(level)))
+    val g = graft.functions.ScatteringFunctions.Poni(
+      dist = 0.1, poni1 = 0.004, poni2 = 0.004,
+      pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+    // this 8×8 detector only reaches q ≈ 0.36 — grids must resolve that
+    val cfg5 = graft.pipeline.Pipeline.AzavConfig(g,
+      graft.operators.Azav.QGrid(0.0, 0.4, 5))
+
+    frame("f0.edf", 10.0)
+    val q1 = graft.streaming.Online.streamingAzav(spark, frames, store, cfg5)
+    try { q1.processAllAvailable() } finally q1.stop()
+    val binsBefore = spark.read.parquet(curves)
+      .select("q_bin").distinct().count()
+
+    // nQ changes → manifest mismatch → old checkpoint AND curves dropped,
+    // the stream reintegrates f0 on the new grid (old rows would otherwise
+    // silently keep the stale geometry)
+    val cfg10 = cfg5.copy(grid = graft.operators.Azav.QGrid(0.0, 0.4, 10))
+    val q2 = graft.streaming.Online.streamingAzav(spark, frames, store, cfg10)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val after = spark.read.parquet(curves)
+    assert(after.select("image_id").distinct().count() == 1)
+    // every row is on the new (finer) grid, exactly once — no stale rows
+    assert(after.count() == after.select("q_bin").distinct().count())
+    assert(after.select("q_bin").distinct().count() > binsBefore)
+    assert(graft.sources.Bundle.isValid(store, cfg10.manifest))
   }
 
   test("foreachBatch full re-reduction converges to the batch result") {
