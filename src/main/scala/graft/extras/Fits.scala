@@ -105,9 +105,36 @@ object Fits {
   /** X6 — pseudo-Voigt peak fit (trx/peaks.py:14-40): Gauss–Newton with a
     * numerical Jacobian; initial guess from the data extremum and FWHM
     * search, as the reference does.
+    *
+    * `autorange = true` restricts the fit window around the peak before
+    * fitting, exactly as trx/peaks.py:28-35: find the half-maximum
+    * crossings p1/p2 bracketing the argmax, centre c = (p1+p2)/2, half
+    * width dp = |p1−p2|, fit on [c−dp, c+dp) (clamped to the array; full
+    * range when no crossing exists on either side or the window is
+    * degenerate). Keeps a distant second structure from biasing the fit.
     */
   def fitPeak(x: Array[Double], y: Array[Double],
-              errY: Option[Array[Double]] = None): Peak = {
+              errY: Option[Array[Double]] = None,
+              autorange: Boolean = false): Peak = {
+    if (autorange) {
+      val iMax = y.indices.maxBy(y)
+      val half = y.max / 2
+      val idx = y.indices.filter(i => y(i) < half)
+      val below = idx.filter(_ < iMax)
+      val above = idx.filter(_ > iMax)
+      if (below.nonEmpty && above.nonEmpty) {
+        val p1 = below.last
+        val p2 = above.head
+        val c = (p1 + p2) / 2
+        val dp = math.abs(p1 - p2)
+        val lo = math.max(0, c - dp)
+        val hi = math.min(y.length, c + dp)
+        if (hi - lo >= 5)
+          return fitPeak(x.slice(lo, hi), y.slice(lo, hi),
+            errY.map(_.slice(lo, hi)))
+      }
+      return fitPeak(x, y, errY)
+    }
     require(x.length == y.length && x.length >= 5)
     val w = errY.map(_.map(e => 1.0 / math.max(e, 1e-12)))
       .getOrElse(Array.fill(x.length)(1.0))

@@ -59,6 +59,30 @@ class FitsSpec extends SparkSpec {
     assert(approx(p.offset, off, 1e-5))
   }
 
+  test("fitPeak autorange windows around the FWHM (trx/peaks.py:28-35)") {
+    // gaussian peak at x=3 plus a broad shoulder centred at x=7 that
+    // drags a full-range fit off centre
+    val xs = (0 until 200).map(i => i * 0.05).toArray
+    def shape(x: Double): Double =
+      10.0 * math.exp(-0.5 * math.pow((x - 3.0) / 0.3, 2)) +
+        6.0 * math.exp(-0.5 * math.pow((x - 7.0) / 1.8, 2))
+    val ys = xs.map(shape)
+    // hand-trace the reference window: half = max/2, p1/p2 = crossings
+    // around argmax, c = (p1+p2)/2, dp = |p1-p2| → slice [c-dp, c+dp)
+    val iMax = ys.indices.maxBy(ys)
+    val idx = ys.indices.filter(i => ys(i) < ys.max / 2)
+    val p1 = idx.filter(_ < iMax).last
+    val p2 = idx.filter(_ > iMax).head
+    val (c, dp) = ((p1 + p2) / 2, p2 - p1)
+    val windowed = Fits.fitPeak(xs.slice(c - dp, c + dp), ys.slice(c - dp, c + dp))
+    val auto = Fits.fitPeak(xs, ys, autorange = true)
+    assert(auto == windowed, "autorange must equal the hand-traced window fit")
+    val full = Fits.fitPeak(xs, ys)
+    assert(math.abs(auto.center - 3.0) < 0.02)
+    assert(math.abs(auto.center - 3.0) < math.abs(full.center - 3.0),
+      s"autorange ${auto.center} should beat full-range ${full.center}")
+  }
+
   test("snipBaseline lies under peaks and follows the background") {
     val xs = (0 until 300).map(_ * 0.02)
     val y = xs.map(x => 2.0 + 0.5 * x +
