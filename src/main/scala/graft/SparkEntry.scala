@@ -6,10 +6,9 @@ import graft.queries.Registry
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the full operator inventory (SURVEY §2) assembled in
-  * graft.queries.Registry; each entry has a DuckDB oracle in `oracleSql`
-  * unless its kernel is not ANSI-SQL-expressible (xxhash64-based MinHash/
-  * SimHash, the stub multimodal decoder), which fall back to the driver's
-  * rows-only check.
+  * graft.queries.Registry; EVERY entry has a DuckDB oracle in `oracleSql`
+  * (the formerly rows-only MinHash/SimHash/multimodal queries run their
+  * SQL-verifiable hash families — md5-derived, recomputable in DuckDB).
   */
 object SparkEntry {
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Physical-plan regression tests — the scale contract, asserted.
+  *
+  * Correctness gates (oracle + specs) can't see a plan that silently
+  * degrades: a join that stops broadcasting, a filter that stops reaching
+  * the parquet scan, a cartesian product sneaking in behind an innocent
+  * `join`. These tests pin the plan properties the 100 TB design relies
+  * on, on every registry query.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // planning only — no execution. AQE off while building: the adaptive
+  // wrapper defers codegen collapse to runtime, hiding the
+  // WholeStageCodegen markers these assertions need; the static plan is
+  // what planning guarantees anyway.
+  private lazy val plans: Map[String, String] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Registry.all.map { qd =>
+      qd.name -> qd.fn(spark, sfDir).queryExecution.executedPlan.toString
+    }.toMap
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("no unbroadcast cartesian product in any of the 54 query plans") {
+    // CartesianProductExec shuffles |A|x|B| — never acceptable; the
+    // intentional small cross joins (scalar x scalar, hkl lattice, query
+    // fan-out) must all plan as BroadcastNestedLoopJoin
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("image<->log equi-join broadcasts the small side (q13)") {
+    assert(plans("q13_j1_join_broadcast").contains("BroadcastHashJoin"),
+      "q13 must broadcast the log side, not sort-merge it")
+  }
+
+  test("ANN queries broadcast the query set, never shuffle the corpus for it") {
+    for (q <- Seq("q38_sim_threshold", "q39_sim_topk", "q40_sim_lsh"))
+      assert(plans(q).contains("Broadcast"), s"$q lost its broadcast")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    // the F1 filter query must show parquet-level pushdown, and its scan
+    // must not read every lineitem column for a few-column output
+    val plan = plans("q16_f_filters")
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "q16 filter no longer pushed to the parquet scan")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(_.split(",").length <= 8),
+      s"q16 scan reads too many columns: $readSchemas")
+  }
+
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    // codegen stages print as "*(n) Operator" in the simple plan string
+    for (q <- Seq("q01_a3_delay_average", "q24_a1_integrate1d",
+      "q42_dedup_minhash"))
+      assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plans(q)).isDefined,
+        s"$q: no HashAggregate inside a codegen stage")
+    // q33 is projection-only — its per-document expression work must still
+    // be inside a codegen stage
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plans("q33_text_stats")).isDefined,
+      "q33: projection fell out of codegen")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    // two HashAggregate levels around the exchange — partial then final;
+    // a single post-shuffle aggregate would shuffle raw rows
+    val plan = plans("q01_a3_delay_average")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "q01 lost its partial aggregation")
+  }
+}
