@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Clusters, Dedup, Packing, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -370,6 +370,76 @@ object CorpusQueries {
         |  round(coalesce(a.s0, 0) / 65535.0, 6) AS f0,
         |  round(coalesce(a.s1, 0) / 65535.0, 6) AS f1
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // Near-dup CLUSTER resolution: connected components (smallest-id label
+    // propagation) over the exact n-gram Jaccard pairs, singletons
+    // included. The oracle walks the same pair list with a recursive CTE —
+    // min reachable id == propagation fixpoint.
+    QueryDef("q55_dedup_clusters",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        Clusters.components(pairs, docs.select(col("doc_id")), idCol = "doc_id")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |    FROM (SELECT doc_id, t,
+        |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |          FROM toks))),
+        |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sized sa ON id_a = sa.doc_id JOIN sized sb ON id_b = sb.doc_id
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
+        |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
+        |GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // Token-budget sequence packing: shard = floor(tokens-before / budget)
+    // over doc_id order, via the distributed two-phase prefix scan. The
+    // oracle's single global window is the semantic spec the distributed
+    // form must equal.
+    QueryDef("q56_pack_sequences",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+        Packing.packSequences(docs, budget = 2048, bucketWidth = 64)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, n_tok,
+        |         (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |          // 2048) AS shard
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
