@@ -92,17 +92,27 @@ object Filters {
   /** A10 + chi² filter (trx/filters.py:103-120): threshold per-repetition
     * chi²₀; `threshold = None` → 'auto' = 95th percentile
     * (filters.py:105-106). Returns the image indices to KEEP.
+    *
+    * `extraKeys` (F8): the auto percentile is computed per split group —
+    * the reference's split_angle loop thresholds within each angle subset.
     */
-  def chi2Filter(chi2PerRep: DataFrame, threshold: Option[Double] = None): DataFrame = {
+  def chi2Filter(chi2PerRep: DataFrame, threshold: Option[Double] = None,
+                 extraKeys: Seq[String] = Nil): DataFrame = {
     // null chi2 (zero-noise group: repetitions agree exactly) → keep; only
     // a measured excess variance rejects a repetition.
     def keep(thr: Column): Column = col("chi2_0").isNull || col("chi2_0") < thr
     threshold match {
       case Some(t) => chi2PerRep.filter(keep(lit(t)))
       case None =>
-        val auto = chi2PerRep.agg(expr("percentile(chi2_0, 0.95)").as("_thr"))
-        chi2PerRep.join(broadcast(auto))
-          .filter(col("_thr").isNull || keep(col("_thr"))).drop("_thr")
+        val auto =
+          if (extraKeys.isEmpty)
+            chi2PerRep.agg(expr("percentile(chi2_0, 0.95)").as("_thr"))
+          else chi2PerRep.groupBy(extraKeys.map(col): _*)
+            .agg(expr("percentile(chi2_0, 0.95)").as("_thr"))
+        val joined =
+          if (extraKeys.isEmpty) chi2PerRep.join(broadcast(auto))
+          else chi2PerRep.join(broadcast(auto), extraKeys)
+        joined.filter(col("_thr").isNull || keep(col("_thr"))).drop("_thr")
     }
   }
 

@@ -29,17 +29,27 @@ object Reduction {
     * `refDelay`: None → min delay excluding the laser-off sentinel (-10);
     * Some(v) → |delay - v| < atol. Implemented with a scalar-subquery-style
     * broadcast of the min.
+    *
+    * `extraKeys` (F8): the reference's split_angle runs the WHOLE
+    * reduction per angle subset (id9.py:246-263), so the min-delay search
+    * is per split group — one broadcast of the per-group minima here.
     */
   def tagReferences(curves: DataFrame, refDelay: Option[Double] = None,
-                    atol: Double = 1e-12): DataFrame =
+                    atol: Double = 1e-12,
+                    extraKeys: Seq[String] = Nil): DataFrame =
     refDelay match {
       case Some(v) =>
         curves.withColumn("is_ref", abs(col("delay") - v) < atol)
       case None =>
-        val minDelay = curves
-          .filter(col("delay") =!= TimeFunctions.OffSentinel)
-          .agg(min(col("delay")).as("ref_delay"))
-        curves.join(broadcast(minDelay))
+        val nonOff = curves.filter(col("delay") =!= TimeFunctions.OffSentinel)
+        val minDelay =
+          if (extraKeys.isEmpty) nonOff.agg(min(col("delay")).as("ref_delay"))
+          else nonOff.groupBy(extraKeys.map(col): _*)
+            .agg(min(col("delay")).as("ref_delay"))
+        val joined =
+          if (extraKeys.isEmpty) curves.join(broadcast(minDelay))
+          else curves.join(broadcast(minDelay), extraKeys)
+        joined
           .withColumn("is_ref", abs(col("delay") - col("ref_delay")) < atol)
           .drop("ref_delay")
     }
@@ -56,15 +66,19 @@ object Reduction {
     *
     * Emitted column: `i_ref` (same q_bin, same row grain).
     */
-  def interpolateReferences(tagged: DataFrame): DataFrame = {
+  def interpolateReferences(tagged: DataFrame,
+                            extraKeys: Seq[String] = Nil): DataFrame = {
     // Both "nearest ref before" and "nearest ref after" are expressed as
     // RUNNING frames (unboundedPreceding → -1), the latter over DESCENDING
     // image order. Spark evaluates running frames incrementally in O(n);
     // the naive `rowsBetween(1, unboundedFollowing)` frame re-scans the
     // partition tail per row — O(n²), minutes instead of seconds at 100k+
-    // images per q_bin.
-    val asc  = Window.partitionBy(col("q_bin")).orderBy(col("image_idx"))
-    val desc = Window.partitionBy(col("q_bin")).orderBy(col("image_idx").desc)
+    // images per q_bin. With F8 split keys the as-of neighbourhood is
+    // per split group (the reference interpolates within each angle
+    // subset), so the keys join the window partition.
+    val part = (Seq("q_bin") ++ extraKeys).map(col)
+    val asc  = Window.partitionBy(part: _*).orderBy(col("image_idx"))
+    val desc = Window.partitionBy(part: _*).orderBy(col("image_idx").desc)
     val before = asc.rowsBetween(Window.unboundedPreceding, -1)
     val after  = desc.rowsBetween(Window.unboundedPreceding, -1)
 
@@ -117,8 +131,11 @@ object Reduction {
     * noise at 176-180 BEFORE the `[::2]` thinning at 182-184).
     */
   def markThinnedReferences(curves: DataFrame,
-                            keepName: String = "_keep"): DataFrame = {
-    val w = Window.partitionBy(col("delay"), col("q_bin")).orderBy(col("image_idx"))
+                            keepName: String = "_keep",
+                            extraKeys: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy((Seq("delay", "q_bin") ++ extraKeys).map(col): _*)
+      .orderBy(col("image_idx"))
     curves.withColumn("_rep", row_number().over(w))
       .withColumn(keepName, !col("is_ref") || col("_rep") % 2 === 1)
       .drop("_rep")
@@ -128,8 +145,9 @@ object Reduction {
     * group (trx/dataReduction.py:177-179), because consecutive refs are
     * correlated through the interpolation.
     */
-  def thinReferences(curves: DataFrame): DataFrame =
-    markThinnedReferences(curves).filter(col("_keep")).drop("_keep")
+  def thinReferences(curves: DataFrame, extraKeys: Seq[String] = Nil): DataFrame =
+    markThinnedReferences(curves, extraKeys = extraKeys)
+      .filter(col("_keep")).drop("_keep")
 
   /** A3 — per-delay averaging of repetitions (trx/dataReduction.py:88-205):
     * group (delay, q_bin); mean or median over reps (`funcForAveraging`);
@@ -176,7 +194,9 @@ object Reduction {
       // population stddev: the reference's noise is np.nanstd (ddof=0,
       // dataReduction.py:180) — same ensemble the chi² divides by.
       .withColumn("_noise", stddev_pop(col("diff")).over(grp))
-      .groupBy(col("delay"), col("image_idx"))
+      // an image belongs to exactly one split group, so the keys ride
+      // along in the grouping (needed downstream for per-split filters)
+      .groupBy((Seq("delay", "image_idx") ++ extraKeys).map(col): _*)
       .agg(
         (sum(pow(when(col("_noise") =!= 0.0,
           (col("diff") - col("_mean")) / col("_noise")), 2)) /

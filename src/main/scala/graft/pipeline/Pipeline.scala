@@ -172,19 +172,22 @@ object Pipeline {
           .withColumn("_i", col("i_norm")).drop("i").withColumnRenamed("_i", "i")
       case None => curves
     }
-    val tagged = Reduction.tagReferences(normalized, config.refDelay)
-    val withRef = Reduction.interpolateReferences(tagged)
+    // F8: the reference's split_angle runs the WHOLE reduction per angle
+    // subset (id9.py:246-263) — every stage below partitions by the split
+    // keys, equivalent to that loop in one pass
+    val tagged = Reduction.tagReferences(normalized, config.refDelay,
+      extraKeys = config.splitKeys)
+    val withRef = Reduction.interpolateReferences(tagged, config.splitKeys)
     val diffs = Reduction.diffSignal(withRef, config.useRatio)
 
     // A4 + A10 — per-repetition chi² outlier cut, then re-average survivors
-    // (ensemble statistics split by the F8 keys, as the reference's
-    // per-angle loop would)
     val chi2 = Reduction.chi2PerRepetition(diffs, config.splitKeys)
-    val keep = Filters.chi2Filter(chi2, config.chi2Threshold)
+    val keep = Filters.chi2Filter(chi2, config.chi2Threshold, config.splitKeys)
       .select(col("delay"), col("image_idx"))
     val surviving = diffs.join(keep, Seq("delay", "image_idx"), "left_semi")
 
-    val marked = Reduction.markThinnedReferences(surviving)
+    val marked = Reduction.markThinnedReferences(surviving,
+      extraKeys = config.splitKeys)
     Reduction.averageScanPoints(marked, config.useMedian, config.splitKeys,
       keepCol = Some(col("_keep")))
   }

@@ -64,6 +64,37 @@ class PipelineSpec extends SparkSpec {
     assert(nMasked < nAll, s"maskFn dropped: $nMasked vs $nAll pixels")
   }
 
+  test("F8 split keys: one-pass split reduction equals the per-angle loop") {
+    // interleaved angles: every reduction stage (ref tagging, as-of
+    // interpolation, thinning, chi2 auto-threshold, averaging) must behave
+    // as if each angle subset were reduced separately (id9.py:246-263)
+    val rows = for (i <- 0 until 60; q <- 1 to 2) yield
+      (i, if (i % 5 == 0) 0.0 else (i % 3 + 1) * 1e-9, q,
+        (i * 7 % 13 + q).toDouble, i % 2)
+    val df = rows.toDF("image_idx", "delay", "q_bin", "i", "angle")
+      .withColumn("err", lit(1.0))
+    val cfg = Pipeline.ReductionConfig(splitKeys = Seq("angle"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("delay"), r.getAs[Int]("q_bin"), r.getAs[Int]("angle"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("diff_av"), r.getAs[Double]("noise"),
+        r.getAs[Long]("n_rep"), r.getAs[Double]("err"))
+    val onePass = Pipeline.doDataRed(df, cfg).collect()
+      .map(r => key(r) -> vals(r)).toMap
+    val looped = (0 to 1).flatMap { a =>
+      Pipeline.doDataRed(df.filter($"angle" === a),
+          Pipeline.ReductionConfig())
+        .withColumn("angle", lit(a)).collect()
+        .map(r => key(r) -> vals(r))
+    }.toMap
+    assert(onePass.keySet == looped.keySet)
+    onePass.foreach { case (k, (av1, n1, nr1, e1)) =>
+      val (av2, n2, nr2, e2) = looped(k)
+      assert(approx(av1, av2, 1e-12) && approx(n1, n2, 1e-12) &&
+        nr1 == nr2 && approx(e1, e2, 1e-12), s"split group $k diverged")
+    }
+  }
+
   test("E1 log semi-join (J1): only frames present in the log integrate") {
     val folder = Files.createTempDirectory("j1-frames").toString
     val storage = Files.createTempDirectory("j1-store").toString
