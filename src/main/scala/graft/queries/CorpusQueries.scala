@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Clusters, Dedup, Packing, Similarity}
+import graft.operators.{Clusters, Dedup, Packing, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -440,6 +440,32 @@ object CorpusQueries {
         |  FROM d)
         |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language rates via the
+    // md5-portable survival hash — the exact same subset on every run and
+    // engine (the oracle re-derives membership row by row).
+    QueryDef("q57_stratified_sample",
+      (s, dir) => {
+        val sampled = Sampling.stratifiedSample(table(s, dir, "documents"),
+          strataCol = "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8),
+          defaultFraction = 0.1)
+        sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH survive AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substring(md5('graft_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 1000000 AS h,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |              WHEN 'zh' THEN 0.8 ELSE 0.1 END AS frac
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id,
+        |       max(doc_id) AS last_id
+        |FROM survive WHERE h < floor(frac * 1000000.0)
+        |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -49,6 +49,30 @@ class ClustersPackingSpec extends SparkSpec {
     }
   }
 
+  test("deterministic sampling: reproducible, rate-accurate, salt-independent") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = graft.operators.Sampling.deterministicSample(docs, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.operators.Sampling.deterministicSample(docs, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt must give the same subset")
+    assert(math.abs(s1.size - 600) < 80, s"rate off: ${s1.size}/2000 at 0.3")
+    val other = graft.operators.Sampling.deterministicSample(docs, 0.3, salt = "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != s1, "different salt must give an independent subset")
+    // nested property: a higher-rate sample contains the lower-rate one
+    // (same salt, threshold rule) — lets pipelines grow samples monotonically
+    val bigger = graft.operators.Sampling.deterministicSample(docs, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(bigger))
+    // stratified: per-stratum rates honoured
+    val strat = graft.operators.Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+      .select("doc_id", "lang").collect()
+    assert(strat.forall(_.getString(1) == "en") && strat.length == 500)
+  }
+
   test("packSequences handles sparse / non-dense ids") {
     val docs = Seq((3L, 4), (100L, 5), (4096L, 2), (9999L, 7))
       .toDF("doc_id", "n_tok")
