@@ -174,28 +174,38 @@ object Dedup {
                     verifiable: Boolean = false): DataFrame = {
     val tok0 = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("_t"))
-    // One row per (token, bit). Two tiny-codegen hash aggregations beat one
-    // 64-column aggregate, whose generated class takes ~10 s to janino-
-    // compile; the 64× row fan-out is pure map-side partial aggregation
-    // (shuffle is n_docs × 64 rows).
-    val bits =
+    // One row per (token, BYTE) with 8 vote columns: the middle ground
+    // between a 64× bit fan-out (8× the rows for tiny per-row work) and
+    // one 64-column aggregate (whose generated class takes ~10 s to
+    // janino-compile). 8 columns × 8-row fan-out keeps both the row count
+    // and the codegen class small; shuffle is n_docs × 8 rows of partial
+    // sums. Values are bit-identical to the per-bit formulation.
+    val byteRows =
       if (verifiable)
         tok0.select(col("id"),
             TextFunctions.md5Hash60(col("_t")).as("_h1"),
             TextFunctions.md5Hash60b(col("_t")).as("_h2"))
-          .withColumn("b", explode(sequence(lit(0), lit(63))))
-          .select(col("id"), col("b"),
-            (expr("shiftright(CASE WHEN b < 32 THEN _h1 ELSE _h2 END, " +
-                  "CASE WHEN b < 32 THEN b ELSE b - 32 END) & 1L") * 2L - 1L).as("v"))
+          .withColumn("B", explode(sequence(lit(0), lit(7))))
       else
         tok0.select(col("id"), xxhash64(col("_t")).as("_h"))
-          .withColumn("b", explode(sequence(lit(0), lit(63))))
-          .select(col("id"), col("b"),
-            expr("(shiftright(_h, b) & 1L) * 2L - 1L").as("v"))
-    bits.groupBy(col("id"), col("b"))
-      .agg(sum(col("v")).as("vote"))
+          .withColumn("B", explode(sequence(lit(0), lit(7))))
+    def vote(r: Int): org.apache.spark.sql.Column =
+      if (verifiable)
+        // bit b = B*8+r lives in word 1 for b<32 (bytes 0-3), word 2 above
+        expr(s"(shiftright(CASE WHEN B < 4 THEN _h1 ELSE _h2 END, " +
+             s"CASE WHEN B < 4 THEN B * 8 + $r ELSE B * 8 + $r - 32 END) & 1L)" +
+             " * 2L - 1L")
+      else
+        expr(s"(shiftright(_h, B * 8 + $r) & 1L) * 2L - 1L")
+    val votes: Seq[org.apache.spark.sql.Column] =
+      (0 until 8).map(r => sum(vote(r)).as(s"_v$r"))
+    val byteWord = (0 until 8).map(r =>
+      when(col(s"_v$r") > 0, expr(s"shiftleft(1L, B * 8 + $r)")).otherwise(0L))
+      .reduce(_ + _) // distinct powers of two: + == bitwise OR
+    byteRows.groupBy(col("id"), col("B"))
+      .agg(votes.head, votes.tail: _*)
       .groupBy(col("id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sh"))
+      .agg(sum(byteWord).as("sh"))
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash, split into `nBands`
