@@ -8,11 +8,23 @@ import org.apache.spark.sql.SparkSession
   * Queries are forced through the `noop` sink — `count()` would let
   * Catalyst prune the output projections and undermeasure (rounding,
   * string formatting, vector math would never run).
+  *
+  * Measurement protocol (r2 lesson: single-iteration timings swung ±4 s
+  * from janino/JIT warmup alone, drowning real regressions): each query
+  * gets WARMUP untimed runs followed by ITERS timed runs, and the
+  * reported per-query number is the MEDIAN of the timed runs. The
+  * back-to-back repetition maximizes JIT reuse, so the median reflects
+  * steady-state plan execution — the number that scales to a cluster —
+  * not first-compile noise. Override via SPARK_GRAFT_BENCH_ITERS /
+  * SPARK_GRAFT_BENCH_WARMUP (1 iter + 0 warmup reproduces the old
+  * single-shot behaviour).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +32,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (parquet footers, codegen infra, shuffle machinery)
-    // so the first timed query doesn't absorb JVM start-up.
+    // so the first query's warmup run doesn't also absorb JVM start-up.
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
@@ -30,18 +42,30 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                name: String): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (1 to warmup).foreach(_ => runOnce(fn, name))
+      name -> median((1 to iters).map(_ => runOnce(fn, name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":$warmup}""")
     spark.stop()
   }
 }
