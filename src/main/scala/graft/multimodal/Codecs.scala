@@ -1,0 +1,173 @@
+package graft.multimodal
+
+/** Pure-JVM media codecs for the multimodal column path.
+  *
+  * The container sandbox has no image/audio libraries, but Netpbm (PGM/PPM)
+  * and RIFF/WAV PCM are fully decodable with header parsing + raster
+  * arithmetic alone — so THESE formats get a real bytes→samples decode
+  * path; only codec-class formats (JPEG/MP3/H.264) remain behind the
+  * clearly-marked stub in [[Multimodal.stubDecode]].
+  *
+  * Reference analogue: trx reads detector images through fabio's EDF codec
+  * (trx/azav.py:25, fabio.open) — same role: container header + raw raster.
+  */
+object Codecs {
+
+  /** Decoded raster image. `pixels` is row-major, channel-interleaved
+    * (length = width × height × channels), values in 0..maxVal.
+    */
+  final case class ImageData(width: Int, height: Int, channels: Int,
+                             maxVal: Int, pixels: Array[Int])
+
+  /** Decoded PCM audio. `samples` are signed 16-bit values, channel-
+    * interleaved.
+    */
+  final case class AudioData(sampleRate: Int, nChannels: Int,
+                             samples: Array[Int])
+
+  /** Container sniff from magic bytes — drives decode dispatch. */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 2 && b(0) == 'P' && b(1) == '6') "ppm"
+    else if (b.length >= 2 && b(0) == 'P' && b(1) == '5') "pgm"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      "wav"
+    else "unknown"
+
+  // ------------------------------------------------------------- Netpbm --
+
+  /** Decode binary PGM (P5, 1 channel) / PPM (P6, 3 channels).
+    *
+    * Header: magic, then whitespace-separated width/height/maxval with
+    * `#`-comment support, then EXACTLY ONE whitespace byte before the
+    * raster (the Netpbm spec's classic trap — the raster may begin with a
+    * byte that is itself whitespace-valued).
+    */
+  def decodeNetpbm(b: Array[Byte]): ImageData = {
+    require(b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'),
+      "not a binary PGM/PPM payload")
+    val channels = if (b(1) == '6') 3 else 1
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nextInt(): Int = {
+      // skip whitespace and #-to-EOL comments
+      var done = false
+      while (!done) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length && b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+        } else done = true
+      }
+      var v = 0
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', "bad Netpbm header")
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
+    i += 1 // the single post-maxval whitespace byte
+    val bytesPerSample = if (maxVal < 256) 1 else 2
+    val n = w * h * channels
+    require(b.length - i >= n * bytesPerSample,
+      s"truncated raster: need ${n * bytesPerSample}, have ${b.length - i}")
+    val px = new Array[Int](n)
+    var j = 0
+    if (bytesPerSample == 1) {
+      while (j < n) { px(j) = b(i + j) & 0xff; j += 1 }
+    } else { // 16-bit samples are big-endian per the Netpbm spec
+      while (j < n) {
+        px(j) = ((b(i + 2 * j) & 0xff) << 8) | (b(i + 2 * j + 1) & 0xff)
+        j += 1
+      }
+    }
+    ImageData(w, h, channels, maxVal, px)
+  }
+
+  /** Encode binary PGM/PPM (the test/oracle twin of [[decodeNetpbm]]). */
+  def encodeNetpbm(width: Int, height: Int, channels: Int,
+                   pixels: Array[Int], maxVal: Int = 255): Array[Byte] = {
+    require(channels == 1 || channels == 3, "PGM=1 or PPM=3 channels")
+    require(pixels.length == width * height * channels, "raster size mismatch")
+    require(maxVal > 0 && maxVal < 256, "1-byte samples only")
+    val magic = if (channels == 3) "P6" else "P5"
+    val header = s"$magic\n$width $height\n$maxVal\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    while (j < pixels.length) {
+      out(header.length + j) = (pixels(j) & 0xff).toByte; j += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- WAV ---
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Decode RIFF/WAVE with 16-bit PCM samples: a proper chunk walk (fmt
+    * and data may be separated by LIST/fact/other chunks; chunk sizes pad
+    * to even offsets per the RIFF spec).
+    */
+  def decodeWav(b: Array[Byte]): AudioData = {
+    require(sniff(b) == "wav", "not a RIFF/WAVE payload")
+    var i = 12
+    var sampleRate = 0; var nCh = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = le32(b, i + 4)
+      val body = i + 8
+      id match {
+        case "fmt " =>
+          require(sz >= 16 && body + 16 <= b.length, "truncated fmt chunk")
+          val fmt = le16(b, body)
+          require(fmt == 1, s"only PCM (format 1) supported, got $fmt")
+          nCh = le16(b, body + 2)
+          sampleRate = le32(b, body + 4)
+          bits = le16(b, body + 14)
+        case "data" => dataOff = body; dataLen = sz
+        case _ => ()
+      }
+      i = body + sz + (sz & 1) // RIFF chunks pad to even length
+    }
+    require(dataOff >= 0, "no data chunk")
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    require(dataOff + dataLen <= b.length, "truncated data chunk")
+    val n = dataLen / 2
+    val samples = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      samples(j) = le16(b, dataOff + 2 * j).toShort.toInt // sign-extend
+      j += 1
+    }
+    AudioData(sampleRate, nCh, samples)
+  }
+
+  /** Encode 16-bit PCM RIFF/WAVE (the test/oracle twin of [[decodeWav]]). */
+  def encodeWav(sampleRate: Int, nChannels: Int,
+                samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(i: Int, s: String): Unit = {
+      val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, i, a.length)
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(i: Int, v: Int): Unit = { put16(i, v); put16(i + 2, v >> 16) }
+    putAscii(0, "RIFF"); put32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, nChannels)
+    put32(24, sampleRate); put32(28, sampleRate * nChannels * 2)
+    put16(32, nChannels * 2); put16(34, 16)
+    putAscii(36, "data"); put32(40, dataLen)
+    var j = 0
+    while (j < samples.length) { put16(44 + 2 * j, samples(j)); j += 1 }
+    out
+  }
+}

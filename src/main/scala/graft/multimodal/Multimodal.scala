@@ -74,6 +74,61 @@ object Multimodal {
       }
   }
 
+  /** One decoded media payload, reduced to exact integer statistics.
+    * Integer sums/extrema are deterministic under any partition order and
+    * SQL-recomputable, so the REAL decode path is oracle-checkable (q58).
+    */
+  final case class MediaDecoded(media_id: Long, container: String,
+                                width: Int, height: Int, channels: Int,
+                                sample_rate: Int, n_values: Long,
+                                v_sum: Long, v_min: Long, v_max: Long)
+
+  /** REAL decode: per-partition batch transform that sniffs the container
+    * magic and runs the pure-JVM codec ([[Codecs]] — PGM/PPM raster parse,
+    * RIFF/WAVE chunk walk + PCM16). Only unknown containers fall back to
+    * the stub hash (`container = "unknown"` marks them honestly).
+    *
+    * Same 100 TB shape as [[extractFeatures]]: iterator-at-a-time within a
+    * partition — bounded memory, no per-row UDF overhead, and upstream
+    * byte-based repartitioning controls batch size.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaDecoded] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          def stats(vs: Array[Int]): (Long, Long, Long, Long) = {
+            var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var j = 0
+            while (j < vs.length) {
+              s += vs(j); if (vs(j) < mn) mn = vs(j); if (vs(j) > mx) mx = vs(j)
+              j += 1
+            }
+            if (vs.isEmpty) (0L, 0L, 0L, 0L) else (vs.length.toLong, s, mn, mx)
+          }
+          Codecs.sniff(payload) match {
+            case c @ ("ppm" | "pgm") =>
+              val img = Codecs.decodeNetpbm(payload)
+              val (n, s, mn, mx) = stats(img.pixels)
+              MediaDecoded(id, c, img.width, img.height, img.channels, 0,
+                n, s, mn, mx)
+            case "wav" =>
+              val au = Codecs.decodeWav(payload)
+              val (n, s, mn, mx) = stats(au.samples)
+              MediaDecoded(id, "wav", 0, 0, au.nChannels, au.sampleRate,
+                n, s, mn, mx)
+            case _ =>
+              // codec-class formats (JPEG/MP3/…): no library in this
+              // environment — keep the documented stub hash as the feature
+              val f = stubDecode(payload, 4)
+              MediaDecoded(id, "unknown", 0, 0, 0, 0, payload.length.toLong,
+                f.map(v => (v * 65535.0).round).sum, 0L, 0L)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameBytes` chunks, keep every `stride`-th — the plan shape of video
     * frame-sampling (explode → filter on frame index).

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Codecs, Multimodal}
 import graft.operators.{Clusters, Dedup, Packing, Sampling, Similarity}
 import QueryUtil._
 import Tables._
@@ -466,6 +466,66 @@ object CorpusQueries {
         |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id,
         |       max(doc_id) AS last_id
         |FROM survive WHERE h < floor(frac * 1000000.0)
-        |GROUP BY lang ORDER BY lang""".stripMargin))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // REAL multimodal decode (no stub): synthesize genuine PPM/PGM/WAV
+    // container bytes from SQL-mirrorable formulas, then run the production
+    // decoder (header parse + raster/PCM arithmetic, Codecs.scala). The
+    // oracle recomputes every statistic from the generation formulas, so a
+    // header misparse, endianness slip, or off-by-one in the raster offset
+    // breaks the hash — this checks the DECODER, not the generator.
+    QueryDef("q58_multimodal_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val payload = (id % 3) match {
+                case m @ (0L | 1L) => // P6 color / P5 gray image
+                  val w = (4 + id % 8).toInt; val h = (3 + id % 5).toInt
+                  val ch = if (m == 0L) 3 else 1
+                  val px = Array.tabulate(w * h * ch)(j =>
+                    ((id * 13 + j * 5) % 256).toInt)
+                  Codecs.encodeNetpbm(w, h, ch, px)
+                case _ => // 16-bit PCM WAV
+                  val ns = (64 + id % 64).toInt
+                  val rate = (8000 + (id % 8) * 1000).toInt
+                  val samples = Array.tabulate(ns)(k =>
+                    ((id * 31 + k * 7) % 65536).toInt - 32768)
+                  Codecs.encodeWav(rate, 1, samples)
+              }
+              (id, payload)
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.decodeMedia(s, media).toDF().orderBy("media_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |         4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
+        |         64 + doc_id % 64 AS ns
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, m,
+        |    CASE WHEN m <= 1 THEN (doc_id * 13 + j * 5) % 256
+        |         ELSE (doc_id * 31 + j * 7) % 65536 - 32768 END AS val
+        |  FROM (SELECT doc_id, m, w, h, ns,
+        |          unnest(generate_series(0,
+        |            (CASE WHEN m = 0 THEN w * h * 3
+        |                  WHEN m = 1 THEN w * h ELSE ns END) - 1)) AS j
+        |        FROM p)),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_values, sum(val)::BIGINT AS v_sum,
+        |         min(val)::BIGINT AS v_min, max(val)::BIGINT AS v_max
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.doc_id AS media_id,
+        |  CASE p.m WHEN 0 THEN 'ppm' WHEN 1 THEN 'pgm' ELSE 'wav' END AS container,
+        |  (CASE WHEN p.m <= 1 THEN p.w ELSE 0 END)::INT AS width,
+        |  (CASE WHEN p.m <= 1 THEN p.h ELSE 0 END)::INT AS height,
+        |  (CASE p.m WHEN 0 THEN 3 ELSE 1 END)::INT AS channels,
+        |  (CASE WHEN p.m = 2 THEN 8000 + (p.doc_id % 8) * 1000 ELSE 0 END)::INT AS sample_rate,
+        |  a.n_values, a.v_sum, a.v_min, a.v_max
+        |FROM p JOIN agg a USING (doc_id)
+        |ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Codecs, Multimodal}
 
 /** Multimodal plumbing: schema, metadata, per-partition feature extraction
-  * (stub decoder), frame sampling.
+  * (stub decoder), frame sampling, and the REAL pure-JVM codecs
+  * (Netpbm raster parse, RIFF/WAVE chunk walk).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -40,5 +41,83 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq == Seq(0, 2)) // 43 bytes → 4 frames → keep 0, 2
     val frames = out.select("frame").as[Array[Byte]].collect()
     assert(frames.forall(_.length == 10))
+  }
+
+  // ----------------------------------------------------------- codecs ---
+
+  test("Netpbm PPM/PGM roundtrip recovers dims and raster exactly") {
+    val px = Array.tabulate(5 * 4 * 3)(j => (j * 7) % 256)
+    val img = Codecs.decodeNetpbm(Codecs.encodeNetpbm(5, 4, 3, px))
+    assert((img.width, img.height, img.channels, img.maxVal) == (5, 4, 3, 255))
+    assert(img.pixels.toSeq == px.toSeq)
+    val gray = Array.tabulate(7 * 2)(j => (j * 31) % 256)
+    val g = Codecs.decodeNetpbm(Codecs.encodeNetpbm(7, 2, 1, gray))
+    assert((g.width, g.height, g.channels) == (7, 2, 1))
+    assert(g.pixels.toSeq == gray.toSeq)
+  }
+
+  test("Netpbm header parse handles comments, multi-digit dims, and a " +
+       "whitespace-valued first raster byte") {
+    // 0x0a == '\n': the raster's first byte is whitespace-valued — only the
+    // single-separator rule decodes this correctly.
+    val raster = Array[Int](0x0a, 0x20, 0x00, 0xff)
+    val header = "P5 # comment\n# another comment\n 22\t1\n# last\n255\n"
+    val payload = header.getBytes("US-ASCII") ++
+      Array.fill(22)(1.toByte) // raster: width 22, height 1
+    val full = "P5\n# c\n4 1\n255\n".getBytes("US-ASCII") ++
+      raster.map(_.toByte)
+    val img = Codecs.decodeNetpbm(full)
+    assert((img.width, img.height) == (4, 1))
+    assert(img.pixels.toSeq == raster.toSeq)
+    val wide = Codecs.decodeNetpbm(payload)
+    assert((wide.width, wide.height) == (22, 1))
+  }
+
+  test("Netpbm decode rejects truncated rasters") {
+    val ok = Codecs.encodeNetpbm(4, 4, 1, Array.fill(16)(9))
+    intercept[IllegalArgumentException] {
+      Codecs.decodeNetpbm(ok.dropRight(1))
+    }
+  }
+
+  test("WAV roundtrip recovers rate, channels, and signed samples exactly") {
+    val samples = Array(-32768, -1, 0, 1, 32767, 12345, -12345)
+    val au = Codecs.decodeWav(Codecs.encodeWav(44100, 1, samples))
+    assert((au.sampleRate, au.nChannels) == (44100, 1))
+    assert(au.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV chunk walk skips unknown chunks (incl. odd-size padding)") {
+    // Splice a 3-byte junk chunk (padded to 4) between fmt and data.
+    val base = Codecs.encodeWav(8000, 2, Array(5, -5, 7, -7))
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // size 3, body+pad
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    val au = Codecs.decodeWav(spliced)
+    assert((au.sampleRate, au.nChannels) == (8000, 2))
+    assert(au.samples.toSeq == Seq(5, -5, 7, -7))
+  }
+
+  test("decodeMedia dispatches on magic and keeps the stub for unknowns") {
+    val rows = Seq(
+      1L -> Codecs.encodeNetpbm(3, 2, 3, Array.tabulate(18)(_ % 256)),
+      2L -> Codecs.encodeNetpbm(2, 2, 1, Array(10, 20, 30, 40)),
+      3L -> Codecs.encodeWav(16000, 1, Array(100, -100, 0)),
+      4L -> "not a known container".getBytes("UTF-8"))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.decodeMedia(spark, df).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).container == "ppm" &&
+      (out(1L).width, out(1L).height, out(1L).channels) == (3, 2, 3) &&
+      out(1L).n_values == 18 && out(1L).v_sum == (0 until 18).sum)
+    assert(out(2L).container == "pgm" && out(2L).v_sum == 100 &&
+      out(2L).v_min == 10 && out(2L).v_max == 40)
+    assert(out(3L).container == "wav" && out(3L).sample_rate == 16000 &&
+      out(3L).v_sum == 0 && out(3L).v_min == -100 && out(3L).v_max == 100)
+    assert(out(4L).container == "unknown")
   }
 }
