@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
   * of the Dedup blockers only say "these two are alike" — choosing which
   * documents to keep needs the transitive closure (A~B, B~C ⇒ one cluster).
   *
-  * `components` is smallest-id label propagation: every vertex starts as
-  * its own label; each round every vertex takes the min label among itself
-  * and its neighbours; fixpoint = connected components. Rounds are pure
-  * (join + groupBy min) — no driver-side graph state, executors never hold
-  * more than a partition of edges — and the iteration count is the graph
-  * DIAMETER, which for near-dup graphs is tiny (dup clusters are cliques
-  * or short chains; 3-5 rounds in practice). The driver loop only checks a
-  * convergence count per round. Label propagation is the standard
-  * Spark/Pregel CC formulation — O(diameter) shuffles of (edge) size.
+  * Two distributed algorithms, both driver-state-free:
+  *
+  *  - [[components]] — smallest-id label propagation. Rounds = graph
+  *    DIAMETER; near-dup graphs are cliques or short chains (3-5 rounds in
+  *    practice), and each round is one join + one aggregation.
+  *  - [[starComponents]] — alternating large-star/small-star contraction
+  *    (the MapReduce-CC formulation of Kiveris et al., also used by
+  *    GraphFrames): O(log n) rounds on ANY graph, including the
+  *    adversarial long-chain case where propagation needs O(n) rounds
+  *    (a 1024-node chain: ~6 star rounds vs 1023 propagation rounds).
+  *
+  * Use `components` when duplicate clusters are known to be shallow (the
+  * common corpus case); `starComponents` when chain-shaped components are
+  * possible (transitive similarity drift) or the diameter is unknown.
   */
 object Clusters {
 
@@ -27,7 +32,13 @@ object Clusters {
     * @return (id, cluster) — cluster = smallest id in the component
     */
   def components(pairs: DataFrame, vertices: DataFrame,
-                 idCol: String = "id", maxIters: Int = 30): DataFrame = {
+                 idCol: String = "id", maxIters: Int = 30): DataFrame =
+    componentsIters(pairs, vertices, idCol, maxIters)._1
+
+  /** [[components]] plus the executed round count (spec hook). */
+  private[graft] def componentsIters(pairs: DataFrame, vertices: DataFrame,
+                                     idCol: String = "id",
+                                     maxIters: Int = 30): (DataFrame, Int) = {
     // undirected edge list, both directions, deduplicated; materialized
     // once (localCheckpoint) — every round re-reads it
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -42,24 +53,92 @@ object Clusters {
     // swap for reliable checkpoint(dir) at a cadence.
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
       .localCheckpoint(true)
+    val labelType = labels.schema("cluster").dataType
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // candidate label per vertex: min over (own, neighbours' labels)
+      // candidate label per vertex: min over (own, neighbours' labels).
+      // The previous label rides along as `_old` (max() picks the single
+      // non-null own-row value), so convergence is read off the SAME
+      // aggregation output — a join-free isEmpty on the materialized
+      // checkpoint instead of an extra join + count action per round.
+      val own = labels.select(col("id"), col("cluster"),
+        col("cluster").as("_old"))
       val fromNbrs = edges
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
-        .union(fromNbrs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .select(col("dst").as("id"), col("cluster"),
+          lit(null).cast(labelType).as("_old"))
+      val next = own.union(fromNbrs)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"), max(col("_old")).as("_old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("cluster") =!= col("_old")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
-    labels
+    (labels, iter)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction:
+    * same contract as [[components]], O(log n) rounds on any graph shape.
+    *
+    * Invariant: the edge set is kept canonical — (hi, lo) with hi > lo,
+    * distinct. Large-star hangs every strictly-larger neighbour of a node
+    * onto its neighbourhood minimum; small-star re-hangs the smaller
+    * neighbourhood onto the minimum. The unique fixpoint is a union of
+    * stars rooted at each component's smallest id, and the edge set evolves
+    * monotonically toward it, so "this round changed nothing" (count +
+    * exceptAll on two checkpointed sets) is an exact convergence test.
+    */
+  def starComponents(pairs: DataFrame, vertices: DataFrame,
+                     idCol: String = "id", maxIters: Int = 50): DataFrame =
+    starComponentsIters(pairs, vertices, idCol, maxIters)._1
+
+  /** [[starComponents]] plus the executed round count (spec hook). */
+  private[graft] def starComponentsIters(pairs: DataFrame, vertices: DataFrame,
+                                         idCol: String = "id",
+                                         maxIters: Int = 50): (DataFrame, Int) = {
+    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      // large-star: for every node u, m = min(Γ(u) ∪ {u}); every neighbour
+      // v > u re-hangs as {v, m}. Edges to smaller neighbours re-emerge
+      // from those neighbours' own groups — connectivity is preserved
+      // through the shared minima.
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      val large = nbrs.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // m ≤ u < v ⇒ hi > lo
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: edges are (hi, lo) oriented, so Γ⁻(hi) = its smaller
+      // neighbours; all re-hang onto m = min(Γ⁻(hi)), plus {hi, m} itself.
+      val m2 = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val leaves = large.join(m2, Seq("hi")).filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo")) // m ≤ lo ⇒ hi > lo
+      val roots = m2.select(col("hi"), col("m").as("lo"))
+      val next = leaves.union(roots)
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixpoint = stars {leaf → component-min root}; group in case maxIters
+    // cut contraction short (then a node may still carry several parents)
+    val stars = edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
+      .withColumnRenamed("hi", "id")
+    val labels = vertices.select(col(idCol).as("id"))
+      .join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, iter)
   }
 
   /** Keep-list from clusters: the smallest id per cluster survives —

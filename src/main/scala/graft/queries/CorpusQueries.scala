@@ -526,6 +526,88 @@ object CorpusQueries {
         |  (CASE WHEN p.m = 2 THEN 8000 + (p.doc_id % 8) * 1000 ELSE 0 END)::INT AS sample_rate,
         |  a.n_values, a.v_sum, a.v_min, a.v_max
         |FROM p JOIN agg a USING (doc_id)
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // End-to-end corpus recipe: the LLM-pipeline operators composed as one
+    // oracled query — deterministic stratified sample (q57) → exact dedup
+    // (q35) → near-dup cluster keep-list (q55's CC over q37's Jaccard
+    // pairs) → token-budget packing (q56). The individual green rows don't
+    // prove the stages compose (column contracts, semi-join grains); this
+    // does — the oracle chains the exact same four stages in one SQL query.
+    QueryDef("q59_corpus_recipe",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sampled = Sampling.stratifiedSample(docs, strataCol = "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8),
+          defaultFraction = 0.1)
+        val exact = Dedup.exact(sampled)
+        val pairs = Dedup.ngramJaccardPairs(exact, n = 3, threshold = 0.8)
+        val keep = Clusters.keepSet(pairs, exact.select(col("doc_id")),
+          idCol = "doc_id").select(col("keep_id").as("doc_id"))
+        val kept = exact.join(keep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tok"))
+        Packing.packSequences(kept, budget = 2048, bucketWidth = 64)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH RECURSIVE survive AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT *,
+        |      ('0x' || substring(md5('graft_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 1000000 AS h,
+        |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                WHEN 'zh' THEN 0.8 ELSE 0.1 END AS frac
+        |    FROM documents)
+        |  WHERE h < floor(frac * 1000000.0)),
+        |exact AS (
+        |  SELECT doc_id, text FROM survive
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM survive
+        |    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM exact),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |    FROM (SELECT doc_id, t,
+        |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |          FROM toks))),
+        |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sized sa ON id_a = sa.doc_id JOIN sized sb ON id_b = sb.doc_id
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r(src, node) AS (
+        |  SELECT doc_id, doc_id FROM exact
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node),
+        |clusters AS (SELECT src AS doc_id, min(node) AS cluster FROM r GROUP BY src),
+        |kept AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id IN (SELECT min(doc_id) FROM clusters GROUP BY cluster)),
+        |d AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok
+        |  FROM kept),
+        |packed AS (
+        |  SELECT doc_id, n_tok,
+        |         (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |          // 2048) AS shard
+        |  FROM d)
+        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }

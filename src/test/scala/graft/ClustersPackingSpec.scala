@@ -26,6 +26,42 @@ class ClustersPackingSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 0L))
   }
 
+  test("components converge on a path graph in diameter rounds, read off " +
+       "the same aggregation (no extra join action)") {
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (0L until 16L).toDF("id")
+    val (labels, iters) = Clusters.componentsIters(pairs, vertices)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    // label 0 travels one hop per round on a path: diameter-bounded
+    assert(iters <= 17, s"took $iters rounds")
+  }
+
+  test("star contraction resolves a 1024-node chain in O(log n) rounds") {
+    // THE adversarial case for label propagation (would need 1023 rounds —
+    // more than maxIters); alternating large/small-star contracts it
+    // exponentially fast.
+    val pairs = (1L until 1024L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (1L to 1024L).toDF("id")
+    val (labels, iters) = Clusters.starComponentsIters(pairs, vertices)
+    assert(iters <= 15, s"took $iters rounds for a 1024-chain")
+    val got = labels.collect()
+    assert(got.length == 1024 && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("star contraction matches label propagation on mixed graphs") {
+    // cliques + chains + singletons, ids deliberately non-contiguous
+    val pairs = (Seq((5L, 7L), (7L, 6L), (6L, 5L)) ++ // clique
+      Seq((20L, 30L), (30L, 25L)) ++                  // chain
+      Seq((100L, 41L))).toDF("id_a", "id_b")
+    val vertices = (Seq(5L, 6L, 7L, 20L, 25L, 30L, 41L, 100L, 999L)).toDF("id")
+    val lp = Clusters.components(pairs, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = Clusters.starComponents(pairs, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == st)
+    assert(st(999L) == 999L && st(100L) == 41L && st(25L) == 20L)
+  }
+
   test("keepSet counts members and keeps the smallest id") {
     val pairs = Seq((5L, 7L), (7L, 6L)).toDF("id_a", "id_b")
     val vertices = Seq(5L, 6L, 7L, 8L).toDF("id")
