@@ -130,6 +130,46 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.Bundle.isValid(store, cfg10.manifest))
   }
 
+  test("incremental reduction equals the batch result at every step with " +
+       "per-batch work bounded by tail + batch, not history") {
+    val stateDir = Files.createTempDirectory("inc-red").toString
+    val cuts = Seq((0, 20), (20, 40), (40, 60))
+    var last: graft.streaming.IncrementalReduction.BatchResult = null
+    cuts.zipWithIndex.foreach { case ((a, b), k) =>
+      last = graft.streaming.IncrementalReduction.processBatch(
+        spark, curveBatch(a, b), stateDir)
+      assert(last.fullRecompute == (k == 0), s"batch $k")
+      val got = last.reduced
+        .select("delay", "q_bin", "diff_av", "noise", "n_rep", "err").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+      val want = graft.operators.Reduction.timeResolvedSignal(curveBatch(0, b))
+        .select("delay", "q_bin", "diff_av", "noise", "n_rep", "err").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+      assert(got.keySet == want.keySet, s"batch $k groups")
+      want.foreach { case (key, (av, no, n, er)) =>
+        val (gav, gno, gn, ger) = got(key)
+        assert(approx(gav, av, 1e-9) && approx(gno, no, 1e-9) &&
+          gn == n && approx(ger, er, 1e-9), s"batch $k group $key")
+      }
+    }
+    // churn contract: the recompute window is the raw tail (bounded by the
+    // inter-reference spacing, here ≤ 2 spacings × 3 bins) plus the new
+    // batch — NOT the 60-image history
+    val batchRows = 20 * 3
+    assert(last.windowRows <= batchRows + 6 * 3,
+      s"window ${last.windowRows} rows — re-reducing history?")
+    assert(last.pendingRows <= 6 * 3, s"tail ${last.pendingRows} unbounded")
+
+    // out-of-order arrival below the frontier: falls back to a full
+    // recompute and still matches batch over the union
+    val late = graft.streaming.IncrementalReduction.processBatch(
+      spark, curveBatch(60, 61).withColumn("image_idx", lit(5) + col("image_idx") * 0),
+      stateDir)
+    assert(late.fullRecompute)
+  }
+
   test("foreachBatch full re-reduction converges to the batch result") {
     val inDir = Files.createTempDirectory("s2-in").toString
     val ckDir = Files.createTempDirectory("s2-ck").toString
