@@ -279,6 +279,196 @@ object Fits {
     last
   }
 
+  /** Canny edge detector on a dense single image (the reference's
+    * `feature.canny` at trx/center.py:305-307): Gaussian smooth → Sobel
+    * gradients → 4-sector non-maximum suppression → hysteresis
+    * thresholding (8-connected BFS from strong edges through weak ones).
+    * Thresholds are fractions of the max gradient magnitude (skimage's
+    * default 0.1/0.2 convention). One calibrant frame — driver-side by
+    * design, like every fit in this file.
+    *
+    * Deviation noted: skimage interpolates the two along-gradient
+    * neighbours in NMS; the 4-sector form keeps edges within ±1 px, which
+    * the downstream circle fit's median absorbs.
+    */
+  def cannyEdges(w: Int, h: Int, img: Array[Double], sigma: Double = 1.0,
+                 lowFrac: Double = 0.1, highFrac: Double = 0.2): Seq[(Int, Int)] = {
+    require(img.length == w * h, "image size mismatch")
+    def clampAt(a: Array[Double], x: Int, y: Int): Double =
+      a(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x)))
+    // separable Gaussian, clamped borders
+    val radius = math.max(1, math.ceil(3 * sigma).toInt)
+    val kern = Array.tabulate(2 * radius + 1)(i =>
+      math.exp(-0.5 * math.pow((i - radius) / sigma, 2)))
+    val ksum = kern.sum
+    val tmp = new Array[Double](w * h)
+    val sm = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0; var k = -radius
+        while (k <= radius) { s += kern(k + radius) * clampAt(img, x + k, y); k += 1 }
+        tmp(y * w + x) = s / ksum
+        x += 1
+      }
+      y += 1
+    }
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0; var k = -radius
+        while (k <= radius) { s += kern(k + radius) * clampAt(tmp, x, y + k); k += 1 }
+        sm(y * w + x) = s / ksum
+        x += 1
+      }
+      y += 1
+    }
+    // Sobel gradients + magnitude
+    val mag = new Array[Double](w * h)
+    val gxA = new Array[Double](w * h)
+    val gyA = new Array[Double](w * h)
+    var maxMag = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = -clampAt(sm, x - 1, y - 1) + clampAt(sm, x + 1, y - 1) +
+          2 * (-clampAt(sm, x - 1, y) + clampAt(sm, x + 1, y)) +
+          -clampAt(sm, x - 1, y + 1) + clampAt(sm, x + 1, y + 1)
+        val gy = -clampAt(sm, x - 1, y - 1) - 2 * clampAt(sm, x, y - 1) -
+          clampAt(sm, x + 1, y - 1) + clampAt(sm, x - 1, y + 1) +
+          2 * clampAt(sm, x, y + 1) + clampAt(sm, x + 1, y + 1)
+        val m = math.hypot(gx, gy)
+        val i = y * w + x
+        mag(i) = m; gxA(i) = gx; gyA(i) = gy
+        if (m > maxMag) maxMag = m
+        x += 1
+      }
+      y += 1
+    }
+    if (maxMag == 0.0) return Seq.empty
+    // non-maximum suppression with bilinear interpolation of the two
+    // along-gradient neighbours (skimage-faithful — a sector-quantized NMS
+    // leaves spurs on exact diagonals)
+    val nms = new Array[Double](w * h)
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val i = y * w + x
+        if (mag(i) > 0) {
+          val ax = math.abs(gxA(i)); val ay = math.abs(gyA(i))
+          val s = if (gxA(i) * gyA(i) >= 0) 1 else -1
+          val (n1, n2) =
+            if (ax >= ay) {
+              val wt = if (ax == 0) 0.0 else ay / ax
+              ((1 - wt) * mag(i + 1) + wt * mag(i + 1 + s * w),
+                (1 - wt) * mag(i - 1) + wt * mag(i - 1 - s * w))
+            } else {
+              val wt = ax / ay
+              ((1 - wt) * mag(i + w) + wt * mag(i + w + s),
+                (1 - wt) * mag(i - w) + wt * mag(i - w - s))
+            }
+          if (mag(i) >= n1 && mag(i) >= n2) nms(i) = mag(i)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // hysteresis: BFS from strong pixels through weak neighbours
+    val lo = lowFrac * maxMag
+    val hi = highFrac * maxMag
+    val state = new Array[Byte](w * h) // 0 none, 1 weak, 2 edge
+    val queue = scala.collection.mutable.ArrayDeque.empty[Int]
+    var i = 0
+    while (i < nms.length) {
+      if (nms(i) >= hi) { state(i) = 2; queue.append(i) }
+      else if (nms(i) >= lo) state(i) = 1
+      i += 1
+    }
+    while (queue.nonEmpty) {
+      val c = queue.removeHead()
+      val cx = c % w; val cy = c / w
+      var dy = -1
+      while (dy <= 1) {
+        var dx = -1
+        while (dx <= 1) {
+          val nx = cx + dx; val ny = cy + dy
+          if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+            val n = ny * w + nx
+            if (state(n) == 1) { state(n) = 2; queue.append(n) }
+          }
+          dx += 1
+        }
+        dy += 1
+      }
+    }
+    (0 until w * h).iterator.filter(state(_) == 2).map(i => (i % w, i / w)).toSeq
+  }
+
+  /** X3 (reference-parity path) — ring center from CANNY EDGE POINTS,
+    * matching trx/center.py:305-342: detect edges once, then iterate —
+    * histogram the edge-point distances from the current center, take the
+    * strongest histogram peaks as ring radii, circle-fit each ring's edge
+    * points, and move to the median fitted center.
+    *
+    * The calibrant image is ONE frame, so it is collected dense to the
+    * driver (the same bound as every X-series fit); `findCenterRings`
+    * remains the fully-distributed fallback for profiles where edges are
+    * unreliable.
+    */
+  def findCenterRingsCanny(pixels: DataFrame, cx0: Double, cy0: Double,
+                           nRings: Int = 3, bandWidth: Double = 3.0,
+                           iterations: Int = 10, sigma: Double = 1.0): Circle = {
+    val rows = pixels.select(col("x").cast("int"), col("y").cast("int"),
+      col("intensity").cast("double")).collect()
+    val w = rows.map(_.getInt(0)).max + 1
+    val h = rows.map(_.getInt(1)).max + 1
+    val img = new Array[Double](w * h)
+    rows.foreach(r => img(r.getInt(1) * w + r.getInt(0)) = r.getDouble(2))
+    val edges = cannyEdges(w, h, img, sigma)
+    var cx = cx0; var cy = cy0
+    var last = Circle(cx0, cy0, 0.0, Double.MaxValue)
+    var moved = Double.MaxValue
+    // a wrong starting center SMEARS the edge-distance histogram, so each
+    // pass captures only a partial arc and steps part-way — iterate to a
+    // movement fixpoint (the reference's `reprocess` loop)
+    for (_ <- 0 until iterations if edges.nonEmpty && moved > 0.01) {
+      val dist = edges.map { case (x, y) => math.hypot(x - cx, y - cy) }
+      // 1-px histogram of edge distances; smoothed local maxima = rings
+      val hist = dist.groupBy(_.toInt).view.mapValues(_.size).toMap
+      val rbs = (hist.keys.min to hist.keys.max).toSeq
+      val smooth = rbs.map { rb =>
+        val terms = Seq(-2 -> 1.0, -1 -> 2.0, 0 -> 3.0, 1 -> 2.0, 2 -> 1.0)
+          .map { case (off, wt) => (hist.getOrElse(rb + off, 0) * wt, wt) }
+        rb -> terms.map(_._1).sum / terms.map(_._2).sum
+      }
+      val peaks = smooth.indices.drop(1).dropRight(1).filter { i =>
+        smooth(i)._2 > smooth(i - 1)._2 && smooth(i)._2 > smooth(i + 1)._2
+      }.sortBy(i => -smooth(i)._2).take(nRings).map(smooth(_)._1)
+      val centers = peaks.flatMap { r0 =>
+        val pts = edges.zip(dist).collect {
+          case ((x, y), d) if math.abs(d - (r0 + 0.5)) < bandWidth + 0.5 =>
+            (x.toDouble, y.toDouble)
+        }
+        if (pts.size >= 3) Some(leastsqCircle(pts)) else None
+      }
+      if (centers.nonEmpty) {
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted; val n = s.size
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
+        val (ncx, ncy) = (med(centers.map(_.cx)), med(centers.map(_.cy)))
+        moved = math.hypot(ncx - cx, ncy - cy)
+        cx = ncx; cy = ncy
+        last = Circle(cx, cy, med(centers.map(_.r)), med(centers.map(_.rmse)))
+      } else moved = 0.0
+    }
+    last
+  }
+
   /** X4 — liquid-peak beam-center finder (trx/center.py:107-166): select
     * pixels whose intensity lies in a percentile band (distributed), then
     * fit a circle to them (driver).

@@ -116,6 +116,39 @@ class FitsSpec extends SparkSpec {
     assert(approx(c.cx, tx, 1.0) && approx(c.cy, ty, 1.0))
   }
 
+  test("cannyEdges traces a ring as a thin closed contour") {
+    val (tx, ty, r0) = (31.5, 35.5, 14.0)
+    val w = 72; val h = 72
+    val img = Array.tabulate(w * h) { i =>
+      val r = math.hypot(i % w - tx, i / w - ty)
+      // smooth ring profile — canny should fire on both flanks
+      300.0 * math.exp(-0.5 * math.pow((r - r0) / 1.5, 2)) + 5.0
+    }
+    val edges = Fits.cannyEdges(w, h, img, sigma = 1.0)
+    assert(edges.size > 50, s"only ${edges.size} edge points")
+    // every edge point sits near the ring's flanks
+    val ds = edges.map { case (x, y) => math.hypot(x - tx, y - ty) }
+    assert(ds.forall(d => math.abs(d - r0) < 5.0))
+    // and the fitted circle through them recovers the center
+    val c = Fits.leastsqCircle(edges.map(p => (p._1.toDouble, p._2.toDouble)))
+    assert(approx(c.cx, tx, 0.5) && approx(c.cy, ty, 0.5))
+  }
+
+  test("canny-edge path and radial-profile path agree on the calibrant center") {
+    val (tx, ty) = (33.0, 29.0)
+    val pts = for {
+      y <- 0 until 72; x <- 0 until 72
+      r = math.hypot(x - tx, y - ty)
+    } yield (x, y,
+      500.0 * math.exp(-0.5 * math.pow((r - 10) / 1.0, 2)) +
+        500.0 * math.exp(-0.5 * math.pow((r - 20) / 1.0, 2)) + 5.0)
+    val px = pts.toDF("x", "y", "intensity")
+    val radial = Fits.findCenterRings(px, 36.0, 36.0, nRings = 2, iterations = 4)
+    val canny = Fits.findCenterRingsCanny(px, 36.0, 36.0, nRings = 2)
+    assert(approx(canny.cx, tx, 1.0) && approx(canny.cy, ty, 1.0))
+    assert(approx(canny.cx, radial.cx, 1.0) && approx(canny.cy, radial.cy, 1.0))
+  }
+
   test("findCenterLiquidPeak locates the beam center from a ring") {
     val pts = for {
       y <- 0 until 64; x <- 0 until 64
