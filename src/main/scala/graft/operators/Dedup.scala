@@ -52,7 +52,16 @@ object Dedup {
     */
   private def distinctShingleRows(docs: DataFrame, textCol: String,
                                   idCol: String, n: Int,
-                                  verifiable: Boolean = false): DataFrame = {
+                                  verifiable: Boolean = false): DataFrame =
+    shingleRows(docs, textCol, idCol, n, verifiable).distinct()
+
+  /** All shingle occurrences per document as ROWS (one row per n-gram
+    * POSITION — repetition analysis needs the multiplicity that
+    * [[distinctShingleRows]] collapses). Same codegen'd shape.
+    */
+  private[graft] def shingleRows(docs: DataFrame, textCol: String,
+                                 idCol: String, n: Int,
+                                 verifiable: Boolean = false): DataFrame = {
     val tok0 = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
     val tok =
@@ -74,7 +83,45 @@ object Dedup {
     tok.select(col("id"),
         when(leads.last.isNotNull, combined).as("s"))
       .filter(col("s").isNotNull)
-      .distinct()
+  }
+
+  /** N-gram repetition score per document (the Gopher-family quality
+    * signal): duplicated n-gram fraction = 1 − distinct/total. Highly
+    * repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) score near 1 and are dropped by recipe filters. One pass:
+    * shingle rows → per-doc count + count(distinct) hash aggregation.
+    */
+  def ngramRepetition(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", n: Int = 3,
+                      verifiable: Boolean = false): DataFrame =
+    shingleRows(docs, textCol, idCol, n, verifiable)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("s")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct") / col("n_ngrams").cast("double"))
+
+  /** Benchmark-contamination detection: flag documents sharing n-grams
+    * with an evaluation set (the standard decontamination pass before
+    * training). `benchmark` is the eval-set documents; a training doc is
+    * contaminated when ≥ `minShared` of its DISTINCT n-grams appear in the
+    * benchmark's n-gram set. Join is on 8-byte shingle hashes against the
+    * (much smaller, broadcastable) benchmark side — never doc×doc.
+    */
+  def benchmarkContamination(docs: DataFrame, benchmark: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id", n: Int = 3,
+                             minShared: Int = 1,
+                             verifiable: Boolean = false): DataFrame = {
+    val docSh = distinctShingleRows(docs, textCol, idCol, n, verifiable)
+    val benchSh = distinctShingleRows(benchmark, textCol, idCol, n, verifiable)
+      .select(col("s")).distinct()
+    val shared = docSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    docs.select(col(idCol))
+      .join(shared.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
   /** MinHash signatures at corpus scale: explode distinct shingles to rows,

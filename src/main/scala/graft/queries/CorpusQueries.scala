@@ -608,6 +608,67 @@ object CorpusQueries {
         |  FROM d)
         |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // N-gram repetition score (Gopher-family quality signal): duplicated
+    // trigram fraction per document. Docs with < n tokens have no trigrams
+    // and drop out on both sides.
+    QueryDef("q60_ngram_repetition",
+      (s, dir) =>
+        Dedup.ngramRepetition(table(s, dir, "documents"), n = 3,
+            verifiable = true)
+          .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+            r6(col("rep_ratio")).as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $verifiableTrigramSql
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |       count(DISTINCT s) AS n_distinct,
+        |       round(1 - count(DISTINCT s) / count(*)::DOUBLE, 6) AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination detection: training docs sharing a trigram
+    // with the eval set (here: every 20th document) are flagged — the
+    // standard decontamination pass, as a broadcast hash-join on 8-byte
+    // shingle hashes.
+    QueryDef("q61_contamination",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.benchmarkContamination(docs,
+            docs.filter(col("doc_id") % 20 === 0), n = 3, verifiable = true)
+          .select(col("doc_id"), col("n_shared"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $verifiableTrigramSql,
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 20 = 0),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS n_shared
+        |  FROM dsh JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
+        |       coalesce(sh2.n_shared, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
   )
+
+  /** Shared oracle CTE: the verifiable trigram hash rows — md5-derived
+    * 60-bit token hash mod 1e9+7, lead-window trigram poly-combine (the
+    * exact function `Dedup.shingleRows(verifiable = true)` computes).
+    */
+  private def verifiableTrigramSql: String =
+    """tok AS (
+      |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+      |        (x, i) -> {'p': i,
+      |                   'h': ('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007})) AS u
+      |    FROM documents)),
+      |led AS (
+      |  SELECT doc_id, h AS h1,
+      |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2,
+      |         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h3
+      |  FROM tok),
+      |sh AS (
+      |  SELECT doc_id,
+      |         ((h1 * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS s
+      |  FROM led WHERE h3 IS NOT NULL)""".stripMargin
 }

@@ -100,6 +100,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngramRepetition scores a repetitive doc high and a diverse doc zero") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // one distinct trigram
+      (2L, "eight totally different words appear in here now"),
+      (3L, "ab cd")                                    // < 3 tokens: no trigram
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramRepetition(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((6L, 1L, 1.0 - 1.0 / 6.0)))
+    assert(got(2L)._3 == 0.0 && got(2L)._1 == 6L)
+    assert(!got.contains(3L))
+    // verifiable hash family produces identical counts
+    val ver = Dedup.ngramRepetition(corpus, verifiable = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ver == got.view.mapValues(v => (v._1, v._2)).toMap)
+  }
+
+  test("benchmarkContamination flags docs sharing n-grams with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "a completely unrelated sentence lives here"),
+      (3L, "something about the quick brown fox too")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // "the quick brown" and "quick brown fox" overlap docs 1 and 3
+    assert(got(1L) == ((2L, true)) && got(3L) == ((2L, true)))
+    assert(got(2L) == ((0L, false)))
+  }
+
   test("embedding near-dup finds a planted duplicate vector") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.5, 0.2)),
