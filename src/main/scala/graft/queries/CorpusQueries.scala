@@ -540,7 +540,10 @@ object CorpusQueries {
         val sampled = Sampling.stratifiedSample(docs, strataCol = "lang",
           fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8),
           defaultFraction = 0.1)
+        // the sampled+deduped base feeds shingling (×3), the CC vertex
+        // set, and the final semi-join — persist it once
         val exact = Dedup.exact(sampled)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = Dedup.ngramJaccardPairs(exact, n = 3, threshold = 0.8)
         val keep = Clusters.keepSet(pairs, exact.select(col("doc_id")),
           idCol = "doc_id").select(col("keep_id").as("doc_id"))
