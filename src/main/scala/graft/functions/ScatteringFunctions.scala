@@ -69,21 +69,37 @@ object ScatteringFunctions {
   def labCoords(x: Column, y: Column, g: Poni): (Column, Column, Column) = {
     val p1 = (y + 0.5) * g.pixel1 - g.poni1
     val p2 = (x + 0.5) * g.pixel2 - g.poni2
-    val L  = lit(g.dist)
     val (c1, s1) = (math.cos(g.rot1), math.sin(g.rot1))
     val (c2, s2) = (math.cos(g.rot2), math.sin(g.rot2))
     val (c3, s3) = (math.cos(g.rot3), math.sin(g.rot3))
     // R = R1·R2·R3 applied to column vector (p1, p2, L) — rotation about
     // the three detector axes; with rot1=rot2=rot3=0 this reduces to the
     // orthogonal flat-detector geometry (t3 = dist).
-    val t1 = p1 * (c2 * c3) +
-      p2 * (s1 * s2 * c3 - c1 * s3) +
-      L * (c1 * s2 * c3 + s1 * s3)
-    val t2 = p1 * (c2 * s3) +
-      p2 * (s1 * s2 * s3 + c1 * c3) +
-      L * (c1 * s2 * s3 - s1 * c3)
-    val t3 = p1 * (-s2) + p2 * (s1 * c2) + L * (c1 * c2)
-    (t1, t2, t3)
+    //
+    // The a·p1 + b·p2 + c·L combination resolves its coefficients HERE, in
+    // Scala: Catalyst cannot fold x*0 or x+0 (unsound under NaN/Inf), so
+    // the naive tree keeps every degenerate term. That quadruples the
+    // expression, and once filter pushdown inlines it several times into
+    // one scan predicate (q53: q-range twice + chi-range twice) the
+    // generated method falls out of codegen — measured 3.3 s vs 0.4 s for
+    // the same scan. Dropping exact-zero terms and unit factors is
+    // bit-identical (IEEE: x·1 = x, x+0 = x, finite·0 = 0) so oracle
+    // hashes are unchanged.
+    def term(e: Column, c: Double): Seq[Column] =
+      if (c == 0.0) Nil
+      else if (c == 1.0) Seq(e)
+      else if (c == -1.0) Seq(-e)
+      else Seq(e * c)
+    def comb(a: Double, b: Double, cl: Double): Column = {
+      val const = g.dist * cl
+      (term(p1, a) ++ term(p2, b)).reduceOption(_ + _) match {
+        case None    => lit(const)
+        case Some(e) => if (const == 0.0) e else e + const
+      }
+    }
+    (comb(c2 * c3, s1 * s2 * c3 - c1 * s3, c1 * s2 * c3 + s1 * s3),
+      comb(c2 * s3, s1 * s2 * s3 + c1 * c3, c1 * s2 * s3 - s1 * c3),
+      comb(-s2, s1 * c2, c1 * c2))
   }
 
   /** JVM-side twin of `pixelQ` for the fused integration kernel
