@@ -60,7 +60,13 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(fn, name))
-      name -> median((1 to iters).map(_ => runOnce(fn, name)))
+      val m = median((1 to iters).map(_ => runOnce(fn, name)))
+      // queries that persist() leak cache entries across the sequence
+      // (identical logical plans are deduped WITHIN a query's iterations,
+      // so warmth is preserved where it matters); without this, storage
+      // pressure from 59 queries × 4 runs inflated late queries ~70%
+      spark.sharedState.cacheManager.clearCache()
+      name -> m
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -377,42 +377,16 @@ object CorpusQueries {
     // included. The oracle walks the same pair list with a recursive CTE —
     // min reachable id == propagation fixpoint.
     QueryDef("q55_dedup_clusters",
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
-        Clusters.components(pairs, docs.select(col("doc_id")), idCol = "doc_id")
-          .groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
-          .orderBy("cluster")
-      },
-      Some("""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |    FROM (SELECT doc_id, t,
-        |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        |          FROM toks))),
-        |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sized sa ON id_a = sa.doc_id JOIN sized sb ON id_b = sb.doc_id
-        |  WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |r(src, node) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
-        |SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
-        |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
-        |GROUP BY cluster ORDER BY cluster""".stripMargin)),
+      (s, dir) => ccClusterQuery(s, dir, star = false),
+      Some(ccOracleSql)),
+
+    // Same transitive-closure semantics, ADVERSARIAL-GRAPH algorithm:
+    // alternating large-star/small-star contraction (O(log n) rounds on
+    // any shape) must produce byte-identical clusters to label propagation
+    // — both hash-checked against the one recursive-CTE oracle.
+    QueryDef("q62_star_clusters",
+      (s, dir) => ccClusterQuery(s, dir, star = true),
+      Some(ccOracleSql)),
 
     // Token-budget sequence packing: shard = floor(tokens-before / budget)
     // over doc_id order, via the distributed two-phase prefix scan. The
@@ -652,6 +626,55 @@ object CorpusQueries {
         |FROM documents d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
         |ORDER BY d.doc_id""".stripMargin))
   )
+
+  /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
+    * propagation, q62 star contraction; same result by construction.
+    */
+  private def ccClusterQuery(s: org.apache.spark.sql.SparkSession,
+                             dir: String, star: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+    val vertices = docs.select(col("doc_id"))
+    val labels =
+      if (star) Clusters.starComponents(pairs, vertices, idCol = "doc_id")
+      else Clusters.components(pairs, vertices, idCol = "doc_id")
+    labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+      .orderBy("cluster")
+  }
+
+  /** The transitive-closure oracle both CC algorithms are checked against:
+    * min reachable id over the recomputed Jaccard pair list.
+    */
+  private def ccOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |    FROM (SELECT doc_id, t,
+      |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      |          FROM toks))),
+      |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sized sa ON id_a = sa.doc_id JOIN sized sb ON id_b = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, node) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+      |SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
+      |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
 
   /** Shared oracle CTE: the verifiable trigram hash rows — md5-derived
     * 60-bit token hash mod 1e9+7, lead-window trigram poly-combine (the

@@ -47,6 +47,24 @@ object CurveQueries {
        |    END AS i_ref
        |  FROM nbrs)""".stripMargin
 
+  /** The E2 reduction's oracle — shared by q03 (batch) and q63 (the
+    * incremental streaming path must land on the SAME full-history result).
+    */
+  private def timeResolvedOracleSql: String =
+    s"""${interpSql(curvesSql)},
+       |diffs AS (SELECT *, i - i_ref AS diff FROM interp),
+       |marked AS (
+       |  SELECT *, (NOT is_ref OR rn % 2 = 1) AS keep FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY delay, q_bin
+       |                                ORDER BY image_idx) AS rn
+       |    FROM diffs))
+       |SELECT round(delay, 12) AS delay, q_bin,
+       |       round(avg(CASE WHEN keep THEN diff END), 4) AS diff_av,
+       |       round(stddev_pop(diff), 4) AS noise,
+       |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+       |       round(stddev_pop(diff) / sqrt(count(*)), 4) AS err
+       |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // A3 — scan-point averaging (trx/dataReduction.py:88-205).
@@ -90,19 +108,7 @@ object CurveQueries {
             col("n_rep"), r4(col("err")).as("err"))
           .orderBy("delay", "q_bin")
       },
-      Some(s"""${interpSql(curvesSql)},
-        |diffs AS (SELECT *, i - i_ref AS diff FROM interp),
-        |marked AS (
-        |  SELECT *, (NOT is_ref OR rn % 2 = 1) AS keep FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY delay, q_bin
-        |                                ORDER BY image_idx) AS rn
-        |    FROM diffs))
-        |SELECT round(delay, 12) AS delay, q_bin,
-        |       round(avg(CASE WHEN keep THEN diff END), 4) AS diff_av,
-        |       round(stddev_pop(diff), 4) AS noise,
-        |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_rep,
-        |       round(stddev_pop(diff) / sqrt(count(*)), 4) AS err
-        |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some(timeResolvedOracleSql)),
 
     // A4 — per-repetition chi² against the per-(delay,q_bin) ensemble.
     QueryDef("q04_a4_chi2_per_rep",
@@ -279,6 +285,32 @@ object CurveQueries {
         |    FROM tagged)
         |  WHERE NOT is_ref OR rn % 2 = 1)
         |SELECT delay, count(*) AS n_kept FROM thinned
-        |GROUP BY delay ORDER BY delay""".stripMargin))
+        |GROUP BY delay ORDER BY delay""".stripMargin)),
+
+    // T3 (incremental) — the streaming reduction's bounded-work path fed
+    // the curve history in three ordered chunks must land on EXACTLY the
+    // full-history reduction (q03's oracle, verbatim): the finalized
+    // sufficient-statistics ⊕ tail-recompute algebra is hash-checked
+    // against DuckDB's one-shot reduction, not just the ScalaTest bound.
+    QueryDef("q63_t3_incremental_reduction",
+      (s, dir) => {
+        val c = curves(s, dir)
+        val maxIdx = c.agg(max(col("image_idx"))).collect()(0).getLong(0)
+        val (cut1, cut2) = (maxIdx / 3, 2 * maxIdx / 3)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-incred-q63").toString
+        val batches = Seq(
+          c.filter(col("image_idx") <= cut1),
+          c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
+          c.filter(col("image_idx") > cut2))
+        batches.map(b =>
+            graft.streaming.IncrementalReduction.processBatch(s, b, stateDir))
+          .last.reduced
+          .select(col("delay"), col("q_bin"),
+            r4(col("diff_av")).as("diff_av"), r4(col("noise")).as("noise"),
+            col("n_rep"), r4(col("err")).as("err"))
+          .orderBy("delay", "q_bin")
+      },
+      Some(timeResolvedOracleSql))
   )
 }

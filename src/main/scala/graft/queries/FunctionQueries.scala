@@ -213,17 +213,17 @@ object FunctionQueries {
           .when(col("k") % 3 === 1,
             ScatteringFunctions.attenuationLength("H2O", e))
           .otherwise(ScatteringFunctions.attenuationLength("Ce", e, Some(4.75)))
+        // aggregate FIRST: vf/mm/lam depend only on k, so the (large) NIST
+        // when-chains run on 251 aggregated rows, not every lineitem row
         li.select((col("l_orderkey") % 251).cast("int").as("k"))
-          .select(col("k"), cmp.as("cmp"),
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .select(col("k"), cmp.as("cmp"), col("n"),
             ScatteringFunctions.volumeFraction(conc, mw, lit(1.347)).as("vf"),
             ScatteringFunctions.molecularMassFromI0(i0, cg, lit(1.347)).as("mm"),
             // r6: the μ interpolation chain differs by 1 ulp between the
             // engines' expression rewrites (vf/mm are short enough to match
             // exactly and stay unrounded)
             r6(lam * 1000000.0).as("lam_um"))
-          .groupBy(col("k"), col("cmp"))
-          .agg(count(lit(1)).as("n"), first(col("vf")).as("vf"),
-            first(col("mm")).as("mm"), first(col("lam_um")).as("lam_um"))
           .orderBy("k")
       },
       Some {

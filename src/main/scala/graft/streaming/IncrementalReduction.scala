@@ -17,12 +17,15 @@ import graft.sources.Bundle
   * structure (trx/dataReduction.py:15-85): a shot's interpolated reference
   * depends only on its nearest reference shots before and after, so once a
   * LATER reference exists, the row's difference signal is FINAL — appending
-  * images can never change it. Concretely, with F = last reference shot
-  * seen so far:
+  * images can never change it. The as-of windows partition by q_bin and a
+  * sparse table need not carry every bin on every image, so the frontier is
+  * tracked PER BIN: with F(b) = last reference index that has a row in bin
+  * b,
   *
-  *   - rows with `image_idx < F` are immutable (both anchors fixed);
-  *   - rows with `image_idx ≥ F` (including F itself, whose next-reference
-  *     neighbour is still unknown) are the mutable TAIL.
+  *   - rows of bin b with `image_idx < F(b)` are immutable (both in-bin
+  *     anchors fixed);
+  *   - rows with `image_idx ≥ F(b)` (including F(b) itself, whose
+  *     next-reference neighbour is still unknown) are the mutable TAIL.
   *
   * State kept under `stateDir` (all curve-grain, all tiny):
   *
@@ -31,9 +34,11 @@ import graft.sources.Bundle
   *     W2 thinning mark is positional, so a per-group finalized-row counter
   *     `n_fin` makes it incremental too), from which mean/noise/err are
   *     recovered exactly;
-  *   - `tail.parquet` — RAW curve rows from the second-to-last reference
-  *     onward (the recompute window: anchors + mutable rows);
-  *   - `frontier/manifest.json` — reference delay + frontier indices;
+  *   - `tail.parquet` — RAW curve rows from each bin's second-to-last
+  *     reference onward (the recompute window: anchors + mutable rows);
+  *   - `frontier.parquet` — (q_bin, f, p) frontier indices, plus
+  *     `frontier/manifest.json` with the reference delay and the max
+  *     processed index (the strict-append validity check);
   *   - `curves/` — append-only raw history, never re-read except by the
   *     full-recompute fallback.
   *
@@ -55,12 +60,12 @@ object IncrementalReduction {
 
   private def frontierDir(stateDir: String) = s"$stateDir/frontier"
 
-  private def readFrontier(stateDir: String): Option[(Double, Long, Option[Long])] =
+  private def readFrontier(stateDir: String): Option[(Double, Long)] =
     Bundle.readManifest(frontierDir(stateDir)).flatMap { m =>
       for {
         rd <- m.get("refDelay").map(_.toDouble)
-        f <- m.get("lastRef").map(_.toLong)
-      } yield (rd, f, m.get("prevRef").filter(_.nonEmpty).map(_.toLong))
+        mx <- m.get("maxIdx").map(_.toLong)
+      } yield (rd, mx)
     }
 
   /** Process one micro-batch of new curve rows
@@ -76,25 +81,29 @@ object IncrementalReduction {
 
     val prior = readFrontier(stateDir)
     val haveStats = new java.io.File(statsPath).exists()
-    // one tiny driver action on the bounded micro-batch: the two
-    // incremental-validity scalars
+    val frontierPath = s"$stateDir/frontier.parquet"
+    val haveFront = new java.io.File(frontierPath).exists()
+    // one tiny driver action on the bounded micro-batch: the
+    // incremental-validity scalars (strict append order + stable ref delay)
     val probe = batch.agg(
       min(when(col("delay") =!= TimeFunctions.OffSentinel, col("delay"))).as("mn"),
       min(col("image_idx")).as("minIdx")).collect()(0)
     val batchMinDelay = Option(probe.get(0)).map(_.toString.toDouble)
     val batchMinIdx = Option(probe.get(1)).map(_.toString.toLong)
 
-    val incremental = prior.isDefined && haveStats &&
+    val incremental = prior.isDefined && haveStats && haveFront &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
       batchMinIdx.forall(_ > prior.get._2)
 
-    val (work, refDelay, fOld, statsPrev) =
+    val (work, refDelay, fOldTab, statsPrev) =
       if (incremental) {
-        val (rd, f, _) = prior.get
+        val (rd, _) = prior.get
         val tail = spark.read.parquet(tailPath)
           .select("image_idx", "delay", "q_bin", "i", "err")
         (tail.union(batch.select("image_idx", "delay", "q_bin", "i", "err")),
-          Some(rd), Some(f), Some(spark.read.parquet(statsPath)))
+          Some(rd),
+          Some(spark.read.parquet(frontierPath).localCheckpoint(true)),
+          Some(spark.read.parquet(statsPath)))
       } else {
         // fallback / first batch: the whole history is the window
         (spark.read.parquet(curvesDir)
@@ -108,26 +117,44 @@ object IncrementalReduction {
       val r = tagged.filter(col("is_ref")).agg(min(col("delay"))).collect()(0)
       if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
     }
-    // frontier over this window: last and second-to-last reference indices
-    // distinct: curve rows are (image, q_bin) grain — one row per bin
-    val topRefs = tagged.filter(col("is_ref"))
-      .select(col("image_idx").cast("long")).distinct()
-      .orderBy(col("image_idx").desc)
-      .limit(2).collect().map(_.getLong(0))
-    val fNew: Option[Long] = topRefs.headOption
-    val pNew: Option[Long] = if (topRefs.length > 1) Some(topRefs(1)) else None
+    val batchMaxIdx = tagged.agg(max(col("image_idx")).cast("long"))
+      .collect()(0) match {
+      case r if r.isNullAt(0) => prior.map(_._2).getOrElse(0L)
+      case r => r.getLong(0)
+    }
+
+    // PER-BIN frontier: the as-of windows partition by q_bin and not every
+    // image carries every bin, so "a later reference exists" must hold in
+    // the row's own partition — a global frontier finalizes rows whose
+    // in-bin next-reference hasn't arrived (caught by the q63 oracle on
+    // the sparse lineitem-derived curves). f = last reference index WITH A
+    // ROW in the bin, p = the one before it (the recompute window's
+    // prev-anchor).
+    val refRows = tagged.filter(col("is_ref"))
+      .select(col("q_bin"), col("image_idx").cast("long").as("_ri"))
+    val fTab = refRows.groupBy(col("q_bin")).agg(max(col("_ri")).as("_f_new"))
+    val pTab = refRows.join(broadcast(fTab), Seq("q_bin"))
+      .filter(col("_ri") < col("_f_new"))
+      .groupBy(col("q_bin")).agg(max(col("_ri")).as("_p_new"))
+    val fronts = fTab.join(pTab, Seq("q_bin"), "left")
+      .join(fOldTab.map(_.select(col("q_bin"), col("f").as("_f_old")))
+        .getOrElse(fTab.select(col("q_bin"),
+          lit(null).cast("long").as("_f_old")).limit(0)),
+        Seq("q_bin"), "left")
+      .localCheckpoint(true)
 
     val diffs = Reduction.diffSignal(Reduction.interpolateReferences(tagged))
       .withColumn("delay_c", TimeFunctions.canonicalDelay(col("delay")))
       .localCheckpoint(true)
 
-    // mutable/new rows this batch is responsible for
-    val keepRows = fOld.map(f => diffs.filter(col("image_idx") >= f))
-      .getOrElse(diffs)
-    val finalizedNew = fNew.map(f => keepRows.filter(col("image_idx") < f))
-      .getOrElse(keepRows.limit(0))
-    val pending = fNew.map(f => keepRows.filter(col("image_idx") >= f))
-      .getOrElse(keepRows)
+    // mutable/new rows this batch is responsible for, bin by bin
+    val dj = diffs.join(broadcast(fronts), Seq("q_bin"), "left")
+    val keepRows = dj.filter(col("_f_old").isNull ||
+        col("image_idx") >= col("_f_old"))
+    val finalizedNew = keepRows.filter(col("_f_new").isNotNull &&
+      col("image_idx") < col("_f_new"))
+    val pending = keepRows.filter(col("_f_new").isNull ||
+      col("image_idx") >= col("_f_new"))
 
     // W2 thinning marks are positional within the (delay, q_bin) group;
     // `n_fin` carries the finalized prefix length so row_number stays
@@ -172,17 +199,21 @@ object IncrementalReduction {
     val statsMat = statsNew.localCheckpoint(true)
     statsMat.write.mode("overwrite").parquet(statsPath)
 
-    // bounded raw tail for the next batch: from the second-to-last
-    // reference on (the prev-anchor the frontier row's recompute needs)
-    val tailStart = pNew.orElse(fNew)
-    val tailNew = tailStart.map(t => work.filter(col("image_idx") >= t))
-      .getOrElse(work).localCheckpoint(true)
+    // bounded raw tail for the next batch: per bin, from the
+    // second-to-last reference on (the prev-anchor the frontier row's
+    // recompute needs); bins with <2 refs keep everything
+    val tailNew = work.join(broadcast(fronts), Seq("q_bin"), "left")
+      .filter((col("_p_new").isNull && col("_f_new").isNull) ||
+        col("image_idx") >= coalesce(col("_p_new"), col("_f_new")))
+      .select("image_idx", "delay", "q_bin", "i", "err")
+      .localCheckpoint(true)
     tailNew.write.mode("overwrite").parquet(tailPath)
+    fronts.select(col("q_bin"), col("_f_new").as("f"), col("_p_new").as("p"))
+      .write.mode("overwrite").parquet(frontierPath)
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
         else refDelayNow.toString),
-      "lastRef" -> fNew.orElse(prior.map(_._2)).map(_.toString).getOrElse(""),
-      "prevRef" -> pNew.map(_.toString).getOrElse("")))
+      "maxIdx" -> batchMaxIdx.toString))
 
     // reduced output = finalized stats ⊕ pending-tail stats, then the A3
     // formulas recovered from moments (mean mode; noise = population
