@@ -73,7 +73,8 @@ object IncrementalReduction {
     * plus the work-size metrics the churn contract is asserted on.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-                   atol: Double = 1e-12): BatchResult = {
+                   atol: Double = 1e-12,
+                   withMetrics: Boolean = true): BatchResult = {
     val curvesDir = s"$stateDir/curves"
     val statsPath = s"$stateDir/stats.parquet"
     val tailPath = s"$stateDir/tail.parquet"
@@ -87,9 +88,13 @@ object IncrementalReduction {
     // incremental-validity scalars (strict append order + stable ref delay)
     val probe = batch.agg(
       min(when(col("delay") =!= TimeFunctions.OffSentinel, col("delay"))).as("mn"),
-      min(col("image_idx")).as("minIdx")).collect()(0)
+      min(col("image_idx")).as("minIdx"),
+      max(col("image_idx")).as("maxIdx")).collect()(0)
     val batchMinDelay = Option(probe.get(0)).map(_.toString.toDouble)
     val batchMinIdx = Option(probe.get(1)).map(_.toString.toLong)
+    // append-only means the batch max IS the new global max
+    val batchMaxIdx = Option(probe.get(2)).map(_.toString.toLong)
+      .orElse(prior.map(_._2)).getOrElse(0L)
 
     val incremental = prior.isDefined && haveStats && haveFront &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
@@ -117,12 +122,6 @@ object IncrementalReduction {
       val r = tagged.filter(col("is_ref")).agg(min(col("delay"))).collect()(0)
       if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
     }
-    val batchMaxIdx = tagged.agg(max(col("image_idx")).cast("long"))
-      .collect()(0) match {
-      case r if r.isNullAt(0) => prior.map(_._2).getOrElse(0L)
-      case r => r.getLong(0)
-    }
-
     // PER-BIN frontier: the as-of windows partition by q_bin and not every
     // image carries every bin, so "a later reference exists" must hold in
     // the row's own partition — a global frontier finalizes rows whose
@@ -141,7 +140,7 @@ object IncrementalReduction {
         .getOrElse(fTab.select(col("q_bin"),
           lit(null).cast("long").as("_f_old")).limit(0)),
         Seq("q_bin"), "left")
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
 
     val diffs = Reduction.diffSignal(Reduction.interpolateReferences(tagged))
       .withColumn("delay_c", TimeFunctions.canonicalDelay(col("delay")))
@@ -196,7 +195,7 @@ object IncrementalReduction {
           .agg(sum(col(statsCols.head)).as(statsCols.head),
             statsCols.tail.map(c => sum(col(c)).as(c)): _*)
     }
-    val statsMat = statsNew.localCheckpoint(true)
+    val statsMat = statsNew.coalesce(1).localCheckpoint(true)
     statsMat.write.mode("overwrite").parquet(statsPath)
 
     // bounded raw tail for the next batch: per bin, from the
@@ -206,10 +205,10 @@ object IncrementalReduction {
       .filter((col("_p_new").isNull && col("_f_new").isNull) ||
         col("image_idx") >= coalesce(col("_p_new"), col("_f_new")))
       .select("image_idx", "delay", "q_bin", "i", "err")
-      .localCheckpoint(true)
+      .coalesce(4).localCheckpoint(true)
     tailNew.write.mode("overwrite").parquet(tailPath)
     fronts.select(col("q_bin"), col("_f_new").as("f"), col("_p_new").as("p"))
-      .write.mode("overwrite").parquet(frontierPath)
+      .coalesce(1).write.mode("overwrite").parquet(frontierPath)
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
         else refDelayNow.toString),
@@ -234,13 +233,16 @@ object IncrementalReduction {
       when(col("n_nn") > 0, noise).as("noise"),
       col("n_kept").as("n_rep"),
       when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
-    reduced.write.mode("overwrite").parquet(s"$stateDir/reduced")
+    reduced.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/reduced")
 
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
-    // re-read the tail store we just overwrote
+    // re-read the tail store we just overwrote. They cost three extra jobs
+    // per batch, so callers that only need the reduction skip them.
     BatchResult(spark.read.parquet(s"$stateDir/reduced"),
-      windowRows = tagged.count(), finalizedRows = finalizedNew.count(),
-      pendingRows = tailNew.count(), fullRecompute = !incremental)
+      windowRows = if (withMetrics) tagged.count() else -1L,
+      finalizedRows = if (withMetrics) finalizedNew.count() else -1L,
+      pendingRows = if (withMetrics) tailNew.count() else -1L,
+      fullRecompute = !incremental)
   }
 
   /** Streaming wrapper: `Online.curveFolderReduction` with the bounded
