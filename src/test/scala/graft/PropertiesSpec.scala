@@ -81,6 +81,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("codec roundtrips hold for arbitrary rasters and sample streams") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val ch = if (rnd.nextBoolean()) 3 else 1
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256))
+      val img = graft.multimodal.Codecs.decodeNetpbm(
+        graft.multimodal.Codecs.encodeNetpbm(w, h, ch, px))
+      assert((img.width, img.height, img.channels) == (w, h, ch))
+      assert(img.pixels.toSeq == px.toSeq)
+    }
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val nCh = 1 + rnd.nextInt(2)
+      val rate = 1 + rnd.nextInt(96000)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val au = graft.multimodal.Codecs.decodeWav(
+        graft.multimodal.Codecs.encodeWav(rate, nCh, samples))
+      assert((au.sampleRate, au.nChannels) == (rate, nCh))
+      assert(au.samples.toSeq == samples.toSeq)
+    }
+  }
+
   test("shingle identity: permuted docs share no order-sensitive shingles") {
     val df = Seq(("a b c d e", "e d c b a")).toDF("x", "y")
     val r = df.select(
