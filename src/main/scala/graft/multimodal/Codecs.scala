@@ -122,6 +122,10 @@ object Codecs {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val sz = le32(b, i + 4)
+      // RIFF sizes are unsigned 32-bit; read as signed Int a corrupt size
+      // goes negative — without this guard the walk stops advancing
+      // (infinite loop) or data sizing underflows
+      require(sz >= 0, s"negative chunk size $sz in '$id' chunk")
       val body = i + 8
       id match {
         case "fmt " =>

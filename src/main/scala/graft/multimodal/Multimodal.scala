@@ -107,7 +107,7 @@ object Multimodal {
             }
             if (vs.isEmpty) (0L, 0L, 0L, 0L) else (vs.length.toLong, s, mn, mx)
           }
-          Codecs.sniff(payload) match {
+          try Codecs.sniff(payload) match {
             case c @ ("ppm" | "pgm") =>
               val img = Codecs.decodeNetpbm(payload)
               val (n, s, mn, mx) = stats(img.pixels)
@@ -124,6 +124,13 @@ object Multimodal {
               val f = stubDecode(payload, 4)
               MediaDecoded(id, "unknown", 0, 0, 0, 0, payload.length.toLong,
                 f.map(v => (v * 65535.0).round).sum, 0L, 0L)
+          } catch {
+            // matching magic + malformed body (truncated raster, corrupt
+            // chunk): ONE bad payload must not abort a corpus-scale job —
+            // emit an explicit error row callers can filter or route
+            case scala.util.control.NonFatal(_) =>
+              MediaDecoded(id, "error", 0, 0, 0, 0, payload.length.toLong,
+                0L, 0L, 0L)
           }
         }
       }

@@ -135,7 +135,14 @@ object Clusters {
     // cut contraction short (then a node may still carry several parents)
     val stars = edges.groupBy(col("hi")).agg(min(col("lo")).as("cluster"))
       .withColumnRenamed("hi", "id")
-    val labels = vertices.select(col(idCol).as("id"))
+    // same contract as `components`: edge endpoints absent from `vertices`
+    // still get labels (label propagation admits them via the neighbour
+    // union; a vertices-only left join would silently drop them here)
+    val allVerts = vertices.select(col(idCol).as("id"))
+      .union(pairs.select(col("id_a").as("id")))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+    val labels = allVerts
       .join(stars, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     (labels, iter)

@@ -308,7 +308,7 @@ object CurveQueries {
           c.filter(col("image_idx") <= cut1),
           c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
           c.filter(col("image_idx") > cut2)).map(_.localCheckpoint(true))
-        batches.map(b =>
+        val out = batches.map(b =>
             graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
               withMetrics = false))
           .last.reduced
@@ -316,6 +316,11 @@ object CurveQueries {
             r4(col("diff_av")).as("diff_av"), r4(col("noise")).as("noise"),
             col("n_rep"), r4(col("err")).as("err"))
           .orderBy("delay", "q_bin")
+          // pin the result in memory so the state directory (a full copy
+          // of the subset history per invocation) can be deleted eagerly
+          .localCheckpoint(true)
+        graft.sources.Bundle.deleteRecursively(stateDir)
+        out
       },
       Some(timeResolvedOracleSql(curvesSql.replace(
         "FROM lineitem GROUP BY",

@@ -74,11 +74,21 @@ object IncrementalReduction {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    atol: Double = 1e-12,
-                   withMetrics: Boolean = true): BatchResult = {
+                   withMetrics: Boolean = true,
+                   batchKey: Option[Long] = None): BatchResult = {
     val curvesDir = s"$stateDir/curves"
     val statsPath = s"$stateDir/stats.parquet"
     val tailPath = s"$stateDir/tail.parquet"
-    batch.write.mode("append").parquet(curvesDir)
+    // With a batchKey (the streaming wrapper passes foreachBatch's
+    // batchId), the history append is IDEMPOTENT under at-least-once
+    // replay: a re-delivered batch overwrites its own partition instead of
+    // appending twice, and the strict-append validity check below routes
+    // the replay through a full recompute of the (correct) history.
+    batchKey match {
+      case Some(id) =>
+        batch.write.mode("overwrite").parquet(s"$curvesDir/batch=$id")
+      case None => batch.write.mode("append").parquet(curvesDir)
+    }
 
     val prior = readFrontier(stateDir)
     val haveStats = new java.io.File(statsPath).exists()
@@ -92,9 +102,12 @@ object IncrementalReduction {
       max(col("image_idx")).as("maxIdx")).collect()(0)
     val batchMinDelay = Option(probe.get(0)).map(_.toString.toDouble)
     val batchMinIdx = Option(probe.get(1)).map(_.toString.toLong)
-    // append-only means the batch max IS the new global max
-    val batchMaxIdx = Option(probe.get(2)).map(_.toString.toLong)
-      .orElse(prior.map(_._2)).getOrElse(0L)
+    // the new global max: NOT just the batch max — after an out-of-order
+    // fallback the batch max can be far below the history max, and
+    // understating it would let later mid-range batches pass the
+    // strict-append check and be silently dropped as "already finalized"
+    val batchMaxIdx = (Option(probe.get(2)).map(_.toString.toLong) ++
+      prior.map(_._2)).reduceOption(_ max _).getOrElse(0L)
 
     val incremental = prior.isDefined && haveStats && haveFront &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
@@ -155,11 +168,11 @@ object IncrementalReduction {
     val pending = keepRows.filter(col("_f_new").isNull ||
       col("image_idx") >= col("_f_new"))
 
-    // W2 thinning marks are positional within the (delay, q_bin) group;
-    // `n_fin` carries the finalized prefix length so row_number stays
-    // globally consistent across batches
+    // W2 thinning marks are positional within the (delay, q_bin) group.
+    // The stats table only ever aggregates FINALIZED rows, so its n_all IS
+    // the finalized prefix length — aliased to n_fin for the join.
     val nFinPrev = statsPrev.map(_.select(col("delay_c"), col("q_bin"),
-      col("n_fin"))).getOrElse(
+      col("n_all").as("n_fin"))).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "delay_c DOUBLE, q_bin INT, n_fin BIGINT")))
@@ -179,12 +192,11 @@ object IncrementalReduction {
         sum(col("diff") * col("diff")).as("sumsq_d"),
         sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
         count(when(col("_keep"), col("diff"))).as("n_kept_nn"),
-        sum(when(col("_keep"), col("diff"))).as("sum_kept"),
-        count(lit(1)).as("n_fin"))
+        sum(when(col("_keep"), col("diff"))).as("sum_kept"))
 
     val finStats = suffStats(withKeep(finalizedNew, nFinPrev))
     val statsCols = Seq("n_all", "n_nn", "sum_d", "sumsq_d", "n_kept",
-      "n_kept_nn", "sum_kept", "n_fin")
+      "n_kept_nn", "sum_kept")
     val statsNew = statsPrev match {
       case None => finStats
       case Some(prev) =>
@@ -218,7 +230,7 @@ object IncrementalReduction {
     // formulas recovered from moments (mean mode; noise = population
     // stddev, err = noise/√n_all — reference parity, dataReduction.py:180)
     val pendStats = suffStats(withKeep(pending, statsMat
-      .select(col("delay_c"), col("q_bin"), col("n_fin"))))
+      .select(col("delay_c"), col("q_bin"), col("n_all").as("n_fin"))))
     val combined = statsMat
       .select((Seq(col("delay_c"), col("q_bin")) ++ statsCols.map(col)): _*)
       .unionByName(pendStats)
@@ -259,9 +271,11 @@ object IncrementalReduction {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // metrics are spec hooks — not worth three extra jobs per trigger
-        processBatch(batch.sparkSession, batch, stateDir, withMetrics = false)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // metrics are spec hooks — not worth three extra jobs per trigger;
+        // batchKey makes the history append replay-idempotent
+        processBatch(batch.sparkSession, batch, stateDir,
+          withMetrics = false, batchKey = Some(batchId))
         ()
       }
       .start()

@@ -60,6 +60,16 @@ class ClustersPackingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lp == st)
     assert(st(999L) == 999L && st(100L) == 41L && st(25L) == 20L)
+    // contract parity when an edge endpoint is missing from vertices:
+    // both algorithms must still label it (LP admits it via the
+    // neighbour union)
+    val partial = Seq(5L, 6L, 7L, 20L, 30L, 41L, 999L).toDF("id") // no 25/100
+    val lp2 = Clusters.components(pairs, partial).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st2 = Clusters.starComponents(pairs, partial).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp2 == st2)
+    assert(lp2.contains(25L) && lp2.contains(100L) && lp2(100L) == 41L)
   }
 
   test("keepSet counts members and keeps the smallest id") {

@@ -102,12 +102,22 @@ class MultimodalSpec extends SparkSpec {
     assert(au.samples.toSeq == Seq(5, -5, 7, -7))
   }
 
+  test("WAV decode rejects a negative chunk size instead of looping") {
+    val bad = Codecs.encodeWav(8000, 1, Array(1, 2, 3))
+    bad(4 + 12 + 4) = 0xff.toByte // fmt chunk size low byte
+    bad(4 + 12 + 5) = 0xff.toByte
+    bad(4 + 12 + 6) = 0xff.toByte
+    bad(4 + 12 + 7) = 0xff.toByte // size = -1: must error, not hang
+    intercept[IllegalArgumentException] { Codecs.decodeWav(bad) }
+  }
+
   test("decodeMedia dispatches on magic and keeps the stub for unknowns") {
     val rows = Seq(
       1L -> Codecs.encodeNetpbm(3, 2, 3, Array.tabulate(18)(_ % 256)),
       2L -> Codecs.encodeNetpbm(2, 2, 1, Array(10, 20, 30, 40)),
       3L -> Codecs.encodeWav(16000, 1, Array(100, -100, 0)),
-      4L -> "not a known container".getBytes("UTF-8"))
+      4L -> "not a known container".getBytes("UTF-8"),
+      5L -> Codecs.encodeNetpbm(4, 4, 1, Array.fill(16)(7)).dropRight(3))
     val df = rows.toDF("media_id", "payload")
     val out = Multimodal.decodeMedia(spark, df).collect()
       .map(d => d.media_id -> d).toMap
@@ -119,5 +129,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).container == "wav" && out(3L).sample_rate == 16000 &&
       out(3L).v_sum == 0 && out(3L).v_min == -100 && out(3L).v_max == 100)
     assert(out(4L).container == "unknown")
+    // matching magic + malformed body degrades to an error row instead of
+    // failing the whole job
+    assert(out(5L).container == "error" && out(5L).n_values > 0)
   }
 }
