@@ -624,7 +624,35 @@ object CorpusQueries {
         |SELECT d.doc_id, coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
         |       coalesce(sh2.n_shared, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Unicode NFC normalization via the NATIVE Catalyst expression
+    // (functions/Normalize.scala, registered through GraftExtensions —
+    // Spark has no built-in; a UDF would break codegen). The suffix plants
+    // combining sequences: a/A + ring compose (å/Å), e + acute composes
+    // (é), b + acute has NO precomposed form and must stay decomposed —
+    // the md5 over the normalized bytes pins the exact output.
+    QueryDef("q64_nfc_normalize",
+      (s, dir) => {
+        val suffix = lit(" å Å b́ é é")
+        val raw = concat(col("text"), suffix)
+        val norm = graft.functions.Normalize.nfcNormalize(raw)
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          length(raw).as("len_raw"),
+          length(norm).as("len_nfc"),
+          md5(norm.cast("binary")).as("h_nfc"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' a' || chr(778) || ' A' || chr(778) || ' b' || chr(769)
+        |         || ' ' || chr(233) || ' e' || chr(769) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_nfc,
+        |       md5(norm) AS h_nfc
+        |FROM n ORDER BY doc_id""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

