@@ -68,9 +68,11 @@ object Online {
   /** Stream a folder of curve parquet files (schema: image_idx, delay,
     * q_bin, i, err) into a continuously-updated per-(delay, q_bin) average.
     * foreachBatch re-runs the full reduction on the union of state — exact
-    * parity with the batch semantics including the as-of reference join,
-    * which needs ordered history (the standard pattern when an operator is
-    * not incrementally decomposable).
+    * parity with the batch semantics including the as-of reference join
+    * and the MEDIAN center, which are not incrementally decomposable in
+    * general. Per-trigger work grows O(history): for long-running mean-mode
+    * reductions use [[IncrementalReduction.incrementalCurveFolderReduction]],
+    * which bounds each trigger to the mutable tail (oracle-gated by q63).
     */
   def curveFolderReduction(spark: SparkSession, inputDir: String,
                            checkpointDir: String, outputDir: String,
