@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document-quality filtering for LLM training corpora: Gopher-style
+  * document-level heuristics, C4-style line-level cleaning, PII scanning /
+  * redaction, and cross-corpus line-level deduplication (the CCNet /
+  * MassiveText pass).
+  *
+  * Scale design: the document-level rules (Gopher, PII) are pure `Column`
+  * expressions — one codegen'd projection over the corpus, no shuffle. The
+  * line-level passes explode documents into line rows (fan-out = lines per
+  * doc, bounded by document length) and shuffle only 8-byte/16-byte line
+  * hashes plus ids; per-document reassembly groups by doc id, the same key
+  * the corpus is naturally partitioned by.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------- Gopher
+
+  /** Total characters inside word tokens (the numerator of mean word
+    * length): length of the text with every non-token character removed.
+    */
+  def tokenChars(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9_]", ""))
+
+  /** Count of tokens containing at least one letter (Gopher's "80% of words
+    * must contain an alphabetic character"). A maximal `[a-z0-9_]+` run
+    * containing a letter matches this pattern exactly once.
+    */
+  def alphaTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9_]*[a-z][a-z0-9_]*"), lit(0)))
+
+  /** Occurrences of the literal hash symbol (Gopher's symbol-to-word ratio
+    * counts `#` and `...`).
+    */
+  def symbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "#", ""))) +
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+
+  /** Gopher-family document quality metrics and the composite pass flag
+    * (Rae et al. 2021, appendix A document-filter heuristics, re-expressed
+    * as Spark columns):
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10];
+    *   - ≥ 80% of words contain an alphabetic character;
+    *   - symbol-to-word ratio ≤ 0.1;
+    *   - at least `minStopHits` stopword occurrences.
+    * Returns (id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    * stop_hits, gopher_pass) — one codegen'd projection, no shuffle.
+    */
+  def gopherStats(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minStopHits: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val nWords = TextFunctions.tokenCount(text)
+    val denom = greatest(nWords, lit(1)).cast("double")
+    val meanLen = tokenChars(text) / denom
+    val alphaFrac = alphaTokenCount(text) / denom
+    val symRatio = symbolCount(text) / denom
+    val stopHits = TextFunctions.EnStopwords
+      .map(w => TextFunctions.wordOccurrences(text, w)).reduce(_ + _)
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      round(symRatio, 6).as("symbol_ratio"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        alphaFrac >= 0.8 &&
+        symRatio <= 0.1 &&
+        stopHits >= minStopHits).as("gopher_pass"))
+  }
+
+  // ------------------------------------------------------------------- PII
+
+  /** RE2-safe patterns (no lookaround/backrefs — portable to DuckDB). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scan + redaction: counts of email / IPv4 / phone-shaped spans and
+    * the text with each span replaced by a typed placeholder. Redaction
+    * order (email → IP → phone) is part of the contract: earlier passes
+    * consume their digits so later patterns cannot re-match inside them.
+    * Pure `Column` projection — no shuffle, linear scan at any scale.
+    */
+  def piiStats(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ip"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phone"),
+      md5(redacted.cast("binary")).as("h_redacted"))
+  }
+
+  // ----------------------------------------------------------------- lines
+
+  /** Chunk each document into pseudo-lines of `lineTokens` word tokens
+    * (corpora with real newlines would split on those instead — the
+    * synthetic tables carry none, and fixed-width chunking is itself the
+    * standard segmentation for training-sequence preparation). Output one
+    * row per (id, line_no, line); documents with no tokens produce no rows.
+    */
+  def chunkLines(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", lineTokens: Int = 12): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val nLines = ceil(size(toks) / lit(lineTokens.toDouble)).cast("int")
+    // sequence(0, -1) counts DOWN — empty docs need the empty array.
+    val lines = when(size(toks) >= 1,
+      transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"), posexplode(lines).as(Seq("line_no", "line")))
+  }
+
+  /** C4-style line keep rule (Raffel et al. 2020 cleaning heuristics):
+    * ≥ `minLineWords` words, terminal punctuation, and no boilerplate
+    * markers (javascript / lorem ipsum / curly brace).
+    */
+  def c4Keep(line: Column, minLineWords: Int = 5): Column =
+    TextFunctions.tokenCount(line) >= minLineWords &&
+      line.endsWith(".") &&
+      !lower(line).contains("javascript") &&
+      !lower(line).contains("lorem ipsum") &&
+      !line.contains("{")
+
+  /** C4 line-level cleaning over a (id, line_no, line) table: apply
+    * [[c4Keep]], then reassemble per-document retention stats and the md5
+    * of the cleaned text (kept lines joined by newline in line order).
+    * One hash aggregation on the doc id; line order is restored by sorting
+    * the collected (line_no, line) structs, so the result is independent of
+    * shuffle arrival order.
+    */
+  def c4Clean(lines: DataFrame, minLineWords: Int = 5): DataFrame = {
+    val keep = c4Keep(col("line"), minLineWords)
+    val kept = when(keep, struct(col("line_no"), col("line")))
+    lines
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(keep, TextFunctions.tokenCount(col("line")).cast("long"))),
+          lit(0L)).as("kept_tokens"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(kept)), s => s.getField("line")))
+          .cast("binary")).as("h_clean"))
+  }
+
+  /** Cross-corpus line-level deduplication (the CCNet / MassiveText pass):
+    * hash every line, keep only the FIRST occurrence corpus-wide (ordered
+    * by doc id, then line position), and report per-document retention.
+    * The window shuffles (line-hash → occurrences) groups — 16-byte keys,
+    * group size = duplication factor — never document bodies.
+    */
+  def lineDedupStats(lines: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("line_no"))
+    lines
+      .withColumn("h", md5(col("line").cast("binary")))
+      .withColumn("first", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_kept") / col("n_lines").cast("double"), 6))
+  }
+}

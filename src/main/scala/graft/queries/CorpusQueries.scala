@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{Clusters, Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Clusters, Dedup, Packing, Quality, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -652,7 +652,172 @@ object CorpusQueries {
         |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
         |SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_nfc,
         |       md5(norm) AS h_nfc
-        |FROM n ORDER BY doc_id""".stripMargin))
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-family document quality rules (word-count bounds, mean word
+    // length, alpha-word fraction, symbol ratio, stopword containment) —
+    // one codegen'd projection, no shuffle; the oracle recomputes every
+    // metric and the composite pass flag.
+    QueryDef("q65_gopher_quality",
+      (s, dir) =>
+        Quality.gopherStats(table(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, $padded AS p FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_words,
+        |  len(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g')) AS tok_chars,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9_]*[a-z][a-z0-9_]*')) AS alpha_toks,
+        |  (len(text) - len(replace(text, '#', '')))
+        |    + (len(text) - len(replace(text, '...', ''))) // 3 AS symbols,
+        |  ($stopHitsSql) AS stop_hits
+        | FROM d)
+        |SELECT doc_id, n_words,
+        |  round(tok_chars / greatest(n_words, 1)::DOUBLE, 6) AS mean_word_len,
+        |  round(alpha_toks / greatest(n_words, 1)::DOUBLE, 6) AS alpha_frac,
+        |  round(symbols / greatest(n_words, 1)::DOUBLE, 6) AS symbol_ratio,
+        |  stop_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND tok_chars / greatest(n_words, 1)::DOUBLE BETWEEN 3.0 AND 10.0
+        |   AND alpha_toks / greatest(n_words, 1)::DOUBLE >= 0.8
+        |   AND symbols / greatest(n_words, 1)::DOUBLE <= 0.1
+        |   AND stop_hits >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // C4-style line-level cleaning. The corpus has no line structure, so
+    // the query PLANTS it deterministically (q58/q64 pattern): chunk to
+    // 12-token lines, add terminal punctuation to 2 of every 3 lines, and
+    // inject boilerplate rows (lorem / javascript+brace / under-length)
+    // keyed on doc_id. The operator must then keep exactly the clean lines;
+    // the oracle rebuilds lines, injections, keep flags, and the cleaned-
+    // text md5 from scratch.
+    QueryDef("q66_c4_line_filter",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val punct = Quality.chunkLines(docs).select(col("id"), col("line_no"),
+          when(pmod(col("line_no"), lit(3)) =!= 2, concat(col("line"), lit(".")))
+            .otherwise(col("line")).as("line"))
+        def inj(m: Int, lineNo: Int, text: String) =
+          docs.filter(col("doc_id") % m === 0).select(col("doc_id").as("id"),
+            lit(lineNo).as("line_no"), lit(text).as("line"))
+        val lines = punct
+          .unionByName(inj(4, -1, "lorem ipsum dolor sit amet consectetur."))
+          .unionByName(inj(6, 100000, "var f = function() { javascript boilerplate }."))
+          .unionByName(inj(5, 100001, "too short line."))
+        Quality.c4Clean(lines).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, i AS line_no,
+        |         array_to_string(t[i*12+1 : i*12+12], ' ') AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, ceil(len(t) / 12.0)::INT - 1)) AS i
+        |        FROM t WHERE len(t) >= 1)),
+        |punct AS (
+        |  SELECT doc_id, line_no,
+        |         CASE WHEN line_no % 3 <> 2 THEN line || '.' ELSE line END AS line
+        |  FROM raw),
+        |inj AS (
+        |  SELECT doc_id, -1 AS line_no,
+        |         'lorem ipsum dolor sit amet consectetur.' AS line
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 100000, 'var f = function() { javascript boilerplate }.'
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 100001, 'too short line.'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |lines AS (SELECT * FROM punct UNION ALL SELECT * FROM inj),
+        |marked AS (
+        |  SELECT doc_id, line_no, line,
+        |    (len(regexp_extract_all(lower(line), '[a-z0-9_]+')) >= 5
+        |     AND line LIKE '%.'
+        |     AND lower(line) NOT LIKE '%javascript%'
+        |     AND lower(line) NOT LIKE '%lorem ipsum%'
+        |     AND line NOT LIKE '%{%') AS keep
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(sum(CASE WHEN keep
+        |      THEN len(regexp_extract_all(lower(line), '[a-z0-9_]+')) END), 0)::BIGINT
+        |    AS kept_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |                          ORDER BY line_no), '')) AS h_clean
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction. PII-shaped spans (email, IPv4, phone) are
+    // planted deterministically from doc_id; the operator counts and
+    // redacts them with RE2-portable patterns, and the oracle recomputes
+    // counts and the redacted-text md5.
+    QueryDef("q67_pii_scrub",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val withPii = docs.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" server 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0.1 up"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" today"))).otherwise(lit(""))).as("text"))
+        Quality.piiStats(withPii).orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' server 10.' || (doc_id % 256)::VARCHAR || '.0.1 up'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+        |       ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS h_redacted
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Cross-corpus line-level dedup (CCNet/MassiveText pass): 2-token lines
+    // (small vocabulary → real cross-document duplication), keep only the
+    // corpus-wide first occurrence of each distinct line, report per-doc
+    // retention. The window shuffles line-hash groups, never bodies.
+    QueryDef("q68_line_dedup",
+      (s, dir) =>
+        Quality.lineDedupStats(
+          Quality.chunkLines(table(s, dir, "documents"), lineTokens = 2))
+          .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, i AS line_no,
+        |         array_to_string(t[i*2+1 : i*2+2], ' ') AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, ceil(len(t) / 2.0)::INT - 1)) AS i
+        |        FROM t WHERE len(t) >= 1)),
+        |marked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(line)
+        |                       ORDER BY doc_id, line_no) = 1 AS first
+        |  FROM raw)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN first THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(1 - sum(CASE WHEN first THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+        |    AS dup_frac
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

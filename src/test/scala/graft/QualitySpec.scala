@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+
+/** Document-quality operators: Gopher doc-level rules, C4 line cleaning,
+  * PII scan/redaction, cross-corpus line dedup.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("gopherStats computes metrics and the composite pass flag") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("the and of to in is a").mkString(" ")), // mean len < 3
+      (2L, Seq.fill(60)("the spark engine runs fast").mkString(" ")), // passes
+      (3L, "short text only") // < 50 words
+    ).toDF("doc_id", "text")
+    val m = Quality.gopherStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(m(2L).getAs[Int]("n_words") == 300)
+    assert(approx(m(2L).getAs[Double]("mean_word_len"), 4.4, 1e-6))
+    assert(approx(m(2L).getAs[Double]("alpha_frac"), 1.0))
+    assert(m(2L).getAs[Long]("stop_hits") == 60L)
+    assert(m(2L).getAs[Boolean]("gopher_pass"))
+
+    assert(m(1L).getAs[Int]("n_words") == 70)
+    assert(m(1L).getAs[Double]("mean_word_len") < 3.0) // 15 chars / 7 words
+    assert(!m(1L).getAs[Boolean]("gopher_pass"))
+
+    assert(!m(3L).getAs[Boolean]("gopher_pass")) // under min word count
+  }
+
+  test("piiStats counts and redacts email / IPv4 / phone spans") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith@corp.io or 10.0.0.1 or 555-1234 ok"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val m = Quality.piiStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Int]("n_email") == 1)
+    assert(m(1L).getAs[Int]("n_ip") == 1)
+    assert(m(1L).getAs[Int]("n_phone") == 1)
+    assert(m(1L).getAs[String]("h_redacted") ==
+      md5Hex("mail me at [EMAIL] or [IP] or [PHONE] ok"))
+    assert(m(2L).getAs[Int]("n_email") == 0)
+    assert(m(2L).getAs[String]("h_redacted") == md5Hex("nothing sensitive here"))
+  }
+
+  test("chunkLines fixed-width chunking, empty docs drop out") {
+    val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val lines = Quality.chunkLines(docs, lineTokens = 2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("line_no"), r.getAs[String]("line")))
+    assert(lines.toSet == Set((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e")))
+  }
+
+  test("c4Clean keeps only clean lines and hashes them in line order") {
+    val lines = Seq(
+      (1L, 0, "one two three four five six."),
+      (1L, 1, "contains javascript code here today."),
+      (1L, 2, "no terminal punctuation here at all"),
+      (1L, 3, "lorem ipsum dolor sit amet world."),
+      (1L, 4, "curly { brace line with words."),
+      (1L, 5, "four words only here."),
+      (1L, 6, "another good line with five words.")
+    ).toDF("id", "line_no", "line")
+    val r = Quality.c4Clean(lines).collect().head
+    assert(r.getAs[Long]("n_lines") == 7)
+    assert(r.getAs[Long]("n_kept") == 2)
+    assert(r.getAs[Long]("kept_tokens") == 12)
+    assert(r.getAs[String]("h_clean") == md5Hex(
+      "one two three four five six.\nanother good line with five words."))
+  }
+
+  test("lineDedupStats keeps the corpus-wide first occurrence only") {
+    val lines = Seq(
+      (1L, 0, "x y"), (1L, 1, "x y"), (1L, 2, "a b"),
+      (2L, 0, "x y"), (2L, 1, "c d")
+    ).toDF("id", "line_no", "line")
+    val m = Quality.lineDedupStats(lines).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_lines") == 3 && m(1L).getAs[Long]("n_kept") == 2)
+    assert(approx(m(1L).getAs[Double]("dup_frac"), 0.333333, 1e-6))
+    assert(m(2L).getAs[Long]("n_lines") == 2 && m(2L).getAs[Long]("n_kept") == 1)
+    assert(approx(m(2L).getAs[Double]("dup_frac"), 0.5))
+  }
+}
