@@ -61,7 +61,15 @@ object Dedup {
     */
   private[graft] def shingleRows(docs: DataFrame, textCol: String,
                                  idCol: String, n: Int,
-                                 verifiable: Boolean = false): DataFrame = {
+                                 verifiable: Boolean = false): DataFrame =
+    shinglePosRows(docs, textCol, idCol, n, verifiable).select(col("id"), col("s"))
+
+  /** [[shingleRows]] keeping the starting token position `p` of each n-gram
+    * (span analysis needs the coordinates, not just the identities).
+    */
+  private[graft] def shinglePosRows(docs: DataFrame, textCol: String,
+                                    idCol: String, n: Int,
+                                    verifiable: Boolean = false): DataFrame = {
     val tok0 = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
     val tok =
@@ -80,9 +88,74 @@ object Dedup {
         leads.reduceLeft((acc, h) =>
           pmod(acc * CombineBase + h, lit(TextFunctions.RollingHashMod)))
       else xxhash64(leads: _*)
-    tok.select(col("id"),
+    tok.select(col("id"), col("_p").as("p"),
         when(leads.last.isNotNull, combined).as("s"))
       .filter(col("s").isNotNull)
+  }
+
+  /** Per-document duplicated-SPAN fraction (the Lee et al. 2022
+    * "Deduplicating Training Data" signal, n-gram-approximated): the
+    * fraction of token positions covered by at least one n-gram that also
+    * occurs in ANOTHER document. Shared n-grams are found by one count-
+    * distinct-docs aggregation on 8-byte shingle hashes; their [p, p+n-1]
+    * intervals are merged per document with a running-max window
+    * (gaps-and-islands), so overlapping spans are counted once.
+    * Shuffles: shingle-hash groups + per-doc windows — never doc×doc.
+    */
+  def dupSpanStats(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", n: Int = 3,
+                   verifiable: Boolean = false): DataFrame = {
+    val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
+    val shared = sp.groupBy(col("s"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("s"))
+    val ss = sp.join(shared, Seq("s")).select(col("id"), col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prevEnd = max(col("p") + (n - 1)).over(w)
+    val covered = ss
+      .withColumn("_c", greatest(lit(0), (col("p") + (n - 1)) -
+        greatest(coalesce(prevEnd, col("p") - n), col("p") - 1)))
+      .groupBy(col("id")).agg(sum(col("_c")).as("covered"))
+    docs.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tok"))
+      .join(covered.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("dup_span_frac",
+        round(col("covered") / greatest(col("n_tok"), lit(1)).cast("double"), 6))
+  }
+
+  /** Bloom-filter membership dedup — the cross-shard scale path for exact
+    * dedup: a shard's fingerprints are folded into an m-bit filter (here
+    * k deterministic md5-derived positions per fingerprint, so any engine
+    * can rebuild the identical filter); incoming documents whose k
+    * positions are all set are flagged as probable duplicates. The bit set
+    * is ≤ mBits rows — broadcastable at any corpus size (production-grade
+    * alternative: `DataFrameStatFunctions.bloomFilter`, same semantics,
+    * opaque bits). `in_build`/`false_pos` are the exact-check validation
+    * columns: a production pass has only `flagged`.
+    */
+  def bloomFlag(build: DataFrame, query: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", k: Int = 5,
+                mBits: Int = 8192): DataFrame = {
+    def fpOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    def positions(df: DataFrame) = df
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("pos", pmod(TextFunctions.md5Hash60(
+        concat(col("fp"), lit("_"), col("j").cast("string"))), lit(mBits.toLong)))
+    val buildFp = fpOf(build)
+    val bits = positions(buildFp).select(col("pos")).distinct()
+    val hits = positions(fpOf(query))
+      .join(broadcast(bits.withColumn("_set", lit(1))), Seq("pos"), "left")
+      .groupBy(col("id")).agg(sum(coalesce(col("_set"), lit(0))).as("_hits"))
+    val inBuild = fpOf(query)
+      .join(buildFp.select(col("fp")).distinct().withColumn("_b", lit(1)),
+        Seq("fp"), "left")
+      .select(col("id"), col("_b").isNotNull.as("in_build"))
+    hits.select(col("id"), (col("_hits") === k).as("flagged"))
+      .join(inBuild, Seq("id"))
+      .withColumn("false_pos", col("flagged") && !col("in_build"))
   }
 
   /** N-gram repetition score per document (the Gopher-family quality

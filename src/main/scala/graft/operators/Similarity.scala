@@ -189,4 +189,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): coarsely
+    * cluster the embedding space, then mark within-cluster near-duplicates
+    * (cosine ≥ threshold against any LOWER-id member — the kept copy is
+    * the smallest id, matching the exact-dedup convention). Seeds are the
+    * first `nSeeds` vectors by id — a deterministic coarse quantizer any
+    * engine can rebuild (production refines seeds with [[sampledKMeans]];
+    * the dedup semantics are unchanged). The pair join is per-cluster —
+    * SemDeDup's point: n²/k instead of n² comparisons, and the cluster key
+    * is the shuffle key. Cosines are compared at 6 decimals so the
+    * assignment argmax is stable across engines.
+    * Output: (id, cluster, is_dup) — one row per vector.
+    */
+  def semanticDedup(embeddings: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", nSeeds: Int = 8,
+                    threshold: Double = 0.3): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = e.filter(col("id") < nSeeds)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("cos", VectorFunctions.cosine(col("v"), col("cv")))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(round(col("cos"), 6).desc, col("cid"))))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("cid").as("cluster"), col("v"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster"))
+      .join(dups.withColumn("_d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("_d").isNotNull.as("is_dup"))
+  }
 }

@@ -817,7 +817,110 @@ object CorpusQueries {
         |  sum(CASE WHEN first THEN 1 ELSE 0 END)::BIGINT AS n_kept,
         |  round(1 - sum(CASE WHEN first THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
         |    AS dup_frac
-        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-filter membership dedup: the cross-shard scale path for exact
+    // dedup. Filter bits are k=5 md5-derived positions mod 8192 per
+    // fingerprint (engine-rebuildable), built from the doc_id<100 shard;
+    // every document is then probed. in_build/false_pos are the exact-check
+    // validation columns proving the probabilistic accounting.
+    QueryDef("q69_bloom_dedup",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.bloomFlag(docs.filter(col("doc_id") < 100), docs)
+          .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+      },
+      Some("""WITH bf AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |build AS (SELECT * FROM bf WHERE doc_id < 100),
+        |js AS (SELECT unnest(generate_series(0, 4)) AS j),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substring(md5(fp || '_' || j::VARCHAR), 1, 15))::BIGINT % 8192 AS pos
+        |  FROM build, js),
+        |qp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(fp || '_' || j::VARCHAR), 1, 15))::BIGINT % 8192 AS pos
+        |  FROM bf, js),
+        |hits AS (
+        |  SELECT doc_id, sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+        |  FROM qp LEFT JOIN bits ON qp.pos = bits.pos GROUP BY doc_id),
+        |inb AS (
+        |  SELECT bf.doc_id, (b.fp IS NOT NULL) AS in_build
+        |  FROM bf LEFT JOIN (SELECT DISTINCT fp FROM build) b ON bf.fp = b.fp)
+        |SELECT h.doc_id, h.h = 5 AS flagged, inb.in_build,
+        |       (h.h = 5 AND NOT inb.in_build) AS false_pos
+        |FROM hits h JOIN inb ON h.doc_id = inb.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Duplicated-span fraction (Lee et al. 2022 substring-dedup signal,
+    // trigram-approximated): fraction of token positions covered by
+    // n-grams shared with ANOTHER document; overlapping spans merged by a
+    // running-max window. Verifiable hash family so the oracle recomputes
+    // identical shingle identities.
+    QueryDef("q70_dup_spans",
+      (s, dir) =>
+        Dedup.dupSpanStats(table(s, dir, "documents"), n = 3, verifiable = true)
+          .orderBy("doc_id"),
+      Some(s"""WITH $verifiableTrigramPosSql,
+        |shared AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |ss AS (SELECT doc_id, p FROM sp JOIN shared USING (s)),
+        |cov AS (
+        |  SELECT doc_id, p,
+        |         max(p + 2) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM ss),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(greatest(0, (p + 2) - greatest(coalesce(pe, p - 3), p - 1)))::BIGINT
+        |      AS covered
+        |  FROM cov GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tok
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_tok, coalesce(a.covered, 0)::BIGINT AS covered,
+        |  round(coalesce(a.covered, 0) / greatest(b.n_tok, 1)::DOUBLE, 6)
+        |    AS dup_span_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup-style semantic dedup over embeddings: deterministic seed
+    // centroids (vec_id < 8), nearest-centroid assignment, within-cluster
+    // cosine near-dups keep-smallest-id. Per-cluster rollup.
+    QueryDef("q71_semantic_dedup",
+      (s, dir) =>
+        Similarity.semanticDedup(table(s, dir, "embeddings"),
+            nSeeds = 8, threshold = 0.3)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+            sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+          .orderBy("cluster"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |cosm AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_dot_product(e.v, c.cv) /
+        |           greatest(sqrt(list_dot_product(e.v, e.v))
+        |                    * sqrt(list_dot_product(c.cv, c.cv)), 1e-300) AS cos
+        |  FROM e, c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY round(cos, 6) DESC, cid) AS rn FROM cosm)
+        |  WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e ON a.vec_id = e.vec_id),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          greatest(sqrt(list_dot_product(a.v, a.v))
+        |                   * sqrt(list_dot_product(b.v, b.v)), 1e-300), 6) >= 0.3)
+        |SELECT cluster, count(*) AS n_members,
+        |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+        |  sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
+        |GROUP BY cluster ORDER BY cluster""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
@@ -873,6 +976,27 @@ object CorpusQueries {
     * 60-bit token hash mod 1e9+7, lead-window trigram poly-combine (the
     * exact function `Dedup.shingleRows(verifiable = true)` computes).
     */
+  /** Like [[verifiableTrigramSql]] but keeping each trigram's starting
+    * token position: final CTE `sp(doc_id, p, s)`.
+    */
+  private def verifiableTrigramPosSql: String =
+    """tok AS (
+      |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+      |        (x, i) -> {'p': i,
+      |                   'h': ('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007})) AS u
+      |    FROM documents)),
+      |led AS (
+      |  SELECT doc_id, p, h AS h1,
+      |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2,
+      |         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h3
+      |  FROM tok),
+      |sp AS (
+      |  SELECT doc_id, p,
+      |         ((h1 * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS s
+      |  FROM led WHERE h3 IS NOT NULL)""".stripMargin
+
   private def verifiableTrigramSql: String =
     """tok AS (
       |  SELECT doc_id, u.p AS p, u.h AS h FROM (

@@ -140,4 +140,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dupSpanStats merges overlapping shared-trigram spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // shares "a b c" (p0), "b c d" (p1) with doc 2
+      (2L, "a b c d x y z w"),  // → merged span [0,3] = 4 covered positions
+      (3L, "p q r s t u v")     // nothing shared
+    ).toDF("doc_id", "text")
+    for (verifiable <- Seq(false, true)) {
+      val m = Dedup.dupSpanStats(docs, verifiable = verifiable).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(m(1L).getAs[Long]("covered") == 4, s"verifiable=$verifiable")
+      assert(m(1L).getAs[Int]("n_tok") == 8)
+      assert(approx(m(1L).getAs[Double]("dup_span_frac"), 0.5))
+      assert(m(2L).getAs[Long]("covered") == 4)
+      assert(m(3L).getAs[Long]("covered") == 0)
+      assert(approx(m(3L).getAs[Double]("dup_span_frac"), 0.0))
+    }
+  }
+
+  test("bloomFlag flags build members and their exact duplicates") {
+    val build = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val query = Seq(
+      (10L, "alpha beta gamma"),      // dup of build doc 1
+      (11L, "unrelated totally new"), // absent (FP odds ~1e-13 at 10 set bits)
+      (12L, "DELTA  epsilon zeta")    // dup after normalization
+    ).toDF("doc_id", "text")
+    val m = Dedup.bloomFlag(build, query).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(10L).getAs[Boolean]("flagged") && m(10L).getAs[Boolean]("in_build"))
+    assert(m(12L).getAs[Boolean]("flagged") && m(12L).getAs[Boolean]("in_build"))
+    assert(!m(11L).getAs[Boolean]("flagged") && !m(11L).getAs[Boolean]("in_build"))
+    assert(!m(10L).getAs[Boolean]("false_pos"))
+  }
 }

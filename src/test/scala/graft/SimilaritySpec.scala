@@ -112,4 +112,24 @@ class SimilaritySpec extends SparkSpec {
     info(f"ivfTopK recall@10 = $r%.3f (8 cells from sampled k-means, nProbe=4)")
     assert(r >= 0.8, f"recall $r%.3f below 0.8")
   }
+
+  test("semanticDedup assigns to nearest seed and flags within-cluster dups") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 1.0)),
+      (10L, Seq(0.9, 0.1, 0.0, 0.0)),  // cluster 0, cos≈0.994 vs seed → dup
+      (11L, Seq(0.0, 0.9, -0.4, 0.0)), // cluster 1, cos≈0.914 vs seed → dup
+      (12L, Seq(-1.0, 0.05, 0.0, 0.0)) // nearest seed 1 (cos<0 for seed 0)
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.semanticDedup(vecs, nSeeds = 4, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id"),
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_dup")))).toMap
+    assert(m(0L) == ((0L, false)) && m(10L) == ((0L, true)))
+    assert(m(1L) == ((1L, false)) && m(11L) == ((1L, true)))
+    assert(!m(12L)._2) // in its cluster but not near any lower-id member
+    // seeds each land in their own cluster
+    assert(Seq(0L, 1L, 2L, 3L).map(m(_)._1) == Seq(0L, 1L, 2L, 3L))
+  }
 }
