@@ -43,7 +43,11 @@ object Codecs {
     * raster (the Netpbm spec's classic trap — the raster may begin with a
     * byte that is itself whitespace-valued).
     */
-  def decodeNetpbm(b: Array[Byte]): ImageData = {
+  /** Netpbm header parse only — no raster read: (width, height, channels,
+    * maxVal, rasterOffset). Shared by [[decodeNetpbm]] and the header-only
+    * metadata sniff [[sniffDims]].
+    */
+  private[multimodal] def netpbmHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
     require(b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'),
       "not a binary PGM/PPM payload")
     val channels = if (b(1) == '6') 3 else 1
@@ -68,6 +72,12 @@ object Codecs {
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
     i += 1 // the single post-maxval whitespace byte
+    (w, h, channels, maxVal, i)
+  }
+
+  def decodeNetpbm(b: Array[Byte]): ImageData = {
+    val (w, h, channels, maxVal, off) = netpbmHeader(b)
+    var i = off
     val bytesPerSample = if (maxVal < 256) 1 else 2
     val n = w * h * channels
     require(b.length - i >= n * bytesPerSample,
@@ -114,7 +124,11 @@ object Codecs {
     * and data may be separated by LIST/fact/other chunks; chunk sizes pad
     * to even offsets per the RIFF spec).
     */
-  def decodeWav(b: Array[Byte]): AudioData = {
+  /** RIFF/WAVE chunk walk, headers only — no sample read: (sampleRate,
+    * nChannels, bits, dataOffset, dataLen). Shared by [[decodeWav]] and
+    * [[sniffDims]].
+    */
+  private[multimodal] def wavHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
     require(sniff(b) == "wav", "not a RIFF/WAVE payload")
     var i = 12
     var sampleRate = 0; var nCh = 0; var bits = 0
@@ -141,6 +155,27 @@ object Codecs {
       i = body + sz + (sz & 1) // RIFF chunks pad to even length
     }
     require(dataOff >= 0, "no data chunk")
+    (sampleRate, nCh, bits, dataOff, dataLen)
+  }
+
+  /** Header-only dimension/shape sniff for [[Multimodal.withMeta]]:
+    * (width, height, channels, sampleRate) — images carry sampleRate 0,
+    * audio carries width/height 0. None for unknown containers or
+    * malformed headers (callers fall back to their stub shape).
+    */
+  def sniffDims(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try sniff(b) match {
+      case "ppm" | "pgm" =>
+        val (w, h, ch, _, _) = netpbmHeader(b)
+        Some((w, h, ch, 0))
+      case "wav" =>
+        val (rate, nCh, _, _, _) = wavHeader(b)
+        Some((0, 0, nCh, rate))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeWav(b: Array[Byte]): AudioData = {
+    val (sampleRate, nCh, bits, dataOff, dataLen) = wavHeader(b)
     require(bits == 16, s"only 16-bit PCM supported, got $bits")
     require(dataOff + dataLen <= b.length, "truncated data chunk")
     val n = dataLen / 2

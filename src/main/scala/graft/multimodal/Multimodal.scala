@@ -44,18 +44,32 @@ object Multimodal {
     acc.map(_ / 65535.0)
   }
 
-  /** Attach metadata to a binary column: `(media_id, payload)` →
-    * adds byte length and (stub-sniffed) dimensions. Pure column ops where
-    * possible (`length` on binary is native).
+  /** Attach metadata to a binary column: `(media_id, payload)` → adds byte
+    * length and container dimensions. Known magics (PPM/PGM/WAV) get REAL
+    * header-parsed dimensions via [[Codecs.sniffDims]] — the same parse
+    * [[decodeMedia]] dispatches on, so the two always agree; only unknown
+    * containers (codec-class formats with no library in this environment)
+    * fall back to the deterministic length-derived stub shape. Header
+    * sniffing is inherently imperative byte walking, so it runs as a
+    * compact UDF that touches only the header bytes; `byte_len` stays a
+    * native codegen'd `length`.
     */
-  def withMeta(media: DataFrame, kind: String): DataFrame =
+  def withMeta(media: DataFrame, kind: String): DataFrame = {
+    val dims = udf((payload: Array[Byte]) =>
+      Codecs.sniffDims(payload) match {
+        case Some((w, h, _, _)) => (w, h)
+        case None =>
+          val len = payload.length.toLong
+          ((len % 64 + 1).toInt, (len / 64 % 64 + 1).toInt)
+      })
     media
       .withColumn("kind", lit(kind))
       .withColumn("byte_len", length(col("payload")).cast("long"))
-      // dimension sniffing would parse the container header; stub: derive
-      // a plausible deterministic shape from the length.
-      .withColumn("width", (pmod(col("byte_len"), lit(64)) + 1).cast("int"))
-      .withColumn("height", (pmod(col("byte_len") / 64, lit(64)) + 1).cast("int"))
+      .withColumn("_wh", dims(col("payload")))
+      .withColumn("width", col("_wh._1"))
+      .withColumn("height", col("_wh._2"))
+      .drop("_wh")
+  }
 
   /** Feature extraction as a typed per-partition batch transform — the
     * Scala analogue of `mapInPandas`: each task processes its partition as

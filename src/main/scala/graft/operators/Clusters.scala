@@ -86,9 +86,25 @@ object Clusters {
     * distinct. Large-star hangs every strictly-larger neighbour of a node
     * onto its neighbourhood minimum; small-star re-hangs the smaller
     * neighbourhood onto the minimum. The unique fixpoint is a union of
-    * stars rooted at each component's smallest id, and the edge set evolves
-    * monotonically toward it, so "this round changed nothing" (count +
-    * exceptAll on two checkpointed sets) is an exact convergence test.
+    * stars rooted at each component's smallest id.
+    *
+    * Convergence is read off ONE aggregation per round — the signature
+    * (count, sum(hi + lo)) — and for numeric ids that test is EXACT, not
+    * probabilistic:
+    *  1. |large| ≤ |edges|: each canonical edge yields exactly one directed
+    *     (u, v) with v > u, hence one output edge pre-distinct; distinct
+    *     only removes.
+    *  2. |next| ≤ |large|: each large edge yields at most one leaf, every
+    *     hi-group converts one edge (its lo == m) into the single root.
+    *  3. So count(next) == count(edges) forces no distinct-collapse in
+    *     either stage — a pointwise edge map under which hi + lo never
+    *     increases (large-star keeps hi and lowers lo to the neighbourhood
+    *     min; small-star leaves map (hi, lo) → (lo, m) with m < lo < hi;
+    *     roots map to themselves).
+    *  4. Equal count + equal sum(hi + lo) then forces every pointwise
+    *     difference to zero — i.e. next == edges exactly.
+    * Non-numeric ids fall back to sum(xxhash64(hi, lo)), the same test with
+    * a ~2⁻⁶⁴-per-round false-convergence probability.
     */
   def starComponents(pairs: DataFrame, vertices: DataFrame,
                      idCol: String = "id", maxIters: Int = 50): DataFrame =
@@ -103,8 +119,21 @@ object Clusters {
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct()
       .localCheckpoint(true)
+    // one-action set signature; exact for numeric ids (see scaladoc proof)
+    val numericIds = edges.schema("hi").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val s =
+        if (numericIds)
+          sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))
+        else sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))
+      val r = df.agg(count(lit(1)).as("n"), s.as("s")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var edgeSig = sig(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeSig._1 == 0L
     while (!converged && iter < maxIters) {
       // large-star: for every node u, m = min(Γ(u) ∪ {u}); every neighbour
       // v > u re-hangs as {v, m}. Edges to smaller neighbours re-emerge
@@ -127,8 +156,11 @@ object Clusters {
       val next = leaves.union(roots)
         .distinct()
         .localCheckpoint(true)
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig._1 == edgeSig._1 &&
+        nextSig._2.compareTo(edgeSig._2) == 0
       edges = next
+      edgeSig = nextSig
       iter += 1
     }
     // fixpoint = stars {leaf → component-min root}; group in case maxIters

@@ -360,12 +360,20 @@ object Dedup {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // Eagerly materialize the (small) verified-pair set, then release the
+    // nBands×-exploded signature table NOW — a bare persist() with no
+    // unpersist lives in the cache manager for the whole session and
+    // evicts later queries' storage. The checkpoint blocks holding the
+    // result are context-cleaned once the caller drops the DataFrame.
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", VectorFunctions.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    pairs
   }
 
   /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
@@ -450,10 +458,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    // Same lifecycle discipline as simhashPairs: checkpoint the small
+    // verified-pair output eagerly, release the bucketed vectors now.
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    pairs
   }
 }

@@ -163,19 +163,29 @@ object Quality {
   /** Cross-corpus line-level deduplication (the CCNet / MassiveText pass):
     * hash every line, keep only the FIRST occurrence corpus-wide (ordered
     * by doc id, then line position), and report per-document retention.
-    * The window shuffles (line-hash → occurrences) groups — 16-byte keys,
-    * group size = duplication factor — never document bodies.
+    *
+    * Skew-proof by construction: the corpus-wide first occurrence is a
+    * `min(struct(id, line_no))` AGGREGATION on the line hash — partial
+    * aggregation collapses a boilerplate line duplicated 10⁸× to one row
+    * per map partition before any shuffle, where a `row_number` window on
+    * the same key would sort all occurrences in a single task. The kept
+    * count is then re-aggregated to doc grain from the (distinct-hash)
+    * first-occurrence table, so the only join is doc-grain × doc-grain on
+    * the doc id — no join ever touches the skewed hash key.
     */
   def lineDedupStats(lines: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("id"), col("line_no"))
+    val hashed = lines.withColumn("h", md5(col("line").cast("binary")))
+    val keptPerDoc = hashed
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("line_no"))).as("fo"))
+      .groupBy(col("fo.id").as("id"))
+      .agg(count(lit(1)).as("n_kept"))
     lines
-      .withColumn("h", md5(col("line").cast("binary")))
-      .withColumn("first", row_number().over(w) === 1)
       .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"))
+      .agg(count(lit(1)).as("n_lines"))
+      .join(keptPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_kept") / col("n_lines").cast("double"), 6))
   }

@@ -195,28 +195,113 @@ object Similarity {
     * (cosine ≥ threshold against any LOWER-id member — the kept copy is
     * the smallest id, matching the exact-dedup convention). Seeds are the
     * first `nSeeds` vectors by id — a deterministic coarse quantizer any
-    * engine can rebuild (production refines seeds with [[sampledKMeans]];
-    * the dedup semantics are unchanged). The pair join is per-cluster —
-    * SemDeDup's point: n²/k instead of n² comparisons, and the cluster key
-    * is the shuffle key. Cosines are compared at 6 decimals so the
-    * assignment argmax is stable across engines.
+    * engine can rebuild ([[semanticDedupScaled]] is the production path
+    * with k-means seeds at corpus-scaled k; the dedup semantics are
+    * unchanged). The pair join is per-cluster — SemDeDup's point: n²/k
+    * instead of n² comparisons, and the cluster key is the shuffle key.
+    * Cosines are compared at 6 decimals so the assignment argmax is
+    * stable across engines.
+    *
+    * `maxClusterSize > 0` additionally bounds per-cluster pair work: a
+    * cluster of size s > maxClusterSize is split into 2^⌈log₂⌈s/max⌉⌉
+    * LSH sub-buckets (an adaptive-length prefix of the vector's
+    * random-hyperplane signature, at most `subMaxBits` bits), and dups are
+    * only marked within a sub-bucket. Near-identical vectors collide on
+    * every hyperplane with probability ≈ 1 − cosθ/π per bit, so recall
+    * for true semantic dups stays high while one dense cluster can no
+    * longer go quadratic — total pair work is O(n · maxClusterSize) in
+    * expectation. The bit count is computed with integer bit-length
+    * arithmetic (no floating log2), so any engine reproduces it exactly.
     * Output: (id, cluster, is_dup) — one row per vector.
     */
   def semanticDedup(embeddings: DataFrame, vecCol: String = "embedding",
                     idCol: String = "vec_id", nSeeds: Int = 8,
-                    threshold: Double = 0.3): DataFrame = {
+                    threshold: Double = 0.3, maxClusterSize: Int = 0,
+                    subMaxBits: Int = 8, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = e.filter(col("id") < nSeeds)
       .select(col("id").as("cid"), col("v").as("cv"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("cos", VectorFunctions.cosine(col("v"), col("cv")))
-      .withColumn("_rn", row_number().over(Window.partitionBy(col("id"))
-        .orderBy(round(col("cos"), 6).desc, col("cid"))))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("cid").as("cluster"), col("v"))
-    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
-    val dups = a.join(b, Seq("cluster"))
+    markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
+      subMaxBits, dim)
+  }
+
+  /** Corpus-scaled SemDeDup: k grows with the corpus (k ≈ n /
+    * `targetClusterSize`, the paper's regime — a FIXED k makes the
+    * within-cluster pair join n²/k, i.e. still quadratic as n grows),
+    * seeded with [[sampledKMeans]] centroids, and per-cluster pair work
+    * capped by LSH sub-bucketing exactly as in [[semanticDedup]]. k is
+    * bounded by the k-means sample size; beyond that the sub-bucket cap —
+    * not more centroids — is what keeps pair work linear, so the
+    * combination is safe at any corpus size.
+    */
+  def semanticDedupScaled(embeddings: DataFrame, vecCol: String = "embedding",
+                          idCol: String = "vec_id",
+                          targetClusterSize: Int = 1024,
+                          threshold: Double = 0.3,
+                          maxClusterSize: Int = 4096,
+                          subMaxBits: Int = 8, dim: Int = 64,
+                          kmeansIters: Int = 10, sampleN: Int = 4096): DataFrame = {
+    val n = embeddings.count()
+    val k = math.max(1L, math.min(n / math.max(targetClusterSize, 1),
+      sampleN.toLong)).toInt
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = sampledKMeans(embeddings, k, kmeansIters, sampleN, idCol, vecCol)
+      .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toDF("cid", "cv")
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
+      subMaxBits, dim)
+  }
+
+  /** Nearest-centroid assignment, deterministic: argmax over
+    * round(cos, 6) with ties to the smallest centroid id — as a
+    * partial-aggregatable max(struct) rather than a window sort, so the
+    * n×k candidate table combines map-side instead of being sorted per
+    * vector id. Input: (id, v) × (cid, cv); output: (id, cluster, v).
+    */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .select(col("id"), col("v"),
+        struct(
+          round(VectorFunctions.cosine(col("v"), col("cv")), 6).as("_cos"),
+          (col("cid") * lit(-1)).as("_negcid")).as("_cand"))
+      .groupBy(col("id"))
+      .agg(max(col("_cand")).as("_best"), first(col("v")).as("v"))
+      .select(col("id"),
+        (col("_best").getField("_negcid") * lit(-1)).as("cluster"), col("v"))
+
+  /** (id, cluster, v) → (id, cluster, v, _sub): the adaptive LSH
+    * sub-bucket key, "" when the cluster is within the cap (or no cap).
+    * Spec hook — [[markDups]] joins on (cluster, _sub).
+    */
+  private[graft] def clusterSubBuckets(assigned: DataFrame, maxClusterSize: Int,
+                                       subMaxBits: Int, dim: Int): DataFrame =
+    if (maxClusterSize <= 0) assigned.withColumn("_sub", lit(""))
+    else {
+      val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("_csz"))
+      // ⌈log₂⌈csz/max⌉⌉ via integer ceil-division + binary bit length —
+      // exact in any engine, unlike a floating log2 at power-of-two edges
+      val q = expr(s"(_csz + ${maxClusterSize - 1}) div $maxClusterSize")
+      val bits = when(q <= 1, lit(0))
+        .otherwise(least(length(bin(q - 1)), lit(subMaxBits)))
+      assigned.join(broadcast(sizes), Seq("cluster"))
+        .withColumn("_sub",
+          VectorFunctions.lshSignature(col("v"), subMaxBits, dim)
+            .substr(lit(1), bits))
+        .drop("_csz")
+    }
+
+  /** Within-(cluster, sub-bucket) lower-id near-dup marking shared by both
+    * SemDeDup entry points.
+    */
+  private def markDups(assigned: DataFrame, threshold: Double,
+                       maxClusterSize: Int, subMaxBits: Int, dim: Int): DataFrame = {
+    val withSub = clusterSubBuckets(assigned, maxClusterSize, subMaxBits, dim)
+    val a = withSub.select(col("cluster"), col("_sub"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSub.select(col("cluster"), col("_sub"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    val dups = a.join(b, Seq("cluster", "_sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6) >= threshold)
       .select(col("id_b").as("id")).distinct()

@@ -515,9 +515,12 @@ object CorpusQueries {
           fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8),
           defaultFraction = 0.1)
         // the sampled+deduped base feeds shingling (×3), the CC vertex
-        // set, and the final semi-join — persist it once
-        val exact = Dedup.exact(sampled)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // set, and the final semi-join — materialize it once. Eager
+        // localCheckpoint instead of persist: keepSet's CC rounds force it
+        // immediately anyway, and checkpoint blocks are context-cleaned
+        // when the query's plan is dropped, where an unreleased persist
+        // would sit in the cache manager for the rest of the session.
+        val exact = Dedup.exact(sampled).localCheckpoint(true)
         val pairs = Dedup.ngramJaccardPairs(exact, n = 3, threshold = 0.8)
         val keep = Clusters.keepSet(pairs, exact.select(col("doc_id")),
           idCol = "doc_id").select(col("keep_id").as("doc_id"))
@@ -852,7 +855,7 @@ object CorpusQueries {
         |  FROM bf LEFT JOIN (SELECT DISTINCT fp FROM build) b ON bf.fp = b.fp)
         |SELECT h.doc_id, h.h = 5 AS flagged, inb.in_build,
         |       (h.h = 5 AND NOT inb.in_build) AS false_pos
-        |FROM hits h JOIN inb ON h.doc_id = inb.doc_id ORDER BY doc_id""".stripMargin)),
+        |FROM hits h JOIN inb ON h.doc_id = inb.doc_id ORDER BY h.doc_id""".stripMargin)),
 
     // Duplicated-span fraction (Lee et al. 2022 substring-dedup signal,
     // trigram-approximated): fraction of token positions covered by
@@ -885,19 +888,29 @@ object CorpusQueries {
         |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // SemDeDup-style semantic dedup over embeddings: deterministic seed
-    // centroids (vec_id < 8), nearest-centroid assignment, within-cluster
-    // cosine near-dups keep-smallest-id. Per-cluster rollup.
+    // centroids (vec_id < 32 — corpus-scaled k, not a fixed handful),
+    // nearest-centroid assignment, clusters over 30 members split into
+    // adaptive LSH sub-buckets (the per-cluster pair-work cap), within-
+    // (cluster, sub-bucket) cosine near-dups keep-smallest-id. Per-cluster
+    // rollup. The oracle recomputes the sub-bucket keys from inlined
+    // hyperplane literals and the same integer bit-length formula.
     QueryDef("q71_semantic_dedup",
       (s, dir) =>
         Similarity.semanticDedup(table(s, dir, "embeddings"),
-            nSeeds = 8, threshold = 0.3)
+            nSeeds = 32, threshold = 0.3, maxClusterSize = 30,
+            subMaxBits = 8, dim = 64)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_members"),
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
             sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
           .orderBy("cluster"),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      Some {
+        val sigExpr = (0 until 8).map { j =>
+          val h = VectorFunctions.hyperplane(j, 64)
+          s"CASE WHEN list_dot_product(t.v, [${h.mkString(", ")}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
         |cosm AS (
         |  SELECT e.vec_id, c.cid,
         |         list_dot_product(e.v, c.cv) /
@@ -910,9 +923,16 @@ object CorpusQueries {
         |             ORDER BY round(cos, 6) DESC, cid) AS rn FROM cosm)
         |  WHERE rn = 1),
         |av AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e ON a.vec_id = e.vec_id),
+        |csz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+        |sb AS (
+        |  SELECT t.vec_id, t.cluster, t.v,
+        |    CASE WHEN t.qd <= 1 THEN ''
+        |         ELSE substring($sigExpr, 1, least(length(bin(t.qd - 1)), 8)) END AS sub
+        |  FROM (SELECT av.vec_id, av.cluster, av.v, (csz.n + 29) // 30 AS qd
+        |        FROM av JOIN csz USING (cluster)) t),
         |dups AS (
-        |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
-        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  SELECT DISTINCT b.vec_id FROM sb a JOIN sb b
+        |  ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
         |  WHERE round(list_dot_product(a.v, b.v) /
         |          greatest(sqrt(list_dot_product(a.v, a.v))
         |                   * sqrt(list_dot_product(b.v, b.v)), 1e-300), 6) >= 0.3)
@@ -920,7 +940,8 @@ object CorpusQueries {
         |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dups,
         |  sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
-        |GROUP BY cluster ORDER BY cluster""".stripMargin))
+        |GROUP BY cluster ORDER BY cluster""".stripMargin
+      })
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
