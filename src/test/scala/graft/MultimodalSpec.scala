@@ -23,6 +23,23 @@ class MultimodalSpec extends SparkSpec {
     assert(m(2L)._2 == "a much longer payload with more bytes in it".getBytes("UTF-8").length.toLong)
   }
 
+  test("withMeta header dims agree with decodeMedia on real PPM/WAV bytes") {
+    val ppm = Codecs.encodeNetpbm(5, 4, 3, Array.tabulate(60)(j => (j * 7) % 256))
+    val wav = Codecs.encodeWav(8000, 2, Array.tabulate(16)(j => j * 100 - 800))
+    val real = Seq((1L, ppm), (2L, wav)).toDF("media_id", "payload")
+    val meta = Multimodal.withMeta(real, "media").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    val dec = Multimodal.decodeMedia(spark, real).collect()
+      .map(d => d.media_id -> (d.width, d.height)).toMap
+    assert(meta(1L) == ((5, 4)) && meta(1L) == dec(1L))
+    assert(meta(2L) == ((0, 0)) && meta(2L) == dec(2L))
+    // unknown containers keep the documented length-derived stub shape
+    val unk = Multimodal.withMeta(media, "image").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("width")).toMap
+    assert(unk(1L) == 11 % 64 + 1)
+  }
+
   test("extractFeatures is deterministic with fixed width") {
     val withMeta = Multimodal.withMeta(media, "image")
     val f1 = Multimodal.extractFeatures(spark, withMeta, dim = 8).collect()

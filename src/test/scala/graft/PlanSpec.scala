@@ -27,14 +27,38 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("no unbroadcast cartesian product in any of the 54 query plans") {
+  test("no unbroadcast cartesian product in any registry query plan") {
     // CartesianProductExec shuffles |A|x|B| — never acceptable; the
     // intentional small cross joins (scalar x scalar, hkl lattice, query
     // fan-out) must all plan as BroadcastNestedLoopJoin
+    assert(plans.size == Registry.all.size,
+      s"plan coverage (${plans.size}) fell behind the registry (${Registry.all.size})")
     val offenders = plans.collect {
       case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("quality/bloom family plans: partial agg, broadcast, no window skew (q65-q69)") {
+    // q68 line dedup: the corpus-wide first occurrence must be an
+    // aggregation (map-side combinable), NOT a row_number window over the
+    // line-hash key — one boilerplate line duplicated 10^8 times would
+    // otherwise sort inside a single task
+    val q68 = plans("q68_line_dedup")
+    assert(!q68.contains("Window"),
+      "q68 regressed to a window over the line-hash key")
+    assert("HashAggregate".r.findAllIn(q68).size >= 2,
+      "q68 lost partial aggregation")
+    // q65/q67 are single codegen'd projections; q66 aggregates per doc
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plans("q65_gopher_quality")).isDefined,
+      "q65: gopher projection fell out of codegen")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plans("q67_pii_scrub")).isDefined,
+      "q67: pii projection fell out of codegen")
+    assert("HashAggregate".r.findAllIn(plans("q66_c4_line_filter")).size >= 2,
+      "q66 lost partial aggregation")
+    // q69 bloom probe joins the (<= mBits)-row bit set by broadcast
+    assert(plans("q69_bloom_dedup").contains("Broadcast"),
+      "q69 lost its broadcast bit-set join")
   }
 
   test("image<->log equi-join broadcasts the small side (q13)") {

@@ -132,4 +132,48 @@ class SimilaritySpec extends SparkSpec {
     // seeds each land in their own cluster
     assert(Seq(0L, 1L, 2L, 3L).map(m(_)._1) == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("semanticDedup cluster cap: no (cluster, sub-bucket) group exceeds " +
+       "the cap on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+      org.apache.spark.sql.functions.col("embedding").as("v"))
+    // force everything into ONE cluster — the adversarial dense case the
+    // cap exists for — then sub-bucket with cap 64 over 500 vectors
+    val oneCluster = e.withColumn("cluster",
+      org.apache.spark.sql.functions.lit(0L))
+    val sizes = Similarity
+      .clusterSubBuckets(oneCluster, maxClusterSize = 64, subMaxBits = 8, dim = 64)
+      .groupBy("cluster", "_sub").count().collect()
+    assert(sizes.length > 1, "cap did not split the oversized cluster")
+    val maxGroup = sizes.map(_.getAs[Long]("count")).max
+    // random-hyperplane splits are probabilistic, not exact halving: the
+    // contract is "bounded near the cap", asserted with 2x headroom on
+    // this deterministic dataset (measured max is well under it)
+    assert(maxGroup <= 128, s"largest sub-bucket $maxGroup exceeds 2x cap")
+    // within-cap clusters are untouched (empty sub key)
+    val noCap = Similarity
+      .clusterSubBuckets(oneCluster, maxClusterSize = 1000, subMaxBits = 8, dim = 64)
+      .select("_sub").distinct().collect()
+    assert(noCap.map(_.getString(0)).toSeq == Seq(""))
+  }
+
+  test("semanticDedupScaled: kmeans-seeded clusters scale with the corpus " +
+       "and flag the planted duplicate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant an exact duplicate of vector 0 under a fresh id
+    val dup = emb.filter($"vec_id" === 0L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(10000L))
+    val out = Similarity.semanticDedupScaled(emb.union(dup),
+      targetClusterSize = 25, threshold = 0.99, maxClusterSize = 50)
+      .collect()
+    assert(out.length == 501)
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_dup"))).toMap
+    // k = 501/25 = 20 kmeans cells — the assignment must actually use them
+    assert(out.map(_.getAs[Long]("cluster")).distinct.length > 8)
+    // identical vectors co-assign; the higher id is the marked dup
+    assert(byId(10000L)._1 == byId(0L)._1)
+    assert(byId(10000L)._2 && !byId(0L)._2)
+  }
 }
