@@ -184,6 +184,12 @@ object IncrementalReduction {
       .withColumn("_keep", !col("is_ref") || col("_rep") % 2 === 1)
       .drop("n_fin")
 
+    // the t-digest column makes the (non-decomposable) median-mode center
+    // incrementally available too: sketches are additive (merge =
+    // concatenate + recompress), kept-row values only — the same ensemble
+    // `averageScanPoints(useMedian = true)` takes its median over. NULL
+    // diffs ride in as NaN (typed aggregator input) and are skipped.
+    import graft.functions.TDigestSketch
     def suffStats(df: DataFrame): DataFrame = df.groupBy(col("delay_c"), col("q_bin"))
       .agg(
         count(lit(1)).as("n_all"),
@@ -192,20 +198,25 @@ object IncrementalReduction {
         sum(col("diff") * col("diff")).as("sumsq_d"),
         sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
         count(when(col("_keep"), col("diff"))).as("n_kept_nn"),
-        sum(when(col("_keep"), col("diff"))).as("sum_kept"))
+        sum(when(col("_keep"), col("diff"))).as("sum_kept"),
+        TDigestSketch.tdigest(
+          when(col("_keep"), coalesce(col("diff"), lit(Double.NaN)))
+            .otherwise(Double.NaN)).as("td"))
 
     val finStats = suffStats(withKeep(finalizedNew, nFinPrev))
     val statsCols = Seq("n_all", "n_nn", "sum_d", "sumsq_d", "n_kept",
       "n_kept_nn", "sum_kept")
+    def mergeStats(parts: DataFrame): DataFrame = {
+      val aggs = statsCols.map(c => sum(col(c)).as(c)) :+
+        TDigestSketch.tdigestMerge(col("td")).as("td")
+      parts.groupBy(col("delay_c"), col("q_bin")).agg(aggs.head, aggs.tail: _*)
+    }
     val statsNew = statsPrev match {
       case None => finStats
       case Some(prev) =>
-        prev.select((Seq(col("delay_c"), col("q_bin")) ++
-            statsCols.map(col)): _*)
-          .unionByName(finStats)
-          .groupBy(col("delay_c"), col("q_bin"))
-          .agg(sum(col(statsCols.head)).as(statsCols.head),
-            statsCols.tail.map(c => sum(col(c)).as(c)): _*)
+        mergeStats(prev.select((Seq(col("delay_c"), col("q_bin")) ++
+            statsCols.map(col) :+ col("td")): _*)
+          .unionByName(finStats))
     }
     val statsMat = statsNew.coalesce(1).localCheckpoint(true)
     statsMat.write.mode("overwrite").parquet(statsPath)
@@ -231,12 +242,11 @@ object IncrementalReduction {
     // stddev, err = noise/√n_all — reference parity, dataReduction.py:180)
     val pendStats = suffStats(withKeep(pending, statsMat
       .select(col("delay_c"), col("q_bin"), col("n_all").as("n_fin"))))
-    val combined = statsMat
-      .select((Seq(col("delay_c"), col("q_bin")) ++ statsCols.map(col)): _*)
-      .unionByName(pendStats)
-      .groupBy(col("delay_c"), col("q_bin"))
-      .agg(sum(col(statsCols.head)).as(statsCols.head),
-            statsCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val combined = mergeStats(statsMat
+      .select((Seq(col("delay_c"), col("q_bin")) ++
+        statsCols.map(col) :+ col("td")): _*)
+      .unionByName(pendStats))
+      .localCheckpoint(true)
     val mean = col("sum_d") / col("n_nn")
     val noise = sqrt(greatest(col("sumsq_d") / col("n_nn") - mean * mean, lit(0.0)))
     val reduced = combined.select(
@@ -246,6 +256,16 @@ object IncrementalReduction {
       col("n_kept").as("n_rep"),
       when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
     reduced.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/reduced")
+    // median-mode twin (approximate, exact below `compression` reps per
+    // group — see TDigestSketch): separate sink so the exact mean-mode
+    // `reduced` schema the q63 oracle pins stays untouched
+    combined.select(
+      col("delay_c").as("delay"), col("q_bin"),
+      when(col("n_kept_nn") > 0,
+        TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
+          lit(0.5))).as("diff_med"),
+      col("n_kept").as("n_rep"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/reduced_median")
 
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
     // re-read the tail store we just overwrote. They cost three extra jobs

@@ -250,4 +250,31 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(approx(j, 1.0))
   }
+
+  test("t-digest: exact below compression, bounded rank error at scale") {
+    import graft.functions.TDigestSketch
+    // exact regime: every value survives as a singleton centroid and the
+    // interpolated median equals the exact even-count median
+    val small = (1 to 50).map(_.toDouble)
+    val (sm, sw) = TDigestSketch.compress(small, Seq.fill(50)(1.0), 200)
+    assert(sm.length == 50)
+    assert(approx(TDigestSketch.quantile(sm, sw, 0.5), 25.5))
+    // compressed regime: 10k skewed values at compression 100 — size stays
+    // ~compression, quantile rank error within the 1/compression bound
+    val vals = (0 until 10000).map(i => math.pow(i.toDouble / 9999.0, 3))
+    val (m, w) = TDigestSketch.compress(vals, Seq.fill(10000)(1.0), 100)
+    assert(m.length >= 90 && m.length <= 250, s"${m.length} centroids")
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = TDigestSketch.quantile(m, w, q)
+      val rank = vals.count(_ <= est).toDouble / vals.size
+      assert(math.abs(rank - q) <= 0.015, s"q=$q rank=$rank")
+    }
+    // merge of two half-sketches ranks the same as one full sketch
+    val (m1, w1) = TDigestSketch.compress(vals.take(5000), Seq.fill(5000)(1.0), 100)
+    val (m2, w2) = TDigestSketch.compress(vals.drop(5000), Seq.fill(5000)(1.0), 100)
+    val (mm, mw) = TDigestSketch.compress(m1 ++ m2, w1 ++ w2, 100)
+    val est = TDigestSketch.quantile(mm, mw, 0.5)
+    val rank = vals.count(_ <= est).toDouble / vals.size
+    assert(math.abs(rank - 0.5) <= 0.015, s"merged rank=$rank")
+  }
 }

@@ -153,6 +153,19 @@ class StreamingSpec extends SparkSpec {
         assert(approx(gav, av, 1e-9) && approx(gno, no, 1e-9) &&
           gn == n && approx(ger, er, 1e-9), s"batch $k group $key")
       }
+      // median-mode twin: the incremental t-digest median equals the exact
+      // full-history median at every step (groups here are far below the
+      // sketch compression, so the digest is exact — see TDigestSketch)
+      val gotMed = spark.read.parquet(s"$stateDir/reduced_median")
+        .select("delay", "q_bin", "diff_med").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val wantMed = graft.operators.Reduction.timeResolvedSignal(
+          curveBatch(0, b), useMedian = true)
+        .select("delay", "q_bin", "diff_av").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(gotMed.keySet == wantMed.keySet, s"batch $k median groups")
+      wantMed.foreach { case (key, v) =>
+        assert(approx(gotMed(key), v, 1e-9), s"batch $k median group $key") }
     }
     // churn contract: the recompute window is the raw tail (bounded by the
     // inter-reference spacing, here ≤ 2 spacings × 3 bins) plus the new
