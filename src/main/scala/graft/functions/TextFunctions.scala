@@ -175,4 +175,60 @@ object TextFunctions {
         i => xxhash64((0 until n).map(k => element_at(tokHashes, i + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
   }
+
+  // --------------------------------------------------------------- URLs
+
+  /** Canonical URL for URL-keyed dedup (the CCNet/FineWeb "same page,
+    * different link" collapse): lowercase scheme+host, strip a leading
+    * `www.`, drop the fragment, default ports, tracking query params
+    * (`utm_*`, `fbclid`, `gclid`), an emptied `?`, and a trailing slash
+    * on a non-root path. Pure regexp `Column` pipeline — codegen'd,
+    * linear at any corpus size.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase only scheme://host[:port] (the path/query stay case-exact)
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/?]*)", 1)),
+      regexp_replace(noFrag, "^[^/]*//[^/?]*", ""))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/:?]*):443(?=[/?]|$)", "$1"),
+      "^(http://[^/:?]*):80(?=[/?]|$)", "$1")
+    val noTrack = regexp_replace(noPort,
+      "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val cleanAmp = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, "&&+", "&"), // doubled & from a removed middle param
+        "\\?&", "?"),                        // leading & from a removed first param
+      "[?&]+$", "")                          // emptied query / trailing separators
+    regexp_replace(cleanAmp, "(.)/$", "$1")
+  }
+
+  /** Multi-label public suffixes the registered-domain heuristic knows
+    * about (the high-traffic subset of the PSL; the full list is data,
+    * not code, and would load the same way).
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "co.nz")
+
+  /** Registered domain (eTLD+1) of a URL or bare host: the unit CCNet
+    * buckets by and FineWeb caps by. `http://a.b.example.co.uk/x` →
+    * `example.co.uk`. Heuristic two-label default with a curated
+    * multi-label suffix set — no network, no UDF.
+    */
+  def registeredDomain(url: Column): Column = {
+    val host = lower(regexp_replace(
+      regexp_extract(url, "^(?:[^/]*//)?([^/:?#]+)", 1), "^www\\.", ""))
+    val twoLabel = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val threeLabel = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val multi = MultiLabelSuffixes
+      .map(s => twoLabel === s)
+      .reduce(_ || _)
+    when(host.rlike("^[^.]+$"), host) // bare host, no dots
+      .otherwise(when(multi && threeLabel =!= "", threeLabel)
+        .otherwise(twoLabel))
+  }
 }

@@ -125,6 +125,51 @@ object Dedup {
         round(col("covered") / greatest(col("n_tok"), lit(1)).cast("double"), 6))
   }
 
+  /** Exact-substring dedup TRANSFORM — the applied counterpart of
+    * [[dupSpanStats]] (Lee et al. 2022 removes duplicated substrings, it
+    * doesn't just measure them): each document loses the token spans
+    * covered by an n-gram that also occurs in a document with a SMALLER
+    * id, so the first document (by id) keeps the shared text and every
+    * later one sheds it. Output is in normalized token space (lowercased
+    * `[a-z0-9_]+` tokens re-joined by single spaces) — the same
+    * normalization every other dedup signal here uses.
+    *
+    * Scale plan: (1) one partial-aggregatable `min(id)` per shingle hash
+    * (8-byte keys, map-side combine absorbs boilerplate repetition);
+    * (2) shingle-hash equi-join back — a hot key streams through a hash
+    * probe, AQE skew-join splits it if needed; (3) covered positions via
+    * a bounded n-row explode + distinct; (4) per-document reconstruction
+    * is a doc-grain groupBy (groups are document-sized by construction).
+    * Never doc×doc; no corpus-wide window.
+    */
+  def removeDupSpans(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3,
+                     verifiable: Boolean = false): DataFrame = {
+    val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
+    val firstDoc = sp.groupBy(col("s")).agg(min(col("id")).as("_min_id"))
+    val coveredPos = sp.join(firstDoc, Seq("s"))
+      .filter(col("id") > col("_min_id"))
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
+      .distinct()
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tp", "t")))
+    val rebuilt = tok.join(coveredPos, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("t")))),
+          x => x.getField("t")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("n_tok"))
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_removed", col("n_tok") - col("n_kept"))
+      .drop("n_kept")
+  }
+
   /** Bloom-filter membership dedup — the cross-shard scale path for exact
     * dedup: a shard's fingerprints are folded into an m-bit filter (here
     * k deterministic md5-derived positions per fingerprint, so any engine

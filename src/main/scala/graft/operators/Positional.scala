@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Positional operators (skip-first/skip-last slices, global row numbers)
+  * without the single-task global window.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY moves every row to
+  * ONE task — the classic scale killer for positional semantics (Spark even
+  * logs "No Partition Defined for Window operation"). The equivalent
+  * distributed construction: range-repartition by the ordering key (so
+  * partition i holds keys strictly below partition i+1), rank WITHIN each
+  * partition in parallel, then shift each partition's ranks by the total
+  * count of all earlier partitions. The per-partition counts are at most
+  * `spark.sql.shuffle.partitions` rows — the only driver materialization,
+  * bounded by cluster width, not data size.
+  */
+object Positional {
+
+  /** Add a 1-based global row number following `ordering` as column `out`.
+    *
+    * Correctness requires `ordering` to be (near-)total: range partitioning
+    * keeps equal keys in one partition, so any remaining ties are numbered
+    * arbitrarily-but-deterministically within their partition.
+    *
+    * Cost: two exchanges (the range repartition, then the per-pid window's
+    * hash exchange) instead of the global window's one — but every task
+    * stays bounded by partition size where the global window bounds ONE
+    * task by the whole table. The windowed rank runs `nPartitions` ways in
+    * parallel; the offset join is a broadcast of ≤ nPartitions rows.
+    */
+  def withGlobalRowNumber(df: DataFrame, ordering: Seq[Column],
+                          out: String = "_rn"): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(ordering: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(ordering: _*)
+    val local = parted.withColumn("_lrn", row_number().over(w))
+    // cumulative offset per partition: ≤ nShufflePartitions rows
+    val counts = local.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect()
+      .map(r => r.getAs[Int]("_pid") -> r.getAs[Long]("_cnt"))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) =>
+      (pid, acc + cnt)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    local.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(out, (col("_lrn") + col("_off")).cast("long"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Skip the first `skipFirst` and last `skipLast` rows in `ordering`
+    * order (the reference's skip_first/skip_last file slice — files.py:59 —
+    * lifted to a distributed table). One extra bounded job for the total
+    * count; no global window.
+    */
+  def skipSlice(df: DataFrame, ordering: Seq[Column],
+                skipFirst: Int, skipLast: Int): DataFrame = {
+    if (skipFirst <= 0 && skipLast <= 0) return df
+    val numbered = withGlobalRowNumber(df, ordering)
+    val total = numbered.count()
+    numbered
+      .filter(col("_rn") > skipFirst && col("_rn") <= lit(total) - skipLast)
+      .drop("_rn")
+  }
+}

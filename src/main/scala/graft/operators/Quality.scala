@@ -189,4 +189,39 @@ object Quality {
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_kept") / col("n_lines").cast("double"), 6))
   }
+
+  // ---------------------------------------------------------- domain caps
+
+  /** Per-domain document cap (the CCNet / FineWeb recipe step that stops a
+    * single giant domain from dominating the corpus): keep at most `cap`
+    * documents per domain, preferring higher `scoreCol`, ties broken by
+    * ascending id — fully deterministic.
+    *
+    * Skew-safe top-K: a plain `row_number() over (partition by domain)`
+    * would sort a mega-domain's 10⁸ documents in ONE task. Instead the
+    * selection runs in two exact phases: (1) salt each row by
+    * `xxhash64(id) mod nSalt` and take the local top-`cap` within each
+    * (domain, salt) group — every global top-`cap` row is necessarily
+    * top-`cap` within its own bucket, so phase 1 loses nothing; (2) rank
+    * the ≤ cap·nSalt survivors per domain — groups now bounded by
+    * cap·nSalt regardless of domain size. Returns the input rows plus
+    * `domain_rank` (1-based within domain) filtered to the cap.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, scoreCol: String,
+                idCol: String = "doc_id", cap: Int = 1000,
+                nSalt: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    val salted = docs.withColumn("_salt",
+      pmod(xxhash64(col(idCol)), lit(nSalt.toLong)))
+    val w1 = Window.partitionBy(col(domainCol), col("_salt")).orderBy(ord: _*)
+    val local = salted
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= cap)
+      .drop("_salt", "_r1")
+    val w2 = Window.partitionBy(col(domainCol)).orderBy(ord: _*)
+    local
+      .withColumn("domain_rank", row_number().over(w2))
+      .filter(col("domain_rank") <= cap)
+  }
 }

@@ -941,7 +941,92 @@ object CorpusQueries {
         |  sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
         |GROUP BY cluster ORDER BY cluster""".stripMargin
-      })
+      }),
+
+    // Exact-substring dedup as a TRANSFORM (q70 measures duplicated spans;
+    // this removes them): spans shared with a smaller-id document are cut,
+    // the cleaned text is rebuilt in normalized token space and md5-hashed
+    // for the compare. The oracle rebuilds tokens WITH their text (the
+    // shared trigram CTE carries only hashes), recomputes the same
+    // min-id-per-shingle rule, and string_aggs the survivors in order.
+    QueryDef("q72_remove_dup_spans",
+      (s, dir) =>
+        Dedup.removeDupSpans(table(s, dir, "documents"), n = 3,
+            verifiable = true)
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id"),
+      Some("""WITH tokt AS (
+        |  SELECT doc_id, u.p AS p, u.t AS t FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+        |        (x, i) -> {'p': i, 't': x})) AS u
+        |    FROM documents)),
+        |led AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007 AS h1,
+        |    lead(('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007, 1)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS h2,
+        |    lead(('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007, 2)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS h3
+        |  FROM tokt),
+        |sp AS (
+        |  SELECT doc_id, p,
+        |         ((h1 * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS s
+        |  FROM led WHERE h3 IS NOT NULL),
+        |fst AS (SELECT s, min(doc_id) AS min_id FROM sp GROUP BY s),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, tp FROM (
+        |    SELECT sp.doc_id, unnest(generate_series(sp.p, sp.p + 2)) AS tp
+        |    FROM sp JOIN fst USING (s) WHERE sp.doc_id > fst.min_id)),
+        |clean AS (
+        |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
+        |  WHERE c.tp IS NULL GROUP BY t.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_tok
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_tok,
+        |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM base b LEFT JOIN clean c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // Per-domain cap (CCNet/FineWeb recipe step) + URL canonicalization:
+    // a URL is derived per document (host from `source`, mixed-case path,
+    // tracking param, fragment — exercising every normalization rule),
+    // then the skew-safe two-phase top-K keeps the 10 longest documents
+    // per source. The oracle recomputes the cap with a plain window (same
+    // result as the salted two-phase selection, by the top-K-within-
+    // bucket argument in Quality.domainCap's scaladoc) and the normalized
+    // URL / eTLD+1 analytically from the construction shape.
+    QueryDef("q73_domain_cap",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("url", concat(lit("https://www."), col("source"),
+            lit(".example.co.uk/Page/"), col("doc_id"),
+            lit("?utm_campaign=x&id="), col("doc_id"), lit("#frag")))
+        Quality.domainCap(
+            docs.withColumn("domain",
+                TextFunctions.registeredDomain(col("url")))
+              .withColumn("url_norm", TextFunctions.urlNormalize(col("url"))),
+            domainCol = "source", scoreCol = "n_chars",
+            cap = 10, nSalt = 8)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("domain_rank"), col("domain"), col("url_norm"))
+          .orderBy(col("source"), col("domain_rank"))
+      },
+      Some("""SELECT doc_id, source, n_chars, domain_rank,
+        |  'example.co.uk' AS domain,
+        |  'https://' || source || '.example.co.uk/Page/' || doc_id
+        |    || '?id=' || doc_id AS url_norm
+        |FROM (SELECT doc_id, source, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |      FROM documents)
+        |WHERE domain_rank <= 10 ORDER BY source, domain_rank""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

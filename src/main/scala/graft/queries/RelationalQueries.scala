@@ -100,18 +100,18 @@ object RelationalQueries {
         |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // F3 — skip_first / skip_last positional slice over file order.
+    // F3 — skip_first / skip_last positional slice over file order, via
+    // the distributed rank (range repartition + per-partition window +
+    // broadcast offsets) — no single-task global window.
     QueryDef("q17_f3_skip_slice",
       (s, dir) => {
         val li = table(s, dir, "lineitem")
         // (l_orderkey, l_linenumber) is not unique in the synthetic data —
         // the extended key makes the positional slice deterministic.
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
-        val total = li.count()
-        li.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") > 100 && col("_rn") <= lit(total) - 100)
+        val key = Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_partkey"),
+          col("l_suppkey"))
+        graft.operators.Positional.skipSlice(li, key, 100, 100)
           .agg(count(lit(1)).as("n"),
             sum(col("l_quantity")).cast("double").as("sum_qty"),
             min(col("l_orderkey")).as("first_key"),
@@ -150,6 +150,9 @@ object RelationalQueries {
         |GROUP BY image_id ORDER BY image_id""".stripMargin)),
 
     // W4 — triangular-kernel smoothing of a histogram (zero-padded 'same').
+    // The unpartitioned window is intentional and safe: its input is the
+    // POST-AGGREGATION histogram — one row per price bin, bounded by the
+    // value range (thousands of rows at any corpus size), not by the table.
     QueryDef("q19_w4_smoothing",
       (s, dir) => {
         val hist = table(s, dir, "lineitem")

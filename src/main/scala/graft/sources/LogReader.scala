@@ -38,16 +38,10 @@ object LogReader {
       df.withColumn(name, element_at(col("_f"), i + 1))
     }.drop("line", "_f")
 
-    // skip_first / skip_last (files.py:59) — positional slice via ordered ids
-    val sliced = if (skipFirst > 0 || skipLast > 0) {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_id"))
-      typed
-        .withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .filter(col("_rn") > skipFirst && col("_rn") <= col("_n") - skipLast)
-        .drop("_rn", "_n")
-    } else typed
+    // skip_first / skip_last (files.py:59) — positional slice via the
+    // distributed rank (Positional.skipSlice), not a global window
+    val sliced = graft.operators.Positional.skipSlice(
+      typed, Seq(col("_id")), skipFirst, skipLast)
     sliced.drop("_id")
   }
 

@@ -174,4 +174,32 @@ class DedupSpec extends SparkSpec {
     assert(!m(11L).getAs[Boolean]("flagged") && !m(11L).getAs[Boolean]("in_build"))
     assert(!m(10L).getAs[Boolean]("false_pos"))
   }
+
+  test("removeDupSpans cuts spans shared with a smaller-id document") {
+    for (verifiable <- Seq(false, true)) {
+      val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta alpha beta gamma delta eta theta"), // shares doc1's run
+        (3L, "completely different words right here"),
+        (4L, "tiny doc"),                               // < n tokens: no shingles
+        (5L, "...")                                     // no tokens at all
+      ).toDF("doc_id", "text")
+      val m = Dedup.removeDupSpans(corpus, n = 3, verifiable = verifiable)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+      // first occurrence (smallest id) keeps its text verbatim
+      assert(m(1L).getAs[String]("clean_text")
+        == "alpha beta gamma delta epsilon")
+      assert(m(1L).getAs[Long]("n_removed") == 0L)
+      // doc2: shared trigrams at p=1,2 cover tokens 1..4 of 7
+      assert(m(2L).getAs[String]("clean_text") == "zeta eta theta")
+      assert(m(2L).getAs[Long]("n_removed") == 4L)
+      assert(m(2L).getAs[Long]("n_tok") == 7L)
+      // untouched / degenerate docs survive unchanged
+      assert(m(3L).getAs[Long]("n_removed") == 0L)
+      assert(m(4L).getAs[String]("clean_text") == "tiny doc")
+      assert(m(5L).getAs[String]("clean_text") == ""
+        && m(5L).getAs[Long]("n_tok") == 0L)
+    }
+  }
 }

@@ -277,4 +277,31 @@ class FunctionsSpec extends SparkSpec {
     val rank = vals.count(_ <= est).toDouble / vals.size
     assert(math.abs(rank - 0.5) <= 0.015, s"merged rank=$rank")
   }
+
+  // -------------------------------------------------------------- URLs ---
+  test("urlNormalize canonicalizes case, www, ports, tracking, fragments") {
+    def n(u: String): String =
+      one[String](graft.functions.TextFunctions.urlNormalize(lit(u)))
+    assert(n("HTTPS://WWW.Example.COM:443/Path/?utm_source=a&q=1#frag")
+      == "https://example.com/Path/?q=1")
+    assert(n("http://www.site.org:80/a/") == "http://site.org/a")
+    assert(n("https://sub.domain.co.uk/x?fbclid=abc")
+      == "https://sub.domain.co.uk/x")
+    assert(n("https://example.com/") == "https://example.com")
+    assert(n("https://example.com/a?q=1&utm_medium=m&r=2")
+      == "https://example.com/a?q=1&r=2")
+    // port only stripped when it is the scheme default
+    assert(n("http://example.com:8080/a") == "http://example.com:8080/a")
+  }
+
+  test("registeredDomain extracts eTLD+1 with multi-label suffixes") {
+    def d(u: String): String =
+      one[String](graft.functions.TextFunctions.registeredDomain(lit(u)))
+    assert(d("https://a.b.example.co.uk/x") == "example.co.uk")
+    assert(d("http://www.example.com/page?x=1") == "example.com")
+    assert(d("deep.sub.example.com") == "example.com")
+    assert(d("https://example.org") == "example.org")
+    assert(d("localhost") == "localhost")
+    assert(d("https://shop.example.com.au/cart") == "example.com.au")
+  }
 }

@@ -88,4 +88,32 @@ class QualitySpec extends SparkSpec {
     assert(m(2L).getAs[Long]("n_lines") == 2 && m(2L).getAs[Long]("n_kept") == 1)
     assert(approx(m(2L).getAs[Double]("dup_frac"), 0.5))
   }
+
+  test("domainCap: salted two-phase top-K equals a plain per-domain window") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"d${i % 5}", (i * 37 % 101).toInt))
+      .toDF("doc_id", "domain", "score")
+    val capped = Quality.domainCap(docs, domainCol = "domain",
+      scoreCol = "score", cap = 7, nSalt = 4)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("score").desc, col("doc_id"))
+    val ref = docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= 7)
+    val cols = Seq("doc_id", "domain", "score", "domain_rank").map(col)
+    assert(capped.select(cols: _*).exceptAll(ref.select(cols: _*)).isEmpty)
+    assert(ref.select(cols: _*).exceptAll(capped.select(cols: _*)).isEmpty)
+    assert(capped.groupBy("domain").count().collect()
+      .forall(_.getAs[Long]("count") <= 7))
+  }
+
+  test("domainCap: a domain smaller than the cap keeps all its rows") {
+    val docs = Seq((1L, "a", 5), (2L, "a", 3), (3L, "b", 9))
+      .toDF("doc_id", "domain", "score")
+    val capped = Quality.domainCap(docs, "domain", "score", cap = 10, nSalt = 4)
+    assert(capped.count() == 3)
+    val ranks = capped.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("domain_rank")).toMap
+    assert(ranks == Map(1L -> 1, 2L -> 2, 3L -> 1))
+  }
 }
