@@ -39,10 +39,15 @@ object Clusters {
   private[graft] def componentsIters(pairs: DataFrame, vertices: DataFrame,
                                      idCol: String = "id",
                                      maxIters: Int = 30): (DataFrame, Int) = {
+    // The caller's `pairs` is usually an EXPENSIVE pipeline (PPJoin,
+    // LSH-bucketed verification); materialize its 2-column projection once
+    // so the two-direction union below doesn't evaluate that pipeline
+    // twice (union branches don't share subplans).
+    val rawPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // undirected edge list, both directions, deduplicated; materialized
     // once (localCheckpoint) — every round re-reads it
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = rawPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(rawPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     // Each round MUST truncate lineage (eager localCheckpoint): chaining
@@ -114,7 +119,11 @@ object Clusters {
   private[graft] def starComponentsIters(pairs: DataFrame, vertices: DataFrame,
                                          idCol: String = "id",
                                          maxIters: Int = 50): (DataFrame, Int) = {
-    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+    // `pairs` is referenced three times below (edge init + both endpoint
+    // unions in allVerts); one localCheckpoint of the 2-column projection
+    // keeps the caller's expensive pair pipeline from running three times.
+    val rawPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var edges = rawPairs.filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct()
@@ -171,8 +180,8 @@ object Clusters {
     // still get labels (label propagation admits them via the neighbour
     // union; a vertices-only left join would silently drop them here)
     val allVerts = vertices.select(col(idCol).as("id"))
-      .union(pairs.select(col("id_a").as("id")))
-      .union(pairs.select(col("id_b").as("id")))
+      .union(rawPairs.select(col("id_a").as("id")))
+      .union(rawPairs.select(col("id_b").as("id")))
       .distinct()
     val labels = allVerts
       .join(stars, Seq("id"), "left")

@@ -31,7 +31,15 @@ object Positional {
     * parallel; the offset join is a broadcast of ≤ nPartitions rows.
     */
   def withGlobalRowNumber(df: DataFrame, ordering: Seq[Column],
-                          out: String = "_rn"): DataFrame = {
+                          out: String = "_rn"): DataFrame =
+    numberedWithTotal(df, ordering, out)._1
+
+  /** [[withGlobalRowNumber]] plus the table's total row count — the count
+    * falls out of the per-partition offsets for free, so positional slices
+    * don't pay a second scan for it.
+    */
+  private[graft] def numberedWithTotal(df: DataFrame, ordering: Seq[Column],
+                                       out: String = "_rn"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parted = df.repartitionByRange(ordering: _*)
       .withColumn("_pid", spark_partition_id())
@@ -49,9 +57,10 @@ object Positional {
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("_pid", "_off")
-    local.join(broadcast(offDf), Seq("_pid"))
+    val numbered = local.join(broadcast(offDf), Seq("_pid"))
       .withColumn(out, (col("_lrn") + col("_off")).cast("long"))
       .drop("_pid", "_lrn", "_off")
+    (numbered, counts.map(_._2).sum)
   }
 
   /** Skip the first `skipFirst` and last `skipLast` rows in `ordering`
@@ -62,8 +71,7 @@ object Positional {
   def skipSlice(df: DataFrame, ordering: Seq[Column],
                 skipFirst: Int, skipLast: Int): DataFrame = {
     if (skipFirst <= 0 && skipLast <= 0) return df
-    val numbered = withGlobalRowNumber(df, ordering)
-    val total = numbered.count()
+    val (numbered, total) = numberedWithTotal(df, ordering)
     numbered
       .filter(col("_rn") > skipFirst && col("_rn") <= lit(total) - skipLast)
       .drop("_rn")

@@ -203,4 +203,32 @@ class StreamingSpec extends SparkSpec {
       batch.foreach { case (k, v) => assert(approx(streamed(k), v, 1e-9), s"$k") }
     } finally q.stop()
   }
+
+  test("streaming exact dedup admits each fingerprint once across batches") {
+    val inDir = Files.createTempDirectory("sdedup-in").toString
+    // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
+    Seq((3L, "Alpha  Beta"), (1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = graft.streaming.StreamingDedup.exactDedupStream(stream)
+      .writeStream.format("memory").queryName("t_sdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pass1 = spark.table("t_sdedup").collect()
+        .map(r => r.getAs[Long]("id")).toSet
+      // in-batch dup resolved to the smallest id; distinct docs admitted
+      assert(pass1 == Set(1L, 2L))
+
+      // batch 2: a cross-batch duplicate plus one genuinely new doc
+      Seq((9L, "ALPHA BETA"), (4L, "epsilon zeta"))
+        .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val pass2 = spark.table("t_sdedup").collect()
+        .map(r => r.getAs[Long]("id")).toSet
+      assert(pass2 == Set(1L, 2L, 4L), "cross-batch duplicate leaked through")
+    } finally q.stop()
+  }
 }
