@@ -190,6 +190,47 @@ object Quality {
         round(lit(1.0) - col("n_kept") / col("n_lines").cast("double"), 6))
   }
 
+  // ------------------------------------------ within-doc repetition rules
+
+  /** Within-document duplicate-line metrics (Rae et al. 2021 Gopher
+    * repetition rules — the WITHIN-doc counterpart of the corpus-wide
+    * q60/q68 signals): per document, the fraction of lines that are
+    * repeats of an earlier identical line, and the fraction of characters
+    * inside those repeats. Two plain aggregations — (id, line) grain then
+    * id grain; partial aggregation absorbs the repetition itself, nothing
+    * windows, nothing n².
+    *
+    * Input grain: (id, line_no, line) as produced by [[chunkLines]].
+    */
+  def lineRepetitionStats(lines: DataFrame): DataFrame = {
+    val perLine = lines.groupBy(col("id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("cnt"), length(col("line")).as("len"))
+    perLine.groupBy(col("id")).agg(
+      sum(col("cnt")).as("n_lines"),
+      round(sum(col("cnt") - 1) / sum(col("cnt")).cast("double"), 6)
+        .as("dup_line_frac"),
+      round(sum((col("cnt") - 1) * col("len")) /
+        greatest(sum(col("cnt") * col("len")), lit(1L)).cast("double"), 6)
+        .as("dup_line_char_frac"))
+  }
+
+  /** Most-frequent word n-gram share per document (the Gopher
+    * "top n-gram character fraction" family, token-approximated): the
+    * occurrence count of the document's most repeated n-gram over its
+    * total n-gram count. One (id, shingle) count plus an id-grain rollup.
+    */
+  def topNgramShare(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", n: Int = 2,
+                    verifiable: Boolean = false): DataFrame =
+    Dedup.shingleRows(docs, textCol, idCol, n, verifiable)
+      .groupBy(col("id"), col("s")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id")).agg(
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("n_ngrams"),
+        round(max(col("cnt")) / sum(col("cnt")).cast("double"), 6)
+          .as("top_share"))
+
   // ---------------------------------------------------------- domain caps
 
   /** Per-domain document cap (the CCNet / FineWeb recipe step that stops a

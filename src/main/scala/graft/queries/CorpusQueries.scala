@@ -1026,7 +1026,84 @@ object CorpusQueries {
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY n_chars DESC, doc_id) AS domain_rank
         |      FROM documents)
-        |WHERE domain_rank <= 10 ORDER BY source, domain_rank""".stripMargin))
+        |WHERE domain_rank <= 10 ORDER BY source, domain_rank""".stripMargin)),
+
+    // Gopher WITHIN-doc repetition battery: duplicate-line fraction /
+    // duplicate-line character fraction over chunked lines (with a planted
+    // duplicate pair on every third document) + most-frequent-bigram
+    // share, and the composite pass at the paper's thresholds (0.30 /
+    // 0.20 / 0.20 — Rae et al. 2021, Table A1). The oracle rebuilds the
+    // same 12-token lines, plants the same duplicates, and recomputes the
+    // verifiable bigram hash with a lead window.
+    QueryDef("q74_doc_repetition",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def inj(lineNo: Int) =
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("id"),
+            lit(lineNo).as("line_no"),
+            lit("repeated boilerplate line").as("line"))
+        val lines = Quality.chunkLines(docs)
+          .unionByName(inj(-1)).unionByName(inj(-2))
+        val lineStats = Quality.lineRepetitionStats(lines)
+        val top = Quality.topNgramShare(docs, n = 2, verifiable = true)
+          .withColumnRenamed("id", "doc_id")
+        lineStats.withColumnRenamed("id", "doc_id")
+          .join(top, Seq("doc_id"))
+          .withColumn("rep_pass",
+            col("dup_line_frac") <= 0.30 &&
+              col("dup_line_char_frac") <= 0.20 &&
+              col("top_share") <= 0.20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, i AS line_no,
+        |         array_to_string(t[i*12+1 : i*12+12], ' ') AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0, ceil(len(t) / 12.0)::INT - 1)) AS i
+        |        FROM t WHERE len(t) >= 1)),
+        |inj AS (
+        |  SELECT doc_id, -1 AS line_no, 'repeated boilerplate line' AS line
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, -2, 'repeated boilerplate line'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |lines AS (SELECT * FROM raw UNION ALL SELECT * FROM inj),
+        |perline AS (
+        |  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+        |  FROM lines GROUP BY doc_id, line),
+        |linestats AS (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+        |    round(sum(cnt - 1)::DOUBLE / sum(cnt)::DOUBLE, 6) AS dup_line_frac,
+        |    round(sum((cnt - 1) * len)::DOUBLE
+        |          / greatest(sum(cnt * len), 1)::DOUBLE, 6) AS dup_line_char_frac
+        |  FROM perline GROUP BY doc_id),
+        |tok AS (
+        |  SELECT doc_id, u.p AS p,
+        |         ('0x' || substring(md5(u.t), 1, 15))::BIGINT % 1000000007 AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+        |            (x, i) -> {'p': i, 't': x})) AS u
+        |        FROM documents)),
+        |led AS (
+        |  SELECT doc_id, h AS h1,
+        |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2
+        |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id, (h1 * 1000003 + h2) % 1000000007 AS s
+        |  FROM led WHERE h2 IS NOT NULL),
+        |percnt AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY doc_id, s),
+        |top AS (
+        |  SELECT doc_id, max(cnt)::BIGINT AS top_cnt, sum(cnt)::BIGINT AS n_ngrams,
+        |         round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS top_share
+        |  FROM percnt GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+        |  t.top_cnt, t.n_ngrams, t.top_share,
+        |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
+        |   AND t.top_share <= 0.20) AS rep_pass
+        |FROM linestats l JOIN top t USING (doc_id) ORDER BY l.doc_id""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -19,13 +19,16 @@ class PlanSpec extends SparkSpec {
   // wrapper defers codegen collapse to runtime, hiding the
   // WholeStageCodegen markers these assertions need; the static plan is
   // what planning guarantees anyway.
-  private lazy val plans: Map[String, String] = {
+  private lazy val planned: Map[String, org.apache.spark.sql.execution.SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Registry.all.map { qd =>
-      qd.name -> qd.fn(spark, sfDir).queryExecution.executedPlan.toString
+      qd.name -> qd.fn(spark, sfDir).queryExecution.executedPlan
     }.toMap
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  private lazy val plans: Map[String, String] =
+    planned.map { case (k, v) => k -> v.toString }
 
   test("no unbroadcast cartesian product in any registry query plan") {
     // CartesianProductExec shuffles |A|x|B| — never acceptable; the
@@ -94,6 +97,35 @@ class PlanSpec extends SparkSpec {
     // be inside a codegen stage
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(plans("q33_text_stats")).isDefined,
       "q33: projection fell out of codegen")
+  }
+
+  test("no single-task global window over table-grain data in any registry plan") {
+    // An unpartitioned window moves EVERY row to one task — the q17/q19
+    // class of hazard. The only allowed instance is q19, whose window
+    // input is the post-aggregation histogram (one row per price bin,
+    // bounded by the value range, not the table).
+    val offenders = planned.collect {
+      case (name, plan) if plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty => name
+    }.toSet
+    assert(offenders.subsetOf(Set("q19_w4_smoothing")),
+      s"unpartitioned window crept into: ${(offenders - "q19_w4_smoothing").mkString(", ")}")
+  }
+
+  test("r5 family plans: q72 keeps partial aggregation, q73 ranks in bounded groups") {
+    // q72: the min-id-per-shingle rule must be a map-side-combinable
+    // aggregation (boilerplate shingles collapse before the shuffle)
+    assert("HashAggregate".r.findAllIn(plans("q72_remove_dup_spans")).size >= 2,
+      "q72 lost partial aggregation on the shingle hash")
+    // q73: both selection phases are windows over bounded groups —
+    // (domain, salt) then the <= cap*nSalt survivors per domain
+    val q73windows = planned("q73_domain_cap").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(q73windows.size >= 2 && q73windows.forall(_.partitionSpec.nonEmpty),
+      "q73's two-phase salted selection regressed")
   }
 
   test("aggregations are partial (map-side combine before the shuffle)") {

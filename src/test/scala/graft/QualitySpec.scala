@@ -116,4 +116,35 @@ class QualitySpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("domain_rank")).toMap
     assert(ranks == Map(1L -> 1, 2L -> 2, 3L -> 1))
   }
+
+  test("lineRepetitionStats measures within-doc duplicate lines and chars") {
+    val lines = Seq(
+      (1L, 0, "aaaa"), (1L, 1, "bb"), (1L, 2, "aaaa"), (1L, 3, "aaaa"),
+      (2L, 0, "unique one"), (2L, 1, "unique two")
+    ).toDF("id", "line_no", "line")
+    val m = graft.operators.Quality.lineRepetitionStats(lines).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    // doc1: 4 lines, "aaaa" x3 -> 2 repeats; chars: repeats 8 of total 14
+    assert(m(1L).getAs[Long]("n_lines") == 4)
+    assert(approx(m(1L).getAs[Double]("dup_line_frac"), 0.5))
+    assert(approx(m(1L).getAs[Double]("dup_line_char_frac"), 8.0 / 14.0, 1e-6))
+    assert(m(2L).getAs[Long]("n_lines") == 2)
+    assert(approx(m(2L).getAs[Double]("dup_line_frac"), 0.0))
+  }
+
+  test("topNgramShare finds the dominant bigram share") {
+    for (verifiable <- Seq(false, true)) {
+      val docs = Seq(
+        (1L, "spark and spark and spark runs"), // "spark and" x2 of 5 bigrams
+        (2L, "all words differ here now")
+      ).toDF("doc_id", "text")
+      val m = graft.operators.Quality
+        .topNgramShare(docs, n = 2, verifiable = verifiable).collect()
+        .map(r => r.getAs[Long]("id") -> r).toMap
+      assert(m(1L).getAs[Long]("top_cnt") == 2 && m(1L).getAs[Long]("n_ngrams") == 5)
+      assert(approx(m(1L).getAs[Double]("top_share"), 0.4))
+      assert(m(2L).getAs[Long]("top_cnt") == 1)
+      assert(approx(m(2L).getAs[Double]("top_share"), 0.25))
+    }
+  }
 }
