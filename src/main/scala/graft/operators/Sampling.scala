@@ -48,4 +48,38 @@ object Sampling {
       .filter(surviveExpr(col(idCol), col("_frac"), salt))
       .drop("_frac")
   }
+
+  /** Mixture resampling toward TARGET proportions — the data-mixing step
+    * of a corpus recipe ("60% web, 30% code, 10% books"): per-stratum keep
+    * rates are derived from the OBSERVED stratum counts so the surviving
+    * corpus hits the target weights at `budgetFraction` of the total size,
+    * then the deterministic survival hash filters in place. Rates clamp at
+    * 1.0 — a stratum smaller than its allocation keeps everything and the
+    * mixture lands as close as the data allows (no upsampling; clamped
+    * mass is NOT redistributed, so reruns are replay-stable).
+    *
+    * Cost at scale: one partially-aggregated count (#strata rows on the
+    * driver — bounded by the stratum vocabulary, not the data) plus the
+    * broadcast rate join; the corpus itself never shuffles. Rate
+    * arithmetic keeps a fixed operation order (`budget·total·(w/wSum)/n`)
+    * so any engine — including the DuckDB oracle — reproduces the exact
+    * same doubles and thresholds.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String,
+                    targetWeights: Map[String, Double],
+                    budgetFraction: Double,
+                    idCol: String = "doc_id",
+                    salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getAs[Long]("_n")).toMap
+    val total = counts.values.sum
+    val wSum = targetWeights.values.sum
+    val rates = targetWeights.flatMap { case (stratum, w) =>
+      counts.get(stratum).map { n =>
+        stratum ->
+          math.min(1.0, budgetFraction * total * (w / wSum) / math.max(n, 1L))
+      }
+    }
+    stratifiedSample(df, strataCol, rates, defaultFraction = 0.0, idCol, salt)
+  }
 }

@@ -1103,7 +1103,44 @@ object CorpusQueries {
         |  t.top_cnt, t.n_ngrams, t.top_share,
         |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
         |   AND t.top_share <= 0.20) AS rep_pass
-        |FROM linestats l JOIN top t USING (doc_id) ORDER BY l.doc_id""".stripMargin))
+        |FROM linestats l JOIN top t USING (doc_id) ORDER BY l.doc_id""".stripMargin)),
+
+    // Mixture resampling: equal-weight language mix at half the corpus
+    // budget. Per-language keep rates derive from the observed counts
+    // (clamped at 1.0, no upsampling); the oracle recomputes the rates
+    // with the SAME double operation order — (budget·total)·(w/wSum)/n —
+    // and the same md5 survival hash, so the kept sets match exactly.
+    QueryDef("q75_mixture_sample",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mixed = Sampling.mixtureSample(docs, strataCol = "lang",
+          targetWeights = Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0,
+            "fr" -> 1.0, "zh" -> 1.0),
+          budgetFraction = 0.5)
+        mixed.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH cnt AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n)::BIGINT AS total FROM cnt),
+        |rate AS (
+        |  SELECT lang,
+        |    least(1.0::DOUBLE,
+        |      0.5::DOUBLE * total::DOUBLE * (1.0::DOUBLE / 5.0::DOUBLE)
+        |        / n::DOUBLE) AS frac
+        |  FROM cnt, tot),
+        |survive AS (
+        |  SELECT d.lang, d.doc_id,
+        |    ('0x' || substring(md5('graft_' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 1000000 AS h,
+        |    r.frac
+        |  FROM documents d JOIN rate r USING (lang))
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id,
+        |       max(doc_id) AS last_id
+        |FROM survive WHERE h < floor(frac * 1000000.0::DOUBLE)
+        |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -119,6 +119,25 @@ class ClustersPackingSpec extends SparkSpec {
     assert(strat.forall(_.getString(1) == "en") && strat.length == 500)
   }
 
+  test("mixtureSample hits target proportions within the budget, clamps small strata") {
+    // 1600 "web" + 400 "code": equal-weight mix at budget 0.5 wants 500 of
+    // each; code has only 400 -> rate clamps to 1.0 (keep all, no upsample)
+    val docs = (0L until 2000L).map(i => (i, if (i % 5 == 4) "code" else "web"))
+      .toDF("doc_id", "kind")
+    val mixed = graft.operators.Sampling.mixtureSample(docs, "kind",
+      Map("web" -> 1.0, "code" -> 1.0), budgetFraction = 0.5)
+    val byKind = mixed.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("code") == 400, "clamped stratum must keep everything")
+    assert(math.abs(byKind("web") - 500) < 70,
+      s"web kept ${byKind("web")}, want ~500 (rate 500/1600)")
+    // replay-stable: same call, same subset
+    val again = graft.operators.Sampling.mixtureSample(docs, "kind",
+      Map("web" -> 1.0, "code" -> 1.0), budgetFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("packSequences handles sparse / non-dense ids") {
     val docs = Seq((3L, 4), (100L, 5), (4096L, 2), (9999L, 7))
       .toDF("doc_id", "n_tok")
