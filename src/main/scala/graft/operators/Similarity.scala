@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -126,14 +126,30 @@ object Similarity {
   def sampledKMeans(corpus: DataFrame, kCells: Int, iters: Int = 10,
                     sampleN: Int = 4096, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Seq[Seq[Double]] = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+    val sample = collectSample(corpus, sampleN, idCol, vecCol)
+    require(sample.nonEmpty, "empty corpus")
+    lloyd(sample, kCells, iters).map(_.toSeq).toSeq
+  }
+
+  /** First `sampleN` vectors by id as driver-side double arrays — the
+    * bounded sample both k-means trainers run on.
+    */
+  private def collectSample(corpus: DataFrame, sampleN: Int, idCol: String,
+                            vecCol: String): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toArray)
-    require(sample.nonEmpty, "empty corpus")
+
+  /** Deterministic Lloyd's: init = every (n/k)-th sample vector; empty
+    * cells keep their previous centroid. `iters = 0` returns the init
+    * verbatim (the SQL-reconstructible configuration q76's oracle uses).
+    */
+  private def lloyd(sample: Array[Array[Double]], kCells: Int,
+                    iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val k = math.min(kCells, sample.length)
     val step = math.max(sample.length / k, 1)
@@ -159,7 +175,7 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }
     }
-    centroids.map(_.toSeq).toSeq
+    centroids
   }
 
   /** IVF-style coarse quantization: assign each corpus vector to the nearest
@@ -308,5 +324,94 @@ object Similarity {
     assigned.select(col("id"), col("cluster"))
       .join(dups.withColumn("_d", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("_d").isNotNull.as("is_dup"))
+  }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Train product-quantization codebooks (Jégou et al. 2011) on a bounded
+    * driver-side sample: the vector splits into `m` contiguous sub-spaces
+    * of dim/m dims; each sub-space gets `k` centroids from the same
+    * deterministic Lloyd's used for IVF. A 64-dim float vector (256 B)
+    * encodes to m bytes (8 at m=8, k≤256) — the compression that makes a
+    * 100 TB embedding store scannable. `iters = 0` returns the
+    * every-(n/k)-th-sample init verbatim — data-dependent but exactly
+    * reconstructible by the q76 SQL oracle; production uses iters ≥ 10
+    * (recall measured in SimilaritySpec).
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int,
+                       iters: Int = 10, sampleN: Int = 4096,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    val sample = collectSample(corpus, sampleN, idCol, vecCol)
+    require(sample.nonEmpty, "empty corpus")
+    (0 until m).map { mi =>
+      val sliced = sample.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      lloyd(sliced, k, iters).map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-encode each vector into `m` small codes (nearest sub-space
+    * centroid, first-match ties): ONE linear pass of per-row expression
+    * work — no shuffle, no row blowup, codebooks ride along as a literal.
+    * Argmin is `array_position(dists, array_min(dists))`, reproducible in
+    * any engine computing the same doubles (sub-distances are ordered
+    * left folds, so they are bit-exact across engines).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cb = typedLit(codebooks)
+    val v = col(vecCol)
+    def subDist(mIdx: Column, kIdx: Column): Column =
+      aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+        val a = element_at(v, (mIdx * sub + i).cast("int")).cast("double")
+        val b = element_at(
+          element_at(element_at(cb, (mIdx + 1).cast("int")), kIdx.cast("int")),
+          i.cast("int"))
+        acc + (a - b) * (a - b)
+      })
+    val codes = transform(sequence(lit(0), lit(m - 1)), mIdx => {
+      val dists = transform(sequence(lit(1), lit(k)), kIdx => subDist(mIdx, kIdx))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    corpus.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** ADC (asymmetric-distance) top-k over the PQ-encoded corpus: queries
+    * stay full precision, each corpus row costs m codebook lookups
+    * instead of dim multiplies against raw floats — the standard
+    * recall/throughput trade of a PQ index. Queries broadcast; per-query
+    * ranking runs in bounded groups (one window partition per query).
+    * Output: (query_id, rank, id, dist) with dist = rounded squared L2.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             codebooks: Seq[Seq[Seq[Double]]], k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cb = typedLit(codebooks)
+    val enc = pqEncode(corpus, codebooks, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mIdx) => {
+      val cent = element_at(element_at(cb, (mIdx + 1).cast("int")),
+        (element_at(col("codes"), (mIdx + 1).cast("int")) + 1).cast("int"))
+      acc + aggregate(sequence(lit(1), lit(sub)), lit(0.0), (a2, i) => {
+        val qa = element_at(col("qv"), (mIdx * sub + i).cast("int")).cast("double")
+        val cv = element_at(cent, i.cast("int"))
+        a2 + (qa - cv) * (qa - cv)
+      })
+    })
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
+    enc.join(broadcast(q))
+      .withColumn("dist", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
   }
 }

@@ -1140,7 +1140,67 @@ object CorpusQueries {
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id,
         |       max(doc_id) AS last_id
         |FROM survive WHERE h < floor(frac * 1000000.0::DOUBLE)
-        |GROUP BY lang ORDER BY lang""".stripMargin))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Product-quantization ANN (Jégou et al. 2011): 64-dim float vectors
+    // encode to 8 codes (m=8 sub-spaces × k=16 centroids), queries rank
+    // the corpus by asymmetric distance (full-precision query vs codebook
+    // reconstruction). Codebooks here use the deterministic iters=0 init
+    // (every (n/16)-th sample sub-vector) so the oracle reconstructs them
+    // FROM THE TABLE and replays encode + ADC with ordered list folds —
+    // bit-exact against Spark's HOF folds. Trained (iters>0) codebooks and
+    // their recall are covered by SimilaritySpec.
+    QueryDef("q76_pq_ann",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16, dim = 64,
+          iters = 0, sampleN = 4096)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4), cbs, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def dists(mExpr: String) =
+          s"""list_transform(generate_series(1, 16), k ->
+          |      list_reduce(list_transform(generate_series(1, 8), i ->
+          |        (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i]) * (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i])),
+          |        (a, b) -> a + b))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM e ORDER BY vec_id LIMIT 4096),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM samp),
+        |cent AS (
+        |  SELECT (samp.rn // st.step)::INT AS k0, samp.v
+        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 16),
+        |cbsub AS (
+        |  SELECT ms.m, c.k0,
+        |         list_transform(generate_series(1, 8), i -> c.v[ms.m*8 + i]) AS cvec
+        |  FROM cent c, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+        |cbl AS (
+        |  SELECT list(kl ORDER BY m) AS cb FROM (
+        |    SELECT m, list(cvec ORDER BY k0) AS kl FROM cbsub GROUP BY m)),
+        |codes AS (
+        |  SELECT e.vec_id AS id,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_position(${dists("m")}, list_min(${dists("m")})) - 1) AS codes
+        |  FROM e, cbl),
+        |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT q.qid, c.id,
+        |    round(list_reduce(list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), i ->
+        |        (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])
+        |          * (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b), 6) AS dist
+        |  FROM q, codes c, cbl),
+        |ranked AS (
+        |  SELECT qid AS query_id, id, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+      })
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -176,4 +176,52 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(10000L)._1 == byId(0L)._1)
     assert(byId(10000L)._2 && !byId(0L)._2)
   }
+
+  // ------------------------------------------------- product quantization
+  test("PQ: training cuts quantization error; ADC top-k recalls exact L2") {
+    val vecs = embeddings.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def qErr(cb: Seq[Seq[Seq[Double]]]): Double =
+      vecs.map { case (_, v) =>
+        cb.zipWithIndex.map { case (book, m) =>
+          book.map { c =>
+            (0 until 8).map { i => val t = v(m * 8 + i) - c(i); t * t }.sum
+          }.min
+        }.sum
+      }.sum
+
+    val cb0 = Similarity.trainPqCodebooks(embeddings, m = 8, k = 16, dim = 64,
+      iters = 0)
+    val cb10 = Similarity.trainPqCodebooks(embeddings, m = 8, k = 16, dim = 64,
+      iters = 10)
+    val (e0, e10) = (qErr(cb0), qErr(cb10))
+    info(f"PQ quantization error: init $e0%.1f -> trained $e10%.1f")
+    assert(e10 < e0 * 0.9, "Lloyd's iterations must cut quantization error")
+
+    // ADC recall vs exact L2 top-10, computed on the driver
+    val queries = embeddings.filter($"vec_id" < 5)
+    val got = Similarity.pqTopK(embeddings, queries, cb10, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+    val byId = vecs.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val recalls = (0L until 5L).map { qid =>
+      val qv = byId(qid)
+      val exact = vecs.map { case (id, v) => (l2(qv, v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+      (got(qid) & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC recall@10 vs exact L2 = $mean%.2f (m=8, k=16)")
+    assert(mean >= 0.3, f"ADC recall $mean%.2f collapsed")
+    // codes are small ints in range and deterministic across invocations
+    val codes = Similarity.pqEncode(embeddings, cb10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Int](1))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val again = Similarity.pqEncode(embeddings, cb10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    assert(codes.forall { case (id, cs) => again(id) == cs })
+  }
 }
