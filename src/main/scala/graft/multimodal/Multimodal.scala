@@ -163,4 +163,81 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
   }
+
+  // ------------------------------------------------- perceptual hashing --
+
+  final case class MediaHash(media_id: Long, ahash: String)
+
+  /** Perceptual average-hash (aHash) over REAL decoded rasters: sample the
+    * image on a fixed 8×8 grid (nearest pixel, first channel as gray),
+    * threshold each sample against the 64-sample mean, emit the 64 bits as
+    * a '0'/'1' string. INTEGER-only arithmetic throughout — the mean
+    * compare is `pixel·64 > sum` — so any engine (incl. the q77 DuckDB
+    * oracle) recomputes it exactly. A constant brightness shift moves
+    * every sample and the mean together, so aHash is invariant to it away
+    * from wraparound: that is what makes it a NEAR-duplicate signal for
+    * re-encoded/brightness-tweaked images rather than a byte checksum.
+    * Non-image and malformed payloads yield no hash row (corpus jobs
+    * filter, not abort).
+    */
+  def aHash(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          try Codecs.sniff(payload) match {
+            case "ppm" | "pgm" =>
+              val img = Codecs.decodeNetpbm(payload)
+              val samples = new Array[Int](64)
+              var sum = 0L
+              var j = 0
+              while (j < 64) {
+                val y = (j / 8) * img.height / 8
+                val x = (j % 8) * img.width / 8
+                val p = img.pixels((y * img.width + x) * img.channels)
+                samples(j) = p; sum += p
+                j += 1
+              }
+              val sb = new java.lang.StringBuilder(64)
+              j = 0
+              while (j < 64) {
+                sb.append(if (samples(j) * 64L > sum) '1' else '0'); j += 1
+              }
+              Iterator.single(MediaHash(id, sb.toString))
+            case _ => Iterator.empty
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Banded near-duplicate pairs on perceptual hashes: split the 64-bit
+    * hash into `nBands` equal substrings, candidates share at least one
+    * band (lossless for hamming < nBands by pigeonhole — the same blocking
+    * scheme as the SimHash text path), exact hamming verifies. The join
+    * shuffles only same-band groups, never the image corpus cross itself.
+    */
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                         nBands: Int = 4, idCol: String = "media_id",
+                         hashCol: String = "ahash"): DataFrame = {
+    require(64 % nBands == 0, s"nBands $nBands must divide 64")
+    val bandLen = 64 / nBands
+    def banded(suffix: String) = hashes
+      .select(col(idCol).as("id" + suffix), col(hashCol).as("h" + suffix))
+      .withColumn("band", explode(array((0 until nBands).map(lit): _*)))
+      .withColumn("key",
+        expr(s"substring(h$suffix, band * $bandLen + 1, $bandLen)"))
+    val cand = banded("_a").join(banded("_b"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+    val ham = aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
+      acc + when(col("h_a").substr(i, lit(1)) =!= col("h_b").substr(i, lit(1)),
+        1).otherwise(0))
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

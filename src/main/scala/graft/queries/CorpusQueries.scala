@@ -1200,7 +1200,64 @@ object CorpusQueries {
         |  FROM scored)
         |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // Perceptual image dedup over the REAL decode path: P5 rasters are
+    // synthesized with a SEED (doc_id % 100) and a small brightness shift
+    // (doc_id / 100), so every seed has 5 shifted near-copies; aHash is
+    // shift-invariant away from mod-256 wraparound, so those pairs land at
+    // small hamming. Pipeline: encode → REAL netpbm decode → 8×8 grid
+    // aHash (integer-only) → banded candidate join → exact hamming. The
+    // oracle recomputes the hash FROM THE GENERATION FORMULAS — a decode
+    // or sampling off-by-one breaks the match (q58 discipline).
+    QueryDef("q77_perceptual_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val seed = id % 100; val shift = (id / 100).toInt
+              val w = (8 + seed % 8).toInt; val h = (8 + seed % 5).toInt
+              val px = Array.tabulate(w * h)(j =>
+                ((seed * 13 + j * 5 + shift) % 256).toInt)
+              (id, Codecs.encodeNetpbm(w, h, 1, px))
+            }
+          }.toDF("media_id", "payload")
+        val hashes = Multimodal.aHash(s, media).toDF()
+        Multimodal.perceptualDupPairs(hashes, maxHamming = 6, nBands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id AS id, doc_id % 100 AS seed, doc_id // 100 AS shift
+        |  FROM documents),
+        |d AS (SELECT id, seed, shift, 8 + seed % 8 AS w, 8 + seed % 5 AS h FROM p),
+        |g AS (
+        |  SELECT id, js.j,
+        |    (seed * 13 + (((js.j // 8) * h // 8) * w + ((js.j % 8) * w // 8)) * 5
+        |     + shift) % 256 AS px
+        |  FROM d, (SELECT unnest(generate_series(0, 63)) AS j) js),
+        |s AS (SELECT id, sum(px)::BIGINT AS total FROM g GROUP BY id),
+        |bits AS (
+        |  SELECT g.id,
+        |    string_agg(CASE WHEN g.px * 64 > s.total THEN '1' ELSE '0' END,
+        |               '' ORDER BY g.j) AS ahash
+        |  FROM g JOIN s USING (id) GROUP BY g.id),
+        |bands AS (
+        |  SELECT id, ahash, bs.b, substring(ahash, bs.b * 16 + 1, 16) AS key
+        |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.ahash AS ha, b2.ahash AS hb
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id),
+        |ham AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1)
+        |           THEN 1 ELSE 0 END))::BIGINT AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

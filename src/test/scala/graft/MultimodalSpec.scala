@@ -150,4 +150,33 @@ class MultimodalSpec extends SparkSpec {
     // failing the whole job
     assert(out(5L).container == "error" && out(5L).n_values > 0)
   }
+
+  test("aHash: brightness-shift invariant, wraparound-free exact dups at hamming 0") {
+    import spark.implicits._
+    def img(id: Long, base: Int, w: Int = 12, h: Int = 10): (Long, Array[Byte]) = {
+      // smooth mid-range gradient, no mod-256 wraparound -> a constant
+      // shift must leave the hash IDENTICAL
+      val px = Array.tabulate(w * h)(j => base + (j % 97))
+      (id, graft.multimodal.Codecs.encodeNetpbm(w, h, 1, px))
+    }
+    val media = Seq(
+      img(1L, 40), img(2L, 45), // shifted copy of 1
+      img(3L, 40),              // exact copy of 1
+      (4L, graft.multimodal.Codecs.encodeWav(8000, 1, Array(1, 2, 3))), // no hash
+      (5L, Array[Byte](1, 2, 3)) // unknown container -> no hash
+    ).toDF("media_id", "payload")
+    val hashes = graft.multimodal.Multimodal.aHash(spark, media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L), "only raster payloads hash")
+    assert(hashes(1L).length == 64 && hashes(1L).forall(c => c == '0' || c == '1'))
+    assert(hashes(1L) == hashes(3L), "identical images must hash equal")
+    assert(hashes(1L) == hashes(2L), "constant shift must be hash-invariant")
+
+    val pairs = graft.multimodal.Multimodal.perceptualDupPairs(
+      graft.multimodal.Multimodal.aHash(spark, media).toDF(),
+      maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
 }
