@@ -126,6 +126,14 @@ class PlanSpec extends SparkSpec {
     }
     assert(q73windows.size >= 2 && q73windows.forall(_.partitionSpec.nonEmpty),
       "q73's two-phase salted selection regressed")
+    // q76: ADC ranks against a BROADCAST query set — the corpus is never
+    // shuffled for the probe side
+    assert(plans("q76_pq_ann").contains("Broadcast"),
+      "q76 lost its broadcast query join")
+    // q77: banded candidate join + integer hamming — no hash-key window,
+    // no string shuffles of the 64-bit hash (packed long end to end)
+    assert(!plans("q77_perceptual_dedup").contains("Window"),
+      "q77 must not window over the hash key")
   }
 
   test("aggregations are partial (map-side combine before the shuffle)") {
