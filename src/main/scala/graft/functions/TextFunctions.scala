@@ -176,6 +176,22 @@ object TextFunctions {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  // --------------------------------------------------------- vocabulary
+
+  /** Corpus-wide token vocabulary: one explode + one partially-aggregated
+    * count per distinct token — the foundation pass for vocabulary
+    * building, stopword discovery, and frequency-based filters. Returns
+    * (token, n_occurrences, n_docs). Skew-free: hot tokens collapse in
+    * map-side combine; nothing windows over the token key.
+    */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+
   // --------------------------------------------------------------- URLs
 
   /** Canonical URL for URL-keyed dedup (the CCNet/FineWeb "same page,

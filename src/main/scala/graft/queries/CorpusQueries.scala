@@ -1257,7 +1257,25 @@ object CorpusQueries {
         |           THEN 1 ELSE 0 END))::BIGINT AS hamming
         |  FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Corpus vocabulary: the frequency pass behind vocabulary building /
+    // stopword discovery / min-count filters — one explode + one partial
+    // aggregation; top-50 by count with deterministic token tie-break
+    // (Catalyst plans the global top-k as TakeOrderedAndProject, no full
+    // sort of the vocabulary).
+    QueryDef("q78_vocabulary",
+      (s, dir) =>
+        TextFunctions.vocabulary(table(s, dir, "documents"))
+          .orderBy(col("n_occurrences").desc, col("token"))
+          .limit(50),
+      Some("""SELECT token, count(*)::BIGINT AS n_occurrences,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
