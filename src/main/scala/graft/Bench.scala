@@ -61,19 +61,24 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(fn, name))
-      val m = median((1 to iters).map(_ => runOnce(fn, name)))
+      val timed = (1 to iters).map(_ => runOnce(fn, name))
       // queries that persist() leak cache entries across the sequence
       // (identical logical plans are deduped WITHIN a query's iterations,
       // so warmth is preserved where it matters); without this, storage
       // pressure from 59 queries × 4 runs inflated late queries ~70%
       spark.sharedState.cacheManager.clearCache()
-      name -> m
+      (name, median(timed), timed.min, timed.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    // in-run spread per query — lets a reader separate noise from real
+    // regressions without a targeted re-run (sub-3 s queries routinely
+    // swing 2×+ across JVMs on identical code; see SCALE.md)
+    val spread = results.map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
     println(line)
     // Also write the full JSON to a file: the driver captures a bounded
     // stdout tail, which truncated the early queries out of round-over-

@@ -151,17 +151,31 @@ object Multimodal {
   }
 
   /** Frame sampling for video-like payloads: split the payload into
-    * `frameBytes` chunks, keep every `stride`-th — the plan shape of video
-    * frame-sampling (explode → filter on frame index).
+    * `frameBytes` chunks, keep every `stride`-th.
+    *
+    * Memory shape matters more than the plan shape here: exploding frame
+    * INDICES and slicing afterwards would carry the full payload on every
+    * exploded row — a 1 GB video sampled at 1000 frames materializes ~1 TB
+    * of intermediate rows. Instead the kept frames are sliced into an
+    * array of (frame_idx, frame) structs INSIDE the generator expression,
+    * so the rows leaving the Generate carry only their own `frameBytes`
+    * slice; `payload` never survives past the projection (and is not in
+    * the output schema).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    val keptIdx = filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => pmod(i, lit(stride)) === 0)
+    val frames = transform(keptIdx, i =>
+      struct(i.cast("int").as("frame_idx"),
+        col("payload").substr(i.cast("int") * frameBytes + 1, lit(frameBytes))
+          .as("frame")))
+    val keep = media.columns.filterNot(_ == "payload").map(col)
     media
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
-      .filter(pmod(col("frame_idx"), lit(stride)) === 0)
-      .withColumn("frame",
-        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(keep :+ explode(frames).as("_f"): _*)
+      .withColumn("frame_idx", col("_f.frame_idx"))
+      .withColumn("frame", col("_f.frame"))
+      .drop("_f")
   }
 
   // ------------------------------------------------- perceptual hashing --

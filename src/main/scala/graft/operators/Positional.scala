@@ -41,11 +41,12 @@ object Positional {
   private[graft] def numberedWithTotal(df: DataFrame, ordering: Seq[Column],
                                        out: String = "_rn"): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parted = df.repartitionByRange(ordering: _*)
-      .withColumn("_pid", spark_partition_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(ordering: _*)
-    val local = parted.withColumn("_lrn", row_number().over(w))
+    // Eager localCheckpoint: the ranked frame feeds TWO jobs (the offset
+    // collect below, then the numbered join). Without it, each job re-runs
+    // `repartitionByRange`, and offset/rank alignment would rest on the
+    // range sampler drawing identical bounds twice; checkpointing pins one
+    // materialization so the alignment holds by construction.
+    val local = rankedLocal(df, ordering).localCheckpoint(true)
     // cumulative offset per partition: ≤ nShufflePartitions rows
     val counts = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
@@ -61,6 +62,18 @@ object Positional {
       .withColumn(out, (col("_lrn") + col("_off")).cast("long"))
       .drop("_pid", "_lrn", "_off")
     (numbered, counts.map(_._2).sum)
+  }
+
+  /** The range-partitioned per-partition rank frame (pre-checkpoint) —
+    * spec hook: the checkpoint in [[numberedWithTotal]] truncates the
+    * executed plan, so the partitioned-window contract is asserted here.
+    */
+  private[graft] def rankedLocal(df: DataFrame, ordering: Seq[Column]): DataFrame = {
+    val parted = df.repartitionByRange(ordering: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(ordering: _*)
+    parted.withColumn("_lrn", row_number().over(w))
   }
 
   /** Skip the first `skipFirst` and last `skipLast` rows in `ordering`

@@ -144,6 +144,31 @@ object Similarity {
         case n: Number => n.doubleValue()
       }.toArray)
 
+  /** [[collectSample]] AND the exact corpus count in ONE pass: a capped
+    * treeAggregate whose buffer holds at most 2·sampleN (id, vector)
+    * entries at any moment (trimmed to the sampleN smallest ids on
+    * overflow and at every merge) plus a row counter. Callers that need
+    * both — [[semanticDedupScaled]] sizes k from n and trains on the
+    * sample — would otherwise pay a second full corpus action just for
+    * `count()`. Every partial result is bounded by sampleN regardless of
+    * corpus size or executor count.
+    */
+  private def sampleWithCount(corpus: DataFrame, sampleN: Int, idCol: String,
+                              vecCol: String): (Long, Array[Array[Double]]) = {
+    type Buf = Vector[(Long, Array[Double])]
+    def trim(b: Buf): Buf =
+      if (b.length <= sampleN) b else b.sortBy(_._1).take(sampleN)
+    val rows = corpus
+      .select(col(idCol).cast("long"), VectorFunctions.asDouble(col(vecCol)))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val (n, buf) = rows.treeAggregate((0L, Vector.empty[(Long, Array[Double])]))(
+      { case ((cnt, b), kv) =>
+          val b2 = b :+ kv
+          (cnt + 1, if (b2.length >= 2 * sampleN) trim(b2) else b2) },
+      { case ((n1, b1), (n2, b2)) => (n1 + n2, trim(b1 ++ b2)) })
+    (n, trim(buf).sortBy(_._1).map(_._2).toArray)
+  }
+
   /** Deterministic Lloyd's: init = every (n/k)-th sample vector; empty
     * cells keep their previous centroid. `iters = 0` returns the init
     * verbatim (the SQL-reconstructible configuration q76's oracle uses).
@@ -257,12 +282,15 @@ object Similarity {
                           maxClusterSize: Int = 4096,
                           subMaxBits: Int = 8, dim: Int = 64,
                           kmeansIters: Int = 10, sampleN: Int = 4096): DataFrame = {
-    val n = embeddings.count()
+    // ONE corpus pass yields both the training sample and the exact count
+    // that sizes k — no separate count() action.
+    val (n, sample) = sampleWithCount(embeddings, sampleN, idCol, vecCol)
+    require(sample.nonEmpty, "empty corpus")
     val k = math.max(1L, math.min(n / math.max(targetClusterSize, 1),
       sampleN.toLong)).toInt
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = sampledKMeans(embeddings, k, kmeansIters, sampleN, idCol, vecCol)
+    val cents = lloyd(sample, k, kmeansIters).toSeq.map(_.toSeq)
       .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toDF("cid", "cv")
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
@@ -352,21 +380,18 @@ object Similarity {
     }
   }
 
-  /** PQ-encode each vector into `m` small codes (nearest sub-space
-    * centroid, first-match ties): ONE linear pass of per-row expression
-    * work — no shuffle, no row blowup, codebooks ride along as a literal.
-    * Argmin is `array_position(dists, array_min(dists))`, reproducible in
-    * any engine computing the same doubles (sub-distances are ordered
-    * left folds, so they are bit-exact across engines).
+  /** The PQ code array for vector column `v` — the per-row expression both
+    * [[pqEncode]] and [[ivfAdcTopK]] project: nearest sub-space centroid
+    * per sub-space, first-match ties. Argmin is
+    * `array_position(dists, array_min(dists))`, reproducible in any engine
+    * computing the same doubles (sub-distances are ordered left folds, so
+    * they are bit-exact across engines).
     */
-  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-               idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+  private def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val k = codebooks.head.length
     val sub = codebooks.head.head.length
     val cb = typedLit(codebooks)
-    val v = col(vecCol)
     def subDist(mIdx: Column, kIdx: Column): Column =
       aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
         val a = element_at(v, (mIdx * sub + i).cast("int")).cast("double")
@@ -375,30 +400,32 @@ object Similarity {
           i.cast("int"))
         acc + (a - b) * (a - b)
       })
-    val codes = transform(sequence(lit(0), lit(m - 1)), mIdx => {
+    transform(sequence(lit(0), lit(m - 1)), mIdx => {
       val dists = transform(sequence(lit(1), lit(k)), kIdx => subDist(mIdx, kIdx))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
-    corpus.select(col(idCol).as("id"), codes.as("codes"))
   }
 
-  /** ADC (asymmetric-distance) top-k over the PQ-encoded corpus: queries
-    * stay full precision, each corpus row costs m codebook lookups
-    * instead of dim multiplies against raw floats — the standard
-    * recall/throughput trade of a PQ index. Queries broadcast; per-query
-    * ranking runs in bounded groups (one window partition per query).
-    * Output: (query_id, rank, id, dist) with dist = rounded squared L2.
+  /** PQ-encode each vector into `m` small codes: ONE linear pass of
+    * per-row expression work — no shuffle, no row blowup, codebooks ride
+    * along as a literal.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame,
-             codebooks: Seq[Seq[Seq[Double]]], k: Int,
-             idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      pqCodes(col(vecCol), codebooks).as("codes"))
+
+  /** The ADC (asymmetric) squared-L2 distance between a full-precision
+    * query in column `qv` and a PQ code array in column `codes`: m
+    * codebook lookups, each an ordered left fold over the sub-space —
+    * bit-exact across engines.
+    */
+  private def adcDist(codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val cb = typedLit(codebooks)
-    val enc = pqEncode(corpus, codebooks, idCol, vecCol)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mIdx) => {
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, mIdx) => {
       val cent = element_at(element_at(cb, (mIdx + 1).cast("int")),
         (element_at(col("codes"), (mIdx + 1).cast("int")) + 1).cast("int"))
       acc + aggregate(sequence(lit(1), lit(sub)), lit(0.0), (a2, i) => {
@@ -407,11 +434,99 @@ object Similarity {
         a2 + (qa - cv) * (qa - cv)
       })
     })
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
-    enc.join(broadcast(q))
-      .withColumn("dist", round(dist, 6))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Exact, skew-safe per-query top-k (the `Quality.domainCap` two-phase
+    * pattern applied to ANN ranking): a plain
+    * `row_number() over (partition by query_id)` would sort EVERY
+    * candidate of a query in one task — with an unpruned corpus that is
+    * the whole table per query. Phase 1 salts each candidate by
+    * `xxhash64(id) mod nSalt` and keeps the local top-k of every
+    * (query, salt) group; every global top-k row is necessarily top-k in
+    * its own salt bucket, so nothing is lost. Phase 2 ranks the ≤ k·nSalt
+    * survivors per query — bounded regardless of candidate-set size.
+    * `ord` must be a total order (ties broken by id) for determinism.
+    */
+  private def saltedTopK(scored: DataFrame, k: Int, ord: Seq[Column],
+                         idCol: String, queryIdCol: String,
+                         nSalt: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy(col(queryIdCol), col("_salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)
+    scored
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(nSalt.toLong)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .drop("_salt", "_r1")
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
+  }
+
+  /** ADC (asymmetric-distance) top-k over the PQ-encoded corpus: queries
+    * stay full precision, each corpus row costs m codebook lookups
+    * instead of dim multiplies against raw floats — the standard
+    * recall/throughput trade of a PQ index. Queries broadcast; the final
+    * selection is the salted two-phase top-k ([[saltedTopK]]), so no task
+    * ever sorts more than k·nSalt rows per query even though every
+    * corpus row is a candidate (this is the flat-scan PQ variant;
+    * [[ivfAdcTopK]] additionally prunes candidates to probed IVF cells).
+    * Output: (query_id, rank, id, dist) with dist = rounded squared L2.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             codebooks: Seq[Seq[Seq[Double]]], k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val enc = pqEncode(corpus, codebooks, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc.join(broadcast(q))
+      .withColumn("dist", round(adcDist(codebooks), 6))
+    saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+  }
+
+  /** The `nProbe` nearest coarse cells of vector `v`, by descending
+    * round(cosine, 6) with ties to the SMALLEST cell id (struct sort on
+    * (cos, −cell), reversed) — deterministic and SQL-replayable.
+    */
+  private def probeCells(v: Column, centroids: Seq[Seq[Double]],
+                         nProbe: Int): Column = {
+    val cands = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(round(VectorFunctions.cosine(v, lit(cvec.toArray)), 6).as("cos"),
+        lit(-i).as("negcell"))
+    }
+    transform(slice(reverse(array_sort(array(cands: _*))), 1, nProbe),
+      s => -s.getField("negcell"))
+  }
+
+  /** IVF-ADC (FAISS `IndexIVFPQ`, Jégou et al. 2011 §V): the composition
+    * that survives 100 TB — [[ivfTopK]] prunes candidates but scores raw
+    * floats (full-width vectors shuffle into the join); [[pqTopK]] scores
+    * compressed codes but scans the whole corpus per query. Here the
+    * corpus is PQ-encoded AND coarse-quantized in ONE linear projection
+    * (codes + nearest cell, no shuffle), each query probes its `nProbe`
+    * nearest cells, candidates are the probed cells' rows only — the join
+    * carries m-byte codes, not dim-float vectors — and ADC scoring + the
+    * salted two-phase [[saltedTopK]] bound every task by k·nSalt rows per
+    * query regardless of cell skew.
+    *
+    * Centroids come from [[sampledKMeans]], codebooks from
+    * [[trainPqCodebooks]] — both bounded driver-side training passes.
+    * Output: (query_id, rank, id, dist) with dist = rounded ADC squared
+    * L2 (recall vs exact search measured in SimilaritySpec).
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 centroids: Seq[Seq[Double]],
+                 codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      pqCodes(col(vecCol), codebooks).as("codes"),
+      element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("dist", round(adcDist(codebooks), 6))
+    saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
   }
 }

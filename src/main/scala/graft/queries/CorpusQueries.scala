@@ -1275,7 +1275,158 @@ object CorpusQueries {
         |        unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
         |      FROM documents)
         |GROUP BY token
-        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin))
+        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin)),
+
+    // IVF-ADC (FAISS IndexIVFPQ): the q76 PQ scan composed with q-39-style
+    // IVF cell pruning — coarse centroids AND PQ codebooks both use the
+    // deterministic iters=0 init (every (n/16)-th sample [sub-]vector), so
+    // the oracle rebuilds BOTH quantizers from the table and replays cell
+    // assignment (round-6 cosine argmax, ties to the smallest cell),
+    // 4-probe candidate pruning, ADC scoring, and the exact top-10.
+    // Trained-codebook recall vs brute force is covered by SimilaritySpec.
+    QueryDef("q79_ivf_adc_ann",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cents = Similarity.sampledKMeans(emb, kCells = 16, iters = 0,
+          sampleN = 4096)
+        val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16, dim = 64,
+          iters = 0, sampleN = 4096)
+        Similarity.ivfAdcTopK(emb, emb.filter(col("vec_id") < 4), cents, cbs,
+            k = 10, nProbe = 4, queryIdCol = "vec_id")
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def dists(mExpr: String) =
+          s"""list_transform(generate_series(1, 16), k ->
+          |      list_reduce(list_transform(generate_series(1, 8), i ->
+          |        (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i]) * (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i])),
+          |        (a, b) -> a + b))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM e ORDER BY vec_id LIMIT 4096),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM samp),
+        |ivfc AS (
+        |  SELECT (samp.rn // st.step)::BIGINT AS cell, samp.v AS cv
+        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 16),
+        |cbsub AS (
+        |  SELECT ms.m, (c.rn // st.step) AS k0,
+        |         list_transform(generate_series(1, 8), i -> c.v[ms.m*8 + i]) AS cvec
+        |  FROM samp c, st, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  WHERE c.rn % st.step = 0 AND c.rn // st.step < 16),
+        |cbl AS (
+        |  SELECT list(kl ORDER BY m) AS cb FROM (
+        |    SELECT m, list(cvec ORDER BY k0) AS kl FROM cbsub GROUP BY m)),
+        |cosc AS (
+        |  SELECT e.vec_id, i.cell,
+        |    round(list_dot_product(e.v, i.cv) /
+        |      greatest(sqrt(list_dot_product(e.v, e.v))
+        |               * sqrt(list_dot_product(i.cv, i.cv)), 1e-300), 6) AS cosr
+        |  FROM e, ivfc i),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc) WHERE rnk = 1),
+        |codes AS (
+        |  SELECT e.vec_id AS id,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_position(${dists("m")}, list_min(${dists("m")})) - 1) AS codes
+        |  FROM e, cbl),
+        |qprobe AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc WHERE vec_id < 4) WHERE rnk <= 4),
+        |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
+        |cand AS (
+        |  SELECT qp.qid, a.vec_id AS id
+        |  FROM qprobe qp JOIN asg a ON a.cell = qp.cell),
+        |scored AS (
+        |  SELECT q.qid, c.id,
+        |    round(list_reduce(list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), i ->
+        |        (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])
+        |          * (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b), 6) AS dist
+        |  FROM q JOIN cand ON cand.qid = q.qid
+        |  JOIN codes c ON c.id = cand.id, cbl),
+        |ranked AS (
+        |  SELECT qid AS query_id, id, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // The PRODUCTION SemDeDup path (semanticDedupScaled): k grows with the
+    // corpus (k = clamp(n/64, 1, 4096)), centroids from the k-means
+    // trainer at iters=0 — the deterministic every-step-th-sample init the
+    // oracle can rebuild — then the exact q71 dedup semantics (round-6
+    // cosine argmax assignment, 30-member cluster cap via adaptive LSH
+    // sub-buckets, within-bucket lower-id near-dup marking). q71 oracles
+    // the fixed-seed variant; this row covers the scaled path end-to-end,
+    // including the one-pass sample+count that sizes k.
+    QueryDef("q80_semantic_dedup_scaled",
+      (s, dir) =>
+        Similarity.semanticDedupScaled(table(s, dir, "embeddings"),
+            targetClusterSize = 64, threshold = 0.3, maxClusterSize = 30,
+            subMaxBits = 8, dim = 64, kmeansIters = 0, sampleN = 4096)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+            sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+          .orderBy("cluster"),
+      Some {
+        val sigExpr = (0 until 8).map { j =>
+          val h = VectorFunctions.hyperplane(j, 64)
+          s"CASE WHEN list_dot_product(t.v, [${h.mkString(", ")}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM e ORDER BY vec_id LIMIT 4096),
+        |kk AS (
+        |  SELECT least(greatest(1, least((SELECT count(*) FROM e) // 64, 4096)),
+        |               (SELECT count(*) FROM samp)) AS k),
+        |st AS (
+        |  SELECT greatest((SELECT count(*) FROM samp) // kk.k, 1) AS step, kk.k AS k
+        |  FROM kk),
+        |c AS (
+        |  SELECT (samp.rn // st.step)::BIGINT AS cid, samp.v AS cv
+        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < st.k),
+        |cosm AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_dot_product(e.v, c.cv) /
+        |           greatest(sqrt(list_dot_product(e.v, e.v))
+        |                    * sqrt(list_dot_product(c.cv, c.cv)), 1e-300) AS cos
+        |  FROM e, c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY round(cos, 6) DESC, cid) AS rn FROM cosm)
+        |  WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e ON a.vec_id = e.vec_id),
+        |csz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+        |sb AS (
+        |  SELECT t.vec_id, t.cluster, t.v,
+        |    CASE WHEN t.qd <= 1 THEN ''
+        |         ELSE substring($sigExpr, 1, least(length(bin(t.qd - 1)), 8)) END AS sub
+        |  FROM (SELECT av.vec_id, av.cluster, av.v, (csz.n + 29) // 30 AS qd
+        |        FROM av JOIN csz USING (cluster)) t),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id FROM sb a JOIN sb b
+        |  ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |          greatest(sqrt(list_dot_product(a.v, a.v))
+        |                   * sqrt(list_dot_product(b.v, b.v)), 1e-300), 6) >= 0.3)
+        |SELECT cluster, count(*) AS n_members,
+        |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+        |  sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
+        |GROUP BY cluster ORDER BY cluster""".stripMargin
+      })
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -58,6 +58,29 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq == Seq(0, 2)) // 43 bytes → 4 frames → keep 0, 2
     val frames = out.select("frame").as[Array[Byte]].collect()
     assert(frames.forall(_.length == 10))
+    // the fan-out must not carry the source payload: exploded rows hold
+    // ONLY their own frame slice (schema contract — a 1 GB video sampled
+    // at 1000 frames would otherwise materialize ~1 TB of rows)
+    assert(!out.columns.contains("payload"),
+      "sampleFrames leaked the full payload through the explode")
+  }
+
+  test("sampleFrames on a multi-MB payload: frames only, bytes correct") {
+    // 8 MB payload, 64 KB frames, every 4th → 32 frames of 64 KB each;
+    // the exploded intermediate is ~2 MB of frame bytes, not 32 x 8 MB
+    val big = Array.tabulate[Byte](8 * 1024 * 1024)(i => (i * 31 % 251).toByte)
+    val out = Multimodal.sampleFrames(
+      Seq((7L, big)).toDF("media_id", "payload"),
+      frameBytes = 64 * 1024, stride = 4)
+    val got = out.select("frame_idx", "frame").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == (0 until 128 by 4).toSet)
+    assert(got.values.forall(_.length == 64 * 1024))
+    // spot-check slices against the source bytes
+    Seq(0, 4, 124).foreach { idx =>
+      val expect = big.slice(idx * 64 * 1024, (idx + 1) * 64 * 1024)
+      assert(java.util.Arrays.equals(got(idx), expect), s"frame $idx bytes")
+    }
   }
 
   // ----------------------------------------------------------- codecs ---

@@ -136,6 +136,30 @@ class PlanSpec extends SparkSpec {
       "q77 must not window over the hash key")
   }
 
+  test("PQ/IVF-ADC ranking windows are all bounded (salted two-phase top-k)") {
+    // q76/q79: the per-query top-k must never sort a query's full
+    // candidate set in one task. The salted two-phase selection plans as
+    // (a) a phase-1 window over (query_id, salt) — partitionSpec size >= 2
+    // — whose groups hold ~candidates/nSalt rows, then (b) a phase-2
+    // window over query_id whose input is pre-filtered to <= k*nSalt rows
+    // per query. Every window partitioned; at least one salted.
+    for (q <- Seq("q76_pq_ann", "q79_ivf_adc_ann")) {
+      val windows = planned(q).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$q: expected ranking windows")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$q: unpartitioned ranking window")
+      assert(windows.exists(_.partitionSpec.size >= 2),
+        s"$q: lost the salted phase-1 window — a query's whole candidate " +
+          "set would sort in one task")
+    }
+    // q79 additionally prunes candidates to probed IVF cells before any
+    // scoring: the cell equi-join must broadcast the probe side
+    assert(plans("q79_ivf_adc_ann").contains("BroadcastHashJoin"),
+      "q79 lost the broadcast cell join")
+  }
+
   test("aggregations are partial (map-side combine before the shuffle)") {
     // two HashAggregate levels around the exchange — partial then final;
     // a single post-shuffle aggregate would shuffle raw rows

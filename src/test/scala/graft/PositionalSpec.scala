@@ -30,7 +30,10 @@ class PositionalSpec extends SparkSpec {
   test("the rank plans a PARTITIONED window — never the single-task global window") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val planned = Positional.withGlobalRowNumber(
+      // the public API localCheckpoints the ranked frame (truncating its
+      // executed plan), so the window contract is asserted on the
+      // pre-checkpoint hook it materializes
+      val planned = Positional.rankedLocal(
         spark.range(1000).toDF("id"), Seq(col("id")))
       val windows = planned.queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w

@@ -224,4 +224,47 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
     assert(codes.forall { case (id, cs) => again(id) == cs })
   }
+
+  // --------------------------------------------------------------- IVF-ADC
+  test("IVF-ADC: cell-pruned ADC search recalls exact L2 top-k >= 0.9; " +
+       "probing every cell reproduces the flat PQ scan exactly") {
+    val cents = Similarity.sampledKMeans(embeddings, kCells = 8, iters = 10)
+    // high-resolution codebooks (2-dim sub-spaces, 256 centroids): the
+    // recall budget goes to CELL PRUNING, not quantization noise — this is
+    // the FAISS regime where ADC ranking tracks exact L2 closely
+    val cbs = Similarity.trainPqCodebooks(embeddings, m = 32, k = 256,
+      dim = 64, iters = 5)
+    val queries = embeddings.filter($"vec_id" < 5)
+    val got = Similarity.ivfAdcTopK(embeddings, queries, cents, cbs,
+        k = 10, nProbe = 6, queryIdCol = "vec_id").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+    val vecs = embeddings.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byId = vecs.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val recalls = (0L until 5L).map { qid =>
+      val exact = vecs.map { case (id, v) => (l2(byId(qid), v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+      (got(qid) & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-ADC recall@10 vs exact L2 = $mean%.2f " +
+      "(8 cells, nProbe=6, m=32, k=256)")
+    assert(mean >= 0.9, f"IVF-ADC recall $mean%.2f below 0.9")
+
+    // nProbe = kCells disables pruning: IVF-ADC must then equal the flat
+    // PQ scan row-for-row (same codes, same ADC math, same salted top-k)
+    val cbSmall = Similarity.trainPqCodebooks(embeddings, m = 8, k = 16,
+      dim = 64, iters = 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("dist"))).toMap
+    val full = key(Similarity.ivfAdcTopK(embeddings, queries, cents, cbSmall,
+      k = 10, nProbe = cents.size, queryIdCol = "vec_id"))
+    val flat = key(Similarity.pqTopK(embeddings, queries, cbSmall, k = 10))
+    assert(full == flat, "all-cells IVF-ADC diverged from the flat PQ scan")
+  }
 }
