@@ -50,4 +50,90 @@ object StreamingDedup {
             Iterator.single(rows.minBy(_.id))
           })
   }
+
+  // ---------------------------------------------- near-duplicate (MinHash)
+
+  /** One LSH band occurrence of one streaming document. */
+  private[streaming] case class BandRow(band: String, id: Long, sig: Seq[Long])
+
+  /** A near-duplicate hit: `id_b` (the later/larger id) collided with
+    * `id_a` in some LSH band and their signature agreement cleared the
+    * threshold. The same pair may be emitted by several bands (and, for a
+    * pair split across micro-batches, once per band that matches) — the
+    * batch blocker's `distinct()` is the consumer's job here, because a
+    * cross-band distinct would need a second stateful stage.
+    */
+  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Streaming twin of `Dedup.minhashLshPairs` (default xxhash mode) for a
+    * document stream: flags each arriving document against every EARLIER
+    * document it shares an LSH band with, at estimated Jaccard ≥
+    * `threshold`. The distinct (id_a, id_b) pairs over the stream history
+    * equal the batch blocker's pairs on the concatenated data
+    * (StreamingSpec asserts this, checkpoint restart included).
+    *
+    * Plan shape, and why it differs from the batch path: batch signatures
+    * come from ONE shuffle aggregation over exploded shingles — but a
+    * streaming aggregation upstream of stateful dedup is not append-mode
+    * expressible. Instead each micro-batch computes signatures as a
+    * STATELESS per-row expression (`VectorFunctions.minhashSignature`
+    * over `TextFunctions.shingleHashes` — spec-pinned bit-identical to
+    * the aggregation path in DedupSpec), so the only stateful operator is
+    * the band-keyed comparison itself.
+    *
+    * State design for scale: keyed by band — each bucket holds the
+    * (id, signature) list of its members, ~nHashes·8 bytes per doc per
+    * band. Band keys spread uniformly (they embed a hash of the minima),
+    * so state partitions evenly across executors; RocksDB state store at
+    * corpus scale. Like all LSH blocking, a degenerate corpus where
+    * everything shares one band concentrates that bucket — the same rows
+    * that would pair-explode in the batch join.
+    *
+    * Docs shorter than `shingleSize` tokens have no shingles and are
+    * dropped (they cannot be near-duplicates), exactly as in batch.
+    */
+  def minhashPairsStream(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", shingleSize: Int = 3,
+                         nHashes: Int = 32, nBands: Int = 8,
+                         threshold: Double = 0.6): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rowsPerBand = nHashes / nBands
+    val sig = VectorFunctions.minhashSignature(
+      TextFunctions.shingleHashes(col(textCol), shingleSize), nHashes)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        size(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("_nsh"),
+        sig.as("sig"))
+      .filter(col("_nsh") > 0)
+      .withColumn("band",
+        explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
+      .select(col("band"), col("id"), col("sig"))
+      .as[BandRow]
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[BandRow],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Seq[Long])]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupHit]
+          // ascending id within the batch: determinism under re-execution,
+          // and in-batch pairs flag the LARGER id as the duplicate —
+          // matching the batch convention (id_a < id_b)
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (pid, psig) =>
+                val agree = psig.iterator.zip(r.sig.iterator)
+                  .count { case (a, b) => a == b }
+                val est = agree.toDouble / psig.size
+                if (est >= threshold)
+                  out += NearDupHit(math.min(pid, r.id), math.max(pid, r.id), est)
+              }
+              seen = seen :+ (r.id -> r.sig)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
 }

@@ -204,6 +204,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup flags the batch blocker's pair set " +
+       "across micro-batches, surviving a checkpoint restart") {
+    val inDir = Files.createTempDirectory("sminhash-in").toString
+    val ckDir = Files.createTempDirectory("sminhash-ck").toString
+    // 24 tokens — one token changed leaves trigram Jaccard ≈ 19/25 = 0.76,
+    // comfortably above the 0.6 threshold (an 11-token doc would sit at
+    // ~0.5 and flag nothing)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      1L -> base,
+      5L -> base.replace("mu", "muon"), // near-dup of 1
+      2L -> "completely unrelated text about spark partitions and shuffles",
+      // batch 2
+      9L -> base, // exact copy of 1 (cross-batch), near 5
+      4L -> "another unrelated document mentioning catalyst and codegen",
+      // batch 3 (after restart)
+      12L -> base.replace("sigma", "sigmaprime"), // near-dup of 1/9, maybe 5
+      7L -> "final unrelated row with totally different vocabulary here")
+    def writeBatch(ids: Seq[Long]): Unit =
+      docs.filter(p => ids.contains(p._1)).toDF("doc_id", "text")
+        .write.mode("append").parquet(inDir)
+
+    val outDir = Files.createTempDirectory("sminhash-out").toString
+    // file sink (memory sink cannot recover from a checkpoint)
+    def startStream() = graft.streaming.StreamingDedup.minhashPairsStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir),
+        nHashes = 32, nBands = 16, threshold = 0.6)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+
+    def rows(): Array[(Long, Long, Double)] = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+
+    writeBatch(Seq(1L, 5L, 2L))
+    val q1 = startStream()
+    val n1 = try {
+      q1.processAllAvailable()
+      writeBatch(Seq(9L, 4L))
+      q1.processAllAvailable()
+      rows().length
+    } finally q1.stop()
+
+    // restart from the checkpoint; batch 3 arrives after the restart —
+    // the band-keyed (id, sig) state must survive, and batches 1-2 must
+    // not reprocess: every post-restart row flags the one new document
+    writeBatch(Seq(12L, 7L))
+    val q2 = startStream()
+    val all = try { q2.processAllAvailable(); rows() } finally q2.stop()
+    val newRows = all.length - n1
+    assert(newRows > 0, "batch 3's near-dups never emitted")
+    assert(all.length >= n1, "file sink lost rows across restart")
+
+    val streamed = all.map(t => (t._1, t._2)).toSet
+    val batchPairs = graft.operators.Dedup.minhashLshPairs(
+        docs.toDF("doc_id", "text"), nHashes = 32, nBands = 16,
+        threshold = 0.6).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(batchPairs.nonEmpty, "fixture planted no near-dup pairs")
+    assert(batchPairs.contains((1L, 9L)), "exact copy pair missing from batch")
+    assert(streamed == batchPairs.keySet,
+      s"stream pairs $streamed != batch pairs ${batchPairs.keySet}")
+    // per-pair estimates agree with the batch blocker's exactly
+    all.foreach { case (a, b, est) => assert(est == batchPairs((a, b)), s"($a,$b)") }
+    // only the new doc can be the flagged (larger) side after the restart:
+    // old pairs re-emitting would mean state or source progress was lost
+    assert(all.map(t => (t._1, t._2)).drop(n1).forall(_._2 == 12L) ||
+      all.count { case (_, b, _) => b != 12L } == n1,
+      "restart reprocessed earlier batches")
+  }
+
   test("streaming exact dedup admits each fingerprint once across batches") {
     val inDir = Files.createTempDirectory("sdedup-in").toString
     // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
