@@ -138,6 +138,16 @@ object Quality {
       !lower(line).contains("lorem ipsum") &&
       !line.contains("{")
 
+  /** [[c4Keep]] applied per DOCUMENT as one stateless expression: split on
+    * real newlines, drop failing lines, rejoin in order. Equals
+    * [[c4Clean]]'s kept text when the lines table is the newline split of
+    * the same documents (QualitySpec pins this) — but being a pure
+    * `Column`, it also runs where an aggregation cannot: inside an
+    * append-mode streaming projection (`StreamingCorpus`).
+    */
+  def c4CleanText(text: Column, minLineWords: Int = 5): Column =
+    concat_ws("\n", filter(split(text, "\n"), l => c4Keep(l, minLineWords)))
+
   /** C4 line-level cleaning over a (id, line_no, line) table: apply
     * [[c4Keep]], then reassemble per-document retention stats and the md5
     * of the cleaned text (kept lines joined by newline in line order).

@@ -38,6 +38,26 @@ object CorpusIO {
       .json(path)
   }
 
+  /** Streaming twin of [[readJsonl]]: a file-source stream over a JSONL
+    * drop directory (the crawler/ingestion handoff pattern — producers
+    * atomically move finished shards in; Spark tracks processed files in
+    * the checkpoint). Same REQUIRED-schema + PERMISSIVE corrupt-record
+    * contract as the batch reader. `maxFilesPerTrigger` bounds per-batch
+    * work so one bulk backfill cannot produce an unbounded micro-batch.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", "string")
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+  }
+
   /** Split a JSONL read into (clean rows, corrupt raw lines).
     *
     * The corrupt frame carries the first data column alongside `raw`:

@@ -76,6 +76,31 @@ class QualitySpec extends SparkSpec {
       "one two three four five six.\nanother good line with five words."))
   }
 
+  test("c4CleanText (stateless expression) equals c4Clean on newline-split docs") {
+    val raw = Seq(
+      (1L, "one two three four five six.\n" +
+        "contains javascript code here today.\n" +
+        "no terminal punctuation here at all\n" +
+        "lorem ipsum dolor sit amet world.\n" +
+        "curly { brace line with words.\n" +
+        "four words only here.\n" +
+        "another good line with five words."),
+      (2L, "everything here fails the keep rule"))
+      .toDF("doc_id", "text")
+    val got = raw.select(col("doc_id"),
+      Quality.c4CleanText(col("text")).as("clean")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean")).toMap
+    assert(got(1L) ==
+      "one two three four five six.\nanother good line with five words.")
+    assert(got(2L) == "")
+    // agrees with the aggregated path's hash on the same newline split
+    val lines = raw.select(col("doc_id").as("id"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val h = Quality.c4Clean(lines).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("h_clean")).toMap
+    got.foreach { case (id, clean) => assert(h(id) == md5Hex(clean), s"doc $id") }
+  }
+
   test("lineDedupStats keeps the corpus-wide first occurrence only") {
     val lines = Seq(
       (1L, 0, "x y"), (1L, 1, "x y"), (1L, 2, "a b"),

@@ -279,6 +279,71 @@ class StreamingSpec extends SparkSpec {
       "restart reprocessed earlier batches")
   }
 
+  test("streaming corpus recipe: jsonl -> dedup -> quality -> parquet " +
+       "equals the batch twin across 3 triggers with a checkpoint restart") {
+    val inDir = Files.createTempDirectory("screcipe-in").toString
+    val ckDir = Files.createTempDirectory("screcipe-ck").toString
+    val outDir = Files.createTempDirectory("screcipe-out").toString + "/shards"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    val goodA = "the alpha survey continues here today.\\n" +
+      "javascript boilerplate line gets dropped.\\n" +
+      "the last line of the alpha survey also stays."
+    val goodB = "the beta report opens with findings and numbers.\\n" +
+      "lorem ipsum filler is removed entirely.\\n" +
+      "the beta conclusion line closes the report."
+    val goodC = "the gamma memo states the final outcome clearly.\\n" +
+      "short line.\\nthe gamma appendix line ends the memo."
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(inDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // trigger 1: two keepers (3 a within-batch dup of 1), a quality fail,
+    // and a malformed line that must route, not crash
+    writeFile("b1.jsonl", Seq(
+      doc(1, goodA), doc(2, goodB), doc(3, goodA),
+      doc(4, "too short here."),
+      """{"doc_id":5,"text": BROKEN"""))
+    val q1 = graft.streaming.StreamingCorpus.corpusRecipeStream(spark, inDir,
+      schema, outDir, ckDir, minWords = 5, minStopHits = 1, minLineWords = 3)
+    try {
+      q1.processAllAvailable()
+      // trigger 2 (same query): cross-batch dup of 1 + a new keeper
+      writeFile("b2.jsonl", Seq(doc(6, goodA), doc(7, goodC)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterTwo = spark.read.parquet(outDir).count()
+
+    // restart from the checkpoint: dedup state and source progress resume
+    writeFile("b3.jsonl", Seq(
+      doc(8, goodB), // cross-restart dup - state must remember fp of 2
+      doc(9, goodC.replace("gamma", "delta")),
+      """not json at all"""))
+    val q2 = graft.streaming.StreamingCorpus.corpusRecipeStream(spark, inDir,
+      schema, outDir, ckDir, minWords = 5, minStopHits = 1, minLineWords = 3)
+    try q2.processAllAvailable() finally q2.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text_clean"),
+        r.getAs[Int]("n_tok_clean"), r.getAs[Int]("n_words"),
+        r.getAs[Long]("stop_hits"))).sortBy(_._1).toSeq
+    val streamed = key(spark.read.parquet(outDir))
+    val batch = key(graft.streaming.StreamingCorpus.corpusRecipeBatch(
+      spark, inDir, schema, minWords = 5, minStopHits = 1, minLineWords = 3))
+    assert(batch.map(_._1) == Seq(1L, 2L, 7L, 9L),
+      s"batch twin kept ${batch.map(_._1)} - fixture drifted")
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.size.toLong == afterTwo + 1,
+      "restart duplicated or dropped output rows")
+    // C4 line cleaning really fired: boilerplate middle lines are gone
+    val cleanById = streamed.map(t => t._1 -> t._2).toMap
+    assert(!cleanById(1L).contains("javascript"))
+    assert(!cleanById(2L).contains("lorem ipsum"))
+    assert(cleanById(1L).linesIterator.size == 2)
+  }
+
   test("streaming exact dedup admits each fingerprint once across batches") {
     val inDir = Files.createTempDirectory("sdedup-in").toString
     // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
