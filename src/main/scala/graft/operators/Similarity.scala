@@ -7,17 +7,23 @@ import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers:
+  * Tiers, by how they bound work per query:
   *  - `bruteForceTopK` — exact cosine top-k: broadcast the (small) query
-  *    set against the corpus; one scan, no corpus shuffle; per-query top-k
-  *    via window rank (Catalyst turns the global variant into
-  *    TakeOrderedAndProject). Baseline and recall oracle.
-  *  - `lshTopK` — random-hyperplane LSH bucketing: corpus and queries get
-  *    `nBits` signatures; candidates = same-bucket rows (optionally within
-  *    Hamming distance by probing neighbor buckets); exact cosine re-rank
-  *    inside buckets. The scale path: the join shuffles only matching
-  *    buckets (2^nBits partitions of the corpus), not the n×m cross
-  *    product.
+  *    set against the corpus; one scan, no corpus shuffle. Baseline and
+  *    recall oracle.
+  *  - `lshTopK` / `lshTopKMulti` — random-hyperplane LSH bucketing:
+  *    candidates = same-bucket rows; exact cosine re-rank inside buckets.
+  *    The join shuffles only matching buckets, not the n×m cross product.
+  *  - `ivfTopK` — coarse k-means cells, probe the nearest few per query.
+  *  - `pqTopK` / `ivfAdcTopK` — product-quantized codes (m bytes per
+  *    vector), ADC scoring; `ivfAdcTopK` composes cells × codes (FAISS
+  *    IVFADC) — the 100 TB configuration.
+  *
+  * EVERY per-query ranking here runs as the salted two-phase top-k
+  * ([[saltedTopK]]): no window partition ever holds more than k·nSalt
+  * rows, no matter how many candidates a query has — a plain
+  * `row_number() over (partition by query)` would sort a query's whole
+  * candidate set (for brute force, the whole corpus) in one task.
   */
 object Similarity {
 
@@ -32,11 +38,7 @@ object Similarity {
     val joined = corpus.select(col(idCol), col(vecCol).as("_cv"))
       .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("_qv"))))
       .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(joined, k, Seq(col("cos").desc, col(idCol)), idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
@@ -54,12 +56,9 @@ object Similarity {
       sig(col(vecCol)).as("bucket"))
     val q = queries.select(col(queryIdCol), col(vecCol).as("_qv"),
       sig(col(vecCol)).as("bucket"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(scored, k, Seq(col("cos").desc, col(idCol)), idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
@@ -105,14 +104,11 @@ object Similarity {
     val cand = c.join(broadcast(q), Seq("_t", "bucket"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(first(col("_cv")).as("_cv"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    cand
+    val scored = cand
       .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("_qv"))),
         Seq(queryIdCol))
       .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(scored, k, Seq(col("cos").desc, col(idCol)), idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
@@ -222,12 +218,9 @@ object Similarity {
       .withColumn("cell", element_at(nearestCells(col("_cv"), 1), 1).getField("cell"))
     val q = queries.select(col(queryIdCol), col(vecCol).as("_qv"),
       explode(nearestCells(col(vecCol), nProbe).getField("cell")).as("cell"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopK(scored, k, Seq(col("cos").desc, col(idCol)), idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 

@@ -136,14 +136,14 @@ class PlanSpec extends SparkSpec {
       "q77 must not window over the hash key")
   }
 
-  test("PQ/IVF-ADC ranking windows are all bounded (salted two-phase top-k)") {
-    // q76/q79: the per-query top-k must never sort a query's full
+  test("ANN ranking windows are all bounded (salted two-phase top-k)") {
+    // q39/q76/q79: the per-query top-k must never sort a query's full
     // candidate set in one task. The salted two-phase selection plans as
     // (a) a phase-1 window over (query_id, salt) — partitionSpec size >= 2
     // — whose groups hold ~candidates/nSalt rows, then (b) a phase-2
     // window over query_id whose input is pre-filtered to <= k*nSalt rows
     // per query. Every window partitioned; at least one salted.
-    for (q <- Seq("q76_pq_ann", "q79_ivf_adc_ann")) {
+    for (q <- Seq("q39_sim_topk", "q76_pq_ann", "q79_ivf_adc_ann")) {
       val windows = planned(q).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
