@@ -136,4 +136,72 @@ object StreamingDedup {
           out.result().iterator
         })
   }
+
+  // ---------------------------------------------- near-duplicate (SimHash)
+
+  /** One SimHash band-bucket occurrence of one streaming document. */
+  private[streaming] case class SimBandRow(band: Int, bucket: Long, id: Long,
+                                           sh: Long)
+
+  /** A SimHash near-dup hit (id_a < id_b, full 64-bit Hamming distance).
+    * Like [[NearDupHit]], at-least-once per matching band — consumers
+    * `distinct()`.
+    */
+  case class SimDupHit(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming twin of `Dedup.simhashPairs` (default xxhash mode): each
+    * arriving document's 64-bit simhash is banded into `nBands` contiguous
+    * bit bands; state is keyed by (band, bucket) and holds that bucket's
+    * (id, simhash) members; an arriving doc emits a hit against every
+    * earlier member within `maxHamming` bits. The per-row simhash
+    * expression (`VectorFunctions.simhash`) is bit-identical to the batch
+    * vote aggregation (StreamingSpec pins stream == batch pairs), and the
+    * pigeonhole guarantee carries over unchanged: with maxHamming < nBands
+    * every qualifying pair collides in at least one band, so the streamed
+    * pair set is LOSSLESS, not best-effort.
+    *
+    * Documents with no tokens have an all-zero vote word and no meaningful
+    * hash — dropped, exactly as the batch aggregation drops them.
+    */
+  def simhashPairsStream(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", nBands: Int = 8,
+                         maxHamming: Int = 3): Dataset[SimDupHit] = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming < nBands,
+      s"lossless blocking needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        VectorFunctions.simhash(TextFunctions.tokens(col(textCol))).as("sh"),
+        TextFunctions.tokenCount(col(textCol)).as("_ntok"))
+      .filter(col("_ntok") > 0)
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .select(col("band"),
+        org.apache.spark.sql.functions.expr(s"shiftright(sh, band * $bandBits) & $mask").as("bucket"),
+        col("id"), col("sh"))
+      .as[SimBandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[SimBandRow],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Long)]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[SimDupHit]
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (pid, psh) =>
+                val ham = java.lang.Long.bitCount(psh ^ r.sh)
+                if (ham <= maxHamming)
+                  out += SimDupHit(math.min(pid, r.id), math.max(pid, r.id), ham)
+              }
+              seen = seen :+ (r.id -> r.sh)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
 }

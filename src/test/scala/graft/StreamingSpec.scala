@@ -279,6 +279,54 @@ class StreamingSpec extends SparkSpec {
       "restart reprocessed earlier batches")
   }
 
+  test("streaming simhash near-dup flags the batch pair set across " +
+       "micro-batches and a checkpoint restart") {
+    val inDir = Files.createTempDirectory("ssim-in").toString
+    val ckDir = Files.createTempDirectory("ssim-ck").toString
+    val outDir = Files.createTempDirectory("ssim-out").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      1L -> base,
+      2L -> "completely unrelated text about spark partitions and shuffles",
+      5L -> base.replace("mu", "muon"),
+      // after restart
+      9L -> base, // exact copy: hamming 0
+      7L -> "final unrelated row with totally different vocabulary here")
+    def writeBatch(ids: Seq[Long]): Unit =
+      docs.filter(p => ids.contains(p._1)).toDF("doc_id", "text")
+        .write.mode("append").parquet(inDir)
+
+    def startStream() = graft.streaming.StreamingDedup.simhashPairsStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir),
+        nBands = 16, maxHamming = 10)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+
+    writeBatch(Seq(1L, 2L))
+    val q1 = startStream()
+    try {
+      q1.processAllAvailable()
+      writeBatch(Seq(5L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    writeBatch(Seq(9L, 7L))
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    val batch = graft.operators.Dedup.simhashPairs(
+        docs.toDF("doc_id", "text"), nBands = 16, maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(batch.contains((1L, 9L)) && batch((1L, 9L)) == 0,
+      "exact copy must pair at hamming 0")
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("streaming corpus recipe: jsonl -> dedup -> quality -> parquet " +
        "equals the batch twin across 3 triggers with a checkpoint restart") {
     val inDir = Files.createTempDirectory("screcipe-in").toString
