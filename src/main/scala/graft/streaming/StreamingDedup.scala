@@ -204,4 +204,73 @@ object StreamingDedup {
           out.result().iterator
         })
   }
+
+  // -------------------------------------------- near-duplicate (embedding)
+
+  /** One LSH-bucketed streaming embedding. */
+  private[streaming] case class EmbRow(bucket: String, id: Long,
+                                       v: Seq[Double])
+
+  /** An embedding near-dup hit: exact cosine ≥ threshold inside a shared
+    * LSH bucket.
+    */
+  case class EmbDupHit(id_a: Long, id_b: Long, cos: Double)
+
+  /** Streaming twin of `Dedup.embeddingNearDupPairs` — the third member of
+    * the near-dup family (lexical MinHash, bit-level SimHash, semantic
+    * embedding), same state pattern: random-hyperplane signature computed
+    * per row (the same `lshSignature` expression the batch row-form
+    * aggregates to), state keyed by the full-signature bucket holding that
+    * bucket's (id, vector) members, arriving vectors verified by EXACT
+    * cosine against earlier members. The driver-side cosine is the same
+    * ordered left-fold over doubles as the `VectorFunctions.cosine`
+    * expression, so streamed `cos` values equal the batch column
+    * bit-for-bit.
+    *
+    * State holds the vectors themselves (dim doubles per member) — the
+    * price of exact verification, and exactly the data the batch
+    * same-bucket self-join shuffles; bucket population is bounded by LSH
+    * selectivity (2^nBits expected buckets), tunable like the batch
+    * blocker.
+    */
+  def embeddingPairsStream(embeddings: DataFrame, vecCol: String = "embedding",
+                           idCol: String = "vec_id", dim: Int = 64,
+                           nBits: Int = 8,
+                           threshold: Double = 0.95): Dataset[EmbDupHit] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    embeddings
+      .select(
+        VectorFunctions.lshSignature(col(vecCol), nBits, dim).as("bucket"),
+        col(idCol).cast("long").as("id"),
+        VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .as[EmbRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[EmbRow],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Seq[Double])]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[EmbDupHit]
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (pid, pv) =>
+                val c = cosine(pv, r.v)
+                if (c >= threshold)
+                  out += EmbDupHit(math.min(pid, r.id), math.max(pid, r.id), c)
+              }
+              seen = seen :+ (r.id -> r.v)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
 }

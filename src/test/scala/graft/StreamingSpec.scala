@@ -327,6 +327,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
 
+  test("streaming embedding near-dup equals the batch blocker, cosines " +
+       "bit-identical, across a checkpoint restart") {
+    val inDir = Files.createTempDirectory("semb-in").toString
+    val ckDir = Files.createTempDirectory("semb-ck").toString
+    val outDir = Files.createTempDirectory("semb-out").toString
+    val vecs = Seq(
+      1L -> Seq(1.0, 0.02, 0.0, 0.01, 0.0, 0.0, 0.03, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0, 0.9, 0.0, 0.0, 0.1),
+      4L -> Seq(0.99, 0.03, 0.01, 0.01, 0.0, 0.0, 0.02, 0.0), // near 1
+      // after restart
+      9L -> Seq(1.0, 0.02, 0.0, 0.01, 0.0, 0.0, 0.03, 0.0),   // copy of 1
+      7L -> Seq(-1.0, 0.0, 0.5, 0.0, 0.0, 0.8, 0.0, 0.0))
+    def writeBatch(ids: Seq[Long]): Unit =
+      vecs.filter(p => ids.contains(p._1)).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(inDir)
+
+    def startStream() = graft.streaming.StreamingDedup.embeddingPairsStream(
+        spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<DOUBLE>").parquet(inDir),
+        dim = 8, nBits = 4, threshold = 0.9)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+
+    writeBatch(Seq(1L, 2L))
+    val q1 = startStream()
+    try {
+      q1.processAllAvailable()
+      writeBatch(Seq(4L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    writeBatch(Seq(9L, 7L))
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val batch = graft.operators.Dedup.embeddingNearDupPairs(
+        vecs.toDF("vec_id", "embedding"), dim = 8, nBits = 4,
+        threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(batch.keySet == Set((1L, 4L), (1L, 9L), (4L, 9L)),
+      s"fixture drifted: ${batch.keySet}")
+    assert(streamed.keySet == batch.keySet,
+      s"stream ${streamed.keySet} != batch ${batch.keySet}")
+    // the driver-side fold must reproduce the Column expression exactly
+    streamed.foreach { case (p, c) => assert(c == batch(p), s"$p cosine") }
+  }
+
   test("streaming corpus recipe: jsonl -> dedup -> quality -> parquet " +
        "equals the batch twin across 3 triggers with a checkpoint restart") {
     val inDir = Files.createTempDirectory("screcipe-in").toString
