@@ -522,4 +522,53 @@ object Similarity {
     saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
   }
+
+  /** k-NN GRAPH over the whole corpus — ANN where the query set IS the
+    * corpus, so nothing is broadcastable (every `*TopK` above broadcasts a
+    * small query side; a k-NN graph is the workhorse behind SemDeDup-style
+    * clustering, connected-component near-dup resolution, and diversity
+    * sampling, and needs a corpus×corpus shape).
+    *
+    * Plan: per-row multi-table LSH signatures (table t uses hyperplanes
+    * t·nBits … t·nBits+nBits−1 — the `lshSignaturesMulti` family, here as
+    * a stateless codegen'd expression), self-join on (table, bucket) —
+    * shuffles only same-bucket rows, never n² — then `minhashLshPairs`'s
+    * discipline: DISTINCT id pairs first (a pair colliding in c tables
+    * appears c times), vectors joined back once per pair, one exact cosine
+    * per pair, and the per-source top-k as the salted two-phase selection.
+    * Every stage is a bounded-group shuffle; no broadcast of anything
+    * corpus-sized, no window over an unbounded partition.
+    *
+    * Output: (id, neighbor, cos, rank), rank 1..k per id, both directions
+    * present (the bucket join is symmetric). Recall is tuned by
+    * nBits/nTables exactly as for [[lshTopKMulti]].
+    */
+  def knnGraph(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 6,
+               nTables: Int = 8, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until nBits).map { j =>
+        when(VectorFunctions.hyperplaneBit(col(vecCol), t * nBits + j, dim) === 1,
+          "1").otherwise("0")
+      }
+      struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
+    }
+    val sigs = embeddings
+      .select(col(idCol).as("id"), explode(array(tables: _*)).as("_tb"))
+      .select(col("id"), col("_tb.t").as("_t"), col("_tb.bucket").as("bucket"))
+    val cand = sigs
+      .join(sigs.select(col("_t"), col("bucket"), col("id").as("nb")),
+        Seq("_t", "bucket"))
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"))
+      .distinct()
+    val vtab = embeddings.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("_v"))
+    val scored = cand
+      .join(vtab, Seq("id"))
+      .join(vtab.select(col("id").as("nb"), col("_v").as("_nv")), Seq("nb"))
+      .withColumn("cos", VectorFunctions.cosine(col("_v"), col("_nv")))
+    saltedTopK(scored, k, Seq(col("cos").desc, col("nb")), "nb", "id")
+      .select(col("id"), col("nb").as("neighbor"), col("cos"), col("rank"))
+  }
 }

@@ -1426,6 +1426,47 @@ object CorpusQueries {
         |  sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
         |GROUP BY cluster ORDER BY cluster""".stripMargin
+      }),
+
+    // Corpus-wide k-NN graph: ANN where the query set IS the corpus (the
+    // SemDeDup / CC / diversity-sampling workhorse) — multi-table LSH
+    // self-join, distinct pairs, exact cosine, salted per-source top-k.
+    // The oracle rebuilds both hyperplane tables from inlined literals and
+    // replays bucket join -> pair dedup -> cosine -> rank.
+    QueryDef("q81_knn_graph",
+      (s, dir) =>
+        Similarity.knnGraph(table(s, dir, "embeddings"), k = 3, dim = 64,
+            nBits = 6, nTables = 2)
+          .select(col("id"), col("neighbor"), r4(col("cos")).as("cos"),
+            col("rank"))
+          .orderBy("id", "rank"),
+      Some {
+        def sigExpr(t: Int) = (0 until 6).map { j =>
+          val h = VectorFunctions.hyperplane(t * 6 + j, 64)
+          s"CASE WHEN list_dot_product(v, [${h.mkString(", ")}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, 0 AS t, ${sigExpr(0)} AS bucket FROM e
+        |  UNION ALL
+        |  SELECT vec_id, 1 AS t, ${sigExpr(1)} AS bucket FROM e),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+        |   AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT c.id, c.nb,
+        |    list_dot_product(ea.v, eb.v) /
+        |      greatest(sqrt(list_dot_product(ea.v, ea.v))
+        |               * sqrt(list_dot_product(eb.v, eb.v)), 1e-300) AS cos
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.id
+        |              JOIN e eb ON eb.vec_id = c.nb),
+        |ranked AS (
+        |  SELECT id, nb, cos,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
+        |  FROM scored)
+        |SELECT id, nb AS neighbor, round(cos, 4) AS cos, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin
       })
   )
 

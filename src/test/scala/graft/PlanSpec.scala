@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
     // — whose groups hold ~candidates/nSalt rows, then (b) a phase-2
     // window over query_id whose input is pre-filtered to <= k*nSalt rows
     // per query. Every window partitioned; at least one salted.
-    for (q <- Seq("q39_sim_topk", "q76_pq_ann", "q79_ivf_adc_ann")) {
+    for (q <- Seq("q39_sim_topk", "q76_pq_ann", "q79_ivf_adc_ann",
+      "q81_knn_graph")) {
       val windows = planned(q).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }

@@ -267,4 +267,41 @@ class SimilaritySpec extends SparkSpec {
     val flat = key(Similarity.pqTopK(embeddings, queries, cbSmall, k = 10))
     assert(full == flat, "all-cells IVF-ADC diverged from the flat PQ scan")
   }
+
+  // ------------------------------------------------------------ kNN graph
+  test("knnGraph: corpus-wide neighbors recall exact cosine top-k") {
+    val k = 5
+    // same bucket-resolution regime the 0.95-recall lshTopKMulti test
+    // uses: short signatures, many tables (the self-join has no
+    // query-side probing, so tables are the only recall lever)
+    val got = Similarity.knnGraph(embeddings, k = k, dim = 64,
+        nBits = 3, nTables = 12).collect()
+      .groupBy(_.getAs[Long]("id"))
+      .map { case (id, rows) => id -> rows.map(_.getAs[Long]("neighbor")).toSet }
+    val vecs = embeddings.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum), 1e-300)
+    }
+    val sampleIds = vecs.map(_._1).take(25)
+    val recalls = sampleIds.map { id =>
+      val qv = vecs.find(_._1 == id).get._2
+      val exact = vecs.filter(_._1 != id)
+        .map { case (nid, v) => (-cos(qv, v), nid) }
+        .sortBy(identity).take(k).map(_._2).toSet
+      (got.getOrElse(id, Set.empty) & exact).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"knnGraph recall@$k = $mean%.2f (nBits=3, nTables=12, 25 probes)")
+    assert(mean >= 0.8, f"knnGraph recall $mean%.2f below 0.8")
+    // every id got at most k neighbors, ranked 1..n contiguously
+    val ranks = Similarity.knnGraph(embeddings, k = 2, dim = 64,
+        nBits = 5, nTables = 4).collect()
+      .groupBy(_.getAs[Long]("id"))
+      .map { case (_, rows) => rows.map(_.getAs[Int]("rank")).sorted.toSeq }
+    assert(ranks.forall(r => r == (1 to r.size)))
+  }
 }
