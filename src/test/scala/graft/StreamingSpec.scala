@@ -443,6 +443,62 @@ class StreamingSpec extends SparkSpec {
     assert(cleanById(1L).linesIterator.size == 2)
   }
 
+  test("watermarked tumbling windows: closed windows equal the batch " +
+       "aggregation, late rows beyond the watermark are dropped") {
+    val inDir = Files.createTempDirectory("wm-in").toString
+    def ev(sec: Long, typ: String, v: Double) =
+      (new java.sql.Timestamp(sec * 1000L), typ, v)
+    def writeBatch(rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(inDir)
+
+    // hour-0 and hour-1 events
+    writeBatch(Seq(ev(100, "click", 1.5), ev(200, "click", 2.0),
+      ev(300, "view", 1.0), ev(3700, "click", 4.0)))
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(inDir)
+    val q = graft.streaming.EventStream.windowedEventStats(stream,
+        windowLength = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("t_wm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // nothing closed yet: watermark is still before hour-0's end
+      assert(spark.table("t_wm").count() == 0)
+
+      // jump event time far ahead: watermark (max - 10 min) passes the
+      // ends of hours 0 and 1. Also deliver a LATE hour-0 click that the
+      // watermark must drop once it has advanced.
+      writeBatch(Seq(ev(90000, "view", 9.0)))
+      q.processAllAvailable()
+      writeBatch(Seq(ev(150, "click", 100.0), ev(90010, "view", 1.0)))
+      q.processAllAvailable()
+      // one more micro-batch so windows closed by the new watermark emit
+      writeBatch(Seq(ev(90020, "view", 1.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("t_wm").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 1000,
+          r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      // the late 100.0 click must NOT be in hour 0 (watermark dropped it)
+      assert(got((0L, "click")) == ((2L, 3.5)), s"hour-0 click: $got")
+      assert(got((0L, "view")) == ((1L, 1.0)))
+      assert(got((3600L, "click")) == ((1L, 4.0)))
+      // matches the batch twin computed WITHOUT the late row
+      val batch = graft.streaming.EventStream.windowedEventStatsBatch(
+          Seq(ev(100, "click", 1.5), ev(200, "click", 2.0),
+            ev(300, "view", 1.0), ev(3700, "click", 4.0))
+            .toDF("ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 1000,
+          r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      batch.foreach { case (k, v) => assert(got(k) == v, s"window $k") }
+    } finally q.stop()
+  }
+
   test("streaming exact dedup admits each fingerprint once across batches") {
     val inDir = Files.createTempDirectory("sdedup-in").toString
     // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
