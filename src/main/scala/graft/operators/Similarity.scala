@@ -410,11 +410,12 @@ object Similarity {
       pqCodes(col(vecCol), codebooks).as("codes"))
 
   /** The ADC (asymmetric) squared-L2 distance between a full-precision
-    * query in column `qv` and a PQ code array in column `codes`: m
+    * query in column `qvCol` and a PQ code array in column `codes`: m
     * codebook lookups, each an ordered left fold over the sub-space —
     * bit-exact across engines.
     */
-  private def adcDist(codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  private def adcDist(codebooks: Seq[Seq[Seq[Double]]],
+                      qvCol: String = "qv"): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val cb = typedLit(codebooks)
@@ -422,7 +423,7 @@ object Similarity {
       val cent = element_at(element_at(cb, (mIdx + 1).cast("int")),
         (element_at(col("codes"), (mIdx + 1).cast("int")) + 1).cast("int"))
       acc + aggregate(sequence(lit(1), lit(sub)), lit(0.0), (a2, i) => {
-        val qa = element_at(col("qv"), (mIdx * sub + i).cast("int")).cast("double")
+        val qa = element_at(col(qvCol), (mIdx * sub + i).cast("int")).cast("double")
         val cv = element_at(cent, i.cast("int"))
         a2 + (qa - cv) * (qa - cv)
       })
@@ -476,6 +477,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
   }
 
+  /** Driver-side twin of the [[probeCells]] argmax (round-6 cosine,
+    * smallest cell on ties) for training-time residual computation.
+    */
+  private def nearestCellDriver(v: Array[Double],
+                                centroids: Seq[Seq[Double]]): Int = {
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val r = BigDecimal(cos(v, centroids(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r > bestCos) { best = c; bestCos = r } // strict > keeps smallest c
+      c += 1
+    }
+    best
+  }
+
+  /** Train PQ codebooks on RESIDUALS (v − assigned coarse centroid) —
+    * FAISS `IndexIVFPQ`'s default (`by_residual`): residual vectors have
+    * far less variance than raw vectors (the coarse quantizer already
+    * explains cell-level structure), so the same m×k codebook budget
+    * yields a finer quantization. Same bounded driver-side sample and
+    * deterministic Lloyd's as [[trainPqCodebooks]]; pass the result to
+    * [[ivfAdcTopK]] with `byResidual = true` (and the SAME `centroids`).
+    */
+  def trainPqCodebooksResidual(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                               m: Int, k: Int, dim: Int, iters: Int = 10,
+                               sampleN: Int = 4096, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    val sample = collectSample(corpus, sampleN, idCol, vecCol)
+    require(sample.nonEmpty, "empty corpus")
+    val residuals = sample.map { v =>
+      val cent = centroids(nearestCellDriver(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - cent(i))
+    }
+    (0 until m).map { mi =>
+      val sliced = residuals.map(v => v.slice(mi * sub, (mi + 1) * sub))
+      lloyd(sliced, k, iters).map(_.toSeq).toSeq
+    }
+  }
+
   /** The `nProbe` nearest coarse cells of vector `v`, by descending
     * round(cosine, 6) with ties to the SMALLEST cell id (struct sort on
     * (cos, −cell), reversed) — deterministic and SQL-replayable.
@@ -510,15 +560,30 @@ object Similarity {
                  centroids: Seq[Seq[Double]],
                  codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 4,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 queryIdCol: String = "query_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      pqCodes(col(vecCol), codebooks).as("codes"),
-      element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
+                 queryIdCol: String = "query_id",
+                 byResidual: Boolean = false): DataFrame = {
+    val cents = typedLit(centroids)
+    // residual mode (codebooks from trainPqCodebooksResidual): corpus rows
+    // encode v − centroid[cell]; the query side subtracts the PROBED
+    // cell's centroid, so ADC compares residuals in the same frame —
+    // still one linear projection per side, no extra shuffle.
+    def residual(v: Column, cell: Column): Column =
+      zip_with(VectorFunctions.asDouble(v),
+        element_at(cents, (cell + 1).cast("int")), (a, b) => a - b)
+    val c = {
+      val base = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
+      val enc = if (byResidual) residual(col("_v"), col("cell")) else col("_v")
+      base.select(col("id"), pqCodes(enc, codebooks).as("codes"), col("cell"))
+    }
+    val q0 = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("qv"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val q = if (byResidual)
+      q0.withColumn("qres", residual(col("qv"), col("cell"))) else q0
     val scored = c.join(broadcast(q), Seq("cell"))
-      .withColumn("dist", round(adcDist(codebooks), 6))
+      .withColumn("dist",
+        round(adcDist(codebooks, if (byResidual) "qres" else "qv"), 6))
     saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
   }

@@ -268,6 +268,41 @@ class SimilaritySpec extends SparkSpec {
     assert(full == flat, "all-cells IVF-ADC diverged from the flat PQ scan")
   }
 
+  test("residual PQ codebooks (IVFADC by_residual) at the same m x k budget") {
+    val cents = Similarity.sampledKMeans(embeddings, kCells = 8, iters = 10)
+    val raw = Similarity.trainPqCodebooks(embeddings, m = 8, k = 16,
+      dim = 64, iters = 10)
+    val res = Similarity.trainPqCodebooksResidual(embeddings, cents,
+      m = 8, k = 16, dim = 64, iters = 10)
+    val queries = embeddings.filter($"vec_id" < 5)
+    def recallOf(cbs: Seq[Seq[Seq[Double]]], byResidual: Boolean): Double = {
+      val got = Similarity.ivfAdcTopK(embeddings, queries, cents, cbs,
+          k = 10, nProbe = 8, queryIdCol = "vec_id",
+          byResidual = byResidual).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+      val vecs = embeddings.orderBy("vec_id").collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      val byId = vecs.toMap
+      def l2(a: Array[Double], b: Array[Double]): Double =
+        a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+      (0L until 5L).map { qid =>
+        val exact = vecs.map { case (id, v) => (l2(byId(qid), v), id) }
+          .sortBy(identity).take(10).map(_._2).toSet
+        (got(qid) & exact).size / 10.0
+      }.sum / 5.0
+    }
+    val (rRaw, rRes) = (recallOf(raw, byResidual = false),
+      recallOf(res, byResidual = true))
+    info(f"ADC recall@10, all cells probed: raw $rRaw%.2f vs residual $rRes%.2f (m=8, k=16)")
+    // residual quantization must not lose recall at the same budget (on
+    // clustered data it gains; these synthetic embeddings bound the win)
+    assert(rRes >= rRaw - 1e-9,
+      f"residual recall $rRes%.2f fell below raw $rRaw%.2f")
+    assert(rRes >= 0.3, f"residual recall $rRes%.2f collapsed")
+  }
+
   // ------------------------------------------------------------ kNN graph
   test("knnGraph: corpus-wide neighbors recall exact cosine top-k") {
     val k = 5
