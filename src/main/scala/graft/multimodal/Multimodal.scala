@@ -150,6 +150,71 @@ object Multimodal {
       }
   }
 
+  /** One resized raster: integer stats of the target raster (q58/q77
+    * discipline — SQL-recomputable) plus the re-encoded Netpbm payload for
+    * downstream stages.
+    */
+  final case class MediaResized(media_id: Long, container: String,
+                                width: Int, height: Int, channels: Int,
+                                n_values: Long, v_sum: Long, v_min: Long,
+                                v_max: Long, payload: Array[Byte])
+
+  /** Nearest-neighbor resize over REAL decoded rasters — the standard
+    * image-normalization step of a multimodal training pipeline (every
+    * image to a fixed (outW, outH) before feature extraction / hashing).
+    * Target pixel (x, y, c) samples source
+    * ((y·srcH)/outH, (x·srcW)/outW, c) with integer floor division —
+    * deterministic, channel-preserving, and exactly replayable in SQL, so
+    * the driver query's oracle recomputes the resized raster from the
+    * generation formulas (q82). Per-partition batch transform like
+    * [[decodeMedia]]; non-raster containers become explicit `"unknown"`
+    * rows and malformed rasters `"error"` rows — never aborts.
+    */
+  def resizeNetpbm(spark: SparkSession, media: DataFrame,
+                   outW: Int, outH: Int): Dataset[MediaResized] = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try Codecs.sniff(payload) match {
+            case c @ ("ppm" | "pgm") =>
+              val img = Codecs.decodeNetpbm(payload)
+              val ch = img.channels
+              val tgt = new Array[Int](outW * outH * ch)
+              var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              var y = 0
+              while (y < outH) {
+                val sy = y * img.height / outH
+                var x = 0
+                while (x < outW) {
+                  val sx = x * img.width / outW
+                  var cc = 0
+                  while (cc < ch) {
+                    val p = img.pixels((sy * img.width + sx) * ch + cc)
+                    tgt((y * outW + x) * ch + cc) = p
+                    s += p; if (p < mn) mn = p; if (p > mx) mx = p
+                    cc += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              MediaResized(id, c, outW, outH, ch, tgt.length.toLong, s, mn,
+                mx, Codecs.encodeNetpbm(outW, outH, ch, tgt))
+            case _ =>
+              MediaResized(id, "unknown", 0, 0, 0, payload.length.toLong,
+                0L, 0L, 0L, Array.emptyByteArray)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              MediaResized(id, "error", 0, 0, 0, payload.length.toLong,
+                0L, 0L, 0L, Array.emptyByteArray)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameBytes` chunks, keep every `stride`-th.
     *

@@ -1467,7 +1467,51 @@ object CorpusQueries {
         |  FROM scored)
         |SELECT id, nb AS neighbor, round(cos, 4) AS cos, rank
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin
-      })
+      }),
+
+    // Nearest-neighbor image resize over the REAL decode path (the
+    // fixed-size normalization step before feature extraction): P5 rasters
+    // synthesized from doc_id formulas (q77's generator), resized to 6x4,
+    // integer stats of the target raster. The oracle recomputes the
+    // sampled source coordinates ((y*h)//4, (x*w)//6) and pixel formula
+    // directly — an off-by-one in the sampling or raster indexing breaks
+    // the hash (q58 discipline).
+    QueryDef("q82_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val seed = id % 100; val shift = (id / 100).toInt
+              val w = (8 + seed % 8).toInt; val h = (8 + seed % 5).toInt
+              val px = Array.tabulate(w * h)(j =>
+                ((seed * 13 + j * 5 + shift) % 256).toInt)
+              (id, Codecs.encodeNetpbm(w, h, 1, px))
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.resizeNetpbm(s, media, outW = 6, outH = 4).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("channels"), col("n_values"), col("v_sum"), col("v_min"),
+            col("v_max"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id AS id, doc_id % 100 AS seed, doc_id // 100 AS shift
+        |  FROM documents),
+        |d AS (SELECT id, seed, shift, 8 + seed % 8 AS w, 8 + seed % 5 AS h FROM p),
+        |g AS (
+        |  SELECT id,
+        |    (seed * 13
+        |     + (((ys.y * h) // 4) * w + ((xs.x * w) // 6)) * 5
+        |     + shift) % 256 AS px
+        |  FROM d, (SELECT unnest(generate_series(0, 5)) AS x) xs,
+        |          (SELECT unnest(generate_series(0, 3)) AS y) ys)
+        |SELECT id AS media_id, 6::INT AS width, 4::INT AS height,
+        |  1::INT AS channels, count(*)::BIGINT AS n_values,
+        |  sum(px)::BIGINT AS v_sum, min(px)::BIGINT AS v_min,
+        |  max(px)::BIGINT AS v_max
+        |FROM g GROUP BY id ORDER BY media_id""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -83,6 +83,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeNetpbm: nearest-neighbor sampling, channels preserved, " +
+       "identity resize is lossless, bad payloads become error rows") {
+    // 4x2 RGB source with distinct per-pixel values
+    val src = Array.tabulate(4 * 2 * 3)(identity)
+    val ppm = Codecs.encodeNetpbm(4, 2, 3, src)
+    val rows = Multimodal.resizeNetpbm(spark,
+      Seq((1L, ppm), (2L, "not an image".getBytes("UTF-8")))
+        .toDF("media_id", "payload"), outW = 2, outH = 1).collect()
+      .map(r => r.media_id -> r).toMap
+    val r1 = rows(1L)
+    assert((r1.container, r1.width, r1.height, r1.channels) == (("ppm", 2, 1, 3)))
+    val out = Codecs.decodeNetpbm(r1.payload)
+    // target (x, y) samples source (x*4/2, y*2/1) = pixels (0,0) and (2,0)
+    assert(out.pixels.toSeq == (src.slice(0, 3) ++ src.slice(6, 9)).toSeq)
+    assert(r1.n_values == 6 && r1.v_sum == out.pixels.map(_.toLong).sum)
+    assert(rows(2L).container == "unknown")
+
+    // identity resize reproduces the raster exactly
+    val same = Multimodal.resizeNetpbm(spark,
+      Seq((3L, ppm)).toDF("media_id", "payload"), outW = 4, outH = 2)
+      .collect().head
+    assert(Codecs.decodeNetpbm(same.payload).pixels.toSeq == src.toSeq)
+  }
+
   // ----------------------------------------------------------- codecs ---
 
   test("Netpbm PPM/PGM roundtrip recovers dims and raster exactly") {
