@@ -1511,7 +1511,107 @@ object CorpusQueries {
         |  1::INT AS channels, count(*)::BIGINT AS n_values,
         |  sum(px)::BIGINT AS v_sum, min(px)::BIGINT AS v_min,
         |  max(px)::BIGINT AS v_max
-        |FROM g GROUP BY id ORDER BY media_id""".stripMargin))
+        |FROM g GROUP BY id ORDER BY media_id""".stripMargin)),
+
+    // Residual-mode IVF-ADC (FAISS by_residual, the production
+    // configuration): codebooks train on v - assigned-centroid residuals,
+    // the corpus encodes residuals, queries subtract the probed cell's
+    // centroid. Both quantizers at the deterministic iters=0 init, so the
+    // oracle rebuilds centroids, assigns the SAMPLE to cells, derives the
+    // residual codebooks, and replays encode + per-probed-cell ADC.
+    QueryDef("q83_ivf_adc_residual",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cents = Similarity.sampledKMeans(emb, kCells = 16, iters = 0,
+          sampleN = 4096)
+        val cbs = Similarity.trainPqCodebooksResidual(emb, cents, m = 8,
+          k = 16, dim = 64, iters = 0, sampleN = 4096)
+        Similarity.ivfAdcTopK(emb, emb.filter(col("vec_id") < 4), cents, cbs,
+            k = 10, nProbe = 4, queryIdCol = "vec_id", byResidual = true)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def dists(mExpr: String, vExpr: String) =
+          s"""list_transform(generate_series(1, 16), k ->
+          |      list_reduce(list_transform(generate_series(1, 8), i ->
+          |        ($vExpr[$mExpr*8 + i] - cb[$mExpr+1][k][i]) * ($vExpr[$mExpr*8 + i] - cb[$mExpr+1][k][i])),
+          |        (a, b) -> a + b))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM e ORDER BY vec_id LIMIT 4096),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM samp),
+        |ivfc AS (
+        |  SELECT (samp.rn // st.step)::BIGINT AS cell, samp.v AS cv
+        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 16),
+        |sasg AS (
+        |  SELECT rn, v, cell FROM (
+        |    SELECT s.rn, s.v, i.cell,
+        |      row_number() OVER (PARTITION BY s.rn ORDER BY
+        |        round(list_dot_product(s.v, i.cv) /
+        |          greatest(sqrt(list_dot_product(s.v, s.v))
+        |                   * sqrt(list_dot_product(i.cv, i.cv)), 1e-300), 6) DESC,
+        |        i.cell) AS rnk
+        |    FROM samp s, ivfc i) WHERE rnk = 1),
+        |sres AS (
+        |  SELECT sa.rn,
+        |    list_transform(generate_series(1, 64), i -> sa.v[i] - i2.cv[i]) AS rv
+        |  FROM sasg sa JOIN ivfc i2 ON i2.cell = sa.cell),
+        |cbsub AS (
+        |  SELECT ms.m, (r.rn // st.step) AS k0,
+        |         list_transform(generate_series(1, 8), i -> r.rv[ms.m*8 + i]) AS cvec
+        |  FROM sres r, st, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  WHERE r.rn % st.step = 0 AND r.rn // st.step < 16),
+        |cbl AS (
+        |  SELECT list(kl ORDER BY m) AS cb FROM (
+        |    SELECT m, list(cvec ORDER BY k0) AS kl FROM cbsub GROUP BY m)),
+        |cosc AS (
+        |  SELECT e.vec_id, i.cell,
+        |    round(list_dot_product(e.v, i.cv) /
+        |      greatest(sqrt(list_dot_product(e.v, e.v))
+        |               * sqrt(list_dot_product(i.cv, i.cv)), 1e-300), 6) AS cosr
+        |  FROM e, ivfc i),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc) WHERE rnk = 1),
+        |eres AS (
+        |  SELECT e.vec_id, a.cell,
+        |    list_transform(generate_series(1, 64), i -> e.v[i] - i2.cv[i]) AS rv
+        |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+        |         JOIN ivfc i2 ON i2.cell = a.cell),
+        |codes AS (
+        |  SELECT er.vec_id AS id, er.cell,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_position(${dists("m", "er.rv")}, list_min(${dists("m", "er.rv")})) - 1) AS codes
+        |  FROM eres er, cbl),
+        |qprobe AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc WHERE vec_id < 4) WHERE rnk <= 4),
+        |qres AS (
+        |  SELECT qp.qid, qp.cell,
+        |    list_transform(generate_series(1, 64), i -> q.v[i] - i2.cv[i]) AS qrv
+        |  FROM qprobe qp JOIN e q ON q.vec_id = qp.qid
+        |                 JOIN ivfc i2 ON i2.cell = qp.cell),
+        |scored AS (
+        |  SELECT qr.qid, c.id,
+        |    round(list_reduce(list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), i ->
+        |        (qr.qrv[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])
+        |          * (qr.qrv[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b), 6) AS dist
+        |  FROM qres qr JOIN codes c ON c.cell = qr.cell, cbl),
+        |ranked AS (
+        |  SELECT qid AS query_id, id, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+      })
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
