@@ -573,8 +573,19 @@ object Similarity {
     val c = {
       val base = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
         element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
-      val enc = if (byResidual) residual(col("_v"), col("cell")) else col("_v")
-      base.select(col("id"), pqCodes(enc, codebooks).as("codes"), col("cell"))
+      if (byResidual)
+        // the residual must be its OWN projection: pqCodes reads its input
+        // m·k·sub times, and an inline zip_with would be re-evaluated per
+        // read (measured 8× slower at sf0.1). As a multiply-referenced
+        // non-trivial alias it survives CollapseProject, so the subtract
+        // runs once per row.
+        base.select(col("id"), residual(col("_v"), col("cell")).as("_res"),
+            col("cell"))
+          .select(col("id"), pqCodes(col("_res"), codebooks).as("codes"),
+            col("cell"))
+      else
+        base.select(col("id"), pqCodes(col("_v"), codebooks).as("codes"),
+          col("cell"))
     }
     val q0 = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("qv"),
