@@ -144,11 +144,19 @@ object VectorFunctions {
     * (xxhash64), each of the 64 bit positions accumulates +1/-1, sign of
     * the sum is the output bit. Near-identical documents differ in few bits.
     */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
+  def simhash(tokensCol: Column): Column =
+    simhashFromHashes(transform(tokensCol, t => xxhash64(t)))
+
+  /** [[simhash]] over PRE-HASHED tokens (array<long>). The 64 per-bit
+    * folds each read the input column — feed a MATERIALIZED column (its
+    * own projection alias), or an inline token-hashing expression is
+    * re-evaluated 64× per row (the CollapseProject inline-vs-materialize
+    * rule; same hazard class as the q83 residual fix).
+    */
+  def simhashFromHashes(hashesCol: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(
-        hashes, lit(0L),
+        hashesCol, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
@@ -173,12 +181,21 @@ object VectorFunctions {
     * shingle strings. h_i(x) = (a_i * xxhash64(x) + b_i) mod p, minimized
     * over shingles. Empty shingle sets get p (sentinel max).
     */
-  def minhashSignature(shinglesCol: Column, nHashes: Int): Column = {
-    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
+  def minhashSignature(shinglesCol: Column, nHashes: Int): Column =
+    minhashSignatureFromReduced(
+      transform(shinglesCol, s => pmod(xxhash64(s), lit(MinhashPrime))),
+      nHashes)
+
+  /** [[minhashSignature]] over an ALREADY-REDUCED hash array (elements =
+    * pmod(xxhash64(shingle), p)). The nHashes folds each read the input —
+    * feed a MATERIALIZED column or the reduction is re-evaluated nHashes×
+    * per row (see [[simhashFromHashes]]).
+    */
+  def minhashSignatureFromReduced(reducedCol: Column, nHashes: Int): Column = {
     val sigs = (0 until nHashes).map { i =>
       val (a, b) = minhashCoeffs(i)
       aggregate(
-        base, lit(MinhashPrime),
+        reducedCol, lit(MinhashPrime),
         (acc, h) => least(acc, pmod(h * a + b, lit(MinhashPrime))))
     }
     array(sigs: _*)

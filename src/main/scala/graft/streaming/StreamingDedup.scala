@@ -100,13 +100,16 @@ object StreamingDedup {
     import spark.implicits._
     import graft.functions.VectorFunctions
     val rowsPerBand = nHashes / nBands
-    val sig = VectorFunctions.minhashSignature(
-      TextFunctions.shingleHashes(col(textCol), shingleSize), nHashes)
+    // the reduced shingle-hash array is materialized in its OWN projection:
+    // the nHashes signature folds each read it, and an inline expression
+    // would re-shingle the document nHashes× per row
     val banded = docs
       .select(col(idCol).cast("long").as("id"),
-        size(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("_nsh"),
-        sig.as("sig"))
-      .filter(col("_nsh") > 0)
+        transform(TextFunctions.shingleHashes(col(textCol), shingleSize),
+          s => pmod(xxhash64(s), lit(VectorFunctions.MinhashPrime))).as("_mh"))
+      .filter(size(col("_mh")) > 0)
+      .select(col("id"),
+        VectorFunctions.minhashSignatureFromReduced(col("_mh"), nHashes).as("sig"))
       .withColumn("band",
         explode(VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)))
       .select(col("band"), col("id"), col("sig"))
@@ -175,10 +178,13 @@ object StreamingDedup {
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
     docs
+      // token hashes materialized first: the 64 per-bit vote folds each
+      // read the array, so an inline tokenize+hash would run 64× per row
       .select(col(idCol).cast("long").as("id"),
-        VectorFunctions.simhash(TextFunctions.tokens(col(textCol))).as("sh"),
-        TextFunctions.tokenCount(col(textCol)).as("_ntok"))
-      .filter(col("_ntok") > 0)
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+      .filter(size(col("_th")) > 0)
+      .select(col("id"),
+        VectorFunctions.simhashFromHashes(col("_th")).as("sh"))
       .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
       .select(col("band"),
         org.apache.spark.sql.functions.expr(s"shiftright(sh, band * $bandBits) & $mask").as("bucket"),
