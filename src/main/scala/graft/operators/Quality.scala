@@ -54,7 +54,8 @@ object Quality {
   def gopherStats(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
                   minWords: Int = 50, maxWords: Int = 100000,
-                  minStopHits: Int = 2): DataFrame = {
+                  minStopHits: Int = 2,
+                  keepCols: Seq[String] = Nil): DataFrame = {
     val text = col(textCol)
     val nWords = TextFunctions.tokenCount(text)
     val denom = greatest(nWords, lit(1)).cast("double")
@@ -63,18 +64,20 @@ object Quality {
     val symRatio = symbolCount(text) / denom
     val stopHits = TextFunctions.EnStopwords
       .map(w => TextFunctions.wordOccurrences(text, w)).reduce(_ + _)
+    // keepCols ride along so callers that need the text (or any payload
+    // column) next to the stats don't pay a self-join to re-attach it
     docs.select(
-      col(idCol),
-      nWords.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(alphaFrac, 6).as("alpha_frac"),
-      round(symRatio, 6).as("symbol_ratio"),
-      stopHits.as("stop_hits"),
-      (nWords.between(minWords, maxWords) &&
-        meanLen.between(3.0, 10.0) &&
-        alphaFrac >= 0.8 &&
-        symRatio <= 0.1 &&
-        stopHits >= minStopHits).as("gopher_pass"))
+      (col(idCol) +: keepCols.map(col)) ++ Seq(
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        round(symRatio, 6).as("symbol_ratio"),
+        stopHits.as("stop_hits"),
+        (nWords.between(minWords, maxWords) &&
+          meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 &&
+          symRatio <= 0.1 &&
+          stopHits >= minStopHits).as("gopher_pass")): _*)
   }
 
   // ------------------------------------------------------------------- PII

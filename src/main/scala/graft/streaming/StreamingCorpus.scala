@@ -45,11 +45,13 @@ object StreamingCorpus {
   private[graft] def qualityProjection(docs: DataFrame, minWords: Int,
                                        minStopHits: Int,
                                        minLineWords: Int): DataFrame = {
-    val gopher = Quality.gopherStats(docs, textCol = "text", idCol = "id",
-      minWords = minWords, minStopHits = minStopHits)
+    // ONE stateless projection per micro-batch: text rides through
+    // gopherStats via keepCols (a stats-then-self-join to re-attach it
+    // would cost a hash join every trigger)
     val cleaned = Quality.c4CleanText(col("text"), minLineWords)
-    docs.select(col("id"), col("text"))
-      .join(gopher, Seq("id"))
+    Quality.gopherStats(docs, textCol = "text", idCol = "id",
+        minWords = minWords, minStopHits = minStopHits,
+        keepCols = Seq("text"))
       .filter(col("gopher_pass"))
       .select(
         col("id").as("doc_id"),
