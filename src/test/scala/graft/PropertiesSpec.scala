@@ -31,6 +31,46 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase top-k equals naive ranking on random vectors") {
+    // bruteForceTopK's selection is the shared saltedTopK used by every
+    // ANN ranking; the property pins its EXACTNESS (phase 1 is lossless,
+    // phase 2 reranks identically) against a driver-side sort, across
+    // random corpora, query counts, and k — including k larger than the
+    // corpus and heavy cosine ties (many identical vectors).
+    val rnd = new scala.util.Random(7)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+    }
+    for (trial <- 1 to 4) {
+      val dim = 4
+      val n = 20 + rnd.nextInt(60)
+      val base = Array.fill(6)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+      // half the corpus duplicates a base vector exactly → tied cosines
+      val corpus = (0L until n.toLong).map { i =>
+        if (i % 2 == 0) (i, base(rnd.nextInt(base.length)))
+        else (i, Seq.fill(dim)(rnd.nextDouble() - 0.5))
+      }
+      val k = Seq(1, 3, n + 5)(trial % 3)
+      val queries = corpus.take(3).map { case (id, v) => (id, v) }
+      val got = graft.operators.Similarity.bruteForceTopK(
+          corpus.toDF("vec_id", "embedding"),
+          queries.toDF("query_id", "embedding"), k = k).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+      val want = queries.flatMap { case (qid, qv) =>
+        corpus.map { case (id, v) => (cos(qv, v), id) }
+          .sortBy { case (c, id) => (-c, id) }
+          .take(k).zipWithIndex
+          .map { case ((_, id), r) => (qid, r + 1) -> id }
+      }.toMap
+      assert(got == want, s"trial $trial (n=$n, k=$k)")
+    }
+  }
+
   test("mask composition: subtract always wins over earlier adds") {
     val grid = (for (y <- 0 until 16; x <- 0 until 16) yield (x, y)).toDF("x", "y")
     val regions = Seq(
