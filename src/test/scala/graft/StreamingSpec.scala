@@ -499,6 +499,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online near-dup admission: greedy first-seen-wins across batches, " +
+       "idempotent under batch replay") {
+    val stateDir = Files.createTempDirectory("ond-state").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      1L -> base,
+      2L -> "completely unrelated text about spark partitions and shuffles",
+      3L -> base.replace("mu", "muon"),       // near 1 → dropped
+      5L -> base,                              // exact copy of 1 → dropped
+      6L -> base.replace("sigma", "sigmaprime"), // near 1 → dropped
+      7L -> "xy",                              // no shingles → always admitted
+      9L -> "another unrelated document mentioning catalyst and codegen")
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(5L, 6L), Seq(7L, 9L))
+    def df(ids: Seq[Long]) =
+      docs.filter(p => ids.contains(p._1)).toDF("doc_id", "text")
+
+    // greedy reference over the batch blocker's pair relation (id order)
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs.toDF("doc_id", "text"), nHashes = 32, nBands = 16,
+        threshold = 0.6).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val matchedBy = pairs.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).toSet }
+    val keptRef = scala.collection.mutable.Set[Long]()
+    docs.map(_._1).sorted.foreach { id =>
+      if (!matchedBy.getOrElse(id, Set.empty).exists(keptRef)) keptRef += id
+    }
+    assert(keptRef.toSet == Set(1L, 2L, 7L, 9L), s"fixture drifted: $keptRef")
+
+    var admittedAll = Set.empty[Long]
+    batches.foreach { ids =>
+      val r = graft.streaming.OnlineNearDup.processBatch(spark, df(ids),
+        stateDir, nHashes = 32, nBands = 16, threshold = 0.6)
+      admittedAll ++= r.admitted.select("doc_id").collect().map(_.getLong(0))
+      assert(r.nReplayed == 0)
+    }
+    assert(admittedAll == keptRef.toSet,
+      s"online admitted $admittedAll != greedy reference $keptRef")
+
+    // replaying batch 2 is a no-op (ids already in state - incl. dropped?
+    // no: dropped ids are NOT in state, so they are re-evaluated against
+    // the same kept set and dropped again; admitted stays fixed)
+    val replay = graft.streaming.OnlineNearDup.processBatch(spark,
+      df(batches(1)), stateDir, nHashes = 32, nBands = 16, threshold = 0.6)
+    assert(replay.nAdmitted == 0, "replay admitted previously-dropped docs")
+    // replaying batch 3 (all admitted, incl. the signature-less doc 7)
+    val replay3 = graft.streaming.OnlineNearDup.processBatch(spark,
+      df(batches(2)), stateDir, nHashes = 32, nBands = 16, threshold = 0.6)
+    assert(replay3.nReplayed == 2 && replay3.nAdmitted == 0,
+      "replayed batch re-admitted documents")
+  }
+
   test("streaming exact dedup admits each fingerprint once across batches") {
     val inDir = Files.createTempDirectory("sdedup-in").toString
     // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
