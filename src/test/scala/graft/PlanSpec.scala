@@ -159,6 +159,36 @@ class PlanSpec extends SparkSpec {
     // scoring: the cell equi-join must broadcast the probe side
     assert(plans("q79_ivf_adc_ann").contains("BroadcastHashJoin"),
       "q79 lost the broadcast cell join")
+
+    // entry points without a registry query keep the same contract:
+    // multi-table LSH, the kNN self-join, and residual-mode IVF-ADC must
+    // all rank in salted bounded windows
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Seq.tabulate(4)(i => Seq.tabulate(64)(d =>
+        if (d % 4 == i) 1.0 else 0.0))
+      val cbs = Seq.fill(8)(Seq.fill(4)(Seq.fill(8)(0.25)))
+      val direct = Seq(
+        "lshTopKMulti" -> Similarity.lshTopKMulti(emb, qs, k = 5, dim = 64,
+          nBits = 3, nTables = 2),
+        "knnGraph" -> Similarity.knnGraph(emb, k = 3, dim = 64, nBits = 3,
+          nTables = 2),
+        "ivfAdcTopK(residual)" -> Similarity.ivfAdcTopK(emb, qs, cents, cbs,
+          k = 5, nProbe = 2, byResidual = true))
+      for ((name, df) <- direct) {
+        val windows = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+          s"$name: unpartitioned ranking window")
+        assert(windows.exists(_.partitionSpec.size >= 2),
+          s"$name: lost the salted phase-1 window")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("aggregations are partial (map-side combine before the shuffle)") {
