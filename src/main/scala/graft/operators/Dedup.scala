@@ -282,12 +282,29 @@ object Dedup {
     * signatures → band keys → explode → self-join on band → distinct
     * (idA < idB) pairs with estimated Jaccard ≥ `threshold`. Only
     * same-band groups shuffle — never the n² cross product.
+    *
+    * HOT BUCKETS: a band bucket of B members emits B(B−1)/2 candidate
+    * rows, and on duplicate-heavy crawl data the biggest buckets are the
+    * near-identical ones — one boilerplate page duplicated 10⁷ times
+    * would put ~10¹⁴ rows in one task. Content-based sub-splitting cannot
+    * break a bucket of IDENTICAL signatures, so any bucket over
+    * `maxBucketSize` degrades to a STAR: members pair only with the
+    * bucket's min id (a skew-safe `min` aggregation + linear join,
+    * exactly B−1 candidates). Star pairs still verify by estimated
+    * Jaccard, and downstream connected-component resolution
+    * ([[graft.operators.Clusters]], the q55/q59 path) recovers the
+    * duplicate class through the hub — in a hot bucket the members are
+    * near-identical, so hub edges pass the threshold. What star reporting
+    * gives up is pairs BETWEEN two non-min members that match each other
+    * but not the hub — rare inside an over-cap bucket, and a price only
+    * paid above the cap. `maxBucketSize <= 0` disables the cap.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", shingleSize: Int = 3,
                       nHashes: Int = 32, nBands: Int = 8,
                       threshold: Double = 0.6,
-                      verifiable: Boolean = false): DataFrame = {
+                      verifiable: Boolean = false,
+                      maxBucketSize: Int = 4096): DataFrame = {
     val rowsPerBand = nHashes / nBands
     // (measured: persisting `sigs` here is a net loss — Spark's exchange
     // reuse already shares the aggregation across the three readers)
@@ -305,20 +322,40 @@ object Dedup {
         }: _*)
       else VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)
     val banded = sigs.withColumn("band", explode(bandKeys))
-    val a = banded.select(col("band"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"))
     // Distinct candidate pairs first (a pair colliding in k bands appears k
     // times), THEN one signature comparison per pair.
-    val pairs = a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val pairs = bandCandidates(banded, maxBucketSize)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Distinct (id_a < id_b) candidate pairs from exploded (band, id) rows
+    * with the hot-bucket star cap described on [[minhashLshPairs]]. Spec
+    * hook — DedupSpec counts candidates on a degenerate corpus.
+    */
+  private[graft] def bandCandidates(banded: DataFrame,
+                                    maxBucketSize: Int): DataFrame = {
+    val raw =
+      if (maxBucketSize <= 0)
+        banded.select(col("band"), col("id").as("id_a"))
+          .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      else {
+        val stats = banded.groupBy(col("band"))
+          .agg(count(lit(1)).as("_bsz"), min(col("id")).as("_bmin"))
+        val sized = banded.join(stats, Seq("band"))
+        val small = sized.filter(col("_bsz") <= maxBucketSize)
+        val smallPairs = small.select(col("band"), col("id").as("id_a"))
+          .join(small.select(col("band"), col("id").as("id_b")), Seq("band"))
+        val hotPairs = sized.filter(col("_bsz") > maxBucketSize)
+          .select(col("_bmin").as("id_a"), col("id").as("id_b"))
+        smallPairs.select(col("id_a"), col("id_b")).union(hotPairs)
+      }
+    raw.filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** SimHash values at corpus scale: explode tokens, hash once, ONE hash

@@ -615,13 +615,31 @@ object Similarity {
     * Every stage is a bounded-group shuffle; no broadcast of anything
     * corpus-sized, no window over an unbounded partition.
     *
+    * HOT BUCKETS: a bucket of B members emits B² candidate rows, and on
+    * duplicate-heavy crawl data — exactly the corpus a k-NN graph serves —
+    * the biggest buckets are the near-identical ones, so one degenerate
+    * bucket concentrates quadratic work in one task. Content-based
+    * sub-splitting (the SemDeDup [[clusterSubBuckets]] trick) cannot help
+    * here: identical vectors have identical signatures no matter how many
+    * bits are appended. Instead, any bucket over `maxBucketSize` degrades
+    * to a STAR: every member pairs only with the bucket's min-id member
+    * (both directions, so each member still receives an edge). That is a
+    * skew-safe `min` aggregation plus a linear join — per-bucket candidate
+    * rows are ≤ maxBucketSize² for small buckets and exactly 2(B−1) for
+    * hot ones. In a hot bucket members are near-identical, so the star
+    * edges carry cos ≈ 1 and connected components recover the closure;
+    * non-min members see k-fewer distinct neighbors from that bucket,
+    * which only matters for corpora that are ONE giant duplicate class.
+    * `maxBucketSize <= 0` disables the cap (the pre-round-8 behavior).
+    *
     * Output: (id, neighbor, cos, rank), rank 1..k per id, both directions
     * present (the bucket join is symmetric). Recall is tuned by
     * nBits/nTables exactly as for [[lshTopKMulti]].
     */
   def knnGraph(embeddings: DataFrame, k: Int, dim: Int, nBits: Int = 6,
                nTables: Int = 8, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               maxBucketSize: Int = 4096): DataFrame = {
     val tables = (0 until nTables).map { t =>
       val bits = (0 until nBits).map { j =>
         when(VectorFunctions.hyperplaneBit(col(vecCol), t * nBits + j, dim) === 1,
@@ -632,12 +650,7 @@ object Similarity {
     val sigs = embeddings
       .select(col(idCol).as("id"), explode(array(tables: _*)).as("_tb"))
       .select(col("id"), col("_tb.t").as("_t"), col("_tb.bucket").as("bucket"))
-    val cand = sigs
-      .join(sigs.select(col("_t"), col("bucket"), col("id").as("nb")),
-        Seq("_t", "bucket"))
-      .filter(col("id") =!= col("nb"))
-      .select(col("id"), col("nb"))
-      .distinct()
+    val cand = knnCandidates(sigs, maxBucketSize)
     val vtab = embeddings.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("_v"))
     val scored = cand
@@ -646,5 +659,32 @@ object Similarity {
       .withColumn("cos", VectorFunctions.cosine(col("_v"), col("_nv")))
     saltedTopK(scored, k, Seq(col("cos").desc, col("nb")), "nb", "id")
       .select(col("id"), col("nb").as("neighbor"), col("cos"), col("rank"))
+  }
+
+  /** Distinct candidate (id, nb) pairs from the (table, bucket) signature
+    * rows, with the hot-bucket star cap described on [[knnGraph]]. Spec
+    * hook — SimilaritySpec counts candidates on a degenerate corpus.
+    */
+  private[graft] def knnCandidates(sigs: DataFrame,
+                                   maxBucketSize: Int): DataFrame = {
+    val raw =
+      if (maxBucketSize <= 0)
+        sigs.join(sigs.select(col("_t"), col("bucket"), col("id").as("nb")),
+          Seq("_t", "bucket"))
+      else {
+        val stats = sigs.groupBy(col("_t"), col("bucket"))
+          .agg(count(lit(1)).as("_bsz"), min(col("id")).as("_bmin"))
+        val sized = sigs.join(stats, Seq("_t", "bucket"))
+        val small = sized.filter(col("_bsz") <= maxBucketSize)
+        val smallPairs = small
+          .join(small.select(col("_t"), col("bucket"), col("id").as("nb")),
+            Seq("_t", "bucket"))
+        val hot = sized.filter(col("_bsz") > maxBucketSize &&
+          col("id") =!= col("_bmin"))
+        smallPairs.select(col("id"), col("nb"))
+          .union(hot.select(col("id"), col("_bmin").as("nb")))
+          .union(hot.select(col("_bmin").as("id"), col("id").as("nb")))
+      }
+    raw.filter(col("id") =!= col("nb")).select(col("id"), col("nb")).distinct()
   }
 }

@@ -27,6 +27,71 @@ object CorpusQueries {
   private def stopHitsSql: String =
     TextFunctions.EnStopwords.map(w => occSql("p", w)).mkString(" + ")
 
+  /** The boilerplate page q84 clones onto a third of the corpus (no SQL
+    * metacharacters — it is inlined into the DuckDB oracle verbatim).
+    */
+  private val CloneText =
+    "terms of service copyright all rights reserved please enable " +
+      "javascript to continue reading this page"
+
+  /** DuckDB replay of [[Dedup.minhashLshPairs]] in verifiable mode over an
+    * arbitrary (doc_id, text) corpus query: rolling-hash shingles →
+    * universal-hash signature minima → band keys → candidate pairs with
+    * the hot-bucket star cap (buckets over `maxBucketSize` pair members
+    * with the bucket min only) → estimated-Jaccard verification.
+    */
+  private def minhashLshOracle(corpusSql: String, threshold: Double,
+                               maxBucketSize: Int): String = {
+    val p = VectorFunctions.MinhashPrime
+    val mins = (0 until 32).map { i =>
+      val (a, b) = VectorFunctions.minhashCoeffs(i)
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 8).map { bnd =>
+      val cols = (0 until 4).map(r => s"m${bnd * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, '${bnd}_' || $cols AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 32)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH corpus AS ($corpusSql),
+      |tok AS (
+      |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+      |        (x, i) -> {'p': i,
+      |                   'h': ('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007})) AS u
+      |    FROM corpus)),
+      |led AS (
+      |  SELECT doc_id, h AS h1,
+      |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2,
+      |         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h3
+      |  FROM tok),
+      |hashed AS (
+      |  SELECT DISTINCT doc_id,
+      |         (((h1 * 1000003 + h2) % 1000000007) * 1000003 + h3) % 1000000007 AS h
+      |  FROM led WHERE h3 IS NOT NULL),
+      |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+      |bands AS ($bandSelects),
+      |bstats AS (SELECT bk, count(*) AS bsz, min(doc_id) AS bmin
+      |           FROM bands GROUP BY bk),
+      |pairs AS (
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |    JOIN bstats st ON st.bk = a.bk AND st.bsz <= $maxBucketSize
+      |    UNION ALL
+      |    SELECT st.bmin AS id_a, b.doc_id AS id_b
+      |    FROM bands b JOIN bstats st
+      |      ON st.bk = b.bk AND st.bsz > $maxBucketSize AND st.bmin < b.doc_id)),
+      |est AS (
+      |  SELECT id_a, id_b, ($agree) / 32.0 AS est_jaccard
+      |  FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)
+      |SELECT id_a, id_b, est_jaccard FROM est
+      |WHERE est_jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text analysis: token counts, punctuation ratio, quality score.
@@ -248,56 +313,37 @@ object CorpusQueries {
 
     // MinHash+LSH near-dup candidates, in the SQL-verifiable hash family
     // (rolling-hash shingles + universal-hash permutations): the DuckDB
-    // oracle recomputes signatures, band keys, and estimated Jaccard from
-    // the raw documents. est_jaccard = k/32 is an exact binary double in
-    // both engines — emitted unrounded.
+    // oracle recomputes signatures, band keys, estimated Jaccard, AND the
+    // hot-bucket star cap from the raw documents. est_jaccard = k/32 is an
+    // exact binary double in both engines — emitted unrounded.
     QueryDef("q42_dedup_minhash",
       (s, dir) =>
         Dedup.minhashLshPairs(table(s, dir, "documents"),
             nHashes = 32, nBands = 8, threshold = 0.5, verifiable = true)
           .select(col("id_a"), col("id_b"), col("est_jaccard"))
           .orderBy("id_a", "id_b"),
-      Some {
-        val p = VectorFunctions.MinhashPrime
-        val mins = (0 until 32).map { i =>
-          val (a, b) = VectorFunctions.minhashCoeffs(i)
-          s"min((h * $a + $b) % $p) AS m$i"
-        }.mkString(",\n  ")
-        val bandSelects = (0 until 8).map { bnd =>
-          val cols = (0 until 4).map(r => s"m${bnd * 4 + r}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"SELECT doc_id, '${bnd}_' || $cols AS bk FROM sig"
-        }.mkString("\n  UNION ALL ")
-        val agree = (0 until 32)
-          .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH tok AS (
-          |  SELECT doc_id, u.p AS p, u.h AS h FROM (
-          |    SELECT doc_id,
-          |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
-          |        (x, i) -> {'p': i,
-          |                   'h': ('0x' || substring(md5(x), 1, 15))::BIGINT % 1000000007})) AS u
-          |    FROM documents)),
-          |led AS (
-          |  SELECT doc_id, h AS h1,
-          |         lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h2,
-          |         lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h3
-          |  FROM tok),
-          |hashed AS (
-          |  SELECT DISTINCT doc_id,
-          |         (((h1 * 1000003 + h2) % 1000000007) * 1000003 + h3) % 1000000007 AS h
-          |  FROM led WHERE h3 IS NOT NULL),
-          |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-          |bands AS ($bandSelects),
-          |pairs AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-          |est AS (
-          |  SELECT id_a, id_b, ($agree) / 32.0 AS est_jaccard
-          |  FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)
-          |SELECT id_a, id_b, est_jaccard FROM est
-          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(minhashLshOracle("SELECT doc_id, text FROM documents",
+        threshold = 0.5, maxBucketSize = 4096))),
+
+    // The hot-bucket star cap, oracle-EXERCISED: a third of the corpus is
+    // rewritten to one boilerplate page (the duplicate-heavy crawl shape),
+    // so with maxBucketSize = 32 every band bucket the clones share is
+    // over the cap and degrades to min-id star pairs — the engine and the
+    // oracle must agree on bucket sizes, the min member, and the star
+    // edges. The small-bucket path runs alongside on the remaining docs.
+    QueryDef("q84_lsh_hotbucket",
+      (s, dir) =>
+        Dedup.minhashLshPairs(
+            table(s, dir, "documents").select(col("doc_id"),
+              when(col("doc_id") % 3 === 0, lit(CloneText))
+                .otherwise(col("text")).as("text")),
+            nHashes = 32, nBands = 8, threshold = 0.5, verifiable = true,
+            maxBucketSize = 32)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+          .orderBy("id_a", "id_b"),
+      Some(minhashLshOracle(
+        s"SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN '$CloneText' ELSE text END AS text FROM documents",
+        threshold = 0.5, maxBucketSize = 32))),
 
     // SimHash near-dup candidates, SQL-verifiable hash family; banded
     // blocking is lossless for hamming <= 6 < 8 bands (pigeonhole).
@@ -1450,10 +1496,24 @@ object CorpusQueries {
         |  SELECT vec_id, 0 AS t, ${sigExpr(0)} AS bucket FROM e
         |  UNION ALL
         |  SELECT vec_id, 1 AS t, ${sigExpr(1)} AS bucket FROM e),
+        |bstats AS (
+        |  SELECT t, bucket, count(*) AS bsz, min(vec_id) AS bmin
+        |  FROM sig GROUP BY t, bucket),
         |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
-        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
-        |   AND a.vec_id <> b.vec_id),
+        |  SELECT DISTINCT id, nb FROM (
+        |    SELECT a.vec_id AS id, b.vec_id AS nb
+        |    FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+        |     AND a.vec_id <> b.vec_id
+        |    JOIN bstats st ON st.t = a.t AND st.bucket = a.bucket
+        |     AND st.bsz <= 4096
+        |    UNION ALL
+        |    SELECT s.vec_id AS id, st.bmin AS nb
+        |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
+        |     AND st.bsz > 4096 AND s.vec_id <> st.bmin
+        |    UNION ALL
+        |    SELECT st.bmin AS id, s.vec_id AS nb
+        |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
+        |     AND st.bsz > 4096 AND s.vec_id <> st.bmin)),
         |scored AS (
         |  SELECT c.id, c.nb,
         |    list_dot_product(ea.v, eb.v) /

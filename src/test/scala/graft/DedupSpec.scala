@@ -202,4 +202,52 @@ class DedupSpec extends SparkSpec {
         && m(5L).getAs[Long]("n_tok") == 0L)
     }
   }
+
+  test("hot-bucket cap: degenerate bucket emits star candidates, not B²") {
+    // 500 ids in one band bucket (the one-boilerplate-page-cloned-10⁷-times
+    // shape LSH sub-splitting cannot break: identical content → identical
+    // signatures), 10 in a small bucket
+    val banded = ((0L until 500L).map(i => ("hot", i)) ++
+      (1000L until 1010L).map(i => ("cold", i))).toDF("band", "id")
+    val cand = Dedup.bandCandidates(banded, maxBucketSize = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val hotCand = cand.filter(_._1 < 1000L)
+    // star: exactly B−1 pairs, every one anchored at the bucket min
+    assert(hotCand.length == 499, s"hot candidates ${hotCand.length}")
+    assert(hotCand.forall(_._1 == 0L))
+    assert(hotCand.map(_._2).toSet == (1L until 500L).toSet)
+    // small bucket keeps the full pair join
+    assert(cand.count(_._1 >= 1000L) == 10 * 9 / 2)
+    // cap off reproduces the quadratic candidate set
+    assert(Dedup.bandCandidates(banded, maxBucketSize = 0).count()
+      == 500L * 499 / 2 + 10 * 9 / 2)
+  }
+
+  test("hot-bucket cap end-to-end: cloned corpus yields min-id star pairs") {
+    val clone = "terms of service copyright all rights reserved please " +
+      "enable javascript to continue"
+    val corpus = ((0L until 60L).map(i => (i, clone)) ++
+      Seq((100L, "a genuinely unique document about spark shuffles"),
+        (101L, "a genuinely unique document about spark shuffles")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(corpus, nHashes = 32, nBands = 8,
+        threshold = 0.5, maxBucketSize = 16).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    val clonePairs = pairs.keys.filter(_._2 < 100L).toSet
+    // every clone matches the hub with estimated Jaccard 1; no clone-clone
+    // pair bypasses the star
+    assert(clonePairs == (1L until 60L).map(b => (0L, b)).toSet)
+    assert(clonePairs.forall(p => pairs(p) == 1.0))
+    // the small-bucket path still verifies ordinary near-dups alongside
+    assert(pairs.contains((100L, 101L)))
+    // under the cap, capped and uncapped semantics coincide
+    val uncapped = Dedup.minhashLshPairs(docs, nHashes = 32, nBands = 16,
+      threshold = 0.3, maxBucketSize = 0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val capped = Dedup.minhashLshPairs(docs, nHashes = 32, nBands = 16,
+      threshold = 0.3, maxBucketSize = 4096).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped == uncapped)
+  }
 }

@@ -191,6 +191,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("LSH pair family plans carry the hot-bucket size cap") {
+    // the band self-join must be gated by the per-bucket size filter
+    // (_bsz <= cap on the pair path, _bsz > cap on the star path) — a
+    // plan without it lets one degenerate bucket go B² in a single task
+    for (q <- Seq("q42_dedup_minhash", "q84_lsh_hotbucket", "q81_knn_graph"))
+      assert(plans(q).contains("_bsz"),
+        s"$q lost the bucket-size cap on its band self-join")
+  }
+
   test("aggregations are partial (map-side combine before the shuffle)") {
     // two HashAggregate levels around the exchange — partial then final;
     // a single post-shuffle aggregate would shuffle raw rows

@@ -339,4 +339,41 @@ class SimilaritySpec extends SparkSpec {
       .map { case (_, rows) => rows.map(_.getAs[Int]("rank")).sorted.toSeq }
     assert(ranks.forall(r => r == (1 to r.size)))
   }
+
+  test("knnGraph hot-bucket cap: degenerate bucket stars to the min id") {
+    // signature rows as the candidate builder sees them: one bucket of 400
+    // identical-signature members (content-based sub-splitting can't break
+    // identical vectors) + one small bucket of 8, in each of 2 tables
+    val sigs = ((0 until 2).flatMap { t =>
+      (0L until 400L).map(i => (i, t, "000")) ++
+        (1000L until 1008L).map(i => (i, t, "111"))
+    }).toDF("id", "_t", "bucket")
+    val cand = Similarity.knnCandidates(sigs, maxBucketSize = 16).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("nb")))
+    val hot = cand.filter(_._1 < 1000L)
+    // star both directions: members → min and min → members, never B²
+    assert(hot.length == 2 * 399, s"hot candidates ${hot.length}")
+    assert(hot.forall(p => p._1 == 0L || p._2 == 0L))
+    // the small bucket keeps its full neighborhood
+    assert(cand.count(_._1 >= 1000L) == 8 * 7)
+    // cap off reproduces the quadratic candidate set
+    assert(Similarity.knnCandidates(sigs, maxBucketSize = 0).count()
+      == 400L * 399 + 8 * 7)
+
+    // end-to-end: 60 identical vectors + distinct ones; every clone's
+    // rank-1 neighbor has cos 1 (the hub for non-min members), and the
+    // hub sees its clones
+    import spark.implicits._
+    val cloneVec = Seq.tabulate(64)(d => math.sin(d + 1.0))
+    val distinctVecs = (100L until 110L).map(i =>
+      (i, Seq.tabulate(64)(d => math.cos((d + 1.0) * (i - 99.0)))))
+    val emb = ((0L until 60L).map(i => (i, cloneVec)) ++ distinctVecs)
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, k = 3, dim = 64, nBits = 4,
+        nTables = 2, maxBucketSize = 16).collect()
+    val rank1 = g.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos")).toMap
+    assert((0L until 60L).forall(i => approx(rank1(i), 1.0, 1e-9)),
+      "every clone must keep a cos-1 neighbor through the star")
+  }
 }
