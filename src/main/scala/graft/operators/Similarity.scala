@@ -151,13 +151,27 @@ object Similarity {
     */
   private def sampleWithCount(corpus: DataFrame, sampleN: Int, idCol: String,
                               vecCol: String): (Long, Array[Array[Double]]) = {
-    type Buf = Vector[(Long, Array[Double])]
+    // ids keep their NATURAL type and ordering (nulls first — the same
+    // order `collectSample`'s orderBy uses), so string/decimal/timestamp
+    // ids sample identically to sampledKMeans/trainPqCodebooks and a null
+    // id cannot NPE a long accessor. Both sides of a comparison come from
+    // one column, so the runtime classes match and Comparable covers every
+    // Spark atomic id type.
+    implicit val idOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (a: Comparable[Any] @unchecked, b) => a.compareTo(b)
+      }
+    }
+    type Buf = Vector[(Any, Array[Double])]
     def trim(b: Buf): Buf =
       if (b.length <= sampleN) b else b.sortBy(_._1).take(sampleN)
     val rows = corpus
-      .select(col(idCol).cast("long"), VectorFunctions.asDouble(col(vecCol)))
-      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val (n, buf) = rows.treeAggregate((0L, Vector.empty[(Long, Array[Double])]))(
+      .select(col(idCol), VectorFunctions.asDouble(col(vecCol)))
+      .rdd.map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    val (n, buf) = rows.treeAggregate((0L, Vector.empty[(Any, Array[Double])]))(
       { case ((cnt, b), kv) =>
           val b2 = b :+ kv
           (cnt + 1, if (b2.length >= 2 * sampleN) trim(b2) else b2) },

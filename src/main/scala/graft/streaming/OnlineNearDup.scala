@@ -44,13 +44,19 @@ object OnlineNearDup {
   final case class BatchResult(admitted: DataFrame, nAdmitted: Long,
                                nDropped: Long, nReplayed: Long)
 
+  // existence through the Hadoop FileSystem for the path's scheme — a
+  // java.nio check is always false on HDFS/S3, which would silently reset
+  // state to empty every batch (admission degrades to in-batch-only dedup
+  // while writes keep succeeding)
   private def readOrEmpty(spark: SparkSession, path: String,
-                          ddl: String): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      spark.read.schema(ddl).parquet(path)
+                          ddl: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) spark.read.schema(ddl).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
 
   /** Process one micro-batch of documents (idCol, textCol); returns the
     * admitted rows (all input columns) plus admission counts. Documents
@@ -69,8 +75,13 @@ object OnlineNearDup {
     val stateBands = readOrEmpty(spark, bandsPath, "band STRING, id LONG")
 
     // signatures for the batch: reduced shingle hashes materialized in
-    // their own projection (the nHashes folds each read the array)
+    // their own projection (the nHashes folds each read the array).
+    // In-batch id duplicates are dropped up front — without this, both
+    // rows would survive the state anti-join, double the signature/band
+    // state rows, and inflate nAdmitted (the replay contract only covers
+    // cross-batch redelivery).
     val docIds = newDocs.select(col(idCol).cast("long").as("id"), col("*"))
+      .dropDuplicates("id")
     val fresh = docIds
       .join(stateSigs.select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint(true)
@@ -133,15 +144,24 @@ object OnlineNearDup {
       .join(sigsB.select(col("id")), Seq("id"), "left_anti")
     val admittedIds = keptIdsDf.union(noSig).localCheckpoint(true)
 
-    // persist the new keepers' signatures and band index; signature-less
-    // (short) docs get an empty-sig row so a replayed batch skips them too
+    // persist the new keepers' band index, THEN their signatures;
+    // signature-less (short) docs get an empty-sig row so a replayed batch
+    // skips them too. Write order is the crash-safety contract: membership
+    // in sigs.parquet is what marks a doc "kept" (the replay anti-join and
+    // the drop decision both key on it), so bands must land first — a
+    // crash between the two writes then leaves orphan band rows whose ids
+    // are NOT in sigs, the doc is reprocessed on replay (the cross-state
+    // join drops band hits whose kept_id has no signature row), and the
+    // duplicate band rows a successful replay appends are absorbed by the
+    // .distinct() after the band join. The reverse order would leave kept
+    // docs invisible to the blocking index forever.
+    bandsB.join(keptIdsDf, Seq("id"), "left_semi")
+      .select(col("band"), col("id"))
+      .write.mode("append").parquet(bandsPath)
     sigsB.join(keptIdsDf, Seq("id"), "left_semi")
       .union(noSig.select(col("id"),
         array().cast("array<bigint>").as("sig")))
       .write.mode("append").parquet(sigsPath)
-    bandsB.join(keptIdsDf, Seq("id"), "left_semi")
-      .select(col("band"), col("id"))
-      .write.mode("append").parquet(bandsPath)
 
     val admitted = fresh.join(admittedIds, Seq("id"), "left_semi")
       .drop("id")

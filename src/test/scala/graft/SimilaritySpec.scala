@@ -177,6 +177,27 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(10000L)._2 && !byId(0L)._2)
   }
 
+  test("semanticDedupScaled samples on the id's NATURAL type: zero-padded " +
+       "string ids reproduce the numeric-id clustering") {
+    // the one-pass sample+count must order string ids exactly like
+    // collectSample's orderBy — zero-padded strings sort like the numbers,
+    // so cluster structure must be identical (and nothing NPEs on a
+    // non-long id column)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val numeric = Similarity.semanticDedupScaled(emb,
+        targetClusterSize = 25, threshold = 0.99, maxClusterSize = 50)
+      .collect().map(r => r.getAs[Long]("id").toString ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_dup"))).toMap
+    val strIds = emb.withColumn("vec_id",
+      org.apache.spark.sql.functions.format_string("%06d", $"vec_id"))
+    val stringed = Similarity.semanticDedupScaled(strIds,
+        targetClusterSize = 25, threshold = 0.99, maxClusterSize = 50)
+      .collect().map(r => r.getAs[String]("id").toLong.toString ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(stringed == numeric,
+      "string-id clustering diverged from numeric-id clustering")
+  }
+
   // ------------------------------------------------- product quantization
   test("PQ: training cuts quantization error; ADC top-k recalls exact L2") {
     val vecs = embeddings.orderBy("vec_id").collect()

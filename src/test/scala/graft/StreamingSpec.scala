@@ -552,6 +552,49 @@ class StreamingSpec extends SparkSpec {
       "replayed batch re-admitted documents")
   }
 
+  test("online near-dup admission: in-batch duplicate ids collapse to one " +
+       "row; orphan band rows from a torn write do not poison admission") {
+    val stateDir = Files.createTempDirectory("ond-state2").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+    // source redelivery INSIDE one batch: same id three times
+    val dup = Seq(11L -> text, 11L -> text, 11L -> (text + " "),
+      12L -> "unrelated words about broadcast joins and partition pruning")
+      .toDF("doc_id", "text")
+    val r1 = graft.streaming.OnlineNearDup.processBatch(spark, dup, stateDir,
+      nHashes = 32, nBands = 16, threshold = 0.6)
+    assert(r1.nAdmitted == 2, s"in-batch dup ids inflated nAdmitted: ${r1.nAdmitted}")
+    assert(r1.admitted.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(11L, 12L))
+
+    // torn write: a crash after bands.parquet but before sigs.parquet left
+    // orphan band rows for doc 20. The doc must still be processed on
+    // replay (it is not in sigs), must NOT be dropped against its own
+    // orphan rows, and ends fully admitted.
+    val orphan = Seq(20L -> ("a novel document shared with nobody else " +
+      "first second third fourth fifth sixth seventh eighth"))
+      .toDF("doc_id", "text")
+    val sigs0 = spark.read.parquet(s"$stateDir/sigs.parquet")
+      .filter(col("id") === 20L).count()
+    assert(sigs0 == 0)
+    // simulate the torn state exactly as processBatch would have written it
+    val sigRows = graft.operators.Dedup.minhashSignatures(orphan, nHashes = 32)
+    sigRows.select(col("id"),
+      explode(graft.functions.VectorFunctions.minhashBands(col("sig"), 16, 2))
+        .as("band"))
+      .select(col("band"), col("id"))
+      .write.mode("append").parquet(s"$stateDir/bands.parquet")
+    val r2 = graft.streaming.OnlineNearDup.processBatch(spark, orphan,
+      stateDir, nHashes = 32, nBands = 16, threshold = 0.6)
+    assert(r2.nAdmitted == 1 && r2.nReplayed == 0,
+      s"torn-write recovery failed: admitted ${r2.nAdmitted}, replayed ${r2.nReplayed}")
+    // state converged: signature present, replay now skips the doc
+    val r3 = graft.streaming.OnlineNearDup.processBatch(spark, orphan,
+      stateDir, nHashes = 32, nBands = 16, threshold = 0.6)
+    assert(r3.nReplayed == 1 && r3.nAdmitted == 0)
+  }
+
   test("streaming exact dedup admits each fingerprint once across batches") {
     val inDir = Files.createTempDirectory("sdedup-in").toString
     // batch 1: two distinct docs + an in-batch duplicate (same normalized text)
