@@ -575,38 +575,69 @@ object Similarity {
                  codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 4,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  queryIdCol: String = "query_id",
-                 byResidual: Boolean = false): DataFrame = {
-    val cents = typedLit(centroids)
+                 byResidual: Boolean = false): DataFrame =
+    adcServe(encodeWithCells(corpus, centroids, codebooks, byResidual,
+        idCol, vecCol),
+      queries, centroids, codebooks, k, nProbe, vecCol, queryIdCol,
+      byResidual)
+
+  /** v − centroid[cell], the frame shift residual-mode PQ quantizes in. */
+  private def cellResidual(v: Column, cell: Column,
+                           centroids: Seq[Seq[Double]]): Column =
+    zip_with(VectorFunctions.asDouble(v),
+      element_at(typedLit(centroids), (cell + 1).cast("int")), (a, b) => a - b)
+
+  /** The IVF-ADC corpus side as a persistable table: (id, codes, cell) in
+    * ONE linear projection — the exact rows [[graft.operators.AnnIndex]]
+    * saves and [[adcServe]] scores, so a saved index reproduces the
+    * in-memory search bit for bit.
+    */
+  private[graft] def encodeWithCells(corpus: DataFrame,
+                                     centroids: Seq[Seq[Double]],
+                                     codebooks: Seq[Seq[Seq[Double]]],
+                                     byResidual: Boolean,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): DataFrame = {
     // residual mode (codebooks from trainPqCodebooksResidual): corpus rows
     // encode v − centroid[cell]; the query side subtracts the PROBED
     // cell's centroid, so ADC compares residuals in the same frame —
     // still one linear projection per side, no extra shuffle.
-    def residual(v: Column, cell: Column): Column =
-      zip_with(VectorFunctions.asDouble(v),
-        element_at(cents, (cell + 1).cast("int")), (a, b) => a - b)
-    val c = {
-      val base = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
-        element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
-      if (byResidual)
-        // the residual must be its OWN projection: pqCodes reads its input
-        // m·k·sub times, and an inline zip_with would be re-evaluated per
-        // read (measured 8× slower at sf0.1). As a multiply-referenced
-        // non-trivial alias it survives CollapseProject, so the subtract
-        // runs once per row.
-        base.select(col("id"), residual(col("_v"), col("cell")).as("_res"),
-            col("cell"))
-          .select(col("id"), pqCodes(col("_res"), codebooks).as("codes"),
-            col("cell"))
-      else
-        base.select(col("id"), pqCodes(col("_v"), codebooks).as("codes"),
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"),
+      element_at(probeCells(col(vecCol), centroids, 1), 1).as("cell"))
+    if (byResidual)
+      // the residual must be its OWN projection: pqCodes reads its input
+      // m·k·sub times, and an inline zip_with would be re-evaluated per
+      // read (measured 8× slower at sf0.1). As a multiply-referenced
+      // non-trivial alias it survives CollapseProject, so the subtract
+      // runs once per row.
+      base.select(col("id"),
+          cellResidual(col("_v"), col("cell"), centroids).as("_res"),
           col("cell"))
-    }
+        .select(col("id"), pqCodes(col("_res"), codebooks).as("codes"),
+          col("cell"))
+    else
+      base.select(col("id"), pqCodes(col("_v"), codebooks).as("codes"),
+        col("cell"))
+  }
+
+  /** Probe + ADC-score + salted-top-k over an ALREADY-ENCODED corpus
+    * (columns id, codes, cell — from [[encodeWithCells]] live or read back
+    * from a saved [[graft.operators.AnnIndex]]).
+    */
+  private[graft] def adcServe(encoded: DataFrame, queries: DataFrame,
+                              centroids: Seq[Seq[Double]],
+                              codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                              nProbe: Int,
+                              vecCol: String = "embedding",
+                              queryIdCol: String = "query_id",
+                              byResidual: Boolean = false): DataFrame = {
     val q0 = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("qv"),
       explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
     val q = if (byResidual)
-      q0.withColumn("qres", residual(col("qv"), col("cell"))) else q0
-    val scored = c.join(broadcast(q), Seq("cell"))
+      q0.withColumn("qres", cellResidual(col("qv"), col("cell"), centroids))
+    else q0
+    val scored = encoded.join(broadcast(q), Seq("cell"))
       .withColumn("dist",
         round(adcDist(codebooks, if (byResidual) "qres" else "qv"), 6))
     saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{Clusters, Dedup, Packing, Quality, Sampling, Similarity}
+import graft.operators.{AnnIndex, Clusters, Dedup, Packing, Quality, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -91,6 +91,75 @@ object CorpusQueries {
       |SELECT id_a, id_b, est_jaccard FROM est
       |WHERE est_jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** q79's DuckDB replay of iters=0 IVF-ADC over `embeddings` — shared
+    * with q85: serving from a persisted index must be bit-identical to
+    * the live train+encode+search path.
+    */
+  private lazy val ivfAdcOracleSql: String = {
+        def dists(mExpr: String) =
+          s"""list_transform(generate_series(1, 16), k ->
+          |      list_reduce(list_transform(generate_series(1, 8), i ->
+          |        (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i]) * (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i])),
+          |        (a, b) -> a + b))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |samp AS (
+        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |  FROM e ORDER BY vec_id LIMIT 4096),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM samp),
+        |ivfc AS (
+        |  SELECT (samp.rn // st.step)::BIGINT AS cell, samp.v AS cv
+        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 16),
+        |cbsub AS (
+        |  SELECT ms.m, (c.rn // st.step) AS k0,
+        |         list_transform(generate_series(1, 8), i -> c.v[ms.m*8 + i]) AS cvec
+        |  FROM samp c, st, (SELECT unnest(generate_series(0, 7)) AS m) ms
+        |  WHERE c.rn % st.step = 0 AND c.rn // st.step < 16),
+        |cbl AS (
+        |  SELECT list(kl ORDER BY m) AS cb FROM (
+        |    SELECT m, list(cvec ORDER BY k0) AS kl FROM cbsub GROUP BY m)),
+        |cosc AS (
+        |  SELECT e.vec_id, i.cell,
+        |    round(list_dot_product(e.v, i.cv) /
+        |      greatest(sqrt(list_dot_product(e.v, e.v))
+        |               * sqrt(list_dot_product(i.cv, i.cv)), 1e-300), 6) AS cosr
+        |  FROM e, ivfc i),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc) WHERE rnk = 1),
+        |codes AS (
+        |  SELECT e.vec_id AS id,
+        |    list_transform(generate_series(0, 7), m ->
+        |      list_position(${dists("m")}, list_min(${dists("m")})) - 1) AS codes
+        |  FROM e, cbl),
+        |qprobe AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
+        |    FROM cosc WHERE vec_id < 4) WHERE rnk <= 4),
+        |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
+        |cand AS (
+        |  SELECT qp.qid, a.vec_id AS id
+        |  FROM qprobe qp JOIN asg a ON a.cell = qp.cell),
+        |scored AS (
+        |  SELECT q.qid, c.id,
+        |    round(list_reduce(list_transform(generate_series(0, 7), m ->
+        |      list_reduce(list_transform(generate_series(1, 8), i ->
+        |        (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])
+        |          * (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])),
+        |        (a, b) -> a + b)),
+        |      (a, b) -> a + b), 6) AS dist
+        |  FROM q JOIN cand ON cand.qid = q.qid
+        |  JOIN codes c ON c.id = cand.id, cbl),
+        |ranked AS (
+        |  SELECT qid AS query_id, id, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+      }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1341,70 +1410,27 @@ object CorpusQueries {
             k = 10, nProbe = 4, queryIdCol = "vec_id")
           .orderBy("query_id", "rank")
       },
-      Some {
-        def dists(mExpr: String) =
-          s"""list_transform(generate_series(1, 16), k ->
-          |      list_reduce(list_transform(generate_series(1, 8), i ->
-          |        (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i]) * (e.v[$mExpr*8 + i] - cb[$mExpr+1][k][i])),
-          |        (a, b) -> a + b))""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |samp AS (
-        |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-        |  FROM e ORDER BY vec_id LIMIT 4096),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM samp),
-        |ivfc AS (
-        |  SELECT (samp.rn // st.step)::BIGINT AS cell, samp.v AS cv
-        |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 16),
-        |cbsub AS (
-        |  SELECT ms.m, (c.rn // st.step) AS k0,
-        |         list_transform(generate_series(1, 8), i -> c.v[ms.m*8 + i]) AS cvec
-        |  FROM samp c, st, (SELECT unnest(generate_series(0, 7)) AS m) ms
-        |  WHERE c.rn % st.step = 0 AND c.rn // st.step < 16),
-        |cbl AS (
-        |  SELECT list(kl ORDER BY m) AS cb FROM (
-        |    SELECT m, list(cvec ORDER BY k0) AS kl FROM cbsub GROUP BY m)),
-        |cosc AS (
-        |  SELECT e.vec_id, i.cell,
-        |    round(list_dot_product(e.v, i.cv) /
-        |      greatest(sqrt(list_dot_product(e.v, e.v))
-        |               * sqrt(list_dot_product(i.cv, i.cv)), 1e-300), 6) AS cosr
-        |  FROM e, ivfc i),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
-        |    FROM cosc) WHERE rnk = 1),
-        |codes AS (
-        |  SELECT e.vec_id AS id,
-        |    list_transform(generate_series(0, 7), m ->
-        |      list_position(${dists("m")}, list_min(${dists("m")})) - 1) AS codes
-        |  FROM e, cbl),
-        |qprobe AS (
-        |  SELECT vec_id AS qid, cell FROM (
-        |    SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosr DESC, cell) AS rnk
-        |    FROM cosc WHERE vec_id < 4) WHERE rnk <= 4),
-        |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 4),
-        |cand AS (
-        |  SELECT qp.qid, a.vec_id AS id
-        |  FROM qprobe qp JOIN asg a ON a.cell = qp.cell),
-        |scored AS (
-        |  SELECT q.qid, c.id,
-        |    round(list_reduce(list_transform(generate_series(0, 7), m ->
-        |      list_reduce(list_transform(generate_series(1, 8), i ->
-        |        (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])
-        |          * (q.v[m*8 + i] - cb[m+1][c.codes[m+1]+1][i])),
-        |        (a, b) -> a + b)),
-        |      (a, b) -> a + b), 6) AS dist
-        |  FROM q JOIN cand ON cand.qid = q.qid
-        |  JOIN codes c ON c.id = cand.id, cbl),
-        |ranked AS (
-        |  SELECT qid AS query_id, id, dist,
-        |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
-      }),
+      Some(ivfAdcOracleSql)),
+
+    // The same IVF-ADC search SERVED FROM A PERSISTED INDEX (AnnIndex:
+    // train + encode once into a parquet+manifest Bundle, query the saved
+    // code table). Persistence must be semantically transparent, so the
+    // oracle is exactly q79's: any drift between the saved-index serve
+    // path and the live path (codes written differently, cells
+    // re-assigned, quantizers re-read in the wrong order) breaks the hash.
+    QueryDef("q85_ann_index_persisted",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val ixDir = System.getProperty("java.io.tmpdir") +
+          "/graft_annix_q85_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        AnnIndex.build(emb, ixDir,
+          AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 16, iters = 0,
+            sampleN = 4096))
+        AnnIndex.topK(s, ixDir, emb.filter(col("vec_id") < 4), k = 10,
+            nProbe = 4, queryIdCol = "vec_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfAdcOracleSql)),
 
     // The PRODUCTION SemDeDup path (semanticDedupScaled): k grows with the
     // corpus (k = clamp(n/64, 1, 4096)), centroids from the k-means

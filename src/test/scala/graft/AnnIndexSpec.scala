@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+import graft.sources.Bundle
+
+/** Persisted IVF-PQ index: build-once/serve-many must be bit-identical to
+  * the live path, parameter changes must invalidate, and incremental
+  * append must equal encoding everything with the build-time quantizers.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("dist"))).toSeq
+
+  test("saved-index search is bit-identical to the live IVF-ADC path, " +
+       "raw and residual") {
+    for (byResidual <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("annix").toString
+      val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8,
+        iters = 10, byResidual = byResidual)
+      AnnIndex.build(emb, dir, p)
+
+      // the live path, trained with the same deterministic calls
+      val cents = Similarity.sampledKMeans(emb, p.kCells, p.iters, p.sampleN)
+      val cbs =
+        if (byResidual) Similarity.trainPqCodebooksResidual(emb, cents,
+          p.m, p.k, p.dim, p.iters, p.sampleN)
+        else Similarity.trainPqCodebooks(emb, p.m, p.k, p.dim, p.iters,
+          p.sampleN)
+      val live = rows(Similarity.ivfAdcTopK(emb, queries, cents, cbs,
+        k = 10, nProbe = 3, byResidual = byResidual))
+      val served = rows(AnnIndex.topK(spark, dir, queries, k = 10,
+        nProbe = 3))
+      assert(served == live,
+        s"byResidual=$byResidual: saved-index results diverged from live")
+      assert(served.nonEmpty && served.count(_._2 == 1) == 5)
+    }
+  }
+
+  test("ensure(): manifest match reuses, parameter change rebuilds") {
+    val dir = Files.createTempDirectory("annix-ens").toString
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 2)
+    assert(AnnIndex.ensure(emb, dir, p), "first ensure must build")
+    val codesFiles = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(!AnnIndex.ensure(emb, dir, p), "same params must reuse")
+    val after = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == codesFiles, "reuse must not rewrite the code table")
+    // any parameter drift drops and rebuilds (T2 invalidation)
+    assert(AnnIndex.ensure(emb, dir, p.copy(kCells = 12)))
+    assert(Bundle.readManifest(dir).get("kCells") == "12")
+    // a manifest-less directory (crash mid-build) is invalid
+    Bundle.deleteRecursively(s"$dir/manifest.json")
+    assert(AnnIndex.ensure(emb, dir, p.copy(kCells = 12)))
+  }
+
+  test("append encodes with saved quantizers: equals full encode, " +
+       "replay is a no-op") {
+    val dir = Files.createTempDirectory("annix-app").toString
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    AnnIndex.build(first, dir, p)
+    val r1 = AnnIndex.append(spark, dir, rest)
+    assert(r1.nAppended == rest.count() && r1.nSkipped == 0)
+
+    // reference: encode the WHOLE corpus with the quantizers trained on
+    // `first` (append never retrains), serve in memory
+    val cents = Similarity.sampledKMeans(first, p.kCells, p.iters, p.sampleN)
+    val cbs = Similarity.trainPqCodebooks(first, p.m, p.k, p.dim, p.iters,
+      p.sampleN)
+    val full = Similarity.ivfAdcTopK(emb, queries, cents, cbs, k = 10,
+      nProbe = 3)
+    val served = AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3)
+    assert(rows(served) == rows(full),
+      "append-then-query diverged from full encode with the same quantizers")
+
+    // replaying the delivery appends nothing and changes nothing
+    val r2 = AnnIndex.append(spark, dir, rest)
+    assert(r2.nAppended == 0 && r2.nSkipped == rest.count())
+    assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+      == rows(full))
+  }
+}
