@@ -13,7 +13,8 @@ import graft.functions.TextFunctions
   * State design for scale: the keyed state holds exactly one boolean per
   * DISTINCT fingerprint ever seen — 16-byte key + negligible value,
   * partitioned by fingerprint hash across executors, RocksDB state store
-  * at corpus scale. No watermark: corpus dedup has no lateness horizon (a
+  * at corpus scale (StreamingSpec runs the stateful-dedup family under
+  * the RocksDB provider, checkpoint restart included). No watermark: corpus dedup has no lateness horizon (a
   * duplicate a year later is still a duplicate), so state is append-only
   * by design; for bounded-retention semantics (dedup only within a time
   * horizon) use Spark's `dropDuplicatesWithinWatermark` instead — same
@@ -85,7 +86,7 @@ object StreamingDedup {
     * (id, signature) list of its members, ~nHashes·8 bytes per doc per
     * band. Band keys spread uniformly (they embed a hash of the minima),
     * so state partitions evenly across executors; RocksDB state store at
-    * corpus scale. Like all LSH blocking, a degenerate corpus where
+    * corpus scale (spec-run under the RocksDB provider). Like all LSH blocking, a degenerate corpus where
     * everything shares one band concentrates that bucket — the same rows
     * that would pair-explode in the batch join.
     *

@@ -10,6 +10,38 @@ import graft.streaming.Online
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `f` with the RocksDB state-store provider — the corpus-scale
+    * configuration every stateful-dedup scaladoc claims. Streaming state
+    * then lives off-heap/on-disk per executor instead of in an in-memory
+    * HashMap, which is what makes 10⁹-key dedup state survivable; these
+    * specs prove the operators (signatures, band keys, timeouts,
+    * checkpoint restart) behave identically under it.
+    */
+  private def withRocksDB[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Assert the finished query really ran its stateful operators on
+    * RocksDB (provider silently falling back would make withRocksDB a
+    * placebo): RocksDB surfaces rocksdb* custom metrics in progress.
+    */
+  private def assertRocksDbEngaged(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val progress = q.recentProgress
+    assert(progress.nonEmpty, "no progress recorded")
+    val metrics = progress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+    assert(metrics.exists(_.startsWith("rocksdb")),
+      s"state operators ran without RocksDB metrics: ${metrics.distinct.mkString(",")}")
+  }
+
   private def curveBatch(idxFrom: Int, idxTo: Int) =
     (idxFrom until idxTo).flatMap { idx =>
       (1 to 3).map(q => (idx, (idx % 3).toDouble, q, (idx + q).toDouble, 1.0))
@@ -205,7 +237,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming minhash near-dup flags the batch blocker's pair set " +
-       "across micro-batches, surviving a checkpoint restart") {
+       "across micro-batches, surviving a checkpoint restart " +
+       "(RocksDB state store)") { withRocksDB {
     val inDir = Files.createTempDirectory("sminhash-in").toString
     val ckDir = Files.createTempDirectory("sminhash-ck").toString
     // 24 tokens — one token changed leaves trigram Jaccard ≈ 19/25 = 0.76,
@@ -247,6 +280,7 @@ class StreamingSpec extends SparkSpec {
       q1.processAllAvailable()
       writeBatch(Seq(9L, 4L))
       q1.processAllAvailable()
+      assertRocksDbEngaged(q1)
       rows().length
     } finally q1.stop()
 
@@ -277,10 +311,11 @@ class StreamingSpec extends SparkSpec {
     assert(all.map(t => (t._1, t._2)).drop(n1).forall(_._2 == 12L) ||
       all.count { case (_, b, _) => b != 12L } == n1,
       "restart reprocessed earlier batches")
-  }
+  }}
 
   test("streaming simhash near-dup flags the batch pair set across " +
-       "micro-batches and a checkpoint restart") {
+       "micro-batches and a checkpoint restart (RocksDB state store)") {
+    withRocksDB {
     val inDir = Files.createTempDirectory("ssim-in").toString
     val ckDir = Files.createTempDirectory("ssim-ck").toString
     val outDir = Files.createTempDirectory("ssim-out").toString
@@ -313,7 +348,10 @@ class StreamingSpec extends SparkSpec {
     } finally q1.stop()
     writeBatch(Seq(9L, 7L))
     val q2 = startStream()
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      q2.processAllAvailable()
+      assertRocksDbEngaged(q2)
+    } finally q2.stop()
 
     val streamed = spark.read.parquet(outDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
@@ -325,10 +363,11 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains((1L, 9L)) && batch((1L, 9L)) == 0,
       "exact copy must pair at hamming 0")
     assert(streamed == batch, s"stream $streamed != batch $batch")
-  }
+  }}
 
   test("streaming embedding near-dup equals the batch blocker, cosines " +
-       "bit-identical, across a checkpoint restart") {
+       "bit-identical, across a checkpoint restart (RocksDB state store)") {
+    withRocksDB {
     val inDir = Files.createTempDirectory("semb-in").toString
     val ckDir = Files.createTempDirectory("semb-ck").toString
     val outDir = Files.createTempDirectory("semb-out").toString
@@ -360,7 +399,10 @@ class StreamingSpec extends SparkSpec {
     } finally q1.stop()
     writeBatch(Seq(9L, 7L))
     val q2 = startStream()
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      q2.processAllAvailable()
+      assertRocksDbEngaged(q2)
+    } finally q2.stop()
 
     val streamed = spark.read.parquet(outDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
@@ -376,10 +418,11 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.keySet} != batch ${batch.keySet}")
     // the driver-side fold must reproduce the Column expression exactly
     streamed.foreach { case (p, c) => assert(c == batch(p), s"$p cosine") }
-  }
+  }}
 
   test("streaming corpus recipe: jsonl -> dedup -> quality -> parquet " +
-       "equals the batch twin across 3 triggers with a checkpoint restart") {
+       "equals the batch twin across 3 triggers with a checkpoint restart " +
+       "(RocksDB state store)") { withRocksDB {
     val inDir = Files.createTempDirectory("screcipe-in").toString
     val ckDir = Files.createTempDirectory("screcipe-ck").toString
     val outDir = Files.createTempDirectory("screcipe-out").toString + "/shards"
@@ -422,7 +465,10 @@ class StreamingSpec extends SparkSpec {
       """not json at all"""))
     val q2 = graft.streaming.StreamingCorpus.corpusRecipeStream(spark, inDir,
       schema, outDir, ckDir, minWords = 5, minStopHits = 1, minLineWords = 3)
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      q2.processAllAvailable()
+      assertRocksDbEngaged(q2)
+    } finally q2.stop()
 
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getAs[Long]("doc_id"), r.getAs[String]("text_clean"),
@@ -441,7 +487,7 @@ class StreamingSpec extends SparkSpec {
     assert(!cleanById(1L).contains("javascript"))
     assert(!cleanById(2L).contains("lorem ipsum"))
     assert(cleanById(1L).linesIterator.size == 2)
-  }
+  }}
 
   test("watermarked tumbling windows: closed windows equal the batch " +
        "aggregation, late rows beyond the watermark are dropped") {
