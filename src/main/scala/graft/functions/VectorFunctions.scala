@@ -31,6 +31,21 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / greatest(l2Norm(a) * l2Norm(b), lit(1e-300))
 
+  /** Driver-side twin of [[cosine]]: the same ordered left folds over
+    * doubles (each accumulator folds positions ascending, then the same
+    * eps-guarded division), so values equal the Column expression bit for
+    * bit — the contract the streaming dedup state operators and the
+    * k-means/residual trainers rely on. ONE implementation: every
+    * driver-side cosine in the engine must call this, not re-derive it.
+    */
+  def cosineDriver(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
+  }
+
   /** splitmix64 finalizer — the public-domain mixing constant pipeline;
     * shared by the minhash coefficient family and the LSH hyperplanes.
     */

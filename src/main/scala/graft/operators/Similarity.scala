@@ -394,7 +394,7 @@ object Similarity {
     * computing the same doubles (sub-distances are ordered left folds, so
     * they are bit-exact across engines).
     */
-  private def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  private[graft] def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val k = codebooks.head.length
     val sub = codebooks.head.head.length
@@ -496,17 +496,12 @@ object Similarity {
     */
   private def nearestCellDriver(v: Array[Double],
                                 centroids: Seq[Seq[Double]]): Int = {
-    def cos(a: Array[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
-    }
     var best = 0; var bestCos = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
-      val r = BigDecimal(cos(v, centroids(c)))
+      val r = BigDecimal(VectorFunctions.cosineDriver(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+          centroids(c)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       if (r > bestCos) { best = c; bestCos = r } // strict > keeps smallest c
       c += 1

@@ -238,7 +238,9 @@ object StreamingDedup {
     * price of exact verification, and exactly the data the batch
     * same-bucket self-join shuffles; bucket population is bounded by LSH
     * selectivity (2^nBits expected buckets), tunable like the batch
-    * blocker.
+    * blocker. When state size matters more than exact cosines,
+    * [[embeddingPairsStreamPq]] stores m PQ codes per member instead
+    * (~16× smaller at the defaults) and verifies against reconstructions.
     */
   def embeddingPairsStream(embeddings: DataFrame, vecCol: String = "embedding",
                            idCol: String = "vec_id", dim: Int = 64,
@@ -247,13 +249,6 @@ object StreamingDedup {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions
-    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
-    }
     embeddings
       .select(
         VectorFunctions.lshSignature(col(vecCol), nBits, dim).as("bucket"),
@@ -269,11 +264,101 @@ object StreamingDedup {
           rows.toSeq.sortBy(_.id).foreach { r =>
             if (!seen.exists(_._1 == r.id)) {
               seen.foreach { case (pid, pv) =>
-                val c = cosine(pv, r.v)
+                val c = VectorFunctions.cosineDriver(pv, r.v)
                 if (c >= threshold)
                   out += EmbDupHit(math.min(pid, r.id), math.max(pid, r.id), c)
               }
               seen = seen :+ (r.id -> r.v)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+
+  /** One LSH-bucketed streaming embedding with its PQ codes. */
+  private[streaming] case class EmbPqRow(bucket: String, id: Long,
+                                         v: Seq[Double], codes: Seq[Int])
+
+  /** PQ-compressed variant of [[embeddingPairsStream]]: state holds
+    * (id, m PQ codes) per bucket member instead of (id, dim raw doubles) —
+    * m·4 bytes vs dim·8 (32 B vs 512 B at the default m=8, dim=64, a ~16×
+    * state cut), which is what makes the stream's keyed state survivable
+    * at corpus scale. `codebooks` come from the same offline
+    * `Similarity.trainPqCodebooks` the q76/q79 index family uses (or a
+    * persisted [[graft.operators.AnnIndex]]).
+    *
+    * Verification is ASYMMETRIC, exactly the ADC trade: the arriving
+    * vector stays full precision and is compared against the
+    * RECONSTRUCTION (per-sub-space centroid) of each earlier member, so
+    * cross-batch cosines shift by the quantization error — and a BINARY
+    * threshold on a shifted cosine flips pairs sitting near it. The
+    * operator therefore accepts cross-batch hits at `threshold − margin`
+    * (a conservative candidate filter: quantization can no longer hide a
+    * true pair unless its error exceeds the margin), trading a little
+    * precision near the boundary for recall — measured ≥ 0.95 vs the
+    * exact variant in StreamingSpec at the default margin. Consumers that
+    * need exact decisions re-verify flagged pairs against stored raw
+    * vectors (the pair stream carries both ids). Pairs WITHIN one
+    * micro-batch still verify full-vs-full at the exact threshold (both
+    * vectors are in flight), so a single-batch run reproduces the exact
+    * variant verbatim. Keep [[embeddingPairsStream]] when exact cosines
+    * matter more than state size.
+    */
+  def embeddingPairsStreamPq(embeddings: DataFrame,
+                             codebooks: Seq[Seq[Seq[Double]]],
+                             vecCol: String = "embedding",
+                             idCol: String = "vec_id", dim: Int = 64,
+                             nBits: Int = 8,
+                             threshold: Double = 0.95,
+                             margin: Double = 0.05): Dataset[EmbDupHit] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val sub = codebooks.head.head.length
+    def decode(codes: Seq[Int]): Seq[Double] = {
+      val out = new Array[Double](codes.length * sub)
+      var m = 0
+      while (m < codes.length) {
+        val c = codebooks(m)(codes(m))
+        var i = 0
+        while (i < sub) { out(m * sub + i) = c(i); i += 1 }
+        m += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    embeddings
+      .select(
+        VectorFunctions.lshSignature(col(vecCol), nBits, dim).as("bucket"),
+        col(idCol).cast("long").as("id"),
+        VectorFunctions.asDouble(col(vecCol)).as("v"),
+        graft.operators.Similarity.pqCodes(col(vecCol), codebooks).as("codes"))
+      .as[EmbPqRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[EmbPqRow],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Seq[Int])]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          // earlier THIS-batch members still have their full vectors in
+          // flight — verify those full-vs-full; only genuinely cross-batch
+          // members pay the reconstruction error
+          val inBatch = scala.collection.mutable.Map.empty[Long, Seq[Double]]
+          val out = Seq.newBuilder[EmbDupHit]
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (pid, pcodes) =>
+                val (c, cut) = inBatch.get(pid) match {
+                  case Some(pv) =>
+                    (VectorFunctions.cosineDriver(r.v, pv), threshold)
+                  case None =>
+                    (VectorFunctions.cosineDriver(r.v, decode(pcodes)),
+                      threshold - margin)
+                }
+                if (c >= cut)
+                  out += EmbDupHit(math.min(pid, r.id), math.max(pid, r.id), c)
+              }
+              seen = seen :+ (r.id -> r.codes)
+              inBatch(r.id) = r.v
             }
           }
           state.update(seen)

@@ -38,13 +38,8 @@ class PropertiesSpec extends SparkSpec {
     // random corpora, query counts, and k — including k larger than the
     // corpus and heavy cosine ties (many identical vectors).
     val rnd = new scala.util.Random(7)
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-300)
-    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      graft.functions.VectorFunctions.cosineDriver(a, b)
     for (trial <- 1 to 4) {
       val dim = 4
       val n = 20 + rnd.nextInt(60)

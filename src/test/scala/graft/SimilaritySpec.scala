@@ -337,11 +337,8 @@ class SimilaritySpec extends SparkSpec {
     val vecs = embeddings.orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id"),
         r.getSeq[Float](1).map(_.toDouble).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.indices.map(i => a(i) * b(i)).sum
-      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
-        math.sqrt(b.map(x => x * x).sum), 1e-300)
-    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      graft.functions.VectorFunctions.cosineDriver(a.toSeq, b.toSeq)
     val sampleIds = vecs.map(_._1).take(25)
     val recalls = sampleIds.map { id =>
       val qv = vecs.find(_._1 == id).get._2

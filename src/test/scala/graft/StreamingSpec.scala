@@ -420,6 +420,78 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (p, c) => assert(c == batch(p), s"$p cosine") }
   }}
 
+  test("PQ-compressed embedding near-dup stream: recall >= 0.95 vs the " +
+       "exact variant with measurably smaller state") {
+    // real 64-dim background corpus (pairwise cosines bounded by ~0.5)
+    // plus PLANTED near-duplicates (cos ≈ 1) — the bimodal shape dedup
+    // actually runs on, with the threshold in the gap. All planted pairs
+    // arrive CROSS-batch, so the PQ reconstruction path decides every one
+    // of them; a threshold inside the background continuum instead
+    // measures quantization noise on non-duplicates (m=8, k=16 at
+    // threshold 0.3 scored ~0.64 recall here for exactly that reason).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding"))
+          .as("embedding"))
+    // near-copies: scale (cosine-invariant) + small shift → cos ≈ 0.99
+    val clones = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.02) + lit(0.01))
+          .as("embedding"))
+    // m=16 sub-spaces x 64 centroids: cosine-level verification needs
+    // reconstruction fidelity, not just ranking fidelity (m=8, k=16
+    // reconstructions sit at cos ~0.75 from their source — every true
+    // pair missed); 16 ints per member is still ~8x less state than 64
+    // doubles
+    val codebooks = graft.operators.Similarity.trainPqCodebooks(emb,
+      m = 16, k = 64, dim = 64, iters = 10)
+    val threshold = 0.9
+    val nBits = 4 // 16 expected buckets over 550 vectors: payload-dominated state
+
+    def run(pq: Boolean): (Set[(Long, Long)], Long) = {
+      val inDir = Files.createTempDirectory(s"sembpq-in-$pq").toString
+      val ckDir = Files.createTempDirectory(s"sembpq-ck-$pq").toString
+      emb.write.mode("append").parquet(inDir)
+      val src = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<DOUBLE>").parquet(inDir)
+      val ds =
+        if (pq) graft.streaming.StreamingDedup.embeddingPairsStreamPq(
+          src, codebooks, dim = 64, nBits = nBits, threshold = threshold)
+        else graft.streaming.StreamingDedup.embeddingPairsStream(
+          src, dim = 64, nBits = nBits, threshold = threshold)
+      val name = s"t_sembpq_$pq"
+      val q = ds.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckDir).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        clones.write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val pairs = spark.table(name).collect()
+          .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+        val stateBytes = q.lastProgress.stateOperators
+          .map(_.memoryUsedBytes).sum
+        (pairs, stateBytes)
+      } finally q.stop()
+    }
+
+    val (exactPairs, exactBytes) = run(pq = false)
+    val (pqPairs, pqBytes) = run(pq = true)
+    assert(exactPairs.nonEmpty, "fixture produced no near-dup pairs")
+    val recall = (pqPairs & exactPairs).size.toDouble / exactPairs.size
+    val precision = (pqPairs & exactPairs).size.toDouble / pqPairs.size
+    info(f"PQ state recall = $recall%.3f, precision = $precision%.3f over " +
+      f"${exactPairs.size} pairs; state $exactBytes%d -> $pqBytes%d bytes")
+    assert(recall >= 0.95, f"PQ recall $recall%.3f below 0.95")
+    assert(precision >= 0.8,
+      f"margin turned the PQ filter mushy: precision $precision%.3f")
+    // the compressed state must actually be smaller — 8 ints vs 64
+    // doubles per member, visible through per-key overhead
+    assert(pqBytes < exactBytes,
+      s"PQ state ($pqBytes B) not smaller than raw state ($exactBytes B)")
+    assert(pqBytes < exactBytes * 3 / 4,
+      s"PQ state cut too small: $pqBytes vs $exactBytes")
+  }
+
   test("streaming corpus recipe: jsonl -> dedup -> quality -> parquet " +
        "equals the batch twin across 3 triggers with a checkpoint restart " +
        "(RocksDB state store)") { withRocksDB {
