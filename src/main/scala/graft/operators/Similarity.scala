@@ -389,12 +389,22 @@ object Similarity {
 
   /** The PQ code array for vector column `v` — the per-row expression both
     * [[pqEncode]] and [[ivfAdcTopK]] project: nearest sub-space centroid
-    * per sub-space, first-match ties. Argmin is
-    * `array_position(dists, array_min(dists))`, reproducible in any engine
-    * computing the same doubles (sub-distances are ordered left folds, so
-    * they are bit-exact across engines).
+    * per sub-space, first-match ties. Since round 8 this resolves to the
+    * NATIVE codegen'd expression ([[graft.functions.PqExpressions]],
+    * registered by GraftExtensions) — three nested Java loops instead of
+    * an m·k·sub lambda tree, bit-identical by the fold-order contract
+    * (FunctionsSpec pins native == lambda on real vectors; the q76/q79
+    * oracles replay the same math in SQL, so they pin it too).
     */
-  private[graft] def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  private[graft] def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_pq_encode", v, typedLit(codebooks))
+
+  /** The lambda-tree form of [[pqCodes]] — any engine's `aggregate`/
+    * `transform` can express it, no extension registration needed; kept as
+    * the executable spec the native expression is pinned against.
+    */
+  private[graft] def pqCodesLambda(v: Column,
+                                   codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val k = codebooks.head.length
     val sub = codebooks.head.head.length
@@ -424,12 +434,20 @@ object Similarity {
       pqCodes(col(vecCol), codebooks).as("codes"))
 
   /** The ADC (asymmetric) squared-L2 distance between a full-precision
-    * query in column `qvCol` and a PQ code array in column `codes`: m
-    * codebook lookups, each an ordered left fold over the sub-space —
-    * bit-exact across engines.
+    * query in column `qvCol` and a PQ code array in column `codes`.
+    * Native codegen'd expression since round 8 (see [[pqCodes]]);
+    * [[adcDistLambda]] is the engine-portable executable spec.
     */
-  private def adcDist(codebooks: Seq[Seq[Seq[Double]]],
-                      qvCol: String = "qv"): Column = {
+  private[graft] def adcDist(codebooks: Seq[Seq[Seq[Double]]],
+                             qvCol: String = "qv"): Column =
+    call_function("graft_adc_dist", col("codes"), col(qvCol),
+      typedLit(codebooks))
+
+  /** Lambda-tree form of [[adcDist]]: m codebook lookups, each an ordered
+    * left fold over the sub-space — bit-exact across engines.
+    */
+  private[graft] def adcDistLambda(codebooks: Seq[Seq[Seq[Double]]],
+                                   qvCol: String = "qv"): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val cb = typedLit(codebooks)

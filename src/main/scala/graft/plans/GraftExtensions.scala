@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.NfcNormalize
+import graft.functions.{NfcNormalize, PqExpressions}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * the public extension point (`spark.sql.extensions=graft.plans
@@ -16,5 +16,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // PQ kernels: the codebooks ride in as a foldable literal (last arg)
+    // and are baked into the expression as a flat reference object, NOT
+    // kept as a per-row child
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqExpressions.PqEncodeExpr].getName,
+        "graft_pq_encode"),
+      (children: Seq[Expression]) => PqExpressions.PqEncodeExpr(
+        children.head, PqExpressions.codebooksFromLiteral(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_dist"),
+      new ExpressionInfo(classOf[PqExpressions.AdcDistExpr].getName,
+        "graft_adc_dist"),
+      (children: Seq[Expression]) => PqExpressions.AdcDistExpr(
+        children(0), children(1),
+        PqExpressions.codebooksFromLiteral(children(2)))))
   }
 }

@@ -304,4 +304,39 @@ class FunctionsSpec extends SparkSpec {
     assert(d("localhost") == "localhost")
     assert(d("https://shop.example.com.au/cart") == "example.com.au")
   }
+
+  test("native PQ expressions equal the lambda forms bit-for-bit, " +
+       "codegen and interpreted") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16, dim = 64,
+      iters = 10)
+    val qv = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+
+    def check(): Unit = {
+      // encode: float input path (embeddings are array<float>)
+      val enc = emb.select(
+        Similarity.pqCodes(col("embedding"), cbs).as("native"),
+        Similarity.pqCodesLambda(col("embedding"), cbs).as("lambda"))
+      assert(enc.filter(not(col("native") <=> col("lambda"))).count() == 0,
+        "native pq_encode diverged from the lambda form")
+      // ADC: double query path, codes from the (already equal) encoder
+      val adc = emb.select(
+          Similarity.pqCodes(col("embedding"), cbs).as("codes"),
+          typedLit(qv).as("qv"))
+        .select(Similarity.adcDist(cbs).as("native"),
+          Similarity.adcDistLambda(cbs).as("lambda"))
+      assert(adc.filter(not(col("native") <=> col("lambda"))).count() == 0,
+        "native adc_dist diverged from the lambda form")
+    }
+
+    check() // codegen'd path
+    // interpreted path (nullSafeEval): force the expression factory off
+    // codegen — a generated-code bug and an eval bug must not differ
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }
