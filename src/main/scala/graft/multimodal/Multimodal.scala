@@ -312,21 +312,26 @@ object Multimodal {
     */
   def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                          nBands: Int = 4, idCol: String = "media_id",
-                         bitsCol: String = "bits"): DataFrame = {
+                         bitsCol: String = "bits",
+                         maxBucketSize: Int = 4096): DataFrame = {
     require(64 % nBands == 0, s"nBands $nBands must divide 64")
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    def banded(suffix: String) = hashes
-      .select(col(idCol).as("id" + suffix), col(bitsCol).as("b" + suffix))
-      .select(col("id" + suffix), col("b" + suffix),
-        explode(array((0 until nBands).map(b => struct(
-          lit(b).as("band"),
-          shiftrightunsigned(col("b" + suffix), b * bandBits)
+    val banded = hashes
+      .select(col(idCol).as("id"), col(bitsCol).as("b"))
+      .select(col("id"), col("b"),
+        explode(array((0 until nBands).map(bd => struct(
+          lit(bd).as("band"),
+          shiftrightunsigned(col("b"), bd * bandBits)
             .bitwiseAND(lit(mask)).as("key"))): _*)).as("_bk"))
-      .select(col("id" + suffix), col("b" + suffix),
+      .select(col("id"), col("b"),
         col("_bk.band").as("band"), col("_bk.key").as("key"))
-    val cand = banded("_a").join(banded("_b"), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    // hot (band, key) buckets star to the min-id member — identical
+    // images have identical aHashes in every band (the
+    // Dedup.minhashLshPairs cap; a re-encoded thumbnail duplicated across
+    // a crawl is exactly this shape)
+    val cand = graft.operators.Dedup
+      .cappedSelfJoin(banded, Seq("band", "key"), "id", "b", maxBucketSize)
       .select(col("id_a"), col("id_b"), col("b_a"), col("b_b"))
       .distinct()
     cand

@@ -333,6 +333,45 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Payload-carrying capped self-join shared by [[simhashPairs]] and
+    * [[embeddingNearDupPairs]]: pair rows on `keyCols` into
+    * (id_a, <payload>_a, id_b, <payload>_b) with id_a < id_b; buckets over
+    * `maxBucketSize` degrade to min-id star pairs (the [[minhashLshPairs]]
+    * cap, except the payload travels with the pair because these callers
+    * verify inline instead of joining signatures back). The bucket-min
+    * member's payload rides in the same `min(struct(id, payload))`
+    * aggregation that finds it — ids are unique, so the struct min IS the
+    * min-id row.
+    */
+  private[graft] def cappedSelfJoin(rows: DataFrame, keyCols: Seq[String],
+                                    idCol: String, payloadCol: String,
+                                    maxBucketSize: Int): DataFrame = {
+    val key = keyCols.map(col)
+    val a = rows.select(key :+ col(idCol).as("id_a") :+
+      col(payloadCol).as(s"${payloadCol}_a"): _*)
+    val b = rows.select(key :+ col(idCol).as("id_b") :+
+      col(payloadCol).as(s"${payloadCol}_b"): _*)
+    if (maxBucketSize <= 0)
+      a.join(b, keyCols).filter(col("id_a") < col("id_b"))
+    else {
+      val stats = rows.groupBy(key: _*)
+        .agg(count(lit(1)).as("_bsz"),
+          min(struct(col(idCol).as("id"), col(payloadCol).as("p"))).as("_bmin"))
+      val sized = a.join(stats, keyCols)
+      val small = sized.filter(col("_bsz") <= maxBucketSize)
+        .join(b, keyCols).filter(col("id_a") < col("id_b"))
+      val hot = sized.filter(col("_bsz") > maxBucketSize &&
+          col("id_a") =!= col("_bmin.id"))
+        .select(col("_bmin.id").as("id_a"),
+          col("_bmin.p").as(s"${payloadCol}_a"),
+          col("id_a").as("id_b"),
+          col(s"${payloadCol}_a").as(s"${payloadCol}_b"))
+      val cols = Seq(col("id_a"), col(s"${payloadCol}_a"), col("id_b"),
+        col(s"${payloadCol}_b"))
+      small.select(cols: _*).union(hot.select(cols: _*))
+    }
+  }
+
   /** Distinct (id_a < id_b) candidate pairs from exploded (band, id) rows
     * with the hot-bucket star cap described on [[minhashLshPairs]]. Spec
     * hook — DedupSpec counts candidates on a degenerate corpus.
@@ -421,10 +460,19 @@ object Dedup {
     * unquantified when differing bits fell inside the prefix. Cost is the
     * standard LSH trade: nBands× the bucket rows, same shuffle shape.
     */
+  /** `maxBucketSize` caps hot (band, bucket) groups exactly as in
+    * [[minhashLshPairs]] (min-id star; content splitting cannot separate
+    * identical simhashes). Above the cap the pigeonhole losslessness
+    * guarantee narrows to pairs INVOLVING the bucket hub — on the
+    * duplicate-heavy data that creates such buckets, members are
+    * near-identical and CC recovers the class; `<= 0` restores the
+    * unconditionally-lossless (and unconditionally-quadratic) join.
+    */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", nBands: Int = 8,
                    maxHamming: Int = 3,
-                   verifiable: Boolean = false): DataFrame = {
+                   verifiable: Boolean = false,
+                   maxBucketSize: Int = 4096): DataFrame = {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     require(maxHamming < nBands,
       s"lossless blocking needs maxHamming < nBands ($maxHamming >= $nBands)")
@@ -438,17 +486,13 @@ object Dedup {
       .withColumn("bucket",
         expr(s"shiftright(sh, band * $bandBits) & $mask"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = hashed.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = hashed.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
     // Eagerly materialize the (small) verified-pair set, then release the
     // nBands×-exploded signature table NOW — a bare persist() with no
     // unpersist lives in the cache manager for the whole session and
     // evicts later queries' storage. The checkpoint blocks holding the
     // result are context-cleaned once the caller drops the DataFrame.
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = cappedSelfJoin(hashed, Seq("band", "bucket"), "id", "sh",
+        maxBucketSize)
       .withColumn("hamming", VectorFunctions.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -529,7 +573,8 @@ object Dedup {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, vecCol: String = "embedding",
                             idCol: String = "vec_id", dim: Int = 64,
-                            nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
+                            nBits: Int = 8, threshold: Double = 0.95,
+                            maxBucketSize: Int = 4096): DataFrame = {
     // Signatures via the relational row-form (small codegen, partial-agg
     // shuffle of nBits dots per vector), joined back to the vectors.
     val sig = VectorFunctions
@@ -538,12 +583,11 @@ object Dedup {
       .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     // Same lifecycle discipline as simhashPairs: checkpoint the small
     // verified-pair output eagerly, release the bucketed vectors now.
-    val pairs = a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // Hot buckets star to the min-id member (identical embeddings →
+    // identical signatures; see minhashLshPairs).
+    val pairs = cappedSelfJoin(sig, Seq("bucket"), "id", "v", maxBucketSize)
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

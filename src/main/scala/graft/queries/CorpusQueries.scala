@@ -370,12 +370,23 @@ object CorpusQueries {
           .mkString(" || ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+          |bstats AS (SELECT bucket, count(*) AS bsz, min(vec_id) AS bmin
+          |           FROM sig GROUP BY bucket),
           |pairs AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |         list_dot_product(a.v, b.v) /
           |           greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)),
           |                    1e-300) AS cos
-          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |  JOIN bstats st ON st.bucket = a.bucket AND st.bsz <= 4096
+          |  UNION ALL
+          |  SELECT m.vec_id AS id_a, b.vec_id AS id_b,
+          |         list_dot_product(m.v, b.v) /
+          |           greatest(sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(b.v, b.v)),
+          |                    1e-300) AS cos
+          |  FROM sig b JOIN bstats st ON st.bucket = b.bucket
+          |    AND st.bsz > 4096 AND st.bmin < b.vec_id
+          |  JOIN sig m ON m.vec_id = st.bmin)
           |SELECT id_a, id_b, round(cos, 4) AS cos
           |FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
       }),
@@ -445,11 +456,22 @@ object CorpusQueries {
           |bands AS (
           |  SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS bucket
           |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) bs),
+          |bstats AS (SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
+          |           FROM bands GROUP BY band, bucket),
           |pairs AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-          |         bit_count(xor(a.sh, b.sh))::INT AS hamming
-          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-          |                            AND a.doc_id < b.doc_id)
+          |  SELECT DISTINCT id_a, id_b, hamming FROM (
+          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |           bit_count(xor(a.sh, b.sh))::INT AS hamming
+          |    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          |                              AND a.doc_id < b.doc_id
+          |    JOIN bstats st ON st.band = a.band AND st.bucket = a.bucket
+          |      AND st.bsz <= 4096
+          |    UNION ALL
+          |    SELECT st.bmin AS id_a, b.doc_id AS id_b,
+          |           bit_count(xor(m.sh, b.sh))::INT AS hamming
+          |    FROM bands b JOIN bstats st ON st.band = b.band AND st.bucket = b.bucket
+          |      AND st.bsz > 4096 AND st.bmin < b.doc_id
+          |    JOIN sig m ON m.doc_id = st.bmin))
           |SELECT id_a, id_b, hamming FROM pairs
           |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
       }),
@@ -1361,10 +1383,19 @@ object CorpusQueries {
         |bands AS (
         |  SELECT id, ahash, bs.b, substring(ahash, bs.b * 16 + 1, 16) AS key
         |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        |bstats AS (SELECT b, key, count(*) AS bsz, min(id) AS bmin
+        |           FROM bands GROUP BY b, key),
         |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.ahash AS ha, b2.ahash AS hb
-        |  FROM bands a JOIN bands b2
-        |    ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id),
+        |  SELECT DISTINCT id_a, id_b, ha, hb FROM (
+        |    SELECT a.id AS id_a, b2.id AS id_b, a.ahash AS ha, b2.ahash AS hb
+        |    FROM bands a JOIN bands b2
+        |      ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+        |    JOIN bstats st ON st.b = a.b AND st.key = a.key AND st.bsz <= 4096
+        |    UNION ALL
+        |    SELECT st.bmin AS id_a, b2.id AS id_b, m.ahash AS ha, b2.ahash AS hb
+        |    FROM bands b2 JOIN bstats st ON st.b = b2.b AND st.key = b2.key
+        |      AND st.bsz > 4096 AND st.bmin < b2.id
+        |    JOIN bits m ON m.id = st.bmin)),
         |ham AS (
         |  SELECT id_a, id_b,
         |    list_sum(list_transform(generate_series(1, 64), i ->

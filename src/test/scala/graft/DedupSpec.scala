@@ -250,4 +250,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(capped == uncapped)
   }
+
+  test("hot-bucket cap covers the whole pair family: simhash and " +
+       "embedding stars to the min id") {
+    val clone = "identical boilerplate page repeated across the crawl " +
+      "with enough words to vote every simhash bit"
+    val simCorpus = ((0L until 40L).map(i => (i, clone)) ++
+      Seq((100L, "one unrelated document about catalyst and codegen")))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhashPairs(simCorpus, nBands = 8, maxHamming = 6,
+        maxBucketSize = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sim == (1L until 40L).map(b => (0L, b)).toSet,
+      s"simhash star drifted: $sim")
+
+    import spark.implicits._
+    val v = Seq.tabulate(16)(i => math.sin(i + 1.0))
+    val u = Seq.tabulate(16)(i => math.cos(i * 2 + 1.0))
+    val embCorpus = ((0L until 40L).map(i => (i, v)) ++ Seq((100L, u)))
+      .toDF("vec_id", "embedding")
+    val emb = Dedup.embeddingNearDupPairs(embCorpus, dim = 16, nBits = 4,
+        threshold = 0.99, maxBucketSize = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(emb == (1L until 40L).map(b => (0L, b)).toSet,
+      s"embedding star drifted: $emb")
+  }
 }
