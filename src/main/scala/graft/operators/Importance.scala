@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): score every raw document by how much it looks like a target
+  * distribution, using hashed n-gram features. Two bag-of-ngram models
+  * (unigrams + bigrams hashed into `nBuckets` buckets) are estimated — one
+  * over the target slice, one over the full raw corpus — and a document's
+  * importance is the mean per-feature log-likelihood ratio
+  * `ln p_target(b) − ln p_raw(b)`. Selecting the top-weight documents
+  * re-focuses a web-scale corpus on the target domain.
+  *
+  * Scale design (the 100 TB path):
+  *   - Both models come from ONE pass over the exploded features: a single
+  *     groupBy on the hashed bucket id with a conditional count for the
+  *     target slice — `nBuckets` output rows, map-side combined, no skew
+  *     (bucket ids are md5-uniform).
+  *   - The per-bucket log-ratio table (≤ `nBuckets` rows) broadcasts; doc
+  *     scoring is explode → broadcast join → one groupBy on the doc id.
+  *   - Selection is a global top-n by (weight desc, id) —
+  *     `TakeOrderedAndProject`, never a full sort.
+  *
+  * Feature hashing uses the md5-derived 60-bit hash so an external engine
+  * can replay bucket assignment exactly (the q57 idiom). Determinism: per
+  * bucket log-ratios rounded to 6 dp; per-doc means DECIMAL-summed then
+  * rounded.
+  */
+object Importance {
+
+  /** Hashed n-gram features of a document: unigram tokens plus space-joined
+    * bigrams, each mapped to `md5-hash mod nBuckets`.
+    */
+  def hashedFeatures(text: Column, nBuckets: Int): Column =
+    transform(
+      concat(TextFunctions.tokens(text), TextFunctions.shingles(text, 2)),
+      f => pmod(TextFunctions.md5Hash60(f), lit(nBuckets.toLong)))
+
+  /** Per-bucket importance weights from one pass: (b, w) with
+    * w = round(ln((c_t+α)/(t_t+α·B)) − ln((c_r+α)/(t_r+α·B)), 6).
+    * Buckets never seen in the raw corpus are absent — no document can
+    * reference them.
+    */
+  def bucketLogRatios(docs: DataFrame, targetPred: Column,
+                      nBuckets: Int = 256, alpha: Double = 0.5,
+                      textCol: String = "text"): DataFrame = {
+    val bucketed = docs.select(
+      explode(hashedFeatures(col(textCol), nBuckets)).as("b"),
+      when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_t"))
+    val perBucket = bucketed.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    val totals = perBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val aB = lit(alpha) * nBuckets
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("ct") + lit(alpha)) / (col("tt") + aB)) -
+              log((col("cr") + lit(alpha)) / (col("tr") + aB)), 6).as("w"))
+  }
+
+  /** Per-document importance: (doc_id, n_feat, importance) with importance
+    * = mean bucket log-ratio over the doc's hashed features. Docs with no
+    * features (no tokens) are absent.
+    */
+  def importanceWeights(docs: DataFrame, logRatios: DataFrame,
+                        nBuckets: Int = 256, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(hashedFeatures(col(textCol), nBuckets)).as("b"))
+      .join(broadcast(logRatios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("w").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("importance"))
+
+  /** DSIR selection: the `n` raw documents most like the target slice
+    * (importance desc, doc-id tie-break). The paper resamples with Gumbel
+    * noise; the deterministic top-n is the reproducible variant (noise-free
+    * selection is the λ→∞ limit) and keeps the operator oracle-checkable.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, n: Int,
+                 nBuckets: Int = 256, alpha: Double = 0.5,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lam = bucketLogRatios(docs, targetPred, nBuckets, alpha, textCol)
+    importanceWeights(docs, lam, nBuckets, textCol, idCol)
+      .orderBy(col("importance").desc, col("doc_id"))
+      .limit(n)
+  }
+}

@@ -473,9 +473,9 @@ object Similarity {
     * survivors per query — bounded regardless of candidate-set size.
     * `ord` must be a total order (ties broken by id) for determinism.
     */
-  private def saltedTopK(scored: DataFrame, k: Int, ord: Seq[Column],
-                         idCol: String, queryIdCol: String,
-                         nSalt: Int = 64): DataFrame = {
+  private[operators] def saltedTopK(scored: DataFrame, k: Int, ord: Seq[Column],
+                                    idCol: String, queryIdCol: String,
+                                    nSalt: Int = 64): DataFrame = {
     val w1 = Window.partitionBy(col(queryIdCol), col("_salt")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)
     scored

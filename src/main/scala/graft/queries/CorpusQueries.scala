@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Clusters, Dedup, Packing, Quality, Sampling, Similarity}
+import graft.operators.{AnnIndex, Clusters, Dedup, Importance, LmScore, Packing, Quality, Retrieval, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -1728,7 +1728,167 @@ object CorpusQueries {
         |  FROM scored)
         |SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // BM25 full-text retrieval (Retrieval.bm25TopK): inverted-index term
+    // scan with the Lucene idf, scored per (query, doc), salted top-10.
+    // The oracle rebuilds postings/df/doc-length/avgdl from the table and
+    // replays the exact scoring arithmetic — per-term scores rounded to
+    // 6 dp, DECIMAL-summed, ranked by the exact decimal with doc-id
+    // tie-break — so any drift in tf/df/dl accounting or the salted
+    // two-phase selection breaks the hash.
+    QueryDef("q86_bm25_retrieval",
+      (s, dir) =>
+        Retrieval.bm25TopK(s, table(s, dir, "documents"),
+            Seq(0 -> "spark shuffle hash join", 1 -> "customer order query",
+              2 -> "vector window scan"), k = 10)
+          .orderBy("query_id", "rank"),
+      Some("""WITH dl AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+        |q(query_id, token) AS (VALUES
+        |  (0, 'spark'), (0, 'shuffle'), (0, 'hash'), (0, 'join'),
+        |  (1, 'customer'), (1, 'order'), (1, 'query'),
+        |  (2, 'vector'), (2, 'window'), (2, 'scan')),
+        |tf AS (
+        |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |    FROM documents)
+        |  WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+        |      6) AS sc
+        |  FROM q JOIN tf ON tf.token = q.token
+        |         JOIN dfreq d ON d.token = q.token
+        |         JOIN dl ON dl.doc_id = tf.doc_id
+        |         CROSS JOIN stats st),
+        |agg AS (
+        |  SELECT query_id, doc_id, sum(sc::DECIMAL(28,6)) AS sdec
+        |  FROM scored GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, sdec,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id)
+        |      AS rank
+        |  FROM agg)
+        |SELECT query_id, rank, doc_id, round(sdec::DOUBLE, 6) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // CCNet perplexity filtering (LmScore): add-α unigram LM trained on
+    // the corpus (top-1024 vocab, α=0.5), per-doc mean NLL, head/middle/
+    // tail terciles with cutoffs from the deterministic 256-doc
+    // hash-ordered sample. The oracle retrains the LM from the table,
+    // rescoring every doc (per-token NLL rounded 6 dp, DECIMAL mean) and
+    // replaying the sample + order-statistic thresholds, so drift in
+    // vocab selection, smoothing arithmetic, the sample, or the tercile
+    // boundary rule all break the hash.
+    QueryDef("q87_ccnet_perplexity",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lm = LmScore.trainUnigram(docs, vocabSize = 1024, alpha = 0.5)
+        LmScore.perplexityBuckets(docs, lm, sampleN = 256)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            stableSum(col("log_ppl")).as("sum_log_ppl"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 1024),
+        |st AS (
+        |  SELECT (SELECT sum(c)::BIGINT FROM cnt) AS t,
+        |         (SELECT count(*)::BIGINT FROM vocab) AS v),
+        |nlls AS (
+        |  SELECT tk.doc_id,
+        |    round(-ln((coalesce(v.c, 0) + 0.5) / (st.t + 0.5 * (st.v + 1))), 6)
+        |      AS nll
+        |  FROM toks tk LEFT JOIN vocab v ON v.token = tk.token, st),
+        |ppl AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    round(sum(nll::DECIMAL(28,6))::DOUBLE / count(*), 6) AS log_ppl
+        |  FROM nlls GROUP BY 1),
+        |samp AS (
+        |  SELECT log_ppl FROM ppl
+        |  ORDER BY
+        |    ('0x' || substring(md5('ppl_' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |    doc_id
+        |  LIMIT 256),
+        |sord AS (
+        |  SELECT log_ppl, row_number() OVER (ORDER BY log_ppl) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM samp),
+        |thr AS (
+        |  SELECT max(CASE WHEN rn = (n + 2) // 3 THEN log_ppl END) AS t1,
+        |         max(CASE WHEN rn = (2*n + 2) // 3 THEN log_ppl END) AS t2
+        |  FROM sord),
+        |bkt AS (
+        |  SELECT p.doc_id, p.log_ppl,
+        |    CASE WHEN p.log_ppl <= thr.t1 THEN 'head'
+        |         WHEN p.log_ppl <= thr.t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM ppl p, thr)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  round(sum(round(log_ppl, 6)::DECIMAL(28,6))::DOUBLE, 6) AS sum_log_ppl,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM bkt GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // DSIR importance resampling (Importance.dsirSelect): hashed
+    // unigram+bigram features (md5 mod 256), one-pass target/raw bucket
+    // counts over the lang='en' target slice, per-doc mean log-likelihood
+    // ratio, deterministic top-50. The oracle recomputes the feature
+    // hashing, both models, the per-bucket log-ratios, and the per-doc
+    // means from the table.
+    QueryDef("q88_dsir_selection",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val top = Importance.dsirSelect(docs, col("lang") === "en", n = 50)
+        docs.select(col("doc_id"), col("lang"))
+          .join(broadcast(top), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_feat"), col("importance"))
+          .orderBy(col("importance").desc, col("doc_id"))
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(l) AS f FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS f
+        |  FROM tk),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(f), 1, 15))::BIGINT % 256 AS b
+        |  FROM feats),
+        |bc AS (
+        |  SELECT b, count(*)::BIGINT AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM fb GROUP BY 1),
+        |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bc),
+        |lam AS (
+        |  SELECT b, round(ln((ct + 0.5) / (tt + 0.5 * 256)) -
+        |                  ln((cr + 0.5) / (tr + 0.5 * 256)), 6) AS w
+        |  FROM bc, tot),
+        |sc AS (
+        |  SELECT fb.doc_id, count(*)::BIGINT AS n_feat,
+        |    round(sum(w::DECIMAL(28,6))::DOUBLE / count(*), 6) AS importance
+        |  FROM fb JOIN lam USING (b) GROUP BY 1)
+        |SELECT sc.doc_id, d.lang, sc.n_feat, sc.importance
+        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |ORDER BY importance DESC, sc.doc_id LIMIT 50""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Importance, LmScore, Retrieval}
+
+/** BM25 retrieval, CCNet perplexity bucketing, DSIR importance selection. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25TopK matches the hand-computed Okapi formula") {
+    val docs = Seq(
+      (1L, "spark spark join"),
+      (2L, "hash join table"),
+      (3L, "the quick fox")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(spark, docs, Seq(0 -> "spark join"), k = 10)
+      .orderBy("query_id", "rank").collect()
+
+    def idf(n: Long, df: Long): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, dl: Long, avgdl: Double): Double =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // N=3, avgdl=3; df(spark)=1, df(join)=2
+    val d1 = r6(idf(3, 1) * tfn(2, 3, 3.0)) + r6(idf(3, 2) * tfn(1, 3, 3.0))
+    val d2 = r6(idf(3, 2) * tfn(1, 3, 3.0))
+
+    assert(out.length == 2) // d3 matches no term
+    assert(out(0).getAs[Long]("doc_id") == 1L)
+    assert(out(0).getAs[Int]("rank") == 1)
+    assert(approx(out(0).getAs[Double]("score"), r6(d1), 1e-9))
+    assert(out(1).getAs[Long]("doc_id") == 2L)
+    assert(approx(out(1).getAs[Double]("score"), r6(d2), 1e-9))
+  }
+
+  test("bm25TopK: per-query isolation, k cap, and doc-id tie-break") {
+    val docs = (1L to 20L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(spark, docs,
+      Seq(0 -> "alpha", 1 -> "beta", 2 -> "missingterm"), k = 5).collect()
+    // identical docs → identical scores → rank order = doc_id order
+    val q0 = out.filter(_.getAs[Int]("query_id") == 0).sortBy(_.getAs[Int]("rank"))
+    assert(q0.map(_.getAs[Long]("doc_id")).toSeq == (1L to 5L))
+    assert(out.filter(_.getAs[Int]("query_id") == 1).length == 5)
+    assert(!out.exists(_.getAs[Int]("query_id") == 2)) // no postings → absent
+  }
+
+  // --------------------------------------------------- CCNet perplexity
+
+  test("logPerplexity applies add-alpha smoothing with an UNK class") {
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LmScore.trainUnigram(docs, vocabSize = 2, alpha = 0.5)
+    val m = LmScore.logPerplexity(docs, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // counts: a=3 b=2 c=1; vocab(2) = {a, b}; t=6, v=2, denom=6+0.5*3=7.5
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nA = r6(-math.log(3.5 / 7.5))
+    val nB = r6(-math.log(2.5 / 7.5))
+    val nC = r6(-math.log(0.5 / 7.5)) // OOV → UNK mass
+    assert(m(1L).getAs[Long]("n_tokens") == 3L)
+    assert(approx(m(1L).getAs[Double]("log_ppl"), r6((2 * nA + nB) / 3), 1e-9))
+    assert(approx(m(2L).getAs[Double]("log_ppl"), r6((nA + nB + nC) / 3), 1e-9))
+  }
+
+  test("perplexityBuckets splits terciles: common→head, rare→tail") {
+    // 3 docs per class; token frequency a >> b >> c drives the perplexity.
+    val docs = (0 until 9).map { i =>
+      val tok = Seq("a", "b", "c")(i % 3)
+      (i.toLong, Seq.fill(4)(tok).mkString(" "))
+    }.toDF("doc_id", "text")
+    // skew corpus counts: add weight docs so counts differ (a=28,b=16,c=12)
+    val weighted = docs.union(Seq(
+      (100L, Seq.fill(16)("a").mkString(" ")),
+      (101L, Seq.fill(4)("b").mkString(" "))).toDF("doc_id", "text"))
+    val lm = LmScore.trainUnigram(weighted, vocabSize = 8, alpha = 0.5)
+    val out = LmScore.perplexityBuckets(weighted, lm, sampleN = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    // p(a) > p(b) > p(c) → ppl(a-doc) < ppl(b-doc) < ppl(c-doc)
+    assert(Seq(0L, 3L, 6L, 100L).forall(out(_) == "head"))
+    assert(Seq(1L, 4L, 7L, 101L).forall(out(_) == "middle"))
+    assert(Seq(2L, 5L, 8L).forall(out(_) == "tail"))
+  }
+
+  // ------------------------------------------------------------- DSIR
+
+  test("dsirSelect ranks target-like docs first") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "gamma delta gamma delta", "de"),
+      (4L, "alpha beta alpha", "de"), // de doc that LOOKS like en
+      (5L, "delta gamma delta", "de")
+    ).toDF("doc_id", "text", "lang")
+    val top = Importance.dsirSelect(docs, col("lang") === "en", n = 3)
+      .collect()
+    val ids = top.map(_.getAs[Long]("doc_id")).toSet
+    // the en-looking docs (1, 4) must beat the pure-de docs (3, 5)
+    assert(ids.contains(1L) && ids.contains(4L))
+    assert(!ids.contains(3L) && !ids.contains(5L))
+    // n_feat = tokens + bigrams
+    val m = top.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_feat")).toMap
+    assert(m(1L) == 4 + 3)
+  }
+
+  test("bucketLogRatios: bounded rows, zero-sum sanity") {
+    val docs = Seq(
+      (1L, "alpha beta", "en"), (2L, "gamma delta", "de")
+    ).toDF("doc_id", "text", "lang")
+    val lam = Importance.bucketLogRatios(docs, col("lang") === "en",
+      nBuckets = 16).collect()
+    assert(lam.length <= 16)
+    assert(lam.forall(r => !r.getAs[Double]("w").isNaN))
+    // en-only feature buckets weigh positive, de-only negative
+    val ws = lam.map(_.getAs[Double]("w"))
+    assert(ws.exists(_ > 0) && ws.exists(_ < 0))
+  }
+}
