@@ -91,4 +91,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
       == rows(full))
   }
+
+  test("streaming maintenance: bootstrap from the first batch, append " +
+       "later batches, replay-idempotent across a restart") {
+    import graft.streaming.StreamingAnnIndex
+    val inDir = Files.createTempDirectory("annix-str-in").toString
+    val ckDir = Files.createTempDirectory("annix-str-ck").toString
+    val ixDir = Files.createTempDirectory("annix-str-ix").toString + "/ix"
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+
+    def stream = spark.readStream.schema(emb.schema).parquet(inDir)
+
+    first.write.mode("append").parquet(inDir)
+    val q = StreamingAnnIndex.sink(stream, ixDir, ckDir, p, pollSeconds = 1)
+    try {
+      q.processAllAvailable() // bootstrap: quantizers trained on `first`
+      assert(Bundle.isValid(ixDir, p.asMap))
+      rest.write.mode("append").parquet(inDir)
+      q.processAllAvailable() // append with the SAVED quantizers
+    } finally q.stop()
+
+    // reference: encode everything with quantizers trained on `first`
+    val cents = Similarity.sampledKMeans(first, p.kCells, p.iters, p.sampleN)
+    val cbs = Similarity.trainPqCodebooks(first, p.m, p.k, p.dim, p.iters,
+      p.sampleN)
+    val full = rows(Similarity.ivfAdcTopK(emb, queries, cents, cbs,
+      k = 10, nProbe = 3))
+    assert(rows(AnnIndex.topK(spark, ixDir, queries, k = 10, nProbe = 3))
+      == full, "streamed index diverged from the batch-built reference")
+
+    // restart from the checkpoint; re-deliver `rest` as NEW files (the
+    // file source sees new files, append's anti-join skips the ids)
+    val q2 = StreamingAnnIndex.sink(stream, ixDir, ckDir, p, pollSeconds = 1)
+    try {
+      rest.write.mode("append").parquet(inDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows(AnnIndex.topK(spark, ixDir, queries, k = 10, nProbe = 3))
+      == full, "replayed delivery changed the index")
+    assert(AnnIndex.load(spark, ixDir).codes.count() == emb.count(),
+      "replay duplicated code rows")
+  }
+
+  test("streaming maintenance fails fast on parameter drift instead of " +
+       "shrinking the index to one batch") {
+    import graft.streaming.StreamingAnnIndex
+    val ixDir = Files.createTempDirectory("annix-drift").toString + "/ix"
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    val first = emb.filter(col("vec_id") < 400)
+    StreamingAnnIndex.processBatch(spark, first, ixDir, p) // bootstrap
+    val e = intercept[IllegalStateException] {
+      StreamingAnnIndex.processBatch(spark, emb, ixDir, p.copy(kCells = 12))
+    }
+    assert(e.getMessage.contains("rebuild offline"))
+    // the original index is untouched
+    assert(Bundle.isValid(ixDir, p.asMap))
+  }
 }
