@@ -151,8 +151,14 @@ object TextFunctions {
     * `shingles("a b c d", 3) = ["a b c", "b c d"]`. Core input to MinHash /
     * Jaccard dedup.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-materialized token array. Pass a column
+    * ALIAS (not an inline `tokens(text)` expression) when the token array
+    * is consumed more than once — an inline array re-evaluates per read
+    * (the CollapseProject hazard, SCALE.md round-7).
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     // sequence(1, 0) would count DOWN — short texts need the empty array.
     when(count >= 1,

@@ -38,18 +38,37 @@ object Importance {
       concat(TextFunctions.tokens(text), TextFunctions.shingles(text, 2)),
       f => pmod(TextFunctions.md5Hash60(f), lit(nBuckets.toLong)))
 
-  /** Per-bucket importance weights from one pass: (b, w) with
-    * w = round(ln((c_t+α)/(t_t+α·B)) − ln((c_r+α)/(t_r+α·B)), 6).
+  /** Exploded hashed-feature rows (doc_id, is_t, b) — the md5-heavy pass
+    * both model estimation and doc scoring consume. Compute ONCE.
+    *
+    * Staged projections, not one inline expression: the token array is a
+    * multi-referenced alias (concat operand + shingle source), so it
+    * survives CollapseProject and the regexp tokenizer runs once per row —
+    * an inline `tokens(text)` here re-evaluates per reference and the
+    * in-lambda `slice` re-derives it per bigram (the round-7 8× hazard).
+    */
+  def featureRows(docs: DataFrame, targetPred: Column, nBuckets: Int,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_t"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("is_t"),
+        concat(col("_toks"),
+          TextFunctions.shinglesOfTokens(col("_toks"), 2)).as("_f"))
+      .select(col("doc_id"), col("is_t"),
+        explode(transform(col("_f"),
+          f => pmod(TextFunctions.md5Hash60(f), lit(nBuckets.toLong)))).as("b"))
+
+  /** Per-bucket importance weights from pre-exploded feature rows: (b, w)
+    * with w = round(ln((c_t+α)/(t_t+α·B)) − ln((c_r+α)/(t_r+α·B)), 6).
     * Buckets never seen in the raw corpus are absent — no document can
     * reference them.
     */
-  def bucketLogRatios(docs: DataFrame, targetPred: Column,
-                      nBuckets: Int = 256, alpha: Double = 0.5,
-                      textCol: String = "text"): DataFrame = {
-    val bucketed = docs.select(
-      explode(hashedFeatures(col(textCol), nBuckets)).as("b"),
-      when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_t"))
-    val perBucket = bucketed.groupBy(col("b"))
+  def bucketLogRatiosFromFeatures(fb: DataFrame, nBuckets: Int = 256,
+                                  alpha: Double = 0.5): DataFrame = {
+    val perBucket = fb.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
     val totals = perBucket.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val aB = lit(alpha) * nBuckets
@@ -59,32 +78,48 @@ object Importance {
               log((col("cr") + lit(alpha)) / (col("tr") + aB)), 6).as("w"))
   }
 
-  /** Per-document importance: (doc_id, n_feat, importance) with importance
-    * = mean bucket log-ratio over the doc's hashed features. Docs with no
-    * features (no tokens) are absent.
+  /** Convenience single-pass form of [[bucketLogRatiosFromFeatures]]. */
+  def bucketLogRatios(docs: DataFrame, targetPred: Column,
+                      nBuckets: Int = 256, alpha: Double = 0.5,
+                      textCol: String = "text"): DataFrame =
+    bucketLogRatiosFromFeatures(
+      featureRows(docs, targetPred, nBuckets, textCol), nBuckets, alpha)
+
+  /** Per-document importance from pre-exploded feature rows:
+    * (doc_id, n_feat, importance) with importance = mean bucket log-ratio
+    * over the doc's hashed features. Docs with no features are absent.
     */
-  def importanceWeights(docs: DataFrame, logRatios: DataFrame,
-                        nBuckets: Int = 256, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        explode(hashedFeatures(col(textCol), nBuckets)).as("b"))
-      .join(broadcast(logRatios), Seq("b"))
+  def importanceFromFeatures(fb: DataFrame, logRatios: DataFrame): DataFrame =
+    fb.join(broadcast(logRatios), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"),
         round(sum(col("w").cast("decimal(28,6)")).cast("double") /
           count(lit(1)), 6).as("importance"))
 
+  /** Convenience form of [[importanceFromFeatures]] (re-explodes). */
+  def importanceWeights(docs: DataFrame, logRatios: DataFrame,
+                        nBuckets: Int = 256, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    importanceFromFeatures(
+      featureRows(docs, lit(false), nBuckets, textCol, idCol), logRatios)
+
   /** DSIR selection: the `n` raw documents most like the target slice
     * (importance desc, doc-id tie-break). The paper resamples with Gumbel
     * noise; the deterministic top-n is the reproducible variant (noise-free
     * selection is the λ→∞ limit) and keeps the operator oracle-checkable.
+    *
+    * The exploded feature rows (the md5-over-every-ngram pass, by far the
+    * dominant cost) are computed ONCE and pinned; model estimation and doc
+    * scoring both read the pinned rows — 24 bytes per feature, cheaper than
+    * re-hashing the corpus and far smaller than the text it came from.
     */
   def dsirSelect(docs: DataFrame, targetPred: Column, n: Int,
                  nBuckets: Int = 256, alpha: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lam = bucketLogRatios(docs, targetPred, nBuckets, alpha, textCol)
-    importanceWeights(docs, lam, nBuckets, textCol, idCol)
+    val fb = featureRows(docs, targetPred, nBuckets, textCol, idCol)
+      .localCheckpoint(true)
+    val lam = bucketLogRatiosFromFeatures(fb, nBuckets, alpha)
+    importanceFromFeatures(fb, lam)
       .orderBy(col("importance").desc, col("doc_id"))
       .limit(n)
   }

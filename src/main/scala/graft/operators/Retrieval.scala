@@ -53,10 +53,15 @@ object Retrieval {
       .distinct()
     val qTokens = qTerms.select("token").distinct()
 
-    // Doc length from a plain projection; rides along into the postings so
-    // the full-corpus length table never has to be joined back.
-    val withDl = docs.select(col(idCol).as("doc_id"), col(textCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+    // Token array staged as a multi-referenced alias (length + explode):
+    // survives CollapseProject, so the regexp tokenizer runs once per row.
+    // Doc length rides along into the postings so the full-corpus length
+    // table never has to be joined back.
+    val withDl = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
 
     // Corpus stats: one row (n_docs, avgdl). avg over exact longs is
     // engine-deterministic (exact integer sum / exact count).
@@ -67,8 +72,7 @@ object Retrieval {
     // semi-join against the broadcast term set kills non-query tokens
     // map-side, so only matching (doc, token) pairs shuffle.
     val postings = withDl
-      .select(col("doc_id"), col("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("token"))
       .join(broadcast(qTokens), Seq("token"), "left_semi")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
