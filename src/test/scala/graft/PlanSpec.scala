@@ -207,4 +207,43 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "q01 lost its partial aggregation")
   }
+
+  test("retrieval/LM/DSIR plans: salted BM25 ranking, broadcast models " +
+       "(q86-q88)") {
+    // q86: the per-query candidate ranking must be the salted two-phase
+    // top-k (a hot query term puts the whole corpus under one query id)
+    val w86 = planned("q86_bm25_retrieval").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(w86.nonEmpty && w86.forall(_.partitionSpec.nonEmpty),
+      "q86: unpartitioned ranking window")
+    assert(w86.exists(_.partitionSpec.size >= 2),
+      "q86: lost the salted phase-1 window")
+    // postings semi-join + df/term/stats joins all broadcast — the corpus
+    // is never shuffled to meet the query terms
+    assert(plans("q86_bm25_retrieval").contains("BroadcastHashJoin"),
+      "q86 lost its broadcast term joins")
+
+    // q87 bucketing must be scalar compares, not a corpus-wide window
+    // (the registry plan starts at the localCheckpoint, so assert the
+    // scoring operator's own plan for the broadcast vocab join)
+    assert(!plans("q87_ccnet_perplexity").contains("Window"),
+      "q87 must bucket by scalar thresholds, not a window")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm = graft.operators.LmScore.trainUnigram(docs)
+    val scorePlan = graft.operators.LmScore.logPerplexity(docs, lm)
+      .queryExecution.executedPlan.toString
+    assert(scorePlan.contains("BroadcastHashJoin"),
+      "logPerplexity must broadcast the vocabulary")
+    assert(!scorePlan.contains("Window"), "logPerplexity grew a window")
+
+    // q88: weight table broadcasts; selection is TakeOrderedAndProject,
+    // never a global sort or window
+    assert(plans("q88_dsir_selection").contains("BroadcastHashJoin"),
+      "q88 lost the broadcast weight-table join")
+    assert(!plans("q88_dsir_selection").contains("Window"),
+      "q88 must not window")
+    assert(plans("q88_dsir_selection").contains("TakeOrderedAndProject"),
+      "q88 selection must plan as TakeOrderedAndProject")
+  }
 }
