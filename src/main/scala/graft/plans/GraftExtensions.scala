@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NfcNormalize, PqExpressions}
+import graft.functions.{Bpe, NfcNormalize, PqExpressions}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * the public extension point (`spark.sql.extensions=graft.plans
@@ -32,5 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => PqExpressions.AdcDistExpr(
         children(0), children(1),
         PqExpressions.codebooksFromLiteral(children(2)))))
+    // BPE kernels: the learned merge table rides in as a foldable
+    // array<array<string>> literal, baked into a rank-map kernel object
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_pieces"),
+      new ExpressionInfo(classOf[Bpe.BpePiecesExpr].getName,
+        "graft_bpe_pieces"),
+      (children: Seq[Expression]) => Bpe.BpePiecesExpr(
+        children.head, Bpe.mergesFromLiteral(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[Bpe.BpeCountExpr].getName,
+        "graft_bpe_count"),
+      (children: Seq[Expression]) => Bpe.BpeCountExpr(
+        children.head, Bpe.mergesFromLiteral(children(1)))))
   }
 }

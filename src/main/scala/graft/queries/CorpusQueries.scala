@@ -1888,7 +1888,45 @@ object CorpusQueries {
         |  FROM fb JOIN lam USING (b) GROUP BY 1)
         |SELECT sc.doc_id, d.lang, sc.n_feat, sc.importance
         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
-        |ORDER BY importance DESC, sc.doc_id LIMIT 50""".stripMargin))
+        |ORDER BY importance DESC, sc.doc_id LIMIT 50""".stripMargin)),
+
+    // BPE subword token counting (Bpe.bpeTokenCount — the native codegen
+    // kernel) under a FIXED two-chain merge table {t+h→th, th+e→the,
+    // i+n→in, in+g→ing}. For chain merges the greedy all-occurrences
+    // apply is arithmetic: pieces = word-chars − occ(th) − occ(the) −
+    // occ(in) − occ(ing), each occ leftmost-non-overlapping on the raw
+    // lowercased text (= SQL replace() semantics; a chained pair's head
+    // can never overlap its own first merge, so the counts align exactly).
+    // The oracle replays that arithmetic per document; the TRAINED-merge
+    // path (trainOnCorpus) is BpeSpec-covered.
+    QueryDef("q89_bpe_token_stats",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        table(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.Bpe.bpeTokenCount(col("text"), merges))
+              .as("bpe_tokens"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long"))
+              .as("word_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+        |  SELECT source, lower(text) AS t,
+        |    len(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g'))::BIGINT
+        |      AS wc,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS nw
+        |  FROM documents),
+        |occ AS (
+        |  SELECT source, nw,
+        |    wc - (len(t) - len(replace(t, 'th', ''))) / 2
+        |       - (len(t) - len(replace(t, 'the', ''))) / 3
+        |       - (len(t) - len(replace(t, 'in', ''))) / 2
+        |       - (len(t) - len(replace(t, 'ing', ''))) / 3 AS bpe
+        |  FROM per)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(bpe)::BIGINT AS bpe_tokens, sum(nw)::BIGINT AS word_tokens
+        |FROM occ GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, BpeKernel}
+
+/** BPE training (deterministic Sennrich), greedy apply kernel, and the
+  * native pieces/count expressions.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train reproduces the classic Sennrich example, deterministically") {
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.train(dict, nMerges = 4)
+    // pair counts: es=9, st=9 (tie -> lexicographic), then est follows
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")))
+    assert(Bpe.train(dict.reverse, nMerges = 4) == merges,
+      "training must not depend on dict order")
+  }
+
+  test("train stops when no pair repeats") {
+    val merges = Bpe.train(Seq("ab" -> 1L, "cd" -> 1L), nMerges = 10)
+    assert(merges.isEmpty)
+  }
+
+  test("greedy apply merges by rank, all occurrences left-to-right") {
+    val kernel = new BpeKernel(Seq(("e", "s"), ("es", "t")))
+    assert(kernel.encodeWord("newest").toSeq == Seq("n", "e", "w", "est"))
+    assert(kernel.encodeWord("lowest").toSeq == Seq("l", "o", "w", "est"))
+    assert(kernel.encodeWord("s").toSeq == Seq("s"))
+    // left-to-right non-overlap: aaaa with (a,a) -> aa, aa
+    val k2 = new BpeKernel(Seq(("a", "a")))
+    assert(k2.encodeWord("aaaa").toSeq == Seq("aa", "aa"))
+    assert(k2.encodeWord("aaa").toSeq == Seq("aa", "a"))
+  }
+
+  test("pieces/count expressions: word-grain, case-folded, codegen'd") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq(
+      (1L, "The theme, thx!"),
+      (2L, ""),
+      (3L, "a_b2 c")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Bpe.bpePieces(col("text"), merges).as("p"),
+        Bpe.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](1), r.getAs[Long]("n"))).toMap
+    // "the" -> [the]; "theme" -> [the, m, e]; "thx" -> [th, x]
+    assert(out(1L)._1 == Seq("the", "the", "m", "e", "th", "x"))
+    assert(out(1L)._2 == 6L)
+    assert(out(2L)._1.isEmpty && out(2L)._2 == 0L)
+    // underscore and digits are word chars: a_b2 is ONE word
+    assert(out(3L)._1 == Seq("a", "_", "b", "2", "c"))
+    assert(out(3L)._2 == 5L)
+  }
+
+  test("trainOnCorpus: deterministic sample, merges apply end-to-end") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = Bpe.trainOnCorpus(docs, nMerges = 50, sampleN = 64)
+    val m2 = Bpe.trainOnCorpus(docs, nMerges = 50, sampleN = 64)
+    assert(m1 == m2, "trained merges must be reproducible")
+    assert(m1.size == 50, "corpus sample has plenty of repeated pairs")
+    // counts are consistent: pieces count == count expression, and merging
+    // can only shrink a word's piece count vs its character count
+    val checked = docs.select(
+        size(Bpe.bpePieces(col("text"), m1)).cast("long").as("np"),
+        Bpe.bpeTokenCount(col("text"), m1).as("nc"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9_]", ""))
+          .cast("long").as("chars"))
+      .agg(sum(when(col("np") === col("nc"), 0).otherwise(1)).as("mismatch"),
+        sum(when(col("np") <= col("chars"), 0).otherwise(1)).as("grew"))
+      .collect().head
+    assert(checked.getLong(0) == 0L && checked.getLong(1) == 0L)
+  }
+}
