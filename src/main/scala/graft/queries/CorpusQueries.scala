@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Clusters, Dedup, Importance, LmScore, Packing, Quality, Retrieval, Sampling, Similarity}
+import graft.operators.{AnnIndex, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -1926,7 +1926,87 @@ object CorpusQueries {
         |  FROM per)
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(bpe)::BIGINT AS bpe_tokens, sum(nw)::BIGINT AS word_tokens
-        |FROM occ GROUP BY source ORDER BY source""".stripMargin))
+        |FROM occ GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Training-export composition: deterministic global shuffle (md5 hash
+    // order — the reproducible "shuffle once before training" pass) →
+    // DISTRIBUTED global rank (Positional, no single-task window) →
+    // fixed-size shard assignment → per-shard manifest with REAL BPE
+    // token accounting (q89's oracle-replayable merge table). Proves the
+    // shuffle/rank/shard/count stages compose; the oracle replays the
+    // whole chain in one SQL query.
+    QueryDef("q90_training_export",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.md5Hash60(
+              concat(lit("exp_"), col("doc_id").cast("string"))).as("_h"),
+            graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("bpe"))
+        Positional.withGlobalRowNumber(docs,
+            Seq(col("_h"), col("doc_id")), out = "_rn")
+          .withColumn("shard", expr("(_rn - 1) div 64"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("bpe_tokens"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, lower(text) AS t,
+        |    ('0x' || substring(md5('exp_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS hs
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, hs,
+        |    len(regexp_replace(t, '[^a-z0-9_]', '', 'g'))::BIGINT
+        |     - (len(t) - len(replace(t, 'th', ''))) / 2
+        |     - (len(t) - len(replace(t, 'the', ''))) / 3
+        |     - (len(t) - len(replace(t, 'in', ''))) / 2
+        |     - (len(t) - len(replace(t, 'ing', ''))) / 3 AS bpe
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, bpe,
+        |    (row_number() OVER (ORDER BY hs, doc_id) - 1) // 64 AS shard
+        |  FROM c)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(bpe)::BIGINT AS bpe_tokens,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Token-budget packing driven by REAL BPE counts (q56's two-phase
+    // distributed prefix scan × q89's oracle-replayable subword kernel):
+    // sequence shards now mean actual model tokens, not whitespace words.
+    QueryDef("q91_bpe_packing",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("n_tok"))
+        Packing.packSequences(docs, budget = 2048, bucketWidth = 64)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_replace(t, '[^a-z0-9_]', '', 'g'))::BIGINT
+        |     - (len(t) - len(replace(t, 'th', ''))) / 2
+        |     - (len(t) - len(replace(t, 'the', ''))) / 3
+        |     - (len(t) - len(replace(t, 'in', ''))) / 2
+        |     - (len(t) - len(replace(t, 'ing', ''))) / 3 AS n_tok
+        |  FROM d),
+        |packed AS (
+        |  SELECT doc_id, n_tok,
+        |         (coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |          // 2048) AS shard
+        |  FROM c)
+        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
