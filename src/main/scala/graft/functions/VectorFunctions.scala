@@ -27,6 +27,15 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance — ascending-index sequential fold, so an external
+    * engine's `list_reduce` over `generate_series` accumulates bit-
+    * identically.
+    */
+  def sqL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity; null-safe via greatest(eps) in the denominator. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / greatest(l2Norm(a) * l2Norm(b), lit(1e-300))

@@ -594,6 +594,50 @@ object Similarity {
       queries, centroids, codebooks, k, nProbe, vecCol, queryIdCol,
       byResidual)
 
+  /** FAISS `IndexRefineFlat` composition: IVF-ADC retrieves `k·refineFactor`
+    * candidates on compressed codes (cheap, slightly lossy), then the
+    * candidates alone are re-scored EXACTLY against the raw vectors and
+    * re-ranked to the final k — recovering most of the quantization error
+    * for a bounded extra cost. The candidate set (|queries|·k·refineFactor
+    * rows of (query_id, id)) broadcasts; the raw corpus is scanned ONCE
+    * linearly to pick up candidate vectors — full-width vectors never
+    * shuffle, and no task holds more than the salted-top-k bound.
+    */
+  def ivfAdcRefineTopK(corpus: DataFrame, queries: DataFrame,
+                       centroids: Seq[Seq[Double]],
+                       codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                       refineFactor: Int = 4, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       queryIdCol: String = "query_id",
+                       byResidual: Boolean = false): DataFrame = {
+    val coarse = ivfAdcTopK(corpus, queries, centroids, codebooks,
+      k * refineFactor, nProbe, idCol, vecCol, queryIdCol, byResidual)
+    refineExact(coarse, corpus, queries, k, idCol, vecCol, queryIdCol)
+  }
+
+  /** Exact re-rank of an ANN candidate list ((query_id, id) plus anything)
+    * against the raw vectors: broadcast the bounded candidate set, one
+    * linear corpus scan for the vectors, rounded exact squared-L2, salted
+    * top-k. Output: (query_id, rank, id, dist).
+    */
+  private[graft] def refineExact(candidates: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, k: Int,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 queryIdCol: String = "query_id"): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("id"))
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("_qv"))
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("_cv"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        round(VectorFunctions.sqL2(col("_cv"), col("_qv")), 6).as("dist"))
+    saltedTopK(scored, k, Seq(col("dist"), col("id")), "id", "query_id")
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+  }
+
   /** v − centroid[cell], the frame shift residual-mode PQ quantizes in. */
   private def cellResidual(v: Column, cell: Column,
                            centroids: Seq[Seq[Double]]): Column =

@@ -2006,8 +2006,90 @@ object CorpusQueries {
         |  FROM c)
         |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin))
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // BPE subword VOCABULARY: explode the piece stream (graft_bpe_pieces)
+    // and count — the frequency pass a subword vocab build runs. The
+    // oracle simulates the greedy chain merges with sentinel-char
+    // replaces in rank order (leftmost-non-overlap replace == the
+    // merge-all pass; a junction is never rescanned on either side),
+    // then unnests per-word characters and maps sentinels back to their
+    // piece strings — full piece-level enumeration, not just counts.
+    QueryDef("q92_bpe_vocabulary",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        table(s, dir, "documents")
+          .select(explode(
+            graft.functions.Bpe.bpePieces(col("text"), merges)).as("piece"))
+          .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("piece"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+        |  FROM documents),
+        |enc AS (
+        |  SELECT replace(replace(replace(replace(w,
+        |    'th', chr(1)), chr(1) || 'e', chr(2)),
+        |    'in', chr(3)), chr(3) || 'g', chr(4)) AS e
+        |  FROM toks),
+        |pieces AS (
+        |  SELECT CASE c WHEN chr(1) THEN 'th' WHEN chr(2) THEN 'the'
+        |                WHEN chr(3) THEN 'in' WHEN chr(4) THEN 'ing'
+        |                ELSE c END AS piece
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(e)),
+        |                i -> e[i])) AS c
+        |        FROM enc))
+        |SELECT piece, count(*)::BIGINT AS n FROM pieces
+        |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin)),
+
+    // IVF-ADC + exact refine (FAISS IndexRefineFlat): the ADC pass
+    // retrieves k·4 candidates on codes, the candidates alone re-score
+    // exactly on raw vectors and re-rank to k. The oracle is q79's full
+    // quantizer replay with the refine tail appended — candidates at
+    // ADC rank ≤ 40, exact ascending-fold squared L2, re-rank.
+    QueryDef("q93_ivf_adc_refine",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cents = Similarity.sampledKMeans(emb, kCells = 16, iters = 0,
+          sampleN = 4096)
+        val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16, dim = 64,
+          iters = 0, sampleN = 4096)
+        Similarity.ivfAdcRefineTopK(emb, emb.filter(col("vec_id") < 4),
+            cents, cbs, k = 10, refineFactor = 4, nProbe = 4,
+            queryIdCol = "vec_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfAdcRefineOracleSql))
   )
+
+  /** q93's oracle: q79's quantizer-replay SQL with the final top-10
+    * selection swapped for the refine chain (ADC candidates at rank ≤ 40 →
+    * exact squared L2 against raw vectors → re-rank to 10). String surgery
+    * on the shared builder keeps the two oracles' training/encode replay
+    * identical by construction.
+    */
+  private lazy val ivfAdcRefineOracleSql: String = {
+    val tail = """SELECT query_id, rank, id, dist FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+    require(ivfAdcOracleSql.endsWith(tail),
+      "q79 oracle tail changed; update the refine surgery")
+    ivfAdcOracleSql.dropRight(tail.length) +
+      """,rcand AS (SELECT query_id, id FROM ranked WHERE rank <= 40),
+        |rex AS (
+        |  SELECT c.query_id, c.id,
+        |    round(list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (q.v[i] - t.v[i]) * (q.v[i] - t.v[i])), (a, b) -> a + b), 6)
+        |      AS dist
+        |  FROM rcand c JOIN e q ON q.vec_id = c.query_id
+        |               JOIN e t ON t.vec_id = c.id),
+        |rranked AS (
+        |  SELECT query_id, id, dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+        |  FROM rex)
+        |SELECT query_id, rank, id, dist FROM rranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Cluster rollup over the Jaccard near-dup graph — q55 runs label
     * propagation, q62 star contraction; same result by construction.

@@ -287,6 +287,39 @@ class SimilaritySpec extends SparkSpec {
       k = 10, nProbe = cents.size, queryIdCol = "vec_id"))
     val flat = key(Similarity.pqTopK(embeddings, queries, cbSmall, k = 10))
     assert(full == flat, "all-cells IVF-ADC diverged from the flat PQ scan")
+
+    // exact refine (IndexRefineFlat): with COARSE codebooks (heavy
+    // quantization noise) the refine pass must recover recall — and with
+    // pruning disabled plus a refine pool covering the corpus, refined
+    // top-k IS the exact top-k
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+      val rs = (0L until 5L).map { qid =>
+        val exact = vecs.map { case (id, v) => (l2(byId(qid), v), id) }
+          .sortBy(identity).take(10).map(_._2).toSet
+        (got(qid) & exact).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val adcCoarse = recallOf(Similarity.ivfAdcTopK(embeddings, queries,
+      cents, cbSmall, k = 10, nProbe = 6, queryIdCol = "vec_id"))
+    val refined = recallOf(Similarity.ivfAdcRefineTopK(embeddings, queries,
+      cents, cbSmall, k = 10, refineFactor = 4, nProbe = 6,
+      queryIdCol = "vec_id"))
+    info(f"coarse-codebook ADC recall@10 = $adcCoarse%.2f, refined = $refined%.2f")
+    // the refine pool comes FROM the ADC ranking, so its recall is capped
+    // by ADC recall@(k·r) — assert the recovery, not an absolute number
+    assert(refined >= adcCoarse,
+      "exact refine must not lose recall vs the ADC ranking it refines")
+
+    // no pruning + a pool covering the whole corpus: refined top-k IS the
+    // exact L2 top-k, bit for bit (500 vectors < k·refineFactor = 550)
+    val exactRefined = recallOf(Similarity.ivfAdcRefineTopK(embeddings,
+      queries, cents, cbSmall, k = 10, refineFactor = 55,
+      nProbe = cents.size, queryIdCol = "vec_id"))
+    assert(exactRefined == 1.0,
+      f"full-pool refine must equal exact search, got $exactRefined%.2f")
   }
 
   test("residual PQ codebooks (IVFADC by_residual) at the same m x k budget") {
