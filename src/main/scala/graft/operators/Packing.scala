@@ -59,4 +59,31 @@ object Packing {
       .withColumn("shard_offset", pmod(col("_before"), lit(budget)))
       .drop("_b", "_base", "_before")
   }
+
+  /** Materialize the packed TRAINING SEQUENCES: concatenate each shard's
+    * documents in id order with `sep` and carry the token-offset boundary
+    * list — the rows a trainer actually consumes. Returns
+    * (shard, n_docs, n_tokens, text, boundaries).
+    *
+    * Scale: the per-shard group is bounded by `budget` tokens (plus one
+    * overhanging document), so the collect_list inside each group is
+    * bounded by construction — this is the one grain where assembling
+    * rows in memory is the SPEC, not a hazard. One shuffle on the shard
+    * id; order inside a shard is a deterministic array_sort on (id, …).
+    */
+  def materializeSequences(docs: DataFrame, budget: Long,
+                           idCol: String = "doc_id",
+                           tokenCol: String = "n_tok",
+                           textCol: String = "text",
+                           sep: String = "\n\n",
+                           bucketWidth: Long = 1 << 20): DataFrame =
+    packSequences(docs, budget, idCol, tokenCol, bucketWidth)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"),
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col("shard_offset").as("off"), col(textCol).as("t")))).as("_d"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        concat_ws(sep, transform(col("_d"), _.getField("t"))).as("text"),
+        transform(col("_d"), _.getField("off")).as("boundaries"))
 }

@@ -2060,7 +2060,50 @@ object CorpusQueries {
             queryIdCol = "vec_id")
           .orderBy("query_id", "rank")
       },
-      Some(ivfAdcRefineOracleSql))
+      Some(ivfAdcRefineOracleSql)),
+
+    // Packed-sequence MATERIALIZATION (Packing.materializeSequences):
+    // the rows a trainer consumes — per shard, documents concatenated in
+    // id order with a separator plus the token-offset boundary list. The
+    // oracle replays the BPE counts, the prefix-scan shard assignment,
+    // the ordered string_agg (hash-compared), and the boundary offsets.
+    QueryDef("q94_packed_sequences",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("n_tok"))
+        Packing.materializeSequences(docs, budget = 2048, bucketWidth = 64)
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            md5(col("text")).as("h_text"),
+            concat_ws(",", transform(col("boundaries"),
+              _.cast("string"))).as("offsets"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, lower(text) AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_replace(t, '[^a-z0-9_]', '', 'g'))::BIGINT
+        |     - (len(t) - len(replace(t, 'th', ''))) / 2
+        |     - (len(t) - len(replace(t, 'the', ''))) / 3
+        |     - (len(t) - len(replace(t, 'in', ''))) / 2
+        |     - (len(t) - len(replace(t, 'ing', ''))) / 3 AS n_tok
+        |  FROM d),
+        |packed AS (
+        |  SELECT doc_id, text, n_tok,
+        |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |           AS before
+        |  FROM c),
+        |sh AS (
+        |  SELECT doc_id, text, n_tok,
+        |         before // 2048 AS shard, before % 2048 AS off
+        |  FROM packed)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |       md5(string_agg(text, e'\n\n' ORDER BY doc_id)) AS h_text,
+        |       string_agg(off::VARCHAR, ',' ORDER BY doc_id) AS offsets
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10
