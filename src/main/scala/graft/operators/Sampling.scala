@@ -82,4 +82,32 @@ object Sampling {
     }
     stratifiedSample(df, strataCol, rates, defaultFraction = 0.0, idCol, salt)
   }
+
+  /** Temperature-flattened mixture (the multilingual/multi-domain
+    * rebalance of XLM/mT5-style pipelines): target weights ∝ p_d^(1/T)
+    * where p_d is the OBSERVED stratum share — T = 1 keeps proportions,
+    * T > 1 flattens toward uniform (upweights small domains), T → ∞ is
+    * uniform. Same machinery as [[mixtureSample]]: bounded per-stratum
+    * counts on the driver, fixed-order rate arithmetic
+    * (`budget·total·(w/wSum)/n`, clamp 1.0), md5 survival filter — the
+    * corpus never shuffles and any engine replays the exact thresholds.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String,
+                        temperature: Double, budgetFraction: Double,
+                        idCol: String = "doc_id",
+                        salt: String = "graft"): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getAs[Long]("_n")).toMap
+    val total = counts.values.sum
+    val weights = counts.map { case (stratum, n) =>
+      stratum -> math.pow(n.toDouble / total, 1.0 / temperature)
+    }
+    val wSum = weights.values.sum
+    val rates = weights.map { case (stratum, w) =>
+      stratum -> math.min(1.0,
+        budgetFraction * total * (w / wSum) / math.max(counts(stratum), 1L))
+    }
+    stratifiedSample(df, strataCol, rates, defaultFraction = 0.0, idCol, salt)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity}
+import graft.operators.{AnnIndex, Chunking, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity}
 import QueryUtil._
 import Tables._
 
@@ -2103,7 +2103,73 @@ object CorpusQueries {
         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
         |       md5(string_agg(text, e'\n\n' ORDER BY doc_id)) AS h_text,
         |       string_agg(off::VARCHAR, ',' ORDER BY doc_id) AS offsets
-        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin))
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Temperature-flattened domain mixing (Sampling.temperatureSample):
+    // weights ∝ observed-share^(1/T), T=2 flattens toward uniform — the
+    // XLM/mT5 rebalance. The oracle recomputes counts, the pow weights,
+    // the fixed-order rate arithmetic, and row-by-row survival.
+    QueryDef("q95_temperature_mix",
+      (s, dir) => {
+        Sampling.temperatureSample(table(s, dir, "documents"),
+            strataCol = "lang", temperature = 2.0, budgetFraction = 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH cnt AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n)::BIGINT AS total FROM cnt),
+        |w AS (
+        |  SELECT lang, n, pow(n::DOUBLE / tot.total, 1.0 / 2.0) AS wgt
+        |  FROM cnt, tot),
+        |ws AS (SELECT sum(wgt) AS wsum FROM w),
+        |rates AS (
+        |  SELECT w.lang,
+        |    least(1.0, 0.5 * tot.total * (w.wgt / ws.wsum) / greatest(w.n, 1))
+        |      AS frac
+        |  FROM w, tot, ws),
+        |survive AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM documents d JOIN rates r ON r.lang = d.lang
+        |  WHERE ('0x' || substring(md5('graft_' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |          % 1000000 < floor(r.frac * 1000000.0))
+        |SELECT lang, count(*)::BIGINT AS n_sampled,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM survive GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Context-window chunking (Chunking.chunkDocs): 64-token windows,
+    // stride 48 — the split an embedding pipeline runs before encoding.
+    // Chunk rule: ceil(max(sz-64,0)/48)+1 windows, last window reaches
+    // the document end, short docs are one chunk. The oracle replays the
+    // rule with list slicing and hash-compares every chunk's text.
+    QueryDef("q96_doc_chunking",
+      (s, dir) =>
+        Chunking.chunkDocs(table(s, dir, "documents"), window = 64,
+            stride = 48)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            md5(col("chunk_text")).as("h_chunk"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, l, len(l)::BIGINT AS sz,
+        |    CASE WHEN len(l) > 64 THEN (len(l) - 64 + 47) // 48 + 1
+        |         ELSE 1 END AS nc
+        |  FROM tk),
+        |ch AS (
+        |  SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_id, l
+        |  FROM n),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |    l[(chunk_id * 48 + 1):(chunk_id * 48 + 64)] AS c
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, len(c)::BIGINT AS n_tokens,
+        |       md5(array_to_string(c, ' ')) AS h_chunk
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10

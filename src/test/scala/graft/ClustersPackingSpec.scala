@@ -147,4 +147,51 @@ class ClustersPackingSpec extends SparkSpec {
     // cum-before: 3→0, 100→4, 4096→9, 9999→11
     assert(got == Map(3L -> 0L, 100L -> 0L, 4096L -> 1L, 9999L -> 1L))
   }
+
+  test("materializeSequences assembles shards in id order with boundaries") {
+    val docs = Seq((1L, "aa bb", 2), (2L, "cc", 1), (3L, "dd ee ff", 3),
+      (4L, "gg", 1)).toDF("doc_id", "text", "n_tok")
+    val got = Packing.materializeSequences(docs, budget = 3, sep = " | ")
+      .orderBy("shard").collect()
+    // before: 0,2,3,6 → shards: d1,d2 | d3 | d4; offsets within shard
+    assert(got.length == 3)
+    assert(got(0).getAs[String]("text") == "aa bb | cc")
+    assert(got(0).getSeq[Long](got(0).fieldIndex("boundaries")) == Seq(0L, 2L))
+    assert(got(1).getAs[String]("text") == "dd ee ff")
+    assert(got(2).getAs[String]("text") == "gg")
+    assert(got(2).getSeq[Long](got(2).fieldIndex("boundaries")) == Seq(0L))
+  }
+
+  test("temperatureSample flattens toward uniform as T grows") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 10 == 9) "rare" else "big"))
+      .toDF("doc_id", "kind")
+    def kept(t: Double): Map[String, Long] =
+      graft.operators.Sampling.temperatureSample(docs, "kind",
+          temperature = t, budgetFraction = 0.25)
+        .groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = kept(1.0) // proportional: ~450 big, ~50 rare
+    val t4 = kept(4.0) // flattened: rare upweighted
+    assert(math.abs(t1("big") - 450) < 60 && math.abs(t1("rare") - 50) < 25,
+      s"T=1 must keep observed proportions, got $t1")
+    assert(t4("rare") > t1("rare") * 2,
+      s"T=4 must upweight the rare stratum, got $t4 vs $t1")
+    // replay-stable
+    assert(kept(4.0) == t4)
+  }
+
+  test("chunkDocs: window/stride rule, last chunk reaches the end") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Chunking.chunkDocs(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))
+        -> (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text"))).toMap
+    // sz=10, W=4, S=3 → nc = ceil(6/3)+1 = 3; starts 1, 4, 7
+    assert(got((1L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(got((1L, 1L)) == (4L, "t4 t5 t6 t7"))
+    assert(got((1L, 2L)) == (4L, "t7 t8 t9 t10"))
+    assert(got((2L, 0L)) == (2L, "a b")) // short doc: one chunk
+    assert(got((3L, 0L)) == (0L, ""))    // empty doc: one empty chunk
+    assert(got.size == 5)
+  }
 }
