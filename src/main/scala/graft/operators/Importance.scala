@@ -103,6 +103,27 @@ object Importance {
     importanceFromFeatures(
       featureRows(docs, lit(false), nBuckets, textCol, idCol), logRatios)
 
+  /** Persist trained DSIR bucket weights as a Bundle — the importance
+    * model is ≤ nBuckets rows; training (the corpus-wide feature pass) is
+    * the expensive part, so estimate once and score many corpora/runs.
+    * `targetTag` documents what the target slice was (manifest-only).
+    */
+  def saveWeights(logRatios: DataFrame, dir: String, nBuckets: Int,
+                  alpha: Double, targetTag: String): Unit =
+    graft.sources.Bundle.save(dir, Map("weights" -> logRatios),
+      Map("kind" -> "dsir-weights", "nBuckets" -> nBuckets.toString,
+        "alpha" -> alpha.toString, "target" -> targetTag))
+
+  /** Load persisted DSIR weights (and the bucket count they were hashed
+    * with — scoring MUST reuse it or buckets won't line up).
+    */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): (DataFrame, Int) = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no DSIR manifest at $dir"))
+    (graft.sources.Bundle.load(spark, dir)("weights"), m("nBuckets").toInt)
+  }
+
   /** DSIR selection: the `n` raw documents most like the target slice
     * (importance desc, doc-id tie-break). The paper resamples with Gumbel
     * noise; the deterministic top-n is the reproducible variant (noise-free

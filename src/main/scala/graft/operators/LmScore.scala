@@ -77,6 +77,46 @@ object LmScore {
           count(lit(1)), 6).as("log_ppl"))
   }
 
+  /** Persist a trained LM as a Bundle (vocab + stats parquet, manifest
+    * with the smoothing/vocab parameters) — train once, score many runs;
+    * the [[graft.operators.AnnIndex]] serve-vs-rebuild principle applied
+    * to the LM.
+    */
+  def save(lm: Unigram, dir: String, vocabSize: Int): Unit =
+    graft.sources.Bundle.save(dir,
+      Map("vocab" -> lm.vocab, "stats" -> lm.stats),
+      Map("kind" -> "unigram-lm", "alpha" -> lm.alpha.toString,
+        "vocabSize" -> vocabSize.toString))
+
+  /** Load a persisted LM; fails if no manifest (crash mid-save → invalid). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Unigram = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no LM manifest at $dir"))
+    val t = graft.sources.Bundle.load(spark, dir)
+    Unigram(t("vocab"), t("stats"), m("alpha").toDouble)
+  }
+
+  /** Reuse the LM at `dir` when its manifest matches; otherwise retrain
+    * from `docs` and overwrite (T2 parameter invalidation). Returns
+    * (lm, retrained).
+    */
+  def ensure(docs: DataFrame, dir: String, vocabSize: Int = 1024,
+             alpha: Double = 0.5, textCol: String = "text",
+             idCol: String = "doc_id"): (Unigram, Boolean) = {
+    val params = Map("kind" -> "unigram-lm", "alpha" -> alpha.toString,
+      "vocabSize" -> vocabSize.toString)
+    if (graft.sources.Bundle.isValid(dir, params))
+      (load(docs.sparkSession, dir), false)
+    else {
+      graft.sources.Bundle.deleteRecursively(dir)
+      val lm = trainUnigram(docs, vocabSize, alpha, textCol, idCol)
+      save(lm, dir, vocabSize)
+      // serve from the SAVED tables so repeated runs read parquet, not
+      // re-aggregate the corpus through the live lineage
+      (load(docs.sparkSession, dir), true)
+    }
+  }
+
   /** CCNet head/middle/tail split: tercile thresholds from a deterministic
     * sample of `sampleN` docs (smallest md5-derived hash of `salt||doc_id`,
     * doc-id tie-break), then every doc bucketed by comparing its rounded

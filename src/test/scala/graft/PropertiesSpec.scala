@@ -150,4 +150,38 @@ class PropertiesSpec extends SparkSpec {
       TextFunctions.shingleHashes($"x", 3).as("b")).collect()(0)
     assert(same.getSeq[Long](0) == same.getSeq[Long](1))
   }
+
+  test("BPE invariants on random corpora: lossless pieces, consistent " +
+       "counts, merges only shrink") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    def word(): String =
+      (0 until (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 20) {
+      val dict = (0 until 30).map(_ => word() -> (1L + rnd.nextInt(9)))
+      val merges = graft.functions.Bpe.train(dict, nMerges = 1 + rnd.nextInt(30))
+      val kernel = new graft.functions.BpeKernel(merges)
+      val words = (0 until 50).map(_ => word())
+      words.foreach { w =>
+        val pieces = kernel.encodeWord(w)
+        // lossless: pieces concatenate back to the word
+        assert(pieces.mkString == w, s"trial $trial: $w -> ${pieces.toSeq}")
+        // merging can only shrink, never below 1 piece
+        assert(pieces.length >= 1 && pieces.length <= w.length)
+        // every piece is either a single char or a concatenation built
+        // from the learned merges (closure check: decomposable by ranks)
+        pieces.foreach(p => assert(p.length == 1 || merges.exists {
+          case (a, b) => a + b == p || p.contains(a + b)
+        }, s"piece $p not derivable from merges"))
+      }
+      // the Column expression agrees with the kernel on a whole document
+      val doc = words.mkString(" ")
+      val viaExpr = Seq(doc).toDF("text")
+        .select(graft.functions.Bpe.bpeTokenCount($"text", merges))
+        .collect()(0).getLong(0)
+      val viaKernel = words.map(kernel.encodeWord(_).length.toLong).sum
+      assert(viaExpr == viaKernel, s"trial $trial: expr $viaExpr != kernel $viaKernel")
+    }
+  }
 }

@@ -108,6 +108,41 @@ class RetrievalSpec extends SparkSpec {
     assert(m(1L) == 4 + 3)
   }
 
+  test("persisted LM scores identically to the live one; ensure() reuses " +
+       "on match and retrains on parameter change") {
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "b c c a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString + "/lm"
+    val (lm1, trained1) = LmScore.ensure(docs, dir, vocabSize = 2, alpha = 0.5)
+    assert(trained1, "first ensure must train")
+    val live = LmScore.trainUnigram(docs, vocabSize = 2, alpha = 0.5)
+    def scores(lm: LmScore.Unigram) = LmScore.logPerplexity(docs, lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(lm1) == scores(live),
+      "saved-LM scoring diverged from live training")
+    val (_, trained2) = LmScore.ensure(docs, dir, vocabSize = 2, alpha = 0.5)
+    assert(!trained2, "matching manifest must reuse, not retrain")
+    val (_, trained3) = LmScore.ensure(docs, dir, vocabSize = 3, alpha = 0.5)
+    assert(trained3, "parameter change must invalidate and retrain")
+  }
+
+  test("persisted DSIR weights reproduce live importance scores") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en"), (2L, "gamma delta", "de"),
+      (3L, "alpha gamma", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString + "/w"
+    val lam = Importance.bucketLogRatios(docs, col("lang") === "en",
+      nBuckets = 32)
+    Importance.saveWeights(lam, dir, nBuckets = 32, alpha = 0.5,
+      targetTag = "lang=en")
+    val (loaded, nb) = Importance.loadWeights(spark, dir)
+    assert(nb == 32)
+    def imp(w: org.apache.spark.sql.DataFrame) =
+      Importance.importanceWeights(docs, w, nBuckets = 32)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(imp(loaded) == imp(lam),
+      "persisted weights diverged from the live estimate")
+  }
+
   test("bucketLogRatios: bounded rows, zero-sum sanity") {
     val docs = Seq(
       (1L, "alpha beta", "en"), (2L, "gamma delta", "de")
