@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.sources.Bundle
 
 /** Full-text retrieval over the document corpus: an inverted-index term
   * scan scored with Okapi BM25 (Robertson & Spärck Jones probabilistic
@@ -26,6 +27,10 @@ import graft.functions.TextFunctions
   *   - The final per-query ranking reuses [[Similarity.saltedTopK]] — a hot
   *     query term ("the") can put millions of candidate docs under one
   *     query id, and a plain per-query window would sort them in one task.
+  *   - [[buildIndex]]/[[bm25ServeTopK]]: the postings/stats tables persist
+  *     as a Bundle (build once, serve many — the [[AnnIndex]] principle),
+  *     and the serve path runs the IDENTICAL scoring core, so saved and
+  *     live results are bit-equal.
   *
   * Determinism contract: per-term scores are rounded to 6 dp and summed as
   * DECIMAL(28,6) (partition-order-independent), ranking orders by the exact
@@ -33,54 +38,56 @@ import graft.functions.TextFunctions
   */
 object Retrieval {
 
-  /** BM25 top-k: for each query row, the `k` best-scoring documents.
-    *
-    * @param docs    corpus with `idCol` (numeric id) and `textCol`
-    * @param queries (queryIdCol, queryTextCol) rows; tokenized with the
-    *                corpus tokenizer, duplicate terms in one query count once
-    * @return (query_id, rank, doc_id, score) — docs with no matching term
-    *         are absent (score 0 in classic BM25)
-    */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
-               textCol: String = "text", idCol: String = "doc_id",
-               queryIdCol: String = "query_id",
-               queryTextCol: String = "query_text"): DataFrame = {
-    // (query_id, token): distinct terms per query; tiny → broadcast.
-    val qTerms = queries
+  /** (query_id, token) distinct query terms — tiny, broadcast everywhere. */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String): DataFrame =
+    queries
       .select(col(queryIdCol).as("query_id"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("token"))
       .distinct()
-    val qTokens = qTerms.select("token").distinct()
 
-    // Token array staged as a multi-referenced alias (length + explode):
-    // survives CollapseProject, so the regexp tokenizer runs once per row.
-    // Doc length rides along into the postings so the full-corpus length
-    // table never has to be joined back.
+  /** The postings frame: one row per (doc, token) with tf and the doc
+    * length riding along. Token array staged as a multi-referenced alias
+    * (length + explode) so the regexp tokenizer runs once per row. When
+    * `restrictTo` is set, the broadcast semi-join kills non-query tokens
+    * map-side BEFORE the tf aggregation.
+    */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
+                         restrictTo: Option[DataFrame]): DataFrame = {
     val withDl = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
-
-    // Corpus stats: one row (n_docs, avgdl). avg over exact longs is
-    // engine-deterministic (exact integer sum / exact count).
-    val stats = withDl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
-
-    // Postings restricted to query terms BEFORE the tf aggregation: the
-    // semi-join against the broadcast term set kills non-query tokens
-    // map-side, so only matching (doc, token) pairs shuffle.
-    val postings = withDl
+    val exploded = withDl
       .select(col("doc_id"), col("dl"), explode(col("_toks")).as("token"))
-      .join(broadcast(qTokens), Seq("token"), "left_semi")
+    restrictTo.fold(exploded)(q =>
+        exploded.join(broadcast(q), Seq("token"), "left_semi"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
 
-    // df per query term: postings are one row per (doc, token), so a count
-    // per token is the document frequency. Bounded by |query terms|.
-    val dfTbl = postings.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+  /** Corpus stats: ONE row (n_docs, avgdl). avg over exact longs is
+    * engine-deterministic (exact integer sum / exact count).
+    */
+  private def statsOf(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    docs
+      .select(TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+
+  /** The shared scoring core — the live path and the persisted-index serve
+    * path MUST plan the same arithmetic or saved-vs-live results drift.
+    * `postings` may be full-vocabulary (saved index) or pre-restricted
+    * (live path); the semi-join here makes both cases identical.
+    */
+  private def scoreAgainstPostings(postings: DataFrame, stats: DataFrame,
+                                   qTerms: DataFrame, k: Int,
+                                   k1: Double, b: Double): DataFrame = {
+    val qTokens = qTerms.select("token").distinct()
+    val restricted = postings.join(broadcast(qTokens), Seq("token"), "left_semi")
+    // df per query term: one postings row per (doc, token) → count = df.
+    val dfTbl = restricted.groupBy(col("token")).agg(count(lit(1)).as("df"))
 
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -88,7 +95,7 @@ object Retrieval {
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
 
-    val scored = postings
+    val scored = restricted
       .join(broadcast(dfTbl), Seq("token"))
       .join(broadcast(qTerms), Seq("token"))
       .crossJoin(broadcast(stats)) // 1-row scalar stats
@@ -104,10 +111,62 @@ object Retrieval {
         round(col("_sdec").cast("double"), 6).as("score"))
   }
 
+  /** BM25 top-k: for each query row, the `k` best-scoring documents.
+    *
+    * @param docs    corpus with `idCol` (numeric id) and `textCol`
+    * @param queries (queryIdCol, queryTextCol) rows; tokenized with the
+    *                corpus tokenizer, duplicate terms in one query count once
+    * @return (query_id, rank, doc_id, score) — docs with no matching term
+    *         are absent (score 0 in classic BM25)
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "query_text"): DataFrame = {
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    val postings = postingsOf(docs, textCol, idCol,
+      restrictTo = Some(qTerms.select("token").distinct()))
+    scoreAgainstPostings(postings, statsOf(docs, textCol, idCol), qTerms,
+      k, k1, b)
+  }
+
   /** Convenience wrapper: literal (id, text) query pairs. */
   def bm25TopK(spark: SparkSession, docs: DataFrame,
                queries: Seq[(Int, String)], k: Int): DataFrame = {
     val qdf = spark.createDataFrame(queries).toDF("query_id", "query_text")
     bm25TopK(docs, qdf, k)
   }
+
+  /** Build and persist the full inverted index (postings over the WHOLE
+    * vocabulary + corpus stats) as a Bundle — the expensive explode +
+    * aggregate runs once; every later query set serves from parquet.
+    */
+  def buildIndex(docs: DataFrame, dir: String, textCol: String = "text",
+                 idCol: String = "doc_id"): Unit =
+    Bundle.save(dir,
+      Map("postings" -> postingsOf(docs, textCol, idCol, restrictTo = None),
+        "stats" -> statsOf(docs, textCol, idCol)),
+      Map("kind" -> "bm25-index", "tokenizer" -> "lower-word-runs"))
+
+  /** Serve BM25 from a persisted index — identical scoring core, so the
+    * results are bit-equal to [[bm25TopK]] on the same corpus.
+    */
+  def bm25ServeTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75,
+                    queryIdCol: String = "query_id",
+                    queryTextCol: String = "query_text"): DataFrame = {
+    val m = Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no BM25 index manifest at $dir"))
+    require(m.get("kind").contains("bm25-index"), s"not a BM25 index: $dir")
+    val t = Bundle.load(spark, dir)
+    scoreAgainstPostings(t("postings"), t("stats"),
+      queryTerms(queries, queryIdCol, queryTextCol), k, k1, b)
+  }
+
+  /** [[bm25ServeTopK]] with literal query pairs. */
+  def bm25ServeTopK(spark: SparkSession, dir: String,
+                    queries: Seq[(Int, String)], k: Int): DataFrame =
+    bm25ServeTopK(spark, dir,
+      spark.createDataFrame(queries).toDF("query_id", "query_text"), k)
 }

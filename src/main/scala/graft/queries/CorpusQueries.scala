@@ -96,6 +96,49 @@ object CorpusQueries {
     * with q85: serving from a persisted index must be bit-identical to
     * the live train+encode+search path.
     */
+  /** Shared BM25 oracle (q86 live / q97 served-from-index): rebuilds
+    * postings, df, doc length, and avgdl from the table and replays the
+    * exact scoring arithmetic — per-term scores rounded to 6 dp,
+    * DECIMAL-summed, ranked by the exact decimal with doc-id tie-break.
+    */
+  private lazy val bm25OracleSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+      |q(query_id, token) AS (VALUES
+      |  (0, 'spark'), (0, 'shuffle'), (0, 'hash'), (0, 'join'),
+      |  (1, 'customer'), (1, 'order'), (1, 'query'),
+      |  (2, 'vector'), (2, 'window'), (2, 'scan')),
+      |tf AS (
+      |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+      |    FROM documents)
+      |  WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+      |      6) AS sc
+      |  FROM q JOIN tf ON tf.token = q.token
+      |         JOIN dfreq d ON d.token = q.token
+      |         JOIN dl ON dl.doc_id = tf.doc_id
+      |         CROSS JOIN stats st),
+      |agg AS (
+      |  SELECT query_id, doc_id, sum(sc::DECIMAL(28,6)) AS sdec
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, sdec,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id)
+      |      AS rank
+      |  FROM agg)
+      |SELECT query_id, rank, doc_id, round(sdec::DOUBLE, 6) AS score
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private lazy val ivfAdcOracleSql: String = {
         def dists(mExpr: String) =
           s"""list_transform(generate_series(1, 16), k ->
@@ -1743,42 +1786,7 @@ object CorpusQueries {
             Seq(0 -> "spark shuffle hash join", 1 -> "customer order query",
               2 -> "vector window scan"), k = 10)
           .orderBy("query_id", "rank"),
-      Some("""WITH dl AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
-        |q(query_id, token) AS (VALUES
-        |  (0, 'spark'), (0, 'shuffle'), (0, 'hash'), (0, 'join'),
-        |  (1, 'customer'), (1, 'order'), (1, 'query'),
-        |  (2, 'vector'), (2, 'window'), (2, 'scan')),
-        |tf AS (
-        |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
-        |    SELECT doc_id,
-        |      unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
-        |    FROM documents)
-        |  WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
-        |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-        |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)),
-        |      6) AS sc
-        |  FROM q JOIN tf ON tf.token = q.token
-        |         JOIN dfreq d ON d.token = q.token
-        |         JOIN dl ON dl.doc_id = tf.doc_id
-        |         CROSS JOIN stats st),
-        |agg AS (
-        |  SELECT query_id, doc_id, sum(sc::DECIMAL(28,6)) AS sdec
-        |  FROM scored GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT query_id, doc_id, sdec,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id)
-        |      AS rank
-        |  FROM agg)
-        |SELECT query_id, rank, doc_id, round(sdec::DOUBLE, 6) AS score
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25OracleSql)),
 
     // CCNet perplexity filtering (LmScore): add-α unigram LM trained on
     // the corpus (top-1024 vocab, α=0.5), per-doc mean NLL, head/middle/
@@ -2169,7 +2177,24 @@ object CorpusQueries {
         |  FROM ch)
         |SELECT doc_id, chunk_id, len(c)::BIGINT AS n_tokens,
         |       md5(array_to_string(c, ' ')) AS h_chunk
-        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // BM25 served from a PERSISTED inverted index (Retrieval.buildIndex +
+    // bm25ServeTopK): the q85-vs-q79 pairing applied to lexical search —
+    // the oracle is exactly q86's, so any drift between the saved-index
+    // serve path and the live path (postings grouped differently, stats
+    // re-derived, df miscounted) breaks the hash.
+    QueryDef("q97_bm25_index_served",
+      (s, dir) => {
+        val ixDir = System.getProperty("java.io.tmpdir") +
+          "/graft_bm25ix_q97_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        Retrieval.buildIndex(table(s, dir, "documents"), ixDir)
+        Retrieval.bm25ServeTopK(s, ixDir,
+            Seq(0 -> "spark shuffle hash join", 1 -> "customer order query",
+              2 -> "vector window scan"), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25OracleSql))
   )
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10

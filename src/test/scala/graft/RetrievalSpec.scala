@@ -48,6 +48,26 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(_.getAs[Int]("query_id") == 2)) // no postings → absent
   }
 
+  test("bm25 served from a persisted index is bit-identical to live") {
+    val docs = Seq(
+      (1L, "spark spark join"), (2L, "hash join table"),
+      (3L, "the quick fox"), (4L, "join the spark table")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString + "/ix"
+    Retrieval.buildIndex(docs, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    val qs = Seq(0 -> "spark join", 1 -> "table")
+    val live = key(Retrieval.bm25TopK(spark, docs, qs, k = 10))
+    val served = key(Retrieval.bm25ServeTopK(spark, dir, qs, k = 10))
+    assert(served == live, "served-from-index BM25 diverged from live")
+    // a different query set serves from the SAME index (no rebuild)
+    val more = key(Retrieval.bm25ServeTopK(spark, dir,
+      Seq(7 -> "quick fox"), k = 5))
+    assert(more.nonEmpty && more.keySet.forall(_._1 == 7))
+  }
+
   // --------------------------------------------------- CCNet perplexity
 
   test("logPerplexity applies add-alpha smoothing with an UNK class") {
