@@ -2194,7 +2194,130 @@ object CorpusQueries {
               2 -> "vector window scan"), k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // The MODERN pretraining recipe, composed end to end: temperature-
+    // flattened domain mix (q95) → exact dedup (q35) → CCNet perplexity
+    // filter keeping head+middle (q87, LM trained on the deduped slice) →
+    // DSIR top-50 toward the en target (q88). The green rows for each
+    // stage don't prove the column/grain contracts compose — this does:
+    // the oracle chains all four stages' SQL over the same table.
+    QueryDef("q98_pretraining_recipe",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mixed = Sampling.temperatureSample(docs, strataCol = "lang",
+          temperature = 2.0, budgetFraction = 0.6)
+        // feeds LM training, scoring, and DSIR — pin one snapshot
+        val deduped = Dedup.exact(mixed).localCheckpoint(true)
+        val lm = LmScore.trainUnigram(deduped, vocabSize = 1024, alpha = 0.5)
+        val kept = LmScore.perplexityBuckets(deduped, lm, sampleN = 256)
+          .filter(col("bucket") =!= "tail").select("doc_id")
+        val base = deduped.join(kept, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val top = Importance.dsirSelect(base, col("lang") === "en", n = 50)
+        base.select(col("doc_id"), col("lang"))
+          .join(broadcast(top), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            stableSum(col("importance")).as("sum_importance"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH cnt0 AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |tot0 AS (SELECT sum(n)::BIGINT AS total FROM cnt0),
+        |w0 AS (
+        |  SELECT lang, n, pow(n::DOUBLE / tot0.total, 1.0 / 2.0) AS wgt
+        |  FROM cnt0, tot0),
+        |ws0 AS (SELECT sum(wgt) AS wsum FROM w0),
+        |rates AS (
+        |  SELECT w0.lang,
+        |    least(1.0, 0.6 * tot0.total * (w0.wgt / ws0.wsum)
+        |          / greatest(w0.n, 1)) AS frac
+        |  FROM w0, tot0, ws0),
+        |survive AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN rates r ON r.lang = d.lang
+        |  WHERE ('0x' || substring(md5('graft_' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+        |          % 1000000 < floor(r.frac * 1000000.0)),
+        |exact AS (
+        |  SELECT doc_id, lang, text FROM survive
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM survive
+        |    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |  FROM exact),
+        |cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 1024),
+        |st AS (
+        |  SELECT (SELECT sum(c)::BIGINT FROM cnt) AS t,
+        |         (SELECT count(*)::BIGINT FROM vocab) AS v),
+        |nlls AS (
+        |  SELECT tk.doc_id,
+        |    round(-ln((coalesce(v.c, 0) + 0.5) / (st.t + 0.5 * (st.v + 1))), 6)
+        |      AS nll
+        |  FROM toks tk LEFT JOIN vocab v ON v.token = tk.token, st),
+        |ppl AS (
+        |  SELECT doc_id,
+        |    round(sum(nll::DECIMAL(28,6))::DOUBLE / count(*), 6) AS log_ppl
+        |  FROM nlls GROUP BY 1),
+        |samp AS (
+        |  SELECT log_ppl FROM ppl
+        |  ORDER BY
+        |    ('0x' || substring(md5('ppl_' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |    doc_id
+        |  LIMIT 256),
+        |sord AS (
+        |  SELECT log_ppl, row_number() OVER (ORDER BY log_ppl) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM samp),
+        |thr AS (
+        |  SELECT max(CASE WHEN rn = (n + 2) // 3 THEN log_ppl END) AS t1,
+        |         max(CASE WHEN rn = (2*n + 2) // 3 THEN log_ppl END) AS t2
+        |  FROM sord),
+        |base AS (
+        |  SELECT e.doc_id, e.lang, e.text
+        |  FROM exact e JOIN ppl p ON p.doc_id = e.doc_id, thr
+        |  WHERE p.log_ppl <= thr.t2),
+        |tk2 AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        |  FROM base),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(l) AS f FROM tk2
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS f
+        |  FROM tk2),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(f), 1, 15))::BIGINT % 256 AS b
+        |  FROM feats),
+        |bc AS (
+        |  SELECT b, count(*)::BIGINT AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM fb GROUP BY 1),
+        |tt AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bc),
+        |lam AS (
+        |  SELECT b, round(ln((ct + 0.5) / (tt.tt + 0.5 * 256)) -
+        |                  ln((cr + 0.5) / (tt.tr + 0.5 * 256)), 6) AS w
+        |  FROM bc, tt),
+        |sc AS (
+        |  SELECT fb.doc_id,
+        |    round(sum(w::DECIMAL(28,6))::DOUBLE / count(*), 6) AS importance
+        |  FROM fb JOIN lam USING (b) GROUP BY 1),
+        |topd AS (
+        |  SELECT doc_id, importance FROM sc
+        |  ORDER BY importance DESC, doc_id LIMIT 50)
+        |SELECT b2.lang, count(*)::BIGINT AS n_docs,
+        |  round(sum(round(t.importance, 6)::DECIMAL(28,6))::DOUBLE, 6)
+        |    AS sum_importance,
+        |  min(b2.doc_id) AS first_id, max(b2.doc_id) AS last_id
+        |FROM topd t JOIN base b2 ON b2.doc_id = t.doc_id
+        |GROUP BY b2.lang ORDER BY lang""".stripMargin))
   )
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10
