@@ -198,4 +198,23 @@ object Clusters {
     components(pairs, vertices, idCol)
       .groupBy(col("cluster"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** Quality-aware canonical selection: keep each cluster's BEST member
+    * (highest score, smallest id on ties) instead of the smallest id —
+    * what a production dedup actually wants ("of these near-identical
+    * pages, keep the cleanest"). Skew-safe: the argmax is a single
+    * `max(struct(score, −id))` aggregation (the q68 pattern) — a hot
+    * cluster combines map-side, nothing windows over the cluster key.
+    * Input `labels` = [[components]]/[[starComponents]] output (id,
+    * cluster); `scores` = (idCol, scoreCol), one row per vertex. Returns
+    * (cluster, keep_id, best_score, n_members).
+    */
+  def keepBest(labels: DataFrame, scores: DataFrame, idCol: String = "id",
+               scoreCol: String = "score"): DataFrame =
+    labels.join(scores, Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("_m"))
+      .select(col("cluster"), (-col("_m.negid")).cast("long").as("keep_id"),
+        col("_m.s").as("best_score"), col("n_members"))
 }

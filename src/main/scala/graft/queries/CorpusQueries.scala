@@ -2317,8 +2317,117 @@ object CorpusQueries {
         |    AS sum_importance,
         |  min(b2.doc_id) AS first_id, max(b2.doc_id) AS last_id
         |FROM topd t JOIN base b2 ON b2.doc_id = t.doc_id
-        |GROUP BY b2.lang ORDER BY lang""".stripMargin))
+        |GROUP BY b2.lang ORDER BY lang""".stripMargin)),
+
+    // Per-source corpus REPORT: doc/token counts, mean quality, and the
+    // language-mix entropy (−Σ p·ln p over the source's language shares,
+    // per-term rounding + DECIMAL sum for cross-engine exactness) — the
+    // profile a curation run prints before/after each pipeline stage.
+    QueryDef("q99_corpus_report",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+        val perSrc = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            round(sum(col("q").cast("decimal(28,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_quality"))
+        val ent = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("nl"))
+          .join(perSrc.select(col("source"), col("n_docs")), Seq("source"))
+          .select(col("source"),
+            round((col("nl").cast("double") / col("n_docs")) *
+              log(col("nl").cast("double") / col("n_docs")), 6).as("term"))
+          .groupBy(col("source"))
+          .agg(round(-sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
+            .as("lang_entropy"))
+        perSrc.join(ent, Seq("source")).orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id, source, lang,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d),
+        |per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(n_tok)::BIGINT AS n_tokens,
+        |         round(sum(q::DECIMAL(28,6))::DOUBLE / count(*), 6)
+        |           AS mean_quality
+        |  FROM qd GROUP BY source),
+        |lc AS (
+        |  SELECT source, lang, count(*)::BIGINT AS nl
+        |  FROM qd GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT lc.source,
+        |    round(-sum(round((lc.nl::DOUBLE / per.n_docs)
+        |        * ln(lc.nl::DOUBLE / per.n_docs), 6)::DECIMAL(28,6))::DOUBLE, 6)
+        |      AS lang_entropy
+        |  FROM lc JOIN per ON per.source = lc.source GROUP BY 1)
+        |SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy
+        |FROM per JOIN ent ON ent.source = per.source
+        |ORDER BY per.source""".stripMargin)),
+
+    // Quality-aware canonical selection (Clusters.keepBest): keep each
+    // near-dup cluster's HIGHEST-quality member, smallest id on ties —
+    // production dedup keeps the cleanest duplicate, not the first one.
+    // Oracle: q55's transitive closure + the q33 quality replay + an
+    // argmax per cluster.
+    QueryDef("q100_dedup_keep_best",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        val labels = Clusters.components(pairs, docs.select(col("doc_id")),
+          idCol = "doc_id")
+        val scores = docs.select(col("doc_id").as("id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+        Clusters.keepBest(labels, scores).orderBy("cluster")
+      },
+      Some(keepBestOracleSql))
   )
+
+  /** q100's oracle: [[ccOracleSql]]'s transitive closure with the rollup
+    * tail swapped for a per-cluster quality argmax.
+    */
+  private lazy val keepBestOracleSql: String = {
+    val tail = """SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
+      |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+    require(ccOracleSql.endsWith(tail),
+      "cc oracle tail changed; update the keep-best surgery")
+    ccOracleSql.dropRight(tail.length) +
+      s""",lbl AS (SELECT src AS id, min(node) AS cluster FROM r GROUP BY src),
+        |qd AS (SELECT doc_id, text, $padded AS p FROM documents),
+        |qual AS (
+        |  SELECT doc_id AS id,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS score
+        |  FROM qd),
+        |best AS (
+        |  SELECT cluster, id, score,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id)
+        |      AS rnk,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM lbl JOIN qual USING (id))
+        |SELECT cluster, id AS keep_id, score AS best_score,
+        |       n_members::BIGINT AS n_members
+        |FROM best WHERE rnk = 1 ORDER BY cluster""".stripMargin
+  }
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10
     * selection swapped for the refine chain (ADC candidates at rank ≤ 40 →

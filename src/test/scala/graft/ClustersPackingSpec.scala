@@ -162,6 +162,19 @@ class ClustersPackingSpec extends SparkSpec {
     assert(got(2).getSeq[Long](got(2).fieldIndex("boundaries")) == Seq(0L))
   }
 
+  test("keepBest keeps the highest score, smallest id on ties") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.5))
+      .toDF("id", "score")
+    val got = graft.operators.Clusters.keepBest(labels, scores)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Double]("best_score"),
+          r.getAs[Long]("n_members"))).toMap
+    assert(got(1L) == (2L, 0.9, 3L), "score wins, then smallest id")
+    assert(got(7L) == (7L, 0.5, 2L))
+  }
+
   test("temperatureSample flattens toward uniform as T grows") {
     val docs = (0L until 2000L).map(i => (i, if (i % 10 == 9) "rare" else "big"))
       .toDF("doc_id", "kind")
