@@ -278,4 +278,53 @@ object Quality {
       .withColumn("domain_rank", row_number().over(w2))
       .filter(col("domain_rank") <= cap)
   }
+
+  // ------------------------------------------------------ corpus report
+
+  /** Per-(source, lang) ADDITIVE sufficient statistics of the corpus
+    * profile: doc/token counts plus the DECIMAL quality sum. The grain is
+    * bounded by the source×lang vocabulary, DECIMAL sums merge exactly
+    * (associative), so partials from disjoint corpus slices combine into
+    * the identical report — the mergeable shape the streaming report
+    * relies on.
+    */
+  def profilePartials(docs: DataFrame, sourceCol: String = "source",
+                      langCol: String = "lang",
+                      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        round(TextFunctions.qualityScore(col(textCol)), 6).as("q"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("q").cast("decimal(28,6)")).as("sum_q"))
+
+  /** The per-source report from (possibly merged) partials: doc/token
+    * counts, mean quality, and language-mix entropy (per-term rounding +
+    * DECIMAL sum — cross-engine exact).
+    */
+  def reportFromPartials(partials: DataFrame): DataFrame = {
+    val merged = partials.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_q")).as("sum_q"))
+    val perSrc = merged.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("sum_q")).cast("double") / sum(col("n_docs")), 6)
+          .as("mean_quality"))
+    val ent = merged
+      .join(perSrc.select(col("source"), col("n_docs").as("_nd")), Seq("source"))
+      .select(col("source"),
+        round((col("n_docs").cast("double") / col("_nd")) *
+          log(col("n_docs").cast("double") / col("_nd")), 6).as("term"))
+      .groupBy(col("source"))
+      .agg(round(-sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
+        .as("lang_entropy"))
+    perSrc.join(ent, Seq("source"))
+  }
+
+  /** One-shot batch corpus report — q99's query body. */
+  def corpusReport(docs: DataFrame, sourceCol: String = "source",
+                   langCol: String = "lang",
+                   textCol: String = "text"): DataFrame =
+    reportFromPartials(profilePartials(docs, sourceCol, langCol, textCol))
 }

@@ -2324,26 +2324,8 @@ object CorpusQueries {
     // per-term rounding + DECIMAL sum for cross-engine exactness) — the
     // profile a curation run prints before/after each pipeline stage.
     QueryDef("q99_corpus_report",
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("lang"),
-            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
-            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
-        val perSrc = docs.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-            round(sum(col("q").cast("decimal(28,6)")).cast("double") /
-              count(lit(1)), 6).as("mean_quality"))
-        val ent = docs.groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("nl"))
-          .join(perSrc.select(col("source"), col("n_docs")), Seq("source"))
-          .select(col("source"),
-            round((col("nl").cast("double") / col("n_docs")) *
-              log(col("nl").cast("double") / col("n_docs")), 6).as("term"))
-          .groupBy(col("source"))
-          .agg(round(-sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
-            .as("lang_entropy"))
-        perSrc.join(ent, Seq("source")).orderBy("source")
-      },
+      (s, dir) =>
+        Quality.corpusReport(table(s, dir, "documents")).orderBy("source"),
       Some(s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
         |            FROM documents),
         |qd AS (

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Quality
+
+/** Live corpus profiling — q99's per-source report maintained
+  * incrementally over a document stream (the curation dashboard that
+  * tracks an ingest as it lands).
+  *
+  * Shape: each micro-batch writes its OWN per-(source, lang) sufficient
+  * statistics ([[Quality.profilePartials]] — counts + DECIMAL quality
+  * sums) under `stateDir/partials/batch=<id>` with partition overwrite,
+  * so an at-least-once replay rewrites its own partition instead of
+  * double-counting: replay-idempotent by construction, no read-modify-
+  * write of shared state, nothing to compact for correctness. [[report]]
+  * merges all partials — DECIMAL sums are associative, so the streamed
+  * report is EXACTLY the batch report over the union (spec-pinned, not
+  * approximately).
+  *
+  * Per-batch cost: one aggregation of the batch to source×lang grain and
+  * a tiny write. Report cost grows with the partial count (one tiny file
+  * set per batch) — re-partial any archive range offline if a year of
+  * batches ever matters.
+  */
+object StreamingReport {
+
+  /** Write one micro-batch's partial profile (idempotent per batchId). */
+  def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
+                   sourceCol: String = "source", langCol: String = "lang",
+                   textCol: String = "text"): Unit =
+    Quality.profilePartials(batch, sourceCol, langCol, textCol)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/partials/batch=$batchId")
+
+  /** The merged per-source report over everything streamed so far. */
+  def report(spark: SparkSession, stateDir: String): DataFrame =
+    Quality.reportFromPartials(
+      spark.read.parquet(s"$stateDir/partials")
+        .drop("batch")) // partition-discovery column, not part of the grain
+
+  /** Attach the profiling sink to a streaming document DataFrame. */
+  def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
+           pollSeconds: Int = 30): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, stateDir, batchId)
+        ()
+      }
+      .start()
+}

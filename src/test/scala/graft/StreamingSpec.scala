@@ -740,4 +740,42 @@ class StreamingSpec extends SparkSpec {
       assert(pass2 == Set(1L, 2L, 4L), "cross-batch duplicate leaked through")
     } finally q.stop()
   }
+
+  test("streaming corpus report equals the batch report over the union, " +
+       "replays are idempotent") {
+    import graft.streaming.StreamingReport
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inDir = Files.createTempDirectory("rep-in").toString
+    val ckDir = Files.createTempDirectory("rep-ck").toString
+    val stDir = Files.createTempDirectory("rep-st").toString
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("source")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_quality"),
+        r.getAs[Double]("lang_entropy"))).toSeq
+
+    val q = StreamingReport.sink(
+      spark.readStream.schema(docs.schema).parquet(inDir), stDir, ckDir,
+      pollSeconds = 1)
+    try {
+      for (lo <- Seq(0L, 150L, 300L)) { // three arrival waves
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 150)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = rows(StreamingReport.report(spark, stDir))
+    val batch = rows(graft.operators.Quality.corpusReport(
+      docs.filter(col("doc_id") < 450)))
+    assert(streamed == batch,
+      "streamed report diverged from the batch report over the union")
+
+    // at-least-once replay: reprocessing a delivered batch id rewrites its
+    // own partition — the report must not change
+    StreamingReport.processBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), stDir, 1L)
+    assert(rows(StreamingReport.report(spark, stDir)) == batch,
+      "replayed batch double-counted")
+  }
 }
