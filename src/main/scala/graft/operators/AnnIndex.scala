@@ -107,6 +107,7 @@ object AnnIndex {
   def load(spark: SparkSession, dir: String): Loaded = {
     val params = Bundle.readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no ANN index manifest at $dir"))
+    healCompaction(dir)
     val tables = Bundle.load(spark, dir)
     val cents = tables("centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
@@ -131,6 +132,42 @@ object AnnIndex {
   }
 
   final case class AppendResult(nAppended: Long, nSkipped: Long)
+
+  /** Rewrite the code table into `nFiles` files — the maintenance pass
+    * after many small [[append]]s have fragmented it (every append adds
+    * its own file set; a scan's task count and footer overhead grow with
+    * fragment count, not data). Codes are rewritten verbatim — serving is
+    * bit-identical before and after (spec-pinned).
+    *
+    * Crash safety (rename-based three-step): (1) write the compacted copy
+    * to `codes_compact.parquet`; (2) delete `codes.parquet`; (3) rename
+    * the copy into place. A crash before (2) leaves the live table plus a
+    * stale copy (removed on the next attempt); a crash between (2) and
+    * (3) leaves only the copy — [[healCompaction]] (run by [[load]])
+    * finishes the rename, so the index is never served from a half state.
+    */
+  def compact(spark: SparkSession, dir: String, nFiles: Int = 1): Unit = {
+    healCompaction(dir)
+    val tmp = new java.io.File(dir, "codes_compact.parquet")
+    Bundle.deleteRecursively(tmp.getPath) // stale copy from a crashed run
+    spark.read.parquet(s"$dir/codes.parquet")
+      .repartition(nFiles)
+      .write.parquet(tmp.getPath)
+    Bundle.deleteRecursively(s"$dir/codes.parquet")
+    if (!tmp.renameTo(new java.io.File(dir, "codes.parquet")))
+      throw new IllegalStateException(s"compaction rename failed in $dir")
+  }
+
+  /** Complete a compaction that crashed between delete and rename: if the
+    * compacted copy exists and the live table does not, the copy IS the
+    * table. No-op otherwise.
+    */
+  private def healCompaction(dir: String): Unit = {
+    val live = new java.io.File(dir, "codes.parquet")
+    val tmp = new java.io.File(dir, "codes_compact.parquet")
+    if (tmp.exists() && !live.exists() && !tmp.renameTo(live))
+      throw new IllegalStateException(s"compaction heal failed in $dir")
+  }
 
   /** Encode `newVectors` with the index's SAVED quantizers and append to
     * the code table. Ids already present are skipped (replay-idempotent);

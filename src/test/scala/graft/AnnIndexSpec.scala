@@ -135,6 +135,35 @@ class AnnIndexSpec extends SparkSpec {
       "replay duplicated code rows")
   }
 
+  test("compact() defragments appended codes; serving is bit-identical; " +
+       "a crash between delete and rename heals on load") {
+    val dir = Files.createTempDirectory("annix-cmp").toString
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    AnnIndex.build(emb.filter(col("vec_id") < 200), dir, p)
+    for (lo <- Seq(200L, 300L, 400L))
+      AnnIndex.append(spark, dir,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100))
+
+    def parquetFiles() = new java.io.File(s"$dir/codes.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val fragmented = parquetFiles()
+    assert(fragmented >= 4, s"expected >=4 fragments, got $fragmented")
+
+    val before = rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+    AnnIndex.compact(spark, dir, nFiles = 1)
+    assert(parquetFiles() == 1, "compaction must leave one data file")
+    assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+      == before, "compaction changed serving results")
+    assert(AnnIndex.load(spark, dir).codes.count() == emb.count())
+
+    // simulate the delete-then-crash window: live table gone, copy present
+    assert(new java.io.File(s"$dir/codes.parquet")
+      .renameTo(new java.io.File(s"$dir/codes_compact.parquet")))
+    assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+      == before, "heal-on-load failed after a simulated compaction crash")
+    assert(new java.io.File(s"$dir/codes.parquet").exists())
+  }
+
   test("streaming maintenance fails fast on parameter drift instead of " +
        "shrinking the index to one batch") {
     import graft.streaming.StreamingAnnIndex
