@@ -149,7 +149,7 @@ object PqExpressions {
           |  $codes[$mi] = $bi;
           |}
           |${ev.value} =
-          |  org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($codes);
+          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
           |""".stripMargin
       })
     }

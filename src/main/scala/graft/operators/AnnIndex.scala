@@ -178,11 +178,16 @@ object AnnIndex {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): AppendResult = {
     val ix = load(spark, dir)
-    val fresh = newVectors
+    // In-delivery id duplicates collapse up front — the anti-join only
+    // protects against ids already IN the index, so without this both
+    // copies would land in codes.parquet and topK could return one id at
+    // two ranks (the OnlineNearDup in-batch discipline).
+    val incoming = newVectors.dropDuplicates(idCol)
+    val fresh = incoming
       .join(ix.codes.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val nFresh = fresh.count()
-    val nSkipped = newVectors.count() - nFresh
+    val nSkipped = incoming.count() - nFresh
     if (nFresh > 0)
       Similarity.encodeWithCells(fresh, ix.centroids, ix.codebooks,
           ix.byResidual, idCol, vecCol)

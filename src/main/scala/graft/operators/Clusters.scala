@@ -203,18 +203,22 @@ object Clusters {
     * (highest score, smallest id on ties) instead of the smallest id —
     * what a production dedup actually wants ("of these near-identical
     * pages, keep the cleanest"). Skew-safe: the argmax is a single
-    * `max(struct(score, −id))` aggregation (the q68 pattern) — a hot
-    * cluster combines map-side, nothing windows over the cluster key.
-    * Input `labels` = [[components]]/[[starComponents]] output (id,
-    * cluster); `scores` = (idCol, scoreCol), one row per vertex. Returns
-    * (cluster, keep_id, best_score, n_members).
+    * `min(struct(−score, id))` aggregation (the q68 pattern) — a hot
+    * cluster combines map-side, nothing windows over the cluster key. The
+    * NEGATED side is the score (numeric by contract), not the id, so ids
+    * keep any orderable type — string doc ids work, and the smallest-id
+    * tie-break is the type's own ordering. Double negation restores the
+    * score bit-exactly for all non-NaN doubles. Input `labels` =
+    * [[components]]/[[starComponents]] output (id, cluster); `scores` =
+    * (idCol, scoreCol), one row per vertex. Returns (cluster, keep_id,
+    * best_score, n_members).
     */
   def keepBest(labels: DataFrame, scores: DataFrame, idCol: String = "id",
                scoreCol: String = "score"): DataFrame =
     labels.join(scores, Seq(idCol))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("_m"))
-      .select(col("cluster"), (-col("_m.negid")).cast("long").as("keep_id"),
-        col("_m.s").as("best_score"), col("n_members"))
+        min(struct((-col(scoreCol)).as("negs"), col(idCol).as("i"))).as("_m"))
+      .select(col("cluster"), col("_m.i").as("keep_id"),
+        (-col("_m.negs")).as("best_score"), col("n_members"))
 }

@@ -43,10 +43,20 @@ object StreamingAnnIndex {
       // bootstrap (or retry after a manifest-less crashed build)
       Bundle.deleteRecursively(dir)
       // the batch feeds quantizer training (sampled), encoding, and the
-      // append-result count — pin it so the three passes see one snapshot
-      val pinned = batch.localCheckpoint(true)
-      AnnIndex.build(pinned, dir, p, idCol, vecCol)
-      AnnIndex.AppendResult(nAppended = pinned.count(), nSkipped = 0L)
+      // append-result count — pin it so the three passes see one snapshot;
+      // in-batch id duplicates collapse here for the same reason as in
+      // AnnIndex.append (both copies would otherwise be encoded)
+      val pinned = batch.dropDuplicates(idCol).localCheckpoint(true)
+      val n = pinned.count()
+      if (n == 0) {
+        // an empty first micro-batch must not train quantizers (sampledKMeans
+        // requires a non-empty corpus, and the exception would kill the
+        // stream) — defer bootstrap to the first batch that carries data
+        AnnIndex.AppendResult(nAppended = 0L, nSkipped = 0L)
+      } else {
+        AnnIndex.build(pinned, dir, p, idCol, vecCol)
+        AnnIndex.AppendResult(nAppended = n, nSkipped = 0L)
+      }
     }
 
   /** Attach the maintenance sink to a streaming vector DataFrame. */

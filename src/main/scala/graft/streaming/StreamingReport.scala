@@ -33,11 +33,28 @@ object StreamingReport {
       .write.mode("overwrite")
       .parquet(s"$stateDir/partials/batch=$batchId")
 
-  /** The merged per-source report over everything streamed so far. */
-  def report(spark: SparkSession, stateDir: String): DataFrame =
-    Quality.reportFromPartials(
-      spark.read.parquet(s"$stateDir/partials")
-        .drop("batch")) // partition-discovery column, not part of the grain
+  /** The merged per-source report over everything streamed so far. A
+    * dashboard may poll before the first micro-batch has landed — no
+    * partials directory yet means an EMPTY report, not a read failure
+    * (existence via the Hadoop FileSystem for the path's scheme, the
+    * OnlineNearDup readOrEmpty discipline).
+    */
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = s"$stateDir/partials"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials =
+      if (fs.exists(hPath))
+        spark.read.parquet(path)
+          .drop("batch") // partition-discovery column, not part of the grain
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, lang STRING, n_docs BIGINT, n_tokens BIGINT, " +
+              "sum_q DECIMAL(28,6)"))
+    Quality.reportFromPartials(partials)
+  }
 
   /** Attach the profiling sink to a streaming document DataFrame. */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,

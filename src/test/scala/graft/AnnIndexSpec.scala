@@ -92,6 +92,48 @@ class AnnIndexSpec extends SparkSpec {
       == rows(full))
   }
 
+  test("append collapses in-delivery duplicate ids (at-least-once batch " +
+       "with a doubled row)") {
+    val dir = Files.createTempDirectory("annix-dup").toString
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    AnnIndex.build(first, dir, p)
+    // one delivery carrying every row twice: the anti-join alone would
+    // pass both copies (neither id is in the index yet)
+    val r = AnnIndex.append(spark, dir, rest.union(rest))
+    assert(r.nAppended == rest.count() && r.nSkipped == 0,
+      s"in-batch duplicates must collapse before counting, got $r")
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.count() == emb.count() &&
+      codes.select("id").distinct().count() == emb.count(),
+      "duplicate id rows landed in codes.parquet")
+    // no id may appear at two ranks for one query
+    val topk = AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3)
+    assert(topk.groupBy("query_id", "id").count()
+      .filter(col("count") > 1).isEmpty,
+      "an id surfaced at two ranks for one query")
+  }
+
+  test("streaming bootstrap: an empty first batch defers (no index, no " +
+       "crash); an in-batch duplicate id is encoded once") {
+    import graft.streaming.StreamingAnnIndex
+    val ixDir = Files.createTempDirectory("annix-boot").toString + "/ix"
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    val empty = emb.filter(col("vec_id") < 0)
+    val r0 = StreamingAnnIndex.processBatch(spark, empty, ixDir, p)
+    assert(r0.nAppended == 0 && r0.nSkipped == 0)
+    assert(Bundle.readManifest(ixDir).isEmpty,
+      "an empty batch must not build an index")
+    val first = emb.filter(col("vec_id") < 400)
+    val r1 = StreamingAnnIndex.processBatch(spark, first.union(first), ixDir, p)
+    assert(r1.nAppended == first.count(),
+      s"bootstrap must collapse in-batch duplicate ids, got $r1")
+    val codes = spark.read.parquet(s"$ixDir/codes.parquet")
+    assert(codes.count() == first.count() &&
+      codes.select("id").distinct().count() == first.count())
+  }
+
   test("streaming maintenance: bootstrap from the first batch, append " +
        "later batches, replay-idempotent across a restart") {
     import graft.streaming.StreamingAnnIndex

@@ -175,6 +175,34 @@ class ClustersPackingSpec extends SparkSpec {
     assert(got(7L) == (7L, 0.5, 2L))
   }
 
+  test("keepBest works with STRING ids (argmax negates the score, not " +
+       "the id)") {
+    val labels = Seq(("docA", "c1"), ("docB", "c1"), ("docC", "c1"),
+      ("x9", "c2"), ("x10", "c2")).toDF("id", "cluster")
+    val scores = Seq(("docA", 0.2), ("docB", 0.9), ("docC", 0.9),
+      ("x9", 0.5), ("x10", 0.5)).toDF("id", "score")
+    val got = graft.operators.Clusters.keepBest(labels, scores)
+      .collect().map(r => r.getAs[String]("cluster") ->
+        (r.getAs[String]("keep_id"), r.getAs[Double]("best_score"),
+          r.getAs[Long]("n_members"))).toMap
+    assert(got("c1") == ("docB", 0.9, 3L),
+      "highest score wins; ties break to the LEXICALLY smallest string id")
+    // string ordering: "x10" < "x9" lexically — the tie-break follows the
+    // id type's own ordering, documented behavior
+    assert(got("c2") == ("x10", 0.5, 2L))
+  }
+
+  test("keepBest round-trips a zero score exactly (double negation)") {
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val scores = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "score")
+    val got = graft.operators.Clusters.keepBest(labels, scores).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("keep_id") == 1L)
+    val bs = got(0).getAs[Double]("best_score")
+    assert(bs == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(bs) == 0L,
+      "best_score must be +0.0, not -0.0")
+  }
+
   test("temperatureSample flattens toward uniform as T grows") {
     val docs = (0L until 2000L).map(i => (i, if (i % 10 == 9) "rare" else "big"))
       .toDF("doc_id", "kind")

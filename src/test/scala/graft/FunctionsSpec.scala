@@ -332,7 +332,20 @@ class FunctionsSpec extends SparkSpec {
         "native adc_dist diverged from the lambda form")
     }
 
-    check() // codegen'd path
+    // codegen'd path, with fallback DISABLED: under the default FALLBACK
+    // mode a doGenCode that emits uncompilable Java silently degrades to
+    // the interpreted path and this A/B pin still passes (it did — the
+    // r8 kernel referenced UnsafeArrayData under the wrong package and
+    // nobody noticed); CODEGEN_ONLY turns a compile failure into a test
+    // failure
+    // both knobs: factoryMode covers expression-level projections,
+    // codegen.fallback covers whole-stage codegen compile failures
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try check() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
     // interpreted path (nullSafeEval): force the expression factory off
     // codegen — a generated-code bug and an eval bug must not differ
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

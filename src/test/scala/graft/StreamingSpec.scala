@@ -754,6 +754,13 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_quality"),
         r.getAs[Double]("lang_entropy"))).toSeq
 
+    // a dashboard polling BEFORE the first micro-batch lands must get an
+    // empty report, not a path-missing read failure
+    val early = StreamingReport.report(spark, stDir)
+    assert(early.isEmpty, "pre-stream report must be empty")
+    assert(early.columns.toSeq ==
+      Seq("source", "n_docs", "n_tokens", "mean_quality", "lang_entropy"))
+
     val q = StreamingReport.sink(
       spark.readStream.schema(docs.schema).parquet(inDir), stDir, ckDir,
       pollSeconds = 1)
