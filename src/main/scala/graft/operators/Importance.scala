@@ -30,14 +30,6 @@ import graft.functions.TextFunctions
   */
 object Importance {
 
-  /** Hashed n-gram features of a document: unigram tokens plus space-joined
-    * bigrams, each mapped to `md5-hash mod nBuckets`.
-    */
-  def hashedFeatures(text: Column, nBuckets: Int): Column =
-    transform(
-      concat(TextFunctions.tokens(text), TextFunctions.shingles(text, 2)),
-      f => pmod(TextFunctions.md5Hash60(f), lit(nBuckets.toLong)))
-
   /** Exploded hashed-feature rows (doc_id, is_t, b) — the md5-heavy pass
     * both model estimation and doc scoring consume. Compute ONCE.
     *

@@ -120,14 +120,22 @@ object Quality {
     */
   def chunkLines(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", lineTokens: Int = 12): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // Tokenize ONCE into its own projection: the lambda below references
+    // the token array per line element, and an inline regexp_extract_all
+    // there is re-evaluated for EVERY element — O(len²) per document (the
+    // SCALE.md in-lambda re-evaluation class; this exact site was the q68
+    // 30-second bench outlier at lineTokens=2). A multi-referenced alias
+    // survives CollapseProject, so the scan stays one linear pass.
+    val staged = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
     val nLines = ceil(size(toks) / lit(lineTokens.toDouble)).cast("int")
     // sequence(0, -1) counts DOWN — empty docs need the empty array.
     val lines = when(size(toks) >= 1,
       transform(sequence(lit(0), nLines - 1),
         i => concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), posexplode(lines).as(Seq("line_no", "line")))
+    staged.select(col("id"), posexplode(lines).as(Seq("line_no", "line")))
   }
 
   /** C4-style line keep rule (Raffel et al. 2020 cleaning heuristics):
