@@ -127,6 +127,90 @@ object Similarity {
     lloyd(sample, kCells, iters).map(_.toSeq).toSeq
   }
 
+  /** FULL-corpus Lloyd refinement — the scale path when the bounded
+    * training sample is not representative enough (long-tail clusters the
+    * first 4096 ids never see). Per iteration: ONE broadcast-argmin
+    * projection over the corpus plus ONE aggregation bounded by k·dim
+    * rows (partial-aggregated map-side); the driver only ever holds k·dim
+    * doubles. No vector is ever shuffled by cluster key, so a hot cluster
+    * costs nothing extra.
+    *
+    * Cross-engine replayable BY CONSTRUCTION, unlike textbook Lloyd:
+    *   - init = the deterministic every-step-th sample init
+    *     ([[sampledKMeans]] at iters = 0 — the convention the q80/q79
+    *     oracles already rebuild);
+    *   - assignment compares round(squared-L2, 6) with smallest-cell
+    *     tie-break (the ordered fold of [[VectorFunctions.sqL2]], which
+    *     DuckDB's `list_reduce` replays bit-identically);
+    *   - each updated component is round(stableSum(x)/n, 6) — the DECIMAL
+    *     sum is partition-order-independent and the rounding pins every
+    *     iteration's centroids to values any engine reproduces exactly,
+    *     so float drift cannot compound across iterations.
+    * Cells that lose all members keep their previous centroid.
+    */
+  def distributedKMeans(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+                        sampleN: Int = 4096, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    var cents = sampledKMeans(corpus, k, 0, sampleN, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      // cell in its OWN projection: a generator alias in the same select
+      // re-resolves sibling expressions and drops the argmin struct's
+      // field names (FIELD_NOT_FOUND on getField)
+      val rows = corpus
+        .select(nearestCellStable(col(vecCol), cents).as("cell"),
+          VectorFunctions.asDouble(col(vecCol)).as("_v"))
+        .select(col("cell"), posexplode(col("_v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        // stableSum: round-6 DECIMAL partial sums (QueryUtil.stableSum's
+        // expression) — order-independent, so the collected values are
+        // exactly what the oracle's SQL computes
+        .agg(round(sum(round(col("x"), 6).cast("decimal(28,6)"))
+          .cast("double"), 6).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCellDim = rows.map(r => (r.getAs[Int]("cell"), r.getAs[Int]("d")) ->
+        (r.getAs[Double]("s"), r.getAs[Long]("n"))).toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (!byCellDim.contains((c, 0))) old
+        else (0 until dim).map { d =>
+          val (s, n) = byCellDim((c, d))
+          BigDecimal(s / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    }
+    cents
+  }
+
+  /** Cluster sizes + centroid norms for trained centroids — the summary
+    * grain the q101 oracle hash-checks. Output (cell, n_members, cnorm),
+    * one row per centroid including empty cells.
+    */
+  def kmeansSummary(corpus: DataFrame, cents: Seq[Seq[Double]],
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val counts = corpus
+      .select(nearestCellStable(col(vecCol), cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    cents.zipWithIndex.map { case (cv, i) => (i, cv) }.toDF("cell", "cv")
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(sqrt(VectorFunctions.dot(col("cv"), col("cv"))), 4).as("cnorm"))
+  }
+
+  /** Argmin cell by ROUNDED squared L2 with smallest-cell tie-break — the
+    * cross-engine-stable assignment both [[distributedKMeans]] iterations
+    * and its oracle replay use (round(d2, 6) ASC, cell ASC).
+    */
+  private def nearestCellStable(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = cents.zipWithIndex.map { case (cv, i) =>
+      struct(round(VectorFunctions.sqL2(v, typedLit(cv)), 6).as("d2"),
+        lit(i).as("cell"))
+    }
+    element_at(array_sort(array(dists: _*)), 1).getField("cell")
+  }
+
   /** First `sampleN` vectors by id as driver-side double arrays — the
     * bounded sample both k-means trainers run on.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Chunking, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity}
+import graft.operators.{AnnIndex, Chunking, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
 import QueryUtil._
 import Tables._
 
@@ -2374,8 +2374,155 @@ object CorpusQueries {
           round(TextFunctions.qualityScore(col("text")), 6).as("score"))
         Clusters.keepBest(labels, scores).orderBy("cluster")
       },
-      Some(keepBestOracleSql))
+      Some(keepBestOracleSql)),
+
+    // FULL-corpus distributed Lloyd (Similarity.distributedKMeans): two
+    // refinement iterations at k=8 over the 64-dim embeddings, from the
+    // deterministic stride init. The oracle unrolls BOTH iterations —
+    // round-6 L2² argmin assignment (list_reduce fold == sqL2's ordered
+    // fold), per-dim DECIMAL mean rounded to 6 — so cluster sizes and
+    // centroid norms hash-match exactly, iteration by iteration.
+    QueryDef("q101_distributed_kmeans",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cents = Similarity.distributedKMeans(emb, k = 8, iters = 2,
+          dim = 64)
+        Similarity.kmeansSummary(emb, cents).orderBy("cell")
+      },
+      Some(kmeansOracleSql)),
+
+    // HyperLogLog register table (Sketches.hllRegisters): per-source
+    // distinct-token sketches at b=7 (128 registers/source). The register
+    // STATE is integer-only md5 bit arithmetic — fully replayable — while
+    // the float estimator stays engine-side (SketchesSpec pins its
+    // accuracy against exact distinct counts). This is the corpus-profile
+    // cardinality pass that replaces a corpus-wide countDistinct shuffle
+    // with grain×128 mergeable rows.
+    QueryDef("q102_hll_registers",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Sketches.hllRegisters(toks, "tok", b = 7, groupCols = Seq("source"))
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |parts AS (
+        |  SELECT source, (h % 128)::INT AS bucket, h // 128 AS w FROM h),
+        |rho AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN w = 0 THEN 54 ELSE 54 - len(bin(w)) END::INT AS rho
+        |  FROM parts)
+        |SELECT source, bucket, max(rho) AS max_rho
+        |FROM rho GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin)),
+
+    // Count-min heavy hitters (Sketches.cmCounters/cmEstimate): counters
+    // built over the EVEN-doc-id half's tokens (the bounded, mergeable
+    // d×w sketch a shard can afford), then probed with the ODD half's
+    // vocabulary — the cross-shard hot-token pass where the probing side
+    // never rescans the sketched corpus. Exact counts ride along to
+    // exhibit the CM overestimate-only guarantee; integer-only, so the
+    // whole pipeline replays in SQL.
+    QueryDef("q103_cm_heavy_hitters",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val evenToks = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val counters = Sketches.cmCounters(evenToks, "tok", d = 4, w = 512)
+        val probes = docs.filter(col("doc_id") % 2 === 1)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .distinct()
+        val exact = evenToks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        Sketches.cmEstimate(counters, probes, "tok", d = 4, w = 512)
+          .join(exact, Seq("tok"), "left")
+          .select(col("tok"), col("cm_est"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+          .filter(col("cm_est") >= 40)
+          .orderBy("tok")
+      },
+      Some("""WITH etok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |counters AS (
+        |  SELECT j, bucket, count(*)::BIGINT AS cnt FROM (
+        |    SELECT js.j,
+        |      ('0x' || substring(md5('cm' || js.j::VARCHAR || '_' || tok), 1, 15))::BIGINT
+        |        % 512 AS bucket
+        |    FROM etok, (SELECT unnest(generate_series(0, 3)) AS j) js)
+        |  GROUP BY j, bucket),
+        |probes AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |est AS (
+        |  SELECT p.tok, min(coalesce(c.cnt, 0)) AS cm_est FROM (
+        |    SELECT tok, js.j,
+        |      ('0x' || substring(md5('cm' || js.j::VARCHAR || '_' || tok), 1, 15))::BIGINT
+        |        % 512 AS bucket
+        |    FROM probes, (SELECT unnest(generate_series(0, 3)) AS j) js) p
+        |  LEFT JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+        |  GROUP BY p.tok),
+        |exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM etok GROUP BY tok)
+        |SELECT e.tok, e.cm_est, coalesce(x.exact_cnt, 0) AS exact_cnt
+        |FROM est e LEFT JOIN exact x ON x.tok = e.tok
+        |WHERE e.cm_est >= 40
+        |ORDER BY e.tok""".stripMargin))
   )
+
+  /** q101's oracle: both Lloyd iterations unrolled — the stride init the
+    * q79/q80 oracles already rebuild, then per iteration the round-6 L2²
+    * argmin and the DECIMAL per-dim mean, then the summary grain.
+    */
+  private lazy val kmeansOracleSql: String = {
+    def iter(inC: String, suf: String): String =
+      s"""d$suf AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6) AS d2
+        |  FROM e, $inC c),
+        |a$suf AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d$suf) WHERE rnk = 1),
+        |s$suf AS (
+        |  SELECT a.cell, ds.d,
+        |    round(round(sum(round(e.v[ds.d], 6)::DECIMAL(28,6))::DOUBLE, 6)
+        |      / count(*), 6) AS cd
+        |  FROM a$suf a JOIN e USING (vec_id),
+        |       (SELECT unnest(generate_series(1, 64)) AS d) ds
+        |  GROUP BY a.cell, ds.d),
+        |c$suf AS (
+        |  SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+        |  FROM $inC c LEFT JOIN (
+        |    SELECT cell, list(cd ORDER BY d) AS cv FROM s$suf GROUP BY cell) n
+        |  USING (cell))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |samp AS (
+      |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      |  FROM e ORDER BY vec_id LIMIT 4096),
+      |st AS (SELECT greatest(count(*) // 8, 1) AS step FROM samp),
+      |c0 AS (
+      |  SELECT (samp.rn // st.step)::INT AS cell, samp.v AS cv
+      |  FROM samp, st WHERE samp.rn % st.step = 0 AND samp.rn // st.step < 8),
+      |${iter("c0", "1")},
+      |${iter("c1", "2")},
+      |${iter("c2", "3")},
+      |counts AS (
+      |  -- kmeansSummary assigns against the FINAL centroids (c2): that is
+      |  -- a3; s3/c3 are never referenced and DuckDB prunes them
+      |  SELECT cell, count(*)::BIGINT AS n_members FROM a3 GROUP BY cell)
+      |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
+      |  round(sqrt(list_dot_product(c.cv, c.cv)), 4) AS cnorm
+      |FROM c2 c LEFT JOIN counts n USING (cell)
+      |ORDER BY c.cell""".stripMargin
+  }
 
   /** q100's oracle: [[ccOracleSql]]'s transitive closure with the rollup
     * tail swapped for a per-cluster quality argmax.

@@ -427,4 +427,36 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 60L).forall(i => approx(rank1(i), 1.0, 1e-9)),
       "every clone must keep a cos-1 neighbor through the star")
   }
+
+  test("distributedKMeans: WCSS never increases across full-corpus " +
+       "iterations, runs are deterministic, empty cells keep centroids") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def wcss(cents: Seq[Seq[Double]]): Double = {
+      val vecs = emb.select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      vecs.map { v =>
+        cents.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    val init = Similarity.sampledKMeans(emb, 8, 0)
+    val refined = Similarity.distributedKMeans(emb, k = 8, iters = 3, dim = 64)
+    assert(wcss(refined) < wcss(init),
+      "three full-corpus Lloyd iterations must reduce WCSS")
+    // deterministic: byte-identical rounded centroids on a re-run
+    assert(Similarity.distributedKMeans(emb, k = 8, iters = 3, dim = 64)
+      == refined)
+    // all-identical corpus: every vector ties to cell 0, cells 1+ keep
+    // their (identical) init centroids, nothing divides by zero
+    import spark.implicits._
+    val same = Seq.tabulate(4)(i => (i.toLong, Seq.fill(4)(0.5)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.distributedKMeans(same, k = 3, iters = 2, dim = 4)
+    assert(cents.length == 3 && cents.forall(_ == Seq(0.5, 0.5, 0.5, 0.5)))
+    val summary = Similarity.kmeansSummary(same, cents)
+      .orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_members")))
+    assert(summary.toSeq == Seq((0, 4L), (1, 0L), (2, 0L)),
+      "ties must break to the smallest cell; empty cells must still report")
+  }
 }
