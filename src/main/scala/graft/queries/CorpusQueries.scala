@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Chunking, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
+import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
 import QueryUtil._
 import Tables._
 
@@ -2472,7 +2472,58 @@ object CorpusQueries {
         |SELECT e.tok, e.cm_est, coalesce(x.exact_cnt, 0) AS exact_cnt
         |FROM est e LEFT JOIN exact x ON x.tok = e.tok
         |WHERE e.cm_est >= 40
-        |ORDER BY e.tok""".stripMargin))
+        |ORDER BY e.tok""".stripMargin)),
+
+    // Supervised quality classifier (Classifier.trainNb/scoreNb): the
+    // GPT-3/Llama "looks like the curated corpus" filter as multinomial
+    // NB over hashed unigrams — train on the 80% split with lang='en' as
+    // the curated class, score the 20% holdout. The oracle retrains the
+    // whole model (priors, Laplace counts, round-6 ln-ratio weights,
+    // unseen-bucket default) and replays the DECIMAL score sums.
+    QueryDef("q104_nb_quality_classifier",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val model = Classifier.trainNb(docs.filter(col("doc_id") % 5 < 4),
+          positive = col("lang") === "en", nBuckets = 4096)
+        Classifier.scoreNb(model, docs.filter(col("doc_id") % 5 === 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+        |  FROM documents WHERE doc_id % 5 < 4),
+        |pri AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn FROM train),
+        |tfeat AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, y,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |        FROM train)),
+        |cnt AS (SELECT b, sum(y)::BIGINT AS cp, sum(1 - y)::BIGINT AS cn
+        |        FROM tfeat GROUP BY b),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM cnt),
+        |w AS (SELECT b, round(ln((cp + 1)::DOUBLE / (tp + 4096))
+        |               - ln((cn + 1)::DOUBLE / (tn + 4096)), 6) AS w
+        |      FROM cnt, tot),
+        |w0 AS (SELECT round(ln(1.0 / (tp + 4096)) - ln(1.0 / (tn + 4096)), 6)
+        |         AS w0 FROM tot),
+        |hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+        |hfeat AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |        FROM hold)),
+        |sc AS (
+        |  SELECT h.doc_id,
+        |    round(sum(round(coalesce(w.w, (SELECT w0 FROM w0)), 6)
+        |      ::DECIMAL(28,6))::DOUBLE, 6) AS s
+        |  FROM hfeat h LEFT JOIN w USING (b) GROUP BY h.doc_id),
+        |prior AS (SELECT round(ln(np::DOUBLE / nn), 6) AS pr FROM pri)
+        |SELECT d.doc_id,
+        |  round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) AS score,
+        |  (round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) >= 0) AS pred
+        |FROM hold d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the

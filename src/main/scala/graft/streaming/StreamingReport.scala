@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.Quality
+import graft.functions.TextFunctions
+import graft.operators.{Quality, Sketches}
 
 /** Live corpus profiling — q99's per-source report maintained
   * incrementally over a document stream (the curation dashboard that
@@ -56,14 +58,57 @@ object StreamingReport {
     Quality.reportFromPartials(partials)
   }
 
-  /** Attach the profiling sink to a streaming document DataFrame. */
+  /** Per-batch HLL register partials for per-source distinct-token
+    * cardinality — the sketch companion to the profile partials, same
+    * batch-keyed partition-overwrite discipline. Register merge is MAX
+    * (idempotent as well as associative), so a replay rewriting its own
+    * partition is doubly safe: even if two deliveries of one batch landed
+    * under different ids, the merged registers would not move.
+    */
+  def processBatchDistinct(batch: DataFrame, stateDir: String, batchId: Long,
+                           sourceCol: String = "source",
+                           textCol: String = "text", b: Int = 9): Unit =
+    Sketches.hllRegisters(
+        batch.select(col(sourceCol).as("source"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok")),
+        "tok", b, groupCols = Seq("source"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/hll/batch=$batchId")
+
+  /** Per-source distinct-token estimates over everything streamed so far.
+    * Registers merge exactly (integer max), so the streamed estimate is
+    * bit-identical to the batch estimate over the union — not just close.
+    */
+  def distinctReport(spark: SparkSession, stateDir: String,
+                     b: Int = 9): DataFrame = {
+    val path = s"$stateDir/hll"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials =
+      if (fs.exists(hPath)) spark.read.parquet(path).drop("batch")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, bucket INT, max_rho INT"))
+    Sketches.hllEstimateByGroup(
+      Sketches.hllMerge(partials, Seq("source")), b, Seq("source"))
+  }
+
+  /** Attach the profiling sink to a streaming document DataFrame; with
+    * `trackDistinct` the HLL partials land in the same foreachBatch.
+    */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
-           pollSeconds: Int = 30): StreamingQuery =
+           pollSeconds: Int = 30,
+           trackDistinct: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, stateDir, batchId)
+        // two actions read the batch → pin one snapshot for both
+        val pinned = if (trackDistinct) batch.localCheckpoint(true) else batch
+        processBatch(pinned, stateDir, batchId)
+        if (trackDistinct) processBatchDistinct(pinned, stateDir, batchId)
         ()
       }
       .start()

@@ -763,7 +763,7 @@ class StreamingSpec extends SparkSpec {
 
     val q = StreamingReport.sink(
       spark.readStream.schema(docs.schema).parquet(inDir), stDir, ckDir,
-      pollSeconds = 1)
+      pollSeconds = 1, trackDistinct = true)
     try {
       for (lo <- Seq(0L, 150L, 300L)) { // three arrival waves
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 150)
@@ -778,11 +778,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed report diverged from the batch report over the union")
 
+    // HLL companion: registers merge by max, so the streamed per-source
+    // distinct-token estimate is BIT-IDENTICAL to the batch-side estimate
+    // over the union, not merely close
+    def distinctRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(r =>
+        (r.getAs[String]("source"), r.getAs[Double]("est_distinct"))).toSeq
+    val streamedDistinct =
+      distinctRows(StreamingReport.distinctReport(spark, stDir))
+    val batchToks = docs.filter(col("doc_id") < 450)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val batchDistinct = distinctRows(graft.operators.Sketches
+      .hllEstimateByGroup(
+        graft.operators.Sketches.hllRegisters(batchToks, "tok", 9,
+          Seq("source")), 9, Seq("source")))
+    assert(streamedDistinct == batchDistinct,
+      "streamed HLL estimate diverged from the batch sketch over the union")
+
     // at-least-once replay: reprocessing a delivered batch id rewrites its
-    // own partition — the report must not change
+    // own partition — neither report may change
     StreamingReport.processBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), stDir, 1L)
+    StreamingReport.processBatchDistinct(
       docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), stDir, 1L)
     assert(rows(StreamingReport.report(spark, stDir)) == batch,
       "replayed batch double-counted")
+    assert(distinctRows(StreamingReport.distinctReport(spark, stDir))
+      == batchDistinct, "replayed batch moved the HLL estimate")
   }
 }
