@@ -169,4 +169,38 @@ object Retrieval {
                     queries: Seq[(Int, String)], k: Int): DataFrame =
     bm25ServeTopK(spark, dir,
       spark.createDataFrame(queries).toDF("query_id", "query_text"), k)
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: BM25's lexical ranking and the embedding ANN
+    * ranking each see documents the other misses, and RRF merges them
+    * WITHOUT comparing their incomparable scores: fused(d) =
+    * Σ_rankings 1/(c + rank_r(d)).
+    *
+    * Each input carries (queryIdCol, idCol, rank). Terms are rounded to 6
+    * and summed as DECIMAL (order-independent — a plain double sum of the
+    * reciprocals would be arrival-order-dependent), ties break to the
+    * smaller id, so the fused ranking is cross-engine exact (q105).
+    *
+    * Scale shape: the inputs are ALREADY top-k rankings, so the candidate
+    * set per query is bounded by Σ k_r by construction — the one per-query
+    * re-rank window here holds at most that many rows, unlike a raw-score
+    * window over an unbounded candidate set (the PlanSpec bounded-window
+    * contract the ANN family pins).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+              idCol: String = "id",
+              queryIdCol: String = "query_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val terms = rankings
+      .map(_.select(col(queryIdCol), col(idCol),
+        round(lit(1.0) / (lit(c) + col("rank")), 6).as("_t")))
+      .reduce(_ unionByName _)
+    val fused = terms.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("_t").cast("decimal(28,6)")).cast("double"), 6)
+        .as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
