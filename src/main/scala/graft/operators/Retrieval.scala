@@ -203,4 +203,41 @@ object Retrieval {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Hybrid retrieval SERVED end to end from the two persisted indexes:
+    * BM25 top-k from the saved inverted index ([[bm25ServeTopK]]) + ANN
+    * top-k from the saved IVF-ADC index ([[AnnIndex.topK]]), fused with
+    * [[rrfFuse]]. Each fused row carries the component ranks
+    * (`bm25_rank` / `ann_rank`, null when that ranking missed the doc) so
+    * the caller can see WHY a document surfaced — the operational serve
+    * query of the retrieval family (q105).
+    *
+    * Serve purity: both component rankings read parquet written at build
+    * time — the plan contains no tokenizer-over-corpus, no k-means, no
+    * codebook training (PlanSpec pins this: the q105 plan never scans the
+    * documents table). The rank-annotation joins re-reference the bounded
+    * (≤ k rows/query) component frames, so the double reference re-runs
+    * only index-bounded scans, never corpus work.
+    */
+  def hybridServeTopK(spark: SparkSession, bm25Dir: String, annDir: String,
+                      textQueries: DataFrame, vecQueries: DataFrame, k: Int,
+                      nProbe: Int = 4, c: Int = 60,
+                      queryIdCol: String = "query_id",
+                      queryTextCol: String = "query_text",
+                      vecQueryIdCol: String = "query_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val bm = bm25ServeTopK(spark, bm25Dir, textQueries, k,
+        queryIdCol = queryIdCol, queryTextCol = queryTextCol)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val ann = AnnIndex.topK(spark, annDir, vecQueries, k, nProbe,
+        vecCol, vecQueryIdCol)
+      .select(col("query_id"), col("id"), col("rank"))
+    rrfFuse(Seq(bm, ann), k, c)
+      .join(bm.withColumnRenamed("rank", "bm25_rank"),
+        Seq("query_id", "id"), "left")
+      .join(ann.withColumnRenamed("rank", "ann_rank"),
+        Seq("query_id", "id"), "left")
+      .select(col("query_id"), col("rank"), col("id"), col("rrf"),
+        col("bm25_rank"), col("ann_rank"))
+  }
 }

@@ -2523,7 +2523,40 @@ object CorpusQueries {
         |  round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) AS score,
         |  (round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) >= 0) AS pred
         |FROM hold d LEFT JOIN sc ON sc.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // Hybrid retrieval SERVED from the two persisted indexes
+    // (Retrieval.hybridServeTopK): BM25 top-10 from the saved inverted
+    // index + ANN top-10 from the saved IVF-ADC index, reciprocal-rank-
+    // fused (Cormack et al. 2009, c=60) with component ranks riding along.
+    // The oracle nests the COMPLETE q86/q97 and q79/q85 replays as CTEs
+    // and fuses their rankings with the same round-6 reciprocal terms +
+    // DECIMAL sum + smaller-id tie-break, so the fused ranking is cross-
+    // engine exact end to end. Query 3 exists only on the ANN side — a
+    // query may appear in any subset of the rankings.
+    QueryDef("q105_rrf_hybrid_serve",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val bmDir = System.getProperty("java.io.tmpdir") +
+          s"/graft_bm25ix_q105_$sfx"
+        val annDir = System.getProperty("java.io.tmpdir") +
+          s"/graft_annix_q105_$sfx"
+        Retrieval.buildIndex(docs, bmDir)
+        AnnIndex.build(emb, annDir,
+          AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 16, iters = 0,
+            sampleN = 4096))
+        val tq = s.createDataFrame(
+            Seq(0L -> "spark shuffle hash join", 1L -> "customer order query",
+              2L -> "vector window scan"))
+          .toDF("query_id", "query_text")
+        Retrieval.hybridServeTopK(s, bmDir, annDir, tq,
+            emb.filter(col("vec_id") < 4), k = 10,
+            vecQueryIdCol = "vec_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(rrfHybridOracleSql))
   )
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the
@@ -2573,6 +2606,44 @@ object CorpusQueries {
       |  round(sqrt(list_dot_product(c.cv, c.cv)), 4) AS cnorm
       |FROM c2 c LEFT JOIN counts n USING (cell)
       |ORDER BY c.cell""".stripMargin
+  }
+
+  /** q105's oracle: the COMPLETE q86/q97 BM25 replay and q79/q85 IVF-ADC
+    * replay nested verbatim as CTEs (no renaming surgery — their internal
+    * CTE chains stay scoped inside the nested WITH), then the exact
+    * [[graft.operators.Retrieval.rrfFuse]] arithmetic: per-ranking
+    * reciprocal terms rounded to 6, DECIMAL-summed, ranked per query with
+    * the smaller-id tie-break, component ranks joined back.
+    */
+  private lazy val rrfHybridOracleSql: String = {
+    val tail = "ORDER BY query_id, rank"
+    require(bm25OracleSql.endsWith(tail) && ivfAdcOracleSql.endsWith(tail),
+      "component oracle tails changed; update the rrf hybrid nesting")
+    s"""WITH bm AS (
+      |${bm25OracleSql.dropRight(tail.length)}),
+      |an AS (
+      |${ivfAdcOracleSql.dropRight(tail.length)}),
+      |rterms AS (
+      |  SELECT query_id, doc_id AS id, rank FROM bm
+      |  UNION ALL
+      |  SELECT query_id, id, rank FROM an),
+      |fus AS (
+      |  SELECT query_id, id,
+      |    round(sum(round(1.0 / (60 + rank), 6)::DECIMAL(28,6))::DOUBLE, 6)
+      |      AS rrf
+      |  FROM rterms GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, id, rrf,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id)
+      |      AS rank
+      |  FROM fus)
+      |SELECT r.query_id, r.rank, r.id, r.rrf,
+      |  bm.rank AS bm25_rank, an.rank AS ann_rank
+      |FROM rk r
+      |LEFT JOIN bm ON bm.query_id = r.query_id AND bm.doc_id = r.id
+      |LEFT JOIN an ON an.query_id = r.query_id AND an.id = r.id
+      |WHERE r.rank <= 10
+      |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
   /** q100's oracle: [[ccOracleSql]]'s transitive closure with the rollup

@@ -246,4 +246,27 @@ class PlanSpec extends SparkSpec {
     assert(plans("q88_dsir_selection").contains("TakeOrderedAndProject"),
       "q88 selection must plan as TakeOrderedAndProject")
   }
+
+  test("q105 hybrid serve: fusion windows partition by query; the plan " +
+       "serves from the persisted indexes, never the corpus") {
+    val windows = planned("q105_rrf_hybrid_serve").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "q105: expected ranking/fusion windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q105: unpartitioned fusion window — a query's fused candidate set " +
+        "would sort in one task")
+    // the component rankings keep their salted phase-1 windows
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "q105: component rankings lost the salted phase-1 window")
+    // serve purity: both persisted indexes are scanned; the documents
+    // table is NOT — no tokenizer-over-corpus, no training in the plan
+    val plan = plans("q105_rrf_hybrid_serve")
+    assert(plan.contains("graft_bm25ix_q105"),
+      "q105 must serve BM25 from the persisted inverted index")
+    assert(plan.contains("graft_annix_q105"),
+      "q105 must serve ANN from the persisted IVF-ADC index")
+    assert(!plan.contains("documents.parquet"),
+      "q105 re-derived corpus state the persisted indexes already hold")
+  }
 }

@@ -175,4 +175,102 @@ class RetrievalSpec extends SparkSpec {
     val ws = lam.map(_.getAs[Double]("w"))
     assert(ws.exists(_ > 0) && ws.exists(_ < 0))
   }
+
+  // ------------------------------------------------- reciprocal-rank fusion
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse matches the hand-computed RRF formula") {
+    // ranking A: docs 1,2,3; ranking B: docs 2,3,4 (c = 60)
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 3L, 2), (0L, 4L, 3))
+      .toDF("query_id", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").collect()
+    // doc2 = 1/62 + 1/61, doc3 = 1/63 + 1/62, doc1 = 1/61, doc4 = 1/63
+    val exp = Seq(
+      2L -> (r6(1.0 / 62) + r6(1.0 / 61)),
+      3L -> (r6(1.0 / 63) + r6(1.0 / 62)),
+      1L -> r6(1.0 / 61),
+      4L -> r6(1.0 / 63))
+    assert(out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf")).toSeq
+      == exp)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse: exact-tie breaks to the smaller id, k caps the output") {
+    // docs 5 and 7 swap ranks 1/2 across the two rankings → identical
+    // fused score → doc 5 (smaller id) must win rank 1
+    val a = Seq((0L, 5L, 1), (0L, 7L, 2), (0L, 9L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 7L, 1), (0L, 5L, 2), (0L, 9L, 3))
+      .toDF("query_id", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 2).orderBy("rank").collect()
+    assert(out.length == 2, "k must cap the fused ranking")
+    assert(out(0).getAs[Long]("id") == 5L && out(1).getAs[Long]("id") == 7L)
+    assert(out(0).getAs[Double]("rrf") == out(1).getAs[Double]("rrf"))
+  }
+
+  test("rrfFuse: fusion order of the rankings cannot move the result " +
+       "(DECIMAL sum) and a query present in one ranking still ranks") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 8L, 1))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 2L, 1), (0L, 1L, 2)).toDF("query_id", "id", "rank")
+    val c = Seq((0L, 1L, 1), (2L, 3L, 1)).toDF("query_id", "id", "rank")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("id"), r.getAs[Double]("rrf"))).toMap
+    val fwd = key(Retrieval.rrfFuse(Seq(a, b, c), k = 5))
+    val rev = key(Retrieval.rrfFuse(Seq(c, b, a), k = 5))
+    assert(fwd == rev, "fusion must be ranking-order-independent")
+    // query 1 appears only in ranking a, query 2 only in c — both fuse
+    assert(fwd((1L, 1)) == (8L, r6(1.0 / 61)))
+    assert(fwd((2L, 1)) == (3L, r6(1.0 / 61)))
+  }
+
+  test("hybridServeTopK fuses the persisted BM25 + ANN indexes and " +
+       "annotates component ranks") {
+    val docs = Seq(
+      (0L, "spark join table"), (1L, "spark spark shuffle"),
+      (2L, "quick brown fox"), (3L, "hash join index")
+    ).toDF("doc_id", "text")
+    // 4-dim embeddings: doc 2 is the nearest neighbor of the query vector
+    // but matches no query term; docs 0/1 match terms only
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)), (3L, Array(0f, 0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("hybrid").toString
+    Retrieval.buildIndex(docs, s"$base/bm")
+    graft.operators.AnnIndex.build(emb, s"$base/ann",
+      graft.operators.AnnIndex.Params(dim = 4, m = 2, k = 2, kCells = 2,
+        iters = 0, sampleN = 4))
+    val tq = Seq((7L, "spark join")).toDF("query_id", "query_text")
+    val vq = emb.filter(col("vec_id") === 2L)
+      .select(lit(7L).as("query_id"), col("embedding"))
+    val out = Retrieval.hybridServeTopK(spark, s"$base/bm", s"$base/ann",
+        tq, vq, k = 4, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    // every fused row has at least one component rank; a doc absent from
+    // a ranking carries null for that rank
+    for (r <- out) {
+      val bm = Option(r.getAs[Integer]("bm25_rank"))
+      val ann = Option(r.getAs[Integer]("ann_rank"))
+      assert(bm.isDefined || ann.isDefined)
+    }
+    // doc 2: ANN-only (no term match) — ann_rank 1, bm25_rank null
+    val d2 = out.find(_.getAs[Long]("id") == 2L).get
+    assert(d2.getAs[Integer]("ann_rank") == 1 &&
+      d2.getAs[Integer]("bm25_rank") == null)
+    // fused scores replay the component ranks through the RRF formula
+    for (r <- out) {
+      val exp = Seq(Option(r.getAs[Integer]("bm25_rank")),
+          Option(r.getAs[Integer]("ann_rank")))
+        .flatten.map(rk => r6(1.0 / (60 + rk.toInt))).sum
+      assert(approx(r.getAs[Double]("rrf"), r6(exp), 1e-9))
+    }
+  }
 }
