@@ -49,32 +49,41 @@ object Classifier {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Train on `docs` where `positive` marks the curated class. Two
-    * aggregations: class-priors at doc grain, Laplace-smoothed token
-    * counts at (bucket, class) grain. Driver holds four longs and the
-    * nBuckets-row weight table stays distributed.
+  /** Train on `docs` where `positive` marks the curated class. ONE job
+    * over the training corpus: `posexplode_outer` keeps a row for
+    * token-less documents (null position) and marks each document's first
+    * row (position null-or-0) as the doc-grain counter, so the class
+    * priors ride the same (bucket, class)-count aggregation instead of a
+    * second corpus scan. Driver holds four longs from one collect over
+    * the pinned nBuckets-row frame; the weight table stays distributed.
     */
   def trainNb(docs: DataFrame, positive: Column, nBuckets: Int = 4096,
               textCol: String = "text", idCol: String = "doc_id"): NbModel = {
-    val labeled = docs.select(col(idCol).as("id"), col(textCol).as("_txt"),
-      when(positive, 1L).otherwise(0L).as("y"))
-    val Array(nPos, nNeg) = labeled
-      .agg(sum(col("y")), sum(lit(1L) - col("y"))).collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1))
-    }
+    val isDoc = col("p").isNull || col("p") === 0
+    val isTok = col("_t").isNotNull
+    val pinned = docs
+      .select(when(positive, 1L).otherwise(0L).as("y"),
+        posexplode_outer(TextFunctions.tokens(col(textCol)))
+          .as(Seq("p", "_t")))
+      .select(
+        when(isTok, pmod(TextFunctions.md5Hash60(col("_t")),
+          lit(nBuckets.toLong)).cast("int")).as("b"),
+        when(isTok, col("y")).otherwise(0L).as("ty"),
+        when(isTok, lit(1L) - col("y")).otherwise(0L).as("tn"),
+        when(isDoc, col("y")).otherwise(0L).as("dy"),
+        when(isDoc, lit(1L) - col("y")).otherwise(0L).as("dn"))
+      .groupBy(col("b")) // token-less docs land on the null-b row
+      .agg(sum(col("ty")).as("cp"), sum(col("tn")).as("cn"),
+        sum(col("dy")).as("dp"), sum(col("dn")).as("dn"))
+      .localCheckpoint(true) // model state: pin one snapshot
+    val t = pinned
+      .agg(sum(col("cp")), sum(col("cn")), sum(col("dp")), sum(col("dn")))
+      .collect()(0)
+    val (tPos, tNeg) = (t.getLong(0), t.getLong(1))
+    val (nPos, nNeg) = (t.getLong(2), t.getLong(3))
     require(nPos > 0 && nNeg > 0,
       s"need both classes in the training set, got pos=$nPos neg=$nNeg")
-    val feat = featureRows(labeled.select(col("id"), col("_txt")),
-        nBuckets, "_txt", "id")
-      .join(labeled.select(col("id"), col("y")), Seq("id"))
-    val counts = feat.groupBy(col("b"))
-      .agg(sum(col("y")).as("cp"), sum(lit(1L) - col("y")).as("cn"))
-      .localCheckpoint(true) // model state: pin one snapshot for totals + weights
-    val Array(tPos, tNeg) = counts
-      .agg(sum(col("cp")), sum(col("cn"))).collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1))
-    }
-    val weights = counts.select(col("b"),
+    val weights = pinned.filter(col("b").isNotNull).select(col("b"),
       round(log((col("cp") + 1).cast("double") / (tPos + nBuckets))
         - log((col("cn") + 1).cast("double") / (tNeg + nBuckets)), 6).as("w"))
     val w0 = round6(math.log(1.0 / (tPos + nBuckets))
@@ -100,5 +109,66 @@ object Classifier {
       .select(col(idCol),
         round(coalesce(col("_s"), lit(0.0)) + model.prior, 6).as("score"))
       .withColumn("pred", col("score") >= 0)
+  }
+
+  // ------------------------------------------------------------ persistence
+
+  /** Persist a trained model as a Bundle: the nBuckets-row weight table
+    * plus a 1-row meta table for the data-derived scalars (w0, prior).
+    * The manifest carries only the REQUEST parameters (nBuckets, label
+    * tag) — [[ensure]] compares those; w0/prior are training outputs and
+    * live in the meta table, not the invalidation key. A production
+    * quality filter trains once and serves for months — the
+    * [[LmScore.save]] / [[graft.operators.AnnIndex]] reopen-not-recompute
+    * idiom (trx azav.py:300-302) applied to the classifier.
+    */
+  def save(model: NbModel, dir: String, labelTag: String): Unit = {
+    val spark = model.weights.sparkSession
+    val meta = spark.createDataFrame(
+        Seq((model.w0, model.prior, model.nBuckets)))
+      .toDF("w0", "prior", "nBuckets")
+    graft.sources.Bundle.save(dir,
+      Map("weights" -> model.weights, "meta" -> meta),
+      Map("kind" -> "nb-quality", "nBuckets" -> model.nBuckets.toString,
+        "label" -> labelTag))
+  }
+
+  /** Load a persisted model; fails if no manifest (crash mid-save →
+    * invalid, the Bundle manifest-written-last contract).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no NB model manifest at $dir"))
+    require(m.get("kind").contains("nb-quality"), s"not an NB model: $dir")
+    val t = graft.sources.Bundle.load(spark, dir)
+    val meta = t("meta").collect()(0)
+    NbModel(t("weights"), meta.getAs[Double]("w0"),
+      meta.getAs[Double]("prior"), meta.getAs[Int]("nBuckets"))
+  }
+
+  /** Reuse the model at `dir` when its manifest matches (same nBuckets,
+    * same label tag); otherwise retrain from `docs` and overwrite (T2
+    * parameter invalidation). Returns (model, retrained). The reused
+    * model scores bit-identically to the live one: weights were written
+    * round-6 and scoring re-rounds per term, so parquet round-tripping
+    * cannot move a score (spec-pinned).
+    */
+  def ensure(docs: DataFrame, dir: String, positive: Column,
+             nBuckets: Int = 4096, labelTag: String = "",
+             textCol: String = "text",
+             idCol: String = "doc_id"): (NbModel, Boolean) = {
+    val tag = if (labelTag.nonEmpty) labelTag else positive.toString
+    val params = Map("kind" -> "nb-quality", "nBuckets" -> nBuckets.toString,
+      "label" -> tag)
+    if (graft.sources.Bundle.isValid(dir, params))
+      (load(docs.sparkSession, dir), false)
+    else {
+      graft.sources.Bundle.deleteRecursively(dir)
+      val model = trainNb(docs, positive, nBuckets, textCol, idCol)
+      save(model, dir, tag)
+      // serve from the SAVED tables so repeated runs read parquet, not
+      // re-aggregate the corpus through the live lineage
+      (load(docs.sparkSession, dir), true)
+    }
   }
 }

@@ -2488,42 +2488,29 @@ object CorpusQueries {
         Classifier.scoreNb(model, docs.filter(col("doc_id") % 5 === 4))
           .orderBy("doc_id")
       },
-      Some("""WITH train AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
-        |  FROM documents WHERE doc_id % 5 < 4),
-        |pri AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn FROM train),
-        |tfeat AS (
-        |  SELECT doc_id, y,
-        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
-        |  FROM (SELECT doc_id, y,
-        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
-        |        FROM train)),
-        |cnt AS (SELECT b, sum(y)::BIGINT AS cp, sum(1 - y)::BIGINT AS cn
-        |        FROM tfeat GROUP BY b),
-        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM cnt),
-        |w AS (SELECT b, round(ln((cp + 1)::DOUBLE / (tp + 4096))
-        |               - ln((cn + 1)::DOUBLE / (tn + 4096)), 6) AS w
-        |      FROM cnt, tot),
-        |w0 AS (SELECT round(ln(1.0 / (tp + 4096)) - ln(1.0 / (tn + 4096)), 6)
-        |         AS w0 FROM tot),
-        |hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
-        |hfeat AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
-        |  FROM (SELECT doc_id,
-        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
-        |        FROM hold)),
-        |sc AS (
-        |  SELECT h.doc_id,
-        |    round(sum(round(coalesce(w.w, (SELECT w0 FROM w0)), 6)
-        |      ::DECIMAL(28,6))::DOUBLE, 6) AS s
-        |  FROM hfeat h LEFT JOIN w USING (b) GROUP BY h.doc_id),
-        |prior AS (SELECT round(ln(np::DOUBLE / nn), 6) AS pr FROM pri)
-        |SELECT d.doc_id,
-        |  round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) AS score,
-        |  (round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) >= 0) AS pred
-        |FROM hold d LEFT JOIN sc ON sc.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin)),
+      Some(nbOracleSql)),
+
+    // The SAME NB scoring SERVED from a persisted model
+    // (Classifier.ensure → save/load Bundle): the q85-vs-q79 / q97-vs-q86
+    // pairing applied to the classifier — persistence must be
+    // semantically invisible, so the oracle is exactly q104's; any drift
+    // in the parquet round-trip of the weight table or the meta scalars
+    // breaks the hash. `ensure` also exercises the reuse path on repeat
+    // runs: the second Verify invocation scores from the saved model
+    // without retraining.
+    QueryDef("q106_nb_classifier_served",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mDir = System.getProperty("java.io.tmpdir") +
+          "/graft_nbmodel_q106_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (model, _) = Classifier.ensure(docs.filter(col("doc_id") % 5 < 4),
+          mDir, positive = col("lang") === "en", nBuckets = 4096,
+          labelTag = "lang=en")
+        Classifier.scoreNb(model, docs.filter(col("doc_id") % 5 === 4))
+          .orderBy("doc_id")
+      },
+      Some(nbOracleSql)),
+
 
     // Hybrid retrieval SERVED from the two persisted indexes
     // (Retrieval.hybridServeTopK): BM25 top-10 from the saved inverted
@@ -2607,6 +2594,50 @@ object CorpusQueries {
       |FROM c2 c LEFT JOIN counts n USING (cell)
       |ORDER BY c.cell""".stripMargin
   }
+
+  /** q104 (live train+score) and q106 (served from the persisted
+    * model) share this oracle: it retrains the whole model (priors,
+    * Laplace counts, round-6 ln-ratio weights, unseen-bucket default)
+    * and replays the DECIMAL score sums - persistence must be
+    * semantically invisible.
+    */
+  private lazy val nbOracleSql: String =
+    """WITH train AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      |  FROM documents WHERE doc_id % 5 < 4),
+      |pri AS (SELECT sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn FROM train),
+      |tfeat AS (
+      |  SELECT doc_id, y,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+      |  FROM (SELECT doc_id, y,
+      |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+      |        FROM train)),
+      |cnt AS (SELECT b, sum(y)::BIGINT AS cp, sum(1 - y)::BIGINT AS cn
+      |        FROM tfeat GROUP BY b),
+      |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM cnt),
+      |w AS (SELECT b, round(ln((cp + 1)::DOUBLE / (tp + 4096))
+      |               - ln((cn + 1)::DOUBLE / (tn + 4096)), 6) AS w
+      |      FROM cnt, tot),
+      |w0 AS (SELECT round(ln(1.0 / (tp + 4096)) - ln(1.0 / (tn + 4096)), 6)
+      |         AS w0 FROM tot),
+      |hold AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+      |hfeat AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+      |        FROM hold)),
+      |sc AS (
+      |  SELECT h.doc_id,
+      |    round(sum(round(coalesce(w.w, (SELECT w0 FROM w0)), 6)
+      |      ::DECIMAL(28,6))::DOUBLE, 6) AS s
+      |  FROM hfeat h LEFT JOIN w USING (b) GROUP BY h.doc_id),
+      |prior AS (SELECT round(ln(np::DOUBLE / nn), 6) AS pr FROM pri)
+      |SELECT d.doc_id,
+      |  round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) AS score,
+      |  (round(coalesce(sc.s, 0.0) + (SELECT pr FROM prior), 6) >= 0) AS pred
+      |FROM hold d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q105's oracle: the COMPLETE q86/q97 BM25 replay and q79/q85 IVF-ADC
     * replay nested verbatim as CTEs (no renaming surgery — their internal

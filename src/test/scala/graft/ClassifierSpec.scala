@@ -61,4 +61,36 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getAs[Double]("score") == model.prior,
       "a token-less document must score exactly the log-prior")
   }
+
+  test("persisted model scores bit-identically to live; ensure reuses on " +
+       "match and retrains on parameter change") {
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString +
+      "/m"
+    val train = docs.filter(col("doc_id") % 5 < 4)
+    val hold = docs.filter(col("doc_id") % 5 === 4)
+    val live = Classifier.trainNb(train, positive = col("lang") === "en",
+      nBuckets = 512)
+    Classifier.save(live, dir, labelTag = "lang=en")
+    val loaded = Classifier.load(spark, dir)
+    assert(loaded.w0 == live.w0 && loaded.prior == live.prior &&
+      loaded.nBuckets == live.nBuckets)
+    def scores(m: Classifier.NbModel) = Classifier.scoreNb(m, hold)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(scores(loaded) == scores(live),
+      "saved-model scoring diverged from live training")
+    // matching manifest → reuse; nBuckets change → invalidate + retrain
+    val (_, retrained1) = Classifier.ensure(train, dir,
+      positive = col("lang") === "en", nBuckets = 512, labelTag = "lang=en")
+    assert(!retrained1, "matching manifest must reuse, not retrain")
+    val (m2, retrained2) = Classifier.ensure(train, dir,
+      positive = col("lang") === "en", nBuckets = 256, labelTag = "lang=en")
+    assert(retrained2, "nBuckets change must invalidate and retrain")
+    assert(m2.nBuckets == 256)
+    // label-definition change → retrain too
+    val (_, retrained3) = Classifier.ensure(train, dir,
+      positive = col("source") === "src0", nBuckets = 256,
+      labelTag = "source=src0")
+    assert(retrained3, "label change must invalidate and retrain")
+  }
 }
