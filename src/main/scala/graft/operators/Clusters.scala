@@ -212,13 +212,24 @@ object Clusters {
     * [[components]]/[[starComponents]] output (id, cluster); `scores` =
     * (idCol, scoreCol), one row per vertex. Returns (cluster, keep_id,
     * best_score, n_members).
+    *
+    * NULL contract: a NULL score LOSES to every real score (its negated
+    * side coalesces to +Infinity, the worst struct ordering position —
+    * struct min would otherwise sort a null field FIRST and let an
+    * unscored member win its cluster). A cluster whose every member is
+    * NULL-scored still appears — smallest id kept, best_score NULL,
+    * n_members counting all members. A literal −Infinity score is
+    * indistinguishable from NULL by construction.
     */
   def keepBest(labels: DataFrame, scores: DataFrame, idCol: String = "id",
                scoreCol: String = "score"): DataFrame =
     labels.join(scores, Seq(idCol))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
-        min(struct((-col(scoreCol)).as("negs"), col(idCol).as("i"))).as("_m"))
+        min(struct(
+          coalesce(-col(scoreCol), lit(Double.PositiveInfinity)).as("negs"),
+          col(idCol).as("i"))).as("_m"))
       .select(col("cluster"), col("_m.i").as("keep_id"),
-        (-col("_m.negs")).as("best_score"), col("n_members"))
+        when(col("_m.negs") === Double.PositiveInfinity, lit(null))
+          .otherwise(-col("_m.negs")).as("best_score"), col("n_members"))
 }

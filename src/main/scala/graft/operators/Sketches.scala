@@ -99,6 +99,13 @@ object Sketches {
   /** Per-group HLL estimates as a DataFrame — the per-source "distinct
     * tokens" column of a corpus report. Registers stay distributed; the
     * estimate is one aggregation per grain row.
+    *
+    * The harmonic-mean accumulator is EXACT: each register contributes the
+    * scaled integer 2^(61−b−rho) (a BIGINT ≤ 2^(60−b)) and absent buckets
+    * contribute 2^(61−b), DECIMAL(38,0)-summed — partition-order-
+    * independent, unlike a float `sum(pow(2,−rho))` whose result can move
+    * a ULP with merge order and flake the StreamingSpec streamed==batch
+    * bit-identity. Float math happens ONCE, on the exact total.
     */
   def hllEstimateByGroup(registers: DataFrame, b: Int,
                          groupCols: Seq[String]): DataFrame = {
@@ -106,13 +113,24 @@ object Sketches {
     val alpha =
       if (m == 16) 0.673 else if (m == 32) 0.697
       else if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    // z · 2^scaleP2, with rho ∈ [1, 61−b] (hllRegisters' range) so every
+    // term is an exact BIGINT; 2^scaleP2 itself is a power of two, exact
+    // in double for the final one-shot division
+    val scaleP2 = 61 - b
+    val scale = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(scaleP2))
     registers.groupBy(groupCols.map(col): _*)
-      .agg(sum(pow(lit(2.0), -col("max_rho"))).as("_z1"),
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleP2 - max_rho)")
+          .cast("decimal(38,0)")).as("_zs"),
         count(lit(1)).as("_nb"))
       .select((groupCols.map(col) :+
-        (lit(alpha * m.toDouble * m) /
-          (col("_z1") + (lit(m) - col("_nb")))).as("_e") :+
+        (col("_zs") + (lit(m) - col("_nb")).cast("decimal(38,0)") * lit(scale))
+          .as("_zt") :+
         (lit(m) - col("_nb")).as("_zeros")): _*)
+      .select((groupCols.map(col) :+
+        (lit(alpha * m.toDouble * m * math.pow(2.0, scaleP2)) /
+          col("_zt").cast("double")).as("_e") :+
+        col("_zeros")): _*)
       .select((groupCols.map(col) :+
         when(col("_e") <= 2.5 * m && col("_zeros") > 0,
           lit(m) * log(lit(m).cast("double") / col("_zeros")))

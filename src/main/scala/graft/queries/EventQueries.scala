@@ -16,10 +16,25 @@ import Tables._
   */
 object EventQueries {
 
-  /** Read `events` with ts as LONG nanoseconds since the epoch. */
+  /** Read `events` with ts as LONG nanoseconds since the epoch.
+    *
+    * Driver data generations have shipped `events.ts` both as
+    * TIMESTAMP(NANOS) (which Spark's Parquet reader only supports as a
+    * raw long, via the legacy conf) and as plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Normalize both to the long-nanos contract here so
+    * the integer second-grain arithmetic below is generation-independent;
+    * the session timezone is UTC everywhere (Verify/Bench/SparkSpec), so
+    * the NTZ→epoch cast is the identity wall-clock mapping DuckDB's
+    * `date_diff('second', TIMESTAMP '1970-01-01', ts)` applies.
+    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   private def tsSec = expr("ts DIV 1000000000")

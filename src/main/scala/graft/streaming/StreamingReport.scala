@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -15,17 +16,36 @@ import graft.operators.{Quality, Sketches}
   * sums) under `stateDir/partials/batch=<id>` with partition overwrite,
   * so an at-least-once replay rewrites its own partition instead of
   * double-counting: replay-idempotent by construction, no read-modify-
-  * write of shared state, nothing to compact for correctness. [[report]]
-  * merges all partials — DECIMAL sums are associative, so the streamed
-  * report is EXACTLY the batch report over the union (spec-pinned, not
-  * approximately).
+  * write of shared state. [[report]] merges base + live partials —
+  * DECIMAL sums are associative, so the streamed report is EXACTLY the
+  * batch report over the union (spec-pinned, not approximately).
+  *
+  * Small-files lifecycle: one partial directory per trigger would be ~86k
+  * directories after a month at a 30 s cadence — the listing/footer-read
+  * wall. [[compact]] folds all batches except the most recent few into a
+  * single `partials_base` directory (profile partials merge by SUM, HLL
+  * registers by MAX — both associative, max also idempotent) with the
+  * crash-safe rename protocol of `AnnIndex.compact`: (1) write the merged
+  * copy to a `*_compact` temp dir (old base + folded batches), stamping
+  * the highest folded batch id in an `_folded_up_to` marker inside it;
+  * (2) delete the old base; (3) rename the copy into place; (4) delete
+  * the folded batch directories. A crash before (2) leaves the old state
+  * plus a stale temp (removed by [[heal]]); between (2) and (3) leaves
+  * only the copy ([[heal]] finishes the rename); during/after (4) leaves
+  * already-folded batch directories behind — harmless, because every
+  * reader filters live batches to `id > _folded_up_to`, so a folded
+  * directory that survived its delete is never double-counted. The
+  * recent `keepBatches` partitions stay unfolded so a foreachBatch replay
+  * (which only re-delivers the most recent ids) still overwrites its own
+  * partition.
   *
   * Per-batch cost: one aggregation of the batch to source×lang grain and
-  * a tiny write. Report cost grows with the partial count (one tiny file
-  * set per batch) — re-partial any archive range offline if a year of
-  * batches ever matters.
+  * a tiny write. Report cost is the base plus at most `keepBatches`
+  * recent partials once compaction runs on any cadence.
   */
 object StreamingReport {
+
+  private val FoldMarker = "_folded_up_to"
 
   /** Write one micro-batch's partial profile (idempotent per batchId). */
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
@@ -37,25 +57,17 @@ object StreamingReport {
 
   /** The merged per-source report over everything streamed so far. A
     * dashboard may poll before the first micro-batch has landed — no
-    * partials directory yet means an EMPTY report, not a read failure
-    * (existence via the Hadoop FileSystem for the path's scheme, the
-    * OnlineNearDup readOrEmpty discipline).
+    * state yet means an EMPTY report, not a read failure.
     */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val path = s"$stateDir/partials"
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partials =
-      if (fs.exists(hPath))
-        spark.read.parquet(path)
-          .drop("batch") // partition-discovery column, not part of the grain
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "source STRING, lang STRING, n_docs BIGINT, n_tokens BIGINT, " +
-              "sum_q DECIMAL(28,6)"))
-    Quality.reportFromPartials(partials)
+    // sum(DECIMAL(28,6)) widens to DECIMAL(38,6) — the partials' on-disk
+    // type, and the schema the reader pins
+    val empty = emptyFrame(spark,
+      "source STRING, lang STRING, n_docs BIGINT, n_tokens BIGINT, " +
+        "sum_q DECIMAL(38,6)")
+    Quality.reportFromPartials(
+      readState(spark, s"$stateDir/partials", s"$stateDir/partials_base",
+        empty))
   }
 
   /** Per-batch HLL register partials for per-source distinct-token
@@ -64,35 +76,68 @@ object StreamingReport {
     * (idempotent as well as associative), so a replay rewriting its own
     * partition is doubly safe: even if two deliveries of one batch landed
     * under different ids, the merged registers would not move.
+    *
+    * The bucket-bit count `b` shapes the register STATE, so the first
+    * write persists it in `stateDir/hll/_b`; later writes with a
+    * different `b` throw instead of silently mixing incompatible
+    * registers, and [[distinctReport]] reads the persisted value rather
+    * than trusting a caller to repeat it.
     */
   def processBatchDistinct(batch: DataFrame, stateDir: String, batchId: Long,
                            sourceCol: String = "source",
-                           textCol: String = "text", b: Int = 9): Unit =
+                           textCol: String = "text", b: Int = 9): Unit = {
+    val hadoop = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$stateDir/hll")
+    val fs = dir.getFileSystem(hadoop)
+    readB(fs, dir) match {
+      case Some(persisted) =>
+        require(persisted == b,
+          s"HLL state at $dir was written with b=$persisted; refusing b=$b")
+      case None =>
+        fs.mkdirs(dir)
+        writeMarker(fs, new Path(dir, "_b"), b.toLong)
+    }
     Sketches.hllRegisters(
         batch.select(col(sourceCol).as("source"),
           explode(TextFunctions.tokens(col(textCol))).as("tok")),
         "tok", b, groupCols = Seq("source"))
       .write.mode("overwrite")
       .parquet(s"$stateDir/hll/batch=$batchId")
+  }
 
   /** Per-source distinct-token estimates over everything streamed so far.
     * Registers merge exactly (integer max), so the streamed estimate is
     * bit-identical to the batch estimate over the union — not just close.
+    * `b` comes from the persisted `_b` marker (the value the registers
+    * were actually written with); pre-stream there is no state and the
+    * report is empty, so no parameter is needed at all.
     */
-  def distinctReport(spark: SparkSession, stateDir: String,
-                     b: Int = 9): DataFrame = {
-    val path = s"$stateDir/hll"
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partials =
-      if (fs.exists(hPath)) spark.read.parquet(path).drop("batch")
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "source STRING, bucket INT, max_rho INT"))
+  def distinctReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = new Path(s"$stateDir/hll")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = readB(fs, dir).getOrElse(9)
+    val partials = readState(spark, s"$stateDir/hll", s"$stateDir/hll_base",
+      emptyFrame(spark, "source STRING, bucket INT, max_rho INT"))
     Sketches.hllEstimateByGroup(
       Sketches.hllMerge(partials, Seq("source")), b, Seq("source"))
+  }
+
+  /** Fold every batch partition except the most recent `keepBatches` into
+    * the base directory, for both the profile and (if present) the HLL
+    * family. Safe to run on any cadence, concurrent with the stream's
+    * sink between triggers; see the class doc for the crash protocol.
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              keepBatches: Int = 2): Unit = {
+    require(keepBatches >= 1, "must keep at least one recent batch")
+    compactFamily(spark, s"$stateDir/partials", s"$stateDir/partials_base",
+      keepBatches,
+      merged => merged.groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("sum_q")).as("sum_q")))
+    compactFamily(spark, s"$stateDir/hll", s"$stateDir/hll_base",
+      keepBatches, merged => Sketches.hllMerge(merged, Seq("source")))
   }
 
   /** Attach the profiling sink to a streaming document DataFrame; with
@@ -112,4 +157,110 @@ object StreamingReport {
         ()
       }
       .start()
+
+  // ------------------------------------------------------------ internals
+
+  private def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** base (if any) ∪ live batch partitions newer than the fold cutoff —
+    * the exact state a report merges. Heals a torn compaction first, so
+    * a reader never sees the half-swapped state.
+    */
+  private def readState(spark: SparkSession, liveDir: String,
+                        baseDir: String, empty: DataFrame): DataFrame = {
+    val fs = new Path(liveDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heal(fs, new Path(baseDir))
+    val cutoff = foldedUpTo(fs, new Path(baseDir))
+    val live = batchDirs(fs, new Path(liveDir)).filter(_._1 > cutoff)
+    val base =
+      if (fs.exists(new Path(baseDir)))
+        spark.read.schema(empty.schema).parquet(baseDir)
+      else empty
+    if (live.isEmpty) base
+    else base.unionByName(
+      spark.read.schema(empty.schema)
+        .parquet(live.map(_._2.toString): _*))
+  }
+
+  /** (batchId, path) for every `batch=N` child of `dir`; empty when the
+    * directory does not exist yet.
+    */
+  private def batchDirs(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath)
+
+  private def foldedUpTo(fs: FileSystem, baseDir: Path): Long =
+    readMarker(fs, new Path(baseDir, FoldMarker)).getOrElse(-1L)
+
+  private def readB(fs: FileSystem, hllDir: Path): Option[Int] =
+    readMarker(fs, new Path(hllDir, "_b")).map(_.toInt)
+
+  private def readMarker(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+
+  private def writeMarker(fs: FileSystem, p: Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Finish or roll back a torn base swap: temp exists without a live
+    * base → the delete succeeded but the rename did not; the temp IS the
+    * base (finish the rename). Temp alongside a live base → the swap
+    * never started destroying state; the temp is a stale derived copy
+    * (drop it).
+    */
+  private def heal(fs: FileSystem, baseDir: Path): Unit = {
+    val tmp = new Path(baseDir.getParent, baseDir.getName + "_compact")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(baseDir)) {
+        if (!fs.rename(tmp, baseDir))
+          throw new IllegalStateException(s"compaction heal failed: $tmp")
+      } else fs.delete(tmp, true)
+    }
+  }
+
+  private def compactFamily(spark: SparkSession, liveDir: String,
+                            baseDir: String, keepBatches: Int,
+                            merge: DataFrame => DataFrame): Unit = {
+    val basePath = new Path(baseDir)
+    val fs = basePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heal(fs, basePath)
+    val already = foldedUpTo(fs, basePath)
+    val all = batchDirs(fs, new Path(liveDir))
+    if (all.isEmpty) return
+    val cutoff = all.map(_._1).max - keepBatches
+    // fold strictly (already, cutoff]: directories at or below `already`
+    // are leftovers of a crash after rename — their content is in the
+    // base, re-reading them would double-count the SUM family
+    val fold = all.filter { case (id, _) => id > already && id <= cutoff }
+    if (fold.isEmpty) return
+    val schema = spark.read.parquet(fold.head._2.toString).schema
+    val oldBase =
+      if (fs.exists(basePath)) spark.read.schema(schema).parquet(baseDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val tmp = new Path(basePath.getParent, basePath.getName + "_compact")
+    fs.delete(tmp, true) // stale copy from a crashed earlier attempt
+    merge(oldBase.unionByName(
+        spark.read.schema(schema).parquet(fold.map(_._2.toString): _*)))
+      .coalesce(1)
+      .write.parquet(tmp.toString)
+    writeMarker(fs, new Path(tmp, FoldMarker), cutoff)
+    fs.delete(basePath, true)
+    if (!fs.rename(tmp, basePath))
+      throw new IllegalStateException(s"compaction rename failed: $baseDir")
+    fold.foreach { case (_, p) => fs.delete(p, true) }
+  }
 }

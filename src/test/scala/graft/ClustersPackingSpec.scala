@@ -192,6 +192,23 @@ class ClustersPackingSpec extends SparkSpec {
     assert(got("c2") == ("x10", 0.5, 2L))
   }
 
+  test("keepBest: NULL scores lose; an all-NULL cluster keeps the " +
+       "smallest id with best_score NULL") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, Some(0.1)), (2L, None), (3L, Some(0.4)),
+      (7L, Option.empty[Double]), (8L, None)).toDF("id", "score")
+    val got = graft.operators.Clusters.keepBest(labels, scores)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("keep_id"), Option(r.get(r.fieldIndex("best_score"))),
+          r.getAs[Long]("n_members"))).toMap
+    assert(got(1L) == (3L, Some(0.4), 3L),
+      "a NULL-scored member must not beat a real score")
+    assert(got(7L) == (7L, None, 2L),
+      "all-NULL cluster: smallest id survives, best_score NULL, " +
+        "members still counted")
+  }
+
   test("keepBest round-trips a zero score exactly (double negation)") {
     val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
     val scores = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "score")

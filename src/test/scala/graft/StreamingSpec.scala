@@ -807,4 +807,87 @@ class StreamingSpec extends SparkSpec {
     assert(distinctRows(StreamingReport.distinctReport(spark, stDir))
       == batchDistinct, "replayed batch moved the HLL estimate")
   }
+
+  test("streaming-report compaction: folds old partials into a base, " +
+       "reports byte-identical, crash mid-swap heals, folded leftovers " +
+       "never double-count") {
+    import graft.streaming.StreamingReport
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stDir = Files.createTempDirectory("rep-cp").toString
+    def slice(i: Long) =
+      docs.filter(col("doc_id") >= i * 50 && col("doc_id") < (i + 1) * 50)
+    for (i <- 0L until 6L) {
+      StreamingReport.processBatch(slice(i), stDir, i)
+      StreamingReport.processBatchDistinct(slice(i), stDir, i, b = 7)
+    }
+    def rep() = StreamingReport.report(spark, stDir)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    def drep() = StreamingReport.distinctReport(spark, stDir)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val before = rep()
+    val dBefore = drep()
+
+    // distinctReport must use the PERSISTED b=7, not its old default of 9
+    val batchToks = docs.filter(col("doc_id") < 300)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val batchB7 = graft.operators.Sketches.hllEstimateByGroup(
+        graft.operators.Sketches.hllRegisters(batchToks, "tok", 7,
+          Seq("source")), 7, Seq("source"))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(dBefore == batchB7,
+      "distinctReport did not honor the persisted bucket-bit count")
+
+    StreamingReport.compact(spark, stDir, keepBatches = 2)
+    val fs = new org.apache.hadoop.fs.Path(stDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveBatches(fam: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stDir/$fam")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).sorted
+    assert(liveBatches("partials") == Seq(4L, 5L),
+      "only the keepBatches most recent partials may stay unfolded")
+    assert(liveBatches("hll") == Seq(4L, 5L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stDir/partials_base")))
+    assert(rep() == before, "compaction changed the profile report")
+    assert(drep() == dBefore, "compaction changed the distinct report")
+
+    // a replay of a recent (unfolded) batch id still overwrites in place
+    StreamingReport.processBatch(slice(5), stDir, 5)
+    assert(rep() == before, "post-compaction replay double-counted")
+
+    // crash-after-rename leftover: a folded batch dir that resurfaces is
+    // below _folded_up_to and must be ignored, not summed again
+    StreamingReport.processBatch(slice(1), stDir, 1)
+    assert(rep() == before, "folded leftover directory double-counted")
+
+    // more batches, second compaction folds ONLY the (folded, cutoff] range
+    for (i <- 6L until 8L) StreamingReport.processBatch(slice(i), stDir, i)
+    StreamingReport.compact(spark, stDir, keepBatches = 2)
+    val after2 = rep()
+    val expect2 = graft.operators.Quality.corpusReport(
+        docs.filter(col("doc_id") < 400))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(after2 == expect2,
+      "second compaction lost or double-counted a range")
+
+    // crash between base delete and rename: only the temp copy exists —
+    // the next reader must finish the rename and see identical data
+    val base = new org.apache.hadoop.fs.Path(s"$stDir/partials_base")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stDir/partials_base_compact")
+    assert(fs.rename(base, tmp))
+    assert(rep() == after2, "heal after torn swap lost data")
+    assert(fs.exists(base) && !fs.exists(tmp), "heal did not finish rename")
+
+    // crash before the base delete: stale temp alongside a live base is
+    // dropped, the live base wins
+    fs.mkdirs(tmp)
+    assert(rep() == after2)
+    assert(!fs.exists(tmp), "stale compaction temp not cleaned up")
+
+    // register shape is pinned: a later writer with a different b refuses
+    intercept[IllegalArgumentException] {
+      StreamingReport.processBatchDistinct(slice(0), stDir, 99L, b = 9)
+    }
+  }
 }
