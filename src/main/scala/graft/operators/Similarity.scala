@@ -127,6 +127,56 @@ object Similarity {
     lloyd(sample, kCells, iters).map(_.toSeq).toSeq
   }
 
+  /** Deterministic farthest-point seeding over the FULL corpus — the
+    * k-means||-flavoured alternative to [[sampledKMeans]]'s stride init,
+    * which inherits the first-`sampleN`-ids bias (a long-tail cluster the
+    * low ids never see starts with no nearby centroid, and Lloyd may
+    * never recover it). Greedy k-center (Gonzalez 1985), made
+    * cross-engine replayable:
+    *   - seed = the vector whose (md5 of the id string, id) is smallest —
+    *     hash-ordered, so NOT correlated with ingest order;
+    *   - each of the k−1 rounds scores every vector by its distance to
+    *     the CURRENT centroid set (min over centers of round(L2², 6) —
+    *     the same rounded fold [[distributedKMeans]]' assignment uses)
+    *     and admits the farthest, ties to the smaller id.
+    * Every round is one broadcast-compare projection plus a TakeOrdered
+    * of ONE row — k−1 bounded passes, no shuffle by any cluster key, the
+    * driver only ever holds k·dim doubles. Integer/rounded arithmetic
+    * end to end, so the q109 oracle replays seed, every admission, and
+    * the Lloyd refinement that follows.
+    */
+  def farthestInit(corpus: DataFrame, k: Int, dim: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+    val seed = corpus
+      .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol),
+        graft.functions.TextFunctions.md5Hash60(col(idCol).cast("string"))
+          .as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(1).select(col("_v")).collect()
+    require(seed.nonEmpty, "empty corpus")
+    var cents = Seq(vecOf(seed(0)))
+    while (cents.length < k) {
+      val dists = cents.map(c =>
+        round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
+      val cost = if (dists.length == 1) dists.head else least(dists: _*)
+      val next = corpus
+        .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol))
+        .withColumn("_cost", cost)
+        .orderBy(col("_cost").desc, col(idCol))
+        .limit(1).select(col("_v")).collect()
+      cents = cents :+ vecOf(next(0))
+    }
+    cents
+  }
+
   /** FULL-corpus Lloyd refinement — the scale path when the bounded
     * training sample is not representative enough (long-tail clusters the
     * first 4096 ids never see). Per iteration: ONE broadcast-argmin
@@ -150,8 +200,12 @@ object Similarity {
     */
   def distributedKMeans(corpus: DataFrame, k: Int, iters: Int, dim: Int,
                         sampleN: Int = 4096, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Seq[Seq[Double]] = {
-    var cents = sampledKMeans(corpus, k, 0, sampleN, idCol, vecCol)
+                        vecCol: String = "embedding",
+                        init: Option[Seq[Seq[Double]]] = None)
+      : Seq[Seq[Double]] = {
+    var cents = init.getOrElse(sampledKMeans(corpus, k, 0, sampleN, idCol,
+      vecCol))
+    require(cents.length == k, s"init must supply $k centroids")
     for (_ <- 0 until iters) {
       // cell in its OWN projection: a generator alias in the same select
       // re-resolves sibling expressions and drops the argmin struct's

@@ -43,7 +43,19 @@ object Sketches {
     * grain×m rows before any shuffle regardless of corpus size.
     */
   def hllRegisters(df: DataFrame, valueCol: String, b: Int = 9,
-                   groupCols: Seq[String] = Nil): DataFrame = {
+                   groupCols: Seq[String] = Nil): DataFrame =
+    registersFromHashes(
+      df.select((groupCols.map(col) :+
+        TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*),
+      b, groupCols)
+
+  /** The bucket/rho bit split over a pre-hashed `_h` column — shared by
+    * the direct register build and the sparse→dense conversion so both
+    * paths are the SAME expressions (and the q102/q107 oracles replay
+    * one formulation).
+    */
+  private def registersFromHashes(hashed: DataFrame, b: Int,
+                                  groupCols: Seq[String]): DataFrame = {
     require(b >= 4 && b <= 16, s"need 4 <= b <= 16 bucket bits, got $b")
     val m = 1L << b
     val rem = 60 - b
@@ -52,8 +64,7 @@ object Sketches {
     val rho = when(col("_w") === 0L, lit(rem + 1))
       .otherwise(lit(rem + 1) - length(bin(col("_w"))))
       .cast("int")
-    df.select((groupCols.map(col) :+
-        TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*)
+    hashed
       .select((groupCols.map(col) :+
         pmod(col("_h"), lit(m)).cast("int").as("bucket") :+
         shiftright(col("_h"), b).as("_w")): _*)
@@ -135,6 +146,122 @@ object Sketches {
         when(col("_e") <= 2.5 * m && col("_zeros") > 0,
           lit(m) * log(lit(m).cast("double") / col("_zeros")))
           .otherwise(col("_e")).as("est_distinct")): _*)
+  }
+
+  // -------------------------------------------- HLL sparse mode (HLL++)
+
+  /** Sparse-or-dense per-group cardinality state — the HLL++ refinement
+    * (Heule et al. 2013) re-expressed with this file's integer-only
+    * replay discipline. A dense sketch spends up to 2^b register rows per
+    * group, which is pure waste when the grain has MANY small groups
+    * (per-domain distinct counts: most domains have a handful of pages).
+    * Here a group holds:
+    *   - kind 0 (sparse): one row per DISTINCT 60-bit hash (`k` = hash,
+    *     `v` NULL) while its distinct count ≤ `threshold` — the estimate
+    *     is then EXACT, and state is min(distinct, threshold) rows;
+    *   - kind 1 (dense): the usual registers (`k` = bucket, `v` =
+    *     max_rho) once it crosses the threshold.
+    * All state is integers derived from the portable md5 hash, so the
+    * q107 oracle replays the whole table cross-engine, including the
+    * sparse→dense promotion decision.
+    *
+    * Build cost: one distinct over (group, hash) — map-side combined, the
+    * same shuffle shape as the register build; the win is STATE size and
+    * merge cost, not build cost. The sparse/dense decision rides a
+    * BROADCAST of the group-grain count table (one row per group, like
+    * the count-min probe join) — fine up to millions of groups; past
+    * broadcast size, use the flat [[hllRegisters]] path, whose plan never
+    * needs a per-group decision. Merge ([[hllSparseMerge]]) is
+    * associative and replay-idempotent: sparse∪sparse under the threshold
+    * stays exact-distinct; anything else promotes through the same
+    * hash→register conversion the one-pass dense build uses, so shard
+    * partials always combine into exactly the one-pass state (spec-
+    * pinned at the crossover).
+    */
+  def hllSparseState(df: DataFrame, valueCol: String, b: Int = 9,
+                     threshold: Int = 256,
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    require(groupCols.nonEmpty, "sparse mode is for per-group sketches")
+    require(threshold >= 1, s"need threshold >= 1, got $threshold")
+    sparseFromHashes(
+      df.select((groupCols.map(col) :+
+          TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*)
+        .distinct(),
+      b, threshold, groupCols)
+  }
+
+  /** Merge sparse-state partials (same grain, same b and threshold): a
+    * group whose partials are all sparse and whose combined distinct-hash
+    * count stays ≤ threshold remains sparse (set union); any group with a
+    * dense partial, or crossing the threshold, promotes — sparse hashes
+    * convert through the shared bucket/rho split and MAX-merge with the
+    * dense registers. Associative, and idempotent (set union / MAX), so
+    * replayed shard deliveries cannot move the merged state.
+    */
+  def hllSparseMerge(partials: DataFrame, b: Int, threshold: Int,
+                     groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val mode = partials.groupBy(g: _*).agg(
+      max(col("kind")).as("_maxk"),
+      count_distinct(when(col("kind") === 0, col("k"))).as("_ns"))
+    val marked = partials.join(broadcast(mode), groupCols)
+    val staySparse = marked
+      .filter(col("_maxk") === 0 && col("_ns") <= threshold)
+      .select((g :+ col("kind") :+ col("k") :+ col("v")): _*)
+      .distinct()
+    val toDense = marked.filter(col("_maxk") === 1 || col("_ns") > threshold)
+    val denseRegs = registersFromHashes(
+        toDense.filter(col("kind") === 0)
+          .select((g :+ col("k").as("_h")): _*),
+        b, groupCols)
+      .select((g :+ col("bucket").cast("bigint").as("k") :+
+        col("max_rho").as("v")): _*)
+      .unionByName(toDense.filter(col("kind") === 1)
+        .select((g :+ col("k") :+ col("v")): _*))
+      .groupBy((g :+ col("k")): _*)
+      .agg(max(col("v")).as("v"))
+      .select((g :+ lit(1).as("kind") :+ col("k") :+ col("v")): _*)
+    staySparse.unionByName(denseRegs)
+  }
+
+  /** Estimates from sparse-or-dense state: sparse groups report their
+    * EXACT distinct count (that is the point of the sparse side); dense
+    * groups go through [[hllEstimateByGroup]]'s exact-integer harmonic
+    * accumulator. One output row per group, `est_distinct` double.
+    */
+  def hllSparseEstimate(state: DataFrame, b: Int,
+                        groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val sparse = state.filter(col("kind") === 0)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).cast("double").as("est_distinct"))
+    val dense = hllEstimateByGroup(
+      state.filter(col("kind") === 1)
+        .select((g :+ col("k").cast("int").as("bucket") :+
+          col("v").as("max_rho")): _*),
+      b, groupCols)
+    sparse.unionByName(dense)
+  }
+
+  /** Build the sparse-or-dense split from pre-hashed DISTINCT
+    * (group, _h) rows — the shared tail of [[hllSparseState]] and the
+    * promotion path.
+    */
+  private def sparseFromHashes(hashes: DataFrame, b: Int, threshold: Int,
+                               groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = hashes.groupBy(g: _*).agg(count(lit(1)).as("_n"))
+    val joined = hashes.join(broadcast(counts), groupCols)
+    val sparse = joined.filter(col("_n") <= threshold)
+      .select((g :+ lit(0).as("kind") :+ col("_h").as("k") :+
+        lit(null).cast("int").as("v")): _*)
+    val dense = registersFromHashes(
+        joined.filter(col("_n") > threshold)
+          .select((g :+ col("_h")): _*),
+        b, groupCols)
+      .select((g :+ lit(1).as("kind") :+ col("bucket").cast("bigint").as("k") :+
+        col("max_rho").as("v")): _*)
+    sparse.unionByName(dense)
   }
 
   // ------------------------------------------------------------- count-min

@@ -2543,37 +2543,135 @@ object CorpusQueries {
             vecQueryIdCol = "vec_id")
           .orderBy("query_id", "rank")
       },
-      Some(rrfHybridOracleSql))
+      Some(rrfHybridOracleSql)),
+
+    // Sparse-or-dense HLL state (Sketches.hllSparseState, the HLL++
+    // refinement): per-(source, lang) distinct-token cardinality state at
+    // threshold 30 — the sf0.01 grain straddles the threshold, so BOTH
+    // representations appear: small groups hold their exact distinct
+    // hashes (kind 0), large groups the b=7 registers (kind 1). The
+    // whole table — including the promotion decision — is integer md5
+    // arithmetic, replayed by the oracle; the float estimator stays
+    // spec-side (SketchesSpec: sparse groups are EXACT, dense in-band).
+    QueryDef("q107_hll_sparse_state",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("source"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Sketches.hllSparseState(toks, "tok", b = 7, threshold = 30,
+            groupCols = Seq("source", "lang"))
+          .orderBy("source", "lang", "kind", "k")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source, lang,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |cnt AS (SELECT source, lang, count(*) AS n FROM h GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT source, lang, 0 AS kind, h AS k, NULL::INT AS v
+        |  FROM h JOIN cnt USING (source, lang) WHERE n <= 30),
+        |dn AS (
+        |  SELECT source, lang, 1 AS kind, (h % 128)::BIGINT AS k,
+        |    max(CASE WHEN h // 128 = 0 THEN 54
+        |             ELSE 54 - len(bin(h // 128)) END)::INT AS v
+        |  FROM h JOIN cnt USING (source, lang) WHERE n > 30
+        |  GROUP BY 1, 2, 4)
+        |SELECT * FROM (SELECT * FROM sp UNION ALL SELECT * FROM dn)
+        |ORDER BY source, lang, kind, k""".stripMargin)),
+
+    // Sketch-augmented corpus dashboard: q99's per-source report joined
+    // with the HLL distinct-token ESTIMATE (b=7 registers through the
+    // exact-integer harmonic accumulator — the oracle replays the whole
+    // estimator including the linear-counting branch, term-for-term) and
+    // the count-min heavy-hitter count (global d=4×w=512 sketch, probed
+    // with each source's vocabulary; integer mins, threshold 500). The
+    // batch twin of StreamingReport.report + distinctReport on one grain:
+    // what the curation dashboard actually renders.
+    QueryDef("q108_sketch_dashboard",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val est = Sketches.hllEstimateByGroup(
+            Sketches.hllRegisters(toks, "tok", b = 7,
+              groupCols = Seq("source")), 7, Seq("source"))
+          .select(col("source"),
+            round(col("est_distinct"), 6).as("est_distinct_tokens"))
+        val counters = Sketches.cmCounters(toks, "tok", d = 4, w = 512)
+        val hot = Sketches.cmEstimate(counters,
+            toks.select(col("tok")).distinct(), "tok", 4, 512)
+          .filter(col("cm_est") >= 500)
+        val nHot = toks.distinct().join(broadcast(hot.select(col("tok"))),
+            Seq("tok"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_hot_tokens"))
+        Quality.corpusReport(docs)
+          .join(est, Seq("source"), "left")
+          .join(nHot, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("mean_quality"), col("lang_entropy"),
+            col("est_distinct_tokens"),
+            coalesce(col("n_hot_tokens"), lit(0L)).as("n_hot_tokens"))
+          .orderBy("source")
+      },
+      Some(sketchDashboardOracleSql)),
+
+    // Farthest-point seeding + full-corpus Lloyd (Similarity.farthestInit
+    // → distributedKMeans): the deterministic, hash-seeded k-means||-
+    // style alternative to q101's stride init — corpus-representative
+    // seeds with NO first-ids bias, every admission and both refinement
+    // iterations replayed by the oracle (SimilaritySpec additionally pins
+    // WCSS at-least-as-good-as-stride on a skewed corpus the stride init
+    // cannot seed).
+    QueryDef("q109_kmeans_farthest_init",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val init = Similarity.farthestInit(emb, k = 4, dim = 64)
+        val cents = Similarity.distributedKMeans(emb, k = 4, iters = 2,
+          dim = 64, init = Some(init))
+        Similarity.kmeansSummary(emb, cents).orderBy("cell")
+      },
+      Some(kmeansFarthestOracleSql))
   )
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the
     * q79/q80 oracles already rebuild, then per iteration the round-6 L2²
     * argmin and the DECIMAL per-dim mean, then the summary grain.
     */
+  /** One Lloyd iteration as CTEs over an `e` (vec_id, v) table: round-6
+    * L2² argmin assignment against `inC`'s centroids, then the DECIMAL
+    * per-dim mean — shared by the q101 (stride init) and q109 (farthest
+    * init) oracles so both replay the SAME refinement formulation.
+    */
+  private def lloydIterSql(inC: String, suf: String): String =
+    s"""d$suf AS (
+      |  SELECT e.vec_id, c.cell,
+      |    round(list_reduce(list_transform(generate_series(1, 64), i ->
+      |      (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6) AS d2
+      |  FROM e, $inC c),
+      |a$suf AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+      |    FROM d$suf) WHERE rnk = 1),
+      |s$suf AS (
+      |  SELECT a.cell, ds.d,
+      |    round(round(sum(round(e.v[ds.d], 6)::DECIMAL(28,6))::DOUBLE, 6)
+      |      / count(*), 6) AS cd
+      |  FROM a$suf a JOIN e USING (vec_id),
+      |       (SELECT unnest(generate_series(1, 64)) AS d) ds
+      |  GROUP BY a.cell, ds.d),
+      |c$suf AS (
+      |  SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+      |  FROM $inC c LEFT JOIN (
+      |    SELECT cell, list(cd ORDER BY d) AS cv FROM s$suf GROUP BY cell) n
+      |  USING (cell))""".stripMargin
+
   private lazy val kmeansOracleSql: String = {
-    def iter(inC: String, suf: String): String =
-      s"""d$suf AS (
-        |  SELECT e.vec_id, c.cell,
-        |    round(list_reduce(list_transform(generate_series(1, 64), i ->
-        |      (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6) AS d2
-        |  FROM e, $inC c),
-        |a$suf AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
-        |    FROM d$suf) WHERE rnk = 1),
-        |s$suf AS (
-        |  SELECT a.cell, ds.d,
-        |    round(round(sum(round(e.v[ds.d], 6)::DECIMAL(28,6))::DOUBLE, 6)
-        |      / count(*), 6) AS cd
-        |  FROM a$suf a JOIN e USING (vec_id),
-        |       (SELECT unnest(generate_series(1, 64)) AS d) ds
-        |  GROUP BY a.cell, ds.d),
-        |c$suf AS (
-        |  SELECT c.cell, coalesce(n.cv, c.cv) AS cv
-        |  FROM $inC c LEFT JOIN (
-        |    SELECT cell, list(cd ORDER BY d) AS cv FROM s$suf GROUP BY cell) n
-        |  USING (cell))""".stripMargin
+    def iter(inC: String, suf: String): String = lloydIterSql(inC, suf)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |samp AS (
       |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
@@ -2588,6 +2686,47 @@ object CorpusQueries {
       |counts AS (
       |  -- kmeansSummary assigns against the FINAL centroids (c2): that is
       |  -- a3; s3/c3 are never referenced and DuckDB prunes them
+      |  SELECT cell, count(*)::BIGINT AS n_members FROM a3 GROUP BY cell)
+      |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
+      |  round(sqrt(list_dot_product(c.cv, c.cv)), 4) AS cnorm
+      |FROM c2 c LEFT JOIN counts n USING (cell)
+      |ORDER BY c.cell""".stripMargin
+  }
+
+  /** q109's oracle: greedy farthest-point seeding fully unrolled — the
+    * hash-ordered seed, three admissions by (min round-6 L2² DESC,
+    * vec_id), then the Lloyd refinement via [[lloydIterSql]] and the
+    * same summary tail as q101 (assignment against the FINAL centroids
+    * c2 is a3; s3/c3 are never referenced and DuckDB prunes them).
+    */
+  private lazy val kmeansFarthestOracleSql: String = {
+    def admit(inC: String, r: Int): String =
+      s"""g$r AS (
+        |  SELECT e.vec_id,
+        |    min(round(list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6))
+        |      AS cost
+        |  FROM e, $inC c GROUP BY e.vec_id),
+        |p$r AS (SELECT vec_id FROM g$r ORDER BY cost DESC, vec_id LIMIT 1),
+        |i$r AS (
+        |  SELECT * FROM $inC
+        |  UNION ALL
+        |  SELECT $r AS cell, e.v AS cv FROM e JOIN p$r USING (vec_id))"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seed AS (
+      |  SELECT vec_id, v FROM (
+      |    SELECT vec_id, v,
+      |      ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+      |    FROM e) ORDER BY h, vec_id LIMIT 1),
+      |i0 AS (SELECT 0 AS cell, v AS cv FROM seed),
+      |${admit("i0", 1)},
+      |${admit("i1", 2)},
+      |${admit("i2", 3)},
+      |${lloydIterSql("i3", "1")},
+      |${lloydIterSql("c1", "2")},
+      |${lloydIterSql("c2", "3")},
+      |counts AS (
       |  SELECT cell, count(*)::BIGINT AS n_members FROM a3 GROUP BY cell)
       |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
       |  round(sqrt(list_dot_product(c.cv, c.cv)), 4) AS cnorm
@@ -2710,6 +2849,99 @@ object CorpusQueries {
         |       n_members::BIGINT AS n_members
         |FROM best WHERE rnk = 1 ORDER BY cluster""".stripMargin
   }
+
+  /** q108's oracle: the q99 report replay joined with a FULL replay of
+    * the b=7 HLL estimator — integer registers, the DECIMAL(38,0) scaled
+    * harmonic accumulator, then the same left-associated float constant
+    * and linear-counting branch the engine computes (each branch rounded
+    * to 6, the q99 ln discipline) — and the q103 count-min probe counted
+    * per source at threshold 500.
+    */
+  private lazy val sketchDashboardOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
+      |            FROM documents),
+      |qd AS (
+      |  SELECT doc_id, source, lang,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_tok,
+      |    round((
+      |      least(len(text) / 500.0, 1.0)
+      |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+      |      + least((($stopHitsSql)
+      |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+      |              1.0)
+      |    ) / 3.0, 6) AS q
+      |  FROM d),
+      |per AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |         sum(n_tok)::BIGINT AS n_tokens,
+      |         round(sum(q::DECIMAL(28,6))::DOUBLE / count(*), 6)
+      |           AS mean_quality
+      |  FROM qd GROUP BY source),
+      |lc AS (
+      |  SELECT source, lang, count(*)::BIGINT AS nl
+      |  FROM qd GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT lc.source,
+      |    round(-sum(round((lc.nl::DOUBLE / per.n_docs)
+      |        * ln(lc.nl::DOUBLE / per.n_docs), 6)::DECIMAL(28,6))::DOUBLE, 6)
+      |      AS lang_entropy
+      |  FROM lc JOIN per ON per.source = lc.source GROUP BY 1),
+      |tok AS (
+      |  SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+      |  FROM documents),
+      |hreg AS (
+      |  SELECT source, (h % 128)::INT AS bucket,
+      |    max(CASE WHEN h // 128 = 0 THEN 54
+      |             ELSE 54 - len(bin(h // 128)) END)::INT AS max_rho
+      |  FROM (SELECT source,
+      |          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok)
+      |  GROUP BY 1, 2),
+      |hz AS (
+      |  SELECT source,
+      |    sum(((1::BIGINT) << (54 - max_rho))::DECIMAL(38,0)) AS zs,
+      |    count(*)::BIGINT AS nb
+      |  FROM hreg GROUP BY source),
+      |hest AS (
+      |  SELECT source,
+      |    CASE WHEN e <= 2.5 * 128 AND zeros > 0
+      |         THEN round(128 * ln(128.0 / zeros), 6)
+      |         ELSE round(e, 6) END AS est_distinct_tokens
+      |  FROM (SELECT source,
+      |          0.7213 / (1 + 1.079 / 128.0) * 128 * 128 * 18014398509481984.0
+      |            / ((zs + (128 - nb)::DECIMAL(38,0) * 18014398509481984)::DOUBLE)
+      |            AS e,
+      |          128 - nb AS zeros
+      |        FROM hz)),
+      |counters AS (
+      |  SELECT j, bucket, count(*)::BIGINT AS cnt FROM (
+      |    SELECT js.j,
+      |      ('0x' || substring(md5('cm' || js.j::VARCHAR || '_' || tok), 1, 15))::BIGINT
+      |        % 512 AS bucket
+      |    FROM tok, (SELECT unnest(generate_series(0, 3)) AS j) js)
+      |  GROUP BY j, bucket),
+      |probes AS (SELECT DISTINCT tok FROM tok),
+      |cmest AS (
+      |  SELECT p.tok, min(coalesce(c.cnt, 0)) AS cm_est FROM (
+      |    SELECT tok, js.j,
+      |      ('0x' || substring(md5('cm' || js.j::VARCHAR || '_' || tok), 1, 15))::BIGINT
+      |        % 512 AS bucket
+      |    FROM probes, (SELECT unnest(generate_series(0, 3)) AS j) js) p
+      |  LEFT JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+      |  GROUP BY p.tok),
+      |hot AS (SELECT tok FROM cmest WHERE cm_est >= 500),
+      |nhot AS (
+      |  SELECT st.source, count(*)::BIGINT AS n_hot_tokens
+      |  FROM (SELECT DISTINCT source, tok FROM tok) st JOIN hot USING (tok)
+      |  GROUP BY st.source)
+      |SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy,
+      |  est_distinct_tokens, coalesce(n_hot_tokens, 0) AS n_hot_tokens
+      |FROM per
+      |JOIN ent ON ent.source = per.source
+      |JOIN hest ON hest.source = per.source
+      |LEFT JOIN nhot ON nhot.source = per.source
+      |ORDER BY per.source""".stripMargin
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10
     * selection swapped for the refine chain (ADC candidates at rank ≤ 40 →

@@ -459,4 +459,50 @@ class SimilaritySpec extends SparkSpec {
     assert(summary.toSeq == Seq((0, 4L), (1, 0L), (2, 0L)),
       "ties must break to the smallest cell; empty cells must still report")
   }
+
+  test("farthestInit seeds every region the stride init misses: converged " +
+       "WCSS on a skewed corpus is at least as good, runs deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // skew trap for the first-ids stride sample: ids 0..4095 are ALL in
+    // one tight blob (the stride init's whole sample), three far-away
+    // micro-clusters live only at high ids — stride starts every centroid
+    // inside the blob, farthest-point must reach all four regions
+    def blobVec(i: Long) = Seq.tabulate(8)(d => (d + 1.0) / 10 + (i % 7) * 1e-4)
+    def farVec(c: Int) = Seq.tabulate(8)(d => if (d == c) 100.0 + c else 0.0)
+    val corpus = ((0L until 4200L).map(i => (i, blobVec(i))) ++
+      (0 until 3).flatMap(c => (0 until 20).map(j =>
+        (5000L + c * 100 + j, farVec(c)))))
+      .toDF("vec_id", "embedding")
+    def wcss(cents: Seq[Seq[Double]]): Double = {
+      val vecs = corpus.select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      vecs.map { v =>
+        cents.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+          .min
+      }.sum
+    }
+    val ff = Similarity.farthestInit(corpus, k = 4, dim = 8)
+    // one centroid per region before any refinement: the 3 far clusters
+    // and the blob each get a seed
+    val regions = ff.map { c =>
+      val hot = c.zipWithIndex.filter(_._1 > 50.0).map(_._2)
+      if (hot.isEmpty) -1 else hot.head
+    }
+    assert(regions.toSet == Set(-1, 0, 1, 2),
+      s"farthest seeding must cover all four regions, got $regions")
+    val ffRefined = Similarity.distributedKMeans(corpus, k = 4, iters = 3,
+      dim = 8, init = Some(ff))
+    val strideRefined = Similarity.distributedKMeans(corpus, k = 4,
+      iters = 3, dim = 8)
+    assert(wcss(ffRefined) <= wcss(strideRefined),
+      s"farthest-init WCSS ${wcss(ffRefined)} must not lose to stride " +
+        s"${wcss(strideRefined)}")
+    // and on THIS corpus it must be strictly better: stride cannot see
+    // the far clusters at all
+    assert(wcss(ffRefined) < wcss(strideRefined) * 0.5,
+      "stride init should be stuck in the blob; farthest must escape")
+    // deterministic end to end
+    assert(Similarity.farthestInit(corpus, k = 4, dim = 8) == ff)
+  }
 }
