@@ -122,9 +122,57 @@ object StreamingReport {
       Sketches.hllMerge(partials, Seq("source")), b, Seq("source"))
   }
 
+  /** Per-batch count-min counter partials for streaming heavy-hitter
+    * tracking — the frequency companion to the profile/HLL partials,
+    * same batch-keyed partition-overwrite discipline. Counter merge is
+    * SUM: associative but NOT idempotent, so replay safety here rests
+    * entirely on a redelivered batch rewriting its OWN partition (and on
+    * the compactor's `_folded_up_to` filter, which keeps a resurrected
+    * folded partition out of every read). The sketch shape is persisted
+    * (`_d`/`_w` markers) and mismatched writers throw, like the HLL `_b`.
+    */
+  def processBatchFreq(batch: DataFrame, stateDir: String, batchId: Long,
+                       textCol: String = "text", d: Int = 4,
+                       w: Int = 1024): Unit = {
+    val dir = new Path(s"$stateDir/cm")
+    val fs = dir.getFileSystem(batch.sparkSession.sparkContext
+      .hadoopConfiguration)
+    (readMarker(fs, new Path(dir, "_d")),
+        readMarker(fs, new Path(dir, "_w"))) match {
+      case (Some(pd), Some(pw)) =>
+        require(pd == d && pw == w,
+          s"CM state at $dir was written with d=$pd w=$pw; refusing d=$d w=$w")
+      case _ =>
+        fs.mkdirs(dir)
+        writeMarker(fs, new Path(dir, "_d"), d.toLong)
+        writeMarker(fs, new Path(dir, "_w"), w.toLong)
+    }
+    Sketches.cmCounters(
+        batch.select(explode(TextFunctions.tokens(col(textCol))).as("tok")),
+        "tok", d, w)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/cm/batch=$batchId")
+  }
+
+  /** Count-min estimates for `probes` over everything streamed so far —
+    * counters merge by exact integer SUM, so the streamed estimate equals
+    * the batch sketch over the union exactly. Shape comes from the
+    * persisted `_d`/`_w` markers.
+    */
+  def freqReport(spark: SparkSession, stateDir: String, probes: DataFrame,
+                 probeCol: String): DataFrame = {
+    val dir = new Path(s"$stateDir/cm")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = readMarker(fs, new Path(dir, "_d")).map(_.toInt).getOrElse(4)
+    val w = readMarker(fs, new Path(dir, "_w")).map(_.toInt).getOrElse(1024)
+    val partials = readState(spark, s"$stateDir/cm", s"$stateDir/cm_base",
+      emptyFrame(spark, "j INT, bucket INT, cnt BIGINT"))
+    Sketches.cmEstimate(partials, probes, probeCol, d, w)
+  }
+
   /** Fold every batch partition except the most recent `keepBatches` into
-    * the base directory, for both the profile and (if present) the HLL
-    * family. Safe to run on any cadence, concurrent with the stream's
+    * the base directory, for each sketch family present (profile, HLL,
+    * count-min). Safe to run on any cadence, concurrent with the stream's
     * sink between triggers; see the class doc for the crash protocol.
     */
   def compact(spark: SparkSession, stateDir: String,
@@ -138,22 +186,28 @@ object StreamingReport {
           sum(col("sum_q")).as("sum_q")))
     compactFamily(spark, s"$stateDir/hll", s"$stateDir/hll_base",
       keepBatches, merged => Sketches.hllMerge(merged, Seq("source")))
+    compactFamily(spark, s"$stateDir/cm", s"$stateDir/cm_base",
+      keepBatches, merged => Sketches.cmMerge(merged))
   }
 
   /** Attach the profiling sink to a streaming document DataFrame; with
-    * `trackDistinct` the HLL partials land in the same foreachBatch.
+    * `trackDistinct` the HLL partials and with `trackFreq` the count-min
+    * partials land in the same foreachBatch.
     */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
-           pollSeconds: Int = 30,
-           trackDistinct: Boolean = false): StreamingQuery =
+           pollSeconds: Int = 30, trackDistinct: Boolean = false,
+           trackFreq: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // two actions read the batch → pin one snapshot for both
-        val pinned = if (trackDistinct) batch.localCheckpoint(true) else batch
+        // multiple actions read the batch → pin one snapshot for all
+        val pinned =
+          if (trackDistinct || trackFreq) batch.localCheckpoint(true)
+          else batch
         processBatch(pinned, stateDir, batchId)
         if (trackDistinct) processBatchDistinct(pinned, stateDir, batchId)
+        if (trackFreq) processBatchFreq(pinned, stateDir, batchId)
         ()
       }
       .start()

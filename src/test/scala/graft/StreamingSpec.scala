@@ -819,13 +819,29 @@ class StreamingSpec extends SparkSpec {
     for (i <- 0L until 6L) {
       StreamingReport.processBatch(slice(i), stDir, i)
       StreamingReport.processBatchDistinct(slice(i), stDir, i, b = 7)
+      StreamingReport.processBatchFreq(slice(i), stDir, i, d = 4, w = 256)
     }
     def rep() = StreamingReport.report(spark, stDir)
       .orderBy("source").collect().map(_.toSeq).toSeq
     def drep() = StreamingReport.distinctReport(spark, stDir)
       .orderBy("source").collect().map(_.toSeq).toSeq
+    def toksOf(hi: Long) = docs.filter(col("doc_id") < hi)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    val allProbes = toksOf(400).distinct()
+    def frep() = StreamingReport.freqReport(spark, stDir, allProbes, "tok")
+      .orderBy("tok").collect().map(_.toSeq).toSeq
     val before = rep()
     val dBefore = drep()
+
+    // streamed CM estimates == the batch sketch over the union, exactly
+    // (integer sums), including zero-count probes from the wider probe set
+    val fBefore = frep()
+    assert(fBefore == graft.operators.Sketches.cmEstimate(
+        graft.operators.Sketches.cmCounters(toksOf(300), "tok", 4, 256),
+        allProbes, "tok", 4, 256)
+      .orderBy("tok").collect().map(_.toSeq).toSeq,
+      "streamed count-min diverged from the batch sketch")
 
     // distinctReport must use the PERSISTED b=7, not its old default of 9
     val batchToks = docs.filter(col("doc_id") < 300)
@@ -848,9 +864,11 @@ class StreamingSpec extends SparkSpec {
     assert(liveBatches("partials") == Seq(4L, 5L),
       "only the keepBatches most recent partials may stay unfolded")
     assert(liveBatches("hll") == Seq(4L, 5L))
+    assert(liveBatches("cm") == Seq(4L, 5L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stDir/partials_base")))
     assert(rep() == before, "compaction changed the profile report")
     assert(drep() == dBefore, "compaction changed the distinct report")
+    assert(frep() == fBefore, "compaction changed the count-min report")
 
     // a replay of a recent (unfolded) batch id still overwrites in place
     StreamingReport.processBatch(slice(5), stDir, 5)
@@ -862,7 +880,10 @@ class StreamingSpec extends SparkSpec {
     assert(rep() == before, "folded leftover directory double-counted")
 
     // more batches, second compaction folds ONLY the (folded, cutoff] range
-    for (i <- 6L until 8L) StreamingReport.processBatch(slice(i), stDir, i)
+    for (i <- 6L until 8L) {
+      StreamingReport.processBatch(slice(i), stDir, i)
+      StreamingReport.processBatchFreq(slice(i), stDir, i, d = 4, w = 256)
+    }
     StreamingReport.compact(spark, stDir, keepBatches = 2)
     val after2 = rep()
     val expect2 = graft.operators.Quality.corpusReport(
@@ -889,5 +910,15 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingReport.processBatchDistinct(slice(0), stDir, 99L, b = 9)
     }
+    // and the CM shape likewise
+    intercept[IllegalArgumentException] {
+      StreamingReport.processBatchFreq(slice(0), stDir, 99L, d = 4, w = 512)
+    }
+    // the compacted CM state still answers exactly: union of batches 0..7
+    assert(frep() == graft.operators.Sketches.cmEstimate(
+        graft.operators.Sketches.cmCounters(toksOf(400), "tok", 4, 256),
+        allProbes, "tok", 4, 256)
+      .orderBy("tok").collect().map(_.toSeq).toSeq,
+      "compacted count-min state diverged from the batch sketch over 0..400")
   }
 }
