@@ -149,6 +149,25 @@ object Retrieval {
         "stats" -> statsOf(docs, textCol, idCol)),
       Map("kind" -> "bm25-index", "tokenizer" -> "lower-word-runs"))
 
+  /** [[buildIndex]] unless a valid index already sits at `dir` (same
+    * manifest) — the reopen-not-recompute idiom of `AnnIndex.ensure` /
+    * `Classifier.ensure`. Returns true when a (re)build happened. The
+    * manifest pins the REQUEST (kind, tokenizer), not the corpus content:
+    * fingerprinting the data would cost the corpus pass the reuse exists
+    * to avoid, so callers whose corpus can change must key `dir` by a
+    * data stamp (the registry queries use the parquet mtime).
+    */
+  def ensureIndex(docs: DataFrame, dir: String, textCol: String = "text",
+                  idCol: String = "doc_id"): Boolean = {
+    val params = Map("kind" -> "bm25-index", "tokenizer" -> "lower-word-runs")
+    if (Bundle.isValid(dir, params)) false
+    else {
+      Bundle.deleteRecursively(dir)
+      buildIndex(docs, dir, textCol, idCol)
+      true
+    }
+  }
+
   /** Serve BM25 from a persisted index — identical scoring core, so the
     * results are bit-equal to [[bm25TopK]] on the same corpus.
     */

@@ -177,6 +177,135 @@ object Similarity {
     cents
   }
 
+  /** k-means||-style oversampled seeding for LARGE k (Bahmani et al.
+    * 2012's shape, made deterministic): where [[farthestInit]] costs k−1
+    * corpus passes — fine for the k ≤ tens IVF regime, prohibitive for
+    * k in the hundreds — this admits the `l = ceil(2k/rounds)` highest-
+    * cost points PER ROUND for a fixed `rounds` passes, then reduces the
+    * bounded candidate set (≤ 1 + rounds·l vectors) to k centroids with
+    * driver-side weighted Lloyd, the weights being one assignment-count
+    * pass over the corpus (exactly k-means||'s final recluster step).
+    * Total corpus passes: rounds + 1, independent of k.
+    *
+    * Deterministic end to end: hash-ordered seed, (round-6 cost DESC, id)
+    * admissions, candidates kept in admission order, stride init for the
+    * driver-side recluster — two runs produce identical centroids. The
+    * driver never holds more than the candidate set (bounded by
+    * construction).
+    */
+  def oversampleInit(corpus: DataFrame, k: Int, dim: Int, rounds: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     reclusterIters: Int = 10): Seq[Seq[Double]] = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    val l = math.max(1, math.ceil(2.0 * k / rounds).toInt)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+    val seed = corpus
+      .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol),
+        graft.functions.TextFunctions.md5Hash60(col(idCol).cast("string"))
+          .as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(1).select(col("_v")).collect()
+    require(seed.nonEmpty, "empty corpus")
+    var cands = Vector(vecOf(seed(0)))
+    for (_ <- 0 until rounds) {
+      val dists = cands.map(c =>
+        round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
+      val cost = if (dists.length == 1) dists.head else least(dists: _*)
+      val next = corpus
+        .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol))
+        .withColumn("_cost", cost)
+        .orderBy(col("_cost").desc, col(idCol))
+        .limit(l).select(col("_v")).collect()
+      cands = cands ++ next.map(vecOf)
+    }
+    // weight candidates by how much corpus they attract (one pass,
+    // k-means||'s recluster weights), then reduce driver-side
+    val weights = corpus
+      .select(nearestCellStable(col(vecCol), cands).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+    weightedLloyd(
+      cands.map(_.toArray).toArray,
+      cands.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray,
+      k, reclusterIters).map(_.toSeq).toSeq
+  }
+
+  /** Weighted Lloyd over a driver-resident candidate set — the
+    * k-means|| recluster. Init is deterministic GREEDY weighted
+    * k-means++: start at the heaviest candidate, then repeatedly admit
+    * the candidate maximizing weight × squared distance to its nearest
+    * chosen centroid (ties → lowest index) — a stride init here would let
+    * two seeds land on one dense region and silently drop a low-mass far
+    * cluster. Zero-weight candidates can seed but never pull a mean;
+    * empty cells keep their previous centroid. Pure deterministic driver
+    * math over ≤ candidate-count points.
+    */
+  private def weightedLloyd(pts: Array[Array[Double]], w: Array[Double],
+                            kCells: Int, iters: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    val k = math.min(kCells, pts.length)
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+    chosen += w.indices.maxBy(i => (w(i), -i))
+    val minD = pts.map(p => sqDist(p, pts(chosen.head)))
+    while (chosen.size < k) {
+      var best = -1; var bestScore = -1.0
+      var p = 0
+      while (p < pts.length) {
+        if (!chosen.contains(p)) {
+          val s = w(p) * minD(p)
+          if (s > bestScore) { bestScore = s; best = p }
+        }
+        p += 1
+      }
+      // all remaining scores 0 (duplicates / zero weight): keep k seeds
+      // by admitting the lowest unchosen index
+      if (bestScore <= 0.0) best = pts.indices.find(!chosen.contains(_)).get
+      chosen += best
+      var q = 0
+      while (q < pts.length) {
+        val d = sqDist(pts(q), pts(best))
+        if (d < minD(q)) minD(q) = d
+        q += 1
+      }
+    }
+    var centroids = chosen.map(i => pts(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val ws = new Array[Double](k)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i) * w(p); i += 1 }
+        ws(best) += w(p)
+        p += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (ws(c) == 0.0) old
+        else sums(c).map(_ / ws(c))
+      }
+    }
+    centroids
+  }
+
   /** FULL-corpus Lloyd refinement — the scale path when the bounded
     * training sample is not representative enough (long-tail clusters the
     * first 4096 ids never see). Per iteration: ONE broadcast-argmin

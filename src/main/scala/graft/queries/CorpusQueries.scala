@@ -24,6 +24,18 @@ object CorpusQueries {
 
   private val padded = "' ' || lower(text) || ' '"
 
+  /** Temp-dir suffix for persisted-state queries (q97/q105/q106): the sf
+    * dir plus each source table's parquet mtime. The ensure idioms pin
+    * REQUEST parameters, not corpus content — keying the directory by the
+    * data's timestamp makes a regenerated testdata set (same path, new
+    * bytes — it happens between driver rounds) land in a fresh directory
+    * instead of silently serving state trained on the old corpus.
+    */
+  private def dataStamp(dir: String, tables: String*): String =
+    (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
+      (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
+      .mkString("_")
+
   private def stopHitsSql: String =
     TextFunctions.EnStopwords.map(w => occSql("p", w)).mkString(" + ")
 
@@ -2179,16 +2191,17 @@ object CorpusQueries {
         |       md5(array_to_string(c, ' ')) AS h_chunk
         |FROM sl ORDER BY doc_id, chunk_id""".stripMargin)),
 
-    // BM25 served from a PERSISTED inverted index (Retrieval.buildIndex +
-    // bm25ServeTopK): the q85-vs-q79 pairing applied to lexical search —
+    // BM25 served from a PERSISTED inverted index (Retrieval.ensureIndex
+    // + bm25ServeTopK): the q85-vs-q79 pairing applied to lexical search —
     // the oracle is exactly q86's, so any drift between the saved-index
     // serve path and the live path (postings grouped differently, stats
-    // re-derived, df miscounted) breaks the hash.
+    // re-derived, df miscounted) breaks the hash. `ensure` reuses a valid
+    // on-disk index (data-stamped dir), so repeat runs measure SERVING.
     QueryDef("q97_bm25_index_served",
       (s, dir) => {
         val ixDir = System.getProperty("java.io.tmpdir") +
-          "/graft_bm25ix_q97_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        Retrieval.buildIndex(table(s, dir, "documents"), ixDir)
+          "/graft_bm25ix_q97_" + dataStamp(dir, "documents")
+        Retrieval.ensureIndex(table(s, dir, "documents"), ixDir)
         Retrieval.bm25ServeTopK(s, ixDir,
             Seq(0 -> "spark shuffle hash join", 1 -> "customer order query",
               2 -> "vector window scan"), k = 10)
@@ -2502,7 +2515,7 @@ object CorpusQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val mDir = System.getProperty("java.io.tmpdir") +
-          "/graft_nbmodel_q106_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+          "/graft_nbmodel_q106_" + dataStamp(dir, "documents")
         val (model, _) = Classifier.ensure(docs.filter(col("doc_id") % 5 < 4),
           mDir, positive = col("lang") === "en", nBuckets = 4096,
           labelTag = "lang=en")
@@ -2525,13 +2538,12 @@ object CorpusQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val emb = table(s, dir, "embeddings")
-        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
         val bmDir = System.getProperty("java.io.tmpdir") +
-          s"/graft_bm25ix_q105_$sfx"
+          "/graft_bm25ix_q105_" + dataStamp(dir, "documents")
         val annDir = System.getProperty("java.io.tmpdir") +
-          s"/graft_annix_q105_$sfx"
-        Retrieval.buildIndex(docs, bmDir)
-        AnnIndex.build(emb, annDir,
+          "/graft_annix_q105_" + dataStamp(dir, "embeddings")
+        Retrieval.ensureIndex(docs, bmDir)
+        AnnIndex.ensure(emb, annDir,
           AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 16, iters = 0,
             sampleN = 4096))
         val tq = s.createDataFrame(

@@ -66,6 +66,17 @@ class RetrievalSpec extends SparkSpec {
     val more = key(Retrieval.bm25ServeTopK(spark, dir,
       Seq(7 -> "quick fox"), k = 5))
     assert(more.nonEmpty && more.keySet.forall(_._1 == 7))
+
+    // ensureIndex: reuses the valid on-disk index (serving unchanged),
+    // rebuilds a fresh directory
+    assert(!Retrieval.ensureIndex(docs, dir),
+      "ensureIndex must reuse a valid index")
+    assert(key(Retrieval.bm25ServeTopK(spark, dir, qs, k = 10)) == live)
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25ix2").toString +
+      "/ix"
+    assert(Retrieval.ensureIndex(docs, dir2),
+      "ensureIndex must build into an empty directory")
+    assert(key(Retrieval.bm25ServeTopK(spark, dir2, qs, k = 10)) == live)
   }
 
   // --------------------------------------------------- CCNet perplexity

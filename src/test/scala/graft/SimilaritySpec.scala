@@ -504,5 +504,25 @@ class SimilaritySpec extends SparkSpec {
       "stride init should be stuck in the blob; farthest must escape")
     // deterministic end to end
     assert(Similarity.farthestInit(corpus, k = 4, dim = 8) == ff)
+
+    // the large-k shape: 3 rounds of top-3 admissions + one weighting
+    // pass instead of k−1 passes — each round's admissions all land in
+    // the current farthest cluster (identical costs, id tie-break), so 3
+    // rounds reach all three far regions; the greedy weighted recluster
+    // must then keep one seed per region instead of collapsing onto mass
+    val os = Similarity.oversampleInit(corpus, k = 4, dim = 8, rounds = 3)
+    assert(os.length == 4)
+    val osRegions = os.map { c =>
+      val hot = c.zipWithIndex.filter(_._1 > 25.0).map(_._2)
+      if (hot.isEmpty) -1 else hot.head
+    }
+    assert(osRegions.toSet == Set(-1, 0, 1, 2),
+      s"oversampled seeding must cover all four regions, got $osRegions")
+    val osRefined = Similarity.distributedKMeans(corpus, k = 4, iters = 3,
+      dim = 8, init = Some(os))
+    assert(wcss(osRefined) < wcss(strideRefined) * 0.5,
+      "oversampled init must escape the blob like farthest-point does")
+    assert(Similarity.oversampleInit(corpus, k = 4, dim = 8, rounds = 3)
+      == os, "oversampleInit must be deterministic")
   }
 }
