@@ -2646,7 +2646,62 @@ object CorpusQueries {
           dim = 64, init = Some(init))
         Similarity.kmeansSummary(emb, cents).orderBy("cell")
       },
-      Some(kmeansFarthestOracleSql))
+      Some(kmeansFarthestOracleSql)),
+
+    // Sparse-or-dense estimates end to end (Sketches.hllSparseEstimate
+    // over q107's state): sparse groups answer their EXACT distinct count
+    // (an integer — the sparse mode's whole point), dense groups go
+    // through the same fully-replayed estimator q108 pins. Every output
+    // row of the mixed-representation table hash-matches DuckDB.
+    QueryDef("q110_hll_sparse_estimates",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("source"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Sketches.hllSparseEstimate(
+            Sketches.hllSparseState(toks, "tok", b = 7, threshold = 30,
+              groupCols = Seq("source", "lang")),
+            7, Seq("source", "lang"))
+          .select(col("source"), col("lang"),
+            round(col("est_distinct"), 6).as("est_distinct"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source, lang,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |cnt AS (SELECT source, lang, count(*) AS n FROM h GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT source, lang, round(n::DOUBLE, 6) AS est_distinct
+        |  FROM cnt WHERE n <= 30),
+        |hreg AS (
+        |  SELECT h.source, h.lang, (h.h % 128)::INT AS bucket,
+        |    max(CASE WHEN h.h // 128 = 0 THEN 54
+        |             ELSE 54 - len(bin(h.h // 128)) END)::INT AS max_rho
+        |  FROM h JOIN cnt USING (source, lang) WHERE cnt.n > 30
+        |  GROUP BY 1, 2, 3),
+        |hz AS (
+        |  SELECT source, lang,
+        |    sum(((1::BIGINT) << (54 - max_rho))::DECIMAL(38,0)) AS zs,
+        |    count(*)::BIGINT AS nb
+        |  FROM hreg GROUP BY 1, 2),
+        |dn AS (
+        |  SELECT source, lang,
+        |    CASE WHEN e <= 2.5 * 128 AND zeros > 0
+        |         THEN round(128 * ln(128.0 / zeros), 6)
+        |         ELSE round(e, 6) END AS est_distinct
+        |  FROM (SELECT source, lang,
+        |          0.7213 / (1 + 1.079 / 128.0) * 128 * 128 * 18014398509481984.0
+        |            / ((zs + (128 - nb)::DECIMAL(38,0) * 18014398509481984)::DOUBLE)
+        |            AS e,
+        |          128 - nb AS zeros
+        |        FROM hz))
+        |SELECT * FROM (SELECT * FROM sp UNION ALL SELECT * FROM dn)
+        |ORDER BY source, lang""".stripMargin))
   )
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the
