@@ -22,7 +22,10 @@ object Verify {
     val selected =
       if (filters.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => filters.exists(n.contains) }
-    selected.foreach { case (name, fn) =>
+    // sorted: a Map's iteration order reshuffles whenever a query is
+    // added, which turns any cross-query session interaction into a
+    // round-over-round heisenbug; fixed order keeps runs comparable
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -269,4 +269,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"),
       "q105 re-derived corpus state the persisted indexes already hold")
   }
+
+  test("sketch family plans: bounded sides broadcast, partial aggregation " +
+       "before every shuffle (q102-q110)") {
+    // the sparse/dense decision (q107/q110) rides a BROADCAST of the
+    // group-grain count table — a shuffle join here would re-shuffle the
+    // (group, hash) table by group and put a hot group on one task
+    for (q <- Seq("q107_hll_sparse_state", "q110_hll_sparse_estimates")) {
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: the group-count decision join must broadcast")
+      assert(!plans(q).contains("SortMergeJoin"),
+        s"$q: a sort-merge join appeared in a bounded-side plan")
+    }
+    // q108's dashboard joins: hot-token set (<= vocab) and per-source
+    // sketch rows broadcast onto the report grain; register/counter
+    // builds partial-aggregate before their shuffles
+    assert(plans("q108_sketch_dashboard").contains("BroadcastHashJoin"),
+      "q108: sketch columns must broadcast onto the report grain")
+    for (q <- Seq("q102_hll_registers", "q103_cm_heavy_hitters",
+        "q108_sketch_dashboard")) {
+      assert("HashAggregate".r.findAllIn(plans(q)).size >= 2,
+        s"$q lost map-side partial aggregation")
+    }
+    // q109: the init admissions and the summary are TakeOrdered / bounded
+    // aggregations — no window at all, no cartesian beyond the broadcast
+    // centroid compare
+    assert(!plans("q109_kmeans_farthest_init").contains("WindowExec"),
+      "q109 must not rank through a window")
+  }
+
+  test("q111 bucketed co-located join: sort-merge join with NO shuffle " +
+       "under it") {
+    val smj = planned("q111_bucketed_colocated_join").collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "q111 must plan a sort-merge join")
+    val shuffles = smj.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shuffles.isEmpty,
+      "bucketed join inputs re-shuffled — storage co-location was lost")
+  }
 }
