@@ -264,6 +264,110 @@ object Sketches {
     sparse.unionByName(dense)
   }
 
+  // ------------------------------------------------- moments (quantiles)
+
+  /** Moments-sketch quantile state (the msketch of Gan et al., VLDB 2018,
+    * in this file's replay discipline): per group, the power sums
+    * Σx..Σx⁴ plus count/min/max — a CONSTANT 7 numbers per group, merged
+    * by plain addition (min/max by min/max), the cheapest mergeable
+    * quantile state there is. Each power term is computed on the round-6
+    * value with the same left-associated multiplication order in both
+    * engines, rounded to 6, and DECIMAL-summed — so the STATE is exact,
+    * partition-order-independent, and oracle-able (q112), while the
+    * float quantile ESTIMATOR ([[momentsQuantiles]], Cornish-Fisher)
+    * stays engine-side, spec-tested against exact percentiles.
+    *
+    * This completes the sketch triad: cardinality ([[hllRegisters]]),
+    * frequency ([[cmCounters]]), quantiles (here) — the three dashboard
+    * numbers a corpus profile pays a full shuffle for without sketches.
+    */
+  def momentsState(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val x = round(col(valueCol), 6)
+    def term(c: Column) = round(c, 6).cast("decimal(28,6)")
+    df.select((groupCols.map(col) :+ x.as("_x")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(term(col("_x"))).as("s1"),
+        sum(term(col("_x") * col("_x"))).as("s2"),
+        sum(term(col("_x") * col("_x") * col("_x"))).as("s3"),
+        sum(term(col("_x") * col("_x") * col("_x") * col("_x"))).as("s4"),
+        min(col("_x")).as("lo"), max(col("_x")).as("hi"))
+  }
+
+  /** Merge moments partials: sums add, count adds, bounds min/max —
+    * associative (NOT idempotent: like count-min, replay safety must
+    * come from the caller's batch-keyed overwrite discipline).
+    */
+  def momentsMerge(partials: DataFrame,
+                   groupCols: Seq[String] = Nil): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
+        sum(col("s4")).as("s4"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+
+  /** Quantile estimates from moments state via the Cornish-Fisher
+    * expansion (mean/std/skewness correction, clamped to [lo, hi]) — one
+    * row per group and requested quantile. Engine-side float math; for a
+    * normal distribution the expansion is exact through the skew term,
+    * and the spec pins accuracy against exact percentiles.
+    */
+  def momentsQuantiles(state: DataFrame, qs: Seq[Double],
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mean * mean
+    val sd = sqrt(greatest(m2, lit(0.0)))
+    // central third moment from raw power sums
+    val m3 = col("s3").cast("double") / n - lit(3.0) * mean * m2 -
+      mean * mean * mean
+    val skew = when(sd > 0, m3 / (sd * sd * sd)).otherwise(lit(0.0))
+    val rows = qs.map { q =>
+      require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+      // standard normal quantile (Acklam's rational approximation is
+      // overkill here — the driver computes it once per requested q)
+      val z = normalQuantile(q)
+      val cf = lit(z) + (lit(z * z - 1.0) / 6.0) * skew
+      struct(lit(q).as("q"),
+        least(greatest(mean + sd * cf, col("lo")), col("hi")).as("est"))
+    }
+    state.select((g :+ explode(array(rows: _*)).as("_qe")): _*)
+      .select((g :+ col("_qe.q").as("q") :+ col("_qe.est").as("est")): _*)
+  }
+
+  /** Inverse standard-normal CDF (Peter Acklam's rational approximation,
+    * |relative error| < 1.15e-9 — published constants).
+    */
+  private def normalQuantile(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
   // ------------------------------------------------------------- count-min
 
   /** Count-min counter table over `valueCol`: d independent hash rows × w

@@ -2755,7 +2755,46 @@ object CorpusQueries {
         |    e.embedding::DOUBLE[])), 6)::DECIMAL(28,6))::DOUBLE, 6)
         |    AS sum_norm
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // Moments-sketch quantile state (Sketches.momentsState, the msketch
+    // of Gan et al. 2018): per-source power sums over the quality score —
+    // SEVEN numbers per group replace the full per-group sort a quantile
+    // dashboard would otherwise shuffle for. Every power term is round-6
+    // + DECIMAL-summed with the same multiplication order both engines
+    // use, so the state hash-matches exactly; the Cornish-Fisher
+    // estimator stays spec-side (SketchesSpec pins it against exact
+    // percentiles). Completes the sketch triad: cardinality (q102),
+    // frequency (q103), quantiles (q112).
+    QueryDef("q112_moments_quantile_state",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sketches.momentsState(
+            docs.select(col("source"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+            "q", Seq("source"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT source,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS x
+        |  FROM d)
+        |SELECT source, count(*)::BIGINT AS n,
+        |  sum(round(x, 6)::DECIMAL(28,6)) AS s1,
+        |  sum(round(x * x, 6)::DECIMAL(28,6)) AS s2,
+        |  sum(round(x * x * x, 6)::DECIMAL(28,6)) AS s3,
+        |  sum(round(x * x * x * x, 6)::DECIMAL(28,6)) AS s4,
+        |  min(x) AS lo, max(x) AS hi
+        |FROM qd GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the

@@ -170,10 +170,41 @@ object StreamingReport {
     Sketches.cmEstimate(partials, probes, probeCol, d, w)
   }
 
+  /** Per-batch moments-sketch partials (power sums of the quality score,
+    * per source) — the quantile companion: seven DECIMAL-exact numbers
+    * per (source, batch), merged by addition (batch-keyed overwrite for
+    * replay safety, like the count-min family).
+    */
+  def processBatchMoments(batch: DataFrame, stateDir: String, batchId: Long,
+                          sourceCol: String = "source",
+                          textCol: String = "text"): Unit =
+    Sketches.momentsState(
+        batch.select(col(sourceCol).as("source"),
+          round(TextFunctions.qualityScore(col(textCol)), 6).as("q")),
+        "q", Seq("source"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/moments/batch=$batchId")
+
+  /** Per-source quality-quantile estimates over everything streamed so
+    * far — the moments state merges exactly (DECIMAL sums), so the
+    * streamed estimate equals the batch-built sketch over the union.
+    */
+  def quantileReport(spark: SparkSession, stateDir: String,
+                     qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val partials = readState(spark, s"$stateDir/moments",
+      s"$stateDir/moments_base",
+      emptyFrame(spark, "source STRING, n BIGINT, s1 DECIMAL(38,6), " +
+        "s2 DECIMAL(38,6), s3 DECIMAL(38,6), s4 DECIMAL(38,6), " +
+        "lo DOUBLE, hi DOUBLE"))
+    Sketches.momentsQuantiles(
+      Sketches.momentsMerge(partials, Seq("source")), qs, Seq("source"))
+  }
+
   /** Fold every batch partition except the most recent `keepBatches` into
     * the base directory, for each sketch family present (profile, HLL,
-    * count-min). Safe to run on any cadence, concurrent with the stream's
-    * sink between triggers; see the class doc for the crash protocol.
+    * count-min, moments). Safe to run on any cadence, concurrent with the
+    * stream's sink between triggers; see the class doc for the crash
+    * protocol.
     */
   def compact(spark: SparkSession, stateDir: String,
               keepBatches: Int = 2): Unit = {
@@ -188,6 +219,8 @@ object StreamingReport {
       keepBatches, merged => Sketches.hllMerge(merged, Seq("source")))
     compactFamily(spark, s"$stateDir/cm", s"$stateDir/cm_base",
       keepBatches, merged => Sketches.cmMerge(merged))
+    compactFamily(spark, s"$stateDir/moments", s"$stateDir/moments_base",
+      keepBatches, merged => Sketches.momentsMerge(merged, Seq("source")))
   }
 
   /** Attach the profiling sink to a streaming document DataFrame; with

@@ -820,6 +820,7 @@ class StreamingSpec extends SparkSpec {
       StreamingReport.processBatch(slice(i), stDir, i)
       StreamingReport.processBatchDistinct(slice(i), stDir, i, b = 7)
       StreamingReport.processBatchFreq(slice(i), stDir, i, d = 4, w = 256)
+      StreamingReport.processBatchMoments(slice(i), stDir, i)
     }
     def rep() = StreamingReport.report(spark, stDir)
       .orderBy("source").collect().map(_.toSeq).toSeq
@@ -833,6 +834,20 @@ class StreamingSpec extends SparkSpec {
       .orderBy("tok").collect().map(_.toSeq).toSeq
     val before = rep()
     val dBefore = drep()
+
+    def qrep() = StreamingReport.quantileReport(spark, stDir)
+      .orderBy("source", "q").collect().map(_.toSeq).toSeq
+    val qBefore = qrep()
+    // streamed quantile estimates == the batch-built moments sketch
+    assert(qBefore == graft.operators.Sketches.momentsQuantiles(
+        graft.operators.Sketches.momentsState(
+          docs.filter(col("doc_id") < 300).select(col("source"),
+            round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+              .as("q")),
+          "q", Seq("source")),
+        Seq(0.5, 0.9), Seq("source"))
+      .orderBy("source", "q").collect().map(_.toSeq).toSeq,
+      "streamed quantile report diverged from the batch moments sketch")
 
     // streamed CM estimates == the batch sketch over the union, exactly
     // (integer sums), including zero-count probes from the wider probe set
@@ -866,9 +881,11 @@ class StreamingSpec extends SparkSpec {
     assert(liveBatches("hll") == Seq(4L, 5L))
     assert(liveBatches("cm") == Seq(4L, 5L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stDir/partials_base")))
+    assert(liveBatches("moments") == Seq(4L, 5L))
     assert(rep() == before, "compaction changed the profile report")
     assert(drep() == dBefore, "compaction changed the distinct report")
     assert(frep() == fBefore, "compaction changed the count-min report")
+    assert(qrep() == qBefore, "compaction changed the quantile report")
 
     // a replay of a recent (unfolded) batch id still overwrites in place
     StreamingReport.processBatch(slice(5), stDir, 5)
