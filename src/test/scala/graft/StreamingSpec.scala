@@ -763,7 +763,7 @@ class StreamingSpec extends SparkSpec {
 
     val q = StreamingReport.sink(
       spark.readStream.schema(docs.schema).parquet(inDir), stDir, ckDir,
-      pollSeconds = 1, trackDistinct = true)
+      pollSeconds = 1, trackDistinct = true, trackFreq = true)
     try {
       for (lo <- Seq(0L, 150L, 300L)) { // three arrival waves
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 150)
@@ -795,6 +795,20 @@ class StreamingSpec extends SparkSpec {
           Seq("source")), 9, Seq("source")))
     assert(streamedDistinct == batchDistinct,
       "streamed HLL estimate diverged from the batch sketch over the union")
+
+    // the sink's trackFreq leg: count-min estimates over the stream ==
+    // the batch sketch over the union (exact integer sums)
+    val unionToks = docs.filter(col("doc_id") < 450)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    val probeToks = unionToks.distinct()
+    assert(StreamingReport.freqReport(spark, stDir, probeToks, "tok")
+        .orderBy("tok").collect().map(_.toSeq).toSeq ==
+      graft.operators.Sketches.cmEstimate(
+          graft.operators.Sketches.cmCounters(unionToks, "tok", 4, 1024),
+          probeToks, "tok", 4, 1024)
+        .orderBy("tok").collect().map(_.toSeq).toSeq,
+      "sink-fed count-min diverged from the batch sketch over the union")
 
     // at-least-once replay: reprocessing a delivered batch id rewrites its
     // own partition — neither report may change
