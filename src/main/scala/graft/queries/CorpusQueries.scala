@@ -2777,25 +2777,96 @@ object CorpusQueries {
       },
       Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
         |            FROM documents),
-        |qd AS (
-        |  SELECT source,
-        |    round((
-        |      least(len(text) / 500.0, 1.0)
-        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
-        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
-        |      + least((($stopHitsSql)
-        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
-        |              1.0)
-        |    ) / 3.0, 6) AS x
-        |  FROM d)
-        |SELECT source, count(*)::BIGINT AS n,
-        |  sum(round(x, 6)::DECIMAL(28,6)) AS s1,
-        |  sum(round(x * x, 6)::DECIMAL(28,6)) AS s2,
-        |  sum(round(x * x * x, 6)::DECIMAL(28,6)) AS s3,
-        |  sum(round(x * x * x * x, 6)::DECIMAL(28,6)) AS s4,
-        |  min(x) AS lo, max(x) AS hi
-        |FROM qd GROUP BY source ORDER BY source""".stripMargin))
+        |$momentsStateOracleBody
+        |SELECT source, n, s1, s2, s3, s4, lo, hi
+        |FROM st ORDER BY source""".stripMargin)),
+
+    // The Cornish-Fisher estimator itself, cross-engine (the last float
+    // estimator in the engine without an oracle): per-source p50/p90
+    // quality quantiles from the q112 moments state. Every arithmetic
+    // step — DECIMAL→double casts, the central-moment chain, sqrt, the
+    // skew guard, the z constants (embedded as round-trip double
+    // literals), the clamp — is written in the SAME operation order in
+    // both engines, so round-6 estimates hash-match exactly.
+    QueryDef("q113_quantile_dashboard",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sketches.momentsQuantiles(
+            Sketches.momentsState(
+              docs.select(col("source"),
+                round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+              "q", Seq("source")),
+            Seq(0.5, 0.9), Seq("source"))
+          .select(col("source"), col("q"), round(col("est"), 6).as("est"))
+          .orderBy("source", "q")
+      },
+      Some(momentsQuantileOracleSql))
   )
+
+  /** The q112 moments state as CTEs (expects a preceding `d` CTE with
+    * the padded text): quality replay `qd`, then the power-sum grain
+    * `st` — shared by the q112 state oracle and q113's estimator chain.
+    */
+  private lazy val momentsStateOracleBody: String =
+    s"""qd AS (
+      |  SELECT source,
+      |    round((
+      |      least(len(text) / 500.0, 1.0)
+      |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+      |      + least((($stopHitsSql)
+      |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+      |              1.0)
+      |    ) / 3.0, 6) AS x
+      |  FROM d),
+      |st AS (
+      |  SELECT source, count(*)::BIGINT AS n,
+      |    sum(round(x, 6)::DECIMAL(28,6)) AS s1,
+      |    sum(round(x * x, 6)::DECIMAL(28,6)) AS s2,
+      |    sum(round(x * x * x, 6)::DECIMAL(28,6)) AS s3,
+      |    sum(round(x * x * x * x, 6)::DECIMAL(28,6)) AS s4,
+      |    min(x) AS lo, max(x) AS hi
+      |  FROM qd GROUP BY source)""".stripMargin
+
+  /** q113's oracle: the q112 state CTE plus the Cornish-Fisher chain in
+    * the exact engine operation order. z(0.5) = 0 exactly (the Acklam
+    * central branch at q = 0); z(0.9) and z²−1 are embedded as
+    * round-trip double literals cast ::DOUBLE (DuckDB would otherwise
+    * parse them as DECIMAL and change the arithmetic).
+    */
+  private lazy val momentsQuantileOracleSql: String = {
+    require(momentsStateOracleBody.contains("GROUP BY source"),
+      "q112 oracle body changed; update the quantile chain")
+    s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+      |            FROM documents),
+      |$momentsStateOracleBody,
+      |m AS (
+      |  SELECT source, s1::DOUBLE / n::DOUBLE AS mean,
+      |    s2::DOUBLE / n::DOUBLE AS e2, s3::DOUBLE / n::DOUBLE AS e3,
+      |    lo, hi
+      |  FROM st),
+      |mm AS (SELECT source, mean, e2 - mean * mean AS m2, e3, lo, hi FROM m),
+      |sk0 AS (
+      |  SELECT source, mean, sqrt(greatest(m2, 0.0)) AS sd,
+      |    e3 - 3.0 * mean * m2 - mean * mean * mean AS m3, lo, hi
+      |  FROM mm),
+      |sk AS (
+      |  SELECT source, mean, sd, lo, hi,
+      |    CASE WHEN sd > 0 THEN m3 / (sd * sd * sd) ELSE 0.0 END AS skew
+      |  FROM sk0),
+      |qq AS (
+      |  SELECT source, 0.5::DOUBLE AS q,
+      |    round(least(greatest(mean + sd *
+      |      (0.0::DOUBLE + (-1.0::DOUBLE / 6.0) * skew), lo), hi), 6) AS est
+      |  FROM sk
+      |  UNION ALL
+      |  SELECT source, 0.9::DOUBLE AS q,
+      |    round(least(greatest(mean + sd *
+      |      (1.2815515641401563::DOUBLE +
+      |       (0.6423744115500811::DOUBLE / 6.0) * skew), lo), hi), 6) AS est
+      |  FROM sk)
+      |SELECT source, q, est FROM qq ORDER BY source, q""".stripMargin
+  }
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the
     * q79/q80 oracles already rebuild, then per iteration the round-6 L2²
