@@ -170,6 +170,62 @@ object StreamingReport {
     Sketches.cmEstimate(partials, probes, probeCol, d, w)
   }
 
+  /** Per-batch SPARSE-or-dense HLL partials at the finer (source, lang)
+    * grain — [[Sketches.hllSparseState]] under the streaming partials
+    * discipline. Small groups keep their exact distinct hashes (the
+    * report is EXACT for them), large ones their registers; the merge
+    * ([[Sketches.hllSparseMerge]]) is associative AND idempotent (set
+    * union / MAX / a deterministic promotion), so batch replay and base
+    * compaction are both safe — a group that crosses the threshold only
+    * ACROSS batches promotes at merge time exactly as a one-pass build
+    * would. `b` and `threshold` persist in markers like the dense `_b`.
+    */
+  def processBatchSparseDistinct(batch: DataFrame, stateDir: String,
+                                 batchId: Long,
+                                 sourceCol: String = "source",
+                                 langCol: String = "lang",
+                                 textCol: String = "text", b: Int = 9,
+                                 threshold: Int = 256): Unit = {
+    val dir = new Path(s"$stateDir/hlls")
+    val fs = dir.getFileSystem(batch.sparkSession.sparkContext
+      .hadoopConfiguration)
+    (readMarker(fs, new Path(dir, "_b")),
+        readMarker(fs, new Path(dir, "_t"))) match {
+      case (Some(pb), Some(pt)) =>
+        require(pb == b && pt == threshold,
+          s"sparse-HLL state at $dir was written with b=$pb threshold=$pt; " +
+            s"refusing b=$b threshold=$threshold")
+      case _ =>
+        fs.mkdirs(dir)
+        writeMarker(fs, new Path(dir, "_b"), b.toLong)
+        writeMarker(fs, new Path(dir, "_t"), threshold.toLong)
+    }
+    Sketches.hllSparseState(
+        batch.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok")),
+        "tok", b, threshold, Seq("source", "lang"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/hlls/batch=$batchId")
+  }
+
+  /** Per-(source, lang) distinct-token estimates from the sparse state —
+    * EXACT for groups still below the persisted threshold, HLL for the
+    * promoted ones.
+    */
+  def sparseDistinctReport(spark: SparkSession,
+                           stateDir: String): DataFrame = {
+    val dir = new Path(s"$stateDir/hlls")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = readMarker(fs, new Path(dir, "_b")).map(_.toInt).getOrElse(9)
+    val t = readMarker(fs, new Path(dir, "_t")).map(_.toInt).getOrElse(256)
+    val partials = readState(spark, s"$stateDir/hlls", s"$stateDir/hlls_base",
+      emptyFrame(spark,
+        "source STRING, lang STRING, kind INT, k BIGINT, v INT"))
+    Sketches.hllSparseEstimate(
+      Sketches.hllSparseMerge(partials, b, t, Seq("source", "lang")),
+      b, Seq("source", "lang"))
+  }
+
   /** Per-batch moments-sketch partials (power sums of the quality score,
     * per source) — the quantile companion: seven DECIMAL-exact numbers
     * per (source, batch), merged by addition (batch-keyed overwrite for
@@ -221,6 +277,16 @@ object StreamingReport {
       keepBatches, merged => Sketches.cmMerge(merged))
     compactFamily(spark, s"$stateDir/moments", s"$stateDir/moments_base",
       keepBatches, merged => Sketches.momentsMerge(merged, Seq("source")))
+    val hllsDir = new Path(s"$stateDir/hlls")
+    val fs = hllsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (readMarker(fs, new Path(hllsDir, "_b")),
+        readMarker(fs, new Path(hllsDir, "_t"))) match {
+      case (Some(b), Some(t)) =>
+        compactFamily(spark, s"$stateDir/hlls", s"$stateDir/hlls_base",
+          keepBatches, merged => Sketches.hllSparseMerge(merged, b.toInt,
+            t.toInt, Seq("source", "lang")))
+      case _ => () // family never written
+    }
   }
 
   /** Attach the profiling sink to a streaming document DataFrame; with

@@ -835,6 +835,8 @@ class StreamingSpec extends SparkSpec {
       StreamingReport.processBatchDistinct(slice(i), stDir, i, b = 7)
       StreamingReport.processBatchFreq(slice(i), stDir, i, d = 4, w = 256)
       StreamingReport.processBatchMoments(slice(i), stDir, i)
+      StreamingReport.processBatchSparseDistinct(slice(i), stDir, i,
+        b = 7, threshold = 25)
     }
     def rep() = StreamingReport.report(spark, stDir)
       .orderBy("source").collect().map(_.toSeq).toSeq
@@ -852,6 +854,28 @@ class StreamingSpec extends SparkSpec {
     def qrep() = StreamingReport.quantileReport(spark, stDir)
       .orderBy("source", "q").collect().map(_.toSeq).toSeq
     val qBefore = qrep()
+
+    // sparse-HLL family: every per-batch partial is sparse (a 50-doc
+    // batch rarely exceeds 25 distinct tokens per (source, lang)), but
+    // the UNION crosses the threshold for many groups — the merge must
+    // promote exactly as a one-pass build would, so the streamed report
+    // equals the batch-built sparse estimates
+    def sdrep() = StreamingReport.sparseDistinctReport(spark, stDir)
+      .orderBy("source", "lang").collect().map(_.toSeq).toSeq
+    val sdBefore = sdrep()
+    val slToks = docs.filter(col("doc_id") < 300)
+      .select(col("source"), col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val onePassState = graft.operators.Sketches.hllSparseState(
+      slToks, "tok", 7, 25, Seq("source", "lang"))
+    assert(onePassState.filter(col("kind") === 0).count() > 0 &&
+      onePassState.filter(col("kind") === 1).count() > 0,
+      "test corpus must exercise cross-batch promotion AND surviving " +
+        "sparse groups")
+    assert(sdBefore == graft.operators.Sketches.hllSparseEstimate(
+        onePassState, 7, Seq("source", "lang"))
+      .orderBy("source", "lang").collect().map(_.toSeq).toSeq,
+      "streamed sparse-distinct report diverged from the one-pass build")
     // streamed quantile estimates == the batch-built moments sketch
     assert(qBefore == graft.operators.Sketches.momentsQuantiles(
         graft.operators.Sketches.momentsState(
@@ -896,10 +920,13 @@ class StreamingSpec extends SparkSpec {
     assert(liveBatches("cm") == Seq(4L, 5L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stDir/partials_base")))
     assert(liveBatches("moments") == Seq(4L, 5L))
+    assert(liveBatches("hlls") == Seq(4L, 5L))
     assert(rep() == before, "compaction changed the profile report")
     assert(drep() == dBefore, "compaction changed the distinct report")
     assert(frep() == fBefore, "compaction changed the count-min report")
     assert(qrep() == qBefore, "compaction changed the quantile report")
+    assert(sdrep() == sdBefore,
+      "compaction changed the sparse-distinct report")
 
     // a replay of a recent (unfolded) batch id still overwrites in place
     StreamingReport.processBatch(slice(5), stDir, 5)
@@ -944,6 +971,11 @@ class StreamingSpec extends SparkSpec {
     // and the CM shape likewise
     intercept[IllegalArgumentException] {
       StreamingReport.processBatchFreq(slice(0), stDir, 99L, d = 4, w = 512)
+    }
+    // and the sparse-HLL shape (b AND threshold are both state-shaping)
+    intercept[IllegalArgumentException] {
+      StreamingReport.processBatchSparseDistinct(slice(0), stDir, 99L,
+        b = 7, threshold = 64)
     }
     // the compacted CM state still answers exactly: union of batches 0..7
     assert(frep() == graft.operators.Sketches.cmEstimate(
