@@ -162,7 +162,10 @@ object Similarity {
       .orderBy(col("_h"), col(idCol))
       .limit(1).select(col("_v")).collect()
     require(seed.nonEmpty, "empty corpus")
-    var cents = Seq(vecOf(seed(0)))
+    val s0 = vecOf(seed(0))
+    require(s0.length == dim,
+      s"expected dim=$dim vectors, corpus has dim=${s0.length}")
+    var cents = Seq(s0)
     while (cents.length < k) {
       val dists = cents.map(c =>
         round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
@@ -211,17 +214,37 @@ object Similarity {
       .orderBy(col("_h"), col(idCol))
       .limit(1).select(col("_v")).collect()
     require(seed.nonEmpty, "empty corpus")
-    var cands = Vector(vecOf(seed(0)))
-    for (_ <- 0 until rounds) {
-      val dists = cands.map(c =>
-        round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
-      val cost = if (dists.length == 1) dists.head else least(dists: _*)
-      val next = corpus
-        .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol))
-        .withColumn("_cost", cost)
+    val s0 = vecOf(seed(0))
+    require(s0.length == dim,
+      s"expected dim=$dim vectors, corpus has dim=${s0.length}")
+    var cands = Vector(s0)
+    // Running min-cost column, carried across rounds (k-means||'s cost
+    // recurrence): each round only compares against the l candidates the
+    // PREVIOUS round admitted and folds into the carried min — per-row
+    // work O(rounds·l) total instead of O(rounds²·l) from re-evaluating
+    // the whole candidate list every round. min is associative and each
+    // distance is individually round-6'd before the fold, so the carried
+    // cost equals the full least(...) exactly — centroids are identical
+    // (the determinism spec pins this). localCheckpoint keeps the plan
+    // (and lineage) round-count-independent.
+    var scored = corpus
+      .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol))
+      .withColumn("_cost",
+        round(VectorFunctions.sqL2(col("_v"), typedLit(s0)), 6))
+      .localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      val next = scored
         .orderBy(col("_cost").desc, col(idCol))
         .limit(l).select(col("_v")).collect()
-      cands = cands ++ next.map(vecOf)
+      val newCands = next.map(vecOf).toVector
+      cands = cands ++ newCands
+      if (r < rounds - 1 && newCands.nonEmpty) {
+        val dists = newCands.map(c =>
+          round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
+        scored = scored
+          .withColumn("_cost", least((col("_cost") +: dists): _*))
+          .localCheckpoint(true)
+      }
     }
     // weight candidates by how much corpus they attract (one pass,
     // k-means||'s recluster weights), then reduce driver-side

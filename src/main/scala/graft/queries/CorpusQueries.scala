@@ -2769,16 +2769,27 @@ object CorpusQueries {
     QueryDef("q112_moments_quantile_state",
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        // Output surface follows the house round-6-double discipline:
+        // the sums are <= 6 dp and ~1e2 magnitude, double-exact, so the
+        // cast loses nothing — DECIMAL stays internal (merge grain).
         Sketches.momentsState(
             docs.select(col("source"),
               round(TextFunctions.qualityScore(col("text")), 6).as("q")),
             "q", Seq("source"))
+          .select(col("source"), col("n"),
+            round(col("s1").cast("double"), 6).as("s1"),
+            round(col("s2").cast("double"), 6).as("s2"),
+            round(col("s3").cast("double"), 6).as("s3"),
+            round(col("s4").cast("double"), 6).as("s4"),
+            col("lo"), col("hi"))
           .orderBy("source")
       },
       Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
         |            FROM documents),
         |$momentsStateOracleBody
-        |SELECT source, n, s1, s2, s3, s4, lo, hi
+        |SELECT source, n, round(s1::DOUBLE, 6) AS s1,
+        |  round(s2::DOUBLE, 6) AS s2, round(s3::DOUBLE, 6) AS s3,
+        |  round(s4::DOUBLE, 6) AS s4, lo, hi
         |FROM st ORDER BY source""".stripMargin)),
 
     // The Cornish-Fisher estimator itself, cross-engine (the last float

@@ -94,6 +94,7 @@ object StreamingReport {
         require(persisted == b,
           s"HLL state at $dir was written with b=$persisted; refusing b=$b")
       case None =>
+        requireUnshapedState(fs, dir, s"$stateDir/hll_base")
         fs.mkdirs(dir)
         writeMarker(fs, new Path(dir, "_b"), b.toLong)
     }
@@ -115,7 +116,8 @@ object StreamingReport {
   def distinctReport(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = new Path(s"$stateDir/hll")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = readB(fs, dir).getOrElse(9)
+    val b = shapeOrDefault(fs, new Path(dir, "_b"), dir,
+      s"$stateDir/hll_base", 9)
     val partials = readState(spark, s"$stateDir/hll", s"$stateDir/hll_base",
       emptyFrame(spark, "source STRING, bucket INT, max_rho INT"))
     Sketches.hllEstimateByGroup(
@@ -143,6 +145,7 @@ object StreamingReport {
         require(pd == d && pw == w,
           s"CM state at $dir was written with d=$pd w=$pw; refusing d=$d w=$w")
       case _ =>
+        requireUnshapedState(fs, dir, s"$stateDir/cm_base")
         fs.mkdirs(dir)
         writeMarker(fs, new Path(dir, "_d"), d.toLong)
         writeMarker(fs, new Path(dir, "_w"), w.toLong)
@@ -163,8 +166,10 @@ object StreamingReport {
                  probeCol: String): DataFrame = {
     val dir = new Path(s"$stateDir/cm")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val d = readMarker(fs, new Path(dir, "_d")).map(_.toInt).getOrElse(4)
-    val w = readMarker(fs, new Path(dir, "_w")).map(_.toInt).getOrElse(1024)
+    val d = shapeOrDefault(fs, new Path(dir, "_d"), dir,
+      s"$stateDir/cm_base", 4)
+    val w = shapeOrDefault(fs, new Path(dir, "_w"), dir,
+      s"$stateDir/cm_base", 1024)
     val partials = readState(spark, s"$stateDir/cm", s"$stateDir/cm_base",
       emptyFrame(spark, "j INT, bucket INT, cnt BIGINT"))
     Sketches.cmEstimate(partials, probes, probeCol, d, w)
@@ -196,6 +201,7 @@ object StreamingReport {
           s"sparse-HLL state at $dir was written with b=$pb threshold=$pt; " +
             s"refusing b=$b threshold=$threshold")
       case _ =>
+        requireUnshapedState(fs, dir, s"$stateDir/hlls_base")
         fs.mkdirs(dir)
         writeMarker(fs, new Path(dir, "_b"), b.toLong)
         writeMarker(fs, new Path(dir, "_t"), threshold.toLong)
@@ -216,8 +222,10 @@ object StreamingReport {
                            stateDir: String): DataFrame = {
     val dir = new Path(s"$stateDir/hlls")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = readMarker(fs, new Path(dir, "_b")).map(_.toInt).getOrElse(9)
-    val t = readMarker(fs, new Path(dir, "_t")).map(_.toInt).getOrElse(256)
+    val b = shapeOrDefault(fs, new Path(dir, "_b"), dir,
+      s"$stateDir/hlls_base", 9)
+    val t = shapeOrDefault(fs, new Path(dir, "_t"), dir,
+      s"$stateDir/hlls_base", 256)
     val partials = readState(spark, s"$stateDir/hlls", s"$stateDir/hlls_base",
       emptyFrame(spark,
         "source STRING, lang STRING, kind INT, k BIGINT, v INT"))
@@ -319,24 +327,49 @@ object StreamingReport {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   /** base (if any) ∪ live batch partitions newer than the fold cutoff —
-    * the exact state a report merges. Heals a torn compaction first, so
-    * a reader never sees the half-swapped state.
+    * the exact state a report merges. Heals a torn compaction first
+    * (finish-only), then takes a CONSISTENT snapshot versus a concurrent
+    * [[compact]]: the fold-cutoff marker is re-read after the live
+    * listing, and if the cutoff moved (a swap completed mid-snapshot,
+    * which would double-count folded batches that appear both in the new
+    * base and as not-yet-deleted live dirs) the snapshot retries from
+    * the new marker. The base is read by the CONCRETE file paths listed
+    * inside the snapshot, so a later swap cannot silently change what
+    * the returned frame scans.
     */
   private def readState(spark: SparkSession, liveDir: String,
                         baseDir: String, empty: DataFrame): DataFrame = {
-    val fs = new Path(liveDir)
+    val basePath = new Path(baseDir)
+    val fs = basePath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    heal(fs, new Path(baseDir))
-    val cutoff = foldedUpTo(fs, new Path(baseDir))
-    val live = batchDirs(fs, new Path(liveDir)).filter(_._1 > cutoff)
-    val base =
-      if (fs.exists(new Path(baseDir)))
-        spark.read.schema(empty.schema).parquet(baseDir)
-      else empty
-    if (live.isEmpty) base
-    else base.unionByName(
-      spark.read.schema(empty.schema)
-        .parquet(live.map(_._2.toString): _*))
+    var attempt = 0
+    while (true) {
+      heal(fs, basePath)
+      val cutoff = foldedUpTo(fs, basePath)
+      val live = batchDirs(fs, new Path(liveDir)).filter(_._1 > cutoff)
+      val baseFiles =
+        if (fs.exists(basePath))
+          fs.listStatus(basePath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+        else Nil
+      // snapshot is consistent iff the cutoff did not move underneath it
+      if (foldedUpTo(fs, basePath) == cutoff) {
+        val base =
+          if (baseFiles.nonEmpty)
+            spark.read.schema(empty.schema).parquet(baseFiles: _*)
+          else empty
+        return if (live.isEmpty) base
+        else base.unionByName(
+          spark.read.schema(empty.schema)
+            .parquet(live.map(_._2.toString): _*))
+      }
+      attempt += 1
+      if (attempt > 16)
+        throw new IllegalStateException(
+          s"state at $liveDir kept moving during snapshot ($attempt tries)")
+    }
+    empty // unreachable
   }
 
   /** (batchId, path) for every `batch=N` child of `dir`; empty when the
@@ -354,6 +387,29 @@ object StreamingReport {
   private def readB(fs: FileSystem, hllDir: Path): Option[Int] =
     readMarker(fs, new Path(hllDir, "_b")).map(_.toInt)
 
+  /** Stamping a shape marker is only legal on a family with no batch
+    * state yet — state written without a marker (or whose marker was
+    * lost) must not have a caller's shape guessed onto it: mixed-shape
+    * registers/counters produce garbage estimates with no error.
+    */
+  private def requireUnshapedState(fs: FileSystem, liveDir: Path,
+                                   baseDir: String): Unit =
+    if (batchDirs(fs, liveDir).nonEmpty || fs.exists(new Path(baseDir)))
+      throw new IllegalStateException(
+        s"sketch state at $liveDir exists without a shape marker; " +
+          "refusing to guess its shape")
+
+  /** Persisted shape value; `default` only applies to a never-written
+    * family (whose report is empty regardless) — existing shapeless
+    * state errors instead of silently defaulting.
+    */
+  private def shapeOrDefault(fs: FileSystem, marker: Path, liveDir: Path,
+                             baseDir: String, default: Int): Int =
+    readMarker(fs, marker).map(_.toInt).getOrElse {
+      requireUnshapedState(fs, liveDir, baseDir)
+      default
+    }
+
   private def readMarker(fs: FileSystem, p: Path): Option[Long] =
     if (!fs.exists(p)) None
     else {
@@ -367,19 +423,23 @@ object StreamingReport {
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Finish or roll back a torn base swap: temp exists without a live
-    * base → the delete succeeded but the rename did not; the temp IS the
-    * base (finish the rename). Temp alongside a live base → the swap
-    * never started destroying state; the temp is a stale derived copy
-    * (drop it).
+  /** Finish a torn base swap: temp exists without a live base → the
+    * delete succeeded but the rename did not; the temp IS the base
+    * (finish the rename). A temp ALONGSIDE a live base is NOT touched
+    * here: it is either a stale copy from a crashed attempt (cleaned by
+    * the next [[compactFamily]], which deletes it before writing its
+    * own) or — crucially — an IN-PROGRESS compaction's write between
+    * its temp write and its base delete; a reader deleting it would
+    * destroy the compacted copy and strand the compactor mid-swap.
+    * Finish-only healing is safe from both readers and the compactor.
     */
   private def heal(fs: FileSystem, baseDir: Path): Unit = {
     val tmp = new Path(baseDir.getParent, baseDir.getName + "_compact")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(baseDir)) {
-        if (!fs.rename(tmp, baseDir))
-          throw new IllegalStateException(s"compaction heal failed: $tmp")
-      } else fs.delete(tmp, true)
+    if (fs.exists(tmp) && !fs.exists(baseDir)) {
+      // A concurrent healer may win the same rename; losing is fine as
+      // long as somebody did it.
+      if (!fs.rename(tmp, baseDir) && !fs.exists(baseDir))
+        throw new IllegalStateException(s"compaction heal failed: $tmp")
     }
   }
 
@@ -412,7 +472,10 @@ object StreamingReport {
       .write.parquet(tmp.toString)
     writeMarker(fs, new Path(tmp, FoldMarker), cutoff)
     fs.delete(basePath, true)
-    if (!fs.rename(tmp, basePath))
+    // A concurrent reader's heal() may finish this exact rename between
+    // our delete and our rename — ours then fails with the swap already
+    // complete. Verify by the marker before declaring failure.
+    if (!fs.rename(tmp, basePath) && foldedUpTo(fs, basePath) != cutoff)
       throw new IllegalStateException(s"compaction rename failed: $baseDir")
     fold.foreach { case (_, p) => fs.delete(p, true) }
   }

@@ -958,11 +958,22 @@ class StreamingSpec extends SparkSpec {
     assert(rep() == after2, "heal after torn swap lost data")
     assert(fs.exists(base) && !fs.exists(tmp), "heal did not finish rename")
 
-    // crash before the base delete: stale temp alongside a live base is
-    // dropped, the live base wins
+    // crash before the base delete: a stale temp alongside a live base is
+    // IGNORED by readers — a read-path delete would race an in-progress
+    // compaction between its temp write and base delete and destroy the
+    // only compacted copy. The next compaction cleans it up instead.
     fs.mkdirs(tmp)
-    assert(rep() == after2)
-    assert(!fs.exists(tmp), "stale compaction temp not cleaned up")
+    assert(rep() == after2,
+      "stale temp alongside a live base changed the report")
+    assert(fs.exists(tmp),
+      "a reader must not delete a temp next to a live base")
+    for (i <- 8L until 10L) StreamingReport.processBatch(slice(i), stDir, i)
+    StreamingReport.compact(spark, stDir, keepBatches = 2)
+    assert(!fs.exists(tmp), "compaction did not clean the stale temp")
+    assert(rep() == graft.operators.Quality.corpusReport(
+        docs.filter(col("doc_id") < 500))
+      .orderBy("source").collect().map(_.toSeq).toSeq,
+      "compaction over a stale temp lost data")
 
     // register shape is pinned: a later writer with a different b refuses
     intercept[IllegalArgumentException] {
@@ -976,6 +987,21 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingReport.processBatchSparseDistinct(slice(0), stDir, 99L,
         b = 7, threshold = 64)
+    }
+    // state whose shape marker is MISSING (legacy/lost) is an error, not
+    // a silent default: a writer must not stamp its own shape onto it and
+    // a reader must not guess one — mixed-shape registers are garbage
+    val hllB = new org.apache.hadoop.fs.Path(s"$stDir/hll/_b")
+    assert(fs.delete(hllB, false))
+    intercept[IllegalStateException] {
+      StreamingReport.processBatchDistinct(slice(0), stDir, 99L, b = 7)
+    }
+    intercept[IllegalStateException] {
+      StreamingReport.distinctReport(spark, stDir)
+    }
+    locally { // restore the marker for the assertions below
+      val out = fs.create(hllB, true)
+      try out.write("7".getBytes("UTF-8")) finally out.close()
     }
     // the compacted CM state still answers exactly: union of batches 0..7
     assert(frep() == graft.operators.Sketches.cmEstimate(
