@@ -40,15 +40,28 @@ object AnnIndex {
 
   /** Training/encoding parameters; the manifest is their string form, so
     * any change invalidates a saved index.
+    *
+    * `init` selects the coarse-quantizer training path:
+    *   - "stride"     — [[Similarity.sampledKMeans]] over the first-ids
+    *     sample (the default; right when ingest order is not biased);
+    *   - "farthest"   — [[Similarity.farthestInit]] + full-corpus Lloyd
+    *     (k−1 corpus passes; the small-k de-biased init);
+    *   - "oversample" — [[Similarity.oversampleInit]] + full-corpus
+    *     Lloyd (rounds+1 corpus passes independent of k — the init a
+    *     large-kCells 100 TB index trains with).
     */
   final case class Params(dim: Int, m: Int = 8, k: Int = 16,
                           kCells: Int = 16, nProbe: Int = 4,
                           iters: Int = 10, sampleN: Int = 4096,
-                          byResidual: Boolean = false) {
+                          byResidual: Boolean = false,
+                          init: String = "stride") {
+    require(Set("stride", "farthest", "oversample")(init),
+      s"unknown init '$init' (stride | farthest | oversample)")
     def asMap: Map[String, String] = Map(
       "dim" -> dim.toString, "m" -> m.toString, "k" -> k.toString,
       "kCells" -> kCells.toString, "iters" -> iters.toString,
-      "sampleN" -> sampleN.toString, "byResidual" -> byResidual.toString)
+      "sampleN" -> sampleN.toString, "byResidual" -> byResidual.toString,
+      "init" -> init)
   }
 
   /** A loaded index: small quantizers on the driver, codes distributed. */
@@ -67,8 +80,7 @@ object AnnIndex {
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = Similarity.sampledKMeans(corpus, p.kCells, p.iters, p.sampleN,
-      idCol, vecCol)
+    val cents = trainCentroids(corpus, p, idCol, vecCol)
     val cbs =
       if (p.byResidual)
         Similarity.trainPqCodebooksResidual(corpus, cents, p.m, p.k, p.dim,
@@ -89,6 +101,30 @@ object AnnIndex {
       "codes" -> encoded, "centroids" -> centsDf, "codebooks" -> cbsDf),
       p.asMap)
   }
+
+  /** Coarse centroids per `p.init` — the deterministic trainer the spec
+    * replays for the saved-vs-live pin. The de-biased inits refine with
+    * the SAME full-corpus Lloyd (round-6 stable arithmetic) the q109/
+    * q114 oracles unroll.
+    */
+  def trainCentroids(corpus: DataFrame, p: Params,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[Seq[Double]] =
+    p.init match {
+      case "stride" =>
+        Similarity.sampledKMeans(corpus, p.kCells, p.iters, p.sampleN,
+          idCol, vecCol)
+      case "farthest" =>
+        Similarity.distributedKMeans(corpus, p.kCells, p.iters, p.dim,
+          p.sampleN, idCol, vecCol,
+          Some(Similarity.farthestInit(corpus, p.kCells, p.dim, idCol,
+            vecCol)))
+      case "oversample" =>
+        Similarity.distributedKMeans(corpus, p.kCells, p.iters, p.dim,
+          p.sampleN, idCol, vecCol,
+          Some(Similarity.oversampleInit(corpus, p.kCells, p.dim,
+            idCol = idCol, vecCol = vecCol)))
+    }
 
   /** Reuse the index at `dir` when its manifest matches `p` exactly;
     * otherwise drop and rebuild (T2 parameter invalidation). Returns true

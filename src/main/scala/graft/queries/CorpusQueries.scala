@@ -2811,7 +2811,28 @@ object CorpusQueries {
           .select(col("source"), col("q"), round(col("est"), 6).as("est"))
           .orderBy("source", "q")
       },
-      Some(momentsQuantileOracleSql))
+      Some(momentsQuantileOracleSql)),
+
+    // k-means|| oversampled seeding (Similarity.oversampleInit) + the
+    // same full-corpus Lloyd refinement and summary tail as q109 — the
+    // LARGE-k init a 100 TB IVF index trains with (rounds+1 corpus
+    // passes independent of k, vs farthestInit's k−1). The oracle
+    // unrolls every stage: hash-ordered seed, three rounds of top-l
+    // admissions by carried min round-6 cost, the corpus weighting
+    // pass, the greedy weighted k-means++ recluster and both weighted
+    // Lloyd sweeps (raw-double folds replayed in the engine's exact
+    // accumulation order via ordered list_reduce), then the round-6
+    // Lloyd refinement via lloydIterSql.
+    QueryDef("q114_kmeans_oversample_init",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val init = Similarity.oversampleInit(emb, k = 4, dim = 64,
+          rounds = 3, reclusterIters = 2)
+        val cents = Similarity.distributedKMeans(emb, k = 4, iters = 2,
+          dim = 64, init = Some(init))
+        Similarity.kmeansSummary(emb, cents).orderBy("cell")
+      },
+      Some(kmeansOversampleOracleSql))
   )
 
   /** The q112 moments state as CTEs (expects a preceding `d` CTE with
@@ -2966,6 +2987,119 @@ object CorpusQueries {
       |${admit("i1", 2)},
       |${admit("i2", 3)},
       |${lloydIterSql("i3", "1")},
+      |${lloydIterSql("c1", "2")},
+      |${lloydIterSql("c2", "3")},
+      |counts AS (
+      |  SELECT cell, count(*)::BIGINT AS n_members FROM a3 GROUP BY cell)
+      |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
+      |  round(sqrt(list_dot_product(c.cv, c.cv)), 4) AS cnorm
+      |FROM c2 c LEFT JOIN counts n USING (cell)
+      |ORDER BY c.cell""".stripMargin
+  }
+
+  /** q114's oracle: the oversampled seeding fully unrolled.
+    *   - seed + 3 rounds of top-3 admissions by (min round-6 L2² over
+    *     the current candidate set DESC, vec_id) — candidate indices
+    *     follow admission order, exactly [[graft.operators.Similarity
+    *     .oversampleInit]]'s carried-min recurrence (min is associative,
+    *     so min-over-all == the engine's carried fold);
+    *   - the corpus weighting pass (round-6 argmin, tie → smaller idx);
+    *   - the driver-side weighted recluster replayed in RAW doubles in
+    *     the engine's accumulation order: greedy weighted k-means++
+    *     seeding (heaviest first, then argmax w·minD with strict-> =
+    *     lowest-idx ties), two weighted Lloyd sweeps whose per-dim sums
+    *     fold v[d]·w in ascending candidate order (ordered list_reduce
+    *     — DuckDB's left fold is the engine's += loop);
+    *   - then the SAME round-6 full-corpus Lloyd refinement + summary
+    *     tail as q109 (assignment against the final c2 is a3).
+    */
+  private lazy val kmeansOversampleOracleSql: String = {
+    val sq = "list_reduce(list_transform(generate_series(1, 64), i -> " +
+      "(p.cv[i] - c.cv[i]) * (p.cv[i] - c.cv[i])), (a, b) -> a + b)"
+    def admitRound(prev: String, r: Int, offset: Int): String =
+      s"""g$r AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v,
+        |    min(round(list_reduce(list_transform(generate_series(1, 64), i ->
+        |      (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6))
+        |      AS cost
+        |  FROM e, $prev c GROUP BY e.vec_id, e.v),
+        |p$r AS (
+        |  SELECT v, row_number() OVER (ORDER BY cost DESC, vec_id) AS rn
+        |  FROM g$r ORDER BY cost DESC, vec_id LIMIT 3),
+        |cand$r AS MATERIALIZED (
+        |  SELECT * FROM $prev
+        |  UNION ALL
+        |  SELECT ($offset + rn - 1)::INT AS idx, v AS cv FROM p$r)"""
+        .stripMargin
+    def admitSeed(n: Int, prevMd: String, prevCh: Seq[String]): String = {
+      val notIn = prevCh.map(c => s"SELECT idx FROM $c")
+        .mkString(" UNION ALL ")
+      s"""ch$n AS (
+        |  SELECT idx FROM $prevMd WHERE idx NOT IN ($notIn)
+        |  ORDER BY w * md DESC, idx LIMIT 1),
+        |md$n AS MATERIALIZED (
+        |  SELECT p.idx, p.w, p.cv, least(p.md, $sq) AS md
+        |  FROM $prevMd p, (SELECT cv FROM wts JOIN ch$n USING (idx)) c)"""
+        .stripMargin
+    }
+    def wlloydIter(prev: String, it: Int): String =
+      s"""wd$it AS (
+        |  SELECT p.idx, p.w, p.cv, c.cell,
+        |    row_number() OVER (PARTITION BY p.idx ORDER BY $sq, c.cell)
+        |      AS rnk
+        |  FROM wts p, $prev c),
+        |wa$it AS MATERIALIZED (SELECT idx, w, cv, cell FROM wd$it WHERE rnk = 1),
+        |wsm$it AS (
+        |  SELECT cell, ds.d,
+        |    list_reduce(list(cv[ds.d] * w ORDER BY idx), (a, b) -> a + b)
+        |      AS sm,
+        |    sum(w) AS ws
+        |  FROM wa$it, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        |  GROUP BY cell, ds.d),
+        |wc$it AS MATERIALIZED (
+        |  SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+        |  FROM $prev c LEFT JOIN (
+        |    SELECT cell, list(sm / ws ORDER BY d) AS cv FROM wsm$it
+        |    WHERE ws <> 0 GROUP BY cell) n
+        |  USING (cell))""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seed AS (
+      |  SELECT vec_id, v FROM (
+      |    SELECT vec_id, v,
+      |      ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+      |    FROM e) ORDER BY h, vec_id LIMIT 1),
+      |cand0 AS MATERIALIZED (SELECT 0 AS idx, v AS cv FROM seed),
+      |${admitRound("cand0", 1, 1)},
+      |${admitRound("cand1", 2, 4)},
+      |${admitRound("cand2", 3, 7)},
+      |wassign AS (
+      |  SELECT vec_id, idx FROM (
+      |    SELECT e.vec_id, c.idx,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_reduce(list_transform(generate_series(1, 64), i ->
+      |          (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (a, b) -> a + b), 6),
+      |        c.idx) AS rnk
+      |    FROM e, cand3 c) WHERE rnk = 1),
+      |wts AS MATERIALIZED (
+      |  SELECT c.idx, c.cv, coalesce(n.w, 0)::DOUBLE AS w
+      |  FROM cand3 c LEFT JOIN
+      |    (SELECT idx, count(*)::DOUBLE AS w FROM wassign GROUP BY idx) n
+      |  USING (idx)),
+      |ch1 AS (SELECT idx FROM wts ORDER BY w DESC, idx LIMIT 1),
+      |md1 AS MATERIALIZED (
+      |  SELECT p.idx, p.w, p.cv, $sq AS md
+      |  FROM wts p, (SELECT cv FROM wts JOIN ch1 USING (idx)) c),
+      |${admitSeed(2, "md1", Seq("ch1"))},
+      |${admitSeed(3, "md2", Seq("ch1", "ch2"))},
+      |${admitSeed(4, "md3", Seq("ch1", "ch2", "ch3"))},
+      |wc0 AS MATERIALIZED (
+      |  SELECT 0 AS cell, cv FROM wts JOIN ch1 USING (idx)
+      |  UNION ALL SELECT 1, cv FROM wts JOIN ch2 USING (idx)
+      |  UNION ALL SELECT 2, cv FROM wts JOIN ch3 USING (idx)
+      |  UNION ALL SELECT 3, cv FROM wts JOIN ch4 USING (idx)),
+      |${wlloydIter("wc0", 1)},
+      |${wlloydIter("wc1", 2)},
+      |${lloydIterSql("wc2", "1")},
       |${lloydIterSql("c1", "2")},
       |${lloydIterSql("c2", "3")},
       |counts AS (

@@ -46,6 +46,35 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("build with init=oversample serves bit-identical to the live path " +
+       "trained by the same calls; init drift invalidates") {
+    val dir = Files.createTempDirectory("annix-os").toString
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8,
+      iters = 2, init = "oversample")
+    AnnIndex.build(emb, dir, p)
+    // live twin: the exact trainer the build ran (oversampled seeding +
+    // full-corpus Lloyd), then the in-memory IVF-ADC path
+    val cents = AnnIndex.trainCentroids(emb, p)
+    val cbs = Similarity.trainPqCodebooks(emb, p.m, p.k, p.dim, p.iters,
+      p.sampleN)
+    val live = rows(Similarity.ivfAdcTopK(emb, queries, cents, cbs,
+      k = 10, nProbe = 3))
+    val served = rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+    assert(served == live, "oversample-built index diverged from live")
+    assert(served.nonEmpty && served.count(_._2 == 1) == 5)
+    // the de-biased init must actually train different centroids than the
+    // stride default here, and switching init must invalidate the index
+    assert(cents != AnnIndex.trainCentroids(emb, p.copy(init = "stride")),
+      "oversample init trained the same centroids as stride (test is vacuous)")
+    assert(!AnnIndex.ensure(emb, dir, p), "same params must reuse")
+    assert(AnnIndex.ensure(emb, dir, p.copy(init = "farthest")),
+      "init drift must rebuild (T2 invalidation)")
+    assert(Bundle.readManifest(dir).get("init") == "farthest")
+    intercept[IllegalArgumentException] {
+      AnnIndex.Params(dim = 64, init = "bogus")
+    }
+  }
+
   test("ensure(): manifest match reuses, parameter change rebuilds") {
     val dir = Files.createTempDirectory("annix-ens").toString
     val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 2)
