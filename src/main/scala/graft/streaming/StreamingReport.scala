@@ -300,24 +300,45 @@ object StreamingReport {
   /** Attach the profiling sink to a streaming document DataFrame; with
     * `trackDistinct` the HLL partials and with `trackFreq` the count-min
     * partials land in the same foreachBatch.
+    *
+    * Lifecycle is self-contained: every `autoCompactEvery` batches the
+    * sink folds old partials into the base IN-LINE (foreachBatch runs
+    * between triggers, so the fold never races its own writer) — a sink
+    * left running at a 30 s cadence stays at ≤ base + autoCompactEvery +
+    * keepBatches directories per family forever instead of accumulating
+    * one directory per trigger until an operator intervenes. 0 disables.
     */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
            pollSeconds: Int = 30, trackDistinct: Boolean = false,
-           trackFreq: Boolean = false): StreamingQuery =
+           trackFreq: Boolean = false, autoCompactEvery: Int = 64,
+           keepBatches: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // multiple actions read the batch → pin one snapshot for all
-        val pinned =
-          if (trackDistinct || trackFreq) batch.localCheckpoint(true)
-          else batch
-        processBatch(pinned, stateDir, batchId)
-        if (trackDistinct) processBatchDistinct(pinned, stateDir, batchId)
-        if (trackFreq) processBatchFreq(pinned, stateDir, batchId)
-        ()
+        processSinkBatch(batch, stateDir, batchId, trackDistinct, trackFreq,
+          autoCompactEvery, keepBatches)
       }
       .start()
+
+  /** One trigger's complete sink work — the foreachBatch body, also the
+    * unit the long-run spec drives directly (hundreds of real triggers
+    * would test Spark's scheduler, not this logic).
+    */
+  private[graft] def processSinkBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, trackDistinct: Boolean, trackFreq: Boolean,
+      autoCompactEvery: Int, keepBatches: Int): Unit = {
+    // multiple actions read the batch → pin one snapshot for all
+    val pinned =
+      if (trackDistinct || trackFreq) batch.localCheckpoint(true)
+      else batch
+    processBatch(pinned, stateDir, batchId)
+    if (trackDistinct) processBatchDistinct(pinned, stateDir, batchId)
+    if (trackFreq) processBatchFreq(pinned, stateDir, batchId)
+    if (autoCompactEvery > 0 && batchId > 0 &&
+        batchId % autoCompactEvery == 0)
+      compact(batch.sparkSession, stateDir, keepBatches)
+  }
 
   // ------------------------------------------------------------ internals
 

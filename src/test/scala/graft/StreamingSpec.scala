@@ -1010,4 +1010,74 @@ class StreamingSpec extends SparkSpec {
       .orderBy("tok").collect().map(_.toSeq).toSeq,
       "compacted count-min state diverged from the batch sketch over 0..400")
   }
+
+  test("sink auto-compaction: a long-running sink bounds its own state " +
+       "directories with no external calls; reports stay byte-identical") {
+    import graft.streaming.StreamingReport
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stDir = Files.createTempDirectory("rep-ac").toString
+    val fs = new org.apache.hadoop.fs.Path(stDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveDirs(fam: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$stDir/$fam")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+    }
+    // 60 triggers of the foreachBatch body (driving Spark's scheduler 60
+    // real triggers would measure the scheduler, not this logic), tiny
+    // rotating slices, compaction cadence 8, keepBatches 2
+    val every = 8
+    for (i <- 0L until 60L) {
+      val lo = (i * 7) % 490
+      StreamingReport.processSinkBatch(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 7),
+        stDir, i, trackDistinct = true, trackFreq = true,
+        autoCompactEvery = every, keepBatches = 2)
+      // bound holds at EVERY point of the run, tightest right after a
+      // fold: never more than base + cadence + keepBatches per family
+      for (fam <- Seq("partials", "hll", "cm"))
+        assert(liveDirs(fam) <= every + 2,
+          s"$fam grew to ${liveDirs(fam)} live dirs at batch $i")
+      if (i > 0 && i % every == 0)
+        assert(liveDirs("partials") == 2,
+          s"auto-compact at batch $i did not fold down to keepBatches")
+    }
+    // the report over the auto-compacted state equals the batch report
+    // over exactly the union of the 60 slices (overlaps and all)
+    val union = (0L until 60L).map { i =>
+      val lo = (i * 7) % 490
+      docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 7)
+    }.reduce(_ unionByName _)
+    assert(StreamingReport.report(spark, stDir)
+        .orderBy("source").collect().map(_.toSeq).toSeq ==
+      graft.operators.Quality.corpusReport(union)
+        .orderBy("source").collect().map(_.toSeq).toSeq,
+      "auto-compacted streamed report diverged from the batch report")
+
+    // and through the REAL sink: an actual streaming query with a short
+    // cadence folds in-line between triggers
+    val inDir = Files.createTempDirectory("rep-ac-in").toString
+    val ckDir = Files.createTempDirectory("rep-ac-ck").toString
+    val st2 = Files.createTempDirectory("rep-ac-st2").toString
+    val q = StreamingReport.sink(
+      spark.readStream.schema(docs.schema).parquet(inDir), st2, ckDir,
+      pollSeconds = 1, autoCompactEvery = 3, keepBatches = 1)
+    try {
+      for (w <- 0 until 7) {
+        docs.filter(col("doc_id") >= w * 60 && col("doc_id") < (w + 1) * 60)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val p2 = new org.apache.hadoop.fs.Path(s"$st2/partials")
+    val live2 = fs.listStatus(p2).count(_.getPath.getName.startsWith("batch="))
+    assert(live2 <= 4, s"real sink kept $live2 live dirs (cadence 3)")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$st2/partials_base")),
+      "real sink never folded a base")
+    assert(StreamingReport.report(spark, st2)
+        .orderBy("source").collect().map(_.toSeq).toSeq ==
+      graft.operators.Quality.corpusReport(docs.filter(col("doc_id") < 420))
+        .orderBy("source").collect().map(_.toSeq).toSeq,
+      "real-sink auto-compacted report diverged from the batch report")
+  }
 }
