@@ -2604,31 +2604,7 @@ object CorpusQueries {
     // batch twin of StreamingReport.report + distinctReport on one grain:
     // what the curation dashboard actually renders.
     QueryDef("q108_sketch_dashboard",
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val toks = docs.select(col("source"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-        val est = Sketches.hllEstimateByGroup(
-            Sketches.hllRegisters(toks, "tok", b = 7,
-              groupCols = Seq("source")), 7, Seq("source"))
-          .select(col("source"),
-            round(col("est_distinct"), 6).as("est_distinct_tokens"))
-        val counters = Sketches.cmCounters(toks, "tok", d = 4, w = 512)
-        val hot = Sketches.cmEstimate(counters,
-            toks.select(col("tok")).distinct(), "tok", 4, 512)
-          .filter(col("cm_est") >= 500)
-        val nHot = toks.distinct().join(broadcast(hot.select(col("tok"))),
-            Seq("tok"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_hot_tokens"))
-        Quality.corpusReport(docs)
-          .join(est, Seq("source"), "left")
-          .join(nHot, Seq("source"), "left")
-          .select(col("source"), col("n_docs"), col("n_tokens"),
-            col("mean_quality"), col("lang_entropy"),
-            col("est_distinct_tokens"),
-            coalesce(col("n_hot_tokens"), lit(0L)).as("n_hot_tokens"))
-          .orderBy("source")
-      },
+      (s, dir) => sketchDashboardFrame(s, dir).orderBy("source"),
       Some(sketchDashboardOracleSql)),
 
     // Farthest-point seeding + full-corpus Lloyd (Similarity.farthestInit
@@ -2832,16 +2808,72 @@ object CorpusQueries {
           dim = 64, init = Some(init))
         Similarity.kmeansSummary(emb, cents).orderBy("cell")
       },
-      Some(kmeansOversampleOracleSql))
+      Some(kmeansOversampleOracleSql)),
+
+    // The moments state at the (source, lang) grain — the shape the
+    // streaming quantile report now keys (matching the sparse-distinct
+    // leg, so one dashboard can join all three sketch families on one
+    // grain). Same round-6-double output surface as q112; the DECIMAL
+    // accumulators stay internal.
+    QueryDef("q115_moments_state_by_lang",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sketches.momentsState(
+            docs.select(col("source"), col("lang"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+            "q", Seq("source", "lang"))
+          .select(col("source"), col("lang"), col("n"),
+            round(col("s1").cast("double"), 6).as("s1"),
+            round(col("s2").cast("double"), 6).as("s2"),
+            round(col("s3").cast("double"), 6).as("s3"),
+            round(col("s4").cast("double"), 6).as("s4"),
+            col("lo"), col("hi"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
+        |            FROM documents),
+        |${momentsStateOracleBodyFor("source, lang")}
+        |SELECT source, lang, n, round(s1::DOUBLE, 6) AS s1,
+        |  round(s2::DOUBLE, 6) AS s2, round(s3::DOUBLE, 6) AS s3,
+        |  round(s4::DOUBLE, 6) AS s4, lo, hi
+        |FROM st ORDER BY source, lang""".stripMargin)),
+
+    // The unified sketch dashboard: q108's per-source report (profile +
+    // HLL distinct + count-min heavy hitters) joined with the p50/p90
+    // quality estimates from the moments state — one query serving all
+    // three sketch families, every sketch side bounded and broadcast
+    // (PlanSpec-pinned). The oracle extends q108's full replay with the
+    // q113 Cornish-Fisher chain pivoted to columns.
+    QueryDef("q116_sketch_dashboard_quantiles",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val piv = Sketches.momentsQuantiles(
+            Sketches.momentsState(
+              docs.select(col("source"),
+                round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+              "q", Seq("source")),
+            Seq(0.5, 0.9), Seq("source"))
+          .groupBy(col("source"))
+          .agg(
+            round(max(when(col("q") === 0.5, col("est"))), 6)
+              .as("p50_quality"),
+            round(max(when(col("q") === 0.9, col("est"))), 6)
+              .as("p90_quality"))
+        sketchDashboardFrame(s, dir)
+          .join(broadcast(piv), Seq("source"), "left")
+          .orderBy("source")
+      },
+      Some(sketchDashboardQuantilesOracleSql))
   )
 
-  /** The q112 moments state as CTEs (expects a preceding `d` CTE with
-    * the padded text): quality replay `qd`, then the power-sum grain
-    * `st` — shared by the q112 state oracle and q113's estimator chain.
+  /** The moments state as CTEs (expects a preceding `d` CTE with the
+    * padded text and every `keys` column): quality replay `qd`, then the
+    * power-sum grain `st` — shared by the q112 (per-source) and q115
+    * (per-source-and-lang) state oracles and q113's estimator chain.
     */
-  private lazy val momentsStateOracleBody: String =
+  private def momentsStateOracleBodyFor(keys: String): String =
     s"""qd AS (
-      |  SELECT source,
+      |  SELECT $keys,
       |    round((
       |      least(len(text) / 500.0, 1.0)
       |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
@@ -2852,13 +2884,16 @@ object CorpusQueries {
       |    ) / 3.0, 6) AS x
       |  FROM d),
       |st AS (
-      |  SELECT source, count(*)::BIGINT AS n,
+      |  SELECT $keys, count(*)::BIGINT AS n,
       |    sum(round(x, 6)::DECIMAL(28,6)) AS s1,
       |    sum(round(x * x, 6)::DECIMAL(28,6)) AS s2,
       |    sum(round(x * x * x, 6)::DECIMAL(28,6)) AS s3,
       |    sum(round(x * x * x * x, 6)::DECIMAL(28,6)) AS s4,
       |    min(x) AS lo, max(x) AS hi
-      |  FROM qd GROUP BY source)""".stripMargin
+      |  FROM qd GROUP BY $keys)""".stripMargin
+
+  private lazy val momentsStateOracleBody: String =
+    momentsStateOracleBodyFor("source")
 
   /** q113's oracle: the q112 state CTE plus the Cornish-Fisher chain in
     * the exact engine operation order. z(0.5) = 0 exactly (the Acklam
@@ -3226,6 +3261,38 @@ object CorpusQueries {
         |FROM best WHERE rnk = 1 ORDER BY cluster""".stripMargin
   }
 
+  /** q108's dashboard frame (unordered) — q116 appends the moments
+    * quantile columns onto the same grain, so both queries share one
+    * plan shape: corpus scanned once per sketch leg, every join side
+    * bounded by the source/vocab grain.
+    */
+  private def sketchDashboardFrame(s: org.apache.spark.sql.SparkSession,
+                                   dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val est = Sketches.hllEstimateByGroup(
+        Sketches.hllRegisters(toks, "tok", b = 7,
+          groupCols = Seq("source")), 7, Seq("source"))
+      .select(col("source"),
+        round(col("est_distinct"), 6).as("est_distinct_tokens"))
+    val counters = Sketches.cmCounters(toks, "tok", d = 4, w = 512)
+    val hot = Sketches.cmEstimate(counters,
+        toks.select(col("tok")).distinct(), "tok", 4, 512)
+      .filter(col("cm_est") >= 500)
+    val nHot = toks.distinct().join(broadcast(hot.select(col("tok"))),
+        Seq("tok"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_hot_tokens"))
+    Quality.corpusReport(docs)
+      .join(est, Seq("source"), "left")
+      .join(nHot, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("lang_entropy"),
+        col("est_distinct_tokens"),
+        coalesce(col("n_hot_tokens"), lit(0L)).as("n_hot_tokens"))
+  }
+
   /** q108's oracle: the q99 report replay joined with a FULL replay of
     * the b=7 HLL estimator — integer registers, the DECIMAL(38,0) scaled
     * harmonic accumulator, then the same left-associated float constant
@@ -3318,6 +3385,67 @@ object CorpusQueries {
       |JOIN hest ON hest.source = per.source
       |LEFT JOIN nhot ON nhot.source = per.source
       |ORDER BY per.source""".stripMargin
+
+  /** q116's oracle: q108's full dashboard replay with the q113
+    * Cornish-Fisher chain appended (power sums straight from the
+    * dashboard's own round-6 `qd.q`, estimator arithmetic in the exact
+    * engine operation order) and the two estimates pivoted to columns.
+    * String surgery on the shared oracle keeps the dashboard replay
+    * identical by construction.
+    */
+  private lazy val sketchDashboardQuantilesOracleSql: String = {
+    val tail = """SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy,
+      |  est_distinct_tokens, coalesce(n_hot_tokens, 0) AS n_hot_tokens
+      |FROM per
+      |JOIN ent ON ent.source = per.source
+      |JOIN hest ON hest.source = per.source
+      |LEFT JOIN nhot ON nhot.source = per.source
+      |ORDER BY per.source""".stripMargin
+    require(sketchDashboardOracleSql.endsWith(tail),
+      "q108 oracle tail changed; update the quantile-dashboard surgery")
+    sketchDashboardOracleSql.dropRight(tail.length) +
+      s""",mst AS (
+      |  SELECT source, count(*)::BIGINT AS n,
+      |    sum(round(q, 6)::DECIMAL(28,6)) AS s1,
+      |    sum(round(q * q, 6)::DECIMAL(28,6)) AS s2,
+      |    sum(round(q * q * q, 6)::DECIMAL(28,6)) AS s3,
+      |    min(q) AS lo, max(q) AS hi
+      |  FROM qd GROUP BY source),
+      |mm0 AS (
+      |  SELECT source, s1::DOUBLE / n::DOUBLE AS mean,
+      |    s2::DOUBLE / n::DOUBLE AS e2, s3::DOUBLE / n::DOUBLE AS e3,
+      |    lo, hi
+      |  FROM mst),
+      |mm1 AS (SELECT source, mean, e2 - mean * mean AS m2, e3, lo, hi
+      |        FROM mm0),
+      |mm2 AS (
+      |  SELECT source, mean, sqrt(greatest(m2, 0.0)) AS sd,
+      |    e3 - 3.0 * mean * m2 - mean * mean * mean AS m3, lo, hi
+      |  FROM mm1),
+      |mm3 AS (
+      |  SELECT source, mean, sd, lo, hi,
+      |    CASE WHEN sd > 0 THEN m3 / (sd * sd * sd) ELSE 0.0 END AS skew
+      |  FROM mm2),
+      |mq AS (
+      |  SELECT source,
+      |    round(least(greatest(mean + sd *
+      |      (0.0::DOUBLE + (-1.0::DOUBLE / 6.0) * skew), lo), hi), 6)
+      |      AS p50_quality,
+      |    round(least(greatest(mean + sd *
+      |      (1.2815515641401563::DOUBLE +
+      |       (0.6423744115500811::DOUBLE / 6.0) * skew), lo), hi), 6)
+      |      AS p90_quality
+      |  FROM mm3)
+      |SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy,
+      |  est_distinct_tokens, coalesce(n_hot_tokens, 0) AS n_hot_tokens,
+      |  p50_quality, p90_quality
+      |FROM per
+      |JOIN ent ON ent.source = per.source
+      |JOIN hest ON hest.source = per.source
+      |LEFT JOIN nhot ON nhot.source = per.source
+      |LEFT JOIN mq ON mq.source = per.source
+      |ORDER BY per.source""".stripMargin
+  }
 
   /** q93's oracle: q79's quantizer-replay SQL with the final top-10
     * selection swapped for the refine chain (ADC candidates at rank ≤ 40 →

@@ -234,34 +234,40 @@ object StreamingReport {
       b, Seq("source", "lang"))
   }
 
-  /** Per-batch moments-sketch partials (power sums of the quality score,
-    * per source) — the quantile companion: seven DECIMAL-exact numbers
-    * per (source, batch), merged by addition (batch-keyed overwrite for
-    * replay safety, like the count-min family).
+  /** Per-batch moments-sketch partials (power sums of the quality score)
+    * at the (source, lang) grain — the same grain the sparse-distinct
+    * report keys, so the dashboard's two sketch legs line up. Seven
+    * DECIMAL-exact numbers per (source, lang, batch), merged by addition
+    * (batch-keyed overwrite for replay safety, like the count-min
+    * family). Constant state per group — the finer grain multiplies rows
+    * by the language count, not by data volume.
     */
   def processBatchMoments(batch: DataFrame, stateDir: String, batchId: Long,
                           sourceCol: String = "source",
+                          langCol: String = "lang",
                           textCol: String = "text"): Unit =
     Sketches.momentsState(
-        batch.select(col(sourceCol).as("source"),
+        batch.select(col(sourceCol).as("source"), col(langCol).as("lang"),
           round(TextFunctions.qualityScore(col(textCol)), 6).as("q")),
-        "q", Seq("source"))
+        "q", Seq("source", "lang"))
       .write.mode("overwrite")
       .parquet(s"$stateDir/moments/batch=$batchId")
 
-  /** Per-source quality-quantile estimates over everything streamed so
-    * far — the moments state merges exactly (DECIMAL sums), so the
-    * streamed estimate equals the batch-built sketch over the union.
+  /** Per-(source, lang) quality-quantile estimates over everything
+    * streamed so far — the moments state merges exactly (DECIMAL sums),
+    * so the streamed estimate equals the batch-built sketch over the
+    * union.
     */
   def quantileReport(spark: SparkSession, stateDir: String,
                      qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
     val partials = readState(spark, s"$stateDir/moments",
       s"$stateDir/moments_base",
-      emptyFrame(spark, "source STRING, n BIGINT, s1 DECIMAL(38,6), " +
-        "s2 DECIMAL(38,6), s3 DECIMAL(38,6), s4 DECIMAL(38,6), " +
-        "lo DOUBLE, hi DOUBLE"))
+      emptyFrame(spark, "source STRING, lang STRING, n BIGINT, " +
+        "s1 DECIMAL(38,6), s2 DECIMAL(38,6), s3 DECIMAL(38,6), " +
+        "s4 DECIMAL(38,6), lo DOUBLE, hi DOUBLE"))
     Sketches.momentsQuantiles(
-      Sketches.momentsMerge(partials, Seq("source")), qs, Seq("source"))
+      Sketches.momentsMerge(partials, Seq("source", "lang")), qs,
+      Seq("source", "lang"))
   }
 
   /** Fold every batch partition except the most recent `keepBatches` into
@@ -284,7 +290,8 @@ object StreamingReport {
     compactFamily(spark, s"$stateDir/cm", s"$stateDir/cm_base",
       keepBatches, merged => Sketches.cmMerge(merged))
     compactFamily(spark, s"$stateDir/moments", s"$stateDir/moments_base",
-      keepBatches, merged => Sketches.momentsMerge(merged, Seq("source")))
+      keepBatches,
+      merged => Sketches.momentsMerge(merged, Seq("source", "lang")))
     val hllsDir = new Path(s"$stateDir/hlls")
     val fs = hllsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (readMarker(fs, new Path(hllsDir, "_b")),

@@ -296,6 +296,16 @@ class PlanSpec extends SparkSpec {
     // centroid compare
     assert(!plans("q109_kmeans_farthest_init").contains("WindowExec"),
       "q109 must not rank through a window")
+    // q116 unifies all three sketch families on the report grain: every
+    // sketch side (HLL estimates, hot-token counts, moments quantiles)
+    // is source-grain-bounded and must broadcast — no sort-merge join
+    // anywhere in the dashboard
+    assert(plans("q116_sketch_dashboard_quantiles")
+        .contains("BroadcastHashJoin"),
+      "q116: sketch columns must broadcast onto the report grain")
+    assert(!plans("q116_sketch_dashboard_quantiles")
+        .contains("SortMergeJoin"),
+      "q116: a sort-merge join appeared in a bounded-side dashboard plan")
   }
 
   test("q111 bucketed co-located join: sort-merge join with NO shuffle " +

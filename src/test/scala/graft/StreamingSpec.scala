@@ -852,7 +852,7 @@ class StreamingSpec extends SparkSpec {
     val dBefore = drep()
 
     def qrep() = StreamingReport.quantileReport(spark, stDir)
-      .orderBy("source", "q").collect().map(_.toSeq).toSeq
+      .orderBy("source", "lang", "q").collect().map(_.toSeq).toSeq
     val qBefore = qrep()
 
     // sparse-HLL family: every per-batch partial is sparse (a 50-doc
@@ -876,15 +876,16 @@ class StreamingSpec extends SparkSpec {
         onePassState, 7, Seq("source", "lang"))
       .orderBy("source", "lang").collect().map(_.toSeq).toSeq,
       "streamed sparse-distinct report diverged from the one-pass build")
-    // streamed quantile estimates == the batch-built moments sketch
+    // streamed quantile estimates == the batch-built moments sketch, at
+    // the same (source, lang) grain the sparse-distinct report keys
     assert(qBefore == graft.operators.Sketches.momentsQuantiles(
         graft.operators.Sketches.momentsState(
-          docs.filter(col("doc_id") < 300).select(col("source"),
+          docs.filter(col("doc_id") < 300).select(col("source"), col("lang"),
             round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
               .as("q")),
-          "q", Seq("source")),
-        Seq(0.5, 0.9), Seq("source"))
-      .orderBy("source", "q").collect().map(_.toSeq).toSeq,
+          "q", Seq("source", "lang")),
+        Seq(0.5, 0.9), Seq("source", "lang"))
+      .orderBy("source", "lang", "q").collect().map(_.toSeq).toSeq,
       "streamed quantile report diverged from the batch moments sketch")
 
     // streamed CM estimates == the batch sketch over the union, exactly
