@@ -420,4 +420,61 @@ object Sketches {
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
+
+  // ------------------------------------------ persisted moments store
+
+  /** Persist a moments quantile state as a Bundle — the sketch-store
+    * leg of the quantile family: a profile job builds the
+    * 7-numbers-per-group state once, dashboards serve estimates from
+    * the SAVED table without rescanning the corpus (the AnnIndex /
+    * Classifier reopen-not-recompute idiom, trx azav.py:300-302). The
+    * manifest pins the REQUEST grain (value column, group columns,
+    * caller tag) for [[ensureMomentsState]]'s T2 invalidation; the
+    * state itself is DECIMAL/BIGINT/DOUBLE-exact, so parquet
+    * round-tripping cannot move an estimate — served quantiles are
+    * bit-identical to live ones (spec-pinned, and q117's oracle
+    * recomputes them from the raw corpus).
+    */
+  def saveMomentsState(state: DataFrame, dir: String, valueCol: String,
+                       groupCols: Seq[String], tag: String = ""): Unit =
+    graft.sources.Bundle.save(dir, Map("moments" -> state),
+      momentsParams(valueCol, groupCols, tag))
+
+  /** Load a persisted moments state; fails without a manifest (crash
+    * mid-save → invalid, the Bundle manifest-written-last contract).
+    */
+  def loadMomentsState(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no moments-sketch manifest at $dir"))
+    require(m.get("kind").contains("moments-sketch"),
+      s"not a moments sketch store: $dir")
+    graft.sources.Bundle.load(spark, dir)("moments")
+  }
+
+  /** Reuse the state at `dir` when its manifest matches the request
+    * grain; otherwise rebuild from `df` via [[momentsState]] and
+    * overwrite (T2 parameter invalidation). Returns (state, rebuilt);
+    * the returned frame always reads the SAVED parquet, so repeated
+    * serves never re-aggregate the corpus through live lineage.
+    */
+  def ensureMomentsState(df: => DataFrame, dir: String, valueCol: String,
+                         groupCols: Seq[String], tag: String = "")
+      : (DataFrame, Boolean) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (graft.sources.Bundle.isValid(dir,
+        momentsParams(valueCol, groupCols, tag)))
+      (loadMomentsState(spark, dir), false)
+    else {
+      graft.sources.Bundle.deleteRecursively(dir)
+      saveMomentsState(momentsState(df, valueCol, groupCols), dir,
+        valueCol, groupCols, tag)
+      (loadMomentsState(spark, dir), true)
+    }
+  }
+
+  private def momentsParams(valueCol: String, groupCols: Seq[String],
+                            tag: String): Map[String, String] =
+    Map("kind" -> "moments-sketch", "value" -> valueCol,
+      "groups" -> groupCols.mkString(","), "tag" -> tag)
 }

@@ -2863,7 +2863,31 @@ object CorpusQueries {
           .join(broadcast(piv), Seq("source"), "left")
           .orderBy("source")
       },
-      Some(sketchDashboardQuantilesOracleSql))
+      Some(sketchDashboardQuantilesOracleSql)),
+
+    // Quantile serving from the PERSISTED moments store (Sketches
+    // .ensureMomentsState): the profile job builds the (source, lang)
+    // state once as a Bundle (data-stamped dir, T2 manifest); this
+    // query serves p50/p90 from the SAVED 7-number rows without
+    // rescanning the corpus on a warm store. The oracle recomputes the
+    // estimates from the raw corpus — persistence must be semantically
+    // invisible (the q106-vs-q104 discipline for the sketch family).
+    QueryDef("q117_quantile_store_served",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_momstore_${dataStamp(dir, "documents")}"
+        val docs = table(s, dir, "documents")
+        val (state, _) = Sketches.ensureMomentsState(
+          docs.select(col("source"), col("lang"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+          store, "q", Seq("source", "lang"))
+        Sketches.momentsQuantiles(state, Seq(0.5, 0.9),
+            Seq("source", "lang"))
+          .select(col("source"), col("lang"), col("q"),
+            round(col("est"), 6).as("est"))
+          .orderBy("source", "lang", "q")
+      },
+      Some(momentsQuantileOracleSqlFor("source, lang")))
   )
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the
@@ -2895,45 +2919,50 @@ object CorpusQueries {
   private lazy val momentsStateOracleBody: String =
     momentsStateOracleBodyFor("source")
 
-  /** q113's oracle: the q112 state CTE plus the Cornish-Fisher chain in
-    * the exact engine operation order. z(0.5) = 0 exactly (the Acklam
-    * central branch at q = 0); z(0.9) and z²−1 are embedded as
-    * round-trip double literals cast ::DOUBLE (DuckDB would otherwise
-    * parse them as DECIMAL and change the arithmetic).
+  /** q113's (and, at the two-key grain, q117's) oracle: the moments
+    * state CTE plus the Cornish-Fisher chain in the exact engine
+    * operation order. z(0.5) = 0 exactly (the Acklam central branch at
+    * q = 0); z(0.9) and z²−1 are embedded as round-trip double literals
+    * cast ::DOUBLE (DuckDB would otherwise parse them as DECIMAL and
+    * change the arithmetic).
     */
-  private lazy val momentsQuantileOracleSql: String = {
-    require(momentsStateOracleBody.contains("GROUP BY source"),
-      "q112 oracle body changed; update the quantile chain")
-    s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+  private def momentsQuantileOracleSqlFor(keys: String): String = {
+    val body = momentsStateOracleBodyFor(keys)
+    require(body.contains(s"GROUP BY $keys"),
+      "moments oracle body changed; update the quantile chain")
+    s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
       |            FROM documents),
-      |$momentsStateOracleBody,
+      |$body,
       |m AS (
-      |  SELECT source, s1::DOUBLE / n::DOUBLE AS mean,
+      |  SELECT $keys, s1::DOUBLE / n::DOUBLE AS mean,
       |    s2::DOUBLE / n::DOUBLE AS e2, s3::DOUBLE / n::DOUBLE AS e3,
       |    lo, hi
       |  FROM st),
-      |mm AS (SELECT source, mean, e2 - mean * mean AS m2, e3, lo, hi FROM m),
+      |mm AS (SELECT $keys, mean, e2 - mean * mean AS m2, e3, lo, hi FROM m),
       |sk0 AS (
-      |  SELECT source, mean, sqrt(greatest(m2, 0.0)) AS sd,
+      |  SELECT $keys, mean, sqrt(greatest(m2, 0.0)) AS sd,
       |    e3 - 3.0 * mean * m2 - mean * mean * mean AS m3, lo, hi
       |  FROM mm),
       |sk AS (
-      |  SELECT source, mean, sd, lo, hi,
+      |  SELECT $keys, mean, sd, lo, hi,
       |    CASE WHEN sd > 0 THEN m3 / (sd * sd * sd) ELSE 0.0 END AS skew
       |  FROM sk0),
       |qq AS (
-      |  SELECT source, 0.5::DOUBLE AS q,
+      |  SELECT $keys, 0.5::DOUBLE AS q,
       |    round(least(greatest(mean + sd *
       |      (0.0::DOUBLE + (-1.0::DOUBLE / 6.0) * skew), lo), hi), 6) AS est
       |  FROM sk
       |  UNION ALL
-      |  SELECT source, 0.9::DOUBLE AS q,
+      |  SELECT $keys, 0.9::DOUBLE AS q,
       |    round(least(greatest(mean + sd *
       |      (1.2815515641401563::DOUBLE +
       |       (0.6423744115500811::DOUBLE / 6.0) * skew), lo), hi), 6) AS est
       |  FROM sk)
-      |SELECT source, q, est FROM qq ORDER BY source, q""".stripMargin
+      |SELECT $keys, q, est FROM qq ORDER BY $keys, q""".stripMargin
   }
+
+  private lazy val momentsQuantileOracleSql: String =
+    momentsQuantileOracleSqlFor("source")
 
   /** q101's oracle: both Lloyd iterations unrolled — the stride init the
     * q79/q80 oracles already rebuild, then per iteration the round-6 L2²

@@ -317,14 +317,15 @@ object StreamingReport {
     */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
            pollSeconds: Int = 30, trackDistinct: Boolean = false,
-           trackFreq: Boolean = false, autoCompactEvery: Int = 64,
-           keepBatches: Int = 2): StreamingQuery =
+           trackFreq: Boolean = false, trackQuantiles: Boolean = false,
+           trackSparseDistinct: Boolean = false,
+           autoCompactEvery: Int = 64, keepBatches: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSinkBatch(batch, stateDir, batchId, trackDistinct, trackFreq,
-          autoCompactEvery, keepBatches)
+          trackQuantiles, trackSparseDistinct, autoCompactEvery, keepBatches)
       }
       .start()
 
@@ -334,14 +335,19 @@ object StreamingReport {
     */
   private[graft] def processSinkBatch(batch: DataFrame, stateDir: String,
       batchId: Long, trackDistinct: Boolean, trackFreq: Boolean,
-      autoCompactEvery: Int, keepBatches: Int): Unit = {
+      trackQuantiles: Boolean = false, trackSparseDistinct: Boolean = false,
+      autoCompactEvery: Int = 64, keepBatches: Int = 2): Unit = {
     // multiple actions read the batch → pin one snapshot for all
     val pinned =
-      if (trackDistinct || trackFreq) batch.localCheckpoint(true)
+      if (trackDistinct || trackFreq || trackQuantiles || trackSparseDistinct)
+        batch.localCheckpoint(true)
       else batch
     processBatch(pinned, stateDir, batchId)
     if (trackDistinct) processBatchDistinct(pinned, stateDir, batchId)
     if (trackFreq) processBatchFreq(pinned, stateDir, batchId)
+    if (trackQuantiles) processBatchMoments(pinned, stateDir, batchId)
+    if (trackSparseDistinct)
+      processBatchSparseDistinct(pinned, stateDir, batchId)
     if (autoCompactEvery > 0 && batchId > 0 &&
         batchId % autoCompactEvery == 0)
       compact(batch.sparkSession, stateDir, keepBatches)

@@ -270,6 +270,20 @@ class PlanSpec extends SparkSpec {
       "q105 re-derived corpus state the persisted indexes already hold")
   }
 
+  test("q117 quantile store serve: a warm store serves from the saved " +
+       "7-number state, never the corpus") {
+    val plan = plans("q117_quantile_store_served")
+    assert(plan.contains("graft_momstore_"),
+      "q117 must read the persisted moments store")
+    assert(!plan.contains("documents.parquet"),
+      "q117 re-aggregated the corpus the saved state already summarizes")
+    // serve path is group-grain scalar math: the only exchange allowed
+    // is the final presentation sort (rangepartitioning) — any
+    // hashpartitioning would mean a re-aggregation snuck in
+    assert(!plan.contains("hashpartitioning"),
+      "q117's serve path re-aggregated; the saved state is already at grain")
+  }
+
   test("sketch family plans: bounded sides broadcast, partial aggregation " +
        "before every shuffle (q102-q110)") {
     // the sparse/dense decision (q107/q110) rides a BROADCAST of the

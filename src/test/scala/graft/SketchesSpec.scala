@@ -200,4 +200,43 @@ class SketchesSpec extends SparkSpec {
         r.getAs[Long]("cnt"))).sorted.toSeq
     assert(rows(Sketches.cmMerge(ca.unionByName(cb))) == rows(counters))
   }
+
+  test("moments store round-trip: ensure builds once then reuses; served " +
+       "quantiles are bit-identical to live; grain drift rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("momstore").toString
+    val in = docs.select(col("source"), col("lang"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+        .as("q"))
+    def est(state: org.apache.spark.sql.DataFrame) =
+      Sketches.momentsQuantiles(state, Seq(0.5, 0.9), Seq("source", "lang"))
+        .orderBy("source", "lang", "q").collect().map(_.toSeq).toSeq
+    val (s1, built1) = Sketches.ensureMomentsState(in, dir, "q",
+      Seq("source", "lang"))
+    assert(built1, "first ensure must build")
+    assert(est(s1) == est(Sketches.momentsState(in, "q",
+        Seq("source", "lang"))),
+      "served quantiles diverged from the live state")
+    // reuse: same grain → no rebuild, no rewrite of the saved table
+    val files = new java.io.File(s"$dir/moments.parquet").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val (s2, built2) = Sketches.ensureMomentsState(
+      sys.error("reuse must not evaluate the corpus"), dir, "q",
+      Seq("source", "lang"))
+    assert(!built2, "matching grain must reuse")
+    assert(new java.io.File(s"$dir/moments.parquet").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap == files,
+      "reuse must not rewrite the saved state")
+    assert(est(s2) == est(s1), "reloaded state answered differently")
+    // grain drift invalidates (T2): different group columns rebuild
+    val (s3, built3) = Sketches.ensureMomentsState(
+      in.select(col("source"), col("q")), dir, "q", Seq("source"))
+    assert(built3, "grain drift must rebuild")
+    assert(s3.columns.toSeq ==
+      Seq("source", "n", "s1", "s2", "s3", "s4", "lo", "hi"))
+    // crash mid-save (no manifest) is invalid
+    graft.sources.Bundle.deleteRecursively(s"$dir/manifest.json")
+    intercept[IllegalStateException] { Sketches.loadMomentsState(spark, dir) }
+    assert(Sketches.ensureMomentsState(in.select(col("source"), col("q")),
+      dir, "q", Seq("source"))._2, "manifest-less store must rebuild")
+  }
 }

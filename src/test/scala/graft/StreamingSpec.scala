@@ -1062,7 +1062,8 @@ class StreamingSpec extends SparkSpec {
     val st2 = Files.createTempDirectory("rep-ac-st2").toString
     val q = StreamingReport.sink(
       spark.readStream.schema(docs.schema).parquet(inDir), st2, ckDir,
-      pollSeconds = 1, autoCompactEvery = 3, keepBatches = 1)
+      pollSeconds = 1, trackQuantiles = true, trackSparseDistinct = true,
+      autoCompactEvery = 3, keepBatches = 1)
     try {
       for (w <- 0 until 7) {
         docs.filter(col("doc_id") >= w * 60 && col("doc_id") < (w + 1) * 60)
@@ -1070,15 +1071,44 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val p2 = new org.apache.hadoop.fs.Path(s"$st2/partials")
-    val live2 = fs.listStatus(p2).count(_.getPath.getName.startsWith("batch="))
-    assert(live2 <= 4, s"real sink kept $live2 live dirs (cadence 3)")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$st2/partials_base")),
-      "real sink never folded a base")
+    for (fam <- Seq("partials", "moments", "hlls")) {
+      val p2 = new org.apache.hadoop.fs.Path(s"$st2/$fam")
+      val live2 =
+        fs.listStatus(p2).count(_.getPath.getName.startsWith("batch="))
+      assert(live2 <= 4, s"real sink kept $live2 live $fam dirs (cadence 3)")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$st2/${fam}_base")),
+        s"real sink never folded a $fam base")
+    }
+    val streamedDocs = docs.filter(col("doc_id") < 420)
     assert(StreamingReport.report(spark, st2)
         .orderBy("source").collect().map(_.toSeq).toSeq ==
-      graft.operators.Quality.corpusReport(docs.filter(col("doc_id") < 420))
+      graft.operators.Quality.corpusReport(streamedDocs)
         .orderBy("source").collect().map(_.toSeq).toSeq,
       "real-sink auto-compacted report diverged from the batch report")
+    // the sink's quantile leg: streamed + auto-compacted moments state
+    // serves the same estimates as the batch-built sketch
+    assert(StreamingReport.quantileReport(spark, st2)
+        .orderBy("source", "lang", "q").collect().map(_.toSeq).toSeq ==
+      graft.operators.Sketches.momentsQuantiles(
+          graft.operators.Sketches.momentsState(
+            streamedDocs.select(col("source"), col("lang"),
+              round(graft.functions.TextFunctions.qualityScore(col("text")),
+                6).as("q")),
+            "q", Seq("source", "lang")),
+          Seq(0.5, 0.9), Seq("source", "lang"))
+        .orderBy("source", "lang", "q").collect().map(_.toSeq).toSeq,
+      "sink-fed quantile report diverged from the batch moments sketch")
+    // and the sparse-distinct leg, exact below threshold / HLL above
+    assert(StreamingReport.sparseDistinctReport(spark, st2)
+        .orderBy("source", "lang").collect().map(_.toSeq).toSeq ==
+      graft.operators.Sketches.hllSparseEstimate(
+          graft.operators.Sketches.hllSparseState(
+            streamedDocs.select(col("source"), col("lang"),
+              explode(graft.functions.TextFunctions.tokens(col("text")))
+                .as("tok")),
+            "tok", 9, 256, Seq("source", "lang")),
+          9, Seq("source", "lang"))
+        .orderBy("source", "lang").collect().map(_.toSeq).toSeq,
+      "sink-fed sparse-distinct report diverged from the one-pass build")
   }
 }
