@@ -67,6 +67,14 @@ object Bench {
       // so warmth is preserved where it matters); without this, storage
       // pressure from 59 queries × 4 runs inflated late queries ~70%
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint() blocks are NOT in the cache manager — they are
+      // freed only when their RDD objects get garbage-collected and the
+      // ContextCleaner fires. Across a 117-query suite those pinned
+      // blocks accumulate into storage/GC pressure that inflates LATER
+      // queries (the r10 in-suite outliers: q43-q47 ran 3-6x their
+      // fresh-JVM cost). One untimed GC per query keeps the suite
+      // measuring plans, not accumulated session debris.
+      System.gc()
       (name, median(timed), timed.min, timed.max)
     }
     val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }

@@ -32,8 +32,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() would otherwise leak storage into every
-      // later query in the session (same fix as Bench)
+      // later query in the session (same fix as Bench); the GC lets the
+      // ContextCleaner release localCheckpoint blocks too
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

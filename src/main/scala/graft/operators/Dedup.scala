@@ -310,18 +310,8 @@ object Dedup {
     // reuse already shares the aggregation across the three readers)
     val sigs = minhashSignatures(docs, textCol, idCol, shingleSize, nHashes,
       verifiable)
-    // Verifiable mode: plain-text band key (band index + joined minima) so
-    // DuckDB can rebuild it; default: xxhash64-compressed key (8-byte
-    // shuffle instead of a ~40-char string — the right trade at corpus
-    // scale).
-    val bandKeys =
-      if (verifiable)
-        array((0 until nBands).map { b =>
-          concat_ws("_", lit(b),
-            concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-        }: _*)
-      else VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)
-    val banded = sigs.withColumn("band", explode(bandKeys))
+    val banded = sigs.withColumn("band",
+      explode(bandKeyExpr(nBands, rowsPerBand, verifiable)))
     // Distinct candidate pairs first (a pair colliding in k bands appears k
     // times), THEN one signature comparison per pair.
     val pairs = bandCandidates(banded, maxBucketSize)
@@ -332,6 +322,23 @@ object Dedup {
         VectorFunctions.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** LSH band keys over a `sig` column. Verifiable mode: plain-text key
+    * (band index + joined minima) so DuckDB can rebuild it; default:
+    * xxhash64-compressed key (8-byte shuffle instead of a ~40-char
+    * string — the right trade at corpus scale). Shared by the in-memory
+    * pair enumeration ([[minhashLshPairs]]) and the persisted index
+    * ([[LshIndex]]) so a served lookup buckets EXACTLY like a live one.
+    */
+  private[graft] def bandKeyExpr(nBands: Int, rowsPerBand: Int,
+                                 verifiable: Boolean)
+      : org.apache.spark.sql.Column =
+    if (verifiable)
+      array((0 until nBands).map { b =>
+        concat_ws("_", lit(b),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)
+    else VectorFunctions.minhashBands(col("sig"), nBands, rowsPerBand)
 
   /** Payload-carrying capped self-join shared by [[simhashPairs]] and
     * [[embeddingNearDupPairs]]: pair rows on `keyCols` into

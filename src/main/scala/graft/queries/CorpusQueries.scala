@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, LmScore, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
+import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
 import QueryUtil._
 import Tables._
 
@@ -52,8 +52,11 @@ object CorpusQueries {
     * the hot-bucket star cap (buckets over `maxBucketSize` pair members
     * with the bucket min only) → estimated-Jaccard verification.
     */
-  private def minhashLshOracle(corpusSql: String, threshold: Double,
-                               maxBucketSize: Int): String = {
+  /** The shared signature/band replay: rolling-hash shingles →
+    * universal-hash minima (`sig`) → plain-text band keys (`bands`) over
+    * an arbitrary (doc_id, text) corpus query.
+    */
+  private def minhashSigBandsCtes(corpusSql: String): String = {
     val p = VectorFunctions.MinhashPrime
     val mins = (0 until 32).map { i =>
       val (a, b) = VectorFunctions.minhashCoeffs(i)
@@ -64,10 +67,7 @@ object CorpusQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, '${bnd}_' || $cols AS bk FROM sig"
     }.mkString("\n  UNION ALL ")
-    val agree = (0 until 32)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH corpus AS ($corpusSql),
+    s"""corpus AS ($corpusSql),
       |tok AS (
       |  SELECT doc_id, u.p AS p, u.h AS h FROM (
       |    SELECT doc_id,
@@ -85,7 +85,16 @@ object CorpusQueries {
       |         (((h1 * 1000003 + h2) % 1000000007) * 1000003 + h3) % 1000000007 AS h
       |  FROM led WHERE h3 IS NOT NULL),
       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-      |bands AS ($bandSelects),
+      |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private def minhashAgreeSql: String = (0 until 32)
+    .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private def minhashLshOracle(corpusSql: String, threshold: Double,
+                               maxBucketSize: Int): String =
+    s"""WITH ${minhashSigBandsCtes(corpusSql)},
       |bstats AS (SELECT bk, count(*) AS bsz, min(doc_id) AS bmin
       |           FROM bands GROUP BY bk),
       |pairs AS (
@@ -98,11 +107,38 @@ object CorpusQueries {
       |    FROM bands b JOIN bstats st
       |      ON st.bk = b.bk AND st.bsz > $maxBucketSize AND st.bmin < b.doc_id)),
       |est AS (
-      |  SELECT id_a, id_b, ($agree) / 32.0 AS est_jaccard
+      |  SELECT id_a, id_b, ($minhashAgreeSql) / 32.0 AS est_jaccard
       |  FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)
       |SELECT id_a, id_b, est_jaccard FROM est
       |WHERE est_jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q118's oracle: the serve-mode replay — index-side bands get the
+    * build-time star cap (over-cap buckets keep min-id only), the query
+    * side's band keys join against the capped set, distinct candidates
+    * verify by estimated Jaccard. Signatures depend only on the document
+    * itself, so computing them over the whole corpus and filtering by
+    * the split predicates replays the engine's split-then-hash exactly.
+    */
+  private def minhashLshServeOracle(ixWhere: String, qWhere: String,
+                                    threshold: Double,
+                                    maxBucketSize: Int): String =
+    s"""WITH ${minhashSigBandsCtes("SELECT doc_id, text FROM documents")},
+      |ixb AS (SELECT * FROM bands WHERE $ixWhere),
+      |bstats AS (SELECT bk, count(*) AS bsz, min(doc_id) AS bmin
+      |           FROM ixb GROUP BY bk),
+      |joinable AS (
+      |  SELECT i.bk, i.doc_id FROM ixb i JOIN bstats st ON st.bk = i.bk
+      |  WHERE st.bsz <= $maxBucketSize OR i.doc_id = st.bmin),
+      |qb AS (SELECT * FROM bands WHERE $qWhere),
+      |pairs AS (
+      |  SELECT DISTINCT q.doc_id AS query_id, j.doc_id AS id
+      |  FROM qb q JOIN joinable j ON j.bk = q.bk),
+      |est AS (
+      |  SELECT query_id, id, ($minhashAgreeSql) / 32.0 AS est_jaccard
+      |  FROM pairs JOIN sig sa ON query_id = sa.doc_id
+      |             JOIN sig sb ON id = sb.doc_id)
+      |SELECT query_id, id, est_jaccard FROM est
+      |WHERE est_jaccard >= $threshold ORDER BY query_id, id""".stripMargin
 
   /** q79's DuckDB replay of iters=0 IVF-ADC over `embeddings` — shared
     * with q85: serving from a persisted index must be bit-identical to
@@ -2887,7 +2923,29 @@ object CorpusQueries {
             round(col("est"), 6).as("est"))
           .orderBy("source", "lang", "q")
       },
-      Some(momentsQuantileOracleSqlFor("source, lang")))
+      Some(momentsQuantileOracleSqlFor("source, lang"))),
+
+    // Near-dup lookup from the PERSISTED LSH index (LshIndex — the text
+    // twin of AnnIndex): the canonical 80% of the corpus is indexed once
+    // (signatures + star-capped band buckets as a Bundle, data-stamped
+    // dir, T2 manifest); the held-out 20% plays the incoming crawl batch
+    // and is hashed with the manifest's parameters, joined against the
+    // saved buckets, and verified by estimated Jaccard. The oracle
+    // recomputes both sides from raw documents, including the build-time
+    // cap — persistence must be semantically invisible.
+    QueryDef("q118_neardup_index_served",
+      (s, dir) => {
+        val ixDir = System.getProperty("java.io.tmpdir") +
+          s"/graft_lshix_${dataStamp(dir, "documents")}"
+        val docs = table(s, dir, "documents")
+        LshIndex.ensure(docs.filter(col("doc_id") % 5 =!= 4), ixDir,
+          LshIndex.Params(verifiable = true))
+        LshIndex.serveNearDups(s, ixDir,
+            docs.filter(col("doc_id") % 5 === 4), threshold = 0.5)
+          .orderBy("query_id", "id")
+      },
+      Some(minhashLshServeOracle("doc_id % 5 <> 4", "doc_id % 5 = 4",
+        threshold = 0.5, maxBucketSize = 4096)))
   )
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the

@@ -270,6 +270,19 @@ class PlanSpec extends SparkSpec {
       "q105 re-derived corpus state the persisted indexes already hold")
   }
 
+  test("q118 near-dup index serve: the lookup joins the SAVED capped " +
+       "buckets and signatures — the indexed 80% is never re-hashed") {
+    val plan = plans("q118_neardup_index_served")
+    assert(plan.contains("graft_lshix_"),
+      "q118 must read the persisted LSH index store")
+    // the only corpus scans are the query-side 20% (signature build +
+    // verification); the index side arrives pre-hashed from the store.
+    // The index-side predicate would have to appear to re-hash it.
+    assert(!plan.contains("NOT ((doc_id % 5) = 4)") &&
+      !plan.contains("(doc_id % 5) != 4"),
+      "q118 re-filtered the index split — the store already holds it")
+  }
+
   test("q117 quantile store serve: a warm store serves from the saved " +
        "7-number state, never the corpus") {
     val plan = plans("q117_quantile_store_served")
