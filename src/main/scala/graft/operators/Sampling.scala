@@ -110,4 +110,40 @@ object Sampling {
     }
     stratifiedSample(df, strataCol, rates, defaultFraction = 0.0, idCol, salt)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement per stratum —
+    * the one-pass A-ES scheme (Efraimidis & Spirakis 2006) in this
+    * file's replay discipline: each row draws u ∈ (0, 1] from the md5
+    * hash of (salt, id) as an EXACT 53-bit fixed-point fraction, and is
+    * keyed by round(ln(u)/w, 6). Maximizing u^(1/w) and maximizing
+    * ln(u)/w order identically (ln is monotone, ln u ≤ 0, w > 0), and
+    * the log form keeps the arithmetic one round-6'd double per row —
+    * replayable by the SQL oracle. The n largest keys per stratum win
+    * (heavier rows systematically draw larger keys — the weighted-
+    * reservoir inclusion guarantee, with no reservoir or sequential
+    * state); ties break to the smaller id. Rows with w <= 0 never
+    * qualify.
+    *
+    * Cost at scale: one projection plus the salted two-phase top-n per
+    * stratum ([[Similarity.saltedTopK]]) — no task sorts more than
+    * n·nSalt rows however large or skewed a stratum is, and the corpus
+    * never shuffles by content. Output: input columns + `_sk` (the
+    * selection key) + `rank` (1-based within the stratum).
+    */
+  def weightedSample(df: DataFrame, n: Int, weightCol: String,
+                     strataCol: String, idCol: String = "doc_id",
+                     salt: String = "graft"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    // (h mod (2^53−1) + 1) / 2^53: numerator in [1, 2^53−1] — exact in a
+    // double, as is the power-of-two divisor, so u is bit-identical on
+    // any IEEE engine
+    val u = (pmod(TextFunctions.md5Hash60(
+        concat_ws("_", lit(salt), col(idCol).cast("string"))),
+        lit(9007199254740991L)) + 1)
+      .cast("double") / lit(9007199254740992.0)
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("_sk", round(log(u) / col(weightCol), 6))
+    Similarity.saltedTopK(keyed, n,
+      Seq(col("_sk").desc, col(idCol)), idCol, strataCol)
+  }
 }

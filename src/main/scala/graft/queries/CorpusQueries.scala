@@ -2945,7 +2945,52 @@ object CorpusQueries {
           .orderBy("query_id", "id")
       },
       Some(minhashLshServeOracle("doc_id % 5 <> 4", "doc_id % 5 = 4",
-        threshold = 0.5, maxBucketSize = 4096)))
+        threshold = 0.5, maxBucketSize = 4096))),
+
+    // Deterministic weighted sampling WITHOUT replacement (A-ES): the
+    // "pick the n best-weighted representatives per stratum, but
+    // stochastically" selection a curation recipe uses where top-n is
+    // too greedy and Bernoulli ignores weights. The oracle replays the
+    // exact-53-bit uniform, the round-6 ln(u)/w key, and the per-source
+    // ranking; heavier documents win systematically but not
+    // deterministically by weight alone.
+    QueryDef("q119_weighted_sample",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sampling.weightedSample(
+            docs.select(col("doc_id"), col("source"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("w")),
+            n = 5, weightCol = "w", strataCol = "source")
+          .select(col("source"), col("rank"), col("doc_id"), col("w"),
+            col("_sk").as("skey"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id, source,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS w
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, source, w,
+        |    ((('0x' || substring(md5('graft_' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 9007199254740991 + 1)::DOUBLE / 9007199254740992.0) AS u
+        |  FROM qd WHERE w > 0),
+        |k AS (SELECT doc_id, source, w, round(ln(u) / w, 6) AS skey FROM u),
+        |r AS (
+        |  SELECT source, doc_id, w, skey,
+        |    row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id)
+        |      AS rank
+        |  FROM k)
+        |SELECT source, rank, doc_id, w, skey FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin))
   )
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the

@@ -238,6 +238,42 @@ class ClustersPackingSpec extends SparkSpec {
     assert(kept(4.0) == t4)
   }
 
+  test("weightedSample: without replacement per stratum, weight-biased, " +
+       "deterministic, non-positive weights excluded") {
+    // two strata; in "m" one heavy doc (w=50) among 200 light (w=0.1):
+    // E[heavy's key] = ln(u)/50 is ~500x closer to 0 than any light key,
+    // so the heavy doc must win a top-5 seat with near-certainty
+    val docs = ((0L until 200L).map(i => (i, "m", 0.1)) :+
+      (500L, "m", 50.0) :+ (501L, "m", 0.0) :+ (502L, "m", -1.0)) ++
+      (1000L until 1050L).map(i => (i, "z", 1.0))
+    val df = docs.toDF("doc_id", "stratum", "w")
+    val got = graft.operators.Sampling.weightedSample(df, n = 5,
+        weightCol = "w", strataCol = "stratum", idCol = "doc_id")
+      .collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq
+    val m = got.filter(_._1 == "m").map(_._2)
+    assert(m.length == 5 && m.distinct.length == 5,
+      "must draw exactly n distinct ids per stratum")
+    assert(m.contains(500L),
+      s"the 500x-heavier doc must be selected, got $m")
+    assert(!m.contains(501L) && !m.contains(502L),
+      "non-positive weights must never qualify")
+    assert(got.count(_._1 == "z") == 5)
+    // replay-stable: same draw on a rerun
+    val again = graft.operators.Sampling.weightedSample(df, n = 5,
+        weightCol = "w", strataCol = "stratum", idCol = "doc_id")
+      .collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq
+    assert(again == got, "weightedSample must be deterministic")
+    // a different salt draws a different light-doc set (independence)
+    val other = graft.operators.Sampling.weightedSample(df, n = 5,
+        weightCol = "w", strataCol = "stratum", idCol = "doc_id",
+        salt = "other")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(other != got.map(_._2).toSet,
+      "re-salting must draw an independent sample")
+  }
+
   test("chunkDocs: window/stride rule, last chunk reaches the end") {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
       (2L, "a b"), (3L, "")).toDF("doc_id", "text")
