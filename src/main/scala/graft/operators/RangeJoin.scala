@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-safe interval (range) joins.
+  *
+  * Spark's planner has no equi-key to hash on in a pure range predicate
+  * (`p.ts BETWEEN i.start AND i.end`), so it falls back to
+  * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons and a
+  * broadcast of a whole side; with an additional equi-key it still
+  * evaluates the range residually against every key match. Bucketizing
+  * restores an equi-join the engine can shuffle-partition: each interval
+  * explodes to the fixed-width buckets it overlaps, each point computes
+  * its single bucket, and the join runs on (equiKeys, bucket) with the
+  * residual range filter applied inside the bucket. A matching pair
+  * co-occurs in EXACTLY the point's bucket, so the output needs no
+  * dedup; a non-matching same-bucket pair costs one filtered row, never
+  * a cross product.
+  *
+  * Pick `bucketWidth` near the typical interval length: the interval
+  * side's explosion factor is len/width + 1, and the per-bucket
+  * candidate count is what bounds a task. This is the standard
+  * range-join decomposition every warehouse engine applies (the
+  * overlap-join rewrite); Spark simply has to be handed it as a plan.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to the `intervals` whose half-open
+    * [startCol, endCol) span contains the point's `tsCol`, matching
+    * `equiKeys` exactly. Timestamp columns are integral (e.g. epoch
+    * seconds); empty or inverted intervals (end <= start) match
+    * nothing. Output: the joined columns of both sides (minus the
+    * internal bucket), one row per matching (point, interval) pair.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      tsCol: String, startCol: String, endCol: String,
+                      equiKeys: Seq[String],
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bkt(c: org.apache.spark.sql.Column) =
+      floor(c / lit(bucketWidth.toDouble)).cast("long")
+    val pb = points.withColumn("_bkt", bkt(col(tsCol)))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bkt",
+        explode(sequence(bkt(col(startCol)), bkt(col(endCol) - 1))))
+    pb.join(ib, equiKeys :+ "_bkt")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bkt")
+  }
+}

@@ -98,6 +98,43 @@ object EventQueries {
       Some("""SELECT event_type, count(*) AS n,
         |       round(sum(value::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_v,
         |       round(quantile_cont(value, 0.95), 4) AS p95
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bucketized range join (RangeJoin.pointInInterval): attribute every
+    // event to the 10-minute incident window each error event of the
+    // same user opens — the interval-join shape (point BETWEEN start
+    // AND end) Spark would otherwise plan as a nested-loop scan. The
+    // bucket rewrite keeps it a shuffle equi-join on (user_id, bucket);
+    // PlanSpec pins the plan free of BroadcastNestedLoopJoin/cartesian.
+    // The oracle states the range join declaratively and DuckDB's IEJoin
+    // evaluates it — both engines must produce the identical pair set.
+    QueryDef("q120_range_join_incidents",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("sec"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        graft.operators.RangeJoin.pointInInterval(
+            ev, windows, "sec", "w_start", "w_end", Seq("user_id"),
+            bucketWidth = 600L)
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"), (col("sec") - col("w_start")).as("offset_sec"))
+          .orderBy("window_id", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  (e.sec - w.w_start)::BIGINT AS offset_sec
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.sec >= w.w_start AND e.sec < w.w_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin))
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Bucketized interval join: must equal the declarative range join
+  * exactly — half-open boundaries, multi-bucket spans, key isolation,
+  * degenerate intervals — while planning as an equi-join.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval == the declarative range join; [start, end) " +
+       "boundaries; multi-bucket spans; empty intervals match nothing") {
+    val pts = Seq(
+      (1L, "u", 0L), (2L, "u", 99L), (3L, "u", 100L), (4L, "u", 250L),
+      (5L, "u", 999L), (6L, "u", 1000L), (7L, "v", 250L), (8L, "u", 5000L))
+      .toDF("pid", "k", "ts")
+    val ivs = Seq(
+      (10L, "u", 100L, 1000L),  // spans many width-64 buckets
+      (11L, "u", 99L, 100L),    // single point interval [99, 100)
+      (12L, "v", 0L, 300L),
+      (13L, "u", 400L, 400L),   // empty: matches nothing
+      (14L, "u", 500L, 400L))   // inverted: matches nothing
+      .toDF("wid", "k", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi",
+        Seq("k"), bucketWidth = 64L)
+      .select(col("wid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.as[(Long, String, Long)].collect().flatMap {
+      case (pid, k, ts) =>
+        ivs.as[(Long, String, Long, Long)].collect().collect {
+          case (wid, ik, lo, hi) if ik == k && ts >= lo && ts < hi =>
+            (wid, pid)
+        }
+    }.toSet
+    assert(got == want, s"got $got, want $want")
+    // the specific boundary cases, spelled out
+    assert(got.contains((10L, 3L)), "start is inclusive")
+    assert(!got.contains((10L, 6L)), "end is exclusive")
+    assert(got.contains((11L, 2L)) && !got.contains((11L, 3L)))
+    assert(got.contains((12L, 7L)) && !got.contains((12L, 4L)),
+      "equi keys must isolate")
+    assert(!got.exists(p => p._1 == 13L || p._1 == 14L),
+      "empty/inverted intervals must match nothing")
+    // no duplicate pairs even though interval 10 spans ~14 buckets
+    val rows = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi",
+      Seq("k"), bucketWidth = 64L).count()
+    assert(rows == want.size, "multi-bucket spans must not duplicate pairs")
+    // bucket width does not change the result, only the plan
+    val wide = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi",
+        Seq("k"), bucketWidth = 100000L)
+      .select(col("wid"), col("pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == want)
+  }
+}
