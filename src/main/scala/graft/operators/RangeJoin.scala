@@ -49,4 +49,32 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bkt")
   }
+
+  /** Inner-join `left` intervals [lStart, lEnd) to the `right` intervals
+    * [rStart, rEnd) they OVERLAP (share at least one instant with),
+    * matching `equiKeys` exactly. Both sides explode to their covering
+    * buckets; an overlapping pair co-occurs in EVERY bucket the overlap
+    * spans, so the join keeps only the overlap's FIRST bucket — the
+    * bucket of max(lStart, rStart), which both explosions necessarily
+    * cover — making the output exactly one row per overlapping pair
+    * with no distinct (and its shuffle) needed. Empty/inverted
+    * intervals on either side match nothing.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      equiKeys: Seq[String],
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bkt(c: org.apache.spark.sql.Column) =
+      floor(c / lit(bucketWidth.toDouble)).cast("long")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s))
+        .withColumn("_bkt", explode(sequence(bkt(col(s)), bkt(col(e) - 1))))
+    explodeBuckets(left, lStart, lEnd)
+      .join(explodeBuckets(right, rStart, rEnd), equiKeys :+ "_bkt")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bkt") === bkt(greatest(col(lStart), col(rStart))))
+      .drop("_bkt")
+  }
 }

@@ -135,6 +135,68 @@ object EventQueries {
         |  (e.sec - w.w_start)::BIGINT AS offset_sec
         |FROM ev e JOIN w ON w.user_id = e.user_id
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
-        |ORDER BY w.window_id, e.event_id""".stripMargin))
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
+    // Interval-overlap join (RangeJoin.intervalOverlap): which user
+    // sessions (q46's 30-min-gap spans) overlap an incident window? The
+    // interval×interval shape; both sides bucketize and the join keeps
+    // exactly the overlap's first bucket, so no pair is emitted twice
+    // and no distinct shuffle runs. Output: per overlapping
+    // (session, window) pair, the overlap length in seconds.
+    QueryDef("q121_session_incident_overlap",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        val sessions = ev
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("s_start"),
+            (max(col("sec")) + 1L).as("s_end"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        graft.operators.RangeJoin.intervalOverlap(
+            sessions, windows, "s_start", "s_end", "w_start", "w_end",
+            Seq("user_id"), bucketWidth = 3600L)
+          .select(col("user_id"), col("session_id"), col("window_id"),
+            (least(col("s_end"), col("w_end")) -
+              greatest(col("s_start"), col("w_start"))).as("overlap_sec"))
+          .orderBy("user_id", "session_id", "window_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (SELECT user_id, event_id, sec, ts,
+        |          sec - lag(sec) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS gap
+        |        FROM ev)),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(sec) AS s_start,
+        |    max(sec) + 1 AS s_end
+        |  FROM marked GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id::BIGINT AS session_id, w.window_id,
+        |  (least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start))::BIGINT
+        |    AS overlap_sec
+        |FROM sessions s JOIN w ON w.user_id = s.user_id
+        |  AND s.s_start < w.w_end AND w.w_start < s.s_end
+        |ORDER BY s.user_id, s.session_id, w.window_id""".stripMargin))
   )
 }

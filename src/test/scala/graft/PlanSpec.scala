@@ -283,14 +283,18 @@ class PlanSpec extends SparkSpec {
       "q118 re-filtered the index split — the store already holds it")
   }
 
-  test("q120 range join: the bucket rewrite plans as an equi-join — no " +
-       "nested-loop, no cartesian") {
-    val plan = plans("q120_range_join_incidents")
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      "q120 fell back to the O(n*m) range-join strategy")
-    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
-      "q120 must hash/merge-join on (user_id, bucket)")
+  test("q120/q121 range joins: the bucket rewrite plans as an equi-join " +
+       "— no nested-loop, no cartesian") {
+    for (q <- Seq("q120_range_join_incidents",
+        "q121_session_incident_overlap")) {
+      val plan = plans(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q fell back to the O(n*m) range-join strategy")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$q must hash/merge-join on (user_id, bucket)")
+    }
   }
 
   test("q117 quantile store serve: a warm store serves from the saved " +

@@ -54,4 +54,32 @@ class RangeJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == want)
   }
+
+  test("intervalOverlap == the declarative overlap join: one row per " +
+       "pair however many buckets the overlap spans; touching intervals " +
+       "do not overlap") {
+    val a = Seq(
+      (1L, "u", 0L, 1000L),    // long: overlaps b1, b2; touches b3
+      (2L, "u", 1500L, 1600L),
+      (3L, "u", 50L, 60L),     // inside b1
+      (4L, "v", 0L, 1000L),    // other key
+      (5L, "u", 700L, 700L))   // empty
+      .toDF("aid", "k", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, "u", 0L, 900L),    // overlap with a1 spans many width-64 buckets
+      (11L, "u", 40L, 55L),
+      (12L, "u", 1000L, 1100L), // touches a1 at 1000: NOT an overlap
+      (13L, "v", 500L, 501L))
+      .toDF("bid", "k", "b_lo", "b_hi")
+    def run(width: Long) = RangeJoin.intervalOverlap(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", Seq("k"), width)
+      .select(col("aid"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Set((1L, 10L), (1L, 11L), (3L, 10L), (3L, 11L), (4L, 13L))
+    val got = run(64L)
+    assert(got.toSet == want, s"got ${got.toSet}, want $want")
+    assert(got.length == want.size,
+      "an overlap spanning many buckets must emit exactly one row")
+    assert(run(1000000L).toSet == want, "width must not change the result")
+  }
 }
