@@ -77,4 +77,55 @@ object RangeJoin {
       .filter(col("_bkt") === bkt(greatest(col(lStart), col(rStart))))
       .drop("_bkt")
   }
+
+  /** Backward as-of join: each left row picks up the single right row
+    * with the GREATEST right ts <= its own ts under the same keys —
+    * left-outer semantics (no qualifying right row, or one farther back
+    * than `tolerance`, leaves the payload null).
+    *
+    * Shape: union-and-window, the one-shuffle formulation — both sides
+    * union (right reduced to keys + ts + payload), sort within each key
+    * by (ts, right-before-left) and carry the payload forward with a
+    * running `last(..., ignoreNulls)` frame; left rows then read their
+    * own row. Cost is ONE shuffle of |L|+|R| rows by the equi keys —
+    * never a per-row range probe, never a nested loop, and a key's
+    * whole history never concentrates beyond its own partition slice.
+    * This generalizes the J4 interpolated-reference machinery
+    * ([[Reduction]]) into a reusable temporal-join operator.
+    *
+    * `right` must be unique per (equiKeys, ts) — pre-aggregate ties
+    * first (a duplicate would make "the" as-of row order-dependent on
+    * any engine, DuckDB's ASOF included). `payloadCols` must not
+    * collide with left column names. Output: every left column, the
+    * payload columns (null when unmatched/out-of-tolerance), and
+    * `asof_ts` = the matched right ts.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, tsCol: String,
+                   equiKeys: Seq[String], payloadCols: Seq[String],
+                   tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("_side", lit(1))
+    val r = right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(equiKeys.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def carried(c: org.apache.spark.sql.Column) =
+      last(when(col("_side") === 0, c), ignoreNulls = true).over(w)
+    val filled = payloadCols
+      .foldLeft(u)((df, c) => df.withColumn(c, carried(col(c))))
+      .withColumn("asof_ts", carried(col(tsCol)))
+      .filter(col("_side") === 1).drop("_side")
+    tolerance match {
+      case Some(tol) =>
+        val ok = col("asof_ts").isNotNull &&
+          (col(tsCol) - col("asof_ts")) <= tol
+        payloadCols.foldLeft(filled)((df, c) =>
+            df.withColumn(c, when(ok, col(c))))
+          .withColumn("asof_ts", when(ok, col("asof_ts")))
+      case None => filled
+    }
+  }
 }

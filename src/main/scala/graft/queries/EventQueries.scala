@@ -197,6 +197,46 @@ object EventQueries {
         |    AS overlap_sec
         |FROM sessions s JOIN w ON w.user_id = s.user_id
         |  AND s.s_start < w.w_end AND w.w_start < s.s_end
-        |ORDER BY s.user_id, s.session_id, w.window_id""".stripMargin))
+        |ORDER BY s.user_id, s.session_id, w.window_id""".stripMargin)),
+
+    // Backward as-of join (RangeJoin.asofBackward, the union-and-window
+    // one-shuffle formulation): each purchase picks up the user's most
+    // recent prior-or-same click within an hour. The right side
+    // pre-aggregates to unique (user, sec) — a tie would make "the"
+    // as-of row order-dependent on ANY engine. The oracle is DuckDB's
+    // native ASOF LEFT JOIN with the tolerance applied on top — two
+    // completely different evaluation strategies, identical rows.
+    QueryDef("q122_asof_click_attribution",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        graft.operators.RangeJoin.asofBackward(
+            purchases, clicks, "sec", Seq("user_id"), Seq("click_id"),
+            tolerance = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("asof_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.sec,
+        |  CASE WHEN c.sec IS NOT NULL AND p.sec - c.sec <= 3600
+        |       THEN c.click_id END AS click_id,
+        |  CASE WHEN c.sec IS NOT NULL AND p.sec - c.sec <= 3600
+        |       THEN c.sec END AS asof_ts
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.sec >= c.sec
+        |ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -295,6 +295,11 @@ class PlanSpec extends SparkSpec {
         plan.contains("BroadcastHashJoin"),
         s"$q must hash/merge-join on (user_id, bucket)")
     }
+    // q122: the as-of is ONE union + window — no join operator at all,
+    // so no range probe can ever nest-loop
+    val asof = plans("q122_asof_click_attribution")
+    assert(!asof.contains("Join"), "q122 must be the union-window as-of")
+    assert(asof.contains("Window"), "q122 lost the carrying window")
   }
 
   test("q117 quantile store serve: a warm store serves from the saved " +

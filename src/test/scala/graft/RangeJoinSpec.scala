@@ -82,4 +82,32 @@ class RangeJoinSpec extends SparkSpec {
       "an overlap spanning many buckets must emit exactly one row")
     assert(run(1000000L).toSet == want, "width must not change the result")
   }
+
+  test("asofBackward: greatest right ts <= left ts, same-instant " +
+       "matches, tolerance nulls, unmatched nulls, key isolation") {
+    val l = Seq((1L, "u", 100L), (2L, "u", 150L), (3L, "u", 5000L),
+      (4L, "u", 10L), (5L, "v", 100L), (6L, "w", 100L))
+      .toDF("pid", "k", "ts")
+    val r = Seq(("u", 50L, 900L), ("u", 150L, 901L), ("u", 151L, 902L),
+      ("v", 99L, 903L))
+      .toDF("k", "ts", "payload")
+    val got = RangeJoin.asofBackward(l, r, "ts", Seq("k"), Seq("payload"),
+        tolerance = Some(1000L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        (Option(row.getAs[Any]("payload")),
+          Option(row.getAs[Any]("asof_ts")))).toMap
+    assert(got(1L) == (Some(900L), Some(50L)), "strictly-prior match")
+    assert(got(2L) == (Some(901L), Some(150L)),
+      "a right row at the SAME instant matches (<=, not <)")
+    assert(got(3L) == (None, None),
+      "a match farther back than tolerance must null out")
+    assert(got(4L) == (None, None), "no prior right row -> nulls")
+    assert(got(5L) == (Some(903L), Some(99L)))
+    assert(got(6L) == (None, None), "keys must isolate")
+    // without tolerance the stale match comes back
+    val loose = RangeJoin.asofBackward(l, r, "ts", Seq("k"), Seq("payload"))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("payload"))).toMap
+    assert(loose(3L) == Some(902L), "no tolerance -> latest prior row")
+  }
 }
