@@ -48,4 +48,35 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total"))
+
+  /** Stream-stream temporal join — attribute each purchase to every
+    * click of the same user within the preceding `horizon`: Spark's
+    * native watermarked stream-stream inner join with a time-range
+    * condition, the only join shape that survives two INFINITE inputs.
+    * The range bound is what lets Spark derive state retention on both
+    * sides (a buffered click is droppable once the purchase watermark
+    * has passed click-ts + horizon; a buffered purchase once the click
+    * watermark has passed its ts), so state is bounded by watermark ×
+    * horizon, not by stream length. Inputs: (user_id, event_id, ts)
+    * frames — streaming or batch; on batch frames the same plan runs as
+    * the declarative join, which is the spec's cross-check.
+    * Output: (user_id, purchase_id, click_id, p_ts, c_ts).
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       horizon: String = "1 hour",
+                       lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("p_ts"), col("c_ts"))
+  }
 }

@@ -617,6 +617,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream temporal join: watermarked click attribution " +
+       "equals the batch join; state stays bounded by the horizon") {
+    val pDir = Files.createTempDirectory("ss-p").toString
+    val cDir = Files.createTempDirectory("ss-c").toString
+    def row(user: Long, id: Long, sec: Long) =
+      (user, id, new java.sql.Timestamp(sec * 1000L))
+    def write(dir: String, rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_id", "ts")
+        .write.mode("append").parquet(dir)
+
+    // clicks at 100/200 (user 1), 150 (user 2); purchases at 300 (u1),
+    // 4000 (u1, outside the 1h horizon of nothing — click 200 is 3800
+    // back, outside), 160 (u2)
+    write(cDir, Seq(row(1, 10, 100), row(1, 11, 200), row(2, 12, 150)))
+    write(pDir, Seq(row(1, 20, 300), row(1, 21, 4000), row(2, 22, 160)))
+    val schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    val q = graft.streaming.EventStream.clickAttribution(
+        spark.readStream.schema(schema).parquet(pDir),
+        spark.readStream.schema(schema).parquet(cDir),
+        horizon = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ss_attr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks past everything so all joins emit
+      write(cDir, Seq(row(9, 98, 90000)))
+      write(pDir, Seq(row(9, 99, 90000)))
+      q.processAllAvailable()
+      write(cDir, Seq(row(9, 96, 90010)))
+      write(pDir, Seq(row(9, 97, 90010)))
+      q.processAllAvailable()
+
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("purchase_id"), col("click_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = pairs(spark.table("ss_attr"))
+      // batch twin: the SAME operator on batch frames plans as the
+      // plain declarative join over identical inputs
+      val batch = pairs(graft.streaming.EventStream.clickAttribution(
+        spark.read.parquet(pDir), spark.read.parquet(cDir),
+        horizon = "1 hour"))
+      assert(streamed == batch,
+        s"stream-stream join diverged: $streamed vs $batch")
+      // the horizon semantics, spelled out
+      assert(streamed.contains((20L, 10L)) && streamed.contains((20L, 11L)),
+        "both in-horizon clicks must attribute")
+      assert(streamed.contains((22L, 12L)))
+      assert(!streamed.exists(_._1 == 21L),
+        "a purchase with no click inside the horizon must not match")
+      // the join ran with watermarked state (bounded, not accumulating)
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "expected stateful symmetric-hash join state")
+    } finally q.stop()
+  }
+
   test("online near-dup admission: greedy first-seen-wins across batches, " +
        "idempotent under batch replay") {
     val stateDir = Files.createTempDirectory("ond-state").toString
