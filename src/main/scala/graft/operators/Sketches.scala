@@ -148,6 +148,64 @@ object Sketches {
           .otherwise(col("_e")).as("est_distinct")): _*)
   }
 
+  /** Pairwise set-operation estimates between groups, from ONE register
+    * build: for every unordered group pair (a < b) the union, intersection,
+    * Jaccard, and containment estimates a dedup-planning pass needs ("how
+    * much of source A already sits in source B", "which crawl snapshots
+    * overlap enough to dedup jointly") — WITHOUT any cross-group document
+    * join. HLL registers are closed under union (max-merge of two groups'
+    * registers IS the sketch of their union, Flajolet et al. 2007 §4), so
+    * the corpus is scanned once by the register build and everything
+    * pairwise runs at pairs × 2^b sketch grain: the group list is tiny by
+    * definition of a grain, the pair enumeration is a group-grain
+    * nested-loop (bounded), and the register fan-out is two broadcast hash
+    * joins plus one (g1, g2, bucket)-keyed aggregation.
+    *
+    * Intersection is inclusion-exclusion `est(A) + est(B) − est(A∪B)`
+    * clamped at 0 (sketch error can push a disjoint pair negative);
+    * `jaccard_est` divides by the union, `containment` by the SMALLER
+    * single estimate (directional "share of the smaller already covered").
+    * All three derive from the round-6 single/union estimates with one
+    * arithmetic op each, so the whole surface replays cross-engine
+    * (q123's oracle re-runs the estimator per pair).
+    */
+  def hllOverlapMatrix(registers: DataFrame, b: Int,
+                       groupCol: String): DataFrame = {
+    val groups = registers.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("g1"))
+      .join(groups.select(col(groupCol).as("g2")), col("g1") < col("g2"))
+    val r1 = broadcast(pairs)
+      .join(registers.withColumnRenamed(groupCol, "g1"), Seq("g1"))
+    val r2 = broadcast(pairs)
+      .join(registers.withColumnRenamed(groupCol, "g2"), Seq("g2"))
+    val unionRegs = r1.select(col("g1"), col("g2"), col("bucket"),
+        col("max_rho"))
+      .unionByName(r2.select(col("g1"), col("g2"), col("bucket"),
+        col("max_rho")))
+      .groupBy(col("g1"), col("g2"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+    val singles = hllEstimateByGroup(registers, b, Seq(groupCol))
+      .select(col(groupCol), round(col("est_distinct"), 6).as("_est"))
+    val estU = hllEstimateByGroup(unionRegs, b, Seq("g1", "g2"))
+      .select(col("g1"), col("g2"),
+        round(col("est_distinct"), 6).as("est_union"))
+    estU
+      .join(broadcast(singles.select(col(groupCol).as("g1"),
+        col("_est").as("est_a"))), Seq("g1"))
+      .join(broadcast(singles.select(col(groupCol).as("g2"),
+        col("_est").as("est_b"))), Seq("g2"))
+      .withColumn("est_inter",
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6))
+      .withColumn("jaccard_est",
+        round(col("est_inter") / col("est_union"), 6))
+      .withColumn("containment",
+        round(col("est_inter") / least(col("est_a"), col("est_b")), 6))
+      .select(col("g1"), col("g2"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"), col("jaccard_est"),
+        col("containment"))
+  }
+
   // -------------------------------------------- HLL sparse mode (HLL++)
 
   /** Sparse-or-dense per-group cardinality state — the HLL++ refinement

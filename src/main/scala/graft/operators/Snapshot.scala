@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning for a mutable corpus: type-2 slowly-changing rows
+  * (Kimball SCD2) — every key's history is a chain of `[valid_from,
+  * valid_to)` version intervals, with `valid_to` NULL marking the live
+  * row. This is how a training-data pipeline answers "what did the corpus
+  * look like when run N trained" WITHOUT storing N full copies: each
+  * refresh stores only the delta rows, and any historical snapshot is the
+  * filter `valid_from <= v AND (valid_to IS NULL OR valid_to > v)`.
+  *
+  * Change detection is by `row_hash` — the portable md5 of the tracked
+  * columns (`\u0001`-joined, the cross-engine-replayable discipline) — so
+  * a refresh never compares wide payloads, only 32-byte hashes.
+  *
+  * Scale shape: [[scd2Apply]] is ONE full-outer key join between the live
+  * slice and the incoming snapshot (both shuffle on the key once; bucketed
+  * storage on the key makes the steady state shuffle-free, the q111
+  * pattern) plus a pass-through union of already-closed history rows that
+  * never joins anything. Payload columns ride the join packed in a single
+  * struct, so the plan is key + hash + one column regardless of payload
+  * width. The merge is replay-idempotent: re-applying the same incoming
+  * snapshot at the same version is a no-op (hashes match the rows the
+  * first apply opened), so an at-least-once orchestrator can't corrupt
+  * history.
+  *
+  * Reference scope: LLM-pipeline extension (SURVEY §6) — the reference
+  * engine reprocesses folders in place and keeps no history.
+  */
+object Snapshot {
+
+  /** md5 change-detection hash over the tracked columns. */
+  private def rowHash(hashCols: Seq[String]) =
+    md5(concat_ws("\u0001", hashCols.map(col): _*))
+
+  /** Open a first-version history from a full snapshot: every row live
+    * with `valid_from = version`.
+    */
+  def scd2Init(snapshot: DataFrame, keyCol: String, hashCols: Seq[String],
+               version: Long): DataFrame =
+    snapshot
+      .withColumn("row_hash", rowHash(hashCols))
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+
+  /** Merge the next full snapshot into the history at `version`:
+    *   - new key (or key re-appearing after a close) → open a row;
+    *   - unchanged hash → live row carried untouched;
+    *   - changed hash → live row closed at `version`, new row opened;
+    *   - key missing from the snapshot → closed at `version` when
+    *     `closeMissing` (full-snapshot semantics; pass false when
+    *     `incoming` is a partial upsert batch).
+    * Already-closed rows pass through without joining.
+    */
+  def scd2Apply(history: DataFrame, incoming: DataFrame, keyCol: String,
+                hashCols: Seq[String], version: Long,
+                closeMissing: Boolean = true): DataFrame = {
+    val meta = Seq(keyCol, "row_hash", "valid_from", "valid_to")
+    val payloadCols = history.columns.filterNot(meta.contains).toSeq
+    require(payloadCols.forall(incoming.columns.contains),
+      s"incoming snapshot is missing history payload columns " +
+        s"${payloadCols.filterNot(incoming.columns.contains).mkString(", ")}")
+
+    val closed = history.filter(col("valid_to").isNotNull)
+    val open = history.filter(col("valid_to").isNull)
+      .select(col(keyCol), col("row_hash").as("_o_hash"),
+        col("valid_from").as("_o_from"),
+        struct(payloadCols.map(col): _*).as("_o_pay"))
+    val inc = incoming
+      .select((col(keyCol) +: payloadCols.map(col)): _*)
+      .withColumn("_i_hash", rowHash(hashCols))
+      .select(col(keyCol), col("_i_hash"),
+        struct(payloadCols.map(col): _*).as("_i_pay"))
+
+    val j = open.join(inc, Seq(keyCol), "full_outer")
+
+    def unpack(pay: String, hash: org.apache.spark.sql.Column,
+               from: org.apache.spark.sql.Column,
+               to: org.apache.spark.sql.Column) =
+      (col(keyCol) +: payloadCols.map(c => col(s"$pay.$c").as(c))) ++
+        Seq(hash.as("row_hash"), from.as("valid_from"), to.as("valid_to"))
+
+    // live rows kept live: unchanged hash, or missing-but-kept
+    val carried = j.filter(col("_o_hash").isNotNull &&
+        (col("_i_hash") === col("_o_hash") ||
+          (col("_i_hash").isNull && lit(!closeMissing))))
+      .select(unpack("_o_pay", col("_o_hash"), col("_o_from"),
+        lit(null).cast("bigint")): _*)
+    // live rows closed at this version: changed, or missing under full-
+    // snapshot semantics
+    val closedNow = j.filter(col("_o_hash").isNotNull &&
+        ((col("_i_hash").isNotNull && col("_i_hash") =!= col("_o_hash")) ||
+          (col("_i_hash").isNull && lit(closeMissing))))
+      .select(unpack("_o_pay", col("_o_hash"), col("_o_from"),
+        lit(version)): _*)
+    // incoming rows opened at this version: new key or changed hash
+    val opened = j.filter(col("_i_hash").isNotNull &&
+        (col("_o_hash").isNull || col("_o_hash") =!= col("_i_hash")))
+      .select(unpack("_i_pay", col("_i_hash"), lit(version),
+        lit(null).cast("bigint")): _*)
+
+    closed.select(carried.columns.map(col): _*)
+      .unionByName(carried).unionByName(closedNow).unionByName(opened)
+  }
+
+  /** The corpus as of `version`: each key's row whose interval covers it. */
+  def snapshotAt(history: DataFrame, version: Long): DataFrame =
+    history.filter(col("valid_from") <= version &&
+      (col("valid_to").isNull || col("valid_to") > version))
+      .drop("valid_from", "valid_to")
+
+  /** Key-grain diff between two versions of the history: one row per key
+    * whose live payload differs — `change` ∈ added | removed | changed.
+    * Runs on the history alone (two `snapshotAt` filters + one key join);
+    * the corpus itself is never re-scanned.
+    */
+  def diff(history: DataFrame, fromVersion: Long, toVersion: Long,
+           keyCol: String): DataFrame = {
+    val a = snapshotAt(history, fromVersion)
+      .select(col(keyCol), col("row_hash").as("_a_hash"))
+    val b = snapshotAt(history, toVersion)
+      .select(col(keyCol), col("row_hash").as("_b_hash"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .filter(col("_a_hash").isNull || col("_b_hash").isNull ||
+        col("_a_hash") =!= col("_b_hash"))
+      .select(col(keyCol),
+        when(col("_a_hash").isNull, lit("added"))
+          .when(col("_b_hash").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"),
+        col("_a_hash").as("hash_from"), col("_b_hash").as("hash_to"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches}
+import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, Layout, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches, Snapshot}
 import QueryUtil._
 import Tables._
 
@@ -31,6 +31,14 @@ object CorpusQueries {
     * bytes — it happens between driver rounds) land in a fresh directory
     * instead of silently serving state trained on the old corpus.
     */
+  /** DuckDB bit-interleave of two quantized cells (Layout.zValue's SQL
+    * twin): x on even bits, y on odd.
+    */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   private def dataStamp(dir: String, tables: String*): String =
     (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
       (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
@@ -2990,7 +2998,235 @@ object CorpusQueries {
         |      AS rank
         |  FROM k)
         |SELECT source, rank, doc_id, w, skey FROM r WHERE rank <= 5
-        |ORDER BY source, rank""".stripMargin))
+        |ORDER BY source, rank""".stripMargin)),
+
+    // Sketch set operations (Sketches.hllOverlapMatrix): the pairwise
+    // source overlap/containment matrix dedup PLANNING needs ("how much
+    // of source A already sits in source B") from ONE register build —
+    // HLL registers are closed under union (max-merge), so intersection
+    // is inclusion-exclusion on the round-6 estimates and no cross-source
+    // document join ever runs. The oracle replays the b=7 estimator
+    // (integer registers, DECIMAL(38,0) scaled harmonic accumulator, both
+    // float branches) THREE times — per source, and per pair over the
+    // max-merged union registers — then the same one-op arithmetic.
+    QueryDef("q123_source_overlap_matrix",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Sketches.hllOverlapMatrix(
+            Sketches.hllRegisters(toks, "tok", b = 7,
+              groupCols = Seq("source")),
+            b = 7, groupCol = "source")
+          .withColumnRenamed("g1", "source_a")
+          .withColumnRenamed("g2", "source_b")
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |hreg AS (
+        |  SELECT source, (h % 128)::INT AS bucket,
+        |    max(CASE WHEN h // 128 = 0 THEN 54
+        |             ELSE 54 - len(bin(h // 128)) END)::INT AS max_rho
+        |  FROM (SELECT source,
+        |          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok)
+        |  GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT source,
+        |    sum(((1::BIGINT) << (54 - max_rho))::DECIMAL(38,0)) AS zs,
+        |    count(*)::BIGINT AS nb
+        |  FROM hreg GROUP BY source),
+        |sest AS (
+        |  SELECT source,
+        |    CASE WHEN e <= 2.5 * 128 AND zeros > 0
+        |         THEN round(128 * ln(128.0 / zeros), 6)
+        |         ELSE round(e, 6) END AS est
+        |  FROM (SELECT source,
+        |          0.7213 / (1 + 1.079 / 128.0) * 128 * 128 * 18014398509481984.0
+        |            / ((zs + (128 - nb)::DECIMAL(38,0) * 18014398509481984)::DOUBLE)
+        |            AS e,
+        |          128 - nb AS zeros
+        |        FROM sz)),
+        |pairs AS (
+        |  SELECT a.source AS g1, b.source AS g2
+        |  FROM (SELECT DISTINCT source FROM hreg) a
+        |  JOIN (SELECT DISTINCT source FROM hreg) b ON a.source < b.source),
+        |ureg AS (
+        |  SELECT g1, g2, bucket, max(max_rho) AS max_rho FROM (
+        |    SELECT p.g1, p.g2, h.bucket, h.max_rho
+        |    FROM pairs p JOIN hreg h ON h.source = p.g1
+        |    UNION ALL
+        |    SELECT p.g1, p.g2, h.bucket, h.max_rho
+        |    FROM pairs p JOIN hreg h ON h.source = p.g2)
+        |  GROUP BY 1, 2, 3),
+        |uz AS (
+        |  SELECT g1, g2,
+        |    sum(((1::BIGINT) << (54 - max_rho))::DECIMAL(38,0)) AS zs,
+        |    count(*)::BIGINT AS nb
+        |  FROM ureg GROUP BY 1, 2),
+        |uest AS (
+        |  SELECT g1, g2,
+        |    CASE WHEN e <= 2.5 * 128 AND zeros > 0
+        |         THEN round(128 * ln(128.0 / zeros), 6)
+        |         ELSE round(e, 6) END AS est_union
+        |  FROM (SELECT g1, g2,
+        |          0.7213 / (1 + 1.079 / 128.0) * 128 * 128 * 18014398509481984.0
+        |            / ((zs + (128 - nb)::DECIMAL(38,0) * 18014398509481984)::DOUBLE)
+        |            AS e,
+        |          128 - nb AS zeros
+        |        FROM uz)),
+        |m AS (
+        |  SELECT u.g1 AS source_a, u.g2 AS source_b, a.est AS est_a,
+        |    b.est AS est_b, u.est_union,
+        |    round(greatest(a.est + b.est - u.est_union, 0.0), 6) AS est_inter
+        |  FROM uest u
+        |  JOIN sest a ON a.source = u.g1
+        |  JOIN sest b ON b.source = u.g2)
+        |SELECT source_a, source_b, est_a, est_b, est_union, est_inter,
+        |  round(est_inter / est_union, 6) AS jaccard_est,
+        |  round(est_inter / least(est_a, est_b), 6) AS containment
+        |FROM m ORDER BY source_a, source_b""".stripMargin)),
+
+    // Corpus snapshot versioning (Snapshot.scd2Init/scd2Apply): merge a
+    // refreshed snapshot (some docs revised, some deleted, some added)
+    // into a type-2 history — every key's lifetime is [valid_from,
+    // valid_to) version intervals, change detection by portable md5 row
+    // hash, ONE full-outer key join per refresh. The oracle derives the
+    // same two snapshot versions and states the merge declaratively
+    // (carried / closed / opened rows from a FULL JOIN).
+    QueryDef("q124_scd2_snapshot_merge",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        val h1 = Snapshot.scd2Init(v1, "doc_id", Seq("lang", "text"), 1L)
+        Snapshot.scd2Apply(h1, v2, "doc_id", Seq("lang", "text"), 2L)
+          .select(col("doc_id"), col("row_hash"), col("valid_from"),
+            col("valid_to"))
+          .orderBy(col("doc_id"), col("valid_from"))
+      },
+      Some("""WITH v1 AS (
+        |  SELECT doc_id, md5(lang || chr(1) || text) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, md5(lang || chr(1) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1.h AS h1,
+        |    v2.h AS h2
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, row_hash, valid_from, valid_to FROM (
+        |  SELECT doc_id, h1 AS row_hash, 1::BIGINT AS valid_from,
+        |    CASE WHEN h2 IS NULL OR h2 <> h1 THEN 2::BIGINT END AS valid_to
+        |  FROM j WHERE h1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, h2, 2::BIGINT, NULL::BIGINT
+        |  FROM j WHERE h1 IS NULL OR h1 <> h2)
+        |ORDER BY doc_id, valid_from""".stripMargin)),
+
+    // Version-to-version corpus diff (Snapshot.diff): which keys were
+    // added / removed / changed between v1 and v2, answered from the
+    // HISTORY alone — two snapshotAt filters + one key join; the corpus
+    // parquet is never re-scanned at diff time.
+    QueryDef("q125_snapshot_diff",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        val hist = Snapshot.scd2Apply(
+          Snapshot.scd2Init(v1, "doc_id", Seq("lang", "text"), 1L),
+          v2, "doc_id", Seq("lang", "text"), 2L)
+        Snapshot.diff(hist, 1L, 2L, "doc_id").orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (
+        |  SELECT doc_id, md5(lang || chr(1) || text) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, md5(lang || chr(1) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  v1.h AS hash_from, v2.h AS hash_to
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Z-order (Morton) layout (Layout.quantize/zValue/
+    // zorderFileAssignment/fileStats): cluster the corpus so that BOTH
+    // the token-count and quality dimensions skip files under min/max
+    // pruning — the lakehouse OPTIMIZE ZORDER pass as deterministic
+    // integer bit math. The oracle replays the whole layout: the quality
+    // chain, the [0,2^8) quantization, the 8-bit interleave as shift/
+    // mask SQL, the global (zv, doc_id) rank, the integer-div file
+    // assignment, and the per-file min/max boxes. LayoutSpec asserts the
+    // pruning CLAIM itself (a box predicate touches fewer files than
+    // under a single-column sort).
+    QueryDef("q126_zorder_layout",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+        val cells = base
+          .withColumn("xq", Layout.quantize(col("n_tok").cast("double"),
+            0.0, 1024.0, 8))
+          .withColumn("yq", Layout.quantize(col("q"), 0.0, 1.0, 8))
+        val assigned = Layout.zorderFileAssignment(cells,
+          Layout.zValue(col("xq"), col("yq"), 8), col("doc_id"),
+          nFiles = 16)
+        Layout.fileStats(assigned, Seq("n_tok", "q")).orderBy("file_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d),
+        |cells AS (
+        |  SELECT doc_id, n_tok, q,
+        |    least(255, greatest(0,
+        |      floor((n_tok::DOUBLE - 0.0) / 1024.0 * 256)::BIGINT)) AS xq,
+        |    least(255, greatest(0,
+        |      floor((q - 0.0) / 1.0 * 256)::BIGINT)) AS yq
+        |  FROM qd),
+        |z AS (
+        |  SELECT doc_id, n_tok, q, ${zInterleaveSql("xq", "yq", 8)} AS zv
+        |  FROM cells),
+        |r AS (
+        |  SELECT n_tok, q,
+        |    row_number() OVER (ORDER BY zv, doc_id) AS rn,
+        |    count(*) OVER () AS total
+        |  FROM z),
+        |f AS (SELECT ((rn - 1) * 16) // total AS file_id, n_tok, q FROM r)
+        |SELECT file_id, count(*)::BIGINT AS n,
+        |  min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin))
   )
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout contracts: the bit-interleave arithmetic, quantization
+  * clamps, deterministic file assignment — and the claim that justifies
+  * the operator at 100 TB: under a box predicate, per-file min/max
+  * pruning over the Z-layout touches FEWER files than over a
+  * single-column sort layout.
+  */
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("zValue interleaves bits: x on even positions, y on odd") {
+    val rows = Seq((3L, 1L), (0L, 0L), (255L, 0L), (0L, 255L),
+      (255L, 255L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (3, 1): x bits at 0,2 → 0b101; y bit at 1 → 0b010; z = 0b111 = 7
+    assert(rows == Seq(7L, 0L, 0x5555L, 0xAAAAL, 0xFFFFL),
+      s"unexpected z-values $rows")
+  }
+
+  test("quantize maps [lo, hi] onto [0, 2^bits) and clamps outliers") {
+    val rows = Seq(-5.0, 0.0, 0.5, 0.999, 1.0, 7.0).toDF("v")
+      .select(Layout.quantize(col("v"), 0.0, 1.0, 8).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 0L, 128L, 255L, 255L, 255L),
+      s"unexpected cells $rows")
+  }
+
+  test("file assignment is deterministic, covers all files, and balances " +
+       "sizes within one row") {
+    val pts = (1 to 4096).map { i =>
+      val x = (i * 2654435761L % 1000).toDouble / 1000.0
+      val y = (i * 40503L % 1000).toDouble / 1000.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+    def assign() = Layout.zorderFileAssignment(pts,
+        Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles = 32)
+      .select("id", "file_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = assign()
+    assert(assign() == a, "re-running the assignment moved rows")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L until 32L).toSet, "every file must be used")
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"4096 rows over 32 files must balance exactly, got $sizes")
+  }
+
+  test("Z-layout pruning beats the single-column sort layout on a box " +
+       "predicate, and y-range queries don't degrade to a full scan") {
+    // deterministic pseudo-uniform 2-D corpus
+    val pts = (1 to 8192).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+    val nFiles = 64
+    val zStats = Layout.fileStats(Layout.zorderFileAssignment(pts,
+      Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles),
+      Seq("x", "y")).cache()
+    val xStats = Layout.fileStats(Layout.zorderFileAssignment(pts,
+      col("xq"), col("id"), nFiles), Seq("x", "y")).cache()
+    try {
+      // 10% × 10% box: both layouts prune on x, only Z prunes on y too
+      val box = Map("x" -> (0.45, 0.55), "y" -> (0.45, 0.55))
+      val (zBox, xBox) = (Layout.filesTouched(zStats, box),
+        Layout.filesTouched(xStats, box))
+      assert(zBox < xBox,
+        s"Z-layout must beat the x-sort layout on a 2-D box: $zBox vs $xBox")
+      assert(zBox <= nFiles / 4,
+        s"a 1% box should touch a small fraction of files, got $zBox/$nFiles")
+      // y-only range: the x-sorted layout cannot prune at all
+      val yr = Map("y" -> (0.45, 0.55))
+      val (zY, xY) = (Layout.filesTouched(zStats, yr),
+        Layout.filesTouched(xStats, yr))
+      assert(xY == nFiles, "x-sorted layout must full-scan a y-range")
+      assert(zY < nFiles / 2,
+        s"Z-layout must skip y-range files, touched $zY/$nFiles")
+    } finally { zStats.unpersist(); xStats.unpersist() }
+  }
+}

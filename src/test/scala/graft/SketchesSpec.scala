@@ -239,4 +239,59 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.ensureMomentsState(in.select(col("source"), col("q")),
       dir, "q", Seq("source"))._2, "manifest-less store must rebuild")
   }
+
+  test("overlap matrix: planted 50% overlap is estimated, disjoint pairs " +
+       "shrink to near zero, identical groups are EXACTLY fully contained") {
+    import spark.implicits._
+    // x: 1..1000; y: 501..1500 (|x∩y| = 500); z: 2001..2500 (disjoint);
+    // x2: a byte-identical twin of x (same values → same registers)
+    val vals =
+      (1 to 1000).map(i => ("x", s"v$i")) ++
+      (501 to 1500).map(i => ("y", s"v$i")) ++
+      (2001 to 2500).map(i => ("z", s"v$i")) ++
+      (1 to 1000).map(i => ("x2", s"v$i"))
+    val df = vals.toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, "v", b = 9, groupCols = Seq("g"))
+    val m = Sketches.hllOverlapMatrix(regs, 9, "g")
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[String]("g2")) -> r)
+      .toMap
+    assert(m.size == 6, s"4 groups -> 6 unordered pairs, got ${m.size}")
+
+    val xy = m(("x", "y"))
+    assert(math.abs(xy.getAs[Double]("est_inter") - 500) / 500 < 0.3,
+      s"planted 500-value overlap estimated as ${xy.getAs[Double]("est_inter")}")
+    assert(math.abs(xy.getAs[Double]("containment") - 0.5) < 0.15,
+      s"containment of the 50%-overlapped pair: ${xy.getAs[Double]("containment")}")
+
+    val xz = m(("x", "z"))
+    assert(xz.getAs[Double]("jaccard_est") < 0.08,
+      s"disjoint pair jaccard ${xz.getAs[Double]("jaccard_est")}")
+
+    // identical register sets: union == single, so inclusion-exclusion is
+    // EXACT arithmetic (est + est - est = est) — no error band needed
+    val xx = m(("x", "x2"))
+    assert(xx.getAs[Double]("jaccard_est") == 1.0 &&
+      xx.getAs[Double]("containment") == 1.0,
+      "byte-identical twin groups must be exactly fully overlapping")
+    assert(xx.getAs[Double]("est_union") == xx.getAs[Double]("est_a"),
+      "union of identical sketches must equal the single estimate")
+  }
+
+  test("overlap matrix arithmetic is consistent: inter <= min single, " +
+       "union >= max single, jaccard = inter/union on every pair") {
+    val st = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val regs = Sketches.hllRegisters(st, "tok", b = 7,
+      groupCols = Seq("source"))
+    Sketches.hllOverlapMatrix(regs, 7, "source").collect().foreach { r =>
+      val (a, b, u, i) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"))
+      assert(u >= math.max(a, b) - 1e-6,
+        s"union $u below a single estimate ($a, $b)")
+      assert(i <= math.min(a, b) + 1e-6, s"inter $i above min($a, $b)")
+      assert(math.abs(r.getAs[Double]("jaccard_est") -
+        BigDecimal(i / u).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9, "jaccard must be round-6 of inter/union")
+    }
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** SCD2 history contracts the q124/q125 oracles can't see: the full key
+  * lifecycle across THREE versions (including re-adding a deleted key),
+  * replay idempotence (an at-least-once orchestrator re-applies a
+  * snapshot), partial-upsert semantics (`closeMissing = false`), interval
+  * consistency invariants, and `snapshotAt` time travel.
+  */
+class SnapshotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hist3 = {
+    // key 1: constant; key 2: changed at v2; key 3: deleted at v2,
+    // re-added at v3; key 4: added at v2; key 5: added at v3
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    val v3 = Seq((1L, "a"), (2L, "B2"), (3L, "c3"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+    val h1 = Snapshot.scd2Init(v1, "id", Seq("text"), 1L)
+    val h2 = Snapshot.scd2Apply(h1, v2, "id", Seq("text"), 2L)
+    Snapshot.scd2Apply(h2, v3, "id", Seq("text"), 3L)
+  }
+
+  test("three-version lifecycle: change, delete, re-add, late add all " +
+       "produce the expected interval chains") {
+    val rows = hist3.select("id", "text", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._3))
+    assert(rows.toSeq == Seq(
+      (1L, "a", 1L, None),            // never changed
+      (2L, "b", 1L, Some(2L)),        // closed by the v2 revision
+      (2L, "B2", 2L, None),
+      (3L, "c", 1L, Some(2L)),        // deleted at v2 ...
+      (3L, "c3", 3L, None),           // ... re-added (revised) at v3
+      (4L, "d", 2L, None),
+      (5L, "e", 3L, None)))
+  }
+
+  test("snapshotAt reconstructs each version exactly") {
+    val h = hist3
+    def at(v: Long) = Snapshot.snapshotAt(h, v).select("id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(at(1L) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(at(2L) == Seq((1L, "a"), (2L, "B2"), (4L, "d")))
+    assert(at(3L) ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c3"), (4L, "d"), (5L, "e")))
+    // versions past the last refresh see the latest state
+    assert(at(9L) == at(3L))
+  }
+
+  test("re-applying the same snapshot at the same version is a no-op " +
+       "(at-least-once replay safety)") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val v2 = Seq((1L, "a2"), (3L, "c")).toDF("id", "text")
+    val h2 = Snapshot.scd2Apply(
+      Snapshot.scd2Init(v1, "id", Seq("text"), 1L), v2, "id",
+      Seq("text"), 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "row_hash", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows(Snapshot.scd2Apply(h2, v2, "id", Seq("text"), 2L)) ==
+      rows(h2), "replaying the v2 snapshot must not change the history")
+  }
+
+  test("closeMissing = false treats the incoming batch as a partial " +
+       "upsert: absent keys stay live") {
+    val h1 = Snapshot.scd2Init(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "id", Seq("text"), 1L)
+    val batch = Seq((2L, "b2")).toDF("id", "text")
+    val h2 = Snapshot.scd2Apply(h1, batch, "id", Seq("text"), 2L,
+      closeMissing = false)
+    val live = h2.filter(col("valid_to").isNull).select("id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(live == Seq((1L, "a"), (2L, "b2")),
+      "untouched key must survive a partial upsert")
+  }
+
+  test("history invariants: one live row per present key, no overlapping " +
+       "intervals, hash matches the payload") {
+    val h = hist3.cache()
+    try {
+      val multiLive = h.filter(col("valid_to").isNull)
+        .groupBy("id").count().filter(col("count") > 1).count()
+      assert(multiLive == 0, "a key can have at most one live row")
+      // intervals of one key never overlap: sorted by valid_from, each
+      // row's valid_to (when set) <= the next row's valid_from
+      val byKey = h.select("id", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .groupBy(_._1).values
+      byKey.foreach { chain =>
+        chain.sortBy(_._2).sliding(2).foreach {
+          case Array((_, _, Some(to)), (_, from2, _)) =>
+            assert(to <= from2, s"overlapping intervals in chain $chain")
+          case Array((id, _, None), _) =>
+            fail(s"non-final live row for key $id")
+          case _ => ()
+        }
+      }
+      val badHash = h.filter(col("row_hash") =!=
+        md5(concat_ws("\u0001", col("text")))).count()
+      assert(badHash == 0, "row_hash must equal the payload hash")
+    } finally h.unpersist()
+  }
+
+  test("diff flags exactly the added/removed/changed keys between any " +
+       "two versions") {
+    val d = Snapshot.diff(hist3, 1L, 3L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "changed", 4L -> "added",
+      5L -> "added"), s"unexpected diff $d")
+    val d23 = Snapshot.diff(hist3, 2L, 3L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d23 == Map(3L -> "added", 5L -> "added"))
+  }
+}
