@@ -221,6 +221,51 @@ object Clusters {
     * n_members counting all members. A literal −Infinity score is
     * indistinguishable from NULL by construction.
     */
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), deterministic variant: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbors — count desc, then SMALLEST label, so there is no random
+    * tie-break and the q127 oracle can unroll the rounds in SQL. Unlike
+    * [[components]], which merges anything connected, LP respects edge
+    * DENSITY: two tight kNN communities linked by a thin bridge keep
+    * distinct labels — the grouping a mixture/curriculum planner wants
+    * from a kNN graph, where transitive closure would collapse almost
+    * everything into one blob.
+    *
+    * Scale: per round, one join of the symmetrized edge list against the
+    * node-keyed label table, one (node, label) count (map-side combined),
+    * and one per-node `max(struct(cnt, −label))` argmax — no windows, no
+    * driver state. Rounds are fixed and small (LP converges in a few
+    * sweeps); lineage is truncated per round exactly like
+    * [[componentsIters]] (the exponential-plan trap documented there).
+    */
+  def labelPropagation(pairs: DataFrame, vertices: DataFrame, rounds: Int,
+                       idCol: String = "id"): DataFrame = {
+    val rawPairs = pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val sym = rawPairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(rawPairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices
+      .select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val top = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("_cnt"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("a").as("id"), (-col("_m._nl")).as("label"))
+      labels = vertices.select(col(idCol).as("id"))
+        .join(top, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def keepBest(labels: DataFrame, scores: DataFrame, idCol: String = "id",
                scoreCol: String = "score"): DataFrame =
     labels.join(scores, Seq(idCol))

@@ -31,6 +31,52 @@ object CorpusQueries {
     * bytes — it happens between driver rounds) land in a fresh directory
     * instead of silently serving state trained on the old corpus.
     */
+  /** The q81 kNN-graph replay as CTEs ending in `ranked` (signatures at
+    * both hyperplane tables, the hot-bucket star cap at 4096, exact
+    * cosine, per-id ranking) — shared by q81 and the q127 label-
+    * propagation oracle, which appends LP rounds on top of the graph.
+    */
+  private lazy val knnGraphOracleCtes: String = {
+    def sigExpr(t: Int) = (0 until 6).map { j =>
+      val h = VectorFunctions.hyperplane(t * 6 + j, 64)
+      s"CASE WHEN list_dot_product(v, [${h.mkString(", ")}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    |sig AS (
+    |  SELECT vec_id, 0 AS t, ${sigExpr(0)} AS bucket FROM e
+    |  UNION ALL
+    |  SELECT vec_id, 1 AS t, ${sigExpr(1)} AS bucket FROM e),
+    |bstats AS (
+    |  SELECT t, bucket, count(*) AS bsz, min(vec_id) AS bmin
+    |  FROM sig GROUP BY t, bucket),
+    |cand AS (
+    |  SELECT DISTINCT id, nb FROM (
+    |    SELECT a.vec_id AS id, b.vec_id AS nb
+    |    FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+    |     AND a.vec_id <> b.vec_id
+    |    JOIN bstats st ON st.t = a.t AND st.bucket = a.bucket
+    |     AND st.bsz <= 4096
+    |    UNION ALL
+    |    SELECT s.vec_id AS id, st.bmin AS nb
+    |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
+    |     AND st.bsz > 4096 AND s.vec_id <> st.bmin
+    |    UNION ALL
+    |    SELECT st.bmin AS id, s.vec_id AS nb
+    |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
+    |     AND st.bsz > 4096 AND s.vec_id <> st.bmin)),
+    |scored AS (
+    |  SELECT c.id, c.nb,
+    |    list_dot_product(ea.v, eb.v) /
+    |      greatest(sqrt(list_dot_product(ea.v, ea.v))
+    |               * sqrt(list_dot_product(eb.v, eb.v)), 1e-300) AS cos
+    |  FROM cand c JOIN e ea ON ea.vec_id = c.id
+    |              JOIN e eb ON eb.vec_id = c.nb),
+    |ranked AS (
+    |  SELECT id, nb, cos,
+    |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
+    |  FROM scored)""".stripMargin
+  }
+
   /** DuckDB bit-interleave of two quantized cells (Layout.zValue's SQL
     * twin): x on even bits, y on odd.
     */
@@ -1642,48 +1688,9 @@ object CorpusQueries {
           .select(col("id"), col("neighbor"), r4(col("cos")).as("cos"),
             col("rank"))
           .orderBy("id", "rank"),
-      Some {
-        def sigExpr(t: Int) = (0 until 6).map { j =>
-          val h = VectorFunctions.hyperplane(t * 6 + j, 64)
-          s"CASE WHEN list_dot_product(v, [${h.mkString(", ")}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
-        }.mkString(" || ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |sig AS (
-        |  SELECT vec_id, 0 AS t, ${sigExpr(0)} AS bucket FROM e
-        |  UNION ALL
-        |  SELECT vec_id, 1 AS t, ${sigExpr(1)} AS bucket FROM e),
-        |bstats AS (
-        |  SELECT t, bucket, count(*) AS bsz, min(vec_id) AS bmin
-        |  FROM sig GROUP BY t, bucket),
-        |cand AS (
-        |  SELECT DISTINCT id, nb FROM (
-        |    SELECT a.vec_id AS id, b.vec_id AS nb
-        |    FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
-        |     AND a.vec_id <> b.vec_id
-        |    JOIN bstats st ON st.t = a.t AND st.bucket = a.bucket
-        |     AND st.bsz <= 4096
-        |    UNION ALL
-        |    SELECT s.vec_id AS id, st.bmin AS nb
-        |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
-        |     AND st.bsz > 4096 AND s.vec_id <> st.bmin
-        |    UNION ALL
-        |    SELECT st.bmin AS id, s.vec_id AS nb
-        |    FROM sig s JOIN bstats st ON st.t = s.t AND st.bucket = s.bucket
-        |     AND st.bsz > 4096 AND s.vec_id <> st.bmin)),
-        |scored AS (
-        |  SELECT c.id, c.nb,
-        |    list_dot_product(ea.v, eb.v) /
-        |      greatest(sqrt(list_dot_product(ea.v, ea.v))
-        |               * sqrt(list_dot_product(eb.v, eb.v)), 1e-300) AS cos
-        |  FROM cand c JOIN e ea ON ea.vec_id = c.id
-        |              JOIN e eb ON eb.vec_id = c.nb),
-        |ranked AS (
-        |  SELECT id, nb, cos,
-        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rank
-        |  FROM scored)
+      Some(s"""WITH $knnGraphOracleCtes
         |SELECT id, nb AS neighbor, round(cos, 4) AS cos, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin
-      }),
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin)),
 
     // Nearest-neighbor image resize over the REAL decode path (the
     // fixed-size normalization step before feature extraction): P5 rasters
@@ -3226,7 +3233,58 @@ object CorpusQueries {
         |SELECT file_id, count(*)::BIGINT AS n,
         |  min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
         |  min(q) AS min_q, max(q) AS max_q
-        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin))
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
+    // Label-propagation communities (Clusters.labelPropagation) over the
+    // q81 kNN graph: each node adopts its neighbors' most frequent label
+    // (count desc, SMALLEST label on ties — deterministic, no random
+    // sweep order), two synchronous rounds. The density-aware complement
+    // to q62's transitive closure: a thin bridge between two tight
+    // communities does NOT merge them. The oracle replays the whole kNN
+    // build (q81's CTEs verbatim) and unrolls both LP rounds as
+    // count + row_number argmax SQL.
+    QueryDef("q127_label_propagation",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val knn = Similarity.knnGraph(emb, k = 3, dim = 64, nBits = 6,
+            nTables = 2)
+          .select(col("id").as("id_a"), col("neighbor").as("id_b"))
+        Clusters.labelPropagation(knn, emb.select(col("vec_id")),
+            rounds = 2, idCol = "vec_id")
+          .orderBy("id")
+      },
+      Some(s"""WITH $knnGraphOracleCtes,
+        |knn AS (SELECT id, nb FROM ranked WHERE rank <= 3),
+        |sym AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT id AS a, nb AS b FROM knn
+        |    UNION ALL SELECT nb AS a, id AS b FROM knn)),
+        |l0 AS (SELECT vec_id AS id, vec_id AS label FROM e),
+        |n1 AS (
+        |  SELECT s.a, l.label, count(*) AS cnt
+        |  FROM sym s JOIN l0 l ON l.id = s.b GROUP BY 1, 2),
+        |p1 AS (
+        |  SELECT a, label,
+        |    row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label)
+        |      AS rn
+        |  FROM n1),
+        |l1 AS (
+        |  SELECT e.vec_id AS id, coalesce(p.label, e.vec_id) AS label
+        |  FROM e LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+        |    ON p.a = e.vec_id),
+        |n2 AS (
+        |  SELECT s.a, l.label, count(*) AS cnt
+        |  FROM sym s JOIN l1 l ON l.id = s.b GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT a, label,
+        |    row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label)
+        |      AS rn
+        |  FROM n2),
+        |l2 AS (
+        |  SELECT e.vec_id AS id, coalesce(p.label, e.vec_id) AS label
+        |  FROM e LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+        |    ON p.a = e.vec_id)
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin))
   )
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the

@@ -237,6 +237,123 @@ object EventQueries {
         |       THEN c.sec END AS asof_ts
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
-        |ORDER BY p.event_id""".stripMargin))
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // Rolling z-score anomaly detection over the hourly event-count
+    // series: each (type, hour)'s count scored against the previous 24
+    // OBSERVED hours (rows, not wall-hours — production would densify
+    // gaps first; the row form keeps the oracle exact). The stats ride
+    // the moments discipline: n, Σx, Σx² are INTEGER window sums (exact
+    // in both engines), the float chain (mean, sample variance, sqrt,
+    // the ratio) is written once in the same operation order on both
+    // sides, so round-6 z-scores hash-match. Output: the anomalous
+    // hours (|z| ≥ 2 over a full 24-row baseline).
+    QueryDef("q128_rolling_anomaly",
+      (s, dir) => {
+        val hourSec = tsSec - pmod(tsSec, lit(3600L))
+        val hourly = events(s, dir)
+          .groupBy(col("event_type"), hourSec.as("hsec"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("hsec"))
+          .rowsBetween(-24, -1)
+        val scored = hourly
+          .withColumn("_n", count(lit(1)).over(w))
+          .withColumn("_s1", sum(col("cnt")).over(w))
+          .withColumn("_s2", sum(col("cnt") * col("cnt")).over(w))
+          .filter(col("_n") === 24)
+          .withColumn("_mean",
+            col("_s1").cast("double") / col("_n").cast("double"))
+          .withColumn("_var",
+            (col("_s2").cast("double") -
+              col("_s1").cast("double") * col("_s1").cast("double") /
+                col("_n").cast("double")) / (col("_n").cast("double") - 1.0))
+          .filter(col("_var") > 0)
+          .withColumn("z",
+            (col("cnt").cast("double") - col("_mean")) / sqrt(col("_var")))
+        scored.filter(abs(col("z")) >= 2.0)
+          .select(col("event_type"),
+            date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:mm")
+              .as("hour"),
+            col("cnt"), round(col("z"), 6).as("z"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |              date_trunc('hour', ts)) AS hsec,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, hsec, cnt,
+        |    count(*) OVER prev AS n,
+        |    sum(cnt) OVER prev AS s1,
+        |    sum(cnt * cnt) OVER prev AS s2
+        |  FROM hourly
+        |  WINDOW prev AS (PARTITION BY event_type ORDER BY hsec
+        |                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT event_type, hsec, cnt,
+        |    (cnt::DOUBLE - mean) / sqrt(var) AS z
+        |  FROM (
+        |    SELECT event_type, hsec, cnt,
+        |      s1::DOUBLE / n::DOUBLE AS mean,
+        |      (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+        |        / (n::DOUBLE - 1.0) AS var
+        |    FROM win WHERE n = 24)
+        |  WHERE var > 0)
+        |SELECT event_type,
+        |  strftime(to_timestamp(hsec), '%Y-%m-%d %H:%M') AS hour,
+        |  cnt, round(z, 6) AS z
+        |FROM scored WHERE abs(z) >= 2.0
+        |ORDER BY event_type, hour""".stripMargin)),
+
+    // Ordered conversion funnel (view → click → purchase, each step AT
+    // OR AFTER the previous step's first completion): the sequence-
+    // pattern query an event pipeline answers per user. Three
+    // conditional min-aggregations chained by user-keyed joins — the
+    // step-threshold tables are user-grain (bounded) and broadcast; the
+    // raw event table is scanned once per step with a pushed type
+    // filter, never self-joined at event grain.
+    QueryDef("q129_conversion_funnel",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+          .select(col("user_id"), col("event_type"), col("sec"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(broadcast(v), Seq("user_id"))
+          .filter(col("sec") >= col("v_sec"))
+          .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(c), Seq("user_id"))
+          .filter(col("sec") >= col("c_sec"))
+          .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("v_sec"), col("c_sec"), col("p_sec"),
+            (lit(1L) + when(col("c_sec").isNotNull, 1L).otherwise(0L) +
+              when(col("p_sec").isNotNull, 1L).otherwise(0L)).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.sec) AS c_sec
+        |      FROM ev e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.sec >= v.v_sec GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.sec) AS p_sec
+        |      FROM ev e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.sec >= c.c_sec
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.v_sec, c.c_sec, p.p_sec,
+        |  (1 + CASE WHEN c.c_sec IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_sec IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin))
   )
 }

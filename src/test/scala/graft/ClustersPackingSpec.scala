@@ -288,4 +288,43 @@ class ClustersPackingSpec extends SparkSpec {
     assert(got((3L, 0L)) == (0L, ""))    // empty doc: one empty chunk
     assert(got.size == 5)
   }
+
+  test("label propagation: a thin bridge does NOT merge two dense " +
+       "communities (where components does), isolated nodes keep their " +
+       "own label, and re-running is deterministic") {
+    // barbell: cliques {1..5} and {11..15}, one bridge 5–11
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L))
+      .toDF("id_a", "id_b")
+    val vertices = ((1L to 5L) ++ (11L to 15L) :+ 99L).toDF("id")
+    def run() = Clusters.labelPropagation(pairs, vertices, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = run()
+    assert(lp == run(), "label propagation must be deterministic")
+    assert(lp(99L) == 99L, "isolated node keeps its own label")
+    val left = (1L to 5L).map(lp).toSet
+    val right = (11L to 15L).map(lp).toSet
+    assert(left.size == 1 && right.size == 1,
+      s"each clique must converge to one label: $lp")
+    assert(left != right,
+      "the bridge must not merge the two dense communities")
+    // transitive closure DOES merge them — the operators are different
+    val cc = Clusters.components(pairs, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).map(cc).toSet == (11L to 15L).map(cc).toSet)
+  }
+
+  test("label propagation adopts the majority label and breaks count " +
+       "ties toward the smaller label") {
+    // star: center 10 with neighbors 1, 2, 3 — after one round the
+    // center adopts the smallest neighbor label (all counts = 1)
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("id_a", "id_b")
+    val vertices = Seq(1L, 2L, 3L, 10L).toDF("id")
+    val one = Clusters.labelPropagation(pairs, vertices, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(10L) == 1L, s"tie must break toward the smallest label: $one")
+    // leaves see only the center: they adopt 10 after round 1
+    assert(one(1L) == 10L && one(2L) == 10L && one(3L) == 10L)
+  }
 }

@@ -366,4 +366,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       "bucketed join inputs re-shuffled — storage co-location was lost")
   }
+
+  test("r11 additions: overlap-matrix pair/estimate sides broadcast; " +
+       "funnel thresholds broadcast; z-order file stats keep partial agg") {
+    // q123: the pair list and the single-estimate tables are group-grain
+    // — every join around the register fan-out must broadcast them, and
+    // nothing should fall back to a sort-merge join
+    val q123 = plans("q123_source_overlap_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(q123).size >= 4,
+      "q123 lost the broadcast joins on its group-grain sides")
+    assert(!q123.contains("SortMergeJoin"),
+      "q123 planned a sort-merge join over sketch-grain data")
+    // q129: the per-step threshold tables are user-grain and explicitly
+    // broadcast — the event table must never shuffle for them
+    val q129 = plans("q129_conversion_funnel")
+    assert("BroadcastHashJoin".r.findAllIn(q129).size >= 2,
+      "q129 funnel step thresholds stopped broadcasting")
+    // q126: the rank is materialized behind the Positional localCheckpoint
+    // (the global no-unpartitioned-window test covers the rank hazard);
+    // what this plan must keep is map-side partial aggregation on the
+    // file-stats pass over the checkpointed assignment
+    assert("HashAggregate".r.findAllIn(plans("q126_zorder_layout")).size >= 2,
+      "q126 file stats lost partial aggregation")
+  }
 }
