@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** md5 change-detection hash over the tracked columns. */
-  private def rowHash(hashCols: Seq[String]) =
+  /** md5 change-detection hash over the tracked columns (shared with the
+    * streaming twin, [[graft.streaming.StreamingSnapshot]]).
+    */
+  private[graft] def rowHash(hashCols: Seq[String]) =
     md5(concat_ws("\u0001", hashCols.map(col): _*))
 
   /** Open a first-version history from a full snapshot: every row live

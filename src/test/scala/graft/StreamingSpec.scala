@@ -1166,4 +1166,60 @@ class StreamingSpec extends SparkSpec {
         .orderBy("source", "lang").collect().map(_.toSeq).toSeq,
       "sink-fed sparse-distinct report diverged from the one-pass build")
   }
+
+  test("streaming SCD2 history == the batch scd2Apply chain; a replayed " +
+       "batch changes nothing; snapshotAt time-travels the streamed state") {
+    import spark.implicits._
+    import graft.streaming.StreamingSnapshot
+    import graft.operators.Snapshot
+    val inDir = Files.createTempDirectory("scd2-in").toString
+    val ckDir = Files.createTempDirectory("scd2-ck").toString
+    val stDir = Files.createTempDirectory("scd2-st").toString
+
+    intercept[IllegalStateException] {
+      StreamingSnapshot.history(spark, stDir, "id")
+    }
+
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val b1 = Seq((2L, "b2"), (3L, "c")).toDF("id", "text")
+    val b2 = Seq((1L, "a"), (3L, "c3")).toDF("id", "text")
+
+    val q = StreamingSnapshot.sink(
+      spark.readStream.schema("id LONG, text STRING").parquet(inDir),
+      stDir, ckDir, "id", Seq("text"), pollSeconds = 1)
+    try Seq(b0, b1, b2).foreach { b =>
+      b.write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "text", "row_hash", "valid_from", "valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._4)).toSeq
+
+    val streamed = rows(StreamingSnapshot.history(spark, stDir, "id"))
+    // the batch twin: init at version 1, then two partial upserts
+    val twin = rows(Snapshot.scd2Apply(
+      Snapshot.scd2Apply(
+        Snapshot.scd2Init(b0, "id", Seq("text"), 1L),
+        b1, "id", Seq("text"), 2L, closeMissing = false),
+      b2, "id", Seq("text"), 3L, closeMissing = false))
+    assert(streamed == twin,
+      "streamed history diverged from the batch scd2 chain")
+
+    // at-least-once: re-deliver batch 1 directly — state must not move
+    StreamingSnapshot.processBatch(b1, stDir, 1L, "id", Seq("text"))
+    assert(rows(StreamingSnapshot.history(spark, stDir, "id")) == streamed,
+      "replaying batch 1 moved the history")
+
+    // time travel over the streamed state
+    val at2 = Snapshot.snapshotAt(
+        StreamingSnapshot.history(spark, stDir, "id"), 2L)
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(at2 == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
+      s"version-2 snapshot wrong: $at2")
+  }
 }
