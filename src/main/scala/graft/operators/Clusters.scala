@@ -266,6 +266,27 @@ object Clusters {
     labels
   }
 
+  /** Leakage-safe train/val/test assignment: the split is a pure function
+    * of the portable md5 of the CLUSTER label — never of the document —
+    * so near-duplicates (same cluster by construction) cannot straddle
+    * splits and contaminate evaluation. Buckets: md5("split_" + cluster)
+    * mod 100 → [0, trainPct) train, [trainPct, trainPct + valPct) val,
+    * rest test. One projection over the label table; no join, no shuffle.
+    */
+  def leakageSafeSplit(labels: DataFrame, trainPct: Int = 80,
+                       valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split fractions: train=$trainPct val=$valPct")
+    labels.withColumn("_b",
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(lit("split_"), col("cluster").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("_b") < trainPct, "train")
+          .when(col("_b") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("_b")
+  }
+
   def keepBest(labels: DataFrame, scores: DataFrame, idCol: String = "id",
                scoreCol: String = "score"): DataFrame =
     labels.join(scores, Seq(idCol))

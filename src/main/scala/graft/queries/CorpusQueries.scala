@@ -3284,8 +3284,49 @@ object CorpusQueries {
         |  SELECT e.vec_id AS id, coalesce(p.label, e.vec_id) AS label
         |  FROM e LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
         |    ON p.a = e.vec_id)
-        |SELECT id, label FROM l2 ORDER BY id""".stripMargin))
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)),
+
+    // Leakage-safe dataset split (Clusters.leakageSafeSplit over the q55
+    // closure): train/val/test decided by the md5 of the CLUSTER label,
+    // so near-duplicate documents can never straddle splits — the
+    // eval-contamination guard a training pipeline needs between its
+    // dedup pass and its export. The oracle replays the full transitive
+    // closure (q55's recursive CTE) plus the bucket arithmetic.
+    QueryDef("q130_leakage_safe_split",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        val labels = Clusters.components(pairs, docs.select(col("doc_id")),
+          idCol = "doc_id")
+        Clusters.leakageSafeSplit(labels)
+          .select(col("id").as("doc_id"), col("cluster"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(leakageSplitOracleSql))
   )
+
+  /** q130's oracle: q55's recursive-closure replay with the final
+    * cluster-summary SELECT swapped for per-doc labels + the split-bucket
+    * arithmetic. Tail surgery keeps the closure replay identical to q55's
+    * by construction.
+    */
+  private lazy val leakageSplitOracleSql: String = {
+    val tail = """SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
+      |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+    require(ccOracleSql.endsWith(tail),
+      "q55 oracle tail changed; update the leakage-split surgery")
+    ccOracleSql.dropRight(tail.length) +
+      """SELECT id AS doc_id, cluster,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT id, cluster,
+      |    ('0x' || substring(md5('split_' || cluster::VARCHAR), 1, 15))::BIGINT
+      |      % 100 AS b
+      |  FROM (SELECT src AS id, min(node) AS cluster FROM r GROUP BY src))
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** The moments state as CTEs (expects a preceding `d` CTE with the
     * padded text and every `keys` column): quality replay `qd`, then the

@@ -315,6 +315,23 @@ class ClustersPackingSpec extends SparkSpec {
     assert((1L to 5L).map(cc).toSet == (11L to 15L).map(cc).toSet)
   }
 
+  test("leakage-safe split: split is a pure function of the cluster, " +
+       "deterministic, with proportions near the requested fractions") {
+    // 2000 clusters of 3 docs each — every member must land together
+    val labels = (0L until 6000L).map(i => (i, i / 3)).toDF("id", "cluster")
+    def run() = Clusters.leakageSafeSplit(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "split assignment must be deterministic")
+    val perCluster = a.groupBy(_._2).values
+    assert(perCluster.forall(_.map(_._3).toSet.size == 1),
+      "a cluster straddled two splits — the leakage guard is broken")
+    val frac = a.count(_._3 == "train").toDouble / a.length
+    assert(math.abs(frac - 0.8) < 0.05, s"train fraction drifted: $frac")
+    val vfrac = a.count(_._3 == "val").toDouble / a.length
+    assert(math.abs(vfrac - 0.1) < 0.04, s"val fraction drifted: $vfrac")
+  }
+
   test("label propagation adopts the majority label and breaks count " +
        "ties toward the smaller label") {
     // star: center 10 with neighbors 1, 2, 3 — after one round the
