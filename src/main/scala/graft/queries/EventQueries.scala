@@ -354,6 +354,165 @@ object EventQueries {
         |    AS stage
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |       LEFT JOIN p ON p.user_id = v.user_id
-        |ORDER BY v.user_id""".stripMargin))
+        |ORDER BY v.user_id""".stripMargin)),
+
+    // Time-series completeness report: densify each type's hourly grid
+    // (`sequence` + explode — the gap-filling pass the q128 caveat
+    // documents) and report coverage: observed hours, gap hours, longest
+    // gap. The densified grid is generated per type from its own
+    // [min, max] span — no calendar table to maintain, and the explode
+    // is bounded by span/3600 per type.
+    QueryDef("q131_series_completeness",
+      (s, dir) => {
+        val hourSec = tsSec - pmod(tsSec, lit(3600L))
+        val hourly = events(s, dir)
+          .groupBy(col("event_type"), hourSec.as("hsec"))
+          .agg(count(lit(1)).as("cnt"))
+        val grid = hourly.groupBy(col("event_type"))
+          .agg(min(col("hsec")).as("_lo"), max(col("hsec")).as("_hi"))
+          .select(col("event_type"),
+            explode(sequence(col("_lo"), col("_hi"), lit(3600L)))
+              .as("hsec"))
+        val dense = grid.join(hourly, Seq("event_type", "hsec"), "left")
+          .withColumn("present",
+            when(col("cnt").isNotNull, 1L).otherwise(0L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("hsec"))
+        val runs = dense
+          .withColumn("_grp", sum(col("present")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        val gaps = runs.filter(col("present") === 0)
+          .groupBy(col("event_type"), col("_grp"))
+          .agg(count(lit(1)).as("_gap_len"))
+          .groupBy(col("event_type"))
+          .agg(max(col("_gap_len")).as("longest_gap_hours"))
+        dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_grid_hours"),
+            sum(col("present")).as("n_observed_hours"),
+            (count(lit(1)) - sum(col("present"))).as("n_gap_hours"))
+          .join(gaps, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_grid_hours"),
+            col("n_observed_hours"), col("n_gap_hours"),
+            coalesce(col("longest_gap_hours"), lit(0L))
+              .as("longest_gap_hours"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |              date_trunc('hour', ts)) AS hsec,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hsec), max(hsec), 3600)) AS hsec
+        |  FROM hourly GROUP BY event_type),
+        |dense AS (
+        |  SELECT g.event_type, g.hsec,
+        |    CASE WHEN h.cnt IS NOT NULL THEN 1 ELSE 0 END AS present
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hsec = g.hsec),
+        |runs AS (
+        |  SELECT event_type, hsec, present,
+        |    sum(present) OVER (PARTITION BY event_type ORDER BY hsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM dense),
+        |gaps AS (
+        |  SELECT event_type, max(gap_len) AS longest_gap_hours FROM (
+        |    SELECT event_type, grp, count(*)::BIGINT AS gap_len
+        |    FROM runs WHERE present = 0 GROUP BY 1, 2)
+        |  GROUP BY event_type)
+        |SELECT d.event_type, count(*)::BIGINT AS n_grid_hours,
+        |  sum(present)::BIGINT AS n_observed_hours,
+        |  (count(*) - sum(present))::BIGINT AS n_gap_hours,
+        |  coalesce(g.longest_gap_hours, 0) AS longest_gap_hours
+        |FROM dense d LEFT JOIN gaps g ON g.event_type = d.event_type
+        |GROUP BY d.event_type, g.longest_gap_hours
+        |ORDER BY d.event_type""".stripMargin)),
+
+    // Weekly cohort retention: users cohorted by their FIRST signup
+    // week; retention(k) = share of the cohort active (any event) in
+    // week k after signup. The classic growth matrix, at (cohort, offset)
+    // grain — both joins are user-keyed shuffles, the output is
+    // weeks × weeks rows regardless of event volume.
+    QueryDef("q132_cohort_retention",
+      (s, dir) => {
+        val weekSec = tsSec - pmod(tsSec, lit(604800L))
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), weekSec.as("wk"))
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        val sizes = cohort.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("cohort_n"))
+        val active = ev.select(col("user_id"), col("wk")).distinct()
+          .join(cohort, Seq("user_id"))
+          .filter(col("wk") >= col("cohort_wk"))
+          .withColumn("week_offset",
+            expr("(wk - cohort_wk) DIV 604800"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        active.join(broadcast(sizes), Seq("cohort_wk"))
+          .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+            col("cohort_n"),
+            round(col("n_active").cast("double") /
+              col("cohort_n").cast("double"), 6).as("retention"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      // 604800 * 604800 AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort_wk, count(*)::BIGINT AS cohort_n
+        |  FROM cohort GROUP BY 1),
+        |active AS (
+        |  SELECT c.cohort_wk, (a.wk - c.cohort_wk) // 604800 AS week_offset,
+        |    count(*)::BIGINT AS n_active
+        |  FROM (SELECT DISTINCT user_id, wk FROM ev) a
+        |  JOIN cohort c ON c.user_id = a.user_id
+        |  WHERE a.wk >= c.cohort_wk
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active, s.cohort_n,
+        |  round(a.n_active::DOUBLE / s.cohort_n::DOUBLE, 6) AS retention
+        |FROM active a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+        |ORDER BY a.cohort_wk, a.week_offset""".stripMargin)),
+
+    // Behavioral path mining: the most common 3-step event-type
+    // sequences along each user's ordered journey, via two lead()
+    // windows — per-user partitions, bounded by a user's history. (At
+    // this corpus's cadence 30-min sessions are near-singletons, so the
+    // journey grain is the one with statistics; the operator shape is
+    // identical either way.) The journey trigram is to event streams
+    // what the token n-gram is to text; output = patterns seen ≥ 20
+    // times.
+    QueryDef("q133_event_path_trigrams",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("_e2", lead(col("event_type"), 1).over(w))
+          .withColumn("_e3", lead(col("event_type"), 2).over(w))
+          .filter(col("_e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("_e2"), col("_e3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+          .orderBy("path")
+      },
+      Some("""WITH tri AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER sw || '>' ||
+        |    lead(event_type, 2) OVER sw AS path,
+        |    lead(event_type, 2) OVER sw AS e3
+        |  FROM events
+        |  WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*)::BIGINT AS n FROM tri
+        |WHERE e3 IS NOT NULL GROUP BY path HAVING count(*) >= 20
+        |ORDER BY path""".stripMargin))
   )
 }
