@@ -124,6 +124,24 @@ object StreamingReport {
       Sketches.hllMerge(partials, Seq("source")), b, Seq("source"))
   }
 
+  /** Pairwise source overlap/containment estimates over the STREAMED
+    * register state ([[Sketches.hllOverlapMatrix]] fed by the same
+    * merged partials [[distinctReport]] reads): registers merge exactly,
+    * so the streamed matrix is bit-identical to the batch matrix over
+    * the union of everything streamed — the dedup-planning dashboard
+    * stays live without ever re-scanning the ingested corpus.
+    */
+  def overlapReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = new Path(s"$stateDir/hll")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = shapeOrDefault(fs, new Path(dir, "_b"), dir,
+      s"$stateDir/hll_base", 9)
+    val partials = readState(spark, s"$stateDir/hll", s"$stateDir/hll_base",
+      emptyFrame(spark, "source STRING, bucket INT, max_rho INT"))
+    Sketches.hllOverlapMatrix(
+      Sketches.hllMerge(partials, Seq("source")), b, "source")
+  }
+
   /** Per-batch count-min counter partials for streaming heavy-hitter
     * tracking — the frequency companion to the profile/HLL partials,
     * same batch-keyed partition-overwrite discipline. Counter merge is

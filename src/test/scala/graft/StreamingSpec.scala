@@ -851,6 +851,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDistinct == batchDistinct,
       "streamed HLL estimate diverged from the batch sketch over the union")
 
+    // ... and so is the pairwise overlap matrix served from the same
+    // streamed registers (register max-merge is exact)
+    def matrixRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g1", "g2").collect().map(_.toSeq).toSeq
+    assert(matrixRows(StreamingReport.overlapReport(spark, stDir)) ==
+      matrixRows(graft.operators.Sketches.hllOverlapMatrix(
+        graft.operators.Sketches.hllRegisters(batchToks, "tok", 9,
+          Seq("source")), 9, "source")),
+      "streamed overlap matrix diverged from the batch matrix")
+
     // the sink's trackFreq leg: count-min estimates over the stream ==
     // the batch sketch over the union (exact integer sums)
     val unionToks = docs.filter(col("doc_id") < 450)
