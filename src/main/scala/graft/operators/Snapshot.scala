@@ -55,6 +55,12 @@ object Snapshot {
     *     `closeMissing` (full-snapshot semantics; pass false when
     *     `incoming` is a partial upsert batch).
     * Already-closed rows pass through without joining.
+    *
+    * Lineage: in production each refresh reads the PERSISTED history
+    * table, so plans never chain. When chaining refreshes in memory
+    * (tests, backfills), truncate lineage between applications
+    * (`localCheckpoint`) — N stacked full-outer-join plans hit the
+    * exponential-analysis trap documented on [[Clusters]].
     */
   def scd2Apply(history: DataFrame, incoming: DataFrame, keyCol: String,
                 hashCols: Seq[String], version: Long,

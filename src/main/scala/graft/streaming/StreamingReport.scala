@@ -45,7 +45,7 @@ import graft.operators.{Quality, Sketches}
   */
 object StreamingReport {
 
-  private val FoldMarker = "_folded_up_to"
+  private[streaming] val FoldMarker = "_folded_up_to"
 
   /** Write one micro-batch's partial profile (idempotent per batchId). */
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
@@ -427,13 +427,13 @@ object StreamingReport {
   /** (batchId, path) for every `batch=N` child of `dir`; empty when the
     * directory does not exist yet.
     */
-  private def batchDirs(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+  private[streaming] def batchDirs(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(s => s.getPath.getName.stripPrefix("batch=").toLong -> s.getPath)
 
-  private def foldedUpTo(fs: FileSystem, baseDir: Path): Long =
+  private[streaming] def foldedUpTo(fs: FileSystem, baseDir: Path): Long =
     readMarker(fs, new Path(baseDir, FoldMarker)).getOrElse(-1L)
 
   private def readB(fs: FileSystem, hllDir: Path): Option[Int] =
@@ -462,7 +462,7 @@ object StreamingReport {
       default
     }
 
-  private def readMarker(fs: FileSystem, p: Path): Option[Long] =
+  private[streaming] def readMarker(fs: FileSystem, p: Path): Option[Long] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -470,7 +470,7 @@ object StreamingReport {
       finally in.close()
     }
 
-  private def writeMarker(fs: FileSystem, p: Path, v: Long): Unit = {
+  private[streaming] def writeMarker(fs: FileSystem, p: Path, v: Long): Unit = {
     val out = fs.create(p, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -485,7 +485,7 @@ object StreamingReport {
     * destroy the compacted copy and strand the compactor mid-swap.
     * Finish-only healing is safe from both readers and the compactor.
     */
-  private def heal(fs: FileSystem, baseDir: Path): Unit = {
+  private[streaming] def heal(fs: FileSystem, baseDir: Path): Unit = {
     val tmp = new Path(baseDir.getParent, baseDir.getName + "_compact")
     if (fs.exists(tmp) && !fs.exists(baseDir)) {
       // A concurrent healer may win the same rename; losing is fine as

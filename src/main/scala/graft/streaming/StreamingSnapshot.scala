@@ -17,10 +17,10 @@ import graft.operators.Snapshot
   *     keys whose tracked hash changed);
   *   - `closures/batch=N`: (key, valid_from, valid_to) patch records for
   *     the rows version N+1 closed.
-  * [[history]] = all opened rows left-joined with the closure patches on
-  * (key, valid_from). A row is closed at most once (a closed row is no
-  * longer live, so no later batch can close it again), so the patch join
-  * is 1:≤1 by construction.
+  * [[history]] = base (already-patched rows) ∪ live opened rows, with
+  * live closure patches applied on (key, valid_from). A row is closed at
+  * most once (a closed row is no longer live, so no later batch can
+  * close it again), so the patch join is 1:≤1 by construction.
   *
   * Replay safety: batch N's delta is computed against the history
   * RECONSTRUCTED FROM BATCHES < N ONLY — never against state N itself
@@ -28,13 +28,18 @@ import graft.operators.Snapshot
   * therefore recomputes byte-identical delta files into its own
   * partitions: idempotent without any read-modify-write of shared state.
   *
-  * Scale shape: the per-batch WRITE is delta-sized; the per-batch READ
-  * folds prior deltas (partition-pruned to `batch < N`), which grows with
-  * batch count — the same lifecycle as report partials, with the same
-  * answer: fold old deltas into a base on a cadence (the
-  * `StreamingReport.compact` rename protocol applies unchanged; a base
-  * is just a pre-joined opened/closures pair). Kept out of scope here —
-  * the maintenance logic, not the folding, is what this file adds.
+  * Small-files lifecycle: [[compact]] folds all but the most recent
+  * `keepBatches` delta pairs into a single pre-patched `base` directory
+  * using the [[StreamingReport]] rename protocol verbatim (temp write +
+  * `_folded_up_to` marker, delete, rename, delete folded dirs;
+  * finish-only heal on read; marker re-check for consistent snapshots).
+  * Folding is history-safe because patching is associative: applying the
+  * folded closures to the folded opened rows first, then the live
+  * closures later, yields the same rows as applying everything at once.
+  * The recent `keepBatches` deltas stay unfolded so a foreachBatch replay
+  * (which only re-delivers recent ids) can still reconstruct its
+  * pre-batch state; reconstructing strictly before the fold cutoff is
+  * refused (the per-batch inputs no longer exist separately).
   */
 object StreamingSnapshot {
 
@@ -82,45 +87,147 @@ object StreamingSnapshot {
       throw new IllegalStateException(
         s"no snapshot state under $stateDir yet"))
 
+  /** Fold all delta pairs except the most recent `keepBatches` into the
+    * pre-patched base. Safe to call from the sink's foreachBatch (runs
+    * between triggers, so it never races its own writer) or any
+    * operator cadence.
+    */
+  def compact(spark: SparkSession, stateDir: String, keyCol: String,
+              keepBatches: Int = 2): Unit = {
+    val basePath = new Path(s"$stateDir/base")
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingReport.heal(fs, basePath)
+    val already = StreamingReport.foldedUpTo(fs, basePath)
+    val all = StreamingReport.batchDirs(fs, new Path(s"$stateDir/opened"))
+    if (all.isEmpty) return
+    val cutoff = all.map(_._1).max - keepBatches
+    val fold = all.filter { case (id, _) => id > already && id <= cutoff }
+    if (fold.isEmpty) return
+    val foldOpened = spark.read.parquet(fold.map(_._2.toString): _*)
+    val schema = foldOpened.schema
+      .add("valid_to", org.apache.spark.sql.types.LongType)
+    val oldBase = baseFrame(spark, fs, basePath, schema)
+    val foldClosureDirs = StreamingReport
+      .batchDirs(fs, new Path(s"$stateDir/closures"))
+      .filter { case (id, _) => id > already && id <= cutoff }
+    val merged = patch(
+      oldBase.unionByName(
+        foldOpened.withColumn("valid_to", lit(null).cast("bigint"))),
+      readClosures(spark, foldClosureDirs, oldBase, keyCol), keyCol)
+    val tmp = new Path(basePath.getParent, basePath.getName + "_compact")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    StreamingReport.writeMarker(fs,
+      new Path(tmp, StreamingReport.FoldMarker), cutoff)
+    fs.delete(basePath, true)
+    if (!fs.rename(tmp, basePath) &&
+        StreamingReport.foldedUpTo(fs, basePath) != cutoff)
+      throw new IllegalStateException(s"compaction rename failed: $basePath")
+    fold.foreach { case (_, p) => fs.delete(p, true) }
+    foldClosureDirs.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** History reconstructed from batches strictly below `ltBatch` — the
     * read [[processBatch]] uses so a replayed batch never sees its own
-    * prior delivery.
+    * prior delivery. Returns None before any state exists; throws when
+    * `ltBatch` falls at or below the fold cutoff (those per-batch inputs
+    * were folded away — keep `keepBatches` at or above the redelivery
+    * horizon).
     */
   private def historyBefore(spark: SparkSession, stateDir: String,
                             ltBatch: Long,
                             keyCol: String): Option[DataFrame] = {
-    val openedDir = new Path(s"$stateDir/opened")
-    val fs = FileSystem.get(openedDir.toUri, spark.sessionState.newHadoopConf())
-    if (!fs.exists(openedDir)) return None
-    val opened = spark.read.parquet(openedDir.toString)
-      .filter(col("batch") < ltBatch).drop("batch")
-    if (opened.isEmpty) return None
-    // a crash between the two delta writes can leave opened/ without its
-    // closures/ sibling for one batch; the checkpoint replays that batch,
-    // but a reader in the window must not fail on the missing directory
-    val closures =
-      (if (fs.exists(new Path(s"$stateDir/closures")))
-        spark.read.parquet(s"$stateDir/closures")
-          .filter(col("batch") < ltBatch).drop("batch")
-      else opened.select(col(keyCol), col("valid_from"),
-        lit(null).cast("bigint").as("valid_to")).limit(0))
-        .withColumnRenamed("valid_to", "_vt")
-    Some(opened
-      .join(closures, Seq(keyCol, "valid_from"), "left")
-      .withColumn("valid_to", col("_vt")).drop("_vt"))
+    val basePath = new Path(s"$stateDir/base")
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt <= 16) {
+      StreamingReport.heal(fs, basePath)
+      val cutoff = StreamingReport.foldedUpTo(fs, basePath)
+      if (ltBatch <= cutoff)
+        throw new IllegalStateException(
+          s"state before batch $ltBatch was folded (cutoff $cutoff); " +
+            "raise keepBatches above the redelivery horizon")
+      val opened = StreamingReport
+        .batchDirs(fs, new Path(s"$stateDir/opened"))
+        .filter { case (id, _) => id > cutoff && id < ltBatch }
+      val closures = StreamingReport
+        .batchDirs(fs, new Path(s"$stateDir/closures"))
+        .filter { case (id, _) => id > cutoff && id < ltBatch }
+      val baseFiles =
+        if (fs.exists(basePath))
+          fs.listStatus(basePath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+        else Nil
+      // consistent snapshot iff the cutoff didn't move under the listing
+      if (StreamingReport.foldedUpTo(fs, basePath) == cutoff) {
+        if (opened.isEmpty && baseFiles.isEmpty) return None
+        val liveOpened =
+          if (opened.isEmpty) None
+          else Some(spark.read.parquet(opened.map(_._2.toString): _*)
+            .withColumn("valid_to", lit(null).cast("bigint")))
+        val schema = liveOpened.map(_.schema).getOrElse(
+          spark.read.parquet(baseFiles: _*).schema)
+        val base =
+          if (baseFiles.nonEmpty)
+            spark.read.schema(schema).parquet(baseFiles: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val rows = liveOpened.map(base.unionByName(_)).getOrElse(base)
+        return Some(patch(rows,
+          readClosures(spark, closures, rows, keyCol), keyCol))
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot state at $stateDir kept moving during read")
   }
 
+  /** Apply closure patches on (key, valid_from): a row keeps an existing
+    * valid_to (it was patched when folded) or takes the live patch.
+    */
+  private def patch(rows: DataFrame, closures: DataFrame,
+                    keyCol: String): DataFrame =
+    rows.join(closures.withColumnRenamed("valid_to", "_vt"),
+        Seq(keyCol, "valid_from"), "left")
+      .withColumn("valid_to", coalesce(col("valid_to"), col("_vt")))
+      .drop("_vt")
+
+  private def readClosures(spark: SparkSession, dirs: Seq[(Long, Path)],
+                           shapeFrom: DataFrame,
+                           keyCol: String): DataFrame =
+    if (dirs.nonEmpty) spark.read.parquet(dirs.map(_._2.toString): _*)
+    else shapeFrom.select(col(keyCol), col("valid_from"),
+      lit(null).cast("bigint").as("valid_to")).limit(0)
+
+  private def baseFrame(spark: SparkSession, fs: FileSystem, basePath: Path,
+                        schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (fs.exists(basePath)) {
+      val files = fs.listStatus(basePath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      if (files.nonEmpty) spark.read.schema(schema).parquet(files: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** foreachBatch wiring: maintain the history live at `pollSeconds`
-    * cadence.
+    * cadence, folding old deltas every `autoCompactEvery` batches.
     */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
-           keyCol: String, hashCols: Seq[String],
-           pollSeconds: Int = 30): StreamingQuery =
+           keyCol: String, hashCols: Seq[String], pollSeconds: Int = 30,
+           autoCompactEvery: Int = 64,
+           keepBatches: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, stateDir, batchId, keyCol, hashCols)
+        if (autoCompactEvery > 0 && batchId > 0 &&
+            batchId % autoCompactEvery == 0)
+          compact(batch.sparkSession, stateDir, keyCol, keepBatches)
       }
       .start()
 }

@@ -1232,4 +1232,82 @@ class StreamingSpec extends SparkSpec {
     assert(at2 == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
       s"version-2 snapshot wrong: $at2")
   }
+
+  test("streaming SCD2 compaction: history identical across folds, delta " +
+       "dirs bounded, recent replays reconstruct, folded reconstruction " +
+       "refused, torn swap heals") {
+    import spark.implicits._
+    import graft.streaming.StreamingSnapshot
+    import graft.operators.Snapshot
+    val stDir = Files.createTempDirectory("scd2-cp").toString
+    // churny batches: key 1 revises every batch (guarantees closures),
+    // key 2 stable, key 10+i newly added per batch
+    def frame(i: Int) =
+      Seq((1L, s"v$i"), (2L, "stable"), (10L + i, s"n$i"))
+        .toDF("id", "text")
+    for (i <- 0 until 8)
+      StreamingSnapshot.processBatch(frame(i), stDir, i.toLong, "id",
+        Seq("text"))
+
+    def rows() = StreamingSnapshot.history(spark, stDir, "id")
+      .select("id", "text", "row_hash", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._4)).toSeq
+    def dirCount(fam: String) =
+      new java.io.File(s"$stDir/$fam").listFiles()
+        .count(_.getName.startsWith("batch="))
+
+    val before = rows()
+    StreamingSnapshot.compact(spark, stDir, "id", keepBatches = 2)
+    assert(rows() == before, "history changed across the first fold")
+    assert(dirCount("opened") == 2 && dirCount("closures") == 2,
+      "folded delta dirs were not removed")
+    // fold cutoff unchanged → second compact is a no-op
+    StreamingSnapshot.compact(spark, stDir, "id", keepBatches = 2)
+    assert(rows() == before, "idle re-compact moved the history")
+
+    // a RECENT batch replay still reconstructs its pre-state exactly
+    StreamingSnapshot.processBatch(frame(7), stDir, 7L, "id", Seq("text"))
+    assert(rows() == before, "replaying a recent batch moved the history")
+    // reconstructing strictly before the fold cutoff is refused
+    intercept[IllegalStateException] {
+      StreamingSnapshot.processBatch(frame(3), stDir, 3L, "id", Seq("text"))
+    }
+
+    // keep streaming past the fold, fold again, compare to the batch twin
+    for (i <- 8 until 10)
+      StreamingSnapshot.processBatch(frame(i), stDir, i.toLong, "id",
+        Seq("text"))
+    StreamingSnapshot.compact(spark, stDir, "id", keepBatches = 2)
+    // checkpoint between refreshes: chaining N scd2Apply PLANS without
+    // truncation is the exponential-analysis trap (in production each
+    // refresh reads the PERSISTED history, so lineage never chains)
+    val twin = (1 until 10).foldLeft(
+        Snapshot.scd2Init(frame(0), "id", Seq("text"), 1L)
+          .localCheckpoint(true)) { (h, i) =>
+      Snapshot.scd2Apply(h, frame(i), "id", Seq("text"), i + 1L,
+        closeMissing = false).localCheckpoint(true)
+    }
+    val twinRows = twin
+      .select("id", "text", "row_hash", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(rows() == twinRows,
+      "compacted streamed history diverged from the batch scd2 chain")
+
+    // torn swap: simulate a crash between base delete and rename — the
+    // next reader must finish the rename and answer identically
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$stDir/base")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stDir/base_compact")
+    assert(fs.rename(base, tmp), "test setup: simulate torn swap")
+    assert(rows() == twinRows, "torn swap not healed by the reader")
+    assert(fs.exists(base) && !fs.exists(tmp),
+      "heal must finish the rename")
+  }
 }
