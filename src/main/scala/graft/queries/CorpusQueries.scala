@@ -3302,7 +3302,84 @@ object CorpusQueries {
           .select(col("id").as("doc_id"), col("cluster"), col("split"))
           .orderBy("doc_id")
       },
-      Some(leakageSplitOracleSql))
+      Some(leakageSplitOracleSql)),
+
+    // Composition recipe over the round's versioning + split family:
+    // reconstruct the CURRENT corpus from the SCD2 history (snapshotAt —
+    // the oracle derives the same slice directly, so the history
+    // round-trip must be semantically invisible), close near-dup
+    // clusters over that LIVE slice, assign leakage-safe splits, and
+    // report each split's training-slice profile (docs, tokens, round-6
+    // mean quality). Every stage replays: the v2 derivation, the
+    // closure (shared parameterized CTEs), the split buckets, and the
+    // quality chain.
+    QueryDef("q134_versioned_training_slice",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        val hist = Snapshot.scd2Apply(
+          Snapshot.scd2Init(v1, "doc_id", Seq("lang", "text"), 1L),
+          v2, "doc_id", Seq("lang", "text"), 2L)
+        val live = Snapshot.snapshotAt(hist, 2L)
+          .select(col("doc_id"), col("text"))
+        val pairs = Dedup.ngramJaccardPairs(live, n = 3, threshold = 0.8)
+        val labels = Clusters.components(pairs, live.select(col("doc_id")),
+          idCol = "doc_id")
+        val split = Clusters.leakageSafeSplit(labels)
+          .select(col("id").as("doc_id"), col("split"))
+        live.join(split, Seq("doc_id"))
+          .select(col("split"),
+            TextFunctions.tokenCount(col("text")).cast("bigint")
+              .as("n_tok"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            round(sum(col("q").cast("decimal(28,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_quality"))
+          .orderBy("split")
+      },
+      Some {
+        s"""WITH RECURSIVE v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |${ccClosureCtes("v2")},
+        |sp AS (
+        |  SELECT id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT id,
+        |      ('0x' || substring(md5('split_' || cluster::VARCHAR), 1, 15))::BIGINT
+        |        % 100 AS b
+        |    FROM (SELECT src AS id, min(node) AS cluster FROM r
+        |          GROUP BY src))),
+        |d AS (SELECT doc_id, text, $padded AS p FROM v2),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d)
+        |SELECT sp.split, count(*) AS n_docs, sum(qd.n_tok)::BIGINT AS n_tokens,
+        |  round(sum(qd.q::DECIMAL(28,6))::DOUBLE / count(*), 6)
+        |    AS mean_quality
+        |FROM qd JOIN sp ON sp.id = qd.doc_id
+        |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+      })
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final
@@ -3961,10 +4038,15 @@ object CorpusQueries {
   /** The transitive-closure oracle both CC algorithms are checked against:
     * min reachable id over the recomputed Jaccard pair list.
     */
-  private def ccOracleSql: String =
-    """WITH RECURSIVE toks AS (
+  /** The q55 transitive-closure CTE chain (trigram shingles → Jaccard ≥
+    * 0.8 pairs → recursive closure `r(src, node)`), parameterized on the
+    * doc relation so composition queries (q134) can close over a DERIVED
+    * corpus slice with the identical replay.
+    */
+  private def ccClosureCtes(docsRel: String): String =
+    s"""toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
-      |  FROM documents),
+      |  FROM $docsRel),
       |sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
@@ -3984,9 +4066,12 @@ object CorpusQueries {
       |  SELECT id_a AS a, id_b AS b FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
       |r(src, node) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $docsRel
       |  UNION
-      |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+      |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)""".stripMargin
+
+  private def ccOracleSql: String =
+    "WITH RECURSIVE " + ccClosureCtes("documents") + """
       |SELECT cluster, count(*) AS n_members, max(id) AS max_id FROM (
       |  SELECT src AS id, min(node) AS cluster FROM r GROUP BY src)
       |GROUP BY cluster ORDER BY cluster""".stripMargin
