@@ -312,9 +312,12 @@ object EventQueries {
     // OR AFTER the previous step's first completion): the sequence-
     // pattern query an event pipeline answers per user. Three
     // conditional min-aggregations chained by user-keyed joins — the
-    // step-threshold tables are user-grain (bounded) and broadcast; the
-    // raw event table is scanned once per step with a pushed type
-    // filter, never self-joined at event grain.
+    // step thresholds are USER-grain, so they are deliberately NOT
+    // hinted broadcast (at 10^9 users that broadcast is the failure
+    // mode); every join and aggregation keys on user_id, so the
+    // exchanges co-partition and Catalyst still broadcasts when the
+    // side is genuinely small. The raw event table is scanned once per
+    // step with a pushed type filter, never self-joined at event grain.
     QueryDef("q129_conversion_funnel",
       (s, dir) => {
         val ev = events(s, dir).withColumn("sec", tsSec)
@@ -322,11 +325,11 @@ object EventQueries {
         val v = ev.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
         val c = ev.filter(col("event_type") === "click")
-          .join(broadcast(v), Seq("user_id"))
+          .join(v, Seq("user_id"))
           .filter(col("sec") >= col("v_sec"))
           .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"))
         val p = ev.filter(col("event_type") === "purchase")
-          .join(broadcast(c), Seq("user_id"))
+          .join(c, Seq("user_id"))
           .filter(col("sec") >= col("c_sec"))
           .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
         v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")

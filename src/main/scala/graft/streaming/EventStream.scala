@@ -79,4 +79,96 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("p_ts"), col("c_ts"))
   }
+
+  /** One event on a user's funnel journey (input row shape). */
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp)
+
+  /** Per-user funnel machine state: first view, first click at-or-after
+    * it, and whether the funnel already completed (so a second purchase
+    * can't emit twice).
+    */
+  case class FunnelState(vSec: Long, cSec: Option[Long], done: Boolean)
+
+  /** An emitted funnel: completed on the purchase that closes it, or
+    * abandoned when the user's state times out `horizonSec` of event
+    * time after their last relevant event.
+    */
+  case class FunnelOut(user_id: Long, v_sec: Long, c_sec: Option[Long],
+                       p_sec: Option[Long], stage: Long, completed: Boolean)
+
+  /** The q129 conversion funnel as a LIVE state machine —
+    * `flatMapGroupsWithState` with an EVENT-TIME TIMEOUT, the state
+    * shape a never-ending funnel needs: per-user state is created by the
+    * first view, advanced by the first at-or-after click and purchase,
+    * and — crucially for an infinite stream — EXPIRED by the watermark
+    * once a user has been idle `horizonSec` past their last relevant
+    * event, emitting the abandoned funnel (stage 1 or 2) on the way out.
+    * State is therefore bounded by (active users within the horizon) ×
+    * a 3-field record, independent of stream length; without the
+    * timeout, every user who ever viewed would be state forever.
+    *
+    * Semantics contract (spec-pinned): on per-user event-time-ordered
+    * arrival the completed funnels are EXACTLY the batch q129 rows —
+    * each batch's events are sorted by event time inside the handler, so
+    * intra-batch disorder is repaired, while an event arriving batches
+    * late (out of order ACROSS batches) is folded in arrival order, the
+    * same greedy-admission stance as the streaming dedup family.
+    *
+    * Input must carry (user_id LONG, event_type STRING, ts TIMESTAMP);
+    * `lateness` is the watermark bound that drives the timeout clock.
+    */
+  def funnelStream(events: DataFrame, horizonSec: Long = 86400L,
+                   lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def handle(userId: Long, it: Iterator[FunnelEvent],
+               state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        if (s.done) Iterator.empty
+        else Iterator.single(FunnelOut(userId, s.vSec, s.cSec, None,
+          1L + s.cSec.size, completed = false))
+      } else {
+        var s = state.getOption.orNull
+        var out = List.empty[FunnelOut]
+        var lastSec = Long.MinValue
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val sec = e.ts.getTime / 1000L
+          lastSec = math.max(lastSec, sec)
+          e.event_type match {
+            case "view" if s == null =>
+              s = FunnelState(sec, None, done = false)
+            case "click" if s != null && !s.done && s.cSec.isEmpty &&
+                sec >= s.vSec =>
+              s = s.copy(cSec = Some(sec))
+            case "purchase" if s != null && !s.done && s.cSec.exists(sec >= _) =>
+              out ::= FunnelOut(userId, s.vSec, s.cSec, Some(sec), 3L,
+                completed = true)
+              s = s.copy(done = true)
+            case _ => ()
+          }
+        }
+        if (s != null) {
+          state.update(s)
+          // idle expiry: horizon past the user's last event (any
+          // activity defers it), advanced by the event-time watermark;
+          // clamped above the current watermark — a target at or below
+          // it is rejected by the API
+          if (lastSec != Long.MinValue)
+            state.setTimeoutTimestamp(math.max((lastSec + horizonSec) * 1000L,
+              state.getCurrentWatermarkMs + 1))
+        }
+        out.reverseIterator
+      }
+    }
+    events.withWatermark("ts", lateness)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(handle)
+      .toDF()
+  }
 }

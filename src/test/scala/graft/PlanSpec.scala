@@ -377,11 +377,15 @@ class PlanSpec extends SparkSpec {
       "q123 lost the broadcast joins on its group-grain sides")
     assert(!q123.contains("SortMergeJoin"),
       "q123 planned a sort-merge join over sketch-grain data")
-    // q129: the per-step threshold tables are user-grain and explicitly
-    // broadcast — the event table must never shuffle for them
+    // q129: the per-step thresholds are USER-grain — the plan must not
+    // nested-loop, and every join/aggregation keys on user_id so the
+    // exchanges co-partition (Catalyst may still pick broadcast at
+    // small SF; what matters is that nothing FORCES it at scale)
     val q129 = plans("q129_conversion_funnel")
-    assert("BroadcastHashJoin".r.findAllIn(q129).size >= 2,
-      "q129 funnel step thresholds stopped broadcasting")
+    assert(!q129.contains("BroadcastNestedLoop"),
+      "q129 funnel degenerated to a nested-loop join")
+    assert("HashAggregate".r.findAllIn(q129).size >= 4,
+      "q129 lost partial aggregation on the step thresholds")
     // q126: the rank is materialized behind the Positional localCheckpoint
     // (the global no-unpartitioned-window test covers the rank hazard);
     // what this plan must keep is map-side partial aggregation on the

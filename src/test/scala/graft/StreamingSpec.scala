@@ -672,6 +672,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine: completions match the funnel " +
+       "semantics, idle users expire via event-time timeout as abandoned, " +
+       "orphan steps create no state") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("funnel-in").toString
+    def row(user: Long, typ: String, sec: Long) =
+      (user, typ, new java.sql.Timestamp(sec * 1000L))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(inDir)
+
+    val q = graft.streaming.EventStream.funnelStream(
+        spark.readStream
+          .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+          .parquet(inDir),
+        horizonSec = 600L, lateness = "1 minute")
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    try {
+      // wave 1: u1 view+click; u2 view only; u3 orphan click (no view)
+      write(Seq(row(1, "view", 100), row(1, "click", 160),
+        row(2, "view", 100), row(3, "click", 100)))
+      q.processAllAvailable()
+      // wave 2: u1 purchase completes; u2 purchase WITHOUT click is
+      // ignored; u4's click sorts before its view inside the batch —
+      // ignored, then the view opens the state
+      write(Seq(row(1, "purchase", 300), row(2, "purchase", 300),
+        row(4, "click", 290), row(4, "view", 300)))
+      q.processAllAvailable()
+      // waves 3+4: far-future events advance the watermark past
+      // last-event + horizon for u1/u2/u4; the next batch fires the
+      // event-time timeouts
+      write(Seq(row(9, "view", 90000)))
+      q.processAllAvailable()
+      write(Seq(row(9, "click", 90010)))
+      q.processAllAvailable()
+
+      val rows = spark.table("t_funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(rows.contains((1L, 100L, Some(160L), Some(300L), 3L, true)),
+        s"u1 funnel must complete: $rows")
+      assert(rows.contains((2L, 100L, None, None, 1L, false)),
+        "u2 (view only, purchase without click ignored) must expire at " +
+          "stage 1")
+      assert(rows.contains((4L, 300L, None, None, 1L, false)),
+        "u4's pre-view click must not count; stage-1 expiry expected")
+      assert(!rows.exists(_._1 == 3L),
+        "an orphan click must create no state and emit nothing")
+      assert(!rows.exists(_._1 == 9L), "the watermark driver is still live")
+      assert(rows.size == 3, s"unexpected extra emissions: $rows")
+
+      // completed rows agree with the batch q129 shape on the same input
+      val ev = spark.read.parquet(inDir)
+        .select(col("user_id"), col("event_type"),
+          (col("ts").cast("long")).as("sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("sec") >= col("v_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("sec") >= col("c_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+      val batchCompleted = v.join(c, "user_id").join(p, "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Some(r.getLong(2)),
+          Some(r.getLong(3)), 3L, true)).toSet
+      assert(rows.filter(_._6) == batchCompleted,
+        "streamed completions diverged from the batch funnel")
+    } finally q.stop()
+  }
+
   test("online near-dup admission: greedy first-seen-wins across batches, " +
        "idempotent under batch replay") {
     val stateDir = Files.createTempDirectory("ond-state").toString
