@@ -116,7 +116,11 @@ object StreamingSnapshot {
       readClosures(spark, foldClosureDirs, oldBase, keyCol), keyCol)
     val tmp = new Path(basePath.getParent, basePath.getName + "_compact")
     fs.delete(tmp, true)
-    merged.coalesce(1).write.parquet(tmp.toString)
+    // the base is the HISTORY — unbounded, unlike the sketch-grain bases
+    // StreamingReport folds to one file — so it is written key-partitioned
+    // (pruned rewrites, parallel reads), never coalesce(1)'d through one
+    // task
+    merged.repartition(col(keyCol)).write.parquet(tmp.toString)
     StreamingReport.writeMarker(fs,
       new Path(tmp, StreamingReport.FoldMarker), cutoff)
     fs.delete(basePath, true)
