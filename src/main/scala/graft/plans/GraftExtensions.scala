@@ -12,6 +12,9 @@ import graft.functions.{Bpe, NfcNormalize, PqExpressions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // conf-gated planner rewrite: declarative point-in-interval joins →
+    // the bucketized equi-join (see RangeJoinRewriteRule)
+    ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

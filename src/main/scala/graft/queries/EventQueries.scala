@@ -516,6 +516,46 @@ object EventQueries {
         |  WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT path, count(*)::BIGINT AS n FROM tri
         |WHERE e3 IS NOT NULL GROUP BY path HAVING count(*) >= 20
-        |ORDER BY path""".stripMargin))
+        |ORDER BY path""".stripMargin)),
+
+    // q120's range join STATED DECLARATIVELY — a plain inner join with
+    // the range predicate — executed under the injected optimizer rule
+    // (plans.RangeJoinRewriteRule, conf-gated bucket width): the rule
+    // must rewrite it to the bucketized equi-join and produce the
+    // IDENTICAL pair set, proven by q120's own oracle verbatim. The
+    // frame is materialized (localCheckpoint) while the conf is set so
+    // the gate never leaks into other queries' plans.
+    QueryDef("q135_range_join_declarative",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("sec"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        s.conf.set(graft.plans.RangeJoinRewriteRule.WidthConf, "600")
+        try ev.join(windows,
+            col("user_id") === col("w_user") &&
+              col("sec") >= col("w_start") && col("sec") < col("w_end"))
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"), (col("sec") - col("w_start")).as("offset_sec"))
+          .orderBy("window_id", "event_id")
+          .localCheckpoint(true)
+        finally s.conf.unset(graft.plans.RangeJoinRewriteRule.WidthConf)
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  (e.sec - w.w_start)::BIGINT AS offset_sec
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.sec >= w.w_start AND e.sec < w.w_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin))
   )
 }
