@@ -42,6 +42,42 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * nearest neighbors by exact cosine EXCLUDING the query itself and
+    * everything in the query's near-duplicate cluster — the closest
+    * documents that are NOT (near-)copies. Exclusion precedes ranking
+    * (a near-dup sitting at rank 1 is dropped and the next candidate
+    * promoted), which is what makes these negatives hard instead of
+    * leaked positives.
+    *
+    * `clusters` is any (id, cluster) labeling (e.g.
+    * [[Clusters.components]] over the PPJoin pairs); ids without a label
+    * are treated as singletons (never excluded by cluster). Scale: the
+    * query set + its labels broadcast over the corpus, the corpus label
+    * join is id-keyed, ranking is the salted two-phase top-k.
+    */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame,
+                       clusters: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       queryIdCol: String = "query_id"): DataFrame = {
+    val lab = clusters.select(col("id"), col("cluster"))
+    val c = corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .join(lab.select(col("id").as(idCol), col("cluster").as("_c_cl")),
+        Seq(idCol), "left")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("_qv"))
+      .join(lab.select(col("id").as(queryIdCol),
+        col("cluster").as("_q_cl")), Seq(queryIdCol), "left")
+    val joined = c.join(broadcast(q))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .filter(col("_c_cl").isNull || col("_q_cl").isNull ||
+        col("_c_cl") =!= col("_q_cl"))
+      .withColumn("cos", VectorFunctions.cosine(col("_cv"), col("_qv")))
+    saltedTopK(joined, k, Seq(col("cos").desc, col(idCol)), idCol,
+        queryIdCol)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the full `nBits` signature with the
     * query; exact cosine re-rank within candidates. Recall is tuned by
     * `nBits` (fewer bits → bigger buckets → higher recall, more compute).

@@ -3379,7 +3379,51 @@ object CorpusQueries {
         |    AS mean_quality
         |FROM qd JOIN sp ON sp.id = qd.doc_id
         |GROUP BY sp.split ORDER BY sp.split""".stripMargin
-      })
+      }),
+
+    // Hard-negative mining (Similarity.hardNegativeTopK): each query's
+    // nearest neighbors by exact cosine with the query's own near-dup
+    // CLUSTER excluded before ranking — the closest docs that are not
+    // (near-)copies, i.e. the negatives a contrastive embedding run
+    // actually wants. Composes the q39 exact ranking with the q55
+    // closure; the oracle replays both and applies the same exclusions.
+    QueryDef("q136_hard_negatives",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val e = table(s, dir, "embeddings")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        val labels = Clusters.components(pairs, docs.select(col("doc_id")),
+          idCol = "doc_id")
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.hardNegativeTopK(e, queries, labels, k = 10)
+          .select(col("query_id"), col("vec_id"), r4(col("cos")).as("cos"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH RECURSIVE ${ccClosureCtes("documents")},
+        |lab AS (SELECT src AS id, min(node) AS cluster FROM r GROUP BY src),
+        |q AS (
+        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+        |    lq.cluster AS qcl
+        |  FROM embeddings e JOIN lab lq ON lq.id = e.vec_id
+        |  WHERE e.vec_id < 8),
+        |c AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, lc.cluster AS ccl
+        |  FROM embeddings e JOIN lab lc ON lc.id = e.vec_id),
+        |cos AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(cv, qv) /
+        |      greatest(sqrt(list_dot_product(cv, cv))
+        |               * sqrt(list_dot_product(qv, qv)), 1e-300) AS cos
+        |  FROM c, q
+        |  WHERE c.vec_id <> q.query_id AND c.ccl <> q.qcl),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, vec_id) AS rank
+        |  FROM cos)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final

@@ -525,4 +525,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.oversampleInit(corpus, k = 4, dim = 8, rounds = 3)
       == os, "oversampleInit must be deterministic")
   }
+
+  test("hard negatives: self and same-cluster near-dups are excluded " +
+       "BEFORE ranking (the next candidate promotes); unlabeled ids " +
+       "are never cluster-excluded") {
+    import spark.implicits._
+    // query 1; vec 2 nearly identical (same cluster — the leaked
+    // positive); vec 3 close but distinct; vec 4 distant; vec 5 close
+    // and UNLABELED
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.9f, 0.3f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.95f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("id", "cluster")
+    val queries = vecs.filter($"vec_id" === 1)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.hardNegativeTopK(vecs, queries, clusters, k = 3)
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("vec_id")).toSeq
+    // 2 (same cluster) and 1 (self) are gone; 5 beats 3 beats 4 by cosine
+    assert(got == Seq(5L, 3L, 4L),
+      s"expected promoted ranking Seq(5, 3, 4), got $got")
+  }
 }
