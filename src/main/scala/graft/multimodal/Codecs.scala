@@ -2,11 +2,18 @@ package graft.multimodal
 
 /** Pure-JVM media codecs for the multimodal column path.
   *
-  * The container sandbox has no image/audio libraries, but Netpbm (PGM/PPM)
-  * and RIFF/WAV PCM are fully decodable with header parsing + raster
-  * arithmetic alone — so THESE formats get a real bytes→samples decode
-  * path; only codec-class formats (JPEG/MP3/H.264) remain behind the
-  * clearly-marked stub in [[Multimodal.stubDecode]].
+  * Two real decode families, zero external libraries:
+  *   - hand-parsed containers — Netpbm (PGM/PPM) raster arithmetic and
+  *     RIFF/WAV PCM16 chunk walking;
+  *   - the JDK's own `javax.imageio` readers (every standard JDK ships
+  *     PNG/JPEG/BMP/GIF/TIFF decoders) via [[decodeImageIO]] —
+  *     PNG/BMP/GIF are LOSSLESS, so their decoded rasters are
+  *     pixel-exact and oracle-replayable (q137); JPEG decoding is
+  *     deterministic for a given JDK but not bit-specified across
+  *     decoders, so JPEG features stay spec-tested, never hash-oracled.
+  * Only audio-codec/video formats (MP3/AAC/H.264) remain behind the
+  * clearly-marked stub in [[Multimodal.stubDecode]] — the JDK has no
+  * decoder for those.
   *
   * Reference analogue: trx reads detector images through fabio's EDF codec
   * (trx/azav.py:25, fabio.open) — same role: container header + raw raster.
@@ -32,7 +39,88 @@ object Codecs {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
       "wav"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
     else "unknown"
+
+  /** The formats [[decodeImageIO]] handles. */
+  val ImageIoFormats: Set[String] = Set("png", "jpeg", "bmp", "gif")
+
+  // --------------------------------------------------------- JDK ImageIO --
+
+  /** Decode PNG/JPEG/BMP/GIF through the JDK's own `javax.imageio`
+    * readers to the same [[ImageData]] shape as the Netpbm path: 3-channel
+    * row-major RGB, 0..255. PNG/BMP/GIF round-trip losslessly.
+    */
+  def decodeImageIO(b: Array[Byte]): ImageData = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        pixels(o) = (rgb >> 16) & 0xff
+        pixels(o + 1) = (rgb >> 8) & 0xff
+        pixels(o + 2) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(w, h, 3, 255, pixels)
+  }
+
+  /** Header-only (width, height) via the matching ImageIO reader — no
+    * raster decode; None when no reader claims the payload.
+    */
+  private[multimodal] def imageIoDims(b: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Encode a 1- or 3-channel raster as PNG (lossless — the test/oracle
+    * twin of [[decodeImageIO]], like [[encodeNetpbm]]/[[encodeWav]]).
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Int]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels must be 1|3: $channels")
+    require(pixels.length == width * height * channels, "raster size")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * channels
+        val (r, g, bl) =
+          if (channels == 3) (pixels(o), pixels(o + 1), pixels(o + 2))
+          else (pixels(o), pixels(o), pixels(o))
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   // ------------------------------------------------------------- Netpbm --
 
@@ -171,6 +259,8 @@ object Codecs {
       case "wav" =>
         val (rate, nCh, _, _, _) = wavHeader(b)
         Some((0, 0, nCh, rate))
+      case f if ImageIoFormats(f) =>
+        imageIoDims(b).map { case (w, h) => (w, h, 3, 0) }
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample as per-partition
   * batch transforms.
   *
-  * The actual codec libraries are not available in this environment, so the
-  * decode kernel is STUBBED with a deterministic fake (clearly marked
-  * below); everything Spark-side — schema, batching, partition sizing, the
-  * typed mapPartitions shape — is real and tested. On a cluster you swap
-  * `stubDecode` for a real decoder; nothing else changes.
+  * Raster formats decode FOR REAL — Netpbm by hand-parse, PNG/JPEG/BMP/
+  * GIF through the JDK's own `javax.imageio` readers ([[Codecs]]); only
+  * audio-codec/video formats (MP3/AAC/H.264), which the JDK cannot
+  * decode, fall back to the clearly-marked deterministic stub below.
+  * Everything Spark-side — schema, batching, partition sizing, the typed
+  * mapPartitions shape — is identical across real and stubbed payloads;
+  * on a cluster with codec libraries you extend the dispatch, nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -132,9 +135,17 @@ object Multimodal {
               val (n, s, mn, mx) = stats(au.samples)
               MediaDecoded(id, "wav", 0, 0, au.nChannels, au.sampleRate,
                 n, s, mn, mx)
+            case c if Codecs.ImageIoFormats(c) =>
+              // REAL decode through the JDK's own imageio readers —
+              // PNG/BMP/GIF losslessly (q137 oracle-pins the round trip),
+              // JPEG deterministically for this JDK (spec-tested)
+              val img = Codecs.decodeImageIO(payload)
+              val (n, s, mn, mx) = stats(img.pixels)
+              MediaDecoded(id, c, img.width, img.height, img.channels, 0,
+                n, s, mn, mx)
             case _ =>
-              // codec-class formats (JPEG/MP3/…): no library in this
-              // environment — keep the documented stub hash as the feature
+              // audio-codec/video formats (MP3/AAC/H.264): the JDK has no
+              // decoder — keep the documented stub hash as the feature
               val f = stubDecode(payload, 4)
               MediaDecoded(id, "unknown", 0, 0, 0, 0, payload.length.toLong,
                 f.map(v => (v * 65535.0).round).sum, 0L, 0L)

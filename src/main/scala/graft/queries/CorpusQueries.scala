@@ -3423,7 +3423,54 @@ object CorpusQueries {
         |                               ORDER BY cos DESC, vec_id) AS rank
         |  FROM cos)
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // REAL PNG decode through the JDK's own javax.imageio readers
+    // (Codecs.decodeImageIO): rasters synthesized from doc_id formulas,
+    // encoded as PNG (lossless), decoded back through the real codec,
+    // reduced to exact integer stats. The oracle recomputes the stats
+    // straight from the pixel formulas — any drift anywhere in the
+    // encode→container→decode chain breaks the hash. Gray sources (1
+    // channel) decode as RGB with the value replicated ×3, which the
+    // oracle states explicitly. Closes the raster half of the
+    // codec-class-format gap; JPEG stays spec-tested (lossy decode is
+    // deterministic per JDK but not bit-specified cross-engine).
+    QueryDef("q137_png_roundtrip_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (4 + id % 8).toInt; val h = (3 + id % 5).toInt
+              val ch = if (id % 2 == 0) 3 else 1
+              val px = Array.tabulate(w * h * ch)(j =>
+                ((id * 17 + j * 11) % 256).toInt)
+              (id, Codecs.encodePng(w, h, ch, px))
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.decodeMedia(s, media).toDF().orderBy("media_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, (doc_id * 17 + j * 11) % 256 AS val
+        |  FROM (SELECT doc_id, unnest(generate_series(0, w * h * ch - 1))
+        |          AS j
+        |        FROM p)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n0, sum(val) AS s0,
+        |    min(val) AS mn, max(val) AS mx
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.doc_id AS media_id, 'png' AS container, p.w::INT AS width,
+        |  p.h::INT AS height, 3 AS channels, 0 AS sample_rate,
+        |  (CASE WHEN ch = 3 THEN n0 ELSE n0 * 3 END)::BIGINT AS n_values,
+        |  (CASE WHEN ch = 3 THEN s0 ELSE s0 * 3 END)::BIGINT AS v_sum,
+        |  mn::BIGINT AS v_min, mx::BIGINT AS v_max
+        |FROM p JOIN agg ON agg.doc_id = p.doc_id
+        |ORDER BY media_id""".stripMargin))
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final

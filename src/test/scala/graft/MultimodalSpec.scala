@@ -226,4 +226,79 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Long]("hamming"))).toSet
     assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
   }
+
+  test("JDK imageio codecs: PNG/BMP round-trip pixel-exact, JPEG decodes " +
+       "deterministically with bounded loss, magics sniff, header-only " +
+       "dims are real") {
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h * 3)(j => (j * 37 + 11) % 256)
+    val png = Codecs.encodePng(w, h, 3, px)
+    assert(Codecs.sniff(png) == "png")
+    assert(Codecs.sniffDims(png).contains((w, h, 3, 0)),
+      "header-only dims must come from the real PNG header")
+    val back = Codecs.decodeImageIO(png)
+    assert(back.width == w && back.height == h && back.channels == 3)
+    assert(back.pixels.toSeq == px.toSeq, "PNG round trip must be lossless")
+
+    // gray source: every value replicated across RGB
+    val gpx = Array.tabulate(w * h)(j => (j * 7) % 256)
+    val gback = Codecs.decodeImageIO(Codecs.encodePng(w, h, 1, gpx))
+    assert((0 until w * h).forall { j =>
+      gback.pixels(3 * j) == gpx(j) && gback.pixels(3 * j + 1) == gpx(j) &&
+        gback.pixels(3 * j + 2) == gpx(j)
+    }, "gray PNG must decode value-replicated")
+
+    // BMP through the same JDK writer/reader: lossless as well
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, (px(o) << 16) | (px(o + 1) << 8) | px(o + 2))
+    }
+    def encode(fmt: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val bmp = encode("bmp")
+    assert(Codecs.sniff(bmp) == "bmp")
+    assert(Codecs.decodeImageIO(bmp).pixels.toSeq == px.toSeq,
+      "BMP round trip must be lossless")
+
+    // JPEG: lossy but deterministic — two decodes agree exactly; on a
+    // SMOOTH raster (JPEG's design case; the noise fixture above is its
+    // worst case) pixels stay within a tight band of the source
+    val smooth = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val spx = Array.tabulate(w * h * 3) { o =>
+      val p = o / 3; (((p % w) * 16 + (p / w) * 8 + 64) min 255)
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      smooth.setRGB(x, y, (spx(o) << 16) | (spx(o + 1) << 8) | spx(o + 2))
+    }
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(smooth, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    assert(Codecs.sniff(jpg) == "jpeg")
+    val j1 = Codecs.decodeImageIO(jpg)
+    val j2 = Codecs.decodeImageIO(jpg)
+    assert(j1.pixels.toSeq == j2.pixels.toSeq,
+      "JPEG decode must be deterministic for this JDK")
+    assert(j1.width == w && j1.height == h)
+    val meanErr = spx.indices.map(i => math.abs(j1.pixels(i) - spx(i))).sum /
+      spx.length.toDouble
+    assert(meanErr < 12.0, s"JPEG decode wildly off: mean |err| $meanErr")
+
+    // decodeMedia dispatches the new containers end-to-end
+    import spark.implicits._
+    val media = Seq((1L, png), (2L, jpg), (3L, bmp))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeMedia(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows(1L).container == "png" && rows(3L).container == "bmp")
+    assert(rows(1L).v_sum == px.map(_.toLong).sum)
+    assert(rows(3L).v_sum == px.map(_.toLong).sum)
+    assert(rows(2L).container == "jpeg" &&
+      rows(2L).n_values == (w * h * 3).toLong)
+  }
 }
