@@ -95,6 +95,18 @@ object Codecs {
     } finally iis.close()
   }
 
+  /** Unified raster decode across every container this file handles:
+    * Netpbm by hand-parse, PNG/JPEG/BMP/GIF via [[decodeImageIO]]. None
+    * for non-raster containers — shared dispatch for resize/perceptual
+    * hashing so raster operators automatically cover all real formats.
+    */
+  def decodeRaster(b: Array[Byte]): Option[(String, ImageData)] =
+    sniff(b) match {
+      case c @ ("ppm" | "pgm") => Some((c, decodeNetpbm(b)))
+      case c if ImageIoFormats(c) => Some((c, decodeImageIO(b)))
+      case _ => None
+    }
+
   /** Encode a 1- or 3-channel raster as PNG (lossless — the test/oracle
     * twin of [[decodeImageIO]], like [[encodeNetpbm]]/[[encodeWav]]).
     */

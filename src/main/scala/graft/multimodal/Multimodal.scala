@@ -48,11 +48,12 @@ object Multimodal {
   }
 
   /** Attach metadata to a binary column: `(media_id, payload)` → adds byte
-    * length and container dimensions. Known magics (PPM/PGM/WAV) get REAL
-    * header-parsed dimensions via [[Codecs.sniffDims]] — the same parse
-    * [[decodeMedia]] dispatches on, so the two always agree; only unknown
-    * containers (codec-class formats with no library in this environment)
-    * fall back to the deterministic length-derived stub shape. Header
+    * length and container dimensions. Known magics (PPM/PGM/WAV and the
+    * imageio rasters PNG/JPEG/BMP/GIF) get REAL header-parsed dimensions
+    * via [[Codecs.sniffDims]] — the same parse [[decodeMedia]] dispatches
+    * on, so the two always agree; only unknown containers (audio-codec/
+    * video formats the JDK cannot read) fall back to the deterministic
+    * length-derived stub shape. Header
     * sniffing is inherently imperative byte walking, so it runs as a
     * compact UDF that touches only the header bytes; `byte_len` stays a
     * native codegen'd `length`.
@@ -189,9 +190,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          try Codecs.sniff(payload) match {
-            case c @ ("ppm" | "pgm") =>
-              val img = Codecs.decodeNetpbm(payload)
+          try Codecs.decodeRaster(payload) match {
+            case Some((c, img)) =>
               val ch = img.channels
               val tgt = new Array[Int](outW * outH * ch)
               var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
@@ -212,9 +212,15 @@ object Multimodal {
                 }
                 y += 1
               }
+              // netpbm sources re-encode netpbm; imageio sources PNG
+              // (lossless) — both re-decodable by this same dispatch
+              val enc =
+                if (c == "ppm" || c == "pgm")
+                  Codecs.encodeNetpbm(outW, outH, ch, tgt)
+                else Codecs.encodePng(outW, outH, ch, tgt)
               MediaResized(id, c, outW, outH, ch, tgt.length.toLong, s, mn,
-                mx, Codecs.encodeNetpbm(outW, outH, ch, tgt))
-            case _ =>
+                mx, enc)
+            case None =>
               MediaResized(id, "unknown", 0, 0, 0, payload.length.toLong,
                 0L, 0L, 0L, Array.emptyByteArray)
           } catch {
@@ -281,9 +287,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          try Codecs.sniff(payload) match {
-            case "ppm" | "pgm" =>
-              val img = Codecs.decodeNetpbm(payload)
+          try Codecs.decodeRaster(payload) match {
+            case Some((_, img)) =>
               val samples = new Array[Int](64)
               var sum = 0L
               var j = 0

@@ -300,5 +300,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L).v_sum == px.map(_.toLong).sum)
     assert(rows(2L).container == "jpeg" &&
       rows(2L).n_values == (w * h * 3).toLong)
+
+    // the shared raster dispatch carries resize and perceptual hashing
+    // over the imageio containers too
+    val resized = Multimodal.resizeNetpbm(spark,
+      Seq((1L, png)).toDF("media_id", "payload"), outW = 3, outH = 2)
+      .collect().head
+    assert(resized.container == "png" && resized.width == 3 &&
+      resized.height == 2 && resized.channels == 3)
+    val expect = (for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      yield px(((y * h / 2) * w + (x * w / 3)) * 3 + c)).toSeq
+    val rback = Codecs.decodeImageIO(resized.payload)
+    assert(rback.pixels.toSeq == expect,
+      "PNG resize must nearest-neighbor-sample exactly and re-encode " +
+        "losslessly")
+    val hashed = Multimodal.aHash(spark,
+      Seq((1L, png)).toDF("media_id", "payload")).collect()
+    assert(hashed.length == 1 && hashed.head.ahash.length == 64,
+      "aHash must cover imageio rasters")
   }
 }
