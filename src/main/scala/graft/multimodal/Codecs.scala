@@ -46,10 +46,13 @@ object Codecs {
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8') "gif"
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I' &&
+      b(2) == 0x2a && b(3) == 0) || (b(0) == 'M' && b(1) == 'M' &&
+      b(2) == 0 && b(3) == 0x2a))) "tiff"
     else "unknown"
 
   /** The formats [[decodeImageIO]] handles. */
-  val ImageIoFormats: Set[String] = Set("png", "jpeg", "bmp", "gif")
+  val ImageIoFormats: Set[String] = Set("png", "jpeg", "bmp", "gif", "tiff")
 
   // --------------------------------------------------------- JDK ImageIO --
 
@@ -93,6 +96,79 @@ object Codecs {
         finally r.dispose()
       }
     } finally iis.close()
+  }
+
+  /** Decode EVERY page/frame of a multi-image container (multi-page TIFF
+    * — lossless, the real "video-like" frame store the JDK can read —
+    * or animated GIF; single-frame containers yield one frame). Raw
+    * per-page rasters; GIF disposal compositing is NOT applied.
+    */
+  def decodeFrames(b: Array[Byte]): Seq[ImageData] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        (0 until n).map { f =>
+          val img = r.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val pixels = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              pixels(o) = (rgb >> 16) & 0xff
+              pixels(o + 1) = (rgb >> 8) & 0xff
+              pixels(o + 2) = rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageData(w, h, 3, 255, pixels)
+        }
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Encode RGB frames as a multi-page TIFF (lossless — the test/oracle
+    * twin of [[decodeFrames]]). Each frame is row-major interleaved RGB
+    * of length width × height × 3.
+    */
+  def encodeTiff(width: Int, height: Int,
+                 frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(frames.forall(_.length == width * height * 3), "raster size")
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val o = (y * width + x) * 3
+            img.setRGB(x, y,
+              (px(o) << 16) | (px(o + 1) << 8) | px(o + 2))
+            x += 1
+          }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
   }
 
   /** Unified raster decode across every container this file handles:

@@ -232,6 +232,58 @@ object Multimodal {
       }
   }
 
+  /** One decoded, sampled frame of a multi-image container, reduced to
+    * the q58 exact-integer-stat discipline.
+    */
+  final case class FrameDecoded(media_id: Long, frame_idx: Int,
+                                container: String, width: Int, height: Int,
+                                n_values: Long, v_sum: Long, v_min: Long,
+                                v_max: Long)
+
+  /** REAL frame sampling over decodable multi-image containers
+    * (multi-page TIFF, animated GIF — [[Codecs.decodeFrames]]): keep
+    * every `stride`-th frame, reduce each to exact integer stats. The
+    * decoded-container twin of the byte-chunk [[sampleFrames]] (which
+    * remains the path for codec-class video the JDK cannot read).
+    * Non-raster payloads emit nothing; malformed rasters emit a single
+    * frame_idx = -1 "error" row, never abort.
+    */
+  def decodeFrameStats(spark: SparkSession, media: DataFrame,
+                       stride: Int): Dataset[FrameDecoded] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be positive")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val c = Codecs.sniff(payload)
+          if (c == "unknown" || c == "wav") Iterator.empty
+          else try {
+            val frames = c match {
+              case "tiff" | "gif" => Codecs.decodeFrames(payload)
+              case _ => Codecs.decodeRaster(payload).map(_._2).toSeq
+            }
+            frames.zipWithIndex.iterator.collect {
+              case (img, f) if f % stride == 0 =>
+                var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+                var j = 0
+                while (j < img.pixels.length) {
+                  val v = img.pixels(j)
+                  s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  j += 1
+                }
+                FrameDecoded(id, f, c, img.width, img.height,
+                  img.pixels.length.toLong, s, mn, mx)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.single(FrameDecoded(id, -1, "error", 0, 0,
+                payload.length.toLong, 0L, 0L, 0L))
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameBytes` chunks, keep every `stride`-th.
     *

@@ -3470,7 +3470,70 @@ object CorpusQueries {
         |  (CASE WHEN ch = 3 THEN s0 ELSE s0 * 3 END)::BIGINT AS v_sum,
         |  mn::BIGINT AS v_min, mx::BIGINT AS v_max
         |FROM p JOIN agg ON agg.doc_id = p.doc_id
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // REAL multi-frame decode + frame sampling (Codecs.decodeFrames /
+    // Multimodal.decodeFrameStats): per-doc multi-page TIFFs synthesized
+    // from formulas (2-4 frames each), every 2nd frame kept, exact
+    // integer stats per sampled frame. TIFF is lossless, so the oracle
+    // recomputes every sampled frame's stats straight from the pixel
+    // formulas — the "video-like container" path made real with the
+    // JDK's own reader, byte-chunk sampleFrames remaining only for
+    // codec-class video.
+    QueryDef("q138_tiff_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (3 + id % 5).toInt; val h = (2 + id % 4).toInt
+              val nf = (2 + id % 3).toInt
+              val frames = (0 until nf).map { f =>
+                val px = new Array[Int](w * h * 3)
+                var p = 0
+                while (p < w * h) {
+                  val v = ((id * 19 + f * 37 + p * 17) % 256).toInt
+                  px(3 * p) = v
+                  px(3 * p + 1) = v * 3 % 256
+                  px(3 * p + 2) = v * 7 % 256
+                  p += 1
+                }
+                px
+              }
+              (id, Codecs.encodeTiff(w, h, frames))
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.decodeFrameStats(s, media, stride = 2).toDF()
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f
+        |  FROM p),
+        |kept AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, f, w, h,
+        |    (doc_id * 19 + f * 37 + pidx * 17) % 256 AS v
+        |  FROM (SELECT doc_id, f, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS pidx
+        |        FROM kept)),
+        |vals AS (
+        |  SELECT doc_id, f, unnest([v, (v * 3) % 256, (v * 7) % 256]) AS val
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id, f, count(*) AS n0, sum(val) AS s0,
+        |    min(val) AS mn, max(val) AS mx
+        |  FROM vals GROUP BY 1, 2)
+        |SELECT k.doc_id AS media_id, k.f::INT AS frame_idx,
+        |  'tiff' AS container, k.w::INT AS width, k.h::INT AS height,
+        |  a.n0::BIGINT AS n_values, a.s0::BIGINT AS v_sum,
+        |  a.mn::BIGINT AS v_min, a.mx::BIGINT AS v_max
+        |FROM kept k JOIN agg a ON a.doc_id = k.doc_id AND a.f = k.f
+        |ORDER BY media_id, frame_idx""".stripMargin))
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final

@@ -319,4 +319,40 @@ class MultimodalSpec extends SparkSpec {
     assert(hashed.length == 1 && hashed.head.ahash.length == 64,
       "aHash must cover imageio rasters")
   }
+
+  test("multi-page TIFF: frame round trip is lossless; decodeFrameStats " +
+       "samples by stride, treats single-frame rasters as frame 0, and " +
+       "routes bad payloads to error rows") {
+    val w = 4; val h = 3
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h * 3)(j => (f * 31 + j * 13) % 256))
+    val tiff = Codecs.encodeTiff(w, h, frames)
+    assert(Codecs.sniff(tiff) == "tiff")
+    val back = Codecs.decodeFrames(tiff)
+    assert(back.length == 5, "all pages must decode")
+    assert(back.zip(frames).forall { case (img, px) =>
+      img.width == w && img.height == h && img.pixels.toSeq == px.toSeq
+    }, "TIFF page round trip must be lossless")
+
+    import spark.implicits._
+    val ppm = Codecs.encodeNetpbm(2, 2, 1, Array(1, 2, 3, 4))
+    val media = Seq((1L, tiff), (2L, ppm),
+      (3L, ("II*" + "\u0000" + "garbage").getBytes("US-ASCII")),
+      (4L, "no magic at all".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeFrameStats(spark, media, stride = 2)
+      .collect().map(r => (r.media_id, r.frame_idx) -> r).toMap
+    // stride 2 over 5 frames keeps 0, 2, 4
+    assert(rows.keySet.filter(_._1 == 1L) ==
+      Set((1L, 0), (1L, 2), (1L, 4)), s"sampled frames: ${rows.keySet}")
+    assert(rows((1L, 2)).v_sum ==
+      frames(2).map(_.toLong).sum, "frame-2 stats must be exact")
+    // a single-frame raster is frame 0 (gray netpbm: value replicated? no
+    // — netpbm path keeps its own 1-channel raster)
+    assert(rows((2L, 0)).n_values == 4L && rows((2L, 0)).v_sum == 10L)
+    // tiff magic + garbage body → explicit error row, not an abort
+    assert(rows((3L, -1)).container == "error")
+    // unknown container emits nothing
+    assert(!rows.keySet.exists(_._1 == 4L))
+  }
 }
