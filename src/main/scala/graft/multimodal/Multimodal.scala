@@ -232,6 +232,77 @@ object Multimodal {
       }
   }
 
+  /** Real audio features for one WAV payload. Integer fields follow the
+    * q58 exact-stat discipline (oracle-able); `band_energies`/`peak_band`
+    * are float DFT results, spec-tested against synthesized sinusoids.
+    */
+  final case class AudioFeat(media_id: Long, sample_rate: Int,
+                             n_samples: Long, sum_sq: Long,
+                             zero_crossings: Long,
+                             band_energies: Array[Double], peak_band: Int)
+
+  /** REAL audio feature extraction over PCM16 WAV payloads: exact signal
+    * energy (Σ s²) and zero-crossing count (both integer — the q139
+    * oracle replays them), plus `nBands` linearly-spaced spectral band
+    * energies via the Goertzel recurrence (O(n·bands), no FFT library)
+    * with `peak_band` = argmax (smallest index on ties). Non-WAV
+    * payloads emit nothing; malformed WAVs a sample_rate = -1 error row.
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+                    nBands: Int = 8): Dataset[AudioFeat] = {
+    import spark.implicits._
+    require(nBands > 0, "nBands must be positive")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (Codecs.sniff(payload) != "wav") Iterator.empty
+          else try {
+            val au = Codecs.decodeWav(payload)
+            val s = au.samples
+            var sumSq = 0L; var zc = 0L
+            var j = 0
+            while (j < s.length) {
+              sumSq += s(j).toLong * s(j)
+              if (j > 0 && s(j - 1).toLong * s(j) < 0) zc += 1
+              j += 1
+            }
+            val bands = new Array[Double](nBands)
+            var b = 0
+            while (b < nBands) {
+              // Goertzel power at the band-center frequency
+              val freq = au.sampleRate * 0.5 * (b + 0.5) / nBands
+              val w = 2.0 * math.Pi * freq / au.sampleRate
+              val coeff = 2.0 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
+              var k = 0
+              while (k < s.length) {
+                val s0 = s(k) + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                k += 1
+              }
+              bands(b) =
+                (s1 * s1 + s2 * s2 - coeff * s1 * s2) /
+                  math.max(s.length.toLong * s.length, 1L)
+              b += 1
+            }
+            var peak = 0
+            b = 1
+            while (b < nBands) {
+              if (bands(b) > bands(peak)) peak = b
+              b += 1
+            }
+            Iterator.single(AudioFeat(id, au.sampleRate, s.length.toLong,
+              sumSq, zc, bands, peak))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.single(AudioFeat(id, -1, payload.length.toLong,
+                0L, 0L, Array.empty, -1))
+          }
+        }
+      }
+  }
+
   /** One decoded, sampled frame of a multi-image container, reduced to
     * the q58 exact-integer-stat discipline.
     */

@@ -3533,7 +3533,56 @@ object CorpusQueries {
         |  a.n0::BIGINT AS n_values, a.s0::BIGINT AS v_sum,
         |  a.mn::BIGINT AS v_min, a.mx::BIGINT AS v_max
         |FROM kept k JOIN agg a ON a.doc_id = k.doc_id AND a.f = k.f
-        |ORDER BY media_id, frame_idx""".stripMargin))
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // REAL audio feature extraction (Multimodal.audioFeatures): per-doc
+    // PCM16 WAVs synthesized from formulas, reduced to the INTEGER
+    // signal features — exact energy Σ s² and the zero-crossing count —
+    // which the oracle replays sample-by-sample (lag window over the
+    // generated series). The float spectral bands (Goertzel) are
+    // spec-tested against pure sinusoids instead (MultimodalSpec): float
+    // DFT results are not cross-engine-hashable, integer signal stats
+    // are.
+    QueryDef("q139_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val ns = (64 + id % 64).toInt
+              val rate = (8000 + (id % 8) * 1000).toInt
+              val samples = Array.tabulate(ns)(k =>
+                ((id * 31 + k * 7) % 65536).toInt - 32768)
+              (id, Codecs.encodeWav(rate, 1, samples))
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.audioFeatures(s, media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("sum_sq"), col("zero_crossings"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS ns,
+        |    8000 + (doc_id % 8) * 1000 AS rate
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, k, (doc_id * 31 + k * 7) % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS k
+        |        FROM p)),
+        |z AS (
+        |  SELECT doc_id, k, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, sum(s * s) AS ss,
+        |    count(*) FILTER (prev IS NOT NULL AND prev * s < 0) AS zc
+        |  FROM z GROUP BY doc_id)
+        |SELECT p.doc_id AS media_id, p.rate::INT AS sample_rate,
+        |  a.n::BIGINT AS n_samples, a.ss::BIGINT AS sum_sq,
+        |  a.zc::BIGINT AS zero_crossings
+        |FROM p JOIN agg a ON a.doc_id = p.doc_id
+        |ORDER BY media_id""".stripMargin))
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final

@@ -355,4 +355,41 @@ class MultimodalSpec extends SparkSpec {
     // unknown container emits nothing
     assert(!rows.keySet.exists(_._1 == 4L))
   }
+
+  test("audio features: Goertzel bands localize a pure tone, integer " +
+       "energy/ZCR are exact, non-WAV payloads emit nothing") {
+    import spark.implicits._
+    val rate = 8000; val n = 1024
+    // tone EXACTLY at band 3's center (250 + 500·3 = 1750 Hz, an exact
+    // DFT bin for n = 1024): the probe at band 3 resonates, every other
+    // band center is an orthogonal bin and reads ~0
+    val tone = Array.tabulate(n)(k =>
+      (12000 * math.sin(2 * math.Pi * 1750 * k / rate)).toInt)
+    val square = Array.tabulate(64)(k => if (k % 2 == 0) 1000 else -1000)
+    val media = Seq(
+      (1L, Codecs.encodeWav(rate, 1, tone)),
+      (2L, Codecs.encodeWav(rate, 1, square)),
+      (3L, "not audio".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.audioFeatures(spark, media, nBands = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(!rows.contains(3L), "non-WAV must emit nothing")
+
+    val t = rows(1L)
+    assert(t.n_samples == n.toLong)
+    assert(t.sum_sq == tone.map(v => v.toLong * v).sum)
+    assert(t.peak_band == 3, s"1750 Hz tone peaked in band ${t.peak_band}")
+    // on-center resonance vs orthogonal-bin probes: orders of magnitude
+    assert(t.band_energies(3) > 1e6 * t.band_energies(7),
+      s"tone energy must concentrate: ${t.band_energies.toSeq}")
+
+    val q = rows(2L)
+    assert(q.zero_crossings == 63L,
+      "alternating-sign square wave crosses zero at every step")
+
+    // determinism (float path included)
+    val again = Multimodal.audioFeatures(spark, media, nBands = 8)
+      .collect().map(f => f.media_id -> f.band_energies.toSeq).toMap
+    assert(again(1L) == rows(1L).band_energies.toSeq)
+  }
 }
