@@ -206,6 +206,166 @@ object Sketches {
         col("containment"))
   }
 
+  // ------------------------------------------------- KMV / Theta sketch
+
+  /** Bounded k-minimum-values buffer: sorted distinct hashes, capped at
+    * k — a TRUE partial aggregate (map-side buffers never exceed k
+    * longs however large the group; merge = sorted-union-truncate).
+    */
+  final case class KmvBuf(data: Array[Long], n: Int)
+
+  private final class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Array[Long]] {
+    def zero: KmvBuf = KmvBuf(new Array[Long](math.min(k, 16)), 0)
+    def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val i = java.util.Arrays.binarySearch(b.data, 0, b.n, h)
+      if (i >= 0) b // duplicate
+      else {
+        val ins = -i - 1
+        if (b.n == k && ins == k) b // larger than the kth smallest
+        else {
+          val d =
+            if (b.n == b.data.length && b.n < k)
+              java.util.Arrays.copyOf(b.data, math.min(k, b.data.length * 2))
+            else b.data
+          val keep = math.min(b.n + 1, k)
+          System.arraycopy(d, ins, d, ins + 1,
+            math.min(b.n, k - 1) - ins)
+          d(ins) = h
+          KmvBuf(d, keep)
+        }
+      }
+    }
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+      val out = new Array[Long](math.min(a.n + b.n, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.n || j < b.n)) {
+        val va = if (i < a.n) a.data(i) else Long.MaxValue
+        val vb = if (j < b.n) b.data(j) else Long.MaxValue
+        if (va == vb) { out(o) = va; i += 1; j += 1 }
+        else if (va < vb) { out(o) = va; i += 1 }
+        else { out(o) = vb; j += 1 }
+        o += 1
+      }
+      KmvBuf(out, o)
+    }
+    def finish(b: KmvBuf): Array[Long] =
+      java.util.Arrays.copyOf(b.data, b.n)
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** k-minimum-values distinct sketch (Beyer et al. 2007) with the
+    * Theta-sketch set algebra (Dasgupta et al. 2016): per group, the k
+    * SMALLEST distinct 60-bit md5 hashes of `valueCol`, exploded to
+    * (group…, rank, h) rows — all integers, so the q140 oracle replays
+    * the state exactly.
+    *
+    * Where HLL's algebra is union-only ([[hllOverlapMatrix]] derives
+    * intersections by inclusion-exclusion, error scaling with the UNION
+    * size), the KMV state supports DIRECT intersection estimates
+    * ([[kmvOverlapMatrix]]): with θ = min(θ_a, θ_b), hashes below θ are
+    * a uniform sample of each set, so |common < θ| · 2⁶⁰ / θ estimates
+    * |A ∩ B| with error scaling in the intersection itself. Build cost:
+    * one distinct-free scan + the bounded aggregator (buffers capped at
+    * k longs, merge is sorted-union-truncate — genuinely map-side
+    * combinable).
+    */
+  def kmvState(df: DataFrame, valueCol: String, k: Int,
+               groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val agg = udaf(new KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select((groupCols.map(col) :+
+        TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("_h")).as("_ks"))
+      .select((groupCols.map(col) :+
+        posexplode(col("_ks")).as(Seq("_pos", "h"))): _*)
+      .select((groupCols.map(col) :+
+        (col("_pos") + 1).cast("int").as("rank") :+ col("h")): _*)
+  }
+
+  private val Theta1: Long = 1L << 60
+
+  /** Per-group distinct estimates from the KMV state: EXACT below k
+    * (the sketch holds the whole set), (k−1) · 2⁶⁰ / θ at saturation
+    * (θ = the kth smallest hash).
+    */
+  def kmvEstimate(state: DataFrame, k: Int,
+                  groupCols: Seq[String]): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"), max(col("h")).as("_theta"))
+      .select((groupCols.map(col) :+
+        when(col("_cnt") < k, col("_cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Theta1.toDouble) /
+            col("_theta").cast("double"))
+          .as("est_distinct")): _*)
+
+  /** Pairwise DIRECT set-operation estimates from one KMV state build:
+    * per (g1 < g2), θmin = min of the two thresholds (an unsaturated
+    * group's threshold is 2⁶⁰ — its sample is the whole set), `common` =
+    * shared hashes below θmin, union-below likewise; estimates scale by
+    * 2⁶⁰/θmin and `jaccard_est` = common / union-below. Everything
+    * derives from the (sources × k)-row state — the corpus is never
+    * rescanned — and every arithmetic step replays in SQL (q141).
+    */
+  def kmvOverlapMatrix(state: DataFrame, k: Int,
+                       groupCol: String): DataFrame = {
+    val per = state.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_cnt"), max(col("h")).as("_max"))
+      .select(col(groupCol),
+        when(col("_cnt") < k, lit(Theta1)).otherwise(col("_max"))
+          .as("_theta"),
+        when(col("_cnt") < k, col("_cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Theta1.toDouble) /
+            col("_max").cast("double")).as("_est"))
+    val pairs = per.select(col(groupCol).as("g1"),
+        col("_theta").as("_t1"), col("_est").as("est_a"))
+      .join(per.select(col(groupCol).as("g2"),
+        col("_theta").as("_t2"), col("_est").as("est_b")),
+        col("g1") < col("g2"))
+      .withColumn("_tmin", least(col("_t1"), col("_t2")))
+    val below = state.select(col(groupCol), col("h"))
+    val cA = broadcast(pairs.select(col("g1"), col("g2"), col("_tmin")))
+      .join(below.withColumnRenamed(groupCol, "g1"), Seq("g1"))
+      .filter(col("h") < col("_tmin"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("_ca"))
+    val cB = broadcast(pairs.select(col("g1"), col("g2"), col("_tmin")))
+      .join(below.withColumnRenamed(groupCol, "g2"), Seq("g2"))
+      .filter(col("h") < col("_tmin"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("_cb"))
+    val common = below.select(col(groupCol).as("g1"), col("h"))
+      .join(below.select(col(groupCol).as("g2"), col("h")), Seq("h"))
+      .filter(col("g1") < col("g2"))
+      .join(broadcast(pairs.select(col("g1"), col("g2"), col("_tmin"))),
+        Seq("g1", "g2"))
+      .filter(col("h") < col("_tmin"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("_common"))
+    pairs
+      .join(cA, Seq("g1", "g2"), "left")
+      .join(cB, Seq("g1", "g2"), "left")
+      .join(common, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"),
+        round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        coalesce(col("_common"), lit(0L)).as("common_below"),
+        (coalesce(col("_ca"), lit(0L)) + coalesce(col("_cb"), lit(0L)) -
+          coalesce(col("_common"), lit(0L))).as("union_below"),
+        round(coalesce(col("_common"), lit(0L)).cast("double") *
+          lit(Theta1.toDouble) / col("_tmin").cast("double"), 6)
+          .as("est_inter"),
+        round(when(
+          coalesce(col("_ca"), lit(0L)) + coalesce(col("_cb"), lit(0L)) -
+            coalesce(col("_common"), lit(0L)) > 0,
+          coalesce(col("_common"), lit(0L)).cast("double") /
+            (coalesce(col("_ca"), lit(0L)) + coalesce(col("_cb"), lit(0L)) -
+              coalesce(col("_common"), lit(0L))).cast("double"))
+          .otherwise(lit(0.0)), 6).as("jaccard_est"))
+  }
+
   // -------------------------------------------- HLL sparse mode (HLL++)
 
   /** Sparse-or-dense per-group cardinality state — the HLL++ refinement

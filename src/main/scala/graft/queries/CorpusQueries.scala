@@ -3582,7 +3582,116 @@ object CorpusQueries {
         |  a.n::BIGINT AS n_samples, a.ss::BIGINT AS sum_sq,
         |  a.zc::BIGINT AS zero_crossings
         |FROM p JOIN agg a ON a.doc_id = p.doc_id
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // KMV / Theta distinct sketch state (Sketches.kmvState): per source,
+    // the k = 64 SMALLEST distinct token hashes, built by a BOUNDED
+    // custom Aggregator (map-side buffers capped at k longs — a true
+    // partial aggregate, unlike a collect_set that would buffer whole
+    // groups). All integers: the oracle replays the k-smallest selection
+    // exactly.
+    QueryDef("q140_kmv_state",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sketches.kmvState(
+            docs.select(col("source"),
+              explode(TextFunctions.tokens(col("text"))).as("tok")),
+            "tok", k = 64, groupCols = Seq("source"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |sel AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+        |  FROM hs)
+        |SELECT source, rank::INT AS rank, h FROM sel WHERE rank <= 64
+        |ORDER BY source, rank""".stripMargin)),
+
+    // The Theta-sketch set algebra over the q140 state
+    // (Sketches.kmvOverlapMatrix): DIRECT pairwise intersection
+    // estimates — common hashes below θmin are a uniform sample of
+    // A ∩ B, so the error scales with the INTERSECTION, where q123's
+    // HLL inclusion-exclusion error scales with the union. Everything
+    // runs on the (sources × 64)-row state; the corpus is never
+    // rescanned. The oracle replays the k-sets, both thresholds, the
+    // below-θ counts, and the same float chain.
+    QueryDef("q141_kmv_overlap",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Sketches.kmvOverlapMatrix(
+            Sketches.kmvState(
+              docs.select(col("source"),
+                explode(TextFunctions.tokens(col("text"))).as("tok")),
+              "tok", k = 64, groupCols = Seq("source")),
+            k = 64, groupCol = "source")
+          .withColumnRenamed("g1", "source_a")
+          .withColumnRenamed("g2", "source_b")
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |kst AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+        |    FROM hs)
+        |  WHERE rank <= 64),
+        |per AS (
+        |  SELECT source, count(*) AS cnt, max(h) AS mx
+        |  FROM kst GROUP BY source),
+        |th AS (
+        |  SELECT source,
+        |    CASE WHEN cnt < 64 THEN 1152921504606846976 ELSE mx END
+        |      AS theta,
+        |    CASE WHEN cnt < 64 THEN cnt::DOUBLE
+        |         ELSE 63.0 * 1152921504606846976.0 / mx::DOUBLE END AS est
+        |  FROM per),
+        |pr AS (
+        |  SELECT a.source AS g1, b.source AS g2,
+        |    least(a.theta, b.theta) AS tmin, a.est AS est_a, b.est AS est_b
+        |  FROM th a JOIN th b ON a.source < b.source),
+        |ca AS (
+        |  SELECT p.g1, p.g2, count(*) AS ca FROM pr p
+        |  JOIN kst s ON s.source = p.g1 AND s.h < p.tmin GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT p.g1, p.g2, count(*) AS cb FROM pr p
+        |  JOIN kst s ON s.source = p.g2 AND s.h < p.tmin GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT p.g1, p.g2, count(*) AS cm FROM pr p
+        |  JOIN kst x ON x.source = p.g1 AND x.h < p.tmin
+        |  JOIN kst y ON y.source = p.g2 AND y.h = x.h
+        |  GROUP BY 1, 2)
+        |SELECT p.g1 AS source_a, p.g2 AS source_b,
+        |  round(p.est_a, 6) AS est_a, round(p.est_b, 6) AS est_b,
+        |  coalesce(cm.cm, 0)::BIGINT AS common_below,
+        |  (coalesce(ca.ca, 0) + coalesce(cb.cb, 0)
+        |    - coalesce(cm.cm, 0))::BIGINT AS union_below,
+        |  round(coalesce(cm.cm, 0)::DOUBLE * 1152921504606846976.0
+        |    / p.tmin::DOUBLE, 6) AS est_inter,
+        |  round(CASE WHEN coalesce(ca.ca, 0) + coalesce(cb.cb, 0)
+        |                   - coalesce(cm.cm, 0) > 0
+        |             THEN coalesce(cm.cm, 0)::DOUBLE /
+        |               (coalesce(ca.ca, 0) + coalesce(cb.cb, 0)
+        |                 - coalesce(cm.cm, 0))::DOUBLE
+        |             ELSE 0.0 END, 6) AS jaccard_est
+        |FROM pr p
+        |LEFT JOIN ca ON ca.g1 = p.g1 AND ca.g2 = p.g2
+        |LEFT JOIN cb ON cb.g1 = p.g1 AND cb.g2 = p.g2
+        |LEFT JOIN cm ON cm.g1 = p.g1 AND cm.g2 = p.g2
+        |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** q130's oracle: q55's recursive-closure replay with the final

@@ -277,6 +277,61 @@ class SketchesSpec extends SparkSpec {
       "union of identical sketches must equal the single estimate")
   }
 
+  test("KMV sketch: estimates track exact distincts, unsaturated groups " +
+       "are EXACT, state is partition-order independent, and the direct " +
+       "theta intersection lands in band") {
+    import spark.implicits._
+    // x: 1..5000; y: 4001..9000 (|x∩y| = 1000); tiny: 10 values
+    val vals =
+      (1 to 5000).map(i => ("x", s"v$i")) ++
+      (4001 to 9000).map(i => ("y", s"v$i")) ++
+      (1 to 10).map(i => ("tiny", s"t$i"))
+    val df = vals.toDF("g", "v")
+    val k = 256
+    val state = Sketches.kmvState(df, "v", k, Seq("g"))
+    // partition-order independence: the bounded aggregator's merge must
+    // produce the identical state from any partitioning
+    val state8 = Sketches.kmvState(df.repartition(8), "v", k, Seq("g"))
+    def rows(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(state) == rows(state8),
+      "KMV state must not depend on partitioning")
+
+    val est = Sketches.kmvEstimate(state, k, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    assert(est("tiny") == 10.0, "an unsaturated group must be exact")
+    assert(math.abs(est("x") - 5000) / 5000 < 0.2,
+      s"KMV estimate for x: ${est("x")}")
+    assert(math.abs(est("y") - 5000) / 5000 < 0.2,
+      s"KMV estimate for y: ${est("y")}")
+
+    val m = Sketches.kmvOverlapMatrix(state, k, "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = m(("x", "y"))
+    val inter = xy.getAs[Double]("est_inter")
+    assert(inter > 300 && inter < 3000,
+      s"planted 1000-value intersection estimated as $inter")
+    // tiny is disjoint from both → zero common hashes below any theta
+    assert(m(("tiny", "x")).getAs[Long]("common_below") == 0L &&
+      m(("tiny", "x")).getAs[Double]("est_inter") == 0.0)
+  }
+
+  test("KMV: identical sets are exactly fully overlapping; the state " +
+       "caps at k rows per group") {
+    import spark.implicits._
+    val vals = (1 to 3000).flatMap(i =>
+      Seq(("a", s"v$i"), ("b", s"v$i")))
+    val state = Sketches.kmvState(vals.toDF("g", "v"), "v", 128, Seq("g"))
+    assert(state.groupBy("g").count().collect()
+      .forall(_.getLong(1) == 128L), "state must cap at k rows")
+    val m = Sketches.kmvOverlapMatrix(state, 128, "g").collect().head
+    assert(m.getAs[Double]("jaccard_est") == 1.0,
+      "identical k-sets must be exactly fully overlapping")
+    assert(m.getAs[Double]("est_inter") == m.getAs[Double]("est_a"),
+      "intersection of identical sketches must equal the single estimate")
+  }
+
   test("overlap matrix arithmetic is consistent: inter <= min single, " +
        "union >= max single, jaccard = inter/union on every pair") {
     val st = docs.select(col("source"),
