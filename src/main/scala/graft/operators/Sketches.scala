@@ -274,12 +274,27 @@ object Sketches {
     * combinable).
     */
   def kmvState(df: DataFrame, valueCol: String, k: Int,
-               groupCols: Seq[String]): DataFrame = {
+               groupCols: Seq[String]): DataFrame =
+    kmvAggregate(df.select((groupCols.map(col) :+
+      TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*), k, groupCols)
+
+  /** Merge exploded k-set partials — shard or per-batch states — back
+    * through the SAME bounded aggregator: sorted-union-truncate is
+    * associative and IDEMPOTENT, so replayed partials are absorbed and
+    * shard merges equal the one-pass build exactly (the
+    * [[graft.streaming.StreamingReport]] partials contract).
+    */
+  def kmvMergeState(partials: DataFrame, k: Int,
+                    groupCols: Seq[String]): DataFrame =
+    kmvAggregate(partials.select(
+      (groupCols.map(col) :+ col("h").as("_h")): _*), k, groupCols)
+
+  private def kmvAggregate(hashed: DataFrame, k: Int,
+                           groupCols: Seq[String]): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     val agg = udaf(new KmvAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
-    df.select((groupCols.map(col) :+
-        TextFunctions.md5Hash60(col(valueCol)).as("_h")): _*)
+    hashed
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("_h")).as("_ks"))
       .select((groupCols.map(col) :+

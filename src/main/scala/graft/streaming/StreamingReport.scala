@@ -142,6 +142,66 @@ object StreamingReport {
       Sketches.hllMerge(partials, Seq("source")), b, "source")
   }
 
+  /** Per-batch KMV (theta) k-set partials for per-source distinct
+    * tracking with SET-ALGEBRA serving — the sketch whose merge
+    * (sorted-union-truncate) is associative AND idempotent, so the
+    * batch-keyed overwrite discipline applies unchanged. State shape
+    * (`_k` marker) is pinned like the HLL `_b`.
+    */
+  def processBatchKmv(batch: DataFrame, stateDir: String, batchId: Long,
+                      sourceCol: String = "source",
+                      textCol: String = "text", k: Int = 64): Unit = {
+    val hadoop = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$stateDir/kmv")
+    val fs = dir.getFileSystem(hadoop)
+    readMarker(fs, new Path(dir, "_k")) match {
+      case Some(persisted) =>
+        require(persisted == k.toLong,
+          s"KMV state at $dir was written with k=$persisted; refusing k=$k")
+      case None =>
+        requireUnshapedState(fs, dir, s"$stateDir/kmv_base")
+        fs.mkdirs(dir)
+        writeMarker(fs, new Path(dir, "_k"), k.toLong)
+    }
+    Sketches.kmvState(
+        batch.select(col(sourceCol).as("source"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok")),
+        "tok", k, groupCols = Seq("source"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/kmv/batch=$batchId")
+  }
+
+  /** Merged per-source KMV state over everything streamed so far: the
+    * per-batch k-sets re-aggregate through the SAME bounded aggregator
+    * over (batches × k)-row partials — never the corpus.
+    */
+  private def mergedKmv(spark: SparkSession,
+                        stateDir: String): (DataFrame, Int) = {
+    val dir = new Path(s"$stateDir/kmv")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val k = shapeOrDefault(fs, new Path(dir, "_k"), dir,
+      s"$stateDir/kmv_base", 64)
+    val partials = readState(spark, s"$stateDir/kmv", s"$stateDir/kmv_base",
+      emptyFrame(spark, "source STRING, rank INT, h BIGINT"))
+    (Sketches.kmvMergeState(partials, k, Seq("source")), k)
+  }
+
+  /** Per-source distinct estimates from the streamed KMV state —
+    * bit-identical to the batch build over the union (idempotent merge).
+    */
+  def kmvReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val (merged, k) = mergedKmv(spark, stateDir)
+    Sketches.kmvEstimate(merged, k, Seq("source"))
+  }
+
+  /** Pairwise DIRECT intersection/Jaccard estimates
+    * ([[Sketches.kmvOverlapMatrix]]) served from the streamed state.
+    */
+  def kmvOverlapReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val (merged, k) = mergedKmv(spark, stateDir)
+    Sketches.kmvOverlapMatrix(merged, k, "source")
+  }
+
   /** Per-batch count-min counter partials for streaming heavy-hitter
     * tracking — the frequency companion to the profile/HLL partials,
     * same batch-keyed partition-overwrite discipline. Counter merge is
@@ -320,6 +380,13 @@ object StreamingReport {
             t.toInt, Seq("source", "lang")))
       case _ => () // family never written
     }
+    readMarker(fs, new Path(s"$stateDir/kmv", "_k")) match {
+      case Some(k) =>
+        compactFamily(spark, s"$stateDir/kmv", s"$stateDir/kmv_base",
+          keepBatches,
+          merged => Sketches.kmvMergeState(merged, k.toInt, Seq("source")))
+      case None => () // family never written
+    }
   }
 
   /** Attach the profiling sink to a streaming document DataFrame; with
@@ -336,14 +403,15 @@ object StreamingReport {
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
            pollSeconds: Int = 30, trackDistinct: Boolean = false,
            trackFreq: Boolean = false, trackQuantiles: Boolean = false,
-           trackSparseDistinct: Boolean = false,
+           trackSparseDistinct: Boolean = false, trackKmv: Boolean = false,
            autoCompactEvery: Int = 64, keepBatches: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSinkBatch(batch, stateDir, batchId, trackDistinct, trackFreq,
-          trackQuantiles, trackSparseDistinct, autoCompactEvery, keepBatches)
+          trackQuantiles, trackSparseDistinct, trackKmv, autoCompactEvery,
+          keepBatches)
       }
       .start()
 
@@ -354,10 +422,12 @@ object StreamingReport {
   private[graft] def processSinkBatch(batch: DataFrame, stateDir: String,
       batchId: Long, trackDistinct: Boolean, trackFreq: Boolean,
       trackQuantiles: Boolean = false, trackSparseDistinct: Boolean = false,
+      trackKmv: Boolean = false,
       autoCompactEvery: Int = 64, keepBatches: Int = 2): Unit = {
     // multiple actions read the batch → pin one snapshot for all
     val pinned =
-      if (trackDistinct || trackFreq || trackQuantiles || trackSparseDistinct)
+      if (trackDistinct || trackFreq || trackQuantiles ||
+          trackSparseDistinct || trackKmv)
         batch.localCheckpoint(true)
       else batch
     processBatch(pinned, stateDir, batchId)
@@ -366,6 +436,7 @@ object StreamingReport {
     if (trackQuantiles) processBatchMoments(pinned, stateDir, batchId)
     if (trackSparseDistinct)
       processBatchSparseDistinct(pinned, stateDir, batchId)
+    if (trackKmv) processBatchKmv(pinned, stateDir, batchId)
     if (autoCompactEvery > 0 && batchId > 0 &&
         batchId % autoCompactEvery == 0)
       compact(batch.sparkSession, stateDir, keepBatches)

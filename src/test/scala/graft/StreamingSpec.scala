@@ -1251,6 +1251,52 @@ class StreamingSpec extends SparkSpec {
       "sink-fed sparse-distinct report diverged from the one-pass build")
   }
 
+  test("streaming KMV partials: report and overlap matrix bit-identical " +
+       "to the batch build over the union; replay and compaction change " +
+       "nothing") {
+    import graft.streaming.StreamingReport
+    import graft.operators.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stDir = Files.createTempDirectory("kmv-st").toString
+    def slice(i: Long) =
+      docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100)
+    for (i <- 0L until 4L)
+      StreamingReport.processBatchKmv(slice(i), stDir, i, k = 32)
+
+    def toks = docs.filter(col("doc_id") < 400)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(_.toSeq).toSeq
+    def mat(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g1", "g2").collect().map(_.toSeq).toSeq
+
+    val batchState = Sketches.kmvState(toks, "tok", 32, Seq("source"))
+    val streamedEst = est(StreamingReport.kmvReport(spark, stDir))
+    assert(streamedEst == est(Sketches.kmvEstimate(batchState, 32,
+      Seq("source"))), "streamed KMV estimate diverged from batch")
+    val streamedMat = mat(StreamingReport.kmvOverlapReport(spark, stDir))
+    assert(streamedMat == mat(Sketches.kmvOverlapMatrix(batchState, 32,
+      "source")), "streamed KMV overlap diverged from batch")
+
+    // mismatched shape refused
+    intercept[IllegalArgumentException] {
+      StreamingReport.processBatchKmv(slice(0), stDir, 9L, k = 64)
+    }
+    // replay: idempotent merge absorbs the re-delivered partial
+    StreamingReport.processBatchKmv(slice(1), stDir, 1L, k = 32)
+    assert(est(StreamingReport.kmvReport(spark, stDir)) == streamedEst,
+      "replayed KMV partial moved the estimate")
+    // compaction folds the family; both reports unchanged
+    StreamingReport.compact(spark, stDir, keepBatches = 1)
+    assert(new java.io.File(s"$stDir/kmv").listFiles()
+      .count(_.getName.startsWith("batch=")) <= 1,
+      "kmv partials were not folded")
+    assert(est(StreamingReport.kmvReport(spark, stDir)) == streamedEst &&
+      mat(StreamingReport.kmvOverlapReport(spark, stDir)) == streamedMat,
+      "compaction changed the KMV reports")
+  }
+
   test("streaming SCD2 history == the batch scd2Apply chain; a replayed " +
        "batch changes nothing; snapshotAt time-travels the streamed state") {
     import spark.implicits._
