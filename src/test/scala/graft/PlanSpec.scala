@@ -392,5 +392,12 @@ class PlanSpec extends SparkSpec {
     // file-stats pass over the checkpointed assignment
     assert("HashAggregate".r.findAllIn(plans("q126_zorder_layout")).size >= 2,
       "q126 file stats lost partial aggregation")
+    // q140: the KMV build must be a PARTIAL object aggregation — the
+    // bounded k-long buffers combine map-side before the shuffle (the
+    // whole point of the custom Aggregator over a collect_set)
+    val q140 = plans("q140_kmv_state")
+    assert("ObjectHashAggregate".r.findAllIn(q140).size >= 2 ||
+      "SortAggregate".r.findAllIn(q140).size >= 2,
+      "q140 KMV aggregation lost its partial (map-side) phase")
   }
 }
