@@ -710,4 +710,49 @@ object Sketches {
                             tag: String): Map[String, String] =
     Map("kind" -> "moments-sketch", "value" -> valueCol,
       "groups" -> groupCols.mkString(","), "tag" -> tag)
+
+  // ------------------------------------------- persisted KMV (theta) store
+
+  /** The KMV k-set state as a Bundle — the (groups × k)-row table the
+    * theta dashboards ([[kmvEstimate]]/[[kmvOverlapMatrix]]) serve from
+    * without rescanning the corpus; T2 manifest invalidation on
+    * (value column, k, grain, tag), same contract as the moments store.
+    */
+  def saveKmvState(state: DataFrame, dir: String, valueCol: String, k: Int,
+                   groupCols: Seq[String], tag: String = ""): Unit =
+    graft.sources.Bundle.save(dir, Map("kmv" -> state),
+      kmvParams(valueCol, k, groupCols, tag))
+
+  def loadKmvState(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no kmv-sketch manifest at $dir"))
+    require(m.get("kind").contains("kmv-sketch"),
+      s"not a kmv sketch store: $dir")
+    graft.sources.Bundle.load(spark, dir)("kmv")
+  }
+
+  /** Reuse-or-rebuild with T2 invalidation; the returned frame always
+    * reads the SAVED parquet (a warm serve never re-aggregates the
+    * corpus through live lineage).
+    */
+  def ensureKmvState(df: => DataFrame, dir: String, valueCol: String,
+                     k: Int, groupCols: Seq[String], tag: String = "")
+      : (DataFrame, Boolean) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (graft.sources.Bundle.isValid(dir,
+        kmvParams(valueCol, k, groupCols, tag)))
+      (loadKmvState(spark, dir), false)
+    else {
+      graft.sources.Bundle.deleteRecursively(dir)
+      saveKmvState(kmvState(df, valueCol, k, groupCols), dir, valueCol, k,
+        groupCols, tag)
+      (loadKmvState(spark, dir), true)
+    }
+  }
+
+  private def kmvParams(valueCol: String, k: Int, groupCols: Seq[String],
+                        tag: String): Map[String, String] =
+    Map("kind" -> "kmv-sketch", "value" -> valueCol, "k" -> k.toString,
+      "groups" -> groupCols.mkString(","), "tag" -> tag)
 }

@@ -3635,7 +3635,36 @@ object CorpusQueries {
           .withColumnRenamed("g2", "source_b")
           .orderBy("source_a", "source_b")
       },
-      Some("""WITH tok AS (
+      Some(kmvOverlapOracleSql)),
+
+    // The SAME theta overlap dashboard SERVED from a persisted KMV store
+    // (Sketches.ensureKmvState — Bundle + T2 manifest on value/k/grain):
+    // persistence must be semantically invisible, so the oracle is
+    // exactly q141's; repeat Verify runs serve from the saved
+    // (sources x k)-row table without re-aggregating the corpus.
+    QueryDef("q142_kmv_overlap_served",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val kDir = System.getProperty("java.io.tmpdir") +
+          "/graft_kmv_q142_" + dataStamp(dir, "documents")
+        val (state, _) = Sketches.ensureKmvState(
+          docs.select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")),
+          kDir, "tok", k = 64, groupCols = Seq("source"))
+        Sketches.kmvOverlapMatrix(state, k = 64, groupCol = "source")
+          .withColumnRenamed("g1", "source_a")
+          .withColumnRenamed("g2", "source_b")
+          .orderBy("source_a", "source_b")
+      },
+      Some(kmvOverlapOracleSql))
+  )
+
+  /** q141's full replay — k-sets, thresholds, below-θ counts, the float
+    * chain — shared verbatim with the served twin q142 (persistence must
+    * be invisible).
+    */
+  private lazy val kmvOverlapOracleSql: String =
+    """WITH tok AS (
         |  SELECT source,
         |    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
         |  FROM documents),
@@ -3691,8 +3720,7 @@ object CorpusQueries {
         |LEFT JOIN ca ON ca.g1 = p.g1 AND ca.g2 = p.g2
         |LEFT JOIN cb ON cb.g1 = p.g1 AND cb.g2 = p.g2
         |LEFT JOIN cm ON cm.g1 = p.g1 AND cm.g2 = p.g2
-        |ORDER BY source_a, source_b""".stripMargin))
-  )
+        |ORDER BY source_a, source_b""".stripMargin
 
   /** q130's oracle: q55's recursive-closure replay with the final
     * cluster-summary SELECT swapped for per-doc labels + the split-bucket

@@ -317,6 +317,32 @@ class SketchesSpec extends SparkSpec {
       m(("tiny", "x")).getAs[Double]("est_inter") == 0.0)
   }
 
+  test("KMV store round-trip: ensure builds once then reuses without " +
+       "touching the corpus; k or grain drift rebuilds; manifest-less " +
+       "state is invalid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmv-store").toString + "/st"
+    val in = (1 to 2000).map(i => ("g" + (i % 3), s"v$i")).toDF("g", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val (s1, built1) = Sketches.ensureKmvState(in, dir, "v", 64, Seq("g"))
+    assert(built1, "first ensure must build")
+    assert(rows(s1) == rows(Sketches.kmvState(in, "v", 64, Seq("g"))),
+      "served state diverged from the live build")
+    val (s2, built2) = Sketches.ensureKmvState(
+      sys.error("reuse must not evaluate the corpus"), dir, "v", 64,
+      Seq("g"))
+    assert(!built2 && rows(s2) == rows(s1), "matching params must reuse")
+    val (_, built3) = Sketches.ensureKmvState(in, dir, "v", 32, Seq("g"))
+    assert(built3, "k drift must rebuild")
+    graft.sources.Bundle.deleteRecursively(s"$dir/manifest.json")
+    intercept[IllegalStateException] { Sketches.loadKmvState(spark, dir) }
+    assert(Sketches.ensureKmvState(in, dir, "v", 32, Seq("g"))._2,
+      "manifest-less store must rebuild")
+  }
+
   test("KMV: identical sets are exactly fully overlapping; the state " +
        "caps at k rows per group") {
     import spark.implicits._
