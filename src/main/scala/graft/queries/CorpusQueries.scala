@@ -3788,7 +3788,17 @@ object CorpusQueries {
     s"""WITH d AS (SELECT doc_id, source, lang, text, $padded AS p
       |            FROM documents),
       |$body,
-      |m AS (
+      |${cornishFisherTailFor(keys)}""".stripMargin
+  }
+
+  /** The Cornish-Fisher estimator chain as CTEs over ANY preceding `st`
+    * power-sum CTE with columns (keys…, n, s1, s2, s3, lo, hi) — shared
+    * by the document-quality quantile oracles (q113/q115/q116 via
+    * [[momentsQuantileOracleSqlFor]]) and the funnel-latency one (q143),
+    * so every replay states the exact engine float chain once.
+    */
+  private[queries] def cornishFisherTailFor(keys: String): String =
+    s"""m AS (
       |  SELECT $keys, s1::DOUBLE / n::DOUBLE AS mean,
       |    s2::DOUBLE / n::DOUBLE AS e2, s3::DOUBLE / n::DOUBLE AS e3,
       |    lo, hi
@@ -3814,7 +3824,6 @@ object CorpusQueries {
       |       (0.6423744115500811::DOUBLE / 6.0) * skew), lo), hi), 6) AS est
       |  FROM sk)
       |SELECT $keys, q, est FROM qq ORDER BY $keys, q""".stripMargin
-  }
 
   private lazy val momentsQuantileOracleSql: String =
     momentsQuantileOracleSqlFor("source")

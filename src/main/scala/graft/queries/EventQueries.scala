@@ -556,6 +556,63 @@ object EventQueries {
         |  (e.sec - w.w_start)::BIGINT AS offset_sec
         |FROM ev e JOIN w ON w.user_id = e.user_id
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
-        |ORDER BY w.window_id, e.event_id""".stripMargin))
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
+    // Funnel-latency quantiles: view→purchase hours for every COMPLETED
+    // q129 funnel, reduced through the moments sketch and served as
+    // Cornish-Fisher p50/p90 — the conversion-latency dashboard number,
+    // composed from the funnel chain and the q112 sketch family. The
+    // oracle replays the funnel CTEs, the round-6/DECIMAL power sums,
+    // and the shared estimator chain (cornishFisherTailFor — the exact
+    // engine float chain, stated once).
+    QueryDef("q143_funnel_latency_quantiles",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+          .select(col("user_id"), col("event_type"), col("sec"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("sec") >= col("v_sec"))
+          .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("sec") >= col("c_sec"))
+          .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+        val lat = v.join(p, Seq("user_id"))
+          .select(lit("all").as("grp"),
+            round((col("p_sec") - col("v_sec")).cast("double") /
+              lit(3600.0), 6).as("l"))
+        graft.operators.Sketches.momentsQuantiles(
+            graft.operators.Sketches.momentsState(lat, "l", Seq("grp")),
+            Seq(0.5, 0.9), Seq("grp"))
+          .select(col("grp"), col("q"), round(col("est"), 6).as("est"))
+          .orderBy("grp", "q")
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.sec) AS c_sec
+        |      FROM ev e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.sec >= v.v_sec GROUP BY 1),
+        |pp AS (SELECT e.user_id, min(e.sec) AS p_sec
+        |      FROM ev e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.sec >= c.c_sec
+        |      GROUP BY 1),
+        |lat AS (
+        |  SELECT 'all' AS grp,
+        |    round((pp.p_sec - v.v_sec) / 3600.0, 6) AS l
+        |  FROM v JOIN pp ON pp.user_id = v.user_id),
+        |st AS (
+        |  SELECT grp, count(*)::BIGINT AS n,
+        |    sum(round(l, 6)::DECIMAL(28,6)) AS s1,
+        |    sum(round(l * l, 6)::DECIMAL(28,6)) AS s2,
+        |    sum(round(l * l * l, 6)::DECIMAL(28,6)) AS s3,
+        |    min(l) AS lo, max(l) AS hi
+        |  FROM lat GROUP BY grp),
+        |${CorpusQueries.cornishFisherTailFor("grp")}""".stripMargin))
   )
 }
