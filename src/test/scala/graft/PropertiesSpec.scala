@@ -184,4 +184,31 @@ class PropertiesSpec extends SparkSpec {
       assert(viaExpr == viaKernel, s"trial $trial: expr $viaExpr != kernel $viaKernel")
     }
   }
+
+  test("KMV state equals the naive k-smallest-distinct model on random " +
+       "inputs across partitionings (reduce/merge laws hold)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val k = Seq(2, 3, 8, 33)(trial % 4)
+      val nVals = 1 + rnd.nextInt(300)
+      // heavy duplication on purpose: duplicates must be absorbed
+      val vals = (1 to nVals).map(_ => "v" + rnd.nextInt(80))
+      val df = vals.map(v => ("g", v)).toDF("g", "v")
+        .repartition(1 + rnd.nextInt(7))
+      val got = graft.operators.Sketches.kmvState(df, "v", k, Seq("g"))
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+      val naive = vals.distinct
+        .map(v => {
+          // the exact engine hash: first 15 md5 hex chars as a long
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(v.getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            md.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+        })
+        .sorted.take(k).zipWithIndex.map { case (h, i) => (i + 1, h) }
+      assert(got == naive,
+        s"trial $trial (k=$k, n=$nVals): state diverged from the model")
+    }
+  }
 }
