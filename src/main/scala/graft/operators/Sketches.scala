@@ -162,9 +162,16 @@ object Sketches {
     * joins plus one (g1, g2, bucket)-keyed aggregation.
     *
     * Intersection is inclusion-exclusion `est(A) + est(B) − est(A∪B)`
-    * clamped at 0 (sketch error can push a disjoint pair negative);
-    * `jaccard_est` divides by the union, `containment` by the SMALLER
-    * single estimate (directional "share of the smaller already covered").
+    * clamped into `[0, min(est_a, est_b)]`: sketch error can push a
+    * disjoint pair negative, and the estimator is non-monotone at the
+    * linear-counting branch switch, so the union estimate can fall BELOW
+    * a single-group estimate — without the upper clamp `containment`
+    * could exceed 1.0 and poison downstream dedup planning that reads it
+    * as a fraction. `jaccard_est` divides by the union (the same branch
+    * switch can in principle push it past 1.0 — documented excursion,
+    * kept raw so the column stays a pure function of the published
+    * estimates), `containment` by the SMALLER single estimate
+    * (directional "share of the smaller already covered").
     * All three derive from the round-6 single/union estimates with one
     * arithmetic op each, so the whole surface replays cross-engine
     * (q123's oracle re-runs the estimator per pair).
@@ -195,8 +202,9 @@ object Sketches {
       .join(broadcast(singles.select(col(groupCol).as("g2"),
         col("_est").as("est_b"))), Seq("g2"))
       .withColumn("est_inter",
-        round(greatest(col("est_a") + col("est_b") - col("est_union"),
-          lit(0.0)), 6))
+        round(least(
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)),
+          least(col("est_a"), col("est_b"))), 6))
       .withColumn("jaccard_est",
         round(col("est_inter") / col("est_union"), 6))
       .withColumn("containment",
@@ -214,7 +222,7 @@ object Sketches {
     */
   final case class KmvBuf(data: Array[Long], n: Int)
 
-  private final class KmvAgg(k: Int)
+  private[graft] final class KmvAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Array[Long]] {
     def zero: KmvBuf = KmvBuf(new Array[Long](math.min(k, 16)), 0)
     def reduce(b: KmvBuf, h: Long): KmvBuf = {
@@ -224,9 +232,12 @@ object Sketches {
         val ins = -i - 1
         if (b.n == k && ins == k) b // larger than the kth smallest
         else {
+          // grow floor of 1: merge() of two empty buffers legally yields a
+          // zero-length array, and 0 * 2 == 0 would never grow it
           val d =
             if (b.n == b.data.length && b.n < k)
-              java.util.Arrays.copyOf(b.data, math.min(k, b.data.length * 2))
+              java.util.Arrays.copyOf(b.data,
+                math.min(k, math.max(1, b.data.length * 2)))
             else b.data
           val keep = math.min(b.n + 1, k)
           System.arraycopy(d, ins, d, ins + 1,

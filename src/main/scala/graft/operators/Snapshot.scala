@@ -32,10 +32,19 @@ import org.apache.spark.sql.functions._
 object Snapshot {
 
   /** md5 change-detection hash over the tracked columns (shared with the
-    * streaming twin, [[graft.streaming.StreamingSnapshot]]).
+    * streaming twin, [[graft.streaming.StreamingSnapshot]]). NULLs are
+    * encoded explicitly as `\u0000` before the `\u0001` join: `concat_ws`
+    * silently DROPS null arguments, so without the sentinel distinct
+    * payloads collide — `('x', NULL)` vs `(NULL, 'x')`, and NULL vs `''`
+    * in a single column — and a refresh moving a value between nullable
+    * columns would be silently treated as unchanged, losing a revision.
+    * The DuckDB oracles mirror the same encoding (`coalesce(c, chr(0))`
+    * around the NULL-propagating `||`), so null-bearing data replays
+    * cross-engine too.
     */
   private[graft] def rowHash(hashCols: Seq[String]) =
-    md5(concat_ws("\u0001", hashCols.map(col): _*))
+    md5(concat_ws("\u0001",
+      hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
 
   /** Open a first-version history from a full snapshot: every row live
     * with `valid_from = version`.

@@ -3087,7 +3087,8 @@ object CorpusQueries {
         |m AS (
         |  SELECT u.g1 AS source_a, u.g2 AS source_b, a.est AS est_a,
         |    b.est AS est_b, u.est_union,
-        |    round(greatest(a.est + b.est - u.est_union, 0.0), 6) AS est_inter
+        |    round(least(greatest(a.est + b.est - u.est_union, 0.0),
+        |                least(a.est, b.est)), 6) AS est_inter
         |  FROM uest u
         |  JOIN sest a ON a.source = u.g1
         |  JOIN sest b ON b.source = u.g2)
@@ -3120,11 +3121,13 @@ object CorpusQueries {
           .orderBy(col("doc_id"), col("valid_from"))
       },
       Some("""WITH v1 AS (
-        |  SELECT doc_id, md5(lang || chr(1) || text) AS h
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) ||
+        |    coalesce(text, chr(0))) AS h
         |  FROM documents WHERE doc_id % 10 <> 0),
         |v2 AS (
-        |  SELECT doc_id, md5(lang || chr(1) ||
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) || coalesce(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END,
+        |    chr(0))) AS h
         |  FROM documents WHERE doc_id % 7 <> 0),
         |j AS (
         |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1.h AS h1,
@@ -3159,11 +3162,13 @@ object CorpusQueries {
         Snapshot.diff(hist, 1L, 2L, "doc_id").orderBy("doc_id")
       },
       Some("""WITH v1 AS (
-        |  SELECT doc_id, md5(lang || chr(1) || text) AS h
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) ||
+        |    coalesce(text, chr(0))) AS h
         |  FROM documents WHERE doc_id % 10 <> 0),
         |v2 AS (
-        |  SELECT doc_id, md5(lang || chr(1) ||
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) || coalesce(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END,
+        |    chr(0))) AS h
         |  FROM documents WHERE doc_id % 7 <> 0)
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN v1.h IS NULL THEN 'added'

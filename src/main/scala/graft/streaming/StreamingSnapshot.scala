@@ -45,13 +45,48 @@ object StreamingSnapshot {
 
   /** Apply one micro-batch as a partial upsert at version `batchId + 1`
     * (idempotent per batchId).
+    *
+    * A micro-batch is an ARRIVAL SLICE, not a snapshot: nothing stops a
+    * source from delivering two updates to the same key in one trigger,
+    * and two same-key rows would both pass the hash filter and open two
+    * rows with the same (key, valid_from) — breaking the one-live-row
+    * invariant, the 1:≤1 closure-patch join, and `snapshotAt`. The batch
+    * is therefore reduced to ONE row per key first: byte-identical
+    * duplicates always collapse; beyond that, `orderCol` names the
+    * caller's arrival-order column (sequence number, source timestamp)
+    * and the row with the greatest value wins (ties broken by the full
+    * row's json hash, so a replayed batch re-picks the SAME winner).
+    * Without `orderCol` there is no defensible winner, so a genuine
+    * same-key conflict FAILS FAST instead of silently corrupting
+    * history.
     */
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
-                   keyCol: String, hashCols: Seq[String]): Unit = {
+                   keyCol: String, hashCols: Seq[String],
+                   orderCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val version = batchId + 1
-    val inc = batch
+    val hashed = batch
       .withColumn("row_hash", Snapshot.rowHash(hashCols))
+      .dropDuplicates()
+    val inc = orderCol match {
+      case Some(oc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col(oc).desc,
+            md5(to_json(struct(hashed.columns.map(col): _*))))
+        hashed.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None =>
+        // bounded driver read: at most one offending key row
+        val dup = hashed.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"micro-batch $batchId carries conflicting rows for " +
+            s"$keyCol=${dup(0).get(0)}; pass orderCol to pick a winner " +
+            "or de-duplicate upstream")
+        hashed
+    }
     val live = historyBefore(spark, stateDir, batchId, keyCol) match {
       case Some(h) => h.filter(col("valid_to").isNull)
         .select(col(keyCol), col("row_hash").as("_o_hash"),
@@ -222,13 +257,13 @@ object StreamingSnapshot {
     */
   def sink(docs: DataFrame, stateDir: String, checkpointDir: String,
            keyCol: String, hashCols: Seq[String], pollSeconds: Int = 30,
-           autoCompactEvery: Int = 64,
-           keepBatches: Int = 2): StreamingQuery =
+           autoCompactEvery: Int = 64, keepBatches: Int = 2,
+           orderCol: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, stateDir, batchId, keyCol, hashCols)
+        processBatch(batch, stateDir, batchId, keyCol, hashCols, orderCol)
         if (autoCompactEvery > 0 && batchId > 0 &&
             batchId % autoCompactEvery == 0)
           compact(batch.sparkSession, stateDir, keyCol, keepBatches)

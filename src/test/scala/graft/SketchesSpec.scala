@@ -375,4 +375,40 @@ class SketchesSpec extends SparkSpec {
           .toDouble) < 1e-9, "jaccard must be round-6 of inter/union")
     }
   }
+
+  test("overlap matrix clamps est_inter at min(est_a, est_b) when the " +
+       "linear-counting branch switch makes the union estimate " +
+       "non-monotone (containment stays <= 1)") {
+    import spark.implicits._
+    // crafted registers, b = 7 (m = 128): group A fills 127 buckets at
+    // rho 1 (raw e ~ 182 <= 2.5m with one zero -> linear counting gives
+    // 128*ln(128) ~ 621); group B fills only bucket 127 (LC ~ 1.004);
+    // their union fills ALL buckets (zeros = 0 -> raw ~ 183 < 621). So
+    // inclusion-exclusion yields est_a + est_b - est_union ~ 439 >>
+    // min = est_b — exactly the excursion the clamp must cap.
+    val regs = ((0 until 127).map(b => ("A", b, 1)) :+ ("B", 127, 1))
+      .toDF("g", "bucket", "max_rho")
+    val r = Sketches.hllOverlapMatrix(regs, 7, "g").collect()
+    assert(r.length == 1)
+    val (a, b, u, i, c) = (r(0).getAs[Double]("est_a"),
+      r(0).getAs[Double]("est_b"), r(0).getAs[Double]("est_union"),
+      r(0).getAs[Double]("est_inter"), r(0).getAs[Double]("containment"))
+    assert(u < a, s"test premise: union estimate $u must dip below $a")
+    assert(a + b - u > math.min(a, b),
+      "test premise: raw inclusion-exclusion must exceed the min")
+    assert(i == math.min(a, b), s"est_inter $i must clamp to min($a, $b)")
+    assert(c == 1.0, s"containment must cap at 1.0, got $c")
+  }
+
+  test("KMV aggregator self-heals a zero-capacity buffer: reduce after a " +
+       "merge of two empty partials grows from length 0") {
+    val agg = new Sketches.KmvAgg(4)
+    val empty = Sketches.KmvBuf(new Array[Long](0), 0)
+    // merge(empty, empty) legally returns a zero-length data array
+    val merged = agg.merge(empty, empty)
+    assert(merged.data.length == 0 && merged.n == 0)
+    val filled = Seq(50L, 10L, 40L, 20L, 30L).foldLeft(merged)(agg.reduce)
+    assert(agg.finish(filled).toSeq == Seq(10L, 20L, 30L, 40L),
+      "k smallest must survive growth from the empty merge result")
+  }
 }

@@ -111,6 +111,34 @@ class SnapshotSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("rowHash encodes NULLs explicitly: swapping a value between " +
+       "nullable columns, and NULL vs '', are DISTINCT revisions") {
+    // concat_ws silently drops NULL args; without the NUL sentinel all
+    // four payloads below would collide and an SCD2 refresh would lose
+    // the revision
+    val df = Seq(
+      (1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x")),
+      (3L, Option(""), Option.empty[String]),
+      (4L, Option.empty[String], Option(""))).toDF("id", "a", "b")
+    val hs = df.select(Snapshot.rowHash(Seq("a", "b")).as("h"))
+      .collect().map(_.getString(0))
+    assert(hs.distinct.length == 4,
+      s"NULL-bearing payloads must hash distinctly, got $hs")
+    // and a refresh moving the value across columns must register
+    val h1 = Snapshot.scd2Init(
+      Seq((1L, Option("x"), Option.empty[String])).toDF("id", "a", "b"),
+      "id", Seq("a", "b"), 1L)
+    val h2 = Snapshot.scd2Apply(h1,
+      Seq((1L, Option.empty[String], Option("x"))).toDF("id", "a", "b"),
+      "id", Seq("a", "b"), 2L)
+    val chain = h2.select("id", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+    assert(chain == Seq((1L, 1L, Some(2L)), (1L, 2L, None)),
+      s"cross-column move must close and reopen the row, got $chain")
+  }
+
   test("diff flags exactly the added/removed/changed keys between any " +
        "two versions") {
     val d = Snapshot.diff(hist3, 1L, 3L, "id").collect()

@@ -1353,6 +1353,40 @@ class StreamingSpec extends SparkSpec {
       s"version-2 snapshot wrong: $at2")
   }
 
+  test("streaming SCD2 same-key micro-batch rows: identical duplicates " +
+       "collapse, conflicts fail fast without orderCol, orderCol picks " +
+       "the greatest deterministically") {
+    import spark.implicits._
+    import graft.streaming.StreamingSnapshot
+    val stDir = Files.createTempDirectory("scd2-dup").toString
+    // byte-identical duplicate rows in one batch: must collapse silently
+    val dupSame = Seq((1L, "a", 10L), (1L, "a", 10L), (2L, "b", 10L))
+      .toDF("id", "text", "seq")
+    StreamingSnapshot.processBatch(dupSame, stDir, 0L, "id", Seq("text"))
+    def live() = StreamingSnapshot.history(spark, stDir, "id")
+      .filter(col("valid_to").isNull).select("id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(live() == Seq((1L, "a"), (2L, "b")),
+      "identical duplicates must land as one opened row")
+
+    // conflicting same-key rows without orderCol: refuse the batch
+    val conflict = Seq((3L, "x", 1L), (3L, "y", 2L)).toDF("id", "text", "seq")
+    val err = intercept[IllegalArgumentException] {
+      StreamingSnapshot.processBatch(conflict, stDir, 1L, "id", Seq("text"))
+    }
+    assert(err.getMessage.contains("id=3"), err.getMessage)
+
+    // with orderCol the greatest seq wins — and a replay re-picks it
+    StreamingSnapshot.processBatch(conflict, stDir, 1L, "id", Seq("text"),
+      orderCol = Some("seq"))
+    assert(live() == Seq((1L, "a"), (2L, "b"), (3L, "y")),
+      "orderCol must pick the greatest-seq row")
+    StreamingSnapshot.processBatch(conflict, stDir, 1L, "id", Seq("text"),
+      orderCol = Some("seq"))
+    assert(live() == Seq((1L, "a"), (2L, "b"), (3L, "y")),
+      "replaying the deduped batch must be a no-op")
+  }
+
   test("streaming SCD2 compaction: history identical across folds, delta " +
        "dirs bounded, recent replays reconstruct, folded reconstruction " +
        "refused, torn swap heals") {
