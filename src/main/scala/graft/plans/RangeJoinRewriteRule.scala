@@ -49,8 +49,12 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
-          if j.resolved && eligible(j, cond) =>
-        rewrite(j, cond, width)
+          if j.resolved && !marked(cond) =>
+        if (rangePair(j, cond).isDefined) rewrite(j, cond, width)
+        else overlapPair(j, cond) match {
+          case Some(p) => rewriteOverlap(j, cond, width, p)
+          case None => j
+        }
     }
   }
 
@@ -94,12 +98,40 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     } yield (x, lo, hi, xSide)).nextOption()
   }
 
-  private def eligible(j: Join, cond: Expression): Boolean = {
-    val marked = splitConjuncts(cond).exists(_.references.exists {
+  private def marked(cond: Expression): Boolean =
+    splitConjuncts(cond).exists(_.references.exists {
       case a: Attribute => a.name == BucketName
       case _ => false
     })
-    !marked && rangePair(j, cond).isDefined
+
+  /** The (lStart, lEnd, rStart, rEnd) of the first interval-overlap
+    * pattern: two STRICT cross-side inequalities in opposite directions,
+    * `lStart < rEnd AND rStart < lEnd`, all LongType. `(lStart, lEnd)`
+    * always names the LEFT side's pair regardless of which conjunct came
+    * first. Point-in-interval (`x >= lo AND x < hi`) never matches — its
+    * lower bound is non-strict — so [[rangePair]] keeps priority.
+    */
+  private def overlapPair(j: Join, cond: Expression)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    val left = j.left.outputSet
+    val right = j.right.outputSet
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(left)) Some(true)
+      else if (e.references.subsetOf(right)) Some(false)
+      else None
+    // normalized strict bounds: (x, y) meaning x < y
+    val stricts = splitConjuncts(cond).collect {
+      case LessThan(x, y) => (x, y)
+      case GreaterThan(y, x) => (x, y)
+    }.filter { case (x, y) =>
+      x.dataType == LongType && y.dataType == LongType }
+    (for {
+      (ls, re) <- stricts.iterator
+      if sideOf(ls).contains(true) && sideOf(re).contains(false)
+      (rs, le) <- stricts.iterator
+      if sideOf(rs).contains(false) && sideOf(le).contains(true)
+    } yield (ls, le, rs, re)).nextOption()
   }
 
   private def bucket(e: Expression, width: Long): Expression =
@@ -133,5 +165,78 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       EqualTo(pBktAlias.toAttribute, iBktAttr))
     Project(j.output,
       Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
+  }
+
+  /** Interval-overlap rewrite (`lStart < rEnd AND rStart < lEnd`): the
+    * [[graft.operators.RangeJoin.intervalOverlap]] plan, stated
+    * declaratively — both sides explode to the buckets their [start, end)
+    * interval covers, the join runs on the bucket (plus the original
+    * condition as residual), and only the overlap's FIRST bucket —
+    * `bucket(greatest(lStart, rStart))`, which both explosions
+    * necessarily cover — survives, so each overlapping pair is emitted
+    * exactly once with no distinct.
+    *
+    * The raw predicate is NOT confined to well-formed intervals, and an
+    * optimizer rule must preserve semantics for every input — including
+    * rows whose "interval" is empty or inverted (`end <= start`), which
+    * the explode guard would silently drop. Those rows can still satisfy
+    * the predicate: with `lEnd <= lStart`, `lStart < rEnd AND rStart <
+    * lEnd` forces `rStart < lEnd <= lStart < rEnd`, i.e. the row reduces
+    * to a POINT PROBE at `lStart` into the other side's intervals (the
+    * open-interval point-in-range `lo < x AND x < hi` is exactly this
+    * degenerate case, with the left "interval" [x, x) always empty).
+    * So the rewrite is a three-leg union, every leg an equi-join:
+    *   1. valid × valid — double explode + first-overlap-bucket;
+    *   2. inverted-left rows at `bucket(lStart)` × exploded right;
+    *   3. exploded left × inverted-right rows at `bucket(rStart)`.
+    * Inverted × inverted pairs are unsatisfiable (`lStart < rEnd <=
+    * rStart < lEnd <= lStart`). Legs 2/3 carry a BROADCAST hint on the
+    * (normally empty) inverted side, so AQE collapses them to empty
+    * relations at runtime before the re-exploded probe side is ever
+    * scanned — correctness costs nothing on well-formed data and the
+    * plan stays free of nested loops either way.
+    */
+  private def rewriteOverlap(j: Join, cond: Expression, width: Long,
+      pat: (Expression, Expression, Expression, Expression)): LogicalPlan = {
+    val (lS, lE, rS, rE) = pat
+
+    def exploded(side: LogicalPlan, s: Expression,
+                 e: Expression): (LogicalPlan, Attribute) = {
+      val gen = Explode(Sequence(bucket(s, width),
+        bucket(Subtract(e, Literal(1L)), width), None,
+        Some(conf.sessionLocalTimeZone)))
+      val attr = AttributeReference(BucketName, LongType,
+        nullable = false)()
+      (Generate(gen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(attr),
+        child = Filter(GreaterThan(e, s), side)), attr)
+    }
+    def pointBucket(side: LogicalPlan, s: Expression,
+                    e: Expression): (LogicalPlan, Attribute) = {
+      val a = Alias(bucket(s, width), BucketName)()
+      (Project(side.output :+ a,
+        Filter(LessThanOrEqual(e, s), side)), a.toAttribute)
+    }
+    val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+
+    val (lx, lb) = exploded(j.left, lS, lE)
+    val (rx, rb) = exploded(j.right, rS, rE)
+    val leg1 = Join(lx, rx, Inner,
+      Some(And(And(cond, EqualTo(lb, rb)),
+        EqualTo(lb, bucket(Greatest(Seq(lS, rS)), width)))),
+      JoinHint.NONE)
+
+    val (lInv, lInvB) = pointBucket(j.left, lS, lE)
+    val (rx2, rb2) = exploded(j.right, rS, rE)
+    val leg2 = Join(lInv, rx2, Inner,
+      Some(And(cond, EqualTo(lInvB, rb2))), JoinHint(bcast, None))
+
+    val (lx2, lb2) = exploded(j.left, lS, lE)
+    val (rInv, rInvB) = pointBucket(j.right, rS, rE)
+    val leg3 = Join(lx2, rInv, Inner,
+      Some(And(cond, EqualTo(lb2, rInvB))), JoinHint(None, bcast))
+
+    Union(Seq(Project(j.output, leg1), Project(j.output, leg2),
+      Project(j.output, leg3)))
   }
 }

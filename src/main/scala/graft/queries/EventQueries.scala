@@ -558,6 +558,75 @@ object EventQueries {
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
         |ORDER BY w.window_id, e.event_id""".stripMargin)),
 
+    // q121's interval-overlap join STATED DECLARATIVELY — a plain inner
+    // join with the two-sided overlap predicate (s_start < w_end AND
+    // w_start < s_end) — executed under the extended optimizer rule: it
+    // must rewrite to the three-leg bucketized plan (double explode +
+    // first-overlap-bucket; the degenerate-interval legs collapse empty
+    // under AQE) and produce the IDENTICAL pair set, proven by q121's
+    // own oracle verbatim. Materialized while the conf is set so the
+    // gate never leaks into other queries' plans.
+    QueryDef("q144_overlap_join_declarative",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        val sessions = ev
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("s_start"),
+            (max(col("sec")) + 1L).as("s_end"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        s.conf.set(graft.plans.RangeJoinRewriteRule.WidthConf, "3600")
+        try sessions.join(windows,
+            col("user_id") === col("w_user") &&
+              col("s_start") < col("w_end") &&
+              col("w_start") < col("s_end"))
+          .select(col("user_id"), col("session_id"), col("window_id"),
+            (least(col("s_end"), col("w_end")) -
+              greatest(col("s_start"), col("w_start"))).as("overlap_sec"))
+          .orderBy("user_id", "session_id", "window_id")
+          .localCheckpoint(true)
+        finally s.conf.unset(graft.plans.RangeJoinRewriteRule.WidthConf)
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (SELECT user_id, event_id, sec, ts,
+        |          sec - lag(sec) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS gap
+        |        FROM ev)),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(sec) AS s_start,
+        |    max(sec) + 1 AS s_end
+        |  FROM marked GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id::BIGINT AS session_id, w.window_id,
+        |  (least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start))::BIGINT
+        |    AS overlap_sec
+        |FROM sessions s JOIN w ON w.user_id = s.user_id
+        |  AND s.s_start < w.w_end AND w.w_start < s.s_end
+        |ORDER BY s.user_id, s.session_id, w.window_id""".stripMargin)),
+
     // Funnel-latency quantiles: view→purchase hours for every COMPLETED
     // q129 funnel, reduced through the moments sketch and served as
     // Cornish-Fisher p50/p90 — the conversion-latency dashboard number,

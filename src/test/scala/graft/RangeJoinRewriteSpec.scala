@@ -117,4 +117,113 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == op, "rule and operator disagreed")
   }
+
+  // ---------------------------------------------- interval-overlap pattern
+
+  private def lIntervals = (1L to 400L)
+    .map(i => (i, i * 13 % 97 * 50L, i * 13 % 97 * 50L + i % 7 * 120L))
+    .toDF("lid", "ls", "le")   // i % 7 == 0 → empty interval
+  private def rIntervals = (1L to 300L)
+    .map(i => (i, i * 29 % 83 * 60L, i * 29 % 83 * 60L + 200L))
+    .toDF("rid", "rs", "re")
+
+  private def declOverlap = lIntervals.join(rIntervals,
+    col("ls") < col("re") && col("rs") < col("le"))
+
+  private def opairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rewrites a declarative interval-overlap join into the bucketized " +
+       "equi-join: BNLJ disappears, results identical, exactly one row " +
+       "per overlapping pair across widths") {
+    val off = declOverlap
+    assert(off.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "baseline overlap join should be the nested-loop shape")
+    val expected = opairs(off)
+    assert(expected.nonEmpty, "fixture must produce matches")
+
+    Seq(50L, 130L, 1000L).foreach { w =>
+      withWidth(w) {
+        val on = declOverlap
+        assert(!on.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+          s"width $w: rewritten overlap plan must not nested-loop")
+        assert(opairs(on) == expected, s"width $w changed the pair set")
+        // exactly-one-row-per-pair: the first-overlap-bucket filter must
+        // dedup without a distinct
+        val cnt = on.groupBy("lid", "rid").count()
+          .filter(col("count") > 1).count()
+        assert(cnt == 0, s"width $w emitted duplicate pairs")
+        assert(on.columns.toSeq == off.columns.toSeq)
+      }
+    }
+  }
+
+  test("overlap rewrite preserves raw-predicate semantics for empty and " +
+       "inverted intervals (the degenerate rows reduce to point probes)") {
+    // left row 1: inverted interval [500, 100); row 3: empty [700, 700).
+    // The raw predicate `ls < re && rs < le` can STILL hold for both
+    // (rs < le <= ls < re), and a sound rule must keep the pairs a naive
+    // interval operator would silently drop
+    val l = Seq((1L, 500L, 100L), (2L, 50L, 60L), (3L, 700L, 700L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 0L, 1000L), (11L, 55L, 58L), (12L, 699L, 701L))
+      .toDF("rid", "rs", "re")
+    def decl = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+    val expected = opairs(decl)
+    // sanity: the fixture exercises every leg — valid×valid pairs,
+    // inverted-left pairs, and empty-left pairs
+    assert(expected.contains((1L, 10L)), "inverted-left pair must match")
+    assert(expected.contains((2L, 10L)) && expected.contains((2L, 11L)))
+    assert(expected.contains((3L, 10L)) && expected.contains((3L, 12L)),
+      "empty-interval rows that satisfy the raw predicate must match")
+    assert(expected == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 12L)), s"unexpected baseline pair set $expected")
+    Seq(64L, 500L).foreach { w =>
+      withWidth(w) {
+        assert(opairs(decl) == expected,
+          s"width $w dropped or invented degenerate-interval pairs")
+      }
+    }
+  }
+
+  test("open point-in-range (lo < x AND x < hi) routes through the " +
+       "overlap pattern's point-probe leg with identical results") {
+    def decl = points.join(intervals,
+      col("lo") < col("sec") && col("sec") < col("hi"))
+    val expected = pairs(decl)
+    assert(expected.nonEmpty)
+    withWidth(100L) {
+      val on = decl
+      assert(!on.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "open point-in-range must not nested-loop under the rule")
+      assert(pairs(on) == expected, "point-probe leg changed the result")
+    }
+  }
+
+  test("overlap rewrite agrees with the operator form on well-formed " +
+       "intervals and fires under an equi key") {
+    val keyedL = lIntervals.filter(col("le") > col("ls"))
+      .withColumn("k", col("lid") % 3)
+    val keyedR = rIntervals.withColumn("k", col("rid") % 3)
+    def keyed = keyedL.join(keyedR,
+      keyedL("k") === keyedR("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+    val base = opairs(keyed)
+    withWidth(100L) {
+      val on = keyed
+      assert(!on.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(opairs(on) == base)
+    }
+    val op = graft.operators.RangeJoin.intervalOverlap(
+        keyedL, keyedR, "ls", "le", "rs", "re", Seq("k"),
+        bucketWidth = 100L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == op, "rule and operator disagreed on well-formed input")
+  }
 }
