@@ -50,6 +50,8 @@ object Clusters {
       .union(rawPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // rawPairs only feeds the edge build — free its blocks immediately
+    Checkpoints.release(rawPairs)
     // Each round MUST truncate lineage (eager localCheckpoint): chaining
     // round N's plan onto round N-1's makes the logical plan — and its
     // analysis/planning cost — grow exponentially with the iteration
@@ -77,10 +79,15 @@ object Clusters {
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"), max(col("_old")).as("_old"))
         .localCheckpoint(true)
+      // round N is materialized: round N-1's blocks are dead — free them
+      // now instead of waiting for GC + ContextCleaner
+      Checkpoints.release(labels)
       converged = next.filter(col("cluster") =!= col("_old")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
+    // the returned labels plan reads only the final checkpoint
+    Checkpoints.release(edges)
     (labels, iter)
   }
 
@@ -165,6 +172,10 @@ object Clusters {
       val next = leaves.union(roots)
         .distinct()
         .localCheckpoint(true)
+      // next is materialized: this round's large-star intermediate and
+      // the previous round's edge set are dead — free their blocks now
+      Checkpoints.release(large)
+      Checkpoints.release(edges)
       val nextSig = sig(next)
       converged = nextSig._1 == edgeSig._1 &&
         nextSig._2.compareTo(edgeSig._2) == 0
@@ -247,6 +258,7 @@ object Clusters {
       .union(rawPairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
       .localCheckpoint(true)
+    Checkpoints.release(rawPairs)
     var labels = vertices
       .select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
@@ -258,11 +270,16 @@ object Clusters {
         .groupBy(col("a"))
         .agg(max(struct(col("_cnt"), (-col("label")).as("_nl"))).as("_m"))
         .select(col("a").as("id"), (-col("_m._nl")).as("label"))
-      labels = vertices.select(col(idCol).as("id"))
+      val next = vertices.select(col(idCol).as("id"))
         .join(top, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
         .localCheckpoint(true)
+      // free the superseded round's label blocks eagerly
+      Checkpoints.release(labels)
+      labels = next
     }
+    // the returned labels are the final checkpoint; the edge list is dead
+    Checkpoints.release(sym)
     labels
   }
 

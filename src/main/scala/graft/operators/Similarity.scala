@@ -277,11 +277,15 @@ object Similarity {
       if (r < rounds - 1 && newCands.nonEmpty) {
         val dists = newCands.map(c =>
           round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
-        scored = scored
+        val next = scored
           .withColumn("_cost", least((col("_cost") +: dists): _*))
           .localCheckpoint(true)
+        // free the superseded round's scored blocks eagerly
+        Checkpoints.release(scored)
+        scored = next
       }
     }
+    Checkpoints.release(scored)
     // weight candidates by how much corpus they attract (one pass,
     // k-means||'s recluster weights), then reduce driver-side
     val weights = corpus

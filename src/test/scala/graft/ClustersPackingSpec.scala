@@ -36,6 +36,46 @@ class ClustersPackingSpec extends SparkSpec {
     assert(iters <= 17, s"took $iters rounds")
   }
 
+  test("iterative closures release superseded checkpoint blocks eagerly: " +
+       "a many-round run leaves only the final round persisted") {
+    val sc = spark.sparkContext
+    def persisted() = sc.getPersistentRDDs.keySet
+
+    // 24-node path: ~24 propagation rounds — without eager release every
+    // round's checkpoint (plus edges and rawPairs) would still be pinned
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (0L until 24L).toDF("id")
+    val before = persisted()
+    val (labels, iters) = Clusters.componentsIters(pairs, vertices)
+    assert(iters >= 10, s"fixture must force many rounds, got $iters")
+    val leaked = (persisted() -- before).size
+    assert(leaked <= 2,
+      s"componentsIters left $leaked checkpoint RDDs persisted after " +
+        s"$iters rounds — superseded rounds must be released eagerly")
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+
+    // label propagation: fixed rounds, same discipline
+    val before2 = persisted()
+    val lp = Clusters.labelPropagation(pairs, vertices, rounds = 8)
+    val leaked2 = (persisted() -- before2).size
+    assert(leaked2 <= 2,
+      s"labelPropagation left $leaked2 checkpoint RDDs persisted")
+    assert(lp.count() == 24)
+
+    // star contraction: per-round large + next both released
+    val before3 = persisted()
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainV = (0L until 64L).toDF("id")
+    val (sl, siters) = Clusters.starComponentsIters(chain, chainV)
+    assert(siters >= 3)
+    // final edges + rawPairs stay referenced by the returned lazy plan
+    val leaked3 = (persisted() -- before3).size
+    assert(leaked3 <= 3,
+      s"starComponentsIters left $leaked3 checkpoint RDDs persisted " +
+        s"after $siters rounds")
+    assert(sl.collect().forall(_.getLong(1) == 0L))
+  }
+
   test("star contraction resolves a 1024-node chain in O(log n) rounds") {
     // THE adversarial case for label propagation (would need 1023 rounds —
     // more than maxIters); alternating large/small-star contracts it
