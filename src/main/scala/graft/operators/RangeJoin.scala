@@ -128,4 +128,96 @@ object RangeJoin {
       case None => filled
     }
   }
+
+  /** Forward as-of join: each left row picks up the single right row with
+    * the SMALLEST right ts >= its own ts under the same keys ("the next
+    * reading at-or-after") — [[asofBackward]]'s mirror, same
+    * union-and-window one-shuffle shape with a FOLLOWING frame and a
+    * running `first(..., ignoreNulls)`. Left rows sort BEFORE right rows
+    * at the same instant, so a same-ts right row is matched (at-or-after
+    * is inclusive, mirroring backward's at-or-before). `tolerance` bounds
+    * `asof_ts - ts`. Same contracts as backward: `right` unique per
+    * (equiKeys, ts); unmatched left rows keep null payloads.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, tsCol: String,
+                  equiKeys: Seq[String], payloadCols: Seq[String],
+                  tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("_side", lit(0))
+    val r = right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .withColumn("_side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(equiKeys.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    def carried(c: org.apache.spark.sql.Column) =
+      first(when(col("_side") === 1, c), ignoreNulls = true).over(w)
+    val filled = payloadCols
+      .foldLeft(u)((df, c) => df.withColumn(c, carried(col(c))))
+      .withColumn("asof_ts", carried(col(tsCol)))
+      .filter(col("_side") === 0).drop("_side")
+    tolerance match {
+      case Some(tol) =>
+        val ok = col("asof_ts").isNotNull &&
+          (col("asof_ts") - col(tsCol)) <= tol
+        payloadCols.foldLeft(filled)((df, c) =>
+            df.withColumn(c, when(ok, col(c))))
+          .withColumn("asof_ts", when(ok, col("asof_ts")))
+      case None => filled
+    }
+  }
+
+  /** Nearest as-of join: each left row picks the right row with the
+    * smaller |gap| of the backward and forward candidates, ties going
+    * BACKWARD (the deterministic convention). Still one shuffle: both
+    * arms are windows over the SAME (keys, (ts, side)) sort — right rows
+    * first at equal ts, so the backward frame `[unbounded, 0]` sees a
+    * same-instant right row (gap 0) and wins any tie, which makes the
+    * forward frame's exclusion of same-instant rows unobservable.
+    * `tolerance` bounds each arm's gap independently; a left row whose
+    * arms are both out of tolerance (or absent) keeps null payloads.
+    * `asof_dir` reports which arm matched (`backward` | `forward`).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, tsCol: String,
+                  equiKeys: Seq[String], payloadCols: Seq[String],
+                  tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("_side", lit(1))
+    val r = right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val ord = Window.partitionBy(equiKeys.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = ord.rowsBetween(0, Window.unboundedFollowing)
+    def back(c: org.apache.spark.sql.Column) =
+      last(when(col("_side") === 0, c), ignoreNulls = true).over(wB)
+    def fwd(c: org.apache.spark.sql.Column) =
+      first(when(col("_side") === 0, c), ignoreNulls = true).over(wF)
+    val armed = payloadCols.foldLeft(
+        u.withColumn("_b_ts", back(col(tsCol)))
+          .withColumn("_f_ts", fwd(col(tsCol)))) { (df, c) =>
+      df.withColumn(s"_b_$c", back(col(c)))
+        .withColumn(s"_f_$c", fwd(col(c)))
+    }.filter(col("_side") === 1).drop("_side")
+    val gapB = col(tsCol) - col("_b_ts")
+    val gapF = col("_f_ts") - col(tsCol)
+    val bOk = col("_b_ts").isNotNull &&
+      tolerance.map(t => gapB <= t).getOrElse(lit(true))
+    val fOk = col("_f_ts").isNotNull &&
+      tolerance.map(t => gapF <= t).getOrElse(lit(true))
+    val useB = bOk && (!fOk || gapB <= gapF)
+    val picked = payloadCols.foldLeft(armed)((df, c) =>
+        df.withColumn(c,
+          when(useB, col(s"_b_$c")).when(fOk, col(s"_f_$c"))))
+      .withColumn("asof_ts",
+        when(useB, col("_b_ts")).when(fOk, col("_f_ts")))
+      .withColumn("asof_dir",
+        when(useB, lit("backward")).when(fOk, lit("forward"))
+          .cast("string"))
+    picked.drop((payloadCols.flatMap(c => Seq(s"_b_$c", s"_f_$c")) ++
+      Seq("_b_ts", "_f_ts")): _*)
+  }
 }

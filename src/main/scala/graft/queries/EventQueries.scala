@@ -239,6 +239,108 @@ object EventQueries {
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
         |ORDER BY p.event_id""".stripMargin)),
 
+    // Forward as-of join (RangeJoin.asofForward): each purchase picks up
+    // the user's EARLIEST at-or-after click within an hour ("the
+    // follow-up click") — the mirror of q122, same union-and-window
+    // one-shuffle shape with a following frame. The oracle is DuckDB's
+    // native forward ASOF (p.sec <= c.sec) with the tolerance applied on
+    // top — two different evaluation strategies, identical rows.
+    QueryDef("q145_asof_forward",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        graft.operators.RangeJoin.asofForward(
+            purchases, clicks, "sec", Seq("user_id"), Seq("click_id"),
+            tolerance = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("asof_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.sec,
+        |  CASE WHEN c.sec IS NOT NULL AND c.sec - p.sec <= 3600
+        |       THEN c.click_id END AS click_id,
+        |  CASE WHEN c.sec IS NOT NULL AND c.sec - p.sec <= 3600
+        |       THEN c.sec END AS asof_ts
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.sec <= c.sec
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // Nearest as-of join (RangeJoin.asofNearest): each purchase picks the
+    // click with the smaller |gap| of the backward and forward arms, ties
+    // going backward, each arm independently bounded by the hour
+    // tolerance — still ONE shuffle (both arms are frames over the same
+    // sort). The oracle states both candidate arms as correlated min/max
+    // subqueries, replays the pick rule declaratively, and joins the
+    // chosen instant back for the payload.
+    QueryDef("q146_asof_nearest",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        graft.operators.RangeJoin.asofNearest(
+            purchases, clicks, "sec", Seq("user_id"), Seq("click_id"),
+            tolerance = Some(3600L))
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("asof_ts"), col("asof_dir"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase'),
+        |arms AS (
+        |  SELECT p.event_id, p.user_id, p.sec,
+        |    (SELECT max(c.sec) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS b_sec,
+        |    (SELECT min(c.sec) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.sec >= p.sec) AS f_sec
+        |  FROM p),
+        |chosen AS (
+        |  SELECT event_id, user_id, sec,
+        |    CASE
+        |      WHEN b_sec IS NOT NULL AND sec - b_sec <= 3600
+        |           AND (f_sec IS NULL OR f_sec - sec > 3600
+        |                OR sec - b_sec <= f_sec - sec)
+        |        THEN b_sec
+        |      WHEN f_sec IS NOT NULL AND f_sec - sec <= 3600
+        |        THEN f_sec
+        |    END AS asof_ts,
+        |    CASE
+        |      WHEN b_sec IS NOT NULL AND sec - b_sec <= 3600
+        |           AND (f_sec IS NULL OR f_sec - sec > 3600
+        |                OR sec - b_sec <= f_sec - sec)
+        |        THEN 'backward'
+        |      WHEN f_sec IS NOT NULL AND f_sec - sec <= 3600
+        |        THEN 'forward'
+        |    END AS asof_dir
+        |  FROM arms)
+        |SELECT ch.event_id, ch.user_id, ch.sec, c.click_id, ch.asof_ts,
+        |  ch.asof_dir
+        |FROM chosen ch LEFT JOIN clicks c
+        |  ON c.user_id = ch.user_id AND c.sec = ch.asof_ts
+        |ORDER BY ch.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

@@ -295,11 +295,20 @@ class PlanSpec extends SparkSpec {
         plan.contains("BroadcastHashJoin"),
         s"$q must hash/merge-join on (user_id, bucket)")
     }
-    // q122: the as-of is ONE union + window — no join operator at all,
-    // so no range probe can ever nest-loop
-    val asof = plans("q122_asof_click_attribution")
-    assert(!asof.contains("Join"), "q122 must be the union-window as-of")
-    assert(asof.contains("Window"), "q122 lost the carrying window")
+    // q122/q145: backward and forward as-of are ONE union + window — no
+    // join operator at all, so no range probe can ever nest-loop
+    for (q <- Seq("q122_asof_click_attribution", "q145_asof_forward")) {
+      val asof = plans(q)
+      assert(!asof.contains("Join"), s"$q must be the union-window as-of")
+      assert(asof.contains("Window"), s"$q lost the carrying window")
+    }
+    // q146: nearest = BOTH arms as frames over the same sort — still no
+    // join in the as-of itself (the only join is none: the pick is pure
+    // column logic over the two carried arms)
+    val near = plans("q146_asof_nearest")
+    assert(!near.contains("Join"),
+      "q146 must compute both arms from one union, never a join")
+    assert(near.contains("Window"), "q146 lost the arm windows")
   }
 
   test("q117 quantile store serve: a warm store serves from the saved " +

@@ -110,4 +110,70 @@ class RangeJoinSpec extends SparkSpec {
         Option(row.getAs[Any]("payload"))).toMap
     assert(loose(3L) == Some(902L), "no tolerance -> latest prior row")
   }
+
+  test("asofForward: smallest right ts >= left ts, same-instant matches, " +
+       "tolerance nulls, unmatched nulls, key isolation") {
+    val l = Seq((1L, "u", 100L), (2L, "u", 150L), (3L, "u", 5000L),
+      (4L, "u", 999999L), (5L, "v", 100L), (6L, "w", 100L))
+      .toDF("pid", "k", "ts")
+    val r = Seq(("u", 120L, 900L), ("u", 150L, 901L), ("u", 7000L, 902L),
+      ("v", 101L, 903L))
+      .toDF("k", "ts", "payload")
+    val got = RangeJoin.asofForward(l, r, "ts", Seq("k"), Seq("payload"),
+        tolerance = Some(1000L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        (Option(row.getAs[Any]("payload")),
+          Option(row.getAs[Any]("asof_ts")))).toMap
+    assert(got(1L) == (Some(900L), Some(120L)), "strictly-later match")
+    assert(got(2L) == (Some(901L), Some(150L)),
+      "a right row at the SAME instant matches (>=, not >)")
+    assert(got(3L) == (None, None),
+      "a match farther ahead than tolerance must null out")
+    assert(got(4L) == (None, None), "no later right row -> nulls")
+    assert(got(5L) == (Some(903L), Some(101L)))
+    assert(got(6L) == (None, None), "keys must isolate")
+    val loose = RangeJoin.asofForward(l, r, "ts", Seq("k"), Seq("payload"))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("payload"))).toMap
+    assert(loose(3L) == Some(902L), "no tolerance -> earliest later row")
+  }
+
+  test("asofNearest: smaller gap wins, equal gaps go backward, " +
+       "same-instant is a zero-gap backward match, per-arm tolerance, " +
+       "one-arm fallback") {
+    val l = Seq(
+      (1L, "u", 100L),   // b gap 40 (60) vs f gap 20 (120) -> forward
+      (2L, "u", 90L),    // b gap 30 vs f gap 30 (120) -> tie -> backward
+      (3L, "u", 120L),   // same-instant right row -> gap 0 backward
+      (4L, "u", 5000L),  // b gap 4880 > tol, f none -> nulls
+      (5L, "u", 10L),    // no prior; f gap 50 -> forward
+      (6L, "v", 100L))   // keys isolate
+      .toDF("pid", "k", "ts")
+    val r = Seq(("u", 60L, 900L), ("u", 120L, 901L))
+      .toDF("k", "ts", "payload")
+    val got = RangeJoin.asofNearest(l, r, "ts", Seq("k"), Seq("payload"),
+        tolerance = Some(1000L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        (Option(row.getAs[Any]("payload")),
+          Option(row.getAs[Any]("asof_ts")),
+          Option(row.getAs[String]("asof_dir")))).toMap
+    assert(got(1L) == (Some(901L), Some(120L), Some("forward")),
+      "strictly smaller forward gap must win")
+    assert(got(2L) == (Some(900L), Some(60L), Some("backward")),
+      "equal gaps must break backward")
+    assert(got(3L) == (Some(901L), Some(120L), Some("backward")),
+      "a same-instant right row is a zero-gap backward match")
+    assert(got(4L) == (None, None, None),
+      "both arms out of tolerance/absent -> nulls")
+    assert(got(5L) == (Some(900L), Some(60L), Some("forward")),
+      "missing backward arm falls back to forward")
+    assert(got(6L) == (None, None, None), "keys must isolate")
+    // tight tolerance kills the farther arm only
+    val tight = RangeJoin.asofNearest(l, r, "ts", Seq("k"), Seq("payload"),
+        tolerance = Some(25L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("asof_ts"))).toMap
+    assert(tight(1L) == Some(120L), "forward gap 20 survives tol 25")
+    assert(tight(2L) == None, "both gaps 30 exceed tol 25")
+  }
 }
