@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Multi-dimensional data layout for scan pruning: Z-ORDER (Morton-curve)
   * clustering — the storage-level answer to "my queries filter on TWO
@@ -78,4 +80,105 @@ object Layout {
     stats.filter(ranges.map { case (c, (lo, hi)) =>
         col(s"max_$c") >= lo && col(s"min_$c") <= hi
       }.reduce(_ && _)).count()
+
+  // --------------------------------------------- written layout + skipping
+
+  /** Materialize the Z-order layout as REAL parquet files: range-shuffle
+    * on the z-value into `nFiles` partitions, sort within each, write one
+    * file per partition (overwrite). Each output file then covers one
+    * contiguous z-range, so its parquet footer min/max on BOTH clustered
+    * columns is the tight box [[fileStats]] models — this is exactly the
+    * lakehouse OPTIMIZE ZORDER write path, and `repartitionByRange` is
+    * the 100 TB-safe shuffle (no global single-task sort; boundaries come
+    * from sampling).
+    */
+  def zorderWrite(df: DataFrame, zCol: Column, tieCol: Column, nFiles: Int,
+                  path: String): Unit =
+    df.withColumn("_z", zCol).withColumn("_t", tieCol)
+      .repartitionByRange(nFiles, col("_z"), col("_t"))
+      .sortWithinPartitions(col("_z"), col("_t"))
+      .drop("_z", "_t")
+      .write.mode("overwrite").parquet(path)
+
+  /** One parquet row group's min/max box, read from the file FOOTER —
+    * the metadata a skipping reader consults without touching any data
+    * page. Columns absent from a footer's statistics are simply missing
+    * from the maps (a pruner must then keep the group).
+    */
+  final case class RowGroupStats(file: String, group: Int, rows: Long,
+                                 mins: Map[String, Double],
+                                 maxs: Map[String, Double])
+
+  /** Walk the written layout's parquet footers and return every row
+    * group's min/max box over `statCols` (numeric columns). This is the
+    * real-metadata twin of [[fileStats]]: what parquet itself recorded
+    * for the layout that was actually written. Driver-side by design —
+    * footers are the skipping INDEX, tiny by construction; at warehouse
+    * scale this table is persisted once per write (exactly what a
+    * lakehouse transaction log stores) rather than re-walked per query.
+    */
+  def parquetStats(spark: SparkSession, path: String,
+                   statCols: Seq[String]): Seq[RowGroupStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.flatMap { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (b, i) =>
+          val stats = b.getColumns.asScala
+            .filter(c => statCols.contains(c.getPath.toDotString))
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: Number, mx: Number) =>
+                  Some(c.getPath.toDotString ->
+                    (mn.doubleValue(), mx.doubleValue()))
+                case _ => None
+              }
+            }.toSeq
+          RowGroupStats(f.getPath.toString, i, b.getRowCount,
+            stats.map { case (c, (mn, _)) => c -> mn }.toMap,
+            stats.map { case (c, (_, mx)) => c -> mx }.toMap)
+      } finally rd.close()
+    }
+  }
+
+  /** Scan the written layout under a box predicate, opening ONLY the
+    * files whose footer boxes intersect the queried range in every
+    * constrained dimension (a group missing statistics for a queried
+    * column is conservatively kept). Returns the pruned frame — the
+    * box FILTER still applies on top, so the result is row-identical to
+    * a full scan with the same predicate (footer boxes are bounds, not
+    * exact membership) — plus the kept file list and the total file
+    * count, so callers and specs can measure the skipping that actually
+    * happened.
+    */
+  def prunedScan(spark: SparkSession, path: String,
+                 ranges: Map[String, (Double, Double)])
+      : (DataFrame, Seq[String], Int) = {
+    val stats = parquetStats(spark, path, ranges.keys.toSeq)
+    val allFiles = stats.map(_.file).distinct
+    val keep = stats.filter { g =>
+      ranges.forall { case (c, (lo, hi)) =>
+        (g.mins.get(c), g.maxs.get(c)) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true
+        }
+      }
+    }.map(_.file).distinct
+    val pred = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    val df =
+      if (keep.nonEmpty) spark.read.parquet(keep: _*).filter(pred)
+      else spark.read.parquet(path).filter(lit(false))
+    (df, keep, allFiles.size)
+  }
 }

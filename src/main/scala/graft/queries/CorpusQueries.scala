@@ -3240,6 +3240,57 @@ object CorpusQueries {
         |  min(q) AS min_q, max(q) AS max_q
         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
+    // The q126 layout WRITTEN and SERVED (Layout.zorderWrite/prunedScan):
+    // the corpus projection is materialized once as real parquet files in
+    // Z-value order (range shuffle, one contiguous z-range per file —
+    // write-once, data-stamped dir), and the query scans it under a 2-D
+    // box predicate opening ONLY the files whose parquet FOOTER min/max
+    // boxes intersect the range — the lakehouse skipping loop running on
+    // parquet's own metadata. The oracle derives the same box selection
+    // directly from documents, so a wrongly-skipped file (lost rows) or
+    // a stale store hash-mismatches; LayoutSpec measures the files
+    // actually opened.
+    QueryDef("q147_zorder_pruned_scan",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_zstore_${dataStamp(dir, "documents")}"
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+          val docs = table(s, dir, "documents")
+          val base = docs.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+          Layout.zorderWrite(base,
+            Layout.zValue(
+              Layout.quantize(col("n_tok").cast("double"), 0.0, 128.0, 8),
+              Layout.quantize(col("q"), 0.0, 1.0, 8), 8),
+            col("doc_id"), nFiles = 16, path = store)
+        }
+        val (scan, _, _) = Layout.prunedScan(s, store,
+          Map("n_tok" -> (30.0, 60.0), "q" -> (0.55, 0.75)))
+        scan.select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d)
+        |SELECT doc_id, n_tok, q FROM qd
+        |WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75
+        |ORDER BY doc_id""".stripMargin)),
+
     // Label-propagation communities (Clusters.labelPropagation) over the
     // q81 kNN graph: each node adopts its neighbors' most frequent label
     // (count desc, SMALLEST label on ties — deterministic, no random

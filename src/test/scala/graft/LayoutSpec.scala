@@ -86,4 +86,53 @@ class LayoutSpec extends SparkSpec {
         s"Z-layout must skip y-range files, touched $zY/$nFiles")
     } finally { zStats.unpersist(); xStats.unpersist() }
   }
+
+  test("written Z-layout end-to-end: real parquet footers skip files " +
+       "under a 2-D box, the pruned scan is row-identical to the full " +
+       "scan, and the x-sorted layout cannot skip a y-range") {
+    val pts = (1 to 8192).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+    val nFiles = 32
+    val base = java.nio.file.Files.createTempDirectory("zlay").toString
+    val zDir = s"$base/z"
+    val xDir = s"$base/x"
+    Layout.zorderWrite(pts,
+      Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles, zDir)
+    Layout.zorderWrite(pts, col("xq"), col("id"), nFiles, xDir)
+
+    // the write produced one tight-footer file per range partition
+    val zStats = Layout.parquetStats(spark, zDir, Seq("x", "y"))
+    assert(zStats.map(_.file).distinct.size == nFiles,
+      s"expected $nFiles written files, got ${zStats.map(_.file).distinct.size}")
+    assert(zStats.forall(g => g.mins.contains("x") && g.maxs.contains("y")),
+      "footers must carry min/max statistics for both clustered columns")
+
+    val box = Map("x" -> (0.45, 0.55), "y" -> (0.45, 0.55))
+    val (zScan, zKept, zTotal) = Layout.prunedScan(spark, zDir, box)
+    assert(zTotal == nFiles)
+    assert(zKept.size <= nFiles / 2,
+      s"a 1% box must skip most files, opened ${zKept.size}/$nFiles")
+    // row-identity against the unpruned full scan with the same predicate
+    val full = spark.read.parquet(zDir)
+      .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val pruned = zScan.select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned == full,
+      "footer pruning changed the scan result — files were wrongly skipped")
+    assert(full.nonEmpty, "fixture box must select rows")
+
+    // y-range: the x-sorted layout's footers cannot skip anything
+    val yr = Map("y" -> (0.45, 0.55))
+    val (_, xKeptY, _) = Layout.prunedScan(spark, xDir, yr)
+    val (_, zKeptY, _) = Layout.prunedScan(spark, zDir, yr)
+    assert(xKeptY.size == nFiles,
+      "x-sorted layout must open every file for a y-range")
+    assert(zKeptY.size < nFiles,
+      s"Z-layout must skip y-range files, opened ${zKeptY.size}/$nFiles")
+  }
 }
