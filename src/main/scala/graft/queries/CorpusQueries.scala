@@ -3240,6 +3240,50 @@ object CorpusQueries {
         |  min(q) AS min_q, max(q) AS max_q
         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
+    // The q124/q125 refresh chain through the PERSISTED history store
+    // (Snapshot.ensureHistory/loadHistory): v1 initializes the store, v2
+    // refreshes it delta-cost (closed/version=2 appended, the live slice
+    // swapped behind the manifest cursor), and the version diff is served
+    // from the SAVED parquet alone — on a warm store neither ensure
+    // evaluates its snapshot argument and the corpus is never re-scanned
+    // (PlanSpec pins it). The oracle is q125's, verbatim: persistence
+    // must be semantically invisible.
+    QueryDef("q148_scd2_store_served",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_scd2_${dataStamp(dir, "documents")}"
+        def docs = table(s, dir, "documents")
+        Snapshot.ensureHistory(
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id"), col("lang"), col("text")),
+          store, "doc_id", Seq("lang", "text"), 1L)
+        val (hist, _) = Snapshot.ensureHistory(
+          docs.filter(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), col("lang"),
+              when(col("doc_id") % 5 === 0,
+                concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text")).as("text")),
+          store, "doc_id", Seq("lang", "text"), 2L)
+        Snapshot.diff(hist, 1L, 2L, "doc_id").orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) ||
+        |    coalesce(text, chr(0))) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, md5(coalesce(lang, chr(0)) || chr(1) || coalesce(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END,
+        |    chr(0))) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  v1.h AS hash_from, v2.h AS hash_to
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h
+        |ORDER BY doc_id""".stripMargin)),
+
     // The q126 layout WRITTEN and SERVED (Layout.zorderWrite/prunedScan):
     // the corpus projection is materialized once as real parquet files in
     // Z-value order (range shuffle, one contiguous z-range per file —

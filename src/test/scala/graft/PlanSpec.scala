@@ -325,6 +325,15 @@ class PlanSpec extends SparkSpec {
       "q117's serve path re-aggregated; the saved state is already at grain")
   }
 
+  test("q148 scd2 store serve: the version diff reads the SAVED history " +
+       "parquet only — the corpus is never re-scanned") {
+    val plan = plans("q148_scd2_store_served")
+    assert(plan.contains("graft_scd2_"),
+      "q148 must read the persisted scd2 history store")
+    assert(!plan.contains("documents.parquet"),
+      "q148 re-derived history the store already holds")
+  }
+
   test("sketch family plans: bounded sides broadcast, partial aggregation " +
        "before every shuffle (q102-q110)") {
     // the sparse/dense decision (q107/q110) rides a BROADCAST of the

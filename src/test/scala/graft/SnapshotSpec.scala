@@ -139,6 +139,75 @@ class SnapshotSpec extends SparkSpec {
       s"cross-column move must close and reopen the row, got $chain")
   }
 
+  test("persisted history store: init + delta-cost refreshes, warm serve " +
+       "never evaluates the snapshot, prefix replay is a no-op, param " +
+       "drift rebuilds, history == the in-memory scd2 chain") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("scd2-store").toString + "/st"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    val v3 = Seq((1L, "a"), (2L, "B2"), (3L, "c3"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "text", "row_hash", "valid_from", "valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._4)).toSeq
+
+    val (h1, w1) = Snapshot.ensureHistory(v1, dir, "id", Seq("text"), 1L)
+    assert(w1 && rows(h1) == rows(
+      Snapshot.scd2Init(v1, "id", Seq("text"), 1L)))
+    val (h2, w2) = Snapshot.ensureHistory(v2, dir, "id", Seq("text"), 2L)
+    assert(w2)
+    val (h3, w3) = Snapshot.ensureHistory(v3, dir, "id", Seq("text"), 3L)
+    assert(w3 && rows(h3) == rows(hist3),
+      "stored history diverged from the in-memory scd2 chain")
+    assert(Snapshot.historyVersion(dir).contains(3L))
+
+    // delta layout: one immutable closed partition per closing refresh,
+    // exactly one live open dir
+    val st = new java.io.File(dir)
+    val closedDirs = new java.io.File(st, "closed").listFiles()
+      .filter(_.getName.startsWith("version=")).map(_.getName).sorted
+    assert(closedDirs.toSeq == Seq("version=2"),
+      s"v2 closed rows only (v3 closes nothing in this fixture): " +
+        closedDirs.mkString(","))
+    assert(st.listFiles().count(_.getName.startsWith("open_v")) == 1 &&
+      new java.io.File(st, "open_v3").isDirectory,
+      "superseded open dirs must be swapped out")
+
+    // warm serve + prefix replay: the snapshot argument is NEVER
+    // evaluated (the by-name thunk would throw)
+    val (warm, wW) = Snapshot.ensureHistory(
+      sys.error("warm serve must not evaluate the snapshot"),
+      dir, "id", Seq("text"), 3L)
+    assert(!wW && rows(warm) == rows(h3))
+    val (replay, wR) = Snapshot.ensureHistory(
+      sys.error("prefix replay must not evaluate the snapshot"),
+      dir, "id", Seq("text"), 2L)
+    assert(!wR && rows(replay) == rows(h3),
+      "replaying an applied prefix must serve, not rewind")
+
+    // time travel + diff straight off the store
+    val at2 = Snapshot.snapshotAt(Snapshot.loadHistory(spark, dir), 2L)
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(at2 == Seq((1L, "a"), (2L, "B2"), (4L, "d")))
+
+    // tracked-column drift invalidates (hashes are incomparable)
+    val (hDrift, wDrift) = Snapshot.ensureHistory(v1, dir, "id",
+      Seq("text", "id"), 1L)
+    assert(wDrift, "hashCols drift must rebuild the store")
+    assert(Snapshot.historyVersion(dir).contains(1L))
+    assert(hDrift.count() == 3)
+
+    // manifest-less state is invalid
+    graft.sources.Bundle.deleteRecursively(s"$dir/manifest.json")
+    intercept[IllegalStateException] { Snapshot.loadHistory(spark, dir) }
+  }
+
   test("diff flags exactly the added/removed/changed keys between any " +
        "two versions") {
     val d = Snapshot.diff(hist3, 1L, 3L, "id").collect()
