@@ -113,7 +113,9 @@ object EventStream {
     * each batch's events are sorted by event time inside the handler, so
     * intra-batch disorder is repaired, while an event arriving batches
     * late (out of order ACROSS batches) is folded in arrival order, the
-    * same greedy-admission stance as the streaming dedup family.
+    * same greedy-admission stance as the streaming dedup family. When
+    * exactness under ANY arrival order within the lateness bound matters
+    * more than immediate emission, use [[funnelStreamBuffered]].
     *
     * Input must carry (user_id LONG, event_type STRING, ts TIMESTAMP);
     * `lateness` is the watermark bound that drives the timeout clock.
@@ -161,6 +163,115 @@ object EventStream {
             state.setTimeoutTimestamp(math.max((lastSec + horizonSec) * 1000L,
               state.getCurrentWatermarkMs + 1))
         }
+        out.reverseIterator
+      }
+    }
+    events.withWatermark("ts", lateness)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(handle)
+      .toDF()
+  }
+
+  /** Per-user state of the BUFFERED funnel machine: the [[FunnelState]]
+    * fields (guarded by `started`), the idle clock, and the
+    * not-yet-foldable event buffer (parallel seqs — product encoders
+    * handle them natively).
+    */
+  case class BufferedFunnelState(started: Boolean, vSec: Long,
+                                 cSec: Option[Long], done: Boolean,
+                                 lastSec: Long, bufSecs: Seq[Long],
+                                 bufTypes: Seq[String])
+
+  /** [[funnelStream]] with BUFFER-UNTIL-WATERMARK folding: events are
+    * held in GroupState until the event-time watermark passes them, then
+    * folded into the machine in EVENT-TIME order (ties at one instant
+    * fold view → click → purchase, matching the batch funnel's `>=`
+    * chain) — so streamed completions equal the batch q129 rows under
+    * ANY arrival order within the lateness bound, including events that
+    * arrive whole micro-batches out of order. This closes the one gap
+    * the greedy variant documents: its cross-batch folding is
+    * admission-order, trading exactness for immediate emission.
+    *
+    * The price is bounded and explicit: per-user state adds the buffer
+    * of events newer than the watermark (≤ lateness × the user's event
+    * rate — watermark-bounded, never stream-length-bounded), and every
+    * emission is delayed by up to the lateness bound (a completion
+    * emits once the watermark passes its purchase). Folding wakes on
+    * event arrival or on an event-time timeout armed at the earliest
+    * buffered event (so a quiet user's buffer still folds as the
+    * watermark advances past it); the same timeout clock drives idle
+    * expiry `horizonSec` past the user's last event, emitting the
+    * abandoned funnel exactly like the greedy variant.
+    *
+    * Folding strictly BELOW the watermark is what makes the fold safe:
+    * Spark drops rows older than the watermark before the stateful
+    * operator, so no future delivery can ever sort before a folded
+    * event.
+    */
+  def funnelStreamBuffered(events: DataFrame, horizonSec: Long = 86400L,
+                           lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def rank(t: String): Int = t match {
+      case "view" => 0
+      case "click" => 1
+      case "purchase" => 2
+      case _ => 3
+    }
+    def handle(userId: Long, it: Iterator[FunnelEvent],
+               state: GroupState[BufferedFunnelState])
+        : Iterator[FunnelOut] = {
+      val prev = state.getOption.getOrElse(
+        BufferedFunnelState(started = false, 0L, None, done = false,
+          Long.MinValue, Nil, Nil))
+      val incoming = it.map(e => (e.ts.getTime / 1000L, e.event_type)).toSeq
+      val buffer = prev.bufSecs.zip(prev.bufTypes) ++ incoming
+      val wmMs = state.getCurrentWatermarkMs
+      val (ready, pending) = buffer.partition(_._1 * 1000L < wmMs)
+
+      var started = prev.started
+      var vSec = prev.vSec
+      var cSec = prev.cSec
+      var done = prev.done
+      var out = List.empty[FunnelOut]
+      ready.sortBy { case (sec, t) => (sec, rank(t)) }.foreach {
+        case (sec, t) => t match {
+          case "view" if !started =>
+            started = true; vSec = sec; cSec = None; done = false
+          case "click" if started && !done && cSec.isEmpty && sec >= vSec =>
+            cSec = Some(sec)
+          case "purchase" if started && !done && cSec.exists(sec >= _) =>
+            out ::= FunnelOut(userId, vSec, cSec, Some(sec), 3L,
+              completed = true)
+            done = true
+          case _ => ()
+        }
+      }
+      val lastSec = (prev.lastSec +: buffer.map(_._1)).max
+      val expired = pending.isEmpty && lastSec != Long.MinValue &&
+        wmMs >= (lastSec + horizonSec) * 1000L
+
+      if (pending.isEmpty && (!started || expired)) {
+        // nothing buffered and either no funnel ever started (orphan
+        // steps) or the user idled past the horizon — emit the
+        // abandonment if one is owed and drop the state
+        if (state.exists) state.remove()
+        if (started && !done && expired)
+          out ::= FunnelOut(userId, vSec, cSec, None, 1L + cSec.size,
+            completed = false)
+        out.reverseIterator
+      } else {
+        state.update(BufferedFunnelState(started, vSec, cSec, done,
+          lastSec, pending.map(_._1), pending.map(_._2)))
+        // wake when the watermark passes the earliest buffered event, or
+        // at idle expiry — whichever comes first; clamped above the
+        // current watermark (the API rejects targets at or below it)
+        val wake = (pending.map(_._1 * 1000L + 1) :+
+          (lastSec + horizonSec) * 1000L).min
+        state.setTimeoutTimestamp(math.max(wake, wmMs + 1))
         out.reverseIterator
       }
     }

@@ -746,6 +746,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("buffered funnel: events delivered whole batches out of order " +
+       "(purchase first, view last) still fold in event-time order — " +
+       "streamed completions equal the batch funnel under adversarial " +
+       "arrival, same-instant ties fold view->click->purchase") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("bfunnel-in").toString
+    def row(user: Long, typ: String, sec: Long) =
+      (user, typ, new java.sql.Timestamp(sec * 1000L))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(inDir)
+
+    val q = graft.streaming.EventStream.funnelStreamBuffered(
+        spark.readStream
+          .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+          .parquet(inDir),
+        horizonSec = 600L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("t_bfunnel")
+      .outputMode("append").start()
+    try {
+      // u1's funnel arrives FULLY REVERSED across batches (the greedy
+      // variant would fold purchase/click into nothing and abandon at
+      // stage 1); u6's click arrives two batches before its same-second
+      // view; u2/u5 will abandon; all inside the 10-min lateness bound
+      write(Seq(row(1, "purchase", 300), row(5, "view", 320),
+        row(6, "click", 500)))
+      q.processAllAvailable()
+      write(Seq(row(1, "click", 160), row(6, "purchase", 505)))
+      q.processAllAvailable()
+      write(Seq(row(1, "view", 100), row(2, "view", 150),
+        row(6, "view", 500)))
+      q.processAllAvailable()
+      // watermark drivers: u9's far-future events advance the watermark
+      // past every buffered event AND past last-event + horizon, then
+      // fire the event-time wake/expiry timeouts on the next trigger
+      write(Seq(row(9, "view", 2000)))
+      q.processAllAvailable()
+      write(Seq(row(9, "click", 2010)))
+      q.processAllAvailable()
+
+      val rows = spark.table("t_bfunnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(rows.contains((1L, 100L, Some(160L), Some(300L), 3L, true)),
+        s"u1's reversed funnel must still complete exactly: $rows")
+      assert(rows.contains((6L, 500L, Some(500L), Some(505L), 3L, true)),
+        "same-instant view/click must fold view first (c_sec == v_sec)")
+      assert(rows.contains((2L, 150L, None, None, 1L, false)) &&
+        rows.contains((5L, 320L, None, None, 1L, false)),
+        s"view-only users must expire as stage-1 abandonments: $rows")
+      assert(!rows.exists(_._1 == 9L), "the watermark driver is still live")
+      assert(rows.size == 4, s"unexpected extra emissions: $rows")
+
+      // completions == the batch funnel over the SAME (unordered) input
+      val ev = spark.read.parquet(inDir)
+        .select(col("user_id"), col("event_type"),
+          (col("ts").cast("long")).as("sec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("sec") >= col("v_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("sec") >= col("c_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+      val batchCompleted = v.join(c, "user_id").join(p, "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Some(r.getLong(2)),
+          Some(r.getLong(3)), 3L, true)).toSet
+      assert(rows.filter(_._6) == batchCompleted,
+        "buffered streamed completions diverged from the batch funnel " +
+          "under adversarial arrival order")
+    } finally q.stop()
+  }
+
   test("online near-dup admission: greedy first-seen-wins across batches, " +
        "idempotent under batch replay") {
     val stateDir = Files.createTempDirectory("ond-state").toString
