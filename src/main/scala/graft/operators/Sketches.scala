@@ -766,4 +766,61 @@ object Sketches {
                         tag: String): Map[String, String] =
     Map("kind" -> "kmv-sketch", "value" -> valueCol, "k" -> k.toString,
       "groups" -> groupCols.mkString(","), "tag" -> tag)
+
+  // ------------------------------------------- unified dashboard store
+
+  /** Every state the unified per-source sketch dashboard serves from, as
+    * ONE Bundle built in ONE corpus pass family — so the dashboard query
+    * (q149) touches the corpus zero times on a warm store:
+    *   - `profile`  — [[Quality.corpusReport]] rows (group grain);
+    *   - `hll`      — b-bit token registers ([[hllRegisters]]);
+    *   - `cm_hot`   — per-source count of tokens whose count-min estimate
+    *                  reaches `hotThreshold` (the heavy-hitter leg is
+    *                  stored REDUCED: its raw input is the corpus-sized
+    *                  distinct (source, token) set, which is exactly what
+    *                  a store must not have to replay);
+    *   - `moments`  — quality power sums ([[momentsState]]);
+    *   - `kmv`      — token k-sets ([[kmvState]]), serving the theta
+    *                  overlap/containment columns via
+    *                  [[kmvOverlapMatrix]].
+    * T2 manifest invalidation on every sketch parameter; the corpus
+    * thunk is evaluated once (shared localCheckpoint) on a build and
+    * never on a warm serve.
+    */
+  def ensureDashboardStore(docs: => DataFrame, dir: String, b: Int = 7,
+                           d: Int = 4, w: Int = 512,
+                           hotThreshold: Long = 500L, k: Int = 64,
+                           tag: String = "")
+      : (Map[String, DataFrame], Boolean) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val params = Map("kind" -> "sketch-dashboard", "b" -> b.toString,
+      "d" -> d.toString, "w" -> w.toString, "hot" -> hotThreshold.toString,
+      "k" -> k.toString, "tag" -> tag)
+    if (graft.sources.Bundle.isValid(dir, params))
+      (graft.sources.Bundle.load(spark, dir), false)
+    else {
+      graft.sources.Bundle.deleteRecursively(dir)
+      val dd = docs.localCheckpoint(true)
+      try {
+        val toks = dd.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val hot = cmEstimate(cmCounters(toks, "tok", d, w),
+            toks.select(col("tok")).distinct(), "tok", d, w)
+          .filter(col("cm_est") >= hotThreshold)
+        val nHot = toks.distinct()
+          .join(broadcast(hot.select(col("tok"))), Seq("tok"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_hot_tokens"))
+        graft.sources.Bundle.save(dir, Map(
+          "profile" -> Quality.corpusReport(dd),
+          "hll" -> hllRegisters(toks, "tok", b, Seq("source")),
+          "cm_hot" -> nHot,
+          "moments" -> momentsState(
+            dd.select(col("source"),
+              round(graft.functions.TextFunctions.qualityScore(col("text")),
+                6).as("q")), "q", Seq("source")),
+          "kmv" -> kmvState(toks, "tok", k, Seq("source"))), params)
+      } finally Checkpoints.release(dd)
+      (graft.sources.Bundle.load(spark, dir), true)
+    }
+  }
 }

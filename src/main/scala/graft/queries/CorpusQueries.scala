@@ -3756,7 +3756,67 @@ object CorpusQueries {
           .withColumnRenamed("g2", "source_b")
           .orderBy("source_a", "source_b")
       },
-      Some(kmvOverlapOracleSql))
+      Some(kmvOverlapOracleSql)),
+
+    // The unified dashboard SERVED FROM STORES ALONE: q116's surface
+    // (profile + HLL distinct + count-min heavy hitters + moments
+    // p50/p90) extended with the theta overlap leg — each source's
+    // highest-Jaccard partner, with the pair's jaccard and containment
+    // from the KMV k-sets — and every leg read from the ONE dashboard
+    // Bundle (Sketches.ensureDashboardStore): on a warm store the corpus
+    // is touched zero times and every join side is group-grain broadcast
+    // (PlanSpec pins both). The oracle is q116's replay + q141's pair
+    // arithmetic + the symmetrize/argmax reduction — persistence must be
+    // semantically invisible across all five families at once.
+    QueryDef("q149_sketch_dashboard_served",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          "/graft_dash_" + dataStamp(dir, "documents")
+        def docs = table(s, dir, "documents")
+        val (t, _) = Sketches.ensureDashboardStore(docs, store)
+        val est = Sketches.hllEstimateByGroup(t("hll"), 7, Seq("source"))
+          .select(col("source"),
+            round(col("est_distinct"), 6).as("est_distinct_tokens"))
+        val piv = Sketches.momentsQuantiles(t("moments"), Seq(0.5, 0.9),
+            Seq("source"))
+          .groupBy(col("source"))
+          .agg(
+            round(max(when(col("q") === 0.5, col("est"))), 6)
+              .as("p50_quality"),
+            round(max(when(col("q") === 0.9, col("est"))), 6)
+              .as("p90_quality"))
+        val m = Sketches.kmvOverlapMatrix(t("kmv"), 64, "source")
+        val sym = m.select(col("g1").as("source"), col("g2").as("partner"),
+            col("jaccard_est"), col("est_inter"),
+            col("est_a").as("self_est"), col("est_b").as("partner_est"))
+          .unionByName(m.select(col("g2").as("source"),
+            col("g1").as("partner"), col("jaccard_est"), col("est_inter"),
+            col("est_b").as("self_est"), col("est_a").as("partner_est")))
+        val overlap = sym
+          .withColumn("containment",
+            round(col("est_inter") /
+              least(col("self_est"), col("partner_est")), 6))
+          .groupBy(col("source"))
+          .agg(min(struct((-col("jaccard_est")).as("nj"),
+            col("partner").as("p"), col("containment").as("c"))).as("_m"))
+          .select(col("source"), col("_m.p").as("top_overlap_source"),
+            round(-col("_m.nj"), 6).as("top_overlap_jaccard"),
+            col("_m.c").as("top_overlap_containment"))
+        t("profile")
+          .join(broadcast(est), Seq("source"), "left")
+          .join(broadcast(t("cm_hot")), Seq("source"), "left")
+          .join(broadcast(piv), Seq("source"), "left")
+          .join(broadcast(overlap), Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("mean_quality"), col("lang_entropy"),
+            col("est_distinct_tokens"),
+            coalesce(col("n_hot_tokens"), lit(0L)).as("n_hot_tokens"),
+            col("p50_quality"), col("p90_quality"),
+            col("top_overlap_source"), col("top_overlap_jaccard"),
+            col("top_overlap_containment"))
+          .orderBy("source")
+      },
+      Some(dashboardServedOracleSql))
   )
 
   /** q141's full replay — k-sets, thresholds, below-θ counts, the float
@@ -4437,6 +4497,102 @@ object CorpusQueries {
       |JOIN hest ON hest.source = per.source
       |LEFT JOIN nhot ON nhot.source = per.source
       |LEFT JOIN mq ON mq.source = per.source
+      |ORDER BY per.source""".stripMargin
+  }
+
+  /** q149's oracle: q116's full replay with its final SELECT swapped for
+    * the q141 KMV pair arithmetic (k-sets over the shared `tok` CTE,
+    * thresholds, below-theta counts, the exact float chain) plus the
+    * symmetrize/argmax reduction to each source's top-overlap partner.
+    * String surgery keeps the five-family replay identical to q116's by
+    * construction.
+    */
+  private lazy val dashboardServedOracleSql: String = {
+    val tail = """SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy,
+      |  est_distinct_tokens, coalesce(n_hot_tokens, 0) AS n_hot_tokens,
+      |  p50_quality, p90_quality
+      |FROM per
+      |JOIN ent ON ent.source = per.source
+      |JOIN hest ON hest.source = per.source
+      |LEFT JOIN nhot ON nhot.source = per.source
+      |LEFT JOIN mq ON mq.source = per.source
+      |ORDER BY per.source""".stripMargin
+    require(sketchDashboardQuantilesOracleSql.endsWith(tail),
+      "q116 oracle tail changed; update the dashboard-store surgery")
+    sketchDashboardQuantilesOracleSql.dropRight(tail.length) +
+      """,khs AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM tok),
+      |kst AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h,
+      |      row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+      |    FROM khs)
+      |  WHERE rank <= 64),
+      |kper AS (
+      |  SELECT source, count(*) AS cnt, max(h) AS mx
+      |  FROM kst GROUP BY source),
+      |kth AS (
+      |  SELECT source,
+      |    CASE WHEN cnt < 64 THEN 1152921504606846976 ELSE mx END AS theta,
+      |    CASE WHEN cnt < 64 THEN cnt::DOUBLE
+      |         ELSE 63.0 * 1152921504606846976.0 / mx::DOUBLE END AS est
+      |  FROM kper),
+      |kpr AS (
+      |  SELECT a.source AS g1, b.source AS g2,
+      |    least(a.theta, b.theta) AS tmin, a.est AS est_a, b.est AS est_b
+      |  FROM kth a JOIN kth b ON a.source < b.source),
+      |kca AS (
+      |  SELECT p.g1, p.g2, count(*) AS ca FROM kpr p
+      |  JOIN kst s ON s.source = p.g1 AND s.h < p.tmin GROUP BY 1, 2),
+      |kcb AS (
+      |  SELECT p.g1, p.g2, count(*) AS cb FROM kpr p
+      |  JOIN kst s ON s.source = p.g2 AND s.h < p.tmin GROUP BY 1, 2),
+      |kcm AS (
+      |  SELECT p.g1, p.g2, count(*) AS cm FROM kpr p
+      |  JOIN kst x ON x.source = p.g1 AND x.h < p.tmin
+      |  JOIN kst y ON y.source = p.g2 AND y.h = x.h
+      |  GROUP BY 1, 2),
+      |kmat AS (
+      |  SELECT p.g1, p.g2,
+      |    round(p.est_a, 6) AS est_a, round(p.est_b, 6) AS est_b,
+      |    round(coalesce(kcm.cm, 0)::DOUBLE * 1152921504606846976.0
+      |      / p.tmin::DOUBLE, 6) AS est_inter,
+      |    round(CASE WHEN coalesce(kca.ca, 0) + coalesce(kcb.cb, 0)
+      |                    - coalesce(kcm.cm, 0) > 0
+      |               THEN coalesce(kcm.cm, 0)::DOUBLE /
+      |                 (coalesce(kca.ca, 0) + coalesce(kcb.cb, 0)
+      |                   - coalesce(kcm.cm, 0))::DOUBLE
+      |               ELSE 0.0 END, 6) AS jaccard_est
+      |  FROM kpr p
+      |  LEFT JOIN kca ON kca.g1 = p.g1 AND kca.g2 = p.g2
+      |  LEFT JOIN kcb ON kcb.g1 = p.g1 AND kcb.g2 = p.g2
+      |  LEFT JOIN kcm ON kcm.g1 = p.g1 AND kcm.g2 = p.g2),
+      |ksym AS (
+      |  SELECT g1 AS source, g2 AS partner, jaccard_est, est_inter,
+      |    est_a AS self_est, est_b AS partner_est FROM kmat
+      |  UNION ALL
+      |  SELECT g2, g1, jaccard_est, est_inter, est_b, est_a FROM kmat),
+      |ktop AS (
+      |  SELECT source, partner AS top_overlap_source,
+      |    jaccard_est AS top_overlap_jaccard,
+      |    round(est_inter / least(self_est, partner_est), 6)
+      |      AS top_overlap_containment
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |          ORDER BY jaccard_est DESC, partner) AS rn
+      |        FROM ksym)
+      |  WHERE rn = 1)
+      |SELECT per.source, n_docs, n_tokens, mean_quality, lang_entropy,
+      |  est_distinct_tokens, coalesce(n_hot_tokens, 0) AS n_hot_tokens,
+      |  p50_quality, p90_quality,
+      |  top_overlap_source, top_overlap_jaccard, top_overlap_containment
+      |FROM per
+      |JOIN ent ON ent.source = per.source
+      |JOIN hest ON hest.source = per.source
+      |LEFT JOIN nhot ON nhot.source = per.source
+      |LEFT JOIN mq ON mq.source = per.source
+      |LEFT JOIN ktop ON ktop.source = per.source
       |ORDER BY per.source""".stripMargin
   }
 

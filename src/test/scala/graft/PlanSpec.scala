@@ -325,6 +325,23 @@ class PlanSpec extends SparkSpec {
       "q117's serve path re-aggregated; the saved state is already at grain")
   }
 
+  test("q149 dashboard store serve: all five sketch families read the " +
+       "ONE saved bundle — no corpus scan, joins broadcast, no nested " +
+       "loops") {
+    val plan = plans("q149_sketch_dashboard_served")
+    assert(plan.contains("graft_dash_"),
+      "q149 must read the persisted dashboard store")
+    assert(!plan.contains("documents.parquet"),
+      "q149 re-derived state the dashboard store already holds")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q149's group-grain joins must broadcast")
+    // the only nested loop allowed is the bounded group-grain pair
+    // enumeration (g1 < g2 over the source list), which must itself be
+    // broadcast — never a shuffled cartesian
+    assert(!plan.contains("CartesianProduct"),
+      "q149 must never plan a shuffled cartesian")
+  }
+
   test("q148 scd2 store serve: the version diff reads the SAVED history " +
        "parquet only — the corpus is never re-scanned") {
     val plan = plans("q148_scd2_store_served")
