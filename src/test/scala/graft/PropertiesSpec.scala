@@ -211,4 +211,62 @@ class PropertiesSpec extends SparkSpec {
         s"trial $trial (k=$k, n=$nVals): state diverged from the model")
     }
   }
+
+  test("as-of joins equal the brute-force model on random inputs: " +
+       "backward/forward/nearest, ties, tolerance, multi-key") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { trial =>
+      val nL = 5 + rnd.nextInt(60)
+      val nR = rnd.nextInt(40)
+      val tol = if (trial % 2 == 0) Some(5L + rnd.nextInt(30)) else None
+      // small ts range on purpose: forces same-instant collisions
+      val left = (1 to nL).map(i =>
+        (i.toLong, "k" + rnd.nextInt(3), rnd.nextInt(100).toLong))
+      // right unique per (key, ts) by construction (the operator contract)
+      val right = (1 to nR).map(_ =>
+          ("k" + rnd.nextInt(3), rnd.nextInt(100).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 1000L + i) }
+      val lDf = left.toDF("pid", "k", "ts")
+      val rDf = right.toDF("k", "ts", "payload")
+
+      def model(pid: Long): Map[String, Option[(Long, Long)]] = {
+        val (_, k, ts) = left.find(_._1 == pid).get
+        val cand = right.filter(_._1 == k)
+        def ok(gap: Long) = tol.forall(gap <= _)
+        val b = cand.filter(_._2 <= ts).sortBy(-_._2).headOption
+          .filter(c => ok(ts - c._2)).map(c => (c._3, c._2))
+        val f = cand.filter(_._2 >= ts).sortBy(_._2).headOption
+          .filter(c => ok(c._2 - ts)).map(c => (c._3, c._2))
+        val n = (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            if (ts - bb._2 <= ff._2 - ts) Some(bb) else Some(ff)
+          case (x, y) => x.orElse(y)
+        }
+        Map("b" -> b, "f" -> f, "n" -> n)
+      }
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("pid") ->
+          (Option(r.getAs[Any]("payload")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("asof_ts")).map(_.asInstanceOf[Long])))
+          .toMap
+      val gotB = run(RangeJoin.asofBackward(lDf, rDf, "ts", Seq("k"),
+        Seq("payload"), tol))
+      val gotF = run(RangeJoin.asofForward(lDf, rDf, "ts", Seq("k"),
+        Seq("payload"), tol))
+      val gotN = run(RangeJoin.asofNearest(lDf, rDf, "ts", Seq("k"),
+        Seq("payload"), tol))
+      left.foreach { case (pid, _, _) =>
+        val m = model(pid)
+        def pair(o: Option[(Long, Long)]) = (o.map(_._1), o.map(_._2))
+        assert(gotB(pid) == pair(m("b")),
+          s"trial $trial backward pid=$pid: ${gotB(pid)} != ${m("b")}")
+        assert(gotF(pid) == pair(m("f")),
+          s"trial $trial forward pid=$pid: ${gotF(pid)} != ${m("f")}")
+        assert(gotN(pid) == pair(m("n")),
+          s"trial $trial nearest pid=$pid: ${gotN(pid)} != ${m("n")}")
+      }
+    }
+  }
 }
