@@ -26,6 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Pick a bucket width from the data: a high percentile of the
+    * interval lengths (approx, one aggregation over the interval side),
+    * floored at 1. The scaladoc rule of thumb — "near the typical
+    * interval length" — as a one-liner, so callers (and the conf-gated
+    * rewrite rule's users) don't guess the knob: the interval side's
+    * explosion factor stays ~1–2× while points rarely share a bucket
+    * with intervals they can't match. Driver-side scalar by design
+    * (it IS the knob).
+    */
+  def suggestBucketWidth(intervals: DataFrame, startCol: String,
+                         endCol: String,
+                         percentile: Double = 0.75): Long = {
+    require(percentile > 0.0 && percentile <= 1.0,
+      s"percentile must be in (0, 1], got $percentile")
+    val r = intervals
+      .filter(col(endCol) > col(startCol))
+      .agg(expr(
+        s"approx_percentile($endCol - $startCol, $percentile)").as("w"))
+      .head()
+    if (r.isNullAt(0)) 1L
+    else math.max(1L, r.getAs[Number](0).longValue())
+  }
+
   /** Inner-join `points` to the `intervals` whose half-open
     * [startCol, endCol) span contains the point's `tsCol`, matching
     * `equiKeys` exactly. Timestamp columns are integral (e.g. epoch

@@ -392,6 +392,34 @@ object Sketches {
           .otherwise(lit(0.0)), 6).as("jaccard_est"))
   }
 
+  /** Each group's TOP-OVERLAP partner from the KMV state: symmetrize the
+    * pair matrix and argmax by (jaccard desc, smaller partner) via one
+    * `min(struct)` — no window over the group key. `containment` =
+    * est_inter / min single estimate of the winning pair, the
+    * "share of the smaller already covered" direction. The reduction the
+    * unified dashboard's theta leg serves (q149, batch store and
+    * streamed state alike).
+    */
+  def kmvTopOverlap(state: DataFrame, k: Int, groupCol: String): DataFrame = {
+    val m = kmvOverlapMatrix(state, k, groupCol)
+    val sym = m.select(col("g1").as(groupCol), col("g2").as("partner"),
+        col("jaccard_est"), col("est_inter"),
+        col("est_a").as("self_est"), col("est_b").as("partner_est"))
+      .unionByName(m.select(col("g2").as(groupCol),
+        col("g1").as("partner"), col("jaccard_est"), col("est_inter"),
+        col("est_b").as("self_est"), col("est_a").as("partner_est")))
+    sym
+      .withColumn("containment",
+        round(col("est_inter") /
+          least(col("self_est"), col("partner_est")), 6))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("jaccard_est")).as("nj"),
+        col("partner").as("p"), col("containment").as("c"))).as("_m"))
+      .select(col(groupCol), col("_m.p").as("top_overlap_source"),
+        round(-col("_m.nj"), 6).as("top_overlap_jaccard"),
+        col("_m.c").as("top_overlap_containment"))
+  }
+
   // -------------------------------------------- HLL sparse mode (HLL++)
 
   /** Sparse-or-dense per-group cardinality state — the HLL++ refinement

@@ -3785,23 +3785,7 @@ object CorpusQueries {
               .as("p50_quality"),
             round(max(when(col("q") === 0.9, col("est"))), 6)
               .as("p90_quality"))
-        val m = Sketches.kmvOverlapMatrix(t("kmv"), 64, "source")
-        val sym = m.select(col("g1").as("source"), col("g2").as("partner"),
-            col("jaccard_est"), col("est_inter"),
-            col("est_a").as("self_est"), col("est_b").as("partner_est"))
-          .unionByName(m.select(col("g2").as("source"),
-            col("g1").as("partner"), col("jaccard_est"), col("est_inter"),
-            col("est_b").as("self_est"), col("est_a").as("partner_est")))
-        val overlap = sym
-          .withColumn("containment",
-            round(col("est_inter") /
-              least(col("self_est"), col("partner_est")), 6))
-          .groupBy(col("source"))
-          .agg(min(struct((-col("jaccard_est")).as("nj"),
-            col("partner").as("p"), col("containment").as("c"))).as("_m"))
-          .select(col("source"), col("_m.p").as("top_overlap_source"),
-            round(-col("_m.nj"), 6).as("top_overlap_jaccard"),
-            col("_m.c").as("top_overlap_containment"))
+        val overlap = Sketches.kmvTopOverlap(t("kmv"), 64, "source")
         t("profile")
           .join(broadcast(est), Seq("source"), "left")
           .join(broadcast(t("cm_hot")), Seq("source"), "left")

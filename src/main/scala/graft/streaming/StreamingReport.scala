@@ -202,6 +202,51 @@ object StreamingReport {
     Sketches.kmvOverlapMatrix(merged, k, "source")
   }
 
+  /** The unified per-source dashboard from STREAMED state alone — the
+    * live twin of the q149 batch dashboard store: profile (docs, tokens,
+    * mean quality, language entropy), HLL distinct-token estimate,
+    * source-grain quality p50/p90 (the (source, lang) moments partials
+    * merge EXACTLY across langs — power sums add, lo/hi min/max — so the
+    * source-grain sketch equals a direct source-grain build), and the
+    * theta top-overlap leg ([[Sketches.kmvTopOverlap]] over the merged
+    * KMV state). Every leg reads sketch-grain state; the ingested corpus
+    * is never re-scanned. The count-min leg stays the probe-shaped
+    * [[freqReport]]: a per-source hot-token COUNT needs token-grain
+    * state no sketch holds — the same reason the batch dashboard store
+    * persists that leg reduced at build time.
+    */
+  def dashboard(spark: SparkSession, stateDir: String): DataFrame = {
+    val profile = report(spark, stateDir)
+    val est = distinctReport(spark, stateDir)
+      .select(col("source"),
+        round(col("est_distinct"), 6).as("est_distinct_tokens"))
+    val momPartials = readState(spark, s"$stateDir/moments",
+      s"$stateDir/moments_base",
+      emptyFrame(spark, "source STRING, lang STRING, n BIGINT, " +
+        "s1 DECIMAL(38,6), s2 DECIMAL(38,6), s3 DECIMAL(38,6), " +
+        "s4 DECIMAL(38,6), lo DOUBLE, hi DOUBLE"))
+    val piv = Sketches.momentsQuantiles(
+        Sketches.momentsMerge(momPartials, Seq("source")),
+        Seq(0.5, 0.9), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        round(max(when(col("q") === 0.5, col("est"))), 6)
+          .as("p50_quality"),
+        round(max(when(col("q") === 0.9, col("est"))), 6)
+          .as("p90_quality"))
+    val (merged, k) = mergedKmv(spark, stateDir)
+    val top = Sketches.kmvTopOverlap(merged, k, "source")
+    profile
+      .join(broadcast(est), Seq("source"), "left")
+      .join(broadcast(piv), Seq("source"), "left")
+      .join(broadcast(top), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("lang_entropy"),
+        col("est_distinct_tokens"), col("p50_quality"),
+        col("p90_quality"), col("top_overlap_source"),
+        col("top_overlap_jaccard"), col("top_overlap_containment"))
+  }
+
   /** Per-batch count-min counter partials for streaming heavy-hitter
     * tracking — the frequency companion to the profile/HLL partials,
     * same batch-keyed partition-overwrite discipline. Counter merge is

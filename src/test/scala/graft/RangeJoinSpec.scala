@@ -111,6 +111,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(loose(3L) == Some(902L), "no tolerance -> latest prior row")
   }
 
+  test("suggestBucketWidth tracks the typical interval length, ignores " +
+       "empty/inverted intervals, floors at 1") {
+    val iv = ((1 to 90).map(i => (i.toLong, 100L + i * 10L)) ++
+      Seq((500L, 500L), (700L, 600L)))   // empty + inverted: excluded
+      .toDF("lo", "hi")
+    val w = graft.operators.RangeJoin.suggestBucketWidth(iv, "lo", "hi")
+    // lengths ~ 100+9i for i=1..90: p75 lands in the hundreds band
+    assert(w >= 100L && w <= 1000L, s"unexpected width $w")
+    // degenerate data: sub-1 lengths floor to 1; empty side floors to 1
+    val tiny = Seq((10L, 11L)).toDF("lo", "hi")
+    assert(graft.operators.RangeJoin.suggestBucketWidth(tiny, "lo", "hi") == 1L)
+    val none = Seq((5L, 5L)).toDF("lo", "hi")
+    assert(graft.operators.RangeJoin.suggestBucketWidth(none, "lo", "hi") == 1L)
+  }
+
   test("asofForward: smallest right ts >= left ts, same-instant matches, " +
        "tolerance nulls, unmatched nulls, key isolation") {
     val l = Seq((1L, "u", 100L), (2L, "u", 150L), (3L, "u", 5000L),

@@ -946,6 +946,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed unified dashboard == the batch-assembled twin over the " +
+       "union: profile, HLL, source-grain quantiles, theta top-overlap") {
+    import graft.streaming.StreamingReport
+    import graft.operators.{Quality, Sketches}
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stDir = Files.createTempDirectory("dash-st").toString
+    for ((lo, i) <- Seq(0L, 150L, 300L).zipWithIndex) {
+      val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 150)
+      StreamingReport.processBatch(slice, stDir, i.toLong)
+      StreamingReport.processBatchDistinct(slice, stDir, i.toLong)
+      StreamingReport.processBatchMoments(slice, stDir, i.toLong)
+      StreamingReport.processBatchKmv(slice, stDir, i.toLong)
+    }
+    val streamed = StreamingReport.dashboard(spark, stDir)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+
+    val uni = docs.filter(col("doc_id") < 450)
+    val toks = uni.select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val est = Sketches.hllEstimateByGroup(
+        Sketches.hllRegisters(toks, "tok", 9, Seq("source")), 9,
+        Seq("source"))
+      .select(col("source"),
+        round(col("est_distinct"), 6).as("est_distinct_tokens"))
+    val piv = Sketches.momentsQuantiles(
+        Sketches.momentsState(
+          uni.select(col("source"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+          "q", Seq("source")),
+        Seq(0.5, 0.9), Seq("source"))
+      .groupBy(col("source"))
+      .agg(round(max(when(col("q") === 0.5, col("est"))), 6)
+          .as("p50_quality"),
+        round(max(when(col("q") === 0.9, col("est"))), 6)
+          .as("p90_quality"))
+    val top = Sketches.kmvTopOverlap(
+      Sketches.kmvState(toks, "tok", 64, Seq("source")), 64, "source")
+    val twin = Quality.corpusReport(uni)
+      .join(est, Seq("source"), "left")
+      .join(piv, Seq("source"), "left")
+      .join(top, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("lang_entropy"),
+        col("est_distinct_tokens"), col("p50_quality"),
+        col("p90_quality"), col("top_overlap_source"),
+        col("top_overlap_jaccard"), col("top_overlap_containment"))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(streamed == twin,
+      "streamed dashboard diverged from the batch-assembled twin — every " +
+        "leg's merge must be exact (profile sums, register max, moments " +
+        "DECIMAL sums, KMV sorted-union-truncate)")
+    assert(streamed.nonEmpty && streamed.head.size == 11)
+  }
+
   test("streaming corpus report equals the batch report over the union, " +
        "replays are idempotent") {
     import graft.streaming.StreamingReport
