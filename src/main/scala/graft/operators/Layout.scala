@@ -169,7 +169,10 @@ object Layout {
     val keep = stats.filter { g =>
       ranges.forall { case (c, (lo, hi)) =>
         (g.mins.get(c), g.maxs.get(c)) match {
-          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          // NaN bounds compare false against everything, which would
+          // SKIP a file that may hold matching rows — conservatively keep
+          case (Some(mn), Some(mx)) if !mn.isNaN && !mx.isNaN =>
+            mx >= lo && mn <= hi
           case _ => true
         }
       }

@@ -159,13 +159,20 @@ object Snapshot {
     require(m.get("kind").contains("scd2-history"),
       s"not an scd2 history store: $dir")
     val open = spark.read.parquet(s"$dir/${m("open")}")
+    val cursor = m.get("version").map(_.toLong).getOrElse(Long.MaxValue)
     val closedDir = new java.io.File(s"$dir/closed")
     if (closedDir.isDirectory &&
         closedDir.listFiles().exists(_.getName.startsWith("version=")))
-      // partition discovery adds the dir-derived version column; the
-      // rows carry their own valid_to, so it is layout metadata only
+      // partition discovery adds the dir-derived version column (the
+      // rows carry their own valid_to, so it is layout metadata) — and
+      // the cursor filter is the crash guard: a refresh that died between
+      // its closed write and its manifest commit leaves an ORPHAN closed
+      // partition above the cursor, which must stay invisible (reading it
+      // would duplicate its keys: still-open row + orphan closed row) and
+      // is simply overwritten when the refresh replays
       open.unionByName(
-        spark.read.parquet(s"$dir/closed").drop("version"))
+        spark.read.parquet(s"$dir/closed")
+          .filter(col("version") <= cursor).drop("version"))
     else open
   }
 
@@ -222,6 +229,11 @@ object Snapshot {
     if (!closedNow.isEmpty)
       closedNow.write.mode("overwrite")
         .parquet(s"$dir/closed/version=$version")
+    else
+      // a refresh that closes nothing must still clear any partition a
+      // torn earlier attempt left at this version — committing the
+      // cursor would otherwise make that orphan visible
+      graft.sources.Bundle.deleteRecursively(s"$dir/closed/version=$version")
     history.filter(col("valid_to").isNull)
       .write.mode("overwrite").parquet(s"$dir/open_v$version")
     // the manifest write COMMITS the refresh (cursor + open pointer)

@@ -208,6 +208,43 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalStateException] { Snapshot.loadHistory(spark, dir) }
   }
 
+  test("persisted history store: an orphan closed partition from a torn " +
+       "refresh is invisible to reads and healed by the replay") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("scd2-torn").toString + "/st"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val v2 = Seq((1L, "a2"), (2L, "b")).toDF("id", "text")
+    Snapshot.ensureHistory(v1, dir, "id", Seq("text"), 1L)
+
+    def rows() = Snapshot.loadHistory(spark, dir)
+      .select("id", "text", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val before = rows()
+
+    // simulate the crash window: a BOGUS version-2 closed delta landed
+    // (closing key 2, which the real refresh keeps open), the manifest
+    // commit did not — reads must not see the orphan (it would show
+    // key 2 both open and closed), and the replay must OVERWRITE it
+    Snapshot.scd2Init(v1, "id", Seq("text"), 1L)
+      .filter(col("id") === 2L)
+      .withColumn("valid_to", lit(2L))
+      .write.mode("overwrite").parquet(s"$dir/closed/version=2")
+    assert(rows() == before,
+      "an orphan closed partition above the cursor leaked into reads")
+
+    // the replayed refresh overwrites the orphan and commits normally
+    val (h2, wrote) = Snapshot.ensureHistory(v2, dir, "id", Seq("text"), 2L)
+    assert(wrote)
+    val chain = h2.select("id", "text", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(chain == Seq((1L, "a", 1L, Some(2L)), (1L, "a2", 2L, None),
+      (2L, "b", 1L, None)), s"torn refresh not healed cleanly: $chain")
+  }
+
   test("diff flags exactly the added/removed/changed keys between any " +
        "two versions") {
     val d = Snapshot.diff(hist3, 1L, 3L, "id").collect()
