@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Conf-gated optimizer rule: rewrite point-in-interval joins into the
   * bucketized equi-join [[graft.operators.RangeJoin.pointInInterval]]
@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * positive long (the width is workload knowledge — near the typical
   * interval length — exactly the argument the operator form takes), on
   * INNER joins whose condition contains a `x >= lo` / `x < hi` pair with
-  * `x` (LongType) from one side and `lo`, `hi` (LongType) from the
-  * other. The rewrite adds a bucket column on the point side
+  * `x` from one side and `lo`, `hi` from the other, all of one
+  * bucketable type — LongType, IntegerType, or TimestampType
+  * (timestamps bucket at second grain via the long cast; bucketing only
+  * needs a MONOTONE coarsening, the original predicate stays as the
+  * exact residual). The rewrite adds a bucket column on the point side
   * (`floor(x / w)`, the operator's exact arithmetic), explodes each
   * interval to its covered buckets behind a `hi > lo` guard (an
   * empty/inverted interval satisfies no range predicate, and the guard
@@ -30,7 +33,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * condition (range conjuncts stay as the residual filter), and projects
   * back to the original output attributes — ids preserved, so the
   * surrounding plan is untouched. A matching pair co-occurs in exactly
-  * the point's bucket: no duplicates, no dedup.
+  * the point's bucket: no duplicates, no dedup. For LongType bounds the
+  * explosion ends at `bucket(hi - 1)` (exact); for the other types the
+  * end bucket is inclusive — at most one extra bucket whose
+  * non-matching pairs the residual filters, never a missed match.
   *
   * The generated bucket attribute name marks rewritten joins so the
   * fixed-point optimizer batch cannot re-fire on its own output.
@@ -66,6 +72,16 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   /** The (point, lo, hi, pointSideIsLeft) of the first qualifying range
     * pair, if any.
     */
+  /** Types the bucket arithmetic supports: the long cast is monotone for
+    * each (identity, widening, and second-truncation for timestamps), so
+    * bucketing coarsens without reordering and the original predicate
+    * remains the exact residual.
+    */
+  private def bucketable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | TimestampType => true
+    case _ => false
+  }
+
   private def rangePair(j: Join, cond: Expression)
       : Option[(Expression, Expression, Expression, Boolean)] = {
     val left = j.left.outputSet
@@ -89,8 +105,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       (x, lo) <- lowers.iterator
       (x2, hi) <- uppers.iterator
       if x.semanticEquals(x2)
-      if x.dataType == LongType && lo.dataType == LongType &&
-        hi.dataType == LongType
+      if bucketable(x.dataType) && lo.dataType == x.dataType &&
+        hi.dataType == x.dataType
       xSide <- sideOf(x)
       loSide <- sideOf(lo)
       hiSide <- sideOf(hi)
@@ -125,7 +141,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       case LessThan(x, y) => (x, y)
       case GreaterThan(y, x) => (x, y)
     }.filter { case (x, y) =>
-      x.dataType == LongType && y.dataType == LongType }
+      bucketable(x.dataType) && y.dataType == x.dataType }
     (for {
       (ls, re) <- stricts.iterator
       if sideOf(ls).contains(true) && sideOf(re).contains(false)
@@ -135,8 +151,18 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def bucket(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))),
-      LongType)
+    Cast(Floor(Divide(Cast(Cast(e, LongType), DoubleType),
+      Literal(width.toDouble))), LongType)
+
+  /** The last bucket an interval's explosion must cover: exact
+    * `bucket(hi - 1)` for Long bounds; the inclusive `bucket(hi)` for
+    * the other types (one possibly-extra bucket, filtered by the
+    * residual — `hi - 1` is not expressible uniformly there).
+    */
+  private def endBucket(hi: Expression, width: Long): Expression =
+    if (hi.dataType == LongType)
+      bucket(Subtract(hi, Literal(1L)), width)
+    else bucket(hi, width)
 
   private def rewrite(j: Join, cond: Expression, width: Long): LogicalPlan = {
     val Some((x, lo, hi, pointIsLeft)) = rangePair(j, cond)
@@ -150,7 +176,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     // ResolveTimeZone, so the tz must be supplied here or the plan
     // "becomes unresolved" under rule validation
     val gen = Explode(Sequence(bucket(lo, width),
-      bucket(Subtract(hi, Literal(1L)), width), None,
+      endBucket(hi, width), None,
       Some(conf.sessionLocalTimeZone)))
     val iBktAttr = AttributeReference(BucketName, LongType,
       nullable = false)()
@@ -203,7 +229,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     def exploded(side: LogicalPlan, s: Expression,
                  e: Expression): (LogicalPlan, Attribute) = {
       val gen = Explode(Sequence(bucket(s, width),
-        bucket(Subtract(e, Literal(1L)), width), None,
+        endBucket(e, width), None,
         Some(conf.sessionLocalTimeZone)))
       val attr = AttributeReference(BucketName, LongType,
         nullable = false)()

@@ -341,6 +341,49 @@ object EventQueries {
         |  ON c.user_id = ch.user_id AND c.sec = ch.asof_ts
         |ORDER BY ch.event_id""".stripMargin)),
 
+    // q120's range join stated declaratively on TIMESTAMP columns — the
+    // type a user actually stores — under the extended rule: timestamps
+    // bucket at second grain through the monotone long cast, the
+    // original predicate stays as the exact residual, and the pair set
+    // equals the sec-grain join exactly (whole-second fixture, so q120's
+    // oracle applies verbatim; the sub-second residual case is
+    // spec-pinned).
+    QueryDef("q150_range_join_timestamp",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+          .withColumn("ts_t", timestamp_seconds(col("sec")))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("sec"), col("ts_t"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("sec").as("w_start"), col("ts_t").as("w_start_t"),
+            timestamp_seconds(col("sec") + 600L).as("w_end_t"))
+        s.conf.set(graft.plans.RangeJoinRewriteRule.WidthConf, "600")
+        try ev.join(windows,
+            col("user_id") === col("w_user") &&
+              col("ts_t") >= col("w_start_t") &&
+              col("ts_t") < col("w_end_t"))
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"), (col("sec") - col("w_start")).as("offset_sec"))
+          .orderBy("window_id", "event_id")
+          .localCheckpoint(true)
+        finally s.conf.unset(graft.plans.RangeJoinRewriteRule.WidthConf)
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  (e.sec - w.w_start)::BIGINT AS offset_sec
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.sec >= w.w_start AND e.sec < w.w_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

@@ -118,6 +118,46 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == op, "rule and operator disagreed")
   }
 
+  test("timestamp- and integer-typed range joins rewrite too: bucketing " +
+       "is a monotone coarsening, the residual keeps exactness " +
+       "(sub-second timestamps included)") {
+    // timestamps with sub-second parts: bucket grain is SECONDS, so the
+    // inclusive end bucket and the exact residual must cooperate
+    val pts = points.withColumn("ts",
+      timestamp_seconds(col("sec").cast("double") + 0.25))
+    val ivs = intervals
+      .withColumn("lo_ts", timestamp_seconds(col("lo").cast("double") + 0.5))
+      .withColumn("hi_ts", timestamp_seconds(col("hi").cast("double") + 0.5))
+    def declTs = pts.join(ivs,
+      col("ts") >= col("lo_ts") && col("ts") < col("hi_ts"))
+    val expectedTs = pairs(declTs)
+    assert(expectedTs.nonEmpty)
+    withWidth(100L) {
+      val on = declTs
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size == 1, "timestamp bounds must fire the rewrite")
+      assert(!on.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(pairs(on) == expectedTs,
+        "timestamp rewrite changed the result")
+    }
+    // integer bounds
+    val pInt = points.withColumn("seci", col("sec").cast("int"))
+    val iInt = intervals.withColumn("loi", col("lo").cast("int"))
+      .withColumn("hii", col("hi").cast("int"))
+    def declInt = pInt.join(iInt,
+      col("seci") >= col("loi") && col("seci") < col("hii"))
+    val expectedInt = pairs(declInt)
+    withWidth(100L) {
+      val on = declInt
+      assert(!on.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "integer bounds must fire the rewrite")
+      assert(pairs(on) == expectedInt, "integer rewrite changed the result")
+    }
+  }
+
   // ---------------------------------------------- interval-overlap pattern
 
   private def lIntervals = (1L to 400L)
