@@ -151,6 +151,48 @@ object Layout {
     }
   }
 
+  private val StatsDir = "_graft_stats"
+
+  /** Persist the footer-stats skipping index as a tiny parquet table
+    * under the layout (underscore-prefixed, so data reads ignore it) —
+    * the transaction-log step: walk footers ONCE at write time, serve
+    * every later scan's pruning from the saved table. The saved stats
+    * DEFINE the table, exactly like a lakehouse log: a data file added
+    * behind the index's back is invisible until stats are re-saved.
+    */
+  def saveStats(spark: SparkSession, path: String,
+                statCols: Seq[String]): Unit = {
+    import spark.implicits._
+    parquetStats(spark, path, statCols)
+      .map(g => (g.file, g.group, g.rows, statCols,
+        statCols.map(c => g.mins.get(c)),
+        statCols.map(c => g.maxs.get(c))))
+      .toDF("file", "group", "rows", "cols", "mins", "maxs")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** The saved skipping index, if one exists. The box arrays zip against
+    * the STORED column list (the save-time order), never a caller's.
+    */
+  def loadStats(spark: SparkSession,
+                path: String): Option[Seq[RowGroupStats]] = {
+    val p = new Path(s"$path/$StatsDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).collect().toSeq.map { r =>
+      val cols = r.getSeq[String](3)
+      def optSeq(i: Int): Seq[Option[Double]] =
+        r.getSeq[Any](i).map(Option(_).map {
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        })
+      RowGroupStats(r.getString(0), r.getInt(1), r.getLong(2),
+        cols.zip(optSeq(4)).collect { case (c, Some(v)) => c -> v }.toMap,
+        cols.zip(optSeq(5)).collect { case (c, Some(v)) => c -> v }.toMap)
+    })
+  }
+
   /** Scan the written layout under a box predicate, opening ONLY the
     * files whose footer boxes intersect the queried range in every
     * constrained dimension (a group missing statistics for a queried
@@ -164,7 +206,8 @@ object Layout {
   def prunedScan(spark: SparkSession, path: String,
                  ranges: Map[String, (Double, Double)])
       : (DataFrame, Seq[String], Int) = {
-    val stats = parquetStats(spark, path, ranges.keys.toSeq)
+    val stats = loadStats(spark, path)
+      .getOrElse(parquetStats(spark, path, ranges.keys.toSeq))
     val allFiles = stats.map(_.file).distinct
     val keep = stats.filter { g =>
       ranges.forall { case (c, (lo, hi)) =>

@@ -134,5 +134,35 @@ class LayoutSpec extends SparkSpec {
       "x-sorted layout must open every file for a y-range")
     assert(zKeptY.size < nFiles,
       s"Z-layout must skip y-range files, opened ${zKeptY.size}/$nFiles")
+
+    // persisted skipping index: save the footer walk once, serve pruning
+    // from the table — identical kept set and rows
+    assert(Layout.loadStats(spark, zDir).isEmpty,
+      "no index saved yet: the footer walk is the fallback")
+    Layout.saveStats(spark, zDir, Seq("x", "y"))
+    val saved = Layout.loadStats(spark, zDir)
+    assert(saved.exists(_.map(_.file).distinct.size == nFiles))
+    val (sScan, sKept, sTotal) = Layout.prunedScan(spark, zDir, box)
+    assert(sKept.toSet == zKept.toSet && sTotal == zTotal,
+      "stats-table pruning must equal the footer walk")
+    assert(sScan.select("id").collect().map(_.getLong(0)).toSet == full,
+      "stats-table pruned scan changed the result")
+
+    // transaction-log semantics: a data file added behind the index's
+    // back is INVISIBLE until stats are re-saved — the saved table
+    // defines the table, exactly like a lakehouse log
+    val firstPart = new java.io.File(zDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(firstPart.toPath,
+      new java.io.File(zDir, "part-zz-stale.snappy.parquet").toPath)
+    val (_, lateKept, lateTotal) = Layout.prunedScan(spark, zDir, box)
+    assert(lateTotal == nFiles && lateKept.toSet == zKept.toSet,
+      "a file outside the saved index leaked into the pruned scan")
+    // ... and a re-saved index admits it
+    Layout.saveStats(spark, zDir, Seq("x", "y"))
+    val (_, _, afterTotal) = Layout.prunedScan(spark, zDir, box)
+    assert(afterTotal == nFiles + 1,
+      "re-saving the index must admit the new file")
   }
 }
