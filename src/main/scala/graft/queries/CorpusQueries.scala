@@ -3310,6 +3310,9 @@ object CorpusQueries {
               Layout.quantize(col("n_tok").cast("double"), 0.0, 128.0, 8),
               Layout.quantize(col("q"), 0.0, 1.0, 8), 8),
             col("doc_id"), nFiles = 16, path = store)
+          // the transaction-log step: footer walk once at write time,
+          // every later scan prunes from the saved table
+          Layout.saveStats(s, store, Seq("n_tok", "q"))
         }
         val (scan, _, _) = Layout.prunedScan(s, store,
           Map("n_tok" -> (30.0, 60.0), "q" -> (0.55, 0.75)))
