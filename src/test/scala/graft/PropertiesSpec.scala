@@ -212,6 +212,88 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap rewrite equals the brute-force pair set on " +
+       "random inputs (inverted and empty intervals included) at " +
+       "arbitrary widths") {
+    import graft.plans.RangeJoinRewriteRule
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { trial =>
+      val nL = 30 + rnd.nextInt(60)
+      val nR = 30 + rnd.nextInt(60)
+      def mkIv(n: Int, idBase: Long) = (1 to n).map { i =>
+        val s = rnd.nextInt(2000).toLong
+        // ~15% degenerate: empty or inverted
+        val e = if (rnd.nextInt(100) < 15) s - rnd.nextInt(50)
+                else s + 1 + rnd.nextInt(300)
+        (idBase + i, s, e)
+      }
+      val lRows = mkIv(nL, 0L)
+      val rRows = mkIv(nR, 10000L)
+      val expected = (for {
+        (li, ls, le) <- lRows
+        (ri, rs, re) <- rRows
+        if ls < re && rs < le   // the raw predicate, nothing else
+      } yield (li, ri)).toSet
+      val l = lRows.toDF("lid", "ls", "le")
+      val r = rRows.toDF("rid", "rs", "re")
+      def decl = l.join(r, col("ls") < col("re") && col("rs") < col("le"))
+      val width = Seq(7L, 64L, 333L, 5000L)(trial % 4)
+      spark.conf.set(RangeJoinRewriteRule.WidthConf, width.toString)
+      try {
+        val got = decl.select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1)))
+        assert(got.toSet == expected,
+          s"trial $trial (w=$width): pair set diverged from brute force")
+        assert(got.length == expected.size,
+          s"trial $trial (w=$width): duplicate pairs emitted")
+      } finally spark.conf.unset(RangeJoinRewriteRule.WidthConf)
+    }
+  }
+
+  test("persisted SCD2 store equals the in-memory scd2 chain over random " +
+       "multi-version refresh sequences (with replayed prefixes)") {
+    import graft.operators.Snapshot
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"scd2-prop$trial").toString + "/st"
+      val nVersions = 3 + rnd.nextInt(3)
+      // random snapshots over a small key space: adds, deletes, revisions
+      val snaps = (1 to nVersions).map { v =>
+        (1 to 12).flatMap { k =>
+          if (rnd.nextBoolean()) Some((k.toLong, s"v${rnd.nextInt(3)}_$k"))
+          else None
+        }
+      }
+      var mem = Snapshot.scd2Init(
+        snaps.head.toDF("id", "text"), "id", Seq("text"), 1L)
+        .localCheckpoint(true)
+      Snapshot.ensureHistory(snaps.head.toDF("id", "text"), dir, "id",
+        Seq("text"), 1L)
+      snaps.tail.zipWithIndex.foreach { case (snap, i) =>
+        val v = i + 2L
+        mem = Snapshot.scd2Apply(mem, snap.toDF("id", "text"), "id",
+          Seq("text"), v).localCheckpoint(true)
+        Snapshot.ensureHistory(snap.toDF("id", "text"), dir, "id",
+          Seq("text"), v)
+        // occasionally replay an already-applied prefix — must be a no-op
+        if (rnd.nextBoolean())
+          Snapshot.ensureHistory(
+            sys.error("prefix replay must not evaluate"), dir, "id",
+            Seq("text"), 1L + rnd.nextInt(v.toInt))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "text", "row_hash", "valid_from", "valid_to")
+          .collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+            x.getLong(3), Option(x.get(4)).map(_.asInstanceOf[Long])))
+          .sortBy(t => (t._1, t._4)).toSeq
+      assert(rows(Snapshot.loadHistory(spark, dir)) == rows(mem),
+        s"trial $trial: stored history diverged from the in-memory chain " +
+          s"after $nVersions versions")
+    }
+  }
+
   test("as-of joins equal the brute-force model on random inputs: " +
        "backward/forward/nearest, ties, tolerance, multi-key") {
     import graft.operators.RangeJoin
