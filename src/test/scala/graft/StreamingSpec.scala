@@ -822,6 +822,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("buffered funnel property: a RANDOM event set delivered in a " +
+       "RANDOM arrival order equals the batch funnel model — " +
+       "completions and abandonments both") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // random journeys over 12 users: event times in [0, 1000], all well
+    // inside the 1-hour lateness bound, so NO arrival order drops rows
+    val events = (1 to 12).flatMap { u =>
+      (0 until 2 + rnd.nextInt(5)).map { _ =>
+        val typ = Seq("view", "click", "purchase")(rnd.nextInt(3))
+        (u.toLong, typ, rnd.nextInt(1000).toLong)
+      }
+    }
+    // driver-side batch model (the q129 chain + expiry semantics)
+    val model = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val vs = evs.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.min
+        val c = evs.filter(e => e._2 == "click" && e._3 >= v)
+          .map(_._3).minOption
+        val p = c.flatMap(cs => evs.filter(e =>
+          e._2 == "purchase" && e._3 >= cs).map(_._3).minOption)
+        p match {
+          case Some(ps) => Some((u, v, c, Some(ps), 3L, true))
+          case None => Some((u, v, c, None, 1L + c.size, false))
+        }
+      }
+    }.toSet
+
+    val inDir = Files.createTempDirectory("bfunnel-prop").toString
+    val shuffled = rnd.shuffle(events)
+    val waves = shuffled.grouped(math.max(1, shuffled.size / 4)).toSeq
+    val q = graft.streaming.EventStream.funnelStreamBuffered(
+        spark.readStream
+          .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+          .parquet(inDir),
+        horizonSec = 600L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("t_bfprop")
+      .outputMode("append").start()
+    try {
+      waves.foreach { w =>
+        w.map { case (u, t, s) =>
+            (u, t, new java.sql.Timestamp(s * 1000L)) }
+          .toDF("user_id", "event_type", "ts")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      // watermark drivers push past every event + horizon, then trigger
+      for (s <- Seq(99000L, 99100L)) {
+        Seq((999L, "view", new java.sql.Timestamp(s * 1000L)))
+          .toDF("user_id", "event_type", "ts")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("t_bfprop").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4), r.getBoolean(5)))
+        .filter(_._1 != 999L).toSet
+      assert(got == model,
+        s"random-arrival funnel diverged from the batch model\n got: " +
+          s"${got.toSeq.sortBy(_._1)}\n want: ${model.toSeq.sortBy(_._1)}")
+    } finally q.stop()
+  }
+
   test("online near-dup admission: greedy first-seen-wins across batches, " +
        "idempotent under batch replay") {
     val stateDir = Files.createTempDirectory("ond-state").toString
