@@ -21,16 +21,28 @@ import org.apache.spark.sql.execution.LogicalRDD
   * while the frame itself remains recomputable-free garbage.
   *
   * Only call it on frames that are (a) the result of an EAGER
-  * localCheckpoint and (b) no longer referenced by any plan that has
-  * yet to execute — a released frame cannot be evaluated again.
+  * localCheckpoint (optionally through one projection — the shape the
+  * closure loops produce when they drop a convergence column) and (b) no
+  * longer referenced by any plan that has yet to execute — a released
+  * frame cannot be evaluated again.
   */
 private[graft] object Checkpoints {
 
-  /** Unpersist the storage blocks behind `df`'s localCheckpoint. No-op
-    * on frames that are not checkpoint results.
+  /** Unpersist the storage blocks behind `df`'s localCheckpoint. Matches
+    * ONLY a root [[LogicalRDD]] leaf or a single projection over one —
+    * never a deep traversal: checkpoint data is not recomputable
+    * (lineage truncated), so unpersisting a LogicalRDD found anywhere
+    * inside a larger unevaluated plan would destroy blocks that plan
+    * still needs and fail later actions with missing-block errors.
+    * Frames of any other shape are a no-op, making misuse inert instead
+    * of destructive.
     */
   def release(df: DataFrame): Unit =
-    df.queryExecution.logical.collect {
-      case lr: LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case org.apache.spark.sql.catalyst.plans.logical
+          .Project(_, lr: LogicalRDD) =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

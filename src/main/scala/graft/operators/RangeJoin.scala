@@ -118,10 +118,18 @@ object RangeJoin {
     *
     * `right` must be unique per (equiKeys, ts) — pre-aggregate ties
     * first (a duplicate would make "the" as-of row order-dependent on
-    * any engine, DuckDB's ASOF included). `payloadCols` must not
-    * collide with left column names. Output: every left column, the
-    * payload columns (null when unmatched/out-of-tolerance), and
-    * `asof_ts` = the matched right ts.
+    * any engine, DuckDB's ASOF included). Right rows with a NULL ts are
+    * dropped up front (no comparison can match them, and they must not
+    * be carried as payload donors). `payloadCols` must not collide with
+    * left column names. Output: every left column, the payload columns
+    * (null when unmatched/out-of-tolerance), and `asof_ts` = the
+    * matched right ts.
+    *
+    * The carry is ONE `last(struct(ts, payload...), ignoreNulls)` — a
+    * single struct per right row — never per-column carries: a
+    * per-column `last(..., ignoreNulls)` would fill a payload column
+    * holding NULL in the matched row from a FARTHER-BACK right row,
+    * silently mixing rows in one output record.
     */
   def asofBackward(left: DataFrame, right: DataFrame, tsCol: String,
                    equiKeys: Seq[String], payloadCols: Seq[String],
@@ -130,17 +138,22 @@ object RangeJoin {
     val l = left.withColumn("_side", lit(1))
     val r = right
       .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .filter(col(tsCol).isNotNull)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_pack", when(col("_side") === 0,
+        struct((tsCol +: payloadCols).map(col): _*)))
     val w = Window.partitionBy(equiKeys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    def carried(c: org.apache.spark.sql.Column) =
-      last(when(col("_side") === 0, c), ignoreNulls = true).over(w)
+    val packed = u
+      .withColumn("_m", last(col("_pack"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1).drop("_side", "_pack")
     val filled = payloadCols
-      .foldLeft(u)((df, c) => df.withColumn(c, carried(col(c))))
-      .withColumn("asof_ts", carried(col(tsCol)))
-      .filter(col("_side") === 1).drop("_side")
+      .foldLeft(packed)((df, c) =>
+        df.withColumn(c, col("_m").getField(c)))
+      .withColumn("asof_ts", col("_m").getField(tsCol))
+      .drop("_m")
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
@@ -169,17 +182,22 @@ object RangeJoin {
     val l = left.withColumn("_side", lit(0))
     val r = right
       .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .filter(col(tsCol).isNotNull)
       .withColumn("_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_pack", when(col("_side") === 1,
+        struct((tsCol +: payloadCols).map(col): _*)))
     val w = Window.partitionBy(equiKeys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(0, Window.unboundedFollowing)
-    def carried(c: org.apache.spark.sql.Column) =
-      first(when(col("_side") === 1, c), ignoreNulls = true).over(w)
+    val packed = u
+      .withColumn("_m", first(col("_pack"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0).drop("_side", "_pack")
     val filled = payloadCols
-      .foldLeft(u)((df, c) => df.withColumn(c, carried(col(c))))
-      .withColumn("asof_ts", carried(col(tsCol)))
-      .filter(col("_side") === 0).drop("_side")
+      .foldLeft(packed)((df, c) =>
+        df.withColumn(c, col("_m").getField(c)))
+      .withColumn("asof_ts", col("_m").getField(tsCol))
+      .drop("_m")
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
@@ -209,38 +227,40 @@ object RangeJoin {
     val l = left.withColumn("_side", lit(1))
     val r = right
       .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
+      .filter(col(tsCol).isNotNull)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_pack", when(col("_side") === 0,
+        struct((tsCol +: payloadCols).map(col): _*)))
     val ord = Window.partitionBy(equiKeys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
     val wF = ord.rowsBetween(0, Window.unboundedFollowing)
-    def back(c: org.apache.spark.sql.Column) =
-      last(when(col("_side") === 0, c), ignoreNulls = true).over(wB)
-    def fwd(c: org.apache.spark.sql.Column) =
-      first(when(col("_side") === 0, c), ignoreNulls = true).over(wF)
-    val armed = payloadCols.foldLeft(
-        u.withColumn("_b_ts", back(col(tsCol)))
-          .withColumn("_f_ts", fwd(col(tsCol)))) { (df, c) =>
-      df.withColumn(s"_b_$c", back(col(c)))
-        .withColumn(s"_f_$c", fwd(col(c)))
-    }.filter(col("_side") === 1).drop("_side")
-    val gapB = col(tsCol) - col("_b_ts")
-    val gapF = col("_f_ts") - col(tsCol)
-    val bOk = col("_b_ts").isNotNull &&
+    // each arm carries its candidate row as ONE struct (see
+    // [[asofBackward]]): a per-column carry would mix rows — and here
+    // even a row OUTSIDE tolerance could donate a column, since the
+    // tolerance check only reads the arm's ts
+    val armed = u
+      .withColumn("_bp", last(col("_pack"), ignoreNulls = true).over(wB))
+      .withColumn("_fp", first(col("_pack"), ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1).drop("_side", "_pack")
+    val bTs = col("_bp").getField(tsCol)
+    val fTs = col("_fp").getField(tsCol)
+    val gapB = col(tsCol) - bTs
+    val gapF = fTs - col(tsCol)
+    val bOk = bTs.isNotNull &&
       tolerance.map(t => gapB <= t).getOrElse(lit(true))
-    val fOk = col("_f_ts").isNotNull &&
+    val fOk = fTs.isNotNull &&
       tolerance.map(t => gapF <= t).getOrElse(lit(true))
     val useB = bOk && (!fOk || gapB <= gapF)
     val picked = payloadCols.foldLeft(armed)((df, c) =>
         df.withColumn(c,
-          when(useB, col(s"_b_$c")).when(fOk, col(s"_f_$c"))))
-      .withColumn("asof_ts",
-        when(useB, col("_b_ts")).when(fOk, col("_f_ts")))
+          when(useB, col("_bp").getField(c))
+            .when(fOk, col("_fp").getField(c))))
+      .withColumn("asof_ts", when(useB, bTs).when(fOk, fTs))
       .withColumn("asof_dir",
         when(useB, lit("backward")).when(fOk, lit("forward"))
           .cast("string"))
-    picked.drop((payloadCols.flatMap(c => Seq(s"_b_$c", s"_f_$c")) ++
-      Seq("_b_ts", "_f_ts")): _*)
+    picked.drop("_bp", "_fp")
   }
 }

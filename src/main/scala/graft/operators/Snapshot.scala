@@ -143,10 +143,21 @@ object Snapshot {
     * partitions are the (bounded, append-only) bulk and the open slice
     * is the working set.
     */
+  /** Version of the [[rowHash]] ENCODING (not the store layout): bumped
+    * whenever the byte recipe feeding md5 changes — v2 is the NULL
+    * sentinel encoding. Carried in every persisted manifest that stores
+    * hashes, so a store built under an older recipe T2-invalidates and
+    * rebuilds instead of silently splicing incomparable hashes into one
+    * history (a pre-sentinel store refreshed post-sentinel would emit a
+    * spurious "changed" revision for every NULL-bearing row).
+    */
+  private[graft] val HashEncodingVersion = "2"
+
   private def historyParams(keyCol: String, hashCols: Seq[String],
                             tag: String): Map[String, String] =
     Map("kind" -> "scd2-history", "key" -> keyCol,
-      "hashCols" -> hashCols.mkString(","), "tag" -> tag)
+      "hashCols" -> hashCols.mkString(","), "tag" -> tag,
+      "hashEnc" -> HashEncodingVersion)
 
   /** The persisted history (open slice ∪ closed partitions), reading the
     * SAVED parquet only — [[snapshotAt]]/[[diff]] work on it unchanged

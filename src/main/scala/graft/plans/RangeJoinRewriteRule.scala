@@ -147,6 +147,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       if sideOf(ls).contains(true) && sideOf(re).contains(false)
       (rs, le) <- stricts.iterator
       if sideOf(rs).contains(false) && sideOf(le).contains(true)
+      // ALL FOUR bounds must share one type, not just each conjunct's
+      // pair: a Long pair + an Int pair would otherwise match, and the
+      // rewrite's Greatest/Filter mix the types into invalid Catalyst
+      if ls.dataType == rs.dataType
     } yield (ls, le, rs, re)).nextOption()
   }
 

@@ -31,12 +31,23 @@ object Bundle {
       case c => c.toString
     }
 
+  /** Atomic: several stores (notably [[graft.operators.Snapshot]]'s SCD2
+    * history) use the manifest write as the COMMIT point of a multi-file
+    * refresh — a torn manifest would param-mismatch on the next read and
+    * trigger a full store rebuild, silently destroying committed state.
+    * Writing to a temp file and renaming with ATOMIC_MOVE guarantees a
+    * reader sees either the old manifest or the new one, never a prefix.
+    */
   def writeManifest(dir: String, params: Map[String, String]): Unit = {
     Files.createDirectories(Paths.get(dir))
     val json = params.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
-    Files.writeString(manifestPath(dir), json)
+    val tmp = Paths.get(dir, "manifest.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readManifest(dir: String): Option[Map[String, String]] = {

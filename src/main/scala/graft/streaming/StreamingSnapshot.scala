@@ -60,10 +60,41 @@ object StreamingSnapshot {
     * same-key conflict FAILS FAST instead of silently corrupting
     * history.
     */
+  /** Guard against splicing incompatible [[Snapshot.rowHash]] recipes
+    * into one history (the batch store carries the same key in its T2
+    * manifest): the state dir records the encoding version that built
+    * it; a mismatch — or pre-versioning state with no marker — fails
+    * fast instead of emitting a spurious "changed" revision for every
+    * NULL-bearing row on the first post-upgrade batch.
+    */
+  private def checkHashEncoding(fs: FileSystem, stateDir: String): Unit = {
+    val marker = new Path(s"$stateDir/_hash_encoding")
+    val want = Snapshot.HashEncodingVersion
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+      if (got != want) throw new IllegalStateException(
+        s"snapshot state at $stateDir was built with row-hash encoding " +
+          s"$got, this build uses $want; rebuild the state dir")
+    } else if (fs.exists(new Path(s"$stateDir/opened")) ||
+               fs.exists(new Path(s"$stateDir/base"))) {
+      throw new IllegalStateException(
+        s"snapshot state at $stateDir predates row-hash encoding " +
+          s"versioning; rebuild the state dir")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
                    keyCol: String, hashCols: Seq[String],
                    orderCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    checkHashEncoding(
+      new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      stateDir)
     val version = batchId + 1
     val hashed = batch
       .withColumn("row_hash", Snapshot.rowHash(hashCols))

@@ -266,4 +266,26 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(base == op, "rule and operator disagreed on well-formed input")
   }
+
+  test("mixed-type overlap bounds (Long pair + Int pair) must not fire: " +
+       "each conjunct is internally consistent but the four bounds don't " +
+       "share a type, and a rewrite would build invalid mixed-type " +
+       "Catalyst — the query must still run and keep its results") {
+    val l = Seq((1L, 10L, 100), (2L, 500L, 2))
+      .toDF("lid", "ls", "le")          // ls: Long, le: Int
+    val r = Seq((10L, 5, 50L), (11L, 90, 600L))
+      .toDF("rid", "rs", "re")          // rs: Int, re: Long
+    def decl = l.join(r,
+      col("ls") < col("re") && col("rs") < col("le"))
+    val expected = opairs(decl)
+    assert(expected.nonEmpty, "fixture must produce matches")
+    withWidth(64L) {
+      val on = decl
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.isEmpty,
+        "mixed-type overlap pattern must not be rewritten")
+      assert(opairs(on) == expected,
+        "gated mixed-type join changed its results")
+    }
+  }
 }

@@ -191,4 +191,51 @@ class RangeJoinSpec extends SparkSpec {
     assert(tight(1L) == Some(120L), "forward gap 20 survives tol 25")
     assert(tight(2L) == None, "both gaps 30 exceed tol 25")
   }
+
+  test("as-of payload columns all come from the SAME matched row: a NULL " +
+       "in the matched row stays NULL instead of being donated by a " +
+       "farther row, and NULL-ts right rows never match") {
+    val l = Seq((1L, "u", 20L)).toDF("pid", "k", "ts")
+    // backward: matched row (ts=10) has b NULL; ts=5 must NOT donate b
+    val rB = Seq(
+      ("u", Some(5L), Option.empty[String], Some("y5")),
+      ("u", Some(10L), Some("x10"), Option.empty[String]),
+      ("u", Option.empty[Long], Some("nullts"), Some("nullts")))
+      .toDF("k", "ts", "a", "b")
+    val gb = RangeJoin.asofBackward(l, rB, "ts", Seq("k"), Seq("a", "b"))
+      .select("asof_ts", "a", "b").head()
+    assert(gb.getLong(0) == 10L && gb.getString(1) == "x10" &&
+      gb.isNullAt(2),
+      s"backward must carry the matched row whole, got $gb")
+    // forward: matched row (ts=30) has a NULL; ts=50 must NOT donate a
+    val rF = Seq(
+      ("u", 30L, Option.empty[String], Some("f30")),
+      ("u", 50L, Some("x50"), Option.empty[String]))
+      .toDF("k", "ts", "a", "b")
+    val gf = RangeJoin.asofForward(l, rF, "ts", Seq("k"), Seq("a", "b"))
+      .select("asof_ts", "a", "b").head()
+    assert(gf.getLong(0) == 30L && gf.isNullAt(1) &&
+      gf.getString(2) == "f30",
+      s"forward must carry the matched row whole, got $gf")
+    // nearest: backward tie-winner (ts=19) has a NULL; neither the
+    // farther-back ts=3 row nor the forward ts=21 row may donate it
+    val rN = Seq(
+      ("u", 3L, Some("oldA"), Option.empty[String]),
+      ("u", 19L, Option.empty[String], Some("b19")),
+      ("u", 21L, Some("a21"), Option.empty[String]))
+      .toDF("k", "ts", "a", "b")
+    val gn = RangeJoin.asofNearest(l, rN, "ts", Seq("k"), Seq("a", "b"))
+      .select("asof_ts", "a", "b", "asof_dir").head()
+    assert(gn.getLong(0) == 19L && gn.isNullAt(1) &&
+      gn.getString(2) == "b19" && gn.getString(3) == "backward",
+      s"nearest must carry the matched row whole, got $gn")
+    // nearest with both arms out of tolerance: NO column may survive
+    // (previously a per-column carry could leak an out-of-tolerance row)
+    val far = Seq(("u", 1L, Some("farA"), Some("farB")))
+      .toDF("k", "ts", "a", "b")
+    val gt = RangeJoin.asofNearest(l, far, "ts", Seq("k"), Seq("a", "b"),
+      tolerance = Some(5L)).select("asof_ts", "a", "b").head()
+    assert(gt.isNullAt(0) && gt.isNullAt(1) && gt.isNullAt(2),
+      s"out-of-tolerance rows must not donate any column, got $gt")
+  }
 }
