@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Internal bucket column name — shared with the optimizer rewrite
+    * ([[graft.plans.RangeJoinRewriteRule]]), whose marker check treats
+    * any join condition referencing it as already-bucketized: the rule
+    * (auto-on for the point-in-interval shape) must never re-bucket the
+    * operator form's own join.
+    */
+  private[graft] val BucketName = "_graft_rjbkt"
+
   /** Pick a bucket width from the data: a high percentile of the
     * interval lengths (approx, one aggregation over the interval side),
     * floored at 1. The scaladoc rule of thumb — "near the typical
@@ -49,28 +57,114 @@ object RangeJoin {
     else math.max(1L, r.getAs[Number](0).longValue())
   }
 
+  /** Internal level column name (multi-resolution bucketing). */
+  private[graft] val LevelName = "_graft_rjlvl"
+
+  /** Geometric level widths: `widths(l) = bucketWidth * cap^l`, as many
+    * levels as fit in a Long. Level l serves intervals of length up to
+    * `cap * widths(l)`, so an interval explodes to at most `cap + 1`
+    * buckets AT ITS OWN LEVEL no matter how long it is — the bound that
+    * keeps one year-long outlier among session-scale intervals from
+    * exploding to len/width rows (the 100 TB skew hazard).
+    */
+  private def levelWidths(bucketWidth: Long, cap: Long): Seq[Long] = {
+    val b = Seq.newBuilder[Long]
+    var w = bucketWidth
+    b += w
+    while (w <= Long.MaxValue / cap) { w *= cap; b += w }
+    b.result()
+  }
+
+  /** The smallest level whose capacity covers `len` (falls through to
+    * the last, unbounded-capacity level).
+    */
+  private def levelOf(len: org.apache.spark.sql.Column, widths: Seq[Long],
+                      cap: Long): org.apache.spark.sql.Column =
+    widths.init.zipWithIndex.reverse.foldLeft(
+        lit(widths.size - 1): org.apache.spark.sql.Column) {
+      case (acc, (w, i)) => when(len <= cap * w, lit(i)).otherwise(acc)
+    }
+
+  private def widthAt(widths: Seq[Long], lvl: org.apache.spark.sql.Column) =
+    element_at(lit(widths.toArray), (lvl + 1).cast("int")).cast("double")
+
+  /** The exploded-to-buckets interval frame at each interval's own
+    * level (spec hook: row count ≤ |intervals| · (cap + 2)).
+    */
+  private[graft] def explodedIntervals(intervals: DataFrame,
+      startCol: String, endCol: String, bucketWidth: Long,
+      cap: Long): DataFrame = {
+    val widths = levelWidths(bucketWidth, cap)
+    def bktAt(c: org.apache.spark.sql.Column,
+              lvl: org.apache.spark.sql.Column) =
+      floor(c / widthAt(widths, lvl)).cast("long")
+    intervals.filter(col(endCol) > col(startCol))
+      .withColumn(LevelName,
+        levelOf(col(endCol) - col(startCol), widths, cap))
+      .withColumn(BucketName,
+        explode(sequence(bktAt(col(startCol), col(LevelName)),
+          bktAt(col(endCol) - 1, col(LevelName)))))
+  }
+
   /** Inner-join `points` to the `intervals` whose half-open
     * [startCol, endCol) span contains the point's `tsCol`, matching
     * `equiKeys` exactly. Timestamp columns are integral (e.g. epoch
     * seconds); empty or inverted intervals (end <= start) match
     * nothing. Output: the joined columns of both sides (minus the
-    * internal bucket), one row per matching (point, interval) pair.
+    * internal bucket/level), one row per matching (point, interval)
+    * pair.
+    *
+    * Skew bound — `maxBucketsPerInterval` (cap): intervals longer than
+    * `cap * bucketWidth` route to a COARSER level (width `bucketWidth *
+    * cap^l`), so no interval ever explodes past `cap + 1` rows; points
+    * compute one bucket per level PRESENT in the data (one tiny max
+    * aggregation over the interval side decides — when every interval
+    * fits level 0, the plan is exactly the classic single-level
+    * bucketized join and points don't explode at all). A matching pair
+    * still co-occurs exactly once: at the interval's own level, in the
+    * point's bucket there. The number of levels grows with the LOG of
+    * the longest interval (≤ log_cap(maxLen/width), ~3 for a year of
+    * seconds at session width), so the point-side fan-out stays a small
+    * constant even under adversarial length distributions.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       equiKeys: Seq[String],
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 256): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def bkt(c: org.apache.spark.sql.Column) =
-      floor(c / lit(bucketWidth.toDouble)).cast("long")
-    val pb = points.withColumn("_bkt", bkt(col(tsCol)))
-    val ib = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("_bkt",
+    require(maxBucketsPerInterval >= 2,
+      s"maxBucketsPerInterval must be >= 2, got $maxBucketsPerInterval")
+    val cap = maxBucketsPerInterval.toLong
+    val widths = levelWidths(bucketWidth, cap)
+    val valid = intervals.filter(col(endCol) > col(startCol))
+    val maxLvlRow = valid
+      .agg(max(levelOf(col(endCol) - col(startCol), widths, cap))).head()
+    val maxLvl = if (maxLvlRow.isNullAt(0)) 0 else maxLvlRow.getInt(0)
+    val residual =
+      col(tsCol) >= col(startCol) && col(tsCol) < col(endCol)
+    if (maxLvl == 0) {
+      // classic single-level plan: every interval fits the base width
+      def bkt(c: org.apache.spark.sql.Column) =
+        floor(c / lit(bucketWidth.toDouble)).cast("long")
+      val pb = points.withColumn(BucketName, bkt(col(tsCol)))
+      val ib = valid.withColumn(BucketName,
         explode(sequence(bkt(col(startCol)), bkt(col(endCol) - 1))))
-    pb.join(ib, equiKeys :+ "_bkt")
-      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("_bkt")
+      pb.join(ib, equiKeys :+ BucketName)
+        .filter(residual)
+        .drop(BucketName)
+    } else {
+      def bktAt(c: org.apache.spark.sql.Column,
+                lvl: org.apache.spark.sql.Column) =
+        floor(c / widthAt(widths, lvl)).cast("long")
+      val pb = points
+        .withColumn(LevelName, explode(lit((0 to maxLvl).toArray)))
+        .withColumn(BucketName, bktAt(col(tsCol), col(LevelName)))
+      val ib = explodedIntervals(valid, startCol, endCol, bucketWidth, cap)
+      pb.join(ib, equiKeys ++ Seq(LevelName, BucketName))
+        .filter(residual)
+        .drop(LevelName, BucketName)
+    }
   }
 
   /** Inner-join `left` intervals [lStart, lEnd) to the `right` intervals
@@ -82,23 +176,73 @@ object RangeJoin {
     * cover — making the output exactly one row per overlapping pair
     * with no distinct (and its shuffle) needed. Empty/inverted
     * intervals on either side match nothing.
+    *
+    * Same skew bound as [[pointInInterval]]: each interval's OWN level
+    * caps its explosion at `cap + 1` buckets. For pairs whose levels
+    * differ, the pair must meet at ONE common grain, so each interval
+    * additionally explodes at every level ABOVE its own up to the max
+    * level present — a geometric tail (≤ 2 buckets per coarser level,
+    * the interval being shorter than one coarse bucket there) that adds
+    * O(log) rows, never O(len). The pair survives exactly once: at
+    * level `max(levelL, levelR)`, in the overlap's first bucket there.
+    * When everything fits level 0 the plan is the classic single-level
+    * join.
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
                       equiKeys: Seq[String],
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 256): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def bkt(c: org.apache.spark.sql.Column) =
-      floor(c / lit(bucketWidth.toDouble)).cast("long")
-    def explodeBuckets(df: DataFrame, s: String, e: String) =
+    require(maxBucketsPerInterval >= 2,
+      s"maxBucketsPerInterval must be >= 2, got $maxBucketsPerInterval")
+    val cap = maxBucketsPerInterval.toLong
+    val widths = levelWidths(bucketWidth, cap)
+    def ownLevel(df: DataFrame, s: String, e: String) =
       df.filter(col(e) > col(s))
-        .withColumn("_bkt", explode(sequence(bkt(col(s)), bkt(col(e) - 1))))
-    explodeBuckets(left, lStart, lEnd)
-      .join(explodeBuckets(right, rStart, rEnd), equiKeys :+ "_bkt")
-      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .filter(col("_bkt") === bkt(greatest(col(lStart), col(rStart))))
-      .drop("_bkt")
+        .withColumn("_own", levelOf(col(e) - col(s), widths, cap))
+    val lv = ownLevel(left, lStart, lEnd)
+    val rv = ownLevel(right, rStart, rEnd)
+    def maxLvlOf(df: DataFrame): Int = {
+      val r = df.agg(max(col("_own"))).head()
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    val maxLvl = math.max(maxLvlOf(lv), maxLvlOf(rv))
+    val overlapResidual =
+      col(lStart) < col(rEnd) && col(rStart) < col(lEnd)
+    if (maxLvl == 0) {
+      def bkt(c: org.apache.spark.sql.Column) =
+        floor(c / lit(bucketWidth.toDouble)).cast("long")
+      def explodeBuckets(df: DataFrame, s: String, e: String) =
+        df.drop("_own")
+          .withColumn(BucketName,
+            explode(sequence(bkt(col(s)), bkt(col(e) - 1))))
+      explodeBuckets(lv, lStart, lEnd)
+        .join(explodeBuckets(rv, rStart, rEnd), equiKeys :+ BucketName)
+        .filter(overlapResidual)
+        .filter(col(BucketName) === bkt(greatest(col(lStart), col(rStart))))
+        .drop(BucketName)
+    } else {
+      def bktAt(c: org.apache.spark.sql.Column,
+                lvl: org.apache.spark.sql.Column) =
+        floor(c / widthAt(widths, lvl)).cast("long")
+      def explodeML(df: DataFrame, s: String, e: String, ownOut: String) =
+        df.withColumn(LevelName,
+            explode(sequence(col("_own"), lit(maxLvl))))
+          .withColumn(BucketName,
+            explode(sequence(bktAt(col(s), col(LevelName)),
+              bktAt(col(e) - 1, col(LevelName)))))
+          .withColumnRenamed("_own", ownOut)
+      explodeML(lv, lStart, lEnd, "_ownL")
+        .join(explodeML(rv, rStart, rEnd, "_ownR"),
+          equiKeys ++ Seq(LevelName, BucketName))
+        .filter(overlapResidual)
+        .filter(col(LevelName) === greatest(col("_ownL"), col("_ownR")))
+        .filter(col(BucketName) ===
+          bktAt(greatest(col(lStart), col(rStart)), col(LevelName)))
+        .drop(LevelName, BucketName, "_ownL", "_ownR")
+    }
   }
 
   /** Backward as-of join: each left row picks up the single right row

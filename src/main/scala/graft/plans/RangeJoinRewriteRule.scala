@@ -1,14 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, TimestampType}
 
-/** Conf-gated optimizer rule: rewrite point-in-interval joins into the
-  * bucketized equi-join [[graft.operators.RangeJoin.pointInInterval]]
-  * computes by hand — so a user can STATE the range join declaratively
+/** Optimizer rule: rewrite point-in-interval joins into the bucketized
+  * equi-join [[graft.operators.RangeJoin.pointInInterval]] computes by
+  * hand — so a user can STATE the range join declaratively
   * (`p JOIN i ON p.k = i.k AND p.ts >= i.lo AND p.ts < i.hi`) and still
   * get a shuffle-partitionable plan instead of the
   * BroadcastNestedLoopJoin (or per-key residual scan) Spark would
@@ -17,71 +18,249 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * `Rule[LogicalPlan]` injected through `SparkSessionExtensions`
   * ([[GraftExtensions]]).
   *
-  * Fires only when `spark.graft.rangeJoin.bucketWidth` is set to a
-  * positive long (the width is workload knowledge — near the typical
-  * interval length — exactly the argument the operator form takes), on
-  * INNER joins whose condition contains a `x >= lo` / `x < hi` pair with
-  * `x` from one side and `lo`, `hi` from the other, all of one
-  * bucketable type — LongType, IntegerType, or TimestampType
-  * (timestamps bucket at second grain via the long cast; bucketing only
-  * needs a MONOTONE coarsening, the original predicate stays as the
-  * exact residual). The rewrite adds a bucket column on the point side
-  * (`floor(x / w)`, the operator's exact arithmetic), explodes each
-  * interval to its covered buckets behind a `hi > lo` guard (an
-  * empty/inverted interval satisfies no range predicate, and the guard
-  * keeps `sequence()` ascending), joins on the bucket PLUS the original
-  * condition (range conjuncts stay as the residual filter), and projects
-  * back to the original output attributes — ids preserved, so the
-  * surrounding plan is untouched. A matching pair co-occurs in exactly
-  * the point's bucket: no duplicates, no dedup. For LongType bounds the
-  * explosion ends at `bucket(hi - 1)` (exact); for the other types the
-  * end bucket is inclusive — at most one extra bucket whose
-  * non-matching pairs the residual filters, never a missed match.
+  * Bucket width — `spark.graft.rangeJoin.bucketWidth`:
+  *   - a positive long: that fixed width, for every rewritten join;
+  *   - "auto" or UNSET (the default): the width is derived PER JOIN from
+  *     the interval side itself — first statically (an interval built as
+  *     `hi = lo + literal` carries its exact length in the plan, chased
+  *     through the projection aliases between the join and the
+  *     arithmetic), else by a tiny planning-time aggregation over the
+  *     filtered two-column interval side: `approx_percentile(len, 0.75)`
+  *     floored at 1 — the same rule of thumb as
+  *     [[graft.operators.RangeJoin.suggestBucketWidth]] ("near the
+  *     typical interval length": explosion factor ~1–2×). At warehouse
+  *     scale the interval side is the dimension side, and the sampling
+  *     job scans just its two bound columns once per planned join;
+  *   - "off" (or 0/negative/unparseable): the rule never fires.
   *
-  * The generated bucket attribute name marks rewritten joins so the
-  * fixed-point optimizer batch cannot re-fire on its own output.
+  * Pattern scope: the CLOSED-OPEN point-in-interval shape
+  * (`x >= lo AND x < hi`, bounds cross-side) fires in every mode — it is
+  * unambiguous. The interval-OVERLAP shape (two opposite STRICT
+  * cross-side inequalities) fires only when the conf is EXPLICITLY set
+  * (numeric or "auto"): any incidental pair of opposite strict
+  * inequalities in an ordinary join condition matches it structurally,
+  * so it stays opt-in.
+  *
+  * Bucketable bound types: LongType, IntegerType, TimestampType
+  * (second-grain long cast) and DoubleType (the reference's native delay
+  * type — float seconds, trx id9.py:49-56). Bucketing only needs a
+  * MONOTONE coarsening — the original predicate stays as the exact
+  * residual — and `floor(x / w)` is monotone for all four. Double NaN/∞
+  * BOUNDS cannot bucketize (a `[lo, NaN)` interval matches every point
+  * above lo, which no finite explosion covers): the static literal-shift
+  * path is safe by construction (a non-finite start yields a non-finite
+  * end, which both fails the `hi > lo` explode guard and can satisfy the
+  * original predicate for no point), and the sampling path COUNTS
+  * non-finite bounds in the same pass and refuses to rewrite when any
+  * exist — the nested-loop plan is the only correct one then. Non-finite
+  * POINT values are always safe: points never explode, and the residual
+  * rejects them.
+  *
+  * The rewrite adds a bucket column on the point side (`floor(x / w)`,
+  * the operator's exact arithmetic), explodes each interval to its
+  * covered buckets behind a `hi > lo` guard (an empty/inverted interval
+  * satisfies no range predicate, and the guard keeps `sequence()`
+  * ascending), joins on the bucket PLUS the original condition (range
+  * conjuncts stay as the residual filter), and projects back to the
+  * original output attributes — ids preserved, so the surrounding plan
+  * is untouched. A matching pair co-occurs in exactly the point's
+  * bucket: no duplicates, no dedup. For LongType bounds the explosion
+  * ends at `bucket(hi - 1)` (exact); for the other types the end bucket
+  * is inclusive — at most one extra bucket whose non-matching pairs the
+  * residual filters, never a missed match.
+  *
+  * The generated bucket attribute name (shared with the operator form,
+  * [[graft.operators.RangeJoin.BucketName]]) marks rewritten joins so
+  * the fixed-point optimizer batch cannot re-fire on its own output —
+  * and so the rule never re-buckets the operator form's own join.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
-  private val BucketName = "_graft_rjbkt"
+  private def BucketName = graft.operators.RangeJoin.BucketName
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width =
-      try conf.getConfString(WidthConf, "").trim match {
-        case "" => 0L
-        case s => s.toLong
-      } catch { case _: NumberFormatException => 0L }
-    if (width <= 0) plan
-    else plan.transformUp {
+  private sealed trait Mode
+  private case object Off extends Mode
+  private final case class Fixed(w: Long) extends Mode
+  private final case class Auto(explicit: Boolean) extends Mode
+
+  private def currentMode(): Mode = {
+    val explicit =
+      try conf.contains(WidthConf) catch { case _: Exception => false }
+    val raw =
+      try conf.getConfString(WidthConf, "auto").trim.toLowerCase
+      catch { case _: Exception => "auto" }
+    raw match {
+      case "" | "auto" => Auto(explicit)
+      case "off" => Off
+      case s =>
+        try { val w = s.toLong; if (w > 0) Fixed(w) else Off }
+        catch { case _: NumberFormatException => Off }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = currentMode() match {
+    case Off => plan
+    case mode => plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && !marked(cond) =>
-        if (rangePair(j, cond).isDefined) rewrite(j, cond, width)
-        else overlapPair(j, cond) match {
-          case Some(p) => rewriteOverlap(j, cond, width, p)
-          case None => j
+        rangePair(j, cond) match {
+          case Some((_, lo, hi, pointIsLeft)) =>
+            val intervalSide = if (pointIsLeft) j.right else j.left
+            widthOf(mode, Seq((intervalSide, lo, hi))) match {
+              case Some(w) => rewrite(j, cond, w)
+              case None => j
+            }
+          case None =>
+            val overlapEnabled = mode match {
+              case Fixed(_) => true
+              case Auto(explicit) => explicit
+              case Off => false
+            }
+            if (!overlapEnabled) j
+            else overlapPair(j, cond) match {
+              case Some(p) =>
+                val (lS, lE, rS, rE) = p
+                widthOf(mode,
+                    Seq((j.left, lS, lE), (j.right, rS, rE))) match {
+                  case Some(w) => rewriteOverlap(j, cond, w, p)
+                  case None => j
+                }
+              case None => j
+            }
         }
     }
   }
+
+  // ------------------------------------------------------ width resolution
+
+  /** One width per join, the max over the constrained sides (the longer
+    * side's typical length bounds BOTH explosions: the longer side
+    * explodes ~1–2×, the shorter ≤ 2 buckets). None = don't rewrite.
+    */
+  private def widthOf(mode: Mode,
+      sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] =
+    mode match {
+      case Fixed(w) => Some(w)
+      case Off => None
+      case Auto(_) =>
+        val ws = sides.map { case (side, lo, hi) =>
+          staticShift(side, lo, hi).orElse(sampledWidth(side, lo, hi))
+        }
+        if (ws.forall(_.isDefined)) Some(ws.flatten.max) else None
+    }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case v: Long => Some(v)
+    case v: Int => Some(v.toLong)
+    case v: Short => Some(v.toLong)
+    case v: Double => Some(math.round(v))
+    case v: Float => Some(math.round(v.toDouble))
+    case v: org.apache.spark.sql.types.Decimal => Some(math.round(v.toDouble))
+    case _ => None
+  }
+
+  /** Static width inference: the interval length is IN the plan whenever
+    * the end is built as `start + literal` (or start as `end - literal`).
+    * The join condition sees only the interval side's output ATTRIBUTES,
+    * so both bounds are first de-aliased through the Project/Filter/
+    * SubqueryAlias chain below the join until the arithmetic (or an
+    * opaque leaf) is reached.
+    */
+  private def staticShift(side: LogicalPlan, lo0: Expression,
+                          hi0: Expression): Option[Long] = {
+    def shift(lo: Expression, hi: Expression): Option[Long] = {
+      val c = hi match {
+        case Add(l2, l: Literal, _) if l2.semanticEquals(lo) => litLong(l)
+        case Add(l: Literal, l2, _) if l2.semanticEquals(lo) => litLong(l)
+        case _ => lo match {
+          case Subtract(h2, l: Literal, _) if h2.semanticEquals(hi) =>
+            litLong(l)
+          case _ => None
+        }
+      }
+      c.filter(_ > 0)
+    }
+    var lo = lo0
+    var hi = hi0
+    var plan = side
+    var depth = 0
+    while (depth < 32) {
+      shift(lo, hi) match {
+        case some @ Some(_) => return some
+        case None =>
+      }
+      plan match {
+        case Project(projList, child) =>
+          def subst(e: Expression): Expression = e.transform {
+            case a: Attribute =>
+              projList.collectFirst {
+                case al @ Alias(c, _) if al.exprId == a.exprId => c
+                case at: Attribute if at.exprId == a.exprId => at
+              }.getOrElse(a)
+          }
+          lo = subst(lo); hi = subst(hi); plan = child
+        case f: Filter => plan = f.child
+        case s: SubqueryAlias => plan = s.child
+        case _ => return None
+      }
+      depth += 1
+    }
+    None
+  }
+
+  /** Sampled width: `approx_percentile(coarse(hi) - coarse(lo), 0.75)`
+    * over the `hi > lo` interval rows, executed as its own small job at
+    * planning time ([[org.apache.spark.sql.graft.PlanExec]]). For
+    * DoubleType bounds the same pass counts non-finite bounds among
+    * explodable rows; any present → None (only the nested-loop plan is
+    * correct for them). Any execution failure degrades to None — the
+    * original join always remains valid.
+    */
+  private def sampledWidth(side: LogicalPlan, lo: Expression,
+                           hi: Expression): Option[Long] = {
+    val len = Subtract(coarse(hi), coarse(lo))
+    val pct = Alias(new ApproximatePercentile(len, Literal(0.75d))
+      .toAggregateExpression(), "w")()
+    val nf: NamedExpression =
+      if (lo.dataType == DoubleType) {
+        def bad(e: Expression) = Or(IsNaN(e),
+          Or(EqualTo(e, Literal(Double.PositiveInfinity)),
+             EqualTo(e, Literal(Double.NegativeInfinity))))
+        Alias(Sum(If(Or(bad(lo), bad(hi)), Literal(1L), Literal(0L)))
+          .toAggregateExpression(), "nf")()
+      } else Alias(Literal(0L), "nf")()
+    val agg = Aggregate(Nil, Seq(pct, nf),
+      Filter(GreaterThan(hi, lo), side))
+    val row =
+      try org.apache.spark.sql.graft.PlanExec.head(agg)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (!row.isNullAt(1) && row.getLong(1) > 0) None
+    else if (row.isNullAt(0)) Some(1L)
+    else Some(math.max(1L, math.round(row.getDouble(0))))
+  }
+
+  // ------------------------------------------------------ pattern matching
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
   }
 
-  /** The (point, lo, hi, pointSideIsLeft) of the first qualifying range
-    * pair, if any.
-    */
-  /** Types the bucket arithmetic supports: the long cast is monotone for
-    * each (identity, widening, and second-truncation for timestamps), so
-    * bucketing coarsens without reordering and the original predicate
-    * remains the exact residual.
+  /** Types the bucket arithmetic supports: the coarsening to double is
+    * monotone for each (identity for doubles; long cast is identity,
+    * widening, or second-truncation for the others), so bucketing
+    * coarsens without reordering and the original predicate remains the
+    * exact residual.
     */
   private def bucketable(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | TimestampType => true
+    case LongType | IntegerType | TimestampType | DoubleType => true
     case _ => false
   }
 
+  /** The (point, lo, hi, pointSideIsLeft) of the first qualifying range
+    * pair, if any.
+    */
   private def rangePair(j: Join, cond: Expression)
       : Option[(Expression, Expression, Expression, Boolean)] = {
     val left = j.left.outputSet
@@ -122,10 +301,11 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   /** The (lStart, lEnd, rStart, rEnd) of the first interval-overlap
     * pattern: two STRICT cross-side inequalities in opposite directions,
-    * `lStart < rEnd AND rStart < lEnd`, all LongType. `(lStart, lEnd)`
-    * always names the LEFT side's pair regardless of which conjunct came
-    * first. Point-in-interval (`x >= lo AND x < hi`) never matches — its
-    * lower bound is non-strict — so [[rangePair]] keeps priority.
+    * `lStart < rEnd AND rStart < lEnd`, all four bounds of ONE
+    * bucketable type. `(lStart, lEnd)` always names the LEFT side's pair
+    * regardless of which conjunct came first. Point-in-interval
+    * (`x >= lo AND x < hi`) never matches — its lower bound is
+    * non-strict — so [[rangePair]] keeps priority.
     */
   private def overlapPair(j: Join, cond: Expression)
       : Option[(Expression, Expression, Expression, Expression)] = {
@@ -154,9 +334,22 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     } yield (ls, le, rs, re)).nextOption()
   }
 
+  // ----------------------------------------------------- bucket arithmetic
+
+  /** Monotone coarsening to double: identity for DoubleType (an ANSI
+    * double→long Cast would THROW on NaN/∞ point values the residual
+    * would simply reject; `Floor` on a raw double is silent and
+    * monotone), the long-cast composition for the integral/timestamp
+    * types (unchanged arithmetic — rewritten plans stay byte-identical
+    * for them).
+    */
+  private def coarse(e: Expression): Expression = e.dataType match {
+    case DoubleType => e
+    case _ => Cast(Cast(e, LongType), DoubleType)
+  }
+
   private def bucket(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(Cast(e, LongType), DoubleType),
-      Literal(width.toDouble))), LongType)
+    Cast(Floor(Divide(coarse(e), Literal(width.toDouble))), LongType)
 
   /** The last bucket an interval's explosion must cover: exact
     * `bucket(hi - 1)` for Long bounds; the inclusive `bucket(hi)` for

@@ -384,6 +384,47 @@ object EventQueries {
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
         |ORDER BY w.window_id, e.event_id""".stripMargin)),
 
+    // q120's range join on DOUBLE columns — the reference's native delay
+    // type (float seconds, trx id9.py:49-56) — stated declaratively with
+    // NO bucket-width conf set: the rule must fire width-FREE, deriving
+    // the width from the interval side itself (the windows frame is
+    // lineage-truncated so its bounds are genuinely stored columns — the
+    // planning-time percentile sampling path, not the static
+    // literal-shift shortcut), and produce q120's pair set exactly
+    // (whole-second values, so the double arithmetic is exact and
+    // q120's oracle applies verbatim).
+    QueryDef("q151_range_join_double_auto",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("secd", tsSec.cast("double"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("secd"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("secd").as("w_start"), (col("secd") + 600.0).as("w_end"))
+          .localCheckpoint(true)
+        ev.join(windows,
+            col("user_id") === col("w_user") &&
+              col("secd") >= col("w_start") && col("secd") < col("w_end"))
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"),
+            (col("secd") - col("w_start")).cast("long").as("offset_sec"))
+          .orderBy("window_id", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  (e.sec - w.w_start)::BIGINT AS offset_sec
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.sec >= w.w_start AND e.sec < w.w_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

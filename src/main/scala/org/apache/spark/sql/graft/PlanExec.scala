@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+
+/** Bridge into Spark's `private[sql]` plan-execution entry point, so an
+  * optimizer rule can evaluate a SMALL statistics subquery it constructed
+  * (e.g. the range-join bucket-width percentile over the interval side)
+  * at planning time. `Dataset.ofRows` is the exact mechanism every
+  * DataFrame action uses; it is `private[sql]` only as an API-surface
+  * choice, and placing this one-liner inside the `org.apache.spark.sql`
+  * namespace is the standard extension pattern open-source Spark
+  * libraries use for it. Nothing here touches internals beyond that one
+  * constructor call.
+  */
+object PlanExec {
+
+  /** Execute `plan` and return its first row (the plan is expected to be
+    * a global aggregation — exactly one row).
+    */
+  def head(plan: LogicalPlan): Row =
+    Dataset.ofRows(
+      org.apache.spark.sql.SparkSession.active.asInstanceOf[SparkSession],
+      plan).head()
+}

@@ -286,7 +286,10 @@ class PlanSpec extends SparkSpec {
   test("q120/q121 range joins: the bucket rewrite plans as an equi-join " +
        "— no nested-loop, no cartesian") {
     for (q <- Seq("q120_range_join_incidents",
-        "q121_session_incident_overlap")) {
+        "q121_session_incident_overlap",
+        // q151: DOUBLE bounds, NO width conf — the auto-width rewrite
+        // must still land the equi-join shape
+        "q151_range_join_double_auto")) {
       val plan = plans(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),

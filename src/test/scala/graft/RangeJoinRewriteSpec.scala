@@ -13,8 +13,10 @@ class RangeJoinRewriteSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def withWidth[A](w: Long)(body: => A): A = {
-    spark.conf.set(RangeJoinRewriteRule.WidthConf, w.toString)
+  private def withWidth[A](w: Long)(body: => A): A = withConf(w.toString)(body)
+
+  private def withConf[A](v: String)(body: => A): A = {
+    spark.conf.set(RangeJoinRewriteRule.WidthConf, v)
     try body finally spark.conf.unset(RangeJoinRewriteRule.WidthConf)
   }
 
@@ -34,14 +36,17 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("rewrites a declarative pure-range join into a bucket equi-join " +
-       "with identical results (the BNLJ shape disappears)") {
-    val off = declarative
-    assert(off.queryExecution.optimizedPlan.collect {
-      case g: Generate => g }.isEmpty, "rule must not fire without the conf")
-    assert(off.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"),
-      "baseline pure-range join should be the nested-loop shape")
-    val expected = pairs(off)
+       "with identical results (the BNLJ shape disappears); 'off' " +
+       "disables the rule entirely") {
+    val (expected, offCols) = withConf("off") {
+      val off = declarative
+      assert(off.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.isEmpty, "rule must not fire when off")
+      assert(off.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "ungated pure-range join should be the nested-loop shape")
+      (pairs(off), off.columns.toSeq)
+    }
     assert(expected.nonEmpty, "fixture must produce matches")
 
     withWidth(100L) {
@@ -56,8 +61,46 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(pairs(on) == expected,
         "rewrite changed the join result")
       // output schema untouched
-      assert(on.columns.toSeq == off.columns.toSeq)
+      assert(on.columns.toSeq == offCols)
     }
+  }
+
+  test("width-free fire: with NO conf set, the point-in-interval shape " +
+       "rewrites anyway — the width is sampled from the interval side " +
+       "(stored bound columns, no literal shift to infer from)") {
+    assert(!spark.conf.getOption(RangeJoinRewriteRule.WidthConf).isDefined)
+    val expected = withConf("off")(pairs(declarative))
+    val on = declarative
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.size == 1,
+      "auto mode must fire without any conf")
+    assert(!on.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "width-free rewritten plan must not nested-loop")
+    assert(pairs(on) == expected, "auto-width rewrite changed the result")
+  }
+
+  test("width-free fire, static path: an interval built as lo + literal " +
+       "carries its length in the plan and rewrites with no sampling " +
+       "job and no conf") {
+    // range()-backed source: a local-Seq fixture would be folded by
+    // ConvertToLocalRelation, evaluating the shift away before the rule
+    // ever sees it (parquet-backed plans keep the projection symbolic,
+    // which is what production queries look like)
+    val shifted = spark.range(1, 40)
+      .select(col("id").as("iid"), (col("id") % 37L * 100L).as("lo"))
+      .select(col("iid"), col("lo"), (col("lo") + 300L).as("hi"))
+    def decl = points.join(shifted,
+      col("sec") >= col("lo") && col("sec") < col("hi"))
+    val expected = withConf("off")(pairs(decl))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val on = decl
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.size == 1, "static-shift width must fire")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"static inference must not run a sampling job ($before -> $after)")
+    assert(pairs(on) == expected)
   }
 
   test("empty and inverted intervals match nothing; bucket width does " +
@@ -88,16 +131,31 @@ class RangeJoinRewriteSpec extends SparkSpec {
           "(and never on its own output)")
       assert(pairs(on) == base)
     }
-    // double ts column → not eligible
+    // double bounds: eligible since the coarsening is floor-monotone —
+    // must fire and agree with the ungated result
+    def dJoin = points.withColumn("secd", col("sec").cast("double"))
+      .join(intervals
+        .withColumn("lod", col("lo").cast("double"))
+        .withColumn("hid", col("hi").cast("double")),
+        col("secd") >= col("lod") && col("secd") < col("hid"))
+    val dExpected = withConf("off")(pairs(dJoin))
     withWidth(100L) {
-      val d = points.withColumn("secd", col("sec").cast("double"))
-        .join(intervals
-          .withColumn("lod", col("lo").cast("double"))
-          .withColumn("hid", col("hi").cast("double")),
-          col("secd") >= col("lod") && col("secd") < col("hid"))
+      val d = dJoin
       assert(d.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.size == 1,
+        "double bounds must fire the rewrite")
+      assert(pairs(d) == dExpected, "double rewrite changed the result")
+    }
+    // string bounds → not eligible
+    withWidth(100L) {
+      val sJoin = points.withColumn("secs", col("sec").cast("string"))
+        .join(intervals
+          .withColumn("los", col("lo").cast("string"))
+          .withColumn("his", col("hi").cast("string")),
+          col("secs") >= col("los") && col("secs") < col("his"))
+      assert(sJoin.queryExecution.optimizedPlan.collect {
         case g: Generate => g }.isEmpty,
-        "non-long bounds must pass through unrewritten")
+        "non-bucketable bounds must pass through unrewritten")
     }
     // outer join → not eligible
     withWidth(100L) {
@@ -286,6 +344,65 @@ class RangeJoinRewriteSpec extends SparkSpec {
         "mixed-type overlap pattern must not be rewritten")
       assert(opairs(on) == expected,
         "gated mixed-type join changed its results")
+    }
+  }
+
+  test("double-typed range join with fractional bounds fires width-free " +
+       "and keeps exact residual semantics") {
+    val pts = (1L to 500L).map(i => (i, i % 37 * 100.0 + i % 3 * 0.25))
+      .toDF("pid", "secd")
+    val ivs = Seq((100L, 0.5, 250.25), (101L, 240.0, 260.75),
+      (102L, 3000.0, 3600.5), (103L, 500.0, 500.0))
+      .toDF("iid", "lod", "hid")
+    def decl = pts.join(ivs,
+      col("secd") >= col("lod") && col("secd") < col("hid"))
+    val expected = withConf("off")(pairs(decl))
+    assert(expected.nonEmpty)
+    val on = decl
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.size == 1,
+      "double bounds must fire width-free")
+    assert(!on.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(pairs(on) == expected, "double auto rewrite changed the result")
+  }
+
+  test("non-finite double interval bounds refuse the rewrite: a [lo, NaN) " +
+       "interval matches unboundedly, so only the nested-loop plan is " +
+       "correct — and the query must still answer right") {
+    val pts = Seq((1L, 10.0), (2L, 1e6), (3L, -5.0)).toDF("pid", "secd")
+    val ivs = Seq((100L, 0.0, 20.0), (101L, 5.0, Double.NaN),
+      (102L, Double.NegativeInfinity, 0.0)).toDF("iid", "lod", "hid")
+    def decl = pts.join(ivs,
+      col("secd") >= col("lod") && col("secd") < col("hid"))
+    val expected = withConf("off")(pairs(decl))
+    // fixture sanity: the NaN-bounded interval matches every point >= 5
+    // (NaN compares greatest), the -inf-start interval matches below 0
+    assert(expected == Set((1L, 100L), (1L, 101L), (2L, 101L),
+      (3L, 102L)), s"unexpected baseline $expected")
+    val on = decl
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.isEmpty,
+      "non-finite interval bounds must refuse the rewrite")
+    assert(pairs(on) == expected)
+  }
+
+  test("overlap shape is opt-in: silent with no conf, fires under an " +
+       "explicit 'auto' with a sampled width") {
+    val silent = declOverlap
+    assert(silent.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.isEmpty,
+      "two-strict-inequality shape must not fire without an explicit conf")
+    val expected = opairs(silent)
+    withConf("auto") {
+      val on = declOverlap
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.nonEmpty,
+        "explicit auto must fire the overlap rewrite")
+      assert(!on.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(opairs(on) == expected,
+        "sampled-width overlap rewrite changed the result")
     }
   }
 }

@@ -238,4 +238,75 @@ class RangeJoinSpec extends SparkSpec {
     assert(gt.isNullAt(0) && gt.isNullAt(1) && gt.isNullAt(2),
       s"out-of-tolerance rows must not donate any column, got $gt")
   }
+
+  test("multi-resolution bucketing bounds the interval explosion: one " +
+       "huge interval among session-scale ones stays within cap rows, " +
+       "results identical to brute force across widths and caps") {
+    // adversarial length mix: session-scale intervals plus one 10^6-wide
+    // and one 10^9-wide outlier — at width 60 the naive explosion would
+    // be 16k and 16M rows respectively
+    val ivs = ((1L to 200L).map(i =>
+        (i, "u", i * 37 % 500 * 60L, i * 37 % 500 * 60L + i % 5 * 90L)) ++
+      Seq((900L, "u", 1000L, 1000L + 1000000L),
+          (901L, "u", 5000L, 5000L + 1000000000L)))
+      .toDF("wid", "k", "lo", "hi")
+    val pts = (1L to 400L).map(i => (i, "u", i * 317 % 40000 * 60L))
+      .toDF("pid", "k", "ts")
+    val want = pts.as[(Long, String, Long)].collect().flatMap {
+      case (pid, k, ts) =>
+        ivs.as[(Long, String, Long, Long)].collect().collect {
+          case (wid, ik, lo, hi) if ik == k && ts >= lo && ts < hi =>
+            (wid, pid)
+        }
+    }.toSet
+    assert(want.exists(_._1 == 900L) && want.exists(_._1 == 901L),
+      "outlier intervals must actually match points")
+    for (w <- Seq(60L, 1L); cap <- Seq(16, 256)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "ts", "lo", "hi",
+          Seq("k"), bucketWidth = w, maxBucketsPerInterval = cap)
+        .select(col("wid"), col("pid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"width $w cap $cap changed the result")
+      // the per-interval explosion bound that makes it skew-safe
+      val exploded = RangeJoin.explodedIntervals(ivs, "lo", "hi", w,
+        cap.toLong).count()
+      assert(exploded <= ivs.count() * (cap + 2),
+        s"width $w cap $cap exploded $exploded rows " +
+          s"(> ${ivs.count() * (cap + 2)})")
+    }
+    // width=1 against the 10^9 interval: the single-level explosion
+    // would be a 10^9-element sequence (a hard runtime error), so
+    // completing AT ALL proves the cap routed it to a coarser level
+  }
+
+  test("multi-resolution overlap join: outlier-length intervals on both " +
+       "sides, exactly one row per overlapping pair, equal to brute " +
+       "force") {
+    val ls = ((1L to 150L).map(i =>
+        (i, "u", i * 53 % 400 * 60L, i * 53 % 400 * 60L + i % 7 * 150L)) ++
+      Seq((800L, "u", 2000L, 2000L + 5000000L)))
+      .toDF("lid", "k", "ls", "le")
+    val rs = ((1L to 120L).map(i =>
+        (i, "u", i * 71 % 380 * 60L, i * 71 % 380 * 60L + 200L)) ++
+      Seq((901L, "u", 0L, 900000000L)))
+      .toDF("rid", "k", "rs", "re")
+    val want = ls.as[(Long, String, Long, Long)].collect().flatMap {
+      case (lid, k, s1, e1) =>
+        rs.as[(Long, String, Long, Long)].collect().collect {
+          case (rid, rk, s2, e2)
+              if rk == k && s1 < e2 && s2 < e1 && e1 > s1 && e2 > s2 =>
+            (lid, rid)
+        }
+    }.toSet
+    assert(want.exists(_._1 == 800L) && want.exists(_._2 == 901L))
+    for (w <- Seq(60L, 1L); cap <- Seq(16, 256)) {
+      val df = RangeJoin.intervalOverlap(ls, rs, "ls", "le", "rs", "re",
+        Seq("k"), bucketWidth = w, maxBucketsPerInterval = cap)
+      val rows = df.select(col("lid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == want, s"width $w cap $cap changed the result")
+      assert(rows.length == want.size,
+        s"width $w cap $cap emitted duplicate pairs")
+    }
+  }
 }
