@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanExec
+import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, TimestampType}
+
+/** Declarative as-of join: the marker predicate a user states in a plain
+  * join condition —
+  * {{{
+  *   purchases.join(clicks,
+  *     purchases("user_id") === clicks("user_id") &&
+  *       expr("asof_backward(p_sec, c_sec)"), "left_outer")
+  * }}}
+  * — mirroring warehouse `ASOF JOIN` syntax (DuckDB: `ASOF LEFT JOIN ON
+  * l.k = r.k AND l.ts >= r.ts`). `asof_backward(lts, rts)` selects, per
+  * left row, THE single right row with the greatest `rts <= lts` under
+  * the equi keys; `asof_forward` the smallest `rts >= lts`. The marker
+  * is [[Unevaluable]] on purpose: it has no row-at-a-time meaning (it
+  * quantifies over the whole right side), so if the rewrite doesn't
+  * recognize the join shape the query fails loudly instead of silently
+  * computing something else.
+  */
+case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
+                          forward: Boolean)
+    extends BinaryExpression with Unevaluable {
+  override def left: Expression = leftTs
+  override def right: Expression = rightTs
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String =
+    if (forward) "asof_forward" else "asof_backward"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (leftTs.dataType == rightTs.dataType &&
+        (leftTs.dataType.isInstanceOf[NumericType] ||
+          leftTs.dataType == TimestampType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two timestamps of one numeric/timestamp type, " +
+        s"got ${leftTs.dataType.sql} and ${rightTs.dataType.sql}")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AsofJoinMarker =
+    copy(leftTs = newLeft, rightTs = newRight)
+}
+
+/** Rewrites a marked join into the union-and-window as-of plan
+  * [[graft.operators.RangeJoin.asofBackward]] computes — ONE shuffle of
+  * |L|+|R| rows by the equi keys, no join operator at all — so the
+  * declarative statement gets the same scale shape as the operator form
+  * (PlanSpec pins the served plan join-free).
+  *
+  * Fires on INNER and LEFT OUTER joins whose condition is exactly
+  * attribute equi pairs plus one marker, with the marker's first
+  * argument from the left (probe) side. The replacement is constructed
+  * with the DataFrame API over the join's child plans (every column
+  * renamed to a positional temp name first, so duplicate names across
+  * sides can't ambiguate), then re-projected onto the ORIGINAL output
+  * attribute ids — the surrounding plan is untouched. Right rows with a
+  * NULL ts are dropped (they can match nothing and must not donate
+  * payload); as with the operator form, the right side should be unique
+  * per (keys, ts) or "the" matched row is engine-dependent.
+  */
+object AsofJoinRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(_, _, jt, Some(cond), _)
+        if j.resolved && (jt == Inner || jt == LeftOuter) &&
+          cond.find(_.isInstanceOf[AsofJoinMarker]).isDefined =>
+      tryRewrite(j, jt, cond).getOrElse(j)
+  }
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => split(a) ++ split(b)
+    case other => Seq(other)
+  }
+
+  private def tryRewrite(j: Join, jt: JoinType,
+                         cond: Expression): Option[LogicalPlan] = {
+    val conjs = split(cond)
+    val markers = conjs.collect { case m: AsofJoinMarker => m }
+    if (markers.size != 1) return None
+    val m = markers.head
+    val lSet = j.left.outputSet
+    val rSet = j.right.outputSet
+    val (lts, rts) = (m.leftTs, m.rightTs) match {
+      case (a: Attribute, b: Attribute)
+          if lSet.contains(a) && rSet.contains(b) => (a, b)
+      case _ => return None
+    }
+    val others = conjs.filterNot(_.isInstanceOf[AsofJoinMarker])
+    val equiPairs = others.map {
+      case EqualTo(a: Attribute, b: Attribute)
+          if lSet.contains(a) && rSet.contains(b) => (a, b)
+      case EqualTo(b: Attribute, a: Attribute)
+          if lSet.contains(a) && rSet.contains(b) => (a, b)
+      case _ => return None
+    }
+    Some(build(j, jt, m.forward, lts, rts, equiPairs))
+  }
+
+  private def build(j: Join, jt: JoinType, forward: Boolean,
+                    lts: Attribute, rts: Attribute,
+                    equiPairs: Seq[(Attribute, Attribute)]): LogicalPlan = {
+    val lOut = j.left.output
+    val rOut = j.right.output
+    val lNames = lOut.indices.map(i => s"_gla_$i")
+    val rNames = rOut.indices.map(i => s"_gra_$i")
+    val l2 = PlanExec.df(j.left).toDF(lNames: _*)
+    val r2 = PlanExec.df(j.right).toDF(rNames: _*)
+    def lName(a: Attribute) = lNames(lOut.indexWhere(_.exprId == a.exprId))
+    def rName(a: Attribute) = rNames(rOut.indexWhere(_.exprId == a.exprId))
+
+    // left rows sort AFTER right rows at equal ts for backward (a
+    // same-instant right row matches), BEFORE them for forward — the
+    // operator form's exact convention
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
+    val lU = equiPairs.zipWithIndex.foldLeft(
+        l2.withColumn("_ats", col(lName(lts)))
+          .withColumn("_aside", lit(lSide))) {
+      case (df, ((la, _), i)) => df.withColumn(s"_ak$i", col(lName(la)))
+    }
+    val rU = equiPairs.zipWithIndex.foldLeft(
+        r2.filter(col(rName(rts)).isNotNull)
+          .withColumn("_ats", col(rName(rts)))
+          .withColumn("_aside", lit(rSide))) {
+      case (df, ((_, ra), i)) => df.withColumn(s"_ak$i", col(rName(ra)))
+    }
+    // one struct per right row: ts + payload travel together (the as-of
+    // row is carried WHOLE — see RangeJoin.asofBackward)
+    val u = lU.unionByName(rU, allowMissingColumns = true)
+      .withColumn("_apack", when(col("_aside") === rSide,
+        struct(rNames.map(col): _*)))
+    val w0 = Window
+      .partitionBy(equiPairs.indices.map(i => col(s"_ak$i")): _*)
+      .orderBy(col("_ats"), col("_aside"))
+    val carried =
+      if (forward) first(col("_apack"), ignoreNulls = true)
+        .over(w0.rowsBetween(0, Window.unboundedFollowing))
+      else last(col("_apack"), ignoreNulls = true)
+        .over(w0.rowsBetween(Window.unboundedPreceding, 0))
+    val leftRows = u.withColumn("_am", carried)
+      .filter(col("_aside") === lSide)
+    val matched =
+      if (jt == Inner) leftRows.filter(col("_am").isNotNull) else leftRows
+    val out = matched.select(lNames.map(col) ++
+      rNames.map(n => col("_am").getField(n).as(n)): _*)
+
+    // re-project onto the original join output attribute ids so the
+    // surrounding plan's references keep resolving
+    val ap = out.queryExecution.analyzed
+    val byName = ap.output.map(a => a.name -> a).toMap
+    val projList = (lOut.zip(lNames) ++ rOut.zip(rNames)).map {
+      case (o, n) => Alias(byName(n), o.name)(exprId = o.exprId)
+    }
+    Project(projList, ap)
+  }
+}

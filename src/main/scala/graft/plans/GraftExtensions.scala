@@ -12,9 +12,22 @@ import graft.functions.{Bpe, NfcNormalize, PqExpressions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // conf-gated planner rewrite: declarative point-in-interval joins →
-    // the bucketized equi-join (see RangeJoinRewriteRule)
+    // planner rewrites: declarative point-in-interval joins → the
+    // bucketized equi-join (RangeJoinRewriteRule, auto bucket width);
+    // asof_backward/asof_forward-marked joins → the union-and-window
+    // as-of plan (AsofJoinRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
+    ext.injectOptimizerRule(_ => AsofJoinRewriteRule)
+    ext.injectFunction((
+      new FunctionIdentifier("asof_backward"),
+      new ExpressionInfo(classOf[AsofJoinMarker].getName, "asof_backward"),
+      (children: Seq[Expression]) =>
+        AsofJoinMarker(children(0), children(1), forward = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("asof_forward"),
+      new ExpressionInfo(classOf[AsofJoinMarker].getName, "asof_forward"),
+      (children: Seq[Expression]) =>
+        AsofJoinMarker(children(0), children(1), forward = true)))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

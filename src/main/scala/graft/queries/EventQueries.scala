@@ -425,6 +425,45 @@ object EventQueries {
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
         |ORDER BY w.window_id, e.event_id""".stripMargin)),
 
+    // q122's backward as-of join STATED DECLARATIVELY — a plain
+    // left-outer join whose condition carries the `asof_backward`
+    // marker function (the warehouse ASOF JOIN syntax) — executed under
+    // the injected AsofJoinRewriteRule: the rule must rewrite it to the
+    // union-and-window plan (no join operator at all; PlanSpec pins it)
+    // and DuckDB's NATIVE `ASOF LEFT JOIN` is the oracle — two engines,
+    // two syntaxes, identical rows.
+    QueryDef("q152_asof_declarative",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("sec").as("c_sec"),
+            col("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              expr("asof_backward(sec, c_sec)"), "left_outer")
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("c_sec").as("asof_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.sec, c.click_id,
+        |  c.sec AS asof_sec
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.sec >= c.sec
+        |ORDER BY p.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

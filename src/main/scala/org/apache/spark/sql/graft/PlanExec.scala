@@ -19,8 +19,14 @@ object PlanExec {
   /** Execute `plan` and return its first row (the plan is expected to be
     * a global aggregation — exactly one row).
     */
-  def head(plan: LogicalPlan): Row =
+  def head(plan: LogicalPlan): Row = df(plan).head()
+
+  /** Wrap an analyzed logical plan as a DataFrame, so a rewrite rule can
+    * construct its replacement plan with the full DataFrame API instead
+    * of hand-assembling Window/Union Catalyst nodes.
+    */
+  def df(plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[SparkSession],
-      plan).head()
+      plan)
 }

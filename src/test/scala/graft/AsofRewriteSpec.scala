@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** The declarative as-of join: `asof_backward`/`asof_forward` markers in
+  * a plain join condition must rewrite to the union-and-window plan —
+  * join-free, identical to the operator form — and malformed marker use
+  * must fail loudly rather than compute something else.
+  */
+class AsofRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def purchases = Seq(
+    (1L, "u", 100L), (2L, "u", 90L), (3L, "u", 120L), (4L, "u", 5000L),
+    (5L, "u", 10L), (6L, "v", 100L))
+    .toDF("pid", "k", "sec")
+  private def clicks = Seq(
+    ("u", 60L, 900L), ("u", 120L, 901L), ("v", 40L, 902L))
+    .toDF("ck", "csec", "click_id")
+
+  private def planStr(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.toString
+
+  test("asof_backward marker on a left-outer join == the operator form, " +
+       "and the plan has NO join operator at all") {
+    val decl = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_backward(sec, csec)"),
+        "left_outer")
+      .select(col("pid"), col("click_id"), col("csec").as("asof_sec"))
+      .orderBy("pid")
+    val plan = planStr(decl)
+    assert(!plan.contains("Join"), s"as-of rewrite must be join-free:\n$plan")
+    val op = RangeJoin.asofBackward(purchases,
+        clicks.select(col("ck").as("k"), col("csec"), col("click_id"))
+          .withColumnRenamed("csec", "sec2")
+          .select(col("k"), col("sec2").as("sec"), col("click_id")),
+        "sec", Seq("k"), Seq("click_id"))
+      .select(col("pid"), col("click_id"), col("asof_ts").as("asof_sec"))
+      .orderBy("pid")
+    val got = decl.collect().map(r => (r.getLong(0),
+      Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toSeq
+    val want = op.collect().map(r => (r.getLong(0),
+      Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toSeq
+    assert(got == want, s"declarative $got != operator $want")
+    // the specific semantics, spelled out
+    val m = got.map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(m(3L) == (Some(901L), Some(120L)),
+      "same-instant right row must match (zero-gap backward)")
+    assert(m(5L) == (None, None), "no prior right row -> null payload")
+    assert(m(6L) == (Some(902L), Some(40L)), "keys must isolate")
+  }
+
+  test("inner join type drops unmatched left rows; forward marker " +
+       "matches the next at-or-after row") {
+    val inner = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_backward(sec, csec)"))
+      .select(col("pid")).as[Long].collect().toSet
+    assert(inner == Set(1L, 2L, 3L, 4L, 6L),
+      s"inner as-of must drop the unmatched row, got $inner")
+    val fwd = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_forward(sec, csec)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    assert(fwd(5L) == Some(900L), "forward must match the next row")
+    assert(fwd(2L) == Some(901L))
+    assert(fwd(3L) == Some(901L), "forward at-or-after is inclusive")
+    assert(fwd(4L) == None, "no following right row -> null")
+    assert(!planStr(purchases.join(clicks,
+      col("k") === col("ck") && expr("asof_forward(sec, csec)"),
+      "left_outer")).contains("Join"))
+  }
+
+  test("duplicate column names across the two sides resolve (positional " +
+       "temp renaming), and NULL right payloads never mix rows") {
+    val l = Seq((1L, "u", 20L)).toDF("id", "k", "ts")
+    val r = Seq(("u", 5L, Option.empty[String], Some("y5")),
+        ("u", 10L, Some("x10"), Option.empty[String]))
+      .toDF("k", "ts", "a", "b")
+    // both sides carry `k` and `ts` upstream — the rewrite must keep
+    // them apart via its positional temp renaming
+    val rr = r.select(col("k").as("k2"), col("ts").as("ts2"),
+      col("a"), col("b"))
+    val decl = l.join(rr,
+        col("k") === col("k2") && expr("asof_backward(ts, ts2)"),
+        "left_outer")
+      .select(col("id"), col("ts2"), col("a"), col("b")).head()
+    assert(decl.getLong(1) == 10L && decl.getString(2) == "x10" &&
+      decl.isNullAt(3),
+      s"matched row must be carried whole, got $decl")
+  }
+
+  test("malformed marker use fails loudly instead of silently computing " +
+       "something else") {
+    // extra non-equi conjunct -> the rewrite refuses, and the marker is
+    // unevaluable at execution
+    val bad = purchases.join(clicks,
+      col("k") === col("ck") && expr("asof_backward(sec, csec)") &&
+        col("pid") > col("click_id"), "left_outer")
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+    // marker outside a join entirely
+    val e2 = intercept[Exception](
+      purchases.filter(expr("asof_backward(sec, sec)")).collect())
+    assert(e2.getMessage != null)
+  }
+}

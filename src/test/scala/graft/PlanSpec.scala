@@ -300,7 +300,10 @@ class PlanSpec extends SparkSpec {
     }
     // q122/q145: backward and forward as-of are ONE union + window — no
     // join operator at all, so no range probe can ever nest-loop
-    for (q <- Seq("q122_asof_click_attribution", "q145_asof_forward")) {
+    for (q <- Seq("q122_asof_click_attribution", "q145_asof_forward",
+        // q152: the DECLARATIVE as-of (marker + AsofJoinRewriteRule)
+        // must land the same join-free union-window shape
+        "q152_asof_declarative")) {
       val asof = plans(q)
       assert(!asof.contains("Join"), s"$q must be the union-window as-of")
       assert(asof.contains("Window"), s"$q lost the carrying window")
