@@ -85,6 +85,58 @@ object CorpusQueries {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 
+  /** The data-stamped written Z-order layout + saved skipping index over
+    * (doc_id, n_tok, q) — built once per testdata generation, shared by
+    * q147 (explicit prunedScan) and q153 (the graft-zorder read path).
+    */
+  private def ensureZorderStore(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = {
+    val store = System.getProperty("java.io.tmpdir") +
+      s"/graft_zstore_${dataStamp(dir, "documents")}"
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+      val docs = table(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+      Layout.zorderWrite(base,
+        Layout.zValue(
+          Layout.quantize(col("n_tok").cast("double"), 0.0, 128.0, 8),
+          Layout.quantize(col("q"), 0.0, 1.0, 8), 8),
+        col("doc_id"), nFiles = 16, path = store)
+      // the transaction-log step: footer walk once at write time,
+      // every later scan prunes from the saved table
+      Layout.saveStats(s, store, Seq("n_tok", "q"))
+    }
+    store
+  }
+
+  /** The (n_tok, q) box selection derived directly from documents — the
+    * shared oracle for every read path over the written Z-order layout
+    * (q147 explicit prunedScan, q153 graft-zorder source): a
+    * wrongly-skipped file (lost rows) or a stale store hash-mismatches.
+    */
+  private def zorderBoxOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+      |            FROM documents),
+      |qd AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+      |      AS n_tok,
+      |    round((
+      |      least(len(text) / 500.0, 1.0)
+      |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+      |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+      |      + least((($stopHitsSql)
+      |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+      |              1.0)
+      |    ) / 3.0, 6) AS q
+      |  FROM d)
+      |SELECT doc_id, n_tok, q FROM qd
+      |WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75
+      |ORDER BY doc_id""".stripMargin
+
   private def dataStamp(dir: String, tables: String*): String =
     (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
       (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
@@ -3296,47 +3348,32 @@ object CorpusQueries {
     // actually opened.
     QueryDef("q147_zorder_pruned_scan",
       (s, dir) => {
-        val store = System.getProperty("java.io.tmpdir") +
-          s"/graft_zstore_${dataStamp(dir, "documents")}"
-        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
-          s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
-          val docs = table(s, dir, "documents")
-          val base = docs.select(col("doc_id"),
-            TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
-            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
-          Layout.zorderWrite(base,
-            Layout.zValue(
-              Layout.quantize(col("n_tok").cast("double"), 0.0, 128.0, 8),
-              Layout.quantize(col("q"), 0.0, 1.0, 8), 8),
-            col("doc_id"), nFiles = 16, path = store)
-          // the transaction-log step: footer walk once at write time,
-          // every later scan prunes from the saved table
-          Layout.saveStats(s, store, Seq("n_tok", "q"))
-        }
+        val store = ensureZorderStore(s, dir)
         val (scan, _, _) = Layout.prunedScan(s, store,
           Map("n_tok" -> (30.0, 60.0), "q" -> (0.55, 0.75)))
         scan.select(col("doc_id"), col("n_tok"), col("q"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
-        |            FROM documents),
-        |qd AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
-        |      AS n_tok,
-        |    round((
-        |      least(len(text) / 500.0, 1.0)
-        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
-        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
-        |      + least((($stopHitsSql)
-        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
-        |              1.0)
-        |    ) / 3.0, 6) AS q
-        |  FROM d)
-        |SELECT doc_id, n_tok, q FROM qd
-        |WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75
-        |ORDER BY doc_id""".stripMargin)),
+      Some(zorderBoxOracle)),
+
+    // q147's box scan through the REGISTERED READ PATH: a plain
+    // `spark.read.format("graft-zorder").load(store).filter(box)` — the
+    // predicates push into the source (PrunedFilteredScan), which
+    // consults the saved skipping index and opens only intersecting
+    // files; no explicit prunedScan call anywhere. Same oracle as q147
+    // verbatim: the planner-level read path must be semantically
+    // invisible. PlanSpec pins the PushedFilters in the scan node and
+    // LayoutSpec measures the files the source actually kept.
+    QueryDef("q153_zorder_source_read",
+      (s, dir) => {
+        val store = ensureZorderStore(s, dir)
+        s.read.format("graft-zorder").load(store)
+          .filter(col("n_tok") >= 30L && col("n_tok") <= 60L &&
+            col("q") >= 0.55 && col("q") <= 0.75)
+          .select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle)),
 
     // Label-propagation communities (Clusters.labelPropagation) over the
     // q81 kNN graph: each node adopts its neighbors' most frequent label

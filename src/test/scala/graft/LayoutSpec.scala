@@ -165,4 +165,44 @@ class LayoutSpec extends SparkSpec {
     assert(afterTotal == nFiles + 1,
       "re-saving the index must admit the new file")
   }
+
+  test("graft-zorder read path: a plain .filter() on the registered " +
+       "source pushes its predicates, prunes from the saved index, and " +
+       "is row-identical to the full scan") {
+    val pts = (1 to 4096).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+    val nFiles = 16
+    val dir = java.nio.file.Files.createTempDirectory("zsrc").toString + "/z"
+    Layout.zorderWrite(pts,
+      Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles, dir)
+    Layout.saveStats(spark, dir, Seq("x", "y"))
+
+    def boxed = spark.read.format("graft-zorder").load(dir)
+      .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+      .select("id")
+    // predicates reach the source: the scan node reports them pushed
+    val plan = boxed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(x,0.45"),
+      s"filters must push into the graft-zorder scan:\n$plan")
+    val got = boxed.collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == full && full.nonEmpty,
+      "source read path changed the scan result")
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(total == nFiles, s"index must cover all $nFiles files, saw $total")
+    assert(kept <= nFiles / 2,
+      s"a 1% box must skip most files through the source, opened $kept/$total")
+    // an unfiltered read opens everything and stays row-complete
+    val all = spark.read.format("graft-zorder").load(dir).count()
+    assert(all == 4096L, s"unfiltered source read lost rows: $all")
+    assert(graft.sources.ZOrderSource.lastScan.get()._1 == nFiles,
+      "no predicate -> no skipping")
+  }
 }
