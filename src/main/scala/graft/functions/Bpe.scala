@@ -100,6 +100,89 @@ object Bpe {
     train(counts.toSeq, nMerges)
   }
 
+  // ----------------------------------------------- persisted merge artifact
+
+  /** The learned merge table as a persisted store with T2 manifest — the
+    * same warm-reuse discipline as [[graft.operators.LmScore]] /
+    * AnnIndex/LshIndex: a subword vocabulary is a TRAINING ARTIFACT
+    * (tokenization must be stable across pipeline runs, or token budgets
+    * and packed sequences silently drift), so it is trained once,
+    * committed to disk, and every later run loads the saved ranks
+    * without touching the corpus. Layout: one `merges.parquet`
+    * (rank, lhs, rhs) plus the manifest carrying the training
+    * parameters; any drift (nMerges/sampleN/salt/tag) invalidates and
+    * retrains.
+    */
+  def save(merges: Seq[(String, String)], dir: String,
+           params: Map[String, String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    graft.sources.Bundle.deleteRecursively(dir)
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges.parquet")
+    graft.sources.Bundle.writeManifest(dir,
+      params + ("kind" -> "bpe-merges") + ("n" -> merges.size.toString))
+  }
+
+  /** The saved merge table, rank-ordered. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Seq[(String, String)] = {
+    val m = graft.sources.Bundle.readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no bpe-merges manifest at $dir"))
+    require(m.get("kind").contains("bpe-merges"),
+      s"not a bpe-merges store: $dir")
+    spark.read.parquet(s"$dir/merges.parquet")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Train-or-load: a valid store serves the saved ranks WITHOUT
+    * evaluating `docs` (by-name — the corpus lineage is never even
+    * constructed on the warm path); parameter drift deletes and
+    * retrains. Returns (merges as read back from the store, whether this
+    * call trained).
+    */
+  def ensure(docs: => DataFrame, dir: String, nMerges: Int = 200,
+             sampleN: Int = 512, salt: String = "bpe_",
+             textCol: String = "text", idCol: String = "doc_id",
+             tag: String = ""): (Seq[(String, String)], Boolean) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val params = Map("kind" -> "bpe-merges", "mode" -> "trained",
+      "nMerges" -> nMerges.toString, "sampleN" -> sampleN.toString,
+      "salt" -> salt, "textCol" -> textCol, "tag" -> tag)
+    val saved = graft.sources.Bundle.readManifest(dir)
+    if (saved.exists(m => params.forall { case (k, v) => m.get(k).contains(v) }))
+      (load(spark, dir), false)
+    else {
+      val merges = trainOnCorpus(docs, nMerges, sampleN, textCol, idCol, salt)
+      save(merges, dir, params)
+      (load(spark, dir), true)
+    }
+  }
+
+  /** Persist-or-load a FIXED merge table (e.g. an oracle-replayable
+    * chain table): the manifest carries the table's own content hash, so
+    * the queries that consume it genuinely read the ARTIFACT — a
+    * corrupted or stale store changes their results and fails the
+    * oracle gate.
+    */
+  def ensureTable(merges: Seq[(String, String)], dir: String,
+                  tag: String = ""): Seq[(String, String)] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val content = java.security.MessageDigest.getInstance("MD5")
+      .digest(merges.map(p => p._1 + "\u0001" + p._2)
+        .mkString("\u0002").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val params = Map("kind" -> "bpe-merges", "mode" -> "fixed",
+      "content" -> content, "tag" -> tag)
+    val saved = graft.sources.Bundle.readManifest(dir)
+    if (!saved.exists(m => params.forall { case (k, v) => m.get(k).contains(v) }))
+      save(merges, dir, params)
+    load(spark, dir)
+  }
+
   /** BPE pieces of every word in the text, concatenated document-order:
     * `array<string>`. Codegen'd native expression.
     */

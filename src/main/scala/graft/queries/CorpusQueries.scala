@@ -137,6 +137,20 @@ object CorpusQueries {
       |WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75
       |ORDER BY doc_id""".stripMargin
 
+  /** The fixed oracle-replayable BPE chain table, served THROUGH the
+    * persisted merge store (Bpe.ensureTable, data-stamped dir): every
+    * BPE query consumes the artifact as read back from disk, so a
+    * store-layer bug (torn write, rank reorder, stale content) changes
+    * their results and fails the oracle gate.
+    */
+  private def bpeMergeTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[(String, String)] =
+    graft.functions.Bpe.ensureTable(
+      Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")),
+      System.getProperty("java.io.tmpdir") +
+        s"/graft_bpe_${dataStamp(dir, "documents")}",
+      tag = "fixed-chain-q89")
+
   private def dataStamp(dir: String, tables: String*): String =
     (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
       (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
@@ -2024,7 +2038,7 @@ object CorpusQueries {
     // path (trainOnCorpus) is BpeSpec-covered.
     QueryDef("q89_bpe_token_stats",
       (s, dir) => {
-        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val merges = bpeMergeTable(s, dir)
         table(s, dir, "documents")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -2060,7 +2074,7 @@ object CorpusQueries {
     // whole chain in one SQL query.
     QueryDef("q90_training_export",
       (s, dir) => {
-        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val merges = bpeMergeTable(s, dir)
         val docs = table(s, dir, "documents")
           .select(col("doc_id"),
             TextFunctions.md5Hash60(
@@ -2100,7 +2114,7 @@ object CorpusQueries {
     // sequence shards now mean actual model tokens, not whitespace words.
     QueryDef("q91_bpe_packing",
       (s, dir) => {
-        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val merges = bpeMergeTable(s, dir)
         val docs = table(s, dir, "documents")
           .select(col("doc_id"),
             graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("n_tok"))
@@ -2140,7 +2154,7 @@ object CorpusQueries {
     // piece strings — full piece-level enumeration, not just counts.
     QueryDef("q92_bpe_vocabulary",
       (s, dir) => {
-        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val merges = bpeMergeTable(s, dir)
         table(s, dir, "documents")
           .select(explode(
             graft.functions.Bpe.bpePieces(col("text"), merges)).as("piece"))
@@ -2192,7 +2206,7 @@ object CorpusQueries {
     // the ordered string_agg (hash-compared), and the boundary offsets.
     QueryDef("q94_packed_sequences",
       (s, dir) => {
-        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+        val merges = bpeMergeTable(s, dir)
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             graft.functions.Bpe.bpeTokenCount(col("text"), merges).as("n_tok"))

@@ -73,4 +73,38 @@ class BpeSpec extends SparkSpec {
       .collect().head
     assert(checked.getLong(0) == 0L && checked.getLong(1) == 0L)
   }
+
+  test("persisted merge store: save/load round-trips rank order, ensure " +
+       "trains cold and serves warm WITHOUT ever constructing the corpus " +
+       "lineage, parameter drift retrains") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("bpestore").toString +
+      "/merges"
+    // cold: trains and writes
+    val (m1, trained1) = Bpe.ensure(docs, dir, nMerges = 40, sampleN = 64)
+    assert(trained1, "first ensure must train")
+    assert(m1 == Bpe.trainOnCorpus(docs, nMerges = 40, sampleN = 64),
+      "stored merges must equal a direct training run (rank order intact)")
+    assert(m1 == Bpe.load(spark, dir), "load must round-trip")
+    // warm: the docs argument is by-name and must never be evaluated —
+    // a throwing thunk proves no corpus lineage is even constructed
+    val (m2, trained2) = Bpe.ensure(
+      sys.error("warm ensure evaluated the corpus"), dir,
+      nMerges = 40, sampleN = 64)
+    assert(!trained2 && m2 == m1,
+      "warm ensure must serve the saved ranks untouched")
+    // drift: different nMerges invalidates and retrains
+    val (m3, trained3) = Bpe.ensure(docs, dir, nMerges = 20, sampleN = 64)
+    assert(trained3, "parameter drift must retrain")
+    assert(m3 == m1.take(20),
+      "a shorter merge budget is a prefix of the longer run")
+    // fixed-table store: content hash invalidates on change
+    val fdir = dir + "_fixed"
+    val t1 = Seq(("t", "h"), ("th", "e"))
+    assert(Bpe.ensureTable(t1, fdir) == t1)
+    assert(Bpe.ensureTable(t1, fdir) == t1, "warm fixed table serves")
+    val t2 = Seq(("i", "n"))
+    assert(Bpe.ensureTable(t2, fdir) == t2,
+      "changed content must rewrite the store")
+  }
 }
