@@ -277,11 +277,12 @@ object ScatteringFunctions {
       6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
       15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)))
 
-  /** μ/ρ (cm²/g) at `energyKeV` for `compound`, interpolated linearly in
-    * x = E^-3 between table points, clamped to the table endpoints.
+  /** Piecewise-linear-in-E⁻³ interpolation over (keV, μ/ρ) points,
+    * clamped to the endpoints — the shared kernel for both the legacy
+    * compound tables and the per-element mixtures below.
     */
-  def massAttenuation(compound: String, energyKeV: Column): Column = {
-    val pts = MassAttenuation(compound).points
+  private def interpolateMu(pts: Seq[(Double, Double)],
+                            energyKeV: Column): Column = {
     val x = lit(1.0) / (energyKeV * energyKeV * energyKeV)
     def xOf(e: Double) = 1.0 / (e * e * e)
     val segments = pts.sliding(2).toSeq.collect { case Seq((e1, m1), (e2, m2)) =>
@@ -296,14 +297,150 @@ object ScatteringFunctions {
     when(energyKeV <= pts.head._1, pts.head._2).otherwise(chain)
   }
 
+  // -------------------------------------- G7 — arbitrary compound formulas
+  // The reference accepts any compound string via periodictable
+  // (trx/utils/absorption.py:10-23). Here: a chemical-formula parser +
+  // per-ELEMENT μ/ρ tables (NIST XCOM, ~1-2%) + the standard mass-weighted
+  // mixture rule μ/ρ(cmpd) = Σ wᵢ (μ/ρ)ᵢ with wᵢ = nᵢAᵢ / Σ nⱼAⱼ. Edge
+  // caveat: K-edge discontinuities falling BETWEEN grid points (Fe 7.11,
+  // Cu 8.98 keV) are smeared by the interpolation — tabulated points
+  // themselves are table values; near-edge energies are approximate.
+
+  /** Atomic weight, bulk density (g/cm³, None for gases), and μ/ρ table
+    * (energy keV → cm²/g, ascending).
+    */
+  final case class ElementInfo(weight: Double, density: Option[Double],
+                               mu: Seq[(Double, Double)])
+
+  val Elements: Map[String, ElementInfo] = Map(
+    "H" -> ElementInfo(1.008, None, Seq(
+      5.0 -> 0.4005, 6.0 -> 0.3969, 8.0 -> 0.3914, 10.0 -> 0.3854,
+      15.0 -> 0.3754, 20.0 -> 0.3695, 30.0 -> 0.357)),
+    "C" -> ElementInfo(12.011, Some(2.267), Seq(
+      5.0 -> 18.95, 6.0 -> 10.81, 8.0 -> 4.576, 10.0 -> 2.373,
+      15.0 -> 0.8074, 20.0 -> 0.442, 30.0 -> 0.2562)),
+    "N" -> ElementInfo(14.007, None, Seq(
+      5.0 -> 31.33, 6.0 -> 17.99, 8.0 -> 7.562, 10.0 -> 3.879,
+      15.0 -> 1.236, 20.0 -> 0.6178, 30.0 -> 0.3066)),
+    // O chosen consistent with the H2O compound table above (the
+    // mixture-rule H2O reproduces it to <0.1% at every grid point)
+    "O" -> ElementInfo(15.999, None, Seq(
+      5.0 -> 47.11, 6.0 -> 27.7, 8.0 -> 11.63, 10.0 -> 5.952,
+      15.0 -> 1.836, 20.0 -> 0.8651, 30.0 -> 0.3779)),
+    "Al" -> ElementInfo(26.982, Some(2.70), Seq(
+      5.0 -> 193.4, 6.0 -> 115.3, 8.0 -> 50.33, 10.0 -> 26.23,
+      15.0 -> 7.955, 20.0 -> 3.442, 30.0 -> 1.128)),
+    "Si" -> ElementInfo(28.085, Some(2.33), Seq(
+      5.0 -> 245.0, 6.0 -> 147.0, 8.0 -> 64.68, 10.0 -> 33.89,
+      15.0 -> 10.34, 20.0 -> 4.464, 30.0 -> 1.436)),
+    "Fe" -> ElementInfo(55.845, Some(7.874), Seq(
+      5.0 -> 139.8, 6.0 -> 82.0, 8.0 -> 305.6, 10.0 -> 170.6,
+      15.0 -> 57.08, 20.0 -> 25.68, 30.0 -> 8.176)),
+    "Cu" -> ElementInfo(63.546, Some(8.96), Seq(
+      5.0 -> 189.5, 6.0 -> 115.6, 8.0 -> 52.55, 10.0 -> 215.9,
+      15.0 -> 74.05, 20.0 -> 33.79, 30.0 -> 10.92)),
+    "Ce" -> ElementInfo(140.116, Some(6.77), Seq(
+      6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
+      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)))
+
+  /** Densities of common compounds the formula path serves (g/cm³) —
+    * callers can always override via `attenuationLength`'s density arg.
+    */
+  val CompoundDensities: Map[String, Double] = Map(
+    "CeO2" -> 7.22,            // ceria
+    "C22H10N2O5" -> 1.42,      // polyimide (Kapton) repeat unit
+    "SiO2" -> 2.196)           // fused silica
+
+  /** Chemical formula → sorted (element, count): multi-letter symbols,
+    * multi-digit counts, parenthesized groups — `Ca(OH)2` style.
+    */
+  def parseFormula(formula: String): Seq[(String, Int)] = {
+    val s = formula
+    def num(i0: Int): (Int, Int) = {
+      var i = i0; var n = 0
+      while (i < s.length && s.charAt(i).isDigit) {
+        n = n * 10 + (s.charAt(i) - '0'); i += 1
+      }
+      (if (i == i0) 1 else n, i)
+    }
+    def parse(i0: Int): (Map[String, Int], Int) = {
+      var i = i0
+      val acc = scala.collection.mutable.Map.empty[String, Int]
+      while (i < s.length && s.charAt(i) != ')') {
+        if (s.charAt(i) == '(') {
+          val (inner, j) = parse(i + 1)
+          require(j < s.length && s.charAt(j) == ')',
+            s"unbalanced '(' in formula $formula")
+          val (n, k) = num(j + 1)
+          inner.foreach { case (el, c) =>
+            acc(el) = acc.getOrElse(el, 0) + c * n }
+          i = k
+        } else {
+          require(s.charAt(i).isUpper,
+            s"bad formula $formula at position $i")
+          var sym = s.charAt(i).toString
+          var j = i + 1
+          if (j < s.length && s.charAt(j).isLower) {
+            sym += s.charAt(j); j += 1
+          }
+          val (n, k) = num(j)
+          acc(sym) = acc.getOrElse(sym, 0) + n
+          i = k
+        }
+      }
+      (acc.toMap, i)
+    }
+    val (m, end) = parse(0)
+    require(end == s.length, s"unbalanced ')' in formula $formula")
+    require(m.nonEmpty, s"empty formula $formula")
+    m.toSeq.sortBy(_._1)
+  }
+
+  /** Mass fractions of a formula's elements (element-sorted — one fixed
+    * IEEE summation order, so the mixture replays in SQL).
+    */
+  def formulaWeights(formula: String): Seq[(String, Double)] = {
+    val counts = parseFormula(formula)
+    counts.foreach { case (el, _) =>
+      require(Elements.contains(el),
+        s"no attenuation table for element $el (formula $formula); " +
+          s"tabulated: ${Elements.keys.toSeq.sorted.mkString(", ")}") }
+    val total = counts.map { case (el, n) => Elements(el).weight * n }.sum
+    counts.map { case (el, n) => el -> Elements(el).weight * n / total }
+  }
+
+  /** μ/ρ (cm²/g) at `energyKeV`: a legacy compound table when one exists
+    * (Si/H2O/Ce stay bit-identical), else the formula path — per-element
+    * interpolations combined by the mass-weighted mixture rule.
+    */
+  def massAttenuation(compound: String, energyKeV: Column): Column =
+    MassAttenuation.get(compound) match {
+      case Some(t) => interpolateMu(t.points, energyKeV)
+      case None =>
+        formulaWeights(compound).map { case (el, w) =>
+          interpolateMu(Elements(el).mu, energyKeV) * lit(w)
+        }.reduce(_ + _)
+    }
+
   /** G7 — attenuation length Λ (metres) = 0.01 / (μ/ρ · ρ)
-    * (trx/utils/absorption.py:10-22 via the table above). `density`
-    * overrides the element default (e.g. the reference's Ce phosphor screen
-    * uses 4.75 instead of bulk 6.77, absorption.py:62).
+    * (trx/utils/absorption.py:10-22). Density resolution: the explicit
+    * override (e.g. the reference's Ce phosphor screen uses 4.75 instead
+    * of bulk 6.77, absorption.py:62) > legacy compound table > known
+    * compound density > single-element bulk density; anything else needs
+    * the override.
     */
   def attenuationLength(compound: String, energyKeV: Column,
                         density: Option[Double] = None): Column = {
-    val rho = density.getOrElse(MassAttenuation(compound).density)
+    lazy val singleElement = parseFormula(compound) match {
+      case Seq((el, _)) => Elements.get(el).flatMap(_.density)
+      case _ => None
+    }
+    val rho = density
+      .orElse(MassAttenuation.get(compound).map(_.density))
+      .orElse(CompoundDensities.get(compound))
+      .orElse(singleElement)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no known density for $compound — pass density explicitly"))
     lit(0.01) / (massAttenuation(compound, energyKeV) * rho)
   }
 

@@ -223,12 +223,18 @@ object FunctionQueries {
             // r6: the μ interpolation chain differs by 1 ulp between the
             // engines' expression rewrites (vf/mm are short enough to match
             // exactly and stay unrounded)
-            r6(lam * 1000000.0).as("lam_um"))
+            r6(lam * 1000000.0).as("lam_um"),
+            // the FORMULA path (parser + per-element mixture rule — the
+            // reference's arbitrary-compound surface, absorption.py:10-23):
+            // ceria and polyimide (Kapton), densities from the compound map
+            r6(ScatteringFunctions.attenuationLength("CeO2", e)
+              * 1000000.0).as("ceo2_um"),
+            r6(ScatteringFunctions.attenuationLength("C22H10N2O5", e)
+              * 1000000.0).as("kapton_um"))
           .orderBy("k")
       },
       Some {
-        def muSql(compound: String, eE: String): String = {
-          val pts = ScatteringFunctions.MassAttenuation(compound).points
+        def chainSql(pts: Seq[(Double, Double)], eE: String): String = {
           def xOf(en: Double) = 1.0 / (en * en * en)
           val segs = pts.sliding(2).toSeq.collect { case Seq((e1, m1), (e2, m2)) =>
             val slope = (m2 - m1) / (xOf(e2) - xOf(e1))
@@ -237,6 +243,14 @@ object FunctionQueries {
           s"CASE WHEN $eE <= ${pts.head._1} THEN ${pts.head._2} " +
             s"${segs.mkString(" ")} ELSE ${pts.last._2} END"
         }
+        def muSql(compound: String, eE: String): String =
+          chainSql(ScatteringFunctions.MassAttenuation(compound).points, eE)
+        // the formula path's mixture: Σ wᵢ · per-element chain, in the
+        // SAME element-sorted summation order as the engine
+        def muFormulaSql(formula: String, eE: String): String =
+          ScatteringFunctions.formulaWeights(formula).map { case (el, w) =>
+            s"(${chainSql(ScatteringFunctions.Elements(el).mu, eE)}) * $w"
+          }.mkString("(", " + ", ")")
         val drm = "(26700000000.0 / 1.347)"
         s"""WITH base AS (SELECT (l_orderkey % 251)::INT AS k FROM lineitem),
           |v AS (
@@ -252,10 +266,16 @@ object FunctionQueries {
           |           0.01 / ((${muSql("H2O", "(k * 0.1 + 5.0)")}) * 1.0) * 1000000.0
           |         ELSE
           |           0.01 / ((${muSql("Ce", "(k * 0.1 + 5.0)")}) * 4.75) * 1000000.0
-          |    END, 6) AS lam_um
+          |    END, 6) AS lam_um,
+          |    round(0.01 / ((${muFormulaSql("CeO2", "(k * 0.1 + 5.0)")})
+          |      * 7.22) * 1000000.0, 6) AS ceo2_um,
+          |    round(0.01 / ((${muFormulaSql("C22H10N2O5", "(k * 0.1 + 5.0)")})
+          |      * 1.42) * 1000000.0, 6) AS kapton_um
           |  FROM base)
           |SELECT k, cmp, count(*) AS n, any_value(vf) AS vf,
-          |       any_value(mm) AS mm, any_value(lam_um) AS lam_um
+          |       any_value(mm) AS mm, any_value(lam_um) AS lam_um,
+          |       any_value(ceo2_um) AS ceo2_um,
+          |       any_value(kapton_um) AS kapton_um
           |FROM v GROUP BY k, cmp ORDER BY k""".stripMargin
       })
   )

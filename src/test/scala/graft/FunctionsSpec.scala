@@ -198,6 +198,78 @@ class FunctionsSpec extends SparkSpec {
     assert(approx(ce(0), 0.01 / (28.33 * 4.75)))
   }
 
+  test("G7 formula parser: symbols, counts, parentheses, errors") {
+    import ScatteringFunctions.parseFormula
+    assert(parseFormula("H2O") == Seq("H" -> 2, "O" -> 1))
+    assert(parseFormula("CeO2") == Seq("Ce" -> 1, "O" -> 2))
+    assert(parseFormula("C22H10N2O5") ==
+      Seq("C" -> 22, "H" -> 10, "N" -> 2, "O" -> 5))
+    assert(parseFormula("Al2(SiO4)3") ==
+      Seq("Al" -> 2, "O" -> 12, "Si" -> 3))
+    assert(parseFormula("Fe") == Seq("Fe" -> 1))
+    intercept[IllegalArgumentException](parseFormula("(H2O"))
+    intercept[IllegalArgumentException](parseFormula("h2o"))
+    // parseable but untabulated element → clear error at weights time
+    intercept[IllegalArgumentException](
+      ScatteringFunctions.formulaWeights("Ca(OH)2"))
+  }
+
+  test("G7 arbitrary compounds: mass-weighted mixture of per-element " +
+       "tables — hand-computed CeO2, polyimide, alumina; element-built " +
+       "H2O agrees with the legacy compound table") {
+    import ScatteringFunctions.{Elements, formulaWeights}
+    // the hand computation: the SAME mixture arithmetic, written out here
+    // independently over the element tables
+    def muAt(el: String, e: Double): Double = {
+      val pts = Elements(el).mu
+      def x(v: Double) = 1.0 / (v * v * v)
+      if (e <= pts.head._1) pts.head._2
+      else pts.sliding(2).collectFirst {
+        case Seq((e1, m1), (e2, m2)) if e <= e2 =>
+          (x(e) - x(e1)) * ((m2 - m1) / (x(e2) - x(e1))) + m1
+      }.getOrElse(pts.last._2)
+    }
+    def mixture(f: String, e: Double): Double =
+      formulaWeights(f).map { case (el, w) => muAt(el, e) * w }.sum
+    for ((f, e) <- Seq(("CeO2", 10.0), ("CeO2", 12.5),
+        ("C22H10N2O5", 8.0), ("C22H10N2O5", 17.0), ("Al2O3", 10.0))) {
+      val got = Seq(e).toDF("e")
+        .select(ScatteringFunctions.massAttenuation(f, $"e").as("mu"))
+        .as[Double].head()
+      assert(approx(got, mixture(f, e), 1e-9),
+        s"$f @ $e keV: engine $got != hand ${mixture(f, e)}")
+    }
+    // CeO2 @ 10 keV sanity vs the weights themselves: w(Ce)=0.8141,
+    // both element points tabulated, so the value is exact arithmetic
+    val wCe = 140.116 / (140.116 + 2 * 15.999)
+    val ceo2 = Seq(10.0).toDF("e")
+      .select(ScatteringFunctions.massAttenuation("CeO2", $"e").as("mu"))
+      .as[Double].head()
+    assert(approx(ceo2, wCe * 84.84 + (1 - wCe) * 5.952, 1e-9))
+    // element-built H2O tracks the legacy compound table (<0.5% at the
+    // shared grid; the tables were sourced independently)
+    for (e <- Seq(5.0, 8.0, 10.0, 15.0, 20.0, 30.0)) {
+      val legacy = Seq(e).toDF("e")
+        .select(ScatteringFunctions.massAttenuation("H2O", $"e").as("mu"))
+        .as[Double].head()
+      val built = mixture("H2O1", e) // H2O1 dodges the legacy-table name
+      assert(math.abs(built - legacy) / legacy < 0.005,
+        s"H2O element mixture off at $e keV: $built vs $legacy")
+    }
+    // attenuationLength density resolution: known compound density,
+    // single-element bulk, explicit override, and the loud failure
+    val lamCeO2 = Seq(10.0).toDF("e")
+      .select(ScatteringFunctions.attenuationLength("CeO2", $"e").as("l"))
+      .as[Double].head()
+    assert(approx(lamCeO2, 0.01 / (ceo2 * 7.22), 1e-12))
+    val lamFe = Seq(10.0).toDF("e")
+      .select(ScatteringFunctions.attenuationLength("Fe", $"e").as("l"))
+      .as[Double].head()
+    assert(approx(lamFe, 0.01 / (170.6 * 7.874), 1e-12))
+    intercept[IllegalArgumentException](
+      ScatteringFunctions.attenuationLength("C3H6", lit(10.0)))
+  }
+
   test("md5Hash60: matches hand-parsed md5 prefix, words independent") {
     // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
     val r = Seq("abc").toDF("t").select(
