@@ -36,16 +36,26 @@ object Layout {
     least(lit((1L << bits) - 1), greatest(lit(0L),
       floor((c - lit(lo)) / lit(hi - lo) * lit(1L << bits)).cast("bigint")))
 
-  /** Bit-interleaved Morton value of two quantized cells: x takes the
-    * even bits, y the odd — pure shifts/masks, codegen-friendly,
-    * SQL-replayable.
+  /** Bit-interleaved Morton value of n quantized cells: column j takes
+    * bit positions j, j+n, j+2n, … — pure shifts/masks, codegen-friendly,
+    * SQL-replayable. The 2-column [[zValue]] is the n=2 instance (x on
+    * even bits, y on odd).
     */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "zValueN needs at least one column")
+    require(n * bits <= 63,
+      s"zValueN: $n columns at $bits bits overflow a signed long")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Bit-interleaved Morton value of two quantized cells. */
   def zValue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    zValueN(Seq(x, y), bits)
 
   /** Assign each row to one of `nFiles` equal-size files in Z-value order
     * (ties broken by `tieCol` for determinism): `file_id = (rank-1) ·

@@ -85,6 +85,15 @@ object CorpusQueries {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 
+  /** n-column Morton interleave, mirroring [[Layout.zValueN]]: column j
+    * takes bit positions j, j+n, j+2n, ….
+    */
+  private def zInterleaveNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex }
+      yield s"((($c >> $i) & 1) << ${i * n + j})").mkString(" | ")
+  }
+
   /** The data-stamped written Z-order layout + saved skipping index over
     * (doc_id, n_tok, q) — built once per testdata generation, shared by
     * q147 (explicit prunedScan) and q153 (the graft-zorder read path).
@@ -3304,6 +3313,75 @@ object CorpusQueries {
         |SELECT file_id, count(*)::BIGINT AS n,
         |  min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
         |  min(q) AS min_q, max(q) AS max_q
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
+    // q126 generalized to THREE clustered dimensions (Layout.zValueN):
+    // token count × quality × raw length interleave into one Morton value
+    // (bit j of column c lands at position 3·j + c), and the per-file
+    // min/max boxes stay tight in ALL THREE columns — a box predicate on
+    // any subset prunes. The oracle replays the full 3-D interleave
+    // arithmetic bit by bit plus the distributed rank + file assignment
+    // + box aggregation; LayoutSpec separately proves the 3-D layout
+    // opens fewer files than any 2-D layout under a 3-D box.
+    QueryDef("q155_zorder3d_layout",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+          length(col("text")).cast("bigint").as("nchar"))
+        val cells = base
+          .withColumn("xq", Layout.quantize(col("n_tok").cast("double"),
+            0.0, 1024.0, 8))
+          .withColumn("yq", Layout.quantize(col("q"), 0.0, 1.0, 8))
+          .withColumn("wq", Layout.quantize(col("nchar").cast("double"),
+            0.0, 4096.0, 8))
+        val assigned = Layout.zorderFileAssignment(cells,
+          Layout.zValueN(Seq(col("xq"), col("yq"), col("wq")), 8),
+          col("doc_id"), nFiles = 16)
+        Layout.fileStats(assigned, Seq("n_tok", "q", "nchar"))
+          .orderBy("file_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q,
+        |    len(text)::BIGINT AS nchar
+        |  FROM d),
+        |cells AS (
+        |  SELECT doc_id, n_tok, q, nchar,
+        |    least(255, greatest(0,
+        |      floor((n_tok::DOUBLE - 0.0) / 1024.0 * 256)::BIGINT)) AS xq,
+        |    least(255, greatest(0,
+        |      floor((q - 0.0) / 1.0 * 256)::BIGINT)) AS yq,
+        |    least(255, greatest(0,
+        |      floor((nchar::DOUBLE - 0.0) / 4096.0 * 256)::BIGINT)) AS wq
+        |  FROM qd),
+        |z AS (
+        |  SELECT doc_id, n_tok, q, nchar,
+        |    ${zInterleaveNSql(Seq("xq", "yq", "wq"), 8)} AS zv
+        |  FROM cells),
+        |r AS (
+        |  SELECT n_tok, q, nchar,
+        |    row_number() OVER (ORDER BY zv, doc_id) AS rn,
+        |    count(*) OVER () AS total
+        |  FROM z),
+        |f AS (SELECT ((rn - 1) * 16) // total AS file_id, n_tok, q, nchar
+        |      FROM r)
+        |SELECT file_id, count(*)::BIGINT AS n,
+        |  min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+        |  min(q) AS min_q, max(q) AS max_q,
+        |  min(nchar) AS min_nchar, max(nchar) AS max_nchar
         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
     // The q124/q125 refresh chain through the PERSISTED history store

@@ -277,6 +277,63 @@ object FunctionQueries {
           |       any_value(ceo2_um) AS ceo2_um,
           |       any_value(kapton_um) AS kapton_um
           |FROM v GROUP BY k, cmp ORDER BY k""".stripMargin
+      }),
+
+    // t-digest quantiles (TDigestSketch) in the EXACT regime: below
+    // `compression` points per group every value stays a singleton
+    // centroid, so the sketch's interpolated quantile is deterministic
+    // arithmetic over the sorted values — t = q·n against cumulative-mass
+    // midpoints (i + 0.5), clamped to min/max past the extreme centers,
+    // linear between neighbours otherwise. The oracle spells out exactly
+    // that rule (NOT quantile_cont — type-7 interpolates at q·(n−1), a
+    // different estimator). This is the one engine-side numeric state
+    // that had no driver oracle; compression 4096 keeps every sf0.01
+    // group (~620 rows) in the exact regime with wide margin.
+    QueryDef("q154_tdigest_quantiles",
+      (s, dir) => {
+        import graft.functions.TDigestSketch
+        val sk = table(s, dir, "lineitem")
+          .select((col("l_orderkey") % 97).cast("int").as("k"),
+            col("l_extendedprice").cast("double").as("x"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            TDigestSketch.tdigest(col("x"), compression = 4096).as("sk"))
+        def qt(q: Double) = TDigestSketch.tdigestQuantile(
+          col("sk.means"), col("sk.weights"), lit(q))
+        sk.select(col("k"), col("n"),
+            r6(qt(0.25)).as("q25"), r6(qt(0.5)).as("q50"),
+            r6(qt(0.75)).as("q75"))
+          .orderBy("k")
+      },
+      Some {
+        def probe(p: String, lo: String, hi: String): String =
+          s"""round(CASE WHEN $p * n <= 0.5 THEN xmin
+             |  WHEN $p * n >= n - 0.5 THEN xmax
+             |  ELSE $lo + ($p * n - 0.5 - floor($p * n - 0.5)) * ($hi - $lo)
+             |END, 6)""".stripMargin
+        def idxCols(tag: String, p: String): String =
+          s"""max(CASE WHEN rn = floor($p * n - 0.5)::BIGINT + 1 THEN x END)
+             |  AS lo$tag,
+             |max(CASE WHEN rn = floor($p * n - 0.5)::BIGINT + 2 THEN x END)
+             |  AS hi$tag""".stripMargin
+        s"""WITH v AS (
+          |  SELECT (l_orderkey % 97)::INT AS k, l_extendedprice::DOUBLE AS x
+          |  FROM lineitem),
+          |r AS (
+          |  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
+          |    count(*) OVER (PARTITION BY k) AS n
+          |  FROM v),
+          |a AS (
+          |  SELECT k, any_value(n) AS n, min(x) AS xmin, max(x) AS xmax,
+          |    ${idxCols("25", "0.25")},
+          |    ${idxCols("50", "0.5")},
+          |    ${idxCols("75", "0.75")}
+          |  FROM r GROUP BY k)
+          |SELECT k, n::BIGINT AS n,
+          |  ${probe("0.25", "lo25", "hi25")} AS q25,
+          |  ${probe("0.5", "lo50", "hi50")} AS q50,
+          |  ${probe("0.75", "lo75", "hi75")} AS q75
+          |FROM a ORDER BY k""".stripMargin
       })
   )
 }

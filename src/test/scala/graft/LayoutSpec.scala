@@ -166,6 +166,67 @@ class LayoutSpec extends SparkSpec {
       "re-saving the index must admit the new file")
   }
 
+  test("zValueN: n-column interleave places column j's bit i at i*n+j, " +
+       "and the 2-column form is its n=2 instance") {
+    val df = Seq((1L, 1L, 1L), (2L, 0L, 1L), (3L, 5L, 2L))
+      .toDF("a", "b", "c")
+    val r3 = df.select(
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .as[Long].collect()
+    // (1,1,1): bit 0 of each -> positions 0,1,2 -> 0b111 = 7
+    assert(r3(0) == 7L)
+    // (2,0,1): a bit1 -> pos 3; c bit0 -> pos 2 -> 8 + 4 = 12
+    assert(r3(1) == 12L)
+    // (3,5,2): a bits{0,1} -> pos 0,3; b bits{0,2} -> pos 1,7;
+    // c bit1 -> pos 5 -> 1+8+2+128+32 = 171
+    assert(r3(2) == 171L)
+    // n=2 delegation: zValue == zValueN(Seq(x, y))
+    val pairs = Seq((173L, 92L), (0L, 255L), (255L, 0L), (37L, 201L))
+      .toDF("x", "y")
+    val same = pairs.select(
+        (Layout.zValue(col("x"), col("y"), 8) ===
+          Layout.zValueN(Seq(col("x"), col("y")), 8)).as("eq"))
+      .as[Boolean].collect()
+    assert(same.forall(identity))
+    intercept[IllegalArgumentException](
+      Layout.zValueN(Seq(col("x"), col("y")), 32))
+  }
+
+  test("3-D Z-layout: a 3-D box predicate touches fewer files than any " +
+       "2-D layout of the same data") {
+    // enough files that the per-dimension resolution survives the third
+    // axis (512^(1/3) = 8 cells/dim): with too few files a 2-D layout's
+    // finer in-plane resolution can win — n-D clustering pays off at the
+    // file counts real tables have
+    val pts = (1 to 32768).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      val w = (i * 9176L % 10000).toDouble / 10000.0
+      (i.toLong, x, y, w)
+    }.toDF("id", "x", "y", "w")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+      .withColumn("wq", Layout.quantize(col("w"), 0.0, 1.0, 8))
+      .localCheckpoint(true)
+    val nFiles = 512
+    def touched(z: org.apache.spark.sql.Column) = {
+      val stats = Layout.fileStats(
+        Layout.zorderFileAssignment(pts, z, col("id"), nFiles),
+        Seq("x", "y", "w"))
+      Layout.filesTouched(stats,
+        Map("x" -> (0.4, 0.6), "y" -> (0.4, 0.6), "w" -> (0.4, 0.6)))
+    }
+    val t3 = touched(Layout.zValueN(
+      Seq(col("xq"), col("yq"), col("wq")), 8))
+    val t2xy = touched(Layout.zValue(col("xq"), col("yq"), 8))
+    val t2xw = touched(Layout.zValue(col("xq"), col("wq"), 8))
+    val t2yw = touched(Layout.zValue(col("yq"), col("wq"), 8))
+    assert(t3 < Seq(t2xy, t2xw, t2yw).min,
+      s"3-D layout must beat every 2-D layout on a 3-D box: " +
+        s"3d=$t3, 2d=(${t2xy}, ${t2xw}, ${t2yw})")
+    assert(t3 < nFiles / 8, s"3-D box must skip most files, touched $t3")
+  }
+
   test("graft-zorder read path: a plain .filter() on the registered " +
        "source pushes its predicates, prunes from the saved index, and " +
        "is row-identical to the full scan") {
