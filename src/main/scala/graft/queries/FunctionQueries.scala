@@ -288,12 +288,14 @@ object FunctionQueries {
     // that rule (NOT quantile_cont — type-7 interpolates at q·(n−1), a
     // different estimator). This is the one engine-side numeric state
     // that had no driver oracle; compression 4096 keeps every sf0.01
-    // group (~620 rows) in the exact regime with wide margin.
+    // group (~62 rows) in the exact regime with wide margin — and the
+    // group count keeps the typed-Aggregator buffer (ser/de per input
+    // row is proportional to buffer size) small at bench scale.
     QueryDef("q154_tdigest_quantiles",
       (s, dir) => {
         import graft.functions.TDigestSketch
         val sk = table(s, dir, "lineitem")
-          .select((col("l_orderkey") % 97).cast("int").as("k"),
+          .select((col("l_orderkey") % 997).cast("int").as("k"),
             col("l_extendedprice").cast("double").as("x"))
           .groupBy(col("k"))
           .agg(count(lit(1)).as("n"),
@@ -317,7 +319,7 @@ object FunctionQueries {
              |max(CASE WHEN rn = floor($p * n - 0.5)::BIGINT + 2 THEN x END)
              |  AS hi$tag""".stripMargin
         s"""WITH v AS (
-          |  SELECT (l_orderkey % 97)::INT AS k, l_extendedprice::DOUBLE AS x
+          |  SELECT (l_orderkey % 997)::INT AS k, l_extendedprice::DOUBLE AS x
           |  FROM lineitem),
           |r AS (
           |  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
