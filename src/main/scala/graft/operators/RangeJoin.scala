@@ -67,7 +67,7 @@ object RangeJoin {
     * keeps one year-long outlier among session-scale intervals from
     * exploding to len/width rows (the 100 TB skew hazard).
     */
-  private def levelWidths(bucketWidth: Long, cap: Long): Seq[Long] = {
+  private[graft] def levelWidths(bucketWidth: Long, cap: Long): Seq[Long] = {
     val b = Seq.newBuilder[Long]
     var w = bucketWidth
     b += w

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Max, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -78,6 +78,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
   private def BucketName = graft.operators.RangeJoin.BucketName
+  private def LevelName = graft.operators.RangeJoin.LevelName
 
   private sealed trait Mode
   private case object Off extends Mode
@@ -107,8 +108,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
         rangePair(j, cond) match {
           case Some((_, lo, hi, pointIsLeft)) =>
             val intervalSide = if (pointIsLeft) j.right else j.left
-            widthOf(mode, Seq((intervalSide, lo, hi))) match {
-              case Some(w) => rewrite(j, cond, w)
+            pointWidth(mode, intervalSide, lo, hi) match {
+              case Some((w, maxLvl)) => rewrite(j, cond, w, maxLvl)
               case None => j
             }
           case None =>
@@ -134,9 +135,39 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   // ------------------------------------------------------ width resolution
 
-  /** One width per join, the max over the constrained sides (the longer
+  /** Per-interval explosion cap for the AUTO multi-level plan — the
+    * operator form's `maxBucketsPerInterval` default.
+    */
+  private val Cap = 256L
+
+  /** Width resolution for the point-in-interval rewrite, plus the MAX
+    * LEVEL the multi-resolution plan needs (0 = classic single-level):
+    *   - Fixed: the expert conf — single-level, exactly the plan the
+    *     user asked for (q135/q150's byte-stable shape);
+    *   - Auto + static shift: every interval has the literal length, so
+    *     level 0 by construction;
+    *   - Auto + sampling: the SAME planning-time aggregate also reads
+    *     max(len), and an outlier-length interval raises the level so
+    *     the rewrite inherits the operator form's skew bound — no
+    *     declaratively-stated join can explode len/width rows in one
+    *     task (or hit the sequence-length limit) just because the data
+    *     held one year-long interval.
+    */
+  private def pointWidth(mode: Mode, side: LogicalPlan, lo: Expression,
+                         hi: Expression): Option[(Long, Int)] =
+    mode match {
+      case Fixed(w) => Some((w, 0))
+      case Off => None
+      case Auto(_) =>
+        staticShift(side, lo, hi).map(w => (w, 0))
+          .orElse(sampledWidth(side, lo, hi))
+    }
+
+  /** One width per overlap join, the max over the two sides (the longer
     * side's typical length bounds BOTH explosions: the longer side
     * explodes ~1–2×, the shorter ≤ 2 buckets). None = don't rewrite.
+    * The overlap rewrite stays single-level (it is opt-in; the operator
+    * form carries the multi-resolution bound).
     */
   private def widthOf(mode: Mode,
       sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] =
@@ -145,7 +176,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       case Off => None
       case Auto(_) =>
         val ws = sides.map { case (side, lo, hi) =>
-          staticShift(side, lo, hi).orElse(sampledWidth(side, lo, hi))
+          staticShift(side, lo, hi)
+            .orElse(sampledWidth(side, lo, hi).map(_._1))
         }
         if (ws.forall(_.isDefined)) Some(ws.flatten.max) else None
     }
@@ -211,17 +243,20 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   /** Sampled width: `approx_percentile(coarse(hi) - coarse(lo), 0.75)`
     * over the `hi > lo` interval rows, executed as its own small job at
-    * planning time ([[org.apache.spark.sql.graft.PlanExec]]). For
-    * DoubleType bounds the same pass counts non-finite bounds among
-    * explodable rows; any present → None (only the nested-loop plan is
-    * correct for them). Any execution failure degrades to None — the
-    * original join always remains valid.
+    * planning time ([[org.apache.spark.sql.graft.PlanExec]]); the same
+    * pass reads `max(len)`, from which the multi-resolution max level
+    * follows (the smallest level whose capacity `Cap · width · Cap^l`
+    * covers the longest interval). For DoubleType bounds the pass also
+    * counts non-finite bounds among explodable rows; any present → None
+    * (only the nested-loop plan is correct for them). Any execution
+    * failure degrades to None — the original join always remains valid.
     */
   private def sampledWidth(side: LogicalPlan, lo: Expression,
-                           hi: Expression): Option[Long] = {
+                           hi: Expression): Option[(Long, Int)] = {
     val len = Subtract(coarse(hi), coarse(lo))
     val pct = Alias(new ApproximatePercentile(len, Literal(0.75d))
       .toAggregateExpression(), "w")()
+    val mx = Alias(Max(len).toAggregateExpression(), "mx")()
     val nf: NamedExpression =
       if (lo.dataType == DoubleType) {
         def bad(e: Expression) = Or(IsNaN(e),
@@ -230,14 +265,22 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
         Alias(Sum(If(Or(bad(lo), bad(hi)), Literal(1L), Literal(0L)))
           .toAggregateExpression(), "nf")()
       } else Alias(Literal(0L), "nf")()
-    val agg = Aggregate(Nil, Seq(pct, nf),
+    val agg = Aggregate(Nil, Seq(pct, mx, nf),
       Filter(GreaterThan(hi, lo), side))
     val row =
       try org.apache.spark.sql.graft.PlanExec.head(agg)
       catch { case scala.util.control.NonFatal(_) => return None }
-    if (!row.isNullAt(1) && row.getLong(1) > 0) None
-    else if (row.isNullAt(0)) Some(1L)
-    else Some(math.max(1L, math.round(row.getDouble(0))))
+    if (!row.isNullAt(2) && row.getLong(2) > 0) None
+    else if (row.isNullAt(0)) Some((1L, 0))
+    else {
+      val w = math.max(1L, math.round(row.getDouble(0)))
+      val maxLen = row.getDouble(1)
+      val widths = graft.operators.RangeJoin.levelWidths(w, Cap)
+      val maxLvl = widths.indices
+        .find(l => maxLen <= Cap.toDouble * widths(l))
+        .getOrElse(widths.size - 1)
+      Some((w, maxLvl))
+    }
   }
 
   // ------------------------------------------------------ pattern matching
@@ -361,33 +404,88 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       bucket(Subtract(hi, Literal(1L)), width)
     else bucket(hi, width)
 
-  private def rewrite(j: Join, cond: Expression, width: Long): LogicalPlan = {
+  private def rewrite(j: Join, cond: Expression, width: Long,
+                      maxLvl: Int): LogicalPlan = {
     val Some((x, lo, hi, pointIsLeft)) = rangePair(j, cond)
     val (pointSide, intervalSide) =
       if (pointIsLeft) (j.left, j.right) else (j.right, j.left)
 
-    val pBktAlias = Alias(bucket(x, width), BucketName)()
-    val pointPlan = Project(pointSide.output :+ pBktAlias, pointSide)
+    if (maxLvl == 0) {
+      val pBktAlias = Alias(bucket(x, width), BucketName)()
+      val pointPlan = Project(pointSide.output :+ pBktAlias, pointSide)
 
-    // Sequence is TimeZoneAwareExpression: post-analysis nobody runs
-    // ResolveTimeZone, so the tz must be supplied here or the plan
-    // "becomes unresolved" under rule validation
-    val gen = Explode(Sequence(bucket(lo, width),
-      endBucket(hi, width), None,
-      Some(conf.sessionLocalTimeZone)))
-    val iBktAttr = AttributeReference(BucketName, LongType,
-      nullable = false)()
-    val intervalPlan = Generate(gen, unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(iBktAttr),
-      child = Filter(GreaterThan(hi, lo), intervalSide))
+      // Sequence is TimeZoneAwareExpression: post-analysis nobody runs
+      // ResolveTimeZone, so the tz must be supplied here or the plan
+      // "becomes unresolved" under rule validation
+      val gen = Explode(Sequence(bucket(lo, width),
+        endBucket(hi, width), None,
+        Some(conf.sessionLocalTimeZone)))
+      val iBktAttr = AttributeReference(BucketName, LongType,
+        nullable = false)()
+      val intervalPlan = Generate(gen, unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(iBktAttr),
+        child = Filter(GreaterThan(hi, lo), intervalSide))
 
-    val (newLeft, newRight) =
-      if (pointIsLeft) (pointPlan, intervalPlan)
-      else (intervalPlan, pointPlan)
-    val newCond = And(cond,
-      EqualTo(pBktAlias.toAttribute, iBktAttr))
-    Project(j.output,
-      Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
+      val (newLeft, newRight) =
+        if (pointIsLeft) (pointPlan, intervalPlan)
+        else (intervalPlan, pointPlan)
+      val newCond = And(cond,
+        EqualTo(pBktAlias.toAttribute, iBktAttr))
+      Project(j.output,
+        Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
+    } else {
+      // multi-resolution (the operator form's skew bound, in Catalyst):
+      // each interval computes its level from its own length and
+      // explodes at that level's width (≤ Cap+1 buckets no matter how
+      // long); points explode over levels 0..maxLvl and bucket at each;
+      // the join adds (level, bucket) equality, a pair co-occurring
+      // exactly once — at the interval's level, in the point's bucket
+      val widths = graft.operators.RangeJoin.levelWidths(width, Cap)
+        .take(maxLvl + 1)
+      val lvls = widths.indices
+      def bucketAt(e: Expression, lvl: Expression): Expression =
+        CaseWhen(lvls.init.map(l =>
+            (EqualTo(lvl, Literal(l)), bucket(e, widths(l)))),
+          bucket(e, widths.last))
+      def endBucketAt(e: Expression, lvl: Expression): Expression =
+        CaseWhen(lvls.init.map(l =>
+            (EqualTo(lvl, Literal(l)), endBucket(e, widths(l)))),
+          endBucket(e, widths.last))
+
+      val pLvlAttr = AttributeReference(LevelName,
+        org.apache.spark.sql.types.IntegerType, nullable = false)()
+      val pGen = Generate(
+        Explode(CreateArray(lvls.map(l => Literal(l)))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(pLvlAttr), child = pointSide)
+      val pBktAlias = Alias(bucketAt(x, pLvlAttr), BucketName)()
+      val pointPlan = Project(
+        pointSide.output ++ Seq(pLvlAttr, pBktAlias), pGen)
+
+      val lenExpr = Subtract(coarse(hi), coarse(lo))
+      val iLvlAlias = Alias(CaseWhen(lvls.init.map(l =>
+          (LessThanOrEqual(lenExpr, Literal(Cap.toDouble * widths(l))),
+            Literal(l))),
+        Literal(lvls.last)), LevelName)()
+      val leveled = Project(intervalSide.output :+ iLvlAlias,
+        Filter(GreaterThan(hi, lo), intervalSide))
+      val iLvl = iLvlAlias.toAttribute
+      val gen = Explode(Sequence(bucketAt(lo, iLvl),
+        endBucketAt(hi, iLvl), None, Some(conf.sessionLocalTimeZone)))
+      val iBktAttr = AttributeReference(BucketName, LongType,
+        nullable = false)()
+      val intervalPlan = Generate(gen, unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(iBktAttr),
+        child = leveled)
+
+      val (newLeft, newRight) =
+        if (pointIsLeft) (pointPlan, intervalPlan)
+        else (intervalPlan, pointPlan)
+      val newCond = And(And(cond, EqualTo(pLvlAttr, iLvl)),
+        EqualTo(pBktAlias.toAttribute, iBktAttr))
+      Project(j.output,
+        Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
+    }
   }
 
   /** Interval-overlap rewrite (`lStart < rEnd AND rStart < lEnd`): the

@@ -351,4 +351,49 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("multi-resolution pointInInterval equals brute force on random " +
+       "heavy-tailed length distributions, across widths and caps") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(1013)
+    (1 to 4).foreach { trial =>
+      val nPts = 150 + rnd.nextInt(150)
+      val nIvs = 80 + rnd.nextInt(80)
+      val keys = Seq("a", "b", "c")
+      val pts = (1 to nPts).map { i =>
+        (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(200000).toLong) }
+      val ivs = (1 to nIvs).map { i =>
+        val s = rnd.nextInt(200000).toLong
+        // heavy tail: ~10% of intervals are 100-10000x the typical length
+        val len =
+          if (rnd.nextInt(10) == 0) 10000L + rnd.nextInt(2000000)
+          else rnd.nextInt(200).toLong
+        // some empty/inverted
+        val e = if (rnd.nextInt(12) == 0) s - rnd.nextInt(100) else s + len
+        (1000L + i, keys(rnd.nextInt(3)), s, e)
+      }
+      val expected = (for {
+        (pid, pk, ts) <- pts
+        (iid, ik, lo, hi) <- ivs
+        if pk == ik && ts >= lo && ts < hi
+      } yield (iid, pid)).toSet
+      val pDf = pts.toDF("pid", "k", "ts")
+      val iDf = ivs.toDF("iid", "k", "lo", "hi")
+      val width = Seq(3L, 50L, 999L)(trial % 3)
+      val cap = Seq(4, 64)(trial % 2)
+      val got = RangeJoin.pointInInterval(pDf, iDf, "ts", "lo", "hi",
+          Seq("k"), bucketWidth = width, maxBucketsPerInterval = cap)
+        .select("iid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == expected,
+        s"trial $trial (w=$width cap=$cap): diverged from brute force")
+      assert(got.length == expected.size,
+        s"trial $trial (w=$width cap=$cap): duplicate pairs")
+      // explosion bound holds under the adversarial tail
+      val exploded = RangeJoin.explodedIntervals(iDf, "lo", "hi",
+        width, cap.toLong).count()
+      assert(exploded <= nIvs.toLong * (cap + 2),
+        s"trial $trial: $exploded exploded rows exceed the cap bound")
+    }
+  }
 }

@@ -387,6 +387,46 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(pairs(on) == expected)
   }
 
+  test("auto mode inherits the multi-resolution skew bound: an " +
+       "outlier-length interval in a declaratively-stated join routes " +
+       "to a coarser level instead of exploding (the single-level " +
+       "explosion would be a billion-element sequence), results equal " +
+       "the nested-loop baseline") {
+    val pts = (1L to 300L).map(i => (i, i * 317 % 40000 * 60L))
+      .toDF("pid", "sec")
+    // session-scale intervals (the sampled width lands near 300) plus a
+    // 10^9-length outlier: level 0 capacity is ~width*256, so the
+    // outlier forces a multi-level plan
+    val ivs = ((1L to 150L).map(i =>
+        (i, i * 37 % 500 * 60L, i * 37 % 500 * 60L + i % 5 * 90L + 1L)) ++
+      Seq((900L, 5000L, 5000L + 1000000000L)))
+      .toDF("iid", "lo", "hi")
+    def decl = pts.join(ivs,
+      col("sec") >= col("lo") && col("sec") < col("hi"))
+    val expected = withConf("off")(pairs(decl))
+    assert(expected.exists(_._2 == 900L),
+      "the outlier interval must actually match points")
+    val on = decl
+    val gens = on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }
+    assert(gens.size == 2,
+      s"multi-level plan must explode points over levels AND intervals " +
+        s"over buckets, got ${gens.size} Generates")
+    assert(!on.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(pairs(on) == expected,
+      "multi-level auto rewrite changed the result")
+    // a fixed width keeps the expert single-level plan (and would crash
+    // on this data with a tiny width — the conf is the opt-out)
+    withWidth(1000000000L) {
+      val fixed = decl
+      assert(fixed.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.size == 1,
+        "fixed width must keep the classic single-level plan")
+      assert(pairs(fixed) == expected)
+    }
+  }
+
   test("overlap shape is opt-in: silent with no conf, fires under an " +
        "explicit 'auto' with a sampled width") {
     val silent = declOverlap
