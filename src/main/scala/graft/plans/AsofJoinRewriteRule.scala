@@ -20,21 +20,23 @@ import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, Timestamp
   * — mirroring warehouse `ASOF JOIN` syntax (DuckDB: `ASOF LEFT JOIN ON
   * l.k = r.k AND l.ts >= r.ts`). `asof_backward(lts, rts)` selects, per
   * left row, THE single right row with the greatest `rts <= lts` under
-  * the equi keys; `asof_forward` the smallest `rts >= lts`. The marker
+  * the equi keys; `asof_forward` the smallest `rts >= lts`;
+  * `asof_nearest` whichever of the two has the smaller |gap|, ties
+  * going backward. The marker
   * is [[Unevaluable]] on purpose: it has no row-at-a-time meaning (it
   * quantifies over the whole right side), so if the rewrite doesn't
   * recognize the join shape the query fails loudly instead of silently
   * computing something else.
   */
 case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
-                          forward: Boolean)
+                          mode: String)
     extends BinaryExpression with Unevaluable {
+  require(AsofJoinMarker.Modes.contains(mode), s"unknown as-of mode $mode")
   override def left: Expression = leftTs
   override def right: Expression = rightTs
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
-  override def prettyName: String =
-    if (forward) "asof_forward" else "asof_backward"
+  override def prettyName: String = s"asof_$mode"
   override def checkInputDataTypes(): TypeCheckResult =
     if (leftTs.dataType == rightTs.dataType &&
         (leftTs.dataType.isInstanceOf[NumericType] ||
@@ -46,6 +48,13 @@ case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AsofJoinMarker =
     copy(leftTs = newLeft, rightTs = newRight)
+}
+
+object AsofJoinMarker {
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  val Modes: Set[String] = Set(Backward, Forward, Nearest)
 }
 
 /** Rewrites a marked join into the union-and-window as-of plan
@@ -100,10 +109,10 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
           if lSet.contains(a) && rSet.contains(b) => (a, b)
       case _ => return None
     }
-    Some(build(j, jt, m.forward, lts, rts, equiPairs))
+    Some(build(j, jt, m.mode, lts, rts, equiPairs))
   }
 
-  private def build(j: Join, jt: JoinType, forward: Boolean,
+  private def build(j: Join, jt: JoinType, asofMode: String,
                     lts: Attribute, rts: Attribute,
                     equiPairs: Seq[(Attribute, Attribute)]): LogicalPlan = {
     val lOut = j.left.output
@@ -115,9 +124,10 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
     def lName(a: Attribute) = lNames(lOut.indexWhere(_.exprId == a.exprId))
     def rName(a: Attribute) = rNames(rOut.indexWhere(_.exprId == a.exprId))
 
-    // left rows sort AFTER right rows at equal ts for backward (a
-    // same-instant right row matches), BEFORE them for forward — the
-    // operator form's exact convention
+    // left rows sort AFTER right rows at equal ts for backward/nearest
+    // (a same-instant right row is a zero-gap backward match), BEFORE
+    // them for forward — the operator form's exact conventions
+    val forward = asofMode == AsofJoinMarker.Forward
     val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val lU = equiPairs.zipWithIndex.foldLeft(
         l2.withColumn("_ats", col(lName(lts)))
@@ -138,15 +148,32 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
     val w0 = Window
       .partitionBy(equiPairs.indices.map(i => col(s"_ak$i")): _*)
       .orderBy(col("_ats"), col("_aside"))
-    val carried =
-      if (forward) first(col("_apack"), ignoreNulls = true)
-        .over(w0.rowsBetween(0, Window.unboundedFollowing))
-      else last(col("_apack"), ignoreNulls = true)
-        .over(w0.rowsBetween(Window.unboundedPreceding, 0))
-    val leftRows = u.withColumn("_am", carried)
-      .filter(col("_aside") === lSide)
-    val matched =
-      if (jt == Inner) leftRows.filter(col("_am").isNotNull) else leftRows
+    val wB = w0.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = w0.rowsBetween(0, Window.unboundedFollowing)
+    val matched = asofMode match {
+      case AsofJoinMarker.Nearest =>
+        // both arms as frames over the SAME sort; smaller gap wins,
+        // ties go backward (RangeJoin.asofNearest's convention)
+        val armed = u
+          .withColumn("_abp", last(col("_apack"), ignoreNulls = true).over(wB))
+          .withColumn("_afp", first(col("_apack"), ignoreNulls = true).over(wF))
+          .filter(col("_aside") === lSide)
+        val bTs = col("_abp").getField(rName(rts))
+        val fTs = col("_afp").getField(rName(rts))
+        val useB = bTs.isNotNull &&
+          (fTs.isNull || (col("_ats") - bTs) <= (fTs - col("_ats")))
+        val picked = armed.withColumn("_am",
+          when(useB, col("_abp")).otherwise(col("_afp")))
+          .drop("_abp", "_afp")
+        if (jt == Inner) picked.filter(col("_am").isNotNull) else picked
+      case _ =>
+        val carried =
+          if (forward) first(col("_apack"), ignoreNulls = true).over(wF)
+          else last(col("_apack"), ignoreNulls = true).over(wB)
+        val leftRows = u.withColumn("_am", carried)
+          .filter(col("_aside") === lSide)
+        if (jt == Inner) leftRows.filter(col("_am").isNotNull) else leftRows
+    }
     val out = matched.select(lNames.map(col) ++
       rNames.map(n => col("_am").getField(n).as(n)): _*)
 

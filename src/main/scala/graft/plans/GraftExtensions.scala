@@ -18,16 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of plan (AsofJoinRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
     ext.injectOptimizerRule(_ => AsofJoinRewriteRule)
-    ext.injectFunction((
-      new FunctionIdentifier("asof_backward"),
-      new ExpressionInfo(classOf[AsofJoinMarker].getName, "asof_backward"),
-      (children: Seq[Expression]) =>
-        AsofJoinMarker(children(0), children(1), forward = false)))
-    ext.injectFunction((
-      new FunctionIdentifier("asof_forward"),
-      new ExpressionInfo(classOf[AsofJoinMarker].getName, "asof_forward"),
-      (children: Seq[Expression]) =>
-        AsofJoinMarker(children(0), children(1), forward = true)))
+    for (mode <- AsofJoinMarker.Modes.toSeq.sorted)
+      ext.injectFunction((
+        new FunctionIdentifier(s"asof_$mode"),
+        new ExpressionInfo(classOf[AsofJoinMarker].getName, s"asof_$mode"),
+        (children: Seq[Expression]) =>
+          AsofJoinMarker(children(0), children(1), mode)))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

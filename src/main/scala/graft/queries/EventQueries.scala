@@ -464,6 +464,57 @@ object EventQueries {
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
         |ORDER BY p.event_id""".stripMargin)),
 
+    // q146's NEAREST as-of stated declaratively (the `asof_nearest`
+    // marker — no warehouse has native syntax for it, so the oracle is
+    // q146's correlated-min/max arm selection, tolerance-free): smaller
+    // |gap| wins, ties go backward. Same join-free union-window shape.
+    QueryDef("q156_asof_nearest_declarative",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("sec").as("c_sec"),
+            col("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              expr("asof_nearest(sec, c_sec)"), "left_outer")
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("c_sec").as("asof_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase'),
+        |arms AS (
+        |  SELECT p.event_id, p.user_id, p.sec,
+        |    (SELECT max(c.sec) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS b_sec,
+        |    (SELECT min(c.sec) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.sec >= p.sec) AS f_sec
+        |  FROM p),
+        |chosen AS (
+        |  SELECT event_id, user_id, sec,
+        |    CASE
+        |      WHEN b_sec IS NOT NULL
+        |           AND (f_sec IS NULL OR sec - b_sec <= f_sec - sec)
+        |        THEN b_sec
+        |      ELSE f_sec
+        |    END AS asof_sec
+        |  FROM arms)
+        |SELECT ch.event_id, ch.user_id, ch.sec, c.click_id, ch.asof_sec
+        |FROM chosen ch LEFT JOIN clicks c
+        |  ON c.user_id = ch.user_id AND c.sec = ch.asof_sec
+        |ORDER BY ch.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

@@ -91,6 +91,36 @@ class AsofRewriteSpec extends SparkSpec {
       s"matched row must be carried whole, got $decl")
   }
 
+  test("asof_nearest marker: smaller gap wins, ties go backward, " +
+       "same-instant is a zero-gap backward match — equal to the " +
+       "operator form, join-free") {
+    def decl = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_nearest(sec, csec)"),
+        "left_outer")
+      .select(col("pid"), col("click_id"), col("csec").as("asof_sec"))
+      .orderBy("pid")
+    assert(!planStr(decl).contains("Join"),
+      "nearest as-of rewrite must be join-free")
+    val got = decl.collect().map(r => r.getLong(0) ->
+      (Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toMap
+    val op = RangeJoin.asofNearest(purchases,
+        clicks.select(col("ck").as("k"), col("csec").as("sec"),
+          col("click_id")),
+        "sec", Seq("k"), Seq("click_id"))
+      .select(col("pid"), col("click_id"), col("asof_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toMap
+    assert(got == op, s"declarative nearest $got != operator $op")
+    // semantics spelled out: pid=1 sec=100 -> forward 120 (gap 20 < 40);
+    // pid=2 sec=90 -> tie (30/30) goes backward to 60; pid=3 sec=120 ->
+    // zero-gap backward; pid=5 sec=10 -> only forward arm exists
+    assert(got(1L) == (Some(901L), Some(120L)))
+    assert(got(2L) == (Some(900L), Some(60L)))
+    assert(got(3L) == (Some(901L), Some(120L)))
+    assert(got(5L) == (Some(900L), Some(60L)))
+    assert(got(6L) == (Some(902L), Some(40L)), "keys must isolate")
+  }
+
   test("malformed marker use fails loudly instead of silently computing " +
        "something else") {
     // extra non-equi conjunct -> the rewrite refuses, and the marker is

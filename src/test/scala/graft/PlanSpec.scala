@@ -307,9 +307,9 @@ class PlanSpec extends SparkSpec {
       q153.contains("GreaterThanOrEqual(n_tok,30"),
       "q153's box filter must push into the graft-zorder scan")
     for (q <- Seq("q122_asof_click_attribution", "q145_asof_forward",
-        // q152: the DECLARATIVE as-of (marker + AsofJoinRewriteRule)
+        // q152/q156: the DECLARATIVE as-ofs (markers + AsofJoinRewriteRule)
         // must land the same join-free union-window shape
-        "q152_asof_declarative")) {
+        "q152_asof_declarative", "q156_asof_nearest_declarative")) {
       val asof = plans(q)
       assert(!asof.contains("Join"), s"$q must be the union-window as-of")
       assert(asof.contains("Window"), s"$q lost the carrying window")
