@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, Timestamp
   * computing something else.
   */
 case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
-                          mode: String)
+                          mode: String, tolerance: Option[Long] = None)
     extends BinaryExpression with Unevaluable {
   require(AsofJoinMarker.Modes.contains(mode), s"unknown as-of mode $mode")
+  require(tolerance.forall(_ >= 0),
+    s"as-of tolerance must be non-negative, got $tolerance")
   override def left: Expression = leftTs
   override def right: Expression = rightTs
   override def dataType: DataType = BooleanType
@@ -109,10 +111,11 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
           if lSet.contains(a) && rSet.contains(b) => (a, b)
       case _ => return None
     }
-    Some(build(j, jt, m.mode, lts, rts, equiPairs))
+    Some(build(j, jt, m.mode, m.tolerance, lts, rts, equiPairs))
   }
 
   private def build(j: Join, jt: JoinType, asofMode: String,
+                    tolerance: Option[Long],
                     lts: Attribute, rts: Attribute,
                     equiPairs: Seq[(Attribute, Attribute)]): LogicalPlan = {
     val lOut = j.left.output
@@ -153,17 +156,23 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
     val matched = asofMode match {
       case AsofJoinMarker.Nearest =>
         // both arms as frames over the SAME sort; smaller gap wins,
-        // ties go backward (RangeJoin.asofNearest's convention)
+        // ties go backward; `tolerance` bounds each arm's gap
+        // independently (RangeJoin.asofNearest's conventions)
         val armed = u
           .withColumn("_abp", last(col("_apack"), ignoreNulls = true).over(wB))
           .withColumn("_afp", first(col("_apack"), ignoreNulls = true).over(wF))
           .filter(col("_aside") === lSide)
         val bTs = col("_abp").getField(rName(rts))
         val fTs = col("_afp").getField(rName(rts))
-        val useB = bTs.isNotNull &&
-          (fTs.isNull || (col("_ats") - bTs) <= (fTs - col("_ats")))
+        val gapB = col("_ats") - bTs
+        val gapF = fTs - col("_ats")
+        val bOk = bTs.isNotNull &&
+          tolerance.map(t => gapB <= t).getOrElse(lit(true))
+        val fOk = fTs.isNotNull &&
+          tolerance.map(t => gapF <= t).getOrElse(lit(true))
+        val useB = bOk && (!fOk || gapB <= gapF)
         val picked = armed.withColumn("_am",
-          when(useB, col("_abp")).otherwise(col("_afp")))
+          when(useB, col("_abp")).when(fOk, col("_afp")))
           .drop("_abp", "_afp")
         if (jt == Inner) picked.filter(col("_am").isNotNull) else picked
       case _ =>
@@ -172,7 +181,16 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
           else last(col("_apack"), ignoreNulls = true).over(wB)
         val leftRows = u.withColumn("_am", carried)
           .filter(col("_aside") === lSide)
-        if (jt == Inner) leftRows.filter(col("_am").isNotNull) else leftRows
+        // out-of-tolerance matches null out WHOLE (the packed row, so
+        // every payload column and the ts null together)
+        val bounded = tolerance match {
+          case Some(t) =>
+            val mTs = col("_am").getField(rName(rts))
+            val gap = if (forward) mTs - col("_ats") else col("_ats") - mTs
+            leftRows.withColumn("_am", when(gap <= t, col("_am")))
+          case None => leftRows
+        }
+        if (jt == Inner) bounded.filter(col("_am").isNotNull) else bounded
     }
     val out = matched.select(lNames.map(col) ++
       rNames.map(n => col("_am").getField(n).as(n)): _*)

@@ -18,12 +18,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of plan (AsofJoinRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
     ext.injectOptimizerRule(_ => AsofJoinRewriteRule)
+    // asof_<mode>(lts, rts[, tolerance]): the optional third argument is
+    // a literal gap bound, baked into the marker (it parameterizes the
+    // REWRITE, it is not row data)
     for (mode <- AsofJoinMarker.Modes.toSeq.sorted)
       ext.injectFunction((
         new FunctionIdentifier(s"asof_$mode"),
         new ExpressionInfo(classOf[AsofJoinMarker].getName, s"asof_$mode"),
-        (children: Seq[Expression]) =>
-          AsofJoinMarker(children(0), children(1), mode)))
+        (children: Seq[Expression]) => {
+          require(children.size == 2 || children.size == 3,
+            s"asof_$mode takes (leftTs, rightTs[, tolerance])")
+          val tol = children.drop(2).headOption.map { t =>
+            require(t.foldable, s"asof_$mode tolerance must be a literal")
+            t.eval() match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"asof_$mode tolerance must be numeric, got $other")
+            }
+          }
+          AsofJoinMarker(children(0), children(1), mode, tol)
+        }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

@@ -515,6 +515,46 @@ object EventQueries {
         |  ON c.user_id = ch.user_id AND c.sec = ch.asof_sec
         |ORDER BY ch.event_id""".stripMargin)),
 
+    // q122 VERBATIM, stated declaratively with the marker's literal
+    // tolerance argument — `asof_backward(sec, c_sec, 3600)` — so the
+    // tolerance parameterizes the rewrite itself (out-of-window matches
+    // null out whole). Oracle: q122's, with the DuckDB ASOF + tolerance
+    // CASE unchanged — two syntaxes, one semantics.
+    QueryDef("q157_asof_tolerance_declarative",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("sec"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("sec").as("c_sec"),
+            col("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("sec"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              expr("asof_backward(sec, c_sec, 3600)"), "left_outer")
+          .select(col("event_id"), col("user_id"), col("sec"),
+            col("click_id"), col("c_sec").as("asof_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, sec, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, sec FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.sec,
+        |  CASE WHEN c.sec IS NOT NULL AND p.sec - c.sec <= 3600
+        |       THEN c.click_id END AS click_id,
+        |  CASE WHEN c.sec IS NOT NULL AND p.sec - c.sec <= 3600
+        |       THEN c.sec END AS asof_ts
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.sec >= c.sec
+        |ORDER BY p.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

@@ -121,6 +121,44 @@ class AsofRewriteSpec extends SparkSpec {
     assert(got(6L) == (Some(902L), Some(40L)), "keys must isolate")
   }
 
+  test("literal tolerance argument bounds the gap: out-of-window matches " +
+       "null out WHOLE (payload and ts together) on every mode, and " +
+       "inner joins drop them") {
+    // backward with tol 25: pid=1 sec=100 gap to 60 is 40 -> nulls;
+    // pid=3 sec=120 zero-gap survives
+    val b = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_backward(sec, csec, 25)"),
+        "left_outer")
+      .select(col("pid"), col("click_id"), col("csec")).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toMap
+    assert(b(1L) == (None, None), "gap 40 > tol 25 must null out whole")
+    assert(b(3L) == (Some(901L), Some(120L)), "zero gap survives")
+    // the operator with the same tolerance agrees on every row
+    val op = RangeJoin.asofBackward(purchases,
+        clicks.select(col("ck").as("k"), col("csec").as("sec"),
+          col("click_id")),
+        "sec", Seq("k"), Seq("click_id"), tolerance = Some(25L))
+      .select(col("pid"), col("click_id"), col("asof_ts")).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toMap
+    assert(b == op, s"declarative tolerance $b != operator $op")
+    // nearest with per-arm tolerance: forward gap 20 survives tol 25
+    // where both 30-gap arms die
+    val n = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_nearest(sec, csec, 25)"),
+        "left_outer")
+      .select(col("pid"), col("csec")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    assert(n(1L) == Some(120L), "forward gap 20 survives tol 25")
+    assert(n(2L) == None, "both gaps 30 exceed tol 25")
+    // inner + tolerance: out-of-window rows DROP
+    val inner = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_backward(sec, csec, 25)"))
+      .select(col("pid")).as[Long].collect().toSet
+    assert(!inner.contains(1L) && inner.contains(3L))
+  }
+
   test("malformed marker use fails loudly instead of silently computing " +
        "something else") {
     // extra non-equi conjunct -> the rewrite refuses, and the marker is
