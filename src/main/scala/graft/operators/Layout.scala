@@ -173,6 +173,10 @@ object Layout {
   def saveStats(spark: SparkSession, path: String,
                 statCols: Seq[String]): Unit = {
     import spark.implicits._
+    // coalesce(1): the index is one row PER ROW GROUP — thousands of
+    // entries for a real table, safely one file. If a layout ever grows
+    // to ~10^6+ row groups (100 TB at tiny groups), shard this write by
+    // file-name prefix instead of forcing one task.
     parquetStats(spark, path, statCols)
       .map(g => (g.file, g.group, g.rows, statCols,
         statCols.map(c => g.mins.get(c)),

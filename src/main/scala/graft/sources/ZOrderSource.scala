@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import graft.operators.Layout
@@ -31,13 +31,75 @@ import graft.operators.Layout
   * file list, so codegen/vectorization are unchanged; this source only
   * decides WHICH files that reader sees.
   */
-class ZOrderSource extends RelationProvider with DataSourceRegister {
+class ZOrderSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-zorder"
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-zorder needs a path: spark.read.format(\"graft-zorder\").load(dir)"))
     ZOrderRelation(sqlContext.sparkSession, path)
+  }
+
+  /** The WRITE path —
+    * {{{
+    *   df.write.format("graft-zorder")
+    *     .option("zcols", "n_tok,q,nchar")   // clustering columns
+    *     .option("bits", "8")                // cells/dim = 2^bits
+    *     .option("nFiles", "64")
+    *     .option("tieCol", "doc_id")         // deterministic order
+    *     .save(dir)
+    * }}}
+    * — one step does what the hand-driven recipe did: quantization
+    * bounds come from ONE min/max aggregation over the clustering
+    * columns, the n-column Morton value orders the range shuffle
+    * ([[Layout.zorderWrite]]), and the footer-stats skipping index is
+    * saved immediately ([[Layout.saveStats]]) so the read path prunes
+    * from day one. Only Overwrite mode: a Z-order layout is a SORTED
+    * physical arrangement — appending unsorted files would silently
+    * break the tight-box property, so it is refused rather than
+    * degraded (re-layout to add data, exactly like lakehouse OPTIMIZE).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(mode == SaveMode.Overwrite,
+      s"graft-zorder writes are Overwrite-only (got $mode): a Z-order " +
+        "layout is a sorted arrangement; re-layout to add data")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-zorder needs a path"))
+    val zcols = parameters.getOrElse("zcols",
+        throw new IllegalArgumentException(
+          "graft-zorder needs option zcols=<c1,c2,...>"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(zcols.nonEmpty, "zcols must name at least one column")
+    zcols.foreach(c => require(data.columns.contains(c),
+      s"zcols column $c not in ${data.columns.mkString(", ")}"))
+    val bits = parameters.getOrElse("bits", "8").toInt
+    val nFiles = parameters.getOrElse("nFiles", "64").toInt
+    val tieCol = parameters.get("tieCol")
+    require(bits >= 1 && zcols.size * bits <= 63,
+      s"${zcols.size} columns at $bits bits overflow a signed long")
+
+    // quantization bounds from the data: one bounded aggregation
+    // (min_c0, max_c0, min_c1, max_c1, ...)
+    val aggExprs = zcols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val boundsRow = data.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val bounds = zcols.indices.map { i =>
+      val (lo, hi) =
+        if (boundsRow.isNullAt(2 * i)) (0.0, 1.0) // empty/all-null column
+        else (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0) // constant column guard
+    }
+    val z = Layout.zValueN(zcols.zip(bounds).map { case (c, (lo, hi)) =>
+      Layout.quantize(col(c).cast("double"), lo, hi, bits) }, bits)
+    val spark = sqlContext.sparkSession
+    Layout.zorderWrite(data, z,
+      tieCol.map(col).getOrElse(z), nFiles, path)
+    Layout.saveStats(spark, path, zcols)
+    ZOrderRelation(spark, path)
   }
 }
 

@@ -227,6 +227,47 @@ class LayoutSpec extends SparkSpec {
     assert(t3 < nFiles / 8, s"3-D box must skip most files, touched $t3")
   }
 
+  test("graft-zorder write path: df.write.format lays out, quantizes " +
+       "from data-derived bounds, saves the index; the read path prunes " +
+       "it; append is refused") {
+    val pts = (1 to 8192).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      val w = (i * 9176L % 10000).toDouble / 10000.0
+      (i.toLong, x, y, w)
+    }.toDF("id", "x", "y", "w")
+    val dir = java.nio.file.Files.createTempDirectory("zwrite").toString + "/t"
+    pts.write.format("graft-zorder")
+      .option("zcols", "x,y,w").option("bits", "8")
+      .option("nFiles", "32").option("tieCol", "id")
+      .mode("overwrite").save(dir)
+    // index saved at write time, covering all files
+    val stats = Layout.loadStats(spark, dir)
+    assert(stats.exists(_.map(_.file).distinct.size == 32),
+      "write must save a skipping index over every written file")
+    // read path: row-identical under a box, with real pruning
+    def boxed = spark.read.format("graft-zorder").load(dir)
+      .filter(col("x").between(0.4, 0.6) && col("y").between(0.4, 0.6) &&
+        col("w").between(0.4, 0.6))
+      .select("id")
+    val got = boxed.collect().map(_.getLong(0)).toSet
+    val want = pts
+      .filter(col("x").between(0.4, 0.6) && col("y").between(0.4, 0.6) &&
+        col("w").between(0.4, 0.6))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty,
+      "write-path layout changed the data")
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(total == 32 && kept < 32,
+      s"3-D box must prune the written layout, opened $kept/$total")
+    // append would silently break the sorted-arrangement property
+    val e = intercept[Exception] {
+      pts.limit(10).write.format("graft-zorder")
+        .option("zcols", "x,y,w").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("graft-zorder read path: a plain .filter() on the registered " +
        "source pushes its predicates, prunes from the saved index, and " +
        "is row-identical to the full scan") {
