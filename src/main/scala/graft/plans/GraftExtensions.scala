@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of plan (AsofJoinRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
     ext.injectOptimizerRule(_ => AsofJoinRewriteRule)
+    // graft-zorder scans upgrade to native parquet over the pruned file
+    // list (ZOrderPruneRule) — vectorized read + codegen, no DSv1 row
+    // conversion; the DSv1 relation remains the no-extensions fallback
+    ext.injectOptimizerRule(_ => ZOrderPruneRule)
     // asof_<mode>(lts, rts[, tolerance]): the optional third argument is
     // a literal gap bound, baked into the marker (it parameterizes the
     // REWRITE, it is not row data)

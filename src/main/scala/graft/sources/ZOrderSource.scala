@@ -157,7 +157,7 @@ object ZOrderRelation {
     * strict bounds widen to closed ones (skipping only needs a
     * superset); non-range filters derive nothing.
     */
-  private[sources] def ranges(
+  private[graft] def ranges(
       filters: Array[Filter]): Map[String, (Double, Double)] = {
     val b = scala.collection.mutable.Map[String, (Double, Double)]()
     def tighten(c: String, lo: Double, hi: Double): Unit = {
@@ -184,7 +184,7 @@ object ZOrderRelation {
     * SKIP a file that may hold matching rows — conservatively keep
     * (same rule as [[Layout.prunedScan]]).
     */
-  private[sources] def mayMatch(g: Layout.RowGroupStats,
+  private[graft] def mayMatch(g: Layout.RowGroupStats,
       ranges: Map[String, (Double, Double)]): Boolean =
     ranges.forall { case (c, (lo, hi)) =>
       (g.mins.get(c), g.maxs.get(c)) match {

@@ -287,10 +287,16 @@ class LayoutSpec extends SparkSpec {
     def boxed = spark.read.format("graft-zorder").load(dir)
       .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
       .select("id")
-    // predicates reach the source: the scan node reports them pushed
+    // predicates reach the source: the scan node reports them pushed —
+    // and with the extensions installed the scan is the NATIVE parquet
+    // reader over the pruned file list (ZOrderPruneRule), not the DSv1
+    // RDD[Row] bridge paying a per-row conversion
     val plan = boxed.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(x,0.45"),
       s"filters must push into the graft-zorder scan:\n$plan")
+    assert(plan.contains("FileScan parquet") &&
+      !plan.contains("RowDataSourceScan"),
+      s"scan must upgrade to the native parquet reader:\n$plan")
     val got = boxed.collect().map(_.getLong(0)).toSet
     val full = spark.read.parquet(dir)
       .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))

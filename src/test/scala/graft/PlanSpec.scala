@@ -301,11 +301,16 @@ class PlanSpec extends SparkSpec {
     // q122/q145: backward and forward as-of are ONE union + window — no
     // join operator at all, so no range probe can ever nest-loop
     // q153: the graft-zorder read path — the box predicate must reach
-    // the source scan (that is what lets it consult the skipping index)
+    // the scan (that is what lets it consult the skipping index), and
+    // the scan must be the NATIVE parquet reader over the pruned files
+    // (ZOrderPruneRule), not the DSv1 row bridge
     val q153 = plans("q153_zorder_source_read")
     assert(q153.contains("PushedFilters") &&
       q153.contains("GreaterThanOrEqual(n_tok,30"),
       "q153's box filter must push into the graft-zorder scan")
+    assert(q153.contains("FileScan parquet") &&
+      !q153.contains("RowDataSourceScan"),
+      "q153's scan must upgrade to the native parquet reader")
     for (q <- Seq("q122_asof_click_attribution", "q145_asof_forward",
         // q152/q156: the DECLARATIVE as-ofs (markers + AsofJoinRewriteRule)
         // must land the same join-free union-window shape
