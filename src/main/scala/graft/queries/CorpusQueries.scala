@@ -3467,6 +3467,37 @@ object CorpusQueries {
       },
       Some(zorderBoxOracle)),
 
+    // The WRITE path oracle-gated: documents laid out via
+    // `df.write.format("graft-zorder")` (auto-derived quantize bounds,
+    // index saved at write time) and read back through the same format
+    // under q147's box — the oracle is the shared box selection, so a
+    // write-path bug (lost rows in the layout shuffle, a wrong index,
+    // over-eager pruning) hash-mismatches. Distinct store from q147's:
+    // the bounds are data-derived here, not the fixed recipe's.
+    QueryDef("q158_zorder_write_path",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_zwrite_${dataStamp(dir, "documents")}"
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+          table(s, dir, "documents").select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("bigint")
+                .as("n_tok"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+            .write.format("graft-zorder")
+            .option("zcols", "n_tok,q").option("bits", "8")
+            .option("nFiles", "16").option("tieCol", "doc_id")
+            .mode("overwrite").save(store)
+        }
+        s.read.format("graft-zorder").load(store)
+          .filter(col("n_tok") >= 30L && col("n_tok") <= 60L &&
+            col("q") >= 0.55 && col("q") <= 0.75)
+          .select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle)),
+
     // Label-propagation communities (Clusters.labelPropagation) over the
     // q81 kNN graph: each node adopts its neighbors' most frequent label
     // (count desc, SMALLEST label on ties — deterministic, no random

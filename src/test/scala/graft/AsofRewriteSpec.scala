@@ -159,6 +159,28 @@ class AsofRewriteSpec extends SparkSpec {
     assert(!inner.contains(1L) && inner.contains(3L))
   }
 
+  test("the markers resolve in plain SQL: an ASOF stated entirely as a " +
+       "SQL LEFT JOIN lands the same join-free plan and rows") {
+    purchases.createOrReplaceTempView("p_asof")
+    clicks.createOrReplaceTempView("c_asof")
+    val q = spark.sql(
+      """SELECT p.pid, c.click_id, c.csec AS asof_sec
+        |FROM p_asof p LEFT JOIN c_asof c
+        |  ON p.k = c.ck AND asof_backward(p.sec, c.csec)
+        |ORDER BY p.pid""".stripMargin)
+    assert(!planStr(q).contains("Join"),
+      "SQL-stated as-of must rewrite join-free")
+    val got = q.collect().map(r => (r.getLong(0),
+      Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toSeq
+    val df = purchases.join(clicks,
+        col("k") === col("ck") && expr("asof_backward(sec, csec)"),
+        "left_outer")
+      .select(col("pid"), col("click_id"), col("csec").as("asof_sec"))
+      .orderBy("pid").collect().map(r => (r.getLong(0),
+        Option(r.getAs[Any](1)), Option(r.getAs[Any](2)))).toSeq
+    assert(got == df, "SQL and DataFrame statements must agree")
+  }
+
   test("malformed marker use fails loudly instead of silently computing " +
        "something else") {
     // extra non-equi conjunct -> the rewrite refuses, and the marker is
