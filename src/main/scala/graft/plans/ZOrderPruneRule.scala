@@ -46,11 +46,16 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def num(v: Any): Option[Double] = v match {
+  /** Numeric literal → bound, FINITE only: a NaN literal would poison
+    * the interval arithmetic (NaN bounds compare false in the intersect
+    * test, skipping files whose rows CAN match under Spark's
+    * NaN-equals-NaN semantics), and ±∞ derives no information.
+    */
+  private def num(v: Any): Option[Double] = (v match {
     case n: Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None
-  }
+  }).filter(d => !d.isNaN && !d.isInfinite)
 
   /** Per-column closed [lo, hi] bounds from attribute-vs-literal
     * conjuncts (strict widened to closed; anything else ignored).

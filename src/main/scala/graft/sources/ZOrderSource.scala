@@ -148,10 +148,14 @@ object ZOrderRelation {
     case o => Seq(o)
   }
 
-  private def num(v: Any): Option[Double] = v match {
+  /** FINITE numeric values only — a NaN bound would compare false in
+    * the intersect test and skip files whose rows can match under
+    * Spark's NaN-equals-NaN semantics (see [[graft.plans.ZOrderPruneRule]]).
+    */
+  private def num(v: Any): Option[Double] = (v match {
     case n: Number => Some(n.doubleValue())
     case _ => None
-  }
+  }).filter(d => !d.isNaN && !d.isInfinite)
 
   /** Per-column closed [lo, hi] bounds implied by the pushed filters —
     * strict bounds widen to closed ones (skipping only needs a

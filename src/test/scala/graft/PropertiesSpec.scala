@@ -396,4 +396,45 @@ class PropertiesSpec extends SparkSpec {
         s"trial $trial: $exploded exploded rows exceed the cap bound")
     }
   }
+
+  test("graft-zorder pruning is row-identical to the full scan on random " +
+       "boxes over NaN-bearing data — including a NaN-equality probe " +
+       "(Spark's NaN = NaN is true; skipping must never lose those rows)") {
+    import graft.operators.Layout
+    val rnd = new scala.util.Random(733)
+    val pts = (1 to 4096).map { i =>
+      // ~2% NaN in each clustered column
+      def v = if (rnd.nextInt(50) == 0) Double.NaN else rnd.nextDouble()
+      (i.toLong, v, v * 0 + rnd.nextDouble() * (if (rnd.nextInt(50) == 0)
+        Double.NaN else 1.0))
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files
+      .createTempDirectory("zprop").toString + "/t"
+    pts.write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8")
+      .option("nFiles", "16").option("tieCol", "id")
+      .mode("overwrite").save(dir)
+    def src = spark.read.format("graft-zorder").load(dir)
+    val full = spark.read.parquet(dir)
+    (1 to 5).foreach { trial =>
+      val (lo, w) = (rnd.nextDouble() * 0.8, 0.05 + rnd.nextDouble() * 0.3)
+      val pred = col("x").between(lo, lo + w) &&
+        col("y") >= lit(rnd.nextDouble() * 0.5)
+      val got = src.filter(pred).select("id").collect()
+        .map(_.getLong(0)).toSet
+      val want = full.filter(pred).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == want, s"trial $trial: pruning changed the box result")
+    }
+    // NaN equality selects the NaN rows; a NaN literal must derive no
+    // bound (it would poison the intersect test) so nothing is skipped
+    val nanPred = col("x") === lit(Double.NaN)
+    val gotNaN = src.filter(nanPred).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val wantNaN = full.filter(nanPred).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotNaN == wantNaN && wantNaN.nonEmpty,
+      s"NaN-equality rows lost by skipping: got ${gotNaN.size}, " +
+        s"want ${wantNaN.size}")
+  }
 }
