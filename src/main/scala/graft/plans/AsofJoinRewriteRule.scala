@@ -75,6 +75,12 @@ object AsofJoinMarker {
   * NULL ts are dropped (they can match nothing and must not donate
   * payload); as with the operator form, the right side should be unique
   * per (keys, ts) or "the" matched row is engine-dependent.
+  *
+  * Scale note: a KEYLESS marker join (no equi conjunct) is legal but
+  * sorts both sides in ONE window partition — same as the operator form
+  * called with no keys. At scale, state an equi key (as-of without one
+  * rarely makes sense anyway: it matches every left row against one
+  * global right timeline).
   */
 object AsofJoinRewriteRule extends Rule[LogicalPlan] {
 

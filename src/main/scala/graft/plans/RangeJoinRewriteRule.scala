@@ -253,6 +253,12 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     */
   private def sampledWidth(side: LogicalPlan, lo: Expression,
                            hi: Expression): Option[(Long, Int)] = {
+    // a non-deterministic interval side (rand()-derived bounds) would
+    // make the sampled statistics — including the NON-FINITE verdict the
+    // DoubleType safety rests on — describe a DIFFERENT dataset than the
+    // one the join executes over: refuse, keep the original plan
+    if (side.exists(_.expressions.exists(e =>
+        e.exists(!_.deterministic)))) return None
     val len = Subtract(coarse(hi), coarse(lo))
     val pct = Alias(new ApproximatePercentile(len, Literal(0.75d))
       .toAggregateExpression(), "w")()

@@ -427,6 +427,32 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a non-deterministic interval side refuses the sampled auto " +
+       "rewrite (the sampled statistics would describe a different " +
+       "dataset than the join executes over) — the query still runs") {
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // rand() projection over a LocalRelation into materialized — and thus
+    // deterministic — values, which the sampler may legitimately sample
+    val ivs = spark.range(0L, 40L).toDF("iid")
+      .withColumn("lo2", (rand(7) * 3000).cast("long"))
+      .withColumn("hi2", col("lo2") + 100L +
+        (rand(11) * 50).cast("long"))
+    def decl = points.join(ivs,
+      col("sec") >= col("lo2") && col("sec") < col("hi2"))
+    val on = decl
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.isEmpty,
+      "non-deterministic interval bounds must not sample-rewrite")
+    assert(on.count() >= 0L, "the unrewritten join must still run")
+    // an explicit width is the user's assertion that the bounds are
+    // well-behaved — the fixed path still fires
+    withWidth(100L) {
+      assert(decl.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.size == 1,
+        "fixed width must fire regardless of determinism")
+    }
+  }
+
   test("overlap shape is opt-in: silent with no conf, fires under an " +
        "explicit 'auto' with a sampled width") {
     val silent = declOverlap
