@@ -103,12 +103,12 @@ object Layout {
     * from sampling).
     */
   def zorderWrite(df: DataFrame, zCol: Column, tieCol: Column, nFiles: Int,
-                  path: String): Unit =
+                  path: String, mode: String = "overwrite"): Unit =
     df.withColumn("_z", zCol).withColumn("_t", tieCol)
       .repartitionByRange(nFiles, col("_z"), col("_t"))
       .sortWithinPartitions(col("_z"), col("_t"))
       .drop("_z", "_t")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** One parquet row group's min/max box, read from the file FOOTER —
     * the metadata a skipping reader consults without touching any data
@@ -128,18 +128,34 @@ object Layout {
     * lakehouse transaction log stores) rather than re-walked per query.
     */
   def parquetStats(spark: SparkSession, path: String,
-                   statCols: Seq[String]): Seq[RowGroupStats] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
+                   statCols: Seq[String]): Seq[RowGroupStats] =
+    statsForFiles(spark, listDataFiles(spark, path), statCols)
+
+  /** The layout's visible data files (committed part-files), sorted. */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).toSeq
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    files.flatMap { f =>
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Footer walk over an EXPLICIT file list — the incremental twin of
+    * [[parquetStats]]: maintenance ops index only the files they just
+    * wrote, never whatever else the directory holds (a crashed writer's
+    * orphans must stay invisible, not get adopted).
+    */
+  def statsForFiles(spark: SparkSession, files: Seq[String],
+                    statCols: Seq[String]): Seq[RowGroupStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.sorted.flatMap { f =>
+      val p = new Path(f)
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
         case (b, i) =>
           val stats = b.getColumns.asScala
@@ -154,7 +170,7 @@ object Layout {
                 case _ => None
               }
             }.toSeq
-          RowGroupStats(f.getPath.toString, i, b.getRowCount,
+          RowGroupStats(p.toString, i, b.getRowCount,
             stats.map { case (c, (mn, _)) => c -> mn }.toMap,
             stats.map { case (c, (_, mx)) => c -> mx }.toMap)
       } finally rd.close()
@@ -162,49 +178,257 @@ object Layout {
   }
 
   private val StatsDir = "_graft_stats"
+  private val Pointer = "_CURRENT"
+  private def statsRoot(path: String): String = s"$path/$StatsDir"
+
+  /** The committed stats epoch, if the index uses the epoch format. */
+  private def readEpoch(path: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(statsRoot(path), Pointer)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(java.nio.file.Files.readString(p).trim.toLong)
+  }
+
+  /** Write one stats epoch and COMMIT it by atomically moving the
+    * pointer file — the index's transaction-log step. A reader sees
+    * either the previous epoch or the new one, never a torn table; a
+    * crash before the pointer move leaves an unreferenced epoch dir
+    * that the next commit garbage-collects. Single-writer discipline
+    * (one maintenance op at a time), and epoch GC assumes no reader is
+    * mid-scan during maintenance — a shared deployment would retain a
+    * vacuum horizon of epochs instead of exactly one.
+    */
+  private def commitStats(spark: SparkSession, path: String,
+                          statCols: Seq[String],
+                          groups: Seq[RowGroupStats]): Unit = {
+    import spark.implicits._
+    val epoch = readEpoch(path).map(_ + 1L).getOrElse(0L)
+    val dir = s"${statsRoot(path)}/epoch=$epoch"
+    // coalesce(1): the index is one row PER ROW GROUP — thousands of
+    // entries for a real table, safely one file. If a layout ever grows
+    // to ~10^6+ row groups (100 TB at tiny groups), shard this write by
+    // file-name prefix instead of forcing one task.
+    groups
+      .map(g => (g.file, g.group, g.rows, statCols,
+        statCols.map(c => g.mins.get(c)),
+        statCols.map(c => g.maxs.get(c))))
+      .toDF("file", "group", "rows", "cols", "mins", "maxs")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val root = java.nio.file.Paths.get(statsRoot(path))
+    val tmp = root.resolve(s"$Pointer.tmp")
+    java.nio.file.Files.writeString(tmp, epoch.toString)
+    java.nio.file.Files.move(tmp, root.resolve(Pointer),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: stale epoch dirs (including any uncommitted orphan epochs)
+    val hRoot = new Path(statsRoot(path))
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+        s.getPath.getName != s"epoch=$epoch")
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** Persist the footer-stats skipping index as a tiny parquet table
     * under the layout (underscore-prefixed, so data reads ignore it) —
     * the transaction-log step: walk footers ONCE at write time, serve
     * every later scan's pruning from the saved table. The saved stats
     * DEFINE the table, exactly like a lakehouse log: a data file added
-    * behind the index's back is invisible until stats are re-saved.
+    * behind the index's back is invisible until stats are re-saved (and
+    * [[appendDelta]] / [[compact]] are exactly the ops that re-save it
+    * incrementally, behind an atomic epoch-pointer commit).
     */
   def saveStats(spark: SparkSession, path: String,
-                statCols: Seq[String]): Unit = {
-    import spark.implicits._
-    // coalesce(1): the index is one row PER ROW GROUP — thousands of
-    // entries for a real table, safely one file. If a layout ever grows
-    // to ~10^6+ row groups (100 TB at tiny groups), shard this write by
-    // file-name prefix instead of forcing one task.
-    parquetStats(spark, path, statCols)
-      .map(g => (g.file, g.group, g.rows, statCols,
-        statCols.map(c => g.mins.get(c)),
-        statCols.map(c => g.maxs.get(c))))
-      .toDF("file", "group", "rows", "cols", "mins", "maxs")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
-  }
+                statCols: Seq[String]): Unit =
+    commitStats(spark, path, statCols, parquetStats(spark, path, statCols))
 
-  /** The saved skipping index, if one exists. The box arrays zip against
-    * the STORED column list (the save-time order), never a caller's.
+  /** The saved skipping index, if one exists: the epoch the pointer
+    * commits, or the legacy flat `_graft_stats` table for layouts saved
+    * before the epoch format. The box arrays zip against the STORED
+    * column list (the save-time order), never a caller's.
     */
   def loadStats(spark: SparkSession,
                 path: String): Option[Seq[RowGroupStats]] = {
-    val p = new Path(s"$path/$StatsDir")
+    val p = new Path(statsRoot(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).collect().toSeq.map { r =>
-      val cols = r.getSeq[String](3)
-      def optSeq(i: Int): Seq[Option[Double]] =
-        r.getSeq[Any](i).map(Option(_).map {
-          case d: Double => d
-          case n: Number => n.doubleValue()
-        })
-      RowGroupStats(r.getString(0), r.getInt(1), r.getLong(2),
-        cols.zip(optSeq(4)).collect { case (c, Some(v)) => c -> v }.toMap,
-        cols.zip(optSeq(5)).collect { case (c, Some(v)) => c -> v }.toMap)
-    })
+    else {
+      val dir = readEpoch(path) match {
+        case Some(e) => s"${statsRoot(path)}/epoch=$e"
+        case None =>
+          // legacy flat table — but ONLY if flat parquet actually exists:
+          // an epoch dir with no pointer is an UNCOMMITTED write (crash
+          // before the first pointer move) and must stay invisible, not
+          // get partition-discovered by a directory read
+          if (fs.listStatus(p).exists(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet"))) statsRoot(path)
+          else return None
+      }
+      Some(spark.read.parquet(dir).collect().toSeq.map { r =>
+        val cols = r.getSeq[String](3)
+        def optSeq(i: Int): Seq[Option[Double]] =
+          r.getSeq[Any](i).map(Option(_).map {
+            case d: Double => d
+            case n: Number => n.doubleValue()
+          })
+        RowGroupStats(r.getString(0), r.getInt(1), r.getLong(2),
+          cols.zip(optSeq(4)).collect { case (c, Some(v)) => c -> v }.toMap,
+          cols.zip(optSeq(5)).collect { case (c, Some(v)) => c -> v }.toMap)
+      })
+    }
+  }
+
+  // ------------------------------------------- incremental maintenance
+
+  /** Quantization bounds from the data: one bounded min/max aggregation
+    * over the clustering columns (empty/all-NULL → [0,1]; constant →
+    * [lo, lo+1] so quantize never divides by zero).
+    */
+  def deriveBounds(df: DataFrame,
+                   zcols: Seq[String]): Seq[(Double, Double)] = {
+    val aggExprs = zcols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    zcols.indices.map { i =>
+      val (lo, hi) =
+        if (row.isNullAt(2 * i)) (0.0, 1.0)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    }
+  }
+
+  private def zExprOf(zcols: Seq[String], bounds: Seq[(Double, Double)],
+                      bits: Int): Column =
+    zValueN(zcols.zip(bounds).map { case (c, (lo, hi)) =>
+      quantize(col(c).cast("double"), lo, hi, bits) }, bits)
+
+  private def boundsParam(bounds: Seq[(Double, Double)]): String =
+    bounds.map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
+
+  private def parseBounds(s: String): Seq[(Double, Double)] =
+    s.split(",").toSeq.map { p =>
+      val Array(lo, hi) = p.split(":")
+      (lo.toDouble, hi.toDouble)
+    }
+
+  /** Layout build params, persisted so [[appendDelta]]/[[compact]] can
+    * replay the SAME quantization a later maintenance op needs.
+    */
+  final case class LayoutManifest(zcols: Seq[String], bits: Int,
+                                  nFiles: Int, tieCol: Option[String],
+                                  bounds: Seq[(Double, Double)])
+
+  private def writeLayoutManifest(path: String, m: LayoutManifest): Unit =
+    graft.sources.Bundle.writeManifest(statsRoot(path),
+      Map("kind" -> "zorder-layout",
+        "zcols" -> m.zcols.mkString(","),
+        "bits" -> m.bits.toString,
+        "nFiles" -> m.nFiles.toString,
+        "bounds" -> boundsParam(m.bounds)) ++
+        m.tieCol.map("tieCol" -> _))
+
+  def readLayoutManifest(path: String): Option[LayoutManifest] =
+    graft.sources.Bundle.readManifest(statsRoot(path))
+      .filter(_.get("kind").contains("zorder-layout"))
+      .map(p => LayoutManifest(
+        p("zcols").split(",").toSeq, p("bits").toInt, p("nFiles").toInt,
+        p.get("tieCol"), parseBounds(p("bounds"))))
+
+  /** Build the full layout in one step: derive quantization bounds,
+    * Z-order-write the data, commit the skipping index (epoch 0), and
+    * persist the build manifest that makes the layout MAINTAINABLE
+    * ([[appendDelta]]/[[compact]]). The `graft-zorder` writer delegates
+    * here.
+    */
+  def buildLayout(df: DataFrame, zcols: Seq[String], bits: Int,
+                  nFiles: Int, tieCol: Option[String],
+                  path: String): Unit = {
+    val spark = df.sparkSession
+    val bounds = deriveBounds(df, zcols)
+    val z = zExprOf(zcols, bounds, bits)
+    zorderWrite(df, z, tieCol.map(col).getOrElse(z), nFiles, path)
+    saveStats(spark, path, zcols)
+    writeLayoutManifest(path, LayoutManifest(zcols, bits, nFiles,
+      tieCol, bounds))
+  }
+
+  /** Append a delta to a maintained layout WITHOUT re-laying-out the
+    * existing data: the delta is Z-sorted under the BUILD-TIME bounds
+    * (values outside them clamp to the edge cells — footer boxes still
+    * record true values, so pruning stays exact; only clustering quality
+    * degrades at the extremes until the next [[compact]] re-derives
+    * bounds), written as new files sized like the build's, and made
+    * visible by ONE atomic index commit covering old rows + exactly the
+    * files THIS call wrote. Crash before the commit → the delta is
+    * invisible (re-run the append; orphans are GC'd by the next
+    * [[compact]]); a crashed writer's orphans are never adopted.
+    */
+  def appendDelta(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val mf = readLayoutManifest(path).getOrElse(throw new IllegalStateException(
+      s"appendDelta: $path has no layout manifest — build it with " +
+        "Layout.buildLayout / df.write.format(\"graft-zorder\") first"))
+    val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
+      s"appendDelta: $path has no committed skipping index"))
+    mf.zcols.foreach(c => require(delta.columns.contains(c),
+      s"appendDelta: delta lacks clustering column $c"))
+    val dataSchema = spark.read.parquet(
+      stats.map(_.file).distinct.head).schema
+    require(delta.columns.toSet == dataSchema.fieldNames.toSet,
+      s"appendDelta: delta columns ${delta.columns.sorted.mkString(",")} " +
+        s"!= layout columns ${dataSchema.fieldNames.sorted.mkString(",")}")
+    val aligned = delta.select(dataSchema.fieldNames.toSeq.map(col): _*)
+    val deltaRows = aligned.count()
+    if (deltaRows == 0) return
+    // size delta files like the build's files
+    val totalRows = stats.map(_.rows).sum
+    val nIndexed = math.max(1, stats.map(_.file).distinct.size)
+    val rowsPerFile = math.max(1L, totalRows / nIndexed)
+    val nDelta = math.max(1L, (deltaRows + rowsPerFile - 1) / rowsPerFile)
+      .min(1 << 20).toInt
+    val before = listDataFiles(spark, path).toSet
+    val z = zExprOf(mf.zcols, mf.bounds, mf.bits)
+    zorderWrite(aligned, z, mf.tieCol.map(col).getOrElse(z), nDelta,
+      path, mode = "append")
+    val newFiles = listDataFiles(spark, path).filterNot(before)
+    commitStats(spark, path, mf.zcols,
+      stats ++ statsForFiles(spark, newFiles, mf.zcols))
+  }
+
+  /** Re-layout the WHOLE maintained table — the OPTIMIZE + VACUUM step:
+    * read exactly the indexed files, re-derive bounds (restoring
+    * clustering quality for appends that drifted outside the build-time
+    * range), Z-order-write fresh files, commit the index to cover ONLY
+    * them, then garbage-collect every unindexed data file (superseded
+    * files AND any crashed writer's orphans) and refresh the manifest.
+    * Every crash window leaves a committed, readable state: before the
+    * index commit the old state stands (new files are invisible
+    * orphans); after it the new state serves and the leftover deletes
+    * are re-runnable by the next compact.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val mf = readLayoutManifest(path).getOrElse(throw new IllegalStateException(
+      s"compact: $path has no layout manifest"))
+    val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
+      s"compact: $path has no committed skipping index"))
+    val files = stats.map(_.file).distinct.sorted
+    val df = spark.read.parquet(files: _*)
+    val bounds = deriveBounds(df, mf.zcols)
+    val z = zExprOf(mf.zcols, bounds, mf.bits)
+    val before = listDataFiles(spark, path).toSet
+    zorderWrite(df, z, mf.tieCol.map(col).getOrElse(z), mf.nFiles,
+      path, mode = "append")
+    val newFiles = listDataFiles(spark, path).filterNot(before)
+    commitStats(spark, path, mf.zcols,
+      statsForFiles(spark, newFiles, mf.zcols))
+    // VACUUM: everything the committed index does not reference
+    val keep = newFiles.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    listDataFiles(spark, path).filterNot(keep).foreach { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    writeLayoutManifest(path, mf.copy(bounds = bounds))
   }
 
   /** Scan the written layout under a box predicate, opening ONLY the

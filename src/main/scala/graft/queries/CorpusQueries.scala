@@ -3498,6 +3498,52 @@ object CorpusQueries {
       },
       Some(zorderBoxOracle)),
 
+    // The MAINTAINED layout oracle-gated — the full lakehouse loop in
+    // one query: build the layout on 3/4 of documents
+    // (`df.write.format("graft-zorder")`), APPEND the remaining quarter
+    // (`.mode("append")` → Layout.appendDelta: delta Z-sorted under the
+    // build-time bounds, made visible by ONE atomic index-epoch commit),
+    // then COMPACT (Layout.compact: full re-layout, bounds re-derived,
+    // superseded files + any orphans vacuumed). The box read serves
+    // through the same graft-zorder path as q153/q158 against the SAME
+    // full-documents oracle — rows lost in the append commit, duplicated
+    // by a leaked superseded file, or dropped by the vacuum all
+    // hash-mismatch. LayoutSpec pins the crash-window semantics
+    // (uncommitted delta files stay invisible; compact GCs them).
+    QueryDef("q159_zorder_maintained_layout",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_zmaint_${dataStamp(dir, "documents")}"
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        // _SUCCESS lands after the BUILD step already — gate the reuse on
+        // a marker written only once the whole maintenance sequence ran,
+        // so a crash mid-sequence rebuilds instead of serving a half-
+        // maintained store
+        val done = new org.apache.hadoop.fs.Path(store, "_MAINT_DONE")
+        if (!fs.exists(done)) {
+          val base = table(s, dir, "documents").select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("bigint")
+              .as("n_tok"),
+            round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+          base.filter(col("doc_id") % 4 =!= 0)
+            .write.format("graft-zorder")
+            .option("zcols", "n_tok,q").option("bits", "8")
+            .option("nFiles", "16").option("tieCol", "doc_id")
+            .mode("overwrite").save(store)
+          base.filter(col("doc_id") % 4 === 0)
+            .write.format("graft-zorder").mode("append").save(store)
+          Layout.compact(s, store)
+          fs.create(done, true).close()
+        }
+        s.read.format("graft-zorder").load(store)
+          .filter(col("n_tok") >= 30L && col("n_tok") <= 60L &&
+            col("q") >= 0.55 && col("q") <= 0.75)
+          .select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle)),
+
     // Label-propagation communities (Clusters.labelPropagation) over the
     // q81 kNN graph: each node adopts its neighbors' most frequent label
     // (count desc, SMALLEST label on ties — deterministic, no random

@@ -50,55 +50,55 @@ class ZOrderSource extends RelationProvider
     *     .option("tieCol", "doc_id")         // deterministic order
     *     .save(dir)
     * }}}
-    * — one step does what the hand-driven recipe did: quantization
-    * bounds come from ONE min/max aggregation over the clustering
-    * columns, the n-column Morton value orders the range shuffle
-    * ([[Layout.zorderWrite]]), and the footer-stats skipping index is
-    * saved immediately ([[Layout.saveStats]]) so the read path prunes
-    * from day one. Only Overwrite mode: a Z-order layout is a SORTED
-    * physical arrangement — appending unsorted files would silently
-    * break the tight-box property, so it is refused rather than
-    * degraded (re-layout to add data, exactly like lakehouse OPTIMIZE).
+    * — one step does what the hand-driven recipe did
+    * ([[Layout.buildLayout]]): quantization bounds come from ONE min/max
+    * aggregation over the clustering columns, the n-column Morton value
+    * orders the range shuffle ([[Layout.zorderWrite]]), the footer-stats
+    * skipping index is committed immediately so the read path prunes
+    * from day one, and the build manifest makes the layout
+    * MAINTAINABLE: `.mode("append")` on the same path routes through
+    * [[Layout.appendDelta]] — the delta is Z-sorted under the saved
+    * bounds and made visible by one atomic index-epoch commit, never by
+    * dropping unsorted files into the directory. `Layout.compact`
+    * restores clustering quality and garbage-collects superseded files
+    * (the lakehouse OPTIMIZE + VACUUM loop). ErrorIfExists/Ignore are
+    * refused: a layout is either built or maintained, never silently
+    * skipped.
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    require(mode == SaveMode.Overwrite,
-      s"graft-zorder writes are Overwrite-only (got $mode): a Z-order " +
-        "layout is a sorted arrangement; re-layout to add data")
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-zorder needs a path"))
-    val zcols = parameters.getOrElse("zcols",
-        throw new IllegalArgumentException(
-          "graft-zorder needs option zcols=<c1,c2,...>"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(zcols.nonEmpty, "zcols must name at least one column")
-    zcols.foreach(c => require(data.columns.contains(c),
-      s"zcols column $c not in ${data.columns.mkString(", ")}"))
-    val bits = parameters.getOrElse("bits", "8").toInt
-    val nFiles = parameters.getOrElse("nFiles", "64").toInt
-    val tieCol = parameters.get("tieCol")
-    require(bits >= 1 && zcols.size * bits <= 63,
-      s"${zcols.size} columns at $bits bits overflow a signed long")
-
-    // quantization bounds from the data: one bounded aggregation
-    // (min_c0, max_c0, min_c1, max_c1, ...)
-    val aggExprs = zcols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val boundsRow = data.agg(aggExprs.head, aggExprs.tail: _*).head()
-    val bounds = zcols.indices.map { i =>
-      val (lo, hi) =
-        if (boundsRow.isNullAt(2 * i)) (0.0, 1.0) // empty/all-null column
-        else (boundsRow.getDouble(2 * i), boundsRow.getDouble(2 * i + 1))
-      if (hi > lo) (lo, hi) else (lo, lo + 1.0) // constant column guard
-    }
-    val z = Layout.zValueN(zcols.zip(bounds).map { case (c, (lo, hi)) =>
-      Layout.quantize(col(c).cast("double"), lo, hi, bits) }, bits)
     val spark = sqlContext.sparkSession
-    Layout.zorderWrite(data, z,
-      tieCol.map(col).getOrElse(z), nFiles, path)
-    Layout.saveStats(spark, path, zcols)
+    mode match {
+      case SaveMode.Overwrite =>
+        val zcols = parameters.getOrElse("zcols",
+            throw new IllegalArgumentException(
+              "graft-zorder needs option zcols=<c1,c2,...>"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(zcols.nonEmpty, "zcols must name at least one column")
+        zcols.foreach(c => require(data.columns.contains(c),
+          s"zcols column $c not in ${data.columns.mkString(", ")}"))
+        val bits = parameters.getOrElse("bits", "8").toInt
+        val nFiles = parameters.getOrElse("nFiles", "64").toInt
+        require(bits >= 1 && zcols.size * bits <= 63,
+          s"${zcols.size} columns at $bits bits overflow a signed long")
+        Layout.buildLayout(data, zcols, bits, nFiles,
+          parameters.get("tieCol"), path)
+      case SaveMode.Append =>
+        // build params come from the layout's own manifest — zcols/bits
+        // options on an append are refused rather than silently ignored
+        Seq("zcols", "bits", "nFiles", "tieCol").foreach(o =>
+          require(!parameters.contains(o),
+            s"graft-zorder append: option $o is fixed at build time " +
+              "(read from the layout manifest); re-build to change it"))
+        Layout.appendDelta(data, path)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-zorder: unsupported SaveMode $other — Overwrite builds " +
+            "a layout, Append maintains one")
+    }
     ZOrderRelation(spark, path)
   }
 }

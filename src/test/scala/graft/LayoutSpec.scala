@@ -229,7 +229,7 @@ class LayoutSpec extends SparkSpec {
 
   test("graft-zorder write path: df.write.format lays out, quantizes " +
        "from data-derived bounds, saves the index; the read path prunes " +
-       "it; append is refused") {
+       "it; append refuses build-time options") {
     val pts = (1 to 8192).map { i =>
       val x = (i * 2654435761L % 10000).toDouble / 10000.0
       val y = (i * 40503L % 10000).toDouble / 10000.0
@@ -260,12 +260,13 @@ class LayoutSpec extends SparkSpec {
     val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
     assert(total == 32 && kept < 32,
       s"3-D box must prune the written layout, opened $kept/$total")
-    // append would silently break the sorted-arrangement property
+    // build params are fixed at build time: restating them on an append
+    // is refused rather than silently ignored
     val e = intercept[Exception] {
       pts.limit(10).write.format("graft-zorder")
         .option("zcols", "x,y,w").mode("append").save(dir)
     }
-    assert(e.getMessage != null)
+    assert(e.getMessage.contains("fixed at build time"), e.getMessage)
   }
 
   test("graft-zorder read path: a plain .filter() on the registered " +
@@ -312,5 +313,144 @@ class LayoutSpec extends SparkSpec {
     assert(all == 4096L, s"unfiltered source read lost rows: $all")
     assert(graft.sources.ZOrderSource.lastScan.get()._1 == nFiles,
       "no predicate -> no skipping")
+  }
+
+  // ------------------------------------------- incremental maintenance
+
+  private def corpus(n: Int) = (1 to n).map { i =>
+    val x = (i * 2654435761L % 10000).toDouble / 10000.0
+    val y = (i * 40503L % 10000).toDouble / 10000.0
+    (i.toLong, x, y)
+  }.toDF("id", "x", "y")
+
+  private def boxIds(df: org.apache.spark.sql.DataFrame) = df
+    .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+    .select("id").collect().map(_.getLong(0)).toSet
+
+  test("append maintains the layout: the delta becomes visible through " +
+       "ONE index commit, pruning still fires over old+new files, and " +
+       "results equal the full-table baseline") {
+    val all = corpus(8192)
+    val dir = java.nio.file.Files.createTempDirectory("zapp").toString + "/t"
+    val nFiles = 32
+    all.filter(col("id") % 3 =!= 0).write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8")
+      .option("nFiles", nFiles.toString).option("tieCol", "id")
+      .mode("overwrite").save(dir)
+    // the build wrote a manifest: the layout is maintainable
+    val mf0 = Layout.readLayoutManifest(dir)
+    assert(mf0.exists(m => m.zcols == Seq("x", "y") && m.nFiles == nFiles),
+      s"build must persist the layout manifest, got $mf0")
+
+    all.filter(col("id") % 3 === 0).write.format("graft-zorder")
+      .mode("append").save(dir)
+
+    // every row visible, results equal the full-table baseline
+    def boxed = spark.read.format("graft-zorder").load(dir)
+      .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+      .select("id")
+    assert(boxed.collect().map(_.getLong(0)).toSet == boxIds(all),
+      "append changed the box-query result")
+    assert(spark.read.format("graft-zorder").load(dir).count() == 8192L,
+      "append lost rows")
+    // the index covers the delta files and still skips
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(total > nFiles,
+      s"delta files must join the index: $total files indexed")
+    val stats = Layout.loadStats(spark, dir).get
+    assert(stats.map(_.rows).sum == 8192L,
+      "index row counts must cover build + delta")
+    boxed.collect()
+    val (keptBox, totalBox) = graft.sources.ZOrderSource.lastScan.get()
+    assert(keptBox < totalBox,
+      s"pruning must still fire after append: $keptBox/$totalBox")
+    // an empty delta is a no-op, not a new epoch of noise
+    all.limit(0).write.format("graft-zorder").mode("append").save(dir)
+    assert(Layout.loadStats(spark, dir).get.map(_.rows).sum == 8192L)
+  }
+
+  test("crash-window + compact: data files written without an index " +
+       "commit stay INVISIBLE (never adopted); compact rewrites to " +
+       "nFiles, garbage-collects orphans and superseded files, keeps " +
+       "one committed epoch, and re-derives drifted bounds") {
+    val base = corpus(8192)
+    val dir = java.nio.file.Files.createTempDirectory("zcomp").toString + "/t"
+    val nFiles = 16
+    base.write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8")
+      .option("nFiles", nFiles.toString).option("tieCol", "id")
+      .mode("overwrite").save(dir)
+    val want = boxIds(base)
+
+    // simulate a writer that crashed AFTER its data-file job committed
+    // but BEFORE the index commit: files exist, index doesn't know them
+    val orphan = Seq((900001L, 0.5, 0.5), (900002L, 0.51, 0.49))
+      .toDF("id", "x", "y")
+    Layout.zorderWrite(orphan, col("id"), col("id"), 1, dir, mode = "append")
+    def served = spark.read.format("graft-zorder").load(dir)
+      .filter(col("x").between(0.45, 0.55) && col("y").between(0.45, 0.55))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served == want,
+      "uncommitted orphan files leaked into the served result")
+
+    // a real append on top (with out-of-range values: bounds drift)
+    val delta = Seq((910001L, 2.0, 3.0), (910002L, 0.5, 0.5))
+      .toDF("id", "x", "y")
+    Layout.appendDelta(delta, dir)
+    assert(served == want + 910002L, "committed delta must serve")
+    // ... the orphan is still not adopted by the append's commit
+    assert(spark.read.format("graft-zorder").load(dir).count() == 8194L)
+
+    val mfBefore = Layout.readLayoutManifest(dir).get
+    Layout.compact(spark, dir)
+
+    // results unchanged; orphan rows gone from the DIRECTORY too (VACUUM)
+    assert(served == want + 910002L, "compact changed the served result")
+    assert(spark.read.parquet(dir).count() == 8194L,
+      "compact must vacuum orphan + superseded files from the directory")
+    assert(Layout.listDataFiles(spark, dir).size == nFiles,
+      "compact must restore the manifest file count")
+    // exactly one committed epoch remains
+    val epochs = new java.io.File(s"$dir/_graft_stats").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochs.length == 1, s"stale epochs must be GC'd: ${epochs.toSeq}")
+    // bounds re-derived to cover the drifted delta
+    val mfAfter = Layout.readLayoutManifest(dir).get
+    assert(mfAfter.bounds != mfBefore.bounds &&
+      mfAfter.bounds(0)._2 >= 2.0 && mfAfter.bounds(1)._2 >= 3.0,
+      s"compact must re-derive bounds: ${mfBefore.bounds} -> ${mfAfter.bounds}")
+    // and the compacted layout still prunes
+    served
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(total == nFiles && kept < total,
+      s"compacted layout must prune: $kept/$total")
+  }
+
+  test("legacy flat stats tables (pre-epoch format) still load and " +
+       "serve pruning") {
+    val pts = corpus(2048)
+    val dir = java.nio.file.Files.createTempDirectory("zleg").toString + "/t"
+    Layout.zorderWrite(pts,
+      Layout.zValue(Layout.quantize(col("x"), 0.0, 1.0, 8),
+        Layout.quantize(col("y"), 0.0, 1.0, 8), 8), col("id"), 8, dir)
+    Layout.saveStats(spark, dir, Seq("x", "y"))
+    // rewrite the index in the legacy layout: parquet directly under
+    // _graft_stats, no pointer, no epoch dirs
+    val statsDir = new java.io.File(s"$dir/_graft_stats")
+    val epochDir = statsDir.listFiles().find(_.getName.startsWith("epoch=")).get
+    epochDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(statsDir, f.getName).toPath)
+    }
+    assert(new java.io.File(statsDir, "_CURRENT").delete())
+    epochDir.listFiles().foreach(_.delete()); epochDir.delete()
+    val loaded = Layout.loadStats(spark, dir)
+    assert(loaded.exists(_.map(_.file).distinct.size == 8),
+      s"legacy flat stats must load: $loaded")
+    val (scan, kept, total) = Layout.prunedScan(spark, dir,
+      Map("x" -> (0.45, 0.55), "y" -> (0.45, 0.55)))
+    assert(total == 8 && kept.size < 8, "legacy stats must prune")
+    assert(scan.select("id").collect().map(_.getLong(0)).toSet ==
+      boxIds(pts), "legacy-stats pruned scan changed the result")
   }
 }
