@@ -197,10 +197,38 @@ object Layout {
     * mid-scan during maintenance — a shared deployment would retain a
     * vacuum horizon of epochs instead of exactly one.
     */
+  private val TagsFile = "_tags.txt"
+
+  /** Key-value tags carried by the CURRENT committed epoch — they ride
+    * the same atomic pointer commit as the stats themselves, which is
+    * what makes an exactly-once streaming sink possible: a consumer that
+    * records its progress (e.g. the last applied micro-batch id) as a
+    * commit tag either sees its data AND its progress marker, or
+    * neither. Tags are carried forward commit-to-commit (a [[compact]]
+    * between two appends must not lose the stream's watermark) unless a
+    * new commit overrides a key.
+    */
+  def epochTags(path: String): Map[String, String] = {
+    val f = readEpoch(path) match {
+      case Some(e) => java.nio.file.Paths.get(
+        s"${statsRoot(path)}/epoch=$e", TagsFile)
+      case None => return Map.empty
+    }
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else java.nio.file.Files.readString(f).linesIterator
+      .filter(_.contains('=')).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
   private def commitStats(spark: SparkSession, path: String,
                           statCols: Seq[String],
-                          groups: Seq[RowGroupStats]): Unit = {
+                          groups: Seq[RowGroupStats],
+                          tags: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
+    // carry the previous epoch's tags unless overridden
+    val allTags = epochTags(path) ++ tags
     val epoch = readEpoch(path).map(_ + 1L).getOrElse(0L)
     val dir = s"${statsRoot(path)}/epoch=$epoch"
     // coalesce(1): the index is one row PER ROW GROUP — thousands of
@@ -214,6 +242,19 @@ object Layout {
       .toDF("file", "group", "rows", "cols", "mins", "maxs")
       .coalesce(1)
       .write.mode("overwrite").parquet(dir)
+    if (allTags.nonEmpty) {
+      allTags.keys.foreach(k => require(!k.contains('=') &&
+        !k.contains('\n'), s"tag key may not contain '=' or newline: $k"))
+      allTags.values.foreach(v => require(!v.contains('\n'),
+        s"tag value may not contain a newline: $v"))
+      // written INSIDE the epoch dir BEFORE the pointer move: the tag
+      // commits atomically with the stats (underscore name: Spark's
+      // reader ignores it)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, TagsFile),
+        allTags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString("\n"))
+    }
     val root = java.nio.file.Paths.get(statsRoot(path))
     val tmp = root.resolve(s"$Pointer.tmp")
     java.nio.file.Files.writeString(tmp, epoch.toString)
@@ -238,9 +279,10 @@ object Layout {
     * [[appendDelta]] / [[compact]] are exactly the ops that re-save it
     * incrementally, behind an atomic epoch-pointer commit).
     */
-  def saveStats(spark: SparkSession, path: String,
-                statCols: Seq[String]): Unit =
-    commitStats(spark, path, statCols, parquetStats(spark, path, statCols))
+  def saveStats(spark: SparkSession, path: String, statCols: Seq[String],
+                tags: Map[String, String] = Map.empty): Unit =
+    commitStats(spark, path, statCols,
+      parquetStats(spark, path, statCols), tags)
 
   /** The saved skipping index, if one exists: the epoch the pointer
     * commits, or the legacy flat `_graft_stats` table for layouts saved
@@ -341,13 +383,13 @@ object Layout {
     * here.
     */
   def buildLayout(df: DataFrame, zcols: Seq[String], bits: Int,
-                  nFiles: Int, tieCol: Option[String],
-                  path: String): Unit = {
+                  nFiles: Int, tieCol: Option[String], path: String,
+                  tags: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val bounds = deriveBounds(df, zcols)
     val z = zExprOf(zcols, bounds, bits)
     zorderWrite(df, z, tieCol.map(col).getOrElse(z), nFiles, path)
-    saveStats(spark, path, zcols)
+    saveStats(spark, path, zcols, tags)
     writeLayoutManifest(path, LayoutManifest(zcols, bits, nFiles,
       tieCol, bounds))
   }
@@ -363,7 +405,8 @@ object Layout {
     * invisible (re-run the append; orphans are GC'd by the next
     * [[compact]]); a crashed writer's orphans are never adopted.
     */
-  def appendDelta(delta: DataFrame, path: String): Unit = {
+  def appendDelta(delta: DataFrame, path: String,
+                  tags: Map[String, String] = Map.empty): Unit = {
     val spark = delta.sparkSession
     val mf = readLayoutManifest(path).getOrElse(throw new IllegalStateException(
       s"appendDelta: $path has no layout manifest — build it with " +
@@ -392,7 +435,7 @@ object Layout {
       path, mode = "append")
     val newFiles = listDataFiles(spark, path).filterNot(before)
     commitStats(spark, path, mf.zcols,
-      stats ++ statsForFiles(spark, newFiles, mf.zcols))
+      stats ++ statsForFiles(spark, newFiles, mf.zcols), tags)
   }
 
   /** Re-layout the WHOLE maintained table — the OPTIMIZE + VACUUM step:

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+import graft.streaming.StreamingZLayout
+import graft.streaming.StreamingZLayout.{BatchResult, Params}
+
+/** The streaming Z-layout maintenance sink: bootstrap-from-first-batch,
+  * per-batch append, exactly-once under foreachBatch replay (the batch id
+  * rides the atomic index-epoch commit), and drift-bounded compaction —
+  * the stream must converge to the same table a batch build would.
+  */
+class StreamingZLayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int) = (lo to hi).map { i =>
+    val x = (i * 2654435761L % 10000).toDouble / 10000.0
+    val y = (i * 40503L % 10000).toDouble / 10000.0
+    (i.toLong, x, y)
+  }.toDF("id", "x", "y")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private val p = Params(zcols = Seq("x", "y"), bits = 8, nFiles = 4,
+    tieCol = Some("id"), compactFactor = 2)
+
+  test("bootstrap + appends converge to the batch table; an empty first " +
+       "batch defers; replayed batches are skipped exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("zstream").toString + "/t"
+
+    // empty first batch: no bounds to derive from — defer bootstrap
+    val r0 = StreamingZLayout.processBatch(rows(1, 0), 0L, dir, p)
+    assert(r0 == BatchResult(false, false, false, 0))
+    assert(Layout.readLayoutManifest(dir).isEmpty)
+
+    val r1 = StreamingZLayout.processBatch(rows(1, 2000), 1L, dir, p)
+    assert(r1.applied && r1.bootstrapped && r1.nFiles == p.nFiles)
+    val r2 = StreamingZLayout.processBatch(rows(2001, 3000), 2L, dir, p)
+    assert(r2.applied && !r2.bootstrapped)
+
+    def served = spark.read.format("graft-zorder").load(dir)
+    assert(ids(served) == (1L to 3000L).toSet,
+      "stream must converge to the batch table")
+
+    // foreachBatch replay: batch 2's append committed but the offset
+    // checkpoint didn't — the sink must recognize the committed
+    // streamBatchId tag and skip, or every replay doubles rows
+    val replay = StreamingZLayout.processBatch(rows(2001, 3000), 2L, dir, p)
+    assert(!replay.applied, "replayed batch must be skipped")
+    assert(served.count() == 3000L, "replay doubled rows")
+    // a LATER batch still applies
+    val r3 = StreamingZLayout.processBatch(rows(3001, 3200), 3L, dir, p)
+    assert(r3.applied)
+    assert(served.count() == 3200L)
+
+    // box-query parity against the plain batch baseline, with pruning —
+    // a CORNER box: with nFiles=4 the build files are z-quadrants, so a
+    // center box would legitimately touch all four; the corner box must
+    // skip at least the opposite quadrants (delta files each span wide
+    // ranges until compaction, so they stay kept)
+    val want = ids(rows(1, 3200)
+      .filter(col("x").between(0.05, 0.15) && col("y").between(0.05, 0.15)))
+    val got = ids(served
+      .filter(col("x").between(0.05, 0.15) && col("y").between(0.05, 0.15)))
+    assert(got == want && want.nonEmpty)
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(kept < total, s"maintained layout must still prune: $kept/$total")
+  }
+
+  test("file-count drift triggers compaction; tags survive it (a replay " +
+       "AFTER compact is still skipped) and results are unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("zstreamc").toString + "/t"
+    StreamingZLayout.processBatch(rows(1, 2000), 0L, dir, p)
+    // each append adds >= 1 file over nFiles=4, factor 2 → a compact
+    // must fire within a handful of batches
+    var compactedAt = -1L
+    var id = 1L
+    while (compactedAt < 0 && id <= 12L) {
+      val lo = 2000 + (id.toInt - 1) * 100 + 1
+      val r = StreamingZLayout.processBatch(rows(lo, lo + 99), id, dir, p)
+      assert(r.applied)
+      if (r.compacted) compactedAt = id
+      id += 1
+    }
+    assert(compactedAt > 0, "drifting file count must trigger compaction")
+    val nAfter = Layout.listDataFiles(spark, dir).size
+    assert(nAfter == p.nFiles,
+      s"compaction must restore the build file count, got $nAfter")
+
+    val hi = 2000 + (id.toInt - 1) * 100
+    def served = spark.read.format("graft-zorder").load(dir)
+    assert(ids(served) == (1L to hi.toLong).toSet,
+      "compaction changed the table")
+
+    // the compact carried the watermark: replaying the batch whose
+    // append preceded the compact must STILL be recognized as applied
+    val lo = 2000 + (compactedAt.toInt - 1) * 100 + 1
+    val replay = StreamingZLayout.processBatch(
+      rows(lo, lo + 99), compactedAt, dir, p)
+    assert(!replay.applied,
+      "compaction lost the streamBatchId watermark — replay doubled rows")
+    assert(served.count() == hi.toLong)
+  }
+}
