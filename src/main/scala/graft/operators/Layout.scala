@@ -181,12 +181,47 @@ object Layout {
   private val Pointer = "_CURRENT"
   private def statsRoot(path: String): String = s"$path/$StatsDir"
 
-  /** The committed stats epoch, if the index uses the epoch format. */
-  private def readEpoch(path: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(statsRoot(path), Pointer)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(java.nio.file.Files.readString(p).trim.toLong)
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def readSmallFile(spark: SparkSession,
+                            p: Path): Option[String] = {
+    val fs = p.getFileSystem(hconf(spark))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
+
+  /** Small-file write committed by an ATOMIC rename — through Hadoop's
+    * FileContext (Options.Rename.OVERWRITE), so pointer/tag/manifest
+    * commits work on ANY Hadoop filesystem the data itself lives on
+    * (local, HDFS; an object store without atomic rename would swap
+    * this for a conditional put), not just java.nio local paths.
+    */
+  private def writeFileAtomic(spark: SparkSession, dir: Path,
+                              name: String, content: String): Unit = {
+    val fs = dir.getFileSystem(hconf(spark))
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, hconf(spark))
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new Path(dir, name)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The committed stats epoch, if the index uses the epoch format. */
+  private def readEpoch(spark: SparkSession,
+                        path: String): Option[Long] =
+    readSmallFile(spark, new Path(statsRoot(path), Pointer))
+      .map(_.trim.toLong)
 
   /** Write one stats epoch and COMMIT it by atomically moving the
     * pointer file — the index's transaction-log step. A reader sees
@@ -208,19 +243,18 @@ object Layout {
     * between two appends must not lose the stream's watermark) unless a
     * new commit overrides a key.
     */
-  def epochTags(path: String): Map[String, String] = {
-    val f = readEpoch(path) match {
-      case Some(e) => java.nio.file.Paths.get(
-        s"${statsRoot(path)}/epoch=$e", TagsFile)
-      case None => return Map.empty
+  def epochTags(spark: SparkSession, path: String): Map[String, String] =
+    readEpoch(spark, path) match {
+      case None => Map.empty
+      case Some(e) =>
+        readSmallFile(spark,
+          new Path(s"${statsRoot(path)}/epoch=$e", TagsFile))
+          .map(_.linesIterator.filter(_.contains('=')).map { l =>
+            val i = l.indexOf('=')
+            l.substring(0, i) -> l.substring(i + 1)
+          }.toMap)
+          .getOrElse(Map.empty)
     }
-    if (!java.nio.file.Files.exists(f)) Map.empty
-    else java.nio.file.Files.readString(f).linesIterator
-      .filter(_.contains('=')).map { l =>
-        val i = l.indexOf('=')
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap
-  }
 
   private def commitStats(spark: SparkSession, path: String,
                           statCols: Seq[String],
@@ -228,8 +262,8 @@ object Layout {
                           tags: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     // carry the previous epoch's tags unless overridden
-    val allTags = epochTags(path) ++ tags
-    val epoch = readEpoch(path).map(_ + 1L).getOrElse(0L)
+    val allTags = epochTags(spark, path) ++ tags
+    val epoch = readEpoch(spark, path).map(_ + 1L).getOrElse(0L)
     val dir = s"${statsRoot(path)}/epoch=$epoch"
     // coalesce(1): the index is one row PER ROW GROUP — thousands of
     // entries for a real table, safely one file. If a layout ever grows
@@ -250,17 +284,12 @@ object Layout {
       // written INSIDE the epoch dir BEFORE the pointer move: the tag
       // commits atomically with the stats (underscore name: Spark's
       // reader ignores it)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, TagsFile),
+      writeFileAtomic(spark, new Path(dir), TagsFile,
         allTags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
           .mkString("\n"))
     }
-    val root = java.nio.file.Paths.get(statsRoot(path))
-    val tmp = root.resolve(s"$Pointer.tmp")
-    java.nio.file.Files.writeString(tmp, epoch.toString)
-    java.nio.file.Files.move(tmp, root.resolve(Pointer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeFileAtomic(spark, new Path(statsRoot(path)), Pointer,
+      epoch.toString)
     // GC: stale epoch dirs (including any uncommitted orphan epochs)
     val hRoot = new Path(statsRoot(path))
     val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -295,18 +324,21 @@ object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val dir = readEpoch(path) match {
-        case Some(e) => s"${statsRoot(path)}/epoch=$e"
+      val dirs: Seq[String] = readEpoch(spark, path) match {
+        case Some(e) => Seq(s"${statsRoot(path)}/epoch=$e")
         case None =>
-          // legacy flat table — but ONLY if flat parquet actually exists:
-          // an epoch dir with no pointer is an UNCOMMITTED write (crash
-          // before the first pointer move) and must stay invisible, not
-          // get partition-discovered by a directory read
-          if (fs.listStatus(p).exists(s => s.isFile &&
-              s.getPath.getName.endsWith(".parquet"))) statsRoot(path)
-          else return None
+          // legacy flat table — read the flat FILES explicitly, never
+          // the directory: an epoch dir with no pointer is an
+          // UNCOMMITTED write (crash before the first pointer move) and
+          // must stay invisible, not get partition-discovered (a
+          // directory read next to an orphan epoch dir would even fail
+          // with conflicting directory structures)
+          val flat = fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+          if (flat.nonEmpty) flat else return None
       }
-      Some(spark.read.parquet(dir).collect().toSeq.map { r =>
+      Some(spark.read.parquet(dirs: _*).collect().toSeq.map { r =>
         val cols = r.getSeq[String](3)
         def optSeq(i: Int): Seq[Option[Double]] =
           r.getSeq[Any](i).map(Option(_).map {
@@ -360,17 +392,27 @@ object Layout {
                                   nFiles: Int, tieCol: Option[String],
                                   bounds: Seq[(Double, Double)])
 
-  private def writeLayoutManifest(path: String, m: LayoutManifest): Unit =
-    graft.sources.Bundle.writeManifest(statsRoot(path),
-      Map("kind" -> "zorder-layout",
-        "zcols" -> m.zcols.mkString(","),
-        "bits" -> m.bits.toString,
-        "nFiles" -> m.nFiles.toString,
-        "bounds" -> boundsParam(m.bounds)) ++
-        m.tieCol.map("tieCol" -> _))
+  private val ManifestFile = "manifest.json"
 
-  def readLayoutManifest(path: String): Option[LayoutManifest] =
-    graft.sources.Bundle.readManifest(statsRoot(path))
+  /** Bundle's manifest format, but written through [[writeFileAtomic]]
+    * so the maintained layout's ENTIRE metadata (manifest, pointer,
+    * tags) lives on the same Hadoop filesystem as its data files.
+    */
+  private def writeLayoutManifest(spark: SparkSession, path: String,
+                                  m: LayoutManifest): Unit =
+    writeFileAtomic(spark, new Path(statsRoot(path)), ManifestFile,
+      graft.sources.Bundle.manifestJson(
+        Map("kind" -> "zorder-layout",
+          "zcols" -> m.zcols.mkString(","),
+          "bits" -> m.bits.toString,
+          "nFiles" -> m.nFiles.toString,
+          "bounds" -> boundsParam(m.bounds)) ++
+          m.tieCol.map("tieCol" -> _)))
+
+  def readLayoutManifest(spark: SparkSession,
+                         path: String): Option[LayoutManifest] =
+    readSmallFile(spark, new Path(statsRoot(path), ManifestFile))
+      .map(graft.sources.Bundle.parseManifest)
       .filter(_.get("kind").contains("zorder-layout"))
       .map(p => LayoutManifest(
         p("zcols").split(",").toSeq, p("bits").toInt, p("nFiles").toInt,
@@ -390,7 +432,7 @@ object Layout {
     val z = zExprOf(zcols, bounds, bits)
     zorderWrite(df, z, tieCol.map(col).getOrElse(z), nFiles, path)
     saveStats(spark, path, zcols, tags)
-    writeLayoutManifest(path, LayoutManifest(zcols, bits, nFiles,
+    writeLayoutManifest(spark, path, LayoutManifest(zcols, bits, nFiles,
       tieCol, bounds))
   }
 
@@ -404,11 +446,19 @@ object Layout {
     * files THIS call wrote. Crash before the commit → the delta is
     * invisible (re-run the append; orphans are GC'd by the next
     * [[compact]]); a crashed writer's orphans are never adopted.
+    *
+    * Returns whether a commit happened: an EMPTY delta is a no-op
+    * (false) — no new epoch, no tag advance. The delta is PINNED
+    * (localCheckpoint) so the emptiness check, the file-count sizing,
+    * and the write all see one snapshot — a lineage containing
+    * non-determinism or a re-read source that changed cannot diverge
+    * between them.
     */
   def appendDelta(delta: DataFrame, path: String,
-                  tags: Map[String, String] = Map.empty): Unit = {
+                  tags: Map[String, String] = Map.empty): Boolean = {
     val spark = delta.sparkSession
-    val mf = readLayoutManifest(path).getOrElse(throw new IllegalStateException(
+    val mf = readLayoutManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
       s"appendDelta: $path has no layout manifest — build it with " +
         "Layout.buildLayout / df.write.format(\"graft-zorder\") first"))
     val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
@@ -421,8 +471,9 @@ object Layout {
       s"appendDelta: delta columns ${delta.columns.sorted.mkString(",")} " +
         s"!= layout columns ${dataSchema.fieldNames.sorted.mkString(",")}")
     val aligned = delta.select(dataSchema.fieldNames.toSeq.map(col): _*)
+      .localCheckpoint(true)
     val deltaRows = aligned.count()
-    if (deltaRows == 0) return
+    if (deltaRows == 0) return false
     // size delta files like the build's files
     val totalRows = stats.map(_.rows).sum
     val nIndexed = math.max(1, stats.map(_.file).distinct.size)
@@ -436,6 +487,8 @@ object Layout {
     val newFiles = listDataFiles(spark, path).filterNot(before)
     commitStats(spark, path, mf.zcols,
       stats ++ statsForFiles(spark, newFiles, mf.zcols), tags)
+    Checkpoints.release(aligned)
+    true
   }
 
   /** Re-layout the WHOLE maintained table — the OPTIMIZE + VACUUM step:
@@ -450,7 +503,8 @@ object Layout {
     * are re-runnable by the next compact.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val mf = readLayoutManifest(path).getOrElse(throw new IllegalStateException(
+    val mf = readLayoutManifest(spark, path).getOrElse(
+      throw new IllegalStateException(
       s"compact: $path has no layout manifest"))
     val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
       s"compact: $path has no committed skipping index"))
@@ -471,7 +525,7 @@ object Layout {
       val p = new Path(f)
       p.getFileSystem(conf).delete(p, false)
     }
-    writeLayoutManifest(path, mf.copy(bounds = bounds))
+    writeLayoutManifest(spark, path, mf.copy(bounds = bounds))
   }
 
   /** Scan the written layout under a box predicate, opening ONLY the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-safe interval (range) joins.
@@ -275,6 +275,18 @@ object RangeJoin {
     * holding NULL in the matched row from a FARTHER-BACK right row,
     * silently mixing rows in one output record.
     */
+  /** The gap used by TOLERANCE checks, in the ts column's native units —
+    * SECONDS for TimestampType (a timestamp difference is a
+    * DayTimeInterval, which cannot compare against the long tolerance;
+    * the long cast truncates to epoch seconds).
+    */
+  private def tolGap(later: Column, earlier: Column, df: DataFrame,
+                     tsCol: String): Column =
+    if (df.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      later.cast("long") - earlier.cast("long")
+    else later - earlier
+
   def asofBackward(left: DataFrame, right: DataFrame, tsCol: String,
                    equiKeys: Seq[String], payloadCols: Seq[String],
                    tolerance: Option[Long] = None): DataFrame = {
@@ -301,7 +313,7 @@ object RangeJoin {
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
-          (col(tsCol) - col("asof_ts")) <= tol
+          tolGap(col(tsCol), col("asof_ts"), left, tsCol) <= tol
         payloadCols.foldLeft(filled)((df, c) =>
             df.withColumn(c, when(ok, col(c))))
           .withColumn("asof_ts", when(ok, col("asof_ts")))
@@ -334,8 +346,13 @@ object RangeJoin {
     val w = Window.partitionBy(equiKeys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(0, Window.unboundedFollowing)
+    // a left row with NULL ts matches NOTHING ("smallest rts >= NULL"
+    // has no SQL solution) — but it sorts NULLS FIRST, where the
+    // FOLLOWING frame would hand it the earliest right row; guard the
+    // carry (backward's PRECEDING frame is safe by the same ordering)
     val packed = u
-      .withColumn("_m", first(col("_pack"), ignoreNulls = true).over(w))
+      .withColumn("_m", when(col(tsCol).isNotNull,
+        first(col("_pack"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 0).drop("_side", "_pack")
     val filled = payloadCols
       .foldLeft(packed)((df, c) =>
@@ -345,7 +362,7 @@ object RangeJoin {
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
-          (col("asof_ts") - col(tsCol)) <= tol
+          tolGap(col("asof_ts"), col(tsCol), left, tsCol) <= tol
         payloadCols.foldLeft(filled)((df, c) =>
             df.withColumn(c, when(ok, col(c))))
           .withColumn("asof_ts", when(ok, col("asof_ts")))
@@ -392,10 +409,15 @@ object RangeJoin {
     val fTs = col("_fp").getField(tsCol)
     val gapB = col(tsCol) - bTs
     val gapF = fTs - col(tsCol)
-    val bOk = bTs.isNotNull &&
-      tolerance.map(t => gapB <= t).getOrElse(lit(true))
-    val fOk = fTs.isNotNull &&
-      tolerance.map(t => gapF <= t).getOrElse(lit(true))
+    // a NULL-ts left row matches neither arm (it sorts NULLS FIRST,
+    // where the forward frame would otherwise hand it the earliest
+    // right row — see asofForward)
+    val bOk = col(tsCol).isNotNull && bTs.isNotNull &&
+      tolerance.map(t => tolGap(col(tsCol), bTs, left, tsCol) <= t)
+        .getOrElse(lit(true))
+    val fOk = col(tsCol).isNotNull && fTs.isNotNull &&
+      tolerance.map(t => tolGap(fTs, col(tsCol), left, tsCol) <= t)
+        .getOrElse(lit(true))
     val useB = bOk && (!fOk || gapB <= gapF)
     val picked = payloadCols.foldLeft(armed)((df, c) =>
         df.withColumn(c,

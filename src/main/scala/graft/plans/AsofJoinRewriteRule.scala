@@ -159,7 +159,16 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
       .orderBy(col("_ats"), col("_aside"))
     val wB = w0.rowsBetween(Window.unboundedPreceding, 0)
     val wF = w0.rowsBetween(0, Window.unboundedFollowing)
-    val matched = asofMode match {
+    // tolerance gaps compare against a LONG literal: for TimestampType
+    // the raw difference is a DayTimeInterval, so the gap is computed on
+    // the epoch-seconds cast (tolerance unit = seconds there, native
+    // units otherwise — RangeJoin.tolGap's convention)
+    def tGap(later: org.apache.spark.sql.Column,
+             earlier: org.apache.spark.sql.Column) =
+      if (lts.dataType == TimestampType)
+        later.cast("long") - earlier.cast("long")
+      else later - earlier
+    val withMatch = asofMode match {
       case AsofJoinMarker.Nearest =>
         // both arms as frames over the SAME sort; smaller gap wins,
         // ties go backward; `tolerance` bounds each arm's gap
@@ -173,14 +182,13 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
         val gapB = col("_ats") - bTs
         val gapF = fTs - col("_ats")
         val bOk = bTs.isNotNull &&
-          tolerance.map(t => gapB <= t).getOrElse(lit(true))
+          tolerance.map(t => tGap(col("_ats"), bTs) <= t).getOrElse(lit(true))
         val fOk = fTs.isNotNull &&
-          tolerance.map(t => gapF <= t).getOrElse(lit(true))
+          tolerance.map(t => tGap(fTs, col("_ats")) <= t).getOrElse(lit(true))
         val useB = bOk && (!fOk || gapB <= gapF)
-        val picked = armed.withColumn("_am",
+        armed.withColumn("_am",
           when(useB, col("_abp")).when(fOk, col("_afp")))
           .drop("_abp", "_afp")
-        if (jt == Inner) picked.filter(col("_am").isNotNull) else picked
       case _ =>
         val carried =
           if (forward) first(col("_apack"), ignoreNulls = true).over(wF)
@@ -189,15 +197,23 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
           .filter(col("_aside") === lSide)
         // out-of-tolerance matches null out WHOLE (the packed row, so
         // every payload column and the ts null together)
-        val bounded = tolerance match {
+        tolerance match {
           case Some(t) =>
             val mTs = col("_am").getField(rName(rts))
-            val gap = if (forward) mTs - col("_ats") else col("_ats") - mTs
+            val gap = if (forward) tGap(mTs, col("_ats"))
+                      else tGap(col("_ats"), mTs)
             leftRows.withColumn("_am", when(gap <= t, col("_am")))
           case None => leftRows
         }
-        if (jt == Inner) bounded.filter(col("_am").isNotNull) else bounded
     }
+    // a left row with NULL ts matches nothing in ANY mode (no SQL
+    // comparison against NULL holds) — without this guard it sorts
+    // NULLS FIRST, where forward/nearest's FOLLOWING frame would hand
+    // it the earliest right row
+    val guarded = withMatch.withColumn("_am",
+      when(col("_ats").isNotNull, col("_am")))
+    val matched =
+      if (jt == Inner) guarded.filter(col("_am").isNotNull) else guarded
     val out = matched.select(lNames.map(col) ++
       rNames.map(n => col("_am").getField(n).as(n)): _*)
 

@@ -47,14 +47,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * MONOTONE coarsening — the original predicate stays as the exact
   * residual — and `floor(x / w)` is monotone for all four. Double NaN/∞
   * BOUNDS cannot bucketize (a `[lo, NaN)` interval matches every point
-  * above lo, which no finite explosion covers): the static literal-shift
-  * path is safe by construction (a non-finite start yields a non-finite
-  * end, which both fails the `hi > lo` explode guard and can satisfy the
-  * original predicate for no point), and the sampling path COUNTS
-  * non-finite bounds in the same pass and refuses to rewrite when any
-  * exist — the nested-loop plan is the only correct one then. Non-finite
-  * POINT values are always safe: points never explode, and the residual
-  * rejects them.
+  * above lo under Spark's NaN-largest ordering, which no finite
+  * explosion covers — and `floor` on a double is SILENT about it:
+  * floor(NaN)=0, floor(±∞/huge) saturates at ±Long.MaxValue, so the
+  * failure mode is wrong buckets and lost matches, not an error). Every
+  * mode therefore verifies DoubleType interval bounds at planning time:
+  * the static literal-shift path is safe by construction (a non-finite
+  * start yields a non-finite end, which fails the `hi > lo` explode
+  * guard and satisfies the predicate for no point), the sampling path
+  * counts non-finite and saturation-magnitude bounds in the width pass,
+  * and FIXED mode runs the same statistics as a dedicated check
+  * ([[doubleSafe]]) — any offender and the rewrite is refused; the
+  * nested-loop plan is the only exact one then. Non-finite POINT values
+  * are always safe: points never explode, a saturated point bucket can
+  * equal no admitted interval bucket, and the residual rejects NaN
+  * points.
   *
   * The rewrite adds a bucket column on the point side (`floor(x / w)`,
   * the operator's exact arithmetic), explodes each interval to its
@@ -156,7 +163,9 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   private def pointWidth(mode: Mode, side: LogicalPlan, lo: Expression,
                          hi: Expression): Option[(Long, Int)] =
     mode match {
-      case Fixed(w) => Some((w, 0))
+      case Fixed(w) =>
+        if (lo.dataType == DoubleType && !doubleSafe(side, lo, hi, w)) None
+        else Some((w, 0))
       case Off => None
       case Auto(_) =>
         staticShift(side, lo, hi).map(w => (w, 0))
@@ -172,7 +181,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   private def widthOf(mode: Mode,
       sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] =
     mode match {
-      case Fixed(w) => Some(w)
+      case Fixed(w) =>
+        if (sides.forall { case (s, lo, hi) =>
+          lo.dataType != DoubleType || doubleSafe(s, lo, hi, w) }) Some(w)
+        else None
       case Off => None
       case Auto(_) =>
         val ws = sides.map { case (side, lo, hi) =>
@@ -250,6 +262,14 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * counts non-finite bounds among explodable rows; any present → None
     * (only the nested-loop plan is correct for them). Any execution
     * failure degrades to None — the original join always remains valid.
+    *
+    * Runs once per OPTIMIZATION of a matching join — i.e. per action on
+    * a frame containing one. Deliberately not cached across actions:
+    * the double-bound verdict is part of correctness (a stale cached
+    * "finite" verdict could admit a NaN bound that arrived after the
+    * cache fill and silently lose matches), and the cost is one
+    * two-column aggregation of the interval side — the dimension side
+    * at warehouse scale.
     */
   private def sampledWidth(side: LogicalPlan, lo: Expression,
                            hi: Expression): Option[(Long, Int)] = {
@@ -263,15 +283,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     val pct = Alias(new ApproximatePercentile(len, Literal(0.75d))
       .toAggregateExpression(), "w")()
     val mx = Alias(Max(len).toAggregateExpression(), "mx")()
-    val nf: NamedExpression =
-      if (lo.dataType == DoubleType) {
-        def bad(e: Expression) = Or(IsNaN(e),
-          Or(EqualTo(e, Literal(Double.PositiveInfinity)),
-             EqualTo(e, Literal(Double.NegativeInfinity))))
-        Alias(Sum(If(Or(bad(lo), bad(hi)), Literal(1L), Literal(0L)))
-          .toAggregateExpression(), "nf")()
-      } else Alias(Literal(0L), "nf")()
-    val agg = Aggregate(Nil, Seq(pct, mx, nf),
+    val (nf, mag) = doubleStatExprs(lo, hi)
+    val agg = Aggregate(Nil, Seq(pct, mx, nf, mag),
       Filter(GreaterThan(hi, lo), side))
     val row =
       try org.apache.spark.sql.graft.PlanExec.head(agg)
@@ -280,6 +293,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     else if (row.isNullAt(0)) Some((1L, 0))
     else {
       val w = math.max(1L, math.round(row.getDouble(0)))
+      // bucket-magnitude safety (see doubleSafe): bounds whose bucket
+      // would saturate the long range cannot rewrite exactly
+      if (!row.isNullAt(3) && row.getDouble(3) >= MaxBucketMag * w)
+        return None
       val maxLen = row.getDouble(1)
       val widths = graft.operators.RangeJoin.levelWidths(w, Cap)
       val maxLvl = widths.indices
@@ -287,6 +304,57 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
         .getOrElse(widths.size - 1)
       Some((w, maxLvl))
     }
+  }
+
+  /** The double-bound statistics read alongside the width sample:
+    * `nf` = count of explodable rows with a NaN/±∞ bound, `mag` = the
+    * largest |bound| (0/null for non-double types, which cannot
+    * saturate).
+    */
+  private def doubleStatExprs(lo: Expression,
+      hi: Expression): (NamedExpression, NamedExpression) =
+    if (lo.dataType == DoubleType) {
+      def bad(e: Expression) = Or(IsNaN(e),
+        Or(EqualTo(e, Literal(Double.PositiveInfinity)),
+           EqualTo(e, Literal(Double.NegativeInfinity))))
+      (Alias(Sum(If(Or(bad(lo), bad(hi)), Literal(1L), Literal(0L)))
+         .toAggregateExpression(), "nf")(),
+       Alias(Max(Greatest(Seq(Abs(lo), Abs(hi)))).toAggregateExpression(),
+         "mag")())
+    } else (Alias(Literal(0L), "nf")(),
+      Alias(Literal(0.0d), "mag")())
+
+  /** Margin below 2^63 at which a double bucket (`floor(x / w)`) is
+    * still exactly representable and nowhere near saturation (floor on
+    * a double SATURATES at ±Long.MaxValue and floor(NaN) is 0 — silent
+    * wrong buckets, not errors).
+    */
+  private val MaxBucketMag = 4.6e18 // < 2^62
+
+  /** DoubleType admission check for FIXED-width mode (auto mode reads
+    * the same statistics inside [[sampledWidth]]): one planning-time
+    * pass over the explodable interval rows — any NaN/±∞ bound, or a
+    * bound whose bucket magnitude approaches long saturation, and the
+    * rewrite is refused (the nested-loop plan is the only exact one).
+    * POINTS need no check: with every admitted interval bucket below
+    * the margin, a point whose own bucket saturates can equal no
+    * admitted bucket, and the residual rejects NaN points. A
+    * non-deterministic side cannot be verified at planning time — the
+    * explicit width is the user's assertion that the bounds are
+    * well-behaved, so the rewrite proceeds as it always did there.
+    */
+  private def doubleSafe(side: LogicalPlan, lo: Expression,
+                         hi: Expression, width: Long): Boolean = {
+    if (side.exists(_.expressions.exists(e =>
+        e.exists(!_.deterministic)))) return true
+    val (nf, mag) = doubleStatExprs(lo, hi)
+    val agg = Aggregate(Nil, Seq(nf, mag),
+      Filter(GreaterThan(hi, lo), side))
+    val row =
+      try org.apache.spark.sql.graft.PlanExec.head(agg)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    (row.isNullAt(0) || row.getLong(0) == 0L) &&
+      (row.isNullAt(1) || row.getDouble(1) < MaxBucketMag * width)
   }
 
   // ------------------------------------------------------ pattern matching

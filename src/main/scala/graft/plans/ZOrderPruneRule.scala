@@ -46,54 +46,16 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Numeric literal → bound, FINITE only: a NaN literal would poison
-    * the interval arithmetic (NaN bounds compare false in the intersect
-    * test, skipping files whose rows CAN match under Spark's
-    * NaN-equals-NaN semantics), and ±∞ derives no information.
-    */
-  private def num(v: Any): Option[Double] = (v match {
-    case n: Number => Some(n.doubleValue())
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-    case _ => None
-  }).filter(d => !d.isNaN && !d.isInfinite)
-
-  /** Per-column closed [lo, hi] bounds from attribute-vs-literal
-    * conjuncts (strict widened to closed; anything else ignored).
+  /** Per-column closed [lo, hi] bounds, derived by translating each
+    * conjunct through Spark's own `translateFilter` and handing the
+    * result to the DSv1 relation's bound logic — ONE implementation
+    * ([[ZOrderRelation.ranges]]) for both read paths, instead of a
+    * parallel Expression-level copy that drifts.
     */
   private def ranges(conjuncts: Seq[Expression],
-                     lr: LogicalRelation): Map[String, (Double, Double)] = {
-    val b = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    def tighten(a: Attribute, lo: Double, hi: Double): Unit = {
-      val (l0, h0) = b.getOrElse(a.name,
-        (Double.NegativeInfinity, Double.PositiveInfinity))
-      b(a.name) = (math.max(l0, lo), math.min(h0, hi))
-    }
-    val inf = Double.PositiveInfinity
-    conjuncts.foreach {
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(d => tighten(a, d, inf))
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(d => tighten(a, d, inf))
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-        num(v).foreach(d => tighten(a, d, inf))
-      case LessThan(Literal(v, _), a: Attribute) =>
-        num(v).foreach(d => tighten(a, d, inf))
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(d => tighten(a, -inf, d))
-      case LessThan(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(d => tighten(a, -inf, d))
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-        num(v).foreach(d => tighten(a, -inf, d))
-      case GreaterThan(Literal(v, _), a: Attribute) =>
-        num(v).foreach(d => tighten(a, -inf, d))
-      case EqualTo(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(d => tighten(a, d, d))
-      case EqualTo(Literal(v, _), a: Attribute) =>
-        num(v).foreach(d => tighten(a, d, d))
-      case _ => ()
-    }
-    b.toMap
-  }
+                     lr: LogicalRelation): Map[String, (Double, Double)] =
+    ZOrderRelation.ranges(
+      conjuncts.flatMap(PlanExec.translateFilter).toArray)
 
   /** The native parquet relation over the kept files, re-projected onto
     * the zorder relation's original attribute ids.

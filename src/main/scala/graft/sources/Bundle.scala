@@ -40,24 +40,34 @@ object Bundle {
     */
   def writeManifest(dir: String, params: Map[String, String]): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val json = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-      .mkString("{", ", ", "}")
     val tmp = Paths.get(dir, "manifest.json.tmp")
-    Files.writeString(tmp, json)
+    Files.writeString(tmp, manifestJson(params))
     Files.move(tmp, manifestPath(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The manifest's JSON encoding, exposed so stores whose files live on
+    * a Hadoop filesystem (e.g. [[graft.operators.Layout]]'s maintained
+    * layouts) can carry the same format through their own atomic write
+    * path.
+    */
+  def manifestJson(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+
+  /** [[manifestJson]]'s inverse. */
+  def parseManifest(txt: String): Map[String, String] = {
+    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    kv.findAllMatchIn(txt)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
   def readManifest(dir: String): Option[Map[String, String]] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
-    else {
-      val txt = Files.readString(p)
-      val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      Some(kv.findAllMatchIn(txt).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap)
-    }
+    else Some(parseManifest(Files.readString(p)))
   }
 
   /** Single left-to-right scan — sequential String.replace calls would

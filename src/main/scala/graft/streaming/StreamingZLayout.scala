@@ -53,7 +53,7 @@ object StreamingZLayout {
                    p: Params, resetProgress: Boolean = false): BatchResult = {
     val spark = batch.sparkSession
     require(p.compactFactor >= 2, "compactFactor must be >= 2")
-    Layout.readLayoutManifest(dir) match {
+    Layout.readLayoutManifest(spark, dir) match {
       case None =>
         // bootstrap (or retry after a crashed build: buildLayout's
         // overwrite wipes any torn remains, and the manifest — written
@@ -64,11 +64,13 @@ object StreamingZLayout {
         else {
           Layout.buildLayout(pinned, p.zcols, p.bits, p.nFiles, p.tieCol,
             dir, tags = Map(BatchTag -> batchId.toString))
+          graft.operators.Checkpoints.release(pinned)
           BatchResult(applied = true, bootstrapped = true,
             compacted = false, nFiles = p.nFiles)
         }
       case Some(mf) =>
-        val lastApplied = Layout.epochTags(dir).get(BatchTag).map(_.toLong)
+        val lastApplied = Layout.epochTags(spark, dir).get(BatchTag)
+          .map(_.toLong)
         if (!resetProgress && lastApplied.exists(_ >= batchId)) {
           // replayed batch: its append already committed, only the
           // offset checkpoint was lost — applying again would double rows
@@ -76,15 +78,17 @@ object StreamingZLayout {
             compacted = false,
             nFiles = Layout.listDataFiles(spark, dir).size)
         } else {
-          Layout.appendDelta(batch, dir,
+          // applied reports the COMMIT, not the call: an empty batch
+          // commits nothing and advances no watermark
+          val applied = Layout.appendDelta(batch, dir,
             tags = Map(BatchTag -> batchId.toString))
           val n = Layout.listDataFiles(spark, dir).size
-          if (n > p.compactFactor * mf.nFiles) {
+          if (applied && n > p.compactFactor * mf.nFiles) {
             Layout.compact(spark, dir)
             BatchResult(applied = true, bootstrapped = false,
               compacted = true,
               nFiles = Layout.listDataFiles(spark, dir).size)
-          } else BatchResult(applied = true, bootstrapped = false,
+          } else BatchResult(applied = applied, bootstrapped = false,
             compacted = false, nFiles = n)
         }
     }

@@ -29,4 +29,17 @@ object PlanExec {
     Dataset.ofRows(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[SparkSession],
       plan)
+
+  /** Spark's own Catalyst-conjunct → `sources.Filter` translation
+    * (`DataSourceStrategy.translateFilter`), exposed so an optimizer
+    * rule can derive pruning bounds through the EXACT code path the
+    * DSv1 pushdown uses — one bound-derivation implementation
+    * ([[graft.sources.ZOrderRelation.ranges]]) instead of a parallel
+    * Expression-level copy that drifts.
+    */
+  def translateFilter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

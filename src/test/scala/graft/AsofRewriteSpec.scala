@@ -195,4 +195,69 @@ class AsofRewriteSpec extends SparkSpec {
       purchases.filter(expr("asof_backward(sec, sec)")).collect())
     assert(e2.getMessage != null)
   }
+
+  test("a left row with NULL ts matches NOTHING in every mode: it sorts " +
+       "NULLS FIRST, where forward/nearest's FOLLOWING frame would " +
+       "otherwise hand it the earliest right row") {
+    val p = Seq((1L, "u", Option(100L)), (2L, "u", Option.empty[Long]))
+      .toDF("pid", "k", "sec")
+    for (mode <- Seq("asof_backward", "asof_forward", "asof_nearest")) {
+      val m = p.join(clicks,
+          col("k") === col("ck") && expr(s"$mode(sec, csec)"), "left_outer")
+        .select(col("pid"), col("click_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+      assert(m(2L).isEmpty,
+        s"$mode matched a NULL-ts left row to ${m(2L)}")
+      assert(m(1L).nonEmpty, s"$mode lost the valid row")
+      val inner = p.join(clicks,
+          col("k") === col("ck") && expr(s"$mode(sec, csec)"))
+        .select(col("pid")).as[Long].collect().toSet
+      assert(inner == Set(1L),
+        s"inner $mode must drop the NULL-ts left row, got $inner")
+    }
+    // operator forms: the same guarantee
+    val l = p.withColumnRenamed("sec", "ts")
+    val r = clicks.select(col("ck").as("k"), col("csec").as("ts"),
+      col("click_id"))
+    val fw = RangeJoin.asofForward(l, r, "ts", Seq("k"), Seq("click_id"))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("click_id"))).toMap
+    assert(fw(2L).isEmpty, "operator asofForward matched a NULL left ts")
+    assert(fw(1L).nonEmpty)
+    val nr = RangeJoin.asofNearest(l, r, "ts", Seq("k"), Seq("click_id"))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("click_id"))).toMap
+    assert(nr(2L).isEmpty, "operator asofNearest matched a NULL left ts")
+    assert(nr(1L).nonEmpty)
+  }
+
+  test("TimestampType columns with a literal tolerance resolve (the raw " +
+       "difference is a DayTimeInterval) and bound the gap in SECONDS") {
+    val p = Seq((1L, "u", "2024-01-01 00:00:10"),
+      (2L, "u", "2024-01-01 00:02:00"))
+      .toDF("pid", "k", "s").withColumn("lts", to_timestamp(col("s")))
+    val c = Seq(("u", "2024-01-01 00:00:00", 900L))
+      .toDF("ck", "cs", "click_id")
+      .withColumn("rts", to_timestamp(col("cs")))
+    def run(mode: String) = p.join(c,
+        col("k") === col("ck") && expr(s"$mode(lts, rts, 30)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    val b = run("asof_backward")
+    assert(b(1L) == Some(900L), "10 s gap within a 30 s tolerance")
+    assert(b(2L).isEmpty, "120 s gap must exceed a 30 s tolerance")
+    val n = run("asof_nearest")
+    assert(n(1L) == Some(900L) && n(2L).isEmpty,
+      s"nearest timestamp tolerance must bound in seconds: $n")
+    // operator form, same units
+    val got = RangeJoin.asofBackward(
+        p.select(col("pid"), col("k"), col("lts").as("ts")),
+        c.select(col("ck").as("k"), col("rts").as("ts"), col("click_id")),
+        "ts", Seq("k"), Seq("click_id"), tolerance = Some(30L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("click_id"))).toMap
+    assert(got(1L) == Some(900L) && got(2L).isEmpty,
+      s"operator timestamp tolerance must bound in seconds: $got")
+  }
 }

@@ -338,7 +338,7 @@ class LayoutSpec extends SparkSpec {
       .option("nFiles", nFiles.toString).option("tieCol", "id")
       .mode("overwrite").save(dir)
     // the build wrote a manifest: the layout is maintainable
-    val mf0 = Layout.readLayoutManifest(dir)
+    val mf0 = Layout.readLayoutManifest(spark, dir)
     assert(mf0.exists(m => m.zcols == Seq("x", "y") && m.nFiles == nFiles),
       s"build must persist the layout manifest, got $mf0")
 
@@ -401,7 +401,7 @@ class LayoutSpec extends SparkSpec {
     // ... the orphan is still not adopted by the append's commit
     assert(spark.read.format("graft-zorder").load(dir).count() == 8194L)
 
-    val mfBefore = Layout.readLayoutManifest(dir).get
+    val mfBefore = Layout.readLayoutManifest(spark, dir).get
     Layout.compact(spark, dir)
 
     // results unchanged; orphan rows gone from the DIRECTORY too (VACUUM)
@@ -415,7 +415,7 @@ class LayoutSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     assert(epochs.length == 1, s"stale epochs must be GC'd: ${epochs.toSeq}")
     // bounds re-derived to cover the drifted delta
-    val mfAfter = Layout.readLayoutManifest(dir).get
+    val mfAfter = Layout.readLayoutManifest(spark, dir).get
     assert(mfAfter.bounds != mfBefore.bounds &&
       mfAfter.bounds(0)._2 >= 2.0 && mfAfter.bounds(1)._2 >= 3.0,
       s"compact must re-derive bounds: ${mfBefore.bounds} -> ${mfAfter.bounds}")
@@ -452,5 +452,19 @@ class LayoutSpec extends SparkSpec {
     assert(total == 8 && kept.size < 8, "legacy stats must prune")
     assert(scan.select("id").collect().map(_.getLong(0)).toSet ==
       boxIds(pts), "legacy-stats pruned scan changed the result")
+
+    // a crashed FIRST epoch commit next to the legacy table (epoch dir
+    // written, pointer move never happened) must stay invisible: the
+    // legacy read is file-explicit, never a directory scan that would
+    // partition-discover — or die on conflicting structures with — the
+    // orphan epoch dir
+    val orphanDir = new java.io.File(statsDir, "epoch=0")
+    assert(orphanDir.mkdirs())
+    statsDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach { f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(orphanDir, f.getName).toPath) }
+    val reloaded = Layout.loadStats(spark, dir)
+    assert(reloaded.exists(_.map(_.file).distinct.size == 8),
+      s"an uncommitted orphan epoch dir broke the legacy read: $reloaded")
   }
 }

@@ -387,6 +387,58 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(pairs(on) == expected)
   }
 
+  test("FIXED width runs the double-safety statistics too: NaN bounds " +
+       "refuse the rewrite (floor(NaN)=0 — silent wrong buckets, lost " +
+       "matches), saturating magnitudes refuse (floor saturates at " +
+       "±Long.MaxValue), finite well-scaled bounds still fire — and " +
+       "every variant answers exactly like the nested-loop baseline") {
+    val pts = Seq((1L, 10.0), (2L, 1e6), (3L, -5.0)).toDF("pid", "secd")
+    def decl(ivs: org.apache.spark.sql.DataFrame) = pts.join(ivs,
+      col("secd") >= col("lod") && col("secd") < col("hid"))
+
+    val nan = Seq((100L, 0.0, 20.0), (101L, 5.0, Double.NaN))
+      .toDF("iid", "lod", "hid")
+    val expNan = withConf("off")(pairs(decl(nan)))
+    assert(expNan.contains((2L, 101L)),
+      "the [5, NaN) interval must match the high point in the baseline")
+    withWidth(60L) {
+      val on = decl(nan)
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.isEmpty,
+        "fixed width must refuse NaN interval bounds")
+      assert(pairs(on) == expNan, "refusal changed the result")
+    }
+
+    val sat = Seq((100L, 0.0, 20.0), (102L, 1e300, 2e300))
+      .toDF("iid", "lod", "hid")
+    val expSat = withConf("off")(pairs(decl(sat)))
+    withWidth(60L) {
+      val on = decl(sat)
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.isEmpty,
+        "fixed width must refuse bucket-saturating bounds")
+      assert(pairs(on) == expSat, "refusal changed the result")
+    }
+    // auto mode refuses the same saturating fixture through the width
+    // sample's magnitude statistic
+    val autoSat = decl(sat)
+    assert(autoSat.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.isEmpty,
+      "auto mode must refuse bucket-saturating bounds")
+    assert(pairs(autoSat) == expSat)
+
+    val good = Seq((100L, 0.0, 20.0), (103L, 100.0, 160.0))
+      .toDF("iid", "lod", "hid")
+    val expGood = withConf("off")(pairs(decl(good)))
+    withWidth(60L) {
+      val on = decl(good)
+      assert(on.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }.size == 1,
+        "well-behaved double bounds must still fire under fixed width")
+      assert(pairs(on) == expGood)
+    }
+  }
+
   test("auto mode inherits the multi-resolution skew bound: an " +
        "outlier-length interval in a declaratively-stated join routes " +
        "to a coarser level instead of exploding (the single-level " +

@@ -33,7 +33,7 @@ class StreamingZLayoutSpec extends SparkSpec {
     // empty first batch: no bounds to derive from — defer bootstrap
     val r0 = StreamingZLayout.processBatch(rows(1, 0), 0L, dir, p)
     assert(r0 == BatchResult(false, false, false, 0))
-    assert(Layout.readLayoutManifest(dir).isEmpty)
+    assert(Layout.readLayoutManifest(spark, dir).isEmpty)
 
     val r1 = StreamingZLayout.processBatch(rows(1, 2000), 1L, dir, p)
     assert(r1.applied && r1.bootstrapped && r1.nFiles == p.nFiles)
@@ -55,12 +55,21 @@ class StreamingZLayoutSpec extends SparkSpec {
     assert(r3.applied)
     assert(served.count() == 3200L)
 
+    // an EMPTY batch reports applied=false (nothing committed, no
+    // watermark advance) and the next real batch still applies
+    val r4 = StreamingZLayout.processBatch(rows(1, 0), 4L, dir, p)
+    assert(!r4.applied && !r4.compacted,
+      s"empty append must not report a commit: $r4")
+    val r5 = StreamingZLayout.processBatch(rows(3201, 3300), 5L, dir, p)
+    assert(r5.applied)
+    assert(served.count() == 3300L)
+
     // box-query parity against the plain batch baseline, with pruning —
     // a CORNER box: with nFiles=4 the build files are z-quadrants, so a
     // center box would legitimately touch all four; the corner box must
     // skip at least the opposite quadrants (delta files each span wide
     // ranges until compaction, so they stay kept)
-    val want = ids(rows(1, 3200)
+    val want = ids(rows(1, 3300)
       .filter(col("x").between(0.05, 0.15) && col("y").between(0.05, 0.15)))
     val got = ids(served
       .filter(col("x").between(0.05, 0.15) && col("y").between(0.05, 0.15)))
