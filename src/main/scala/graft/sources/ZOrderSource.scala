@@ -32,8 +32,50 @@ import graft.operators.Layout
   * decides WHICH files that reader sees.
   */
 class ZOrderSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSinkProvider {
   override def shortName(): String = "graft-zorder"
+
+  /** The STREAMING write path —
+    * {{{
+    *   rows.writeStream.format("graft-zorder")
+    *     .option("zcols", "x,y").option("bits", "8")
+    *     .option("nFiles", "16").option("tieCol", "id")
+    *     .option("compactFactor", "4")
+    *     .option("checkpointLocation", ckpt)
+    *     .start(dir)
+    * }}}
+    * — [[graft.streaming.StreamingZLayout]] behind the registered
+    * format: bootstrap from the first non-empty batch, per-batch
+    * appendDelta, drift-bounded compaction, and EXACTLY-ONCE via the
+    * batch-id tag riding the atomic index-epoch commit. Append output
+    * mode only (a Z-layout has no keyed update semantics), no
+    * partitionBy (the layout IS the physical arrangement).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-zorder streaming sink is Append-only (got $outputMode)")
+    require(partitionColumns.isEmpty,
+      "graft-zorder streaming sink: partitionBy is unsupported — the " +
+        "Z-order layout IS the physical arrangement")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-zorder streaming sink needs a path: .start(dir)"))
+    val zcols = parameters.getOrElse("zcols",
+        throw new IllegalArgumentException(
+          "graft-zorder streaming sink needs option zcols=<c1,c2,...>"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(zcols.nonEmpty, "zcols must name at least one column")
+    val p = graft.streaming.StreamingZLayout.Params(
+      zcols = zcols,
+      bits = parameters.getOrElse("bits", "8").toInt,
+      nFiles = parameters.getOrElse("nFiles", "16").toInt,
+      tieCol = parameters.get("tieCol"),
+      compactFactor = parameters.getOrElse("compactFactor", "4").toInt)
+    new ZOrderStreamSink(path, p)
+  }
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -101,6 +143,25 @@ class ZOrderSource extends RelationProvider
     }
     ZOrderRelation(spark, path)
   }
+}
+
+/** The DSv1 streaming sink behind `writeStream.format("graft-zorder")`:
+  * each micro-batch re-wraps as a plain batch frame (the ForeachBatchSink
+  * move — [[org.apache.spark.sql.graft.PlanExec.freshBatchDF]]) and runs
+  * [[graft.streaming.StreamingZLayout.processBatch]], whose committed
+  * batch-id tag makes replays exact no-ops.
+  */
+private[graft] class ZOrderStreamSink(path: String,
+    p: graft.streaming.StreamingZLayout.Params)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    graft.streaming.StreamingZLayout.processBatch(
+      org.apache.spark.sql.graft.PlanExec.freshBatchDF(data),
+      batchId, path, p)
+    ()
+  }
+  override def toString: String = s"ZOrderStreamSink[$path]"
 }
 
 object ZOrderSource {

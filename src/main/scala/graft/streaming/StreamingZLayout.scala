@@ -69,6 +69,13 @@ object StreamingZLayout {
             compacted = false, nFiles = p.nFiles)
         }
       case Some(mf) =>
+        // params drift fails fast (the StreamingAnnIndex convention):
+        // the history is Z-sorted under the manifest's columns — a sink
+        // configured differently must not silently keep appending
+        require(mf.zcols == p.zcols,
+          s"layout at $dir clusters on ${mf.zcols.mkString(",")} but " +
+            s"the sink was configured with ${p.zcols.mkString(",")} — " +
+            "rebuild offline to change clustering columns")
         val lastApplied = Layout.epochTags(spark, dir).get(BatchTag)
           .map(_.toLong)
         if (!resetProgress && lastApplied.exists(_ >= batchId)) {

@@ -42,4 +42,19 @@ object PlanExec {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** Re-wrap a streaming micro-batch Dataset as a PLAIN batch DataFrame
+    * — the exact move Spark's own ForeachBatchSink makes in `addBatch`:
+    * execute the incremental plan once (`toRdd`, rows copied out of the
+    * reused buffers) and rebuild a non-streaming frame over the result,
+    * so a DSv1 `Sink` can run ordinary batch actions on the data
+    * without re-triggering incremental execution.
+    */
+  def freshBatchDF(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd.map(_.copy()), data.schema,
+      isStreaming = false)
+  }
 }

@@ -78,6 +78,107 @@ class StreamingZLayoutSpec extends SparkSpec {
     assert(kept < total, s"maintained layout must still prune: $kept/$total")
   }
 
+  test("writeStream.format(\"graft-zorder\") drives the sink end-to-end: " +
+       "a real streaming query bootstraps, appends per micro-batch, " +
+       "commits the batch-id watermark, and the table serves with " +
+       "pruning") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("zsink").toString
+    val dir = s"$base/t"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, Double)]
+    val q = ms.toDF().toDF("id", "x", "y")
+      .writeStream.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8")
+      .option("nFiles", "4").option("tieCol", "id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start(dir)
+    try {
+      def tup(lo: Int, hi: Int) = (lo to hi).map { i =>
+        val x = (i * 2654435761L % 10000).toDouble / 10000.0
+        val y = (i * 40503L % 10000).toDouble / 10000.0
+        (i.toLong, x, y)
+      }
+      ms.addData(tup(1, 1500): _*)
+      q.processAllAvailable()
+      ms.addData(tup(1501, 2000): _*)
+      q.processAllAvailable()
+      val served = spark.read.format("graft-zorder").load(dir)
+      assert(ids(served) == (1L to 2000L).toSet,
+        "streamed layout must converge to the batch table")
+      assert(Layout.readLayoutManifest(spark, dir).exists(
+        _.zcols == Seq("x", "y")), "sink must persist the manifest")
+      assert(Layout.epochTags(spark, dir).contains("streamBatchId"),
+        "the batch-id watermark must ride the committed epoch")
+      served.filter(col("x").between(0.05, 0.15) &&
+          col("y").between(0.05, 0.15)).collect()
+      val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+      assert(kept < total,
+        s"streamed layout must prune a corner box: $kept/$total")
+    } finally q.stop()
+    // update mode is refused at sink creation
+    val e = intercept[Exception] {
+      ms.toDF().toDF("id", "x", "y")
+        .writeStream.format("graft-zorder")
+        .option("zcols", "x,y")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .outputMode("update").start(s"$base/t2")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("randomized maintenance property: any interleaving of appends, " +
+       "replays, crashed-writer orphans, and compactions serves EXACTLY " +
+       "the union of committed batches") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 2) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"zprop$trial").toString + "/t"
+      var nextRow = 1
+      var committed = Set.empty[Long]
+      var batchId = 0L
+      var lastBatch: org.apache.spark.sql.DataFrame = null
+      def freshBatch(n: Int) = {
+        val df = rows(nextRow, nextRow + n - 1)
+        committed ++= (nextRow.toLong to (nextRow + n - 1).toLong)
+        nextRow += n
+        df
+      }
+      // bootstrap
+      lastBatch = freshBatch(400 + rnd.nextInt(400))
+      assert(StreamingZLayout.processBatch(lastBatch, batchId, dir, p)
+        .bootstrapped)
+      def servedIds() = ids(spark.read.format("graft-zorder").load(dir))
+      for (_ <- 1 to 8) {
+        rnd.nextInt(4) match {
+          case 0 => // append a fresh batch
+            batchId += 1
+            lastBatch = freshBatch(50 + rnd.nextInt(200))
+            assert(StreamingZLayout.processBatch(
+              lastBatch, batchId, dir, p).applied)
+          case 1 => // replay the last applied batch (lost offset commit)
+            val r = StreamingZLayout.processBatch(
+              lastBatch, batchId, dir, p)
+            assert(!r.applied, "replay must be recognized")
+          case 2 => // a writer that crashed before its index commit
+            Layout.zorderWrite(rows(800001, 800020),
+              col("id"), col("id"), 1, dir, mode = "append")
+          case 3 =>
+            Layout.compact(spark, dir)
+        }
+        assert(servedIds() == committed,
+          s"trial $trial: served table diverged from the committed union")
+      }
+      // a final compact leaves the directory itself clean of orphans
+      Layout.compact(spark, dir)
+      assert(ids(spark.read.parquet(dir)) == committed,
+        s"trial $trial: compact left orphan rows in the directory")
+    }
+  }
+
   test("file-count drift triggers compaction; tags survive it (a replay " +
        "AFTER compact is still skipped) and results are unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("zstreamc").toString + "/t"
