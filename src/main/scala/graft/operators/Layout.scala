@@ -472,23 +472,27 @@ object Layout {
         s"!= layout columns ${dataSchema.fieldNames.sorted.mkString(",")}")
     val aligned = delta.select(dataSchema.fieldNames.toSeq.map(col): _*)
       .localCheckpoint(true)
-    val deltaRows = aligned.count()
-    if (deltaRows == 0) return false
-    // size delta files like the build's files
-    val totalRows = stats.map(_.rows).sum
-    val nIndexed = math.max(1, stats.map(_.file).distinct.size)
-    val rowsPerFile = math.max(1L, totalRows / nIndexed)
-    val nDelta = math.max(1L, (deltaRows + rowsPerFile - 1) / rowsPerFile)
-      .min(1 << 20).toInt
-    val before = listDataFiles(spark, path).toSet
-    val z = zExprOf(mf.zcols, mf.bounds, mf.bits)
-    zorderWrite(aligned, z, mf.tieCol.map(col).getOrElse(z), nDelta,
-      path, mode = "append")
-    val newFiles = listDataFiles(spark, path).filterNot(before)
-    commitStats(spark, path, mf.zcols,
-      stats ++ statsForFiles(spark, newFiles, mf.zcols), tags)
-    Checkpoints.release(aligned)
-    true
+    // release the pinned blocks on EVERY exit — the empty-delta return
+    // and exception paths included, or an idle maintenance stream leaks
+    // storage per batch
+    try {
+      val deltaRows = aligned.count()
+      if (deltaRows == 0) return false
+      // size delta files like the build's files
+      val totalRows = stats.map(_.rows).sum
+      val nIndexed = math.max(1, stats.map(_.file).distinct.size)
+      val rowsPerFile = math.max(1L, totalRows / nIndexed)
+      val nDelta = math.max(1L, (deltaRows + rowsPerFile - 1) / rowsPerFile)
+        .min(1 << 20).toInt
+      val before = listDataFiles(spark, path).toSet
+      val z = zExprOf(mf.zcols, mf.bounds, mf.bits)
+      zorderWrite(aligned, z, mf.tieCol.map(col).getOrElse(z), nDelta,
+        path, mode = "append")
+      val newFiles = listDataFiles(spark, path).filterNot(before)
+      commitStats(spark, path, mf.zcols,
+        stats ++ statsForFiles(spark, newFiles, mf.zcols), tags)
+      true
+    } finally Checkpoints.release(aligned)
   }
 
   /** Re-layout the WHOLE maintained table — the OPTIMIZE + VACUUM step:

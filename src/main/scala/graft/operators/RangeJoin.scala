@@ -276,25 +276,46 @@ object RangeJoin {
     * silently mixing rows in one output record.
     */
   /** The gap used by TOLERANCE checks, in the ts column's native units —
-    * SECONDS for TimestampType (a timestamp difference is a
+    * SECONDS for timestamp types (a timestamp difference is a
     * DayTimeInterval, which cannot compare against the long tolerance;
-    * the long cast truncates to epoch seconds).
+    * the long cast truncates to epoch seconds) and DAYS for DateType.
+    * Shared with the declarative rewrite ([[graft.plans
+    * .AsofJoinRewriteRule]]) so the two forms cannot drift.
     */
+  private[graft] def tolGap(later: Column, earlier: Column,
+                            dt: org.apache.spark.sql.types.DataType)
+      : Column = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      later.cast("long") - earlier.cast("long")
+    case org.apache.spark.sql.types.DateType => datediff(later, earlier)
+    case _ => later - earlier
+  }
+
   private def tolGap(later: Column, earlier: Column, df: DataFrame,
                      tsCol: String): Column =
-    if (df.schema(tsCol).dataType ==
-        org.apache.spark.sql.types.TimestampType)
-      later.cast("long") - earlier.cast("long")
-    else later - earlier
+    tolGap(later, earlier, df.schema(tsCol).dataType)
+
+  /** Right rows whose ts or ANY equi key is NULL are dropped up front:
+    * SQL equality never matches a NULL key, so such a row can donate
+    * payload to nothing — and keeping it would let the window
+    * PARTITION (which groups NULLs together) hand it to a NULL-key
+    * left row. NULL-key left rows stay: they group among themselves,
+    * find no right row, and keep null payloads.
+    */
+  private def matchableRight(r: DataFrame, tsCol: String,
+                             equiKeys: Seq[String]): DataFrame =
+    equiKeys.foldLeft(r.filter(col(tsCol).isNotNull))(
+      (df, k) => df.filter(col(k).isNotNull))
 
   def asofBackward(left: DataFrame, right: DataFrame, tsCol: String,
                    equiKeys: Seq[String], payloadCols: Seq[String],
                    tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = left.withColumn("_side", lit(1))
-    val r = right
-      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
-      .filter(col(tsCol).isNotNull)
+    val r = matchableRight(right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*),
+      tsCol, equiKeys)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_pack", when(col("_side") === 0,
@@ -336,9 +357,9 @@ object RangeJoin {
                   tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = left.withColumn("_side", lit(0))
-    val r = right
-      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
-      .filter(col(tsCol).isNotNull)
+    val r = matchableRight(right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*),
+      tsCol, equiKeys)
       .withColumn("_side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_pack", when(col("_side") === 1,
@@ -386,9 +407,9 @@ object RangeJoin {
                   tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = left.withColumn("_side", lit(1))
-    val r = right
-      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*)
-      .filter(col(tsCol).isNotNull)
+    val r = matchableRight(right
+      .select((equiKeys :+ tsCol).map(col) ++ payloadCols.map(col): _*),
+      tsCol, equiKeys)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_pack", when(col("_side") === 0,

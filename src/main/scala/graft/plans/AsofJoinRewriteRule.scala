@@ -143,8 +143,16 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
           .withColumn("_aside", lit(lSide))) {
       case (df, ((la, _), i)) => df.withColumn(s"_ak$i", col(lName(la)))
     }
+    // right rows with a NULL ts or a NULL equi key are dropped up front:
+    // SQL equality never matches a NULL key, and the window PARTITION
+    // groups NULLs together — an undropped NULL-key right row would
+    // donate payload to a NULL-key left row the declared join cannot
+    // match (RangeJoin.matchableRight's convention)
+    val rBase = equiPairs.foldLeft(r2.filter(col(rName(rts)).isNotNull)) {
+      case (df, (_, ra)) => df.filter(col(rName(ra)).isNotNull)
+    }
     val rU = equiPairs.zipWithIndex.foldLeft(
-        r2.filter(col(rName(rts)).isNotNull)
+        rBase
           .withColumn("_ats", col(rName(rts)))
           .withColumn("_aside", lit(rSide))) {
       case (df, ((_, ra), i)) => df.withColumn(s"_ak$i", col(rName(ra)))
@@ -159,15 +167,14 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
       .orderBy(col("_ats"), col("_aside"))
     val wB = w0.rowsBetween(Window.unboundedPreceding, 0)
     val wF = w0.rowsBetween(0, Window.unboundedFollowing)
-    // tolerance gaps compare against a LONG literal: for TimestampType
-    // the raw difference is a DayTimeInterval, so the gap is computed on
-    // the epoch-seconds cast (tolerance unit = seconds there, native
-    // units otherwise — RangeJoin.tolGap's convention)
+    // tolerance gaps compare against a LONG literal: for timestamps the
+    // raw difference is a DayTimeInterval, so the gap computes on the
+    // epoch-seconds cast — the ONE shared implementation
+    // (RangeJoin.tolGap), so the declarative and operator forms cannot
+    // drift
     def tGap(later: org.apache.spark.sql.Column,
              earlier: org.apache.spark.sql.Column) =
-      if (lts.dataType == TimestampType)
-        later.cast("long") - earlier.cast("long")
-      else later - earlier
+      graft.operators.RangeJoin.tolGap(later, earlier, lts.dataType)
     val withMatch = asofMode match {
       case AsofJoinMarker.Nearest =>
         // both arms as frames over the SAME sort; smaller gap wins,

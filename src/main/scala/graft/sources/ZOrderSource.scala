@@ -74,7 +74,11 @@ class ZOrderSource extends RelationProvider
       nFiles = parameters.getOrElse("nFiles", "16").toInt,
       tieCol = parameters.get("tieCol"),
       compactFactor = parameters.getOrElse("compactFactor", "4").toInt)
-    new ZOrderStreamSink(path, p)
+    // resetProgress: one-shot acceptance of a NEW checkpoint's batch 0
+    // against an existing layout's higher committed watermark — remove
+    // the option once the stream is running again
+    new ZOrderStreamSink(path, p,
+      parameters.get("resetProgress").exists(_.toBoolean))
   }
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -152,13 +156,21 @@ class ZOrderSource extends RelationProvider
   * batch-id tag makes replays exact no-ops.
   */
 private[graft] class ZOrderStreamSink(path: String,
-    p: graft.streaming.StreamingZLayout.Params)
-    extends org.apache.spark.sql.execution.streaming.Sink {
+    p: graft.streaming.StreamingZLayout.Params,
+    resetProgress: Boolean) extends
+    org.apache.spark.sql.execution.streaming.Sink {
+  // the reset is a ONE-SHOT escape for a new checkpoint over an
+  // existing layout (batch ids restart at 0, below the committed
+  // watermark): it clears as soon as one batch APPLIES, so replay
+  // protection resumes for the rest of the run — a standing bypass
+  // would double-apply replays within the new run
+  @volatile private var resetPending = resetProgress
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
-    graft.streaming.StreamingZLayout.processBatch(
+    val r = graft.streaming.StreamingZLayout.processBatch(
       org.apache.spark.sql.graft.PlanExec.freshBatchDF(data),
-      batchId, path, p)
+      batchId, path, p, resetProgress = resetPending)
+    if (r.applied) resetPending = false
     ()
   }
   override def toString: String = s"ZOrderStreamSink[$path]"
@@ -212,9 +224,22 @@ object ZOrderRelation {
   /** FINITE numeric values only — a NaN bound would compare false in
     * the intersect test and skip files whose rows can match under
     * Spark's NaN-equals-NaN semantics (see [[graft.plans.ZOrderPruneRule]]).
+    * Temporal values convert to the UNIT PARQUET FOOTER STATISTICS use —
+    * micros for timestamps, epoch days for dates — so a layout
+    * Z-ordered on a time column prunes too (translateFilter hands the
+    * EXTERNAL value here, not the internal long).
     */
   private def num(v: Any): Option[Double] = (v match {
     case n: Number => Some(n.doubleValue())
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case dt: java.time.LocalDateTime =>
+      Some(dt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1e6 +
+        dt.getNano / 1000.0)
     case _ => None
   }).filter(d => !d.isNaN && !d.isInfinite)
 

@@ -59,15 +59,16 @@ object StreamingZLayout {
         // overwrite wipes any torn remains, and the manifest — written
         // last — is the point after which the layout "exists")
         val pinned = batch.localCheckpoint(true)
-        if (pinned.isEmpty) BatchResult(applied = false,
-          bootstrapped = false, compacted = false, nFiles = 0)
-        else {
-          Layout.buildLayout(pinned, p.zcols, p.bits, p.nFiles, p.tieCol,
-            dir, tags = Map(BatchTag -> batchId.toString))
-          graft.operators.Checkpoints.release(pinned)
-          BatchResult(applied = true, bootstrapped = true,
-            compacted = false, nFiles = p.nFiles)
-        }
+        try {
+          if (pinned.isEmpty) BatchResult(applied = false,
+            bootstrapped = false, compacted = false, nFiles = 0)
+          else {
+            Layout.buildLayout(pinned, p.zcols, p.bits, p.nFiles, p.tieCol,
+              dir, tags = Map(BatchTag -> batchId.toString))
+            BatchResult(applied = true, bootstrapped = true,
+              compacted = false, nFiles = p.nFiles)
+          }
+        } finally graft.operators.Checkpoints.release(pinned)
       case Some(mf) =>
         // params drift fails fast (the StreamingAnnIndex convention):
         // the history is Z-sorted under the manifest's columns — a sink

@@ -231,6 +231,68 @@ class AsofRewriteSpec extends SparkSpec {
     assert(nr(1L).nonEmpty)
   }
 
+  test("NULL equi keys never match (SQL equality): a NULL-key right row " +
+       "donates payload to nothing, a NULL-key left row keeps null " +
+       "payloads — the window partition would otherwise group the NULLs " +
+       "together and hand one to the other") {
+    val p = Seq((1L, Option("u"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("pid", "k", "sec")
+    // valid right rows on BOTH sides of the left ts, plus NULL-key rows
+    // on both sides of it — every mode has a real match for pid 1 and a
+    // would-be NULL-key donor for pid 2
+    val c = Seq((Option("u"), 60L, 900L), (Option("u"), 160L, 901L),
+      (Option.empty[String], 50L, 998L),
+      (Option.empty[String], 150L, 999L))
+      .toDF("ck", "csec", "click_id")
+    val expect = Map("asof_backward" -> 900L, "asof_forward" -> 901L,
+      "asof_nearest" -> 900L)
+    for (mode <- Seq("asof_backward", "asof_forward", "asof_nearest")) {
+      val m = p.join(c,
+          col("k") === col("ck") && expr(s"$mode(sec, csec)"), "left_outer")
+        .select(col("pid"), col("click_id")).collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+      assert(m(2L).isEmpty,
+        s"$mode matched NULL keys to each other: ${m(2L)}")
+      assert(m(1L).contains(expect(mode)), s"$mode lost the valid match: $m")
+      val inner = p.join(c,
+          col("k") === col("ck") && expr(s"$mode(sec, csec)"))
+        .select(col("pid")).as[Long].collect().toSet
+      assert(inner == Set(1L),
+        s"inner $mode must drop the NULL-key left row, got $inner")
+    }
+    // operator forms: same guarantee
+    val l = p.withColumnRenamed("sec", "ts")
+    val r = c.select(col("ck").as("k"), col("csec").as("ts"),
+      col("click_id"))
+    for ((name, want, res) <- Seq(
+        ("backward", 900L, RangeJoin.asofBackward(l, r, "ts", Seq("k"),
+          Seq("click_id"))),
+        ("forward", 901L, RangeJoin.asofForward(l, r, "ts", Seq("k"),
+          Seq("click_id"))),
+        ("nearest", 900L, RangeJoin.asofNearest(l, r, "ts", Seq("k"),
+          Seq("click_id"))))) {
+      val m = res.collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("click_id"))).toMap
+      assert(m(2L).isEmpty, s"operator $name matched NULL keys: $m")
+      assert(m(1L).contains(want), s"operator $name lost the match: $m")
+    }
+  }
+
+  test("DateType tolerance bounds the gap in DAYS on the operator form " +
+       "(a date difference is not long-comparable either)") {
+    val l = Seq((1L, "u", "2024-01-10"), (2L, "u", "2024-03-01"))
+      .toDF("pid", "k", "s").withColumn("ts", to_date(col("s"))).drop("s")
+    val r = Seq(("u", "2024-01-05", 900L))
+      .toDF("k", "s", "payload").withColumn("ts", to_date(col("s")))
+      .drop("s")
+    val got = RangeJoin.asofBackward(l, r, "ts", Seq("k"), Seq("payload"),
+        tolerance = Some(7L))
+      .collect().map(row => row.getAs[Long]("pid") ->
+        Option(row.getAs[Any]("payload"))).toMap
+    assert(got(1L) == Some(900L), "5-day gap within a 7-day tolerance")
+    assert(got(2L).isEmpty, "a 56-day gap must exceed a 7-day tolerance")
+  }
+
   test("TimestampType columns with a literal tolerance resolve (the raw " +
        "difference is a DayTimeInterval) and bound the gap in SECONDS") {
     val p = Seq((1L, "u", "2024-01-01 00:00:10"),

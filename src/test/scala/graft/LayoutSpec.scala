@@ -426,6 +426,37 @@ class LayoutSpec extends SparkSpec {
       s"compacted layout must prune: $kept/$total")
   }
 
+  test("a layout Z-ordered on a TIMESTAMP column prunes through the " +
+       "registered source: the pushed filter's external Timestamp value " +
+       "converts to the micros unit parquet footer statistics use") {
+    val pts = (1 to 4096).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+          .plusSeconds(i * 40503L % 86400)), x)
+    }.toDF("id", "ts", "x")
+    val dir = java.nio.file.Files.createTempDirectory("zts").toString + "/t"
+    pts.write.format("graft-zorder")
+      .option("zcols", "ts,x").option("bits", "8")
+      .option("nFiles", "16").option("tieCol", "id")
+      .mode("overwrite").save(dir)
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-01 04:00:00")
+    val boxed = spark.read.format("graft-zorder").load(dir)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi) &&
+        col("x").between(0.4, 0.6))
+      .select("id")
+    val got = boxed.collect().map(_.getLong(0)).toSet
+    val want = pts.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi) &&
+        col("x").between(0.4, 0.6))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty,
+      "timestamp-clustered read changed the result")
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(total == 16 && kept < total,
+      s"a timestamp range must prune the ts-clustered layout: $kept/$total")
+  }
+
   test("legacy flat stats tables (pre-epoch format) still load and " +
        "serve pruning") {
     val pts = corpus(2048)

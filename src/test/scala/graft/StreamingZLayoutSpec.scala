@@ -130,6 +130,50 @@ class StreamingZLayoutSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("resetProgress is the one-shot escape for a NEW checkpoint over " +
+       "an existing layout: low batch ids apply once, then replay " +
+       "protection resumes; the registered sink exposes it as an option") {
+    val base = java.nio.file.Files.createTempDirectory("zreset").toString
+    val dir = s"$base/t"
+    // a layout whose watermark is already at batch 5
+    assert(StreamingZLayout.processBatch(rows(1, 500), 5L, dir, p)
+      .bootstrapped)
+    // new checkpoint: ids restart at 0 — silently dropped without reset
+    val dropped = StreamingZLayout.processBatch(rows(501, 600), 0L, dir, p)
+    assert(!dropped.applied, "low batch id must be skipped by default")
+    val reset = StreamingZLayout.processBatch(rows(501, 600), 0L, dir, p,
+      resetProgress = true)
+    assert(reset.applied, "resetProgress must accept the new run's batch")
+    // the watermark is now the new run's id: a replay of it is skipped
+    // WITHOUT the flag (the sink clears it after the first apply)
+    val replay = StreamingZLayout.processBatch(rows(501, 600), 0L, dir, p)
+    assert(!replay.applied, "replay after reset must be recognized")
+    assert(ids(spark.read.format("graft-zorder").load(dir)) ==
+      (1L to 600L).toSet)
+
+    // the registered sink: a fresh checkpoint + resetProgress option
+    // applies new data against the old watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, Double)]
+    val q = ms.toDF().toDF("id", "x", "y")
+      .writeStream.format("graft-zorder")
+      .option("zcols", "x,y").option("resetProgress", "true")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .outputMode("append").start(dir)
+    try {
+      ms.addData((601 to 700).map { i =>
+        val x = (i * 2654435761L % 10000).toDouble / 10000.0
+        val y = (i * 40503L % 10000).toDouble / 10000.0
+        (i.toLong, x, y)
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.read.format("graft-zorder").load(dir)) ==
+      (1L to 700L).toSet,
+      "the sink's resetProgress option must accept the new checkpoint")
+  }
+
   test("randomized maintenance property: any interleaving of appends, " +
        "replays, crashed-writer orphans, and compactions serves EXACTLY " +
        "the union of committed batches") {
