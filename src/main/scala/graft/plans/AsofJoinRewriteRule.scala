@@ -42,11 +42,13 @@ case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     if (leftTs.dataType == rightTs.dataType &&
         (leftTs.dataType.isInstanceOf[NumericType] ||
-          leftTs.dataType == TimestampType))
+          leftTs.dataType == TimestampType ||
+          leftTs.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          leftTs.dataType == org.apache.spark.sql.types.DateType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs two timestamps of one numeric/timestamp type, " +
-        s"got ${leftTs.dataType.sql} and ${rightTs.dataType.sql}")
+      s"$prettyName needs two timestamps of one numeric/timestamp/date " +
+        s"type, got ${leftTs.dataType.sql} and ${rightTs.dataType.sql}")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AsofJoinMarker =
     copy(leftTs = newLeft, rightTs = newRight)

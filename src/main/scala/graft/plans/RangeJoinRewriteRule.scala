@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentil
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite point-in-interval joins into the bucketized
   * equi-join [[graft.operators.RangeJoin.pointInInterval]] computes by
@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * so it stays opt-in.
   *
   * Bucketable bound types: LongType, IntegerType, TimestampType
-  * (second-grain long cast) and DoubleType (the reference's native delay
+  * (second-grain long cast), DateType (epoch-day grain via UnixDate)
+  * and DoubleType (the reference's native delay
   * type — float seconds, trx id9.py:49-56). Bucketing only needs a
   * MONOTONE coarsening — the original predicate stays as the exact
   * residual — and `floor(x / w)` is monotone for all four. Double NaN/∞
@@ -371,7 +372,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * exact residual.
     */
   private def bucketable(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | TimestampType | DoubleType => true
+    case LongType | IntegerType | TimestampType | DoubleType |
+         DateType => true
     case _ => false
   }
 
@@ -462,6 +464,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     */
   private def coarse(e: Expression): Expression = e.dataType match {
     case DoubleType => e
+    case DateType => Cast(UnixDate(e), DoubleType) // epoch days
     case _ => Cast(Cast(e, LongType), DoubleType)
   }
 

@@ -425,6 +425,47 @@ object EventQueries {
         |  AND e.sec >= w.w_start AND e.sec < w.w_end
         |ORDER BY w.window_id, e.event_id""".stripMargin)),
 
+    // The range join on DATE columns, width-free: purchases open a
+    // 7-day date window per user and every same-user event whose DATE
+    // falls inside joins. Completes the rewrite's bucketable type
+    // matrix (long/int/timestamp/double/date): DateType coarsens at
+    // epoch-day grain via UnixDate, the auto path samples the 7-day
+    // interval length from the lineage-truncated window side, and the
+    // original predicate stays the exact residual. Oracle states the
+    // same join in DuckDB date arithmetic.
+    QueryDef("q160_range_join_date",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("d", to_date(timestamp_seconds(tsSec)))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("d"))
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("d").as("d_start"), date_add(col("d"), 7).as("d_end"))
+          .localCheckpoint(true)
+        ev.join(windows,
+            col("user_id") === col("w_user") &&
+              col("d") >= col("d_start") && col("d") < col("d_end"))
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"),
+            datediff(col("d"), col("d_start")).cast("long")
+              .as("offset_days"))
+          .orderBy("window_id", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts::DATE AS d
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, d AS d_start,
+        |    d + 7 AS d_end
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  date_diff('day', w.d_start, e.d)::BIGINT AS offset_days
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.d >= w.d_start AND e.d < w.d_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
     // q122's backward as-of join STATED DECLARATIVELY — a plain
     // left-outer join whose condition carries the `asof_backward`
     // marker function (the warehouse ASOF JOIN syntax) — executed under

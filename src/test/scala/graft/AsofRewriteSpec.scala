@@ -278,6 +278,21 @@ class AsofRewriteSpec extends SparkSpec {
     }
   }
 
+  test("DateType markers rewrite too, tolerance in DAYS — declarative " +
+       "and operator forms agree") {
+    val p = Seq((1L, "u", "2024-01-10"), (2L, "u", "2024-03-01"))
+      .toDF("pid", "k", "s").withColumn("lts", to_date(col("s")))
+    val c = Seq(("u", "2024-01-05", 900L))
+      .toDF("ck", "cs", "click_id").withColumn("rts", to_date(col("cs")))
+    val decl = p.join(c,
+        col("k") === col("ck") && expr("asof_backward(lts, rts, 7)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    assert(decl(1L) == Some(900L), "5-day gap within a 7-day tolerance")
+    assert(decl(2L).isEmpty, "a 56-day gap must exceed 7 days")
+  }
+
   test("DateType tolerance bounds the gap in DAYS on the operator form " +
        "(a date difference is not long-comparable either)") {
     val l = Seq((1L, "u", "2024-01-10"), (2L, "u", "2024-03-01"))

@@ -289,7 +289,9 @@ class PlanSpec extends SparkSpec {
         "q121_session_incident_overlap",
         // q151: DOUBLE bounds, NO width conf — the auto-width rewrite
         // must still land the equi-join shape
-        "q151_range_join_double_auto")) {
+        "q151_range_join_double_auto",
+        // q160: DATE bounds (epoch-day grain), width-free
+        "q160_range_join_date")) {
       val plan = plans(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),

@@ -387,6 +387,29 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(pairs(on) == expected)
   }
 
+  test("DATE-typed range join fires (epoch-day bucket grain via " +
+       "UnixDate) and keeps exact residual semantics") {
+    val pts = spark.range(0L, 200L).toDF("pid")
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("pid") * 7 % 365).cast("int")))
+    val ivs = spark.range(0L, 20L).toDF("iid")
+      .withColumn("lo", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("iid") * 17 % 300).cast("int")))
+      .withColumn("hi", date_add(col("lo"), 14))
+    def decl = pts.join(ivs, col("d") >= col("lo") && col("d") < col("hi"))
+    def prs = decl.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = withConf("off")(prs)
+    assert(expected.nonEmpty, "date fixture must produce matches")
+    val on = decl
+    assert(on.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.size == 1,
+      "date-typed range join must rewrite (auto width)")
+    assert(!on.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(prs == expected, "date rewrite changed the result")
+  }
+
   test("FIXED width runs the double-safety statistics too: NaN bounds " +
        "refuse the rewrite (floor(NaN)=0 — silent wrong buckets, lost " +
        "matches), saturating magnitudes refuse (floor saturates at " +
