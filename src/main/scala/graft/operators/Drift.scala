@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution-drift monitoring between two corpus snapshots (or a
+  * snapshot and its training-time reference): did the data change enough
+  * that downstream models / filter thresholds need revisiting? Three
+  * complementary detectors, all exact and oracle-checkable:
+  *
+  *  - [[psiBuckets]] / [[psi]] — Population Stability Index over EXPLICIT
+  *    bucket breaks (the industry-standard scorecard drift metric). Fixed
+  *    literal breaks keep the metric reproducible across runs and engines;
+  *    deriving breaks from quantiles of a moving corpus would make the
+  *    metric itself drift.
+  *  - [[ksStatistic]] — the exact two-sample Kolmogorov–Smirnov statistic
+  *    `D = sup_x |F_A(x) − F_B(x)|`, computed distributed: the ECDF
+  *    difference is a step function changing only at observed values, so
+  *    the sup is the max over pooled distinct values — no sampling, no
+  *    approximation.
+  *  - [[tokenShift]] — which TOKENS moved: smoothed log-odds-ratio with a
+  *    Dirichlet prior and its z-score (Monroe et al. 2008, "Fightin'
+  *    Words"), top-k by |z|. PSI/KS say *that* text drifted; this says
+  *    *what* drifted.
+  *
+  * Scale design: every detector reduces the corpus FIRST (one map-side
+  * combined aggregation to bucket counts / distinct-value counts / vocab
+  * counts) and runs all remaining arithmetic on the reduced frame. The KS
+  * cumulative sums use range repartition + per-partition window + broadcast
+  * partition offsets (the same pattern as `Positional.numberedWithTotal`) —
+  * never a single-task global window. Token top-k goes through Spark's
+  * TakeOrdered (per-partition heads, merged on the driver), never a full
+  * sort.
+  */
+object Drift {
+
+  /** 0-based bucket index of `c` under sorted `breaks`:
+    * `(-inf, b0) → 0`, `[b0, b1) → 1`, …, `[b_last, +inf) → n`. A chain of
+    * comparisons — codegen'd, no UDF.
+    */
+  def bucketIdx(c: Column, breaks: Seq[Double]): Column = {
+    require(breaks.nonEmpty && breaks == breaks.sorted, "breaks must be sorted")
+    breaks.map(b => when(c >= lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+  }
+
+  /** Per-bucket PSI decomposition of `valueCol` between snapshots `a` and
+    * `b`: `(bucket, n_a, n_b, p_a, p_b, contrib)`, one row per bucket
+    * (buckets with no mass on either side included). NULL values are
+    * dropped. Proportions are add-half smoothed —
+    * `p = (n + 0.5) / (total + 0.5·nBuckets)` — so empty buckets cannot
+    * produce ±∞ contributions; `contrib = (p_a − p_b)·ln(p_a / p_b)`
+    * rounded to 6 dp. Each side is ONE map-side-combined aggregation to
+    * `nBuckets` rows; everything after runs on ≤ 2·(nBreaks+1) rows.
+    */
+  def psiBuckets(a: DataFrame, b: DataFrame, valueCol: String,
+                 breaks: Seq[Double]): DataFrame = {
+    val spark = a.sparkSession
+    val nb = breaks.size + 1
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(bucketIdx(col(valueCol), breaks).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    import spark.implicits._
+    val all = (0 until nb).toDF("bucket")
+    val merged = all
+      .join(counts(a, "n_a"), Seq("bucket"), "left")
+      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totA = sum(col("n_a")).over(Window.partitionBy())
+    val totB = sum(col("n_b")).over(Window.partitionBy())
+    // the whole-frame window runs on nb rows — bounded by construction
+    merged
+      .withColumn("p_a", (col("n_a") + 0.5) / (totA + 0.5 * nb))
+      .withColumn("p_b", (col("n_b") + 0.5) / (totB + 0.5 * nb))
+      .withColumn("contrib",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        col("contrib"))
+      .orderBy("bucket")
+  }
+
+  /** Total PSI: exact decimal sum of the per-bucket contributions.
+    * Rule-of-thumb reading: < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 major shift.
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+          breaks: Seq[Double]): DataFrame =
+    psiBuckets(a, b, valueCol, breaks)
+      .agg(round(sum(col("contrib").cast("decimal(28,6)")).cast("double"), 6)
+        .as("psi"))
+
+  /** Exact two-sample KS statistic between `a` and `b` on `valueCol`:
+    * one row `(ks_d, at_value, n_a, n_b)` where `at_value` is the SMALLEST
+    * value attaining the sup (deterministic tie-break). NULLs dropped.
+    *
+    * Plan: per side groupBy(value)→count (corpus reduces to distinct
+    * values); outer-merge the two count tables; range-repartition by value
+    * and build global inclusive prefix sums from per-partition window sums
+    * plus broadcast partition offsets — the partition count is the shuffle
+    * parallelism, so the driver-side offset table is bounded. The ECDF
+    * difference uses one double division per side per row; the comparison
+    * key is rounded to 9 dp so cross-engine ties resolve identically.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("double").as("v"))
+        .agg(count(lit(1)).as(out))
+    val merged = counts(a, "c_a").join(counts(b, "c_b"), Seq("v"), "full")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val parted = merged.repartitionByRange(col("v"))
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy("_pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("_la", sum(col("c_a")).over(w))
+      .withColumn("_lb", sum(col("c_b")).over(w))
+    // per-partition totals → exclusive prefix offsets (bounded: one row per
+    // shuffle partition)
+    val perPart = local.groupBy(col("_pid"))
+      .agg(max(col("_la")).as("ta"), max(col("_lb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (oa, ob) = (0L, 0L)
+    val offsets = perPart.map { case (p, ta, tb) =>
+      val row = (p, oa, ob); oa += ta; ob += tb; row
+    }
+    val totA = perPart.map(_._2).sum
+    val totB = perPart.map(_._3).sum
+    require(totA > 0 && totB > 0, "ksStatistic: empty side")
+    val offDf = offsets.toSeq.toDF("_pid", "_oa", "_ob")
+    val diffs = local.join(broadcast(offDf), Seq("_pid"))
+      .select(col("v"),
+        round(abs((col("_la") + col("_oa")).cast("double") / totA -
+          (col("_lb") + col("_ob")).cast("double") / totB), 9).as("d"))
+    diffs.orderBy(col("d").desc, col("v")).limit(1)
+      .select(round(col("d"), 6).as("ks_d"), col("v").as("at_value"),
+        lit(totA).as("n_a"), lit(totB).as("n_b"))
+  }
+
+  /** Which tokens drove the drift: smoothed log-odds-ratio with Dirichlet
+    * prior α between token streams `a` and `b`, top-k by |z|.
+    *
+    * For token w with counts `cA, cB`, side totals `tA, tB` and vocab size
+    * `V` (distinct tokens across both sides):
+    * {{{
+    *   delta = ln((cA+α)/(tA+αV − cA−α)) − ln((cB+α)/(tB+αV − cB−α))
+    *   z     = delta / sqrt(1/(cA+α) + 1/(cB+α))
+    * }}}
+    * (Monroe et al. 2008 eq. 16 with the uninformative symmetric prior.)
+    * Tokens with `cA + cB < minCount` are excluded from the RANKING (the
+    * prior still sees the full vocab). Output:
+    * `(rank, token, c_a, c_b, delta, z)` — positive z = over-represented in
+    * `a`. Ranking key is z rounded to 9 dp with token tie-break, so the
+    * selection is engine-stable; top-k runs through TakeOrdered.
+    *
+    * `tokens` frames carry one token per row in column `tokenCol` (explode
+    * upstream — e.g. `TextFunctions.tokens`).
+    */
+  def tokenShift(a: DataFrame, b: DataFrame, tokenCol: String,
+                 alpha: Double = 0.5, minCount: Long = 5,
+                 k: Int = 20): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(tokenCol).isNotNull)
+        .groupBy(col(tokenCol).as("token"))
+        .agg(count(lit(1)).as(out))
+    val merged = counts(a, "c_a").join(counts(b, "c_b"), Seq("token"), "full")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    // scalars from the reduced vocab frame: V, tA, tB (1-row broadcast)
+    val scalars = merged.agg(count(lit(1)).as("_v"),
+      sum(col("c_a")).as("_ta"), sum(col("c_b")).as("_tb"))
+    val withS = merged.crossJoin(broadcast(scalars))
+    def side(c: Column, tot: Column): Column = {
+      val num = c + alpha
+      val den = tot + lit(alpha) * col("_v") - c - alpha
+      log(num / den)
+    }
+    val delta = side(col("c_a"), col("_ta")) - side(col("c_b"), col("_tb"))
+    val z = delta / sqrt(lit(1.0) / (col("c_a") + alpha) +
+      lit(1.0) / (col("c_b") + alpha))
+    val scored = withS
+      .withColumn("_z9", round(z, 9))
+      .filter(col("c_a") + col("c_b") >= minCount)
+      .select(col("token"), col("c_a"), col("c_b"),
+        round(delta, 6).as("delta"), round(z, 6).as("z"), col("_z9"))
+    scored.orderBy(abs(col("_z9")).desc, col("token")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(abs(col("_z9")).desc, col("token"))))
+      .select("rank", "token", "c_a", "c_b", "delta", "z")
+  }
+}

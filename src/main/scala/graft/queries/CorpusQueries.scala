@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
-import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Importance, Layout, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches, Snapshot}
+import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Drift, Expectations, Importance, Layout, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches, Snapshot}
 import QueryUtil._
 import Tables._
 
@@ -4009,8 +4009,148 @@ object CorpusQueries {
             col("top_overlap_containment"))
           .orderBy("source")
       },
-      Some(dashboardServedOracleSql))
+      Some(dashboardServedOracleSql)),
+
+    // Data-quality expectation suite (Expectations.metrics/uniqueness/
+    // referential — the Deequ/CHECK-constraint capability): five row rules
+    // in ONE conditional aggregation over documents, two exact uniqueness
+    // checks, one anti-join referential check on orders→customer. NULL
+    // checks FAIL (stricter than ANSI CHECK — see the operator doc). The
+    // oracle replays every rule as a CASE aggregate, the uniqueness as
+    // count − count(DISTINCT), and the orphan count as a LEFT-JOIN-NULL.
+    QueryDef("q161_expectations_suite",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Expectations.metrics(docs, docRules)
+          .unionByName(Expectations.uniquenessReport(docs, Seq("doc_id")))
+          .unionByName(Expectations.uniquenessReport(docs, Seq("source", "lang")))
+          .unionByName(Expectations.referentialReport(
+            table(s, dir, "orders"), "o_custkey",
+            table(s, dir, "customer"), "c_custkey"))
+          .orderBy("rule")
+      },
+      Some {
+        val arms = DocRuleSql.map { case (name, cond) =>
+          val viol = s"sum(CASE WHEN NOT coalesce($cond, FALSE) THEN 1 ELSE 0 END)"
+          s"""SELECT '$name' AS rule, $viol::BIGINT AS violations,
+             |  count(*)::BIGINT AS total,
+             |  round($viol::DOUBLE / count(*), 6) AS violation_frac,
+             |  ($viol = 0) AS pass
+             |FROM documents""".stripMargin
+        }
+        val uniq = Seq(
+          ("unique(doc_id)", "count(DISTINCT doc_id)"),
+          ("unique(source,lang)", "count(DISTINCT source || '|' || lang)")
+        ).map { case (name, dist) =>
+          s"""SELECT '$name' AS rule, (count(*) - $dist)::BIGINT AS violations,
+             |  count(*)::BIGINT AS total,
+             |  round((count(*) - $dist)::DOUBLE / count(*), 6) AS violation_frac,
+             |  (count(*) = $dist) AS pass
+             |FROM documents""".stripMargin
+        }
+        val ref =
+          """SELECT 'ref(o_custkey->c_custkey)' AS rule,
+            |  viol::BIGINT AS violations, tot::BIGINT AS total,
+            |  round(viol::DOUBLE / tot, 6) AS violation_frac,
+            |  (viol = 0) AS pass
+            |FROM refc""".stripMargin
+        s"""WITH refc AS (
+           |  SELECT (SELECT count(*) FROM orders o
+           |          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           |          WHERE o.o_custkey IS NOT NULL
+           |            AND c.c_custkey IS NULL) AS viol,
+           |         (SELECT count(*) FROM orders) AS tot)
+           |${(arms ++ uniq :+ ref).mkString("\nUNION ALL\n")}
+           |ORDER BY rule""".stripMargin
+      }),
+
+    // The quarantine audit log (Expectations.violationRows): one
+    // (doc_id, rule) row per violated rule — the tall routing table a
+    // quarantine sink appends. One codegen'd projection + a rule-count-
+    // bounded explode; the oracle is the per-rule UNION ALL of the same
+    // predicates.
+    QueryDef("q162_expectations_quarantine",
+      (s, dir) =>
+        Expectations.violationRows(table(s, dir, "documents"),
+            Seq("doc_id"), docRules)
+          .orderBy("doc_id", "rule"),
+      Some {
+        val arms = DocRuleSql.map { case (name, cond) =>
+          s"""SELECT doc_id, '$name' AS rule FROM documents
+             |WHERE NOT coalesce($cond, FALSE)""".stripMargin
+        }
+        s"""WITH v AS (
+           |${arms.mkString("\nUNION ALL\n")})
+           |SELECT doc_id, rule FROM v ORDER BY doc_id, rule""".stripMargin
+      }),
+
+    // WHICH tokens drove corpus drift (Drift.tokenShift — Monroe et al.
+    // log-odds with Dirichlet prior): en docs vs es/fr docs, top-20 by
+    // |z|. The corpus reduces to per-token counts in one shuffle; the
+    // prior sees the full union vocab; ranking is TakeOrdered on the
+    // 9-dp-rounded z with token tie-break. The oracle replays counts,
+    // the exact smoothing arithmetic, and the same rounded ranking key.
+    QueryDef("q165_token_shift",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def toks(langs: Seq[String]) =
+          docs.filter(col("lang").isin(langs: _*))
+            .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        Drift.tokenShift(toks(Seq("en")), toks(Seq("es", "fr")), "tok",
+            alpha = 0.5, minCount = 5, k = 20)
+          .orderBy("rank")
+      },
+      Some("""WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+        |  FROM documents WHERE lang IN ('es', 'fr')),
+        |ca AS (SELECT token, count(*)::BIGINT AS c FROM ta GROUP BY 1),
+        |cb AS (SELECT token, count(*)::BIGINT AS c FROM tb GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |         coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        |  FROM ca FULL JOIN cb ON ca.token = cb.token),
+        |s AS (SELECT count(*)::BIGINT AS v, sum(c_a)::BIGINT AS t_a,
+        |             sum(c_b)::BIGINT AS t_b FROM m),
+        |d AS (
+        |  SELECT token, c_a, c_b,
+        |    ln((c_a::DOUBLE + 0.5) /
+        |       (t_a::DOUBLE + 0.5::DOUBLE * v - c_a::DOUBLE - 0.5)) -
+        |    ln((c_b::DOUBLE + 0.5) /
+        |       (t_b::DOUBLE + 0.5::DOUBLE * v - c_b::DOUBLE - 0.5)) AS delta
+        |  FROM m, s WHERE c_a + c_b >= 5),
+        |z AS (
+        |  SELECT token, c_a, c_b, delta,
+        |    delta / sqrt(1.0 / (c_a::DOUBLE + 0.5) +
+        |                 1.0 / (c_b::DOUBLE + 0.5)) AS zv
+        |  FROM d)
+        |SELECT row_number() OVER (ORDER BY abs(round(zv, 9)) DESC, token)
+        |         AS rank,
+        |       token, c_a, c_b, round(delta, 6) AS delta, round(zv, 6) AS z
+        |FROM z ORDER BY abs(round(zv, 9)) DESC, token LIMIT 20""".stripMargin))
   )
+
+  /** The q161/q162 document rule set — Spark rules and their DuckDB
+    * predicate twins, kept adjacent so they cannot drift.
+    */
+  private def docRules = Seq(
+    Expectations.notNull("text"),
+    Expectations.inRange("n_chars", 100, 500),
+    Expectations.isIn("lang", Seq("en", "de", "es", "fr")),
+    Expectations.satisfies("min_words(text)",
+      TextFunctions.tokenCount(col("text")) >= 20),
+    Expectations.satisfies("chars_consistent",
+      col("n_chars") === length(col("text"))))
+
+  private lazy val DocRuleSql: Seq[(String, String)] = Seq(
+    "not_null(text)" -> "text IS NOT NULL",
+    "in_range(n_chars)" -> "n_chars >= 100 AND n_chars <= 500",
+    "is_in(lang)" -> "lang IN ('en', 'de', 'es', 'fr')",
+    "min_words(text)" ->
+      "len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 20",
+    "chars_consistent" -> "n_chars = length(text)")
 
   /** q141's full replay — k-sets, thresholds, below-θ counts, the float
     * chain — shared verbatim with the served twin q142 (persistence must

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Drift
 import QueryUtil._
 import Tables._
 
@@ -1039,6 +1040,44 @@ object EventQueries {
         |    sum(round(l * l * l, 6)::DECIMAL(28,6)) AS s3,
         |    min(l) AS lo, max(l) AS hi
         |  FROM lat GROUP BY grp),
-        |${CorpusQueries.cornishFisherTailFor("grp")}""".stripMargin))
+        |${CorpusQueries.cornishFisherTailFor("grp")}""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov statistic (Drift.ksStatistic)
+    // between click and view event values: the ECDF difference is a step
+    // function changing only at observed values, so the sup is the max
+    // over pooled distinct values — exact, no sampling. The distributed
+    // cumulative uses range repartition + per-partition windows +
+    // broadcast partition offsets (never a single-task global window);
+    // the oracle's window-function cumulative replays it, with the
+    // comparison key rounded to 9 dp so both engines resolve the argmax
+    // and its smallest-value tie-break identically.
+    QueryDef("q164_drift_ks",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        Drift.ksStatistic(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"),
+          "value")
+      },
+      Some("""WITH av AS (
+        |  SELECT value::DOUBLE AS v, count(*)::BIGINT AS c FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+        |bv AS (
+        |  SELECT value::DOUBLE AS v, count(*)::BIGINT AS c FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(av.v, bv.v) AS v, coalesce(av.c, 0) AS ca,
+        |         coalesce(bv.c, 0) AS cb
+        |  FROM av FULL JOIN bv ON av.v = bv.v),
+        |t AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM m),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+        |         sum(cb) OVER (ORDER BY v)::BIGINT AS ccb
+        |  FROM m),
+        |d AS (
+        |  SELECT v, round(abs(cca::DOUBLE / ta - ccb::DOUBLE / tb), 9) AS d
+        |  FROM cum, t)
+        |SELECT round(d, 6) AS ks_d, v AS at_value, ta AS n_a, tb AS n_b
+        |FROM d, t ORDER BY d DESC, v LIMIT 1""".stripMargin))
   )
 }

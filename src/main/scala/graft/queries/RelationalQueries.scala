@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.ScatteringFunctions.Poni
-import graft.operators.{Azav, Masks}
+import graft.operators.{Azav, Drift, Masks}
 import QueryUtil._
 import Tables._
 
@@ -394,6 +394,52 @@ object RelationalQueries {
         |SELECT image_id, q_bin, az_bin, round(avg(intensity), 6) AS i,
         |       count(*) AS n_pix
         |FROM binned GROUP BY image_id, q_bin, az_bin
-        |ORDER BY image_id, q_bin, az_bin""".stripMargin))
+        |ORDER BY image_id, q_bin, az_bin""".stripMargin)),
+
+    // Population Stability Index decomposition (Drift.psiBuckets) between
+    // the even- and odd-orderkey halves of orders on o_totalprice, fixed
+    // literal breaks — the scorecard drift metric. Each side reduces to
+    // 6 bucket counts in one map-side-combined aggregation; add-half
+    // smoothing keeps empty buckets finite. The oracle replays the bucket
+    // chain, the smoothed proportions (explicit DOUBLE casts — DECIMAL
+    // division would round differently), and the ln contribution.
+    QueryDef("q163_drift_psi",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        Drift.psiBuckets(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_totalprice",
+          Seq(50000.0, 100000.0, 200000.0, 300000.0, 400000.0))
+      },
+      Some {
+        val bucketExpr = Seq(50000, 100000, 200000, 300000, 400000)
+          .map(b => s"CASE WHEN v >= $b THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")::INT")
+        s"""WITH a AS (
+           |  SELECT o_totalprice AS v FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+           |b AS (
+           |  SELECT o_totalprice AS v FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+           |ca AS (SELECT $bucketExpr AS bucket, count(*)::BIGINT AS c
+           |       FROM a GROUP BY 1),
+           |cb AS (SELECT $bucketExpr AS bucket, count(*)::BIGINT AS c
+           |       FROM b GROUP BY 1),
+           |bk AS (SELECT unnest(generate_series(0, 5))::INT AS bucket),
+           |m AS (
+           |  SELECT bk.bucket, coalesce(ca.c, 0) AS n_a, coalesce(cb.c, 0) AS n_b
+           |  FROM bk LEFT JOIN ca ON ca.bucket = bk.bucket
+           |           LEFT JOIN cb ON cb.bucket = bk.bucket),
+           |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM m),
+           |p AS (
+           |  SELECT bucket, n_a, n_b,
+           |    (n_a::DOUBLE + 0.5) / (ta::DOUBLE + 3.0) AS pa,
+           |    (n_b::DOUBLE + 0.5) / (tb::DOUBLE + 3.0) AS pb
+           |  FROM m, t)
+           |SELECT bucket, n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           |       round((pa - pb) * ln(pa / pb), 6) AS contrib
+           |FROM p ORDER BY bucket""".stripMargin
+      })
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+/** Drift detectors: PSI bucket arithmetic, the exact distributed KS
+  * statistic vs a driver-side brute force, and token log-odds shift.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketIdx: half-open buckets with sorted breaks") {
+    val df = Seq(-1.0, 0.0, 0.5, 1.0, 2.0, 3.0).toDF("v")
+    val got = df.select(Drift.bucketIdx(col("v"), Seq(0.0, 1.0, 2.0)).as("b"))
+      .as[Int].collect().toSeq
+    // (-inf,0)→0, [0,1)→1, [1,2)→2, [2,inf)→3
+    assert(got == Seq(0, 1, 1, 2, 3, 3))
+  }
+
+  test("psiBuckets: identical sides give exactly zero contributions") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Drift.psiBuckets(a, a, "v", Seq(25.0, 50.0, 75.0)).collect()
+    assert(r.length == 4)
+    r.foreach(row => assert(row.getAs[Double]("contrib") == 0.0))
+  }
+
+  test("psi: hand-computed shifted distribution, empty buckets stay finite") {
+    // a: all mass in bucket 0; b: all mass in bucket 1 (plus smoothing)
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(11.0, 12.0).toDF("v")
+    val breaks = Seq(10.0)
+    val pa0 = 3.5 / 4.0; val pa1 = 0.5 / 4.0
+    val pb0 = 0.5 / 3.0; val pb1 = 2.5 / 3.0
+    val expected = BigDecimal(
+      math.rint(((pa0 - pb0) * math.log(pa0 / pb0)) * 1e6) / 1e6 +
+        math.rint(((pa1 - pb1) * math.log(pa1 / pb1)) * 1e6) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Drift.psi(a, b, "v", breaks).collect()(0).getAs[Double]("psi")
+    assert(approx(got, expected, 1e-9), s"$got vs $expected")
+  }
+
+  test("ksStatistic: disjoint supports give D = 1 at the last value of A") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 5.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect()(0)
+    assert(r.getAs[Double]("ks_d") == 1.0)
+    assert(r.getAs[Double]("at_value") == 3.0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+  }
+
+  test("ksStatistic: matches driver-side brute force on random data, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val av = Seq.fill(500)(rnd.nextInt(80).toDouble)
+    val bv = Seq.fill(300)(rnd.nextInt(80).toDouble + (rnd.nextInt(3) - 1))
+    def ecdf(xs: Seq[Double])(t: Double): Double =
+      xs.count(_ <= t).toDouble / xs.size
+    val pooled = (av ++ bv).distinct.sorted
+    val brute = pooled.map(t => math.abs(ecdf(av)(t) - ecdf(bv)(t))).max
+    val a = av.toDF("v").repartition(7)
+    val b = bv.toDF("v").repartition(3)
+    val r = Drift.ksStatistic(a, b, "v").collect()(0)
+    assert(approx(r.getAs[Double]("ks_d"), math.rint(brute * 1e6) / 1e6, 1e-6),
+      s"${r.getAs[Double]("ks_d")} vs $brute")
+    // argmax is the smallest value attaining the sup
+    val argmaxes = pooled.filter(t =>
+      math.rint(math.abs(ecdf(av)(t) - ecdf(bv)(t)) * 1e9) ==
+        math.rint(brute * 1e9))
+    assert(r.getAs[Double]("at_value") == argmaxes.min)
+  }
+
+  test("ksStatistic: identical distributions give D = 0") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val r = Drift.ksStatistic(a, a, "v").collect()(0)
+    assert(r.getAs[Double]("ks_d") == 0.0)
+  }
+
+  test("tokenShift: sign convention — over-represented in A is positive") {
+    // In a two-token vocab the complement ('the') moves symmetrically and,
+    // with larger counts, carries the SMALLER variance → larger |z|; both
+    // directions must surface with the right signs.
+    val a = (Seq.fill(50)("quantum") ++ Seq.fill(50)("the")).toDF("tok")
+    val b = (Seq.fill(2)("quantum") ++ Seq.fill(98)("the")).toDF("tok")
+    val rows = Drift.tokenShift(a, b, "tok", alpha = 0.5, minCount = 5, k = 5)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(rows("quantum").getAs[Double]("z") > 0) // over-represented in a
+    assert(rows("the").getAs[Double]("z") < 0)     // over-represented in b
+    assert(rows("the").getAs[Int]("rank") == 1)    // tighter variance wins
+    assert(rows("quantum").getAs[Long]("c_a") == 50L &&
+      rows("quantum").getAs[Long]("c_b") == 2L)
+  }
+
+  test("tokenShift: hand-computed log-odds for a two-token vocabulary") {
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("tok")
+    val b = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("tok")
+    // V = 2, tA = tB = 40, α = 0.5
+    def side(c: Double, tot: Double) =
+      math.log((c + 0.5) / (tot + 0.5 * 2 - c - 0.5))
+    val deltaX = side(30, 40) - side(10, 40)
+    val zX = deltaX / math.sqrt(1 / 30.5 + 1 / 10.5)
+    val row = Drift.tokenShift(a, b, "tok", alpha = 0.5, minCount = 1, k = 2)
+      .filter(col("token") === "x").collect()(0)
+    assert(approx(row.getAs[Double]("delta"), math.rint(deltaX * 1e6) / 1e6, 1e-9))
+    assert(approx(row.getAs[Double]("z"), math.rint(zX * 1e6) / 1e6, 1e-9))
+  }
+
+  test("tokenShift: minCount filters the ranking but not the prior's vocab") {
+    val a = (Seq.fill(20)("common") ++ Seq("rare")).toDF("tok")
+    val b = Seq.fill(20)("common").toDF("tok")
+    val toks = Drift.tokenShift(a, b, "tok", alpha = 0.5, minCount = 5, k = 10)
+      .select("token").as[String].collect().toSet
+    assert(toks == Set("common")) // 'rare' (count 1) excluded from ranking
+  }
+}
