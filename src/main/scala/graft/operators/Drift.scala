@@ -58,16 +58,30 @@ object Drift {
                  breaks: Seq[Double]): DataFrame = {
     val spark = a.sparkSession
     val nb = breaks.size + 1
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.filter(col(valueCol).isNotNull)
-        .groupBy(bucketIdx(col(valueCol), breaks).as("bucket"))
-        .agg(count(lit(1)).as(out))
     import spark.implicits._
     val all = (0 until nb).toDF("bucket")
     val merged = all
-      .join(counts(a, "n_a"), Seq("bucket"), "left")
-      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .join(bucketCounts(a, valueCol, breaks, "n_a"), Seq("bucket"), "left")
+      .join(bucketCounts(b, valueCol, breaks, "n_b"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_a", "n_b"))
+    psiFromCounts(merged, nb)
+  }
+
+  /** One side's reduction: per-bucket counts `(bucket, <out>)` of non-null
+    * `valueCol` — one map-side-combined aggregation, the only corpus-scale
+    * step of the PSI (streamed PSI persists exactly this per batch).
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, breaks: Seq[Double],
+                   out: String = "n"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bucketIdx(col(valueCol), breaks).as("bucket"))
+      .agg(count(lit(1)).as(out))
+
+  /** The PSI arithmetic over an already-reduced `(bucket, n_a, n_b)` frame
+    * covering all `nb` buckets — shared verbatim by the batch and streamed
+    * paths so persistence cannot change the metric.
+    */
+  def psiFromCounts(merged: DataFrame, nb: Int): DataFrame = {
     val totA = sum(col("n_a")).over(Window.partitionBy())
     val totB = sum(col("n_b")).over(Window.partitionBy())
     // the whole-frame window runs on nb rows — bounded by construction
@@ -105,14 +119,27 @@ object Drift {
     * key is rounded to 9 dp so cross-engine ties resolve identically.
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.filter(col(valueCol).isNotNull)
-        .groupBy(col(valueCol).cast("double").as("v"))
-        .agg(count(lit(1)).as(out))
-    val merged = counts(a, "c_a").join(counts(b, "c_b"), Seq("v"), "full")
+    val merged = valueCounts(a, valueCol, "c_a")
+      .join(valueCounts(b, valueCol, "c_b"), Seq("v"), "full")
       .na.fill(0L, Seq("c_a", "c_b"))
+    ksFromCounts(merged)
+  }
+
+  /** One side's reduction: per-distinct-value counts `(v, <out>)` — the
+    * corpus-scale step of the KS (streamed KS persists exactly this).
+    */
+  def valueCounts(df: DataFrame, valueCol: String,
+                  out: String = "c"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as(out))
+
+  /** The KS sup over an already-reduced `(v, c_a, c_b)` frame — the
+    * distributed-prefix-sum tail shared by the batch and streamed paths.
+    */
+  def ksFromCounts(merged: DataFrame): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
     val parted = merged.repartitionByRange(col("v"))
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy("_pid").orderBy("v")

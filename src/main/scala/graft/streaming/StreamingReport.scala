@@ -489,7 +489,7 @@ object StreamingReport {
 
   // ------------------------------------------------------------ internals
 
-  private def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
+  private[streaming] def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -505,8 +505,8 @@ object StreamingReport {
     * inside the snapshot, so a later swap cannot silently change what
     * the returned frame scans.
     */
-  private def readState(spark: SparkSession, liveDir: String,
-                        baseDir: String, empty: DataFrame): DataFrame = {
+  private[streaming] def readState(spark: SparkSession, liveDir: String,
+                                   baseDir: String, empty: DataFrame): DataFrame = {
     val basePath = new Path(baseDir)
     val fs = basePath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -611,9 +611,9 @@ object StreamingReport {
     }
   }
 
-  private def compactFamily(spark: SparkSession, liveDir: String,
-                            baseDir: String, keepBatches: Int,
-                            merge: DataFrame => DataFrame): Unit = {
+  private[streaming] def compactFamily(spark: SparkSession, liveDir: String,
+                                       baseDir: String, keepBatches: Int,
+                                       merge: DataFrame => DataFrame): Unit = {
     val basePath = new Path(baseDir)
     val fs = basePath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+import graft.streaming.StreamingDrift
+
+/** The streaming drift monitor: streamed PSI and KS are EXACTLY the batch
+  * detectors over (reference, streamed union) — counts merge losslessly —
+  * with replay idempotence, an immutable reference, and fold-invisibility.
+  */
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private lazy val reference = orders.filter(col("o_orderkey") % 2 === 0)
+  private lazy val liveAll = orders.filter(col("o_orderkey") % 2 === 1)
+  private val breaks = Seq(50000.0, 150000.0, 300000.0)
+
+  private def initAndFeed(st: String, nSlices: Int = 3): Unit = {
+    StreamingDrift.init(reference, st, "o_totalprice", breaks)
+    (0 until nSlices).foreach { i =>
+      StreamingDrift.processBatch(
+        liveAll.filter(pmod(col("o_orderkey"), lit(7)) === i), st, i.toLong)
+    }
+  }
+
+  private def live(nSlices: Int = 3) =
+    liveAll.filter(pmod(col("o_orderkey"), lit(7)) < nSlices)
+
+  test("streamed PSI decomposition == batch psiBuckets(reference, union)") {
+    val st = Files.createTempDirectory("drift-psi").toString
+    initAndFeed(st)
+    val streamed = StreamingDrift.psiReport(spark, st)
+      .collect().map(_.toSeq).toSeq
+    val batch = Drift.psiBuckets(reference, live(), "o_totalprice", breaks)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    val psiS = StreamingDrift.psiTotal(spark, st)
+      .collect()(0).getAs[Double]("psi")
+    val psiB = Drift.psi(reference, live(), "o_totalprice", breaks)
+      .collect()(0).getAs[Double]("psi")
+    assert(psiS == psiB)
+  }
+
+  test("streamed KS == batch ksStatistic(reference, union)") {
+    val st = Files.createTempDirectory("drift-ks").toString
+    initAndFeed(st)
+    val streamed = StreamingDrift.ksReport(spark, st)
+      .collect()(0).toSeq
+    val batch = Drift.ksStatistic(reference, live(), "o_totalprice")
+      .collect()(0).toSeq
+    assert(streamed == batch)
+  }
+
+  test("replayed batch is absorbed; compaction is invisible to both reports") {
+    val st = Files.createTempDirectory("drift-rp").toString
+    initAndFeed(st)
+    val psi0 = StreamingDrift.psiReport(spark, st)
+      .collect().map(_.toSeq).toSeq
+    val ks0 = StreamingDrift.ksReport(spark, st).collect()(0).toSeq
+    // replay batch 1
+    StreamingDrift.processBatch(
+      liveAll.filter(pmod(col("o_orderkey"), lit(7)) === 1), st, 1L)
+    assert(StreamingDrift.psiReport(spark, st)
+      .collect().map(_.toSeq).toSeq == psi0)
+    StreamingDrift.compact(spark, st, keepBatches = 1)
+    assert(new java.io.File(s"$st/psi_base").exists() &&
+      new java.io.File(s"$st/ks_base").exists())
+    assert(StreamingDrift.psiReport(spark, st)
+      .collect().map(_.toSeq).toSeq == psi0)
+    assert(StreamingDrift.ksReport(spark, st).collect()(0).toSeq == ks0)
+    // a recent batch's replay after the fold still lands in its partition
+    StreamingDrift.processBatch(
+      liveAll.filter(pmod(col("o_orderkey"), lit(7)) === 2), st, 2L)
+    assert(StreamingDrift.psiReport(spark, st)
+      .collect().map(_.toSeq).toSeq == psi0)
+  }
+
+  test("monitor shape is immutable: double init refused, pre-init batch fails") {
+    val st = Files.createTempDirectory("drift-im").toString
+    StreamingDrift.init(reference, st, "o_totalprice", breaks)
+    intercept[IllegalArgumentException] {
+      StreamingDrift.init(reference, st, "o_totalprice", Seq(1.0))
+    }
+    val st2 = Files.createTempDirectory("drift-pre").toString
+    intercept[IllegalStateException] {
+      StreamingDrift.processBatch(liveAll, st2, 0L)
+    }
+    // markerless existing state: refuse to guess
+    Seq((0, 5L)).toDF("bucket", "n").write.parquet(s"$st2/psi/batch=0")
+    intercept[IllegalStateException] {
+      StreamingDrift.init(reference, st2, "o_totalprice", breaks)
+    }
+  }
+
+  test("pre-stream polls: PSI reads all-zero live mass, KS throws like batch") {
+    val st = Files.createTempDirectory("drift-es").toString
+    StreamingDrift.init(reference, st, "o_totalprice", breaks)
+    val rows = StreamingDrift.psiReport(spark, st).collect()
+    assert(rows.length == breaks.size + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_b") == 0L)
+      assert(!r.getAs[Double]("contrib").isNaN) // smoothing keeps it finite
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDrift.ksReport(spark, st).collect()
+    }
+  }
+
+  test("real writeStream sink tracks a file stream exactly") {
+    val in = Files.createTempDirectory("drift-in").toString
+    val st = Files.createTempDirectory("drift-sk").toString
+    val ck = Files.createTempDirectory("drift-ck").toString
+    StreamingDrift.init(reference, st, "o_totalprice", breaks)
+    val feed = liveAll.select(col("o_orderkey"), col("o_totalprice"))
+    feed.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("o_orderkey LONG, o_totalprice DOUBLE").parquet(in)
+    val q = StreamingDrift.sink(stream, st, ck, autoCompactEvery = 0)
+    try {
+      q.processAllAvailable()
+      feed.filter(pmod(col("o_orderkey"), lit(7)) === 1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = StreamingDrift.psiReport(spark, st)
+        .collect().map(_.toSeq).toSeq
+      val batch = Drift.psiBuckets(reference, live(2), "o_totalprice", breaks)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
