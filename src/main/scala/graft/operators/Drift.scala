@@ -135,36 +135,16 @@ object Drift {
       .agg(count(lit(1)).as(out))
 
   /** The KS sup over an already-reduced `(v, c_a, c_b)` frame — the
-    * distributed-prefix-sum tail shared by the batch and streamed paths.
+    * distributed-prefix-sum tail ([[Stats.prefixSums]]) shared by the
+    * batch and streamed paths.
     */
   def ksFromCounts(merged: DataFrame): DataFrame = {
-    val spark = merged.sparkSession
-    import spark.implicits._
-    val parted = merged.repartitionByRange(col("v"))
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy("_pid").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted
-      .withColumn("_la", sum(col("c_a")).over(w))
-      .withColumn("_lb", sum(col("c_b")).over(w))
-    // per-partition totals → exclusive prefix offsets (bounded: one row per
-    // shuffle partition)
-    val perPart = local.groupBy(col("_pid"))
-      .agg(max(col("_la")).as("ta"), max(col("_lb")).as("tb"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var (oa, ob) = (0L, 0L)
-    val offsets = perPart.map { case (p, ta, tb) =>
-      val row = (p, oa, ob); oa += ta; ob += tb; row
-    }
-    val totA = perPart.map(_._2).sum
-    val totB = perPart.map(_._3).sum
+    val (cum, totals) = Stats.prefixSums(merged, "v", Seq("c_a", "c_b"))
+    val (totA, totB) = (totals("c_a"), totals("c_b"))
     require(totA > 0 && totB > 0, "ksStatistic: empty side")
-    val offDf = offsets.toSeq.toDF("_pid", "_oa", "_ob")
-    val diffs = local.join(broadcast(offDf), Seq("_pid"))
-      .select(col("v"),
-        round(abs((col("_la") + col("_oa")).cast("double") / totA -
-          (col("_lb") + col("_ob")).cast("double") / totB), 9).as("d"))
+    val diffs = cum.select(col("v"),
+      round(abs(col("_cum_c_a").cast("double") / totA -
+        col("_cum_c_b").cast("double") / totB), 9).as("d"))
     diffs.orderBy(col("d").desc, col("v")).limit(1)
       .select(round(col("d"), 6).as("ks_d"), col("v").as("at_value"),
         lit(totA).as("n_a"), lit(totB).as("n_b"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.ScatteringFunctions.Poni
-import graft.operators.{Azav, Drift, Masks}
+import graft.operators.{Azav, Drift, Masks, Stats}
 import QueryUtil._
 import Tables._
 
@@ -440,6 +440,43 @@ object RelationalQueries {
            |SELECT bucket, n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
            |       round((pa - pb) * ln(pa / pb), 6) AS contrib
            |FROM p ORDER BY bucket""".stripMargin
-      })
+      }),
+
+    // Exact distributed type-7 quantiles (Stats.exactQuantiles) of
+    // lineitem prices: the corpus reduces to per-distinct-value counts in
+    // one map-side-combined aggregation; order statistics are located by
+    // rank interval on the reduced frame (range-partitioned prefix sums +
+    // broadcast offsets — no global sort, no single-task window); the
+    // h = p·(n−1) interpolation is the same arithmetic DuckDB's
+    // quantile_cont runs, so the oracle is the BUILT-IN — an independent
+    // implementation, not a replay.
+    QueryDef("q166_exact_quantiles",
+      (s, dir) =>
+        Stats.exactQuantiles(table(s, dir, "lineitem"), "l_extendedprice",
+            Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+          .select(col("prob"), round(col("q"), 6).as("q"))
+          .orderBy("prob"),
+      Some(Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
+          s"""SELECT $p::DOUBLE AS prob,
+             |  round(quantile_cont(l_extendedprice, $p), 6) AS q
+             |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY prob"))),
+
+    // The grouped form: per-returnflag price quantiles. The cumulative
+    // runs in per-group windows over the REDUCED (group, value) frame —
+    // per-task state is the group's distinct-value count, never its row
+    // count. Same built-in oracle, grouped.
+    QueryDef("q167_exact_quantiles_grouped",
+      (s, dir) =>
+        Stats.exactQuantiles(table(s, dir, "lineitem"), "l_extendedprice",
+            Seq(0.5, 0.9), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("prob"),
+            round(col("q"), 6).as("q"))
+          .orderBy("l_returnflag", "prob"),
+      Some(Seq(0.5, 0.9).map(p =>
+          s"""SELECT l_returnflag, $p::DOUBLE AS prob,
+             |  round(quantile_cont(l_extendedprice, $p), 6) AS q
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, prob")))
   )
 }
