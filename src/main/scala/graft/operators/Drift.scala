@@ -82,12 +82,12 @@ object Drift {
     * paths so persistence cannot change the metric.
     */
   def psiFromCounts(merged: DataFrame, nb: Int): DataFrame = {
-    val totA = sum(col("n_a")).over(Window.partitionBy())
-    val totB = sum(col("n_b")).over(Window.partitionBy())
-    // the whole-frame window runs on nb rows — bounded by construction
-    merged
-      .withColumn("p_a", (col("n_a") + 0.5) / (totA + 0.5 * nb))
-      .withColumn("p_b", (col("n_b") + 0.5) / (totB + 0.5 * nb))
+    // totals ride a broadcast 1-row aggregate, not a whole-frame window —
+    // the reduced frame is nb rows, but the plan shape stays window-free
+    val tot = merged.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    merged.crossJoin(broadcast(tot))
+      .withColumn("p_a", (col("n_a") + 0.5) / (col("_ta") + 0.5 * nb))
+      .withColumn("p_b", (col("n_b") + 0.5) / (col("_tb") + 0.5 * nb))
       .withColumn("contrib",
         round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6))
       .select(col("bucket"), col("n_a"), col("n_b"),
@@ -148,6 +148,91 @@ object Drift {
     diffs.orderBy(col("d").desc, col("v")).limit(1)
       .select(round(col("d"), 6).as("ks_d"), col("v").as("at_value"),
         lit(totA).as("n_a"), lit(totB).as("n_b"))
+  }
+
+  /** Pearson chi-squared homogeneity statistic between the CATEGORICAL
+    * distributions of `catCol` in `a` and `b` — the drift detector for
+    * discrete features (language, source, event type), where PSI's numeric
+    * buckets and KS's ordering don't apply. One row
+    * `(chi2, dof, n_cats, n_a, n_b)`; `dof = k − 1` for the 2×k table.
+    * NULL categories are dropped. No p-value column: neither engine ships
+    * a chi-squared CDF, so the caller compares against a critical value.
+    *
+    * Plan: each side reduces to per-category counts (one map-side-combined
+    * aggregation); the 2×k expected-count arithmetic runs on the merged
+    * k-row frame with the totals broadcast. Per-cell contributions are
+    * rounded to 6 dp and summed as DECIMAL — double summation is
+    * partition-order dependent, exact decimal sums are not (the engine's
+    * stableSum discipline).
+    */
+  def chiSquared(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("cat"))
+        .agg(count(lit(1)).as(out))
+    val merged = counts(a, "c_a").join(counts(b, "c_b"), Seq("cat"), "full")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val tot = merged.agg(sum(col("c_a")).as("_ta"), sum(col("c_b")).as("_tb"),
+      count(lit(1)).as("_k"))
+    val w = merged.crossJoin(broadcast(tot))
+    val n = (col("_ta") + col("_tb")).cast("double")
+    val colTot = (col("c_a") + col("c_b")).cast("double")
+    val ea = col("_ta").cast("double") * colTot / n
+    val eb = col("_tb").cast("double") * colTot / n
+    val cell = pow(col("c_a").cast("double") - ea, 2) / ea +
+      pow(col("c_b").cast("double") - eb, 2) / eb
+    w.groupBy(col("_ta"), col("_tb"), col("_k"))
+      .agg(round(sum(round(cell, 6).cast("decimal(28,6)")).cast("double"), 6)
+        .as("chi2"))
+      .select(col("chi2"), (col("_k") - 1).cast("long").as("dof"),
+        col("_k").cast("long").as("n_cats"),
+        col("_ta").as("n_a"), col("_tb").as("n_b"))
+  }
+
+  /** PSI between ADJACENT observed periods — the drift metric as a time
+    * series (is yesterday's data shaped like the day before's?). Output one
+    * row per period with an observed predecessor:
+    * `(period, n_prev, n_cur, psi)`, same smoothing and rounding as
+    * [[psiBuckets]] with the earlier period as side `a`.
+    *
+    * Plan: the corpus reduces to (period × bucket) counts in one
+    * aggregation; densification (periods × all buckets) keeps empty
+    * buckets in the smoothing like the pairwise form; the predecessor is a
+    * `lag` in per-BUCKET windows ordered by period (partition size = the
+    * period count — bounded by time, not data); totals are per-PERIOD
+    * windows over nb rows. Contributions are 6-dp-rounded and summed as
+    * DECIMAL so the series is partition-order independent.
+    */
+  def psiSeries(df: DataFrame, periodCol: String, valueCol: String,
+                breaks: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nb = breaks.size + 1
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(periodCol).as("period"),
+        bucketIdx(col(valueCol), breaks).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val dense = counts.select("period").distinct()
+      .crossJoin(broadcast((0 until nb).toDF("bucket")))
+      .join(counts, Seq("period", "bucket"), "left")
+      .na.fill(0L, Seq("n"))
+    val wLag = Window.partitionBy("bucket").orderBy("period")
+    val paired = dense
+      .withColumn("n_prev", lag(col("n"), 1).over(wLag))
+      .filter(col("n_prev").isNotNull)
+    val wPeriod = Window.partitionBy("period")
+    val t = paired
+      .withColumn("tot_cur", sum(col("n")).over(wPeriod))
+      .withColumn("tot_prev", sum(col("n_prev")).over(wPeriod))
+    val pa = (col("n_prev") + 0.5) / (col("tot_prev") + 0.5 * nb)
+    val pb = (col("n") + 0.5) / (col("tot_cur") + 0.5 * nb)
+    t.withColumn("contrib", round((pa - pb) * log(pa / pb), 6))
+      .groupBy(col("period"))
+      .agg(max(col("tot_prev")).as("n_prev"),
+        max(col("tot_cur")).as("n_cur"),
+        round(sum(col("contrib").cast("decimal(28,6)")).cast("double"), 6)
+          .as("psi"))
+      .orderBy("period")
   }
 
   /** Which tokens drove the drift: smoothed log-odds-ratio with Dirichlet

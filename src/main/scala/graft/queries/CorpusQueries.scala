@@ -4129,7 +4129,49 @@ object CorpusQueries {
         |SELECT row_number() OVER (ORDER BY abs(round(zv, 9)) DESC, token)
         |         AS rank,
         |       token, c_a, c_b, round(delta, 6) AS delta, round(zv, 6) AS z
-        |FROM z ORDER BY abs(round(zv, 9)) DESC, token LIMIT 20""".stripMargin))
+        |FROM z ORDER BY abs(round(zv, 9)) DESC, token LIMIT 20""".stripMargin)),
+
+    // Categorical drift (Drift.chiSquared): is the SOURCE distribution of
+    // English docs the same as the rest of the corpus? Pearson chi-squared
+    // homogeneity over the 2×k contingency table — the detector for
+    // discrete columns where PSI buckets / KS ordering don't apply. Each
+    // side reduces to per-source counts; cells are 6-dp-rounded and
+    // DECIMAL-summed (double sums are partition-order dependent). The
+    // oracle replays the expected-count arithmetic cell by cell.
+    QueryDef("q169_chi_squared",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Drift.chiSquared(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "source")
+      },
+      Some("""WITH ca AS (
+        |  SELECT source AS cat, count(*)::BIGINT AS c FROM documents
+        |  WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT source AS cat, count(*)::BIGINT AS c FROM documents
+        |  WHERE lang <> 'en' AND source IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.cat, cb.cat) AS cat, coalesce(ca.c, 0) AS c_a,
+        |         coalesce(cb.c, 0) AS c_b
+        |  FROM ca FULL JOIN cb ON ca.cat = cb.cat),
+        |t AS (SELECT sum(c_a)::BIGINT AS ta, sum(c_b)::BIGINT AS tb,
+        |             count(*)::BIGINT AS k FROM m),
+        |x AS (
+        |  SELECT round(
+        |    pow(c_a::DOUBLE - ta::DOUBLE * (c_a + c_b)::DOUBLE
+        |          / (ta + tb)::DOUBLE, 2)
+        |      / (ta::DOUBLE * (c_a + c_b)::DOUBLE / (ta + tb)::DOUBLE) +
+        |    pow(c_b::DOUBLE - tb::DOUBLE * (c_a + c_b)::DOUBLE
+        |          / (ta + tb)::DOUBLE, 2)
+        |      / (tb::DOUBLE * (c_a + c_b)::DOUBLE / (ta + tb)::DOUBLE),
+        |    6) AS cell
+        |  FROM m, t)
+        |SELECT round(sum(cell::DECIMAL(28,6))::DOUBLE, 6) AS chi2,
+        |       (k - 1)::BIGINT AS dof, k::BIGINT AS n_cats,
+        |       ta AS n_a, tb AS n_b
+        |FROM x, t GROUP BY k, ta, tb""".stripMargin))
   )
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB

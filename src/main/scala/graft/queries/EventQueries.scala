@@ -1078,6 +1078,61 @@ object EventQueries {
         |  SELECT v, round(abs(cca::DOUBLE / ta - ccb::DOUBLE / tb), 9) AS d
         |  FROM cum, t)
         |SELECT round(d, 6) AS ks_d, v AS at_value, ta AS n_a, tb AS n_b
-        |FROM d, t ORDER BY d DESC, v LIMIT 1""".stripMargin))
+        |FROM d, t ORDER BY d DESC, v LIMIT 1""".stripMargin)),
+
+    // PSI as a TIME SERIES (Drift.psiSeries): each event day vs the
+    // previous observed day on the value distribution — the live-drift
+    // dashboard's trend line. The corpus reduces to (day × bucket) counts
+    // in one aggregation; predecessor pairing is a lag in per-bucket
+    // windows (partition = #days); smoothing matches q163; contributions
+    // are 6-dp-rounded and DECIMAL-summed so the series is partition-order
+    // independent. The oracle replays the densified lag chain with window
+    // functions.
+    QueryDef("q168_psi_series",
+      (s, dir) => {
+        val day = date_format(
+          timestamp_seconds(tsSec - pmod(tsSec, lit(86400L))), "yyyy-MM-dd")
+        graft.operators.Drift.psiSeries(
+          events(s, dir).withColumn("period", day),
+          "period", "value", Seq(10.0, 30.0, 60.0, 120.0))
+      },
+      Some {
+        val nb = 5
+        val bucketExpr = Seq(10, 30, 60, 120)
+          .map(b => s"CASE WHEN value >= $b THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")::INT")
+        s"""WITH c AS (
+           |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+           |         $bucketExpr AS bucket, count(*)::BIGINT AS n
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |d AS (
+           |  SELECT p.period, bk.bucket, coalesce(c.n, 0) AS n
+           |  FROM (SELECT DISTINCT period FROM c) p
+           |  CROSS JOIN (SELECT unnest(generate_series(0, ${nb - 1}))::INT
+           |              AS bucket) bk
+           |  LEFT JOIN c ON c.period = p.period AND c.bucket = bk.bucket),
+           |l AS (
+           |  SELECT period, bucket, n,
+           |         lag(n) OVER (PARTITION BY bucket ORDER BY period) AS n_prev
+           |  FROM d),
+           |f AS (SELECT * FROM l WHERE n_prev IS NOT NULL),
+           |t AS (
+           |  SELECT period, n, n_prev,
+           |         sum(n) OVER (PARTITION BY period)::BIGINT AS tot_cur,
+           |         sum(n_prev) OVER (PARTITION BY period)::BIGINT AS tot_prev
+           |  FROM f),
+           |x AS (
+           |  SELECT period, tot_prev, tot_cur,
+           |    round(((n_prev::DOUBLE + 0.5) / (tot_prev::DOUBLE + 0.5 * $nb)
+           |         - (n::DOUBLE + 0.5) / (tot_cur::DOUBLE + 0.5 * $nb))
+           |      * ln(((n_prev::DOUBLE + 0.5) / (tot_prev::DOUBLE + 0.5 * $nb))
+           |          / ((n::DOUBLE + 0.5) / (tot_cur::DOUBLE + 0.5 * $nb))),
+           |      6) AS contrib
+           |  FROM t)
+           |SELECT period, max(tot_prev)::BIGINT AS n_prev,
+           |       max(tot_cur)::BIGINT AS n_cur,
+           |       round(sum(contrib::DECIMAL(28,6))::DOUBLE, 6) AS psi
+           |FROM x GROUP BY period ORDER BY period""".stripMargin
+      })
   )
 }

@@ -103,6 +103,58 @@ class DriftSpec extends SparkSpec {
     assert(approx(row.getAs[Double]("z"), math.rint(zX * 1e6) / 1e6, 1e-9))
   }
 
+  test("chiSquared: hand-computed 2x2 table; identical distributions near 0") {
+    // a: 30 x / 10 y; b: 10 x / 30 y — classic 2x2
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("cat")
+    val b = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("cat")
+    val r = Drift.chiSquared(a, b, "cat").collect()(0)
+    // expected = 20 per cell; chi2 = 4 * (10^2 / 20) = 20
+    assert(r.getAs[Double]("chi2") == 20.0)
+    assert(r.getAs[Long]("dof") == 1L && r.getAs[Long]("n_cats") == 2L)
+    assert(r.getAs[Long]("n_a") == 40L && r.getAs[Long]("n_b") == 40L)
+    val same = Drift.chiSquared(a, a, "cat").collect()(0)
+    assert(same.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("chiSquared: category present on one side only still contributes") {
+    val a = (Seq.fill(10)("x") ++ Seq.fill(5)("only_a")).toDF("cat")
+    val b = Seq.fill(10)("x").toDF("cat")
+    val r = Drift.chiSquared(a, b, "cat").collect()(0)
+    assert(r.getAs[Long]("n_cats") == 2L)
+    // driver-side replay of the same rounded-cell arithmetic
+    val cells = Seq((10L, 10L), (5L, 0L)).map { case (cA, cB) =>
+      val (ta, tb) = (15.0, 10.0); val n = 25.0
+      val ct = (cA + cB).toDouble
+      val (ea, eb) = (ta * ct / n, tb * ct / n)
+      math.rint((math.pow(cA - ea, 2) / ea +
+        math.pow(cB - eb, 2) / eb) * 1e6) / 1e6
+    }
+    assert(approx(r.getAs[Double]("chi2"),
+      math.rint(cells.sum * 1e6) / 1e6, 1e-9))
+  }
+
+  test("psiSeries: pairs adjacent observed periods, matches pairwise PSI") {
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      d <- Seq("d1", "d2", "d4"); _ <- 1 to 120 // d3 missing: d4 pairs d2
+    } yield (d, rnd.nextDouble() * 100 + (if (d == "d4") 30 else 0))
+    val df = rows.toDF("period", "v").repartition(5)
+    val breaks = Seq(25.0, 50.0, 75.0)
+    val series = Drift.psiSeries(df, "period", "v", breaks)
+      .collect().map(r => r.getAs[String]("period") -> r).toMap
+    assert(series.keySet == Set("d2", "d4")) // d1 has no predecessor
+    // each series point equals the pairwise operator on the same two days
+    for ((cur, prev) <- Seq(("d2", "d1"), ("d4", "d2"))) {
+      val pair = Drift.psi(
+        df.filter(col("period") === prev), df.filter(col("period") === cur),
+        "v", breaks).collect()(0).getAs[Double]("psi")
+      assert(series(cur).getAs[Double]("psi") == pair,
+        s"$cur: ${series(cur).getAs[Double]("psi")} vs $pair")
+      assert(series(cur).getAs[Long]("n_prev") == 120L &&
+        series(cur).getAs[Long]("n_cur") == 120L)
+    }
+  }
+
   test("tokenShift: minCount filters the ranking but not the prior's vocab") {
     val a = (Seq.fill(20)("common") ++ Seq("rare")).toDF("tok")
     val b = Seq.fill(20)("common").toDF("tok")

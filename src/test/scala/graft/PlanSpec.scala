@@ -101,17 +101,20 @@ class PlanSpec extends SparkSpec {
 
   test("no single-task global window over table-grain data in any registry plan") {
     // An unpartitioned window moves EVERY row to one task — the q17/q19
-    // class of hazard. The only allowed instance is q19, whose window
-    // input is the post-aggregation histogram (one row per price bin,
-    // bounded by the value range, not the table).
+    // class of hazard. Allowed instances: q19, whose window input is the
+    // post-aggregation histogram (one row per price bin, bounded by the
+    // value range, not the table); q165, whose rank window runs AFTER
+    // `limit(k)` (k = 20) — GlobalLimit has already coalesced the frame
+    // to one k-row partition, so the window moves nothing.
+    val allowed = Set("q19_w4_smoothing", "q165_token_shift")
     val offenders = planned.collect {
       case (name, plan) if plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       }.nonEmpty => name
     }.toSet
-    assert(offenders.subsetOf(Set("q19_w4_smoothing")),
-      s"unpartitioned window crept into: ${(offenders - "q19_w4_smoothing").mkString(", ")}")
+    assert(offenders.subsetOf(allowed),
+      s"unpartitioned window crept into: ${(offenders -- allowed).mkString(", ")}")
   }
 
   test("r5 family plans: q72 keeps partial aggregation, q73 ranks in bounded groups") {
