@@ -150,6 +150,25 @@ object Drift {
         lit(totA).as("n_a"), lit(totB).as("n_b"))
   }
 
+  /** Reference-derived equal-mass PSI breaks: the interior type-7
+    * quantiles of the FIXED reference at `1/n .. (n−1)/n`
+    * ([[Stats.exactQuantiles]]). Deriving from the reference alone keeps
+    * the metric stable — quantiles of a moving corpus would make the
+    * monitor itself drift (the object doc's warning, made convenient).
+    * Heavy ties collapse duplicate quantiles, so fewer than `nBuckets − 1`
+    * breaks may return; the driver-side result is `nBuckets − 1` doubles,
+    * safe to embed as literals in [[psiBuckets]] / a streaming monitor's
+    * init.
+    */
+  def suggestBreaks(reference: DataFrame, valueCol: String,
+                    nBuckets: Int): Seq[Double] = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    Stats.exactQuantiles(reference, valueCol, probs)
+      .orderBy("prob").select("q")
+      .collect().map(_.getDouble(0)).toSeq.distinct
+  }
+
   /** Pearson chi-squared homogeneity statistic between the CATEGORICAL
     * distributions of `catCol` in `a` and `b` — the drift detector for
     * discrete features (language, source, event type), where PSI's numeric

@@ -108,6 +108,56 @@ object Stats {
     }
   }
 
+  /** Pairwise Pearson correlations over numeric columns in ONE scan —
+    * the profiling staple: `(col_x, col_y, n, corr)` per unordered pair
+    * (declaration order, x before y). Pairwise-complete deletion: each
+    * pair's moments aggregate over rows where BOTH columns are non-null
+    * (DuckDB/ANSI `corr` semantics). Singleton/constant columns yield
+    * NULL corr (zero variance), never NaN.
+    *
+    * Determinism: plain double `corr` is partition-order dependent and
+    * can't hash-match across engines; here every power sum rides the
+    * stableSum discipline (terms rounded to 6 dp, summed as DECIMAL —
+    * exact and order-free), and only the final scalar combination runs in
+    * double. One map-side-combined aggregation carries all pairs' six
+    * moments; the tall report explodes from that single row.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least 2 columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def dec(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      val xv = when(both, col(x).cast("double"))
+      val yv = when(both, col(y).cast("double"))
+      Seq(count(when(both, lit(1))).as(s"_n$k"),
+        dec(xv).as(s"_sx$k"), dec(yv).as(s"_sy$k"),
+        dec(xv * xv).as(s"_sxx$k"), dec(yv * yv).as(s"_syy$k"),
+        dec(xv * yv).as(s"_sxy$k"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = explode(array(pairs.zipWithIndex.map { case ((x, y), k) =>
+      struct(lit(x).as("cx"), lit(y).as("cy"),
+        col(s"_n$k").as("n"),
+        col(s"_sx$k").cast("double").as("sx"),
+        col(s"_sy$k").cast("double").as("sy"),
+        col(s"_sxx$k").cast("double").as("sxx"),
+        col(s"_syy$k").cast("double").as("syy"),
+        col(s"_sxy$k").cast("double").as("sxy"))
+    }: _*)).as("e")
+    val n = col("e.n").cast("double")
+    val varX = n * col("e.sxx") - col("e.sx") * col("e.sx")
+    val varY = n * col("e.syy") - col("e.sy") * col("e.sy")
+    val cov = n * col("e.sxy") - col("e.sx") * col("e.sy")
+    one.select(entries)
+      .select(col("e.cx").as("col_x"), col("e.cy").as("col_y"),
+        col("e.n").as("n"),
+        round(when(varX > 0 && varY > 0,
+          cov / sqrt(varX) / sqrt(varY)), 6).as("corr"))
+  }
+
   /** Rank-locate both neighbors of `h = prob·(n−1)` and interpolate.
     * Input: the cumulative frame crossed with the probe set; a row covers
     * ranks `(_cum__c − _c, _cum__c]`.

@@ -477,6 +477,42 @@ object RelationalQueries {
           s"""SELECT l_returnflag, $p::DOUBLE AS prob,
              |  round(quantile_cont(l_extendedprice, $p), 6) AS q
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, prob")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, prob"))),
+
+    // Pairwise Pearson correlation matrix (Stats.correlationMatrix) over
+    // four lineitem measures in ONE scan: all six moments of every pair
+    // ride one map-side-combined aggregation with stableSum-disciplined
+    // DECIMAL power sums (plain double corr is partition-order dependent
+    // and can't hash across engines). The oracle replays the same rounded
+    // power sums per pair — NOT the built-in corr(), exactly because the
+    // built-in's double accumulation is unstable.
+    QueryDef("q170_correlation_matrix",
+      (s, dir) =>
+        Stats.correlationMatrix(table(s, dir, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_x", "col_y"),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val arms = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield {
+          val (x, y) = (cols(i), cols(j))
+          def d(e: String) = s"sum(round($e, 6)::DECIMAL(28,6))::DOUBLE"
+          s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+             |  round(CASE WHEN n::DOUBLE*sxx - sx*sx > 0
+             |         AND n::DOUBLE*syy - sy*sy > 0
+             |    THEN (n::DOUBLE*sxy - sx*sy) / sqrt(n::DOUBLE*sxx - sx*sx)
+             |                         / sqrt(n::DOUBLE*syy - sy*sy) END,
+             |    6) AS corr
+             |FROM (
+             |  SELECT count(*)::BIGINT AS n,
+             |    ${d(s"$x")} AS sx, ${d(s"$y")} AS sy,
+             |    ${d(s"$x * $x")} AS sxx, ${d(s"$y * $y")} AS syy,
+             |    ${d(s"$x * $y")} AS sxy
+             |  FROM lineitem
+             |  WHERE $x IS NOT NULL AND $y IS NOT NULL)""".stripMargin
+        }
+        arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+      })
   )
 }

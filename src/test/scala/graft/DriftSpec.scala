@@ -103,6 +103,19 @@ class DriftSpec extends SparkSpec {
     assert(approx(row.getAs[Double]("z"), math.rint(zX * 1e6) / 1e6, 1e-9))
   }
 
+  test("suggestBreaks: equal-mass interior quantiles; ties collapse") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    // quartile breaks of 1..100 (type-7): h = p*99
+    val got = Drift.suggestBreaks(ref, "v", 4)
+    assert(got == Seq(25.75, 50.5, 75.25))
+    // reference-derived breaks feed straight into psiBuckets
+    val r = Drift.psiBuckets(ref, ref, "v", got).collect()
+    assert(r.length == 4 && r.forall(_.getAs[Double]("contrib") == 0.0))
+    // a heavily tied reference collapses duplicate quantiles
+    val tied = Seq.fill(100)(5.0).toDF("v")
+    assert(Drift.suggestBreaks(tied, "v", 4) == Seq(5.0))
+  }
+
   test("chiSquared: hand-computed 2x2 table; identical distributions near 0") {
     // a: 30 x / 10 y; b: 10 x / 30 y — classic 2x2
     val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("cat")

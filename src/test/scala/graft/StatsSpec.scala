@@ -72,6 +72,54 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("correlationMatrix: brute-force parity with pairwise-complete NULLs") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(400) { i =>
+      val x = rnd.nextDouble() * 10
+      val y = 2.0 * x + rnd.nextDouble() // strongly correlated with x
+      val z = rnd.nextDouble() * 5       // independent
+      // x NULL every 7th row, z NULL every 11th — pairwise deletion differs
+      (if (i % 7 == 0) None else Some(x), Some(y),
+        if (i % 11 == 0) None else Some(z))
+    }
+    val df = rows.toDF("x", "y", "z").repartition(6)
+    val got = Stats.correlationMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    // driver-side replay with the same 6-dp-rounded power sums
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    def brute(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sx, sy) = (a.map(r6).sum, b.map(r6).sum)
+      val sxx = a.map(v => r6(v * v)).sum
+      val syy = b.map(v => r6(v * v)).sum
+      val sxy = a.zip(b).map { case (u, v) => r6(u * v) }.sum
+      r6((n * sxy - sx * sy) /
+        math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy))
+    }
+    def pair(fa: ((Option[Double], Option[Double], Option[Double])) => Option[Double],
+             fb: ((Option[Double], Option[Double], Option[Double])) => Option[Double]) = {
+      val both = rows.flatMap(r => for (a <- fa(r); b <- fb(r)) yield (a, b))
+      (both.size.toLong, brute(both.map(_._1), both.map(_._2)))
+    }
+    val want = Seq(pair(_._1, _._2), pair(_._1, _._3), pair(_._2, _._3))
+    got.zip(want).foreach { case ((cx, cy, n, c), (wn, wc)) =>
+      assert(n == wn, s"($cx,$cy) n: $n vs $wn")
+      assert(approx(c, wc, 1e-6), s"($cx,$cy): $c vs $wc")
+    }
+    // the strong pair really is strong, the independent one weak
+    assert(got(0)._4 > 0.95 && math.abs(got(1)._4) < 0.2)
+  }
+
+  test("correlationMatrix: constant column yields NULL corr, not NaN") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
+    val r = Stats.correlationMatrix(df, Seq("x", "k")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("corr")))
+  }
+
   test("exactQuantiles: single value, and empty input throws") {
     val one = Seq(42.0).toDF("x")
     val r = Stats.exactQuantiles(one, "x", Seq(0.0, 0.5, 1.0))
