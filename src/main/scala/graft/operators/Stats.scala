@@ -108,6 +108,71 @@ object Stats {
     }
   }
 
+  // ------------------------------------------------------ scaled exact sum
+  //
+  // The stableSum discipline (round terms to 6 dp, sum exactly, so results
+  // are partition-order independent and hash-match across engines) at LONG
+  // speed: Spark's Sum over any decimal input carries a precision-38
+  // buffer, which is BigDecimal-boxed — measured ~20× slower than a long
+  // sum (3.6M-row bisect: 20.1 s decimal vs 1.1 s double). Here the term
+  // is `rint(c·10⁶)` as a long, split into three 22-bit limbs summed as
+  // plain longs (per-limb identity: x = (x>>22)·2²² + (x & mask), valid
+  // for negatives under two's complement), recombined EXACTLY in decimal
+  // once per group. Low/mid limb sums fit a long up to 2⁴¹ ≈ 2.2·10¹²
+  // rows per group; past that the ANSI long-sum overflow fails loudly
+  // rather than corrupting. The DuckDB twin needs no limbs (BIGINT sums
+  // accumulate in HUGEINT): `sum(CAST(round(e·1e6) AS BIGINT))`.
+
+  private val LimbMask = (1L << 22) - 1
+
+  /** The three limb-sum aggregates for term `rint(c·10⁶)`, tagged. */
+  private def scaledAggs(c: Column, tag: String): Seq[Column] = {
+    val scaled = round(c * 1e6).cast("long")
+    Seq(sum(shiftright(scaled, 44)).as(s"_h$tag"),
+      sum(shiftright(scaled, 22).bitwiseAND(lit(LimbMask))).as(s"_m$tag"),
+      sum(scaled.bitwiseAND(lit(LimbMask))).as(s"_l$tag"))
+  }
+
+  /** Recombine a tag's limb sums: the exact scaled total (decimal
+    * arithmetic, once per group) back to value scale as a double.
+    */
+  private def scaledTotal(tag: String): Column =
+    ((col(s"_h$tag").cast("decimal(38,0)") * lit(1L << 44) +
+      col(s"_m$tag").cast("decimal(38,0)") * lit(1L << 22) +
+      col(s"_l$tag").cast("decimal(38,0)")).cast("double") / 1e6)
+
+  /** One-scan numeric column profile — the ingest-survey report a
+    * pipeline runs before writing expectations: per column
+    * `(column, n, n_null, n_distinct, min_v, max_v, mean)`, with
+    * `n_distinct` EXACT (NULL excluded) and `mean` on the stableSum
+    * discipline (6-dp-rounded terms, DECIMAL sum, then one division —
+    * order-independent, cross-engine hashable). All columns' aggregates
+    * ride one `agg` call: Spark plans the multi-distinct via a single
+    * Expand over one scan of the input.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    // One (column, value) row per input row per column (projection-side
+    // explode — every per-column aggregate then shares ONE small agg set,
+    // and the single countDistinct plans as a plain two-phase aggregate
+    // instead of an m-way Expand; see correlationMatrix for why a wide
+    // one-row agg is a codegen-compilation trap)
+    val tall = df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(c).cast("double").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.v").as("v"))
+    val aggsAll = Seq(count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      countDistinct(col("v")).as("n_distinct"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      count(col("v")).as("_nn")) ++ scaledAggs(col("v"), "v")
+    tall.groupBy(col("column"))
+      .agg(aggsAll.head, aggsAll.tail: _*)
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"),
+        round(scaledTotal("v") / col("_nn"), 6).as("mean"))
+  }
+
   /** Pairwise Pearson correlations over numeric columns in ONE scan —
     * the profiling staple: `(col_x, col_y, n, corr)` per unordered pair
     * (declaration order, x before y). Pairwise-complete deletion: each
@@ -124,36 +189,48 @@ object Stats {
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least 2 columns")
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    def dec(c: Column) = sum(round(c, 6).cast("decimal(28,6)"))
-    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
-      val both = col(x).isNotNull && col(y).isNotNull
-      val xv = when(both, col(x).cast("double"))
-      val yv = when(both, col(y).cast("double"))
-      Seq(count(when(both, lit(1))).as(s"_n$k"),
-        dec(xv).as(s"_sx$k"), dec(yv).as(s"_sy$k"),
-        dec(xv * xv).as(s"_sxx$k"), dec(yv * yv).as(s"_syy$k"),
-        dec(xv * yv).as(s"_sxy$k"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = explode(array(pairs.zipWithIndex.map { case ((x, y), k) =>
-      struct(lit(x).as("cx"), lit(y).as("cy"),
-        col(s"_n$k").as("n"),
-        col(s"_sx$k").cast("double").as("sx"),
-        col(s"_sy$k").cast("double").as("sy"),
-        col(s"_sxx$k").cast("double").as("sxx"),
-        col(s"_syy$k").cast("double").as("syy"),
-        col(s"_sxy$k").cast("double").as("sxy"))
-    }: _*)).as("e")
-    val n = col("e.n").cast("double")
-    val varX = n * col("e.sxx") - col("e.sx") * col("e.sx")
-    val varY = n * col("e.syy") - col("e.sy") * col("e.sy")
-    val cov = n * col("e.sxy") - col("e.sx") * col("e.sy")
-    one.select(entries)
-      .select(col("e.cx").as("col_x"), col("e.cy").as("col_y"),
-        col("e.n").as("n"),
+    // One row per (pair, x, y) via a projection-side explode, then ONE
+    // small aggregate set grouped by pair id. The first attempt put all
+    // pairs' moments in a single agg row (6·m(m−1)/2 DECIMAL aggregates):
+    // one scan, but the generated aggregate method was so large that
+    // EVERY planning paid ~17 s of janino compilation — 170× the actual
+    // execution. The explode costs an m(m−1)/2 row amplification in the
+    // map stage only (the partial aggregate reduces to one row per pair
+    // before the shuffle), and the 6-aggregate method compiles instantly.
+    val pairRows = df.select(explode(array(pairs.zipWithIndex.map {
+        case ((x, y), k) =>
+          struct(lit(k).as("pid"), col(x).cast("double").as("x"),
+            col(y).cast("double").as("y"))
+      }: _*)).as("p"))
+      .select(col("p.pid").as("pid"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val momentAggs = count(lit(1)).as("n") +:
+      (scaledAggs(col("x"), "x") ++ scaledAggs(col("y"), "y") ++
+        scaledAggs(col("x") * col("x"), "xx") ++
+        scaledAggs(col("y") * col("y"), "yy") ++
+        scaledAggs(col("x") * col("y"), "xy"))
+    val moments = pairRows.groupBy(col("pid"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
+      .select(col("pid"), col("n"),
+        scaledTotal("x").as("sx"), scaledTotal("y").as("sy"),
+        scaledTotal("xx").as("sxx"), scaledTotal("yy").as("syy"),
+        scaledTotal("xy").as("sxy"))
+    val names = broadcast(pairs.zipWithIndex.map { case ((x, y), k) =>
+      (k, x, y)
+    }.toDF("pid", "col_x", "col_y"))
+    val n = col("n").cast("double")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    // right join: a pair with zero complete rows still reports (n=0)
+    moments.join(names, Seq("pid"), "right")
+      .na.fill(0L, Seq("n"))
+      .select(col("col_x"), col("col_y"), col("n"),
         round(when(varX > 0 && varY > 0,
           cov / sqrt(varX) / sqrt(varY)), 6).as("corr"))
   }

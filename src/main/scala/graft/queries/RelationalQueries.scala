@@ -481,11 +481,12 @@ object RelationalQueries {
 
     // Pairwise Pearson correlation matrix (Stats.correlationMatrix) over
     // four lineitem measures in ONE scan: all six moments of every pair
-    // ride one map-side-combined aggregation with stableSum-disciplined
-    // DECIMAL power sums (plain double corr is partition-order dependent
-    // and can't hash across engines). The oracle replays the same rounded
-    // power sums per pair — NOT the built-in corr(), exactly because the
-    // built-in's double accumulation is unstable.
+    // ride one map-side-combined aggregation with EXACT scaled-integer
+    // power sums (rint(term·1e6) limb-summed as longs — plain double corr
+    // is partition-order dependent and can't hash across engines; decimal
+    // sums are BigDecimal-boxed and ~20x slower). The oracle replays the
+    // same scaled sums (BIGINT accumulates in HUGEINT there, no limbs
+    // needed) — NOT the built-in corr(), whose accumulation is unstable.
     QueryDef("q170_correlation_matrix",
       (s, dir) =>
         Stats.correlationMatrix(table(s, dir, "lineitem"),
@@ -497,7 +498,8 @@ object RelationalQueries {
           i <- cols.indices; j <- (i + 1) until cols.size
         } yield {
           val (x, y) = (cols(i), cols(j))
-          def d(e: String) = s"sum(round($e, 6)::DECIMAL(28,6))::DOUBLE"
+          def d(e: String) =
+            s"(sum(CAST(round(($e) * 1000000.0) AS BIGINT))::DOUBLE / 1e6)"
           s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
              |  round(CASE WHEN n::DOUBLE*sxx - sx*sx > 0
              |         AND n::DOUBLE*syy - sy*sy > 0
@@ -513,6 +515,27 @@ object RelationalQueries {
              |  WHERE $x IS NOT NULL AND $y IS NOT NULL)""".stripMargin
         }
         arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
-      })
+      }),
+
+    // One-scan numeric profile (Stats.profile): the survey report a
+    // pipeline runs before writing expectations. Exact distinct counts
+    // (the explode keeps the single distinct a plain two-phase agg, no
+    // Expand), scaled-integer exact means. The oracle replays each
+    // column's aggregates (the mean must be order-independent to hash).
+    QueryDef("q171_numeric_profile",
+      (s, dir) =>
+        Stats.profile(table(s, dir, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("column"),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map {
+          c =>
+          s"""SELECT '$c' AS "column", count(*)::BIGINT AS n,
+             |  (count(*) - count($c))::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v,
+             |  round(sum(CAST(round($c * 1000000.0) AS BIGINT))::DOUBLE
+             |        / 1e6 / count($c), 6) AS mean
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
   )
 }

@@ -89,14 +89,16 @@ class StatsSpec extends SparkSpec {
         r.getLong(2), r.getDouble(3)))
     assert(got.map(g => (g._1, g._2)).toSeq ==
       Seq(("x", "y"), ("x", "z"), ("y", "z")))
-    // driver-side replay with the same 6-dp-rounded power sums
+    // driver-side replay with the same scaled-integer power sums
     def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    def ssum(xs: Seq[Double]): Double =
+      xs.map(v => BigDecimal(math.round(v * 1e6))).sum.toDouble / 1e6
     def brute(a: Seq[Double], b: Seq[Double]): Double = {
       val n = a.size.toDouble
-      val (sx, sy) = (a.map(r6).sum, b.map(r6).sum)
-      val sxx = a.map(v => r6(v * v)).sum
-      val syy = b.map(v => r6(v * v)).sum
-      val sxy = a.zip(b).map { case (u, v) => r6(u * v) }.sum
+      val (sx, sy) = (ssum(a), ssum(b))
+      val sxx = ssum(a.map(v => v * v))
+      val syy = ssum(b.map(v => v * v))
+      val sxy = ssum(a.zip(b).map { case (u, v) => u * v })
       r6((n * sxy - sx * sy) /
         math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy))
     }
@@ -118,6 +120,20 @@ class StatsSpec extends SparkSpec {
     val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
     val r = Stats.correlationMatrix(df, Seq("x", "k")).collect()(0)
     assert(r.isNullAt(r.fieldIndex("corr")))
+  }
+
+  test("profile: exact counts, NULL accounting, stable mean") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (3.0, null), (null, 50.0))
+      .toDF("a", "b").repartition(3)
+    val got = Stats.profile(df, Seq("a", "b")).orderBy("column").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n") == 5 && a.getAs[Long]("n_null") == 1)
+    assert(a.getAs[Long]("n_distinct") == 3) // 1, 2, 3
+    assert(a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 3.0)
+    assert(a.getAs[Double]("mean") == 2.0)
+    assert(b.getAs[Long]("n_null") == 2 && b.getAs[Long]("n_distinct") == 3)
+    assert(b.getAs[Double]("mean") == 30.0)
   }
 
   test("exactQuantiles: single value, and empty input throws") {
