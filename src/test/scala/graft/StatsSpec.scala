@@ -136,6 +136,23 @@ class StatsSpec extends SparkSpec {
     assert(b.getAs[Double]("mean") == 30.0)
   }
 
+  test("profile: scaled limb sums exact for negative and large values") {
+    // the limb identity x = (x>>22)·2^22 + (x & mask) must hold for
+    // NEGATIVE scaled values (arithmetic shift + nonneg mask) and values
+    // whose scaled form exceeds one limb
+    val vals = Seq(-1.000001, 2.5, -3.25, 0.000001, 123456789.654321,
+      -987654321.123456, 7.0e9, -7.0e9)
+    val df = vals.toDF("v").repartition(4)
+    val got = Stats.profile(df, Seq("v")).collect()(0)
+    val expectedMean = {
+      val scaled = vals.map(v => BigDecimal(math.round(v * 1e6)))
+      val mean = (scaled.sum / 1e6 / vals.size).toDouble
+      math.rint(mean * 1e6) / 1e6
+    }
+    assert(approx(got.getAs[Double]("mean"), expectedMean, 1e-12),
+      s"${got.getAs[Double]("mean")} vs $expectedMean")
+  }
+
   test("exactQuantiles: single value, and empty input throws") {
     val one = Seq(42.0).toDF("x")
     val r = Stats.exactQuantiles(one, "x", Seq(0.0, 0.5, 1.0))
