@@ -93,10 +93,7 @@ object Stats {
     val probDf = broadcast(probs.toDF("prob"))
 
     if (groupCols.isEmpty) {
-      val (cum, totals) = prefixSums(counts, "_v", Seq("_c"))
-      val n = totals("_c")
-      require(n > 0, "exactQuantiles: empty input")
-      locate(cum.crossJoin(probDf), lit(n), Nil)
+      quantilesFromCounts(counts, "_v", "_c", probs)
     } else {
       val wCum = Window.partitionBy(keys: _*).orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -233,6 +230,26 @@ object Stats {
       .select(col("col_x"), col("col_y"), col("n"),
         round(when(varX > 0 && varY > 0,
           cov / sqrt(varX) / sqrt(varY)), 6).as("corr"))
+  }
+
+  /** Type-7 quantiles from an ALREADY-REDUCED distinct-value count frame
+    * `(vCol, cCol)` — the state a streamed monitor keeps (e.g.
+    * [[graft.streaming.StreamingDrift]]'s KS family), so exact live
+    * quantiles cost no corpus scan. Same arithmetic as [[exactQuantiles]]
+    * by construction (that method routes through here).
+    */
+  def quantilesFromCounts(counts: DataFrame, vCol: String, cCol: String,
+                          probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val norm = counts.select(col(vCol).cast("double").as("_v"),
+      col(cCol).cast("long").as("_c"))
+    val (cum, totals) = prefixSums(norm, "_v", Seq("_c"))
+    val n = totals("_c")
+    require(n > 0, "exactQuantiles: empty input")
+    locate(cum.crossJoin(broadcast(probs.toDF("prob"))), lit(n), Nil)
   }
 
   /** Rank-locate both neighbors of `h = prob·(n−1)` and interpolate.

@@ -128,6 +128,21 @@ object StreamingDrift {
       ref.join(live, Seq("v"), "full").na.fill(0L, Seq("c_a", "c_b")))
   }
 
+  /** EXACT type-7 quantiles of everything streamed so far — computed from
+    * the SAME value-count state the KS detector keeps, so live exact
+    * quantiles cost no corpus scan and no extra state family. Equals
+    * `Stats.exactQuantiles` over the streamed union by construction
+    * (shared counts-level code path).
+    */
+  def quantilesReport(spark: SparkSession, stateDir: String,
+                      probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    shape(spark, stateDir) // init gate
+    val live = readState(spark, s"$stateDir/ks", s"$stateDir/ks_base",
+        emptyFrame(spark, "v DOUBLE, c BIGINT"))
+      .groupBy(col("v")).agg(sum(col("c")).as("c"))
+    graft.operators.Stats.quantilesFromCounts(live, "v", "c", probs)
+  }
+
   /** Fold old partials into the bases (both families merge by SUM at their
     * grain). The reference reduction is immutable and untouched.
     */

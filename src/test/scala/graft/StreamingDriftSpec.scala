@@ -78,6 +78,22 @@ class StreamingDriftSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == psi0)
   }
 
+  test("streamed exact quantiles == batch exactQuantiles over the union") {
+    val st = Files.createTempDirectory("drift-q").toString
+    initAndFeed(st)
+    val probs = Seq(0.1, 0.5, 0.9)
+    val streamed = StreamingDrift.quantilesReport(spark, st, probs)
+      .orderBy("prob").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Stats
+      .exactQuantiles(live(), "o_totalprice", probs)
+      .orderBy("prob").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the fold changes nothing
+    StreamingDrift.compact(spark, st, keepBatches = 1)
+    assert(StreamingDrift.quantilesReport(spark, st, probs)
+      .orderBy("prob").collect().map(_.toSeq).toSeq == streamed)
+  }
+
   test("monitor shape is immutable: double init refused, pre-init batch fails") {
     val st = Files.createTempDirectory("drift-im").toString
     StreamingDrift.init(reference, st, "o_totalprice", breaks)
