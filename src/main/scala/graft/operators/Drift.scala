@@ -185,12 +185,25 @@ object Drift {
     * stableSum discipline).
     */
   def chiSquared(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.filter(col(catCol).isNotNull)
-        .groupBy(col(catCol).as("cat"))
-        .agg(count(lit(1)).as(out))
-    val merged = counts(a, "c_a").join(counts(b, "c_b"), Seq("cat"), "full")
+    val merged = catCounts(a, catCol, "c_a")
+      .join(catCounts(b, catCol, "c_b"), Seq("cat"), "full")
       .na.fill(0L, Seq("c_a", "c_b"))
+    chiFromCounts(merged)
+  }
+
+  /** One side's reduction: per-category counts `(cat, <out>)` — the
+    * corpus-scale step of the chi-squared (streamed categorical drift
+    * persists exactly this).
+    */
+  def catCounts(df: DataFrame, catCol: String, out: String = "c"): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as(out))
+
+  /** The chi-squared arithmetic over an already-reduced `(cat, c_a, c_b)`
+    * frame — shared by the batch and streamed paths.
+    */
+  def chiFromCounts(merged: DataFrame): DataFrame = {
     val tot = merged.agg(sum(col("c_a")).as("_ta"), sum(col("c_b")).as("_tb"),
       count(lit(1)).as("_k"))
     val w = merged.crossJoin(broadcast(tot))

@@ -14,8 +14,8 @@ import StreamingReport.{batchDirs, compactFamily, emptyFrame, readState}
   * partial; the report runs entirely on state — the corpus (and the
   * reference) are never rescanned.
   *
-  * Two families, both mergeable-by-construction so the streamed metric is
-  * EXACTLY the batch metric over the union (spec-pinned):
+  * Three families, all mergeable-by-construction so the streamed metric
+  * is EXACTLY the batch metric over the union (spec-pinned):
   *  - PSI: per-batch bucket counts (`psi/batch=<id>`) — counts add, so the
   *    merged live histogram equals [[Drift.bucketCounts]] of the whole
   *    stream; the report replays [[Drift.psiFromCounts]] verbatim.
@@ -24,7 +24,10 @@ import StreamingReport.{batchDirs, compactFamily, emptyFrame, readState}
   *    at value grain and runs [[Drift.ksFromCounts]]. Value-grain state is
   *    the price of an EXACT sup; for corpora where the monitored column has
   *    unbounded distinct values, monitor a rounded/binned projection (then
-  *    PSI is usually the better tool anyway).
+  *    PSI is usually the better tool anyway). The same state also serves
+  *    EXACT live type-7 quantiles ([[quantilesReport]]) for free.
+  *  - chi-squared (optional, `catCol` at [[init]]): per-batch category
+  *    counts (`cat/batch=<id>`) — the categorical-drift twin.
   *
   * The reference histogram, the breaks, and the monitored column are
   * stamped by [[init]] (`_col` / `_breaks` markers + `reference/` parquet);
@@ -43,7 +46,7 @@ object StreamingDrift {
     * silently rebased).
     */
   def init(reference: DataFrame, stateDir: String, valueCol: String,
-           breaks: Seq[Double]): Unit = {
+           breaks: Seq[Double], catCol: Option[String] = None): Unit = {
     require(breaks.nonEmpty && breaks == breaks.sorted,
       "breaks must be non-empty and sorted")
     val spark = reference.sparkSession
@@ -56,7 +59,7 @@ object StreamingDrift {
       throw new IllegalStateException(
         s"drift state at $stateDir exists without markers; refusing to " +
           "guess its shape")
-    // reduce the reference once; both families persist only reductions
+    // reduce the reference once; every family persists only reductions
     val pinned = reference.localCheckpoint(true)
     try {
       Drift.bucketCounts(pinned, valueCol, breaks, "n")
@@ -64,17 +67,27 @@ object StreamingDrift {
         .parquet(s"$stateDir/reference/psi")
       Drift.valueCounts(pinned, valueCol, "c")
         .write.mode("overwrite").parquet(s"$stateDir/reference/ks")
+      catCol.foreach { c =>
+        Drift.catCounts(pinned, c, "c")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/reference/cat")
+      }
     } finally graft.operators.Checkpoints.release(pinned)
     writeText(fs, new Path(s"$stateDir/_breaks"),
       breaks.map(_.toString).mkString(","))
+    catCol.foreach(c => writeText(fs, new Path(s"$stateDir/_cat"), c))
     // _col last: its existence is the init-complete commit marker, so a
     // crash mid-init leaves a re-initializable dir, never a half-monitor
     writeText(fs, new Path(s"$stateDir/_col"), valueCol)
   }
 
-  /** Reduce one micro-batch into both families (idempotent per batchId). */
+  /** Reduce one micro-batch into every initialized family (idempotent per
+    * batchId): PSI buckets + KS value counts always, category counts when
+    * the monitor was initialized with a `catCol`.
+    */
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     val (valueCol, breaks) = shape(batch.sparkSession, stateDir)
+    val cat = catShape(batch.sparkSession, stateDir)
     val pinned = batch.localCheckpoint(true)
     try {
       Drift.bucketCounts(pinned, valueCol, breaks, "n")
@@ -82,6 +95,11 @@ object StreamingDrift {
         .parquet(s"$stateDir/psi/batch=$batchId")
       Drift.valueCounts(pinned, valueCol, "c")
         .write.mode("overwrite").parquet(s"$stateDir/ks/batch=$batchId")
+      cat.foreach { c =>
+        Drift.catCounts(pinned, c, "c")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/cat/batch=$batchId")
+      }
     } finally graft.operators.Checkpoints.release(pinned)
   }
 
@@ -143,7 +161,30 @@ object StreamingDrift {
     graft.operators.Stats.quantilesFromCounts(live, "v", "c", probs)
   }
 
-  /** Fold old partials into the bases (both families merge by SUM at their
+  /** Live categorical drift — the chi-squared homogeneity statistic
+    * between the reference's and the streamed union's `catCol`
+    * distributions, from state alone; shares [[Drift.chiFromCounts]] with
+    * the batch path. Requires the monitor to have been initialized with a
+    * `catCol` — fails fast otherwise.
+    */
+  def chiSquaredReport(spark: SparkSession, stateDir: String): DataFrame = {
+    shape(spark, stateDir) // init gate
+    require(catShape(spark, stateDir).isDefined,
+      s"drift monitor at $stateDir was initialized without a catCol")
+    val refRaw = spark.read.parquet(s"$stateDir/reference/cat")
+    val ref = refRaw.withColumnRenamed("c", "c_a")
+    // category type follows the reference reduction's own schema (the
+    // state was written by the same catCounts against the same column)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], refRaw.schema)
+    val live = readState(spark, s"$stateDir/cat", s"$stateDir/cat_base",
+        empty)
+      .groupBy(col("cat")).agg(sum(col("c")).as("c_b"))
+    Drift.chiFromCounts(
+      ref.join(live, Seq("cat"), "full").na.fill(0L, Seq("c_a", "c_b")))
+  }
+
+  /** Fold old partials into the bases (all families merge by SUM at their
     * grain). The reference reduction is immutable and untouched.
     */
   def compact(spark: SparkSession, stateDir: String,
@@ -154,6 +195,9 @@ object StreamingDrift {
     compactFamily(spark, s"$stateDir/ks", s"$stateDir/ks_base",
       keepBatches,
       merged => merged.groupBy(col("v")).agg(sum(col("c")).as("c")))
+    compactFamily(spark, s"$stateDir/cat", s"$stateDir/cat_base",
+      keepBatches,
+      merged => merged.groupBy(col("cat")).agg(sum(col("c")).as("c")))
   }
 
   /** Attach the monitor to a streaming DataFrame ([[init]] must have run —
@@ -188,6 +232,16 @@ object StreamingDrift {
         s"drift monitor at $stateDir has no _breaks marker"))
       .split(",").toSeq.map(_.toDouble)
     (colName, breaks)
+  }
+
+  /** The monitored categorical column, if the monitor was initialized with
+    * one (the `_cat` marker).
+    */
+  private def catShape(spark: SparkSession,
+                       stateDir: String): Option[String] = {
+    val p = new Path(s"$stateDir/_cat")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readText(fs, p)
   }
 
   private def readText(fs: FileSystem, p: Path): Option[String] =

@@ -34,8 +34,10 @@ import StreamingReport.{batchDirs, compactFamily, emptyFrame, readState}
   * rule names + each check expression's canonical SQL). A restart with a
   * renamed rule, a reordered suite, or an edited predicate FAILS FAST
   * instead of splicing incompatible counter streams; recompose a new state
-  * dir (or backfill) to change the suite. The quarantine payload schema may
-  * evolve with the input — readers pin each partition's own schema.
+  * dir (or backfill) to change the suite. Routed-data readers pin the
+  * FIRST batch partition's schema across the whole read — the gate's
+  * input schema is expected to stay fixed for a state dir's lifetime
+  * (schema changes are a new gate, like rule changes).
   */
 object StreamingQualityGate {
 

@@ -78,6 +78,32 @@ class StreamingDriftSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == psi0)
   }
 
+  test("streamed chi-squared == batch chiSquared over the union; " +
+       "catCol-less monitor refuses") {
+    val st = Files.createTempDirectory("drift-chi").toString
+    StreamingDrift.init(reference, st, "o_totalprice", breaks,
+      catCol = Some("o_orderstatus"))
+    (0 until 3).foreach { i =>
+      StreamingDrift.processBatch(
+        liveAll.filter(pmod(col("o_orderkey"), lit(7)) === i), st, i.toLong)
+    }
+    val streamed = StreamingDrift.chiSquaredReport(spark, st)
+      .collect()(0).toSeq
+    val batch = Drift.chiSquared(reference, live(), "o_orderstatus")
+      .collect()(0).toSeq
+    assert(streamed == batch)
+    // fold-invariant
+    StreamingDrift.compact(spark, st, keepBatches = 1)
+    assert(StreamingDrift.chiSquaredReport(spark, st)
+      .collect()(0).toSeq == streamed)
+    // a monitor initialized without a catCol refuses the report
+    val st2 = Files.createTempDirectory("drift-nocat").toString
+    StreamingDrift.init(reference, st2, "o_totalprice", breaks)
+    intercept[IllegalArgumentException] {
+      StreamingDrift.chiSquaredReport(spark, st2)
+    }
+  }
+
   test("streamed exact quantiles == batch exactQuantiles over the union") {
     val st = Files.createTempDirectory("drift-q").toString
     initAndFeed(st)
