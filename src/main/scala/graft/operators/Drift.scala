@@ -218,7 +218,13 @@ object Drift {
         .as("chi2"))
       .select(col("chi2"), (col("_k") - 1).cast("long").as("dof"),
         col("_k").cast("long").as("n_cats"),
-        col("_ta").as("n_a"), col("_tb").as("n_b"))
+        col("_ta").as("n_a"), col("_tb").as("n_b"),
+        // Cramér's V effect size: chi2 grows with n, V ∈ [0,1] doesn't —
+        // for a 2×k table min(r,c)−1 = 1 (k ≥ 2), so V = sqrt(chi2/n);
+        // NULL for the degenerate single-category table (dof 0)
+        round(when(col("_k") >= 2,
+          sqrt(col("chi2") /
+            (col("_ta") + col("_tb")).cast("double"))), 6).as("cramers_v"))
   }
 
   /** PSI between ADJACENT observed periods — the drift metric as a time

@@ -4167,11 +4167,16 @@ object CorpusQueries {
         |          / (ta + tb)::DOUBLE, 2)
         |      / (tb::DOUBLE * (c_a + c_b)::DOUBLE / (ta + tb)::DOUBLE),
         |    6) AS cell
-        |  FROM m, t)
-        |SELECT round(sum(cell::DECIMAL(28,6))::DOUBLE, 6) AS chi2,
-        |       (k - 1)::BIGINT AS dof, k::BIGINT AS n_cats,
-        |       ta AS n_a, tb AS n_b
-        |FROM x, t GROUP BY k, ta, tb""".stripMargin))
+        |  FROM m, t),
+        |f AS (
+        |  SELECT round(sum(cell::DECIMAL(28,6))::DOUBLE, 6) AS chi2,
+        |         (k - 1)::BIGINT AS dof, k::BIGINT AS n_cats,
+        |         ta AS n_a, tb AS n_b
+        |  FROM x, t GROUP BY k, ta, tb)
+        |SELECT chi2, dof, n_cats, n_a, n_b,
+        |  round(CASE WHEN n_cats >= 2
+        |        THEN sqrt(chi2 / (n_a + n_b)::DOUBLE) END, 6) AS cramers_v
+        |FROM f""".stripMargin))
   )
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB

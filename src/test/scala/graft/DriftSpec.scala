@@ -125,8 +125,11 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == 20.0)
     assert(r.getAs[Long]("dof") == 1L && r.getAs[Long]("n_cats") == 2L)
     assert(r.getAs[Long]("n_a") == 40L && r.getAs[Long]("n_b") == 40L)
+    // V = sqrt(20 / 80) = 0.5
+    assert(r.getAs[Double]("cramers_v") == 0.5)
     val same = Drift.chiSquared(a, a, "cat").collect()(0)
     assert(same.getAs[Double]("chi2") == 0.0)
+    assert(same.getAs[Double]("cramers_v") == 0.0)
   }
 
   test("chiSquared: category present on one side only still contributes") {
