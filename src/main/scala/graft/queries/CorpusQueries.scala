@@ -4176,7 +4176,31 @@ object CorpusQueries {
         |SELECT chi2, dof, n_cats, n_a, n_b,
         |  round(CASE WHEN n_cats >= 2
         |        THEN sqrt(chi2 / (n_a + n_b)::DOUBLE) END, 6) AS cramers_v
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // Composition pin: the numeric profile of ONLY the rows the q161
+    // expectation suite admits (Expectations.split → Stats.profile) — the
+    // first report a pipeline runs on a freshly gated corpus. The oracle
+    // derives the clean set directly from the rule predicates, so the
+    // split → profile chain must be semantically invisible.
+    QueryDef("q172_gated_profile",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val (clean, _) = Expectations.split(docs, docRules)
+        graft.operators.Stats.profile(clean, Seq("n_chars"))
+      },
+      Some {
+        val cleanCond = DocRuleSql
+          .map { case (_, cond) => s"coalesce($cond, FALSE)" }
+          .mkString(" AND ")
+        s"""SELECT 'n_chars' AS "column", count(*)::BIGINT AS n,
+           |  (count(*) - count(n_chars))::BIGINT AS n_null,
+           |  count(DISTINCT n_chars)::BIGINT AS n_distinct,
+           |  min(n_chars)::DOUBLE AS min_v, max(n_chars)::DOUBLE AS max_v,
+           |  round(sum(CAST(round(n_chars * 1000000.0) AS BIGINT))::DOUBLE
+           |        / 1e6 / count(n_chars), 6) AS mean
+           |FROM documents WHERE $cleanCond""".stripMargin
+      })
   )
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB
