@@ -150,6 +150,46 @@ object Drift {
         lit(totA).as("n_a"), lit(totB).as("n_b"))
   }
 
+  /** Jensen–Shannon divergence between the bucket distributions of
+    * `valueCol` in `a` and `b` — the symmetric, bounded ([0, ln 2])
+    * complement to [[psiBuckets]]: no smoothing needed (against the
+    * mixture `m = (p+q)/2`, a zero-mass bucket's term is exactly 0), no
+    * direction, and a hard upper bound makes thresholds portable across
+    * monitors. One row `(js, n_a, n_b)`, natural-log base.
+    *
+    * Same reduction as PSI (one map-side-combined aggregation per side to
+    * nBuckets counts); per-bucket contributions are 6-dp-rounded and
+    * DECIMAL-summed for partition-order independence.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String,
+                   breaks: Seq[Double]): DataFrame = {
+    val spark = a.sparkSession
+    val nb = breaks.size + 1
+    import spark.implicits._
+    val merged = (0 until nb).toDF("bucket")
+      .join(bucketCounts(a, valueCol, breaks, "n_a"), Seq("bucket"), "left")
+      .join(bucketCounts(b, valueCol, breaks, "n_b"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    jsFromCounts(merged)
+  }
+
+  /** The JSD arithmetic over an already-reduced `(bucket, n_a, n_b)`
+    * frame — shared by the batch and streamed paths.
+    */
+  def jsFromCounts(merged: DataFrame): DataFrame = {
+    val tot = merged.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val w = merged.crossJoin(broadcast(tot))
+    val pa = col("n_a").cast("double") / col("_ta").cast("double")
+    val pb = col("n_b").cast("double") / col("_tb").cast("double")
+    val m = (pa + pb) / 2
+    def term(p: Column): Column =
+      when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0))
+    w.groupBy(col("_ta"), col("_tb"))
+      .agg(round(sum(round(term(pa) + term(pb), 6).cast("decimal(28,6)"))
+        .cast("double"), 6).as("js"))
+      .select(col("js"), col("_ta").as("n_a"), col("_tb").as("n_b"))
+  }
+
   /** Reference-derived equal-mass PSI breaks: the interior type-7
     * quantiles of the FIXED reference at `1/n .. (n−1)/n`
     * ([[Stats.exactQuantiles]]). Deriving from the reference alone keeps

@@ -442,6 +442,57 @@ object RelationalQueries {
            |FROM p ORDER BY bucket""".stripMargin
       }),
 
+    // Jensen–Shannon divergence (Drift.jsDivergence) between the same two
+    // orders halves as q163 — the symmetric, bounded ([0, ln 2]) drift
+    // metric: no smoothing (a zero-mass bucket's term against the mixture
+    // is exactly 0), portable thresholds. The oracle replays raw
+    // proportions, the mixture, and the guarded p·ln(p/m) terms.
+    QueryDef("q173_drift_js",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        Drift.jsDivergence(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_totalprice",
+          Seq(50000.0, 100000.0, 200000.0, 300000.0, 400000.0))
+      },
+      Some {
+        val bucketExpr = Seq(50000, 100000, 200000, 300000, 400000)
+          .map(b => s"CASE WHEN v >= $b THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")::INT")
+        s"""WITH a AS (
+           |  SELECT o_totalprice AS v FROM orders
+           |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+           |b AS (
+           |  SELECT o_totalprice AS v FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+           |ca AS (SELECT $bucketExpr AS bucket, count(*)::BIGINT AS c
+           |       FROM a GROUP BY 1),
+           |cb AS (SELECT $bucketExpr AS bucket, count(*)::BIGINT AS c
+           |       FROM b GROUP BY 1),
+           |bk AS (SELECT unnest(generate_series(0, 5))::INT AS bucket),
+           |m AS (
+           |  SELECT bk.bucket, coalesce(ca.c, 0) AS n_a, coalesce(cb.c, 0) AS n_b
+           |  FROM bk LEFT JOIN ca ON ca.bucket = bk.bucket
+           |           LEFT JOIN cb ON cb.bucket = bk.bucket),
+           |t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM m),
+           |p AS (
+           |  SELECT n_a::DOUBLE / ta::DOUBLE AS pa,
+           |         n_b::DOUBLE / tb::DOUBLE AS pb
+           |  FROM m, t),
+           |c AS (
+           |  SELECT round(
+           |    (CASE WHEN pa > 0
+           |       THEN pa * ln(pa / ((pa + pb) / 2)) / 2 ELSE 0 END) +
+           |    (CASE WHEN pb > 0
+           |       THEN pb * ln(pb / ((pa + pb) / 2)) / 2 ELSE 0 END),
+           |    6) AS contrib
+           |  FROM p)
+           |SELECT round(sum(contrib::DECIMAL(28,6))::DOUBLE, 6) AS js,
+           |       ta AS n_a, tb AS n_b
+           |FROM c, t GROUP BY ta, tb""".stripMargin
+      }),
+
     // Exact distributed type-7 quantiles (Stats.exactQuantiles) of
     // lineitem prices: the corpus reduces to per-distinct-value counts in
     // one map-side-combined aggregation; order statistics are located by

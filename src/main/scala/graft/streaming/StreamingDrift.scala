@@ -131,6 +131,25 @@ object StreamingDrift {
       .agg(round(sum(col("contrib").cast("decimal(28,6)")).cast("double"), 6)
         .as("psi"))
 
+  /** Live Jensen–Shannon divergence — served from the SAME bucket-count
+    * state the PSI uses (no extra family); shares [[Drift.jsFromCounts]]
+    * with the batch path.
+    */
+  def jsReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val (_, breaks) = shape(spark, stateDir)
+    val nb = breaks.size + 1
+    import spark.implicits._
+    val ref = spark.read.parquet(s"$stateDir/reference/psi")
+      .withColumnRenamed("n", "n_a")
+    val live = readState(spark, s"$stateDir/psi", s"$stateDir/psi_base",
+        emptyFrame(spark, "bucket INT, n BIGINT"))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n_b"))
+    Drift.jsFromCounts((0 until nb).toDF("bucket")
+      .join(ref, Seq("bucket"), "left")
+      .join(live, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b")))
+  }
+
   /** The live exact KS statistic — reference as side `a`, the streamed
     * union as side `b`; shares [[Drift.ksFromCounts]] with the batch path.
     * Throws (like the batch form) while either side is empty.

@@ -103,6 +103,34 @@ class DriftSpec extends SparkSpec {
     assert(approx(row.getAs[Double]("z"), math.rint(zX * 1e6) / 1e6, 1e-9))
   }
 
+  test("jsDivergence: identical 0, disjoint ln 2, symmetric, hand-computed") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(11.0, 12.0).toDF("v")
+    val breaks = Seq(10.0)
+    assert(Drift.jsDivergence(a, a, "v", breaks)
+      .collect()(0).getAs[Double]("js") == 0.0)
+    // disjoint bucket masses → exactly ln 2 (per-bucket rounding first)
+    val disjoint = Drift.jsDivergence(a, b, "v", breaks).collect()(0)
+    val ln2r = math.rint(math.log(2.0) / 2 * 1e6) / 1e6 * 2
+    assert(approx(disjoint.getAs[Double]("js"),
+      math.rint(ln2r * 1e6) / 1e6, 1e-9))
+    assert(disjoint.getAs[Long]("n_a") == 3L && disjoint.getAs[Long]("n_b") == 2L)
+    // asymmetric masses vs a driver-side replay; symmetry
+    val c = Seq(1.0, 2.0, 11.0).toDF("v")
+    def t(p: Double, m: Double) = if (p > 0) p * math.log(p / m) / 2 else 0.0
+    val (pa0, pa1) = (1.0, 0.0); val (pc0, pc1) = (2.0 / 3, 1.0 / 3)
+    val expected = math.rint((
+      math.rint((t(pa0, (pa0 + pc0) / 2) + t(pc0, (pa0 + pc0) / 2)) * 1e6) / 1e6 +
+      math.rint((t(pa1, (pa1 + pc1) / 2) + t(pc1, (pa1 + pc1) / 2)) * 1e6) / 1e6
+    ) * 1e6) / 1e6
+    val got = Drift.jsDivergence(a, c, "v", breaks)
+      .collect()(0).getAs[Double]("js")
+    assert(approx(got, expected, 1e-9), s"$got vs $expected")
+    val flipped = Drift.jsDivergence(c, a, "v", breaks)
+      .collect()(0).getAs[Double]("js")
+    assert(got == flipped)
+  }
+
   test("suggestBreaks: equal-mass interior quantiles; ties collapse") {
     val ref = (1 to 100).map(_.toDouble).toDF("v")
     // quartile breaks of 1..100 (type-7): h = p*99

@@ -44,6 +44,15 @@ class StreamingDriftSpec extends SparkSpec {
     assert(psiS == psiB)
   }
 
+  test("streamed JS divergence == batch jsDivergence(reference, union)") {
+    val st = Files.createTempDirectory("drift-js").toString
+    initAndFeed(st)
+    val streamed = StreamingDrift.jsReport(spark, st).collect()(0).toSeq
+    val batch = Drift.jsDivergence(reference, live(), "o_totalprice", breaks)
+      .collect()(0).toSeq
+    assert(streamed == batch)
+  }
+
   test("streamed KS == batch ksStatistic(reference, union)") {
     val st = Files.createTempDirectory("drift-ks").toString
     initAndFeed(st)
