@@ -145,9 +145,16 @@ object Drift {
     val diffs = cum.select(col("v"),
       round(abs(col("_cum_c_a").cast("double") / totA -
         col("_cum_c_b").cast("double") / totB), 9).as("d"))
+    // asymptotic p-value at λ = √(n_a·n_b/(n_a+n_b))·D, from the 6-dp
+    // ks_d the report itself carries (so a SQL replay derives the same
+    // λ from the same rounded statistic) — Kolmogorov's series, see
+    // [[graft.functions.PValues]]
+    val nEff = totA.toDouble * totB.toDouble / (totA.toDouble + totB)
     diffs.orderBy(col("d").desc, col("v")).limit(1)
       .select(round(col("d"), 6).as("ks_d"), col("v").as("at_value"),
         lit(totA).as("n_a"), lit(totB).as("n_b"))
+      .withColumn("p_value", round(graft.functions.PValues.kolmogorovSf(
+        lit(math.sqrt(nEff)) * col("ks_d")), 6))
   }
 
   /** Jensen–Shannon divergence between the bucket distributions of
@@ -214,8 +221,7 @@ object Drift {
     * discrete features (language, source, event type), where PSI's numeric
     * buckets and KS's ordering don't apply. One row
     * `(chi2, dof, n_cats, n_a, n_b)`; `dof = k − 1` for the 2×k table.
-    * NULL categories are dropped. No p-value column: neither engine ships
-    * a chi-squared CDF, so the caller compares against a critical value.
+    * NULL categories are dropped.
     *
     * Plan: each side reduces to per-category counts (one map-side-combined
     * aggregation); the 2×k expected-count arithmetic runs on the merged
@@ -242,6 +248,13 @@ object Drift {
 
   /** The chi-squared arithmetic over an already-reduced `(cat, c_a, c_b)`
     * frame — shared by the batch and streamed paths.
+    *
+    * Fail-fast contract (matches [[ksFromCounts]]'s `require`): a
+    * zero-total side makes every expected count 0 and would yield a
+    * misleading NULL statistic — e.g. a streamed monitor polled before its
+    * first batch. The guard is LAZY (`raise_error` at execution) rather
+    * than a driver-side collect: the totals here live inside the plan, and
+    * an eager probe would re-run the corpus-scale reduction a second time.
     */
   def chiFromCounts(merged: DataFrame): DataFrame = {
     val tot = merged.agg(sum(col("c_a")).as("_ta"), sum(col("c_b")).as("_tb"),
@@ -255,7 +268,11 @@ object Drift {
       pow(col("c_b").cast("double") - eb, 2) / eb
     w.groupBy(col("_ta"), col("_tb"), col("_k"))
       .agg(round(sum(round(cell, 6).cast("decimal(28,6)")).cast("double"), 6)
-        .as("chi2"))
+        .as("_chi2raw"))
+      .withColumn("chi2",
+        when(col("_ta") > 0 && col("_tb") > 0, col("_chi2raw"))
+          .otherwise(raise_error(lit("chiSquared: empty side"))))
+      .drop("_chi2raw")
       .select(col("chi2"), (col("_k") - 1).cast("long").as("dof"),
         col("_k").cast("long").as("n_cats"),
         col("_ta").as("n_a"), col("_tb").as("n_b"),
@@ -264,7 +281,12 @@ object Drift {
         // NULL for the degenerate single-category table (dof 0)
         round(when(col("_k") >= 2,
           sqrt(col("chi2") /
-            (col("_ta") + col("_tb")).cast("double"))), 6).as("cramers_v"))
+            (col("_ta") + col("_tb")).cast("double"))), 6).as("cramers_v"),
+        // survival p-value (regularized incomplete gamma — the series
+        // in graft.functions.PValues, SQL-replayable); NULL for the
+        // degenerate dof-0 table
+        round(when(col("_k") >= 2, graft.functions.PValues.chiSquaredSf(
+          col("chi2"), (col("_k") - 1).cast("double"))), 6).as("p_value"))
   }
 
   /** PSI between ADJACENT observed periods — the drift metric as a time

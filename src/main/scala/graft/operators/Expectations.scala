@@ -61,10 +61,22 @@ object Expectations {
 
   // ----------------------------------------------------------- row-level
 
+  /** Refuse to shadow a pre-existing input column: `withColumn` REPLACES a
+    * same-named column silently, so an input that already carries e.g.
+    * `violated` would lose user data without error on the clean side.
+    */
+  private def requireFresh(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")}; rename them " +
+        "before gating (the gate columns would silently replace them)")
+  }
+
   /** Input plus one boolean `_ok_<rule>` column per rule and an
     * `_n_violations` count — one codegen'd projection.
     */
   def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    requireFresh(df, rules.map(r => s"_ok_${r.name}") :+ "_n_violations")
     val flagged = rules.foldLeft(df) { (d, r) =>
       d.withColumn(s"_ok_${r.name}", coalesce(r.check, lit(false)))
     }
@@ -97,6 +109,7 @@ object Expectations {
     * sides are consumed.
     */
   def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    requireFresh(df, Seq("violated"))
     val arr = violatedArray(rules)
     val tagged = df.withColumn("violated", arr)
     (tagged.filter(size(col("violated")) === 0).drop("violated"),

@@ -35,7 +35,8 @@ object Stats {
   /** Inclusive global prefix sums of `sumCols` over `df` ordered by
     * `orderCol`, plus the grand totals. `orderCol` values must be distinct
     * (reduce to that grain first — ties would make per-partition ranges
-    * ambiguous). Appends `_cum_<c>` per sum column.
+    * ambiguous). Appends `_cum_<c>` per sum column. Sum columns may be
+    * signed (per-partition totals are true sums, not running-max).
     */
   def prefixSums(df: DataFrame, orderCol: String,
                  sumCols: Seq[String]): (DataFrame, Map[String, Long]) = {
@@ -45,14 +46,22 @@ object Stats {
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Eager localCheckpoint: this frame feeds TWO jobs (the offset collect
+    // below, then the cum join). Without the pin, each job re-runs
+    // `repartitionByRange`, and offset/cum alignment would rest on the
+    // range sampler drawing identical bounds twice (and on AQE coalescing
+    // identically twice) — same contract as Positional.numberedWithTotal.
+    // The returned frame embeds the checkpoint, so blocks live until the
+    // caller's handle is collected (bounded: one materialization).
     val local = sumCols.foldLeft(parted) { (d, c) =>
       d.withColumn(s"_l_$c", sum(col(c)).over(w))
-    }
+    }.localCheckpoint(true)
     // per-partition totals → exclusive offsets (bounded: one row per
-    // shuffle partition)
+    // shuffle partition). True sums, not max of the running column — the
+    // running max only equals the total when every term is non-negative.
     val perPart = local.groupBy(col("_pid"))
-      .agg(sumCols.map(c => max(col(s"_l_$c")).as(s"_t_$c")).head,
-        sumCols.tail.map(c => max(col(s"_l_$c")).as(s"_t_$c")): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(s"_t_$c")).head,
+        sumCols.tail.map(c => sum(col(c)).as(s"_t_$c")): _*)
       .collect()
       .map(r => r.getAs[Int]("_pid") ->
         sumCols.map(c => r.getAs[Long](s"_t_$c")))

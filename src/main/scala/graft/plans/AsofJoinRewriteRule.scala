@@ -29,11 +29,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, Timestamp
   * computing something else.
   */
 case class AsofJoinMarker(leftTs: Expression, rightTs: Expression,
-                          mode: String, tolerance: Option[Long] = None)
+                          mode: String, tolerance: Option[Double] = None)
     extends BinaryExpression with Unevaluable {
   require(AsofJoinMarker.Modes.contains(mode), s"unknown as-of mode $mode")
-  require(tolerance.forall(_ >= 0),
-    s"as-of tolerance must be non-negative, got $tolerance")
+  require(tolerance.forall(t => t >= 0 && !t.isNaN && !t.isInfinite),
+    s"as-of tolerance must be finite and non-negative, got $tolerance")
   override def left: Expression = leftTs
   override def right: Expression = rightTs
   override def dataType: DataType = BooleanType
@@ -123,9 +123,14 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def build(j: Join, jt: JoinType, asofMode: String,
-                    tolerance: Option[Long],
+                    tolerance: Option[Double],
                     lts: Attribute, rts: Attribute,
                     equiPairs: Seq[(Attribute, Attribute)]): LogicalPlan = {
+    // a fractional tolerance on DateType cannot mean anything (days are
+    // the grain); fail at planning, not with a silently-floored bound
+    require(tolerance.forall(_.isWhole) ||
+        lts.dataType != org.apache.spark.sql.types.DateType,
+      "as-of tolerance on DATE timestamps must be a whole number of days")
     val lOut = j.left.output
     val rOut = j.right.output
     val lNames = lOut.indices.map(i => s"_gla_$i")
@@ -169,14 +174,28 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
       .orderBy(col("_ats"), col("_aside"))
     val wB = w0.rowsBetween(Window.unboundedPreceding, 0)
     val wF = w0.rowsBetween(0, Window.unboundedFollowing)
-    // tolerance gaps compare against a LONG literal: for timestamps the
-    // raw difference is a DayTimeInterval, so the gap computes on the
-    // epoch-seconds cast — the ONE shared implementation
-    // (RangeJoin.tolGap), so the declarative and operator forms cannot
-    // drift
-    def tGap(later: org.apache.spark.sql.Column,
-             earlier: org.apache.spark.sql.Column) =
-      graft.operators.RangeJoin.tolGap(later, earlier, lts.dataType)
+    // tolerance comparison, by tolerance GRAIN:
+    //  - a WHOLE tolerance keeps the operator form's long path verbatim
+    //    (RangeJoin.tolGap: epoch-second cast for timestamps, datediff
+    //    for dates) — existing plans stay byte-identical;
+    //  - a FRACTIONAL tolerance compares the exact sub-unit gap: EXACT
+    //    epoch microseconds for timestamps (`unix_micros`, no double
+    //    rounding) against `round(t·10⁶)` µs, the raw difference for
+    //    numeric axes (the reference's double-second delays — where
+    //    sub-second tolerance was previously inexpressible)
+    def tolOk(later: org.apache.spark.sql.Column,
+              earlier: org.apache.spark.sql.Column, t: Double)
+        : org.apache.spark.sql.Column =
+      if (t.isWhole)
+        graft.operators.RangeJoin.tolGap(later, earlier, lts.dataType) <=
+          t.toLong
+      else lts.dataType match {
+        case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ→TZ cast is session-zone dependent, the DIFFERENCE is not
+          unix_micros(later.cast("timestamp")) -
+            unix_micros(earlier.cast("timestamp")) <= math.round(t * 1e6)
+        case _ => later - earlier <= lit(t)
+      }
     val withMatch = asofMode match {
       case AsofJoinMarker.Nearest =>
         // both arms as frames over the SAME sort; smaller gap wins,
@@ -191,9 +210,9 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
         val gapB = col("_ats") - bTs
         val gapF = fTs - col("_ats")
         val bOk = bTs.isNotNull &&
-          tolerance.map(t => tGap(col("_ats"), bTs) <= t).getOrElse(lit(true))
+          tolerance.map(t => tolOk(col("_ats"), bTs, t)).getOrElse(lit(true))
         val fOk = fTs.isNotNull &&
-          tolerance.map(t => tGap(fTs, col("_ats")) <= t).getOrElse(lit(true))
+          tolerance.map(t => tolOk(fTs, col("_ats"), t)).getOrElse(lit(true))
         val useB = bOk && (!fOk || gapB <= gapF)
         armed.withColumn("_am",
           when(useB, col("_abp")).when(fOk, col("_afp")))
@@ -209,9 +228,9 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
         tolerance match {
           case Some(t) =>
             val mTs = col("_am").getField(rName(rts))
-            val gap = if (forward) tGap(mTs, col("_ats"))
-                      else tGap(col("_ats"), mTs)
-            leftRows.withColumn("_am", when(gap <= t, col("_am")))
+            val ok = if (forward) tolOk(mTs, col("_ats"), t)
+                     else tolOk(col("_ats"), mTs, t)
+            leftRows.withColumn("_am", when(ok, col("_am")))
           case None => leftRows
         }
     }

@@ -24,7 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ZOrderPruneRule)
     // asof_<mode>(lts, rts[, tolerance]): the optional third argument is
     // a literal gap bound, baked into the marker (it parameterizes the
-    // REWRITE, it is not row data)
+    // REWRITE, it is not row data). Accepted shapes: any numeric literal
+    // — fractional included (0.5 = half a unit of the ts axis: seconds
+    // for timestamps, the column's own unit for numeric axes) — and
+    // `INTERVAL` day-time syntax for timestamp axes (evaluates to
+    // microseconds; carried as fractional seconds).
     for (mode <- AsofJoinMarker.Modes.toSeq.sorted)
       ext.injectFunction((
         new FunctionIdentifier(s"asof_$mode"),
@@ -34,14 +38,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"asof_$mode takes (leftTs, rightTs[, tolerance])")
           val tol = children.drop(2).headOption.map { t =>
             require(t.foldable, s"asof_$mode tolerance must be a literal")
-            t.eval() match {
-              case n: Number => n.longValue()
-              case other => throw new IllegalArgumentException(
-                s"asof_$mode tolerance must be numeric, got $other")
+            (t.dataType, t.eval()) match {
+              case (_: org.apache.spark.sql.types.DayTimeIntervalType,
+                    micros: Long) => micros.toDouble / 1e6
+              case (d, n: Number)
+                  if d.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+                n.doubleValue()
+              // SQL `0.5` parses as a DECIMAL literal, not a Double
+              case (_, d: org.apache.spark.sql.types.Decimal) => d.toDouble
+              case (_, other) => throw new IllegalArgumentException(
+                s"asof_$mode tolerance must be a numeric or day-time " +
+                  s"INTERVAL literal, got $other")
             }
           }
           AsofJoinMarker(children(0), children(1), mode, tol)
         }))
+    // interval_overlap(aStart, aEnd, bStart, bEnd): width-free
+    // declarative overlap join — the marker states the intent the raw
+    // two-strict-inequalities shape can't, so the bucketized rewrite
+    // fires with NO conf set (RangeJoinRewriteRule.markedOverlap)
+    ext.injectFunction((
+      new FunctionIdentifier("interval_overlap"),
+      new ExpressionInfo(classOf[IntervalOverlapMarker].getName,
+        "interval_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "interval_overlap takes (aStart, aEnd, bStart, bEnd)")
+        IntervalOverlapMarker(children(0), children(1), children(2),
+          children(3))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

@@ -82,6 +82,52 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, 
   * the fixed-point optimizer batch cannot re-fire on its own output —
   * and so the rule never re-buckets the operator form's own join.
   */
+/** Width-free declarative interval-overlap join: the marker predicate a
+  * user states in a plain join condition —
+  * {{{
+  *   meetings.join(outages,
+  *     meetings("room") === outages("room") &&
+  *       expr("interval_overlap(m_start, m_end, o_start, o_end)"))
+  * }}}
+  * — meaning the [start, end) intervals STRICTLY overlap
+  * (`aS < bE AND bS < aE`). The raw two-strict-inequalities shape is
+  * structurally ambiguous (any incidental pair of opposite `<`
+  * conjuncts matches it), so the conf-free rewrite needs this explicit
+  * statement of intent; the marker fires the three-leg bucketized
+  * rewrite with auto-derived width in EVERY mode — no
+  * `spark.graft.rangeJoin.bucketWidth` required (a set numeric conf is
+  * honored as the width). [[Unevaluable]] on purpose: an unrewritable
+  * marker join fails loudly instead of silently scanning pairs —
+  * [[AsofJoinMarker]]'s contract.
+  */
+case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
+                                 bStart: Expression, bEnd: Expression)
+    extends Expression with Unevaluable {
+  override def children: Seq[Expression] = Seq(aStart, aEnd, bStart, bEnd)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "interval_overlap"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val dts = children.map(_.dataType)
+    val ok = dts.forall(_ == dts.head) && (dts.head match {
+      case LongType | IntegerType | TimestampType | DoubleType |
+           DateType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis
+      .TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"$prettyName needs four bounds of ONE long/int/timestamp/date/" +
+          s"double type, got ${dts.map(_.sql).mkString(", ")}")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): IntervalOverlapMarker =
+    IntervalOverlapMarker(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3))
+}
+
 object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
@@ -90,7 +136,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   private sealed trait Mode
   private case object Off extends Mode
-  private final case class Fixed(w: Long) extends Mode
+  private final case class Fixed(w: Double) extends Mode
   private final case class Auto(explicit: Boolean) extends Mode
 
   private def currentMode(): Mode = {
@@ -103,17 +149,29 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       case "" | "auto" => Auto(explicit)
       case "off" => Off
       case s =>
-        try { val w = s.toLong; if (w > 0) Fixed(w) else Off }
+        // fractional widths are first-class: sub-1.0 interval lengths
+        // (millisecond-scale double delays) would otherwise floor to
+        // w=1 and put ~1/len points in every probed bucket
+        try { val w = s.toDouble; if (w > 0 && w.isFinite) Fixed(w) else Off }
         catch { case _: NumberFormatException => Off }
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = currentMode() match {
-    case Off => plan
-    case mode => plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mode = currentMode()
+    plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
-          if j.resolved && !marked(cond) =>
-        rangePair(j, cond) match {
+          if j.resolved && !marked(cond) &&
+            (mode != Off ||
+              cond.exists(_.isInstanceOf[IntervalOverlapMarker])) =>
+        // a stated marker is explicit user intent: it fires in every
+        // mode (incl. Off), and an unrewritable marker join FAILS at
+        // execution (the marker is Unevaluable) instead of silently
+        // running something else — the as-of marker's contract
+        if (cond.exists(_.isInstanceOf[IntervalOverlapMarker]))
+          markedOverlap(j, cond, mode).getOrElse(j)
+        else if (mode == Off) j
+        else rangePair(j, cond) match {
           case Some((_, lo, hi, pointIsLeft)) =>
             val intervalSide = if (pointIsLeft) j.right else j.left
             pointWidth(mode, intervalSide, lo, hi) match {
@@ -141,6 +199,49 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The width-free declarative overlap join: one
+    * `interval_overlap(aS, aE, bS, bE)` conjunct, one pair per side (in
+    * either order), all four bounds one bucketable type. The marker is
+    * REPLACED by its meaning — the strict-overlap predicate
+    * `lS < rE AND rS < lE` over [start, end) intervals — and the
+    * three-leg overlap rewrite runs with auto-derived width (or the
+    * conf's fixed width when one is set). None ⇒ the marker stays in
+    * the plan and execution fails loudly.
+    */
+  private def markedOverlap(j: Join, cond: Expression,
+                            mode: Mode): Option[LogicalPlan] = {
+    val conjs = splitConjuncts(cond)
+    val markers = conjs.collect { case m: IntervalOverlapMarker => m }
+    if (markers.size != 1) return None
+    val m = markers.head
+    val left = j.left.outputSet
+    val right = j.right.outputSet
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(left)) Some(true)
+      else if (e.references.subsetOf(right)) Some(false)
+      else None
+    val pat = (sideOf(m.aStart), sideOf(m.aEnd),
+        sideOf(m.bStart), sideOf(m.bEnd)) match {
+      case (Some(true), Some(true), Some(false), Some(false)) =>
+        (m.aStart, m.aEnd, m.bStart, m.bEnd)
+      case (Some(false), Some(false), Some(true), Some(true)) =>
+        (m.bStart, m.bEnd, m.aStart, m.aEnd)
+      case _ => return None
+    }
+    val (lS, lE, rS, rE) = pat
+    if (!bucketable(lS.dataType) ||
+        Seq(lE, rS, rE).exists(_.dataType != lS.dataType)) return None
+    val real = And(LessThan(lS, rE), LessThan(rS, lE))
+    val newCond = (conjs.filterNot(_ eq m) :+ real).reduce(And)
+    val widthMode = mode match {
+      case f: Fixed => f // an explicit width is honored (and verified)
+      case _ => Auto(explicit = true)
+    }
+    widthOf(widthMode, Seq((j.left, lS, lE), (j.right, rS, rE)))
+      .map(w => rewriteOverlap(j, newCond, w, pat))
+  }
+
   // ------------------------------------------------------ width resolution
 
   /** Per-interval explosion cap for the AUTO multi-level plan — the
@@ -162,7 +263,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     *     held one year-long interval.
     */
   private def pointWidth(mode: Mode, side: LogicalPlan, lo: Expression,
-                         hi: Expression): Option[(Long, Int)] =
+                         hi: Expression): Option[(Double, Int)] =
     mode match {
       case Fixed(w) =>
         if (lo.dataType == DoubleType && !doubleSafe(side, lo, hi, w)) None
@@ -180,7 +281,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * form carries the multi-resolution bound).
     */
   private def widthOf(mode: Mode,
-      sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Long] =
+      sides: Seq[(LogicalPlan, Expression, Expression)]): Option[Double] =
     mode match {
       case Fixed(w) =>
         if (sides.forall { case (s, lo, hi) =>
@@ -195,13 +296,13 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
         if (ws.forall(_.isDefined)) Some(ws.flatten.max) else None
     }
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case v: Long => Some(v)
-    case v: Int => Some(v.toLong)
-    case v: Short => Some(v.toLong)
-    case v: Double => Some(math.round(v))
-    case v: Float => Some(math.round(v.toDouble))
-    case v: org.apache.spark.sql.types.Decimal => Some(math.round(v.toDouble))
+  private def litWidth(l: Literal): Option[Double] = l.value match {
+    case v: Long => Some(v.toDouble)
+    case v: Int => Some(v.toDouble)
+    case v: Short => Some(v.toDouble)
+    case v: Double => Some(v)
+    case v: Float => Some(v.toDouble)
+    case v: org.apache.spark.sql.types.Decimal => Some(v.toDouble)
     case _ => None
   }
 
@@ -213,18 +314,18 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * opaque leaf) is reached.
     */
   private def staticShift(side: LogicalPlan, lo0: Expression,
-                          hi0: Expression): Option[Long] = {
-    def shift(lo: Expression, hi: Expression): Option[Long] = {
+                          hi0: Expression): Option[Double] = {
+    def shift(lo: Expression, hi: Expression): Option[Double] = {
       val c = hi match {
-        case Add(l2, l: Literal, _) if l2.semanticEquals(lo) => litLong(l)
-        case Add(l: Literal, l2, _) if l2.semanticEquals(lo) => litLong(l)
+        case Add(l2, l: Literal, _) if l2.semanticEquals(lo) => litWidth(l)
+        case Add(l: Literal, l2, _) if l2.semanticEquals(lo) => litWidth(l)
         case _ => lo match {
           case Subtract(h2, l: Literal, _) if h2.semanticEquals(hi) =>
-            litLong(l)
+            litWidth(l)
           case _ => None
         }
       }
-      c.filter(_ > 0)
+      c.filter(w => w > 0 && w.isFinite)
     }
     var lo = lo0
     var hi = hi0
@@ -273,7 +374,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * at warehouse scale.
     */
   private def sampledWidth(side: LogicalPlan, lo: Expression,
-                           hi: Expression): Option[(Long, Int)] = {
+                           hi: Expression): Option[(Double, Int)] = {
     // a non-deterministic interval side (rand()-derived bounds) would
     // make the sampled statistics — including the NON-FINITE verdict the
     // DoubleType safety rests on — describe a DIFFERENT dataset than the
@@ -291,20 +392,41 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       try org.apache.spark.sql.graft.PlanExec.head(agg)
       catch { case scala.util.control.NonFatal(_) => return None }
     if (!row.isNullAt(2) && row.getLong(2) > 0) None
-    else if (row.isNullAt(0)) Some((1L, 0))
+    else if (row.isNullAt(0)) Some((1.0, 0))
     else {
-      val w = math.max(1L, math.round(row.getDouble(0)))
+      // DoubleType axes keep the sampled p75 AS IS (fractional widths:
+      // a millisecond-scale interval corpus gets millisecond buckets,
+      // not 1000×-over-wide unit buckets); integral/timestamp/date axes
+      // keep the whole-unit floor — their grid has no sub-1 resolution,
+      // and existing plans stay byte-identical
+      val p75 = row.getDouble(0)
+      val w =
+        if (lo.dataType == DoubleType) { if (p75 > 0 && p75.isFinite) p75 else 1.0 }
+        else math.max(1L, math.round(p75)).toDouble
       // bucket-magnitude safety (see doubleSafe): bounds whose bucket
       // would saturate the long range cannot rewrite exactly
       if (!row.isNullAt(3) && row.getDouble(3) >= MaxBucketMag * w)
         return None
       val maxLen = row.getDouble(1)
-      val widths = graft.operators.RangeJoin.levelWidths(w, Cap)
+      val widths = levelWidths(w)
       val maxLvl = widths.indices
         .find(l => maxLen <= Cap.toDouble * widths(l))
         .getOrElse(widths.size - 1)
       Some((w, maxLvl))
     }
+  }
+
+  /** The multi-resolution level widths from a (possibly fractional) base
+    * width: `w · Cap^l`, grown until a further level could saturate the
+    * bucket range — the Double twin of
+    * [[graft.operators.RangeJoin.levelWidths]].
+    */
+  private def levelWidths(bucketWidth: Double): Seq[Double] = {
+    val b = Seq.newBuilder[Double]
+    var w = bucketWidth
+    b += w
+    while (w <= MaxBucketMag / Cap) { w *= Cap; b += w }
+    b.result()
   }
 
   /** The double-bound statistics read alongside the width sample:
@@ -345,7 +467,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * well-behaved, so the rewrite proceeds as it always did there.
     */
   private def doubleSafe(side: LogicalPlan, lo: Expression,
-                         hi: Expression, width: Long): Boolean = {
+                         hi: Expression, width: Double): Boolean = {
     if (side.exists(_.expressions.exists(e =>
         e.exists(!_.deterministic)))) return true
     val (nf, mag) = doubleStatExprs(lo, hi)
@@ -468,20 +590,20 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     case _ => Cast(Cast(e, LongType), DoubleType)
   }
 
-  private def bucket(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(coarse(e), Literal(width.toDouble))), LongType)
+  private def bucket(e: Expression, width: Double): Expression =
+    Cast(Floor(Divide(coarse(e), Literal(width))), LongType)
 
   /** The last bucket an interval's explosion must cover: exact
     * `bucket(hi - 1)` for Long bounds; the inclusive `bucket(hi)` for
     * the other types (one possibly-extra bucket, filtered by the
     * residual — `hi - 1` is not expressible uniformly there).
     */
-  private def endBucket(hi: Expression, width: Long): Expression =
+  private def endBucket(hi: Expression, width: Double): Expression =
     if (hi.dataType == LongType)
       bucket(Subtract(hi, Literal(1L)), width)
     else bucket(hi, width)
 
-  private def rewrite(j: Join, cond: Expression, width: Long,
+  private def rewrite(j: Join, cond: Expression, width: Double,
                       maxLvl: Int): LogicalPlan = {
     val Some((x, lo, hi, pointIsLeft)) = rangePair(j, cond)
     val (pointSide, intervalSide) =
@@ -517,8 +639,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       // long); points explode over levels 0..maxLvl and bucket at each;
       // the join adds (level, bucket) equality, a pair co-occurring
       // exactly once — at the interval's level, in the point's bucket
-      val widths = graft.operators.RangeJoin.levelWidths(width, Cap)
-        .take(maxLvl + 1)
+      val widths = levelWidths(width).take(maxLvl + 1)
       val lvls = widths.indices
       def bucketAt(e: Expression, lvl: Expression): Expression =
         CaseWhen(lvls.init.map(l =>
@@ -594,7 +715,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * scanned — correctness costs nothing on well-formed data and the
     * plan stays free of nested loops either way.
     */
-  private def rewriteOverlap(j: Join, cond: Expression, width: Long,
+  private def rewriteOverlap(j: Join, cond: Expression, width: Double,
       pat: (Expression, Expression, Expression, Expression)): LogicalPlan = {
     val (lS, lE, rS, rE) = pat
 

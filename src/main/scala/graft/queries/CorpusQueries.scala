@@ -4038,9 +4038,15 @@ object CorpusQueries {
              |  ($viol = 0) AS pass
              |FROM documents""".stripMargin
         }
+        // NULL-faithful distinct: DISTINCT over the column tuple matches
+        // Spark's countDistinct(struct(...)) (a null-fielded tuple is one
+        // group); a '||'-concat proxy would drop NULL-bearing rows and
+        // collide on values containing the separator.
         val uniq = Seq(
-          ("unique(doc_id)", "count(DISTINCT doc_id)"),
-          ("unique(source,lang)", "count(DISTINCT source || '|' || lang)")
+          ("unique(doc_id)",
+            "(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM documents))"),
+          ("unique(source,lang)",
+            "(SELECT count(*) FROM (SELECT DISTINCT source, lang FROM documents))")
         ).map { case (name, dist) =>
           s"""SELECT '$name' AS rule, (count(*) - $dist)::BIGINT AS violations,
              |  count(*)::BIGINT AS total,
@@ -4146,7 +4152,7 @@ object CorpusQueries {
           docs.filter(col("lang") =!= "en"),
           "source")
       },
-      Some("""WITH ca AS (
+      Some("""WITH RECURSIVE ca AS (
         |  SELECT source AS cat, count(*)::BIGINT AS c FROM documents
         |  WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1),
         |cb AS (
@@ -4172,11 +4178,26 @@ object CorpusQueries {
         |  SELECT round(sum(cell::DECIMAL(28,6))::DOUBLE, 6) AS chi2,
         |         (k - 1)::BIGINT AS dof, k::BIGINT AS n_cats,
         |         ta AS n_a, tb AS n_b
-        |  FROM x, t GROUP BY k, ta, tb)
+        |  FROM x, t GROUP BY k, ta, tb),
+        |g AS (SELECT chi2 / 2.0 AS gx, dof / 2.0 AS ga FROM f),
+        |ser(n, term, s) AS (
+        |  SELECT 0, 1.0 / ga, 1.0 / ga FROM g
+        |  UNION ALL
+        |  SELECT n + 1, term * gx / (ga + n + 1),
+        |         s + term * gx / (ga + n + 1)
+        |  FROM ser, g WHERE n < 1200),
+        |sv AS (SELECT s FROM ser ORDER BY n DESC LIMIT 1)
         |SELECT chi2, dof, n_cats, n_a, n_b,
         |  round(CASE WHEN n_cats >= 2
-        |        THEN sqrt(chi2 / (n_a + n_b)::DOUBLE) END, 6) AS cramers_v
-        |FROM f""".stripMargin)),
+        |        THEN sqrt(chi2 / (n_a + n_b)::DOUBLE) END, 6) AS cramers_v,
+        |  round(CASE WHEN n_cats < 2 THEN NULL
+        |        WHEN chi2 <= 0 THEN 1.0
+        |        WHEN gx > ga + 40.0 + 10.0 * sqrt(ga) THEN 0.0
+        |        WHEN gx > 600.0 THEN NULL
+        |        ELSE least(1.0, greatest(0.0,
+        |          1.0 - exp(ga * ln(gx) - gx - lgamma(ga)) * s)) END,
+        |    6) AS p_value
+        |FROM f, g, sv""".stripMargin)),
 
     // Composition pin: the numeric profile of ONLY the rows the q161
     // expectation suite admits (Expectations.split → Stats.profile) — the

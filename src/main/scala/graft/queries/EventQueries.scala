@@ -1076,9 +1076,20 @@ object EventQueries {
         |  FROM m),
         |d AS (
         |  SELECT v, round(abs(cca::DOUBLE / ta - ccb::DOUBLE / tb), 9) AS d
-        |  FROM cum, t)
-        |SELECT round(d, 6) AS ks_d, v AS at_value, ta AS n_a, tb AS n_b
-        |FROM d, t ORDER BY d DESC, v LIMIT 1""".stripMargin)),
+        |  FROM cum, t),
+        |base AS (
+        |  SELECT round(d, 6) AS ks_d, v AS at_value, ta AS n_a, tb AS n_b
+        |  FROM d, t ORDER BY d DESC, v LIMIT 1),
+        |lamt AS (
+        |  SELECT *, sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) * ks_d AS lam
+        |  FROM base)
+        |SELECT ks_d, at_value, n_a, n_b,
+        |  round(CASE WHEN lam <= 0.2 THEN 1.0
+        |        ELSE least(1.0, greatest(0.0, 2.0 * (
+        |          SELECT sum((CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+        |                     * exp(-2.0 * k * k * lam * lam))
+        |          FROM generate_series(1, 100) s(k)))) END, 6) AS p_value
+        |FROM lamt""".stripMargin)),
 
     // PSI as a TIME SERIES (Drift.psiSeries): each event day vs the
     // previous observed day on the value distribution — the live-drift

@@ -22,10 +22,12 @@ import StreamingReport.{batchDirs, compactFamily, emptyFrame, readState}
   *  - KS: per-batch distinct-value counts (`ks/batch=<id>`) — the same
   *    reduction [[Drift.ksStatistic]] performs per side; the report merges
   *    at value grain and runs [[Drift.ksFromCounts]]. Value-grain state is
-  *    the price of an EXACT sup; for corpora where the monitored column has
-  *    unbounded distinct values, monitor a rounded/binned projection (then
-  *    PSI is usually the better tool anyway). The same state also serves
-  *    EXACT live type-7 quantiles ([[quantilesReport]]) for free.
+  *    the price of an EXACT sup; an unbounded-cardinality column opts into
+  *    [[KsBinning]] at [[init]] — at most `bins + 2` state rows per side,
+  *    the statistic exact over the binned distributions with a
+  *    one-cell-mass resolution bound. The same state also serves live
+  *    type-7 quantiles ([[quantilesReport]]) for free (exact, or at the
+  *    binning's cell resolution).
   *  - chi-squared (optional, `catCol` at [[init]]): per-batch category
   *    counts (`cat/batch=<id>`) — the categorical-drift twin.
   *
@@ -39,14 +41,42 @@ import StreamingReport.{batchDirs, compactFamily, emptyFrame, readState}
   */
 object StreamingDrift {
 
+  /** Opt-in bounded-state projection for the KS family: values bin to
+    * `bins` equal-width cells over the declared `[lo, hi)` (each cell
+    * represented by its LEFT EDGE; an underflow cell below `lo`, an
+    * overflow cell at `hi` — NaN lands in overflow under Spark's
+    * NaN-largest ordering), so an UNBOUNDED-cardinality column keeps at
+    * most `bins + 2` state rows per side instead of one per distinct
+    * value. Resolution contract: both sides bin IDENTICALLY, so the
+    * served statistic is the exact KS of the binned distributions — the
+    * sup evaluated at cell edges only — and differs from the exact KS by
+    * at most the largest single-cell mass of either side (≈ 1/bins for
+    * smooth data). The same projection bounds [[quantilesReport]]'s
+    * resolution to one cell width.
+    */
+  final case class KsBinning(lo: Double, hi: Double, bins: Int) {
+    require(bins >= 2 && lo < hi && lo.isFinite && hi.isFinite,
+      s"need finite lo < hi and bins >= 2, got [$lo, $hi) x $bins")
+    private[streaming] def project(v: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val step = (hi - lo) / bins
+      val i = least(lit(bins.toDouble),
+        greatest(lit(-1.0), floor((v - lo) / step)))
+      lit(lo) + i * step
+    }
+  }
+
   /** Stamp a monitor: persist the reference side's reductions (PSI bucket
     * histogram, KS value counts) and the monitor's shape. Refuses to
     * re-stamp over existing state — a monitor's reference is immutable by
     * design (re-baselining is a NEW monitor, so trend history can't be
-    * silently rebased).
+    * silently rebased). `ksBinning` opts the KS family into bounded
+    * state ([[KsBinning]]) — stamped like the breaks, so every batch
+    * bins identically or fails fast.
     */
   def init(reference: DataFrame, stateDir: String, valueCol: String,
-           breaks: Seq[Double], catCol: Option[String] = None): Unit = {
+           breaks: Seq[Double], catCol: Option[String] = None,
+           ksBinning: Option[KsBinning] = None): Unit = {
     require(breaks.nonEmpty && breaks == breaks.sorted,
       "breaks must be non-empty and sorted")
     val spark = reference.sparkSession
@@ -65,7 +95,8 @@ object StreamingDrift {
       Drift.bucketCounts(pinned, valueCol, breaks, "n")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/reference/psi")
-      Drift.valueCounts(pinned, valueCol, "c")
+      Drift.valueCounts(ksProjected(pinned, valueCol, ksBinning),
+          valueCol, "c")
         .write.mode("overwrite").parquet(s"$stateDir/reference/ks")
       catCol.foreach { c =>
         Drift.catCounts(pinned, c, "c")
@@ -76,10 +107,22 @@ object StreamingDrift {
     writeText(fs, new Path(s"$stateDir/_breaks"),
       breaks.map(_.toString).mkString(","))
     catCol.foreach(c => writeText(fs, new Path(s"$stateDir/_cat"), c))
+    ksBinning.foreach(b => writeText(fs, new Path(s"$stateDir/_ksbins"),
+      s"${b.lo},${b.hi},${b.bins}"))
     // _col last: its existence is the init-complete commit marker, so a
     // crash mid-init leaves a re-initializable dir, never a half-monitor
     writeText(fs, new Path(s"$stateDir/_col"), valueCol)
   }
+
+  /** Apply the stamped KS binning (identity when the monitor is exact). */
+  private def ksProjected(df: DataFrame, valueCol: String,
+                          binning: Option[KsBinning]): DataFrame =
+    binning match {
+      case Some(b) => df.withColumn(valueCol,
+        when(col(valueCol).isNotNull,
+          b.project(col(valueCol).cast("double"))))
+      case None => df
+    }
 
   /** Reduce one micro-batch into every initialized family (idempotent per
     * batchId): PSI buckets + KS value counts always, category counts when
@@ -88,12 +131,14 @@ object StreamingDrift {
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     val (valueCol, breaks) = shape(batch.sparkSession, stateDir)
     val cat = catShape(batch.sparkSession, stateDir)
+    val binning = ksBinShape(batch.sparkSession, stateDir)
     val pinned = batch.localCheckpoint(true)
     try {
       Drift.bucketCounts(pinned, valueCol, breaks, "n")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/psi/batch=$batchId")
-      Drift.valueCounts(pinned, valueCol, "c")
+      Drift.valueCounts(ksProjected(pinned, valueCol, binning),
+          valueCol, "c")
         .write.mode("overwrite").parquet(s"$stateDir/ks/batch=$batchId")
       cat.foreach { c =>
         Drift.catCounts(pinned, c, "c")
@@ -261,6 +306,17 @@ object StreamingDrift {
     val p = new Path(s"$stateDir/_cat")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readText(fs, p)
+  }
+
+  /** The stamped KS binning, if the monitor opted into bounded state. */
+  private def ksBinShape(spark: SparkSession,
+                         stateDir: String): Option[KsBinning] = {
+    val p = new Path(s"$stateDir/_ksbins")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readText(fs, p).map { s =>
+      val parts = s.split(",")
+      KsBinning(parts(0).toDouble, parts(1).toDouble, parts(2).toInt)
+    }
   }
 
   private def readText(fs: FileSystem, p: Path): Option[String] =

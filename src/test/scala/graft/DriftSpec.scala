@@ -199,6 +199,83 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("chiSquaredSf: independent closed-form fixtures (erfc / exp family) " +
+       "and published critical values; Column twin matches the Scala twin") {
+    import graft.functions.PValues
+    // EXACT closed forms, independent of the series implementation:
+    // dof=1: Q = 2(1 − Φ(√x)); dof=2: Q = e^{−x/2}; dof=4: e^{−x/2}(1+x/2)
+    val exact = Seq(
+      (1.0, 1.0, 0.3173105078629141), // 2(1−Φ(1))
+      (3.841458820694124, 1.0, 0.05), // z²_{0.975}
+      (4.605170185988091, 2.0, 0.1), // −2 ln 0.1
+      (5.991464547107979, 2.0, 0.05), // −2 ln 0.05
+      (2.0, 4.0, 2.0 / math.E), // e⁻¹(1+1)
+      (9.48772903678115, 4.0, 0.05)) // published χ²₀.₉₅(4)
+    for ((chi2, dof, want) <- exact)
+      assert(approx(PValues.chiSquaredSf(chi2, dof), want, 1e-9),
+        s"sf($chi2, $dof) = ${PValues.chiSquaredSf(chi2, dof)} vs $want")
+    // published critical value at dof=10 (4-ulp table precision)
+    assert(approx(PValues.chiSquaredSf(18.307038053275146, 10.0), 0.05, 1e-6))
+    // edges: chi2 ≤ 0 → 1; deep tail → exactly 0
+    assert(PValues.chiSquaredSf(0.0, 5.0) == 1.0)
+    assert(PValues.chiSquaredSf(-1.0, 5.0) == 1.0)
+    assert(PValues.chiSquaredSf(1000.0, 5.0) == 0.0)
+    // Column twin ≡ Scala twin over a (chi2, dof) grid incl. odd dof
+    val grid = for {
+      chi2 <- Seq(0.0, 0.5, 3.0, 19.0, 40.0, 300.0)
+      dof <- Seq(1, 2, 3, 10, 19, 50)
+    } yield (chi2, dof.toDouble)
+    val got = grid.toDF("chi2", "dof")
+      .select(col("chi2"), col("dof"),
+        PValues.chiSquaredSf(col("chi2"), col("dof")).as("p"))
+      .collect()
+    got.foreach { r =>
+      val want = PValues.chiSquaredSf(
+        r.getAs[Double]("chi2"), r.getAs[Double]("dof"))
+      assert(approx(r.getAs[Double]("p"), want, 1e-12),
+        s"column twin diverged at (${r.get(0)}, ${r.get(1)})")
+    }
+  }
+
+  test("kolmogorovSf: published critical values, edges, monotonicity; " +
+       "Column twin matches the Scala twin") {
+    import graft.functions.PValues
+    // published two-sided KS critical λ (Smirnov table)
+    assert(approx(PValues.kolmogorovSf(1.2238), 0.10, 1e-3))
+    assert(approx(PValues.kolmogorovSf(1.3581), 0.05, 1e-3))
+    assert(approx(PValues.kolmogorovSf(1.6276), 0.01, 1e-3))
+    // Q(1) — classical reference value
+    assert(approx(PValues.kolmogorovSf(1.0), 0.2699996716773546, 1e-9))
+    assert(PValues.kolmogorovSf(0.0) == 1.0)
+    assert(PValues.kolmogorovSf(0.15) == 1.0) // below the λ≤0.2 clamp
+    val pts = Seq(0.3, 0.6, 0.9, 1.2, 1.5, 2.0, 3.0)
+    val vals = pts.map(PValues.kolmogorovSf)
+    assert(vals == vals.sorted.reverse, "sf must be non-increasing")
+    val got = pts.toDF("lam")
+      .select(col("lam"), PValues.kolmogorovSf(col("lam")).as("p")).collect()
+    got.foreach { r =>
+      assert(approx(r.getAs[Double]("p"),
+        PValues.kolmogorovSf(r.getAs[Double]("lam")), 1e-12))
+    }
+  }
+
+  test("reports carry the p_value: chi² 2x2 fixture and a shifted KS " +
+       "fixture agree with the driver-side survival functions") {
+    import graft.functions.PValues
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("cat")
+    val b = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("cat")
+    val r = Drift.chiSquared(a, b, "cat").collect()(0)
+    // chi2 = 20, dof = 1 → Q = 2(1 − Φ(√20)) ≈ 7.744e-6
+    assert(r.getAs[Double]("p_value") ==
+      math.rint(PValues.chiSquaredSf(20.0, 1.0) * 1e6) / 1e6)
+    val ka = (1 to 200).map(_.toDouble).toDF("v")
+    val kb = (1 to 200).map(_ + 30.0).toDF("v")
+    val kr = Drift.ksStatistic(ka, kb, "v").collect()(0)
+    val lam = math.sqrt(200.0 * 200.0 / 400.0) * kr.getAs[Double]("ks_d")
+    assert(kr.getAs[Double]("p_value") ==
+      math.rint(PValues.kolmogorovSf(lam) * 1e6) / 1e6)
+  }
+
   test("tokenShift: minCount filters the ranking but not the prior's vocab") {
     val a = (Seq.fill(20)("common") ++ Seq("rare")).toDF("tok")
     val b = Seq.fill(20)("common").toDF("tok")

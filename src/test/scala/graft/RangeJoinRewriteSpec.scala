@@ -442,13 +442,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
         "fixed width must refuse bucket-saturating bounds")
       assert(pairs(on) == expSat, "refusal changed the result")
     }
-    // auto mode refuses the same saturating fixture through the width
-    // sample's magnitude statistic
+    // auto mode, unlike fixed, derives a PROPORTIONAL width from the
+    // sampled lengths (fractional, unclamped Double widths): the huge-
+    // but-proportional fixture buckets near ±1 and fires SAFELY — the
+    // pre-fractional rule clamped the width to the long range and had
+    // to refuse it
     val autoSat = decl(sat)
     assert(autoSat.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.nonEmpty,
+      "proportional bounds must fire under auto's sampled double width")
+    assert(pairs(autoSat) == expSat,
+      "proportional-width rewrite changed the result")
+    // the GENUINE saturation shape — astronomic magnitude with a SMALL
+    // typical length, so the sampled width stays small and |bound|/w
+    // would saturate a long bucket — still refuses through the
+    // magnitude statistic
+    val satSmall = ((1L to 9L).map(i =>
+        (100L + i, i * 10.0, i * 10.0 + 20.0)) :+
+      (110L, 1e300, 1.5e300)).toDF("iid", "lod", "hid")
+    val expSmall = withConf("off")(pairs(decl(satSmall)))
+    val autoSmall = decl(satSmall)
+    assert(autoSmall.queryExecution.optimizedPlan.collect {
       case g: Generate => g }.isEmpty,
       "auto mode must refuse bucket-saturating bounds")
-    assert(pairs(autoSat) == expSat)
+    assert(pairs(autoSmall) == expSmall)
 
     val good = Seq((100L, 0.0, 20.0), (103L, 100.0, 160.0))
       .toDF("iid", "lod", "hid")

@@ -129,6 +129,44 @@ class StreamingDriftSpec extends SparkSpec {
       .orderBy("prob").collect().map(_.toSeq).toSeq == streamed)
   }
 
+  test("KsBinning bounds KS state under an adversarial all-distinct " +
+       "stream, and the binned statistic stays within one cell mass of " +
+       "the exact KS") {
+    val st = Files.createTempDirectory("drift-ksbin").toString
+    val bins = 50
+    // adversarial: EVERY value distinct on both sides; live shifted +8
+    val ref = (0 until 4000).map(i => i * 0.025 + 0.0125).toDF("v")
+    val liveRaw = (0 until 4000).map(i => i * 0.025 + 8.0071).toDF("v")
+    StreamingDrift.init(ref, st, "v", Seq(50.0),
+      ksBinning = Some(StreamingDrift.KsBinning(0.0, 110.0, bins)))
+    (0 until 3).foreach { i =>
+      StreamingDrift.processBatch(
+        liveRaw.filter(pmod(floor(col("v") * 40), lit(3)) === i), st,
+        i.toLong)
+    }
+    // state bound: ≤ bins + 2 rows per side despite 4000 distinct values
+    val stateRows = spark.read.parquet(s"$st/ks")
+      .select("v").distinct().count()
+    assert(stateRows <= bins + 2,
+      s"binned KS state must stay ≤ ${bins + 2} rows, got $stateRows")
+    val refRows = spark.read.parquet(s"$st/reference/ks").count()
+    assert(refRows <= bins + 2)
+    // resolution: |KS_binned − KS_exact| ≤ max single-cell mass (≈1/bins
+    // for this near-uniform fixture, with slack for edge-cell rounding)
+    val binned = StreamingDrift.ksReport(spark, st)
+      .collect()(0).getAs[Double]("ks_d")
+    val exact = Drift.ksStatistic(ref, liveRaw, "v")
+      .collect()(0).getAs[Double]("ks_d")
+    assert(math.abs(binned - exact) <= 1.0 / bins + 1e-6,
+      s"binned $binned vs exact $exact exceeds the one-cell bound")
+    // quantiles stay within one cell width of the exact ones
+    val qB = StreamingDrift.quantilesReport(spark, st, Seq(0.5))
+      .collect()(0).getAs[Double]("q")
+    val qE = graft.operators.Stats.exactQuantiles(
+      liveRaw, "v", Seq(0.5)).collect()(0).getAs[Double]("q")
+    assert(math.abs(qB - qE) <= 110.0 / bins + 1e-6)
+  }
+
   test("monitor shape is immutable: double init refused, pre-init batch fails") {
     val st = Files.createTempDirectory("drift-im").toString
     StreamingDrift.init(reference, st, "o_totalprice", breaks)
