@@ -28,9 +28,11 @@ import graft.sources.{ZOrderRelation, ZOrderSource}
   *   - a bare `zorder` relation → `parquet(path)` — no pruning, but the
   *     scan goes native.
   * The replacement projects back onto the original attribute ids, so
-  * the surrounding plan is untouched. Non-range conjuncts (Or, In,
-  * strings) derive no bound — conservative, never wrong; a missing
-  * index means no pruning (native full scan).
+  * the surrounding plan is untouched. Bounds are per-column range
+  * UNIONS — In-lists and Or-of-ranges prune as interval sets; truly
+  * unbounded conjuncts (IsNull, strings, mixed-column Or) derive
+  * nothing — conservative, never wrong; a missing index means no
+  * pruning (native full scan).
   */
 object ZOrderPruneRule extends Rule[LogicalPlan] {
 
@@ -46,14 +48,15 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Per-column closed [lo, hi] bounds, derived by translating each
-    * conjunct through Spark's own `translateFilter` and handing the
-    * result to the DSv1 relation's bound logic — ONE implementation
-    * ([[ZOrderRelation.ranges]]) for both read paths, instead of a
-    * parallel Expression-level copy that drifts.
+  /** Per-column range UNIONS, derived by translating each conjunct
+    * through Spark's own `translateFilter` and handing the result to the
+    * DSv1 relation's bound logic — ONE implementation
+    * ([[ZOrderRelation.ranges]], disjunction-aware: In-lists and
+    * Or-of-ranges prune too) for both read paths, instead of a parallel
+    * Expression-level copy that drifts.
     */
   private def ranges(conjuncts: Seq[Expression],
-                     lr: LogicalRelation): Map[String, (Double, Double)] =
+      lr: LogicalRelation): Map[String, Seq[(Double, Double)]] =
     ZOrderRelation.ranges(
       conjuncts.flatMap(PlanExec.translateFilter).toArray)
 
@@ -61,7 +64,7 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
     * the zorder relation's original attribute ids.
     */
   private def swap(lr: LogicalRelation, z: ZOrderRelation,
-                   rangeMap: Map[String, (Double, Double)]): LogicalPlan = {
+      rangeMap: Map[String, Seq[(Double, Double)]]): LogicalPlan = {
     val spark = z.spark
     val (paths, total) = Layout.loadStats(spark, z.path) match {
       case Some(stats) =>

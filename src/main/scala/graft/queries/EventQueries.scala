@@ -597,6 +597,153 @@ object EventQueries {
         |  ON p.user_id = c.user_id AND p.sec >= c.sec
         |ORDER BY p.event_id""".stripMargin)),
 
+    // q144's overlap join stated with the interval_overlap MARKER and
+    // NO conf anywhere: the marker is the explicit statement of intent
+    // the raw two-strict-inequalities shape can't carry, so the
+    // three-leg bucketized rewrite fires with an auto-derived width
+    // (plans.RangeJoinRewriteRule.markedOverlap) — the last
+    // BroadcastNestedLoopJoin hole closed declaratively. Oracle: q144's
+    // verbatim (the marker means exactly `s_start < w_end AND
+    // w_start < s_end`).
+    QueryDef("q174_overlap_join_marker",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        val sessions = ev
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("s_start"),
+            (max(col("sec")) + 1L).as("s_end"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        sessions.join(windows,
+            col("user_id") === col("w_user") &&
+              expr("interval_overlap(s_start, s_end, w_start, w_end)"))
+          .select(col("user_id"), col("session_id"), col("window_id"),
+            (least(col("s_end"), col("w_end")) -
+              greatest(col("s_start"), col("w_start"))).as("overlap_sec"))
+          .orderBy("user_id", "session_id", "window_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (SELECT user_id, event_id, sec, ts,
+        |          sec - lag(sec) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS gap
+        |        FROM ev)),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(sec) AS s_start,
+        |    max(sec) + 1 AS s_end
+        |  FROM marked GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id::BIGINT AS session_id, w.window_id,
+        |  (least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start))::BIGINT
+        |    AS overlap_sec
+        |FROM sessions s JOIN w ON w.user_id = s.user_id
+        |  AND s.s_start < w.w_end AND w.w_start < s.s_end
+        |ORDER BY s.user_id, s.session_id, w.window_id""".stripMargin)),
+
+    // FRACTIONAL as-of tolerance on the reference's native axis type —
+    // double seconds (trx delays are float seconds, id9.py:49-56):
+    // `asof_backward(secd, c_secd, 0.5)` with full-microsecond
+    // timestamps, previously inexpressible (tolerance was a whole-unit
+    // long). The numeric-axis fractional path compares the raw double
+    // gap against the double literal — exactly DuckDB's
+    // `p.secd - c.secd <= 0.5` in the oracle's ASOF + CASE replay.
+    QueryDef("q175_asof_fractional_tolerance",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("secd", expr("ts / 1e9"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("secd"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("secd").as("c_secd"),
+            col("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("secd"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              expr("asof_backward(secd, c_secd, 0.5)"), "left_outer")
+          .select(col("event_id"), col("user_id"),
+            round(col("secd"), 6).as("secd"), col("click_id"),
+            round(col("c_secd"), 6).as("asof_secd"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts)::DOUBLE / 1e9 AS secd
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, secd, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, secd FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(p.secd, 6) AS secd,
+        |  CASE WHEN c.secd IS NOT NULL AND p.secd - c.secd <= 0.5
+        |       THEN c.click_id END AS click_id,
+        |  CASE WHEN c.secd IS NOT NULL AND p.secd - c.secd <= 0.5
+        |       THEN round(c.secd, 6) END AS asof_secd
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.secd >= c.secd
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // SUB-SECOND range join on the double axis with a FRACTIONAL auto
+    // width: error events open [secd, secd + 0.25) windows; the
+    // declarative join rewrites under the default-on rule with the
+    // static width 0.25 read straight off the `+ 0.25` literal (a Long
+    // width would floor to 1 s — 4× over-wide buckets, the round-13
+    // blind spot). Offsets are sub-second doubles, rounded 6 dp on both
+    // engines.
+    QueryDef("q176_subsecond_range_join",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("secd", expr("ts / 1e9"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("secd"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("secd").as("w_start"),
+            (col("secd") + 0.25d).as("w_end"))
+        ev.join(windows,
+            col("user_id") === col("w_user") &&
+              col("secd") >= col("w_start") && col("secd") < col("w_end"))
+          .select(col("window_id"), col("event_id"), col("user_id"),
+            col("event_type"),
+            round(col("secd") - col("w_start"), 6).as("offset_sec"))
+          .orderBy("window_id", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts)::DOUBLE / 1e9 AS secd
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, secd AS w_start,
+        |    secd + 0.25 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT w.window_id, e.event_id, e.user_id, e.event_type,
+        |  round(e.secd - w.w_start, 6) AS offset_sec
+        |FROM ev e JOIN w ON w.user_id = e.user_id
+        |  AND e.secd >= w.w_start AND e.secd < w.w_end
+        |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

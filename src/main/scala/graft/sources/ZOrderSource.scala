@@ -20,10 +20,11 @@ import graft.operators.Layout
   * Correctness contract: file skipping is a SUPERSET guarantee, so every
   * pushed filter is also declared unhandled — Spark re-applies the exact
   * predicate on top, and the result is row-identical to a full scan.
-  * Filters that imply no numeric range (Or, In, IsNull, string
-  * comparisons) derive no bound and prune nothing — conservative, never
-  * wrong. A layout without a saved index falls back to the plain
-  * directory scan.
+  * Bounds are per-column range UNIONS, so disjunctive probes (`IN`
+  * lists, OR-of-ranges) prune as interval sets; filters that imply no
+  * numeric constraint (IsNull, strings, mixed-column Or) derive no
+  * bound and prune nothing — conservative, never wrong. A layout
+  * without a saved index falls back to the plain directory scan.
   *
   * Implemented on the stable `org.apache.spark.sql.sources` DSv1
   * extension surface (RelationProvider + PrunedFilteredScan): the data
@@ -243,43 +244,109 @@ object ZOrderRelation {
     case _ => None
   }).filter(d => !d.isNaN && !d.isInfinite)
 
-  /** Per-column closed [lo, hi] bounds implied by the pushed filters —
-    * strict bounds widen to closed ones (skipping only needs a
-    * superset); non-range filters derive nothing.
+  /** Members above which an IN-list collapses to its [min, max]
+    * envelope: the prune test is O(files × intervals), and a 10k-member
+    * probe list as 10k point intervals buys little over its envelope.
+    */
+  private val MaxUnionIntervals = 64
+
+  /** Per-column RANGE UNIONS implied by the pushed filters: column `c`
+    * must lie in AT LEAST ONE of its `[lo, hi]` intervals (strict bounds
+    * widen to closed — skipping only needs a superset). Disjunctive
+    * shapes derive real bounds now:
+    *   - `In(c, vs)` → the union of point intervals (its [min, max]
+    *     envelope past [[MaxUnionIntervals]] members);
+    *   - `Or` → the union of its sides' bounds, when EVERY side
+    *     constrains the SAME single column (each side may itself be a
+    *     conjunction — `(x >= 10 AND x < 20) OR (x >= 50 AND x < 60)`
+    *     intersects within a side, unions across sides);
+    *   - conjuncts on one column INTERSECT their unions (pairwise
+    *     interval intersection; an empty result proves the predicate
+    *     unsatisfiable and prunes every file).
+    * Anything else (IsNull, strings, mixed-column Or, a NULL In member)
+    * derives nothing — conservative, never wrong.
     */
   private[graft] def ranges(
-      filters: Array[Filter]): Map[String, (Double, Double)] = {
-    val b = scala.collection.mutable.Map[String, (Double, Double)]()
-    def tighten(c: String, lo: Double, hi: Double): Unit = {
-      val (l0, h0) = b.getOrElse(c,
-        (Double.NegativeInfinity, Double.PositiveInfinity))
-      b(c) = (math.max(l0, lo), math.min(h0, hi))
-    }
-    filters.flatMap(conjuncts).foreach {
-      case GreaterThan(c, v) =>
-        num(v).foreach(d => tighten(c, d, Double.PositiveInfinity))
-      case GreaterThanOrEqual(c, v) =>
-        num(v).foreach(d => tighten(c, d, Double.PositiveInfinity))
-      case LessThan(c, v) =>
-        num(v).foreach(d => tighten(c, Double.NegativeInfinity, d))
-      case LessThanOrEqual(c, v) =>
-        num(v).foreach(d => tighten(c, Double.NegativeInfinity, d))
-      case EqualTo(c, v) => num(v).foreach(d => tighten(c, d, d))
-      case _ => () // Or/In/IsNull/strings: conservative, no bound
+      filters: Array[Filter]): Map[String, Seq[(Double, Double)]] = {
+    val b = scala.collection.mutable.Map[String, Seq[(Double, Double)]]()
+    filters.flatMap(conjuncts).foreach { f =>
+      bound(f).foreach { case (c, ivs) =>
+        b(c) = b.get(c).map(intersect(_, ivs)).getOrElse(ivs)
+      }
     }
     b.toMap
   }
 
+  /** The interval union one filter implies, when it constrains exactly
+    * one column (see [[ranges]]).
+    */
+  private def bound(f: Filter): Option[(String, Seq[(Double, Double)])] =
+    f match {
+      case GreaterThan(c, v) =>
+        num(v).map(d => c -> Seq((d, Double.PositiveInfinity)))
+      case GreaterThanOrEqual(c, v) =>
+        num(v).map(d => c -> Seq((d, Double.PositiveInfinity)))
+      case LessThan(c, v) =>
+        num(v).map(d => c -> Seq((Double.NegativeInfinity, d)))
+      case LessThanOrEqual(c, v) =>
+        num(v).map(d => c -> Seq((Double.NegativeInfinity, d)))
+      case EqualTo(c, v) => num(v).map(d => c -> Seq((d, d)))
+      case In(c, vs) =>
+        val ds = vs.toSeq.map(num)
+        // ANY non-numeric/NULL member poisons the whole list (that
+        // member's rows could live anywhere)
+        if (ds.isEmpty || ds.exists(_.isEmpty)) None
+        else {
+          val pts = ds.flatten
+          if (pts.size > MaxUnionIntervals) Some(c -> Seq((pts.min, pts.max)))
+          else Some(c -> pts.map(d => (d, d)))
+        }
+      case Or(a, b) =>
+        // each side is a conjunction: intersect within, union across
+        def side(s: Filter): Option[(String, Seq[(Double, Double)])] = {
+          val bs = conjuncts(s).map(bound)
+          if (bs.isEmpty || bs.exists(_.isEmpty)) None
+          else {
+            val flat = bs.flatten
+            val c = flat.head._1
+            if (flat.forall(_._1 == c))
+              Some(c -> flat.map(_._2).reduce(intersect))
+            else None
+          }
+        }
+        (side(a), side(b)) match {
+          case (Some((ca, ia)), Some((cb, ib))) if ca == cb =>
+            val u = ia ++ ib
+            if (u.size > MaxUnionIntervals)
+              Some(ca -> Seq((u.map(_._1).min, u.map(_._2).max)))
+            else Some(ca -> u)
+          case _ => None
+        }
+      case _ => None // IsNull/strings/Not: conservative, no bound
+    }
+
+  /** Intersection of two interval unions: pairwise overlaps, empties
+    * dropped. An empty result is a PROOF of unsatisfiability.
+    */
+  private def intersect(a: Seq[(Double, Double)],
+      b: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    for {
+      (l1, h1) <- a; (l2, h2) <- b
+      lo = math.max(l1, l2); hi = math.min(h1, h2)
+      if lo <= hi
+    } yield (lo, hi)
+
   /** NaN footer bounds compare false against everything, which would
     * SKIP a file that may hold matching rows — conservatively keep
-    * (same rule as [[Layout.prunedScan]]).
+    * (same rule as [[Layout.prunedScan]]). A file survives a column's
+    * constraint iff its [min, max] intersects ANY interval of the union.
     */
   private[graft] def mayMatch(g: Layout.RowGroupStats,
-      ranges: Map[String, (Double, Double)]): Boolean =
-    ranges.forall { case (c, (lo, hi)) =>
+      ranges: Map[String, Seq[(Double, Double)]]): Boolean =
+    ranges.forall { case (c, ivs) =>
       (g.mins.get(c), g.maxs.get(c)) match {
         case (Some(mn), Some(mx)) if !mn.isNaN && !mx.isNaN =>
-          mx >= lo && mn <= hi
+          ivs.exists { case (lo, hi) => mx >= lo && mn <= hi }
         case _ => true
       }
     }

@@ -337,4 +337,81 @@ class AsofRewriteSpec extends SparkSpec {
     assert(got(1L) == Some(900L) && got(2L).isEmpty,
       s"operator timestamp tolerance must bound in seconds: $got")
   }
+
+  test("FRACTIONAL tolerance on a double-seconds axis (the reference's " +
+       "native delay type): 0.5 s admits a 0.3 s gap and rejects 0.7 s; " +
+       "whole tolerances keep the long path; nearest arms bound " +
+       "independently") {
+    val p = Seq((1L, "u", 10.3), (2L, "u", 20.7), (3L, "u", 30.0),
+      (4L, "v", 10.4))
+      .toDF("pid", "k", "secd")
+    val c = Seq(("u", 10.0, 900L), ("u", 20.0, 901L), ("u", 30.0, 902L),
+      ("v", 10.0, 903L))
+      .toDF("ck", "csecd", "click_id")
+    def run(tol: String) = p.join(c,
+        col("k") === col("ck") && expr(s"asof_backward(secd, csecd, $tol)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    val half = run("0.5")
+    assert(half(1L) == Some(900L), "0.3 s gap within 0.5 s tolerance")
+    assert(half(2L).isEmpty, "0.7 s gap must exceed 0.5 s tolerance")
+    assert(half(3L) == Some(902L), "zero gap always within")
+    assert(half(4L) == Some(903L), "keys isolate under fractional tol")
+    // sub-0.3: even the near match drops
+    val tight = run("0.25")
+    assert(tight(1L).isEmpty && tight(3L) == Some(902L), s"got $tight")
+    // a WHOLE tolerance on the same axis still matches the raw-gap path
+    val one = run("1")
+    assert(one(1L) == Some(900L) && one(2L) == Some(901L), s"got $one")
+    // nearest: backward gap 0.3 vs forward gap 9.7 — the 0.5 bound
+    // keeps the backward arm only; 0.25 drops both
+    val near = p.join(c,
+        col("k") === col("ck") && expr("asof_nearest(secd, csecd, 0.5)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    assert(near(1L) == Some(900L) && near(2L).isEmpty, s"got $near")
+  }
+
+  test("FRACTIONAL + INTERVAL tolerance on TimestampType compares the " +
+       "EXACT microsecond gap: 0.5 s admits 300 ms and rejects 700 ms, " +
+       "and INTERVAL '500' MILLISECOND is the same bound") {
+    val p = Seq((1L, "u", "2024-01-01 00:00:10.300"),
+      (2L, "u", "2024-01-01 00:00:10.700"),
+      (3L, "u", "2024-01-01 00:00:10.000"))
+      .toDF("pid", "k", "s").withColumn("lts", to_timestamp(col("s")))
+    val c = Seq(("u", "2024-01-01 00:00:10.000", 900L))
+      .toDF("ck", "cs", "click_id")
+      .withColumn("rts", to_timestamp(col("cs")))
+    def run(tol: String) = p.join(c,
+        col("k") === col("ck") && expr(s"asof_backward(lts, rts, $tol)"),
+        "left_outer")
+      .select(col("pid"), col("click_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    for (tol <- Seq("0.5", "INTERVAL '500' MILLISECOND",
+        "INTERVAL '0.5' SECOND")) {
+      val m = run(tol)
+      assert(m(1L) == Some(900L), s"$tol: 300 ms gap must pass, got $m")
+      assert(m(2L).isEmpty, s"$tol: 700 ms gap must drop, got $m")
+      assert(m(3L) == Some(900L), s"$tol: zero gap must pass, got $m")
+    }
+    // the old whole-second path is UNCHANGED: tolerance 0 still admits
+    // the sub-second gaps its epoch-second truncation cannot see
+    val whole = run("0")
+    assert(whole(1L) == Some(900L) && whole(2L) == Some(900L),
+      "whole-unit tolerance keeps the documented second-grain semantics")
+    // a fractional DATE tolerance cannot mean anything — fail fast
+    val pd = Seq((1L, "u", "2024-01-05")).toDF("pid", "k", "s")
+      .withColumn("ld", to_date(col("s")))
+    val cd = Seq(("u", "2024-01-01", 1L)).toDF("ck", "cs", "click_id")
+      .withColumn("rd", to_date(col("cs")))
+    val err = intercept[Exception] {
+      pd.join(cd, col("k") === col("ck") &&
+          expr("asof_backward(ld, rd, 1.5)"), "left_outer")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("whole number of days"),
+      s"fractional DATE tolerance must fail fast, got: ${err.getMessage}")
+  }
 }

@@ -315,6 +315,60 @@ class LayoutSpec extends SparkSpec {
       "no predicate -> no skipping")
   }
 
+  test("disjunctive pruning: an IN(3 keys) probe and an OR-of-two-ranges " +
+       "each open only the files their interval UNION touches, " +
+       "row-identical to the full scan; a NULL In member disables the " +
+       "bound conservatively") {
+    // 1-D layout on x = id: 16 files, each covering ~256 consecutive x
+    val pts = (1 to 4096).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+      .withColumn("xq", Layout.quantize(col("x"), 1.0, 4096.0, 8))
+    val nFiles = 16
+    val dir = java.nio.file.Files.createTempDirectory("zdisj").toString + "/z"
+    Layout.zorderWrite(pts, col("xq").cast("long"), col("id"), nFiles, dir)
+    Layout.saveStats(spark, dir, Seq("x"))
+    def src = spark.read.format("graft-zorder").load(dir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+
+    // IN(3 far-apart keys): 3 point intervals → ≤ 3 files opened
+    val inProbe = src.filter(col("x").isin(100.0, 2000.0, 3900.0))
+    assert(ids(inProbe) == Set(100L, 2000L, 3900L))
+    val (keptIn, totalIn) = graft.sources.ZOrderSource.lastScan.get()
+    assert(totalIn == nFiles, s"index must cover $nFiles files, saw $totalIn")
+    assert(keptIn <= 3,
+      s"IN(3 keys) must open at most 3 of $nFiles files, opened $keptIn")
+
+    // OR of two disjoint ranges: two interval boxes → ≤ 4 files
+    val orProbe = src.filter(
+      (col("x") >= 100.0 && col("x") < 200.0) ||
+        (col("x") >= 3800.0 && col("x") < 3900.0))
+    val wantOr = (100L until 200L).toSet ++ (3800L until 3900L).toSet
+    assert(ids(orProbe) == wantOr)
+    val (keptOr, _) = graft.sources.ZOrderSource.lastScan.get()
+    assert(keptOr <= 4,
+      s"OR-of-two-ranges must open ≤ 4 of $nFiles files, opened $keptOr")
+
+    // a conjunct on the SAME column intersects the union: the second
+    // range drops entirely
+    val both = src.filter(
+      ((col("x") >= 100.0 && col("x") < 200.0) ||
+        (col("x") >= 3800.0 && col("x") < 3900.0)) &&
+        col("x") < 250.0)
+    assert(ids(both) == (100L until 200L).toSet)
+    assert(graft.sources.ZOrderSource.lastScan.get()._1 <= 2,
+      "intersected union must prune the second range's files")
+
+    // mixed-column OR derives nothing — full (conservative) scan, exact
+    val mixed = src.filter(col("x") < 100.0 || col("id") > 4000L)
+    assert(ids(mixed) == ((1L until 100L).toSet ++ (4001L to 4096L).toSet))
+
+    // a NULL member poisons the In-list: no bound, all files, exact
+    val withNull = src.filter(col("x").isin(100.0, null))
+    assert(ids(withNull) == Set(100L))
+    assert(graft.sources.ZOrderSource.lastScan.get()._1 == nFiles,
+      "NULL In member must disable the bound, not mis-prune")
+  }
+
   // ------------------------------------------- incremental maintenance
 
   private def corpus(n: Int) = (1 to n).map { i =>

@@ -563,4 +563,98 @@ class RangeJoinRewriteSpec extends SparkSpec {
         "sampled-width overlap rewrite changed the result")
     }
   }
+
+  test("interval_overlap marker fires WIDTH-FREE with no conf set — the " +
+       "three-leg rewrite, no BNLJ, results identical to the predicate " +
+       "baseline; the swapped argument order and the degenerate legs " +
+       "hold; an unrewritable marker join fails loudly") {
+    assert(!spark.conf.getOption(RangeJoinRewriteRule.WidthConf).isDefined,
+      "this test is about the conf-free path")
+    val expected = opairs(declOverlap) // silent predicate baseline
+    val marked = lIntervals.join(rIntervals,
+      expr("interval_overlap(ls, le, rs, re)"))
+    assert(marked.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.nonEmpty,
+      "the marker must fire the overlap rewrite with NO conf")
+    assert(!marked.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "marker rewrite must not nested-loop")
+    assert(opairs(marked) == expected,
+      "marker rewrite changed the result (incl. degenerate intervals)")
+    // argument order is side-normalized: stating the RIGHT pair first
+    // is the same join
+    val swapped = lIntervals.join(rIntervals,
+      expr("interval_overlap(rs, re, ls, le)"))
+    assert(opairs(swapped) == expected, "swapped marker order diverged")
+    // extra equi conjuncts ride along as residual
+    val keyed = lIntervals.withColumn("k", col("lid") % 5)
+      .join(rIntervals.withColumn("k2", col("rid") % 5),
+        col("k") === col("k2") &&
+          expr("interval_overlap(ls, le, rs, re)"))
+    val keyedExp = withConf("off") {
+      opairs(lIntervals.withColumn("k", col("lid") % 5)
+        .join(rIntervals.withColumn("k2", col("rid") % 5),
+          col("k") === col("k2") && col("ls") < col("re") &&
+            col("rs") < col("le")))
+    }
+    assert(opairs(keyed) == keyedExp, "keyed marker join diverged")
+    // unrewritable shape (bounds mixed across sides) leaves the
+    // Unevaluable marker in the plan → loud failure, never a silent scan
+    val bad = lIntervals.join(rIntervals,
+      expr("interval_overlap(ls, re, rs, le)"))
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage != null)
+  }
+
+  test("fractional widths: a sub-second double-interval corpus gets a " +
+       "sub-1.0 bucket width (static literal AND sampled), not the " +
+       "1000x-over-wide floor-to-1 — and the results stay exact") {
+    // widths live inside the explode's Sequence as bucket = floor(x / w)
+    def widthsOf(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+        .flatMap(_.generator.collect {
+          case org.apache.spark.sql.catalyst.expressions.Divide(
+              _, org.apache.spark.sql.catalyst.expressions.Literal(
+                w: Double, _), _) => w
+        })
+    // millisecond-scale double intervals: 800 intervals of length 0.01
+    // across [0, 4); 1000 points on a 0.0035 grid
+    val pts = spark.range(1000).select(col("id").as("pid"),
+      (col("id").cast("double") * 0.0035).as("x"))
+    val ivsStatic = spark.range(800).select(col("id").as("iid"),
+      (col("id").cast("double") * 0.005).as("lo"),
+      (col("id").cast("double") * 0.005 + 0.01).as("hi"))
+    val expected = withConf("off") {
+      pts.join(ivsStatic, col("x") >= col("lo") && col("x") < col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expected.nonEmpty, "fixture must produce matches")
+    // static path: the `lo + 0.01` literal is the width, read off the plan
+    val onStatic = pts.join(ivsStatic,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    assert(widthsOf(onStatic).distinct == Seq(0.01),
+      s"static fractional width must be 0.01, got ${widthsOf(onStatic)}")
+    assert(onStatic.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // sampled path: opaque bounds (checkpoint hides the arithmetic);
+    // p75 of the lengths is 0.01 — the width must stay sub-1.0
+    val ivsOpaque = ivsStatic.localCheckpoint(true)
+    val onSampled = pts.join(ivsOpaque,
+      col("x") >= col("lo") && col("x") < col("hi"))
+    val ws = widthsOf(onSampled)
+    assert(ws.nonEmpty && ws.forall(w => w > 0 && w < 1.0),
+      s"sampled width must be fractional for 0.01-length intervals: $ws")
+    assert(onSampled.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    // per-bucket bound: with w ≈ 0.01 no bucket holds more than a few
+    // intervals — the explosion stays ~1-2 buckets per interval and the
+    // bucket join's build side stays per-key tiny
+    val w = ws.head
+    val perBucket = ivsStatic
+      .select(floor(col("lo") / w).as("b")).groupBy("b").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(perBucket <= 4,
+      s"per-bucket interval count must stay small at w=$w, got $perBucket")
+  }
 }
