@@ -124,6 +124,109 @@ object Bundle {
         name -> spark.read.parquet(p.toString)
       }.toMap
 
+  /** Read-only HDF5 ingest — the migration on-ramp for trx DataStorage
+    * archives (the reference persists every azav/reduction bundle as
+    * HDF5: trx/azav.py:457, trx/id9.py:221,301): every dataset reachable
+    * from the root becomes a DataFrame keyed by its group path, and
+    * every attribute becomes a manifest-style parameter — the same
+    * (tables, params) shape [[load]]/[[readManifest]] serve for the
+    * engine's own Parquet bundles.
+    *
+    * Array → table mapping (long form, the engine's curve grain):
+    *  - rank ≤ 1 → `(idx LONG, value DOUBLE)` (strings: value STRING);
+    *  - rank 2 → `(row LONG, col LONG, value DOUBLE)`;
+    *  - rank n → `(i0..i{n-1} LONG, value DOUBLE)`, row-major.
+    * Attribute keys are `name` at the root, `path@name` elsewhere;
+    * numeric values render as integers when whole.
+    *
+    * Scale boundary, stated honestly: an HDF5 file is a single-node
+    * artifact with no internal parallelism to hand Spark, so the decode
+    * runs driver-side and the rows are parallelized after — the right
+    * cost model for a ONE-TIME archive conversion (re-save with [[save]]
+    * and every later read is parquet-parallel). A directory of many
+    * bundles should map this per file inside tasks instead.
+    */
+  def fromHdf5(spark: SparkSession,
+               path: String): (Map[String, DataFrame], Map[String, String]) = {
+    import spark.implicits._
+    val f = Hdf5.read(path)
+    val tables = f.datasets.map { d =>
+      val name = d.path.stripPrefix("/")
+      val rank = d.dims.size
+      val df: DataFrame =
+        if (!d.isNumeric)
+          d.strings.zipWithIndex.toSeq
+            .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
+        else if (rank <= 1)
+          d.numeric.zipWithIndex.toSeq
+            .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
+        else if (rank == 2) {
+          val nc = d.dims(1).toInt
+          d.numeric.zipWithIndex.toSeq.map { case (v, i) =>
+            ((i / nc).toLong, (i % nc).toLong, v)
+          }.toDF("row", "col", "value")
+        } else {
+          val strides = d.dims.scanRight(1L)(_ * _).tail
+          val rows = d.numeric.zipWithIndex.toSeq.map { case (v, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              strides.zip(d.dims).map { case (s, dim) =>
+                (i / s) % dim } :+ v)
+          }
+          val schema = org.apache.spark.sql.types.StructType(
+            d.dims.indices.map(k => org.apache.spark.sql.types.StructField(
+              s"i$k", org.apache.spark.sql.types.LongType, nullable = false)) :+
+              org.apache.spark.sql.types.StructField("value",
+                org.apache.spark.sql.types.DoubleType, nullable = false))
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows,
+              math.max(1, math.min(64, rows.size / 65536))), schema)
+        }
+      name -> df
+    }.toMap
+    val params = f.attrs.map { a =>
+      val key =
+        if (a.path == "/") a.name
+        else s"${a.path.stripPrefix("/")}@${a.name}"
+      val v = a.string.getOrElse {
+        val d = a.numeric.head
+        if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      }
+      key -> v
+    }.toMap
+    (tables, params)
+  }
+
+  /** The azav-bundle pivot: a DataStorage file holding `data[nimg][nq]`
+    * (+ optional `err`), the per-image `delays` and the q axis becomes
+    * the engine's canonical curve table
+    * `(image_idx, delay, q_bin, i[, err])` — directly consumable by the
+    * E2 reduction chain ([[graft.operators.Reduction]]).
+    */
+  def azavFromHdf5(spark: SparkSession, path: String,
+                   dataKey: String = "data", errKey: String = "err",
+                   delaysKey: String = "delays"): DataFrame = {
+    import spark.implicits._
+    val f = Hdf5.read(path)
+    val data = f.dataset(dataKey)
+    require(data.dims.size == 2, s"$dataKey must be 2-D (nimg x nq)")
+    val nImg = data.dims(0).toInt
+    val nQ = data.dims(1).toInt
+    val delays = f.dataset(delaysKey).numeric
+    require(delays.length == nImg,
+      s"$delaysKey length ${delays.length} != $dataKey rows $nImg")
+    val err = f.datasets.find(_.path.stripPrefix("/") == errKey)
+      .map(_.numeric)
+    err.foreach(e => require(e.length == data.numeric.length,
+      s"$errKey shape differs from $dataKey"))
+    val rows = for (r <- 0 until nImg; c <- 0 until nQ) yield {
+      val i = r * nQ + c
+      (r.toLong, delays(r), c.toLong, data.numeric(i),
+        err.map(_(i)).getOrElse(0.0))
+    }
+    rows.toDF("image_idx", "delay", "q_bin", "i", "err")
+  }
+
   /** T2 — parameter-hash cache invalidation (trx/azav.py:303-343): a saved
     * bundle is reusable iff its manifest matches the requested parameters;
     * returns the (param, old, new) diffs otherwise, mirroring the

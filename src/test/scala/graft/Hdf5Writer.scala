@@ -1,0 +1,361 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Test-scope HDF5 WRITER — builds DataStorage-layout fixtures for the
+  * [[graft.sources.Hdf5]] reader (no h5py and no Java HDF5 library exist
+  * in this offline environment, so the fixtures are written against the
+  * same public file-format spec the reader implements: superblock v0,
+  * v1 object headers, old-style symbol-table groups — exactly the bytes
+  * h5py's defaults produce structurally).
+  *
+  * Supports: contiguous float64/int64/fixed-string datasets of any rank,
+  * chunked float64 datasets with the shuffle+deflate pipeline, scalar
+  * double/string attributes, and one level of subgroups.
+  */
+object Hdf5Writer {
+
+  sealed trait Value
+  final case class Doubles(dims: Seq[Int], data: Array[Double],
+                           chunked: Option[Seq[Int]] = None) extends Value
+  final case class Longs(dims: Seq[Int], data: Array[Long]) extends Value
+  final case class Strings(fixedLen: Int, data: Array[String]) extends Value
+
+  final case class Node(datasets: Seq[(String, Value)] = Seq.empty,
+                        attrs: Seq[(String, Any)] = Seq.empty,
+                        groups: Seq[(String, Node)] = Seq.empty)
+
+  def write(path: String, root: Node): Unit = {
+    val b = new Builder
+    val rootAddr = b.writeGroup(root)
+    b.finish(path, rootAddr)
+  }
+
+  private final class Builder {
+    // superblock v0 (56 bytes) + root symbol-table entry (40) reserved
+    private val buf = ArrayBuffer.fill[Byte](96)(0)
+
+    private def pos: Long = buf.length.toLong
+    private def pad8(): Unit = while (buf.length % 8 != 0) buf += 0
+    private def raw(bs: Array[Byte]): Unit = buf ++= bs
+    private def u8(v: Int): Unit = buf += v.toByte
+    private def u16(v: Int): Unit = {
+      buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte }
+    private def u32(v: Long): Unit = (0 until 4).foreach(i =>
+      buf += ((v >> (8 * i)) & 0xff).toByte)
+    private def u64(v: Long): Unit = (0 until 8).foreach(i =>
+      buf += ((v >> (8 * i)) & 0xff).toByte)
+    private def patch64(at: Int, v: Long): Unit = (0 until 8).foreach(i =>
+      buf(at + i) = ((v >> (8 * i)) & 0xff).toByte)
+
+    // ------------------------------------------------------- message bodies
+
+    private def doublesBytes(a: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(bb.putDouble); bb.array()
+    }
+    private def longsBytes(a: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      a.foreach(bb.putLong); bb.array()
+    }
+    private def stringsBytes(a: Array[String], len: Int): Array[Byte] = {
+      val out = new Array[Byte](a.length * len)
+      a.zipWithIndex.foreach { case (s, i) =>
+        val bs = s.getBytes("UTF-8").take(len)
+        System.arraycopy(bs, 0, out, i * len, bs.length)
+      }
+      out
+    }
+
+    private def dataspace(dims: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + 8 * dims.size)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(dims.size.toByte).put(0.toByte)
+      bb.position(8)
+      dims.foreach(d => bb.putLong(d.toLong))
+      bb.array()
+    }
+    private def scalarDataspace: Array[Byte] = {
+      val bb = ByteBuffer.allocate(8)
+      bb.put(0, 1.toByte); bb.put(1, 0.toByte) // v1, rank 0
+      bb.array()
+    }
+    private val dtFloat64: Array[Byte] = {
+      val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x11.toByte) // v1, class 1 (float)
+      bb.put(0x20.toByte).put(0x3f.toByte).put(0x00.toByte) // LE, sign 63
+      bb.putInt(8)
+      bb.putShort(0).putShort(64) // bit offset / precision
+      bb.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+      bb.putInt(1023)
+      bb.array()
+    }
+    private val dtInt64: Array[Byte] = {
+      val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x10.toByte) // v1, class 0 (fixed)
+      bb.put(0x08.toByte).put(0.toByte).put(0.toByte) // LE, signed
+      bb.putInt(8)
+      bb.putShort(0).putShort(64)
+      bb.array()
+    }
+    private def dtString(len: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x13.toByte) // v1, class 3 (string)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte) // null-terminated
+      bb.putInt(len)
+      bb.array()
+    }
+
+    private def attrBody(name: String, value: Any): Array[Byte] = {
+      val (dt, ds, data) = value match {
+        case d: Double =>
+          (dtFloat64, scalarDataspace, doublesBytes(Array(d)))
+        case l: Long =>
+          (dtInt64, scalarDataspace, longsBytes(Array(l)))
+        case i: Int =>
+          (dtInt64, scalarDataspace, longsBytes(Array(i.toLong)))
+        case s: String =>
+          val bs = s.getBytes("UTF-8")
+          (dtString(bs.length + 1), scalarDataspace,
+            stringsBytes(Array(s), bs.length + 1))
+        case other => throw new IllegalArgumentException(
+          s"attr type ${other.getClass}")
+      }
+      def p8(n: Int) = (n + 7) & ~7
+      val nameB = name.getBytes("UTF-8") :+ 0.toByte
+      val bb = ByteBuffer.allocate(
+          8 + p8(nameB.length) + p8(dt.length) + p8(ds.length) + data.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).put(0.toByte) // v1, reserved
+      bb.putShort(nameB.length.toShort)
+      bb.putShort(dt.length.toShort)
+      bb.putShort(ds.length.toShort)
+      bb.put(nameB); bb.position(8 + p8(nameB.length))
+      bb.put(dt); bb.position(8 + p8(nameB.length) + p8(dt.length))
+      bb.put(ds)
+      bb.position(8 + p8(nameB.length) + p8(dt.length) + p8(ds.length))
+      bb.put(data)
+      bb.array()
+    }
+
+    /** v1 object header from (type, body) messages. Returns its address. */
+    private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
+      pad8()
+      val addr = pos
+      def padded(n: Int) = (n + 7) & ~7
+      val total = msgs.map { case (_, b) => 8 + padded(b.length) }.sum
+      u8(1); u8(0)               // version, reserved
+      u16(msgs.size)
+      u32(1L)                    // reference count
+      u32(total.toLong)          // header size
+      u32(0L)                    // alignment pad to 16
+      msgs.foreach { case (t, body) =>
+        u16(t); u16(padded(body.length)); u8(0); u8(0); u8(0); u8(0)
+        raw(body)
+        (body.length until padded(body.length)).foreach(_ => u8(0))
+      }
+      addr
+    }
+
+    // ------------------------------------------------------------ datasets
+
+    private def writeDataset(name: String, v: Value,
+                             attrs: Seq[(String, Any)]): Long = {
+      val (dt, dims, payload, chunked) = v match {
+        case Doubles(d, a, c) => (dtFloat64, d, doublesBytes(a), c)
+        case Longs(d, a) => (dtInt64, d, longsBytes(a), None)
+        case Strings(len, a) =>
+          (dtString(len), Seq(a.length), stringsBytes(a, len), None)
+      }
+      val elemSize = v match {
+        case Strings(len, _) => len
+        case _ => 8
+      }
+      val layout: Array[Byte] = chunked match {
+        case None =>
+          pad8()
+          val dataAddr = pos
+          raw(payload)
+          val bb = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(3.toByte).put(1.toByte) // v3, contiguous
+          bb.putLong(dataAddr).putLong(payload.length.toLong)
+          bb.array()
+        case Some(cdims) =>
+          val btree = writeChunks(dims, cdims, payload, elemSize)
+          val bb = ByteBuffer.allocate(3 + 8 + 4 * (dims.size + 1))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(3.toByte).put(2.toByte) // v3, chunked
+          bb.put((dims.size + 1).toByte)
+          bb.putLong(btree)
+          cdims.foreach(c => bb.putInt(c))
+          bb.putInt(elemSize)
+          bb.array()
+      }
+      val filterMsg: Seq[(Int, Array[Byte])] = chunked match {
+        case None => Seq.empty
+        case Some(_) =>
+          // pipeline v1: shuffle (elemSize) then deflate (level 6)
+          val bb = ByteBuffer.allocate(8 + 16 + 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(1.toByte).put(2.toByte) // version, 2 filters
+          bb.position(8)
+          def filt(id: Int, value: Long): Unit = {
+            bb.putShort(id.toShort).putShort(0).putShort(1.toShort)
+            bb.putShort(1.toShort) // flags=1 (optional), 1 client value
+            bb.putInt(value.toInt)
+            bb.putInt(0) // pad to even client-value count
+          }
+          filt(2, elemSize.toLong)
+          filt(1, 6L)
+          Seq((0x000B, bb.array()))
+      }
+      objectHeader(
+        Seq((0x0001, dataspace(dims)), (0x0003, dt)) ++ filterMsg ++
+          Seq((0x0008, layout)) ++
+          attrs.map { case (n, a) => (0x000C, attrBody(n, a)) })
+    }
+
+    /** Shuffle+deflate each chunk, lay them out, and index them with one
+      * level-0 v1 chunk B-tree. Returns the btree address.
+      */
+    private def writeChunks(dims: Seq[Int], cdims: Seq[Int],
+                            payload: Array[Byte], elemSize: Int): Long = {
+      val rank = dims.size
+      val grid = dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
+      val chunkCoords = grid.foldLeft(Seq(Seq.empty[Int])) { (acc, g) =>
+        acc.flatMap(pre => (0 until g).map(i => pre :+ i))
+      }
+      def shuffle(in: Array[Byte]): Array[Byte] = {
+        val n = in.length / elemSize
+        val o = new Array[Byte](in.length)
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < elemSize) {
+            o(j * n + i) = in(i * elemSize + j); j += 1
+          }
+          i += 1
+        }
+        o
+      }
+      def deflate(in: Array[Byte]): Array[Byte] = {
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(in); d.finish()
+        val o = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](65536)
+        while (!d.finished()) o.write(b, 0, d.deflate(b))
+        d.end()
+        o.toByteArray
+      }
+      val entries = chunkCoords.map { coord =>
+        val off = coord.zip(cdims).map { case (c, w) => c * w }
+        // extract the FULL chunk (edge chunks zero-padded, per the spec:
+        // chunks are always whole; readers clip)
+        val chunk = new Array[Byte](cdims.product * elemSize)
+        val copyDims = (0 until rank).map(d =>
+          math.min(cdims(d), dims(d) - off(d)))
+        val nRows = copyDims.dropRight(1).product.max(1)
+        val rowBytes = copyDims.last * elemSize
+        (0 until nRows).foreach { r =>
+          var rem = r
+          val lc = new Array[Int](rank)
+          ((rank - 2) to 0 by -1).foreach { d =>
+            lc(d) = rem % copyDims(d); rem /= copyDims(d) }
+          var src = 0L
+          (0 until rank).foreach { d =>
+            val c = if (d == rank - 1) off(d) else off(d) + lc(d)
+            src = src * dims(d) + c
+          }
+          var dst = 0L
+          (0 until rank - 1).foreach(d => dst = dst * cdims(d) + lc(d))
+          System.arraycopy(payload, (src * elemSize).toInt,
+            chunk, (dst * cdims.last * elemSize).toInt, rowBytes)
+        }
+        val enc = deflate(shuffle(chunk))
+        pad8()
+        val addr = pos
+        raw(enc)
+        (off, enc.length, addr)
+      }
+      pad8()
+      val btree = pos
+      raw("TREE".getBytes)
+      u8(1); u8(0)                  // type 1 (chunk), level 0
+      u16(entries.size)
+      u64(-1L); u64(-1L)            // left/right siblings
+      entries.foreach { case (off, nbytes, addr) =>
+        u32(nbytes.toLong); u32(0L) // size, filter mask
+        off.foreach(o => u64(o.toLong))
+        u64(0L)                     // element-dimension offset
+        u64(addr)
+      }
+      // trailing key
+      u32(0L); u32(0L); (0 to rank).foreach(_ => u64(0L))
+      btree
+    }
+
+    // -------------------------------------------------------------- groups
+
+    def writeGroup(node: Node): Long = {
+      val children: Seq[(String, Long)] =
+        node.datasets.map { case (n, v) =>
+          n -> writeDataset(n, v, Seq.empty) } ++
+          node.groups.map { case (n, g) => n -> writeGroup(g) }
+      // local heap: names at offsets (offset 0 reserved)
+      pad8()
+      val heapDataAddr = pos + 32
+      var off = 8L
+      val nameOffsets = children.sortBy(_._1).map { case (n, a) =>
+        val o = off; off += n.getBytes("UTF-8").length + 1
+        (n, a, o)
+      }
+      val heapSize = (off + 7) & ~7
+      raw("HEAP".getBytes); u8(0); u8(0); u8(0); u8(0)
+      u64(heapSize); u64(0L); u64(heapDataAddr)
+      u64(0L) // offset 0: the empty name slot
+      nameOffsets.foreach { case (n, _, _) =>
+        raw(n.getBytes("UTF-8")); u8(0) }
+      while (pos < heapDataAddr + heapSize) u8(0)
+      val heapAddr = heapDataAddr - 32
+
+      pad8()
+      val snod = pos
+      raw("SNOD".getBytes); u8(1); u8(0)
+      u16(nameOffsets.size)
+      nameOffsets.foreach { case (_, addr, nameOff) =>
+        u64(nameOff); u64(addr); u32(0L); u32(0L)
+        (0 until 16).foreach(_ => u8(0))
+      }
+
+      pad8()
+      val btree = pos
+      raw("TREE".getBytes); u8(0); u8(0) // type 0 (group), level 0
+      u16(1)
+      u64(-1L); u64(-1L)
+      u64(0L)    // key 0
+      u64(snod)
+      u64(0L)    // key 1
+      val st = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      st.putLong(btree).putLong(heapAddr)
+      objectHeader(Seq((0x0011, st.array())) ++
+        node.attrs.map { case (n, a) => (0x000C, attrBody(n, a)) })
+    }
+
+    def finish(path: String, rootAddr: Long): Unit = {
+      val sig = Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      sig.zipWithIndex.foreach { case (b, i) => buf(i) = b }
+      // versions already 0; offsets/lengths sizes and B-tree K values
+      buf(13) = 8; buf(14) = 8
+      buf(16) = 4; buf(18) = 16 // leaf K, internal K
+      patch64(24, 0L)               // base address
+      patch64(32, -1L)              // free-space address (undefined)
+      patch64(40, buf.length.toLong) // end of file
+      patch64(48, -1L)              // driver info (undefined)
+      patch64(56 + 8, rootAddr)     // root STE: object header address
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
+      ()
+    }
+  }
+}

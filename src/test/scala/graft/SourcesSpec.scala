@@ -197,4 +197,111 @@ class SourcesSpec extends SparkSpec {
     assert(corruptRows.head.getAs[String]("raw").startsWith("{not json"))
     assert(cleanRows.map(_.getAs[Long]("doc_id")).toSet == (1L to 250L).toSet)
   }
+
+  // ------------------------------------------------------------- HDF5 ingest
+
+  test("HDF5 writer -> reader round trip: contiguous f64/i64/strings, " +
+       "2-D, chunked+shuffle+deflate, attributes, nested groups") {
+    import graft.sources.Hdf5
+    val dir = Files.createTempDirectory("h5rt").toString
+    val f64 = Array.tabulate(17)(i => i * 1.25 - 3.0)
+    val i64 = Array.tabulate(9)(i => (i * 1000003L - 42L))
+    val strs = Array("alpha", "b", "gamma-ray")
+    val mat = Array.tabulate(6 * 5)(i => math.sin(i * 0.7) * 100)
+    // chunk 4x3 over 10x7: interior, edge, and corner chunks all clip
+    val big = Array.tabulate(10 * 7)(i => i * 0.5 - 11.0)
+    Hdf5Writer.write(s"$dir/rt.h5", Hdf5Writer.Node(
+      datasets = Seq(
+        "vec" -> Hdf5Writer.Doubles(Seq(17), f64),
+        "ints" -> Hdf5Writer.Longs(Seq(9), i64),
+        "names" -> Hdf5Writer.Strings(10, strs),
+        "mat" -> Hdf5Writer.Doubles(Seq(6, 5), mat),
+        "big" -> Hdf5Writer.Doubles(Seq(10, 7), big,
+          chunked = Some(Seq(4, 3)))),
+      attrs = Seq("npt" -> 5L, "scale" -> 2.5, "mask" -> "auto"),
+      groups = Seq("log" -> Hdf5Writer.Node(
+        datasets = Seq("srcur" -> Hdf5Writer.Doubles(Seq(3),
+          Array(199.5, 199.1, 198.8))),
+        attrs = Seq("unit" -> "mA")))))
+    val f = Hdf5.read(s"$dir/rt.h5")
+    assert(f.dataset("/vec").numeric.toSeq == f64.toSeq)
+    assert(f.dataset("/ints").numeric.toSeq == i64.map(_.toDouble).toSeq)
+    assert(f.dataset("/names").strings.toSeq == strs.toSeq)
+    assert(f.dataset("/mat").dims == Seq(6L, 5L))
+    assert(f.dataset("/mat").numeric.toSeq == mat.toSeq)
+    assert(f.dataset("/big").dims == Seq(10L, 7L))
+    assert(f.dataset("/big").numeric.toSeq == big.toSeq,
+      "chunked+shuffle+deflate must reassemble exactly (edge clipping)")
+    assert(f.dataset("/log/srcur").numeric.toSeq == Seq(199.5, 199.1, 198.8))
+    val attrs = f.attrs.map(a => (a.path, a.name) ->
+      a.string.getOrElse(a.numeric.head)).toMap
+    assert(attrs(("/", "npt")) == 5.0)
+    assert(attrs(("/", "scale")) == 2.5)
+    assert(attrs(("/", "mask")) == "auto")
+    assert(attrs(("/log", "unit")) == "mA")
+  }
+
+  test("Bundle.fromHdf5: a DataStorage-layout azav bundle becomes frames " +
+       "EQUAL to the Parquet-bundle twin, attrs become manifest params") {
+    val dir = Files.createTempDirectory("h5bundle").toString
+    val nImg = 6; val nQ = 5
+    val data = Array.tabulate(nImg * nQ)(i => 10.0 + (i % nQ) + (i / nQ) * 0.1)
+    val err = Array.tabulate(nImg * nQ)(i => 0.01 + i * 1e-4)
+    val qAxis = Array.tabulate(nQ)(i => 0.5 + i * 0.25)
+    val delays = Array(-10.0, 1e-9, 1e-9, 2e-9, 2e-9, 1e-9)
+    Hdf5Writer.write(s"$dir/azav.h5", Hdf5Writer.Node(
+      datasets = Seq(
+        "data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data),
+        "err" -> Hdf5Writer.Doubles(Seq(nImg, nQ), err),
+        "q" -> Hdf5Writer.Doubles(Seq(nQ), qAxis),
+        "delays" -> Hdf5Writer.Doubles(Seq(nImg), delays)),
+      attrs = Seq("npt" -> nQ.toLong, "mask" -> "auto")))
+    val (tables, params) = Bundle.fromHdf5(spark, s"$dir/azav.h5")
+    assert(params == Map("npt" -> "5", "mask" -> "auto"))
+    assert(tables.keySet == Set("data", "err", "q", "delays"))
+    // the Parquet twin: the SAME long-form frames through save -> load
+    Bundle.save(s"$dir/pq", tables, params)
+    val twin = Bundle.load(spark, s"$dir/pq")
+    assert(Bundle.readManifest(s"$dir/pq").contains(params))
+    for (k <- tables.keySet) {
+      val a = tables(k).collect().map(_.toSeq).toSet
+      val b = twin(k).collect().map(_.toSeq).toSet
+      assert(a == b, s"$k: HDF5 ingest != Parquet twin")
+    }
+    // spot-check the long-form mapping itself
+    val d = tables("data").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d((0L, 0L)) == 10.0 && d((5L, 4L)) == data(29))
+  }
+
+  test("azavFromHdf5 feeds the E2 reduction end-to-end, identical to the " +
+       "same curves built directly in Spark") {
+    import graft.operators.Reduction
+    val dir = Files.createTempDirectory("h5e2").toString
+    val nImg = 12; val nQ = 8
+    // reference images at the minimum delay; two laser-on delays, reps
+    val delays = Array.tabulate(nImg)(r =>
+      if (r % 3 == 0) 0.0 else if (r % 3 == 1) 1e-9 else 2e-9)
+    val data = Array.tabulate(nImg * nQ) { i =>
+      val r = i / nQ; val c = i % nQ
+      5.0 + c * 0.5 + delays(r) * 1e9 * 0.2 + (r % 4) * 0.01
+    }
+    Hdf5Writer.write(s"$dir/run42.h5", Hdf5Writer.Node(
+      datasets = Seq(
+        "data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data,
+          chunked = Some(Seq(5, 3))),
+        "delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))))
+    val curves = Bundle.azavFromHdf5(spark, s"$dir/run42.h5")
+    assert(curves.columns.toSeq ==
+      Seq("image_idx", "delay", "q_bin", "i", "err"))
+    val direct = (for (r <- 0 until nImg; c <- 0 until nQ) yield
+      (r.toLong, delays(r), c.toLong, data(r * nQ + c), 0.0))
+      .toDF("image_idx", "delay", "q_bin", "i", "err")
+    val fromH5 = Reduction.timeResolvedSignal(curves)
+      .orderBy("delay", "q_bin").collect().map(_.toSeq).toSeq
+    val fromDirect = Reduction.timeResolvedSignal(direct)
+      .orderBy("delay", "q_bin").collect().map(_.toSeq).toSeq
+    assert(fromH5 == fromDirect && fromH5.nonEmpty,
+      "E2 over the HDF5 ingest must equal E2 over the direct curves")
+  }
 }
