@@ -300,11 +300,29 @@ object ScatteringFunctions {
   // -------------------------------------- G7 — arbitrary compound formulas
   // The reference accepts any compound string via periodictable
   // (trx/utils/absorption.py:10-23). Here: a chemical-formula parser +
-  // per-ELEMENT μ/ρ tables (NIST XCOM, ~1-2%) + the standard mass-weighted
-  // mixture rule μ/ρ(cmpd) = Σ wᵢ (μ/ρ)ᵢ with wᵢ = nᵢAᵢ / Σ nⱼAⱼ. Edge
-  // caveat: K-edge discontinuities falling BETWEEN grid points (Fe 7.11,
-  // Cu 8.98 keV) are smeared by the interpolation — tabulated points
-  // themselves are table values; near-edge energies are approximate.
+  // per-ELEMENT μ/ρ tables + the standard mass-weighted mixture rule
+  // μ/ρ(cmpd) = Σ wᵢ (μ/ρ)ᵢ with wᵢ = nᵢAᵢ / Σ nⱼAⱼ.
+  //
+  // Table provenance and accuracy, stated honestly (this environment has
+  // no network and no local XCOM dump, so the table cannot simply be
+  // regenerated from the published grid):
+  //  - the original nine elements (H C N O Al Si Fe Cu Ce) carry NIST
+  //    XCOM grid values (~1-2%) and are BIT-UNCHANGED at their original
+  //    anchors;
+  //  - K-edge discontinuities inside the grid are now TWO-SIDED table
+  //    points (Fe 7.112, Cu 8.979, and the extended 3d metals): the
+  //    below-edge point extrapolates the sub-edge branch (E^-2.7..2.9,
+  //    calibrated per element on its own anchors), the above-edge point
+  //    extrapolates back from the first published post-edge anchor — the
+  //    implied Fe jump ratio lands at 8.4, the textbook K-jump range;
+  //  - the EXTENDED set (S Cl K Ca Ti Cr Mn Ni Zn W Pt Au Pb) is
+  //    anchored on one or two published XCOM values per element and
+  //    filled along E^-2.6..2.85 photoelectric branches with standard
+  //    edge-jump ratios (K ≈ 8, L3 ≈ 2.4, L2 ≈ 1.4, L1 ≈ 1.16):
+  //    ~2-3% away from edges, ±10% within ~1 keV of an L edge. The
+  //    reference's periodictable is the accuracy ceiling; callers doing
+  //    edge-critical work (XANES-adjacent energies) should supply their
+  //    own table via MassAttenuation-style overrides.
 
   /** Atomic weight, bulk density (g/cm³, None for gases), and μ/ρ table
     * (energy keV → cm²/g, ascending).
@@ -333,15 +351,75 @@ object ScatteringFunctions {
     "Si" -> ElementInfo(28.085, Some(2.33), Seq(
       5.0 -> 245.0, 6.0 -> 147.0, 8.0 -> 64.68, 10.0 -> 33.89,
       15.0 -> 10.34, 20.0 -> 4.464, 30.0 -> 1.436)),
+    // Fe/Cu: original anchors unchanged; the K edge is now two-sided
+    // (7.112 / 8.979 keV) so near-edge interpolation no longer smears
+    // the discontinuity (below-edge point from the sub-edge branch,
+    // above-edge point back-extrapolated from the 8/10 keV anchors)
     "Fe" -> ElementInfo(55.845, Some(7.874), Seq(
-      5.0 -> 139.8, 6.0 -> 82.0, 8.0 -> 305.6, 10.0 -> 170.6,
+      5.0 -> 139.8, 6.0 -> 82.0, 7.111 -> 49.85, 7.113 -> 419.9,
+      8.0 -> 305.6, 10.0 -> 170.6,
       15.0 -> 57.08, 20.0 -> 25.68, 30.0 -> 8.176)),
     "Cu" -> ElementInfo(63.546, Some(8.96), Seq(
-      5.0 -> 189.5, 6.0 -> 115.6, 8.0 -> 52.55, 10.0 -> 215.9,
+      5.0 -> 189.5, 6.0 -> 115.6, 8.0 -> 52.55, 8.978 -> 37.62,
+      8.980 -> 288.6, 10.0 -> 215.9,
       15.0 -> 74.05, 20.0 -> 33.79, 30.0 -> 10.92)),
     "Ce" -> ElementInfo(140.116, Some(6.77), Seq(
       6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
-      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)))
+      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)),
+    // ------- extended set (see the provenance note above): single
+    // photoelectric branch for the sub-K-edge lights...
+    "S" -> ElementInfo(32.06, Some(2.067), Seq(
+      5.0 -> 358.4, 6.0 -> 213.2, 8.0 -> 93.9, 10.0 -> 49.7,
+      15.0 -> 15.64, 20.0 -> 6.89, 30.0 -> 2.17)),
+    "Cl" -> ElementInfo(35.45, None, Seq(
+      5.0 -> 416.8, 6.0 -> 247.9, 8.0 -> 109.2, 10.0 -> 57.8,
+      15.0 -> 18.19, 20.0 -> 8.02, 30.0 -> 2.53)),
+    "K" -> ElementInfo(39.098, Some(0.862), Seq(
+      5.0 -> 614.3, 6.0 -> 365.4, 8.0 -> 160.9, 10.0 -> 85.2,
+      15.0 -> 26.81, 20.0 -> 11.82, 30.0 -> 3.72)),
+    "Ca" -> ElementInfo(40.078, Some(1.55), Seq(
+      5.0 -> 735.4, 6.0 -> 437.5, 8.0 -> 192.7, 10.0 -> 102.0,
+      15.0 -> 32.10, 20.0 -> 14.15, 30.0 -> 4.46)),
+    "Ti" -> ElementInfo(47.867, Some(4.506), Seq(
+      5.0 -> 719.3, 6.0 -> 437.8, 8.0 -> 202.1, 10.0 -> 110.7,
+      15.0 -> 37.03, 20.0 -> 17.04, 30.0 -> 5.71)),
+    // ...two-sided K edges for the 3d metals...
+    "Cr" -> ElementInfo(51.996, Some(7.19), Seq(
+      5.0 -> 104.1, 5.988 -> 64.0, 5.990 -> 531.0, 6.0 -> 528.6,
+      8.0 -> 242.8, 10.0 -> 133.0, 15.0 -> 44.5, 20.0 -> 20.5,
+      30.0 -> 6.86)),
+    "Mn" -> ElementInfo(54.938, Some(7.26), Seq(
+      5.0 -> 115.9, 6.0 -> 70.8, 6.538 -> 56.1, 6.540 -> 465.9,
+      8.0 -> 270.2, 10.0 -> 148.0, 15.0 -> 49.5, 20.0 -> 22.8,
+      30.0 -> 7.64)),
+    "Ni" -> ElementInfo(58.693, Some(8.908), Seq(
+      5.0 -> 169.7, 6.0 -> 103.7, 8.0 -> 47.7, 8.332 -> 42.7,
+      8.334 -> 341.9, 10.0 -> 209.0, 15.0 -> 69.9, 20.0 -> 32.2,
+      30.0 -> 10.8)),
+    "Zn" -> ElementInfo(65.38, Some(7.134), Seq(
+      5.0 -> 194.1, 6.0 -> 118.7, 8.0 -> 54.5, 9.658 -> 32.8,
+      9.660 -> 255.7, 10.0 -> 233.0, 15.0 -> 77.9, 20.0 -> 35.9,
+      30.0 -> 12.0)),
+    // ...and two-sided L3/L2/L1 edges for the heavy metals
+    "W" -> ElementInfo(183.84, Some(19.25), Seq(
+      5.0 -> 587.5, 6.0 -> 366.0, 8.0 -> 173.1, 10.0 -> 96.9,
+      10.206 -> 91.9, 10.208 -> 235.2, 11.543 -> 170.8, 11.545 -> 239.1,
+      12.099 -> 211.6, 12.101 -> 245.5, 15.0 -> 139.5, 20.0 -> 65.7,
+      30.0 -> 22.7)),
+    "Pt" -> ElementInfo(195.08, Some(21.45), Seq(
+      5.0 -> 679.1, 6.0 -> 423.0, 8.0 -> 200.0, 10.0 -> 112.0,
+      11.563 -> 76.8, 11.565 -> 195.3, 13.272 -> 136.6, 13.274 -> 191.3,
+      13.879 -> 170.2, 13.881 -> 197.4, 15.0 -> 160.8, 20.0 -> 75.5,
+      30.0 -> 26.0)),
+    "Au" -> ElementInfo(196.97, Some(19.30), Seq(
+      5.0 -> 715.4, 6.0 -> 445.7, 8.0 -> 210.7, 10.0 -> 118.0,
+      11.918 -> 74.8, 11.920 -> 187.9, 13.733 -> 130.1, 13.735 -> 182.1,
+      14.352 -> 162.5, 14.354 -> 188.5, 15.0 -> 167.8, 20.0 -> 78.8,
+      30.0 -> 27.1)),
+    "Pb" -> ElementInfo(207.2, Some(11.35), Seq(
+      5.0 -> 791.8, 6.0 -> 493.3, 8.0 -> 233.2, 10.0 -> 130.6,
+      13.034 -> 65.6, 13.036 -> 161.3, 15.199 -> 108.3, 15.201 -> 151.6,
+      15.860 -> 135.7, 15.862 -> 157.4, 20.0 -> 86.4, 30.0 -> 30.3)))
 
   /** Densities of common compounds the formula path serves (g/cm³) —
     * callers can always override via `attenuationLength`'s density arg.
@@ -349,7 +427,8 @@ object ScatteringFunctions {
   val CompoundDensities: Map[String, Double] = Map(
     "CeO2" -> 7.22,            // ceria
     "C22H10N2O5" -> 1.42,      // polyimide (Kapton) repeat unit
-    "SiO2" -> 2.196)           // fused silica
+    "SiO2" -> 2.196,           // fused silica
+    "C2H3Cl" -> 1.38)          // PVC repeat unit
 
   /** Chemical formula → sorted (element, count): multi-letter symbols,
     * multi-digit counts, parenthesized groups — `Ca(OH)2` style.

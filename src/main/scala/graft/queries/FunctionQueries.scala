@@ -230,7 +230,10 @@ object FunctionQueries {
             r6(ScatteringFunctions.attenuationLength("CeO2", e)
               * 1000000.0).as("ceo2_um"),
             r6(ScatteringFunctions.attenuationLength("C22H10N2O5", e)
-              * 1000000.0).as("kapton_um"))
+              * 1000000.0).as("kapton_um"),
+            // PVC needs Cl — the r14 extended element table's new row
+            r6(ScatteringFunctions.attenuationLength("C2H3Cl", e)
+              * 1000000.0).as("pvc_um"))
           .orderBy("k")
       },
       Some {
@@ -270,12 +273,15 @@ object FunctionQueries {
           |    round(0.01 / ((${muFormulaSql("CeO2", "(k * 0.1 + 5.0)")})
           |      * 7.22) * 1000000.0, 6) AS ceo2_um,
           |    round(0.01 / ((${muFormulaSql("C22H10N2O5", "(k * 0.1 + 5.0)")})
-          |      * 1.42) * 1000000.0, 6) AS kapton_um
+          |      * 1.42) * 1000000.0, 6) AS kapton_um,
+          |    round(0.01 / ((${muFormulaSql("C2H3Cl", "(k * 0.1 + 5.0)")})
+          |      * 1.38) * 1000000.0, 6) AS pvc_um
           |  FROM base)
           |SELECT k, cmp, count(*) AS n, any_value(vf) AS vf,
           |       any_value(mm) AS mm, any_value(lam_um) AS lam_um,
           |       any_value(ceo2_um) AS ceo2_um,
-          |       any_value(kapton_um) AS kapton_um
+          |       any_value(kapton_um) AS kapton_um,
+          |       any_value(pvc_um) AS pvc_um
           |FROM v GROUP BY k, cmp ORDER BY k""".stripMargin
       }),
 

@@ -210,8 +210,60 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseFormula("(H2O"))
     intercept[IllegalArgumentException](parseFormula("h2o"))
     // parseable but untabulated element → clear error at weights time
+    // (Na is outside the table; Ca joined it in the r14 extension)
     intercept[IllegalArgumentException](
-      ScatteringFunctions.formulaWeights("Ca(OH)2"))
+      ScatteringFunctions.formulaWeights("NaCl"))
+    assert(ScatteringFunctions.formulaWeights("Ca(OH)2").size == 3)
+  }
+
+  test("G7 extended element table: two-sided K edges (Fe 7.112 jumps " +
+       "~8x), heavy-metal L edges, monotone photoelectric branches, and " +
+       "PVC (needs Cl) resolves end to end") {
+    import ScatteringFunctions.{Elements, attenuationLength, massAttenuation}
+    def muAt(el: String, e: Double): Double = Seq(e).toDF("e")
+      .select(massAttenuation(el, $"e").as("m")).as[Double].head()
+    // Fe ACROSS its K edge: the discontinuity is real now, not smeared
+    val feBelow = muAt("Fe", 7.0)
+    val feAbove = muAt("Fe", 7.2)
+    assert(feAbove / feBelow > 5.0 && feAbove / feBelow < 10.0,
+      s"Fe K-edge jump must be ~8x: $feBelow -> $feAbove")
+    // original anchors unchanged (q51/q54 stability); approx: the
+    // interpolation chain reconstructs an anchor to ~1 ulp, not ==
+    assert(approx(muAt("Fe", 8.0), 305.6, 1e-9))
+    assert(approx(muAt("Fe", 10.0), 170.6, 1e-9))
+    assert(approx(muAt("Cu", 10.0), 215.9, 1e-9))
+    assert(approx(muAt("Si", 10.0), 33.89, 1e-9))
+    // published-value spot checks on the extension's anchors
+    assert(approx(muAt("W", 20.0), 65.7, 1e-9))
+    assert(approx(muAt("W", 30.0), 22.7, 1e-9))
+    assert(approx(muAt("Pb", 10.0), 130.6, 1e-9))
+    assert(approx(muAt("Au", 20.0), 78.8, 1e-9))
+    assert(approx(muAt("Ca", 10.0), 102.0, 1e-9))
+    assert(approx(muAt("Ti", 10.0), 110.7, 1e-9))
+    // L3 jumps land in the textbook 2-3x band
+    for ((el, l3) <- Seq(("W", 10.207), ("Pt", 11.564), ("Au", 11.919),
+        ("Pb", 13.035))) {
+      val r = muAt(el, l3 + 0.002) / muAt(el, l3 - 0.002)
+      assert(r > 2.0 && r < 3.0, s"$el L3 jump $r outside [2,3]")
+    }
+    // within every inter-edge branch the table is strictly decreasing
+    for ((el, info) <- Elements) {
+      info.mu.sliding(2).foreach { case Seq((e1, m1), (e2, m2)) =>
+        if (e2 - e1 > 0.01) // same-branch pair (not an edge step)
+          assert(m2 < m1, s"$el: mu must decrease $e1->$e2 ($m1 -> $m2)")
+      }
+    }
+    // PVC: parser -> Cl table -> mixture -> known compound density
+    val wts = ScatteringFunctions.formulaWeights("C2H3Cl").toMap
+    assert(math.abs(wts("Cl") - 35.45 / (2 * 12.011 + 3 * 1.008 + 35.45))
+      < 1e-12)
+    val muPvc = Seq(10.0).toDF("e")
+      .select(massAttenuation("C2H3Cl", $"e").as("m")).as[Double].head()
+    val hand = wts("C") * 2.373 + wts("H") * 0.3854 + wts("Cl") * 57.8
+    assert(approx(muPvc, hand, 1e-9), s"PVC mixture $muPvc != $hand")
+    val lam = Seq(10.0).toDF("e")
+      .select(attenuationLength("C2H3Cl", $"e").as("l")).as[Double].head()
+    assert(approx(lam, 0.01 / (hand * 1.38), 1e-12))
   }
 
   test("G7 arbitrary compounds: mass-weighted mixture of per-element " +
