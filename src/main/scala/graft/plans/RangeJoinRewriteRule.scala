@@ -96,9 +96,11 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, 
   * statement of intent; the marker fires the three-leg bucketized
   * rewrite with auto-derived width in EVERY mode — no
   * `spark.graft.rangeJoin.bucketWidth` required (a set numeric conf is
-  * honored as the width). [[Unevaluable]] on purpose: an unrewritable
-  * marker join fails loudly instead of silently scanning pairs —
-  * [[AsofJoinMarker]]'s contract.
+  * honored as the width). INNER joins only — the three-leg rewrite has
+  * no outer semantics. [[Unevaluable]] on purpose: an unrewritable
+  * marker join (outer type, bounds mixed across sides, >1 marker) fails
+  * loudly instead of silently scanning pairs — [[AsofJoinMarker]]'s
+  * contract.
   */
 case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
                                  bStart: Expression, bEnd: Expression)
