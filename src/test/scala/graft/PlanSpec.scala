@@ -294,7 +294,12 @@ class PlanSpec extends SparkSpec {
         // must still land the equi-join shape
         "q151_range_join_double_auto",
         // q160: DATE bounds (epoch-day grain), width-free
-        "q160_range_join_date")) {
+        "q160_range_join_date",
+        // q174: the interval_overlap MARKER — three-leg rewrite with NO
+        // conf anywhere; q176: sub-second DOUBLE intervals under the
+        // fractional static width (0.25 off the literal)
+        "q174_overlap_join_marker",
+        "q176_subsecond_range_join")) {
       val plan = plans(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
