@@ -42,6 +42,40 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Retrieval-quality evaluation — recall@k of an APPROXIMATE top-k
+    * result against EXACT ground truth, per query: the harness that
+    * turns an ANN configuration (LSH bits/tables, IVF probes, PQ
+    * codebooks) from "plausible" into "measured" before it serves a
+    * pipeline. Both inputs are the ANN family's common report shape
+    * `(queryIdCol, idCol, rankCol)`; rows past rank k are ignored, so a
+    * k'-deep result evaluates at any k ≤ k'.
+    *
+    * Output: `(queryIdCol, n_truth, n_hit, recall)` with
+    * `recall = n_hit / n_truth` — n_truth < k when the corpus itself has
+    * fewer than k candidates, so a perfect result still scores 1.0.
+    * Queries the approximate path MISSED entirely still report (their
+    * truth rows exist; hits are 0): an empty-bucket LSH query can't
+    * silently vanish from the average.
+    *
+    * Plan: both sides are (queries × k)-bounded report frames — a keyed
+    * left join plus one small aggregation; nothing corpus-scale.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame, k: Int,
+                queryIdCol: String = "query_id", idCol: String = "vec_id",
+                rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol))
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(idCol), lit(1L).as("_hit"))
+    t.join(a, Seq(queryIdCol, idCol), "left")
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_truth"), 6))
+  }
+
   /** Hard-negative mining for contrastive training: each query's top-k
     * nearest neighbors by exact cosine EXCLUDING the query itself and
     * everything in the query's near-duplicate cluster — the closest

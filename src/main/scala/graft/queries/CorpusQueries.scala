@@ -537,6 +537,65 @@ object CorpusQueries {
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ANN quality evaluation (Similarity.recallAtK): recall@10 of the
+    // single-table LSH path against exact brute-force ground truth, per
+    // query — the harness that measures an ANN configuration before it
+    // serves a pipeline (the engine ships six ANN variants; this is how
+    // their recall/probe trade-offs are tuned on real embeddings). Both
+    // report frames are (queries × k)-bounded; the oracle replays the
+    // brute ranking, the hyperplane signatures, and the recall join.
+    QueryDef("q177_ann_recall",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val truth = Similarity.bruteForceTopK(e, queries, k = 10)
+        val approx = Similarity.lshTopK(e, queries, k = 10, dim = 64,
+          nBits = 6)
+        Similarity.recallAtK(approx, truth, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val planes = (0 until 6).map { j =>
+          val h = graft.functions.VectorFunctions.hyperplane(j, 64)
+          s"[${h.mkString(", ")}]::DOUBLE[]"
+        }
+        val sigExpr = planes.map(p =>
+          s"CASE WHEN list_dot_product(v, $p) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+          |truth AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, e.vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY
+          |        list_dot_product(e.v, q.qv) /
+          |          greatest(sqrt(list_dot_product(e.v, e.v)) *
+          |                   sqrt(list_dot_product(q.qv, q.qv)), 1e-300)
+          |        DESC, e.vec_id) AS rank
+          |    FROM e, q) WHERE rank <= 10),
+          |sig AS (SELECT vec_id, v, $sigExpr AS bucket FROM e),
+          |qs AS (SELECT s.vec_id AS query_id, s.v AS qv, s.bucket
+          |       FROM sig s WHERE s.vec_id < 20),
+          |approx AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qs.query_id, s.vec_id,
+          |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+          |        list_dot_product(s.v, qs.qv) /
+          |          greatest(sqrt(list_dot_product(s.v, s.v)) *
+          |                   sqrt(list_dot_product(qs.qv, qs.qv)), 1e-300)
+          |        DESC, s.vec_id) AS rank
+          |    FROM sig s JOIN qs ON s.bucket = qs.bucket) WHERE rank <= 10)
+          |SELECT t.query_id, count(*)::BIGINT AS n_truth,
+          |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_hit,
+          |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          |    / count(*), 6) AS recall
+          |FROM truth t LEFT JOIN approx a
+          |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+      }),
+
     // LSH-bucketed ANN: same-signature candidates, exact re-rank.
     QueryDef("q40_sim_lsh",
       (s, dir) => {

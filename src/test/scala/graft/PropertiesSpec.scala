@@ -139,6 +139,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 round trip holds for arbitrary shapes, chunk grids, and " +
+       "value ranges (writer and reader are independent spec " +
+       "implementations)") {
+    val rnd = new scala.util.Random(14)
+    val dir = java.nio.file.Files.createTempDirectory("h5prop").toString
+    (1 to 20).foreach { i =>
+      val rank = 1 + rnd.nextInt(3)
+      val dims = Seq.fill(rank)(1 + rnd.nextInt(12))
+      val n = dims.product
+      // mixed magnitudes, negatives, exact integers, subnormal-adjacent
+      val data = Array.fill(n)(rnd.nextInt(5) match {
+        case 0 => rnd.nextDouble() * 1e9 - 5e8
+        case 1 => rnd.nextInt(1000).toDouble
+        case 2 => -rnd.nextDouble() * 1e-6
+        case 3 => rnd.nextGaussian()
+        case _ => 0.0
+      })
+      val chunked =
+        if (rank >= 2 && rnd.nextBoolean())
+          Some(dims.map(d => 1 + rnd.nextInt(d))) // edge chunks clip
+        else None
+      val p = s"$dir/p$i.h5"
+      Hdf5Writer.write(p, Hdf5Writer.Node(datasets = Seq(
+        "d" -> Hdf5Writer.Doubles(dims, data, chunked))))
+      val got = graft.sources.Hdf5.read(p).dataset("d")
+      assert(got.dims == dims.map(_.toLong),
+        s"iter $i: dims ${got.dims} != $dims (chunks $chunked)")
+      assert(got.numeric.toSeq == data.toSeq,
+        s"iter $i: payload mismatch at dims $dims chunks $chunked")
+    }
+  }
+
   test("shingle identity: permuted docs share no order-sensitive shingles") {
     val df = Seq(("a b c d e", "e d c b a")).toDF("x", "y")
     val r = df.select(

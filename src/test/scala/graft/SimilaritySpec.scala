@@ -550,4 +550,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(5L, 3L, 4L),
       s"expected promoted ranking Seq(5, 3, 4), got $got")
   }
+
+  test("recallAtK: self-recall is exactly 1, a missed query still " +
+       "reports 0, short corpora score against n_truth, and the harness " +
+       "measures the multi-table LSH lift") {
+    val truth = Similarity.bruteForceTopK(embeddings, embQueries, 10)
+    // exact result vs itself — every query exactly 1.0
+    val self = Similarity.recallAtK(truth, truth, k = 10).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Double]("recall") == 1.0))
+    // deeper k on the APPROX side never changes the @10 score (rank>k cut)
+    val deep = Similarity.bruteForceTopK(embeddings, embQueries, 20)
+    assert(Similarity.recallAtK(deep, truth, k = 10).collect()
+      .forall(_.getAs[Double]("recall") == 1.0))
+    // a query the approximate path missed ENTIRELY still reports, at 0
+    val oneQueryGone = truth.filter($"query_id" =!= 0L)
+    val gone = Similarity.recallAtK(oneQueryGone, truth, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(gone(0L) == ((0L, 0.0)), s"missed query must score 0: $gone")
+    assert(gone.filterNot(_._1 == 0L).values.forall(_._2 == 1.0))
+    // corpus smaller than k: n_truth < k and a perfect result still
+    // scores 1.0 (recall is against the truth set, not k)
+    val tiny = embeddings.filter($"vec_id" < 4)
+    val tq = tiny.select($"vec_id".as("query_id"), $"embedding")
+    val tTruth = Similarity.bruteForceTopK(tiny, tq, 10)
+    val tr = Similarity.recallAtK(tTruth, tTruth, k = 10).collect()
+    assert(tr.forall(r => r.getAs[Long]("n_truth") == 4L &&
+      r.getAs[Double]("recall") == 1.0))
+    // the REAL use: the same harness shows the multi-table/probe lift
+    // over single-table exact-bucket LSH on the random-neighbour corpus
+    def macroRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Similarity.recallAtK(approx, truth, k = 10).collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val single = macroRecall(Similarity.lshTopK(
+      embeddings, embQueries, k = 10, dim = 64, nBits = 6))
+    val multi = macroRecall(Similarity.lshTopKMulti(
+      embeddings, embQueries, k = 10, dim = 64,
+      nBits = 3, nTables = 12, probeFlips = 1))
+    info(f"recall@10: single-table $single%.3f -> multi-probe $multi%.3f")
+    assert(multi >= 0.95 && single < multi,
+      f"multi-table recall $multi%.3f must beat single-table $single%.3f")
+  }
 }
