@@ -28,6 +28,15 @@ object EventQueries {
     * the NTZ→epoch cast is the identity wall-clock mapping DuckDB's
     * `date_diff('second', TIMESTAMP '1970-01-01', ts)` applies.
     */
+  /** State-dir key for persisted-store queries: path + source-parquet
+    * mtime, so regenerated test data auto-invalidates (the q142/q149
+    * convention).
+    */
+  private def dataStamp(dir: String, tables: String*): String =
+    (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
+      (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
+      .mkString("_")
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, dir, "events")
@@ -743,6 +752,73 @@ object EventQueries {
         |FROM ev e JOIN w ON w.user_id = e.user_id
         |  AND e.secd >= w.w_start AND e.secd < w.w_end
         |ORDER BY w.window_id, e.event_id""".stripMargin)),
+
+    // The STREAMED drift monitor's first oracle: a KS monitor stamped
+    // with BOUNDED state (StreamingDrift.KsBinning: values bin to 50
+    // left-edge cells over [0, 400), ≤ 52 state rows per side instead of
+    // ~1800 distinct values), fed the click events in three idempotent
+    // micro-batch slices, then SERVED from state alone — the report must
+    // equal the batch KS of the binned distributions over (views, all
+    // clicks), which is exactly what the oracle computes, p-value
+    // included. Repeat runs re-feed the same batch ids (partition
+    // overwrite replay) and must not change the report.
+    QueryDef("q178_streamed_ks_binned",
+      (s, dir) => {
+        import graft.streaming.StreamingDrift
+        val ev = events(s, dir)
+        val st = System.getProperty("java.io.tmpdir") +
+          "/graft_drift_q178_" + dataStamp(dir, "events")
+        val marker = new java.io.File(s"$st/_col")
+        if (!marker.exists()) {
+          StreamingDrift.init(
+            ev.filter(col("event_type") === "view").select(col("value")),
+            st, "value", breaks = Seq(50.0, 120.0, 250.0),
+            ksBinning = Some(StreamingDrift.KsBinning(0.0, 400.0, 50)))
+        }
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("value"))
+        (0 until 3).foreach { i =>
+          StreamingDrift.processBatch(
+            clicks.filter(pmod(col("event_id"), lit(3)) === i)
+              .select(col("value")), st, i.toLong)
+        }
+        StreamingDrift.ksReport(s, st)
+      },
+      Some("""WITH b AS (
+        |  SELECT event_type,
+        |    0.0 + least(50.0, greatest(-1.0,
+        |      floor((value::DOUBLE - 0.0) / 8.0))) * 8.0 AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('view', 'click')),
+        |av AS (SELECT v, count(*)::BIGINT AS c FROM b
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |bv AS (SELECT v, count(*)::BIGINT AS c FROM b
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(av.v, bv.v) AS v, coalesce(av.c, 0) AS ca,
+        |         coalesce(bv.c, 0) AS cb
+        |  FROM av FULL JOIN bv ON av.v = bv.v),
+        |t AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM m),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+        |         sum(cb) OVER (ORDER BY v)::BIGINT AS ccb
+        |  FROM m),
+        |d AS (
+        |  SELECT v, round(abs(cca::DOUBLE / ta - ccb::DOUBLE / tb), 9) AS d
+        |  FROM cum, t),
+        |base AS (
+        |  SELECT round(d, 6) AS ks_d, v AS at_value, ta AS n_a, tb AS n_b
+        |  FROM d, t ORDER BY d DESC, v LIMIT 1),
+        |lamt AS (
+        |  SELECT *, sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) * ks_d AS lam
+        |  FROM base)
+        |SELECT ks_d, at_value, n_a, n_b,
+        |  round(CASE WHEN lam <= 0.2 THEN 1.0
+        |        ELSE least(1.0, greatest(0.0, 2.0 * (
+        |          SELECT sum((CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+        |                     * exp(-2.0 * k * k * lam * lam))
+        |          FROM generate_series(1, 100) s(k)))) END, 6) AS p_value
+        |FROM lamt""".stripMargin)),
 
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
