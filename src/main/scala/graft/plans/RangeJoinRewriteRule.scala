@@ -133,6 +133,33 @@ case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
 object RangeJoinRewriteRule extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Opt-in TTL (milliseconds) for caching the planning-time width/
+    * safety sample per (interval side, lo, hi) — for pipelines that plan
+    * the SAME range join many times per session (every action on a frame
+    * containing one re-optimizes it). 0/unset (the default) keeps the
+    * deliberate no-cache behaviour: the sampled statistics include the
+    * DoubleType NaN/∞ safety verdict, and a stale "finite" verdict could
+    * admit a bound that arrived after the cache fill — setting a TTL is
+    * the user's assertion that the interval side is static on that
+    * horizon. Keys are CANONICALIZED plan/expression objects compared
+    * structurally (never hashes alone — a hash collision here could
+    * admit an unsafe rewrite); the cache is bounded and cleared
+    * wholesale when full.
+    */
+  val StatsCacheConf = "spark.graft.rangeJoin.statsCacheTtlMs"
+
+  private val MaxCacheEntries = 128
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Expression, Expression),
+    (Long, Option[(Double, Int)])]()
+
+  private def cacheTtlMs(): Long =
+    try conf.getConfString(StatsCacheConf, "0").trim.toLong
+    catch { case _: Exception => 0L }
+
+  /** Test hook: entries currently cached. */
+  private[graft] def statsCacheSize: Int = statsCache.size()
   private def BucketName = graft.operators.RangeJoin.BucketName
   private def LevelName = graft.operators.RangeJoin.LevelName
 
@@ -368,12 +395,15 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * failure degrades to None — the original join always remains valid.
     *
     * Runs once per OPTIMIZATION of a matching join — i.e. per action on
-    * a frame containing one. Deliberately not cached across actions:
-    * the double-bound verdict is part of correctness (a stale cached
+    * a frame containing one. NOT cached across actions by default: the
+    * double-bound verdict is part of correctness (a stale cached
     * "finite" verdict could admit a NaN bound that arrived after the
     * cache fill and silently lose matches), and the cost is one
     * two-column aggregation of the interval side — the dimension side
-    * at warehouse scale.
+    * at warehouse scale. Pipelines that plan the same join hundreds of
+    * times opt into a bounded TTL cache via [[StatsCacheConf]] — their
+    * explicit assertion that the interval side is static on that
+    * horizon.
     */
   private def sampledWidth(side: LogicalPlan, lo: Expression,
                            hi: Expression): Option[(Double, Int)] = {
@@ -383,6 +413,21 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     // one the join executes over: refuse, keep the original plan
     if (side.exists(_.expressions.exists(e =>
         e.exists(!_.deterministic)))) return None
+    val ttl = cacheTtlMs()
+    if (ttl > 0) {
+      val key = (side.canonicalized, lo.canonicalized, hi.canonicalized)
+      val now = System.currentTimeMillis()
+      val hit = statsCache.get(key)
+      if (hit != null && now - hit._1 <= ttl) return hit._2
+      val fresh = sampledWidthUncached(side, lo, hi)
+      if (statsCache.size() >= MaxCacheEntries) statsCache.clear()
+      statsCache.put(key, (now, fresh))
+      fresh
+    } else sampledWidthUncached(side, lo, hi)
+  }
+
+  private def sampledWidthUncached(side: LogicalPlan, lo: Expression,
+                                   hi: Expression): Option[(Double, Int)] = {
     val len = Subtract(coarse(hi), coarse(lo))
     val pct = Alias(new ApproximatePercentile(len, Literal(0.75d))
       .toAggregateExpression(), "w")()

@@ -564,6 +564,41 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("opt-in stats cache: with a TTL set, re-planning the SAME join " +
+       "runs NO second sampling job; the default stays uncached and the " +
+       "results are identical either way") {
+    // opaque interval side (checkpoint) so the width must be SAMPLED
+    val ivs = intervals.localCheckpoint(true)
+    def decl = points.join(ivs,
+      col("sec") >= col("lo") && col("sec") < col("hi"))
+    val expected = withConf("off")(pairs(decl))
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // default: each optimization pays its own sampling job
+    val j0 = jobs()
+    decl.queryExecution.optimizedPlan
+    val j1 = jobs()
+    assert(j1 > j0, "uncached sampling must run a planning job")
+    decl.queryExecution.optimizedPlan
+    assert(jobs() > j1,
+      "default (no TTL) must re-sample on every optimization")
+    // TTL set: first plan samples and fills, the second is free
+    spark.conf.set(RangeJoinRewriteRule.StatsCacheConf, "60000")
+    try {
+      val k0 = jobs()
+      val first = decl
+      first.queryExecution.optimizedPlan
+      val k1 = jobs()
+      assert(k1 > k0, "first cached plan still samples once")
+      val second = decl
+      second.queryExecution.optimizedPlan
+      assert(jobs() == k1,
+        "second optimization of the same join must hit the stats cache")
+      assert(RangeJoinRewriteRule.statsCacheSize >= 1)
+      assert(pairs(second) == expected, "cached width changed the result")
+    } finally spark.conf.unset(RangeJoinRewriteRule.StatsCacheConf)
+  }
+
   test("interval_overlap marker fires WIDTH-FREE with no conf set — the " +
        "three-leg rewrite, no BNLJ, results identical to the predicate " +
        "baseline; the swapped argument order and the degenerate legs " +
