@@ -150,7 +150,7 @@ object Hdf5 {
         }
         q += sizeLen
         val track = (flags & 0x04) != 0
-        parseV2Block(q, chunk0.toInt, track, out, first = true)
+        parseV2Block(q, chunk0.toInt, track, out)
       } else {
         require(u8(p) == 1, s"object header version ${u8(p)} at $headerAddr")
         val nMsgs = u16(p + 2)
@@ -179,12 +179,16 @@ object Hdf5 {
       out.result()
     }
 
-    /** One v2 header block (chunk 0 inline, `OCHK` continuations). */
-    private def parseV2Block(start: Int, size: Int, track: Boolean,
-        out: scala.collection.mutable.Builder[(Int, Int, Int), Seq[(Int, Int, Int)]],
-        first: Boolean): Unit = {
+    /** One v2 header block (chunk 0 inline, `OCHK` continuations).
+      * `msgBytes` is the span of header-message data EXCLUDING the
+      * trailing checksum — the "size of chunk 0" field's own contract,
+      * and `length − 8` for an OCHK block (4-byte signature + 4-byte
+      * checksum live inside the continuation message's length).
+      */
+    private def parseV2Block(start: Int, msgBytes: Int, track: Boolean,
+        out: scala.collection.mutable.Builder[(Int, Int, Int), Seq[(Int, Int, Int)]]): Unit = {
       var o = start
-      val limit = start + size - 4 // trailing checksum
+      val limit = start + msgBytes
       var conts = List.empty[(Long, Long)]
       while (o + 4 <= limit) {
         val t = u8(o); val sz = u16(o + 1) // type(1), size(2), flags(1)
@@ -199,7 +203,7 @@ object Hdf5 {
         val a = addr.toInt
         require(bytesAt(a, 4).sameElements("OCHK".getBytes),
           "bad OCHK continuation")
-        parseV2Block(a + 4, (len - 4).toInt, track, out, first = false)
+        parseV2Block(a + 4, (len - 8).toInt, track, out)
       }
     }
 

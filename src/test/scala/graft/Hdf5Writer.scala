@@ -6,13 +6,16 @@ import scala.collection.mutable.ArrayBuffer
 /** Test-scope HDF5 WRITER — builds DataStorage-layout fixtures for the
   * [[graft.sources.Hdf5]] reader (no h5py and no Java HDF5 library exist
   * in this offline environment, so the fixtures are written against the
-  * same public file-format spec the reader implements: superblock v0,
-  * v1 object headers, old-style symbol-table groups — exactly the bytes
-  * h5py's defaults produce structurally).
+  * same public file-format spec the reader implements). Two structural
+  * modes, covering both of the reader's code paths:
+  *  - default: superblock v0, v1 object headers, old-style symbol-table
+  *    groups — the bytes h5py's defaults produce structurally;
+  *  - `v2 = true`: superblock v3, `OHDR` v2 object headers, compact
+  *    link-message groups — the "libver latest" shape.
   *
   * Supports: contiguous float64/int64/fixed-string datasets of any rank,
   * chunked float64 datasets with the shuffle+deflate pipeline, scalar
-  * double/string attributes, and one level of subgroups.
+  * double/string attributes, and nested subgroups.
   */
 object Hdf5Writer {
 
@@ -26,15 +29,20 @@ object Hdf5Writer {
                         attrs: Seq[(String, Any)] = Seq.empty,
                         groups: Seq[(String, Node)] = Seq.empty)
 
-  def write(path: String, root: Node): Unit = {
-    val b = new Builder
+  /** `v2 = true` emits the "libver latest" structural shape: superblock
+    * v3, `OHDR` v2 object headers, and COMPACT link-message groups (no
+    * symbol tables) — the reader's other code path.
+    */
+  def write(path: String, root: Node, v2: Boolean = false): Unit = {
+    val b = new Builder(v2)
     val rootAddr = b.writeGroup(root)
     b.finish(path, rootAddr)
   }
 
-  private final class Builder {
-    // superblock v0 (56 bytes) + root symbol-table entry (40) reserved
-    private val buf = ArrayBuffer.fill[Byte](96)(0)
+  private final class Builder(v2: Boolean) {
+    // v0: superblock (56 bytes) + root symbol-table entry (40);
+    // v3: 48-byte superblock (sig..root addr + checksum)
+    private val buf = ArrayBuffer.fill[Byte](if (v2) 48 else 96)(0)
 
     private def pos: Long = buf.length.toLong
     private def pad8(): Unit = while (buf.length % 8 != 0) buf += 0
@@ -139,22 +147,47 @@ object Hdf5Writer {
       bb.array()
     }
 
-    /** v1 object header from (type, body) messages. Returns its address. */
-    private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long = {
+    /** Object header from (type, body) messages — v1 or `OHDR` v2 per
+      * the builder mode. Returns its address.
+      */
+    private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Long =
+      if (v2) objectHeaderV2(msgs) else {
+        pad8()
+        val addr = pos
+        def padded(n: Int) = (n + 7) & ~7
+        val total = msgs.map { case (_, b) => 8 + padded(b.length) }.sum
+        u8(1); u8(0)               // version, reserved
+        u16(msgs.size)
+        u32(1L)                    // reference count
+        u32(total.toLong)          // header size
+        u32(0L)                    // alignment pad to 16
+        msgs.foreach { case (t, body) =>
+          u16(t); u16(padded(body.length)); u8(0); u8(0); u8(0); u8(0)
+          raw(body)
+          (body.length until padded(body.length)).foreach(_ => u8(0))
+        }
+        addr
+      }
+
+    /** `OHDR` v2: flags 0x02 (4-byte chunk-0 size, no times, no creation
+      * order), exact message sizes (v2 headers have no 8-byte padding
+      * rule), chunk-0 size EXCLUDING the trailing checksum (the field's
+      * spec contract), checksum written as zeros (the reader does not
+      * verify — fixtures only).
+      */
+    private def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Long = {
       pad8()
       val addr = pos
-      def padded(n: Int) = (n + 7) & ~7
-      val total = msgs.map { case (_, b) => 8 + padded(b.length) }.sum
-      u8(1); u8(0)               // version, reserved
-      u16(msgs.size)
-      u32(1L)                    // reference count
-      u32(total.toLong)          // header size
-      u32(0L)                    // alignment pad to 16
+      raw("OHDR".getBytes)
+      u8(2)                      // version
+      u8(0x02)                   // flags: 4-byte size of chunk 0
+      val chunk0 = msgs.map { case (_, b) => 4 + b.length }.sum
+      u32(chunk0.toLong)
       msgs.foreach { case (t, body) =>
-        u16(t); u16(padded(body.length)); u8(0); u8(0); u8(0); u8(0)
+        u8(t); u16(body.length); u8(0) // type, size, flags
         raw(body)
-        (body.length until padded(body.length)).foreach(_ => u8(0))
       }
+      u32(0L)                    // checksum (unverified by the reader)
       addr
     }
 
@@ -302,6 +335,22 @@ object Hdf5Writer {
         node.datasets.map { case (n, v) =>
           n -> writeDataset(n, v, Seq.empty) } ++
           node.groups.map { case (n, g) => n -> writeGroup(g) }
+      if (v2) {
+        // new-style COMPACT group: one hard-link message per child
+        val linkMsgs = children.map { case (n, addr) =>
+          val nb = n.getBytes("UTF-8")
+          val bb = ByteBuffer.allocate(3 + nb.length + 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(1.toByte)       // version
+          bb.put(0.toByte)       // flags: hard link, 1-byte name length
+          bb.put(nb.length.toByte)
+          bb.put(nb)
+          bb.putLong(addr)
+          (0x0006, bb.array())
+        }
+        return objectHeader(linkMsgs ++
+          node.attrs.map { case (n, a) => (0x000C, attrBody(n, a)) })
+      }
       // local heap: names at offsets (offset 0 reserved)
       pad8()
       val heapDataAddr = pos + 32
@@ -346,6 +395,19 @@ object Hdf5Writer {
       val sig = Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
         .map(_.toByte)
       sig.zipWithIndex.foreach { case (b, i) => buf(i) = b }
+      if (v2) {
+        buf(8) = 3                   // superblock version 3
+        buf(9) = 8; buf(10) = 8      // offsets / lengths sizes
+        buf(11) = 0                  // flags
+        patch64(12, 0L)              // base address
+        patch64(20, -1L)             // superblock extension (undefined)
+        patch64(28, buf.length.toLong) // end of file
+        patch64(36, rootAddr)        // root group object header
+        // bytes 44-47: checksum, unverified by the reader
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path), buf.toArray)
+        return
+      }
       // versions already 0; offsets/lengths sizes and B-tree K values
       buf(13) = 8; buf(14) = 8
       buf(16) = 4; buf(18) = 16 // leaf K, internal K

@@ -161,8 +161,10 @@ class PropertiesSpec extends SparkSpec {
           Some(dims.map(d => 1 + rnd.nextInt(d))) // edge chunks clip
         else None
       val p = s"$dir/p$i.h5"
+      // both structural shapes: v0/symbol-table and v3/OHDR/compact-link
       Hdf5Writer.write(p, Hdf5Writer.Node(datasets = Seq(
-        "d" -> Hdf5Writer.Doubles(dims, data, chunked))))
+        "d" -> Hdf5Writer.Doubles(dims, data, chunked))),
+        v2 = rnd.nextBoolean())
       val got = graft.sources.Hdf5.read(p).dataset("d")
       assert(got.dims == dims.map(_.toLong),
         s"iter $i: dims ${got.dims} != $dims (chunks $chunked)")

@@ -241,6 +241,37 @@ class SourcesSpec extends SparkSpec {
     assert(attrs(("/log", "unit")) == "mA")
   }
 
+  test("HDF5 v2 structural shape (superblock v3, OHDR headers, compact " +
+       "link groups — 'libver latest') round-trips through the same " +
+       "reader paths, chunked pipeline and nested groups included") {
+    import graft.sources.Hdf5
+    val dir = Files.createTempDirectory("h5v2").toString
+    val vec = Array.tabulate(11)(i => i * 0.75 - 2.0)
+    val mat = Array.tabulate(9 * 4)(i => math.cos(i * 0.3) * 7)
+    Hdf5Writer.write(s"$dir/v2.h5", Hdf5Writer.Node(
+      datasets = Seq(
+        "vec" -> Hdf5Writer.Doubles(Seq(11), vec),
+        "mat" -> Hdf5Writer.Doubles(Seq(9, 4), mat,
+          chunked = Some(Seq(4, 3)))),
+      attrs = Seq("origin" -> "v2-fixture", "npt" -> 11L),
+      groups = Seq("log" -> Hdf5Writer.Node(
+        datasets = Seq("t" -> Hdf5Writer.Longs(Seq(3),
+          Array(7L, 8L, 9L)))))), v2 = true)
+    val f = Hdf5.read(s"$dir/v2.h5")
+    assert(f.dataset("vec").numeric.toSeq == vec.toSeq)
+    assert(f.dataset("mat").dims == Seq(9L, 4L))
+    assert(f.dataset("mat").numeric.toSeq == mat.toSeq,
+      "v2-header chunked dataset must reassemble exactly")
+    assert(f.dataset("log/t").numeric.toSeq == Seq(7.0, 8.0, 9.0))
+    val attrs = f.attrs.map(a => a.name ->
+      a.string.getOrElse(a.numeric.head)).toMap
+    assert(attrs("origin") == "v2-fixture" && attrs("npt") == 11.0)
+    // and Bundle ingest is shape-agnostic across the two header styles
+    val (tables, params) = Bundle.fromHdf5(spark, s"$dir/v2.h5")
+    assert(tables.keySet == Set("vec", "mat", "log/t"))
+    assert(params("origin") == "v2-fixture" && params("npt") == "11")
+  }
+
   test("Bundle.fromHdf5: a DataStorage-layout azav bundle becomes frames " +
        "EQUAL to the Parquet-bundle twin, attrs become manifest params") {
     val dir = Files.createTempDirectory("h5bundle").toString
