@@ -820,6 +820,84 @@ object EventQueries {
         |          FROM generate_series(1, 100) s(k)))) END, 6) AS p_value
         |FROM lamt""".stripMargin)),
 
+    // The streamed CATEGORICAL drift twin under an oracle: a monitor
+    // whose reference is the even-user half's event-type distribution,
+    // fed the odd-user half in three idempotent micro-batch slices,
+    // serving the chi-squared homogeneity report (with Cramér's V and
+    // the r14 p-value) from state alone. The oracle replays the 2×k
+    // table, the rounded-cell DECIMAL sum, and the same incomplete-gamma
+    // series as q169 — the streamed and batch chi² paths share
+    // Drift.chiFromCounts, so state-merge must be semantically invisible.
+    QueryDef("q179_streamed_chi_squared",
+      (s, dir) => {
+        import graft.streaming.StreamingDrift
+        val ev = events(s, dir)
+        val st = System.getProperty("java.io.tmpdir") +
+          "/graft_drift_q179_" + dataStamp(dir, "events")
+        val marker = new java.io.File(s"$st/_col")
+        if (!marker.exists()) {
+          StreamingDrift.init(
+            ev.filter(pmod(col("user_id"), lit(2)) === 0)
+              .select(col("value"), col("event_type")),
+            st, "value", breaks = Seq(100.0),
+            catCol = Some("event_type"))
+        }
+        val live = ev.filter(pmod(col("user_id"), lit(2)) === 1)
+          .select(col("event_id"), col("value"), col("event_type"))
+        (0 until 3).foreach { i =>
+          StreamingDrift.processBatch(
+            live.filter(pmod(col("event_id"), lit(3)) === i)
+              .select(col("value"), col("event_type")), st, i.toLong)
+        }
+        StreamingDrift.chiSquaredReport(s, st)
+      },
+      Some("""WITH RECURSIVE ca AS (
+        |  SELECT event_type AS cat, count(*)::BIGINT AS c FROM events
+        |  WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT event_type AS cat, count(*)::BIGINT AS c FROM events
+        |  WHERE user_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.cat, cb.cat) AS cat, coalesce(ca.c, 0) AS c_a,
+        |         coalesce(cb.c, 0) AS c_b
+        |  FROM ca FULL JOIN cb ON ca.cat = cb.cat),
+        |t AS (SELECT sum(c_a)::BIGINT AS ta, sum(c_b)::BIGINT AS tb,
+        |             count(*)::BIGINT AS k FROM m),
+        |x AS (
+        |  SELECT round(
+        |    pow(c_a::DOUBLE - ta::DOUBLE * (c_a + c_b)::DOUBLE
+        |          / (ta + tb)::DOUBLE, 2)
+        |      / (ta::DOUBLE * (c_a + c_b)::DOUBLE / (ta + tb)::DOUBLE) +
+        |    pow(c_b::DOUBLE - tb::DOUBLE * (c_a + c_b)::DOUBLE
+        |          / (ta + tb)::DOUBLE, 2)
+        |      / (tb::DOUBLE * (c_a + c_b)::DOUBLE / (ta + tb)::DOUBLE),
+        |    6) AS cell
+        |  FROM m, t),
+        |f AS (
+        |  SELECT round(sum(cell::DECIMAL(28,6))::DOUBLE, 6) AS chi2,
+        |         (k - 1)::BIGINT AS dof, k::BIGINT AS n_cats,
+        |         ta AS n_a, tb AS n_b
+        |  FROM x, t GROUP BY k, ta, tb),
+        |g AS (SELECT chi2 / 2.0 AS gx, dof / 2.0 AS ga FROM f),
+        |ser(n, term, s) AS (
+        |  SELECT 0, 1.0 / ga, 1.0 / ga FROM g
+        |  UNION ALL
+        |  SELECT n + 1, term * gx / (ga + n + 1),
+        |         s + term * gx / (ga + n + 1)
+        |  FROM ser, g WHERE n < 1200),
+        |sv AS (SELECT s FROM ser ORDER BY n DESC LIMIT 1)
+        |SELECT chi2, dof, n_cats, n_a, n_b,
+        |  round(CASE WHEN n_cats >= 2
+        |        THEN sqrt(chi2 / (n_a + n_b)::DOUBLE) END, 6) AS cramers_v,
+        |  round(CASE WHEN n_cats < 2 THEN NULL
+        |        WHEN chi2 <= 0 THEN 1.0
+        |        WHEN gx > ga + 40.0 + 10.0 * sqrt(ga) THEN 0.0
+        |        WHEN gx > 600.0 THEN NULL
+        |        ELSE least(1.0, greatest(0.0,
+        |          1.0 - exp(ga * ln(gx) - gx - lgamma(ga)) * s)) END,
+        |    6) AS p_value
+        |FROM f, g, sv""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify
