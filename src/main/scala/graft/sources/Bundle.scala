@@ -148,40 +148,10 @@ object Bundle {
     */
   def fromHdf5(spark: SparkSession,
                path: String): (Map[String, DataFrame], Map[String, String]) = {
-    import spark.implicits._
     val f = Hdf5.read(path)
     val tables = f.datasets.map { d =>
-      val name = d.path.stripPrefix("/")
-      val rank = d.dims.size
-      val df: DataFrame =
-        if (!d.isNumeric)
-          d.strings.zipWithIndex.toSeq
-            .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
-        else if (rank <= 1)
-          d.numeric.zipWithIndex.toSeq
-            .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
-        else if (rank == 2) {
-          val nc = d.dims(1).toInt
-          d.numeric.zipWithIndex.toSeq.map { case (v, i) =>
-            ((i / nc).toLong, (i % nc).toLong, v)
-          }.toDF("row", "col", "value")
-        } else {
-          val strides = d.dims.scanRight(1L)(_ * _).tail
-          val rows = d.numeric.zipWithIndex.toSeq.map { case (v, i) =>
-            org.apache.spark.sql.Row.fromSeq(
-              strides.zip(d.dims).map { case (s, dim) =>
-                (i / s) % dim } :+ v)
-          }
-          val schema = org.apache.spark.sql.types.StructType(
-            d.dims.indices.map(k => org.apache.spark.sql.types.StructField(
-              s"i$k", org.apache.spark.sql.types.LongType, nullable = false)) :+
-              org.apache.spark.sql.types.StructField("value",
-                org.apache.spark.sql.types.DoubleType, nullable = false))
-          spark.createDataFrame(
-            spark.sparkContext.parallelize(rows,
-              math.max(1, math.min(64, rows.size / 65536))), schema)
-        }
-      name -> df
+      d.path.stripPrefix("/") ->
+        arrayFrame(spark, d.dims, d.numeric, d.strings)
     }.toMap
     val params = f.attrs.map { a =>
       val key =
@@ -197,6 +167,52 @@ object Bundle {
     (tables, params)
   }
 
+  /** The array → long-form-table mapping shared by the HDF5 and npz
+    * on-ramps (see [[fromHdf5]]'s doc for the shape contract).
+    */
+  private def arrayFrame(spark: SparkSession, dims: Seq[Long],
+                         numeric: Array[Double],
+                         strings: Array[String]): DataFrame = {
+    import spark.implicits._
+    val rank = dims.size
+    if (strings.nonEmpty)
+      strings.zipWithIndex.toSeq
+        .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
+    else if (rank <= 1)
+      numeric.zipWithIndex.toSeq
+        .map { case (v, i) => (i.toLong, v) }.toDF("idx", "value")
+    else if (rank == 2) {
+      val nc = dims(1).toInt
+      numeric.zipWithIndex.toSeq.map { case (v, i) =>
+        ((i / nc).toLong, (i % nc).toLong, v)
+      }.toDF("row", "col", "value")
+    } else {
+      val strides = dims.scanRight(1L)(_ * _).tail
+      val rows = numeric.zipWithIndex.toSeq.map { case (v, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          strides.zip(dims).map { case (s, dim) => (i / s) % dim } :+ v)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        dims.indices.map(k => org.apache.spark.sql.types.StructField(
+          s"i$k", org.apache.spark.sql.types.LongType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType, nullable = false))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(64, rows.size / 65536))), schema)
+    }
+  }
+
+  /** The npz twin of [[fromHdf5]] — the reference's `datastorage` saves
+    * npz bundles too (a ZIP of `.npy` members; [[Npz]]). npz carries no
+    * attributes, so the params map is empty; the table shapes are
+    * identical to the HDF5 path (shared mapping).
+    */
+  def fromNpz(spark: SparkSession, path: String): Map[String, DataFrame] =
+    Npz.read(path).map { a =>
+      a.name -> arrayFrame(spark, a.dims, a.numeric, a.strings)
+    }.toMap
+
   /** The azav-bundle pivot: a DataStorage file holding `data[nimg][nq]`
     * (+ optional `err`), the per-image `delays` and the q axis becomes
     * the engine's canonical curve table
@@ -206,22 +222,41 @@ object Bundle {
   def azavFromHdf5(spark: SparkSession, path: String,
                    dataKey: String = "data", errKey: String = "err",
                    delaysKey: String = "delays"): DataFrame = {
-    import spark.implicits._
     val f = Hdf5.read(path)
     val data = f.dataset(dataKey)
-    require(data.dims.size == 2, s"$dataKey must be 2-D (nimg x nq)")
-    val nImg = data.dims(0).toInt
-    val nQ = data.dims(1).toInt
-    val delays = f.dataset(delaysKey).numeric
+    azavCurves(spark, dataKey, data.dims, data.numeric,
+      f.datasets.find(_.path.stripPrefix("/") == errKey).map(_.numeric),
+      delaysKey, f.dataset(delaysKey).numeric)
+  }
+
+  /** [[azavFromHdf5]]'s npz twin — same pivot, same curve table. */
+  def azavFromNpz(spark: SparkSession, path: String,
+                  dataKey: String = "data", errKey: String = "err",
+                  delaysKey: String = "delays"): DataFrame = {
+    val arrays = Npz.read(path).map(a => a.name -> a).toMap
+    val data = arrays.getOrElse(dataKey, throw new NoSuchElementException(
+      s"no array $dataKey in $path; have ${arrays.keys.mkString(", ")}"))
+    azavCurves(spark, dataKey, data.dims, data.numeric,
+      arrays.get(errKey).map(_.numeric),
+      delaysKey, arrays.getOrElse(delaysKey,
+        throw new NoSuchElementException(s"no array $delaysKey")).numeric)
+  }
+
+  private def azavCurves(spark: SparkSession, dataKey: String,
+                         dims: Seq[Long], data: Array[Double],
+                         err: Option[Array[Double]], delaysKey: String,
+                         delays: Array[Double]): DataFrame = {
+    import spark.implicits._
+    require(dims.size == 2, s"$dataKey must be 2-D (nimg x nq)")
+    val nImg = dims(0).toInt
+    val nQ = dims(1).toInt
     require(delays.length == nImg,
       s"$delaysKey length ${delays.length} != $dataKey rows $nImg")
-    val err = f.datasets.find(_.path.stripPrefix("/") == errKey)
-      .map(_.numeric)
-    err.foreach(e => require(e.length == data.numeric.length,
-      s"$errKey shape differs from $dataKey"))
+    err.foreach(e => require(e.length == data.length,
+      s"err shape differs from $dataKey"))
     val rows = for (r <- 0 until nImg; c <- 0 until nQ) yield {
       val i = r * nQ + c
-      (r.toLong, delays(r), c.toLong, data.numeric(i),
+      (r.toLong, delays(r), c.toLong, data(i),
         err.map(_(i)).getOrElse(0.0))
     }
     rows.toDF("image_idx", "delay", "q_bin", "i", "err")

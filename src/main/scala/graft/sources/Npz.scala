@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** Minimal pure-JVM NPY/NPZ reader — the second half of the trx archive
+  * on-ramp: the reference's `datastorage` persists bundles as HDF5 OR
+  * npz (a ZIP of `.npy` members, one per array — NumPy's own public
+  * format, NEP 1 / `numpy.lib.format`). `java.util.zip` opens the
+  * container (stored and deflated members alike, so `np.savez` and
+  * `np.savez_compressed` both read); the `.npy` member format is a
+  * 6-byte magic, a version, and an ASCII literal dict header
+  * (`{'descr': '<f8', 'fortran_order': False, 'shape': (3, 4), }`)
+  * followed by the raw buffer.
+  *
+  * Supported dtypes: little/big-endian ints of 1/2/4/8 bytes (signed and
+  * unsigned), float32/float64, booleans, and fixed-width byte strings
+  * (`|S*`). Fortran-order buffers are transposed to row-major on read
+  * (NumPy's default save order is C). Object arrays (pickled) are
+  * refused loudly — they are Python-specific by construction.
+  *
+  * Same scale boundary as [[Hdf5]]: an npz is a single-node artifact,
+  * decoded driver-side once on migration; the engine's own storage stays
+  * Parquet.
+  */
+object Npz {
+
+  /** One array: `dims` row-major; exactly one payload non-empty. */
+  final case class NpArray(name: String, dims: Seq[Long],
+                           numeric: Array[Double], strings: Array[String])
+
+  /** Every `.npy` member of the archive, keyed by member name minus the
+    * `.npy` suffix (NumPy's own convention for `np.load` of an npz).
+    */
+  def read(path: String): Seq[NpArray] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      zf.entries().asScala.toSeq
+        .filter(_.getName.endsWith(".npy"))
+        .sortBy(_.getName)
+        .map { e =>
+          val in = zf.getInputStream(e)
+          val bytes =
+            try in.readAllBytes()
+            finally in.close()
+          val (dims, num, str) = parseNpy(bytes, e.getName)
+          NpArray(e.getName.stripSuffix(".npy"), dims, num, str)
+        }
+    } finally zf.close()
+  }
+
+  /** A single standalone `.npy` file. */
+  def readNpy(path: String): NpArray = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val (dims, num, str) = parseNpy(bytes, path)
+    NpArray(new java.io.File(path).getName.stripSuffix(".npy"),
+      dims, num, str)
+  }
+
+  // ------------------------------------------------------- implementation
+
+  private val Magic = Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte)
+
+  private[graft] def parseNpy(bytes: Array[Byte], what: String)
+      : (Seq[Long], Array[Double], Array[String]) = {
+    require(bytes.length >= 10 && bytes.take(6).sameElements(Magic),
+      s"$what: not an NPY member (bad magic)")
+    val major = bytes(6) & 0xff
+    val headerLen =
+      if (major == 1) (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+      else // v2/v3: 4-byte little-endian header length
+        ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    val headerStart = if (major == 1) 10 else 12
+    val header = new String(bytes, headerStart, headerLen, "ISO-8859-1")
+    val dataStart = headerStart + headerLen
+
+    def field(key: String): String = {
+      val i = header.indexOf(s"'$key'")
+      require(i >= 0, s"$what: npy header missing '$key': $header")
+      header.substring(i + key.length + 2).dropWhile(c => c == ':' || c == ' ')
+    }
+    val descr = field("descr").dropWhile(_ == '\'').takeWhile(_ != '\'')
+    val fortran = field("fortran_order").startsWith("True")
+    val shapeTxt = field("shape").dropWhile(_ != '(').drop(1)
+      .takeWhile(_ != ')')
+    val dims: Seq[Long] = shapeTxt.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty).map(_.toLong)
+    val n = dims.product.max(1L).toInt
+
+    require(!descr.contains("O"),
+      s"$what: object (pickled) arrays are Python-specific — not readable")
+    val le = !descr.startsWith(">")
+    val code = descr.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=')
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+
+    def cToRowMajor[T](flat: Int => T, set: (Int, T) => Unit): Unit = {
+      // transpose a Fortran-order buffer to row-major indexing
+      val rank = dims.size
+      val d = dims.map(_.toInt)
+      var i = 0
+      while (i < n) {
+        // i is the ROW-MAJOR index; find its Fortran (column-major) slot
+        var rem = i
+        var f = 0L
+        var strideF = 1L
+        var k = rank - 1
+        val coord = new Array[Int](rank)
+        while (k >= 0) { coord(k) = (rem % d(k)); rem /= d(k); k -= 1 }
+        k = 0
+        while (k < rank) { f += coord(k) * strideF; strideF *= d(k); k += 1 }
+        set(i, flat(f.toInt))
+        i += 1
+      }
+    }
+
+    if (code.startsWith("S")) {
+      val w = code.drop(1).toInt
+      val out = new Array[String](n)
+      def strAt(j: Int): String = {
+        val off = dataStart + j * w
+        var e = 0
+        while (e < w && bytes(off + e) != 0) e += 1
+        new String(bytes, off, e, "UTF-8")
+      }
+      if (fortran && dims.size > 1) cToRowMajor(strAt, (i, v: String) => out(i) = v)
+      else { var i = 0; while (i < n) { out(i) = strAt(i); i += 1 } }
+      (dims, Array.empty[Double], out)
+    } else {
+      val (size, get): (Int, (ByteBuffer, Int) => Double) = code match {
+        case "f8" => (8, (b, i) => b.getDouble(i * 8))
+        case "f4" => (4, (b, i) => b.getFloat(i * 4).toDouble)
+        case "i8" => (8, (b, i) => b.getLong(i * 8).toDouble)
+        case "i4" => (4, (b, i) => b.getInt(i * 4).toDouble)
+        case "i2" => (2, (b, i) => b.getShort(i * 2).toDouble)
+        case "i1" => (1, (b, i) => b.get(i).toDouble)
+        case "u1" | "b1" => (1, (b, i) => (b.get(i) & 0xff).toDouble)
+        case "u2" => (2, (b, i) => (b.getShort(i * 2) & 0xffff).toDouble)
+        case "u4" => (4, (b, i) => (b.getInt(i * 4) & 0xffffffffL).toDouble)
+        case "u8" => (8, (b, i) => b.getLong(i * 8).toDouble)
+        case c => throw new UnsupportedOperationException(
+          s"$what: npy dtype $descr")
+      }
+      val bb = ByteBuffer.wrap(bytes, dataStart, n * size).slice().order(order)
+      val out = new Array[Double](n)
+      if (fortran && dims.size > 1)
+        cToRowMajor(j => get(bb, j), (i, v: Double) => out(i) = v)
+      else { var i = 0; while (i < n) { out(i) = get(bb, i); i += 1 } }
+      (dims, out, Array.empty[String])
+    }
+  }
+}

@@ -272,6 +272,119 @@ class SourcesSpec extends SparkSpec {
     assert(params("origin") == "v2-fixture" && params("npt") == "11")
   }
 
+  test("NPZ ingest: np.savez-layout archives round-trip — C and Fortran " +
+       "order, both endiannesses, ints/floats/strings, deflated and " +
+       "stored members — and the azav pivot equals the HDF5 twin's") {
+    import graft.sources.Npz
+    val dir = Files.createTempDirectory("npz").toString
+
+    // hand-built .npy members against numpy.lib.format (NEP 1)
+    def npy(descr: String, fortran: Boolean, shape: Seq[Int],
+            payload: Array[Byte]): Array[Byte] = {
+      val shapeTxt = if (shape.size == 1) s"(${shape.head},)"
+        else shape.mkString("(", ", ", ")")
+      var header = s"{'descr': '$descr', 'fortran_order': " +
+        s"${if (fortran) "True" else "False"}, 'shape': $shapeTxt, }"
+      // total header (incl. 10-byte prefix) pads to a multiple of 64
+      // with spaces, newline-terminated
+      val pad = 64 - ((10 + header.length + 1) % 64)
+      header = header + (" " * (if (pad == 64) 0 else pad)) + "\n"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+      out.write(header.length & 0xff); out.write(header.length >> 8)
+      out.write(header.getBytes("ISO-8859-1"))
+      out.write(payload)
+      out.toByteArray
+    }
+    def le(d: Array[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(d.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      d.foreach(bb.putDouble); bb.array()
+    }
+    def be(d: Array[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(d.length * 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      d.foreach(bb.putDouble); bb.array()
+    }
+    val mat = Array.tabulate(3 * 4)(i => i * 1.5 - 2.0) // row-major truth
+    // Fortran buffer of the same logical matrix: element (r,c) at c*3+r
+    val matF = new Array[Double](12)
+    for (r <- 0 until 3; c <- 0 until 4) matF(c * 3 + r) = mat(r * 4 + c)
+    val ints = Array(7L, -3L, 1000003L)
+    val intsB = { val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ints.foreach(bb.putLong); bb.array() }
+    val strs = Array("ab", "xyz", "")
+    val strsB = { val b = new Array[Byte](12)
+      strs.zipWithIndex.foreach { case (s, i) =>
+        System.arraycopy(s.getBytes, 0, b, i * 4, s.length) }; b }
+
+    val zipPath = s"$dir/bundle.npz"
+    val zo = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    def put(name: String, bytes: Array[Byte], store: Boolean): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      if (store) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        e.setCrc(crc.getValue)
+      }
+      zo.putNextEntry(e); zo.write(bytes); zo.closeEntry()
+    }
+    put("mat.npy", npy("<f8", fortran = false, Seq(3, 4), le(mat)),
+      store = false)
+    put("matF.npy", npy("<f8", fortran = true, Seq(3, 4), le(matF)),
+      store = true)
+    put("matBE.npy", npy(">f8", fortran = false, Seq(3, 4), be(mat)),
+      store = false)
+    put("ints.npy", npy("<i8", fortran = false, Seq(3), intsB),
+      store = true)
+    put("names.npy", npy("|S4", fortran = false, Seq(3), strsB),
+      store = false)
+    zo.close()
+
+    val arrays = Npz.read(zipPath).map(a => a.name -> a).toMap
+    assert(arrays("mat").dims == Seq(3L, 4L))
+    assert(arrays("mat").numeric.toSeq == mat.toSeq)
+    assert(arrays("matF").numeric.toSeq == mat.toSeq,
+      "Fortran-order member must transpose to the row-major truth")
+    assert(arrays("matBE").numeric.toSeq == mat.toSeq,
+      "big-endian member must decode identically")
+    assert(arrays("ints").numeric.toSeq == ints.map(_.toDouble).toSeq)
+    assert(arrays("names").strings.toSeq == strs.toSeq)
+
+    // Bundle mapping equals the HDF5 twin's on identical data
+    val tables = Bundle.fromNpz(spark, zipPath)
+    Hdf5Writer.write(s"$dir/twin.h5", Hdf5Writer.Node(datasets = Seq(
+      "mat" -> Hdf5Writer.Doubles(Seq(3, 4), mat))))
+    val (h5Tables, _) = Bundle.fromHdf5(spark, s"$dir/twin.h5")
+    assert(tables("mat").collect().map(_.toSeq).toSet ==
+      h5Tables("mat").collect().map(_.toSeq).toSet,
+      "npz and HDF5 ingest must produce the same long-form frame")
+
+    // azav pivot twin: same curves from either container
+    val delays = Array(0.0, 1e-9, 2e-9)
+    val zo2 = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/azav.npz"))
+    val putter = zo2
+    def put2(name: String, bytes: Array[Byte]): Unit = {
+      putter.putNextEntry(new java.util.zip.ZipEntry(name))
+      putter.write(bytes); putter.closeEntry()
+    }
+    put2("data.npy", npy("<f8", fortran = false, Seq(3, 4), le(mat)))
+    put2("delays.npy", npy("<f8", fortran = false, Seq(3), le(delays)))
+    zo2.close()
+    Hdf5Writer.write(s"$dir/azav.h5", Hdf5Writer.Node(datasets = Seq(
+      "data" -> Hdf5Writer.Doubles(Seq(3, 4), mat),
+      "delays" -> Hdf5Writer.Doubles(Seq(3), delays))))
+    val a = Bundle.azavFromNpz(spark, s"$dir/azav.npz")
+      .collect().map(_.toSeq).toSet
+    val b = Bundle.azavFromHdf5(spark, s"$dir/azav.h5")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "azav pivot must be container-agnostic")
+  }
+
   test("Bundle.fromHdf5: a DataStorage-layout azav bundle becomes frames " +
        "EQUAL to the Parquet-bundle twin, attrs become manifest params") {
     val dir = Files.createTempDirectory("h5bundle").toString
