@@ -417,6 +417,67 @@ object Dedup {
     * codegen in Spark AND recomputable by DuckDB, so the oracle can verify
     * the exact simhash words.
     */
+  /** Blocker-quality evaluation for the candidate-pair families — the
+    * dedup twin of [[Similarity.recallAtK]]: given a blocker's emitted
+    * pairs (MinHash LSH bands, SimHash radius, embedding buckets…),
+    * score them against EXACT n-gram Jaccard at `threshold` in one
+    * report row:
+    * `(n_candidates, n_true_candidates, precision, n_qualifying,
+    * n_found, recall)` — precision over the emitted set, recall against
+    * the exact qualifying pair universe ([[ngramJaccardPairs]], whose
+    * PPJoin blocking is lossless, so the denominator is exact without
+    * an all-pairs join).
+    *
+    * Pairs are orientation-normalized and deduped before scoring; a
+    * pair referencing a shingle-less or unknown document counts as a
+    * candidate (the blocker emitted it) but can never be true. Scale:
+    * exact Jaccard runs as a pair-restricted shingle join (each
+    * candidate expands only to its own shingles — the verification
+    * shape [[ngramJaccardPairs]] itself uses), and the report is two
+    * one-row aggregates cross-joined.
+    */
+  def pairQuality(candidates: DataFrame, docs: DataFrame,
+                  threshold: Double, textCol: String = "text",
+                  idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val norm = candidates.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val sh = distinctShingleRows(docs, textCol, idCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = norm
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_i"))
+    val exactJ = norm
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("_i"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("_na")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("_nb")),
+        Seq("id_b"), "left")
+      .withColumn("_j", when(col("_na").isNotNull && col("_nb").isNotNull,
+        col("_i") / (col("_na") + col("_nb") - col("_i")).cast("double")))
+    val candStats = exactJ.agg(count(lit(1)).as("n_candidates"),
+      coalesce(sum(when(col("_j") >= threshold, 1L).otherwise(0L)), lit(0L))
+        .as("n_true_candidates"))
+    val truthStats = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+      .join(norm.withColumn("_f", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_qualifying"),
+        coalesce(sum(coalesce(col("_f"), lit(0L))), lit(0L)).as("n_found"))
+    candStats.crossJoin(truthStats)
+      .select(col("n_candidates"), col("n_true_candidates"),
+        round(when(col("n_candidates") > 0,
+          col("n_true_candidates").cast("double") / col("n_candidates")),
+          6).as("precision"),
+        col("n_qualifying"), col("n_found"),
+        round(when(col("n_qualifying") > 0,
+          col("n_found").cast("double") / col("n_qualifying")), 6)
+          .as("recall"))
+  }
+
   def simhashValues(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id",
                     verifiable: Boolean = false): DataFrame = {

@@ -684,6 +684,94 @@ object CorpusQueries {
       Some(minhashLshOracle("SELECT doc_id, text FROM documents",
         threshold = 0.5, maxBucketSize = 4096))),
 
+    // Blocker-quality evaluation (Dedup.pairQuality — the dedup twin of
+    // q177's ANN recall harness): the q42 MinHash LSH blocker's emitted
+    // pairs scored against EXACT 3-gram Jaccard at the same threshold —
+    // precision of the emitted set, recall against the exact qualifying
+    // pair universe (the PPJoin blocking is lossless, so the denominator
+    // is exact with no all-pairs join). The one-row report is how a
+    // pipeline tunes bands/rows before trusting the blocker at corpus
+    // scale. The oracle replays the signature bands, the star cap, the
+    // estimate threshold, the pair-restricted exact Jaccard, and both
+    // ratios.
+    QueryDef("q180_blocker_quality",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.pairQuality(
+          Dedup.minhashLshPairs(docs, nHashes = 32, nBands = 8,
+            threshold = 0.5, verifiable = true),
+          docs, threshold = 0.5)
+      },
+      Some {
+        s"""WITH ${minhashSigBandsCtes("SELECT doc_id, text FROM documents")},
+          |bstats AS (SELECT bk, count(*) AS bsz, min(doc_id) AS bmin
+          |           FROM bands GROUP BY bk),
+          |cpairs AS (
+          |  SELECT DISTINCT id_a, id_b FROM (
+          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+          |    JOIN bstats st ON st.bk = a.bk AND st.bsz <= 4096
+          |    UNION ALL
+          |    SELECT st.bmin AS id_a, b.doc_id AS id_b
+          |    FROM bands b JOIN bstats st
+          |      ON st.bk = b.bk AND st.bsz > 4096 AND st.bmin < b.doc_id)),
+          |cand AS (
+          |  SELECT id_a, id_b FROM cpairs
+          |  JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+          |  WHERE ($minhashAgreeSql) / 32.0 >= 0.5),
+          |toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, s FROM (
+          |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+          |    FROM (SELECT doc_id, t,
+          |            unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+          |          FROM toks))),
+          |sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |pint AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS inter
+          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          |  GROUP BY 1, 2),
+          |cj AS (
+          |  SELECT c.id_a, c.id_b,
+          |    coalesce(pint.inter, 0)
+          |      / (sa.n_sh + sb.n_sh - coalesce(pint.inter, 0))::DOUBLE AS j
+          |  FROM cand c
+          |  LEFT JOIN pint ON pint.id_a = c.id_a AND pint.id_b = c.id_b
+          |  JOIN sized sa ON c.id_a = sa.doc_id
+          |  JOIN sized sb ON c.id_b = sb.doc_id),
+          |cstats AS (
+          |  SELECT count(*)::BIGINT AS n_candidates,
+          |    coalesce(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 0)::BIGINT
+          |      AS n_true_candidates
+          |  FROM cj),
+          |tpairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |truth AS (
+          |  SELECT id_a, id_b
+          |  FROM tpairs JOIN sized sa ON id_a = sa.doc_id
+          |              JOIN sized sb ON id_b = sb.doc_id
+          |  WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5),
+          |tstats AS (
+          |  SELECT count(*)::BIGINT AS n_qualifying,
+          |    coalesce(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END),
+          |             0)::BIGINT AS n_found
+          |  FROM truth t LEFT JOIN cand c
+          |    ON c.id_a = t.id_a AND c.id_b = t.id_b)
+          |SELECT n_candidates, n_true_candidates,
+          |  round(CASE WHEN n_candidates > 0
+          |    THEN n_true_candidates::DOUBLE / n_candidates END, 6)
+          |    AS precision,
+          |  n_qualifying, n_found,
+          |  round(CASE WHEN n_qualifying > 0
+          |    THEN n_found::DOUBLE / n_qualifying END, 6) AS recall
+          |FROM cstats, tstats""".stripMargin
+      }),
+
     // The hot-bucket star cap, oracle-EXERCISED: a third of the corpus is
     // rewritten to one boilerplate page (the duplicate-heavy crawl shape),
     // so with maxBucketSize = 32 every band bucket the clones share is

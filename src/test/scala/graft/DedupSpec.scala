@@ -275,4 +275,60 @@ class DedupSpec extends SparkSpec {
     assert(emb == (1L until 40L).map(b => (0L, b)).toSet,
       s"embedding star drifted: $emb")
   }
+
+  test("pairQuality discriminates: false candidates cost precision, " +
+       "missed qualifying pairs cost recall, truth-as-candidates scores " +
+       "1.0/1.0, orientation and duplicates normalize") {
+    import graft.operators.Dedup
+    // Jaccard is controlled via shared 3-gram runs:
+    //  d1/d2: near-identical (J well above 0.5)
+    //  d3/d4: roughly half-overlapping word runs (J ~ 0.3-0.45)
+    //  d5/d6: disjoint (J = 0)
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$common iota kappa"),
+      (2L, s"$common iota lambda"),
+      (3L, s"$common one two three four five six seven eight nine ten"),
+      (4L, s"$common red blue green yellow purple orange pink brown gray black"),
+      (5L, "completely different words in this document entirely"),
+      (6L, "nothing shared with anything else at all here truly")
+    ).toDF("doc_id", "text")
+    val truth = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 2L)),
+      s"fixture must have exactly one qualifying pair, got $truth")
+    // candidates: the true pair stated BACKWARD and twice (must
+    // normalize to one), one borderline false pair, one disjoint false
+    // pair, one self pair (dropped)
+    val cands = Seq((2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.pairQuality(cands, docs, threshold = 0.5).collect()(0)
+    assert(r.getAs[Long]("n_candidates") == 3L, s"normalize failed: $r")
+    assert(r.getAs[Long]("n_true_candidates") == 1L)
+    assert(r.getAs[Double]("precision") ==
+      math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getAs[Long]("n_qualifying") == 1L &&
+      r.getAs[Long]("n_found") == 1L && r.getAs[Double]("recall") == 1.0)
+    // a blocker that MISSES the qualifying pair scores recall 0
+    val miss = Dedup.pairQuality(
+      Seq((3L, 4L)).toDF("id_a", "id_b"), docs, threshold = 0.5)
+      .collect()(0)
+    assert(miss.getAs[Long]("n_found") == 0L &&
+      miss.getAs[Double]("recall") == 0.0 &&
+      miss.getAs[Double]("precision") == 0.0)
+    // the exact pair set evaluated against itself is perfect
+    val self = Dedup.pairQuality(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select("id_a", "id_b"), docs, threshold = 0.5).collect()(0)
+    assert(self.getAs[Double]("precision") == 1.0 &&
+      self.getAs[Double]("recall") == 1.0)
+    // a candidate referencing an UNKNOWN doc counts (emitted) but is
+    // never true — and cannot crash the sizes join
+    val unk = Dedup.pairQuality(
+      Seq((1L, 99L)).toDF("id_a", "id_b"), docs, threshold = 0.5)
+      .collect()(0)
+    assert(unk.getAs[Long]("n_candidates") == 1L &&
+      unk.getAs[Long]("n_true_candidates") == 0L)
+  }
 }
