@@ -157,14 +157,23 @@ object Bundle {
       val key =
         if (a.path == "/") a.name
         else s"${a.path.stripPrefix("/")}@${a.name}"
+      // every element rendered (rank-1 numeric attrs are common in
+      // DataStorage bundles), comma-joined like string attributes,
+      // whole numbers formatted as integers per element
       val v = a.string.getOrElse {
-        val d = a.numeric.head
-        if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
-        else d.toString
+        a.numeric.map { d =>
+          if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+          else d.toString
+        }.mkString(",")
       }
       key -> v
     }.toMap
-    (tables, params)
+    // a diamond hard link ingests its object once; the other paths are
+    // recorded as alias parameters rather than duplicate tables
+    val aliasParams = f.aliases.map { case (alias, canonical) =>
+      s"alias:${alias.stripPrefix("/")}" -> canonical.stripPrefix("/")
+    }
+    (tables, params ++ aliasParams)
   }
 
   /** The array → long-form-table mapping shared by the HDF5 and npz
@@ -260,6 +269,226 @@ object Bundle {
         err.map(_(i)).getOrElse(0.0))
     }
     rows.toDF("image_idx", "delay", "q_bin", "i", "err")
+  }
+
+  /** Write-back export — the inverse of [[fromHdf5]], making the trx
+    * interop two-way: engine tables leave as an HDF5 container a user's
+    * kept trx-side tooling (plots, scripts reading `datastorage` files:
+    * trx/azav.py:398-408,457) can open. Tables must carry the long-form
+    * shapes [[fromHdf5]] produces (`idx/value`, `row/col/value`,
+    * `i0..iN/value`); slashes in table names become nested groups;
+    * params become attributes (`name` at the root, `path@name`
+    * elsewhere), written typed when the text parses back losslessly as
+    * integer/double and as variable-length strings otherwise (h5py's own
+    * default for `str`).
+    *
+    * Same honest scale boundary as the reader: an HDF5 file is a
+    * single-node artifact, so each table is collected driver-side — the
+    * right cost model for a one-time export of reduced (curve-grain)
+    * results, never raw 100 TB inputs; the writer refuses nothing by
+    * size but the container itself is bounded by [[Hdf5.MaxFileBytes]]
+    * on re-read.
+    */
+  def toHdf5(path: String, tables: Map[String, DataFrame],
+             params: Map[String, String] = Map.empty): Unit = {
+    val root = buildNode(splitTree(tables), params.toSeq)
+    Hdf5Writer.write(path, root)
+  }
+
+  /** Typed attribute value: integers and doubles that round-trip
+    * losslessly go back as numbers, everything else as a vlen string.
+    */
+  private def attrValue(v: String): Any =
+    v.toLongOption.filter(_.toString == v)
+      .orElse[Any](v.toDoubleOption.filter(_.toString == v))
+      .getOrElse(Hdf5Writer.VStr(v))
+
+  private final case class Tree(
+      datasets: Map[String, DataFrame] = Map.empty,
+      children: Map[String, Tree] = Map.empty)
+
+  private def splitTree(tables: Map[String, DataFrame]): Tree =
+    tables.foldLeft(Tree()) { case (t, (name, df)) =>
+      def insert(node: Tree, parts: List[String]): Tree = parts match {
+        case leaf :: Nil =>
+          node.copy(datasets = node.datasets + (leaf -> df))
+        case grp :: rest =>
+          val child = node.children.getOrElse(grp, Tree())
+          node.copy(children =
+            node.children + (grp -> insert(child, rest)))
+        case Nil => node
+      }
+      insert(t, name.stripPrefix("/").split("/").toList)
+    }
+
+  private def buildNode(tree: Tree,
+                        params: Seq[(String, String)]): Hdf5Writer.Node = {
+    // attrs owned here: no '@' → this group; 'dsName@attr' for a local
+    // dataset; 'child/...' routes down
+    val (here, below) = params.partition(!_._1.contains("/"))
+    val (dsOwned, groupOwned) = here.partition { case (k, _) =>
+      k.contains("@") && tree.datasets.contains(k.takeWhile(_ != '@')) }
+    val dsAttrs = dsOwned.groupBy(_._1.takeWhile(_ != '@')).map {
+      case (ds, kvs) => ds -> kvs.map { case (k, v) =>
+        k.drop(ds.length + 1) -> attrValue(v) }
+    }
+    val groups = tree.children.toSeq.sortBy(_._1).map { case (name, sub) =>
+      val subParams = below.collect {
+        case (k, v) if k.startsWith(s"$name/") => k.drop(name.length + 1) -> v
+      }
+      name -> buildNode(sub, subParams)
+    }
+    Hdf5Writer.Node(
+      datasets = tree.datasets.toSeq.sortBy(_._1).map { case (n, df) =>
+        n -> datasetValue(n, df) },
+      attrs = groupOwned.map { case (k, v) => k -> attrValue(v) },
+      groups = groups,
+      dsAttrs = dsAttrs)
+  }
+
+  /** Pivot a long-form table back to a dense array (driver-side; the
+    * export cost model). Requires a complete grid — every (index)
+    * combination present exactly once.
+    */
+  private def datasetValue(name: String, df: DataFrame): Hdf5Writer.Value = {
+    val cols = df.columns.toSeq
+    val idxCols = cols.filter(_ != "value")
+    require(cols.contains("value") && idxCols.nonEmpty &&
+      (idxCols == Seq("idx") || idxCols == Seq("row", "col") ||
+        idxCols == idxCols.indices.map(i => s"i$i")),
+      s"table $name must be long-form (idx/value, row+col/value, or " +
+        s"i0..iN/value) to export; has ${cols.mkString(", ")}")
+    val rows = df.select((idxCols :+ "value").map(df.col): _*).collect()
+    val dims = idxCols.indices.map(d =>
+      rows.iterator.map(_.getLong(d)).max.toInt + 1)
+    val total = dims.map(_.toLong).product
+    require(rows.length.toLong == total,
+      s"table $name is sparse (${rows.length} rows for a " +
+        s"${dims.mkString("x")} grid) — fill the grid before exporting")
+    def flat(r: org.apache.spark.sql.Row): Int = {
+      var o = 0L
+      idxCols.indices.foreach(d => o = o * dims(d) + r.getLong(d))
+      o.toInt
+    }
+    val isString =
+      df.schema("value").dataType == org.apache.spark.sql.types.StringType
+    if (isString) {
+      val out = new Array[String](total.toInt)
+      rows.foreach(r => out(flat(r)) = r.getString(idxCols.size))
+      Hdf5Writer.VStrings(out)
+    } else {
+      val out = new Array[Double](total.toInt)
+      val vAt = idxCols.size
+      rows.foreach { r =>
+        out(flat(r)) = r.get(vAt) match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case f: Float => f.toDouble
+          case x => x.toString.toDouble
+        }
+      }
+      Hdf5Writer.Doubles(dims, out,
+        chunked = if (total >= (1L << 16)) Some(chunkDims(dims)) else None)
+    }
+  }
+
+  /** Chunk grid for large exported arrays: last axis whole (row-major
+    * locality), leading axes split toward ~64k elements per chunk —
+    * h5py-like defaults, shuffle+deflate applied by the writer.
+    */
+  private def chunkDims(dims: Seq[Int]): Seq[Int] = {
+    val target = 1 << 16
+    val lastAxis = dims.last.min(target)
+    var budget = (target / lastAxis.max(1)).max(1)
+    val leading = dims.dropRight(1).reverse.map { d =>
+      val c = d.min(budget); budget = (budget / c.max(1)).max(1); c
+    }.reverse
+    leading :+ lastAxis
+  }
+
+  /** [[toHdf5]]'s npz twin (`java.util.zip` container, NPY v1 members):
+    * numeric tables as `<f8` dense arrays, string tables as `|S` fixed
+    * width (npz has no non-pickled vlen form). npz carries no
+    * attributes, so params don't ride — pair with [[writeManifest]] if
+    * they must travel.
+    */
+  def toNpz(path: String, tables: Map[String, DataFrame]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(Paths.get(path)))
+    try {
+      tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+        val (dims, payload) = datasetValue(name, df) match {
+          case Hdf5Writer.Doubles(d, a, _) =>
+            val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            a.foreach(bb.putDouble)
+            (d, ("<f8", bb.array()))
+          case Hdf5Writer.VStrings(a) =>
+            val w = a.map(_.getBytes("UTF-8").length).max.max(1)
+            val out = new Array[Byte](a.length * w)
+            a.zipWithIndex.foreach { case (s, i) =>
+              val bs = s.getBytes("UTF-8")
+              System.arraycopy(bs, 0, out, i * w, bs.length) }
+            (Seq(a.length), (s"|S$w", out))
+          case other => throw new IllegalStateException(s"$other")
+        }
+        val (descr, data) = payload
+        val shape = dims.map(_.toString).mkString("(", ", ",
+          if (dims.size == 1) ",)" else ")")
+        var header = s"{'descr': '$descr', 'fortran_order': False, " +
+          s"'shape': $shape, }"
+        // total header (magic+version+len+text) padded to 64, \n-ended
+        val pad = 64 - ((10 + header.length + 1) % 64)
+        header = header + " " * (if (pad == 64) 0 else pad) + "\n"
+        val entry = new java.util.zip.ZipEntry(s"${name.replace('/', '_')}.npy")
+        zos.putNextEntry(entry)
+        zos.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+        zos.write(header.length & 0xff)
+        zos.write((header.length >> 8) & 0xff)
+        zos.write(header.getBytes("ISO-8859-1"))
+        zos.write(data)
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
+
+  /** The azav-shaped export: the engine's canonical curve table
+    * `(image_idx, delay, q_bin, i[, err])` leaves as the exact array
+    * layout trx's `datastorage` bundles carry (trx/azav.py:398-408):
+    * `data[nimg][nq]`, optional `err` alongside, the per-image `delays`,
+    * and an optional `q` axis — directly re-openable by trx-side
+    * tooling AND by [[azavFromHdf5]].
+    */
+  def azavToHdf5(path: String, curves: DataFrame,
+                 qAxis: Option[Array[Double]] = None,
+                 params: Map[String, String] = Map.empty): Unit = {
+    val cols = curves.columns.toSet
+    require(Set("image_idx", "delay", "q_bin", "i").subsetOf(cols),
+      s"curve table needs image_idx/delay/q_bin/i; has ${cols.mkString(", ")}")
+    val hasErr = cols.contains("err")
+    val rows = curves.select(
+      (Seq("image_idx", "q_bin", "delay", "i") ++
+        (if (hasErr) Seq("err") else Nil)).map(curves.col): _*).collect()
+    val nImg = rows.iterator.map(_.getLong(0)).max.toInt + 1
+    val nQ = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    require(rows.length == nImg * nQ,
+      s"curve table is sparse (${rows.length} rows for $nImg x $nQ)")
+    val data = new Array[Double](nImg * nQ)
+    val err = if (hasErr) Some(new Array[Double](nImg * nQ)) else None
+    val delays = new Array[Double](nImg)
+    rows.foreach { r =>
+      val at = r.getLong(0).toInt * nQ + r.getLong(1).toInt
+      data(at) = r.getDouble(3)
+      err.foreach(_(at) = r.getDouble(4))
+      delays(r.getLong(0).toInt) = r.getDouble(2)
+    }
+    val ds = Seq("data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data)) ++
+      err.map(e => "err" -> Hdf5Writer.Doubles(Seq(nImg, nQ), e)) ++
+      qAxis.map(q => "q" -> Hdf5Writer.Doubles(Seq(q.length), q)) ++
+      Seq("delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))
+    Hdf5Writer.write(path, Hdf5Writer.Node(datasets = ds,
+      attrs = params.toSeq.map { case (k, v) => k -> attrValue(v) }))
   }
 
   /** T2 — parameter-hash cache invalidation (trx/azav.py:303-343): a saved

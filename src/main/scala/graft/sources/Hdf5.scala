@@ -24,10 +24,13 @@ import java.nio.file.{Files, Paths}
   *    (filter 3) chunks carry their checksum in-band and are accepted
   *    (stripped, not verified);
   *  - datatypes: fixed-point and IEEE-float scalars of 1/2/4/8 bytes in
-  *    either endianness, and FIXED-length strings. Variable-length
-  *    strings live in the global heap and are refused loudly (the
-  *    reference's bundles store numeric arrays; its few strings are
-  *    attributes or fixed-width).
+  *    either endianness, FIXED-length strings, and VARIABLE-length
+  *    strings (datatype class 9, string variant) resolved through the
+  *    global heap (`GCOL` collections) — the shape h5py writes for
+  *    Python `str` datasets and attributes by default, which is exactly
+  *    what a real trx archive's saved log table carries
+  *    (trx/azav.py:353,455). Variable-length SEQUENCES (non-string
+  *    class 9) are refused loudly.
   *
   * Scale posture, stated honestly: an HDF5 file is a SINGLE-NODE
   * artifact — there is no row-group parallelism to exploit, and this
@@ -52,7 +55,12 @@ object Hdf5 {
   final case class Attr(path: String, name: String,
                         numeric: Array[Double], string: Option[String])
 
-  final case class File(datasets: Seq[Dataset], attrs: Seq[Attr]) {
+  /** `aliases` maps a hard-link alias path to the canonical (first-seen)
+    * path of the same on-disk object — a diamond-linked dataset decodes
+    * once and aliases elsewhere instead of ingesting twice.
+    */
+  final case class File(datasets: Seq[Dataset], attrs: Seq[Attr],
+                        aliases: Map[String, String] = Map.empty) {
     /** Lookup by path, leading-slash agnostic (`data` == `/data`). */
     def dataset(path: String): Dataset = {
       val want = path.stripPrefix("/")
@@ -62,16 +70,31 @@ object Hdf5 {
     }
   }
 
+  /** This reader maps the whole file into one JVM byte array, so files
+    * past `Int.MaxValue` bytes cannot be read — checked loudly up front
+    * (see [[read]]) instead of surfacing as an opaque JVM error.
+    */
+  val MaxFileBytes: Long = Int.MaxValue.toLong
+
   /** Read every dataset and attribute reachable from the root group. */
   def read(path: String): File = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val p = Paths.get(path)
+    val size = Files.size(p)
+    if (size > MaxFileBytes)
+      throw new UnsupportedOperationException(
+        s"$path is $size bytes, past this reader's ${MaxFileBytes} byte " +
+          "(2 GiB) bound — split the archive into smaller bundles (e.g. " +
+          "with h5repack / h5copy per group) and ingest each part")
+    val bytes = Files.readAllBytes(p)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val r = new Reader(buf)
     val root = r.superblockRootHeader()
     val ds = Seq.newBuilder[Dataset]
     val at = Seq.newBuilder[Attr]
-    r.walk(root, "", ds, at, Set.empty)
-    File(ds.result(), at.result())
+    val aliases = Map.newBuilder[String, String]
+    r.walk(root, "", ds, at,
+      scala.collection.mutable.Map.empty[Long, String], aliases)
+    File(ds.result(), at.result(), aliases.result())
   }
 
   // ======================================================== implementation
@@ -139,7 +162,10 @@ object Hdf5 {
         require(u8(p + 4) == 2, "OHDR version")
         val flags = u8(p + 5)
         var q = p + 6
-        if ((flags & 0x20) != 0) q += 8 // access/mod/change/birth times
+        // four 4-byte fields: access/modification/change/birth times
+        // (libhdf5 tracks object times by default, so real libver='latest'
+        // files set this bit — 16 bytes, not 8)
+        if ((flags & 0x20) != 0) q += 16
         if ((flags & 0x10) != 0) q += 4 // max compact / min dense
         val sizeLen = 1 << (flags & 0x3)
         val chunk0 = sizeLen match {
@@ -210,13 +236,24 @@ object Hdf5 {
     // ------------------------------------------------------------ walking
 
     /** Recursive group walk: datasets get decoded, subgroups recurse,
-      * attributes collect at every node. Cycles guarded by header addr.
+      * attributes collect at every node. The addr→first-path memo serves
+      * double duty: it guards cycles AND diamond shapes — two hard links
+      * to the SAME object (dataset or group) decode once at the
+      * first-seen path and record an alias at every later path, instead
+      * of ingesting the object twice.
       */
     def walk(headerAddr: Long, prefix: String,
              ds: scala.collection.mutable.Builder[Dataset, Seq[Dataset]],
              at: scala.collection.mutable.Builder[Attr, Seq[Attr]],
-             seen: Set[Long]): Unit = {
-      if (seen.contains(headerAddr)) return
+             memo: scala.collection.mutable.Map[Long, String],
+             aliases: scala.collection.mutable.Builder[(String, String), Map[String, String]]): Unit = {
+      memo.get(headerAddr) match {
+        case Some(first) =>
+          aliases += ((if (prefix.isEmpty) "/" else prefix,
+            if (first.isEmpty) "/" else first))
+          return
+        case None => memo(headerAddr) = prefix
+      }
       val msgs = messages(headerAddr)
       msgs.filter(_._1 == 0x000C).foreach { case (_, o, sz) =>
         at += readAttr(o, sz, if (prefix.isEmpty) "/" else prefix)
@@ -247,7 +284,7 @@ object Hdf5 {
             s"dense (fractal-heap) group links at $prefix — not supported")
       }
       links.result().foreach { case (name, addr) =>
-        walk(addr, s"$prefix/$name", ds, at, seen + headerAddr)
+        walk(addr, s"$prefix/$name", ds, at, memo, aliases)
       }
     }
 
@@ -311,16 +348,83 @@ object Hdf5 {
 
     // ----------------------------------------------------------- datatypes
 
-    /** (class, size, littleEndian, signed) from a datatype message. */
+    /** (class, size, littleEndian, signed) from a datatype message.
+      * `bits0` keeps the raw first bit-field byte: for class 9
+      * (variable-length) its low nibble distinguishes string (1) from
+      * sequence (0).
+      */
     private final case class DType(cls: Int, size: Int, le: Boolean,
-                                   signed: Boolean)
+                                   signed: Boolean, bits0: Int) {
+      def isVlenString: Boolean = cls == 9 && (bits0 & 0x0f) == 1
+    }
 
     private def readDType(o: Int): DType = {
       val clsVer = u8(o)
       val cls = clsVer & 0x0f
       val b0 = u8(o + 1)
       val size = u32(o + 4).toInt
-      DType(cls, size, le = (b0 & 1) == 0, signed = (b0 & 0x08) != 0)
+      DType(cls, size, le = (b0 & 1) == 0, signed = (b0 & 0x08) != 0,
+        bits0 = b0)
+    }
+
+    // --------------------------------------------------------- global heap
+
+    /** Parsed `GCOL` collections, keyed by collection address: heap
+      * object index → payload bytes. Parsed lazily once per collection —
+      * every vlen element of every dataset in the same collection shares
+      * the parse.
+      */
+    private val gcolCache =
+      scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+
+    private def globalHeapObjects(addr: Long): Map[Int, Array[Byte]] =
+      gcolCache.getOrElseUpdate(addr, {
+        val p = addr.toInt
+        require(bytesAt(p, 4).sameElements("GCOL".getBytes),
+          s"bad global heap collection signature at $addr")
+        require(u8(p + 4) == 1, s"global heap version ${u8(p + 4)}")
+        val collSize = u64(p + 8) // includes the 16-byte header
+        val limit = p + collSize.toInt
+        val out = Map.newBuilder[Int, Array[Byte]]
+        var o = p + 16
+        var done = false
+        while (!done && o + 16 <= limit) {
+          val idx = u16(o)
+          val objSize = u64(o + 8)
+          if (idx == 0) done = true // free-space object spans the rest
+          else {
+            out += ((idx, bytesAt(o + 16, objSize.toInt)))
+            // object data is padded to an 8-byte multiple
+            o += 16 + ((objSize + 7) & ~7L).toInt
+          }
+        }
+        out.result()
+      })
+
+    /** Variable-length string elements: each is a 16-byte heap ID —
+      * length (4), `GCOL` collection address (8), object index (4).
+      */
+    private def decodeVlenStrings(raw: Array[Byte], what: String): Array[String] = {
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val n = raw.length / 16
+      val out = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt(i * 16) & 0xffffffffL
+        val coll = bb.getLong(i * 16 + 4)
+        val idx = bb.getInt(i * 16 + 12)
+        out(i) =
+          if (len == 0 || coll == 0L || undef(coll)) ""
+          else {
+            val obj = globalHeapObjects(coll).getOrElse(idx,
+              throw new IllegalStateException(
+                s"$what: vlen string points at missing heap object " +
+                  s"$idx in collection at $coll"))
+            new String(obj, 0, math.min(len.toInt, obj.length), "UTF-8")
+          }
+        i += 1
+      }
+      out
     }
 
     private def decodeNumeric(raw: Array[Byte], dt: DType): Array[Double] = {
@@ -410,6 +514,11 @@ object Hdf5 {
       val raw = bytesAt(q, n * dt.size)
       if (dt.cls == 3) Attr(path, name, Array.empty,
         Some(decodeStrings(raw, dt).mkString(",")))
+      else if (dt.isVlenString) Attr(path, name, Array.empty,
+        Some(decodeVlenStrings(raw, s"$path@$name").mkString(",")))
+      else if (dt.cls == 9) throw new UnsupportedOperationException(
+        s"$path@$name: variable-length SEQUENCE attribute is not " +
+          "supported (vlen strings are)")
       else Attr(path, name, decodeNumeric(raw, dt), None)
     }
 
@@ -420,9 +529,10 @@ object Hdf5 {
       val (_, dtO, _) = msgs.find(_._1 == 0x0003).getOrElse(
         throw new IllegalStateException(s"$path: dataset without datatype"))
       val dt = readDType(dtO)
-      if (dt.cls == 9)
+      if (dt.cls == 9 && !dt.isVlenString)
         throw new UnsupportedOperationException(
-          s"$path: variable-length data (global heap) is not supported")
+          s"$path: variable-length SEQUENCE data is not supported " +
+            "(vlen strings are)")
       val (_, dsO, _) = msgs.find(_._1 == 0x0001).getOrElse(
         throw new IllegalStateException(s"$path: dataset without dataspace"))
       val dims = readDims(dsO)
@@ -451,6 +561,8 @@ object Hdf5 {
           s"$path: layout class $c")
       }
       if (dt.cls == 3) Dataset(path, dims, Array.empty, decodeStrings(raw, dt))
+      else if (dt.isVlenString)
+        Dataset(path, dims, Array.empty, decodeVlenStrings(raw, path))
       else Dataset(path, dims, decodeNumeric(raw, dt), Array.empty)
     }
 

@@ -1,21 +1,29 @@
-package graft
+package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import scala.collection.mutable.ArrayBuffer
 
-/** Test-scope HDF5 WRITER — builds DataStorage-layout fixtures for the
-  * [[graft.sources.Hdf5]] reader (no h5py and no Java HDF5 library exist
-  * in this offline environment, so the fixtures are written against the
-  * same public file-format spec the reader implements). Two structural
-  * modes, covering both of the reader's code paths:
+/** Pure-Scala HDF5 WRITER — the write-back half of the trx archive
+  * interop: [[Bundle.toHdf5]] exports engine tables into the same
+  * DataStorage container the reference's own tooling reads
+  * (trx/azav.py:398-408,457 persists data/err/q/log via `datastorage`),
+  * so a user keeping trx-side scripts can consume engine output. Written
+  * against the same public HDF5 File Format Specification v3.0 the
+  * [[Hdf5]] reader implements (no native library, no external
+  * dependency). Two structural modes, covering both reader code paths:
   *  - default: superblock v0, v1 object headers, old-style symbol-table
   *    groups — the bytes h5py's defaults produce structurally;
   *  - `v2 = true`: superblock v3, `OHDR` v2 object headers, compact
-  *    link-message groups — the "libver latest" shape.
+  *    link-message groups — the "libver latest" shape
+  *    (`v2Times = true` additionally sets the object-time flag with its
+  *    four 4-byte timestamp fields, as libhdf5 does by default).
   *
-  * Supports: contiguous float64/int64/fixed-string datasets of any rank,
-  * chunked float64 datasets with the shuffle+deflate pipeline, scalar
-  * double/string attributes, and nested subgroups.
+  * Supports: contiguous float64/int64/fixed-string/variable-length-string
+  * datasets of any rank, chunked float64 datasets with the
+  * shuffle+deflate pipeline, scalar double/string/vlen-string
+  * attributes, hard-link aliases to earlier-written datasets, and nested
+  * subgroups. Variable-length strings go through a `GCOL` global-heap
+  * collection exactly as h5py writes Python `str` data.
   */
 object Hdf5Writer {
 
@@ -24,22 +32,37 @@ object Hdf5Writer {
                            chunked: Option[Seq[Int]] = None) extends Value
   final case class Longs(dims: Seq[Int], data: Array[Long]) extends Value
   final case class Strings(fixedLen: Int, data: Array[String]) extends Value
+  /** Variable-length strings (global heap), h5py's default for `str`. */
+  final case class VStrings(data: Array[String]) extends Value
+  /** Hard link to a dataset already written EARLIER in traversal order,
+    * named by its absolute slash path (e.g. `/grp/data`).
+    */
+  final case class Alias(target: String) extends Value
 
+  /** Marks an attribute value as a variable-length string. */
+  final case class VStr(s: String)
+
+  /** `dsAttrs` attaches attributes to this node's datasets by name —
+    * the shape DataStorage uses for per-array metadata.
+    */
   final case class Node(datasets: Seq[(String, Value)] = Seq.empty,
                         attrs: Seq[(String, Any)] = Seq.empty,
-                        groups: Seq[(String, Node)] = Seq.empty)
+                        groups: Seq[(String, Node)] = Seq.empty,
+                        dsAttrs: Map[String, Seq[(String, Any)]] = Map.empty)
 
   /** `v2 = true` emits the "libver latest" structural shape: superblock
     * v3, `OHDR` v2 object headers, and COMPACT link-message groups (no
-    * symbol tables) — the reader's other code path.
+    * symbol tables) — the reader's other code path. `v2Times` adds the
+    * access/modification/change/birth time fields (flag 0x20, 16 bytes).
     */
-  def write(path: String, root: Node, v2: Boolean = false): Unit = {
-    val b = new Builder(v2)
-    val rootAddr = b.writeGroup(root)
+  def write(path: String, root: Node, v2: Boolean = false,
+            v2Times: Boolean = false): Unit = {
+    val b = new Builder(v2, v2Times)
+    val rootAddr = b.writeGroup(root, "")
     b.finish(path, rootAddr)
   }
 
-  private final class Builder(v2: Boolean) {
+  private final class Builder(v2: Boolean, v2Times: Boolean) {
     // v0: superblock (56 bytes) + root symbol-table entry (40);
     // v3: 48-byte superblock (sig..root addr + checksum)
     private val buf = ArrayBuffer.fill[Byte](if (v2) 48 else 96)(0)
@@ -114,6 +137,55 @@ object Hdf5Writer {
       bb.putInt(len)
       bb.array()
     }
+    /** Variable-length string type: class 9, type bits = string, 16-byte
+      * heap-ID elements, base type a 1-byte string (h5py's shape).
+      */
+    private val dtVlenString: Array[Byte] = {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x19.toByte) // v1, class 9 (variable-length)
+      bb.put(0x01.toByte).put(0.toByte).put(0.toByte) // type=string
+      bb.putInt(16)       // element size: 4-byte length + 12-byte heap ID
+      bb.put(dtString(1)) // base type
+      bb.array()
+    }
+
+    /** One `GCOL` global-heap collection holding every string, in order;
+      * returns the collection address plus per-string (index, byte
+      * length). Terminated by a 16-byte free-space object (index 0).
+      */
+    private def writeGcol(strings: Seq[Array[Byte]]): (Long, Seq[(Int, Int)]) = {
+      pad8()
+      val addr = pos
+      def p8(n: Int) = (n + 7) & ~7
+      val collSize = 16L + strings.map(s => 16 + p8(s.length)).sum + 16
+      raw("GCOL".getBytes)
+      u8(1); u8(0); u8(0); u8(0) // version, reserved
+      u64(collSize)
+      val ids = strings.zipWithIndex.map { case (s, i) =>
+        u16(i + 1); u16(1); u32(0L) // index, refcount, reserved
+        u64(s.length.toLong)
+        raw(s)
+        (s.length until p8(s.length)).foreach(_ => u8(0))
+        (i + 1, s.length)
+      }
+      // free-space terminator: index 0, size = the remaining bytes
+      u16(0); u16(0); u32(0L); u64(16L)
+      (addr, ids)
+    }
+
+    /** The 16-byte heap-ID payload for vlen strings: write the GCOL
+      * first, then one (length, collection address, index) per element.
+      */
+    private def vlenPayload(data: Array[String]): Array[Byte] = {
+      val bytes = data.toSeq.map(_.getBytes("UTF-8"))
+      val (coll, ids) = writeGcol(bytes)
+      val bb = ByteBuffer.allocate(data.length * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      ids.foreach { case (idx, len) =>
+        bb.putInt(len); bb.putLong(coll); bb.putInt(idx)
+      }
+      bb.array()
+    }
 
     private def attrBody(name: String, value: Any): Array[Byte] = {
       val (dt, ds, data) = value match {
@@ -127,6 +199,10 @@ object Hdf5Writer {
           val bs = s.getBytes("UTF-8")
           (dtString(bs.length + 1), scalarDataspace,
             stringsBytes(Array(s), bs.length + 1))
+        case VStr(s) =>
+          (dtVlenString, scalarDataspace, vlenPayload(Array(s)))
+        case a: Array[Double] => // rank-1 numeric attr (common in bundles)
+          (dtFloat64, dataspace(Seq(a.length)), doublesBytes(a))
         case other => throw new IllegalArgumentException(
           s"attr type ${other.getClass}")
       }
@@ -180,7 +256,10 @@ object Hdf5Writer {
       val addr = pos
       raw("OHDR".getBytes)
       u8(2)                      // version
-      u8(0x02)                   // flags: 4-byte size of chunk 0
+      // flags: 4-byte size of chunk 0, optionally object times tracked
+      // (bit 5 — libhdf5's default, four 4-byte timestamp fields)
+      u8(if (v2Times) 0x22 else 0x02)
+      if (v2Times) { u32(1L); u32(2L); u32(3L); u32(4L) }
       val chunk0 = msgs.map { case (_, b) => 4 + b.length }.sum
       u32(chunk0.toLong)
       msgs.foreach { case (t, body) =>
@@ -200,9 +279,14 @@ object Hdf5Writer {
         case Longs(d, a) => (dtInt64, d, longsBytes(a), None)
         case Strings(len, a) =>
           (dtString(len), Seq(a.length), stringsBytes(a, len), None)
+        case VStrings(a) =>
+          (dtVlenString, Seq(a.length), vlenPayload(a), None)
+        case Alias(t) => throw new IllegalStateException(
+          s"Alias($t) resolves in writeGroup, not writeDataset")
       }
       val elemSize = v match {
         case Strings(len, _) => len
+        case VStrings(_) => 16
         case _ => 8
       }
       val layout: Array[Byte] = chunked match {
@@ -330,11 +414,23 @@ object Hdf5Writer {
 
     // -------------------------------------------------------------- groups
 
-    def writeGroup(node: Node): Long = {
+    /** Dataset addresses by absolute path, for hard-link aliases. */
+    private val written = scala.collection.mutable.Map.empty[String, Long]
+
+    def writeGroup(node: Node, prefix: String): Long = {
       val children: Seq[(String, Long)] =
-        node.datasets.map { case (n, v) =>
-          n -> writeDataset(n, v, Seq.empty) } ++
-          node.groups.map { case (n, g) => n -> writeGroup(g) }
+        node.datasets.map {
+          case (n, Alias(target)) =>
+            n -> written.getOrElse(target, throw new IllegalArgumentException(
+              s"Alias target $target not yet written " +
+                s"(have ${written.keys.mkString(", ")})"))
+          case (n, v) =>
+            val addr = writeDataset(n, v,
+              node.dsAttrs.getOrElse(n, Seq.empty))
+            written(s"$prefix/$n") = addr
+            n -> addr
+        } ++
+          node.groups.map { case (n, g) => n -> writeGroup(g, s"$prefix/$n") }
       if (v2) {
         // new-style COMPACT group: one hard-link message per child
         val linkMsgs = children.map { case (n, addr) =>

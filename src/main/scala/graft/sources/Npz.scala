@@ -32,6 +32,11 @@ object Npz {
   /** Every `.npy` member of the archive, keyed by member name minus the
     * `.npy` suffix (NumPy's own convention for `np.load` of an npz).
     */
+  /** Each member decodes into one JVM byte array, so members past
+    * `Int.MaxValue` bytes cannot be read — checked loudly up front.
+    */
+  val MaxMemberBytes: Long = Int.MaxValue.toLong
+
   def read(path: String): Seq[NpArray] = {
     val zf = new java.util.zip.ZipFile(path)
     try {
@@ -39,6 +44,12 @@ object Npz {
         .filter(_.getName.endsWith(".npy"))
         .sortBy(_.getName)
         .map { e =>
+          if (e.getSize > MaxMemberBytes)
+            throw new UnsupportedOperationException(
+              s"$path!${e.getName} is ${e.getSize} bytes uncompressed, " +
+                s"past this reader's $MaxMemberBytes byte (2 GiB) bound — " +
+                "split the array (e.g. np.savez per block) and ingest " +
+                "each part")
           val in = zf.getInputStream(e)
           val bytes =
             try in.readAllBytes()
@@ -51,8 +62,13 @@ object Npz {
 
   /** A single standalone `.npy` file. */
   def readNpy(path: String): NpArray = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path))
+    val p = java.nio.file.Paths.get(path)
+    val size = java.nio.file.Files.size(p)
+    if (size > MaxMemberBytes)
+      throw new UnsupportedOperationException(
+        s"$path is $size bytes, past this reader's $MaxMemberBytes byte " +
+          "(2 GiB) bound — split the array and ingest each part")
+    val bytes = java.nio.file.Files.readAllBytes(p)
     val (dims, num, str) = parseNpy(bytes, path)
     NpArray(new java.io.File(path).getName.stripSuffix(".npy"),
       dims, num, str)

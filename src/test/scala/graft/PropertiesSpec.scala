@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.functions.{TextFunctions, TimeFunctions}
 import graft.operators.Masks
+import graft.sources.Hdf5Writer
 
 /** Property-based checks (SURVEY §5.4): mask-composition laws, parse/format
   * round-trips, normalization invariants — run through Spark on batched

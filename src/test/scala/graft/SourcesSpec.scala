@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
-import graft.sources.{Bundle, ImageSource, LogReader}
+import graft.sources.{Bundle, Hdf5Writer, ImageSource, LogReader}
 
 /** S1–S7/K1/K6/T2 — image decode, log readers, parquet bundle + manifest
   * invalidation.
@@ -447,5 +447,177 @@ class SourcesSpec extends SparkSpec {
       .orderBy("delay", "q_bin").collect().map(_.toSeq).toSeq
     assert(fromH5 == fromDirect && fromH5.nonEmpty,
       "E2 over the HDF5 ingest must equal E2 over the direct curves")
+  }
+
+  test("HDF5 vlen strings (global heap / GCOL): dataset and attribute " +
+       "round-trip in both header shapes — the h5py default for str, " +
+       "the saved trx log table's own layout") {
+    import graft.sources.Hdf5
+    val dir = Files.createTempDirectory("h5vlen").toString
+    // varied lengths incl. empty and multi-byte UTF-8
+    val files = Array("run42_0001.edf", "", "x", "čas-μs.edf",
+      "a" * 37, "run42_0002.edf")
+    for (v2 <- Seq(false, true)) {
+      val p = s"$dir/vlen_${v2}.h5"
+      Hdf5Writer.write(p, Hdf5Writer.Node(
+        datasets = Seq(
+          "delays" -> Hdf5Writer.Doubles(Seq(3), Array(0.0, 1e-9, 2e-9))),
+        attrs = Seq("origin" -> Hdf5Writer.VStr("trx-azav"), "npt" -> 3L),
+        groups = Seq("log" -> Hdf5Writer.Node(
+          datasets = Seq("file" -> Hdf5Writer.VStrings(files)),
+          attrs = Seq("note" -> Hdf5Writer.VStr("saved by h5py"))))),
+        v2 = v2)
+      val f = Hdf5.read(p)
+      assert(f.dataset("log/file").strings.toSeq == files.toSeq,
+        s"v2=$v2: vlen dataset must round-trip exactly")
+      val attrs = f.attrs.map(a => (a.path, a.name) -> a.string).toMap
+      assert(attrs(("/", "origin")).contains("trx-azav"))
+      assert(attrs(("/log", "note")).contains("saved by h5py"))
+      // and the Bundle on-ramp ingests it as a string table
+      val (tables, params) = Bundle.fromHdf5(spark, p)
+      assert(params("origin") == "trx-azav")
+      assert(params("log@note") == "saved by h5py")
+      val got = tables("log/file").orderBy("idx").collect()
+        .map(_.getString(1)).toSeq
+      assert(got == files.toSeq, s"v2=$v2: ingested string table")
+    }
+  }
+
+  test("OHDR v2 with tracked object times (flag 0x20, four 4-byte " +
+       "fields — libhdf5's default) parses correctly") {
+    import graft.sources.Hdf5
+    val dir = Files.createTempDirectory("h5times").toString
+    val vec = Array.tabulate(7)(i => i * 1.5)
+    Hdf5Writer.write(s"$dir/t.h5", Hdf5Writer.Node(
+      datasets = Seq("vec" -> Hdf5Writer.Doubles(Seq(7), vec)),
+      attrs = Seq("k" -> 9L)), v2 = true, v2Times = true)
+    val f = Hdf5.read(s"$dir/t.h5")
+    assert(f.dataset("vec").numeric.toSeq == vec.toSeq,
+      "16-byte time fields must not shift the message stream")
+    assert(f.attrs.exists(a => a.name == "k" && a.numeric.head == 9.0))
+  }
+
+  test("HDF5 diamond hard links: the same dataset under two paths " +
+       "ingests ONCE, the second path becomes an alias param") {
+    import graft.sources.Hdf5
+    val dir = Files.createTempDirectory("h5link").toString
+    val vec = Array(1.0, 2.0, 3.0)
+    Hdf5Writer.write(s"$dir/d.h5", Hdf5Writer.Node(
+      datasets = Seq("data" -> Hdf5Writer.Doubles(Seq(3), vec)),
+      groups = Seq("view" -> Hdf5Writer.Node(
+        datasets = Seq("data" -> Hdf5Writer.Alias("/data"))))))
+    val f = Hdf5.read(s"$dir/d.h5")
+    assert(f.datasets.size == 1 && f.dataset("data").numeric.toSeq == vec.toSeq)
+    assert(f.aliases == Map("/view/data" -> "/data"))
+    val (tables, params) = Bundle.fromHdf5(spark, s"$dir/d.h5")
+    assert(tables.keySet == Set("data"))
+    assert(params("alias:view/data") == "data")
+  }
+
+  test("2 GiB bound: oversize HDF5/NPY files fail with the reader's own " +
+       "loud message before any allocation (sparse files, no disk cost)") {
+    import graft.sources.{Hdf5, Npz}
+    val dir = Files.createTempDirectory("big").toString
+    for (name <- Seq("big.h5", "big.npy")) {
+      val raf = new java.io.RandomAccessFile(s"$dir/$name", "rw")
+      raf.setLength(3L << 30) // 3 GiB sparse
+      raf.close()
+    }
+    val e1 = intercept[UnsupportedOperationException](
+      Hdf5.read(s"$dir/big.h5"))
+    assert(e1.getMessage.contains("2 GiB") &&
+      e1.getMessage.contains("h5repack"))
+    val e2 = intercept[UnsupportedOperationException](
+      Npz.readNpy(s"$dir/big.npy"))
+    assert(e2.getMessage.contains("2 GiB"))
+  }
+
+  test("Bundle.toHdf5 |> fromHdf5 round-trips tables AND params equal " +
+       "to the Parquet twin — two-way trx interop") {
+    val dir = Files.createTempDirectory("h5export").toString
+    val nImg = 4; val nQ = 3
+    val data = Array.tabulate(nImg * nQ)(i => 1.5 + i * 0.25)
+    val delays = Array(0.0, 1e-9, 2e-9, 1e-9)
+    val files = Array("a.edf", "b.edf", "c.edf", "d.edf")
+    val dataDf = (for (r <- 0 until nImg; c <- 0 until nQ) yield
+      (r.toLong, c.toLong, data(r * nQ + c))).toDF("row", "col", "value")
+    val delaysDf = delays.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("idx", "value")
+    val filesDf = files.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("idx", "value")
+    val tables = Map("data" -> dataDf, "delays" -> delaysDf,
+      "log/file" -> filesDf)
+    val params = Map("npt" -> "3", "scale" -> "2.5", "mask" -> "auto",
+      "log@note" -> "two-way", "data@unit" -> "a.u.")
+    Bundle.toHdf5(s"$dir/out.h5", tables, params)
+    val (rt, rtParams) = Bundle.fromHdf5(spark, s"$dir/out.h5")
+    assert(rtParams == params, "params must round-trip exactly")
+    assert(rt.keySet == tables.keySet)
+    for (k <- tables.keySet) {
+      assert(rt(k).collect().map(_.toSeq).toSet ==
+        tables(k).collect().map(_.toSeq).toSet,
+        s"$k: HDF5 export round-trip != source table")
+    }
+    // rank-1 numeric attrs render ALL elements, comma-joined
+    Hdf5Writer.write(s"$dir/vecattr.h5", Hdf5Writer.Node(
+      datasets = Seq("d" -> Hdf5Writer.Doubles(Seq(2), Array(1.0, 2.0))),
+      attrs = Seq("center" -> Array(960.0, 960.5))))
+    val (_, p2) = Bundle.fromHdf5(spark, s"$dir/vecattr.h5")
+    assert(p2("center") == "960,960.5",
+      "multi-element numeric attr must render every element")
+  }
+
+  test("Bundle.toHdf5 chunks large exports (shuffle+deflate) and they " +
+       "re-read exactly") {
+    val dir = Files.createTempDirectory("h5chunk").toString
+    val n = 300; val m = 250 // 75k elements > the 64k chunk threshold
+    val df = (for (r <- 0 until n; c <- 0 until m) yield
+      (r.toLong, c.toLong, (r * m + c) * 0.5)).toDF("row", "col", "value")
+    Bundle.toHdf5(s"$dir/big.h5", Map("data" -> df))
+    val f = graft.sources.Hdf5.read(s"$dir/big.h5")
+    val d = f.dataset("data")
+    assert(d.dims == Seq(n.toLong, m.toLong))
+    assert(d.numeric.length == n * m)
+    assert((0 until n * m).forall(i => d.numeric(i) == i * 0.5))
+  }
+
+  test("Bundle.toNpz |> fromNpz round-trips numeric and string tables") {
+    val dir = Files.createTempDirectory("npzexport").toString
+    val vec = Array(3.5, -1.0, 0.25)
+    val names = Array("aa", "b", "cde")
+    val tables = Map(
+      "vec" -> vec.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("idx", "value"),
+      "names" -> names.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("idx", "value"))
+    Bundle.toNpz(s"$dir/out.npz", tables)
+    val rt = Bundle.fromNpz(spark, s"$dir/out.npz")
+    assert(rt("vec").orderBy("idx").collect().map(_.getDouble(1)).toSeq ==
+      vec.toSeq)
+    assert(rt("names").orderBy("idx").collect().map(_.getString(1)).toSeq ==
+      names.toSeq)
+  }
+
+  test("azavToHdf5 exports the exact trx azav array layout " +
+       "(data/err/q/delays) and azavFromHdf5 re-opens it identically") {
+    val dir = Files.createTempDirectory("azavexport").toString
+    val nImg = 5; val nQ = 4
+    val qAxis = Array.tabulate(nQ)(i => 0.3 + i * 0.2)
+    val delays = Array(0.0, 1e-9, 1e-9, 2e-9, 0.0)
+    val curves = (for (r <- 0 until nImg; c <- 0 until nQ) yield
+      (r.toLong, delays(r), c.toLong, 10.0 + r + c * 0.1,
+        0.01 * (r + 1))).toDF("image_idx", "delay", "q_bin", "i", "err")
+    Bundle.azavToHdf5(s"$dir/azav.h5", curves, qAxis = Some(qAxis),
+      params = Map("npt" -> nQ.toString))
+    // the container carries the azav.py dataset layout
+    val f = graft.sources.Hdf5.read(s"$dir/azav.h5")
+    assert(f.dataset("data").dims == Seq(nImg.toLong, nQ.toLong))
+    assert(f.dataset("err").dims == Seq(nImg.toLong, nQ.toLong))
+    assert(f.dataset("q").numeric.toSeq == qAxis.toSeq)
+    assert(f.dataset("delays").numeric.toSeq == delays.toSeq)
+    // and the engine re-opens its own export losslessly
+    val rt = Bundle.azavFromHdf5(spark, s"$dir/azav.h5")
+    assert(rt.collect().map(_.toSeq).toSet ==
+      curves.collect().map(_.toSeq).toSet)
   }
 }
