@@ -264,11 +264,22 @@ object Drift {
     val colTot = (col("c_a") + col("c_b")).cast("double")
     val ea = col("_ta").cast("double") * colTot / n
     val eb = col("_tb").cast("double") * colTot / n
-    val cell = pow(col("c_a").cast("double") - ea, 2) / ea +
-      pow(col("c_b").cast("double") - eb, 2) / eb
-    w.groupBy(col("_ta"), col("_tb"), col("_k"))
-      .agg(round(sum(round(cell, 6).cast("decimal(28,6)")).cast("double"), 6)
+    // expected counts are zero IFF a side's total is zero (every merged
+    // category has colTot >= 1), which is exactly the empty-side error
+    // case — NULL the cell there instead of tripping ANSI
+    // DIVIDE_BY_ZERO before the loud guard below can name the problem
+    val cell = when(col("_ta") > 0 && col("_tb") > 0,
+      pow(col("c_a").cast("double") - ea, 2) / ea +
+        pow(col("c_b").cast("double") - eb, 2) / eb)
+    // the cell sum is a GLOBAL aggregate (one row even over an empty
+    // frame) re-joined to the always-one-row totals: an entirely empty
+    // merged frame (both sides empty — the streamed-monitor-polled-early
+    // case) then reaches the raise_error guard below instead of
+    // short-circuiting into an empty report
+    val cellSum = w.agg(
+      round(sum(round(cell, 6).cast("decimal(28,6)")).cast("double"), 6)
         .as("_chi2raw"))
+    tot.crossJoin(broadcast(cellSum))
       .withColumn("chi2",
         when(col("_ta") > 0 && col("_tb") > 0, col("_chi2raw"))
           .otherwise(raise_error(lit("chiSquared: empty side"))))

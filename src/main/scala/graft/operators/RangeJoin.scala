@@ -275,26 +275,49 @@ object RangeJoin {
     * holding NULL in the matched row from a FARTHER-BACK right row,
     * silently mixing rows in one output record.
     */
-  /** The gap used by TOLERANCE checks, in the ts column's native units —
-    * SECONDS for timestamp types (a timestamp difference is a
-    * DayTimeInterval, which cannot compare against the long tolerance;
-    * the long cast truncates to epoch seconds) and DAYS for DateType.
+  /** The gap used by TOLERANCE checks: EXACT epoch MICROSECONDS for
+    * timestamp types (a timestamp difference is a DayTimeInterval, which
+    * cannot compare against the long tolerance; `unix_micros` keeps the
+    * full sub-second precision — an epoch-SECOND cast would floor, so a
+    * 1-second tolerance would admit true gaps up to ~2 s and raising it
+    * to a fractional 1.5 could REMOVE matches, a monotonicity violation),
+    * DAYS for DateType, the raw difference otherwise. Compare against
+    * [[tolLimit]] of the same axis so gap and bound share the grain.
     * Shared with the declarative rewrite ([[graft.plans
     * .AsofJoinRewriteRule]]) so the two forms cannot drift.
+    *
+    * NTZ note: the NTZ→TZ cast is session-zone dependent, but the
+    * DIFFERENCE of two casts is not.
     */
   private[graft] def tolGap(later: Column, earlier: Column,
                             dt: org.apache.spark.sql.types.DataType)
       : Column = dt match {
     case org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType =>
-      later.cast("long") - earlier.cast("long")
+      unix_micros(later.cast("timestamp")) -
+        unix_micros(earlier.cast("timestamp"))
     case org.apache.spark.sql.types.DateType => datediff(later, earlier)
     case _ => later - earlier
   }
 
-  private def tolGap(later: Column, earlier: Column, df: DataFrame,
-                     tsCol: String): Column =
-    tolGap(later, earlier, df.schema(tsCol).dataType)
+  /** The tolerance bound in [[tolGap]]'s grain: microseconds on
+    * timestamp axes (`tol` is in SECONDS), days on dates, raw otherwise.
+    */
+  private[graft] def tolLimit(tol: Long,
+                              dt: org.apache.spark.sql.types.DataType)
+      : Column = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      lit(tol * 1000000L)
+    case _ => lit(tol)
+  }
+
+  /** `gap(later, earlier) <= tol` with gap and bound in the axis grain. */
+  private def tolOkOp(later: Column, earlier: Column, df: DataFrame,
+                      tsCol: String, tol: Long): Column = {
+    val dt = df.schema(tsCol).dataType
+    tolGap(later, earlier, dt) <= tolLimit(tol, dt)
+  }
 
   /** Right rows whose ts or ANY equi key is NULL are dropped up front:
     * SQL equality never matches a NULL key, so such a row can donate
@@ -334,7 +357,7 @@ object RangeJoin {
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
-          tolGap(col(tsCol), col("asof_ts"), left, tsCol) <= tol
+          tolOkOp(col(tsCol), col("asof_ts"), left, tsCol, tol)
         payloadCols.foldLeft(filled)((df, c) =>
             df.withColumn(c, when(ok, col(c))))
           .withColumn("asof_ts", when(ok, col("asof_ts")))
@@ -383,7 +406,7 @@ object RangeJoin {
     tolerance match {
       case Some(tol) =>
         val ok = col("asof_ts").isNotNull &&
-          tolGap(col("asof_ts"), col(tsCol), left, tsCol) <= tol
+          tolOkOp(col("asof_ts"), col(tsCol), left, tsCol, tol)
         payloadCols.foldLeft(filled)((df, c) =>
             df.withColumn(c, when(ok, col(c))))
           .withColumn("asof_ts", when(ok, col("asof_ts")))
@@ -434,10 +457,10 @@ object RangeJoin {
     // where the forward frame would otherwise hand it the earliest
     // right row — see asofForward)
     val bOk = col(tsCol).isNotNull && bTs.isNotNull &&
-      tolerance.map(t => tolGap(col(tsCol), bTs, left, tsCol) <= t)
+      tolerance.map(t => tolOkOp(col(tsCol), bTs, left, tsCol, t))
         .getOrElse(lit(true))
     val fOk = col(tsCol).isNotNull && fTs.isNotNull &&
-      tolerance.map(t => tolGap(fTs, col(tsCol), left, tsCol) <= t)
+      tolerance.map(t => tolOkOp(fTs, col(tsCol), left, tsCol, t))
         .getOrElse(lit(true))
     val useB = bOk && (!fOk || gapB <= gapF)
     val picked = payloadCols.foldLeft(armed)((df, c) =>

@@ -64,10 +64,14 @@ object Similarity {
                 queryIdCol: String = "query_id", idCol: String = "vec_id",
                 rankCol: String = "rank"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // distinct on both projected sides: a duplicate (query, id) pair at
+    // ranks <= k would otherwise fan out the join and inflate both the
+    // truth denominator and the hit count, skewing recall
     val t = truth.filter(col(rankCol) <= k)
-      .select(col(queryIdCol), col(idCol))
+      .select(col(queryIdCol), col(idCol)).distinct()
     val a = approx.filter(col(rankCol) <= k)
-      .select(col(queryIdCol), col(idCol), lit(1L).as("_hit"))
+      .select(col(queryIdCol), col(idCol)).distinct()
+      .withColumn("_hit", lit(1L))
     t.join(a, Seq(queryIdCol, idCol), "left")
       .groupBy(col(queryIdCol))
       .agg(count(lit(1)).as("n_truth"),

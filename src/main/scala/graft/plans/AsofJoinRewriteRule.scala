@@ -174,28 +174,30 @@ object AsofJoinRewriteRule extends Rule[LogicalPlan] {
       .orderBy(col("_ats"), col("_aside"))
     val wB = w0.rowsBetween(Window.unboundedPreceding, 0)
     val wF = w0.rowsBetween(0, Window.unboundedFollowing)
-    // tolerance comparison, by tolerance GRAIN:
-    //  - a WHOLE tolerance keeps the operator form's long path verbatim
-    //    (RangeJoin.tolGap: epoch-second cast for timestamps, datediff
-    //    for dates) — existing plans stay byte-identical;
-    //  - a FRACTIONAL tolerance compares the exact sub-unit gap: EXACT
-    //    epoch microseconds for timestamps (`unix_micros`, no double
-    //    rounding) against `round(t·10⁶)` µs, the raw difference for
-    //    numeric axes (the reference's double-second delays — where
-    //    sub-second tolerance was previously inexpressible)
+    // tolerance comparison, by axis type — ONE rule for every tolerance
+    // grain, so the bound is MONOTONE in t (a floored epoch-second gap
+    // for whole tolerances would admit true gaps up to ~2·t while a
+    // fractional t compares exactly, so raising 1.0 → 1.5 could REMOVE
+    // matches):
+    //  - timestamp axes compare EXACT epoch microseconds
+    //    (RangeJoin.tolGap's `unix_micros` path, no double rounding)
+    //    against `round(t·10⁶)` µs, whole and fractional alike;
+    //  - date axes compare whole days (fractional validated away
+    //    earlier);
+    //  - numeric axes compare the raw difference (the reference's
+    //    double-second delays — sub-second tolerance exact by
+    //    construction)
     def tolOk(later: org.apache.spark.sql.Column,
               earlier: org.apache.spark.sql.Column, t: Double)
-        : org.apache.spark.sql.Column =
-      if (t.isWhole)
+        : org.apache.spark.sql.Column = lts.dataType match {
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        graft.operators.RangeJoin.tolGap(later, earlier, lts.dataType) <=
+          math.round(t * 1e6)
+      case org.apache.spark.sql.types.DateType =>
         graft.operators.RangeJoin.tolGap(later, earlier, lts.dataType) <=
           t.toLong
-      else lts.dataType match {
-        case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
-          // NTZ→TZ cast is session-zone dependent, the DIFFERENCE is not
-          unix_micros(later.cast("timestamp")) -
-            unix_micros(earlier.cast("timestamp")) <= math.round(t * 1e6)
-        case _ => later - earlier <= lit(t)
-      }
+      case _ => later - earlier <= lit(t)
+    }
     val withMatch = asofMode match {
       case AsofJoinMarker.Nearest =>
         // both arms as frames over the SAME sort; smaller gap wins,

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Max, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, TimestampType}
@@ -96,11 +96,17 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, 
   * statement of intent; the marker fires the three-leg bucketized
   * rewrite with auto-derived width in EVERY mode — no
   * `spark.graft.rangeJoin.bucketWidth` required (a set numeric conf is
-  * honored as the width). INNER joins only — the three-leg rewrite has
-  * no outer semantics. [[Unevaluable]] on purpose: an unrewritable
-  * marker join (outer type, bounds mixed across sides, >1 marker) fails
-  * loudly instead of silently scanning pairs — [[AsofJoinMarker]]'s
-  * contract.
+  * honored as the width). INNER and LEFT OUTER joins: the outer form
+  * ("sessions with NO incident window" keeps the session with nulls)
+  * rewrites as the inner three-leg union PLUS the anti-complement —
+  * unmatched left rows found by an all-columns null-safe equi-anti-join
+  * against the DISTINCT matched left tuples (sound because the overlap
+  * condition reads only the row's own columns, so value-identical left
+  * rows share their match fate; multiplicity preserved, no row ids, no
+  * nested loop anywhere). [[Unevaluable]] on purpose: an unrewritable
+  * marker join (unsupported join type, bounds mixed across sides,
+  * >1 marker) fails loudly instead of silently scanning pairs —
+  * [[AsofJoinMarker]]'s contract.
   */
 case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
                                  bStart: Expression, bEnd: Expression)
@@ -189,6 +195,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mode = currentMode()
     plan.transformUp {
+      case j @ Join(_, _, LeftOuter, Some(cond), _)
+          if j.resolved && !marked(cond) &&
+            cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
+        markedOverlapOuter(j, cond, mode).getOrElse(j)
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && !marked(cond) &&
             (mode != Off ||
@@ -269,6 +279,55 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     }
     widthOf(widthMode, Seq((j.left, lS, lE), (j.right, rS, rE)))
       .map(w => rewriteOverlap(j, newCond, w, pat))
+  }
+
+  /** LEFT OUTER marked overlap: the inner three-leg rewrite unioned with
+    * the anti-complement (left rows with NO overlapping right row, right
+    * columns null) — the "sessions with no error window" shape as one
+    * declarative join.
+    *
+    * The complement never needs a nested loop OR a row id: the join
+    * condition references only a left row's own columns, so two
+    * value-identical left rows have identical match sets — membership of
+    * the row's VALUE TUPLE in the matched set decides, and a null-safe
+    * all-columns equi-anti-join against `Distinct(matched left tuples)`
+    * preserves multiplicity exactly. Honest cost: the three-leg inner
+    * rewrite appears twice in the plan (once for the matched rows, once
+    * under the Distinct feeding the anti) — 2× the inner work, still
+    * shuffle-partitionable everywhere, vs the O(|L|·|R|) nested loop
+    * this is the alternative to. Refused (marker stays, fails loudly)
+    * when a left column type cannot join-compare (map columns).
+    */
+  private def markedOverlapOuter(j: Join, cond: Expression,
+                                 mode: Mode): Option[LogicalPlan] = {
+    if (!j.left.output.forall(a =>
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .typeWithProperEquals(a.dataType) ||
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(a.dataType))) return None
+    val innerTwin = j.copy(joinType = Inner)
+    markedOverlap(innerTwin, cond, mode).map { inner =>
+      val leftCols = j.left.output
+      // DISTINCT matched left value-tuples (spelled as the group-by
+      // Aggregate directly — ReplaceDistinctWithAggregate already ran),
+      // re-aliased to fresh exprIds so the anti join's two sides don't
+      // share attribute ids
+      val aliases = leftCols.map(a => Alias(a, a.name)())
+      val matched = Project(aliases,
+        Aggregate(leftCols, leftCols, Project(leftCols, inner)))
+      val antiCond = leftCols.zip(aliases.map(_.toAttribute))
+        .map { case (l, m) => EqualNullSafe(l, m) }
+        .reduceOption[Expression](And)
+        .getOrElse(Literal(true))
+      val anti = Join(j.left, matched, LeftAnti, Some(antiCond),
+        JoinHint.NONE)
+      // null right payload under the ORIGINAL right exprIds, so the
+      // surrounding plan's references resolve unchanged
+      val nullRight = j.right.output.map(a =>
+        Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId))
+      val nullLeg = Project(leftCols ++ nullRight, anti)
+      Union(Seq(Project(j.output, inner), Project(j.output, nullLeg)))
+    }
   }
 
   // ------------------------------------------------------ width resolution

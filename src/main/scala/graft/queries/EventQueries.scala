@@ -898,6 +898,122 @@ object EventQueries {
         |    6) AS p_value
         |FROM f, g, sv""".stripMargin)),
 
+    // Live quantiles SERVED FROM WARM STREAM STATE: the binned KS
+    // monitor's value-count state (q178's bounded ≤ bins+2 rows/side
+    // family) doubles as an exact type-7 quantile server over the
+    // BINNED stream (StreamingDrift.quantilesReport →
+    // Stats.quantilesFromCounts — the h = p·(n−1) interpolation DuckDB's
+    // quantile_cont also runs). Fed the click events in three idempotent
+    // micro-batch slices, then served from state alone; the oracle is
+    // quantile_cont over the identically-binned click values — fresh
+    // and warm runs must agree (partition-overwrite replay).
+    QueryDef("q181_streamed_quantiles",
+      (s, dir) => {
+        import graft.streaming.StreamingDrift
+        val ev = events(s, dir)
+        val st = System.getProperty("java.io.tmpdir") +
+          "/graft_drift_q181_" + dataStamp(dir, "events")
+        val marker = new java.io.File(s"$st/_col")
+        if (!marker.exists()) {
+          StreamingDrift.init(
+            ev.filter(col("event_type") === "view").select(col("value")),
+            st, "value", breaks = Seq(50.0, 120.0, 250.0),
+            ksBinning = Some(StreamingDrift.KsBinning(0.0, 400.0, 50)))
+        }
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("value"))
+        (0 until 3).foreach { i =>
+          StreamingDrift.processBatch(
+            clicks.filter(pmod(col("event_id"), lit(3)) === i)
+              .select(col("value")), st, i.toLong)
+        }
+        StreamingDrift.quantilesReport(s, st,
+            probs = Seq(0.25, 0.5, 0.9, 0.99))
+          .select(col("prob"), round(col("q"), 6).as("q"))
+          .orderBy("prob")
+      },
+      Some {
+        val binned =
+          """WITH b AS (
+            |  SELECT 0.0 + least(50.0, greatest(-1.0,
+            |    floor((value::DOUBLE - 0.0) / 8.0))) * 8.0 AS v
+            |  FROM events
+            |  WHERE value IS NOT NULL AND event_type = 'click')
+            |""".stripMargin
+        binned + Seq(0.25, 0.5, 0.9, 0.99).map(p =>
+            s"""SELECT $p::DOUBLE AS prob,
+               |  round(quantile_cont(v, $p), 6) AS q FROM b""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY prob")
+      }),
+
+    // q174's overlap marker join, LEFT OUTER: every session with its
+    // overlapping error windows AND the sessions with NO error window
+    // kept (null window) — one declarative join, the outer form the
+    // marker family previously lacked. Under the hood the rule unions
+    // the inner three-leg rewrite with the anti-complement (null-safe
+    // all-columns equi-anti against the distinct matched left tuples) —
+    // still no nested loop anywhere (RangeJoinRewriteSpec pins it).
+    // Oracle: q174's verbatim as a LEFT JOIN.
+    QueryDef("q182_overlap_marker_left_outer",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        val sessions = ev
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("s_start"),
+            (max(col("sec")) + 1L).as("s_end"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("event_id").as("window_id"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        sessions.join(windows,
+            col("user_id") === col("w_user") &&
+              expr("interval_overlap(s_start, s_end, w_start, w_end)"),
+            "left_outer")
+          .select(col("user_id"), col("session_id"), col("window_id"),
+            (least(col("s_end"), col("w_end")) -
+              greatest(col("s_start"), col("w_start"))).as("overlap_sec"))
+          .orderBy(col("user_id"), col("session_id"),
+            col("window_id").asc_nulls_first)
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (SELECT user_id, event_id, sec, ts,
+        |          sec - lag(sec) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS gap
+        |        FROM ev)),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(sec) AS s_start,
+        |    max(sec) + 1 AS s_end
+        |  FROM marked GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, sec AS w_start,
+        |    sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id::BIGINT AS session_id, w.window_id,
+        |  (least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start))::BIGINT
+        |    AS overlap_sec
+        |FROM sessions s LEFT JOIN w ON w.user_id = s.user_id
+        |  AND s.s_start < w.w_end AND w.w_start < s.s_end
+        |ORDER BY s.user_id, s.session_id, w.window_id NULLS FIRST"""
+        .stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

@@ -396,11 +396,19 @@ class AsofRewriteSpec extends SparkSpec {
       assert(m(2L).isEmpty, s"$tol: 700 ms gap must drop, got $m")
       assert(m(3L) == Some(900L), s"$tol: zero gap must pass, got $m")
     }
-    // the old whole-second path is UNCHANGED: tolerance 0 still admits
-    // the sub-second gaps its epoch-second truncation cannot see
+    // whole tolerances share the SAME exact-microsecond bound, so the
+    // admitted set is MONOTONE in t: 0 admits only the zero gap, and
+    // 1 is a superset of 0.5 (an epoch-second floor would have let
+    // t=0 admit both sub-second gaps while t=0.5 rejects the 700 ms
+    // one — raising the tolerance removing matches)
     val whole = run("0")
-    assert(whole(1L) == Some(900L) && whole(2L) == Some(900L),
-      "whole-unit tolerance keeps the documented second-grain semantics")
+    assert(whole(1L).isEmpty && whole(2L).isEmpty &&
+      whole(3L) == Some(900L),
+      s"tolerance 0 must admit exactly the zero gap, got $whole")
+    val one = run("1")
+    assert(one(1L) == Some(900L) && one(2L) == Some(900L) &&
+      one(3L) == Some(900L),
+      s"tolerance 1 must be a superset of 0.5, got $one")
     // a fractional DATE tolerance cannot mean anything — fail fast
     val pd = Seq((1L, "u", "2024-01-05")).toDF("pid", "k", "s")
       .withColumn("ld", to_date(col("s")))

@@ -160,6 +160,24 @@ class DriftSpec extends SparkSpec {
     assert(same.getAs[Double]("cramers_v") == 0.0)
   }
 
+  test("chiSquared: empty sides fail FAST in every shape — one side " +
+       "empty, and BOTH sides empty (the streamed-monitor-polled-early " +
+       "case, where the merged frame has zero rows)") {
+    val a = Seq.fill(5)("x").toDF("cat")
+    val none = Seq.empty[String].toDF("cat")
+    for ((l, r, what) <- Seq((a, none, "right empty"),
+        (none, a, "left empty"), (none, none, "both empty"))) {
+      val e = intercept[Exception](Drift.chiSquared(l, r, "cat").collect())
+      assert(e.getMessage.contains("empty side"),
+        s"$what must raise the empty-side error, got: ${e.getMessage}")
+    }
+    // all-NULL categories reduce to the same zero-row merged frame
+    val allNull = Seq[Option[String]](None, None).toDF("cat")
+    val e = intercept[Exception](
+      Drift.chiSquared(allNull, allNull, "cat").collect())
+    assert(e.getMessage.contains("empty side"))
+  }
+
   test("chiSquared: category present on one side only still contributes") {
     val a = (Seq.fill(10)("x") ++ Seq.fill(5)("only_a")).toDF("cat")
     val b = Seq.fill(10)("x").toDF("cat")

@@ -641,6 +641,66 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("interval_overlap marker in a LEFT OUTER join: unmatched left " +
+       "rows keep null right columns, matched rows equal the inner " +
+       "marker join, no BNLJ, duplicates preserve multiplicity") {
+    assert(!spark.conf.getOption(RangeJoinRewriteRule.WidthConf).isDefined)
+    // guaranteed-unmatched left rows: far beyond every right interval
+    // (one well-formed, one empty — the empty one can't even point-probe)
+    val lOuter = lIntervals.unionAll(Seq(
+      (999L, 100000L, 100100L), (998L, 200000L, 200000L))
+      .toDF("lid", "ls", "le"))
+    // silent left-outer predicate baseline (BNLJ, but exact)
+    val expected = withConf("off") {
+      lOuter.join(rIntervals,
+          col("ls") < col("re") && col("rs") < col("le"), "left_outer")
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSet
+    }
+    assert(expected.exists(_._2.isEmpty),
+      "fixture must have unmatched left rows")
+    assert(expected.exists(_._2.nonEmpty), "and matched ones")
+    val marked = lOuter.join(rIntervals,
+      expr("interval_overlap(ls, le, rs, re)"), "left_outer")
+    assert(marked.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }.nonEmpty,
+      "the left-outer marker must fire the rewrite")
+    assert(!marked.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "left-outer marker rewrite must not nested-loop")
+    val got = marked.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSet
+    assert(got == expected, "left-outer marker rewrite changed the result")
+    // multiplicity: a value-duplicated unmatched left row yields TWO
+    // null-extended rows (the anti complement is a bag, not a set)
+    val dupRow = lOuter.filter(col("lid") === 999L)
+    val dupped = lOuter.unionAll(dupRow)
+    val dupGot = dupped.join(rIntervals,
+        expr("interval_overlap(ls, le, rs, re)"), "left_outer")
+      .filter(col("rid").isNull)
+      .groupBy("lid").count()
+    val dupLid = dupRow.collect().head.getLong(0)
+    assert(dupGot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(dupLid) == 2L,
+      "duplicated unmatched left row must appear twice")
+    // extra equi conjuncts ride into the outer form too
+    val keyed = lIntervals.withColumn("k", col("lid") % 5)
+      .join(rIntervals.withColumn("k2", col("rid") % 5),
+        col("k") === col("k2") &&
+          expr("interval_overlap(ls, le, rs, re)"), "left_outer")
+    val keyedExp = withConf("off") {
+      lIntervals.withColumn("k", col("lid") % 5)
+        .join(rIntervals.withColumn("k2", col("rid") % 5),
+          col("k") === col("k2") && col("ls") < col("re") &&
+            col("rs") < col("le"), "left_outer")
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSet
+    }
+    val keyedGot = keyed.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSet
+    assert(keyedGot == keyedExp, "keyed left-outer marker join diverged")
+  }
+
   test("fractional widths: a sub-second double-interval corpus gets a " +
        "sub-1.0 bucket width (static literal AND sampled), not the " +
        "1000x-over-wide floor-to-1 — and the results stay exact") {

@@ -583,6 +583,14 @@ class SimilaritySpec extends SparkSpec {
       val rows = Similarity.recallAtK(approx, truth, k = 10).collect()
       rows.map(_.getAs[Double]("recall")).sum / rows.length
     }
+    // duplicate (query, id) rows at ranks <= k must not fan the join
+    // out: recall against duplicated approx/truth equals the clean score
+    val dupApprox = truth.unionAll(truth.filter($"rank" <= 3))
+    val dupBoth = Similarity.recallAtK(dupApprox,
+      truth.unionAll(truth), k = 10).collect()
+    assert(dupBoth.forall(r => r.getAs[Long]("n_truth") == 10L &&
+      r.getAs[Double]("recall") == 1.0),
+      "duplicated pairs must not inflate n_truth or n_hit")
     val single = macroRecall(Similarity.lshTopK(
       embeddings, embQueries, k = 10, dim = 64, nBits = 6))
     val multi = macroRecall(Similarity.lshTopKMulti(
