@@ -419,7 +419,128 @@ object ScatteringFunctions {
     "Pb" -> ElementInfo(207.2, Some(11.35), Seq(
       5.0 -> 791.8, 6.0 -> 493.3, 8.0 -> 233.2, 10.0 -> 130.6,
       13.034 -> 65.6, 13.036 -> 161.3, 15.199 -> 108.3, 15.201 -> 151.6,
-      15.860 -> 135.7, 15.862 -> 157.4, 20.0 -> 86.4, 30.0 -> 30.3)))
+      15.860 -> 135.7, 15.862 -> 157.4, 20.0 -> 86.4, 30.0 -> 30.3)),
+    // ------- round-15 additions (same method and honesty contract as
+    // the extended set): Na/Mg/P are edge-free across the whole grid and
+    // interpolate per-energy between the XCOM-anchored neighbors
+    // (O–Al–Si–S power-law in Z at constant E, the in-grid calibration —
+    // ~3%); Mo/Ag/Sn carry their K edge INSIDE the grid (20.000 /
+    // 25.514 / 29.20 keV, two-sided points, Z-scaled jump ratios
+    // 6.1/5.75/5.6), Ba its three L edges (5.247/5.624/5.989 with the
+    // standard 2.4/1.4/1.16 jumps) — single-anchor branch fills,
+    // ~5% (±10% within ~1 keV of an edge). Edge-critical work should
+    // supply a measured table via [[loadElementOverrides]].
+    "Na" -> ElementInfo(22.990, Some(0.971), Seq(
+      5.0 -> 116.7, 6.0 -> 69.2, 8.0 -> 29.8, 10.0 -> 15.44,
+      15.0 -> 4.71, 20.0 -> 2.10, 30.0 -> 0.759)),
+    "Mg" -> ElementInfo(24.305, Some(1.738), Seq(
+      5.0 -> 156.1, 6.0 -> 92.8, 8.0 -> 40.3, 10.0 -> 20.92,
+      15.0 -> 6.36, 20.0 -> 2.79, 30.0 -> 0.960)),
+    "P" -> ElementInfo(30.974, Some(1.823), Seq(
+      5.0 -> 289.5, 6.0 -> 172.9, 8.0 -> 76.1, 10.0 -> 40.1,
+      15.0 -> 12.43, 20.0 -> 5.42, 30.0 -> 1.73)),
+    "Mo" -> ElementInfo(95.95, Some(10.22), Seq(
+      5.0 -> 497.0, 6.0 -> 309.0, 8.0 -> 146.0, 10.0 -> 82.0,
+      15.0 -> 28.6, 19.999 -> 13.5, 20.001 -> 82.4, 30.0 -> 27.6)),
+    "Ag" -> ElementInfo(107.868, Some(10.49), Seq(
+      5.0 -> 705.0, 6.0 -> 439.0, 8.0 -> 208.0, 10.0 -> 118.2,
+      15.0 -> 41.2, 20.0 -> 19.5, 25.513 -> 10.4, 25.515 -> 59.6,
+      30.0 -> 38.5)),
+    "Sn" -> ElementInfo(118.710, Some(7.287), Seq(
+      5.0 -> 838.0, 6.0 -> 521.0, 8.0 -> 247.0, 10.0 -> 141.0,
+      15.0 -> 49.1, 20.0 -> 23.3, 29.199 -> 8.7, 29.201 -> 48.7,
+      30.0 -> 45.3)),
+    "Ba" -> ElementInfo(137.327, Some(3.51), Seq(
+      5.0 -> 123.0, 5.246 -> 108.0, 5.248 -> 259.0, 5.623 -> 215.0,
+      5.625 -> 301.0, 5.988 -> 254.0, 5.990 -> 295.0, 6.0 -> 294.0,
+      8.0 -> 135.2, 10.0 -> 74.0, 15.0 -> 24.8, 20.0 -> 11.4,
+      30.0 -> 3.81)))
+
+  // ------------------------------------------- user element-table overrides
+
+  /** User-supplied element tables, merged OVER the built-ins by
+    * [[elementInfo]] — the no-network answer to the built-in tables'
+    * accuracy ceiling (the reference's periodictable accepts any element
+    * at any energy, `trx/utils/absorption.py:10-23`; here a user pastes
+    * the published grid for the elements their work is edge-critical
+    * on). Driver-side registry by design: the tables are planning-time
+    * constants folded into the Column expressions, exactly like the
+    * built-ins.
+    */
+  @volatile private var elementOverrides: Map[String, ElementInfo] = Map.empty
+
+  /** The effective table: override wins WHOLE (a partial merge of two
+    * grids would corrupt two-sided edge structure), else built-in.
+    */
+  def elementInfo(el: String): Option[ElementInfo] =
+    elementOverrides.get(el).orElse(Elements.get(el))
+
+  /** Elements currently served (built-in ∪ overridden). */
+  def tabulatedElements: Seq[String] =
+    (Elements.keySet ++ elementOverrides.keySet).toSeq.sorted
+
+  /** Parse a μ/ρ override table — CSV columns
+    * `element,energy_keV,mu_rho[,weight[,density]]`, `#` comments and an
+    * optional header row allowed. All grid rows of one element form its
+    * ascending table (REPLACING any built-in table for that element);
+    * `weight` must appear on at least one row for an element the
+    * built-ins don't know; `density` is optional (attenuationLength then
+    * needs its explicit density arg). Errors NAME the offending line,
+    * element and energy.
+    */
+  def parseElementTable(csv: String): Map[String, ElementInfo] = {
+    val rows = csv.linesIterator.zipWithIndex
+      .map { case (l, i) => (l.takeWhile(_ != '#').trim, i + 1) }
+      .filter(_._1.nonEmpty)
+      .filterNot { case (l, _) =>
+        l.toLowerCase.startsWith("element") } // header
+      .map { case (l, ln) =>
+        val f = l.split(",", -1).map(_.trim)
+        require(f.length >= 3,
+          s"element-table line $ln needs element,energy_keV,mu_rho: '$l'")
+        def num(s: String, what: String): Double =
+          try s.toDouble catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"element-table line $ln: $what '$s' is not a number") }
+        val e = num(f(1), "energy_keV")
+        val mu = num(f(2), "mu_rho")
+        require(e > 0 && mu > 0,
+          s"element-table line $ln (${f(0)} at $e keV): energy and " +
+            s"mu_rho must be positive")
+        (f(0), e, mu,
+          if (f.length > 3 && f(3).nonEmpty) Some(num(f(3), "weight"))
+          else None,
+          if (f.length > 4 && f(4).nonEmpty) Some(num(f(4), "density"))
+          else None)
+      }.toSeq
+    rows.groupBy(_._1).map { case (el, rs) =>
+      val weight = rs.flatMap(_._4).headOption
+        .orElse(Elements.get(el).map(_.weight))
+        .getOrElse(throw new IllegalArgumentException(
+          s"element $el is not built in — its override rows must carry " +
+            "a weight column (element,energy_keV,mu_rho,weight[,density])"))
+      val density = rs.flatMap(_._5).headOption
+        .orElse(Elements.get(el).flatMap(_.density))
+      val grid = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      grid.zip(grid.tail).foreach { case ((e1, _), (e2, _)) =>
+        require(e1 != e2,
+          s"element $el: duplicate grid energy $e1 keV in override table") }
+      el -> ElementInfo(weight, density, grid)
+    }
+  }
+
+  /** Install overrides from CSV text ([[parseElementTable]]'s format),
+    * merging over any previously loaded set.
+    */
+  def loadElementOverrides(csv: String): Unit =
+    elementOverrides = elementOverrides ++ parseElementTable(csv)
+
+  /** Install overrides from a CSV file path. */
+  def loadElementOverridesFile(path: String): Unit =
+    loadElementOverrides(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+
+  def clearElementOverrides(): Unit = elementOverrides = Map.empty
 
   /** Densities of common compounds the formula path serves (g/cm³) —
     * callers can always override via `attenuationLength`'s density arg.
@@ -480,12 +601,15 @@ object ScatteringFunctions {
     */
   def formulaWeights(formula: String): Seq[(String, Double)] = {
     val counts = parseFormula(formula)
-    counts.foreach { case (el, _) =>
-      require(Elements.contains(el),
+    val info = counts.map { case (el, _) =>
+      el -> elementInfo(el).getOrElse(throw new IllegalArgumentException(
         s"no attenuation table for element $el (formula $formula); " +
-          s"tabulated: ${Elements.keys.toSeq.sorted.mkString(", ")}") }
-    val total = counts.map { case (el, n) => Elements(el).weight * n }.sum
-    counts.map { case (el, n) => el -> Elements(el).weight * n / total }
+          s"tabulated: ${tabulatedElements.mkString(", ")} — supply one " +
+          "via ScatteringFunctions.loadElementOverrides (CSV " +
+          "element,energy_keV,mu_rho,weight[,density])"))
+    }.toMap
+    val total = counts.map { case (el, n) => info(el).weight * n }.sum
+    counts.map { case (el, n) => el -> info(el).weight * n / total }
   }
 
   /** μ/ρ (cm²/g) at `energyKeV`: a legacy compound table when one exists
@@ -493,11 +617,12 @@ object ScatteringFunctions {
     * interpolations combined by the mass-weighted mixture rule.
     */
   def massAttenuation(compound: String, energyKeV: Column): Column =
-    MassAttenuation.get(compound) match {
+    (if (elementOverrides.contains(compound)) None
+     else MassAttenuation.get(compound)) match {
       case Some(t) => interpolateMu(t.points, energyKeV)
       case None =>
         formulaWeights(compound).map { case (el, w) =>
-          interpolateMu(Elements(el).mu, energyKeV) * lit(w)
+          interpolateMu(elementInfo(el).get.mu, energyKeV) * lit(w)
         }.reduce(_ + _)
     }
 
@@ -511,7 +636,7 @@ object ScatteringFunctions {
   def attenuationLength(compound: String, energyKeV: Column,
                         density: Option[Double] = None): Column = {
     lazy val singleElement = parseFormula(compound) match {
-      case Seq((el, _)) => Elements.get(el).flatMap(_.density)
+      case Seq((el, _)) => elementInfo(el).flatMap(_.density)
       case _ => None
     }
     val rho = density

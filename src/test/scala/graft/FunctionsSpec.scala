@@ -210,9 +210,11 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseFormula("(H2O"))
     intercept[IllegalArgumentException](parseFormula("h2o"))
     // parseable but untabulated element → clear error at weights time
-    // (Na is outside the table; Ca joined it in the r14 extension)
+    // (U is outside the table; Na joined it in the r15 extension, Ca
+    // in r14)
     intercept[IllegalArgumentException](
-      ScatteringFunctions.formulaWeights("NaCl"))
+      ScatteringFunctions.formulaWeights("UF6"))
+    assert(ScatteringFunctions.formulaWeights("NaCl").size == 2)
     assert(ScatteringFunctions.formulaWeights("Ca(OH)2").size == 3)
   }
 
