@@ -44,14 +44,27 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
 
+    // SPARK_GRAFT_BENCH_TIMES=1 additionally emits per-iteration wall
+    // times and per-iteration GC-time deltas ("times"/"gc_ms") so an
+    // outlier iteration can be ATTRIBUTED (GC pause vs JIT vs real)
+    // instead of wondered about — tools/bench_ab.py --explain-outlier
+    // drives it. Off by default: the driver-facing line is unchanged.
+    val explain = sys.env.contains("SPARK_GRAFT_BENCH_TIMES")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                name: String): Double = {
+                name: String): (Double, Long) = {
+      val g0 = if (explain) gcMillis else 0L
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, if (explain) gcMillis - g0 else 0L)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -61,7 +74,8 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(fn, name))
-      val timed = (1 to iters).map(_ => runOnce(fn, name))
+      val runs = (1 to iters).map(_ => runOnce(fn, name))
+      val timed = runs.map(_._1)
       // queries that persist() leak cache entries across the sequence
       // (identical logical plans are deduped WITHIN a query's iterations,
       // so warmth is preserved where it matters); without this, storage
@@ -75,18 +89,27 @@ object Bench {
       // fresh-JVM cost). One untimed GC per query keeps the suite
       // measuring plans, not accumulated session debris.
       System.gc()
-      (name, median(timed), timed.min, timed.max)
+      (name, median(timed), timed.min, timed.max, runs)
     }
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // in-run spread per query — lets a reader separate noise from real
     // regressions without a targeted re-run (sub-3 s queries routinely
     // swing 2×+ across JVMs on identical code; see SCALE.md)
-    val spread = results.map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+    val spread = results.map { case (k, _, lo, hi, _) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val extra = if (!explain) "" else {
+      val times = results.map { case (k, _, _, _, runs) =>
+        "\"" + k + "\":[" + runs.map(_._1).mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      val gc = results.map { case (k, _, _, _, runs) =>
+        "\"" + k + "\":[" + runs.map(_._2).mkString(",") + "]" }
+        .mkString("{", ",", "}")
+      s""","times":$times,"gc_ms":$gc"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread$extra,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
     println(line)
     // Also write the full JSON to a file: the driver captures a bounded
     // stdout tail, which truncated the early queries out of round-over-

@@ -98,12 +98,76 @@ def bench_at(wt, queries, sf_dir, iters, warmup, jvm_reps):
     return best
 
 
+def explain_outlier(query, sf_dir, iters, warmup, out_path):
+    """Re-run ONE query `iters` times in ONE JVM with per-iteration wall
+    times and GC-time deltas (SPARK_GRAFT_BENCH_TIMES), then attribute a
+    max-only outlier mechanically:
+      - gc:   the outlier iteration's GC delta exceeds the median
+              iteration's by more than half of the extra wall time;
+      - jit:  the outlier is the FIRST timed iteration (warm-up ran, but
+              lazily-reached code paths still compile there);
+      - none: max within 1.5x of median — there is no outlier to explain;
+      - unexplained: an isolated spike with no GC/JIT signature (box
+              weather: scheduler stall, page cache, a neighbour).
+    """
+    repo = run(["git", "rev-parse", "--show-toplevel"]).strip()
+    out_json = os.path.join(repo, "target", "bench_explain_run.json")
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_BENCH_ITERS": str(iters),
+        "SPARK_GRAFT_BENCH_WARMUP": str(warmup),
+        "SPARK_GRAFT_BENCH_OUT": out_json,
+        "SPARK_GRAFT_BENCH_TIMES": "1",
+    })
+    run(["sbt", "-batch", "runMain graft.Bench " + query], cwd=repo, env=env)
+    with open(out_json) as f:
+        doc = json.load(f)
+    times = doc.get("times", {})
+    gcs = doc.get("gc_ms", {})
+    if len(times) != 1:
+        sys.stderr.write(f"--explain-outlier must select exactly one "
+                         f"query; '{query}' matched {sorted(times)}\n")
+        return 2
+    name = next(iter(times))
+    ts, gs = times[name], gcs.get(name, [0] * len(times[name]))
+    srt = sorted(ts)
+    med = srt[len(srt) // 2]
+    mx = max(ts)
+    i_max = ts.index(mx)
+    med_gc = sorted(gs)[len(gs) // 2]
+    extra_wall_ms = (mx - med) * 1000.0
+    extra_gc_ms = gs[i_max] - med_gc
+    if mx <= 1.5 * med:
+        verdict = "none"
+    elif extra_gc_ms > 0.5 * extra_wall_ms:
+        verdict = "gc"
+    elif i_max == 0:
+        verdict = "jit"
+    else:
+        verdict = "unexplained"
+    report = {
+        "query": name, "iters": iters, "times_s": [round(t, 3) for t in ts],
+        "gc_ms": gs, "median_s": round(med, 3), "max_s": round(mx, 3),
+        "max_iteration": i_max, "extra_wall_ms": round(extra_wall_ms, 1),
+        "extra_gc_ms_vs_median": extra_gc_ms, "verdict": verdict,
+    }
+    print(json.dumps(report, indent=2))
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {out_path}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("old_json")
-    ap.add_argument("new_json")
-    ap.add_argument("--old-commit", required=True,
-                    help="commit the OLD json was measured at")
+    ap.add_argument("old_json", nargs="?")
+    ap.add_argument("new_json", nargs="?")
+    ap.add_argument("--old-commit",
+                    help="commit the OLD json was measured at (required "
+                         "for A/B mode)")
     ap.add_argument("--new-commit", default="HEAD")
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--abs-floor", type=float, default=0.8,
@@ -119,7 +183,22 @@ def main():
     ap.add_argument("--out", default="target/bench_ab.json")
     ap.add_argument("--list-only", action="store_true",
                     help="print the crossings and exit (no re-runs)")
+    ap.add_argument("--explain-outlier", metavar="QUERY",
+                    help="re-run ONE query --iters times in one JVM with "
+                         "per-iteration wall+GC times and attribute a "
+                         "max-only outlier (gc / jit / unexplained); "
+                         "ignores the json/commit arguments")
     args = ap.parse_args()
+
+    if args.explain_outlier:
+        return explain_outlier(args.explain_outlier, args.sf_dir,
+                               max(args.iters, 8), args.warmup,
+                               args.out if args.out != "target/bench_ab.json"
+                               else "target/bench_explain.json")
+    if not args.old_json or not args.new_json or not args.old_commit:
+        sys.stderr.write("old_json, new_json and --old-commit are required "
+                         "unless --explain-outlier is used\n")
+        return 2
 
     repo = run(["git", "rev-parse", "--show-toplevel"]).strip()
     old = load_times(args.old_json)
