@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Max, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, TimestampType}
@@ -96,17 +96,17 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, 
   * statement of intent; the marker fires the three-leg bucketized
   * rewrite with auto-derived width in EVERY mode — no
   * `spark.graft.rangeJoin.bucketWidth` required (a set numeric conf is
-  * honored as the width). INNER and LEFT OUTER joins: the outer form
-  * ("sessions with NO incident window" keeps the session with nulls)
-  * rewrites as the inner three-leg union PLUS the anti-complement —
-  * unmatched left rows found by an all-columns null-safe equi-anti-join
-  * against the DISTINCT matched left tuples (sound because the overlap
-  * condition reads only the row's own columns, so value-identical left
-  * rows share their match fate; multiplicity preserved, no row ids, no
-  * nested loop anywhere). [[Unevaluable]] on purpose: an unrewritable
-  * marker join (unsupported join type, bounds mixed across sides,
-  * >1 marker) fails loudly instead of silently scanning pairs —
-  * [[AsofJoinMarker]]'s contract.
+  * honored as the width). INNER, LEFT/RIGHT OUTER and FULL OUTER joins:
+  * the outer forms ("sessions with NO incident window" keeps the
+  * session with nulls) rewrite as the inner three-leg union PLUS the
+  * anti-complement(s) — unmatched rows found by an all-columns
+  * null-safe equi-anti-join against the DISTINCT matched tuples of
+  * their side (sound because the overlap condition reads only a row's
+  * own columns, so value-identical rows share their match fate;
+  * multiplicity preserved, no row ids, no nested loop anywhere).
+  * [[Unevaluable]] on purpose: an unrewritable marker join (semi/anti
+  * type, bounds mixed across sides, >1 marker) fails loudly instead of
+  * silently scanning pairs — [[AsofJoinMarker]]'s contract.
   */
 case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
                                  bStart: Expression, bEnd: Expression)
@@ -199,6 +199,20 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
           if j.resolved && !marked(cond) &&
             cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
         markedOverlapOuter(j, cond, mode).getOrElse(j)
+      case j @ Join(_, _, RightOuter, Some(cond), _)
+          if j.resolved && !marked(cond) &&
+            cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
+        // the left-outer machinery on the FLIPPED join; the overlap
+        // condition is side-symmetric, only the output column order
+        // needs restoring
+        markedOverlapOuter(
+            Join(j.right, j.left, LeftOuter, Some(cond), JoinHint.NONE),
+            cond, mode)
+          .map(p => Project(j.output, p)).getOrElse(j)
+      case j @ Join(_, _, FullOuter, Some(cond), _)
+          if j.resolved && !marked(cond) &&
+            cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
+        markedOverlapFull(j, cond, mode).getOrElse(j)
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && !marked(cond) &&
             (mode != Off ||
@@ -300,34 +314,64 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     */
   private def markedOverlapOuter(j: Join, cond: Expression,
                                  mode: Mode): Option[LogicalPlan] = {
-    if (!j.left.output.forall(a =>
-        org.apache.spark.sql.catalyst.util.TypeUtils
-          .typeWithProperEquals(a.dataType) ||
-          org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(a.dataType))) return None
+    if (!joinComparable(j.left.output)) return None
     val innerTwin = j.copy(joinType = Inner)
     markedOverlap(innerTwin, cond, mode).map { inner =>
-      val leftCols = j.left.output
-      // DISTINCT matched left value-tuples (spelled as the group-by
-      // Aggregate directly — ReplaceDistinctWithAggregate already ran),
-      // re-aliased to fresh exprIds so the anti join's two sides don't
-      // share attribute ids
-      val aliases = leftCols.map(a => Alias(a, a.name)())
-      val matched = Project(aliases,
-        Aggregate(leftCols, leftCols, Project(leftCols, inner)))
-      val antiCond = leftCols.zip(aliases.map(_.toAttribute))
-        .map { case (l, m) => EqualNullSafe(l, m) }
-        .reduceOption[Expression](And)
-        .getOrElse(Literal(true))
-      val anti = Join(j.left, matched, LeftAnti, Some(antiCond),
-        JoinHint.NONE)
-      // null right payload under the ORIGINAL right exprIds, so the
-      // surrounding plan's references resolve unchanged
-      val nullRight = j.right.output.map(a =>
-        Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId))
-      val nullLeg = Project(leftCols ++ nullRight, anti)
-      Union(Seq(Project(j.output, inner), Project(j.output, nullLeg)))
+      Union(Seq(Project(j.output, inner),
+        Project(j.output, unmatchedNullLeg(inner, j.left, j.right))))
     }
+  }
+
+  /** FULL OUTER marked overlap: the inner rewrite plus BOTH
+    * anti-complements — unmatched left rows with null right columns and
+    * unmatched right rows with null left columns, each found by the
+    * same distinct-tuple null-safe equi-anti as the left-outer form.
+    */
+  private def markedOverlapFull(j: Join, cond: Expression,
+                                mode: Mode): Option[LogicalPlan] = {
+    if (!joinComparable(j.left.output) ||
+        !joinComparable(j.right.output)) return None
+    val innerTwin = j.copy(joinType = Inner)
+    markedOverlap(innerTwin, cond, mode).map { inner =>
+      Union(Seq(Project(j.output, inner),
+        Project(j.output, unmatchedNullLeg(inner, j.left, j.right)),
+        Project(j.output, unmatchedNullLeg(inner, j.right, j.left))))
+    }
+  }
+
+  /** Value-tuple join-comparability (maps can neither group nor
+    * null-safe-compare — such a side refuses the rewrite and the marker
+    * fails loudly instead).
+    */
+  private def joinComparable(attrs: Seq[Attribute]): Boolean =
+    attrs.forall(a =>
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .typeWithProperEquals(a.dataType) ||
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+
+  /** `keep` rows with NO match in the rewritten inner join, extended
+    * with null `other` columns under the ORIGINAL exprIds (so the
+    * surrounding plan's references resolve unchanged). The matched set
+    * is the DISTINCT `keep` value-tuples of the inner result — spelled
+    * as the group-by Aggregate directly (ReplaceDistinctWithAggregate
+    * already ran at this point in the optimizer), re-aliased to fresh
+    * exprIds so the anti join's two sides don't share attribute ids.
+    */
+  private def unmatchedNullLeg(inner: LogicalPlan, keep: LogicalPlan,
+                               other: LogicalPlan): LogicalPlan = {
+    val keepCols = keep.output
+    val aliases = keepCols.map(a => Alias(a, a.name)())
+    val matched = Project(aliases,
+      Aggregate(keepCols, keepCols, Project(keepCols, inner)))
+    val antiCond = keepCols.zip(aliases.map(_.toAttribute))
+      .map { case (l, m) => EqualNullSafe(l, m) }
+      .reduceOption[Expression](And)
+      .getOrElse(Literal(true))
+    val anti = Join(keep, matched, LeftAnti, Some(antiCond), JoinHint.NONE)
+    val nulls = other.output.map(a =>
+      Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId))
+    Project(keepCols ++ nulls, anti)
   }
 
   // ------------------------------------------------------ width resolution

@@ -699,6 +699,33 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val keyedGot = keyed.select("lid", "rid").collect()
       .map(r => (r.getLong(0), Option(r.getAs[Any]("rid")))).toSet
     assert(keyedGot == keyedExp, "keyed left-outer marker join diverged")
+    // RIGHT OUTER mirrors through the flipped left-outer machinery;
+    // FULL OUTER unions both complements — each equals its silent
+    // predicate baseline, still no BNLJ
+    val rOuter = rIntervals.unionAll(Seq((888L, 300000L, 300050L))
+      .toDF("rid", "rs", "re"))
+    for (jt <- Seq("right_outer", "full_outer")) {
+      val exp = withConf("off") {
+        lOuter.join(rOuter,
+            col("ls") < col("re") && col("rs") < col("le"), jt)
+          .select("lid", "rid").collect()
+          .map(r => (Option(r.getAs[Any]("lid")),
+            Option(r.getAs[Any]("rid")))).toSet
+      }
+      val m = lOuter.join(rOuter,
+        expr("interval_overlap(ls, le, rs, re)"), jt)
+      assert(!m.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), s"$jt marker must not BNLJ")
+      val g = m.select("lid", "rid").collect()
+        .map(r => (Option(r.getAs[Any]("lid")),
+          Option(r.getAs[Any]("rid")))).toSet
+      assert(g == exp, s"$jt marker rewrite changed the result")
+      if (jt == "full_outer") {
+        assert(g.exists(p => p._1.isEmpty), "full outer must keep the " +
+          "unmatched right row with a null left side")
+        assert(g.exists(p => p._2.isEmpty))
+      }
+    }
   }
 
   test("fractional widths: a sub-second double-interval corpus gets a " +
