@@ -1014,6 +1014,62 @@ object EventQueries {
         |ORDER BY s.user_id, s.session_id, w.window_id NULLS FIRST"""
         .stripMargin)),
 
+    // The DISTRIBUTED archive on-ramp under an oracle: three synthetic
+    // trx-layout azav bundles (deterministic formula content, written
+    // once via the main-scope Hdf5Writer) decode FILE-PER-TASK through
+    // Bundle.azavFromHdf5Dir (Spark binaryFile → pure-Scala reader
+    // inside the task) and aggregate per (run, q_bin). The oracle never
+    // sees the .h5 files — it replays the generating formula itself
+    // with generate_series, so the whole decode → union → aggregate
+    // chain is hash-gated end to end. sum_i rides the stableSum
+    // discipline; max_delay_ns is order-independent.
+    QueryDef("q183_hdf5_dir_ingest",
+      (s, dir) => {
+        import graft.sources.{Bundle, Hdf5Writer}
+        val st = System.getProperty("java.io.tmpdir") + "/graft_h5dir_q183_v1"
+        val done = new java.io.File(s"$st/_done")
+        if (!done.exists()) {
+          new java.io.File(st).mkdirs()
+          val nQ = 4
+          for (run <- 0 until 3) {
+            val nImg = 3 + run
+            val delays = Array.tabulate(nImg)(r => r * 1e-9 + run * 1e-6)
+            val data =
+              Array.tabulate(nImg * nQ)(i => run * 100.0 + i * 0.5)
+            Hdf5Writer.write(s"$st/run$run.h5", Hdf5Writer.Node(
+              datasets = Seq(
+                "data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data),
+                "delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))))
+          }
+          done.createNewFile()
+        }
+        Bundle.azavFromHdf5Dir(s, s"$st/*.h5")
+          .withColumn("run",
+            regexp_extract(col("file"), "run(\\d+)\\.h5", 1).cast("long"))
+          .groupBy(col("run"), col("q_bin"))
+          .agg(count(lit(1)).as("n_img"),
+            stableSum(col("i")).as("sum_i"),
+            round(max(col("delay")) * 1e9, 3).as("max_delay_ns"))
+          .orderBy("run", "q_bin")
+      },
+      Some(s"""WITH runs AS (SELECT r FROM generate_series(0, 2) t(r)),
+        |imgs AS (
+        |  SELECT r, i FROM runs, generate_series(0, 4) s(i)
+        |  WHERE i <= 2 + r),
+        |cells AS (
+        |  SELECT r, i AS img, j AS q_bin
+        |  FROM imgs, generate_series(0, 3) u(j)),
+        |vals AS (
+        |  SELECT r, img, q_bin,
+        |    r * 100.0 + (img * 4 + q_bin) * 0.5 AS iv,
+        |    img * 1e-9 + r * 1e-6 AS delay
+        |  FROM cells)
+        |SELECT r AS run, q_bin::BIGINT AS q_bin, count(*)::BIGINT AS n_img,
+        |  ${stableSumSql("iv")} AS sum_i,
+        |  round(max(delay) * 1e9, 3) AS max_delay_ns
+        |FROM vals GROUP BY 1, 2
+        |ORDER BY run, q_bin""".stripMargin)),
+
     // Rolling z-score anomaly detection over the hourly event-count
     // series: each (type, hour)'s count scored against the previous 24
     // OBSERVED hours (rows, not wall-hours — production would densify

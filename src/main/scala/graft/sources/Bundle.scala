@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths, Path}
 import scala.jdk.CollectionConverters._
 
@@ -489,6 +490,76 @@ object Bundle {
       Seq("delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))
     Hdf5Writer.write(path, Hdf5Writer.Node(datasets = ds,
       attrs = params.toSeq.map { case (k, v) => k -> attrValue(v) }))
+  }
+
+  /** DISTRIBUTED directory ingest — the scale path the single-file
+    * on-ramps point at: a beamtime's worth of azav bundles (one .h5 per
+    * run, thousands of runs) decodes FILE-PER-TASK across the cluster.
+    * Spark's `binaryFile` source hands each matched file's bytes to one
+    * task (per-file grain is exactly right: an HDF5 file has no internal
+    * split points, and each stays under the documented 2 GiB bound —
+    * binaryFile enforces the same JVM array limit); the pure-Scala
+    * reader then runs INSIDE the task, and the union of curve tables
+    * comes back as one distributed DataFrame
+    * `(file, image_idx, delay, q_bin, i, err)` — re-save as Parquet once
+    * and every later read is columnar. Decode failures name their file.
+    *
+    * Equivalent to the union of [[azavFromHdf5]] over every matched
+    * file, with the driver never holding more than the plan.
+    */
+  def azavFromHdf5Dir(spark: SparkSession, pattern: String,
+                      dataKey: String = "data", errKey: String = "err",
+                      delaysKey: String = "delays"): DataFrame =
+    azavDir(spark, pattern, dataKey, errKey, delaysKey, isNpz = false)
+
+  /** [[azavFromHdf5Dir]]'s npz twin. */
+  def azavFromNpzDir(spark: SparkSession, pattern: String,
+                     dataKey: String = "data", errKey: String = "err",
+                     delaysKey: String = "delays"): DataFrame =
+    azavDir(spark, pattern, dataKey, errKey, delaysKey, isNpz = true)
+
+  private def azavDir(spark: SparkSession, pattern: String,
+                      dataKey: String, errKey: String, delaysKey: String,
+                      isNpz: Boolean): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(pattern)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    files.flatMap { case (path, bytes) =>
+      val arrays: Map[String, (Seq[Long], Array[Double])] =
+        try {
+          if (isNpz)
+            Npz.readBytes(bytes, path)
+              .map(a => a.name -> ((a.dims, a.numeric))).toMap
+          else {
+            val f = Hdf5.readBytes(bytes)
+            f.datasets
+              .map(d => d.path.stripPrefix("/") -> ((d.dims, d.numeric)))
+              .toMap
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"$path: bundle decode failed — ${e.getMessage}", e)
+        }
+      def need(k: String) = arrays.getOrElse(k,
+        throw new NoSuchElementException(
+          s"$path: no array $k; have ${arrays.keys.mkString(", ")}"))
+      val (dims, data) = need(dataKey)
+      require(dims.size == 2, s"$path: $dataKey must be 2-D (nimg x nq)")
+      val nImg = dims(0).toInt
+      val nQ = dims(1).toInt
+      val delays = need(delaysKey)._2
+      require(delays.length == nImg,
+        s"$path: $delaysKey length ${delays.length} != $dataKey rows $nImg")
+      val err = arrays.get(errKey).map(_._2)
+      err.foreach(e => require(e.length == data.length,
+        s"$path: err shape differs from $dataKey"))
+      for (r <- 0 until nImg; c <- 0 until nQ) yield {
+        val i = r * nQ + c
+        (path, r.toLong, delays(r), c.toLong, data(i),
+          err.map(_(i)).getOrElse(0.0))
+      }
+    }.toDF("file", "image_idx", "delay", "q_bin", "i", "err")
   }
 
   /** T2 — parameter-hash cache invalidation (trx/azav.py:303-343): a saved

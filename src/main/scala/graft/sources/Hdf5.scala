@@ -85,7 +85,15 @@ object Hdf5 {
         s"$path is $size bytes, past this reader's ${MaxFileBytes} byte " +
           "(2 GiB) bound — split the archive into smaller bundles (e.g. " +
           "with h5repack / h5copy per group) and ingest each part")
-    val bytes = Files.readAllBytes(p)
+    readBytes(Files.readAllBytes(p))
+  }
+
+  /** [[read]] over an already-loaded byte array — the form executor
+    * tasks use when a DIRECTORY of archives is ingested file-per-task
+    * (Spark's binaryFile source hands each file's content to one task;
+    * see [[Bundle.azavFromHdf5Dir]]).
+    */
+  def readBytes(bytes: Array[Byte]): File = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val r = new Reader(buf)
     val root = r.superblockRootHeader()

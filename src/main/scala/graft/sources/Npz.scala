@@ -60,6 +60,33 @@ object Npz {
     } finally zf.close()
   }
 
+  /** [[read]] over an already-loaded archive byte array — the form
+    * executor tasks use for file-per-task directory ingest (see
+    * [[Bundle.azavFromNpzDir]]). `java.util.zip.ZipInputStream` streams
+    * the members (no temp file).
+    */
+  def readBytes(bytes: Array[Byte], what: String): Seq[NpArray] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = Seq.newBuilder[NpArray]
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName.endsWith(".npy")) {
+          if (e.getSize > MaxMemberBytes)
+            throw new UnsupportedOperationException(
+              s"$what!${e.getName} is ${e.getSize} bytes uncompressed, " +
+                s"past this reader's $MaxMemberBytes byte (2 GiB) bound")
+          val member = zin.readAllBytes()
+          val (dims, num, str) = parseNpy(member, s"$what!${e.getName}")
+          out += NpArray(e.getName.stripSuffix(".npy"), dims, num, str)
+        }
+        e = zin.getNextEntry
+      }
+      out.result().sortBy(_.name)
+    } finally zin.close()
+  }
+
   /** A single standalone `.npy` file. */
   def readNpy(path: String): NpArray = {
     val p = java.nio.file.Paths.get(path)

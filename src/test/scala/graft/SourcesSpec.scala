@@ -598,6 +598,70 @@ class SourcesSpec extends SparkSpec {
       names.toSeq)
   }
 
+  test("azavFromHdf5Dir / azavFromNpzDir: a DIRECTORY of bundles decodes " +
+       "file-per-task and equals the union of single-file ingests") {
+    val dir = Files.createTempDirectory("h5dir").toString
+    val nQ = 4
+    def mk(run: Int): (Array[Double], Array[Double]) = {
+      val nImg = 3 + run
+      val delays = Array.tabulate(nImg)(r => r * 1e-9 + run * 1e-6)
+      val data = Array.tabulate(nImg * nQ)(i => run * 100.0 + i * 0.5)
+      (delays, data)
+    }
+    for (run <- 0 until 3) {
+      val (delays, data) = mk(run)
+      Hdf5Writer.write(s"$dir/run$run.h5", Hdf5Writer.Node(datasets = Seq(
+        "data" -> Hdf5Writer.Doubles(Seq(delays.length, nQ), data),
+        "delays" -> Hdf5Writer.Doubles(Seq(delays.length), delays))))
+      val zo = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(s"$dir/run$run.npz"))
+      def member(name: String, dims: Seq[Int], a: Array[Double]): Unit = {
+        val shape = if (dims.size == 1) s"(${dims.head},)"
+          else dims.mkString("(", ", ", ")")
+        var h = s"{'descr': '<f8', 'fortran_order': False, " +
+          s"'shape': $shape, }"
+        val pad = 64 - ((10 + h.length + 1) % 64)
+        h = h + " " * (if (pad == 64) 0 else pad) + "\n"
+        zo.putNextEntry(new java.util.zip.ZipEntry(name))
+        zo.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+        zo.write(h.length & 0xff); zo.write(h.length >> 8)
+        zo.write(h.getBytes("ISO-8859-1"))
+        val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        a.foreach(bb.putDouble)
+        zo.write(bb.array()); zo.closeEntry()
+      }
+      member("data.npy", Seq(delays.length, nQ), data)
+      member("delays.npy", Seq(delays.length), delays)
+      zo.close()
+    }
+    // distributed dir ingest == union of per-file single ingests
+    val single = (0 until 3).flatMap { run =>
+      Bundle.azavFromHdf5(spark, s"$dir/run$run.h5").collect()
+        .map(r => (s"run$run", r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+    }.toSet
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val f = r.getString(0)
+        (f.substring(f.lastIndexOf('/') + 1).takeWhile(_ != '.'),
+          r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))
+      }.toSet
+    val h5 = Bundle.azavFromHdf5Dir(spark, s"$dir/*.h5")
+    assert(h5.columns.toSeq ==
+      Seq("file", "image_idx", "delay", "q_bin", "i", "err"))
+    assert(normalize(h5) == single,
+      "dir ingest must equal the union of single-file ingests")
+    val npz = Bundle.azavFromNpzDir(spark, s"$dir/*.npz")
+    assert(normalize(npz) == single, "npz dir twin must agree")
+    // a corrupt file fails NAMING the file
+    Files.write(Paths.get(s"$dir/bad.h5"), Array[Byte](1, 2, 3))
+    val err = intercept[Exception](
+      Bundle.azavFromHdf5Dir(spark, s"$dir/*.h5").collect())
+    assert(err.getMessage != null)
+  }
+
   test("azavToHdf5 exports the exact trx azav array layout " +
        "(data/err/q/delays) and azavFromHdf5 re-opens it identically") {
     val dir = Files.createTempDirectory("azavexport").toString
