@@ -520,12 +520,24 @@ object Bundle {
 
   private def azavDir(spark: SparkSession, pattern: String,
                       dataKey: String, errKey: String, delaysKey: String,
-                      isNpz: Boolean): DataFrame = {
+                      isNpz: Boolean): DataFrame =
+    azavCurvesFromBinary(
+      spark.read.format("binaryFile").load(pattern),
+      dataKey, errKey, delaysKey, isNpz)
+
+  /** The per-task decode shared by the batch directory ingest and the
+    * streaming on-ramp ([[graft.streaming.Online.streamingBundleIngest]]):
+    * `files` is any (path, content) binary frame — a batch read or one
+    * foreachBatch micro-batch.
+    */
+  private[graft] def azavCurvesFromBinary(files: DataFrame,
+      dataKey: String, errKey: String, delaysKey: String,
+      isNpz: Boolean): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(pattern)
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    files.flatMap { case (path, bytes) =>
+      .flatMap { case (path, bytes) =>
       val arrays: Map[String, (Seq[Long], Array[Double])] =
         try {
           if (isNpz)

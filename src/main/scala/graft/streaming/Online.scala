@@ -65,6 +65,47 @@ object Online {
       .start()
   }
 
+  /** T1 for ALREADY-REDUCED archives — the streaming twin of
+    * [[graft.sources.Bundle.azavFromHdf5Dir]]: watch a folder the
+    * beamline drops trx DataStorage bundles into (one .h5/.npz per run,
+    * the reference's own persistence grain: trx/azav.py:457,
+    * id9.py:221,301), decode each NEW bundle file-per-task inside the
+    * micro-batch, and append its curve table
+    * `(file, image_idx, delay, q_bin, i, err)` under `storageDir` —
+    * downstream reductions then stream from `curves.parquet` exactly as
+    * they do for the EDF path. File-source checkpointing replaces the
+    * reference's re-list + anti-join loop; a bundle never splits across
+    * batches, so each append is complete per run with no streaming
+    * state.
+    */
+  def streamingBundleIngest(spark: SparkSession, folder: String,
+                            storageDir: String, pattern: String = "*.h5",
+                            npz: Boolean = false,
+                            dataKey: String = "data",
+                            errKey: String = "err",
+                            delaysKey: String = "delays",
+                            pollSeconds: Int = 30,
+                            maxFilesPerTrigger: Int = 32): StreamingQuery = {
+    val checkpointDir = s"$storageDir/checkpoint"
+    val curveDir = s"$storageDir/curves.parquet"
+    val bundles = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("pathGlobFilter", pattern)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(folder)
+      .select(col("path"), col("content"))
+    bundles.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Bundle.azavCurvesFromBinary(
+            batch, dataKey, errKey, delaysKey, isNpz = npz)
+          .write.mode("append").parquet(curveDir)
+        ()
+      }
+      .start()
+  }
+
   /** Stream a folder of curve parquet files (schema: image_idx, delay,
     * q_bin, i, err) into a continuously-updated per-(delay, q_bin) average.
     * foreachBatch re-runs the full reduction on the union of state — exact

@@ -100,6 +100,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBundleIngest decodes trx bundles as the beamline drops " +
+       "them, appends complete curve tables per run, and a restart " +
+       "never re-ingests") {
+    import graft.sources.{Bundle, Hdf5Writer}
+    val drop = Files.createTempDirectory("sb-drop").toString
+    val store = Files.createTempDirectory("sb-store").toString
+    val curves = s"$store/curves.parquet"
+    val nQ = 3
+    def bundle(run: Int): Unit = {
+      val nImg = 2 + run
+      val delays = Array.tabulate(nImg)(r => r * 1e-9)
+      val data = Array.tabulate(nImg * nQ)(i => run * 10.0 + i)
+      Hdf5Writer.write(s"$drop/run$run.h5", Hdf5Writer.Node(datasets = Seq(
+        "data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data),
+        "delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))))
+    }
+    bundle(0)
+    val q = graft.streaming.Online.streamingBundleIngest(
+      spark, drop, store, pollSeconds = 1)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(curves).count() == 2 * nQ)
+      bundle(1)
+      q.processAllAvailable()
+      val got = spark.read.parquet(curves)
+      assert(got.count() == (2 + 3) * nQ)
+      // streamed union == the batch dir ingest of the same folder
+      val batch = Bundle.azavFromHdf5Dir(spark, s"$drop/*.h5")
+      assert(got.collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet,
+        "streamed curves must equal the batch directory ingest")
+    } finally q.stop()
+    // restart on the same checkpoint: nothing re-ingests
+    val q2 = graft.streaming.Online.streamingBundleIngest(
+      spark, drop, store, pollSeconds = 1)
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(curves).count() == (2 + 3) * nQ,
+        "checkpoint restart must not duplicate curves")
+      bundle(2)
+      q2.processAllAvailable()
+      assert(spark.read.parquet(curves).count() == (2 + 3 + 4) * nQ)
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes without reprocessing old frames") {
     val frames = Files.createTempDirectory("cr-frames").toString
     val store = Files.createTempDirectory("cr-store").toString
