@@ -103,10 +103,14 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, 
   * null-safe equi-anti-join against the DISTINCT matched tuples of
   * their side (sound because the overlap condition reads only a row's
   * own columns, so value-identical rows share their match fate;
-  * multiplicity preserved, no row ids, no nested loop anywhere).
-  * [[Unevaluable]] on purpose: an unrewritable marker join (semi/anti
-  * type, bounds mixed across sides, >1 marker) fails loudly instead of
-  * silently scanning pairs — [[AsofJoinMarker]]'s contract.
+  * multiplicity preserved, no row ids, no nested loop anywhere); LEFT
+  * SEMI and LEFT ANTI run directly against the distinct matched tuples
+  * ("sessions with / without an incident" as one declarative join).
+  * Non-deterministic sides refuse every complement form (a side is
+  * evaluated more than once there). [[Unevaluable]] on purpose: an
+  * unrewritable marker join (bounds mixed across sides, >1 marker,
+  * non-deterministic complement side) fails loudly instead of silently
+  * scanning pairs — [[AsofJoinMarker]]'s contract.
   */
 case class IntervalOverlapMarker(aStart: Expression, aEnd: Expression,
                                  bStart: Expression, bEnd: Expression)
@@ -213,6 +217,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
           if j.resolved && !marked(cond) &&
             cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
         markedOverlapFull(j, cond, mode).getOrElse(j)
+      case j @ Join(_, _, LeftSemi | LeftAnti, Some(cond), _)
+          if j.resolved && !marked(cond) &&
+            cond.exists(_.isInstanceOf[IntervalOverlapMarker]) =>
+        markedOverlapSemiAnti(j, cond, mode).getOrElse(j)
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && !marked(cond) &&
             (mode != Off ||
@@ -317,9 +325,19 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     * this is the alternative to. Refused (marker stays, fails loudly)
     * when a left column type cannot join-compare (map columns).
     */
+  /** The complement machinery evaluates a side more than once (semi
+    * legs + anti probe), so a non-deterministic side (rand()-derived
+    * columns) would compare DIFFERENT datasets between evaluations —
+    * refuse, the marker fails loudly.
+    */
+  private def deterministicSides(j: Join): Boolean =
+    !Seq(j.left, j.right).exists(_.exists(_.expressions.exists(e =>
+      e.exists(!_.deterministic))))
+
   private def markedOverlapOuter(j: Join, cond: Expression,
                                  mode: Mode): Option[LogicalPlan] = {
-    if (!joinComparable(j.left.output)) return None
+    if (!joinComparable(j.left.output) || !deterministicSides(j))
+      return None
     val innerTwin = j.copy(joinType = Inner)
     markedOverlapParts(innerTwin, cond, mode).map { case (c, w, pat) =>
       val inner = rewriteOverlap(innerTwin, c, w, pat)
@@ -337,7 +355,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   private def markedOverlapFull(j: Join, cond: Expression,
                                 mode: Mode): Option[LogicalPlan] = {
     if (!joinComparable(j.left.output) ||
-        !joinComparable(j.right.output)) return None
+        !joinComparable(j.right.output) ||
+        !deterministicSides(j)) return None
     val innerTwin = j.copy(joinType = Inner)
     markedOverlapParts(innerTwin, cond, mode).map { case (c, w, pat) =>
       val inner = rewriteOverlap(innerTwin, c, w, pat)
@@ -346,6 +365,31 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       Union(Seq(Project(j.output, inner),
         Project(j.output, unmatchedNullLeg(mL, j.left, j.right)),
         Project(j.output, unmatchedNullLeg(mR, j.right, j.left))))
+    }
+  }
+
+  /** LEFT SEMI / LEFT ANTI marked overlap ("sessions WITH ≥1 incident" /
+    * "sessions with NO incident", output = left columns only): the
+    * semi/anti join runs directly against the DISTINCT matched left
+    * value-tuples on null-safe all-columns equality — value-identical
+    * rows share their match fate, so membership of the tuple decides
+    * and multiplicity is preserved.
+    */
+  private def markedOverlapSemiAnti(j: Join, cond: Expression,
+                                    mode: Mode): Option[LogicalPlan] = {
+    if (!joinComparable(j.left.output) || !deterministicSides(j))
+      return None
+    val innerTwin = Join(j.left, j.right, Inner, Some(cond), JoinHint.NONE)
+    markedOverlapParts(innerTwin, cond, mode).map { case (c, w, pat) =>
+      val matched = matchedTuples(keepLeft = true, innerTwin, c, w, pat)
+      val leftCols = j.left.output
+      val aliases = leftCols.map(a => Alias(a, a.name)())
+      val probe = Project(aliases, matched)
+      val eqCond = leftCols.zip(aliases.map(_.toAttribute))
+        .map { case (l, m) => EqualNullSafe(l, m) }
+        .reduceOption[Expression](And)
+        .getOrElse(Literal(true))
+      Join(j.left, probe, j.joinType, Some(eqCond), JoinHint.NONE)
     }
   }
 

@@ -1014,6 +1014,67 @@ object EventQueries {
         |ORDER BY s.user_id, s.session_id, w.window_id NULLS FIRST"""
         .stripMargin)),
 
+    // The ANTI form of the overlap marker family: sessions with NO
+    // error window AT ALL, as one declarative LEFT ANTI join — the
+    // rule runs it against the distinct matched left tuples (semi-probe
+    // legs + null-safe equi-anti), never a nested loop. Oracle: the
+    // same sessionization with NOT EXISTS.
+    QueryDef("q184_overlap_marker_anti",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("sec", tsSec)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = tsSec - lag(tsSec, 1).over(w)
+        val sessions = ev
+          .withColumn("new_session",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("s_start"),
+            (max(col("sec")) + 1L).as("s_end"))
+        val windows = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("w_user"),
+            col("sec").as("w_start"), (col("sec") + 600L).as("w_end"))
+        sessions.join(windows,
+            col("user_id") === col("w_user") &&
+              expr("interval_overlap(s_start, s_end, w_start, w_end)"),
+            "left_anti")
+          .select(col("user_id"), col("session_id"), col("s_start"),
+            col("s_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+        |    ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (SELECT user_id, event_id, sec, ts,
+        |          sec - lag(sec) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS gap
+        |        FROM ev)),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(sec) AS s_start,
+        |    max(sec) + 1 AS s_end
+        |  FROM marked GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, sec AS w_start, sec + 600 AS w_end
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id::BIGINT AS session_id,
+        |  s.s_start, s.s_end
+        |FROM sessions s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM w WHERE w.user_id = s.user_id
+        |    AND s.s_start < w.w_end AND w.w_start < s.s_end)
+        |ORDER BY s.user_id, s.session_id""".stripMargin)),
+
     // The DISTRIBUTED archive on-ramp under an oracle: three synthetic
     // trx-layout azav bundles (deterministic formula content, written
     // once via the main-scope Hdf5Writer) decode FILE-PER-TASK through

@@ -704,6 +704,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     // predicate baseline, still no BNLJ
     val rOuter = rIntervals.unionAll(Seq((888L, 300000L, 300050L))
       .toDF("rid", "rs", "re"))
+    // SEMI and ANTI: output = left columns; equal the silent baselines
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val exp = withConf("off") {
+        lOuter.join(rIntervals,
+            col("ls") < col("re") && col("rs") < col("le"), jt)
+          .select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val m = lOuter.join(rIntervals,
+        expr("interval_overlap(ls, le, rs, re)"), jt)
+      assert(!m.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), s"$jt marker must not BNLJ")
+      assert(m.columns.toSeq == Seq("lid", "ls", "le"),
+        s"$jt output must be the left columns only")
+      val g = m.select("lid").collect().map(_.getLong(0)).toSeq.sorted
+      assert(g == exp, s"$jt marker rewrite changed the result")
+    }
+    // a non-deterministic side refuses the complement forms loudly
+    // (the side would be evaluated twice) — the marker stays Unevaluable
+    val nd = lOuter.withColumn("r", rand())
+    val ndErr = intercept[Exception](
+      nd.join(rIntervals,
+          expr("interval_overlap(ls, le, rs, re)"), "left_anti")
+        .collect())
+    assert(ndErr.getMessage != null)
     for (jt <- Seq("right_outer", "full_outer")) {
       val exp = withConf("off") {
         lOuter.join(rOuter,
