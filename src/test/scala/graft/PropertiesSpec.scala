@@ -174,6 +174,53 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Bundle.toHdf5 |> fromHdf5 round-trips arbitrary table shapes: " +
+       "rank 1/2/3 numeric grids, string tables, mixed params") {
+    import graft.sources.Bundle
+    val rnd = new scala.util.Random(17)
+    val dir = java.nio.file.Files.createTempDirectory("h5exprop").toString
+    for (i <- 0 until 10) {
+      val rank = 1 + rnd.nextInt(3)
+      val dims = Seq.fill(rank)(1 + rnd.nextInt(8))
+      val n = dims.product
+      val data = Array.fill(n)(rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1e6 - 5e5
+        case 1 => rnd.nextInt(100).toDouble
+        case 2 => -rnd.nextGaussian()
+        case _ => 0.0
+      })
+      val numDf = rank match {
+        case 1 => data.zipWithIndex.toSeq
+          .map { case (v, k) => (k.toLong, v) }.toDF("idx", "value")
+        case 2 => data.zipWithIndex.toSeq.map { case (v, k) =>
+          ((k / dims(1)).toLong, (k % dims(1)).toLong, v)
+        }.toDF("row", "col", "value")
+        case _ => data.zipWithIndex.toSeq.map { case (v, k) =>
+          ((k / (dims(1) * dims(2))).toLong,
+            (k / dims(2) % dims(1)).toLong, (k % dims(2)).toLong, v)
+        }.toDF("i0", "i1", "i2", "value")
+      }
+      val strs = Array.fill(1 + rnd.nextInt(6))(
+        rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+      val strDf = strs.zipWithIndex.toSeq
+        .map { case (v, k) => (k.toLong, v) }.toDF("idx", "value")
+      val tables = Map("num" -> numDf, "grp/names" -> strDf)
+      val params = Map("k" -> rnd.nextInt(1000).toString,
+        "x" -> rnd.nextGaussian().toString,
+        "s" -> rnd.alphanumeric.take(8).mkString,
+        "grp@note" -> "p")
+      val p = s"$dir/rt$i.h5"
+      Bundle.toHdf5(p, tables, params)
+      val (rt, rtParams) = Bundle.fromHdf5(spark, p)
+      assert(rtParams == params, s"iter $i: params diverged")
+      assert(rt.keySet == tables.keySet)
+      for (k <- tables.keySet)
+        assert(rt(k).collect().map(_.toSeq).toSet ==
+          tables(k).collect().map(_.toSeq).toSet,
+          s"iter $i: table $k diverged (dims $dims)")
+    }
+  }
+
   test("shingle identity: permuted docs share no order-sensitive shingles") {
     val df = Seq(("a b c d e", "e d c b a")).toDF("x", "y")
     val r = df.select(
