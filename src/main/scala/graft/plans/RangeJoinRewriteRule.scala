@@ -382,15 +382,49 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
     val innerTwin = Join(j.left, j.right, Inner, Some(cond), JoinHint.NONE)
     markedOverlapParts(innerTwin, cond, mode).map { case (c, w, pat) =>
       val matched = matchedTuples(keepLeft = true, innerTwin, c, w, pat)
-      val leftCols = j.left.output
-      val aliases = leftCols.map(a => Alias(a, a.name)())
-      val probe = Project(aliases, matched)
-      val eqCond = leftCols.zip(aliases.map(_.toAttribute))
-        .map { case (l, m) => EqualNullSafe(l, m) }
-        .reduceOption[Expression](And)
-        .getOrElse(Literal(true))
+      val (probe, eqCond) = nullSafeProbe(j.left.output, matched)
       Join(j.left, probe, j.joinType, Some(eqCond), JoinHint.NONE)
     }
+  }
+
+  /** The matched-tuples side re-aliased to fresh exprIds plus the
+    * null-safe all-columns equality against the original attributes —
+    * shared by the anti complement and the semi/anti direct forms.
+    */
+  private def nullSafeProbe(cols: Seq[Attribute],
+      matched: LogicalPlan): (LogicalPlan, Expression) = {
+    val aliases = cols.map(a => Alias(a, a.name)())
+    val probe = Project(aliases, matched)
+    val eq = cols.zip(aliases.map(_.toAttribute))
+      .map { case (l, m) => EqualNullSafe(l, m) }
+      .reduceOption[Expression](And)
+      .getOrElse(Literal(true))
+    (probe, eq)
+  }
+
+  /** The exploded-interval leg (`hi > lo` guard + one bucket row per
+    * covered bucket) — ONE implementation for the inner rewrite and
+    * every complement form, so the matched set the complements see is
+    * exactly what the inner join produces.
+    */
+  private def explodedPlan(side: LogicalPlan, s: Expression, e: Expression,
+      width: Double): (LogicalPlan, Attribute) = {
+    val gen = Explode(Sequence(bucket(s, width),
+      endBucket(e, width), None, Some(conf.sessionLocalTimeZone)))
+    val attr = AttributeReference(BucketName, LongType, nullable = false)()
+    (Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(attr),
+      child = Filter(GreaterThan(e, s), side)), attr)
+  }
+
+  /** The degenerate-interval (point-probe) leg — `end <= start` rows
+    * bucket at their start. Shared like [[explodedPlan]].
+    */
+  private def pointBucketPlan(side: LogicalPlan, s: Expression,
+      e: Expression, width: Double): (LogicalPlan, Attribute) = {
+    val a = Alias(bucket(s, width), BucketName)()
+    (Project(side.output :+ a,
+      Filter(LessThanOrEqual(e, s), side)), a.toAttribute)
   }
 
   /** The DISTINCT matched value-tuples of one side under the overlap
@@ -407,39 +441,23 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
       pat: (Expression, Expression, Expression, Expression)): LogicalPlan = {
     val (lS, lE, rS, rE) = pat
     val keepCols = (if (keepLeft) j.left else j.right).output
-    def exploded(side: LogicalPlan, s: Expression,
-                 e: Expression): (LogicalPlan, Attribute) = {
-      val gen = Explode(Sequence(bucket(s, width),
-        endBucket(e, width), None, Some(conf.sessionLocalTimeZone)))
-      val attr = AttributeReference(BucketName, LongType,
-        nullable = false)()
-      (Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(attr),
-        child = Filter(GreaterThan(e, s), side)), attr)
-    }
-    def pointBucket(side: LogicalPlan, s: Expression,
-                    e: Expression): (LogicalPlan, Attribute) = {
-      val a = Alias(bucket(s, width), BucketName)()
-      (Project(side.output :+ a,
-        Filter(LessThanOrEqual(e, s), side)), a.toAttribute)
-    }
     def semi(probe: LogicalPlan, build: LogicalPlan,
              extra: Expression): LogicalPlan =
       Project(keepCols,
         Join(probe, build, LeftSemi, Some(And(cond, extra)), JoinHint.NONE))
 
-    val (lx1, lb1) = exploded(j.left, lS, lE)
-    val (rx1, rb1) = exploded(j.right, rS, rE)
+    val (lx1, lb1) = explodedPlan(j.left, lS, lE, width)
+    val (rx1, rb1) = explodedPlan(j.right, rS, rE, width)
     val leg1 =
       if (keepLeft) semi(lx1, rx1, EqualTo(lb1, rb1))
       else semi(rx1, lx1, EqualTo(lb1, rb1))
-    val (lInv, lInvB) = pointBucket(j.left, lS, lE)
-    val (rx2, rb2) = exploded(j.right, rS, rE)
+    val (lInv, lInvB) = pointBucketPlan(j.left, lS, lE, width)
+    val (rx2, rb2) = explodedPlan(j.right, rS, rE, width)
     val leg2 =
       if (keepLeft) semi(lInv, rx2, EqualTo(lInvB, rb2))
       else semi(rx2, lInv, EqualTo(lInvB, rb2))
-    val (lx3, lb3) = exploded(j.left, lS, lE)
-    val (rInv, rInvB) = pointBucket(j.right, rS, rE)
+    val (lx3, lb3) = explodedPlan(j.left, lS, lE, width)
+    val (rInv, rInvB) = pointBucketPlan(j.right, rS, rE, width)
     val leg3 =
       if (keepLeft) semi(lx3, rInv, EqualTo(lb3, rInvB))
       else semi(rInv, lx3, EqualTo(lb3, rInvB))
@@ -469,13 +487,8 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
                                keep: LogicalPlan,
                                other: LogicalPlan): LogicalPlan = {
     val keepCols = keep.output
-    val aliases = keepCols.map(a => Alias(a, a.name)())
-    val matched = Project(aliases, matchedDistinct)
-    val antiCond = keepCols.zip(aliases.map(_.toAttribute))
-      .map { case (l, m) => EqualNullSafe(l, m) }
-      .reduceOption[Expression](And)
-      .getOrElse(Literal(true))
-    val anti = Join(keep, matched, LeftAnti, Some(antiCond), JoinHint.NONE)
+    val (probe, antiCond) = nullSafeProbe(keepCols, matchedDistinct)
+    val anti = Join(keep, probe, LeftAnti, Some(antiCond), JoinHint.NONE)
     val nulls = other.output.map(a =>
       Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId))
     Project(keepCols ++ nulls, anti)
@@ -975,24 +988,10 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] {
   private def rewriteOverlap(j: Join, cond: Expression, width: Double,
       pat: (Expression, Expression, Expression, Expression)): LogicalPlan = {
     val (lS, lE, rS, rE) = pat
-
-    def exploded(side: LogicalPlan, s: Expression,
-                 e: Expression): (LogicalPlan, Attribute) = {
-      val gen = Explode(Sequence(bucket(s, width),
-        endBucket(e, width), None,
-        Some(conf.sessionLocalTimeZone)))
-      val attr = AttributeReference(BucketName, LongType,
-        nullable = false)()
-      (Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(attr),
-        child = Filter(GreaterThan(e, s), side)), attr)
-    }
-    def pointBucket(side: LogicalPlan, s: Expression,
-                    e: Expression): (LogicalPlan, Attribute) = {
-      val a = Alias(bucket(s, width), BucketName)()
-      (Project(side.output :+ a,
-        Filter(LessThanOrEqual(e, s), side)), a.toAttribute)
-    }
+    def exploded(side: LogicalPlan, s: Expression, e: Expression) =
+      explodedPlan(side, s, e, width)
+    def pointBucket(side: LogicalPlan, s: Expression, e: Expression) =
+      pointBucketPlan(side, s, e, width)
     val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
 
     val (lx, lb) = exploded(j.left, lS, lE)

@@ -235,7 +235,7 @@ object Bundle {
     val f = Hdf5.read(path)
     val data = f.dataset(dataKey)
     azavCurves(spark, dataKey, data.dims, data.numeric,
-      f.datasets.find(_.path.stripPrefix("/") == errKey).map(_.numeric),
+      f.datasetOpt(errKey).map(_.numeric),
       delaysKey, f.dataset(delaysKey).numeric)
   }
 
@@ -325,17 +325,24 @@ object Bundle {
   private def buildNode(tree: Tree,
                         params: Seq[(String, String)]): Hdf5Writer.Node = {
     // attrs owned here: no '@' → this group; 'dsName@attr' for a local
-    // dataset; 'child/...' routes down
+    // dataset; 'childGroup@attr' becomes attr 'attr' ON that child group
+    // (h5py-side readers open f['childGroup'].attrs['attr'], so the name
+    // must not stay mangled on the parent); 'child/...' routes down
     val (here, below) = params.partition(!_._1.contains("/"))
-    val (dsOwned, groupOwned) = here.partition { case (k, _) =>
-      k.contains("@") && tree.datasets.contains(k.takeWhile(_ != '@')) }
-    val dsAttrs = dsOwned.groupBy(_._1.takeWhile(_ != '@')).map {
+    def atPrefix(k: String): String = k.takeWhile(_ != '@')
+    val (dsOwned, rest) = here.partition { case (k, _) =>
+      k.contains("@") && tree.datasets.contains(atPrefix(k)) }
+    val (childOwned, groupOwned) = rest.partition { case (k, _) =>
+      k.contains("@") && tree.children.contains(atPrefix(k)) }
+    val dsAttrs = dsOwned.groupBy(k => atPrefix(k._1)).map {
       case (ds, kvs) => ds -> kvs.map { case (k, v) =>
         k.drop(ds.length + 1) -> attrValue(v) }
     }
     val groups = tree.children.toSeq.sortBy(_._1).map { case (name, sub) =>
       val subParams = below.collect {
         case (k, v) if k.startsWith(s"$name/") => k.drop(name.length + 1) -> v
+      } ++ childOwned.collect {
+        case (k, v) if atPrefix(k) == name => k.drop(name.length + 1) -> v
       }
       name -> buildNode(sub, subParams)
     }
@@ -366,10 +373,20 @@ object Bundle {
     require(rows.length.toLong == total,
       s"table $name is sparse (${rows.length} rows for a " +
         s"${dims.mkString("x")} grid) — fill the grid before exporting")
+    // a duplicate tuple would mask a missing cell behind the row-count
+    // check (the overwrite is collect-order nondeterministic, the hole
+    // exports as 0.0) — fail loudly instead
+    val seen = new java.util.BitSet(total.toInt)
     def flat(r: org.apache.spark.sql.Row): Int = {
       var o = 0L
       idxCols.indices.foreach(d => o = o * dims(d) + r.getLong(d))
-      o.toInt
+      val i = o.toInt
+      require(!seen.get(i),
+        s"table $name has a duplicate index tuple " +
+          s"(${idxCols.indices.map(r.getLong).mkString(", ")}) — " +
+          "deduplicate before exporting")
+      seen.set(i)
+      i
     }
     val isString =
       df.schema("value").dataType == org.apache.spark.sql.types.StringType
@@ -415,6 +432,14 @@ object Bundle {
     * they must travel.
     */
   def toNpz(path: String, tables: Map[String, DataFrame]): Unit = {
+    // '/'→'_' flattening can collide ("a/b" and "a_b") and a duplicate
+    // zip entry aborts MID-EXPORT leaving a truncated archive — check
+    // up front with both offenders named
+    tables.keys.groupBy(_.replace('/', '_')).foreach { case (m, ks) =>
+      require(ks.size == 1,
+        s"npz member name collision: ${ks.mkString(", ")} all flatten " +
+          s"to $m.npy — rename the tables")
+    }
     val zos = new java.util.zip.ZipOutputStream(
       Files.newOutputStream(Paths.get(path)))
     try {
@@ -478,8 +503,13 @@ object Bundle {
     val data = new Array[Double](nImg * nQ)
     val err = if (hasErr) Some(new Array[Double](nImg * nQ)) else None
     val delays = new Array[Double](nImg)
+    val seen = new java.util.BitSet(nImg * nQ)
     rows.foreach { r =>
       val at = r.getLong(0).toInt * nQ + r.getLong(1).toInt
+      require(!seen.get(at),
+        s"duplicate (image_idx, q_bin) = (${r.getLong(0)}, " +
+          s"${r.getLong(1)}) — deduplicate the curve table before export")
+      seen.set(at)
       data(at) = r.getDouble(3)
       err.foreach(_(at) = r.getDouble(4))
       delays(r.getLong(0).toInt) = r.getDouble(2)
@@ -545,9 +575,13 @@ object Bundle {
               .map(a => a.name -> ((a.dims, a.numeric))).toMap
           else {
             val f = Hdf5.readBytes(bytes)
-            f.datasets
+            val base = f.datasets
               .map(d => d.path.stripPrefix("/") -> ((d.dims, d.numeric)))
               .toMap
+            // hard-link alias paths serve the canonical array, so the
+            // requested key matches no matter which diamond path it is
+            base ++ f.aliases.flatMap { case (a, c) =>
+              base.get(c.stripPrefix("/")).map(a.stripPrefix("/") -> _) }
           }
         } catch { case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(

@@ -61,13 +61,31 @@ object Hdf5 {
     */
   final case class File(datasets: Seq[Dataset], attrs: Seq[Attr],
                         aliases: Map[String, String] = Map.empty) {
-    /** Lookup by path, leading-slash agnostic (`data` == `/data`). */
-    def dataset(path: String): Dataset = {
+    /** A hard-link alias path resolves to its canonical (first-seen)
+      * path; anything else resolves to itself — so lookups work no
+      * matter which of a diamond's paths the caller asks for.
+      */
+    def resolve(path: String): String = {
       val want = path.stripPrefix("/")
-      datasets.find(_.path.stripPrefix("/") == want).getOrElse(
-        throw new NoSuchElementException(
-          s"no dataset $path; have ${datasets.map(_.path).mkString(", ")}"))
+      aliases.collectFirst {
+        case (a, c) if a.stripPrefix("/") == want => c.stripPrefix("/")
+      }.getOrElse(want)
     }
+
+    /** Lookup by path, leading-slash agnostic (`data` == `/data`),
+      * following hard-link aliases.
+      */
+    def datasetOpt(path: String): Option[Dataset] = {
+      val want = resolve(path)
+      datasets.find(_.path.stripPrefix("/") == want)
+    }
+
+    def dataset(path: String): Dataset =
+      datasetOpt(path).getOrElse(
+        throw new NoSuchElementException(
+          s"no dataset $path; have ${datasets.map(_.path).mkString(", ")}" +
+            (if (aliases.isEmpty) ""
+             else s" (aliases: ${aliases.mkString(", ")})")))
   }
 
   /** This reader maps the whole file into one JVM byte array, so files

@@ -149,39 +149,47 @@ object Hdf5Writer {
       bb.array()
     }
 
-    /** One `GCOL` global-heap collection holding every string, in order;
-      * returns the collection address plus per-string (index, byte
-      * length). Terminated by a 16-byte free-space object (index 0).
+    /** `GCOL` global-heap collections holding every string, in order;
+      * returns per-string (collection address, index, byte length).
+      * A heap-object index is a 16-bit field, so strings chunk across
+      * collections at 65535 per `GCOL` — without this, string 65536
+      * would wrap to index 0 (the free-space sentinel) and the file
+      * would be silently unreadable. Each collection is terminated by
+      * a 16-byte free-space object (index 0).
       */
-    private def writeGcol(strings: Seq[Array[Byte]]): (Long, Seq[(Int, Int)]) = {
-      pad8()
-      val addr = pos
+    private def writeGcol(strings: Seq[Array[Byte]])
+        : Seq[(Long, Int, Int)] = {
       def p8(n: Int) = (n + 7) & ~7
-      val collSize = 16L + strings.map(s => 16 + p8(s.length)).sum + 16
-      raw("GCOL".getBytes)
-      u8(1); u8(0); u8(0); u8(0) // version, reserved
-      u64(collSize)
-      val ids = strings.zipWithIndex.map { case (s, i) =>
-        u16(i + 1); u16(1); u32(0L) // index, refcount, reserved
-        u64(s.length.toLong)
-        raw(s)
-        (s.length until p8(s.length)).foreach(_ => u8(0))
-        (i + 1, s.length)
-      }
-      // free-space terminator: index 0, size = the remaining bytes
-      u16(0); u16(0); u32(0L); u64(16L)
-      (addr, ids)
+      strings.grouped(0xffff).flatMap { group =>
+        pad8()
+        val addr = pos
+        val collSize = 16L + group.map(s => 16 + p8(s.length)).sum + 16
+        raw("GCOL".getBytes)
+        u8(1); u8(0); u8(0); u8(0) // version, reserved
+        u64(collSize)
+        val ids = group.zipWithIndex.map { case (s, i) =>
+          u16(i + 1); u16(1); u32(0L) // index, refcount, reserved
+          u64(s.length.toLong)
+          raw(s)
+          (s.length until p8(s.length)).foreach(_ => u8(0))
+          (addr, i + 1, s.length)
+        }
+        // free-space terminator: index 0, size = the remaining bytes
+        u16(0); u16(0); u32(0L); u64(16L)
+        ids
+      }.toSeq
     }
 
     /** The 16-byte heap-ID payload for vlen strings: write the GCOL
-      * first, then one (length, collection address, index) per element.
+      * collection(s) first, then one (length, collection address,
+      * index) per element.
       */
     private def vlenPayload(data: Array[String]): Array[Byte] = {
       val bytes = data.toSeq.map(_.getBytes("UTF-8"))
-      val (coll, ids) = writeGcol(bytes)
+      val ids = writeGcol(bytes)
       val bb = ByteBuffer.allocate(data.length * 16)
         .order(ByteOrder.LITTLE_ENDIAN)
-      ids.foreach { case (idx, len) =>
+      ids.foreach { case (coll, idx, len) =>
         bb.putInt(len); bb.putLong(coll); bb.putInt(idx)
       }
       bb.array()

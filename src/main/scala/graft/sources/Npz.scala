@@ -73,11 +73,10 @@ object Npz {
       var e = zin.getNextEntry
       while (e != null) {
         if (e.getName.endsWith(".npy")) {
-          if (e.getSize > MaxMemberBytes)
-            throw new UnsupportedOperationException(
-              s"$what!${e.getName} is ${e.getSize} bytes uncompressed, " +
-                s"past this reader's $MaxMemberBytes byte (2 GiB) bound")
-          val member = zin.readAllBytes()
+          // the entry's declared size may be UNKNOWN (-1: local headers
+          // with data descriptors), so the bound is enforced while
+          // reading — never trusted from the header alone
+          val member = readBounded(zin, s"$what!${e.getName}")
           val (dims, num, str) = parseNpy(member, s"$what!${e.getName}")
           out += NpArray(e.getName.stripSuffix(".npy"), dims, num, str)
         }
@@ -85,6 +84,27 @@ object Npz {
       }
       out.result().sortBy(_.name)
     } finally zin.close()
+  }
+
+  /** Read one member fully, failing LOUDLY the moment the uncompressed
+    * size passes [[MaxMemberBytes]] — instead of an opaque
+    * OutOfMemoryError inside an executor task.
+    */
+  private def readBounded(in: java.io.InputStream, what: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    val tmp = new Array[Byte](1 << 16)
+    var total = 0L
+    var k = in.read(tmp)
+    while (k >= 0) {
+      total += k
+      if (total > MaxMemberBytes)
+        throw new UnsupportedOperationException(
+          s"$what exceeds this reader's $MaxMemberBytes byte (2 GiB) " +
+            "uncompressed bound — split the array and ingest each part")
+      buf.write(tmp, 0, k)
+      k = in.read(tmp)
+    }
+    buf.toByteArray
   }
 
   /** A single standalone `.npy` file. */

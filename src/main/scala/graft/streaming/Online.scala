@@ -55,11 +55,18 @@ object Online {
     frames.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed partition OVERWRITE, not a blind append: foreachBatch
+        // is at-least-once, and a crash between an append and the
+        // checkpoint commit would re-deliver the batch and double-count
+        // its frames in every downstream average — a replay overwrites
+        // its own batch=N directory instead (the engine's standard
+        // exactly-once move; readers see the extra `batch` partition
+        // column)
         graft.operators.Azav.integrateFrames(
           graft.sources.ImageSource.readFrames(batch), config.geometry,
           config.grid, config.dark, config.maskFn)
-          .write.mode("append").parquet(curveDir)
+          .write.mode("overwrite").parquet(s"$curveDir/batch=$batchId")
         ()
       }
       .start()
@@ -97,10 +104,13 @@ object Online {
     bundles.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$pollSeconds seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed partition overwrite (see streamingAzav): an
+        // at-least-once re-delivery rewrites its own batch=N directory
+        // byte-identically instead of appending the runs a second time
         graft.sources.Bundle.azavCurvesFromBinary(
             batch, dataKey, errKey, delaysKey, isNpz = npz)
-          .write.mode("append").parquet(curveDir)
+          .write.mode("overwrite").parquet(s"$curveDir/batch=$batchId")
         ()
       }
       .start()

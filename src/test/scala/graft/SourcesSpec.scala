@@ -509,9 +509,71 @@ class SourcesSpec extends SparkSpec {
     val f = Hdf5.read(s"$dir/d.h5")
     assert(f.datasets.size == 1 && f.dataset("data").numeric.toSeq == vec.toSeq)
     assert(f.aliases == Map("/view/data" -> "/data"))
+    // the ALIAS path must keep resolving — callers that know the object
+    // by its other diamond path (pre-dedup behavior) still find it
+    assert(f.dataset("view/data").numeric.toSeq == vec.toSeq)
+    assert(f.dataset("/view/data").numeric.toSeq == vec.toSeq)
     val (tables, params) = Bundle.fromHdf5(spark, s"$dir/d.h5")
     assert(tables.keySet == Set("data"))
     assert(params("alias:view/data") == "data")
+    // and the azav pivot accepts either path as its dataKey
+    Hdf5Writer.write(s"$dir/az.h5", Hdf5Writer.Node(
+      datasets = Seq(
+        "data" -> Hdf5Writer.Doubles(Seq(2, 2), Array(1.0, 2.0, 3.0, 4.0)),
+        "delays" -> Hdf5Writer.Doubles(Seq(2), Array(0.0, 1e-9))),
+      groups = Seq("view" -> Hdf5Writer.Node(
+        datasets = Seq("data" -> Hdf5Writer.Alias("/data"))))))
+    val viaAlias = Bundle.azavFromHdf5(spark, s"$dir/az.h5",
+      dataKey = "view/data").collect().map(_.toSeq).toSet
+    val direct = Bundle.azavFromHdf5(spark, s"$dir/az.h5")
+      .collect().map(_.toSeq).toSet
+    assert(viaAlias == direct && direct.nonEmpty)
+  }
+
+  test("HDF5 writer: group attrs land ON the group (trx-side readers " +
+       "open f['grp'].attrs), vlen GCOL chunks past 65535 strings, and " +
+       "export guards fail loudly (duplicate tuples, npz collisions)") {
+    import graft.sources.{Hdf5, Npz}
+    val dir = Files.createTempDirectory("h5guards").toString
+    // grp@attr placement: the attribute must live at path /log named
+    // 'note', not mangled on the parent
+    Bundle.toHdf5(s"$dir/attrs.h5",
+      Map("log/file" -> Seq((0L, "a.edf")).toDF("idx", "value")),
+      Map("log@note" -> "two-way", "top" -> "root-level"))
+    val f = Hdf5.read(s"$dir/attrs.h5")
+    assert(f.attrs.exists(a => a.path == "/log" && a.name == "note" &&
+      a.string.contains("two-way")),
+      s"log@note must be attr 'note' ON /log; got ${f.attrs}")
+    assert(f.attrs.exists(a => a.path == "/" && a.name == "top"))
+    // >65535 vlen strings: the heap-object index is 16-bit, so the
+    // writer must chunk GCOL collections — and every string round-trips
+    val many = Array.tabulate(70000)(i => s"f$i")
+    Hdf5Writer.write(s"$dir/many.h5", Hdf5Writer.Node(
+      datasets = Seq("names" -> Hdf5Writer.VStrings(many))))
+    val got = Hdf5.read(s"$dir/many.h5").dataset("names").strings
+    assert(got.length == 70000 && got(0) == "f0" &&
+      got(65535) == "f65535" && got(69999) == "f69999")
+    assert(got.toSeq == many.toSeq)
+    // duplicate index tuples must fail loudly (they'd mask a hole)
+    // a duplicate whose row count MATCHES the grid (the dup masks the
+    // missing idx 1) — exactly the hole the BitSet check closes
+    val dup = Seq((0L, 1.0), (0L, 2.0), (2L, 3.0)).toDF("idx", "value")
+    val e1 = intercept[IllegalArgumentException](
+      Bundle.toHdf5(s"$dir/dup.h5", Map("d" -> dup)))
+    assert(e1.getMessage.contains("duplicate index tuple"))
+    val dupCurves = Seq(
+      (0L, 0.0, 0L, 1.0, 0.0), (0L, 0.0, 0L, 2.0, 0.0),
+      (1L, 1e-9, 0L, 3.0, 0.0), (1L, 1e-9, 1L, 4.0, 0.0))
+      .toDF("image_idx", "delay", "q_bin", "i", "err")
+    val e2 = intercept[IllegalArgumentException](
+      Bundle.azavToHdf5(s"$dir/dupaz.h5", dupCurves))
+    assert(e2.getMessage.contains("duplicate (image_idx, q_bin)"))
+    // npz member-name collision named up front, not a truncated archive
+    val t = Seq((0L, 1.0)).toDF("idx", "value")
+    val e3 = intercept[IllegalArgumentException](
+      Bundle.toNpz(s"$dir/c.npz", Map("a/b" -> t, "a_b" -> t)))
+    assert(e3.getMessage.contains("collision") &&
+      e3.getMessage.contains("a_b"))
   }
 
   test("2 GiB bound: oversize HDF5/NPY files fail with the reader's own " +
