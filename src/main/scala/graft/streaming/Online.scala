@@ -32,6 +32,11 @@ object Online {
     * geometry/grid change would silently keep integrating new frames on
     * the old checkpoint while historical curves stay on the old geometry
     * (the batch path has the same guard at Pipeline.doFolderAzav).
+    *
+    * Store layout: batch-keyed partition directories (`batch=N`,
+    * replay-idempotent overwrites), NOT the batch pipeline's flat
+    * append — give each mode its own `storageDir`; pointing both at one
+    * store would mix the layouts and fail loudly at read.
     */
   def streamingAzav(spark: SparkSession, folder: String, storageDir: String,
                     config: graft.pipeline.Pipeline.AzavConfig,
