@@ -501,6 +501,50 @@ object RelationalQueries {
     // h = p·(n−1) interpolation is the same arithmetic DuckDB's
     // quantile_cont runs, so the oracle is the BUILT-IN — an independent
     // implementation, not a replay.
+    // The toHdf5 EXPORT chain under a DuckDB hash gate: real lineitem
+    // aggregates pivot to long form, leave as a trx-layout HDF5 container
+    // (Bundle.toHdf5 — numeric grid + vlen-string table + typed attr),
+    // re-ingest through fromHdf5, and the served report must hash-match
+    // the oracle computed STRAIGHT from lineitem — the oracle never sees
+    // the .h5, so any export/import corruption (layout, GCOL, attrs)
+    // breaks the hash. Driver-side collect is 21 rows (the documented
+    // export cost model); the attr rides the output as n_total.
+    QueryDef("q185_hdf5_export_roundtrip",
+      (s, dir) => {
+        import graft.sources.Bundle
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val agg = li.groupBy(col("l_returnflag"), col("l_linenumber"))
+          .agg(stableSum(col("l_quantity")).as("v"))
+          .collect()
+        val flags = agg.map(_.getString(0)).distinct.sorted
+        val flagIdx = flags.zipWithIndex.toMap
+        val grid = agg.toSeq.map(r => (flagIdx(r.getString(0)).toLong,
+            r.getInt(1).toLong - 1L, r.getDouble(2)))
+          .toDF("row", "col", "value")
+        val flagTable = flags.toSeq.zipWithIndex
+          .map { case (f, i) => (i.toLong, f) }.toDF("idx", "value")
+        val st = System.getProperty("java.io.tmpdir") + "/graft_q185"
+        new java.io.File(st).mkdirs()
+        val h5 = s"$st/export.h5"
+        Bundle.toHdf5(h5, Map("qty" -> grid, "flags" -> flagTable),
+          Map("n_total" -> li.count().toString))
+        val (tables, params) = Bundle.fromHdf5(s, h5)
+        tables("qty")
+          .join(tables("flags").select(col("idx").as("row"),
+            col("value").as("l_returnflag")), Seq("row"))
+          .select(col("l_returnflag"),
+            (col("col") + 1L).as("l_linenumber"),
+            round(col("value"), 6).as("sum_qty"),
+            lit(params("n_total").toLong).as("n_total"))
+          .orderBy("l_returnflag", "l_linenumber")
+      },
+      Some(s"""SELECT l_returnflag, l_linenumber::BIGINT AS l_linenumber,
+        |  ${stableSumSql("l_quantity")} AS sum_qty,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_total
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin)),
+
     QueryDef("q166_exact_quantiles",
       (s, dir) =>
         Stats.exactQuantiles(table(s, dir, "lineitem"), "l_extendedprice",
