@@ -315,4 +315,89 @@ object Clusters {
       .select(col("cluster"), col("_m.i").as("keep_id"),
         when(col("_m.negs") === Double.PositiveInfinity, lit(null))
           .otherwise(-col("_m.negs")).as("best_score"), col("n_members"))
+
+  /** PageRank by synchronous power iteration (Brin & Page 1998) over a
+    * DIRECTED edge list — the authority score a web-corpus pipeline
+    * weights sampling and quality priors by (domain/host graphs), and
+    * the standard importance measure over the engine's kNN / citation /
+    * customer→supplier graphs.
+    *
+    * Semantics (textbook, dangling-aware): edges are deduplicated
+    * (simple graph); every vertex starts at 1/N; each round
+    * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N)` where `D` is
+    * the total rank mass sitting on DANGLING vertices (no out-edges) —
+    * redistributed uniformly, so Σr = 1 is preserved every round (the
+    * mass-conservation property the spec pins). Fixed `iterations`
+    * rather than a convergence test keeps the operator deterministic
+    * and lets the q186 oracle unroll the rounds in SQL.
+    *
+    * Determinism (the Registry contract — plain double sums are
+    * partition-order-dependent even within Spark): both per-round
+    * aggregates are EXACT — each inflow term is rounded to 14 dp and
+    * summed as DECIMAL(38,14); the dangling mass sums the ranks as
+    * DECIMAL(20,10), which is lossless because ranks are 10 dp decimals
+    * by construction. Every round therefore computes from identical
+    * values in any partition order and in DuckDB, and the closing
+    * `round(…, 10)` pins the round's output exactly — no cross-engine
+    * drift can accumulate.
+    *
+    * Scale: per round, one shuffle keyed by `src` (ranks⋈edges⋈outdeg)
+    * and one by `dst` (map-side-combined inflow sum); the dangling mass
+    * is a 1-row aggregate broadcast back (never a driver value), and
+    * N is the one driver scalar, computed once. Lineage is truncated
+    * per round exactly like [[componentsIters]] (the exponential-plan
+    * trap documented there), superseded blocks released eagerly.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"pageRank: iterations=$iterations < 1")
+    require(damping > 0 && damping < 1, s"pageRank: damping=$damping")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .localCheckpoint(true)
+    val n = verts.count().toDouble // the one driver scalar; computed once
+    var ranks = verts
+      .select(col("id"), round(lit(1.0) / n, 10).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") / col("outdeg"), 14)
+          .cast("decimal(38,14)")).cast("double").as("inflow"))
+        .select(col("dst").as("id"), col("inflow"))
+      // total rank mass on dangling vertices (no out-edges), as a 1-row
+      // frame broadcast back into the update — never a collected value
+      val dangling = ranks
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(20,10)"))
+          .cast("double"), lit(0.0)).as("_dm"))
+      val next = verts
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("inflow"), lit(0.0)) + col("_dm") / n), 10)
+            .as("rank"))
+        .localCheckpoint(true)
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    Checkpoints.release(e)
+    Checkpoints.release(deg)
+    // verts feeds nothing further; ranks is the surviving checkpoint
+    Checkpoints.release(verts)
+    ranks
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.ScatteringFunctions.Poni
-import graft.operators.{Azav, Drift, Masks, Stats}
+import graft.operators.{Azav, Clusters, Drift, Masks, Stats}
 import QueryUtil._
 import Tables._
 
@@ -610,6 +610,70 @@ object RelationalQueries {
              |  WHERE $x IS NOT NULL AND $y IS NOT NULL)""".stripMargin
         }
         arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+      }),
+
+    // PageRank (Clusters.pageRank, 3 synchronous rounds, d = 0.85) over
+    // the directed customer→supplier fulfilment graph (orders ⋈ lineitem;
+    // customer ids NEGATED so the two key spaces cannot collide) — the
+    // authority score a web-corpus pipeline computes over its domain/host
+    // link graph to weight sampling and quality priors. Every supplier is
+    // DANGLING (no out-edges), so the uniform mass-redistribution path is
+    // exercised on ~6% of total mass per round, not just the textbook
+    // inflow term. The oracle unrolls all three rounds; both engines use
+    // decimal-exact (order-independent) inflow/dangling sums and round
+    // each round's ranks to 10 dp, so no float drift can accumulate, and
+    // the teleport constant is interpolated from the SAME JVM double the
+    // Spark side multiplies by.
+    QueryDef("q186_pagerank_authority",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((-col("o_custkey")).as("src"), col("l_suppkey").as("dst"))
+        Clusters.pageRank(e, "src", "dst", iterations = 3, damping = 0.85)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+          .orderBy("id")
+      },
+      Some {
+        val d = 0.85
+        val tele = 1.0 - d // the exact JVM double Spark's lit() uses
+        def iter(k: Int): String = {
+          val p = s"r${k - 1}"
+          s"""i$k AS (
+             |  SELECT e.dst AS id,
+             |    sum(round(r.rank / dg.outdeg, 14)::DECIMAL(38,14))::DOUBLE
+             |      AS inflow
+             |  FROM e JOIN $p r ON r.id = e.src
+             |         JOIN deg dg ON dg.src = e.src
+             |  GROUP BY 1),
+             |d$k AS (
+             |  SELECT coalesce(sum(r.rank::DECIMAL(20,10))::DOUBLE, 0.0)
+             |      AS dm
+             |  FROM $p r LEFT JOIN deg dg ON dg.src = r.id
+             |  WHERE dg.src IS NULL),
+             |r$k AS (
+             |  SELECT v.id,
+             |    round($tele / (SELECT n FROM nn) + $d *
+             |      (coalesce(i.inflow, 0.0) +
+             |       (SELECT dm FROM d$k) / (SELECT n FROM nn)), 10) AS rank
+             |  FROM v LEFT JOIN i$k i ON i.id = v.id)""".stripMargin
+        }
+        s"""WITH e AS (
+           |  SELECT DISTINCT -o_custkey AS src, l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+           |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+           |        GROUP BY 1),
+           |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 10) AS rank
+           |       FROM v),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id"""
+          .stripMargin
       }),
 
     // One-scan numeric profile (Stats.profile): the survey report a

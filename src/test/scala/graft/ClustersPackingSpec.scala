@@ -384,4 +384,38 @@ class ClustersPackingSpec extends SparkSpec {
     // leaves see only the center: they adopt 10 after round 1
     assert(one(1L) == 10L && one(2L) == 10L && one(3L) == 10L)
   }
+
+  test("pageRank: hand-computed dangling redistribution, mass conserved") {
+    // A→B only: B is dangling. n=2, r0 = (0.5, 0.5), D = 0.5.
+    // r1(A) = 0.15/2 + 0.85·(0 + 0.25)          = 0.2875
+    // r1(B) = 0.15/2 + 0.85·(0.5/1 + 0.25)      = 0.7125
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r1 = Clusters.pageRank(e, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1(1L) - 0.2875) < 1e-9 &&
+      math.abs(r1(2L) - 0.7125) < 1e-9, s"got $r1")
+    // Σr = 1 must survive more rounds (dangling mass is redistributed,
+    // not dropped) — the property a plain inflow-only PageRank violates
+    val r5 = Clusters.pageRank(e, iterations = 5)
+      .agg(sum(col("rank"))).collect()(0).getDouble(0)
+    assert(math.abs(r5 - 1.0) < 1e-8, s"mass leaked: $r5")
+  }
+
+  test("pageRank: a 2-cycle is stationary at 0.5/0.5; more in-links " +
+       "mean more rank; superseded round blocks are released") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Clusters.pageRank(cyc, iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-9 && math.abs(r(2L) - 0.5) < 1e-9)
+    // star into 9: the hub must outrank every spoke
+    val star = (1L to 5L).map(i => (i, 9L)).toDF("src", "dst")
+    val s9 = Clusters.pageRank(star, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert((1L to 5L).forall(i => s9(9L) > s9(i)), s"hub must win: $s9")
+    // eager release: only the final ranks checkpoint survives the call
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.size <= 2, s"leaked checkpoint blocks: ${after.size}")
+  }
 }
