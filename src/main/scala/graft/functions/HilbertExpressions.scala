@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hilbert-curve index as a NATIVE Catalyst expression.
+  *
+  * The Morton (Z-order) interleave in [[graft.operators.Layout.zValueN]]
+  * is a flat shift/mask Column tree; the Hilbert transform is NOT — each
+  * bit level REWRITES the remaining coordinate bits (reflect + swap), so
+  * a Column formulation would reference the previous level's (x, y) four
+  * times per level and the expression tree would grow 4^bits nodes. The
+  * loop belongs in one generated/JIT'd function: [[Hilbert2Expr]] wraps
+  * the classic xy→d walk (the public-domain formulation popularized by
+  * Warren's Hacker's Delight and the Wikipedia Hilbert-curve article) as
+  * a static call shared VERBATIM by interpreted eval and codegen — the
+  * two paths cannot diverge.
+  *
+  * Why offer it at all, when Z-order already prunes: consecutive Hilbert
+  * cells are always GRID-NEIGHBORS (unit step — proven by the adjacency
+  * property test over every consecutive pair at 5 bits), while the Z
+  * curve takes a long diagonal jump every 2^k cells. Equal-size file
+  * ranges cut from the Hilbert walk therefore have tighter bounding
+  * boxes on average, which is exactly what footer-box skipping prunes
+  * with — the reason lakehouse engines cluster by Hilbert when they can
+  * (Delta OPTIMIZE's curve, BigQuery/Snowflake clustering literature).
+  * Measured here by LayoutSpec: over a battery of square boxes the
+  * Hilbert layout opens no more files in total than the Morton layout on
+  * the same data, files, and bits.
+  *
+  * Inputs are QUANTIZED cells (see [[graft.operators.Layout.quantize]]),
+  * clamped defensively into [0, 2^bits); `bits` is a plan-time literal
+  * (it parameterizes the transform, it is not row data). 2·bits ≤ 62
+  * keeps d in a signed long.
+  */
+object HilbertExpressions {
+
+  /** (x, y) cell → distance along the order-`bits` Hilbert curve.
+    * Static + branch-only so both eval paths JIT to the same loop.
+    */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    val mask = (1L << bits) - 1
+    var x = math.min(math.max(x0, 0L), mask)
+    var y = math.min(math.max(y0, 0L), mask)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate the sub-quadrant so the walk stays continuous
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse walk (distance → cell) — the spec's round-trip anchor. */
+  def d2xy(bits: Int, d0: Long): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var t = d0
+    var s = 1L
+    while (s < (1L << bits)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tt = x; x = y; y = tt
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** `graft_hilbert2(x, y)` with a literal bit width: long Hilbert index
+    * of two quantized cells.
+    */
+  final case class Hilbert2Expr(left: Expression, right: Expression,
+                                bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"graft_hilbert2: bits=$bits out of range (1..31)")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == LongType && right.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_hilbert2 expects (bigint, bigint) quantized cells, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbert2"
+
+    protected override def nullSafeEval(x: Any, y: Any): Any =
+      xy2d(bits, x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.functions.HilbertExpressions.xy2d($bits, $x, $y)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Hilbert2Expr =
+      copy(left = newLeft, right = newRight)
+  }
+}

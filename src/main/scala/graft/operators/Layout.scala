@@ -57,6 +57,17 @@ object Layout {
   def zValue(x: Column, y: Column, bits: Int): Column =
     zValueN(Seq(x, y), bits)
 
+  /** Hilbert index of two quantized cells — the locality-tighter curve
+    * (consecutive cells are always grid-neighbors, so equal-size file
+    * ranges have tighter footer boxes than the Morton walk's). Native
+    * codegen'd expression ([[graft.functions.HilbertExpressions]]);
+    * needs [[graft.plans.GraftExtensions]] registered, exactly like the
+    * pruned `graft-zorder` read path.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hilbert2",
+      x.cast("bigint"), y.cast("bigint"), lit(bits))
+
   /** Assign each row to one of `nFiles` equal-size files in Z-value order
     * (ties broken by `tieCol` for determinism): `file_id = (rank-1) ·
     * nFiles / total` over the distributed global rank.
@@ -371,10 +382,24 @@ object Layout {
     }
   }
 
+  /** The curve names a maintained layout can carry in its manifest. */
+  private[graft] val Curves = Set("morton", "hilbert")
+
   private def zExprOf(zcols: Seq[String], bounds: Seq[(Double, Double)],
-                      bits: Int): Column =
-    zValueN(zcols.zip(bounds).map { case (c, (lo, hi)) =>
-      quantize(col(c).cast("double"), lo, hi, bits) }, bits)
+                      bits: Int, curve: String = "morton"): Column = {
+    val cells = zcols.zip(bounds).map { case (c, (lo, hi)) =>
+      quantize(col(c).cast("double"), lo, hi, bits) }
+    curve match {
+      case "morton" => zValueN(cells, bits)
+      case "hilbert" =>
+        require(cells.size == 2,
+          s"curve=hilbert lays out exactly 2 columns, got ${cells.size}" +
+            " — use curve=morton (zValueN) for other dimensionalities")
+        hilbertValue(cells(0), cells(1), bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown layout curve '$other' (one of ${Curves.mkString(", ")})")
+    }
+  }
 
   private def boundsParam(bounds: Seq[(Double, Double)]): String =
     bounds.map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
@@ -390,7 +415,8 @@ object Layout {
     */
   final case class LayoutManifest(zcols: Seq[String], bits: Int,
                                   nFiles: Int, tieCol: Option[String],
-                                  bounds: Seq[(Double, Double)])
+                                  bounds: Seq[(Double, Double)],
+                                  curve: String = "morton")
 
   private val ManifestFile = "manifest.json"
 
@@ -406,7 +432,8 @@ object Layout {
           "zcols" -> m.zcols.mkString(","),
           "bits" -> m.bits.toString,
           "nFiles" -> m.nFiles.toString,
-          "bounds" -> boundsParam(m.bounds)) ++
+          "bounds" -> boundsParam(m.bounds),
+          "curve" -> m.curve) ++
           m.tieCol.map("tieCol" -> _)))
 
   def readLayoutManifest(spark: SparkSession,
@@ -416,7 +443,10 @@ object Layout {
       .filter(_.get("kind").contains("zorder-layout"))
       .map(p => LayoutManifest(
         p("zcols").split(",").toSeq, p("bits").toInt, p("nFiles").toInt,
-        p.get("tieCol"), parseBounds(p("bounds"))))
+        p.get("tieCol"), parseBounds(p("bounds")),
+        // manifests written before the curve field are Morton by
+        // construction — absent key reads as the historical default
+        p.getOrElse("curve", "morton")))
 
   /** Build the full layout in one step: derive quantization bounds,
     * Z-order-write the data, commit the skipping index (epoch 0), and
@@ -426,14 +456,15 @@ object Layout {
     */
   def buildLayout(df: DataFrame, zcols: Seq[String], bits: Int,
                   nFiles: Int, tieCol: Option[String], path: String,
-                  tags: Map[String, String] = Map.empty): Unit = {
+                  tags: Map[String, String] = Map.empty,
+                  curve: String = "morton"): Unit = {
     val spark = df.sparkSession
     val bounds = deriveBounds(df, zcols)
-    val z = zExprOf(zcols, bounds, bits)
+    val z = zExprOf(zcols, bounds, bits, curve)
     zorderWrite(df, z, tieCol.map(col).getOrElse(z), nFiles, path)
     saveStats(spark, path, zcols, tags)
     writeLayoutManifest(spark, path, LayoutManifest(zcols, bits, nFiles,
-      tieCol, bounds))
+      tieCol, bounds, curve))
   }
 
   /** Append a delta to a maintained layout WITHOUT re-laying-out the
@@ -485,7 +516,7 @@ object Layout {
       val nDelta = math.max(1L, (deltaRows + rowsPerFile - 1) / rowsPerFile)
         .min(1 << 20).toInt
       val before = listDataFiles(spark, path).toSet
-      val z = zExprOf(mf.zcols, mf.bounds, mf.bits)
+      val z = zExprOf(mf.zcols, mf.bounds, mf.bits, mf.curve)
       zorderWrite(aligned, z, mf.tieCol.map(col).getOrElse(z), nDelta,
         path, mode = "append")
       val newFiles = listDataFiles(spark, path).filterNot(before)
@@ -515,7 +546,7 @@ object Layout {
     val files = stats.map(_.file).distinct.sorted
     val df = spark.read.parquet(files: _*)
     val bounds = deriveBounds(df, mf.zcols)
-    val z = zExprOf(mf.zcols, bounds, mf.bits)
+    val z = zExprOf(mf.zcols, bounds, mf.bits, mf.curve)
     val before = listDataFiles(spark, path).toSet
     zorderWrite(df, z, mf.tieCol.map(col).getOrElse(z), mf.nFiles,
       path, mode = "append")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bpe, NfcNormalize, PqExpressions}
+import graft.functions.{Bpe, HilbertExpressions, NfcNormalize, PqExpressions}
 
 /** Session extensions registering graft's native Catalyst expressions —
   * the public extension point (`spark.sql.extensions=graft.plans
@@ -66,6 +66,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "interval_overlap takes (aStart, aEnd, bStart, bEnd)")
         IntervalOverlapMarker(children(0), children(1), children(2),
           children(3))
+      }))
+    // graft_hilbert2(x, y, bits): Hilbert index of two quantized cells —
+    // bits is a plan-time literal baked into the expression (it
+    // parameterizes the transform, it is not row data)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert2"),
+      new ExpressionInfo(
+        classOf[HilbertExpressions.Hilbert2Expr].getName, "graft_hilbert2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_hilbert2 takes (x, y, bits)")
+        val b = children(2)
+        require(b.foldable, "graft_hilbert2 bits must be a literal")
+        HilbertExpressions.Hilbert2Expr(children(0), children(1),
+          b.eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -3645,6 +3645,40 @@ object CorpusQueries {
       },
       Some(zorderBoxOracle)),
 
+    // q158's write path on the HILBERT curve (`.option("curve",
+    // "hilbert")` → Layout.hilbertValue, the codegen'd
+    // graft_hilbert2 expression): consecutive Hilbert cells are
+    // grid-neighbors, so equal-size file ranges carry tighter footer
+    // boxes than the Morton walk's — LayoutSpec measures the pruning
+    // advantage; THIS query gates correctness: the curve choice must be
+    // semantically invisible under the same box read and shared oracle
+    // (a wrong index value reorders rows into wrong files and loses or
+    // invents box rows against the plain-SQL selection).
+    QueryDef("q187_hilbert_layout_scan",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_hwrite_${dataStamp(dir, "documents")}"
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+          table(s, dir, "documents").select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("bigint")
+                .as("n_tok"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+            .write.format("graft-zorder")
+            .option("zcols", "n_tok,q").option("bits", "8")
+            .option("nFiles", "16").option("tieCol", "doc_id")
+            .option("curve", "hilbert")
+            .mode("overwrite").save(store)
+        }
+        s.read.format("graft-zorder").load(store)
+          .filter(col("n_tok") >= 30L && col("n_tok") <= 60L &&
+            col("q") >= 0.55 && col("q") <= 0.75)
+          .select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle)),
+
     // The MAINTAINED layout oracle-gated — the full lakehouse loop in
     // one query: build the layout on 3/4 of documents
     // (`df.write.format("graft-zorder")`), APPEND the remaining quarter

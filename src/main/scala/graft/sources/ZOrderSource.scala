@@ -131,12 +131,20 @@ class ZOrderSource extends RelationProvider
         val nFiles = parameters.getOrElse("nFiles", "64").toInt
         require(bits >= 1 && zcols.size * bits <= 63,
           s"${zcols.size} columns at $bits bits overflow a signed long")
+        // curve=hilbert (2 clustering columns only) orders the range
+        // shuffle by the Hilbert index instead of the Morton interleave;
+        // the choice persists in the manifest so appends/compactions
+        // replay it
+        val curve = parameters.getOrElse("curve", "morton")
+        require(Layout.Curves.contains(curve),
+          s"graft-zorder: unknown curve '$curve' " +
+            s"(one of ${Layout.Curves.mkString(", ")})")
         Layout.buildLayout(data, zcols, bits, nFiles,
-          parameters.get("tieCol"), path)
+          parameters.get("tieCol"), path, curve = curve)
       case SaveMode.Append =>
         // build params come from the layout's own manifest — zcols/bits
         // options on an append are refused rather than silently ignored
-        Seq("zcols", "bits", "nFiles", "tieCol").foreach(o =>
+        Seq("zcols", "bits", "nFiles", "tieCol", "curve").foreach(o =>
           require(!parameters.contains(o),
             s"graft-zorder append: option $o is fixed at build time " +
               "(read from the layout manifest); re-build to change it"))

@@ -552,4 +552,91 @@ class LayoutSpec extends SparkSpec {
     assert(reloaded.exists(_.map(_.file).distinct.size == 8),
       s"an uncommitted orphan epoch dir broke the legacy read: $reloaded")
   }
+
+  test("hilbert index: bijective over the full grid, every consecutive " +
+       "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
+       "inverse walk round-trips") {
+    val bits = 5
+    val n = 1 << bits
+    val got = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("x", "y")
+      .withColumn("d", Layout.hilbertValue(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.values.toSet.size == n * n && got.values.min == 0L &&
+      got.values.max == (n * n - 1).toLong, "not a bijection onto 0..n²-1")
+    // unit-step adjacency along the whole curve — the defining Hilbert
+    // property; the Morton walk JUMPS every 2^k cells and fails this
+    val byD = got.map(_.swap)
+    (1 until n * n).foreach { d =>
+      val (x0, y0) = byD((d - 1).toLong); val (x1, y1) = byD(d.toLong)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"curve jumped at d=$d: ($x0,$y0)→($x1,$y1)")
+    }
+    // d2xy is the independent inverse anchor
+    (0 until n * n).foreach { d =>
+      val (x, y) = graft.functions.HilbertExpressions.d2xy(bits, d.toLong)
+      assert(got((x, y)) == d.toLong, s"inverse mismatch at d=$d")
+    }
+    // clamp contract: out-of-range cells behave as edge cells
+    val clamped = Seq((-3L, 99L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), bits).as("d"))
+      .collect()(0).getLong(0)
+    assert(clamped == got((0L, (n - 1).toLong)), "clamp must hit the edge cell")
+  }
+
+  test("hilbert layout: over a battery of boxes it opens no more files " +
+       "than the morton layout, and the maintained store (write with " +
+       "curve=hilbert, append, pruned read) stays row-exact") {
+    // the same pseudo-uniform corpus as the Z-vs-sort test
+    val pts = (1 to 8192).map { i =>
+      val x = (i * 2654435761L % 10000).toDouble / 10000.0
+      val y = (i * 40503L % 10000).toDouble / 10000.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 1.0, 8))
+    val nFiles = 64
+    val hStats = Layout.fileStats(Layout.zorderFileAssignment(pts,
+      Layout.hilbertValue(col("xq"), col("yq"), 8), col("id"), nFiles),
+      Seq("x", "y")).cache()
+    val zStats = Layout.fileStats(Layout.zorderFileAssignment(pts,
+      Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles),
+      Seq("x", "y")).cache()
+    try {
+      val boxes = for {
+        cx <- Seq(0.15, 0.35, 0.55, 0.75)
+        cy <- Seq(0.25, 0.5, 0.8)
+      } yield Map("x" -> (cx - 0.08, cx + 0.08), "y" -> (cy - 0.08, cy + 0.08))
+      val h = boxes.map(Layout.filesTouched(hStats, _)).sum
+      val z = boxes.map(Layout.filesTouched(zStats, _)).sum
+      assert(h <= z,
+        s"hilbert opened MORE files than morton over the battery: $h vs $z")
+    } finally { hStats.unpersist(); zStats.unpersist() }
+
+    // maintained store: curve persists in the manifest, the append
+    // replays it, and the pruned read is semantically invisible
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilb_")
+      .toFile.getAbsolutePath
+    val base = pts.filter(col("id") % 4 =!= 0L).select("id", "x", "y")
+    val delta = pts.filter(col("id") % 4 === 0L).select("id", "x", "y")
+    base.write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8").option("nFiles", "16")
+      .option("tieCol", "id").option("curve", "hilbert")
+      .mode("overwrite").save(dir)
+    assert(Layout.readLayoutManifest(spark, dir).exists(_.curve == "hilbert"),
+      "curve must persist in the layout manifest")
+    delta.write.format("graft-zorder").mode("append").save(dir)
+    val (scan, kept, total) = Layout.prunedScan(spark, dir,
+      Map("x" -> (0.4, 0.6), "y" -> (0.4, 0.6)))
+    val gotIds = scan.filter(col("x").between(0.4, 0.6) &&
+        col("y").between(0.4, 0.6))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expIds = pts.filter(col("x").between(0.4, 0.6) &&
+        col("y").between(0.4, 0.6))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expIds, "pruned hilbert scan lost or invented rows")
+    assert(kept.size < total,
+      s"a 20% box over the hilbert layout must skip files: $kept/$total")
+  }
 }
