@@ -316,6 +316,67 @@ object Clusters {
         when(col("_m.negs") === Double.PositiveInfinity, lit(null))
           .otherwise(-col("_m.negs")).as("best_score"), col("n_members"))
 
+  /** Per-vertex triangle counts over an undirected pair list — the local
+    * clustering signal a near-dup graph audit reads: a candidate-pair
+    * blocker that emits true duplicate CLUSTERS produces triangle-dense
+    * components (cliques), while chains of borderline matches (the
+    * transitive-drift failure mode `components` would still merge)
+    * are triangle-FREE. Also the standard cohesion feature for spam/
+    * link-farm detection on host graphs.
+    *
+    * Algorithm: degree-ordered wedge join (Suri & Vassilvitskii 2011,
+    * the MapReduce-standard "curse of the last reducer" fix). Each
+    * undirected edge is directed from its lower (degree, id) endpoint,
+    * so every wedge is enumerated at its lowest-order apex and each
+    * triangle closes exactly once; out-degrees under this orientation
+    * are O(√m), which bounds the wedge fan-out of hot vertices — a
+    * star's center (degree n) enumerates ZERO wedges instead of n².
+    * Shuffles: one degree count, the orientation join, the wedge
+    * self-join, and a semi-join close — all equi-joins on vertex keys.
+    *
+    * @return (id, n_tri) for EVERY vertex (isolated/acyclic ⇒ 0); the
+    *         global triangle count is `sum(n_tri) / 3`.
+    */
+  def triangleCounts(pairs: DataFrame, vertices: DataFrame,
+                     idCol: String = "id"): DataFrame = {
+    val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge from the lower (degree, id) endpoint; carry the
+    // head's key so wedges can be ordered without re-joining degrees
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val dir = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    val e1 = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = dir.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val tri = e1.join(e2, Seq("src"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .join(dir.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val out = vertices.select(col(idCol).as("id"))
+      .join(tri.select(explode(array(col("src"), col("v"), col("w")))
+          .as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_tri")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .localCheckpoint(true)
+    Checkpoints.release(und)
+    Checkpoints.release(dir)
+    out
+  }
+
   /** PageRank by synchronous power iteration (Brin & Page 1998) over a
     * DIRECTED edge list — the authority score a web-corpus pipeline
     * weights sampling and quality priors by (domain/host graphs), and

@@ -3794,6 +3794,50 @@ object CorpusQueries {
       },
       Some(leakageSplitOracleSql)),
 
+    // Per-vertex triangle counts (Clusters.triangleCounts, degree-ordered
+    // wedge join) over the q55/q130 near-dup pair graph: the cohesion
+    // audit between blocking and closure — true duplicate clusters are
+    // cliques (triangle-dense), chains of borderline matches that the
+    // transitive closure would still merge are triangle-FREE, so
+    // n_tri=0 on a multi-member component flags transitive drift. The
+    // oracle replays the pair build (shared CTEs) and the same
+    // orientation: edges directed from the lower (degree, id) endpoint,
+    // wedges at the lowest-order apex, closed by an EXISTS probe.
+    QueryDef("q188_triangle_counts",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        Clusters.triangleCounts(pairs, docs.select(col("doc_id")),
+            idCol = "doc_id")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${ccClosureCtes("documents")},
+        |degt AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+        |  GROUP BY v),
+        |dirt AS (
+        |  SELECT CASE WHEN (da.d, u.id_a) < (db.d, u.id_b)
+        |              THEN u.id_a ELSE u.id_b END AS src,
+        |         CASE WHEN (da.d, u.id_a) < (db.d, u.id_b)
+        |              THEN u.id_b ELSE u.id_a END AS dst,
+        |         CASE WHEN (da.d, u.id_a) < (db.d, u.id_b)
+        |              THEN db.d ELSE da.d END AS dd
+        |  FROM pairs u JOIN degt da ON da.v = u.id_a
+        |               JOIN degt db ON db.v = u.id_b),
+        |tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM dirt e1 JOIN dirt e2 ON e1.src = e2.src
+        |       AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+        |  WHERE EXISTS (SELECT 1 FROM dirt e3
+        |                WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+        |mem AS (SELECT unnest([u, v, w]) AS id FROM tri)
+        |SELECT d.doc_id AS id, coalesce(c.n_tri, 0)::BIGINT AS n_tri
+        |FROM documents d
+        |LEFT JOIN (SELECT id, count(*) AS n_tri FROM mem GROUP BY id) c
+        |  ON c.id = d.doc_id
+        |ORDER BY id""".stripMargin)),
+
     // Composition recipe over the round's versioning + split family:
     // reconstruct the CURRENT corpus from the SCD2 history (snapshotAt —
     // the oracle derives the same slice directly, so the history

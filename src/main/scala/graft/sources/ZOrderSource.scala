@@ -74,7 +74,8 @@ class ZOrderSource extends RelationProvider
       bits = parameters.getOrElse("bits", "8").toInt,
       nFiles = parameters.getOrElse("nFiles", "16").toInt,
       tieCol = parameters.get("tieCol"),
-      compactFactor = parameters.getOrElse("compactFactor", "4").toInt)
+      compactFactor = parameters.getOrElse("compactFactor", "4").toInt,
+      curve = parameters.getOrElse("curve", "morton"))
     // resetProgress: one-shot acceptance of a NEW checkpoint's batch 0
     // against an existing layout's higher committed watermark — remove
     // the option once the stream is running again

@@ -37,7 +37,7 @@ object StreamingZLayout {
 
   final case class Params(zcols: Seq[String], bits: Int = 8,
                           nFiles: Int = 16, tieCol: Option[String] = None,
-                          compactFactor: Int = 4)
+                          compactFactor: Int = 4, curve: String = "morton")
 
   final case class BatchResult(applied: Boolean, bootstrapped: Boolean,
                                compacted: Boolean, nFiles: Int)
@@ -64,7 +64,8 @@ object StreamingZLayout {
             bootstrapped = false, compacted = false, nFiles = 0)
           else {
             Layout.buildLayout(pinned, p.zcols, p.bits, p.nFiles, p.tieCol,
-              dir, tags = Map(BatchTag -> batchId.toString))
+              dir, tags = Map(BatchTag -> batchId.toString),
+              curve = p.curve)
             BatchResult(applied = true, bootstrapped = true,
               compacted = false, nFiles = p.nFiles)
           }
@@ -77,6 +78,10 @@ object StreamingZLayout {
           s"layout at $dir clusters on ${mf.zcols.mkString(",")} but " +
             s"the sink was configured with ${p.zcols.mkString(",")} — " +
             "rebuild offline to change clustering columns")
+        require(mf.curve == p.curve,
+          s"layout at $dir is laid out on the ${mf.curve} curve but the " +
+            s"sink was configured with ${p.curve} — rebuild offline to " +
+            "change the curve")
         val lastApplied = Layout.epochTags(spark, dir).get(BatchTag)
           .map(_.toLong)
         if (!resetProgress && lastApplied.exists(_ >= batchId)) {

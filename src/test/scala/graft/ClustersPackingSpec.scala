@@ -385,6 +385,30 @@ class ClustersPackingSpec extends SparkSpec {
     assert(one(1L) == 10L && one(2L) == 10L && one(3L) == 10L)
   }
 
+  test("triangleCounts: clique / braced square / chain / singleton, " +
+       "duplicate and reversed pairs collapse") {
+    // K4 on 1..4 (every vertex in C(3,2)=3 triangles), square 10-11-12-13
+    // with diagonal 10-12 (diagonal endpoints in 2, others in 1), chain
+    // 20-21-22 (0), isolated 99 (0); edges fed in BOTH orders plus a
+    // duplicate — the canonicalization must collapse them
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val sq = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (10L, 12L))
+    val chain = Seq((20L, 21L), (21L, 22L))
+    val pairs = (k4 ++ sq ++ chain ++ Seq((2L, 1L), (1L, 2L)))
+      .toDF("id_a", "id_b")
+    val verts = ((1L to 4L) ++ (10L to 13L) ++ (20L to 22L) ++ Seq(99L))
+      .toDF("id")
+    val got = Clusters.triangleCounts(pairs, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 3L), s"K4 wrong: $got")
+    assert(got(10L) == 2L && got(12L) == 2L &&
+      got(11L) == 1L && got(13L) == 1L, s"braced square wrong: $got")
+    assert(Seq(20L, 21L, 22L, 99L).forall(got(_) == 0L),
+      s"chain/singleton must be triangle-free: $got")
+    // global count: K4 has 4, braced square 2
+    assert(got.values.sum == 3 * 6L, s"sum(n_tri) must be 3·triangles")
+  }
+
   test("pageRank: hand-computed dangling redistribution, mass conserved") {
     // A→B only: B is dangling. n=2, r0 = (0.5, 0.5), D = 0.5.
     // r1(A) = 0.15/2 + 0.85·(0 + 0.25)          = 0.2875

@@ -257,4 +257,25 @@ class StreamingZLayoutSpec extends SparkSpec {
       "compaction lost the streamBatchId watermark — replay doubled rows")
     assert(served.count() == hi.toLong)
   }
+
+  test("curve=hilbert streams: bootstrap persists the curve, appends " +
+       "replay it, a morton-configured sink against the hilbert layout " +
+       "fails fast, and the served table stays row-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("zstream_h")
+      .toString + "/t"
+    val ph = p.copy(curve = "hilbert")
+    val r1 = StreamingZLayout.processBatch(rows(1, 2000), 0L, dir, ph)
+    assert(r1.applied && r1.bootstrapped)
+    assert(Layout.readLayoutManifest(spark, dir).exists(_.curve == "hilbert"),
+      "bootstrap must persist the configured curve")
+    val r2 = StreamingZLayout.processBatch(rows(2001, 2500), 1L, dir, ph)
+    assert(r2.applied)
+    assert(ids(spark.read.format("graft-zorder").load(dir)) ==
+      (1L to 2500L).toSet, "hilbert stream must converge to the batch table")
+    val e = intercept[IllegalArgumentException] {
+      StreamingZLayout.processBatch(rows(2501, 2600), 2L, dir, p)
+    }
+    assert(e.getMessage.contains("curve"),
+      s"curve drift must fail fast naming the curve: ${e.getMessage}")
+  }
 }
