@@ -79,6 +79,38 @@ object VectorFunctions {
       mix64((j.toLong << 32) + d).toDouble / 9.223372036854776e18
     }
 
+  /** Plane-index base for [[jlProject]] — disjoint from the LSH planes
+    * (j = 0..nBits·tables) so a pipeline using both never correlates its
+    * projection with its bucketing.
+    */
+  val JlPlaneBase: Int = 0x100000
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * component j = ⟨v, h_{base+j}⟩ / √outDim over the same deterministic
+    * splitmix64 hyperplane family as the LSH path (seedless, identical
+    * on every engine/executor — the reason an oracle can replay it as
+    * literal lists). Uniform-component planes satisfy the JL bound like
+    * gaussian ones (Achlioptas 2003 — database-friendly projections).
+    *
+    * The 100 TB shape: each corpus row is projected ONCE (outDim·dim
+    * multiplies), after which every pairwise comparison costs outDim
+    * instead of dim — the standard coarse-pass preprocessing in front of
+    * an exact re-rank ([[graft.operators.Similarity.projectedTopK]]).
+    * Per-row left-to-right fold, so values are partition-order-free.
+    */
+  def jlProject(v: Column, outDim: Int, dim: Int,
+                planeBase: Int = JlPlaneBase): Column = {
+    require(outDim >= 1 && outDim <= dim,
+      s"jlProject: outDim=$outDim must be in 1..dim=$dim")
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      aggregate(
+        zip_with(asDouble(v), lit(hyperplane(planeBase + j, dim).toArray),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) * lit(s)
+    }: _*)
+  }
+
   /** Sign bit of <v, h_j> as 0/1. */
   def hyperplaneBit(v: Column, j: Int, dim: Int): Column = {
     val h = hyperplane(j, dim)

@@ -537,6 +537,66 @@ object CorpusQueries {
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Coarse-then-exact top-k through a Johnson–Lindenstrauss random
+    // projection (Similarity.projectedTopK): corpus and queries project
+    // ONCE to 16 dims (deterministic splitmix64 planes — the reason the
+    // oracle can replay the matrix as literal lists), the broadcast
+    // compare ranks by PROJECTED cosine at a quarter of the brute pair
+    // cost, and only the top-50 candidates re-rank by exact cosine. The
+    // oracle interpolates the SAME 16×64 plane matrix the Spark side
+    // multiplies by and replays both phases.
+    QueryDef("q189_jl_projected_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.projectedTopK(e, queries, k = 10, dim = 64,
+            outDim = 16, candidates = 50)
+          .select(col("query_id"), col("vec_id"), r4(col("cos")).as("cos"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val outDim = 16; val dim = 64
+        val scale = 1.0 / math.sqrt(outDim.toDouble)
+        def projSql(vname: String): String =
+          (0 until outDim).map { j =>
+            val h = graft.functions.VectorFunctions
+              .hyperplane(graft.functions.VectorFunctions.JlPlaneBase + j,
+                dim)
+            s"list_dot_product($vname, [${h.mkString(", ")}]) " +
+              s"* ($scale)::DOUBLE"
+          }.mkString("[", ",\n      ", "]")
+        def cosSql(a: String, b: String): String =
+          s"list_dot_product($a, $b) / greatest(" +
+            s"sqrt(list_dot_product($a, $a)) * " +
+            s"sqrt(list_dot_product($b, $b)), 1e-300)"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |           FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |qp AS (SELECT query_id, qv, ${projSql("qv")} AS qpv FROM q),
+           |cp AS (SELECT vec_id, cv, ${projSql("cv")} AS cpv FROM c),
+           |coarse AS (
+           |  SELECT query_id, vec_id, cv, qv,
+           |    ${cosSql("cpv", "qpv")} AS pcos
+           |  FROM cp, qp),
+           |cand AS (
+           |  SELECT query_id, vec_id, cv, qv,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY pcos DESC, vec_id) AS crn
+           |  FROM coarse),
+           |ex AS (
+           |  SELECT query_id, vec_id, ${cosSql("cv", "qv")} AS cos
+           |  FROM cand WHERE crn <= 50),
+           |r AS (
+           |  SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cos DESC, vec_id) AS rank
+           |  FROM ex)
+           |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+           |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // ANN quality evaluation (Similarity.recallAtK): recall@10 of the
     // single-table LSH path against exact brute-force ground truth, per
     // query — the harness that measures an ANN configuration before it

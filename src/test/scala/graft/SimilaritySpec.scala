@@ -600,4 +600,29 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.95 && single < multi,
       f"multi-table recall $multi%.3f must beat single-table $single%.3f")
   }
+
+  test("projectedTopK: with candidates >= |corpus| the coarse pass is a " +
+       "no-op and the result EQUALS bruteForceTopK; a 200-candidate " +
+       "budget recalls the measured 0.850 through the 64->16 projection") {
+    val n = embeddings.count().toInt
+    val exact = Similarity.projectedTopK(embeddings, embQueries, k = 10,
+        dim = 64, outDim = 16, candidates = n)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(embeddings, embQueries, k = 10)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute,
+      "full-candidate projectedTopK must equal brute force rank-for-rank")
+    // the synthetic embeddings are near-random — every cosine margin is
+    // tiny, the ADVERSARIAL case for any projection (the same reason
+    // single-table LSH honestly measures 0.135 here). Measured sweep:
+    // outDim 16 recalls 0.420/0.615/0.850 at 50/100/200 candidates;
+    // real clustered corpora sit far above this floor.
+    val coarse = recallVsBrute(Similarity.projectedTopK(embeddings,
+      embQueries, k = 10, dim = 64, outDim = 16, candidates = 200), 10)
+    info(f"JL 64->16, 200-candidate recall@10: $coarse%.3f")
+    assert(coarse >= 0.8,
+      f"JL coarse pass recall regressed below the measured 0.850: $coarse%.3f")
+  }
 }
