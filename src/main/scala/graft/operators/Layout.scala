@@ -98,9 +98,41 @@ object Layout {
     */
   def filesTouched(stats: DataFrame,
                    ranges: Map[String, (Double, Double)]): Long =
-    stats.filter(ranges.map { case (c, (lo, hi)) =>
-        col(s"max_$c") >= lo && col(s"min_$c") <= hi
-      }.reduce(_ && _)).count()
+    stats.filter(boxIntersects(ranges)).count()
+
+  private def boxIntersects(ranges: Map[String, (Double, Double)]) =
+    ranges.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+
+  /** Pruning evaluation over a [[fileStats]] frame: for each NAMED box,
+    * the files and rows a footer-box skipping reader must keep vs the
+    * totals — the harness that turns a layout choice (clustering
+    * columns, bits, file count, curve) into measured skipping numbers
+    * for a representative query workload BEFORE the layout serves it.
+    * One small aggregation per box over the per-file stats table (never
+    * the data), unioned; totals ride a broadcast 1-row aggregate.
+    *
+    * Output: (box, files_kept, files_total, rows_kept, rows_total),
+    * one row per box, ordered by the caller.
+    */
+  def pruneReport(stats: DataFrame,
+                  boxes: Seq[(String, Map[String, (Double, Double)])])
+      : DataFrame = {
+    require(boxes.nonEmpty, "pruneReport needs at least one box")
+    val tot = stats.agg(count(lit(1)).as("files_total"),
+      sum(col("n")).as("rows_total"))
+    boxes.map { case (name, ranges) =>
+        stats.filter(boxIntersects(ranges))
+          .agg(count(lit(1)).as("files_kept"),
+            coalesce(sum(col("n")), lit(0L)).as("rows_kept"))
+          .select(lit(name).as("box"), col("files_kept"), col("rows_kept"))
+      }
+      .reduce(_ unionByName _)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+      .select(col("box"), col("files_kept"), col("files_total"),
+        col("rows_kept"), col("rows_total"))
+  }
 
   // --------------------------------------------- written layout + skipping
 

@@ -3522,6 +3522,91 @@ object CorpusQueries {
         |  min(q) AS min_q, max(q) AS max_q
         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
 
+    // Workload-level pruning evaluation (Layout.pruneReport) over the
+    // q126 layout: for each named box of a representative query workload,
+    // the files and rows a footer-box skipping reader keeps vs the
+    // totals — the harness that turns a layout choice into measured
+    // skipping numbers BEFORE it serves (the LayoutSpec hilbert-vs-morton
+    // battery is this same measure; HERE the morton numbers are
+    // oracle-gated because the Morton interleave replays in SQL). One
+    // tiny aggregation per box over the 16-row stats table.
+    QueryDef("q190_prune_report",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+        val cells = base
+          .withColumn("xq", Layout.quantize(col("n_tok").cast("double"),
+            0.0, 1024.0, 8))
+          .withColumn("yq", Layout.quantize(col("q"), 0.0, 1.0, 8))
+        val assigned = Layout.zorderFileAssignment(cells,
+          Layout.zValue(col("xq"), col("yq"), 8), col("doc_id"),
+          nFiles = 16)
+        Layout.pruneReport(Layout.fileStats(assigned, Seq("n_tok", "q")),
+            Seq(
+              "b1_center" -> Map("n_tok" -> (30.0, 60.0),
+                "q" -> (0.55, 0.75)),
+              "b2_ntok_band" -> Map("n_tok" -> (20.0, 40.0)),
+              "b3_corner" -> Map("n_tok" -> (80.0, 99.0),
+                "q" -> (0.0, 0.3))))
+          .orderBy("box")
+      },
+      Some {
+        def arm(name: String, pred: String): String =
+          s"""SELECT '$name' AS box,
+             |  count(*)::BIGINT AS files_kept,
+             |  (SELECT count(DISTINCT file_id) FROM f)::BIGINT
+             |    AS files_total,
+             |  coalesce(sum(n), 0)::BIGINT AS rows_kept,
+             |  (SELECT count(*) FROM f)::BIGINT AS rows_total
+             |FROM fs WHERE $pred""".stripMargin
+        s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d),
+        |cells AS (
+        |  SELECT doc_id, n_tok, q,
+        |    least(255, greatest(0,
+        |      floor((n_tok::DOUBLE - 0.0) / 1024.0 * 256)::BIGINT)) AS xq,
+        |    least(255, greatest(0,
+        |      floor((q - 0.0) / 1.0 * 256)::BIGINT)) AS yq
+        |  FROM qd),
+        |z AS (
+        |  SELECT doc_id, n_tok, q, ${zInterleaveSql("xq", "yq", 8)} AS zv
+        |  FROM cells),
+        |r AS (
+        |  SELECT n_tok, q,
+        |    row_number() OVER (ORDER BY zv, doc_id) AS rn,
+        |    count(*) OVER () AS total
+        |  FROM z),
+        |f AS (SELECT ((rn - 1) * 16) // total AS file_id, n_tok, q FROM r),
+        |fs AS (
+        |  SELECT file_id, count(*)::BIGINT AS n,
+        |    min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+        |    min(q) AS min_q, max(q) AS max_q
+        |  FROM f GROUP BY file_id)
+        |${arm("b1_center",
+            "max_n_tok >= 30 AND min_n_tok <= 60 AND max_q >= 0.55 AND min_q <= 0.75")}
+        |UNION ALL
+        |${arm("b2_ntok_band", "max_n_tok >= 20 AND min_n_tok <= 40")}
+        |UNION ALL
+        |${arm("b3_corner",
+            "max_n_tok >= 80 AND min_n_tok <= 99 AND max_q >= 0.0 AND min_q <= 0.3")}
+        |ORDER BY box""".stripMargin
+      }),
+
     // q126 generalized to THREE clustered dimensions (Layout.zValueN):
     // token count × quality × raw length interleave into one Morton value
     // (bit j of column c lands at position 3·j + c), and the per-file

@@ -553,6 +553,34 @@ class LayoutSpec extends SparkSpec {
       s"an uncommitted orphan epoch dir broke the legacy read: $reloaded")
   }
 
+  test("pruneReport: per-box kept counts agree with filesTouched, an " +
+       "out-of-range box reports zero files AND zero rows, totals ride " +
+       "every row") {
+    val pts = (1 to 1000).map { i =>
+      (i.toLong, (i % 100).toDouble, (i % 7).toDouble)
+    }.toDF("id", "x", "y")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 100.0, 8))
+      .withColumn("yq", Layout.quantize(col("y"), 0.0, 7.0, 8))
+    val stats = Layout.fileStats(Layout.zorderFileAssignment(pts,
+      Layout.zValue(col("xq"), col("yq"), 8), col("id"), nFiles = 8),
+      Seq("x", "y")).cache()
+    try {
+      val boxes = Seq(
+        "hit" -> Map("x" -> (10.0, 30.0), "y" -> (1.0, 3.0)),
+        "miss" -> Map("x" -> (500.0, 600.0)))
+      val rep = Layout.pruneReport(stats, boxes).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val (hk, ht, hr, hrt) = rep("hit")
+      assert(hk == Layout.filesTouched(stats, boxes.head._2),
+        "files_kept must agree with filesTouched")
+      assert(ht == 8L && hrt == 1000L, s"totals wrong: $rep")
+      assert(hr > 0L && hr <= 1000L)
+      assert(rep("miss") == ((0L, 8L, 0L, 1000L)),
+        s"an out-of-range box must report zero kept: ${rep("miss")}")
+    } finally stats.unpersist()
+  }
+
   test("hilbert index: bijective over the full grid, every consecutive " +
        "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
        "inverse walk round-trips") {
