@@ -638,6 +638,7 @@ class LayoutSpec extends SparkSpec {
       } yield Map("x" -> (cx - 0.08, cx + 0.08), "y" -> (cy - 0.08, cy + 0.08))
       val h = boxes.map(Layout.filesTouched(hStats, _)).sum
       val z = boxes.map(Layout.filesTouched(zStats, _)).sum
+      info(s"files touched over ${boxes.size} boxes: hilbert $h vs morton $z")
       assert(h <= z,
         s"hilbert opened MORE files than morton over the battery: $h vs $z")
     } finally { hStats.unpersist(); zStats.unpersist() }
