@@ -377,6 +377,73 @@ object Clusters {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
+    * the complement of [[pageRank]] on BIPARTITE-flavored graphs, where
+    * one side points and the other is pointed at: a pure hub earns no
+    * PageRank beyond teleport, but HITS scores it by the authority of
+    * what it points AT (auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v}
+    * auth(v); each L1-normalized per half-round). Fixed `iterations`
+    * keeps it deterministic and SQL-unrollable (q193).
+    *
+    * Determinism: every aggregate is decimal-exact — hub/auth values are
+    * 10 dp by construction, their sums stay under 2^53 when scaled, so
+    * the decimal→double conversions are correctly rounded IDENTICALLY in
+    * any engine and the closing `round(…, 10)` pins each half-round.
+    * Scale shape: two keyed joins + two map-side-combined sums per
+    * round; norms are broadcast 1-row aggregates; lineage truncated per
+    * half-round with eager release.
+    *
+    * @return (id, hub, auth) for every vertex.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"hits: iterations=$iterations < 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    def normalized(raw: DataFrame, vcol: String): DataFrame = {
+      val tot = raw.agg(sum(col("_raw").cast("decimal(28,10)"))
+        .cast("double").as("_t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"), round(col("_raw") / col("_t"), 10).as(vcol))
+        .localCheckpoint(true)
+    }
+    def pulled(scores: DataFrame, scoreCol: String, from: String,
+               to: String): DataFrame =
+      verts
+        .join(e.join(scores.select(col("id").as(from), col(scoreCol)),
+            Seq(from))
+          .groupBy(col(to))
+          .agg(sum(col(scoreCol).cast("decimal(28,10)")).cast("double")
+            .as("_raw"))
+          .select(col(to).as("id"), col("_raw")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+    var hub = verts.select(col("id"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val nextAuth = normalized(pulled(hub, "hub", "src", "dst"), "auth")
+      if (auth != null) Checkpoints.release(auth)
+      auth = nextAuth
+      val nextHub = normalized(pulled(auth, "auth", "dst", "src"), "hub")
+      Checkpoints.release(hub)
+      hub = nextHub
+    }
+    val out = hub.join(auth, Seq("id")).select(col("id"), col("hub"),
+      col("auth")).localCheckpoint(true)
+    Checkpoints.release(hub)
+    Checkpoints.release(auth)
+    Checkpoints.release(e)
+    Checkpoints.release(verts)
+    out
+  }
+
   /** PageRank by synchronous power iteration (Brin & Page 1998) over a
     * DIRECTED edge list — the authority score a web-corpus pipeline
     * weights sampling and quality priors by (domain/host graphs), and
@@ -384,7 +451,9 @@ object Clusters {
     * customer→supplier graphs.
     *
     * Semantics (textbook, dangling-aware): edges are deduplicated
-    * (simple graph); every vertex starts at 1/N; each round
+    * (simple graph; with `weightCol`, parallel edges sum their weights
+    * and each contribution is `r(u)·w_{uv}/W(u)`); every vertex starts
+    * at 1/N; each round
     * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N)` where `D` is
     * the total rank mass sitting on DANGLING vertices (no out-edges) —
     * redistributed uniformly, so Σr = 1 is preserved every round (the
@@ -411,20 +480,41 @@ object Clusters {
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations=$iterations < 1")
     require(damping > 0 && damping < 1, s"pageRank: damping=$damping")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    // Unweighted: simple graph (parallel edges collapse). Weighted:
+    // parallel edges SUM their weights — both exactly, via decimal at
+    // 10 dp (double weight sums would be partition-order-dependent);
+    // contribution u→v is then rank(u)·w/W(u) instead of rank(u)/deg(u),
+    // and W(u)=0 rows cannot exist (a zero-weight edge still counts its
+    // endpoint as non-dangling only if its summed weight is > 0 — callers
+    // filter true zero-weight edges out, documented here).
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .distinct()
+          .withColumn("w", lit(1.0))
+          .localCheckpoint(true)
+      case Some(wc) =>
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"),
+            col(wc).cast("double").as("_w"))
+          .filter(col("_w") > 0.0)
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(round(col("_w"), 10).cast("decimal(28,10)"))
+            .cast("double").as("w"))
+          .localCheckpoint(true)
+    }
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
     val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .agg(sum(col("w").cast("decimal(28,10)")).cast("double")
+        .as("outdeg"))
       .localCheckpoint(true)
     val n = verts.count().toDouble // the one driver scalar; computed once
     var ranks = verts
@@ -435,7 +525,7 @@ object Clusters {
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .join(deg, Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum(round(col("rank") / col("outdeg"), 14)
+        .agg(sum(round(col("rank") * col("w") / col("outdeg"), 14)
           .cast("decimal(38,14)")).cast("double").as("inflow"))
         .select(col("dst").as("id"), col("inflow"))
       // total rank mass on dangling vertices (no out-edges), as a 1-row

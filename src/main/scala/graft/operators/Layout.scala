@@ -134,6 +134,74 @@ object Layout {
         col("rows_kept"), col("rows_total"))
   }
 
+  /** Per-file BLOOM filter over a point-lookup column, as SPARSE bitmap
+    * words `(file_id, word, bits)` — the skipping index for the probe
+    * shape min/max boxes CANNOT prune: a high-cardinality id column is
+    * uniform across files under any layout curve, so every file's
+    * [min, max] interval contains every probed id and [[filesTouched]]
+    * keeps all of them; a per-file Bloom filter keeps only the files
+    * whose bit positions all match (plus a bounded false-positive
+    * fraction ~(1 − e^{−kn/m})^k — false NEGATIVES are impossible, so
+    * pruning stays exact-complete).
+    *
+    * Hashing is the engine's PORTABLE md5 double-hash (h1 ‖ h2 = two
+    * 60-bit md5 words of `"bf_" + value`; position i = (h1 + i·h2) mod
+    * mBits) — deterministic on every engine/executor and replayable in
+    * SQL, which is what lets q191 hash-gate the whole index+probe chain.
+    * Build is ONE pass: k exploded positions per row, map-side-combined
+    * `bit_or` per (file, word); index size ≤ files · mBits/64 rows.
+    */
+  def fileBloom(assigned: DataFrame, colName: String,
+                mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 16, s"k=$k hash functions out of range")
+    bloomPositions(assigned.select(col("file_id"), col(colName)), colName,
+        mBits, k)
+      .groupBy(col("file_id"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** (rows × k) positions → (…, word, bit) rows; shared by build+probe. */
+  private def bloomPositions(df: DataFrame, colName: String,
+                             mBits: Int, k: Int): DataFrame = {
+    val v = concat(lit("bf_"), col(colName).cast("string"))
+    val h1 = graft.functions.TextFunctions.md5Hash60(v)
+    val h2 = graft.functions.TextFunctions.md5Hash60b(v)
+    df.withColumn("_p", explode(array((0 until k).map(i =>
+        pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)))
+      // 63-bit words (bit 63 unused): DuckDB range-checks signed left
+      // shifts, and portability is the point of the md5 scheme
+      .withColumn("word", expr("_p div 63"))
+      .withColumn("bit", expr("shiftleft(1L, cast(pmod(_p, 63) as int))"))
+      .drop("_p")
+  }
+
+  /** Batch point-probe against a [[fileBloom]] index: for EVERY probe
+    * value, the files that may contain it — `(probeCol, file_id)`
+    * candidates. Fully distributed (the probe side can be millions of
+    * ids): probes reduce to (value, word, mask) rows, join the index on
+    * `word` (the index is the small side — broadcast it for big probe
+    * sets), and a file survives a probe iff every required word is
+    * present with all mask bits set. No false negatives by construction.
+    */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, probeCol: String,
+                 mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
+    val need = bloomPositions(probes.select(col(probeCol)).distinct(),
+        probeCol, mBits, k)
+      .groupBy(col(probeCol), col("word"))
+      .agg(expr("bit_or(bit)").as("mask"))
+    val nWords = need.groupBy(col(probeCol))
+      .agg(count(lit(1)).as("_nw"))
+    need.join(bloom, Seq("word"))
+      .filter(col("bits").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy(col(probeCol), col("file_id"))
+      .agg(count(lit(1)).as("_hit"))
+      .join(nWords, Seq(probeCol))
+      .filter(col("_hit") === col("_nw"))
+      .select(col(probeCol), col("file_id"))
+  }
+
   // --------------------------------------------- written layout + skipping
 
   /** Materialize the Z-order layout as REAL parquet files: range-shuffle

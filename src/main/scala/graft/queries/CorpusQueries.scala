@@ -3607,6 +3607,102 @@ object CorpusQueries {
         |ORDER BY box""".stripMargin
       }),
 
+    // Per-file BLOOM skipping (Layout.fileBloom/bloomProbe) over the q126
+    // layout: the probe shape min/max boxes CANNOT prune — doc_id is
+    // uniform across files under any curve, so every footer box contains
+    // every probed id and filesTouched keeps all 16 files; the Bloom
+    // index keeps ~1. Hashing is the engine's portable md5 double-hash,
+    // so the oracle replays the ENTIRE chain — corpus bit positions,
+    // sparse bitmap words, probe masks, per-file coverage — and the
+    // report (probe, files_kept, files_total) is hash-gated end to end
+    // (false positives included: both engines compute the same bits).
+    QueryDef("q191_bloom_file_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+        val cells = base
+          .withColumn("xq", Layout.quantize(col("n_tok").cast("double"),
+            0.0, 1024.0, 8))
+          .withColumn("yq", Layout.quantize(col("q"), 0.0, 1.0, 8))
+        val assigned = Layout.zorderFileAssignment(cells,
+          Layout.zValue(col("xq"), col("yq"), 8), col("doc_id"),
+          nFiles = 16)
+        val bloom = Layout.fileBloom(assigned, "doc_id")
+        val probes = Seq(7L, 123L, 467L).toDF("doc_id")
+        val tot = assigned.agg(
+          countDistinct(col("file_id")).as("files_total"))
+        Layout.bloomProbe(bloom, probes, "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("files_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("files_kept"), col("files_total"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def posSql(rel: String, keep: String): String =
+          s"""SELECT $keep,
+             |  (('0x' || substring(md5('bf_' || doc_id::VARCHAR), 1, 15))::BIGINT
+             |   + i * ('0x' || substring(md5('bf_' || doc_id::VARCHAR), 16, 15))::BIGINT)
+             |  % 16384 AS p
+             |FROM $rel, (SELECT unnest(generate_series(0, 4)) AS i)"""
+            .stripMargin
+        s"""WITH d AS (SELECT doc_id, source, text, $padded AS p
+        |            FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |      AS n_tok,
+        |    round((
+        |      least(len(text) / 500.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+        |                 / greatest(len(text), 1)::DOUBLE) * 5.0)
+        |      + least((($stopHitsSql)
+        |               / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1)::DOUBLE) * 5.0,
+        |              1.0)
+        |    ) / 3.0, 6) AS q
+        |  FROM d),
+        |cells AS (
+        |  SELECT doc_id, n_tok, q,
+        |    least(255, greatest(0,
+        |      floor((n_tok::DOUBLE - 0.0) / 1024.0 * 256)::BIGINT)) AS xq,
+        |    least(255, greatest(0,
+        |      floor((q - 0.0) / 1.0 * 256)::BIGINT)) AS yq
+        |  FROM qd),
+        |z AS (
+        |  SELECT doc_id, ${zInterleaveSql("xq", "yq", 8)} AS zv
+        |  FROM cells),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY zv, doc_id) AS rn,
+        |    count(*) OVER () AS total
+        |  FROM z),
+        |f AS (SELECT ((rn - 1) * 16) // total AS file_id, doc_id FROM r),
+        |cpos AS (${posSql("f", "file_id")}),
+        |bm AS (
+        |  SELECT file_id, p // 63 AS word,
+        |         bit_or(1::BIGINT << (p % 63)::INT) AS bits
+        |  FROM cpos GROUP BY 1, 2),
+        |pr AS (SELECT unnest([7, 123, 467]::BIGINT[]) AS doc_id),
+        |ppos AS (${posSql("pr", "doc_id")}),
+        |need AS (
+        |  SELECT doc_id, p // 63 AS word,
+        |         bit_or(1::BIGINT << (p % 63)::INT) AS mask
+        |  FROM ppos GROUP BY 1, 2),
+        |nw AS (SELECT doc_id, count(*) AS n_words FROM need GROUP BY 1),
+        |cand AS (
+        |  SELECT n.doc_id, b.file_id, count(*) AS hit
+        |  FROM need n JOIN bm b ON b.word = n.word
+        |  WHERE (b.bits & n.mask) = n.mask
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_id, count(*)::BIGINT AS files_kept,
+        |  (SELECT count(DISTINCT file_id) FROM f)::BIGINT AS files_total
+        |FROM cand c JOIN nw ON nw.doc_id = c.doc_id AND c.hit = nw.n_words
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+      }),
+
     // q126 generalized to THREE clustered dimensions (Layout.zValueN):
     // token count × quality × raw length interleave into one Morton value
     // (bit j of column c lands at position 3·j + c), and the per-file

@@ -36,6 +36,52 @@ object RelationalQueries {
        |        WHERE NOT (x < 2 OR x >= 62 OR y < 2 OR y >= 62)))""".stripMargin
   }
 
+  /** Shared q186/q192 oracle: three unrolled PageRank rounds over an
+    * `e(src, dst, w)` edge CTE. `degSql` aggregates e's per-src out-mass
+    * (count for the simple graph, exact decimal weight sum otherwise);
+    * `contribSql` is the per-edge contribution the inflow sum folds —
+    * both sides mirror the Spark arithmetic exactly (14 dp decimal-exact
+    * inflow, 10 dp decimal-exact dangling, 10 dp round per r_k, teleport
+    * constant interpolated from the SAME JVM double).
+    */
+  private def pageRankOracle(edgeCte: String, degSql: String,
+                             contribSql: String): String = {
+    val d = 0.85
+    val tele = 1.0 - d // the exact JVM double Spark's lit() uses
+    def iter(k: Int): String = {
+      val p = s"r${k - 1}"
+      s"""i$k AS (
+         |  SELECT e.dst AS id,
+         |    sum(round($contribSql, 14)::DECIMAL(38,14))::DOUBLE
+         |      AS inflow
+         |  FROM e JOIN $p r ON r.id = e.src
+         |         JOIN deg dg ON dg.src = e.src
+         |  GROUP BY 1),
+         |d$k AS (
+         |  SELECT coalesce(sum(r.rank::DECIMAL(20,10))::DOUBLE, 0.0)
+         |      AS dm
+         |  FROM $p r LEFT JOIN deg dg ON dg.src = r.id
+         |  WHERE dg.src IS NULL),
+         |r$k AS (
+         |  SELECT v.id,
+         |    round($tele / (SELECT n FROM nn) + $d *
+         |      (coalesce(i.inflow, 0.0) +
+         |       (SELECT dm FROM d$k) / (SELECT n FROM nn)), 10) AS rank
+         |  FROM v LEFT JOIN i$k i ON i.id = v.id)""".stripMargin
+    }
+    s"""WITH $edgeCte,
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+       |deg AS (SELECT src, $degSql AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 10) AS rank
+       |       FROM v),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id"""
+      .stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // J1 — equi-joins with broadcast dims (orders ⋈ customer ⋈ nation).
@@ -636,44 +682,92 @@ object RelationalQueries {
           .select(col("id"), round(col("rank"), 6).as("rank"))
           .orderBy("id")
       },
+      Some(pageRankOracle(
+        edgeCte = """e AS (
+           |  SELECT DISTINCT -o_custkey AS src, l_suppkey AS dst, 1.0 AS w
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+          .stripMargin,
+        degSql = "count(*)::DOUBLE",
+        contribSql = "r.rank / dg.outdeg"))),
+
+    // q186 with edge WEIGHTS: the fulfilment graph weighted by lineitem
+    // multiplicity per (customer, supplier) — a supplier shipping 40
+    // lines to one customer earns proportionally more of that customer's
+    // rank than one shipping 2 (the host-graph form: link counts weight
+    // the authority flow). Parallel edges collapse by EXACT decimal
+    // weight sums; contributions are rank·w/W(u); the oracle replays the
+    // same three weighted rounds.
+    QueryDef("q192_pagerank_weighted",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((-col("o_custkey")).as("src"), col("l_suppkey").as("dst"),
+            lit(1.0).as("w"))
+        Clusters.pageRank(e, "src", "dst", iterations = 3, damping = 0.85,
+            weightCol = Some("w"))
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+          .orderBy("id")
+      },
+      Some(pageRankOracle(
+        edgeCte = """e AS (
+           |  SELECT -o_custkey AS src, l_suppkey AS dst,
+           |         sum((1.0)::DECIMAL(28,10))::DOUBLE AS w
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2)""".stripMargin,
+        degSql = "sum(w::DECIMAL(28,10))::DOUBLE",
+        contribSql = "r.rank * e.w / dg.outdeg"))),
+
+    // HITS hubs & authorities (Clusters.hits, 3 rounds) on the same
+    // fulfilment graph — the score family PageRank CANNOT produce here:
+    // customers point and are never pointed at, so their PageRank is
+    // pure teleport (uniform), while their HUB score ranks them by the
+    // authority of the suppliers they buy from; suppliers get the
+    // complementary authority ranking. The oracle unrolls all six
+    // half-rounds with the same decimal-exact sums and L1 norms.
+    QueryDef("q193_hits_hub_authority",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((-col("o_custkey")).as("src"), col("l_suppkey").as("dst"))
+        Clusters.hits(e, "src", "dst", iterations = 3)
+          .select(col("id"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+          .orderBy("id")
+      },
       Some {
-        val d = 0.85
-        val tele = 1.0 - d // the exact JVM double Spark's lit() uses
-        def iter(k: Int): String = {
-          val p = s"r${k - 1}"
-          s"""i$k AS (
-             |  SELECT e.dst AS id,
-             |    sum(round(r.rank / dg.outdeg, 14)::DECIMAL(38,14))::DOUBLE
-             |      AS inflow
-             |  FROM e JOIN $p r ON r.id = e.src
-             |         JOIN deg dg ON dg.src = e.src
-             |  GROUP BY 1),
-             |d$k AS (
-             |  SELECT coalesce(sum(r.rank::DECIMAL(20,10))::DOUBLE, 0.0)
-             |      AS dm
-             |  FROM $p r LEFT JOIN deg dg ON dg.src = r.id
-             |  WHERE dg.src IS NULL),
-             |r$k AS (
-             |  SELECT v.id,
-             |    round($tele / (SELECT n FROM nn) + $d *
-             |      (coalesce(i.inflow, 0.0) +
-             |       (SELECT dm FROM d$k) / (SELECT n FROM nn)), 10) AS rank
-             |  FROM v LEFT JOIN i$k i ON i.id = v.id)""".stripMargin
-        }
+        def half(prevRel: String, prevCol: String, from: String,
+                 to: String, outRel: String, outCol: String): String =
+          s"""r$outRel AS (
+             |  SELECT v.id, coalesce(s._raw, (0.0)::DOUBLE) AS raw
+             |  FROM v LEFT JOIN (
+             |    SELECT e.$to AS id,
+             |      sum(p.$prevCol::DECIMAL(28,10))::DOUBLE AS _raw
+             |    FROM e JOIN $prevRel p ON p.id = e.$from
+             |    GROUP BY 1) s ON s.id = v.id),
+             |$outRel AS (
+             |  SELECT id, round(raw /
+             |    (SELECT sum(raw::DECIMAL(28,10))::DOUBLE FROM r$outRel),
+             |    10) AS $outCol
+             |  FROM r$outRel)""".stripMargin
+        val rounds = (1 to 3).map { k =>
+          half(if (k == 1) "h0" else s"h${k - 1}", "hub", "src", "dst",
+            s"a$k", "auth") + ",\n" +
+            half(s"a$k", "auth", "dst", "src", s"h$k", "hub")
+        }.mkString(",\n")
         s"""WITH e AS (
            |  SELECT DISTINCT -o_custkey AS src, l_suppkey AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-           |nn AS (SELECT count(*)::DOUBLE AS n FROM v),
-           |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
-           |        GROUP BY 1),
-           |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 10) AS rank
-           |       FROM v),
-           |${iter(1)},
-           |${iter(2)},
-           |${iter(3)}
-           |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id"""
-          .stripMargin
+           |h0 AS (SELECT id, (1.0)::DOUBLE AS hub FROM v),
+           |$rounds
+           |SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+           |FROM h3 h JOIN a3 a USING (id) ORDER BY id""".stripMargin
       }),
 
     // One-scan numeric profile (Stats.profile): the survey report a

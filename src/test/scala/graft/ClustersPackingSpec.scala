@@ -425,6 +425,50 @@ class ClustersPackingSpec extends SparkSpec {
     assert(math.abs(r5 - 1.0) < 1e-8, s"mass leaked: $r5")
   }
 
+  test("hits: hand-computed hub/authority fixpoint steps on a small DAG, " +
+       "pure hubs score 0 authority and vice versa") {
+    // A→B, A→C, D→B (A, D hubs; B, C authorities)
+    // auth1: raw B=2, C=1 → (2/3, 1/3); hub1: raw A=1, D=2/3 → (3/5, 2/5)
+    // auth2: raw B=3/5+2/5=1, C=3/5 → (5/8, 3/8)
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val one = Clusters.hits(e, iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx(one(1L)._1, 0.6, 1e-8) && approx(one(2L)._1, 0.4, 1e-8),
+      s"hub step wrong: $one")
+    assert(approx(one(10L)._2, 2.0 / 3, 1e-8) &&
+      approx(one(11L)._2, 1.0 / 3, 1e-8), s"auth step wrong: $one")
+    assert(one(10L)._1 == 0.0 && one(1L)._2 == 0.0,
+      s"pure authorities must have hub 0 and vice versa: $one")
+    val two = Clusters.hits(e, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(approx(two(10L), 0.625, 1e-8) && approx(two(11L), 0.375, 1e-8),
+      s"round-2 authorities wrong: $two")
+  }
+
+  test("pageRank weighted: contributions split by edge weight, parallel " +
+       "weighted edges sum, unit weights equal the unweighted result") {
+    // A→B w=3 (as 2+1 parallel edges), A→C w=1; B, C dangling; n=3.
+    // r1(A) = 0.05 + 0.85·(2/9)           = 0.238888…
+    // r1(B) = 0.05 + 0.85·(3/4·1/3 + 2/9) = 0.451388…
+    // r1(C) = 0.05 + 0.85·(1/4·1/3 + 2/9) = 0.309722…
+    val e = Seq((1L, 2L, 2.0), (1L, 2L, 1.0), (1L, 3L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = Clusters.pageRank(e, iterations = 1, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r(1L), 0.05 + 0.85 * 2.0 / 9, 1e-8) &&
+      approx(r(2L), 0.05 + 0.85 * (0.25 + 2.0 / 9), 1e-8) &&
+      approx(r(3L), 0.05 + 0.85 * (1.0 / 12 + 2.0 / 9), 1e-8), s"got $r")
+    // unit weights ≡ unweighted on a simple graph
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val uw = Clusters.pageRank(cyc.withColumn("w", lit(1.0)),
+        iterations = 3, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val plain = Clusters.pageRank(cyc, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(uw == plain, s"unit-weight drift: $uw vs $plain")
+  }
+
   test("pageRank: a 2-cycle is stationary at 0.5/0.5; more in-links " +
        "mean more rank; superseded round blocks are released") {
     val sc = spark.sparkContext

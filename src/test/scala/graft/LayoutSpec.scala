@@ -581,6 +581,42 @@ class LayoutSpec extends SparkSpec {
     } finally stats.unpersist()
   }
 
+  test("bloom file skipping: zero false negatives over every id, point " +
+       "probes keep ~1 file where min/max boxes keep ALL, batch probe " +
+       "matches per-id truth") {
+    val pts = (1 to 4000).map { i =>
+      (i.toLong, (i * 2654435761L % 10000).toDouble / 10000.0)
+    }.toDF("id", "x")
+      .withColumn("xq", Layout.quantize(col("x"), 0.0, 1.0, 8))
+    // layout clustered on x: id is uniform across files — the min/max
+    // story for an id probe is "keep everything"
+    val assigned = Layout.zorderFileAssignment(pts, col("xq"), col("id"),
+      nFiles = 16).cache()
+    val idStats = Layout.fileStats(assigned, Seq("id")).cache()
+    val bloom = Layout.fileBloom(assigned, "id").cache()
+    try {
+      // min/max boxes cannot prune a point probe on the unsorted id
+      assert(Layout.filesTouched(idStats,
+        Map("id" -> (1234.0, 1234.0))) == 16L,
+        "fixture broke: min/max should keep all files for an id probe")
+      // truth: where each id actually lives (exactly one file)
+      val truth = assigned.select(col("id"), col("file_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ALL 4000 ids probed at once — no false negatives, tiny keep sets
+      val kept = Layout.bloomProbe(bloom, pts.select("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      pts.select("id").collect().map(_.getLong(0)).foreach { id =>
+        assert(kept(id).contains(truth(id)),
+          s"FALSE NEGATIVE: id $id lives in file ${truth(id)}, kept ${kept(id)}")
+      }
+      val meanKept = kept.values.map(_.size).sum.toDouble / kept.size
+      info(f"mean files kept per point probe: $meanKept%.2f of 16")
+      assert(meanKept < 2.0,
+        f"bloom pruning degraded: $meanKept%.2f files kept on average")
+    } finally { assigned.unpersist(); idStats.unpersist(); bloom.unpersist() }
+  }
+
   test("hilbert index: bijective over the full grid, every consecutive " +
        "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
        "inverse walk round-trips") {
