@@ -202,6 +202,102 @@ object Layout {
       .select(col(probeCol), col("file_id"))
   }
 
+  /** A loaded per-file Bloom sidecar: `words(file)(word) = bits`. A file
+    * ABSENT from the map is conservatively kept by every probe (appends
+    * after the sidecar build are uncovered until [[saveBloom]] reruns);
+    * a covered file is skipped only when some probed bit is missing —
+    * files are immutable once written, so a sidecar can never go stale,
+    * only lose coverage.
+    */
+  final case class BloomSidecar(column: String, mBits: Int, k: Int,
+                                words: Map[String, Map[Long, Long]]) {
+    /** May `file` contain `value`? No false negatives on covered files.
+      * Lookups normalize the name ([[normFile]]) — the sidecar is keyed
+      * by `input_file_name()` URIs, the skipping index by Hadoop path
+      * strings, and a form mismatch must read as "uncovered", never as
+      * a skip.
+      */
+    def mayContain(file: String, value: Any): Boolean =
+      words.get(normFile(file)) match {
+        case None => true // uncovered file: keep
+        case Some(w) =>
+          bloomDriverPositions(value, mBits, k).forall { p =>
+            (w.getOrElse(p / 63, 0L) & (1L << (p % 63).toInt)) != 0L
+          }
+      }
+  }
+
+  /** `file:///a/b`, `file:/a/b`, `/a/b` → one canonical form. */
+  private[graft] def normFile(s: String): String =
+    new Path(s).toUri.getPath
+
+  /** Driver-side twin of [[bloomPositions]] — same md5 double-hash over
+    * the same `"bf_" + value` rendering, for probing a sidecar with a
+    * pushed filter literal. Only integral and string values render
+    * identically to Spark's `cast(col as string)` in all cases, so
+    * callers must restrict to those (floating-point renderings differ
+    * in scientific-notation corners — no bloom narrowing there).
+    */
+  private[graft] def bloomDriverPositions(value: Any, mBits: Int,
+                                          k: Int): Seq[Long] = {
+    val s = "bf_" + String.valueOf(value)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    (0 until k).map(i => Math.floorMod(h1 + i.toLong * h2, mBits.toLong))
+  }
+
+  private def bloomFile(path: String, column: String) =
+    new Path(statsRoot(path), s"bloom_$column.parquet")
+  private def bloomManifestFile(column: String) = s"bloom_$column.json"
+
+  /** Build + commit the Bloom sidecar for a maintained layout's point-
+    * lookup column: one pass over exactly the COMMITTED indexed files
+    * (per REAL file name via input_file_name), written next to the
+    * skipping index with an atomic params manifest. Both read paths
+    * consult it for pushed equality/IN probes on `column`; rerun after
+    * appends to restore coverage (uncovered new files are kept
+    * conservatively, never wrongly skipped).
+    */
+  def saveBloom(spark: SparkSession, path: String, column: String,
+                mBits: Int = 1 << 14, k: Int = 5): Unit = {
+    val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
+      s"saveBloom: $path has no committed skipping index"))
+    val files = stats.map(_.file).distinct.sorted
+    val rows = spark.read.parquet(files: _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
+        col(column))
+    bloomPositions(rows, column, mBits, k)
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .coalesce(1) // files × mBits/64 rows — a small sidecar table
+      .write.mode("overwrite").parquet(bloomFile(path, column).toString)
+    writeFileAtomic(spark, new Path(statsRoot(path)),
+      bloomManifestFile(column),
+      graft.sources.Bundle.manifestJson(Map(
+        "kind" -> "bloom-sidecar", "column" -> column,
+        "mBits" -> mBits.toString, "k" -> k.toString)))
+  }
+
+  /** Load a committed Bloom sidecar, None if never built. */
+  def loadBloom(spark: SparkSession, path: String,
+                column: String): Option[BloomSidecar] =
+    readSmallFile(spark,
+        new Path(statsRoot(path), bloomManifestFile(column)))
+      .map(graft.sources.Bundle.parseManifest)
+      .filter(_.get("kind").contains("bloom-sidecar"))
+      .map { p =>
+        val words = spark.read.parquet(bloomFile(path, column).toString)
+          .collect()
+          .groupBy(r => normFile(r.getString(0)))
+          .map { case (f, rs) =>
+            f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+          }
+        BloomSidecar(column, p("mBits").toInt, p("k").toInt, words)
+      }
+
   // --------------------------------------------- written layout + skipping
 
   /** Materialize the Z-order layout as REAL parquet files: range-shuffle

@@ -38,9 +38,11 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, lr @ LogicalRelation(z: ZOrderRelation, _, _, _, _)) =>
-      Filter(cond, swap(lr, z, ranges(splitConjuncts(cond), lr)))
+      val pushed = splitConjuncts(cond)
+        .flatMap(PlanExec.translateFilter).toArray
+      Filter(cond, swap(lr, z, ZOrderRelation.ranges(pushed), pushed))
     case lr @ LogicalRelation(z: ZOrderRelation, _, _, _, _) =>
-      swap(lr, z, Map.empty)
+      swap(lr, z, Map.empty, Array.empty)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -48,23 +50,15 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Per-column range UNIONS, derived by translating each conjunct
-    * through Spark's own `translateFilter` and handing the result to the
-    * DSv1 relation's bound logic — ONE implementation
-    * ([[ZOrderRelation.ranges]], disjunction-aware: In-lists and
-    * Or-of-ranges prune too) for both read paths, instead of a parallel
-    * Expression-level copy that drifts.
-    */
-  private def ranges(conjuncts: Seq[Expression],
-      lr: LogicalRelation): Map[String, Seq[(Double, Double)]] =
-    ZOrderRelation.ranges(
-      conjuncts.flatMap(PlanExec.translateFilter).toArray)
-
-  /** The native parquet relation over the kept files, re-projected onto
+  /** The native parquet relation over the kept files (per-column range
+    * unions via the DSv1 relation's ONE bound implementation —
+    * [[ZOrderRelation.ranges]] — then the Bloom-sidecar narrowing for
+    * pushed equality/IN probes, same as buildScan), re-projected onto
     * the zorder relation's original attribute ids.
     */
   private def swap(lr: LogicalRelation, z: ZOrderRelation,
-      rangeMap: Map[String, Seq[(Double, Double)]]): LogicalPlan = {
+      rangeMap: Map[String, Seq[(Double, Double)]],
+      pushed: Array[org.apache.spark.sql.sources.Filter]): LogicalPlan = {
     val spark = z.spark
     val (paths, total) = Layout.loadStats(spark, z.path) match {
       case Some(stats) =>
@@ -73,7 +67,10 @@ object ZOrderPruneRule extends Rule[LogicalPlan] {
           if (rangeMap.isEmpty) all
           else stats.filter(g => ZOrderRelation.mayMatch(g, rangeMap))
             .map(_.file).distinct
-        (keep, all.size)
+        val narrowed =
+          if (pushed.isEmpty) keep
+          else ZOrderRelation.bloomNarrow(spark, z.path, pushed, keep)
+        (narrowed, all.size)
       case None => (Seq(z.path), 1)
     }
     ZOrderSource.lastScan.set((paths.size, total))

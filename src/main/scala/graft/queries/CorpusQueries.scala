@@ -3920,6 +3920,44 @@ object CorpusQueries {
       },
       Some(zorderBoxOracle)),
 
+    // Point lookups through the maintained store's BLOOM SIDECAR
+    // (Layout.saveBloom → both read paths' bloomNarrow): doc_id is
+    // uniform across the z-laid files, so footer boxes keep all 16 for
+    // an id probe — the committed per-file bloom narrows a pushed
+    // equality/IN filter to ~1 file per member (LayoutSpec measures the
+    // kept counts; files are immutable so the sidecar can never go
+    // stale, only lose coverage to appends). THIS query gates
+    // correctness: the narrowed read must return exactly the plain-SQL
+    // selection — a wrongly-dropped file (the only bloom failure mode
+    // that matters) loses rows and hash-mismatches.
+    QueryDef("q194_bloom_point_lookup",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_bwrite_${dataStamp(dir, "documents")}"
+        val sp = new org.apache.hadoop.fs.Path(store)
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+          table(s, dir, "documents").select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("bigint")
+                .as("n_tok"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+            .write.format("graft-zorder")
+            .option("zcols", "n_tok,q").option("bits", "8")
+            .option("nFiles", "16").option("tieCol", "doc_id")
+            .mode("overwrite").save(store)
+        }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store,
+            "_graft_stats/bloom_doc_id.json")))
+          Layout.saveBloom(s, store, "doc_id")
+        s.read.format("graft-zorder").load(store)
+          .filter(col("doc_id").isin(7L, 123L, 467L))
+          .select(col("doc_id"), col("n_tok"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle.replace(
+        "WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75",
+        "WHERE doc_id IN (7, 123, 467)"))),
+
     // The MAINTAINED layout oracle-gated — the full lakehouse loop in
     // one query: build the layout on 3/4 of documents
     // (`df.write.format("graft-zorder")`), APPEND the remaining quarter

@@ -210,8 +210,9 @@ case class ZOrderRelation(spark: SparkSession, path: String)
     val (files, total) = Layout.loadStats(spark, path) match {
       case Some(stats) =>
         val all = stats.map(_.file).distinct
-        (stats.filter(g => ZOrderRelation.mayMatch(g, ranges))
-          .map(_.file).distinct, all.size)
+        val kept = stats.filter(g => ZOrderRelation.mayMatch(g, ranges))
+          .map(_.file).distinct
+        (ZOrderRelation.bloomNarrow(spark, path, filters, kept), all.size)
       case None => (Seq(path), 1) // no saved index: plain full scan
     }
     ZOrderSource.lastScan.set((files.size, total))
@@ -344,6 +345,42 @@ object ZOrderRelation {
       lo = math.max(l1, l2); hi = math.min(h1, h2)
       if lo <= hi
     } yield (lo, hi)
+
+  /** Bloom-sidecar narrowing of an interval-kept file list: every pushed
+    * `EqualTo`/`In` conjunct on a column with a committed sidecar
+    * ([[Layout.saveBloom]]) drops covered files whose bitmap rules the
+    * probe out — the pruning shape footer boxes cannot do (a
+    * high-cardinality id is uniform across files, so every [min, max]
+    * contains every probed id). Only integral and string literals probe
+    * (their Spark `cast(col as string)` rendering is reproducible
+    * driver-side; float corners are not) and IN-lists cap at 64 members;
+    * anything else — and every file the sidecar does not cover — is
+    * conservatively kept. Conjuncts INTERSECT (each must pass); an
+    * IN-list keeps a file if ANY member may be present.
+    */
+  private[graft] def bloomNarrow(spark: SparkSession, path: String,
+      filters: Array[Filter], kept: Seq[String]): Seq[String] = {
+    def probeable(v: Any): Boolean = v match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte | _: String => true
+      case _ => false
+    }
+    val probes: Seq[(String, Seq[Any])] =
+      filters.flatMap(conjuncts).collect {
+        case EqualTo(c, v) if probeable(v) => c -> Seq(v)
+        case In(c, vs) if vs.nonEmpty && vs.length <= 64 &&
+            vs.forall(probeable) => c -> vs.toSeq
+      }.toSeq
+    if (probes.isEmpty) kept
+    else probes.groupBy(_._1).foldLeft(kept) { case (files, (c, ps)) =>
+      Layout.loadBloom(spark, path, c) match {
+        case None => files
+        case Some(sc) => ps.foldLeft(files) { case (fs, (_, vs)) =>
+          fs.filter(f => vs.exists(v => sc.mayContain(f, v)))
+        }
+      }
+    }
+  }
 
   /** NaN footer bounds compare false against everything, which would
     * SKIP a file that may hold matching rows — conservatively keep

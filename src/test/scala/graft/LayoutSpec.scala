@@ -617,6 +617,60 @@ class LayoutSpec extends SparkSpec {
     } finally { assigned.unpersist(); idStats.unpersist(); bloom.unpersist() }
   }
 
+  test("bloom sidecar on the maintained store: equality probes through " +
+       "the registered read path open ~1 of 16 files, append leaves " +
+       "uncovered files conservatively kept, rows stay exact") {
+    import graft.sources.ZOrderSource
+    val pts = (1 to 4000).map { i =>
+      (i.toLong, (i * 2654435761L % 10000).toDouble / 10000.0,
+        (i * 40503L % 10000).toDouble / 10000.0)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsc_")
+      .toFile.getAbsolutePath
+    pts.filter(col("id") <= 3000L).write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8").option("nFiles", "16")
+      .option("tieCol", "id").mode("overwrite").save(dir)
+
+    def readEq(id: Long) = {
+      val got = spark.read.format("graft-zorder").load(dir)
+        .filter(col("id") === id).select("id", "x").collect()
+      (got.map(_.getLong(0)).toSeq, ZOrderSource.lastScan.get())
+    }
+    // no sidecar yet: the id interval keeps every file
+    val (r0, (k0, t0)) = readEq(1234L)
+    assert(r0 == Seq(1234L) && k0 == t0 && t0 == 16,
+      s"pre-sidecar equality must full-scan: kept $k0/$t0")
+
+    Layout.saveBloom(spark, dir, "id")
+    val (r1, (k1, _)) = readEq(1234L)
+    assert(r1 == Seq(1234L), "bloom-narrowed read lost the row")
+    assert(k1 <= 2, s"bloom must narrow the equality probe: kept $k1/16")
+    // IN-list: union of members' candidate files
+    spark.read.format("graft-zorder").load(dir)
+      .filter(col("id").isin(7L, 123L, 2999L)).select("id")
+      .collect()
+    val (kIn, _) = ZOrderSource.lastScan.get()
+    assert(kIn <= 6, s"IN-probe must stay narrowed: kept $kIn/16")
+    // a probe for an id NOT in the store: bloom may drop every file
+    val (rMiss, (kMiss, _)) = readEq(999999L)
+    assert(rMiss.isEmpty && kMiss <= 1,
+      s"an absent id should prune (almost) everything: kept $kMiss")
+
+    // append AFTER the sidecar: new files are uncovered -> kept
+    // conservatively, so delta rows remain findable (no false negatives)
+    pts.filter(col("id") > 3000L).write.format("graft-zorder")
+      .mode("append").save(dir)
+    val (r2, (k2, t2)) = readEq(3456L)
+    assert(r2 == Seq(3456L),
+      "a delta row must survive bloom narrowing (uncovered files kept)")
+    assert(k2 < t2, s"covered files still narrow after append: $k2/$t2")
+    // rebuilding the sidecar restores coverage over the delta files
+    Layout.saveBloom(spark, dir, "id")
+    val (r3, (k3, _)) = readEq(3456L)
+    assert(r3 == Seq(3456L) && k3 <= 2,
+      s"rebuilt sidecar must cover the delta: kept $k3")
+  }
+
   test("hilbert index: bijective over the full grid, every consecutive " +
        "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
        "inverse walk round-trips") {
