@@ -249,17 +249,23 @@ object Layout {
     (0 until k).map(i => Math.floorMod(h1 + i.toLong * h2, mBits.toLong))
   }
 
-  private def bloomFile(path: String, column: String) =
-    new Path(statsRoot(path), s"bloom_$column.parquet")
-  private def bloomManifestFile(column: String) = s"bloom_$column.json"
+  private def bloomSidecarFile(column: String) = s"bloom_$column.txt"
+  private[graft] val BloomPrefix = "bloom_"
 
   /** Build + commit the Bloom sidecar for a maintained layout's point-
-    * lookup column: one pass over exactly the COMMITTED indexed files
-    * (per REAL file name via input_file_name), written next to the
-    * skipping index with an atomic params manifest. Both read paths
-    * consult it for pushed equality/IN probes on `column`; rerun after
-    * appends to restore coverage (uncovered new files are kept
-    * conservatively, never wrongly skipped).
+    * lookup column: one distributed pass over exactly the COMMITTED
+    * indexed files (per REAL file name via input_file_name), then ONE
+    * small atomic file next to the skipping index — header
+    * `mBits k`, then `file<TAB>word:bits,word:bits,…` per file. The
+    * sidecar is bounded at files · ceil(mBits/63) words (16 files at
+    * the 16 Ki default ≈ 4 k longs; a thousand files ≈ a few MB), so
+    * readers load it with a driver FS read — NO Spark job before the
+    * scan, the property a per-scan index consult must have. Both read
+    * paths consult it for pushed equality/IN probes on `column`; rerun
+    * after appends to restore coverage (uncovered new files are kept
+    * conservatively, never wrongly skipped); [[compact]] refreshes
+    * every committed sidecar automatically (its rewrite replaces all
+    * files, which would otherwise strand the sidecar at zero coverage).
     */
   def saveBloom(spark: SparkSession, path: String, column: String,
                 mBits: Int = 1 << 14, k: Int = 5): Unit = {
@@ -269,34 +275,51 @@ object Layout {
     val rows = spark.read.parquet(files: _*)
       .select(org.apache.spark.sql.functions.input_file_name().as("file"),
         col(column))
-    bloomPositions(rows, column, mBits, k)
+    val collected = bloomPositions(rows, column, mBits, k)
       .groupBy(col("file"), col("word"))
       .agg(expr("bit_or(bit)").as("bits"))
-      .coalesce(1) // files × mBits/64 rows — a small sidecar table
-      .write.mode("overwrite").parquet(bloomFile(path, column).toString)
+      .collect()
+    val body = collected.groupBy(r => normFile(r.getString(0)))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        f + "\t" + rs.sortBy(_.getLong(1))
+          .map(r => s"${r.getLong(1)}:${r.getLong(2)}").mkString(",")
+      }.mkString("\n")
     writeFileAtomic(spark, new Path(statsRoot(path)),
-      bloomManifestFile(column),
-      graft.sources.Bundle.manifestJson(Map(
-        "kind" -> "bloom-sidecar", "column" -> column,
-        "mBits" -> mBits.toString, "k" -> k.toString)))
+      bloomSidecarFile(column), s"$mBits $k\n$body")
   }
 
-  /** Load a committed Bloom sidecar, None if never built. */
+  /** Load a committed Bloom sidecar — one driver FS read, no Spark job.
+    * None if never built.
+    */
   def loadBloom(spark: SparkSession, path: String,
                 column: String): Option[BloomSidecar] =
-    readSmallFile(spark,
-        new Path(statsRoot(path), bloomManifestFile(column)))
-      .map(graft.sources.Bundle.parseManifest)
-      .filter(_.get("kind").contains("bloom-sidecar"))
-      .map { p =>
-        val words = spark.read.parquet(bloomFile(path, column).toString)
-          .collect()
-          .groupBy(r => normFile(r.getString(0)))
-          .map { case (f, rs) =>
-            f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
-          }
-        BloomSidecar(column, p("mBits").toInt, p("k").toInt, words)
+    readSmallFile(spark, new Path(statsRoot(path),
+        bloomSidecarFile(column)))
+      .map { text =>
+        val lines = text.split("\n", -1).toSeq
+        val Array(m, k) = lines.head.trim.split(" ")
+        val words = lines.tail.filter(_.nonEmpty).map { l =>
+          val Array(f, ws) = l.split("\t", 2)
+          f -> (if (ws.isEmpty) Map.empty[Long, Long]
+                else ws.split(",").map { w =>
+                  val Array(a, b) = w.split(":")
+                  a.toLong -> b.toLong
+                }.toMap)
+        }.toMap
+        BloomSidecar(column, m.toInt, k.toInt, words)
       }
+
+  /** Columns with a committed Bloom sidecar at `path`. */
+  private[graft] def bloomColumns(spark: SparkSession,
+                                  path: String): Seq[String] = {
+    val dir = new Path(statsRoot(path))
+    val fs = dir.getFileSystem(hconf(spark))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(BloomPrefix) && n.endsWith(".txt"))
+      .map(n => n.substring(BloomPrefix.length, n.length - 4))
+  }
 
   // --------------------------------------------- written layout + skipping
 
@@ -757,6 +780,15 @@ object Layout {
       p.getFileSystem(conf).delete(p, false)
     }
     writeLayoutManifest(spark, path, mf.copy(bounds = bounds))
+    // refresh every committed Bloom sidecar: the rewrite replaced every
+    // data file, which would strand the old sidecars at zero coverage
+    // (correct — uncovered files are kept — but all pruning is lost
+    // until someone remembers to rebuild; compact is already the
+    // full-rewrite op, so the extra pass belongs here)
+    bloomColumns(spark, path).foreach { c =>
+      loadBloom(spark, path, c).foreach(bs =>
+        saveBloom(spark, path, c, bs.mBits, bs.k))
+    }
   }
 
   /** Scan the written layout under a box predicate, opening ONLY the

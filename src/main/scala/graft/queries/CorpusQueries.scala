@@ -3947,7 +3947,7 @@ object CorpusQueries {
             .mode("overwrite").save(store)
         }
         if (!fs.exists(new org.apache.hadoop.fs.Path(store,
-            "_graft_stats/bloom_doc_id.json")))
+            "_graft_stats/bloom_doc_id.txt")))
           Layout.saveBloom(s, store, "doc_id")
         s.read.format("graft-zorder").load(store)
           .filter(col("doc_id").isin(7L, 123L, 467L))

@@ -669,6 +669,14 @@ class LayoutSpec extends SparkSpec {
     val (r3, (k3, _)) = readEq(3456L)
     assert(r3 == Seq(3456L) && k3 <= 2,
       s"rebuilt sidecar must cover the delta: kept $k3")
+
+    // COMPACT replaces every data file — it must refresh the sidecar
+    // itself, or all bloom pruning silently degrades to full keeps
+    Layout.compact(spark, dir)
+    val (r4, (k4, t4)) = readEq(1234L)
+    assert(r4 == Seq(1234L), "post-compact bloom read lost the row")
+    assert(k4 <= 2 && k4 < t4,
+      s"compact must refresh the sidecar, not strand it: kept $k4/$t4")
   }
 
   test("hilbert index: bijective over the full grid, every consecutive " +
