@@ -80,6 +80,137 @@ object HilbertExpressions {
     (x, y)
   }
 
+  /** n-D Hilbert index via Skilling's transpose algorithm (Programming
+    * the Hilbert curve, AIP Conf. Proc. 707, 2004 — public domain): the
+    * coordinates are walked MSB→LSB undoing the per-level rotations,
+    * Gray-decoded across axes, then bit-interleaved into the index.
+    * Unit-step adjacency and bijectivity are pinned by the spec at
+    * n = 3 exactly like the 2-D walk. Note the 2-D instance of this
+    * family is a different (equally valid) Hilbert variant than
+    * [[xy2d]] — the two are NOT interchangeable on disk, which is why
+    * the layout manifest records the curve and the 2-D path keeps xy2d.
+    */
+  def axesToIndex(bits: Int, x0: Array[Long]): Long = {
+    val n = x0.length
+    val x = new Array[Long](n)
+    val mask = (1L << bits) - 1
+    var i = 0
+    while (i < n) {
+      x(i) = math.min(math.max(x0(i), 0L), mask); i += 1
+    }
+    // inverse undo of the per-level rotations (Skilling AxestoTranspose)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray decode across axes
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transpose: bit b of axis i lands at b·n + (n−1−i)
+    var d = 0L
+    var b = 0
+    while (b < bits) {
+      i = 0
+      while (i < n) {
+        d |= ((x(i) >> b) & 1L) << (b * n + (n - 1 - i))
+        i += 1
+      }
+      b += 1
+    }
+    d
+  }
+
+  /** Inverse of [[axesToIndex]] (Skilling TransposetoAxes) — the spec's
+    * independent round-trip anchor.
+    */
+  def indexToAxes(bits: Int, n: Int, d: Long): Array[Long] = {
+    val x = new Array[Long](n)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < n) {
+        x(i) |= ((d >> (b * n + (n - 1 - i))) & 1L) << b
+        i += 1
+      }
+      b += 1
+    }
+    // Gray encode back
+    var t = x(n - 1) >> 1
+    var i = n - 1
+    while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t
+    // redo the per-level rotations
+    var q = 2L
+    while (q != (1L << bits)) {
+      val p = q - 1
+      i = n - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val tt = (x(0) ^ x(i)) & p; x(0) ^= tt; x(i) ^= tt }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
+
+  /** `graft_hilbertn(x1, …, xn)` with a literal bit width: long Hilbert
+    * index of n quantized cells (Skilling variant). CodegenFallback by
+    * choice: the n-D index is computed once per row in a one-time
+    * layout WRITE pass (never in a query hot loop — reads prune on the
+    * stats table), and the 2-D hot-path expression keeps full codegen.
+    */
+  final case class HilbertNExpr(children: Seq[Expression], bits: Int)
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen
+        .CodegenFallback {
+    require(children.size >= 2, "graft_hilbertn needs at least 2 cells")
+    require(bits >= 1 && children.size * bits <= 62,
+      s"graft_hilbertn: ${children.size} axes at $bits bits overflow a " +
+        "signed long")
+
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbertn"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "graft_hilbertn expects bigint quantized cells, got (" +
+          children.map(_.dataType.simpleString).mkString(", ") + ")")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = new Array[Long](children.size)
+      var i = 0
+      while (i < children.size) {
+        val v = children(i).eval(input)
+        if (v == null) return null
+        arr(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      axesToIndex(bits, arr)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): HilbertNExpr =
+      copy(children = newChildren)
+  }
+
   /** `graft_hilbert2(x, y)` with a literal bit width: long Hilbert index
     * of two quantized cells.
     */

@@ -407,12 +407,17 @@ object Clusters {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    def normalized(raw: DataFrame, vcol: String): DataFrame = {
+    def normalized(rawLazy: DataFrame, vcol: String): DataFrame = {
+      // pin the pulled frame once: it feeds BOTH the norm aggregate and
+      // the normalized select — left lazy, the join+agg would run twice
+      val raw = rawLazy.localCheckpoint(true)
       val tot = raw.agg(sum(col("_raw").cast("decimal(28,10)"))
         .cast("double").as("_t"))
-      raw.crossJoin(broadcast(tot))
+      val out = raw.crossJoin(broadcast(tot))
         .select(col("id"), round(col("_raw") / col("_t"), 10).as(vcol))
         .localCheckpoint(true)
+      Checkpoints.release(raw)
+      out
     }
     def pulled(scores: DataFrame, scoreCol: String, from: String,
                to: String): DataFrame =
@@ -502,7 +507,9 @@ object Clusters {
         edges.select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"),
             col(wc).cast("double").as("_w"))
-          .filter(col("_w") > 0.0)
+          // NaN compares LARGEST in Spark (NaN > 0 is true), so the
+          // positivity gate alone would admit a poison weight
+          .filter(col("_w") > 0.0 && !isnan(col("_w")))
           .groupBy(col("src"), col("dst"))
           .agg(sum(round(col("_w"), 10).cast("decimal(28,10)"))
             .cast("double").as("w"))

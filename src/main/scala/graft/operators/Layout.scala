@@ -68,6 +68,16 @@ object Layout {
     org.apache.spark.sql.functions.call_function("graft_hilbert2",
       x.cast("bigint"), y.cast("bigint"), lit(bits))
 
+  /** n-D Hilbert index (Skilling transpose variant — a DIFFERENT, equally
+    * valid curve than the 2-D [[hilbertValue]]; the layout manifest's
+    * curve + column count pin which one a store was written with).
+    */
+  def hilbertValueN(cells: Seq[Column], bits: Int): Column = {
+    require(cells.size >= 2, "hilbertValueN needs at least two columns")
+    org.apache.spark.sql.functions.call_function("graft_hilbertn",
+      cells.map(_.cast("bigint")) :+ lit(bits): _*)
+  }
+
   /** Assign each row to one of `nFiles` equal-size files in Z-value order
     * (ties broken by `tieCol` for determinism): `file_id = (rank-1) ·
     * nFiles / total` over the distributed global rank.
@@ -155,20 +165,33 @@ object Layout {
                 mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits=$mBits must be a power of two >= 64")
-    require(k >= 1 && k <= 16, s"k=$k hash functions out of range")
+    requireBloomK(k)
     bloomPositions(assigned.select(col("file_id"), col(colName)), colName,
         mBits, k)
       .groupBy(col("file_id"), col("word"))
       .agg(expr("bit_or(bit)").as("bits"))
   }
 
-  /** (rows × k) positions → (…, word, bit) rows; shared by build+probe. */
+  /** k ≤ 8: position i = h1 + i·h2 with h1, h2 < 2^60 — i = 8 is the
+    * last multiplier that cannot overflow a signed long. Spark would
+    * wrap silently past it but DuckDB RAISES on BIGINT overflow, so a
+    * bigger k would break the oracle replay AND diverge cross-engine.
+    */
+  private def requireBloomK(k: Int): Unit =
+    require(k >= 1 && k <= 8, s"k=$k hash functions out of range (1..8)")
+
+  /** (rows × k) positions → (…, word, bit) rows; shared by build+probe.
+    * NULL values drop: an equality probe can never be pushed for NULL
+    * (that shape is IsNull), and a NULL row would otherwise ride the
+    * build as a null position.
+    */
   private def bloomPositions(df: DataFrame, colName: String,
                              mBits: Int, k: Int): DataFrame = {
     val v = concat(lit("bf_"), col(colName).cast("string"))
     val h1 = graft.functions.TextFunctions.md5Hash60(v)
     val h2 = graft.functions.TextFunctions.md5Hash60b(v)
-    df.withColumn("_p", explode(array((0 until k).map(i =>
+    df.filter(col(colName).isNotNull)
+      .withColumn("_p", explode(array((0 until k).map(i =>
         pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)))
       // 63-bit words (bit 63 unused): DuckDB range-checks signed left
       // shifts, and portability is the point of the md5 scheme
@@ -187,6 +210,7 @@ object Layout {
     */
   def bloomProbe(bloom: DataFrame, probes: DataFrame, probeCol: String,
                  mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
+    requireBloomK(k)
     val need = bloomPositions(probes.select(col(probeCol)).distinct(),
         probeCol, mBits, k)
       .groupBy(col(probeCol), col("word"))
@@ -269,6 +293,7 @@ object Layout {
     */
   def saveBloom(spark: SparkSession, path: String, column: String,
                 mBits: Int = 1 << 14, k: Int = 5): Unit = {
+    requireBloomK(k)
     val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
       s"saveBloom: $path has no committed skipping index"))
     val files = stats.map(_.file).distinct.sorted
@@ -610,11 +635,13 @@ object Layout {
       quantize(col(c).cast("double"), lo, hi, bits) }
     curve match {
       case "morton" => zValueN(cells, bits)
-      case "hilbert" =>
-        require(cells.size == 2,
-          s"curve=hilbert lays out exactly 2 columns, got ${cells.size}" +
-            " — use curve=morton (zValueN) for other dimensionalities")
+      case "hilbert" if cells.size == 2 =>
         hilbertValue(cells(0), cells(1), bits)
+      case "hilbert" =>
+        require(cells.size * bits <= 62,
+          s"curve=hilbert: ${cells.size} columns at $bits bits overflow " +
+            "a signed long")
+        hilbertValueN(cells, bits)
       case other => throw new IllegalArgumentException(
         s"unknown layout curve '$other' (one of ${Curves.mkString(", ")})")
     }

@@ -82,6 +82,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HilbertExpressions.Hilbert2Expr(children(0), children(1),
           b.eval().asInstanceOf[Number].intValue())
       }))
+    // graft_hilbertn(x1, …, xn, bits): Skilling n-D Hilbert index — the
+    // layout write path for 3+ clustered columns (CodegenFallback by
+    // choice: a one-time write pass, never a query hot loop)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbertn"),
+      new ExpressionInfo(
+        classOf[HilbertExpressions.HilbertNExpr].getName, "graft_hilbertn"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 3,
+          "graft_hilbertn takes (x1, ..., xn, bits) with n >= 2")
+        val b = children.last
+        require(b.foldable, "graft_hilbertn bits must be a literal")
+        HilbertExpressions.HilbertNExpr(children.dropRight(1),
+          b.eval().asInstanceOf[Number].intValue())
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

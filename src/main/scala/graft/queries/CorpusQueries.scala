@@ -3920,6 +3920,49 @@ object CorpusQueries {
       },
       Some(zorderBoxOracle)),
 
+    // The 3-D HILBERT write path (Skilling transpose curve —
+    // graft_hilbertn; a different, equally valid Hilbert variant than
+    // the 2-D walk, which is why the manifest pins curve + column
+    // count): documents clustered on (n_tok, q, n_chars), served through
+    // the registered read path under a 3-D box. The shared-oracle
+    // discipline again: the curve must be semantically invisible — the
+    // oracle computes the same 3-D box selection straight from
+    // documents; LayoutSpec separately pins the n-D walk's bijectivity
+    // and unit-step adjacency.
+    QueryDef("q195_hilbert3d_layout_scan",
+      (s, dir) => {
+        val store = System.getProperty("java.io.tmpdir") +
+          s"/graft_h3write_${dataStamp(dir, "documents")}"
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))) {
+          table(s, dir, "documents").select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("bigint")
+                .as("n_tok"),
+              round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+              col("n_chars").cast("bigint").as("n_chars"))
+            .write.format("graft-zorder")
+            .option("zcols", "n_tok,q,n_chars").option("bits", "8")
+            .option("nFiles", "16").option("tieCol", "doc_id")
+            .option("curve", "hilbert")
+            .mode("overwrite").save(store)
+        }
+        s.read.format("graft-zorder").load(store)
+          .filter(col("n_tok") >= 20L && col("n_tok") <= 70L &&
+            col("q") >= 0.4 && col("q") <= 0.9 &&
+            col("n_chars") >= 100L && col("n_chars") <= 400L)
+          .select(col("doc_id"), col("n_tok"), col("q"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(zorderBoxOracle.replace(
+        "SELECT doc_id, n_tok, q FROM qd\n" +
+          "WHERE n_tok BETWEEN 30 AND 60 AND q BETWEEN 0.55 AND 0.75\n" +
+          "ORDER BY doc_id",
+        "SELECT qd.doc_id, qd.n_tok, qd.q, d2.n_chars::BIGINT AS n_chars " +
+          "FROM qd JOIN documents d2 ON d2.doc_id = qd.doc_id " +
+          "WHERE qd.n_tok BETWEEN 20 AND 70 AND qd.q BETWEEN 0.4 AND 0.9 " +
+          "AND d2.n_chars BETWEEN 100 AND 400 ORDER BY qd.doc_id"))),
+
     // Point lookups through the maintained store's BLOOM SIDECAR
     // (Layout.saveBloom → both read paths' bloomNarrow): doc_id is
     // uniform across the z-laid files, so footer boxes keep all 16 for

@@ -711,6 +711,55 @@ class LayoutSpec extends SparkSpec {
     assert(clamped == got((0L, (n - 1).toLong)), "clamp must hit the edge cell")
   }
 
+  test("3-D hilbert (Skilling): bijective over the full 8^3 grid, " +
+       "unit-step adjacency along the whole curve, inverse round-trip, " +
+       "and the written 3-col store serves row-exact") {
+    import graft.functions.HilbertExpressions
+    val bits = 3; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x.toLong, y.toLong, z.toLong)
+    val got = cells.toDF("x", "y", "z")
+      .withColumn("d", Layout.hilbertValueN(
+        Seq(col("x"), col("y"), col("z")), bits))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.values.toSet.size == n * n * n && got.values.min == 0L &&
+      got.values.max == (n * n * n - 1).toLong, "not a bijection")
+    val byD = got.map(_.swap)
+    (1 until n * n * n).foreach { d =>
+      val (a, b) = (byD((d - 1).toLong), byD(d.toLong))
+      val step = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs(a._3 - b._3)
+      assert(step == 1, s"3-D curve jumped at d=$d: $a -> $b")
+    }
+    (0 until n * n * n).foreach { d =>
+      val ax = HilbertExpressions.indexToAxes(bits, 3, d.toLong)
+      assert(got((ax(0), ax(1), ax(2))) == d.toLong,
+        s"inverse mismatch at d=$d")
+    }
+    // written 3-col store on the hilbert curve: semantically invisible
+    val pts = (1 to 3000).map { i =>
+      (i.toLong, (i * 2654435761L % 997).toDouble,
+        (i * 40503L % 991).toDouble, (i * 69069L % 983).toDouble)
+    }.toDF("id", "x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("graft_h3_")
+      .toFile.getAbsolutePath
+    pts.write.format("graft-zorder")
+      .option("zcols", "x,y,z").option("bits", "6").option("nFiles", "16")
+      .option("tieCol", "id").option("curve", "hilbert")
+      .mode("overwrite").save(dir)
+    val box = col("x").between(100.0, 400.0) &&
+      col("y").between(100.0, 400.0) && col("z").between(100.0, 400.0)
+    val gotIds = spark.read.format("graft-zorder").load(dir).filter(box)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expIds = pts.filter(box).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotIds == expIds, "3-D hilbert store lost or invented box rows")
+    val (kept, total) = graft.sources.ZOrderSource.lastScan.get()
+    assert(kept < total, s"a 3-D corner-ish box must skip files: $kept/$total")
+  }
+
   test("hilbert layout: over a battery of boxes it opens no more files " +
        "than the morton layout, and the maintained store (write with " +
        "curve=hilbert, append, pruned read) stays row-exact") {
