@@ -75,7 +75,9 @@ class ZOrderSource extends RelationProvider
       nFiles = parameters.getOrElse("nFiles", "16").toInt,
       tieCol = parameters.get("tieCol"),
       compactFactor = parameters.getOrElse("compactFactor", "4").toInt,
-      curve = parameters.getOrElse("curve", "morton"))
+      curve = parameters.getOrElse("curve", "morton"),
+      bloomCols = parameters.get("bloomCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     // resetProgress: one-shot acceptance of a NEW checkpoint's batch 0
     // against an existing layout's higher committed watermark — remove
     // the option once the stream is running again

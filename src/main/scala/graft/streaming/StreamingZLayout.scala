@@ -37,7 +37,8 @@ object StreamingZLayout {
 
   final case class Params(zcols: Seq[String], bits: Int = 8,
                           nFiles: Int = 16, tieCol: Option[String] = None,
-                          compactFactor: Int = 4, curve: String = "morton")
+                          compactFactor: Int = 4, curve: String = "morton",
+                          bloomCols: Seq[String] = Nil)
 
   final case class BatchResult(applied: Boolean, bootstrapped: Boolean,
                                compacted: Boolean, nFiles: Int)
@@ -66,6 +67,11 @@ object StreamingZLayout {
             Layout.buildLayout(pinned, p.zcols, p.bits, p.nFiles, p.tieCol,
               dir, tags = Map(BatchTag -> batchId.toString),
               curve = p.curve)
+            // point-lookup sidecars from day one; appends leave their new
+            // files uncovered (conservatively kept — a probe can never
+            // lose rows) and every COMPACTION refreshes full coverage
+            // (Layout.compact rebuilds committed sidecars itself)
+            p.bloomCols.foreach(c => Layout.saveBloom(spark, dir, c))
             BatchResult(applied = true, bootstrapped = true,
               compacted = false, nFiles = p.nFiles)
           }

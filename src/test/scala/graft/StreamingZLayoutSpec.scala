@@ -258,6 +258,43 @@ class StreamingZLayoutSpec extends SparkSpec {
     assert(served.count() == hi.toLong)
   }
 
+  test("bloomCols sink param: bootstrap commits the sidecar, point " +
+       "probes narrow from batch 0, appended rows stay findable, and " +
+       "the automatic compaction refreshes coverage") {
+    import graft.sources.ZOrderSource
+    val dir = java.nio.file.Files.createTempDirectory("zstream_b")
+      .toString + "/t"
+    val pb = p.copy(bloomCols = Seq("id"))
+    assert(StreamingZLayout.processBatch(rows(1, 2000), 0L, dir, pb)
+      .bootstrapped)
+    def probe(id: Long): (Seq[Long], (Int, Int)) = {
+      val got = spark.read.format("graft-zorder").load(dir)
+        .filter(col("id") === id).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      (got, ZOrderSource.lastScan.get())
+    }
+    val (r1, (k1, t1)) = probe(777L)
+    assert(r1 == Seq(777L) && k1 < t1,
+      s"bootstrap sidecar must narrow a point probe: $k1/$t1")
+    // append until the file-count drift triggers the automatic
+    // compaction — which must REFRESH the sidecar over the new files
+    var compacted = false
+    var b = 1L
+    while (!compacted && b <= 12L) {
+      val lo = 2000 + (b.toInt - 1) * 100 + 1
+      compacted = StreamingZLayout.processBatch(
+        rows(lo, lo + 99), b, dir, pb).compacted
+      b += 1
+    }
+    assert(compacted, "fixture must reach a compaction")
+    val late = 2000 + (b.toInt - 2) * 100 + 50L // an id from a late batch
+    val (r2, (k2, t2)) = probe(late)
+    assert(r2 == Seq(late),
+      "post-compaction bloom read lost an appended row")
+    assert(k2 < t2,
+      s"compaction must refresh the sidecar (full coverage): $k2/$t2")
+  }
+
   test("curve=hilbert streams: bootstrap persists the curve, appends " +
        "replay it, a morton-configured sink against the hilbert layout " +
        "fails fast, and the served table stays row-exact") {
