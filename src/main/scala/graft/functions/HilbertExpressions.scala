@@ -85,10 +85,11 @@ object HilbertExpressions {
     * coordinates are walked MSB→LSB undoing the per-level rotations,
     * Gray-decoded across axes, then bit-interleaved into the index.
     * Unit-step adjacency and bijectivity are pinned by the spec at
-    * n = 3 exactly like the 2-D walk. Note the 2-D instance of this
-    * family is a different (equally valid) Hilbert variant than
-    * [[xy2d]] — the two are NOT interchangeable on disk, which is why
-    * the layout manifest records the curve and the 2-D path keeps xy2d.
+    * n = 2..4, and the n = 2 instance is proven CELL-FOR-CELL EQUAL to
+    * the classic [[xy2d]] walk (PropertiesSpec) — one curve family, so
+    * a 2-D store reads identically no matter which code path indexed
+    * it; the 2-D path keeps xy2d only because it codegens to a tighter
+    * loop.
     */
   def axesToIndex(bits: Int, x0: Array[Long]): Long = {
     val n = x0.length

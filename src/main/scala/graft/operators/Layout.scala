@@ -68,9 +68,9 @@ object Layout {
     org.apache.spark.sql.functions.call_function("graft_hilbert2",
       x.cast("bigint"), y.cast("bigint"), lit(bits))
 
-  /** n-D Hilbert index (Skilling transpose variant — a DIFFERENT, equally
-    * valid curve than the 2-D [[hilbertValue]]; the layout manifest's
-    * curve + column count pin which one a store was written with).
+  /** n-D Hilbert index (Skilling transpose walk; its n = 2 instance is
+    * proven equal to [[hilbertValue]]'s xy2d cell for cell — one curve
+    * family across every dimensionality).
     */
   def hilbertValueN(cells: Seq[Column], bits: Int): Column = {
     require(cells.size >= 2, "hilbertValueN needs at least two columns")

@@ -3921,9 +3921,8 @@ object CorpusQueries {
       Some(zorderBoxOracle)),
 
     // The 3-D HILBERT write path (Skilling transpose curve —
-    // graft_hilbertn; a different, equally valid Hilbert variant than
-    // the 2-D walk, which is why the manifest pins curve + column
-    // count): documents clustered on (n_tok, q, n_chars), served through
+    // graft_hilbertn; its 2-D instance is proven equal to the xy2d walk
+    // cell for cell, one curve family): documents clustered on (n_tok, q, n_chars), served through
     // the registered read path under a 3-D box. The shared-oracle
     // discipline again: the curve must be semantically invisible — the
     // oracle computes the same 3-D box selection straight from

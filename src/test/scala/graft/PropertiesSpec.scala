@@ -519,4 +519,109 @@ class PropertiesSpec extends SparkSpec {
       s"NaN-equality rows lost by skipping: got ${gotNaN.size}, " +
         s"want ${wantNaN.size}")
   }
+
+  test("PageRank/HITS invariants on random directed graphs: rank mass " +
+       "is conserved, teleport floors hold, norms are exactly L1") {
+    import graft.operators.Clusters
+    val rnd = new scala.util.Random(421)
+    (1 to 3).foreach { trial =>
+      val n = 40 + rnd.nextInt(30)
+      val edges = (1 to 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.toDF("src", "dst")
+      val pr = Clusters.pageRank(edges, iterations = 3)
+        .collect().map(_.getDouble(1))
+      assert(math.abs(pr.sum - 1.0) < 1e-6,
+        s"trial $trial: rank mass leaked: ${pr.sum}")
+      val verts = pr.length
+      assert(pr.forall(_ >= 0.15 / verts - 1e-9),
+        s"trial $trial: a rank fell below the teleport floor")
+      val ha = Clusters.hits(edges, iterations = 2).collect()
+        .map(r => (r.getDouble(1), r.getDouble(2)))
+      assert(math.abs(ha.map(_._1).sum - 1.0) < 1e-6 &&
+        math.abs(ha.map(_._2).sum - 1.0) < 1e-6,
+        s"trial $trial: HITS L1 norms drifted")
+      assert(ha.forall(p => p._1 >= 0 && p._2 >= 0))
+    }
+  }
+
+  test("hilbert curves: unit-step bijections at arbitrary bit widths " +
+       "and dimensionalities, inverse round-trips, and the Skilling " +
+       "n-D walk specializes to the classic xy2d walk at n = 2") {
+    import graft.functions.HilbertExpressions._
+    for (bits <- Seq(2, 3, 4)) {
+      val n = 1 << bits
+      val d2 = (for (x <- 0L until n; y <- 0L until n)
+        yield (x, y) -> xy2d(bits, x, y)).toMap
+      assert(d2.values.toSet == (0L until n.toLong * n).toSet,
+        s"xy2d not a bijection at bits=$bits")
+      val byD = d2.map(_.swap)
+      (1 until n * n).foreach { d =>
+        val (a, b) = (byD((d - 1).toLong), byD(d.toLong))
+        assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+          s"xy2d jumped at bits=$bits d=$d")
+      }
+    }
+    for (dims <- Seq(2, 3, 4); bits <- Seq(2, 3)) {
+      val n = 1 << bits
+      val total = math.pow(n, dims).toLong
+      val cells = Seq.fill(dims)(0L until n.toLong)
+        .foldLeft(Seq(Seq.empty[Long]))((acc, r) =>
+          acc.flatMap(p => r.map(p :+ _)))
+      val m = cells.map(c => c -> axesToIndex(bits, c.toArray)).toMap
+      assert(m.values.toSet == (0L until total).toSet,
+        s"skilling not a bijection at dims=$dims bits=$bits")
+      val byD = m.map(_.swap)
+      (1L until total).foreach { d =>
+        val (a, b) = (byD(d - 1), byD(d))
+        val step = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(step == 1, s"skilling jumped at dims=$dims bits=$bits d=$d")
+      }
+      // inverse round-trip
+      (0L until total).foreach { d =>
+        assert(m(indexToAxes(bits, dims, d).toSeq) == d)
+      }
+    }
+    // the Skilling transpose walk SPECIALIZES to the classic xy2d walk
+    // at n = 2 — the two implementations must agree cell for cell, so a
+    // 2-D store reads identically no matter which code path indexed it
+    for (bits <- Seq(2, 3, 4); x <- 0L until (1L << bits);
+         y <- 0L until (1L << bits))
+      assert(xy2d(bits, x, y) == axesToIndex(bits, Array(x, y)),
+        s"2-D walks diverge at bits=$bits ($x,$y)")
+  }
+
+  test("bloom skipping: zero false negatives for random ids, params, " +
+       "and STRING keys") {
+    import graft.operators.Layout
+    val rnd = new scala.util.Random(1717)
+    for ((m, k) <- Seq((1024, 1), (16384, 5), (4096, 8))) {
+      val ids = (1 to 600).map(_ => rnd.nextLong() % 100000L).distinct
+      val assigned = ids.zipWithIndex
+        .map { case (id, i) => (id, (i % 7).toLong) }
+        .toDF("id", "file_id")
+      val bloom = Layout.fileBloom(assigned, "id", mBits = m, k = k)
+      val truth = assigned.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kept = Layout.bloomProbe(bloom, assigned.select("id"), "id",
+          mBits = m, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      ids.foreach { id =>
+        assert(kept(id).contains(truth(id)),
+          s"FALSE NEGATIVE at m=$m k=$k for id $id")
+      }
+    }
+    // string keys hash on their own rendering
+    val names = (1 to 200).map(i => s"doc_${i}_x").toDF("name")
+      .withColumn("file_id", pmod(length(col("name")), lit(5)).cast("long"))
+    val bloom = Layout.fileBloom(names, "name")
+    val kept = Layout.bloomProbe(bloom, names.select("name"), "name")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = names.collect().map(r => r.getString(0) -> r.getLong(1))
+    truth.foreach { case (nm, f) =>
+      assert(kept(nm).contains(f), s"string FALSE NEGATIVE for $nm")
+    }
+  }
 }
