@@ -377,6 +377,61 @@ object Clusters {
     out
   }
 
+  /** Multi-source BFS depth over a pair list: the hop distance from any
+    * SEED vertex, capped at `maxDepth` — the "blast radius" audit a
+    * training pipeline runs on its near-dup graph (seeds = benchmark /
+    * eval documents; depth 1 = direct near-dups, depth 2 = near-dups of
+    * near-dups — transitive contamination the pairwise check misses),
+    * and the crawl-depth weight on host graphs (seeds = trusted
+    * domains). Undirected by default (near-dup pairs are symmetric);
+    * `directed = true` follows id_a → id_b only.
+    *
+    * Frontier expansion, rounds = maxDepth exactly (deterministic and
+    * SQL-unrollable — q196): each round joins the CURRENT frontier to
+    * the edge list (shuffle bounded by frontier × out-degree, never the
+    * whole graph), deduplicates, and anti-joins the settled set, so a
+    * vertex's depth is final the round it is first reached. Lineage is
+    * truncated per round with eager block release ([[componentsIters]]'s
+    * exponential-plan trap).
+    *
+    * @return (id, depth) for EVERY vertex in `vertices`; NULL depth =
+    *         unreached within maxDepth hops.
+    */
+  def bfsDepth(pairs: DataFrame, vertices: DataFrame, seeds: DataFrame,
+               idCol: String = "id", maxDepth: Int = 3,
+               directed: Boolean = false): DataFrame = {
+    require(maxDepth >= 1, s"bfsDepth: maxDepth=$maxDepth < 1")
+    val raw = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val fwd = raw.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = (if (directed) fwd
+      else fwd.union(raw.select(col("id_b").as("src"),
+        col("id_a").as("dst"))))
+      .distinct()
+      .localCheckpoint(true)
+    Checkpoints.release(raw)
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("depth", lit(0))
+      .localCheckpoint(true)
+    for (k <- 1 to maxDepth) {
+      val frontier = dist.filter(col("depth") === (k - 1))
+        .select(col("id").as("src"))
+      val next = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("depth", lit(k))
+      val grown = dist.unionByName(next).localCheckpoint(true)
+      Checkpoints.release(dist)
+      dist = grown
+    }
+    val out = vertices.select(col(idCol).as("id"))
+      .join(dist, Seq("id"), "left")
+      .select(col("id"), col("depth"))
+      .localCheckpoint(true)
+    Checkpoints.release(dist)
+    Checkpoints.release(edges)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
     * the complement of [[pageRank]] on BIPARTITE-flavored graphs, where
     * one side points and the other is pointed at: a pure hub earns no

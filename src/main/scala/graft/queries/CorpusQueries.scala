@@ -4115,6 +4115,46 @@ object CorpusQueries {
       },
       Some(leakageSplitOracleSql)),
 
+    // Contamination blast radius (Clusters.bfsDepth) — multi-source BFS
+    // from the benchmark/eval documents (seeds: doc_id < 25) through the
+    // UNDIRECTED near-dup pair graph, 3 hops: depth 1 is what a pairwise
+    // decontamination check sees; depths 2-3 are the transitive leaks it
+    // misses (a train doc near-duplicating a near-dup of an eval doc).
+    // Exactly maxDepth frontier rounds, so the oracle unrolls them:
+    // layer k = neighbors of layer k-1 minus everything settled.
+    QueryDef("q196_contamination_radius",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        Clusters.bfsDepth(pairs, docs.select(col("doc_id")),
+            docs.filter(col("doc_id") < 25).select(col("doc_id")),
+            idCol = "doc_id", maxDepth = 3)
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${ccClosureCtes("documents")},
+        |d0 AS (SELECT DISTINCT doc_id AS id FROM documents
+        |       WHERE doc_id < 25),
+        |n1 AS (
+        |  SELECT DISTINCT e.b AS id FROM edges e JOIN d0 ON d0.id = e.a
+        |  WHERE e.b NOT IN (SELECT id FROM d0)),
+        |n2 AS (
+        |  SELECT DISTINCT e.b AS id FROM edges e JOIN n1 ON n1.id = e.a
+        |  WHERE e.b NOT IN (SELECT id FROM d0)
+        |    AND e.b NOT IN (SELECT id FROM n1)),
+        |n3 AS (
+        |  SELECT DISTINCT e.b AS id FROM edges e JOIN n2 ON n2.id = e.a
+        |  WHERE e.b NOT IN (SELECT id FROM d0)
+        |    AND e.b NOT IN (SELECT id FROM n1)
+        |    AND e.b NOT IN (SELECT id FROM n2)),
+        |dist AS (
+        |  SELECT id, 0 AS depth FROM d0
+        |  UNION ALL SELECT id, 1 FROM n1
+        |  UNION ALL SELECT id, 2 FROM n2
+        |  UNION ALL SELECT id, 3 FROM n3)
+        |SELECT d.doc_id AS id, dist.depth::INT AS depth
+        |FROM documents d LEFT JOIN dist ON dist.id = d.doc_id
+        |ORDER BY id""".stripMargin)),
+
     // Per-vertex triangle counts (Clusters.triangleCounts, degree-ordered
     // wedge join) over the q55/q130 near-dup pair graph: the cohesion
     // audit between blocking and closure — true duplicate clusters are

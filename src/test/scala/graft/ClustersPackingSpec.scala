@@ -425,6 +425,32 @@ class ClustersPackingSpec extends SparkSpec {
     assert(math.abs(r5 - 1.0) < 1e-8, s"mass leaked: $r5")
   }
 
+  test("bfsDepth: multi-source layers on a path, depth caps at maxDepth, " +
+       "directed mode follows edge direction, unreached is NULL") {
+    // path 1-2-3-4-5 plus isolated 99; seeds {1, 5}
+    val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val verts = ((1L to 5L) :+ 99L).toDF("id")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Clusters.bfsDepth(pairs, verts, seeds, maxDepth = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> -1, 4L -> 1, 5L -> 0,
+      99L -> -1), s"two-source depth-1 wrong: $got")
+    val deep = Clusters.bfsDepth(pairs, verts, Seq(1L).toDF("id"),
+        maxDepth = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(deep == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1,
+      99L -> -1), s"cap at maxDepth wrong: $deep")
+    // directed: edges point up the path only — nothing reaches seed 5
+    val dir5 = Clusters.bfsDepth(pairs, verts, Seq(5L).toDF("id"),
+        maxDepth = 3, directed = true)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(dir5(5L) == 0 && (1L to 4L).forall(dir5(_) == -1),
+      s"directed mode leaked against edge direction: $dir5")
+  }
+
   test("hits: hand-computed hub/authority fixpoint steps on a small DAG, " +
        "pure hubs score 0 authority and vice versa") {
     // A→B, A→C, D→B (A, D hubs; B, C authorities)
