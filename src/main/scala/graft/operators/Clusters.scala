@@ -432,6 +432,86 @@ object Clusters {
     out
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random surfer
+    * teleports to the SEED distribution instead of uniformly): the
+    * trust/relevance propagation a pipeline runs from a vetted set —
+    * seed domains propagating trust through a host graph, eval anchors
+    * ranking their neighborhoods for curation. Dangling mass also
+    * returns to the seed distribution (the standard PPR treatment), so
+    * Σr = 1 holds every round; vertices with zero teleport weight earn
+    * rank ONLY through in-links.
+    *
+    * Update: `r'(v) = w_v·((1−d) + d·D) + d·Σ_{u→v} r(u)/outdeg(u)`
+    * with `w` the L1-normalized teleport weights and `D` the dangling
+    * mass. Same determinism discipline as [[pageRank]]: decimal-exact
+    * aggregates, 10 dp round per iteration, normalized weights pinned at
+    * 12 dp — the q197 oracle unrolls the rounds.
+    */
+  def personalizedPageRank(edges: DataFrame, teleport: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           idCol: String = "id", weightCol: String = "w",
+                           iterations: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: iterations < 1")
+    require(damping > 0 && damping < 1, s"bad damping=$damping")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .localCheckpoint(true)
+    val tp = teleport
+      .select(col(idCol).cast("long").as("id"),
+        round(col(weightCol).cast("double"), 10).as("_wt"))
+      .filter(col("_wt") > 0.0 && !isnan(col("_wt")))
+      .groupBy(col("id"))
+      .agg(sum(col("_wt").cast("decimal(28,10)")).cast("double").as("_wt"))
+    val wTot = tp.agg(sum(col("_wt").cast("decimal(28,10)"))
+      .cast("double").as("_t"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(tp.select(col("id")))
+      .distinct()
+    // normalized teleport weight per vertex (0 off-seed), pinned at 12 dp
+    val w = verts
+      .join(tp, Seq("id"), "left")
+      .crossJoin(broadcast(wTot))
+      .select(col("id"),
+        round(coalesce(col("_wt"), lit(0.0)) / col("_t"), 12).as("wv"))
+      .localCheckpoint(true)
+    var ranks = w.select(col("id"), round(col("wv"), 10).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") / col("outdeg"), 14)
+          .cast("decimal(38,14)")).cast("double").as("inflow"))
+        .select(col("dst").as("id"), col("inflow"))
+      val dangling = ranks
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(20,10)"))
+          .cast("double"), lit(0.0)).as("_dm"))
+      val next = w
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(col("wv") * (lit(1.0 - damping) + lit(damping) *
+            col("_dm")) + lit(damping) *
+            coalesce(col("inflow"), lit(0.0)), 10).as("rank"))
+        .localCheckpoint(true)
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    Checkpoints.release(e)
+    Checkpoints.release(deg)
+    Checkpoints.release(w)
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
     * the complement of [[pageRank]] on BIPARTITE-flavored graphs, where
     * one side points and the other is pointed at: a pure hub earns no

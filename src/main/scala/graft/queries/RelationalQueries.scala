@@ -720,6 +720,77 @@ object RelationalQueries {
         degSql = "sum(w::DECIMAL(28,10))::DOUBLE",
         contribSql = "r.rank * e.w / dg.outdeg"))),
 
+    // Personalized PageRank (Clusters.personalizedPageRank): the random
+    // surfer teleports to the SEED customers (custkey < 50) instead of
+    // uniformly — trust propagation from a vetted set through the
+    // fulfilment graph; dangling mass returns to the seeds too, so rank
+    // mass stays 1 and off-seed vertices earn rank only through
+    // in-links. Oracle unrolls the three rounds with the normalized
+    // teleport weights pinned at 12 dp on both sides.
+    QueryDef("q197_personalized_pagerank",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((-col("o_custkey")).as("src"), col("l_suppkey").as("dst"))
+        val seeds = o.filter(col("o_custkey") < 50)
+          .select((-col("o_custkey")).as("id")).distinct()
+          .withColumn("w", lit(1.0))
+        Clusters.personalizedPageRank(e, seeds, iterations = 3)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+          .orderBy("id")
+      },
+      Some {
+        val d = 0.85
+        val tele = 1.0 - d
+        def iter(k: Int): String = {
+          val p = s"r${k - 1}"
+          s"""i$k AS (
+             |  SELECT e.dst AS id,
+             |    sum(round(r.rank / dg.outdeg, 14)::DECIMAL(38,14))::DOUBLE
+             |      AS inflow
+             |  FROM e JOIN $p r ON r.id = e.src
+             |         JOIN deg dg ON dg.src = e.src
+             |  GROUP BY 1),
+             |d$k AS (
+             |  SELECT coalesce(sum(r.rank::DECIMAL(20,10))::DOUBLE, 0.0)
+             |      AS dm
+             |  FROM $p r LEFT JOIN deg dg ON dg.src = r.id
+             |  WHERE dg.src IS NULL),
+             |r$k AS (
+             |  SELECT w.id,
+             |    round(w.wv * ($tele + $d * (SELECT dm FROM d$k)) + $d *
+             |      coalesce(i.inflow, 0.0), 10) AS rank
+             |  FROM w LEFT JOIN i$k i ON i.id = w.id)""".stripMargin
+        }
+        s"""WITH e AS (
+           |  SELECT DISTINCT -o_custkey AS src, l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |tp AS (
+           |  SELECT id, sum(round(wt, 10)::DECIMAL(28,10))::DOUBLE AS wt
+           |  FROM (SELECT DISTINCT -o_custkey AS id, (1.0)::DOUBLE AS wt
+           |        FROM orders WHERE o_custkey < 50)
+           |  GROUP BY id),
+           |wtot AS (SELECT sum(wt::DECIMAL(28,10))::DOUBLE AS t FROM tp),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+           |      UNION SELECT id FROM tp),
+           |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+           |        GROUP BY 1),
+           |w AS (
+           |  SELECT v.id,
+           |    round(coalesce(tp.wt, 0.0) / (SELECT t FROM wtot), 12)
+           |      AS wv
+           |  FROM v LEFT JOIN tp ON tp.id = v.id),
+           |r0 AS (SELECT id, round(wv, 10) AS rank FROM w),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id"""
+          .stripMargin
+      }),
+
     // HITS hubs & authorities (Clusters.hits, 3 rounds) on the same
     // fulfilment graph — the score family PageRank CANNOT produce here:
     // customers point and are never pointed at, so their PageRank is

@@ -472,6 +472,33 @@ class ClustersPackingSpec extends SparkSpec {
       s"round-2 authorities wrong: $two")
   }
 
+  test("personalizedPageRank: hand-computed seed teleport with dangling " +
+       "return-to-seeds, mass conserved; uniform seeds recover the " +
+       "standard pageRank") {
+    // A→B, all teleport on A. r1 = (0.15, 0.85);
+    // r2(A) = 0.15 + 0.85·0.85 = 0.8725, r2(B) = 0.85·0.15 = 0.1275
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 1.0)).toDF("id", "w")
+    val r1 = Clusters.personalizedPageRank(e, seeds, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r1(1L), 0.15, 1e-9) && approx(r1(2L), 0.85, 1e-9),
+      s"round 1 wrong: $r1")
+    val r2 = Clusters.personalizedPageRank(e, seeds, iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(approx(r2(1L), 0.8725, 1e-9) && approx(r2(2L), 0.1275, 1e-9),
+      s"round 2 wrong: $r2")
+    assert(math.abs(r2.values.sum - 1.0) < 1e-8, "mass leaked")
+    // uniform teleport over ALL vertices ≡ the standard pageRank
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val uni = (1L to 3L).map((_, 1.0)).toDF("id", "w")
+    val ppr = Clusters.personalizedPageRank(g, uni, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pr = Clusters.pageRank(g, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    (1L to 3L).foreach(i => assert(approx(ppr(i), pr(i), 1e-9),
+      s"uniform PPR must equal pageRank: $ppr vs $pr"))
+  }
+
   test("pageRank weighted: contributions split by edge weight, parallel " +
        "weighted edges sum, unit weights equal the unweighted result") {
     // A→B w=3 (as 2+1 parallel edges), A→C w=1; B, C dangling; n=3.
