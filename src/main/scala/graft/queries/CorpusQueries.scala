@@ -4116,43 +4116,50 @@ object CorpusQueries {
       Some(leakageSplitOracleSql)),
 
     // Contamination blast radius (Clusters.bfsDepth) — multi-source BFS
-    // from the benchmark/eval documents (seeds: doc_id < 25) through the
-    // UNDIRECTED near-dup pair graph, 3 hops: depth 1 is what a pairwise
-    // decontamination check sees; depths 2-3 are the transitive leaks it
-    // misses (a train doc near-duplicating a near-dup of an eval doc).
-    // Exactly maxDepth frontier rounds, so the oracle unrolls them:
-    // layer k = neighbors of layer k-1 minus everything settled.
+    // from the benchmark/eval vectors (seeds: vec_id < 20) through the
+    // UNDIRECTED q81/q127 kNN semantic graph, 3 hops: depth 1 is what a
+    // pairwise eval-similarity check sees; depths 2-3 are the transitive
+    // semantic neighborhoods it misses. The near-dup pair graph was the
+    // first candidate but is chain-free at sf0.01 (every dup cluster is
+    // a clique — depth-2/3 layers VACUOUS); the kNN graph has real
+    // multi-hop structure, so every unrolled oracle layer carries rows.
     QueryDef("q196_contamination_radius",
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
-        Clusters.bfsDepth(pairs, docs.select(col("doc_id")),
-            docs.filter(col("doc_id") < 25).select(col("doc_id")),
-            idCol = "doc_id", maxDepth = 3)
+        val emb = table(s, dir, "embeddings")
+        val knn = Similarity.knnGraph(emb, k = 3, dim = 64, nBits = 6,
+            nTables = 2)
+          .select(col("id").as("id_a"), col("neighbor").as("id_b"))
+        Clusters.bfsDepth(knn, emb.select(col("vec_id")),
+            emb.filter(col("vec_id") < 20).select(col("vec_id")),
+            idCol = "vec_id", maxDepth = 3)
           .orderBy("id")
       },
-      Some(s"""WITH RECURSIVE ${ccClosureCtes("documents")},
-        |d0 AS (SELECT DISTINCT doc_id AS id FROM documents
-        |       WHERE doc_id < 25),
+      Some(s"""WITH $knnGraphOracleCtes,
+        |knn AS (SELECT id, nb FROM ranked WHERE rank <= 3),
+        |sym AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT id AS a, nb AS b FROM knn
+        |    UNION ALL SELECT nb AS a, id AS b FROM knn)),
+        |d0 AS (SELECT vec_id AS id FROM e WHERE vec_id < 20),
         |n1 AS (
-        |  SELECT DISTINCT e.b AS id FROM edges e JOIN d0 ON d0.id = e.a
-        |  WHERE e.b NOT IN (SELECT id FROM d0)),
+        |  SELECT DISTINCT s.b AS id FROM sym s JOIN d0 ON d0.id = s.a
+        |  WHERE s.b NOT IN (SELECT id FROM d0)),
         |n2 AS (
-        |  SELECT DISTINCT e.b AS id FROM edges e JOIN n1 ON n1.id = e.a
-        |  WHERE e.b NOT IN (SELECT id FROM d0)
-        |    AND e.b NOT IN (SELECT id FROM n1)),
+        |  SELECT DISTINCT s.b AS id FROM sym s JOIN n1 ON n1.id = s.a
+        |  WHERE s.b NOT IN (SELECT id FROM d0)
+        |    AND s.b NOT IN (SELECT id FROM n1)),
         |n3 AS (
-        |  SELECT DISTINCT e.b AS id FROM edges e JOIN n2 ON n2.id = e.a
-        |  WHERE e.b NOT IN (SELECT id FROM d0)
-        |    AND e.b NOT IN (SELECT id FROM n1)
-        |    AND e.b NOT IN (SELECT id FROM n2)),
+        |  SELECT DISTINCT s.b AS id FROM sym s JOIN n2 ON n2.id = s.a
+        |  WHERE s.b NOT IN (SELECT id FROM d0)
+        |    AND s.b NOT IN (SELECT id FROM n1)
+        |    AND s.b NOT IN (SELECT id FROM n2)),
         |dist AS (
         |  SELECT id, 0 AS depth FROM d0
         |  UNION ALL SELECT id, 1 FROM n1
         |  UNION ALL SELECT id, 2 FROM n2
         |  UNION ALL SELECT id, 3 FROM n3)
-        |SELECT d.doc_id AS id, dist.depth::INT AS depth
-        |FROM documents d LEFT JOIN dist ON dist.id = d.doc_id
+        |SELECT e.vec_id AS id, dist.depth::INT AS depth
+        |FROM e LEFT JOIN dist ON dist.id = e.vec_id
         |ORDER BY id""".stripMargin)),
 
     // Per-vertex triangle counts (Clusters.triangleCounts, degree-ordered
