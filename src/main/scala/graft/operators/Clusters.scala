@@ -468,8 +468,15 @@ object Clusters {
       .filter(col("_wt") > 0.0 && !isnan(col("_wt")))
       .groupBy(col("id"))
       .agg(sum(col("_wt").cast("decimal(28,10)")).cast("double").as("_wt"))
-    val wTot = tp.agg(sum(col("_wt").cast("decimal(28,10)"))
-      .cast("double").as("_t"))
+    // Fail fast on an empty (or all-filtered) teleport set: a NULL sum
+    // would otherwise silently NULL every rank downstream. One bounded
+    // 1-row driver collect.
+    val wTotVal = tp.agg(coalesce(
+        sum(col("_wt").cast("decimal(28,10)")).cast("double"), lit(0.0))
+        .as("_t")).first().getDouble(0)
+    require(wTotVal > 0.0,
+      "personalizedPageRank: teleport set must contain at least one " +
+        s"vertex with a positive finite weight (sum was $wTotVal)")
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .union(tp.select(col("id")))
@@ -477,9 +484,8 @@ object Clusters {
     // normalized teleport weight per vertex (0 off-seed), pinned at 12 dp
     val w = verts
       .join(tp, Seq("id"), "left")
-      .crossJoin(broadcast(wTot))
       .select(col("id"),
-        round(coalesce(col("_wt"), lit(0.0)) / col("_t"), 12).as("wv"))
+        round(coalesce(col("_wt"), lit(0.0)) / lit(wTotVal), 12).as("wv"))
       .localCheckpoint(true)
     var ranks = w.select(col("id"), round(col("wv"), 10).as("rank"))
       .localCheckpoint(true)

@@ -152,6 +152,16 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
       .distinct()
+    rebuildWithout(docs, textCol, idCol, coveredPos)
+  }
+
+  /** Rebuild each document's normalized token text minus the covered
+    * positions `(id, tp)` — the shared tail of every span-removal
+    * transform. Per-document groupBy (groups are document-sized by
+    * construction); output (idCol, n_tok, clean_text, n_removed).
+    */
+  private def rebuildWithout(docs: DataFrame, textCol: String,
+                             idCol: String, coveredPos: DataFrame): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tp", "t")))
     val rebuilt = tok.join(coveredPos, Seq("id", "tp"), "left_anti")
@@ -168,6 +178,123 @@ object Dedup {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("n_removed", col("n_tok") - col("n_kept"))
       .drop("n_kept")
+  }
+
+  /** Arbitrary-length exact-substring matches across documents — the
+    * suffix-array-style dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), re-expressed as sort/join
+    * relational algebra. Unlike the fixed-grain span tools above (which
+    * answer "is this position inside SOME shared n-gram"), this
+    * materializes the MAXIMAL cross-document matches themselves, at any
+    * length ≥ `minLen` and any alignment offset: one row per maximal
+    * pair match `(id_a, p_a, id_b, p_b, len)` with `id_a < id_b`,
+    * `len >= minLen`, extended left AND right to the first token
+    * mismatch.
+    *
+    * Algorithm (the distributed analogue of suffix-sort + LCP scan):
+    *  1. anchor grams — a rolling `minLen`-token hash at EVERY position
+    *     (stride 1, so a duplicate passage is found at any offset; no
+    *     grid to straddle);
+    *  2. shared anchors — one partial-aggregatable groupBy on the 8-byte
+    *     gram hash keeps values seen in ≥ 2 documents (this is the
+    *     "sort" — it shuffles hash keys, ~one row per corpus token, the
+    *     same asymptotic cost a suffix array pays);
+    *  3. aligned occurrence pairs — self-equi-join of the surviving
+    *     anchors on the gram hash (quadratic ONLY within one gram
+    *     value's occurrence list; `maxOcc` caps pathological boilerplate
+    *     grams, mirroring the LSH hot-bucket star cap);
+    *  4. maximal extension — within a (doc pair, alignment offset
+    *     d = p_a − p_b) group, consecutive aligned anchors form
+    *     gaps-and-islands runs; a run [p0, p1] IS the maximal match
+    *     [p0, p1 + minLen − 1]: it ends exactly where the next token
+    *     pair mismatches, and starts where the previous one did.
+    * Never doc×doc; window groups are bounded by passage length.
+    * Exact modulo anchor-hash collisions (64-bit xxhash64 by default;
+    * `verifiable` switches to the DuckDB-replayable md5/1e9+7 family the
+    * rest of the dedup suite uses).
+    */
+  def exactSubstringPairSpans(docs: DataFrame, textCol: String = "text",
+                              idCol: String = "doc_id", minLen: Int = 20,
+                              maxOcc: Int = 4096,
+                              verifiable: Boolean = false): DataFrame = {
+    require(minLen >= 2, s"exactSubstringPairSpans: minLen=$minLen < 2")
+    require(maxOcc >= 2, s"exactSubstringPairSpans: maxOcc=$maxOcc < 2")
+    val sp = shinglePosRows(docs, textCol, idCol, minLen, verifiable)
+    val shared = sp.groupBy(col("s"))
+      .agg(count(lit(1)).as("_cnt"), countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= 2 && col("_cnt") <= maxOcc)
+      .select(col("s"))
+    val ss = sp.join(shared, Seq("s"))
+    val pairs = ss.select(col("s"), col("id").as("id_a"), col("p").as("p_a"))
+      .join(ss.select(col("s"), col("id").as("id_b"), col("p").as("p_b")),
+        Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("p_a"), col("id_b"), col("p_b"),
+        (col("p_a") - col("p_b")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("p_a"))
+    pairs.withColumn("_grp", col("p_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("_grp"))
+      .agg(min(col("p_a")).as("pa"), min(col("p_b")).as("pb"),
+        max(col("p_a")).as("pmax"))
+      .select(col("id_a"), col("pa").as("p_a"), col("id_b"),
+        col("pb").as("p_b"), (col("pmax") - col("pa") + minLen).as("len"))
+  }
+
+  /** Per-document MAXIMAL duplicated regions of arbitrary length ≥
+    * `minLen`: both sides of every [[exactSubstringPairSpans]] match,
+    * merged per document over overlapping-or-adjacent intervals
+    * (running-max gaps-and-islands). Output one row per maximal region:
+    * `(idCol, span_start, span_end, span_len, n_partners)` with
+    * `n_partners` the distinct other documents contributing to the
+    * region. Documents with no qualifying match produce no rows.
+    */
+  def exactSubstringSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", minLen: Int = 20,
+                          maxOcc: Int = 4096,
+                          verifiable: Boolean = false): DataFrame = {
+    val ps = exactSubstringPairSpans(docs, textCol, idCol, minLen, maxOcc,
+      verifiable)
+    val sides = ps.select(col("id_a").as("id"), col("p_a").as("st"),
+        (col("p_a") + col("len") - 1).as("en"), col("id_b").as("partner"))
+      .unionByName(ps.select(col("id_b").as("id"), col("p_b").as("st"),
+        (col("p_b") + col("len") - 1).as("en"), col("id_a").as("partner")))
+      .distinct()
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("st"), col("en"), col("partner"))
+    val pm = max(col("en"))
+      .over(ow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    sides.withColumn("_pm", pm)
+      .withColumn("_g", sum(when(col("_pm").isNull ||
+        col("st") > col("_pm") + 1, 1).otherwise(0)).over(ow))
+      .groupBy(col("id"), col("_g"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"),
+        countDistinct(col("partner")).as("n_partners"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_partners"))
+  }
+
+  /** Exact-substring dedup TRANSFORM at arbitrary length — the applied
+    * counterpart of [[exactSubstringSpans]] and the true Lee et al. 2022
+    * removal rule: for every maximal cross-document match, the LARGER-id
+    * document sheds the matched tokens (so the first document by id
+    * keeps each passage exactly once, regardless of length or
+    * alignment). Same normalized-token-space rebuild as
+    * [[removeDupSpans]]; output (idCol, n_tok, clean_text, n_removed).
+    */
+  def removeExactSubstrings(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", minLen: Int = 20,
+                            maxOcc: Int = 4096,
+                            verifiable: Boolean = false): DataFrame = {
+    val ps = exactSubstringPairSpans(docs, textCol, idCol, minLen, maxOcc,
+      verifiable)
+    val coveredPos = ps.select(col("id_b").as("id"),
+        explode(sequence(col("p_b"), col("p_b") + col("len") - 1)).as("tp"))
+      .distinct()
+    rebuildWithout(docs, textCol, idCol, coveredPos)
   }
 
   /** Bloom-filter membership dedup — the cross-shard scale path for exact

@@ -112,7 +112,13 @@ object Layout {
 
   private def boxIntersects(ranges: Map[String, (Double, Double)]) =
     ranges.map { case (c, (lo, hi)) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+      // NULL/NaN stats conservatively intersect — mirrors the read
+      // path (ZOrderRelation.mayMatch), which keeps such files, so the
+      // report never understates what the reader really opens
+      val mn = col(s"min_$c")
+      val mx = col(s"max_$c")
+      mn.isNull || mx.isNull || isnan(mn) || isnan(mx) ||
+        (mx >= lo && mn <= hi)
     }.reduce(_ && _)
 
   /** Pruning evaluation over a [[fileStats]] frame: for each NAMED box,

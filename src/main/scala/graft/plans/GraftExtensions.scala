@@ -79,8 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hilbert2 takes (x, y, bits)")
         val b = children(2)
         require(b.foldable, "graft_hilbert2 bits must be a literal")
+        val bv = b.eval()
+        require(bv != null,
+          "graft_hilbert2 bits must be a non-null integer literal")
         HilbertExpressions.Hilbert2Expr(children(0), children(1),
-          b.eval().asInstanceOf[Number].intValue())
+          bv.asInstanceOf[Number].intValue())
       }))
     // graft_hilbertn(x1, …, xn, bits): Skilling n-D Hilbert index — the
     // layout write path for 3+ clustered columns (CodegenFallback by
@@ -94,8 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hilbertn takes (x1, ..., xn, bits) with n >= 2")
         val b = children.last
         require(b.foldable, "graft_hilbertn bits must be a literal")
+        val bv = b.eval()
+        require(bv != null,
+          "graft_hilbertn bits must be a non-null integer literal")
         HilbertExpressions.HilbertNExpr(children.dropRight(1),
-          b.eval().asInstanceOf[Number].intValue())
+          bv.asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

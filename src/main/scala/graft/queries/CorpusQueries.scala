@@ -4814,7 +4814,100 @@ object CorpusQueries {
            |  round(sum(CAST(round(n_chars * 1000000.0) AS BIGINT))::DOUBLE
            |        / 1e6 / count(n_chars), 6) AS mean
            |FROM documents WHERE $cleanCond""".stripMargin
-      })
+      }),
+
+    // Arbitrary-length exact-substring dedup (Lee et al. 2022, suffix-
+    // array-style): maximal cross-document matches at ANY length >= 8 and
+    // ANY alignment offset, per-doc merged. The corpus is augmented with
+    // copies whose duplicated passage (tokens 10..45 of the source doc)
+    // sits behind a variable-length junk prefix (doc_id % 8 tokens), so
+    // every anchor ALIGNMENT OFFSET occurs — the straddling case the
+    // fixed-grain q70/q72 span tools cannot attribute. Expected: each
+    // copy's source doc reports the maximal span [10, 45] exactly,
+    // junk-offset-independent. The oracle replays anchor grams (md5
+    // poly-hash fold, 0-based positions), the shared-anchor sort, the
+    // aligned-offset gaps-and-islands extension, and the interval merge.
+    QueryDef("q198_exact_substring_spans",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", concat(
+              array_repeat(lit("zqx"), (col("doc_id") % 8).cast("int")),
+              slice(graft.functions.TextFunctions.tokens(col("text")),
+                11, 36))).as("text"))
+        Dedup.exactSubstringSpans(docs.unionByName(copies),
+            minLen = 8, maxOcc = 256, verifiable = true)
+          .select(col("doc_id"), col("span_start").cast("long"),
+            col("span_end").cast("long"), col("span_len").cast("long"),
+            col("n_partners"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    repeat('zqx ', doc_id % 8) ||
+        |      array_to_string(list_slice(
+        |        regexp_extract_all(lower(text), '[a-z0-9_]+'), 11, 46), ' ')
+        |  FROM docs0 WHERE doc_id % 7 = 0),
+        |${verifiableGramPosSql(8, "aug")},
+        |${exactSubstringPairSpanSql(8, 256)},
+        |sides AS (
+        |  SELECT id_a AS doc_id, pa AS st, pa + len - 1 AS en,
+        |         id_b AS partner FROM pspan
+        |  UNION ALL
+        |  SELECT id_b, pb, pb + len - 1, id_a FROM pspan),
+        |iv AS (SELECT DISTINCT doc_id, st, en, partner FROM sides),
+        |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+        |         ORDER BY st, en, partner
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |gi AS (SELECT *, sum(CASE WHEN pm IS NULL OR st > pm + 1
+        |         THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY doc_id ORDER BY st, en, partner) AS g
+        |       FROM mx)
+        |SELECT doc_id, min(st)::BIGINT AS span_start,
+        |  max(en)::BIGINT AS span_end,
+        |  (max(en) - min(st) + 1)::BIGINT AS span_len,
+        |  count(DISTINCT partner)::BIGINT AS n_partners
+        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The removal TRANSFORM over the same maximal matches: every larger-id
+    // side of a maximal >= 12-token match sheds the matched tokens (the
+    // smaller-id document keeps each passage exactly once — q72's rule,
+    // but at arbitrary length instead of fixed trigram grain). The oracle
+    // recomputes pair spans, expands the larger-id side to covered
+    // positions, and rebuilds the surviving normalized text in order.
+    QueryDef("q199_remove_exact_substrings",
+      (s, dir) =>
+        Dedup.removeExactSubstrings(table(s, dir, "documents"),
+            minLen = 12, maxOcc = 256, verifiable = true)
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id"),
+      Some(s"""WITH ${verifiableGramPosSql(12, "documents")},
+        |${exactSubstringPairSpanSql(12, 256)},
+        |cov AS (
+        |  SELECT DISTINCT id_b AS doc_id, tp FROM (
+        |    SELECT id_b, unnest(generate_series(pb, pb + len - 1)) AS tp
+        |    FROM pspan)),
+        |clean AS (
+        |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
+        |  WHERE c.tp IS NULL GROUP BY t.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |           AS n_tok
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_tok,
+        |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM base b LEFT JOIN clean c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin))
   )
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB
@@ -5723,6 +5816,58 @@ object CorpusQueries {
       |  SELECT doc_id, p,
       |         ((h1 * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS s
       |  FROM led WHERE h3 IS NOT NULL)""".stripMargin
+
+  /** Oracle CTEs for the verifiable n-token anchor gram at every 0-based
+    * position (the exact rows `Dedup.shinglePosRows(n, verifiable=true)`
+    * produces): `tokt(doc_id, p, t)` with 0-based p, plus
+    * `sp(doc_id, p, s)` where s is the left-fold md5/1e9+7 poly-hash of
+    * the n tokens starting at p. Positions are 0-based (DuckDB's lambda
+    * index is 1-based; Spark's posexplode is 0-based — q198 emits
+    * ABSOLUTE positions, so the bases must agree).
+    */
+  private def verifiableGramPosSql(n: Int, tbl: String): String = {
+    val comb = (1 until n)
+      .map(k => s"lead(h0, $k) OVER (PARTITION BY doc_id ORDER BY p)")
+      .foldLeft("h0")((acc, t) => s"(($acc) * 1000003 + ($t)) % 1000000007")
+    s"""tokt AS (
+       |  SELECT doc_id, u.p AS p, u.t AS t FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+       |        (x, i) -> {'p': i - 1, 't': x})) AS u
+       |    FROM $tbl)),
+       |hh AS (
+       |  SELECT doc_id, p,
+       |         ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007 AS h0
+       |  FROM tokt),
+       |led AS (
+       |  SELECT doc_id, p, $comb AS s,
+       |         lead(h0, ${n - 1}) OVER (PARTITION BY doc_id ORDER BY p) AS hl
+       |  FROM hh),
+       |sp AS (SELECT doc_id, p, s FROM led WHERE hl IS NOT NULL)""".stripMargin
+  }
+
+  /** Oracle CTEs for [[Dedup.exactSubstringPairSpans]] given `sp` anchor
+    * rows: shared-anchor sort (>= 2 docs, hot-gram cap), aligned
+    * occurrence pairs, and per-(pair, offset) gaps-and-islands maximal
+    * extension. Final CTE `pspan(id_a, id_b, pa, pb, len)`.
+    */
+  private def exactSubstringPairSpanSql(minLen: Int, cap: Int): String =
+    s"""gs AS (SELECT s, count(*) AS cnt, count(DISTINCT doc_id) AS nd
+       |       FROM sp GROUP BY s),
+       |shared AS (SELECT s FROM gs WHERE nd >= 2 AND cnt <= $cap),
+       |ss AS (SELECT doc_id, p, s FROM sp JOIN shared USING (s)),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, a.p AS p_a, b.doc_id AS id_b, b.p AS p_b,
+       |         a.p - b.p AS d
+       |  FROM ss a JOIN ss b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, p_a - row_number()
+       |    OVER (PARTITION BY id_a, id_b, d ORDER BY p_a) AS grp
+       |  FROM prs),
+       |pspan AS (
+       |  SELECT id_a, id_b, min(p_a) AS pa, min(p_b) AS pb,
+       |         max(p_a) - min(p_a) + $minLen AS len
+       |  FROM isl GROUP BY id_a, id_b, d, grp)""".stripMargin
 
   private def verifiableTrigramSql: String =
     """tok AS (

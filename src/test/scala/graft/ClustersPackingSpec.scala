@@ -499,6 +499,18 @@ class ClustersPackingSpec extends SparkSpec {
       s"uniform PPR must equal pageRank: $ppr vs $pr"))
   }
 
+  test("personalizedPageRank: empty or weightless teleport fails fast") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val none = Seq.empty[(Long, Double)].toDF("id", "w")
+    val zeroes = Seq((1L, 0.0), (2L, -3.0), (3L, Double.NaN)).toDF("id", "w")
+    for (bad <- Seq(none, zeroes)) {
+      val ex = intercept[IllegalArgumentException] {
+        Clusters.personalizedPageRank(e, bad, iterations = 1)
+      }
+      assert(ex.getMessage.contains("teleport"), ex.getMessage)
+    }
+  }
+
   test("pageRank weighted: contributions split by edge weight, parallel " +
        "weighted edges sum, unit weights equal the unweighted result") {
     // A→B w=3 (as 2+1 parallel edges), A→C w=1; B, C dangling; n=3.

@@ -203,6 +203,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringPairSpans: maximal matches at any alignment offset") {
+    for (verifiable <- Seq(false, true)) {
+      // The passage sits at offset 2 in doc1 and offset 5 in doc2 —
+      // neither a multiple of minLen=4, i.e. the duplicate STRADDLES any
+      // fixed shingle grid; stride-1 anchors + island extension must
+      // still recover the exact maximal boundaries.
+      val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+      val corpus = Seq(
+        (1L, s"a1 a2 $passage b1 b2"),
+        (2L, s"c1 c2 c3 c4 c5 $passage d1"),
+        (3L, "p3 p4 p5 p6"),            // exactly minLen tokens of the passage
+        (4L, "p5 p6 p7 x9")             // only 3 shared tokens: below minLen
+      ).toDF("doc_id", "text")
+      val ps = Dedup.exactSubstringPairSpans(corpus, minLen = 4,
+          verifiable = verifiable).collect()
+        .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+          (r.getAs[Int]("p_a"), r.getAs[Int]("p_b"), r.getAs[Int]("len"))))
+        .toMap
+      // maximal, offset-independent, extended to mismatch on both ends
+      assert(ps((1L, 2L)) == ((2, 5, 10)))
+      assert(ps((1L, 3L)) == ((4, 0, 4)))
+      assert(ps((2L, 3L)) == ((7, 0, 4)))
+      // sub-minLen overlaps produce nothing
+      assert(!ps.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+      assert(ps.size == 3)
+
+      // per-doc merge: doc1's two overlapping spans fuse into one maximal
+      // region [2, 11] crediting both partners
+      val spans = Dedup.exactSubstringSpans(corpus, minLen = 4,
+          verifiable = verifiable).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+            r.getAs[Int]("span_len"), r.getAs[Long]("n_partners"))))
+      assert(spans.count(_._1 == 1L) == 1)
+      assert(spans.toMap.apply(1L) == ((2, 11, 10, 2L)))
+      assert(spans.toMap.apply(3L) == ((0, 3, 4, 2L)))
+
+      // removal: every larger-id side sheds the matched tokens
+      val m = Dedup.removeExactSubstrings(corpus, minLen = 4,
+          verifiable = verifiable).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(m(1L).getAs[Long]("n_removed") == 0L)
+      assert(m(2L).getAs[String]("clean_text") == "c1 c2 c3 c4 c5 d1")
+      assert(m(3L).getAs[String]("clean_text") == "")
+      assert(m(4L).getAs[Long]("n_removed") == 0L)
+    }
+  }
+
+  test("exactSubstringPairSpans: island extension stops at a mismatch") {
+    // Two passages in the same doc pair separated by a one-token edit:
+    // two DISTINCT maximal spans (same alignment offset d), never bridged.
+    val corpus = Seq(
+      (1L, "s1 s2 s3 s4 s5 MID s6 s7 s8 s9 s10".toLowerCase),
+      (2L, "s1 s2 s3 s4 s5 GAP s6 s7 s8 s9 s10".toLowerCase)
+    ).toDF("doc_id", "text")
+    val ps = Dedup.exactSubstringPairSpans(corpus, minLen = 3)
+      .collect()
+      .map(r => (r.getAs[Int]("p_a"), r.getAs[Int]("p_b"), r.getAs[Int]("len")))
+      .toSet
+    assert(ps == Set((0, 0, 5), (6, 6, 5)))
+  }
+
   test("hot-bucket cap: degenerate bucket emits star candidates, not B²") {
     // 500 ids in one band bucket (the one-boilerplate-page-cloned-10⁷-times
     // shape LSH sub-splitting cannot break: identical content → identical

@@ -711,6 +711,36 @@ class LayoutSpec extends SparkSpec {
     assert(clamped == got((0L, (n - 1).toLong)), "clamp must hit the edge cell")
   }
 
+  test("graft_hilbert2/graft_hilbertn: NULL bits literal is a clear " +
+       "analysis error, not an NPE") {
+    for (sql <- Seq(
+        "SELECT graft_hilbert2(1L, 2L, CAST(NULL AS INT))",
+        "SELECT graft_hilbertn(1L, 2L, 3L, CAST(NULL AS INT))")) {
+      val ex = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("non-null integer literal")),
+        s"wanted the descriptive bits error, got: $ex")
+    }
+  }
+
+  test("filesTouched keeps files with NULL/NaN stats — mirrors the " +
+       "conservative read path") {
+    // file 1 has real stats outside the box; file 2 has NULL mins (e.g.
+    // an all-NULL column chunk); file 3 has NaN stats. A reader must
+    // open 2 and 3 — the report may not understate them.
+    val stats = Seq(
+      (1L, 10L, 5.0, 6.0), (2L, 10L, Double.NaN, Double.NaN))
+      .toDF("file_id", "n", "min_x", "max_x")
+      .unionByName(Seq((3L, 10L)).toDF("file_id", "n")
+        .withColumn("min_x", lit(null).cast("double"))
+        .withColumn("max_x", lit(null).cast("double")))
+    assert(Layout.filesTouched(stats, Map("x" -> (0.0, 1.0))) == 2L)
+    // and a box that also takes file 1 counts all three
+    assert(Layout.filesTouched(stats, Map("x" -> (4.0, 7.0))) == 3L)
+  }
+
   test("3-D hilbert (Skilling): bijective over the full 8^3 grid, " +
        "unit-step adjacency along the whole curve, inverse round-trip, " +
        "and the written 3-col store serves row-exact") {
