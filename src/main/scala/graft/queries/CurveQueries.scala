@@ -296,18 +296,20 @@ object CurveQueries {
     // against DuckDB's one-shot reduction, not just the ScalaTest bound.
     QueryDef("q63_t3_incremental_reduction",
       (s, dir) => {
+        // materialize the SUBSET once — processBatch consumes each chunk
+        // several times (store append, validity probe, window union) and
+        // per-chunk checkpoints would re-run the lineitem→curves
+        // aggregation four times; a chunk is then a free in-memory filter
         val c = curves(s, dir).filter(col("image_idx") % 4 === 0)
+          .localCheckpoint(true)
         val maxIdx = c.agg(max(col("image_idx"))).collect()(0).getLong(0)
         val (cut1, cut2) = (maxIdx / 3, 2 * maxIdx / 3)
         val stateDir = java.nio.file.Files
           .createTempDirectory("graft-incred-q63").toString
-        // materialize each chunk once — processBatch consumes its input
-        // several times (store append, validity probe, window union) and
-        // would otherwise re-run the lineitem→curves aggregation for each
         val batches = Seq(
           c.filter(col("image_idx") <= cut1),
           c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
-          c.filter(col("image_idx") > cut2)).map(_.localCheckpoint(true))
+          c.filter(col("image_idx") > cut2))
         val out = batches.map(b =>
             graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
               withMetrics = false))
@@ -324,6 +326,53 @@ object CurveQueries {
       },
       Some(timeResolvedOracleSql(curvesSql.replace(
         "FROM lineitem GROUP BY",
-        "FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY"))))
+        "FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY")))),
+
+    // T3 (incremental, MEDIAN mode) — dataReduction.py:89 supports
+    // funcForAveraging=nanmedian, the one configuration the additive
+    // moment state cannot cover: the median rides the mergeable t-digest
+    // twin instead. tdCompression=2000 keeps every (delay, q_bin) group
+    // (~750 kept reps on this ¼ subset) in the sketch's EXACT regime, so
+    // three chunked invocations must hash-match DuckDB's one-shot
+    // median() over the kept diffs — interpolation rule included (both
+    // sides average the two central values on even counts).
+    QueryDef("q200_t3_incremental_median",
+      (s, dir) => {
+        val c = curves(s, dir).filter(col("image_idx") % 4 === 2)
+          .localCheckpoint(true)
+        val maxIdx = c.agg(max(col("image_idx"))).collect()(0).getLong(0)
+        val (cut1, cut2) = (maxIdx / 3, 2 * maxIdx / 3)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-incred-q200").toString
+        val batches = Seq(
+          c.filter(col("image_idx") <= cut1),
+          c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
+          c.filter(col("image_idx") > cut2))
+        batches.foreach(b =>
+          graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
+            withMetrics = false, tdCompression = 2000))
+        val out = s.read.parquet(s"$stateDir/reduced_median")
+          .select(col("delay"), col("q_bin"),
+            r4(col("diff_med")).as("diff_med"), col("n_rep"))
+          .orderBy("delay", "q_bin")
+          .localCheckpoint(true)
+        graft.sources.Bundle.deleteRecursively(stateDir)
+        out
+      },
+      Some {
+        val block = curvesSql.replace("FROM lineitem GROUP BY",
+          "FROM lineitem WHERE l_orderkey % 4 = 2 GROUP BY")
+        s"""${interpSql(block)},
+           |diffs AS (SELECT *, i - i_ref AS diff FROM interp),
+           |marked AS (
+           |  SELECT *, (NOT is_ref OR rn % 2 = 1) AS keep FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY delay, q_bin
+           |                                ORDER BY image_idx) AS rn
+           |    FROM diffs))
+           |SELECT round(delay, 12) AS delay, q_bin,
+           |       round(median(CASE WHEN keep THEN diff END), 4) AS diff_med,
+           |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_rep
+           |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      })
   )
 }

@@ -45,8 +45,14 @@ import graft.sources.Bundle
   * Each batch: recompute diffs over (tail ∪ batch) only, finalize the rows
   * that crossed the frontier into `stats`, rewrite the (bounded) tail, and
   * emit stats ⊕ tail-aggregate — numerically the same reduction as
-  * `Reduction.timeResolvedSignal` over the full history (mean mode; the
-  * median center is not decomposable — use the full-history path for it).
+  * `Reduction.timeResolvedSignal` over the full history. The mean-mode
+  * center is exact by construction (additive moments); the median-mode
+  * twin (`reduced_median`) rides a mergeable t-digest per group, which is
+  * EXACT (equals the sorted-history median, interpolation rule included)
+  * while a group's kept count stays below 2·`tdCompression` and has the
+  * documented 1/compression rank-error bound beyond — size `tdCompression`
+  * to the expected per-(delay, q_bin) repetition count to keep month-long
+  * median runs exact.
   *
   * Falls back to a full recompute (and says so in the result) when the
   * incremental assumptions break: out-of-order image indices at/below the
@@ -59,6 +65,22 @@ object IncrementalReduction {
                                fullRecompute: Boolean)
 
   private def frontierDir(stateDir: String) = s"$stateDir/frontier"
+
+  /** Write `df` to `path` via a sibling tmp directory + directory swap:
+    * ONE Spark job, and the input plan may safely READ the old `path`
+    * (the former pattern — localCheckpoint then overwrite — paid a second
+    * materialization for that safety). A crash between delete and rename
+    * leaves the store absent; the next batch's validity check sees the
+    * missing piece and routes through the full-recompute fallback.
+    */
+  private def writeSwap(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    Bundle.deleteRecursively(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    Bundle.deleteRecursively(path)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"writeSwap: rename $tmp -> $path failed")
+  }
 
   private def readFrontier(stateDir: String): Option[(Double, Long)] =
     Bundle.readManifest(frontierDir(stateDir)).flatMap { m =>
@@ -75,7 +97,8 @@ object IncrementalReduction {
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    atol: Double = 1e-12,
                    withMetrics: Boolean = true,
-                   batchKey: Option[Long] = None): BatchResult = {
+                   batchKey: Option[Long] = None,
+                   tdCompression: Int = 200): BatchResult = {
     val curvesDir = s"$stateDir/curves"
     val statsPath = s"$stateDir/stats.parquet"
     val tailPath = s"$stateDir/tail.parquet"
@@ -84,32 +107,36 @@ object IncrementalReduction {
     // replay: a re-delivered batch overwrites its own partition instead of
     // appending twice, and the strict-append validity check below routes
     // the replay through a full recompute of the (correct) history.
+    // The incremental-validity scalars (strict append order + stable ref
+    // delay) ride the append write as observed metrics — no separate
+    // probe job over the batch.
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      min(when(col("delay") =!= TimeFunctions.OffSentinel, col("delay"))).as("mn"),
+      min(col("image_idx")).as("minIdx"),
+      max(col("image_idx")).as("maxIdx"))
     batchKey match {
       case Some(id) =>
-        batch.write.mode("overwrite").parquet(s"$curvesDir/batch=$id")
-      case None => batch.write.mode("append").parquet(curvesDir)
+        observed.write.mode("overwrite").parquet(s"$curvesDir/batch=$id")
+      case None => observed.write.mode("append").parquet(curvesDir)
     }
+    val probe = obs.get
 
     val prior = readFrontier(stateDir)
     val haveStats = new java.io.File(statsPath).exists()
     val frontierPath = s"$stateDir/frontier.parquet"
     val haveFront = new java.io.File(frontierPath).exists()
-    // one tiny driver action on the bounded micro-batch: the
-    // incremental-validity scalars (strict append order + stable ref delay)
-    val probe = batch.agg(
-      min(when(col("delay") =!= TimeFunctions.OffSentinel, col("delay"))).as("mn"),
-      min(col("image_idx")).as("minIdx"),
-      max(col("image_idx")).as("maxIdx")).collect()(0)
-    val batchMinDelay = Option(probe.get(0)).map(_.toString.toDouble)
-    val batchMinIdx = Option(probe.get(1)).map(_.toString.toLong)
+    val batchMinDelay = Option(probe("mn")).map(_.toString.toDouble)
+    val batchMinIdx = Option(probe("minIdx")).map(_.toString.toLong)
     // the new global max: NOT just the batch max — after an out-of-order
     // fallback the batch max can be far below the history max, and
     // understating it would let later mid-range batches pass the
     // strict-append check and be silently dropped as "already finalized"
-    val batchMaxIdx = (Option(probe.get(2)).map(_.toString.toLong) ++
+    val batchMaxIdx = (Option(probe("maxIdx")).map(_.toString.toLong) ++
       prior.map(_._2)).reduceOption(_ max _).getOrElse(0L)
 
-    val incremental = prior.isDefined && haveStats && haveFront &&
+    val haveTail = new java.io.File(tailPath).exists()
+    val incremental = prior.isDefined && haveStats && haveFront && haveTail &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
       batchMinIdx.forall(_ > prior.get._2)
 
@@ -142,31 +169,41 @@ object IncrementalReduction {
     // the sparse lineitem-derived curves). f = last reference index WITH A
     // ROW in the bin, p = the one before it (the recompute window's
     // prev-anchor).
+    // top-2 reference indices per bin in ONE aggregation (the in-window
+    // reference count is bounded by the frontier construction, so the
+    // collect_set is small by contract); _p_new NULL when a bin has < 2
+    // references in the window
     val refRows = tagged.filter(col("is_ref"))
       .select(col("q_bin"), col("image_idx").cast("long").as("_ri"))
-    val fTab = refRows.groupBy(col("q_bin")).agg(max(col("_ri")).as("_f_new"))
-    val pTab = refRows.join(broadcast(fTab), Seq("q_bin"))
-      .filter(col("_ri") < col("_f_new"))
-      .groupBy(col("q_bin")).agg(max(col("_ri")).as("_p_new"))
-    val fronts = fTab.join(pTab, Seq("q_bin"), "left")
+    val fpTab = refRows.groupBy(col("q_bin")).agg(
+      max(col("_ri")).as("_f_new"),
+      try_element_at(sort_array(collect_set(col("_ri")), asc = false),
+        lit(2)).as("_p_new"))
+    val fronts = fpTab
       .join(fOldTab.map(_.select(col("q_bin"), col("f").as("_f_old")))
-        .getOrElse(fTab.select(col("q_bin"),
+        .getOrElse(fpTab.select(col("q_bin"),
           lit(null).cast("long").as("_f_old")).limit(0)),
         Seq("q_bin"), "left")
       .coalesce(1).localCheckpoint(true)
 
-    val diffs = Reduction.diffSignal(Reduction.interpolateReferences(tagged))
+    // Row-grain diffs are consumed ONCE below (a single fused
+    // aggregation), so a checkpoint here would only pay an extra
+    // materialization of the widest frame in the batch; metrics mode
+    // keeps it because finalized/pending counts re-walk the rows.
+    val diffs0 = Reduction.diffSignal(Reduction.interpolateReferences(tagged))
       .withColumn("delay_c", TimeFunctions.canonicalDelay(col("delay")))
-      .localCheckpoint(true)
+    val diffs = if (withMetrics) diffs0.localCheckpoint(true) else diffs0
 
-    // mutable/new rows this batch is responsible for, bin by bin
+    // mutable/new rows this batch is responsible for, bin by bin; `_fin`
+    // marks rows whose in-bin next reference exists (immutable from now
+    // on) vs the pending tail — one column, so finalized and pending
+    // sufficient stats come out of ONE aggregation pass instead of two
     val dj = diffs.join(broadcast(fronts), Seq("q_bin"), "left")
     val keepRows = dj.filter(col("_f_old").isNull ||
         col("image_idx") >= col("_f_old"))
-    val finalizedNew = keepRows.filter(col("_f_new").isNotNull &&
-      col("image_idx") < col("_f_new"))
-    val pending = keepRows.filter(col("_f_new").isNull ||
-      col("image_idx") >= col("_f_new"))
+      .withColumn("_fin", col("_f_new").isNotNull &&
+        col("image_idx") < col("_f_new"))
+    val finalizedNew = keepRows.filter(col("_fin"))
 
     // W2 thinning marks are positional within the (delay, q_bin) group.
     // The stats table only ever aggregates FINALIZED rows, so its n_all IS
@@ -190,7 +227,8 @@ object IncrementalReduction {
     // `averageScanPoints(useMedian = true)` takes its median over. NULL
     // diffs ride in as NaN (typed aggregator input) and are skipped.
     import graft.functions.TDigestSketch
-    def suffStats(df: DataFrame): DataFrame = df.groupBy(col("delay_c"), col("q_bin"))
+    def suffStats(df: DataFrame, extraKey: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      df.groupBy(Seq(col("delay_c"), col("q_bin")) ++ extraKey: _*)
       .agg(
         count(lit(1)).as("n_all"),
         count(col("diff")).as("n_nn"),
@@ -201,14 +239,23 @@ object IncrementalReduction {
         sum(when(col("_keep"), col("diff"))).as("sum_kept"),
         TDigestSketch.tdigest(
           when(col("_keep"), coalesce(col("diff"), lit(Double.NaN)))
-            .otherwise(Double.NaN)).as("td"))
+            .otherwise(Double.NaN), tdCompression).as("td"))
 
-    val finStats = suffStats(withKeep(finalizedNew, nFinPrev))
+    // ONE aggregation pass over the window's rows covers both the
+    // finalized and the pending side (split on `_fin` afterwards — the
+    // frame is group-grain by then, so the split is free). The `_rep`
+    // numbering is continuous across the split because every finalized
+    // row precedes every pending row within its (delay_c, q_bin) group
+    // (the frontier is an image_idx cut), so the thinning marks are
+    // identical to numbering the two sides separately.
+    val bothStats = suffStats(withKeep(keepRows, nFinPrev), Seq(col("_fin")))
+      .coalesce(1).localCheckpoint(true)
+    val finStats = bothStats.filter(col("_fin")).drop("_fin")
     val statsCols = Seq("n_all", "n_nn", "sum_d", "sumsq_d", "n_kept",
       "n_kept_nn", "sum_kept")
     def mergeStats(parts: DataFrame): DataFrame = {
       val aggs = statsCols.map(c => sum(col(c)).as(c)) :+
-        TDigestSketch.tdigestMerge(col("td")).as("td")
+        TDigestSketch.tdigestMerge(col("td"), tdCompression).as("td")
       parts.groupBy(col("delay_c"), col("q_bin")).agg(aggs.head, aggs.tail: _*)
     }
     val statsNew = statsPrev match {
@@ -218,9 +265,6 @@ object IncrementalReduction {
             statsCols.map(col) :+ col("td")): _*)
           .unionByName(finStats))
     }
-    val statsMat = statsNew.coalesce(1).localCheckpoint(true)
-    statsMat.write.mode("overwrite").parquet(statsPath)
-
     // bounded raw tail for the next batch: per bin, from the
     // second-to-last reference on (the prev-anchor the frontier row's
     // recompute needs); bins with <2 refs keep everything
@@ -228,10 +272,26 @@ object IncrementalReduction {
       .filter((col("_p_new").isNull && col("_f_new").isNull) ||
         col("image_idx") >= coalesce(col("_p_new"), col("_f_new")))
       .select("image_idx", "delay", "q_bin", "i", "err")
-      .coalesce(4).localCheckpoint(true)
-    tailNew.write.mode("overwrite").parquet(tailPath)
-    fronts.select(col("q_bin"), col("_f_new").as("f"), col("_p_new").as("p"))
-      .coalesce(1).write.mode("overwrite").parquet(frontierPath)
+      .coalesce(4)
+
+    // The three state stores are INDEPENDENT of each other (stats reads
+    // only the old stats store, the tail reads only the old tail through
+    // `work`, the frontier reads the checkpointed `fronts`), so their
+    // writes run concurrently — each is a tiny job whose cost is per-job
+    // overhead, not data. Write-to-tmp + directory swap replaces the
+    // former checkpoint-then-overwrite pair (one materialization instead
+    // of two); a crash mid-swap leaves the store absent, which the next
+    // batch's validity check detects and heals with a full recompute.
+    // The manifest is written LAST — it is the commit marker.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Seq(
+      Future(writeSwap(statsNew.coalesce(1), statsPath)),
+      Future(writeSwap(tailNew, tailPath)),
+      Future(writeSwap(fronts.select(col("q_bin"), col("_f_new").as("f"),
+        col("_p_new").as("p")).coalesce(1), frontierPath)))
+      .foreach(Await.result(_, Duration.Inf))
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
         else refDelayNow.toString),
@@ -240,8 +300,8 @@ object IncrementalReduction {
     // reduced output = finalized stats ⊕ pending-tail stats, then the A3
     // formulas recovered from moments (mean mode; noise = population
     // stddev, err = noise/√n_all — reference parity, dataReduction.py:180)
-    val pendStats = suffStats(withKeep(pending, statsMat
-      .select(col("delay_c"), col("q_bin"), col("n_all").as("n_fin"))))
+    val statsMat = spark.read.parquet(statsPath)
+    val pendStats = bothStats.filter(!col("_fin")).drop("_fin")
     val combined = mergeStats(statsMat
       .select((Seq(col("delay_c"), col("q_bin")) ++
         statsCols.map(col) :+ col("td")): _*)
@@ -255,17 +315,22 @@ object IncrementalReduction {
       when(col("n_nn") > 0, noise).as("noise"),
       col("n_kept").as("n_rep"),
       when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
-    reduced.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/reduced")
-    // median-mode twin (approximate, exact below `compression` reps per
-    // group — see TDigestSketch): separate sink so the exact mean-mode
-    // `reduced` schema the q63 oracle pins stays untouched
-    combined.select(
+    // median-mode twin (exact below 2·tdCompression kept reps per group —
+    // see TDigestSketch): separate sink so the exact mean-mode `reduced`
+    // schema the q63 oracle pins stays untouched. Both output writes are
+    // independent 1-file jobs off the checkpointed `combined` — concurrent.
+    val medianOut = combined.select(
       col("delay_c").as("delay"), col("q_bin"),
       when(col("n_kept_nn") > 0,
         TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
           lit(0.5))).as("diff_med"),
       col("n_kept").as("n_rep"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/reduced_median")
+    Seq(
+      Future(reduced.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/reduced")),
+      Future(medianOut.coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/reduced_median")))
+      .foreach(Await.result(_, Duration.Inf))
 
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
     // re-read the tail store we just overwrote. They cost three extra jobs
@@ -273,7 +338,8 @@ object IncrementalReduction {
     BatchResult(spark.read.parquet(s"$stateDir/reduced"),
       windowRows = if (withMetrics) tagged.count() else -1L,
       finalizedRows = if (withMetrics) finalizedNew.count() else -1L,
-      pendingRows = if (withMetrics) tailNew.count() else -1L,
+      pendingRows = if (withMetrics) spark.read.parquet(tailPath).count()
+        else -1L,
       fullRecompute = !incremental)
   }
 
