@@ -232,27 +232,101 @@ object Layout {
       .select(col(probeCol), col("file_id"))
   }
 
-  /** A loaded per-file Bloom sidecar: `words(file)(word) = bits`. A file
-    * ABSENT from the map is conservatively kept by every probe (appends
-    * after the sidecar build are uncovered until [[saveBloom]] reruns);
-    * a covered file is skipped only when some probed bit is missing —
-    * files are immutable once written, so a sidecar can never go stale,
-    * only lose coverage.
+  /** A loaded per-file Bloom sidecar. A file the sidecar does not cover
+    * is conservatively kept by every probe (appends after the sidecar
+    * build are uncovered until [[saveBloom]] reruns); a covered file is
+    * skipped only when some probed bit is missing — files are immutable
+    * once written, so a sidecar can never go stale, only lose coverage.
     */
-  final case class BloomSidecar(column: String, mBits: Int, k: Int,
-                                words: Map[String, Map[Long, Long]]) {
+  sealed trait BloomSidecar {
+    def column: String
+    def mBits: Int
+    def k: Int
+
     /** May `file` contain `value`? No false negatives on covered files.
       * Lookups normalize the name ([[normFile]]) — the sidecar is keyed
       * by `input_file_name()` URIs, the skipping index by Hadoop path
       * strings, and a form mismatch must read as "uncovered", never as
       * a skip.
       */
+    def mayContain(file: String, value: Any): Boolean
+  }
+
+  /** Small-store sidecar: the whole body (`words(file)(word) = bits`)
+    * lives in one driver-loaded text file — zero Spark jobs to load,
+    * bounded at files · ceil(mBits/63) words.
+    */
+  final case class InlineBloomSidecar(column: String, mBits: Int, k: Int,
+                                      words: Map[String, Map[Long, Long]])
+      extends BloomSidecar {
     def mayContain(file: String, value: Any): Boolean =
       words.get(normFile(file)) match {
         case None => true // uncovered file: keep
         case Some(w) =>
           bloomDriverPositions(value, mBits, k).forall { p =>
             (w.getOrElse(p / 63, 0L) & (1L << (p % 63).toInt)) != 0L
+          }
+      }
+  }
+
+  /** Large-store sidecar: the body lives in `nShards` word-bucketed text
+    * shards (`shard = word % nShards`), loaded LAZILY — a point probe
+    * touches at most k words, hence at most k shards, each bounded at
+    * ~`BloomShardWords` entries, so probe-side memory is independent of
+    * the store's file count (the single-file format would load the whole
+    * O(nFiles · mBits/63) body into driver heap). Loaded shards are
+    * cached (bounded — the cache resets past 64 shards); entries are
+    * keyed `fileIdx << 24 | word` in an unboxed LongMap.
+    */
+  final class ShardedBloomSidecar(
+      val column: String, val mBits: Int, val k: Int, nShards: Int,
+      fileIdx: Map[String, Int], dir: Path,
+      fs: org.apache.hadoop.fs.FileSystem) extends BloomSidecar {
+    private val cache =
+      scala.collection.mutable.Map.empty[Int, scala.collection.mutable.LongMap[Long]]
+
+    /** Shards resident right now — the bounded-memory observable. */
+    private[graft] def loadedShards: Int = cache.size
+
+    private def loadShard(j: Int): scala.collection.mutable.LongMap[Long] =
+      cache.getOrElse(j, {
+        if (cache.size >= 64) cache.clear()
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        val sd = new Path(dir, s"shard=$j")
+        if (fs.exists(sd)) fs.listStatus(sd).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+            val in = fs.open(st.getPath)
+            val txt = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+            txt.split("\n").foreach { l0 =>
+              val l = l0.trim
+              if (l.nonEmpty) {
+                val t = l.indexOf('\t')
+                val fi = l.substring(0, t).toLong
+                l.substring(t + 1).split(",").foreach { w =>
+                  val c = w.indexOf(':')
+                  m.update((fi << 24) | w.substring(0, c).toLong,
+                    w.substring(c + 1).toLong)
+                }
+              }
+            }
+          }
+        }
+        cache(j) = m
+        m
+      })
+
+    def mayContain(file: String, value: Any): Boolean =
+      fileIdx.get(normFile(file)) match {
+        case None => true // uncovered file: keep
+        case Some(fi) =>
+          bloomDriverPositions(value, mBits, k).forall { p =>
+            val w = p / 63
+            (loadShard((w % nShards).toInt)
+              .getOrElse((fi.toLong << 24) | w, 0L) &
+              (1L << (p % 63).toInt)) != 0L
           }
       }
   }
@@ -280,25 +354,36 @@ object Layout {
   }
 
   private def bloomSidecarFile(column: String) = s"bloom_$column.txt"
+  private def bloomShardDir(column: String) = s"bloom_$column.d"
   private[graft] val BloomPrefix = "bloom_"
+
+  /** Body-size bound (in (file, word) entries) above which [[saveBloom]]
+    * writes the sharded format: ~256 Ki entries ≈ a few MB of text per
+    * shard, the probe-side memory unit.
+    */
+  private[graft] val BloomShardWords = 1 << 18
 
   /** Build + commit the Bloom sidecar for a maintained layout's point-
     * lookup column: one distributed pass over exactly the COMMITTED
-    * indexed files (per REAL file name via input_file_name), then ONE
-    * small atomic file next to the skipping index — header
-    * `mBits k`, then `file<TAB>word:bits,word:bits,…` per file. The
-    * sidecar is bounded at files · ceil(mBits/63) words (16 files at
-    * the 16 Ki default ≈ 4 k longs; a thousand files ≈ a few MB), so
-    * readers load it with a driver FS read — NO Spark job before the
-    * scan, the property a per-scan index consult must have. Both read
-    * paths consult it for pushed equality/IN probes on `column`; rerun
-    * after appends to restore coverage (uncovered new files are kept
-    * conservatively, never wrongly skipped); [[compact]] refreshes
+    * indexed files (per REAL file name via input_file_name). Small
+    * stores (body ≤ `shardWords` (file, word) entries, e.g. the 16-file
+    * default ≈ 4 k longs) commit ONE small atomic text file — header
+    * `mBits k`, then `file<TAB>word:bits,…` per file — which readers
+    * load with a driver FS read, NO Spark job before the scan. Bigger
+    * stores switch to the SHARDED format ([[writeShardedBloom]]): the
+    * body never touches the driver at build, and a probe lazily loads
+    * at most k word-bucket shards of ~`shardWords` entries each, so
+    * probe memory is independent of file count (a 10⁵-file store's
+    * inline body would be ~0.5-1 GB of driver heap). Both read paths
+    * consult the sidecar for pushed equality/IN probes on `column`;
+    * rerun after appends to restore coverage (uncovered new files are
+    * kept conservatively, never wrongly skipped); [[compact]] refreshes
     * every committed sidecar automatically (its rewrite replaces all
     * files, which would otherwise strand the sidecar at zero coverage).
     */
   def saveBloom(spark: SparkSession, path: String, column: String,
-                mBits: Int = 1 << 14, k: Int = 5): Unit = {
+                mBits: Int = 1 << 14, k: Int = 5,
+                shardWords: Int = BloomShardWords): Unit = {
     requireBloomK(k)
     val stats = loadStats(spark, path).getOrElse(throw new IllegalStateException(
       s"saveBloom: $path has no committed skipping index"))
@@ -306,39 +391,110 @@ object Layout {
     val rows = spark.read.parquet(files: _*)
       .select(org.apache.spark.sql.functions.input_file_name().as("file"),
         col(column))
-    val collected = bloomPositions(rows, column, mBits, k)
+    val words = bloomPositions(rows, column, mBits, k)
       .groupBy(col("file"), col("word"))
       .agg(expr("bit_or(bit)").as("bits"))
-      .collect()
-    val body = collected.groupBy(r => normFile(r.getString(0)))
-      .toSeq.sortBy(_._1)
-      .map { case (f, rs) =>
-        f + "\t" + rs.sortBy(_.getLong(1))
-          .map(r => s"${r.getLong(1)}:${r.getLong(2)}").mkString(",")
-      }.mkString("\n")
-    writeFileAtomic(spark, new Path(statsRoot(path)),
-      bloomSidecarFile(column), s"$mBits $k\n$body")
+    val wordsPerFile = (mBits + 62) / 63
+    if (files.size.toLong * wordsPerFile <= shardWords) {
+      // small store: one driver-composed text file, zero-job load
+      val collected = words.collect()
+      val body = collected.groupBy(r => normFile(r.getString(0)))
+        .toSeq.sortBy(_._1)
+        .map { case (f, rs) =>
+          f + "\t" + rs.sortBy(_.getLong(1))
+            .map(r => s"${r.getLong(1)}:${r.getLong(2)}").mkString(",")
+        }.mkString("\n")
+      writeFileAtomic(spark, new Path(statsRoot(path)),
+        bloomSidecarFile(column), s"$mBits $k\n$body")
+    } else writeShardedBloom(spark, path, column, mBits, k, words,
+      files, shardWords)
   }
 
-  /** Load a committed Bloom sidecar — one driver FS read, no Spark job.
-    * None if never built.
+  /** Large-store sidecar write: the body NEVER touches the driver — the
+    * (file, word, bits) rows are bucketed by `word % nShards`, rendered
+    * to the same `fidx\tword:bits,…` lines distributedly, and written as
+    * one text directory per shard. Commit order: shard directory (tmp +
+    * swap, `_meta` carrying nShards + a build id) first, then the header
+    * text — the atomic commit marker — listing the covered files in
+    * index order. The loader cross-checks `_meta` against the header and
+    * treats any mismatch (a torn two-step commit) as "no sidecar":
+    * conservative keep-everything, never a wrong skip.
+    */
+  private[graft] def writeShardedBloom(spark: SparkSession, path: String,
+      column: String, mBits: Int, k: Int, words: DataFrame,
+      files: Seq[String], shardWords: Int): Unit = {
+    val wordsPerFile = (mBits + 62) / 63
+    require(wordsPerFile < (1 << 24),
+      s"sharded sidecar: mBits=$mBits exceeds the 24-bit word-key budget")
+    val normFiles = files.map(normFile)
+    val nShards = math.max(1, math.ceil(
+      normFiles.size.toLong * wordsPerFile.toDouble / shardWords).toInt)
+    val buildId = java.util.UUID.randomUUID().toString
+    import spark.implicits._
+    val fmap = normFiles.zipWithIndex.toDF("nfile", "fidx")
+    val nfUdf = udf((s: String) => normFile(s))
+    val lines = words.withColumn("nfile", nfUdf(col("file")))
+      .join(broadcast(fmap), Seq("nfile"))
+      .withColumn("shard", pmod(col("word"), lit(nShards.toLong)).cast("int"))
+      .groupBy(col("shard"), col("fidx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("word"),
+        concat_ws(":", col("word"), col("bits")).as("s")))),
+        x => x.getField("s")), ",").as("ws"))
+      .select(col("shard"), concat_ws("\t", col("fidx"), col("ws")).as("value"))
+    val root = new Path(statsRoot(path))
+    val fs = root.getFileSystem(hconf(spark))
+    val finalDir = new Path(root, bloomShardDir(column))
+    val tmpDir = new Path(root, bloomShardDir(column) + ".tmp")
+    fs.delete(tmpDir, true)
+    lines.repartition(col("shard")).sortWithinPartitions(col("fidx"))
+      .write.partitionBy("shard").mode("overwrite").text(tmpDir.toString)
+    writeFileAtomic(spark, tmpDir, "_meta", s"$nShards $buildId")
+    fs.delete(finalDir, true)
+    if (!fs.rename(tmpDir, finalDir))
+      throw new java.io.IOException(
+        s"saveBloom: rename $tmpDir -> $finalDir failed")
+    writeFileAtomic(spark, root, bloomSidecarFile(column),
+      (s"SHARDED $mBits $k $nShards $buildId" +: normFiles).mkString("\n"))
+  }
+
+  /** Load a committed Bloom sidecar — one driver FS read for the inline
+    * format; header-only (file list, no body) for the sharded format,
+    * whose shards load lazily at probe time. None if never built, and
+    * None for a torn sharded commit (header/_meta mismatch) — the caller
+    * then skips bloom narrowing entirely, which is conservative.
     */
   def loadBloom(spark: SparkSession, path: String,
                 column: String): Option[BloomSidecar] =
     readSmallFile(spark, new Path(statsRoot(path),
         bloomSidecarFile(column)))
-      .map { text =>
+      .flatMap { text =>
         val lines = text.split("\n", -1).toSeq
-        val Array(m, k) = lines.head.trim.split(" ")
-        val words = lines.tail.filter(_.nonEmpty).map { l =>
-          val Array(f, ws) = l.split("\t", 2)
-          f -> (if (ws.isEmpty) Map.empty[Long, Long]
-                else ws.split(",").map { w =>
-                  val Array(a, b) = w.split(":")
-                  a.toLong -> b.toLong
-                }.toMap)
-        }.toMap
-        BloomSidecar(column, m.toInt, k.toInt, words)
+        val head = lines.head.trim.split(" ")
+        if (head.headOption.contains("SHARDED")) {
+          val Array(_, m, k2, ns, bid) = head
+          val dir = new Path(statsRoot(path), bloomShardDir(column))
+          val fs = dir.getFileSystem(hconf(spark))
+          // an unreadable _meta (missing, torn, checksum-corrupt) reads
+          // as a torn commit: no sidecar, conservative keep-everything
+          val metaOk = scala.util.Try(
+              readSmallFile(spark, new Path(dir, "_meta")))
+            .toOption.flatten.exists(_.trim == s"$ns $bid")
+          if (!metaOk) None
+          else Some(new ShardedBloomSidecar(column, m.toInt, k2.toInt,
+            ns.toInt, lines.tail.filter(_.nonEmpty).zipWithIndex.toMap,
+            dir, fs))
+        } else {
+          val Array(m, k2) = head
+          val words = lines.tail.filter(_.nonEmpty).map { l =>
+            val Array(f, ws) = l.split("\t", 2)
+            f -> (if (ws.isEmpty) Map.empty[Long, Long]
+                  else ws.split(",").map { w =>
+                    val Array(a, b) = w.split(":")
+                    a.toLong -> b.toLong
+                  }.toMap)
+          }.toMap
+          Some(InlineBloomSidecar(column, m.toInt, k2.toInt, words))
+        }
       }
 
   /** Columns with a committed Bloom sidecar at `path`. */

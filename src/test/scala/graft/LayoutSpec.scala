@@ -679,6 +679,99 @@ class LayoutSpec extends SparkSpec {
       s"compact must refresh the sidecar, not strand it: kept $k4/$t4")
   }
 
+  test("sharded bloom sidecar: same decisions as the inline format " +
+       "through the real read path, torn commit reads as no sidecar") {
+    import graft.sources.ZOrderSource
+    val pts = (1 to 4000).map { i =>
+      (i.toLong, (i * 2654435761L % 10000).toDouble / 10000.0,
+        (i * 40503L % 10000).toDouble / 10000.0)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bshard_")
+      .toFile.getAbsolutePath
+    pts.write.format("graft-zorder")
+      .option("zcols", "x,y").option("bits", "8").option("nFiles", "16")
+      .option("tieCol", "id").mode("overwrite").save(dir)
+
+    def readEq(id: Long) = {
+      val got = spark.read.format("graft-zorder").load(dir)
+        .filter(col("id") === id).select("id").collect()
+      (got.map(_.getLong(0)).toSeq, ZOrderSource.lastScan.get())
+    }
+    // inline build first: record its decisions
+    Layout.saveBloom(spark, dir, "id")
+    val inline = Layout.loadBloom(spark, dir, "id").get
+    assert(inline.isInstanceOf[Layout.InlineBloomSidecar])
+    val (ri, (ki, _)) = readEq(1234L)
+    // force the SHARDED format on the same store: identical decisions
+    Layout.saveBloom(spark, dir, "id", shardWords = 64)
+    val sharded = Layout.loadBloom(spark, dir, "id").get
+    assert(sharded.isInstanceOf[Layout.ShardedBloomSidecar],
+      "shardWords=64 must force the sharded format")
+    val files = Layout.loadStats(spark, dir).get.map(_.file).distinct
+    for (f <- files; v <- Seq(7L, 1234L, 2999L, 999999L))
+      assert(sharded.mayContain(f, v) == inline.mayContain(f, v),
+        s"decision drift on ($f, $v)")
+    val (rs, (ks, _)) = readEq(1234L)
+    assert(rs == ri && ks == ki,
+      s"sharded read path drifted: rows $rs vs $ri, kept $ks vs $ki")
+
+    // torn two-step commit (header committed, shard dir from another
+    // build): loadBloom must answer None — no narrowing, never a skip
+    val meta = new java.io.File(s"$dir/_graft_stats/bloom_id.d/_meta")
+    java.nio.file.Files.writeString(meta.toPath, "9999 torn-build")
+    new java.io.File(s"$dir/_graft_stats/bloom_id.d/._meta.crc").delete()
+    assert(Layout.loadBloom(spark, dir, "id").isEmpty,
+      "torn sharded commit must read as no sidecar")
+    val (rt, (kt, tt)) = readEq(1234L)
+    assert(rt == Seq(1234L) && kt == tt,
+      "with a torn sidecar the probe must keep every file")
+  }
+
+  test("sharded bloom sidecar at 10^4 files: probe loads at most k " +
+       "shards (bounded memory), decisions match the driver-side truth") {
+    val (n, mBits, k) = (10000, 4096, 5)
+    // synthetic store: file i holds exactly value i; its sidecar bitmap
+    // is value i's k positions
+    def fname(i: Int) = f"/fake/store/f$i%05d.parquet"
+    val rows = (0 until n).flatMap { i =>
+      Layout.bloomDriverPositions(i.toLong, mBits, k)
+        .map(p => (fname(i), p / 63, 1L << (p % 63).toInt))
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((f, w), ts) => (f, w, ts.map(_._3).reduce(_ | _)) }
+    val words = rows.toDF("file", "word", "bits")
+    val dir = java.nio.file.Files.createTempDirectory("graft_b10k_")
+      .toFile.getAbsolutePath
+    // ~41 shards at this shardWords: a point probe may touch only k
+    Layout.writeShardedBloom(spark, dir, "id", mBits, k, words,
+      (0 until n).map(fname), shardWords = 1 << 14)
+
+    val sc = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    // no false negatives, and a probe value keeps almost no files
+    for (i <- 0 until n by 97)
+      assert(sc.mayContain(fname(i), i.toLong), s"FALSE NEGATIVE at $i")
+    assert(sc.loadedShards <= 64, "cache must stay bounded")
+    // fresh sidecar: ONE point probe against every file loads at most
+    // k word-bucket shards — memory independent of the 10^4 file count
+    val fresh = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    val keptFiles = (0 until n).count(i => fresh.mayContain(fname(i), 777L))
+    assert(fresh.loadedShards <= k,
+      s"a point probe loaded ${fresh.loadedShards} shards, > k=$k")
+    assert(keptFiles <= 5,
+      s"probe for one value kept $keptFiles of $n files")
+    // decisions equal the driver-side truth for a sampled cross product
+    for (i <- 0 until n by 509; v <- Seq(3L, 4242L, i.toLong)) {
+      val fileBits = Layout.bloomDriverPositions(i.toLong, mBits, k).toSet
+      val want = Layout.bloomDriverPositions(v, mBits, k)
+        .forall(fileBits.contains)
+      assert(sc.mayContain(fname(i), v) == want,
+        s"decision mismatch at file $i value $v")
+    }
+    // an unknown file is conservatively kept
+    assert(sc.mayContain("/fake/store/not-covered.parquet", 1L))
+  }
+
   test("hilbert index: bijective over the full grid, every consecutive " +
        "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
        "inverse walk round-trips") {
