@@ -286,9 +286,11 @@ object Bundle {
     * Same honest scale boundary as the reader: an HDF5 file is a
     * single-node artifact, so each table is collected driver-side — the
     * right cost model for a one-time export of reduced (curve-grain)
-    * results, never raw 100 TB inputs; the writer refuses nothing by
-    * size but the container itself is bounded by [[Hdf5.MaxFileBytes]]
-    * on re-read.
+    * results, never raw 100 TB inputs; the single-file re-read path maps
+    * the container in windows (no size bound — only each decoded
+    * dataset must fit a JVM array), while the DISTRIBUTED directory
+    * ingest stays bounded by [[Hdf5.MaxFileBytes]] per file (binaryFile
+    * hands each file to a task as one byte array).
     */
   def toHdf5(path: String, tables: Map[String, DataFrame],
              params: Map[String, String] = Map.empty): Unit = {

@@ -88,32 +88,34 @@ object Hdf5 {
              else s" (aliases: ${aliases.mkString(", ")})")))
   }
 
-  /** This reader maps the whole file into one JVM byte array, so files
-    * past `Int.MaxValue` bytes cannot be read — checked loudly up front
-    * (see [[read]]) instead of surfacing as an opaque JVM error.
+  /** The in-heap ingest form ([[readBytes]]) holds the whole archive in
+    * one JVM byte array, so IT is bounded here; [[read]] maps the file
+    * in windows ([[MappedByteSource]]) and has NO container bound —
+    * only each decoded DATASET must still fit a JVM array (checked
+    * loudly per dataset).
     */
   val MaxFileBytes: Long = Int.MaxValue.toLong
 
-  /** Read every dataset and attribute reachable from the root group. */
+  /** Read every dataset and attribute reachable from the root group.
+    * Memory-mapped in 1 GiB windows — archives past 2 GiB read fine;
+    * the walk touches only the regions it parses.
+    */
   def read(path: String): File = {
-    val p = Paths.get(path)
-    val size = Files.size(p)
-    if (size > MaxFileBytes)
-      throw new UnsupportedOperationException(
-        s"$path is $size bytes, past this reader's ${MaxFileBytes} byte " +
-          "(2 GiB) bound — split the archive into smaller bundles (e.g. " +
-          "with h5repack / h5copy per group) and ingest each part")
-    readBytes(Files.readAllBytes(p))
+    val src = new MappedByteSource(Paths.get(path))
+    try readSource(src)
+    finally src.close()
   }
 
   /** [[read]] over an already-loaded byte array — the form executor
     * tasks use when a DIRECTORY of archives is ingested file-per-task
     * (Spark's binaryFile source hands each file's content to one task;
-    * see [[Bundle.azavFromHdf5Dir]]).
+    * see [[Bundle.azavFromHdf5Dir]]). Bounded at [[MaxFileBytes]] by the
+    * JVM array the bytes arrive in.
     */
-  def readBytes(bytes: Array[Byte]): File = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val r = new Reader(buf)
+  def readBytes(bytes: Array[Byte]): File = readSource(new HeapByteSource(bytes))
+
+  private def readSource(src: ByteSource): File = {
+    val r = new Reader(src)
     val root = r.superblockRootHeader()
     val ds = Seq.newBuilder[Dataset]
     val at = Seq.newBuilder[Attr]
@@ -128,25 +130,20 @@ object Hdf5 {
   private val Signature =
     Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  private final class Reader(buf: ByteBuffer) {
+  private final class Reader(buf: ByteSource) {
 
-    private def u8(p: Int): Int = buf.get(p) & 0xff
-    private def u16(p: Int): Int = buf.getShort(p) & 0xffff
-    private def u32(p: Int): Long = buf.getInt(p) & 0xffffffffL
-    private def u64(p: Int): Long = buf.getLong(p)
+    private def u8(p: Long): Int = buf.u8(p)
+    private def u16(p: Long): Int = buf.u16(p)
+    private def u32(p: Long): Long = buf.u32(p)
+    private def u64(p: Long): Long = buf.u64(p)
     private def undef(a: Long): Boolean = a == -1L // 0xFFFF... = unset
 
-    private def bytesAt(p: Int, n: Int): Array[Byte] = {
-      val a = new Array[Byte](n)
-      var i = 0
-      while (i < n) { a(i) = buf.get(p + i); i += 1 }
-      a
-    }
+    private def bytesAt(p: Long, n: Int): Array[Byte] = buf.bytesAt(p, n)
 
-    private def cstr(p: Int): String = {
+    private def cstr(p: Long): String = {
       var e = p
-      while (buf.get(e) != 0) e += 1
-      new String(bytesAt(p, e - p), "UTF-8")
+      while (buf.u8(e) != 0) e += 1
+      new String(bytesAt(p, (e - p).toInt), "UTF-8")
     }
 
     // ---------------------------------------------------------- superblock
@@ -180,9 +177,9 @@ object Hdf5 {
     /** (type, body offset, body size) of every message, following
       * continuations; handles header v1 and v2.
       */
-    def messages(headerAddr: Long): Seq[(Int, Int, Int)] = {
-      val p = headerAddr.toInt
-      val out = Seq.newBuilder[(Int, Int, Int)]
+    def messages(headerAddr: Long): Seq[(Int, Long, Int)] = {
+      val p = headerAddr
+      val out = Seq.newBuilder[(Int, Long, Int)]
       if (bytesAt(p, 4).sameElements("OHDR".getBytes)) {
         // version 2
         require(u8(p + 4) == 2, "OHDR version")
@@ -210,7 +207,7 @@ object Hdf5 {
         var q = p + 16
         var remaining = nMsgs
         var conts = List.empty[(Long, Long)]
-        def parseV1(at: Int, limit: Int): Int = {
+        def parseV1(at: Long, limit: Long): Long = {
           var o = at
           while (remaining > 0 && o + 8 <= limit) {
             val t = u16(o); val sz = u16(o + 2)
@@ -225,7 +222,7 @@ object Hdf5 {
         while (remaining > 0 && conts.nonEmpty) {
           val (addr, len) = conts.head
           conts = conts.tail
-          parseV1(addr.toInt, (addr + len).toInt)
+          parseV1(addr, addr + len)
         }
       }
       out.result()
@@ -237,8 +234,8 @@ object Hdf5 {
       * and `length − 8` for an OCHK block (4-byte signature + 4-byte
       * checksum live inside the continuation message's length).
       */
-    private def parseV2Block(start: Int, msgBytes: Int, track: Boolean,
-        out: scala.collection.mutable.Builder[(Int, Int, Int), Seq[(Int, Int, Int)]]): Unit = {
+    private def parseV2Block(start: Long, msgBytes: Int, track: Boolean,
+        out: scala.collection.mutable.Builder[(Int, Long, Int), Seq[(Int, Long, Int)]]): Unit = {
       var o = start
       val limit = start + msgBytes
       var conts = List.empty[(Long, Long)]
@@ -252,7 +249,7 @@ object Hdf5 {
         if (t == 0 && sz == 0) o = limit // gap smaller than a header
       }
       conts.foreach { case (addr, len) =>
-        val a = addr.toInt
+        val a = addr
         require(bytesAt(a, 4).sameElements("OCHK".getBytes),
           "bad OCHK continuation")
         parseV2Block(a + 4, (len - 8).toInt, track, out)
@@ -319,12 +316,12 @@ object Hdf5 {
       */
     private def symbolTableLinks(btreeAddr: Long,
                                  heapAddr: Long): Seq[(String, Long)] = {
-      val h = heapAddr.toInt
+      val h = heapAddr
       require(bytesAt(h, 4).sameElements("HEAP".getBytes), "bad local heap")
       val heapData = u64(h + 24)
       val out = Seq.newBuilder[(String, Long)]
       def node(addr: Long): Unit = {
-        val p = addr.toInt
+        val p = addr
         val sig = new String(bytesAt(p, 4))
         if (sig == "TREE") {
           val level = u8(p + 5); val n = u16(p + 6)
@@ -342,7 +339,7 @@ object Hdf5 {
           var i = 0
           while (i < n) {
             val nameOff = u64(o); val hdr = u64(o + 8)
-            out += ((cstr((heapData + nameOff).toInt), hdr))
+            out += ((cstr(heapData + nameOff), hdr))
             o += 40
             i += 1
           }
@@ -353,7 +350,7 @@ object Hdf5 {
     }
 
     /** New-style COMPACT link (message 0x0006), hard links only. */
-    private def readLinkMessage(o: Int): Option[(String, Long)] = {
+    private def readLinkMessage(o: Long): Option[(String, Long)] = {
       require(u8(o) == 1, "link message version")
       val flags = u8(o + 1)
       var q = o + 2
@@ -384,7 +381,7 @@ object Hdf5 {
       def isVlenString: Boolean = cls == 9 && (bits0 & 0x0f) == 1
     }
 
-    private def readDType(o: Int): DType = {
+    private def readDType(o: Long): DType = {
       val clsVer = u8(o)
       val cls = clsVer & 0x0f
       val b0 = u8(o + 1)
@@ -405,12 +402,12 @@ object Hdf5 {
 
     private def globalHeapObjects(addr: Long): Map[Int, Array[Byte]] =
       gcolCache.getOrElseUpdate(addr, {
-        val p = addr.toInt
+        val p = addr
         require(bytesAt(p, 4).sameElements("GCOL".getBytes),
           s"bad global heap collection signature at $addr")
         require(u8(p + 4) == 1, s"global heap version ${u8(p + 4)}")
         val collSize = u64(p + 8) // includes the 16-byte header
-        val limit = p + collSize.toInt
+        val limit = p + collSize
         val out = Map.newBuilder[Int, Array[Byte]]
         var o = p + 16
         var done = false
@@ -421,7 +418,7 @@ object Hdf5 {
           else {
             out += ((idx, bytesAt(o + 16, objSize.toInt)))
             // object data is padded to an 8-byte multiple
-            o += 16 + ((objSize + 7) & ~7L).toInt
+            o += 16 + ((objSize + 7) & ~7L)
           }
         }
         out.result()
@@ -499,7 +496,7 @@ object Hdf5 {
 
     // ----------------------------------------------------------- dataspace
 
-    private def readDims(o: Int): Seq[Long] = {
+    private def readDims(o: Long): Seq[Long] = {
       val v = u8(o)
       v match {
         case 1 =>
@@ -514,7 +511,7 @@ object Hdf5 {
 
     // ---------------------------------------------------------- attributes
 
-    private def readAttr(o: Int, sz: Int, path: String): Attr = {
+    private def readAttr(o: Long, sz: Int, path: String): Attr = {
       val ver = u8(o)
       require(ver >= 1 && ver <= 3, s"attribute message v$ver")
       val nameSize = u16(o + 2)
@@ -550,7 +547,17 @@ object Hdf5 {
 
     // ------------------------------------------------------------ datasets
 
-    private def readDataset(msgs: Seq[(Int, Int, Int)],
+    /** A single decoded dataset must fit a JVM byte array even though
+      * the CONTAINER has no size bound on the mapped path.
+      */
+    private def requireDatasetFits(nBytes: Long, path: String): Unit =
+      if (nBytes > Int.MaxValue)
+        throw new UnsupportedOperationException(
+          s"$path is $nBytes bytes decoded, past the 2 GiB JVM array " +
+            "bound for one dataset — split the dataset (e.g. h5repack " +
+            "with chunk-wise copies) and ingest each part")
+
+    private def readDataset(msgs: Seq[(Int, Long, Int)],
                             path: String): Dataset = {
       val (_, dtO, _) = msgs.find(_._1 == 0x0003).getOrElse(
         throw new IllegalStateException(s"$path: dataset without datatype"))
@@ -574,8 +581,9 @@ object Hdf5 {
           bytesAt(lo + 4, sz)
         case 1 => // contiguous
           val addr = u64(lo + 2)
+          requireDatasetFits(total * dt.size, path)
           if (undef(addr)) new Array[Byte]((total * dt.size).toInt)
-          else bytesAt(addr.toInt, (total * dt.size).toInt)
+          else bytesAt(addr, (total * dt.size).toInt)
         case 2 => // chunked, v1 B-tree index
           val ndims = u8(lo + 2) // rank + 1
           val btree = u64(lo + 3)
@@ -595,7 +603,7 @@ object Hdf5 {
     /** Filter ids in pipeline order (1 = deflate, 2 = shuffle,
       * 3 = fletcher32); anything else is refused loudly.
       */
-    private def readFilters(o: Int): Seq[(Int, Seq[Long])] = {
+    private def readFilters(o: Long): Seq[(Int, Seq[Long])] = {
       val ver = u8(o)
       val n = u8(o + 1)
       var q = o + (if (ver == 1) 8 else 2)
@@ -628,6 +636,7 @@ object Hdf5 {
         filters: Seq[(Int, Seq[Long])], path: String): Array[Byte] = {
       val rank = dims.size
       val total = dims.map(_.toLong).product
+      requireDatasetFits(total * elemSize, path)
       val out = new Array[Byte]((total * elemSize).toInt)
       val chunkElems = chunkDims.map(_.toLong).product.toInt
 
@@ -707,7 +716,7 @@ object Hdf5 {
 
       def node(addr: Long): Unit = {
         if (undef(addr)) return
-        val p = addr.toInt
+        val p = addr
         require(bytesAt(p, 4).sameElements("TREE".getBytes),
           s"$path: bad chunk btree node")
         require(u8(p + 4) == 1, s"$path: btree type ${u8(p + 4)} (need 1)")
@@ -721,7 +730,7 @@ object Hdf5 {
           val off = (0 until rank).map(d => u64(o + 8 + d * 8))
           val child = u64(o + keySize)
           if (level > 0) node(child)
-          else place(off, defilter(bytesAt(child.toInt, nbytes), mask))
+          else place(off, defilter(bytesAt(child, nbytes), mask))
           o += keySize + 8
           i += 1
         }

@@ -107,26 +107,81 @@ object Npz {
     buf.toByteArray
   }
 
-  /** A single standalone `.npy` file. */
+  /** A single standalone `.npy` file. Files past 2 GiB take the
+    * STREAMED path: header from a head slice, then the data region
+    * decoded chunk-by-chunk into the value array (a 3 GiB f8 array is
+    * 400 M doubles — well inside a JVM array) — supported for C-order
+    * numeric arrays; Fortran order and fixed strings at that size are
+    * refused loudly (both need whole-buffer random access).
+    */
   def readNpy(path: String): NpArray = {
     val p = java.nio.file.Paths.get(path)
     val size = java.nio.file.Files.size(p)
-    if (size > MaxMemberBytes)
-      throw new UnsupportedOperationException(
-        s"$path is $size bytes, past this reader's $MaxMemberBytes byte " +
-          "(2 GiB) bound — split the array and ingest each part")
-    val bytes = java.nio.file.Files.readAllBytes(p)
-    val (dims, num, str) = parseNpy(bytes, path)
-    NpArray(new java.io.File(path).getName.stripSuffix(".npy"),
-      dims, num, str)
+    val name = new java.io.File(path).getName.stripSuffix(".npy")
+    if (size <= MaxMemberBytes) {
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val (dims, num, str) = parseNpy(bytes, path)
+      NpArray(name, dims, num, str)
+    } else {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        def pread(off: Long, n: Int): Array[Byte] = {
+          val a = new Array[Byte](n)
+          val bb = ByteBuffer.wrap(a)
+          var pos = off
+          while (bb.hasRemaining) {
+            val k = ch.read(bb, pos)
+            require(k >= 0, s"$path: truncated at $pos")
+            pos += k
+          }
+          a
+        }
+        val (dims, descr, fortran, dataStart) =
+          parseNpyHeader(pread(0L, math.min(size, 1L << 16).toInt), path)
+        val n = dims.product.max(1L)
+        require(n <= Int.MaxValue,
+          s"$path: $n elements exceed the JVM array bound — split the " +
+            "array and ingest each part")
+        require(!(fortran && dims.size > 1),
+          s"$path: Fortran-order arrays past 2 GiB need whole-buffer " +
+            "access — re-save in C order (np.ascontiguousarray)")
+        require(!descr.contains("O"),
+          s"$path: object (pickled) arrays are Python-specific — not readable")
+        val code = descr.dropWhile(c =>
+          c == '<' || c == '>' || c == '|' || c == '=')
+        require(!code.startsWith("S"),
+          s"$path: fixed-string arrays past 2 GiB are not supported — " +
+            "split the array and ingest each part")
+        val le = !descr.startsWith(">")
+        val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+        val (elem, get) = numericCodec(code, descr, path)
+        val out = new Array[Double](n.toInt)
+        val chunkElems = (8 << 20) / elem // 8 MB reads
+        var i = 0L
+        while (i < n) {
+          val m = math.min(chunkElems.toLong, n - i).toInt
+          val bb = ByteBuffer.wrap(pread(dataStart + i * elem, m * elem))
+            .order(order)
+          var j = 0
+          while (j < m) { out((i + j).toInt) = get(bb, j); j += 1 }
+          i += m
+        }
+        NpArray(name, dims, out, Array.empty[String])
+      } finally ch.close()
+    }
   }
 
   // ------------------------------------------------------- implementation
 
   private val Magic = Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte)
 
-  private[graft] def parseNpy(bytes: Array[Byte], what: String)
-      : (Seq[Long], Array[Double], Array[String]) = {
+  /** NPY preamble: (dims, descr, fortran_order, data offset). Needs only
+    * the first `12 + headerLen` bytes — the streamed large-file path
+    * parses a head slice, never the whole file.
+    */
+  private[graft] def parseNpyHeader(bytes: Array[Byte], what: String)
+      : (Seq[Long], String, Boolean, Int) = {
     require(bytes.length >= 10 && bytes.take(6).sameElements(Magic),
       s"$what: not an NPY member (bad magic)")
     val major = bytes(6) & 0xff
@@ -149,6 +204,29 @@ object Npz {
       .takeWhile(_ != ')')
     val dims: Seq[Long] = shapeTxt.split(",").toSeq.map(_.trim)
       .filter(_.nonEmpty).map(_.toLong)
+    (dims, descr, fortran, dataStart)
+  }
+
+  /** element size + positioned decoder for one numeric NPY dtype code. */
+  private def numericCodec(code: String, descr: String, what: String)
+      : (Int, (ByteBuffer, Int) => Double) = code match {
+    case "f8" => (8, (b, i) => b.getDouble(i * 8))
+    case "f4" => (4, (b, i) => b.getFloat(i * 4).toDouble)
+    case "i8" => (8, (b, i) => b.getLong(i * 8).toDouble)
+    case "i4" => (4, (b, i) => b.getInt(i * 4).toDouble)
+    case "i2" => (2, (b, i) => b.getShort(i * 2).toDouble)
+    case "i1" => (1, (b, i) => b.get(i).toDouble)
+    case "u1" | "b1" => (1, (b, i) => (b.get(i) & 0xff).toDouble)
+    case "u2" => (2, (b, i) => (b.getShort(i * 2) & 0xffff).toDouble)
+    case "u4" => (4, (b, i) => (b.getInt(i * 4) & 0xffffffffL).toDouble)
+    case "u8" => (8, (b, i) => b.getLong(i * 8).toDouble)
+    case _ => throw new UnsupportedOperationException(
+      s"$what: npy dtype $descr")
+  }
+
+  private[graft] def parseNpy(bytes: Array[Byte], what: String)
+      : (Seq[Long], Array[Double], Array[String]) = {
+    val (dims, descr, fortran, dataStart) = parseNpyHeader(bytes, what)
     val n = dims.product.max(1L).toInt
 
     require(!descr.contains("O"),
@@ -190,20 +268,7 @@ object Npz {
       else { var i = 0; while (i < n) { out(i) = strAt(i); i += 1 } }
       (dims, Array.empty[Double], out)
     } else {
-      val (size, get): (Int, (ByteBuffer, Int) => Double) = code match {
-        case "f8" => (8, (b, i) => b.getDouble(i * 8))
-        case "f4" => (4, (b, i) => b.getFloat(i * 4).toDouble)
-        case "i8" => (8, (b, i) => b.getLong(i * 8).toDouble)
-        case "i4" => (4, (b, i) => b.getInt(i * 4).toDouble)
-        case "i2" => (2, (b, i) => b.getShort(i * 2).toDouble)
-        case "i1" => (1, (b, i) => b.get(i).toDouble)
-        case "u1" | "b1" => (1, (b, i) => (b.get(i) & 0xff).toDouble)
-        case "u2" => (2, (b, i) => (b.getShort(i * 2) & 0xffff).toDouble)
-        case "u4" => (4, (b, i) => (b.getInt(i * 4) & 0xffffffffL).toDouble)
-        case "u8" => (8, (b, i) => b.getLong(i * 8).toDouble)
-        case c => throw new UnsupportedOperationException(
-          s"$what: npy dtype $descr")
-      }
+      val (size, get) = numericCodec(code, descr, what)
       val bb = ByteBuffer.wrap(bytes, dataStart, n * size).slice().order(order)
       val out = new Array[Double](n)
       if (fortran && dims.size > 1)

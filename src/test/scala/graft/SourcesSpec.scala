@@ -576,22 +576,97 @@ class SourcesSpec extends SparkSpec {
       e3.getMessage.contains("a_b"))
   }
 
-  test("2 GiB bound: oversize HDF5/NPY files fail with the reader's own " +
-       "loud message before any allocation (sparse files, no disk cost)") {
-    import graft.sources.{Hdf5, Npz}
+  test(">2 GiB containers: windowed accessors exact across the 1 GiB " +
+       "window boundary, HDF5 read parity after sparse extension, npy " +
+       "streams; per-dataset/no-random-access bounds stay loud") {
+    import graft.sources.{Hdf5, Hdf5Writer, MappedByteSource, Npz}
     val dir = Files.createTempDirectory("big").toString
-    for (name <- Seq("big.h5", "big.npy")) {
-      val raf = new java.io.RandomAccessFile(s"$dir/$name", "rw")
-      raf.setLength(3L << 30) // 3 GiB sparse
+
+    // ---- accessor layer: reads at/across the 1 GiB window line equal
+    // a little-endian reference over the written pattern (sparse file)
+    val binPath = java.nio.file.Paths.get(s"$dir/win.bin")
+    val W = 1L << 30
+    val pat = Array.tabulate(32)(i => ((i * 37 + 11) & 0xff).toByte)
+    locally {
+      val raf = new java.io.RandomAccessFile(binPath.toFile, "rw")
+      raf.setLength(3L << 30)
+      raf.seek(W - 16); raf.write(pat)
+      raf.seek((5L << 29) - 7); raf.write(pat) // a 2.5 GiB region too
       raf.close()
     }
-    val e1 = intercept[UnsupportedOperationException](
-      Hdf5.read(s"$dir/big.h5"))
-    assert(e1.getMessage.contains("2 GiB") &&
-      e1.getMessage.contains("h5repack"))
-    val e2 = intercept[UnsupportedOperationException](
-      Npz.readNpy(s"$dir/big.npy"))
-    assert(e2.getMessage.contains("2 GiB"))
+    val src = new MappedByteSource(binPath)
+    try {
+      val ref = java.nio.ByteBuffer.wrap(pat)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(src.size == (3L << 30))
+      assert(src.u64(W - 16) == ref.getLong(0))
+      assert(src.u64(W - 4) == ref.getLong(12)) // spans the window line
+      assert(src.u32(W - 2) == (ref.getInt(14) & 0xffffffffL))
+      assert(src.u16(W - 1) == (ref.getShort(15) & 0xffff))
+      assert(src.u8(W + 3) == (pat(19) & 0xff))
+      assert(src.bytesAt(W - 16, 32).sameElements(pat))
+      assert(src.u8((5L << 29) - 7) == (pat(0) & 0xff))
+      assert(src.u64((5L << 29) + 1) == ref.getLong(8))
+    } finally src.close()
+
+    // ---- HDF5: a real archive sparse-extended past 2 GiB reads
+    // IDENTICALLY through the mapped path (the former hard refusal)
+    val h5 = s"$dir/big.h5"
+    Hdf5Writer.write(h5, Hdf5Writer.Node(datasets = Seq(
+      "data" -> Hdf5Writer.Doubles(Seq(3, 4), (1 to 12).map(_.toDouble).toArray),
+      "tag" -> Hdf5Writer.Strings(4, Array("abc", "de")))))
+    def snap(f: graft.sources.Hdf5.File) =
+      f.datasets.map(d => (d.path, d.dims, d.numeric.toSeq, d.strings.toSeq))
+    val before = snap(Hdf5.read(h5))
+    locally {
+      val raf = new java.io.RandomAccessFile(h5, "rw")
+      raf.setLength(3L << 30); raf.close()
+    }
+    assert(snap(Hdf5.read(h5)) == before,
+      "mapped read of the >2 GiB container must equal the small-file read")
+
+    // ---- npy: a >2 GiB file takes the STREAMED numeric path
+    val vals = Array.tabulate(1000)(i => i * 0.5 - 3.0)
+    locally {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val header = {
+        var h = "{'descr': '<f8', 'fortran_order': False, 'shape': (1000,), }"
+        val pad = 64 - ((10 + h.length + 1) % 64)
+        h = h + (" " * (if (pad == 64) 0 else pad)) + "\n"
+        h
+      }
+      val raf = new java.io.RandomAccessFile(s"$dir/big.npy", "rw")
+      raf.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+      raf.write(header.length & 0xff); raf.write(header.length >> 8)
+      raf.write(header.getBytes("ISO-8859-1"))
+      raf.write(bb.array())
+      raf.setLength(3L << 30) // sparse: triggers the streamed path
+      raf.close()
+    }
+    val arr = Npz.readNpy(s"$dir/big.npy")
+    assert(arr.dims == Seq(1000L) && arr.numeric.toSeq == vals.toSeq,
+      "streamed npy decode drifted from the written values")
+
+    // ---- what stays loudly bounded: Fortran order needs whole-buffer
+    // access; a single HDF5 dataset must still fit a JVM array
+    locally {
+      val raf = new java.io.RandomAccessFile(s"$dir/bigF.npy", "rw")
+      val header = {
+        var h = "{'descr': '<f8', 'fortran_order': True, 'shape': (16, 16), }"
+        val pad = 64 - ((10 + h.length + 1) % 64)
+        h + (" " * (if (pad == 64) 0 else pad)) + "\n"
+      }
+      raf.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+      raf.write(header.length & 0xff); raf.write(header.length >> 8)
+      raf.write(header.getBytes("ISO-8859-1"))
+      raf.setLength(3L << 30)
+      raf.close()
+    }
+    val eF = intercept[IllegalArgumentException](
+      Npz.readNpy(s"$dir/bigF.npy"))
+    assert(eF.getMessage.contains("Fortran-order"), eF.getMessage)
   }
 
   test("Bundle.toHdf5 |> fromHdf5 round-trips tables AND params equal " +
