@@ -39,6 +39,60 @@ object Azav {
       else -1
   }
 
+  /** EXECUTOR-lifetime cache of the geometry-only q-bin lookup table —
+    * a pure function of (geometry, grid, frame shape), so it is shared
+    * across tasks AND jobs in the same JVM. In a one-file-per-task run
+    * (the beamtime shape: thousands of EDFs, each its own task) this
+    * turns ~1M trig calls per TASK into ~1M per EXECUTOR per detector
+    * shape. Bounded: distinct (geometry, grid, shape) combinations per
+    * run are few; cleared wholesale past 16 entries.
+    */
+  private val geoBinCache =
+    new java.util.concurrent.ConcurrentHashMap[(Poni, QGrid, Int, Int), Array[Int]]()
+
+  private[graft] def geometryBins(g: Poni, grid: QGrid,
+                                  w: Int, h: Int): Array[Int] = {
+    if (geoBinCache.size > 16) geoBinCache.clear()
+    geoBinCache.computeIfAbsent((g, grid, w, h), _ => {
+      val b = new Array[Int](w * h)
+      var i = 0
+      while (i < b.length) {
+        b(i) = grid.binScala(
+          graft.functions.ScatteringFunctions.pixelQScala(i % w, i / w, g))
+        i += 1
+      }
+      b
+    })
+  }
+
+  /** 2-D twin of [[geometryBins]]: packed `q_bin * nAzim + az_bin`. */
+  private val geo2dBinCache =
+    new java.util.concurrent.ConcurrentHashMap[(Poni, QGrid, Int, Int, Int), Array[Int]]()
+
+  private[graft] def geometry2dBins(g: Poni, grid: QGrid, nAzim: Int,
+                                    w: Int, h: Int): Array[Int] = {
+    if (geo2dBinCache.size > 16) geo2dBinCache.clear()
+    geo2dBinCache.computeIfAbsent((g, grid, nAzim, w, h), _ => {
+      val b = new Array[Int](w * h)
+      var i = 0
+      while (i < b.length) {
+        val x = i % w; val y = i / w
+        val qb = grid.binScala(
+          graft.functions.ScatteringFunctions.pixelQScala(x, y, g))
+        b(i) =
+          if (qb < 0) -1
+          else {
+            val chi = graft.functions.ScatteringFunctions.pixelChiScala(x, y, g)
+            val ab = math.min(
+              ((chi + math.Pi) / (2 * math.Pi / nAzim)).toInt, nAzim - 1)
+            qb * nAzim + ab
+          }
+        i += 1
+      }
+      b
+    })
+  }
+
   /** Add geometry-derived columns (q, chi, q_bin) to a pixel table with
     * columns (x, y). Dark-current subtraction and masking are plain column
     * arithmetic / predicates applied before aggregation (azav.py:133-140).
@@ -105,17 +159,23 @@ object Azav {
       val binCache = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
       def bins(w: Int, h: Int): Array[Int] =
         binCache.getOrElseUpdate((w, h), {
-          val b = new Array[Int](w * h)
-          var i = 0
-          while (i < b.length) {
-            val x = i % w; val y = i / w
-            val masked = mask.exists(m => m(x, y))
-            if (masked) b(i) = -1
-            else b(i) = grid.binScala(
-              graft.functions.ScatteringFunctions.pixelQScala(x, y, g))
-            i += 1
+          // geometry-only bin map from the EXECUTOR-lifetime cache (it
+          // survives across tasks and jobs — the dominant cost in a
+          // one-file-per-task beamtime run is otherwise rebuilding the
+          // same 1M-trig-call table in every task); the mask, a task
+          // closure, is applied per task on top (cheap boolean pass)
+          val geo = Azav.geometryBins(g, grid, w, h)
+          mask match {
+            case None => geo
+            case Some(m) =>
+              val b = geo.clone()
+              var i = 0
+              while (i < b.length) {
+                if (m(i % w, i / w)) b(i) = -1
+                i += 1
+              }
+              b
           }
-          b
         })
       it.flatMap { f =>
         val bi = bins(f.width, f.height)
@@ -136,6 +196,62 @@ object Azav {
     out.withColumn("q", grid.center(org.apache.spark.sql.functions.col("q_bin")))
   }
 
+  /** [[integrateFrames]] fused with the EDF decode: input is the raw
+    * `binaryFile` row (path, content) and NO intermediate Frame row is
+    * ever materialized — the Dataset[Frame] hop costs two full
+    * UnsafeRow copies of the ~8 MB pixel array per frame (encoder in,
+    * deserializer out), pure overhead at beamtime scale. Same math,
+    * same output schema as [[integrateFrames]].
+    */
+  def integrateBinary(binary: DataFrame, g: Poni, grid: QGrid,
+                      dark: Double = 0.0,
+                      mask: Option[(Int, Int) => Boolean] = None): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    val nQ = grid.nQ
+    val out = binary.select(
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val binCache = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+        def bins(w: Int, h: Int): Array[Int] =
+          binCache.getOrElseUpdate((w, h), {
+            val geo = Azav.geometryBins(g, grid, w, h)
+            mask match {
+              case None => geo
+              case Some(m) =>
+                val b = geo.clone()
+                var i = 0
+                while (i < b.length) {
+                  if (m(i % w, i / w)) b(i) = -1
+                  i += 1
+                }
+                b
+            }
+          })
+        it.flatMap { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val (w, h, data) =
+            graft.sources.ImageSource.decodeEdf(bytes, path.endsWith(".gz"))
+          val bi = bins(w, h)
+          val sums = new Array[Double](nQ)
+          val counts = new Array[Long](nQ)
+          var i = 0
+          while (i < data.length) {
+            val b = bi(i)
+            if (b >= 0) { sums(b) += data(i) - dark; counts(b) += 1 }
+            i += 1
+          }
+          (0 until nQ).iterator.filter(counts(_) > 0).map { b =>
+            (name, b, sums(b) / counts(b),
+              math.sqrt(sums(b)) / counts(b), counts(b))
+          }
+        }
+      }.toDF("image_id", "q_bin", "i", "err", "n_pix")
+    out.withColumn("q", grid.center(org.apache.spark.sql.functions.col("q_bin")))
+  }
+
   /** Fused 2-D "cake" kernel: like `integrateFrames` but keyed by
     * (q_bin, azimuth bin) — the per-task lookup table stores both indices
     * packed into one int.
@@ -151,23 +267,20 @@ object Azav {
       val cache = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
       def bins(w: Int, h: Int): Array[Int] =
         cache.getOrElseUpdate((w, h), {
-          val b = new Array[Int](w * h)
-          var i = 0
-          while (i < b.length) {
-            val x = i % w; val y = i / w
-            if (mask.exists(m => m(x, y))) b(i) = -1
-            else {
-              val qb = grid.binScala(
-                graft.functions.ScatteringFunctions.pixelQScala(x, y, g))
-              if (qb >= 0) {
-                val chi = graft.functions.ScatteringFunctions.pixelChiScala(x, y, g)
-                val ab = math.min(((chi + math.Pi) / (2 * math.Pi / nAzim)).toInt, nAzim - 1)
-                b(i) = qb * nAzim + ab
-              } else b(i) = -1
-            }
-            i += 1
+          // same executor-lifetime share as integrateFrames: the packed
+          // (q, azimuth) table is pure geometry; the mask layers on top
+          val geo = Azav.geometry2dBins(g, grid, nAzim, w, h)
+          mask match {
+            case None => geo
+            case Some(m) =>
+              val b = geo.clone()
+              var i = 0
+              while (i < b.length) {
+                if (m(i % w, i / w)) b(i) = -1
+                i += 1
+              }
+              b
           }
-          b
         })
       it.flatMap { f =>
         val bi = bins(f.width, f.height)

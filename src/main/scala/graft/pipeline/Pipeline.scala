@@ -111,7 +111,8 @@ object Pipeline {
 
     val integrated =
       if (useFused) {
-        Azav.integrateFrames(ImageSource.readFrames(freshBinary),
+        // decode fused into the kernel task — no Dataset[Frame] hop
+        Azav.integrateBinary(freshBinary,
           config.geometry, config.grid, config.dark, config.maskFn)
       } else {
         val pixels = ImageSource.pixelsFromBinary(freshBinary)

@@ -30,8 +30,11 @@ object ImageSource {
   def decodeEdf(bytes: Array[Byte], gzipped: Boolean): (Int, Int, Array[Double]) = {
     val raw =
       if (gzipped) {
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-        val out = new java.io.ByteArrayOutputStream()
+        // 64 KB inflater buffer (the 512-byte default costs ~2× on MB
+        // payloads) + a size hint so the output buffer doesn't re-grow
+        val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length.toLong * 4, 1L << 27).toInt)
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -57,19 +60,26 @@ object ImageSource {
     val bb = ByteBuffer.wrap(raw, dataStart,
       size.getOrElse(raw.length - dataStart)).order(order)
 
+    // bulk view-buffer reads into a primitive staging array, then one
+    // widening pass — measured faster than per-element relative gets
+    // (each carries ByteBuffer position+bounds bookkeeping)
     val n = dim1 * dim2
     val out = new Array[Double](n)
     dataType match {
       case "UnsignedShort" =>
-        var i = 0; while (i < n) { out(i) = bb.getShort & 0xffff; i += 1 }
+        val st = new Array[Short](n); bb.asShortBuffer().get(st)
+        var i = 0; while (i < n) { out(i) = st(i) & 0xffff; i += 1 }
       case "SignedInteger" | "Signed32" =>
-        var i = 0; while (i < n) { out(i) = bb.getInt.toDouble; i += 1 }
+        val st = new Array[Int](n); bb.asIntBuffer().get(st)
+        var i = 0; while (i < n) { out(i) = st(i).toDouble; i += 1 }
       case "UnsignedInteger" | "Unsigned32" =>
-        var i = 0; while (i < n) { out(i) = bb.getInt.toLong & 0xffffffffL; i += 1 }
+        val st = new Array[Int](n); bb.asIntBuffer().get(st)
+        var i = 0; while (i < n) { out(i) = st(i).toLong & 0xffffffffL; i += 1 }
       case "FloatValue" | "Float" =>
-        var i = 0; while (i < n) { out(i) = bb.getFloat.toDouble; i += 1 }
+        val st = new Array[Float](n); bb.asFloatBuffer().get(st)
+        var i = 0; while (i < n) { out(i) = st(i).toDouble; i += 1 }
       case "DoubleValue" =>
-        var i = 0; while (i < n) { out(i) = bb.getDouble; i += 1 }
+        bb.asDoubleBuffer().get(out)
       case other => throw new UnsupportedOperationException(s"EDF DataType $other")
     }
     (dim1, dim2, out)

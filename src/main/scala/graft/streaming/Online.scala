@@ -68,8 +68,7 @@ object Online {
         // its own batch=N directory instead (the engine's standard
         // exactly-once move; readers see the extra `batch` partition
         // column)
-        graft.operators.Azav.integrateFrames(
-          graft.sources.ImageSource.readFrames(batch), config.geometry,
+        graft.operators.Azav.integrateBinary(batch, config.geometry,
           config.grid, config.dark, config.maskFn)
           .write.mode("overwrite").parquet(s"$curveDir/batch=$batchId")
         ()
