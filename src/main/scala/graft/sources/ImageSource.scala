@@ -85,6 +85,42 @@ object ImageSource {
     (dim1, dim2, out)
   }
 
+  /** Header-only decode: (width, height) from an EDF PREFIX — the
+    * projection-pushdown path of the registered `graft-edf` source (a
+    * geometry/mask-only scan needs frame dimensions, not the 8 MB
+    * payload). For gzipped frames only the header's worth of stream is
+    * inflated. `open` yields a fresh stream over the (possibly
+    * compressed) file bytes; reads stop at the closing brace.
+    */
+  def decodeEdfHeaderDims(open: () => java.io.InputStream,
+                          gzipped: Boolean): (Int, Int) = {
+    val in0 = open()
+    val in = if (gzipped) new GZIPInputStream(in0, 1 << 13) else in0
+    try {
+      val buf = new java.io.ByteArrayOutputStream(1 << 12)
+      val chunk = new Array[Byte](1 << 12)
+      var done = false
+      while (!done && buf.size < (1 << 20)) {
+        val n = in.read(chunk)
+        if (n < 0) done = true
+        else {
+          buf.write(chunk, 0, n)
+          if (chunk.take(n).contains('}'.toByte)) done = true
+        }
+      }
+      val raw = buf.toByteArray
+      val headerEnd = raw.indexOf('}'.toByte)
+      require(headerEnd > 0, "not an EDF file (no header brace)")
+      val header = new String(raw, 0, headerEnd + 1, "ISO-8859-1")
+      def field(key: String): Option[String] = {
+        val re = ("(?m)^\\s*" + key + "\\s*=\\s*([^;]+);").r
+        re.findFirstMatchIn(header).map(_.group(1).trim)
+      }
+      (field("Dim_1").map(_.toInt).getOrElse(0),
+        field("Dim_2").map(_.toInt).getOrElse(0))
+    } finally in.close()
+  }
+
   /** One decoded frame: a single JVM object per FILE (never per pixel). */
   final case class Frame(image_id: String, width: Int, height: Int,
                          data: Array[Double])

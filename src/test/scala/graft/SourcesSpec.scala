@@ -27,6 +27,81 @@ class SourcesSpec extends SparkSpec {
     assert(out2.toSeq == data.toSeq)
   }
 
+  test("graft-edf registered source: frame-per-task parity with the " +
+       "binaryFile path, header-only projection skips the payload, " +
+       "image_id filters prune files before any byte is read") {
+    import graft.sources.EdfSource
+    val dir = Files.createTempDirectory("edfsrc").toFile
+    val frames = (0 until 5).map { k =>
+      val data = Array.tabulate(12)(i => (i * 3 + k).toDouble) // 4x3
+      val raw = ImageSource.encodeEdf(4, 3, data)
+      val name = if (k % 2 == 0) s"img_$k.edf" else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(raw); g.close()
+        Files.write(Paths.get(dir.getPath, s"img_$k.edf.gz"), bos.toByteArray)
+        s"img_$k.edf.gz"
+      }
+      if (k % 2 == 0) Files.write(Paths.get(dir.getPath, name), raw)
+      name -> data
+    }.toMap
+
+    // full read == the binaryFile+flatMap on-ramp, row for row
+    val viaSource = spark.read.format("graft-edf").load(dir.getPath)
+      .collect()
+      .map(r => r.getAs[String]("image_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[scala.collection.Seq[Double]]("data").toSeq)))
+      .toMap
+    val viaBinary = ImageSource.readFrames(
+        spark.read.format("binaryFile").load(dir.getPath))
+      .collect()
+      .map(f => f.image_id -> ((f.width, f.height, f.data.toSeq))).toMap
+    assert(viaSource == viaBinary && viaSource.keySet == frames.keySet)
+    assert(EdfSource.lastScan.get() == ((5, 5, true)))
+
+    // header-only projection: the scan reports NO payload decode and
+    // the dims are right (both plain and gzipped frames)
+    val dims = spark.read.format("graft-edf").load(dir.getPath)
+      .select("image_id", "width", "height").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(dims.values.toSet == Set((4, 3)) && dims.keySet == frames.keySet)
+    assert(EdfSource.lastScan.get() == ((5, 5, false)),
+      "a dims-only projection must not decode the pixel payload")
+
+    // file pruning: equality / IN / prefix on image_id narrow the list
+    val one = spark.read.format("graft-edf").load(dir.getPath)
+      .filter(col("image_id") === "img_1.edf.gz").select("image_id", "data")
+      .collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("img_1.edf.gz"))
+    assert(one(0).getAs[scala.collection.Seq[Double]]("data").toSeq == frames("img_1.edf.gz").toSeq)
+    assert(EdfSource.lastScan.get() == ((1, 5, true)))
+    spark.read.format("graft-edf").load(dir.getPath)
+      .filter(col("image_id").isin("img_0.edf", "img_2.edf"))
+      .select("width").collect()
+    assert(EdfSource.lastScan.get() == ((2, 5, false)))
+    spark.read.format("graft-edf").load(dir.getPath)
+      .filter(col("image_id").startsWith("img_4")).count()
+    assert(EdfSource.lastScan.get()._1 == 1)
+
+    // E1 parity: the fused kernel over this source's frames equals the
+    // binaryFile-fused result exactly
+    import spark.implicits._
+    val g = graft.functions.ScatteringFunctions.Poni(
+      dist = 0.1, poni1 = 0.004, poni2 = 0.004,
+      pixel1 = 1e-3, pixel2 = 1e-3, wavelengthA = 1.0)
+    val grid = graft.operators.Azav.QGrid(0.0, 0.4, 5)
+    val srcFrames = spark.read.format("graft-edf").load(dir.getPath)
+      .as[(String, Int, Int, Array[Double])]
+      .map { case (id, w, h, d) => ImageSource.Frame(id, w, h, d) }
+    val a = graft.operators.Azav.integrateFrames(srcFrames, g, grid)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = graft.operators.Azav.integrateBinary(
+        spark.read.format("binaryFile").load(dir.getPath), g, grid)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a == b, "graft-edf frames must integrate identically")
+  }
+
   test("readEdfFolder explodes frames into the pixel table") {
     val dir = Files.createTempDirectory("edf").toFile
     val data = Array.tabulate(6)(_.toDouble) // 3x2 image
