@@ -196,13 +196,21 @@ object AnnIndex {
 
   /** Complete a compaction that crashed between delete and rename: if the
     * compacted copy exists and the live table does not, the copy IS the
-    * table. No-op otherwise.
+    * table. If BOTH exist the crash happened before the delete — the
+    * live table is authoritative and the copy (possibly torn mid-write)
+    * is removed, or [[graft.sources.Bundle.load]]'s table discovery
+    * would surface it as a phantom `codes_compact` table (and a torn
+    * footer would fail the whole load) — the crash-matrix spec's find.
     */
   private def healCompaction(dir: String): Unit = {
     val live = new java.io.File(dir, "codes.parquet")
     val tmp = new java.io.File(dir, "codes_compact.parquet")
-    if (tmp.exists() && !live.exists() && !tmp.renameTo(live))
-      throw new IllegalStateException(s"compaction heal failed in $dir")
+    if (tmp.exists()) {
+      if (!live.exists()) {
+        if (!tmp.renameTo(live))
+          throw new IllegalStateException(s"compaction heal failed in $dir")
+      } else Bundle.deleteRecursively(tmp.getPath)
+    }
   }
 
   /** Encode `newVectors` with the index's SAVED quantizers and append to

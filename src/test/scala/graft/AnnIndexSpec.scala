@@ -235,6 +235,88 @@ class AnnIndexSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/codes.parquet").exists())
   }
 
+  test("compaction crash matrix: every reachable interrupted state — " +
+       "before/after each swap step, with and without a concurrent " +
+       "append — serves correctly, never loses rows, and converges") {
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    def freshIndex(): String = {
+      val dir = Files.createTempDirectory("annix-crash").toString
+      AnnIndex.build(emb.filter(col("vec_id") < 200), dir, p)
+      AnnIndex.append(spark, dir,
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 300))
+      dir
+    }
+    val refDir = freshIndex()
+    val expect = rows(AnnIndex.topK(spark, refDir, queries, k = 10, nProbe = 3))
+    val expectN = 300L
+    def live(dir: String) = new java.io.File(s"$dir/codes.parquet")
+    def tmp(dir: String) = new java.io.File(s"$dir/codes_compact.parquet")
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+        dst.toPath.resolve(f.getName)))
+    }
+    def check(dir: String, label: String, n: Long = expectN,
+              want: Seq[(Long, Int, Long, Double)] = expect): Unit = {
+      assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+        == want, s"$label: serving drifted")
+      assert(AnnIndex.load(spark, dir).codes.count() == n,
+        s"$label: row count drifted")
+      AnnIndex.compact(spark, dir, nFiles = 1)
+      assert(live(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"$label: follow-up compaction must converge to one file")
+      assert(rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+        == want, s"$label: post-convergence serving drifted")
+    }
+
+    // crash AFTER the compacted copy is written, BEFORE the live delete:
+    // live + complete stale tmp coexist
+    locally {
+      val dir = freshIndex()
+      copyDir(live(dir), tmp(dir))
+      check(dir, "stale-complete-tmp")
+    }
+    // crash MID-copy: live + partial tmp (no complete parquet footer)
+    locally {
+      val dir = freshIndex()
+      tmp(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        tmp(dir).toPath.resolve("part-00000.parquet"), "torn")
+      check(dir, "partial-tmp")
+    }
+    // crash BETWEEN delete and rename: only the compacted copy exists —
+    // load/topK must heal and serve the full index
+    locally {
+      val dir = freshIndex()
+      assert(live(dir).renameTo(tmp(dir)))
+      check(dir, "post-delete-pre-rename")
+    }
+    // append-concurrent × stale tmp: rows appended AFTER the crashed
+    // compaction's copy must survive the retried compaction (it must
+    // re-read the LIVE table, never the stale copy)
+    locally {
+      val dir = freshIndex()
+      copyDir(live(dir), tmp(dir))
+      AnnIndex.append(spark, dir,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 350))
+      val want = rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+      check(dir, "append-over-stale-tmp", n = 350L, want = want)
+      assert(AnnIndex.load(spark, dir).codes.count() == 350L,
+        "appended rows lost to the stale compacted copy")
+    }
+    // append-concurrent × healed state: an append issued FIRST against
+    // the post-delete state must heal, then append — nothing lost
+    locally {
+      val dir = freshIndex()
+      assert(live(dir).renameTo(tmp(dir)))
+      val r = AnnIndex.append(spark, dir,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 350))
+      assert(r.nAppended == 50L, s"append after crash: $r")
+      val want = rows(AnnIndex.topK(spark, dir, queries, k = 10, nProbe = 3))
+      check(dir, "append-first-after-crash", n = 350L, want = want)
+    }
+  }
+
   test("streaming maintenance fails fast on parameter drift instead of " +
        "shrinking the index to one batch") {
     import graft.streaming.StreamingAnnIndex
