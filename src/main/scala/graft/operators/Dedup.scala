@@ -259,7 +259,15 @@ object Dedup {
         (col("p_a") + col("len") - 1).as("en"), col("id_b").as("partner"))
       .unionByName(ps.select(col("id_b").as("id"), col("p_b").as("st"),
         (col("p_b") + col("len") - 1).as("en"), col("id_a").as("partner")))
-      .distinct()
+    mergeDocSpans(sides, idCol)
+  }
+
+  /** Merge per-document overlapping-or-adjacent (st, en) intervals into
+    * maximal regions with distinct-partner counts — the shared tail of
+    * the span views. Input rows: (id, st, en, partner).
+    */
+  private def mergeDocSpans(sides0: DataFrame, idCol: String): DataFrame = {
+    val sides = sides0.distinct()
     val ow = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("st"), col("en"), col("partner"))
@@ -275,6 +283,40 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"),
         col("n_partners"))
+  }
+
+  /** Cross-corpus EVAL-DECONTAMINATION view: the maximal exact matches
+    * of length ≥ `minLen` between a TRAIN and an EVAL corpus (the Lee
+    * et al. 2022 / GPT-3 contamination setting), merged per eval
+    * document — within-corpus duplicates are NOT contamination and are
+    * excluded. Ids must be integral (the two corpora join into one
+    * anchor space via an even/odd id mapping, so colliding raw ids are
+    * fine). Output: (idCol = eval id, span_start, span_end, span_len,
+    * n_train_sources), eval token coordinates.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id", minLen: Int = 20,
+                         maxOcc: Int = 4096,
+                         verifiable: Boolean = false): DataFrame = {
+    val t = train.select((col(idCol).cast("long") * 2).as(idCol),
+      col(textCol))
+    val e = eval.select((col(idCol).cast("long") * 2 + 1).as(idCol),
+      col(textCol))
+    val ps = exactSubstringPairSpans(t.unionByName(e), textCol, idCol,
+      minLen, maxOcc, verifiable)
+    val cross = ps.filter(pmod(col("id_a"), lit(2L)) =!=
+      pmod(col("id_b"), lit(2L)))
+    val aIsEval = pmod(col("id_a"), lit(2L)) === 1
+    val evalSide = cross.select(
+      shiftright(when(aIsEval, col("id_a") - 1)
+        .otherwise(col("id_b") - 1).cast("long"), 1).as("id"),
+      when(aIsEval, col("p_a")).otherwise(col("p_b")).as("st"),
+      (when(aIsEval, col("p_a")).otherwise(col("p_b")) + col("len") - 1)
+        .as("en"),
+      shiftright(when(aIsEval, col("id_b")).otherwise(col("id_a"))
+        .cast("long"), 1).as("partner"))
+    mergeDocSpans(evalSide, idCol)
   }
 
   /** Exact-substring dedup TRANSFORM at arbitrary length — the applied

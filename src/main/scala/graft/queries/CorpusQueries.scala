@@ -4907,7 +4907,57 @@ object CorpusQueries {
         |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
         |  md5(coalesce(c.clean_text, '')) AS clean_md5
         |FROM base b LEFT JOIN clean c USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin))
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // Cross-corpus EVAL DECONTAMINATION (the GPT-3 / Lee et al. 2022
+    // contamination audit): maximal exact >= 8-token matches between the
+    // train split (doc_id % 5 != 0) and the eval split (% 5 = 0), merged
+    // per eval document — within-corpus duplicates are NOT contamination
+    // and must not appear. The two corpora share one anchor space via an
+    // even/odd id mapping; the oracle replays the mapping, keeps only
+    // parity-crossing pairs, re-derives eval coordinates, and merges.
+    QueryDef("q201_eval_decontamination",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.contaminationSpans(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            minLen = 8, maxOcc = 256, verifiable = true)
+          .select(col("doc_id"), col("span_start").cast("long"),
+            col("span_end").cast("long"), col("span_len").cast("long"),
+            col("n_partners").as("n_train_sources"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % 5 = 0),
+        |${verifiableGramPosSql(8, "aug")},
+        |${exactSubstringPairSpanSql(8, 256)},
+        |xps AS (SELECT * FROM pspan WHERE (id_a % 2) <> (id_b % 2)),
+        |ev AS (
+        |  SELECT CASE WHEN id_a % 2 = 1 THEN (id_a - 1) // 2
+        |              ELSE (id_b - 1) // 2 END AS doc_id,
+        |         CASE WHEN id_a % 2 = 1 THEN pa ELSE pb END AS st,
+        |         CASE WHEN id_a % 2 = 1 THEN pa ELSE pb END + len - 1 AS en,
+        |         CASE WHEN id_a % 2 = 1 THEN id_b // 2
+        |              ELSE id_a // 2 END AS partner
+        |  FROM xps),
+        |iv AS (SELECT DISTINCT doc_id, st, en, partner FROM ev),
+        |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+        |         ORDER BY st, en, partner
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |gi AS (SELECT *, sum(CASE WHEN pm IS NULL OR st > pm + 1
+        |         THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY doc_id ORDER BY st, en, partner) AS g
+        |       FROM mx)
+        |SELECT doc_id, min(st)::BIGINT AS span_start,
+        |  max(en)::BIGINT AS span_end,
+        |  (max(en) - min(st) + 1)::BIGINT AS span_len,
+        |  count(DISTINCT partner)::BIGINT AS n_train_sources
+        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin))
   )
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB

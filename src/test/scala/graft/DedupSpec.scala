@@ -251,6 +251,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationSpans: only cross-corpus matches count; eval " +
+       "coordinates; colliding raw ids stay separate corpora") {
+    val passage = (1 to 6).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"t1 t2 $passage t3"),
+      (7L, s"t4 $passage t5 t6")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, s"e1 $passage e2"),              // raw id collides with train 1
+      (2L, s"e3 $passage e4 s1 s2 s3 s4"),  // + an eval-eval shared tail
+      (3L, s"s1 s2 s3 s4 q1 q2 q3")         // clean wrt TRAIN
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(train, eval, minLen = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+          r.getAs[Long]("n_partners")))).toMap
+    // eval 1 and 2: the planted passage at eval tokens [1, 6], credited
+    // to BOTH train sources; eval 3 is clean — its 4-token overlap with
+    // eval 2 is a within-corpus duplicate, NOT contamination
+    assert(spans.keySet == Set(1L, 2L))
+    assert(spans(1L) == ((1, 6, 2L)) && spans(2L) == ((1, 6, 2L)), spans)
+  }
+
   test("exactSubstringPairSpans: island extension stops at a mismatch") {
     // Two passages in the same doc pair separated by a one-token edit:
     // two DISTINCT maximal spans (same alignment offset d), never bridged.
