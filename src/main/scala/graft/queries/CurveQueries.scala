@@ -331,8 +331,8 @@ object CurveQueries {
     // T3 (incremental, MEDIAN mode) — dataReduction.py:89 supports
     // funcForAveraging=nanmedian, the one configuration the additive
     // moment state cannot cover: the median rides the mergeable t-digest
-    // twin instead. tdCompression=2000 keeps every (delay, q_bin) group
-    // (~750 kept reps on this ¼ subset) in the sketch's EXACT regime, so
+    // twin instead. tdCompression=1024 keeps every (delay, q_bin) group
+    // (max ~370 kept reps at the sf0.01 gate) in the sketch's EXACT regime, so
     // three chunked invocations must hash-match DuckDB's one-shot
     // median() over the kept diffs — interpolation rule included (both
     // sides average the two central values on even counts).
@@ -350,7 +350,7 @@ object CurveQueries {
           c.filter(col("image_idx") > cut2))
         batches.foreach(b =>
           graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
-            withMetrics = false, tdCompression = 2000))
+            withMetrics = false, tdCompression = 1024))
         val out = s.read.parquet(s"$stateDir/reduced_median")
           .select(col("delay"), col("q_bin"),
             r4(col("diff_med")).as("diff_med"), col("n_rep"))
