@@ -74,12 +74,15 @@ object IncrementalReduction {
     * missing piece and routes through the full-recompute fallback.
     */
   private def writeSwap(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
-    Bundle.deleteRecursively(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    Bundle.deleteRecursively(path)
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
-      throw new java.io.IOException(s"writeSwap: rename $tmp -> $path failed")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val tp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = hp.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.delete(tp, true)
+    df.write.mode("overwrite").parquet(tp.toString)
+    fs.delete(hp, true)
+    if (!fs.rename(tp, hp))
+      throw new java.io.IOException(s"writeSwap: rename $tp -> $hp failed")
   }
 
   private def readFrontier(stateDir: String): Option[(Double, Long)] =
