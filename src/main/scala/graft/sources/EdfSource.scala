@@ -103,12 +103,16 @@ case class EdfRelation(spark: SparkSession, path: String, glob: String)
     val cols = requiredColumns.toSeq
     val sc = spark.sparkContext
     if (kept.isEmpty) return sc.emptyRDD[Row]
+    // the DRIVER's Hadoop conf rides to the tasks (fs.* auth/settings
+    // would silently vanish under a fresh task-side Configuration)
+    val confB = sc.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf()))
     // one frame = one task: the decode grain, never the byte-size grain
     sc.parallelize(kept, kept.size).map { fileStr =>
       val name = fileStr.substring(fileStr.lastIndexOf('/') + 1)
       val gz = fileStr.endsWith(".gz")
       val hp = new org.apache.hadoop.fs.Path(fileStr)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = hp.getFileSystem(confB.value.value)
       if (needData) {
         val in = fs.open(hp)
         val bytes = try in.readAllBytes() finally in.close()
