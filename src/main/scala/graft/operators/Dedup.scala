@@ -288,35 +288,43 @@ object Dedup {
   /** Cross-corpus EVAL-DECONTAMINATION view: the maximal exact matches
     * of length ≥ `minLen` between a TRAIN and an EVAL corpus (the Lee
     * et al. 2022 / GPT-3 contamination setting), merged per eval
-    * document — within-corpus duplicates are NOT contamination and are
-    * excluded. Ids must be integral (the two corpora join into one
-    * anchor space via an even/odd id mapping, so colliding raw ids are
-    * fine). Output: (idCol = eval id, span_start, span_end, span_len,
-    * n_train_sources), eval token coordinates.
+    * document. Within-corpus duplicates are excluded BY CONSTRUCTION:
+    * train anchors SEMI-JOIN the (typically tiny) eval anchor set
+    * before any pairing, so the train corpus's own duplicate mass —
+    * the dominant pair volume at 100 TB — never enters the join; the
+    * pair stage is train-occurrences × eval-occurrences per surviving
+    * anchor, with the hot-anchor cap (`maxOcc`) applied to the TRAIN
+    * side (boilerplate grams). The two corpora stay separate frames —
+    * colliding raw ids are fine. Output: (idCol = eval id, span_start,
+    * span_end, span_len, n_partners = distinct train sources), eval
+    * token coordinates.
     */
   def contaminationSpans(train: DataFrame, eval: DataFrame,
                          textCol: String = "text",
                          idCol: String = "doc_id", minLen: Int = 20,
                          maxOcc: Int = 4096,
                          verifiable: Boolean = false): DataFrame = {
-    val t = train.select((col(idCol).cast("long") * 2).as(idCol),
-      col(textCol))
-    val e = eval.select((col(idCol).cast("long") * 2 + 1).as(idCol),
-      col(textCol))
-    val ps = exactSubstringPairSpans(t.unionByName(e), textCol, idCol,
-      minLen, maxOcc, verifiable)
-    val cross = ps.filter(pmod(col("id_a"), lit(2L)) =!=
-      pmod(col("id_b"), lit(2L)))
-    val aIsEval = pmod(col("id_a"), lit(2L)) === 1
-    val evalSide = cross.select(
-      shiftright(when(aIsEval, col("id_a") - 1)
-        .otherwise(col("id_b") - 1).cast("long"), 1).as("id"),
-      when(aIsEval, col("p_a")).otherwise(col("p_b")).as("st"),
-      (when(aIsEval, col("p_a")).otherwise(col("p_b")) + col("len") - 1)
-        .as("en"),
-      shiftright(when(aIsEval, col("id_b")).otherwise(col("id_a"))
-        .cast("long"), 1).as("partner"))
-    mergeDocSpans(evalSide, idCol)
+    require(minLen >= 2, s"contaminationSpans: minLen=$minLen < 2")
+    require(maxOcc >= 1, s"contaminationSpans: maxOcc=$maxOcc < 1")
+    val spT = shinglePosRows(train, textCol, idCol, minLen, verifiable)
+      .select(col("s"), col("id").as("tid"), col("p").as("pt"))
+    val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
+      .select(col("s"), col("id").as("eid"), col("p").as("pe"))
+    val tShared = spT.join(spE.select(col("s")).distinct(), Seq("s"))
+    val tCap = tShared.join(tShared.groupBy(col("s"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") <= maxOcc)
+      .select(col("s")), Seq("s"))
+    val pairs = tCap.join(spE, Seq("s"))
+      .select(col("tid"), col("eid"), col("pe"),
+        (col("pe") - col("pt")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tid"), col("eid"), col("d")).orderBy(col("pe"))
+    val spans = pairs.withColumn("_grp", col("pe") - row_number().over(w))
+      .groupBy(col("tid"), col("eid"), col("d"), col("_grp"))
+      .agg(min(col("pe")).as("st"),
+        (max(col("pe")) + minLen - 1).as("en"))
+    mergeDocSpans(spans.select(col("eid").as("id"), col("st"), col("en"),
+      col("tid").as("partner")), idCol)
   }
 
   /** Exact-substring dedup TRANSFORM at arbitrary length — the applied

@@ -4912,10 +4912,12 @@ object CorpusQueries {
     // Cross-corpus EVAL DECONTAMINATION (the GPT-3 / Lee et al. 2022
     // contamination audit): maximal exact >= 8-token matches between the
     // train split (doc_id % 5 != 0) and the eval split (% 5 = 0), merged
-    // per eval document — within-corpus duplicates are NOT contamination
-    // and must not appear. The two corpora share one anchor space via an
-    // even/odd id mapping; the oracle replays the mapping, keeps only
-    // parity-crossing pairs, re-derives eval coordinates, and merges.
+    // per eval document — within-corpus duplicates are excluded BY
+    // CONSTRUCTION: train anchors semi-join the eval anchor set before
+    // any pairing, so train-train duplicate mass (the dominant volume at
+    // corpus scale) never enters the join. The oracle replays both gram
+    // pipelines, the semi-join, the train-side hot-anchor cap, the
+    // per-(pair, offset) islands in eval coordinates, and the merge.
     QueryDef("q201_eval_decontamination",
       (s, dir) => {
         val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -4928,23 +4930,24 @@ object CorpusQueries {
             col("n_partners").as("n_train_sources"))
           .orderBy("doc_id", "span_start")
       },
-      Some(s"""WITH aug AS (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
-        |  WHERE doc_id % 5 <> 0
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % 5 = 0),
-        |${verifiableGramPosSql(8, "aug")},
-        |${exactSubstringPairSpanSql(8, 256)},
-        |xps AS (SELECT * FROM pspan WHERE (id_a % 2) <> (id_b % 2)),
-        |ev AS (
-        |  SELECT CASE WHEN id_a % 2 = 1 THEN (id_a - 1) // 2
-        |              ELSE (id_b - 1) // 2 END AS doc_id,
-        |         CASE WHEN id_a % 2 = 1 THEN pa ELSE pb END AS st,
-        |         CASE WHEN id_a % 2 = 1 THEN pa ELSE pb END + len - 1 AS en,
-        |         CASE WHEN id_a % 2 = 1 THEN id_b // 2
-        |              ELSE id_a // 2 END AS partner
-        |  FROM xps),
-        |iv AS (SELECT DISTINCT doc_id, st, en, partner FROM ev),
+      Some(s"""WITH tr AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 5 <> 0),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |${verifiableGramPosSql(8, "tr", "t_")},
+        |${verifiableGramPosSql(8, "ev", "e_")},
+        |eset AS (SELECT DISTINCT s FROM e_sp),
+        |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
+        |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
+        |         HAVING count(*) <= 256) c USING (s)),
+        |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
+        |               e.p - t.p AS d
+        |        FROM tcap t JOIN e_sp e USING (s)),
+        |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
+        |          ORDER BY pe) AS grp FROM prs),
+        |pspan AS (SELECT tid, eid, min(pe) AS st, max(pe) + 7 AS en
+        |          FROM isl GROUP BY tid, eid, d, grp),
+        |iv AS (SELECT DISTINCT eid AS doc_id, st, en, tid AS partner
+        |       FROM pspan),
         |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
         |         ORDER BY st, en, partner
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -5875,25 +5878,26 @@ object CorpusQueries {
     * index is 1-based; Spark's posexplode is 0-based — q198 emits
     * ABSOLUTE positions, so the bases must agree).
     */
-  private def verifiableGramPosSql(n: Int, tbl: String): String = {
+  private def verifiableGramPosSql(n: Int, tbl: String,
+                                   pfx: String = ""): String = {
     val comb = (1 until n)
       .map(k => s"lead(h0, $k) OVER (PARTITION BY doc_id ORDER BY p)")
       .foldLeft("h0")((acc, t) => s"(($acc) * 1000003 + ($t)) % 1000000007")
-    s"""tokt AS (
+    s"""${pfx}tokt AS (
        |  SELECT doc_id, u.p AS p, u.t AS t FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
        |        (x, i) -> {'p': i - 1, 't': x})) AS u
        |    FROM $tbl)),
-       |hh AS (
+       |${pfx}hh AS (
        |  SELECT doc_id, p,
        |         ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007 AS h0
-       |  FROM tokt),
-       |led AS (
+       |  FROM ${pfx}tokt),
+       |${pfx}led AS (
        |  SELECT doc_id, p, $comb AS s,
        |         lead(h0, ${n - 1}) OVER (PARTITION BY doc_id ORDER BY p) AS hl
-       |  FROM hh),
-       |sp AS (SELECT doc_id, p, s FROM led WHERE hl IS NOT NULL)""".stripMargin
+       |  FROM ${pfx}hh),
+       |${pfx}sp AS (SELECT doc_id, p, s FROM ${pfx}led WHERE hl IS NOT NULL)""".stripMargin
   }
 
   /** Oracle CTEs for [[Dedup.exactSubstringPairSpans]] given `sp` anchor
