@@ -264,9 +264,10 @@ object Dedup {
 
   /** Merge per-document overlapping-or-adjacent (st, en) intervals into
     * maximal regions with distinct-partner counts — the shared tail of
-    * the span views. Input rows: (id, st, en, partner).
+    * the span views (batch and streaming). Input rows:
+    * (id, st, en, partner).
     */
-  private def mergeDocSpans(sides0: DataFrame, idCol: String): DataFrame = {
+  private[graft] def mergeDocSpans(sides0: DataFrame, idCol: String): DataFrame = {
     val sides = sides0.distinct()
     val ow = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
@@ -310,6 +311,20 @@ object Dedup {
       .select(col("s"), col("id").as("tid"), col("p").as("pt"))
     val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
+    mergeDocSpans(contaminationPairSpans(spT, spE, minLen, maxOcc)
+      .select(col("eid").as("id"), col("st"), col("en"),
+        col("tid").as("partner")), idCol)
+  }
+
+  /** The cross-corpus pair-span core shared by [[contaminationSpans]]
+    * and the streaming monitor: train anchor rows (s, tid, pt) × eval
+    * anchor rows (s, eid, pe) → maximal matches (tid, eid, st, en) in
+    * EVAL coordinates. Semi-join first, train-side hot-anchor cap,
+    * per-(pair, offset) islands.
+    */
+  private[graft] def contaminationPairSpans(spT: DataFrame, spE: DataFrame,
+                                            minLen: Int,
+                                            maxOcc: Int): DataFrame = {
     val tShared = spT.join(spE.select(col("s")).distinct(), Seq("s"))
     val tCap = tShared.join(tShared.groupBy(col("s"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") <= maxOcc)
@@ -319,13 +334,21 @@ object Dedup {
         (col("pe") - col("pt")).as("d"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tid"), col("eid"), col("d")).orderBy(col("pe"))
-    val spans = pairs.withColumn("_grp", col("pe") - row_number().over(w))
+    pairs.withColumn("_grp", col("pe") - row_number().over(w))
       .groupBy(col("tid"), col("eid"), col("d"), col("_grp"))
       .agg(min(col("pe")).as("st"),
         (max(col("pe")) + minLen - 1).as("en"))
-    mergeDocSpans(spans.select(col("eid").as("id"), col("st"), col("en"),
-      col("tid").as("partner")), idCol)
+      .select(col("tid"), col("eid"), col("st"), col("en"))
   }
+
+  /** Anchor rows for one side of the contamination scan — exposed so
+    * the streaming monitor can persist the EVAL side once (it is static
+    * for a training run) and reuse it every micro-batch.
+    */
+  private[graft] def contaminationAnchorRows(docs: DataFrame,
+      textCol: String, idCol: String, minLen: Int,
+      verifiable: Boolean): DataFrame =
+    shinglePosRows(docs, textCol, idCol, minLen, verifiable)
 
   /** Exact-substring dedup TRANSFORM at arbitrary length — the applied
     * counterpart of [[exactSubstringSpans]] and the true Lee et al. 2022

@@ -4930,38 +4930,78 @@ object CorpusQueries {
             col("n_partners").as("n_train_sources"))
           .orderBy("doc_id", "span_start")
       },
-      Some(s"""WITH tr AS (SELECT doc_id, text FROM documents
-        |           WHERE doc_id % 5 <> 0),
-        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |${verifiableGramPosSql(8, "tr", "t_")},
-        |${verifiableGramPosSql(8, "ev", "e_")},
-        |eset AS (SELECT DISTINCT s FROM e_sp),
-        |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
-        |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
-        |         HAVING count(*) <= 256) c USING (s)),
-        |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
-        |               e.p - t.p AS d
-        |        FROM tcap t JOIN e_sp e USING (s)),
-        |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
-        |          ORDER BY pe) AS grp FROM prs),
-        |pspan AS (SELECT tid, eid, min(pe) AS st, max(pe) + 7 AS en
-        |          FROM isl GROUP BY tid, eid, d, grp),
-        |iv AS (SELECT DISTINCT eid AS doc_id, st, en, tid AS partner
-        |       FROM pspan),
-        |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
-        |         ORDER BY st, en, partner
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |       FROM iv),
-        |gi AS (SELECT *, sum(CASE WHEN pm IS NULL OR st > pm + 1
-        |         THEN 1 ELSE 0 END)
-        |         OVER (PARTITION BY doc_id ORDER BY st, en, partner) AS g
-        |       FROM mx)
-        |SELECT doc_id, min(st)::BIGINT AS span_start,
-        |  max(en)::BIGINT AS span_end,
-        |  (max(en) - min(st) + 1)::BIGINT AS span_len,
-        |  count(DISTINCT partner)::BIGINT AS n_train_sources
-        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin))
+      Some(evalDecontaminationOracleSql)),
+
+    // The STREAMING contamination monitor under the SAME oracle: the
+    // train split arrives in three chunked deliveries (batch-keyed,
+    // replay-idempotent hit partitions) against the once-prepared eval
+    // anchors; the cumulative report must hash-match the ONE-SHOT DuckDB
+    // scan — per-doc spans complete within their delivery, so streamed ≡
+    // batch over the union (the equality StreamingSpec pins, here gated
+    // cross-engine).
+    QueryDef("q202_streaming_decontamination",
+      (s, dir) => {
+        import graft.streaming.StreamingContamination
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        val p = StreamingContamination.Params(minLen = 8, maxOcc = 256,
+          verifiable = true)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-contam-q202").toString
+        StreamingContamination.prepareEval(s,
+          docs.filter(col("doc_id") % 5 === 0), stateDir, p)
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        Seq(0L, 1L, 2L).foreach(k =>
+          StreamingContamination.processBatch(s,
+            train.filter(col("doc_id") % 3 === k), stateDir, p,
+            batchKey = Some(k)))
+        val out = StreamingContamination.report(s, stateDir, p)
+          .select(col("doc_id"), col("span_start").cast("long"),
+            col("span_end").cast("long"), col("span_len").cast("long"),
+            col("n_partners").as("n_train_sources"))
+          .orderBy("doc_id", "span_start")
+          .localCheckpoint(true)
+        graft.sources.Bundle.deleteRecursively(stateDir)
+        out
+      },
+      Some(evalDecontaminationOracleSql))
   )
+
+  /** Shared by q201 (batch scan) and q202 (streamed deliveries): the
+    * one-shot DuckDB replay of the cross-corpus contamination scan.
+    */
+  private def evalDecontaminationOracleSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id % 5 <> 0),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |${verifiableGramPosSql(8, "tr", "t_")},
+       |${verifiableGramPosSql(8, "ev", "e_")},
+       |eset AS (SELECT DISTINCT s FROM e_sp),
+       |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
+       |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
+       |         HAVING count(*) <= 256) c USING (s)),
+       |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
+       |               e.p - t.p AS d
+       |        FROM tcap t JOIN e_sp e USING (s)),
+       |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
+       |          ORDER BY pe) AS grp FROM prs),
+       |pspan AS (SELECT tid, eid, min(pe) AS st, max(pe) + 7 AS en
+       |          FROM isl GROUP BY tid, eid, d, grp),
+       |iv AS (SELECT DISTINCT eid AS doc_id, st, en, tid AS partner
+       |       FROM pspan),
+       |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+       |         ORDER BY st, en, partner
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |       FROM iv),
+       |gi AS (SELECT *, sum(CASE WHEN pm IS NULL OR st > pm + 1
+       |         THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY doc_id ORDER BY st, en, partner) AS g
+       |       FROM mx)
+       |SELECT doc_id, min(st)::BIGINT AS span_start,
+       |  max(en)::BIGINT AS span_end,
+       |  (max(en) - min(st) + 1)::BIGINT AS span_len,
+       |  count(DISTINCT partner)::BIGINT AS n_train_sources
+       |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
 
   /** The q161/q162 document rule set — Spark rules and their DuckDB
     * predicate twins, kept adjacent so they cannot drift.

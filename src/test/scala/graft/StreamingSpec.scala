@@ -1712,4 +1712,82 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(base) && !fs.exists(tmp),
       "heal must finish the rename")
   }
+
+  test("streaming contamination monitor: the cumulative report equals the " +
+       "batch scan over every delivery, replays are exact no-ops, " +
+       "parameter drift fails loudly") {
+    import graft.streaming.StreamingContamination
+    val stateDir = Files.createTempDirectory("contam-state").toString
+    val passage = (1 to 10).map(i => s"c$i").mkString(" ")
+    val evalDocs = Seq(
+      (100L, s"e1 e2 $passage e3"),
+      (200L, "clean eval words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"t1 $passage t2"),           // delivered in batch 0
+      (2L, "unrelated train text entirely"),
+      (3L, s"t3 t4 t5 $passage"),        // delivered in batch 1
+      (4L, s"x1 ${(3 to 8).map(i => s"c$i").mkString(" ")} x2")) // partial
+    def df(ids: Seq[Long]) = train.filter(t => ids.contains(t._1))
+      .toDF("doc_id", "text")
+    val p = StreamingContamination.Params(minLen = 4)
+    StreamingContamination.prepareEval(spark, evalDocs, stateDir, p)
+
+    StreamingContamination.processBatch(spark, df(Seq(1L, 2L)), stateDir,
+      p, batchKey = Some(0L))
+    StreamingContamination.processBatch(spark, df(Seq(3L, 4L)), stateDir,
+      p, batchKey = Some(1L))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
+    val streamed = rows(StreamingContamination.report(spark, stateDir, p))
+    val batch = rows(graft.operators.Dedup.contaminationSpans(
+      train.toDF("doc_id", "text"), evalDocs, minLen = 4))
+    assert(streamed == batch,
+      s"streamed report $streamed != batch scan $batch")
+    // the passage sits at eval tokens [2, 11]; doc 4 contributes the
+    // inner [4, 9] slice — merged into ONE region credited to 3 sources
+    assert(streamed.contains((100L, 2, 11, 3L)), streamed)
+    assert(!streamed.exists(_._1 == 200L), "clean eval doc flagged")
+
+    // replay (same batchKey) overwrites its own hits: report unchanged
+    StreamingContamination.processBatch(spark, df(Seq(3L, 4L)), stateDir,
+      p, batchKey = Some(1L))
+    assert(rows(StreamingContamination.report(spark, stateDir, p))
+      == streamed, "replay changed the report")
+
+    // drifted parameters are refused before any scan
+    val ex = intercept[IllegalArgumentException] {
+      StreamingContamination.processBatch(spark, df(Seq(1L)), stateDir,
+        StreamingContamination.Params(minLen = 6), batchKey = Some(2L))
+    }
+    assert(ex.getMessage.contains("drifted"), ex.getMessage)
+  }
+
+  test("streaming contamination monitor end-to-end: the registered sink " +
+       "scans drops as they arrive") {
+    import graft.streaming.StreamingContamination
+    val stateDir = Files.createTempDirectory("contam-sink").toString
+    val inDir = Files.createTempDirectory("contam-in").toString
+    val ckDir = Files.createTempDirectory("contam-ck").toString
+    val passage = (1 to 8).map(i => s"z$i").mkString(" ")
+    val evalDocs = Seq((7L, s"a0 $passage a1")).toDF("doc_id", "text")
+    val p = StreamingContamination.Params(minLen = 4)
+    StreamingContamination.prepareEval(spark, evalDocs, stateDir, p)
+    val t1 = Seq((1L, s"junk $passage more")).toDF("doc_id", "text")
+    val t2 = Seq((2L, "nothing shared"), (3L, s"$passage tail"))
+      .toDF("doc_id", "text")
+    t1.write.mode("append").parquet(inDir)
+    val q = StreamingContamination.sink(spark, inDir, ckDir, stateDir, p,
+      pollSeconds = 1, schemaSource = t1)
+    try {
+      q.processAllAvailable()
+      t2.write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rep = StreamingContamination.report(spark, stateDir, p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
+    assert(rep == Set((7L, 1, 8, 2L)), s"sink report drifted: $rep")
+  }
 }
