@@ -184,13 +184,14 @@ object AnnIndex {
     */
   def compact(spark: SparkSession, dir: String, nFiles: Int = 1): Unit = {
     healCompaction(dir)
-    val tmp = new java.io.File(dir, "codes_compact.parquet")
-    Bundle.deleteRecursively(tmp.getPath) // stale copy from a crashed run
-    spark.read.parquet(s"$dir/codes.parquet")
+    val (fs, live) = Bundle.fsPath(s"$dir/codes.parquet")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact.parquet")
+    fs.delete(tmp, true) // stale copy from a crashed run
+    spark.read.parquet(live.toString)
       .repartition(nFiles)
-      .write.parquet(tmp.getPath)
-    Bundle.deleteRecursively(s"$dir/codes.parquet")
-    if (!tmp.renameTo(new java.io.File(dir, "codes.parquet")))
+      .write.parquet(tmp.toString)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
       throw new IllegalStateException(s"compaction rename failed in $dir")
   }
 
@@ -203,14 +204,15 @@ object AnnIndex {
     * footer would fail the whole load) — the crash-matrix spec's find.
     */
   private def healCompaction(dir: String): Unit = {
-    val live = new java.io.File(dir, "codes.parquet")
-    val tmp = new java.io.File(dir, "codes_compact.parquet")
-    if (tmp.exists()) {
-      if (!live.exists()) {
-        if (!tmp.renameTo(live))
+    val (fs, live) = Bundle.fsPath(s"$dir/codes.parquet")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact.parquet")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(tmp, live))
           throw new IllegalStateException(s"compaction heal failed in $dir")
-      } else Bundle.deleteRecursively(tmp.getPath)
+      } else fs.delete(tmp, true)
     }
+    ()
   }
 
   /** Encode `newVectors` with the index's SAVED quantizers and append to

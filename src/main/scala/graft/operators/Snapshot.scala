@@ -171,9 +171,12 @@ object Snapshot {
       s"not an scd2 history store: $dir")
     val open = spark.read.parquet(s"$dir/${m("open")}")
     val cursor = m.get("version").map(_.toLong).getOrElse(Long.MaxValue)
-    val closedDir = new java.io.File(s"$dir/closed")
-    if (closedDir.isDirectory &&
-        closedDir.listFiles().exists(_.getName.startsWith("version=")))
+    // probe through the dir's Hadoop FileSystem: a java.io check is
+    // always false on shared storage, which would silently serve the
+    // OPEN slice alone — dropping every closed revision from history
+    val (cfs, closedDir) = graft.sources.Bundle.fsPath(s"$dir/closed")
+    if (cfs.exists(closedDir) &&
+        cfs.listStatus(closedDir).exists(_.getPath.getName.startsWith("version=")))
       // partition discovery adds the dir-derived version column (the
       // rows carry their own valid_to, so it is layout metadata) — and
       // the cursor filter is the crash guard: a refresh that died between

@@ -2,8 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Paths, Path}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** DataStorage-equivalent: a named bundle of DataFrames persisted as a
   * directory of Parquet tables plus a JSON manifest of scalar parameters.
@@ -21,7 +20,77 @@ object Bundle {
 
   final case class Manifest(params: Map[String, String])
 
-  private def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
+  /** Hadoop configuration for store management: the active session's (so
+    * `spark.hadoop.*` settings and test-registered schemes apply), or a
+    * bare default before any session exists.
+    */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** A path resolved through its OWN Hadoop FileSystem. Every store /
+    * state probe, delete and rename in the engine routes through here:
+    * a `java.io.File` probe is always false on HDFS/S3, which silently
+    * disables any incremental/warm path guarded by it while the writes
+    * keep succeeding — the worst kind of cluster-only degradation.
+    */
+  private[graft] def fsPath(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  /** Existence through the path's Hadoop FileSystem (any scheme). */
+  def exists(path: String): Boolean = {
+    val (fs, p) = fsPath(path)
+    fs.exists(p)
+  }
+
+  /** Rename with overwrite, atomic where the filesystem can do it:
+    * through Hadoop's FileContext (`Options.Rename.OVERWRITE`) when the
+    * scheme has an AbstractFileSystem binding (local, HDFS, viewfs);
+    * otherwise delete-then-rename — not atomic-replace, but a crash in
+    * the window leaves the destination ABSENT, which every manifest
+    * reader treats as "no store" (rebuild), never as torn content.
+    */
+  private[graft] def renameOverwrite(fs: FileSystem, src: HPath,
+                                     dst: HPath): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, hadoopConf)
+      fc.rename(fs.makeQualified(src), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  /** Small-text write committed by [[renameOverwrite]]. */
+  private[graft] def writeStringCommitted(fs: FileSystem, dir: HPath,
+                                          name: String,
+                                          content: String): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    renameOverwrite(fs, tmp, new HPath(dir, name))
+  }
+
+  /** Full contents of a small text file, if present. */
+  private[graft] def readStringIfExists(fs: FileSystem,
+                                        p: HPath): Option[String] = {
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   private def esc(s: String): String =
     s.flatMap {
@@ -32,20 +101,20 @@ object Bundle {
       case c => c.toString
     }
 
-  /** Atomic: several stores (notably [[graft.operators.Snapshot]]'s SCD2
-    * history) use the manifest write as the COMMIT point of a multi-file
-    * refresh — a torn manifest would param-mismatch on the next read and
-    * trigger a full store rebuild, silently destroying committed state.
-    * Writing to a temp file and renaming with ATOMIC_MOVE guarantees a
-    * reader sees either the old manifest or the new one, never a prefix.
+  /** Atomic where the filesystem can do it: several stores (notably
+    * [[graft.operators.Snapshot]]'s SCD2 history) use the manifest write
+    * as the COMMIT point of a multi-file refresh — a torn manifest would
+    * param-mismatch on the next read and trigger a full store rebuild,
+    * silently destroying committed state. Writing to a temp file and
+    * renaming through [[renameOverwrite]] guarantees a reader sees the
+    * old manifest, the new one, or (only on schemes without atomic
+    * replace) no manifest — never a prefix. Routed through the path's
+    * Hadoop FileSystem so manifests commit on the SAME storage the
+    * tables live on (local, HDFS, any registered scheme).
     */
   def writeManifest(dir: String, params: Map[String, String]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, "manifest.json.tmp")
-    Files.writeString(tmp, manifestJson(params))
-    Files.move(tmp, manifestPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (fs, d) = fsPath(dir)
+    writeStringCommitted(fs, d, "manifest.json", manifestJson(params))
   }
 
   /** The manifest's JSON encoding, exposed so stores whose files live on
@@ -66,9 +135,8 @@ object Bundle {
   }
 
   def readManifest(dir: String): Option[Map[String, String]] = {
-    val p = manifestPath(dir)
-    if (!Files.exists(p)) None
-    else Some(parseManifest(Files.readString(p)))
+    val (fs, d) = fsPath(dir)
+    readStringIfExists(fs, new HPath(d, "manifest.json")).map(parseManifest)
   }
 
   /** Single left-to-right scan — sequential String.replace calls would
@@ -95,16 +163,16 @@ object Bundle {
     sb.toString
   }
 
-  /** Recursive local-filesystem delete (no-op if absent) — used by the T2
-    * invalidation paths to drop stale curve stores / stream checkpoints.
+  /** Recursive delete through the path's Hadoop FileSystem (no-op if
+    * absent) — used by the T2 invalidation paths to drop stale curve
+    * stores / stream checkpoints. The former `java.io.File` walk
+    * silently NO-OPED on shared storage, degrading "drop stale store
+    * then rewrite" to "rewrite over".
     */
   def deleteRecursively(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    val f = new java.io.File(path)
-    if (f.exists()) rm(f)
+    val (fs, p) = fsPath(path)
+    fs.delete(p, true)
+    ()
   }
 
   /** Save tables + manifest (overwrite). */
@@ -116,14 +184,19 @@ object Bundle {
     writeManifest(dir, params)
   }
 
-  /** Reopen a saved bundle (S9). */
-  def load(spark: SparkSession, dir: String): Map[String, DataFrame] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+  /** Reopen a saved bundle (S9) — table discovery through the dir's
+    * Hadoop FileSystem, so bundles open from any scheme they were saved
+    * to.
+    */
+  def load(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val (fs, d) = fsPath(dir)
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
       .map { p =>
-        val name = p.getFileName.toString.stripSuffix(".parquet")
+        val name = p.getName.stripSuffix(".parquet")
         name -> spark.read.parquet(p.toString)
       }.toMap
+  }
 
   /** Read-only HDF5 ingest — the migration on-ramp for trx DataStorage
     * archives (the reference persists every azav/reduction bundle as
@@ -442,8 +515,8 @@ object Bundle {
         s"npz member name collision: ${ks.mkString(", ")} all flatten " +
           s"to $m.npy — rename the tables")
     }
-    val zos = new java.util.zip.ZipOutputStream(
-      Files.newOutputStream(Paths.get(path)))
+    val (zfs, zp) = fsPath(path)
+    val zos = new java.util.zip.ZipOutputStream(zfs.create(zp, true))
     try {
       tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
         val (dims, payload) = datasetValue(name, df) match {

@@ -508,8 +508,7 @@ object Hdf5Writer {
         patch64(28, buf.length.toLong) // end of file
         patch64(36, rootAddr)        // root group object header
         // bytes 44-47: checksum, unverified by the reader
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path), buf.toArray)
+        writeAll(path, buf.toArray)
         return
       }
       // versions already 0; offsets/lengths sizes and B-tree K values
@@ -520,8 +519,17 @@ object Hdf5Writer {
       patch64(40, buf.length.toLong) // end of file
       patch64(48, -1L)              // driver info (undefined)
       patch64(56 + 8, rootAddr)     // root STE: object header address
-      java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.toArray)
-      ()
+      writeAll(path, buf.toArray)
+    }
+
+    /** Whole-buffer write through the path's Hadoop FileSystem — the
+      * export lands on the same storage the engine's parquet stores use
+      * (local, HDFS, any registered scheme), not only the driver disk.
+      */
+    private def writeAll(path: String, bytes: Array[Byte]): Unit = {
+      val (fs, p) = Bundle.fsPath(path)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
     }
   }
 }

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Snapshot}
+import graft.sources.Bundle
+
+/** Store/state management on CLUSTER storage. Every dir here is addressed
+  * through `graftfs://` ([[GraftTestFs]]): a Hadoop filesystem whose paths
+  * `java.io.File` can never resolve — the deployment shape of HDFS/S3. A
+  * store path that silently falls back to java.io probes reads "absent"
+  * forever here, so these specs catch the cluster-only degradation class
+  * (incremental paths that never engage, invalidation deletes that no-op,
+  * closed history partitions that vanish) that a plain local-tmp spec
+  * cannot: on local disk both APIs agree.
+  */
+class ClusterFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A fresh graftfs:// directory (backed by local tmp, resolvable ONLY
+    * through the Hadoop FileSystem API).
+    */
+  private def graftDir(prefix: String): String = {
+    spark.sparkContext // force the session: graftfs registers through it
+    "graftfs://" + java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  private def curveBatch(idxFrom: Int, idxTo: Int) =
+    (idxFrom until idxTo).flatMap { idx =>
+      (1 to 3).map(q => (idx, (idx % 3).toDouble, q, (idx + q).toDouble, 1.0))
+    }.toDF("image_idx", "delay", "q_bin", "i", "err")
+
+  test("graftfs paths are invisible to java.io — the fixture is honest") {
+    val dir = graftDir("gfs-honest")
+    assert(!new java.io.File(dir).exists(),
+      "the graftfs:// URI string must not be a resolvable local path")
+    val (fs, p) = Bundle.fsPath(dir)
+    assert(fs.isInstanceOf[GraftTestFs] && fs.exists(p),
+      "the same string must resolve through the Hadoop FileSystem")
+  }
+
+  test("manifest write/read/invalidate cycle works on a non-local scheme") {
+    val dir = graftDir("gfs-manifest")
+    assert(Bundle.readManifest(dir).isEmpty)
+    Bundle.writeManifest(dir, Map("a" -> "1", "b" -> "x\ny"))
+    assert(Bundle.readManifest(dir).contains(Map("a" -> "1", "b" -> "x\ny")))
+    // overwrite (the renameOverwrite fallback path: graftfs registers no
+    // AbstractFileSystem binding, so FileContext is unsupported)
+    Bundle.writeManifest(dir, Map("a" -> "2"))
+    assert(Bundle.readManifest(dir).contains(Map("a" -> "2")))
+    // T2 invalidation delete must actually delete on cluster storage
+    Bundle.deleteRecursively(dir)
+    assert(!Bundle.exists(dir) && Bundle.readManifest(dir).isEmpty)
+  }
+
+  test("bundle save/load on a non-local scheme") {
+    val dir = graftDir("gfs-bundle")
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Bundle.save(dir, Map("t" -> t), Map("p" -> "1"))
+    val back = Bundle.load(spark, dir)
+    assert(back.keySet == Set("t"))
+    assert(back("t").orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(Bundle.isValid(dir, Map("p" -> "1")))
+    assert(!Bundle.isValid(dir, Map("p" -> "2")))
+  }
+
+  test("incremental reduction ENGAGES on cluster storage: second batch is " +
+       "not a full recompute and matches the batch oracle") {
+    val stateDir = graftDir("gfs-incred")
+    val r1 = graft.streaming.IncrementalReduction.processBatch(
+      spark, curveBatch(0, 20), stateDir)
+    assert(r1.fullRecompute, "first batch has no state — full recompute")
+    val r2 = graft.streaming.IncrementalReduction.processBatch(
+      spark, curveBatch(20, 40), stateDir)
+    // THE cluster bug this spec exists for: state-validity probes through
+    // java.io.File read false on a non-local scheme, silently forcing
+    // fullRecompute (O(history) per trigger) while every write succeeds
+    assert(!r2.fullRecompute,
+      "incremental path must engage when state lives on cluster storage")
+    // work stays bounded by tail + batch, not history
+    assert(r2.windowRows < 20 * 3 + 6 * 3 + 1,
+      s"window ${r2.windowRows} rows — re-reducing history on graftfs?")
+    val got = r2.reduced
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val want = graft.operators.Reduction.timeResolvedSignal(curveBatch(0, 40))
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (av, n)) =>
+      assert(approx(got(k)._1, av, 1e-9) && got(k)._2 == n, s"group $k") }
+  }
+
+  test("ANN index build/compact/append/serve on cluster storage; " +
+       "mid-compaction crash states heal") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("id"))).toSeq
+
+    val dir = graftDir("gfs-annix")
+    val p = AnnIndex.Params(dim = 64, m = 8, k = 16, kCells = 8, iters = 5)
+    AnnIndex.build(emb.filter(col("vec_id") < 300), dir, p)
+    val before = rows(AnnIndex.topK(spark, dir, queries, k = 5, nProbe = 3))
+    assert(before.nonEmpty)
+    AnnIndex.append(spark, dir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    AnnIndex.compact(spark, dir, nFiles = 1)
+    val after = rows(AnnIndex.topK(spark, dir, queries, k = 5, nProbe = 3))
+
+    // crash between delete and rename: only the compacted copy remains —
+    // load() must heal by renaming it into place, all through Hadoop FS
+    val (fs, live) = Bundle.fsPath(s"$dir/codes.parquet")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact.parquet")
+    assert(fs.rename(live, tmp), "fixture: simulate the crash window")
+    val healed = rows(AnnIndex.topK(spark, dir, queries, k = 5, nProbe = 3))
+    assert(healed == after, "healed index must serve identically")
+    assert(fs.exists(live) && !fs.exists(tmp), "heal must finish the rename")
+  }
+
+  test("SCD2 history store on cluster storage: closed partitions stay " +
+       "visible and invalidation rebuilds") {
+    val dir = graftDir("gfs-scd2") + "/st"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val v2 = Seq((1L, "a2"), (2L, "b")).toDF("id", "text")
+    Snapshot.ensureHistory(v1, dir, "id", Seq("text"), 1L)
+    Snapshot.ensureHistory(v2, dir, "id", Seq("text"), 2L)
+    // key 1's v1 row is CLOSED at version 2 — it lives in closed/version=2,
+    // whose existence probe must go through the Hadoop FS (a java.io probe
+    // would silently drop all closed history from reads)
+    val hist = Snapshot.loadHistory(spark, dir)
+    assert(hist.count() == 3, "open slice + closed revision")
+    val at1 = Snapshot.snapshotAt(hist, 1L).select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(at1 == Seq((1L, "a"), (2L, "b")), "time travel needs closed rows")
+    // drift invalidation must DELETE the old store on cluster storage
+    val (h3, wrote) = Snapshot.ensureHistory(v1, dir, "id",
+      Seq("text", "id"), 1L)
+    assert(wrote && h3.count() == 2)
+    assert(!Bundle.exists(s"$dir/closed"),
+      "invalidation left stale closed partitions behind")
+  }
+
+  test("grep gate: store/state management code paths carry no java.io.File") {
+    val storeFiles = Seq(
+      "src/main/scala/graft/sources/Bundle.scala",
+      "src/main/scala/graft/operators/AnnIndex.scala",
+      "src/main/scala/graft/operators/Snapshot.scala",
+      "src/main/scala/graft/operators/Layout.scala",
+      "src/main/scala/graft/pipeline/Pipeline.scala") ++
+      new java.io.File("src/main/scala/graft/streaming").listFiles()
+        .map(_.getPath).filter(_.endsWith(".scala")).sorted
+    val offenders = storeFiles.flatMap { f =>
+      val lines = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+        .getLines().zipWithIndex.toSeq
+      lines.collect {
+        case (l, i) if l.contains("java.io.File") &&
+          !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+          s"$f:${i + 1}: ${l.trim}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "store/state code must use the Hadoop FS API, found:\n" +
+        offenders.mkString("\n"))
+  }
+}

@@ -14,6 +14,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // cluster-storage stand-in: a local FS under a non-file scheme that
+      // java.io can never resolve (see GraftTestFs) — store/state specs
+      // route their dirs through graftfs:// to prove Hadoop-FS-only access
+      .config("spark.hadoop.fs.graftfs.impl", "graft.GraftTestFs")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
