@@ -216,19 +216,30 @@ object Dedup {
   def exactSubstringPairSpans(docs: DataFrame, textCol: String = "text",
                               idCol: String = "doc_id", minLen: Int = 20,
                               maxOcc: Int = 4096,
-                              verifiable: Boolean = false): DataFrame = {
+                              verifiable: Boolean = false,
+                              includeSelf: Boolean = false): DataFrame = {
     require(minLen >= 2, s"exactSubstringPairSpans: minLen=$minLen < 2")
     require(maxOcc >= 2, s"exactSubstringPairSpans: maxOcc=$maxOcc < 2")
     val sp = shinglePosRows(docs, textCol, idCol, minLen, verifiable)
+    // includeSelf widens the match universe to WITHIN-document repeats
+    // (the same passage twice in one document at offset d ≠ 0 — the Lee
+    // et al. 2022 generation-loop/boilerplate case): an anchor then
+    // qualifies on ≥ 2 OCCURRENCES, not ≥ 2 documents, and same-id pairs
+    // ride the same islands machinery with the b-side pinned to the
+    // LATER occurrence (so the removal rule below sheds repeats and
+    // keeps each passage's FIRST copy).
     val shared = sp.groupBy(col("s"))
       .agg(count(lit(1)).as("_cnt"), countDistinct(col("id")).as("_nd"))
-      .filter(col("_nd") >= 2 && col("_cnt") <= maxOcc)
+      .filter((if (includeSelf) col("_cnt") >= 2 else col("_nd") >= 2) &&
+        col("_cnt") <= maxOcc)
       .select(col("s"))
     val ss = sp.join(shared, Seq("s"))
     val pairs = ss.select(col("s"), col("id").as("id_a"), col("p").as("p_a"))
       .join(ss.select(col("s"), col("id").as("id_b"), col("p").as("p_b")),
         Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") ||
+        (lit(includeSelf) && col("id_a") === col("id_b") &&
+          col("p_b") > col("p_a")))
       .select(col("id_a"), col("p_a"), col("id_b"), col("p_b"),
         (col("p_a") - col("p_b")).as("d"))
     val w = org.apache.spark.sql.expressions.Window
@@ -252,9 +263,10 @@ object Dedup {
   def exactSubstringSpans(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", minLen: Int = 20,
                           maxOcc: Int = 4096,
-                          verifiable: Boolean = false): DataFrame = {
+                          verifiable: Boolean = false,
+                          includeSelf: Boolean = false): DataFrame = {
     val ps = exactSubstringPairSpans(docs, textCol, idCol, minLen, maxOcc,
-      verifiable)
+      verifiable, includeSelf)
     val sides = ps.select(col("id_a").as("id"), col("p_a").as("st"),
         (col("p_a") + col("len") - 1).as("en"), col("id_b").as("partner"))
       .unionByName(ps.select(col("id_b").as("id"), col("p_b").as("st"),
@@ -324,14 +336,44 @@ object Dedup {
     */
   private[graft] def contaminationPairSpans(spT: DataFrame, spE: DataFrame,
                                             minLen: Int,
-                                            maxOcc: Int): DataFrame = {
-    val tShared = spT.join(spE.select(col("s")).distinct(), Seq("s"))
+                                            maxOcc: Int): DataFrame =
+    contaminationIslands(
+      contaminationMatchedAnchors(contaminationSharedTrain(spT, spE), spE,
+        maxOcc).drop("s"), minLen)
+
+  /** Train anchor rows that appear in the eval anchor set — the
+    * semi-join that keeps train-train duplicate mass out of every later
+    * stage. Bounded by |eval anchors| × per-anchor train occurrences.
+    */
+  private[graft] def contaminationSharedTrain(spT: DataFrame,
+                                              spE: DataFrame): DataFrame =
+    spT.join(spE.select(col("s")).distinct(), Seq("s"))
+
+  /** Matched anchor pairs pre-island: every (train occurrence × eval
+    * occurrence) of a shared anchor whose TRAIN occurrence count is
+    * within `maxOcc`, keyed by the anchor value `s` so a later pass can
+    * re-apply the cap over a larger train universe (the streaming
+    * monitor's report-time global cap). Output:
+    * (s, tid, eid, pe, d = pe − pt).
+    */
+  private[graft] def contaminationMatchedAnchors(tShared: DataFrame,
+                                                 spE: DataFrame,
+                                                 maxOcc: Int): DataFrame = {
     val tCap = tShared.join(tShared.groupBy(col("s"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") <= maxOcc)
       .select(col("s")), Seq("s"))
-    val pairs = tCap.join(spE, Seq("s"))
-      .select(col("tid"), col("eid"), col("pe"),
+    tCap.join(spE, Seq("s"))
+      .select(col("s"), col("tid"), col("eid"), col("pe"),
         (col("pe") - col("pt")).as("d"))
+  }
+
+  /** Gaps-and-islands over matched anchor pairs: within a (doc pair,
+    * alignment offset) group, consecutive aligned anchors form the
+    * maximal match. Input (tid, eid, pe, d); output (tid, eid, st, en)
+    * in eval coordinates.
+    */
+  private[graft] def contaminationIslands(pairs: DataFrame,
+                                          minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tid"), col("eid"), col("d")).orderBy(col("pe"))
     pairs.withColumn("_grp", col("pe") - row_number().over(w))
@@ -355,15 +397,19 @@ object Dedup {
     * removal rule: for every maximal cross-document match, the LARGER-id
     * document sheds the matched tokens (so the first document by id
     * keeps each passage exactly once, regardless of length or
-    * alignment). Same normalized-token-space rebuild as
-    * [[removeDupSpans]]; output (idCol, n_tok, clean_text, n_removed).
+    * alignment); with `includeSelf`, a within-document repeat sheds its
+    * LATER occurrence (the b-side is pinned to the later copy), so each
+    * passage's first appearance survives there too. Same
+    * normalized-token-space rebuild as [[removeDupSpans]]; output
+    * (idCol, n_tok, clean_text, n_removed).
     */
   def removeExactSubstrings(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", minLen: Int = 20,
                             maxOcc: Int = 4096,
-                            verifiable: Boolean = false): DataFrame = {
+                            verifiable: Boolean = false,
+                            includeSelf: Boolean = false): DataFrame = {
     val ps = exactSubstringPairSpans(docs, textCol, idCol, minLen, maxOcc,
-      verifiable)
+      verifiable, includeSelf)
     val coveredPos = ps.select(col("id_b").as("id"),
         explode(sequence(col("p_b"), col("p_b") + col("len") - 1)).as("tp"))
       .distinct()

@@ -4964,7 +4964,68 @@ object CorpusQueries {
         graft.sources.Bundle.deleteRecursively(stateDir)
         out
       },
-      Some(evalDecontaminationOracleSql))
+      Some(evalDecontaminationOracleSql)),
+
+    // WITHIN-document arbitrary-length repeats (includeSelf): the same
+    // passage pasted twice into ONE document at an arbitrary offset —
+    // the Lee et al. 2022 generation-loop/boilerplate case the
+    // fixed-grain q70/q74 battery only approximates. Fixture: a copy of
+    // each % 9 document whose first 30 tokens appear twice, separated by
+    // a doc-dependent pad so the repeat straddles any fixed grid. The
+    // relaxed anchor rule (>= 2 occurrences) also keeps every cross-doc
+    // match, so base-vs-copy matches ride along — the oracle replays
+    // both through the same islands algebra.
+    QueryDef("q203_within_doc_repeats",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val reps = docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat_ws(" ", concat(
+              slice(toks, 1, 30),
+              array_repeat(lit("pad"), (col("doc_id") % 5).cast("int") + 1),
+              slice(toks, 1, 30))).as("text"))
+        Dedup.exactSubstringSpans(docs.unionByName(reps),
+            minLen = 8, maxOcc = 256, verifiable = true,
+            includeSelf = true)
+          .select(col("doc_id"), col("span_start").cast("long"),
+            col("span_end").cast("long"), col("span_len").cast("long"),
+            col("n_partners"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(list_slice(
+        |      regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 30), ' ')
+        |      || ' ' || repeat('pad ', doc_id % 5 + 1) ||
+        |    array_to_string(list_slice(
+        |      regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 30), ' ')
+        |  FROM docs0 WHERE doc_id % 9 = 0),
+        |${verifiableGramPosSql(8, "aug")},
+        |${exactSubstringPairSpanSql(8, 256, includeSelf = true)},
+        |sides AS (
+        |  SELECT id_a AS doc_id, pa AS st, pa + len - 1 AS en,
+        |         id_b AS partner FROM pspan
+        |  UNION ALL
+        |  SELECT id_b, pb, pb + len - 1, id_a FROM pspan),
+        |iv AS (SELECT DISTINCT doc_id, st, en, partner FROM sides),
+        |mx AS (SELECT *, max(en) OVER (PARTITION BY doc_id
+        |         ORDER BY st, en, partner
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |gi AS (SELECT *, sum(CASE WHEN pm IS NULL OR st > pm + 1
+        |         THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY doc_id ORDER BY st, en, partner) AS g
+        |       FROM mx)
+        |SELECT doc_id, min(st)::BIGINT AS span_start,
+        |  max(en)::BIGINT AS span_end,
+        |  (max(en) - min(st) + 1)::BIGINT AS span_len,
+        |  count(DISTINCT partner)::BIGINT AS n_partners
+        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin))
   )
 
   /** Shared by q201 (batch scan) and q202 (streamed deliveries): the
@@ -5941,19 +6002,28 @@ object CorpusQueries {
   }
 
   /** Oracle CTEs for [[Dedup.exactSubstringPairSpans]] given `sp` anchor
-    * rows: shared-anchor sort (>= 2 docs, hot-gram cap), aligned
-    * occurrence pairs, and per-(pair, offset) gaps-and-islands maximal
-    * extension. Final CTE `pspan(id_a, id_b, pa, pb, len)`.
+    * rows: shared-anchor sort (>= 2 docs — or >= 2 OCCURRENCES with
+    * `includeSelf`, which also admits same-document pairs at offset
+    * d != 0 with the b-side pinned to the later occurrence), hot-gram
+    * cap, aligned occurrence pairs, and per-(pair, offset)
+    * gaps-and-islands maximal extension. Final CTE
+    * `pspan(id_a, id_b, pa, pb, len)`.
     */
-  private def exactSubstringPairSpanSql(minLen: Int, cap: Int): String =
+  private def exactSubstringPairSpanSql(minLen: Int, cap: Int,
+                                        includeSelf: Boolean = false): String = {
+    val sharedCond = if (includeSelf) "cnt >= 2" else "nd >= 2"
+    val pairCond =
+      if (includeSelf)
+        "(a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND b.p > a.p))"
+      else "a.doc_id < b.doc_id"
     s"""gs AS (SELECT s, count(*) AS cnt, count(DISTINCT doc_id) AS nd
        |       FROM sp GROUP BY s),
-       |shared AS (SELECT s FROM gs WHERE nd >= 2 AND cnt <= $cap),
+       |shared AS (SELECT s FROM gs WHERE $sharedCond AND cnt <= $cap),
        |ss AS (SELECT doc_id, p, s FROM sp JOIN shared USING (s)),
        |prs AS (
        |  SELECT a.doc_id AS id_a, a.p AS p_a, b.doc_id AS id_b, b.p AS p_b,
        |         a.p - b.p AS d
-       |  FROM ss a JOIN ss b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  FROM ss a JOIN ss b ON a.s = b.s AND $pairCond),
        |isl AS (
        |  SELECT *, p_a - row_number()
        |    OVER (PARTITION BY id_a, id_b, d ORDER BY p_a) AS grp
@@ -5962,6 +6032,7 @@ object CorpusQueries {
        |  SELECT id_a, id_b, min(p_a) AS pa, min(p_b) AS pb,
        |         max(p_a) - min(p_a) + $minLen AS len
        |  FROM isl GROUP BY id_a, id_b, d, grp)""".stripMargin
+  }
 
   private def verifiableTrigramSql: String =
     """tok AS (

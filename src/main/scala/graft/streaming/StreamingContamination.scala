@@ -22,9 +22,15 @@ import graft.operators.Dedup
   * complete within the batch that delivered the doc (documents arrive
   * whole), so the merged report over all hits equals the BATCH
   * contaminationSpans over the union of deliveries — StreamingSpec pins
-  * that equality. The hot-anchor cap applies per delivery; a gram hot
-  * only across batches keeps its pairs (conservative: contamination is
-  * never lost to the cap earlier than the batch pass would lose it).
+  * that equality UNCONDITIONALLY, hot-anchor cap included: each batch
+  * persists its matched anchor PAIRS (pre-island, still keyed by the
+  * anchor value) plus its per-anchor train occurrence counts (bounded
+  * by the eval anchor set), and [[report]] re-applies `maxOcc` over the
+  * CUMULATIVE counts before building islands — so an anchor under the
+  * cap in every delivery but over it in aggregate is dropped exactly as
+  * the batch scan drops it. The per-delivery cap still bounds each
+  * batch's pair volume; anything it drops is over the global cap a
+  * fortiori, so the two caps compose without divergence.
   */
 object StreamingContamination {
 
@@ -40,6 +46,7 @@ object StreamingContamination {
 
   private def anchorsPath(stateDir: String) = s"$stateDir/eval_anchors.parquet"
   private def hitsDir(stateDir: String) = s"$stateDir/hits"
+  private def countsDir(stateDir: String) = s"$stateDir/counts"
 
   /** Persist the eval corpus's anchor rows + the run's parameter
     * manifest. Must run before the sink starts; re-running replaces the
@@ -61,10 +68,18 @@ object StreamingContamination {
     graft.sources.Bundle.writeManifest(stateDir, p.manifest)
   }
 
-  /** Scan one micro-batch of train documents; appends maximal pair
-    * matches (tid, eid, st, en — eval coordinates) under a batch-keyed
-    * partition (replay overwrites itself: exactly-once hits under
-    * foreachBatch's at-least-once contract) and returns them.
+  /** Scan one micro-batch of train documents. Persists, under
+    * batch-keyed partitions (replay overwrites itself: exactly-once
+    * under foreachBatch's at-least-once contract):
+    *   - `hits/` — the delivery's matched anchor pairs
+    *     (s, tid, eid, pe, d), per-delivery `maxOcc` applied (the
+    *     batch-work bound — anything it drops is over the global cap
+    *     a fortiori);
+    *   - `counts/` — the delivery's per-anchor train occurrence counts
+    *     (s, cnt) over anchors shared with eval (≤ |eval anchors| rows),
+    *     the input to [[report]]'s cumulative cap.
+    * Returns THIS delivery's maximal pair matches (tid, eid, st, en —
+    * eval coordinates) for live visibility.
     */
   def processBatch(spark: SparkSession, newDocs: DataFrame,
                    stateDir: String, p: Params = Params(),
@@ -79,34 +94,61 @@ object StreamingContamination {
         newDocs.dropDuplicates(p.idCol), p.textCol, p.idCol, p.minLen,
         p.verifiable)
       .select(col("s"), col("id").as("tid"), col("p").as("pt"))
-    val hits = Dedup.contaminationPairSpans(spT, spE, p.minLen, p.maxOcc)
+    val tShared = Dedup.contaminationSharedTrain(spT, spE)
+      .localCheckpoint(true)
+    val counts = tShared.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+    val pairs = Dedup.contaminationMatchedAnchors(tShared, spE, p.maxOcc)
       .localCheckpoint(true)
     batchKey match {
-      case Some(id) => hits.write.mode("overwrite")
-        .parquet(s"${hitsDir(stateDir)}/batch=$id")
-      case None => hits.write.mode("append").parquet(hitsDir(stateDir))
+      case Some(id) =>
+        pairs.write.mode("overwrite")
+          .parquet(s"${hitsDir(stateDir)}/batch=$id")
+        counts.write.mode("overwrite")
+          .parquet(s"${countsDir(stateDir)}/batch=$id")
+      case None =>
+        pairs.write.mode("append").parquet(hitsDir(stateDir))
+        counts.write.mode("append").parquet(countsDir(stateDir))
     }
-    hits
+    Dedup.contaminationIslands(pairs.drop("s"), p.minLen)
   }
 
   /** The cumulative report: maximal contaminated regions per eval doc
     * over EVERY delivery so far — identical to the batch
-    * `contaminationSpans` over the union of delivered train docs.
-    * Output: (idCol, span_start, span_end, span_len, n_partners).
+    * `contaminationSpans` over the union of delivered train docs,
+    * INCLUDING the hot-anchor cap: `maxOcc` is re-applied here over
+    * each anchor's cumulative train occurrence count, so an anchor hot
+    * only in aggregate is dropped exactly as the one-shot scan drops
+    * it. Cost is O(stored matches), never O(train corpus). Output:
+    * (idCol, span_start, span_end, span_len, n_partners).
     */
   def report(spark: SparkSession, stateDir: String,
              p: Params = Params()): DataFrame = {
-    val hp = new org.apache.hadoop.fs.Path(hitsDir(stateDir))
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hits =
-      if (fs.exists(hp)) spark.read.parquet(hitsDir(stateDir))
-        .select(col("tid"), col("eid"), col("st"), col("en"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "tid LONG, eid LONG, st INT, en INT"))
-    Dedup.mergeDocSpans(hits.select(col("eid").as("id"), col("st"),
-      col("en"), col("tid").as("partner")), p.idCol)
+    // empty-state schemas derive from the persisted eval anchors (id
+    // type flows from the caller's corpus — hardcoding LONG would make
+    // the never-delivered edge case diverge from every other read)
+    lazy val anchors = {
+      if (!graft.sources.Bundle.exists(anchorsPath(stateDir)))
+        throw new IllegalStateException(
+          s"no contamination state at $stateDir — run prepareEval first")
+      spark.read.parquet(anchorsPath(stateDir))
+    }
+    val pairs =
+      if (graft.sources.Bundle.exists(hitsDir(stateDir)))
+        spark.read.parquet(hitsDir(stateDir))
+          .select(col("s"), col("tid"), col("eid"), col("pe"), col("d"))
+      else anchors.select(col("s"), col("eid").as("tid"), col("eid"),
+        col("pe"), col("pe").as("d")).limit(0)
+    val counts =
+      if (graft.sources.Bundle.exists(countsDir(stateDir)))
+        spark.read.parquet(countsDir(stateDir))
+          .select(col("s"), col("cnt"))
+      else anchors.select(col("s"), lit(0L).as("cnt")).limit(0)
+    val hot = counts.groupBy(col("s")).agg(sum(col("cnt")).as("_tot"))
+      .filter(col("_tot") > p.maxOcc).select(col("s"))
+    val kept = pairs.join(hot, Seq("s"), "left_anti").drop("s")
+    Dedup.mergeDocSpans(Dedup.contaminationIslands(kept, p.minLen)
+      .select(col("eid").as("id"), col("st"), col("en"),
+        col("tid").as("partner")), p.idCol)
   }
 
   /** The registered live loop: watch `inputDir` for train-doc parquet

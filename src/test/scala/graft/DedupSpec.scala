@@ -274,6 +274,63 @@ class DedupSpec extends SparkSpec {
     assert(spans(1L) == ((1, 6, 2L)) && spans(2L) == ((1, 6, 2L)), spans)
   }
 
+  test("exactSubstringPairSpans includeSelf: within-document repeats at " +
+       "any offset, removal keeps the FIRST copy; default mode blind") {
+    for (verifiable <- Seq(false, true)) {
+      // passage repeated inside ONE doc at token 1 and token 13 (offset
+      // 12 — straddles any fixed grid), plus an unrelated clean doc
+      val passage = (1 to 10).map(i => s"r$i").mkString(" ")
+      val corpus = Seq(
+        (1L, s"x0 $passage y0 y1 $passage z0"),
+        (2L, "clean words only nothing repeated here at all")
+      ).toDF("doc_id", "text")
+      // default mode: a same-document repeat is invisible
+      assert(Dedup.exactSubstringPairSpans(corpus, minLen = 4,
+        verifiable = verifiable).isEmpty)
+      val ps = Dedup.exactSubstringPairSpans(corpus, minLen = 4,
+          verifiable = verifiable, includeSelf = true).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Int]("p_a"), r.getAs[Int]("p_b"), r.getAs[Int]("len")))
+      // ONE maximal self match: first copy at 1, later copy at 13 —
+      // b-side pinned to the LATER occurrence
+      assert(ps.toSeq == Seq((1L, 1L, 1, 13, 10)), ps.toSeq)
+      val spans = Dedup.exactSubstringSpans(corpus, minLen = 4,
+          verifiable = verifiable, includeSelf = true).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+          r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
+      assert(spans == Set((1L, 1, 10, 1L), (1L, 13, 22, 1L)), spans)
+      // removal sheds the LATER occurrence, keeps the first
+      val m = Dedup.removeExactSubstrings(corpus, minLen = 4,
+          verifiable = verifiable, includeSelf = true).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(m(1L).getAs[String]("clean_text") ==
+        s"x0 $passage y0 y1 z0", m(1L).getAs[String]("clean_text"))
+      assert(m(1L).getAs[Long]("n_removed") == 10L)
+      assert(m(2L).getAs[Long]("n_removed") == 0L)
+    }
+  }
+
+  test("exactSubstringPairSpans includeSelf: periodic repeat (period < " +
+       "minLen) and overlapping copies resolve per alignment offset") {
+    // 12 copies of a 2-token motif: self-matches exist at every even
+    // offset d; the d=2 alignment alone covers [2, 23] maximally
+    val corpus = Seq(
+      (1L, (1 to 12).map(_ => "ab cd").mkString(" "))).toDF("doc_id", "text")
+    val ps = Dedup.exactSubstringPairSpans(corpus, minLen = 4,
+        includeSelf = true).collect()
+      .map(r => (r.getAs[Int]("p_a"), r.getAs[Int]("p_b"),
+        r.getAs[Int]("len")))
+    // every alignment offset d = p_b - p_a is even and >= 2; the d = 2
+    // island is the full 22-token overlap starting at p_a = 0
+    assert(ps.contains((0, 2, 22)), ps.toSeq)
+    assert(ps.forall { case (pa, pb, _) => (pb - pa) % 2 == 0 && pb > pa })
+    // merged per-doc view: one region covering the whole text
+    val spans = Dedup.exactSubstringSpans(corpus, minLen = 4,
+        includeSelf = true).collect()
+      .map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    assert(spans.toSeq == Seq((0, 23)), spans.toSeq)
+  }
+
   test("exactSubstringPairSpans: island extension stops at a mismatch") {
     // Two passages in the same doc pair separated by a one-token edit:
     // two DISTINCT maximal spans (same alignment offset d), never bridged.

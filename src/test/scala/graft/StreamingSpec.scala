@@ -1764,6 +1764,41 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("drifted"), ex.getMessage)
   }
 
+  test("streaming contamination cap is GLOBAL: an anchor under the " +
+       "per-delivery cap but over the cumulative cap is dropped exactly " +
+       "as the one-shot batch scan drops it") {
+    import graft.streaming.StreamingContamination
+    val stateDir = Files.createTempDirectory("contam-cap").toString
+    val hotP = (1 to 10).map(i => s"p$i").mkString(" ")   // in all 4 docs
+    val coldP = (1 to 8).map(i => s"q$i").mkString(" ")   // in 2 docs
+    val evalDocs = Seq((9L, s"head $hotP mid $coldP tail"))
+      .toDF("doc_id", "text")
+    val t1 = Seq((1L, s"a1 $hotP $coldP"), (2L, s"b1 $hotP"))
+    val t2 = Seq((3L, s"c1 $hotP $coldP"), (4L, s"d1 $hotP"))
+    // every hotP anchor occurs 2× per delivery (≤ maxOcc = 2) but 4× in
+    // aggregate (> maxOcc): the one-shot scan drops it, and so must the
+    // cumulative report — the per-delivery cap alone would leak it
+    val p = StreamingContamination.Params(minLen = 4, maxOcc = 2)
+    StreamingContamination.prepareEval(spark, evalDocs, stateDir, p)
+    StreamingContamination.processBatch(spark, t1.toDF("doc_id", "text"),
+      stateDir, p, batchKey = Some(0L))
+    StreamingContamination.processBatch(spark, t2.toDF("doc_id", "text"),
+      stateDir, p, batchKey = Some(1L))
+    def spans(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
+    val streamed = spans(StreamingContamination.report(spark, stateDir, p))
+    val batch = spans(graft.operators.Dedup.contaminationSpans(
+      (t1 ++ t2).toDF("doc_id", "text"), evalDocs, minLen = 4, maxOcc = 2))
+    assert(streamed == batch,
+      s"cap-straddling divergence: streamed $streamed != batch $batch")
+    // and concretely: coldP (2 ≤ cap) is reported, hotP (4 > cap) is not
+    assert(streamed.exists { case (_, st, en, n) =>
+      en - st + 1 == 8 && n == 2L }, s"cold passage lost: $streamed")
+    assert(!streamed.exists { case (_, st, en, _) =>
+      en - st + 1 >= 10 }, s"hot passage leaked through the cap: $streamed")
+  }
+
   test("streaming contamination monitor end-to-end: the registered sink " +
        "scans drops as they arrive") {
     import graft.streaming.StreamingContamination
