@@ -280,43 +280,74 @@ object Layout {
     */
   final class ShardedBloomSidecar(
       val column: String, val mBits: Int, val k: Int, nShards: Int,
-      fileIdx: Map[String, Int], dir: Path,
+      buildId: String, fileIdx: Map[String, Int], dir: Path,
       fs: org.apache.hadoop.fs.FileSystem) extends BloomSidecar {
     private val cache =
       scala.collection.mutable.Map.empty[Int, scala.collection.mutable.LongMap[Long]]
 
+    /** Flipped when a shard read observes a different build than the one
+      * this sidecar was loaded against (a concurrent [[saveBloom]] rerun
+      * swapped the directory mid-scan): the held fileIdx map no longer
+      * describes the on-disk body, so EVERY lookup from then on answers
+      * "may contain" — conservative keep-everything, never a wrong skip.
+      * The old inline format snapshotted the whole body at load time and
+      * was immune; the lazy format must re-verify per load.
+      */
+    @volatile private var stale = false
+    private[graft] def isStale: Boolean = stale
+
     /** Shards resident right now — the bounded-memory observable. */
     private[graft] def loadedShards: Int = cache.size
 
-    private def loadShard(j: Int): scala.collection.mutable.LongMap[Long] =
-      cache.getOrElse(j, {
-        if (cache.size >= 64) cache.clear()
-        val m = scala.collection.mutable.LongMap.empty[Long]
-        val sd = new Path(dir, s"shard=$j")
-        if (fs.exists(sd)) fs.listStatus(sd).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-            val in = fs.open(st.getPath)
-            val txt = try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-            txt.split("\n").foreach { l0 =>
-              val l = l0.trim
-              if (l.nonEmpty) {
-                val t = l.indexOf('\t')
-                val fi = l.substring(0, t).toLong
-                l.substring(t + 1).split(",").foreach { w =>
-                  val c = w.indexOf(':')
-                  m.update((fi << 24) | w.substring(0, c).toLong,
-                    w.substring(c + 1).toLong)
+    /** Load shard `j`, or None when the build under `dir` is no longer
+      * the one this sidecar holds. The `_meta` check runs AFTER the read
+      * (an absent shard dir is a legal empty shard in OUR build, but a
+      * delete→rename window of a NEW build reads identically — only the
+      * post-read build check can tell them apart; builds never reuse a
+      * buildId, so meta-matches-after implies the bytes read were ours).
+      * Any read error mid-swap also reads as stale.
+      */
+    private def loadShard(j: Int): Option[scala.collection.mutable.LongMap[Long]] =
+      if (stale) None
+      else cache.get(j).orElse {
+        val loaded = try {
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          val sd = new Path(dir, s"shard=$j")
+          if (fs.exists(sd)) fs.listStatus(sd).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+              val in = fs.open(st.getPath)
+              val txt = try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+              txt.split("\n").foreach { l0 =>
+                val l = l0.trim
+                if (l.nonEmpty) {
+                  val t = l.indexOf('\t')
+                  val fi = l.substring(0, t).toLong
+                  l.substring(t + 1).split(",").foreach { w =>
+                    val c = w.indexOf(':')
+                    m.update((fi << 24) | w.substring(0, c).toLong,
+                      w.substring(c + 1).toLong)
+                  }
                 }
               }
             }
           }
+          val metaNow = readSmallFile(fs, new Path(dir, "_meta"))
+          if (metaNow.exists(_.trim == s"$nShards $buildId")) Some(m)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+        loaded match {
+          case Some(m) =>
+            if (cache.size >= 64) cache.clear()
+            cache(j) = m
+            Some(m)
+          case None =>
+            stale = true
+            None
         }
-        cache(j) = m
-        m
-      })
+      }
 
     def mayContain(file: String, value: Any): Boolean =
       fileIdx.get(normFile(file)) match {
@@ -324,9 +355,12 @@ object Layout {
         case Some(fi) =>
           bloomDriverPositions(value, mBits, k).forall { p =>
             val w = p / 63
-            (loadShard((w % nShards).toInt)
-              .getOrElse((fi.toLong << 24) | w, 0L) &
-              (1L << (p % 63).toInt)) != 0L
+            loadShard((w % nShards).toInt) match {
+              case None => true // swapped/torn build: keep
+              case Some(m) =>
+                (m.getOrElse((fi.toLong << 24) | w, 0L) &
+                  (1L << (p % 63).toInt)) != 0L
+            }
           }
       }
   }
@@ -481,7 +515,7 @@ object Layout {
             .toOption.flatten.exists(_.trim == s"$ns $bid")
           if (!metaOk) None
           else Some(new ShardedBloomSidecar(column, m.toInt, k2.toInt,
-            ns.toInt, lines.tail.filter(_.nonEmpty).zipWithIndex.toMap,
+            ns.toInt, bid, lines.tail.filter(_.nonEmpty).zipWithIndex.toMap,
             dir, fs))
         } else {
           val Array(m, k2) = head
@@ -602,8 +636,11 @@ object Layout {
     spark.sparkContext.hadoopConfiguration
 
   private def readSmallFile(spark: SparkSession,
+                            p: Path): Option[String] =
+    readSmallFile(p.getFileSystem(hconf(spark)), p)
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
                             p: Path): Option[String] = {
-    val fs = p.getFileSystem(hconf(spark))
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

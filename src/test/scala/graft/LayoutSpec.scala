@@ -772,6 +772,53 @@ class LayoutSpec extends SparkSpec {
     assert(sc.mayContain("/fake/store/not-covered.parquet", 1L))
   }
 
+  test("sharded bloom sidecar survives a concurrent rebuild mid-scan: " +
+       "a swapped or in-flight build reads as 'keep everything', " +
+       "never a wrong skip") {
+    val (n, mBits, k) = (100, 4096, 5)
+    def fname(i: Int) = f"/fake/store2/f$i%03d.parquet"
+    def body(salt: Long) = (0 until n).flatMap { i =>
+      Layout.bloomDriverPositions(i.toLong + salt, mBits, k)
+        .map(p => (fname(i), p / 63, 1L << (p % 63).toInt))
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((f, w), ts) => (f, w, ts.map(_._3).reduce(_ | _)) }
+      .toDF("file", "word", "bits")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bswap_")
+      .toFile.getAbsolutePath
+    def rebuild(salt: Long) = Layout.writeShardedBloom(spark, dir, "id",
+      mBits, k, body(salt), (0 until n).map(fname), shardWords = 256)
+
+    rebuild(0L)
+    val sc = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    // a held sidecar answers correctly against its own build
+    assert(sc.mayContain(fname(7), 7L) && !sc.isStale)
+    val skips = (0 until n).count(i => !sc.mayContain(fname(i), 7L))
+    assert(skips > 90, s"sanity: build 0 skips ($skips) most files for 7")
+
+    // a concurrent saveBloom rerun swaps the directory to a NEW buildId
+    // while a FRESH reader (empty shard cache) still holds the old
+    // header: every uncached shard load must detect the foreign build
+    // and flip the sidecar to keep-everything — the old code read the
+    // new body under the old fileIdx map and could wrongly skip
+    val fresh = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    rebuild(5000L)
+    assert((0 until n).forall(i => fresh.mayContain(fname(i), 7L)),
+      "a reader holding a superseded build must keep every file")
+    assert(fresh.isStale, "the foreign build must mark the sidecar stale")
+
+    // the delete→rename window itself: shard dir momentarily absent
+    val fresh2 = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    val (fs, shardDir) = graft.sources.Bundle.fsPath(
+      s"$dir/_graft_stats/bloom_id.d")
+    assert(fs.delete(shardDir, true))
+    assert((0 until n).forall(i => fresh2.mayContain(fname(i), 7L)),
+      "an in-flight swap (absent shard dir) must keep every file")
+    assert(fresh2.isStale)
+  }
+
   test("hilbert index: bijective over the full grid, every consecutive " +
        "pair is a grid NEIGHBOR (the locality Z-order lacks), and the " +
        "inverse walk round-trips") {
