@@ -65,7 +65,7 @@ object Pipeline {
     val valid = Bundle.isValid(storageDir, config.manifest)
     if (!valid) Bundle.deleteRecursively(curvesPath)
     val saved: Option[DataFrame] =
-      if (valid && new java.io.File(curvesPath).exists())
+      if (valid && Bundle.exists(curvesPath))
         Some(spark.read.parquet(curvesPath))
       else None
 
@@ -145,6 +145,26 @@ object Pipeline {
     curves.write.mode("append").parquet(curvesPath)
     Bundle.writeManifest(storageDir, config.manifest)
     spark.read.parquet(curvesPath)
+  }
+
+  /** Mask-geometry scan (the M7 border / M8 center-line inputs): the
+    * detector's (width, height) for a frame folder, read through the
+    * REGISTERED graft-edf source with a dims-only projection — the scan
+    * decodes EDF header prefixes only and never inflates or copies a
+    * pixel payload, whatever the frame count (`EdfSource.lastScan`
+    * reports payload=false; PipelineSpec pins that end-to-end). Mixed
+    * geometries in one folder fail loudly rather than masking wrong.
+    */
+  def detectorDims(spark: SparkSession, folder: String,
+                   glob: String = "*.edf*"): (Int, Int) = {
+    val dims = spark.read.format("graft-edf")
+      .option("pathGlobFilter", glob).load(folder)
+      .select(col("width"), col("height")).distinct().collect()
+    require(dims.nonEmpty, s"no EDF frames under $folder (glob $glob)")
+    require(dims.length == 1,
+      s"mixed detector geometries in $folder: " +
+        dims.map(r => s"${r.getInt(0)}x${r.getInt(1)}").mkString(", "))
+    (dims(0).getInt(0), dims(0).getInt(1))
   }
 
   final case class ReductionConfig(

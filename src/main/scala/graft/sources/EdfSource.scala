@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   *
   *  - **partition = frame**: one file is one task, the natural decode
   *    grain (binaryFile would pack several compressed frames into one
-  *    128 MB partition and serialize their decode);
+  *    128 MB partition and serialize their decode); at beamtime scale
+  *    (10⁵-10⁶ frames) `option("maxFramesPerTask", n)` bin-packs n
+  *    frames per task so the scheduler sees ceil(N/n) tasks while decode
+  *    stays per-frame, and `option("limit", n)` bounds a quick-look scan
+  *    to the first n frames by name;
   *  - **projection pushdown**: if `data` is not required — a
   *    mask/geometry scan asking for `width`/`height` only — the task
   *    decodes the HEADER prefix and never inflates or copies the ~8 MB
@@ -35,7 +39,10 @@ class EdfSource extends RelationProvider with DataSourceRegister {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-edf needs a path: spark.read.format(\"graft-edf\").load(dir)"))
     EdfRelation(sqlContext.sparkSession, path,
-      parameters.getOrElse("pathGlobFilter", "*.edf*"))
+      parameters.getOrElse("pathGlobFilter", "*.edf*"),
+      maxFramesPerTask =
+        parameters.get("maxFramesPerTask").map(_.toInt).getOrElse(1),
+      limit = parameters.get("limit").map(_.toInt).getOrElse(-1))
   }
 }
 
@@ -47,8 +54,12 @@ object EdfSource {
   val lastScan = new AtomicReference[(Int, Int, Boolean)]((0, 0, false))
 }
 
-case class EdfRelation(spark: SparkSession, path: String, glob: String)
+case class EdfRelation(spark: SparkSession, path: String, glob: String,
+                       maxFramesPerTask: Int = 1, limit: Int = -1)
     extends BaseRelation with PrunedFilteredScan {
+
+  require(maxFramesPerTask >= 1,
+    s"graft-edf: maxFramesPerTask=$maxFramesPerTask must be >= 1")
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -62,16 +73,34 @@ case class EdfRelation(spark: SparkSession, path: String, glob: String)
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
 
+  /** Frame paths under `path`. A plain directory (the 10⁵-10⁶-frame
+    * beamtime shape) lists through the FileSystem's RemoteIterator with
+    * a name-only glob match — the driver holds one path STRING per
+    * frame, never a FileStatus array per `globStatus` (whose block
+    * locations and permissions dominate memory at that count). Paths
+    * that are themselves globs (or single files) keep the globStatus
+    * path — their expansion is the user's explicit file set.
+    */
   private def listFrames(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val base =
-      if (fs.getFileStatus(p).isDirectory) new org.apache.hadoop.fs.Path(p, glob)
-      else p
-    Option(fs.globStatus(base)).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile)
-      .map(_.getPath.toString)
-      .sorted
+    val names =
+      if (fs.getFileStatus(p).isDirectory) {
+        val matcher = new org.apache.hadoop.fs.GlobFilter(glob)
+        val it = fs.listStatusIterator(p)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && matcher.accept(
+              new org.apache.hadoop.fs.Path(st.getPath.getName)))
+            buf += st.getPath.toString
+        }
+        buf.result()
+      } else
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile)
+          .map(_.getPath.toString)
+    names.sorted
   }
 
   /** Name-derived keep-predicate from the pushed filters: only
@@ -97,7 +126,10 @@ case class EdfRelation(spark: SparkSession, path: String, glob: String)
                          filters: Array[Filter]): RDD[Row] = {
     val all = listFrames()
     val keep = nameKeep(filters)
-    val kept = all.filter(f => keep(f.substring(f.lastIndexOf('/') + 1)))
+    val kept0 = all.filter(f => keep(f.substring(f.lastIndexOf('/') + 1)))
+    // limit-N (first N frames in name order, after pruning) — the S2
+    // quick-look contract: bound a scan without listing-side surprises
+    val kept = if (limit >= 0) kept0.take(limit) else kept0
     val needData = requiredColumns.contains("data")
     EdfSource.lastScan.set((kept.size, all.size, needData))
     val cols = requiredColumns.toSeq
@@ -107,8 +139,13 @@ case class EdfRelation(spark: SparkSession, path: String, glob: String)
     // would silently vanish under a fresh task-side Configuration)
     val confB = sc.broadcast(new org.apache.spark.SerializableWritable(
       spark.sessionState.newHadoopConf()))
-    // one frame = one task: the decode grain, never the byte-size grain
-    sc.parallelize(kept, kept.size).map { fileStr =>
+    // one frame = one task (the decode grain, never the byte-size grain)
+    // by default; a million-frame beamtime sets maxFramesPerTask to
+    // bin-pack — scheduler overhead per task then amortizes over the
+    // bundle while decode stays per-frame inside the task iterator
+    val nTasks = math.max(1,
+      (kept.size + maxFramesPerTask - 1) / maxFramesPerTask)
+    sc.parallelize(kept, nTasks).map { fileStr =>
       val name = fileStr.substring(fileStr.lastIndexOf('/') + 1)
       val gz = fileStr.endsWith(".gz")
       val hp = new org.apache.hadoop.fs.Path(fileStr)

@@ -137,8 +137,28 @@ object Npz {
           }
           a
         }
+        // learn the header length from the fixed 12-byte prefix first:
+        // a v1 text header may legally run to 12 + 65535 bytes and v2/v3
+        // to 4 GiB, so a fixed-size head slice would fail a LEGAL
+        // long-shape header with an opaque out-of-bounds parse error —
+        // pread exactly the preamble instead, refusing loudly only when
+        // headerLen itself is implausible
+        val pre = pread(0L, 12)
+        require(pre.take(6).sameElements(Magic),
+          s"$path: not an NPY file (bad magic)")
+        val hLen =
+          if ((pre(6) & 0xff) == 1)
+            ((pre(8) & 0xff) | ((pre(9) & 0xff) << 8)).toLong
+          else ByteBuffer.wrap(pre, 8, 4).order(ByteOrder.LITTLE_ENDIAN)
+            .getInt.toLong & 0xffffffffL
+        val hStart = if ((pre(6) & 0xff) == 1) 10L else 12L
+        require(hStart + hLen <= size,
+          s"$path: npy header length $hLen runs past the file")
+        require(hLen <= (1L << 26),
+          s"$path: npy header length $hLen exceeds this reader's 64 MiB " +
+            "plausibility bound")
         val (dims, descr, fortran, dataStart) =
-          parseNpyHeader(pread(0L, math.min(size, 1L << 16).toInt), path)
+          parseNpyHeader(pread(0L, (hStart + hLen).toInt), path)
         val n = dims.product.max(1L)
         require(n <= Int.MaxValue,
           s"$path: $n elements exceed the JVM array bound — split the " +

@@ -124,6 +124,31 @@ class PipelineSpec extends SparkSpec {
     assert(approx(m((1e-9, 45.0)), 3.0, 1e-9))
   }
 
+  test("mask-geometry scan is header-only END-TO-END: detectorDims " +
+       "through the registered graft-edf source decodes zero payload " +
+       "and feeds a real mask stage") {
+    import graft.sources.EdfSource
+    import graft.operators.Masks
+    val dir = Files.createTempDirectory("dims-only").toString
+    (0 until 4).foreach { k =>
+      Files.write(java.nio.file.Paths.get(dir, s"g$k.edf"),
+        ImageSource.encodeEdf(6, 4, Array.fill(24)(k.toDouble)))
+    }
+    val (w, h) = Pipeline.detectorDims(spark, dir)
+    assert((w, h) == ((6, 4)))
+    // THE pipeline-grain assertion: a width/height-only stage must
+    // report payload=false — the per-scan hook, now pinned end-to-end
+    assert(EdfSource.lastScan.get() == ((4, 4, false)),
+      s"dims-only pipeline stage decoded payload: ${EdfSource.lastScan.get()}")
+    // the scanned geometry drives M7 directly: a 1-pixel border over the
+    // 6x4 detector masks exactly the perimeter
+    import spark.implicits._
+    val px = (for (y <- 0 until h; x <- 0 until w) yield (x, y))
+      .toDF("x", "y")
+    val masked = px.filter(Masks.border(col("x"), col("y"), 1, w, h)).count()
+    assert(masked == 2 * (w + h) - 4, s"border over scanned dims: $masked")
+  }
+
   test("E2 reduces curves to per-delay differences with chi2 filtering") {
     // 8 images × 5 bins; delays alternate 0 (ref) and 1e-9
     val rows = for (img <- 0 until 8; q <- 0 until 5) yield

@@ -102,6 +102,43 @@ class SourcesSpec extends SparkSpec {
     assert(a == b, "graft-edf frames must integrate identically")
   }
 
+  test("graft-edf at many-file scale: maxFramesPerTask bin-packs the " +
+       "task count with row parity, limit-N bounds the scan") {
+    import graft.sources.EdfSource
+    val dir = Files.createTempDirectory("edfmany").toFile
+    val n = 120
+    (0 until n).foreach { k =>
+      val raw = ImageSource.encodeEdf(2, 2,
+        Array.tabulate(4)(i => (i + k).toDouble))
+      Files.write(Paths.get(dir.getPath, f"f$k%04d.edf"), raw)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("image_id", "data").collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Double]]("data").toSeq).toMap
+
+    // frame-grain default: one task per file
+    val frameGrain = spark.read.format("graft-edf").load(dir.getPath)
+    assert(frameGrain.rdd.getNumPartitions == n)
+    val want = snap(frameGrain)
+    assert(want.size == n)
+
+    // bin-packed: ceil(120/16) = 8 tasks, identical rows
+    val packed = spark.read.format("graft-edf")
+      .option("maxFramesPerTask", "16").load(dir.getPath)
+    assert(packed.rdd.getNumPartitions == 8,
+      s"expected 8 bin-packed tasks, got ${packed.rdd.getNumPartitions}")
+    assert(snap(packed) == want, "bin-packing changed the rows")
+
+    // limit-N: first N frames in name order, scan never touches the rest
+    val lim = spark.read.format("graft-edf")
+      .option("limit", "10").load(dir.getPath)
+    val got = lim.select("image_id").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (0 until 10).map(k => f"f$k%04d.edf"))
+    assert(EdfSource.lastScan.get()._1 == 10,
+      "limit must bound the file list before any read")
+  }
+
   test("readEdfFolder explodes frames into the pixel table") {
     val dir = Files.createTempDirectory("edf").toFile
     val data = Array.tabulate(6)(_.toDouble) // 3x2 image
@@ -723,6 +760,29 @@ class SourcesSpec extends SparkSpec {
     val arr = Npz.readNpy(s"$dir/big.npy")
     assert(arr.dims == Seq(1000L) && arr.numeric.toSeq == vals.toSeq,
       "streamed npy decode drifted from the written values")
+
+    // a LEGAL maximal v1 header (65535 bytes, mostly padding — numpy
+    // pads long shape/descr dicts) must read on the streamed path: a
+    // fixed 64 KiB head slice cut it short with an opaque out-of-bounds
+    // parse error; the reader now preads exactly 10 + headerLen bytes
+    locally {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      val body = "{'descr': '<f8', 'fortran_order': False, 'shape': (1000,), }"
+      val hLen = 65535
+      val header = body + (" " * (hLen - body.length - 1)) + "\n"
+      val raf = new java.io.RandomAccessFile(s"$dir/bigH.npy", "rw")
+      raf.write(Array(0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0).map(_.toByte))
+      raf.write(hLen & 0xff); raf.write(hLen >> 8)
+      raf.write(header.getBytes("ISO-8859-1"))
+      raf.write(bb.array())
+      raf.setLength(3L << 30)
+      raf.close()
+    }
+    val arrH = Npz.readNpy(s"$dir/bigH.npy")
+    assert(arrH.dims == Seq(1000L) && arrH.numeric.toSeq == vals.toSeq,
+      "a maximal-length v1 header must stream-read")
 
     // ---- what stays loudly bounded: Fortran order needs whole-buffer
     // access; a single HDF5 dataset must still fit a JVM array
