@@ -29,15 +29,18 @@ import graft.sources.Bundle
   *
   * State kept under `stateDir` (all curve-grain, all tiny):
   *
-  *   - `stats.parquet` — per (delay, q_bin) ADDITIVE sufficient statistics
-  *     of finalized rows: counts, Σdiff, Σdiff², kept-row counts/sums (the
-  *     W2 thinning mark is positional, so a per-group finalized-row counter
-  *     `n_fin` makes it incremental too), from which mean/noise/err are
-  *     recovered exactly;
+  *   - `state.parquet` — ONE store, two row kinds under a `_tbl`
+  *     discriminator (both group-grain small; splitting them bought two
+  *     state-commit jobs per batch for no isolation):
+  *     `s` rows carry per (delay, q_bin) ADDITIVE sufficient statistics
+  *     of finalized rows — counts, Σdiff, Σdiff², kept-row counts/sums
+  *     (the W2 thinning mark is positional, so a per-group finalized-row
+  *     counter `n_fin` makes it incremental too) — from which
+  *     mean/noise/err are recovered exactly; `f` rows carry the
+  *     (q_bin, f, p) frontier indices;
   *   - `tail.parquet` — RAW curve rows from each bin's second-to-last
   *     reference onward (the recompute window: anchors + mutable rows);
-  *   - `frontier.parquet` — (q_bin, f, p) frontier indices, plus
-  *     `frontier/manifest.json` with the reference delay and the max
+  *   - `frontier/manifest.json` — the reference delay and the max
   *     processed index (the strict-append validity check);
   *   - `curves/` — append-only raw history, never re-read except by the
   *     full-recompute fallback.
@@ -103,7 +106,7 @@ object IncrementalReduction {
                    batchKey: Option[Long] = None,
                    tdCompression: Int = 200): BatchResult = {
     val curvesDir = s"$stateDir/curves"
-    val statsPath = s"$stateDir/stats.parquet"
+    val statePath = s"$stateDir/state.parquet"
     val tailPath = s"$stateDir/tail.parquet"
     // With a batchKey (the streaming wrapper passes foreachBatch's
     // batchId), the history append is IDEMPOTENT under at-least-once
@@ -125,10 +128,13 @@ object IncrementalReduction {
     }
     val probe = obs.get
 
+    // State-validity probes go through the Hadoop FileSystem of the
+    // state dir's scheme — the whole point of keeping state on shared
+    // storage (commit 876599a) is a cluster run, where a java.io.File
+    // probe is ALWAYS false and would silently disable the incremental
+    // path (full history recompute per trigger, correct but O(history)).
     val prior = readFrontier(stateDir)
-    val haveStats = new java.io.File(statsPath).exists()
-    val frontierPath = s"$stateDir/frontier.parquet"
-    val haveFront = new java.io.File(frontierPath).exists()
+    val haveState = Bundle.exists(statePath)
     val batchMinDelay = Option(probe("mn")).map(_.toString.toDouble)
     val batchMinIdx = Option(probe("minIdx")).map(_.toString.toLong)
     // the new global max: NOT just the batch max — after an out-of-order
@@ -138,8 +144,8 @@ object IncrementalReduction {
     val batchMaxIdx = (Option(probe("maxIdx")).map(_.toString.toLong) ++
       prior.map(_._2)).reduceOption(_ max _).getOrElse(0L)
 
-    val haveTail = new java.io.File(tailPath).exists()
-    val incremental = prior.isDefined && haveStats && haveFront && haveTail &&
+    val haveTail = Bundle.exists(tailPath)
+    val incremental = prior.isDefined && haveState && haveTail &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
       batchMinIdx.forall(_ > prior.get._2)
 
@@ -148,10 +154,15 @@ object IncrementalReduction {
         val (rd, _) = prior.get
         val tail = spark.read.parquet(tailPath)
           .select("image_idx", "delay", "q_bin", "i", "err")
+        val state = spark.read.parquet(statePath)
+        // no checkpoints: every consumer of these frames is itself
+        // materialized (fronts / bothStats / statsNew) BEFORE the state
+        // swap below deletes the file they read
         (tail.union(batch.select("image_idx", "delay", "q_bin", "i", "err")),
           Some(rd),
-          Some(spark.read.parquet(frontierPath).localCheckpoint(true)),
-          Some(spark.read.parquet(statsPath)))
+          Some(state.filter(col("_tbl") === "f")
+            .select(col("q_bin"), col("f"), col("p"))),
+          Some(state.filter(col("_tbl") === "s").drop("_tbl", "f", "p")))
       } else {
         // fallback / first batch: the whole history is the window
         (spark.read.parquet(curvesDir)
@@ -172,16 +183,32 @@ object IncrementalReduction {
     // the sparse lineitem-derived curves). f = last reference index WITH A
     // ROW in the bin, p = the one before it (the recompute window's
     // prev-anchor).
-    // top-2 reference indices per bin in ONE aggregation (the in-window
-    // reference count is bounded by the frontier construction, so the
-    // collect_set is small by contract); _p_new NULL when a bin has < 2
+    // top-2 reference indices per bin; _p_new NULL when a bin has < 2
     // references in the window
     val refRows = tagged.filter(col("is_ref"))
       .select(col("q_bin"), col("image_idx").cast("long").as("_ri"))
-    val fpTab = refRows.groupBy(col("q_bin")).agg(
-      max(col("_ri")).as("_f_new"),
-      try_element_at(sort_array(collect_set(col("_ri")), asc = false),
-        lit(2)).as("_p_new"))
+    val fpTab =
+      if (incremental)
+        // ONE aggregation: the in-window reference count is bounded by
+        // the frontier construction, so the collect_set is small by
+        // contract — contract that does NOT hold on the fallback below
+        refRows.groupBy(col("q_bin")).agg(
+          max(col("_ri")).as("_f_new"),
+          try_element_at(sort_array(collect_set(col("_ri")), asc = false),
+            lit(2)).as("_p_new"))
+      else {
+        // full-recompute window = the ENTIRE history: a per-bin
+        // collect_set would gather every reference index ever seen into
+        // one in-memory array. Rank the distinct indices with a
+        // spill-able sort window instead — same result, streamed.
+        val w2 = Window.partitionBy(col("q_bin")).orderBy(col("_ri").desc)
+        refRows.distinct()
+          .withColumn("_rn", row_number().over(w2))
+          .filter(col("_rn") <= 2)
+          .groupBy(col("q_bin"))
+          .agg(max(when(col("_rn") === 1, col("_ri"))).as("_f_new"),
+            max(when(col("_rn") === 2, col("_ri"))).as("_p_new"))
+      }
     val fronts = fpTab
       .join(fOldTab.map(_.select(col("q_bin"), col("f").as("_f_old")))
         .getOrElse(fpTab.select(col("q_bin"),
@@ -261,13 +288,17 @@ object IncrementalReduction {
         TDigestSketch.tdigestMerge(col("td"), tdCompression).as("td")
       parts.groupBy(col("delay_c"), col("q_bin")).agg(aggs.head, aggs.tail: _*)
     }
-    val statsNew = statsPrev match {
+    // Checkpointed (one tiny 1-partition job): the new stats are read by
+    // BOTH the state-store commit and the two output writes below — off
+    // memory, so none of them depends on the just-swapped store file and
+    // all four writes can run as ONE concurrent wave.
+    val statsNew = (statsPrev match {
       case None => finStats
       case Some(prev) =>
         mergeStats(prev.select((Seq(col("delay_c"), col("q_bin")) ++
             statsCols.map(col) :+ col("td")): _*)
           .unionByName(finStats))
-    }
+    }).coalesce(1).localCheckpoint(true)
     // bounded raw tail for the next batch: per bin, from the
     // second-to-last reference on (the prev-anchor the frontier row's
     // recompute needs); bins with <2 refs keep everything
@@ -276,40 +307,26 @@ object IncrementalReduction {
         col("image_idx") >= coalesce(col("_p_new"), col("_f_new")))
       .select("image_idx", "delay", "q_bin", "i", "err")
       .coalesce(4)
-
-    // The three state stores are INDEPENDENT of each other (stats reads
-    // only the old stats store, the tail reads only the old tail through
-    // `work`, the frontier reads the checkpointed `fronts`), so their
-    // writes run concurrently — each is a tiny job whose cost is per-job
-    // overhead, not data. Write-to-tmp + directory swap replaces the
-    // former checkpoint-then-overwrite pair (one materialization instead
-    // of two); a crash mid-swap leaves the store absent, which the next
-    // batch's validity check detects and heals with a full recompute.
-    // The manifest is written LAST — it is the commit marker.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Seq(
-      Future(writeSwap(statsNew.coalesce(1), statsPath)),
-      Future(writeSwap(tailNew, tailPath)),
-      Future(writeSwap(fronts.select(col("q_bin"), col("_f_new").as("f"),
-        col("_p_new").as("p")).coalesce(1), frontierPath)))
-      .foreach(Await.result(_, Duration.Inf))
-    Bundle.writeManifest(frontierDir(stateDir), Map(
-      "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
-        else refDelayNow.toString),
-      "maxIdx" -> batchMaxIdx.toString))
+    // ONE state-store commit: stats rows ⊕ frontier rows under a `_tbl`
+    // discriminator — both group-grain tiny, and the split layout paid a
+    // second swap job per batch for no isolation (r16's three-swap wave
+    // was the q63/q200 job-count constant).
+    val stateOut = statsNew.withColumn("_tbl", lit("s"))
+      .unionByName(fronts.select(col("q_bin"), col("_f_new").as("f"),
+        col("_p_new").as("p"), lit("f").as("_tbl")),
+        allowMissingColumns = true)
 
     // reduced output = finalized stats ⊕ pending-tail stats, then the A3
     // formulas recovered from moments (mean mode; noise = population
-    // stddev, err = noise/√n_all — reference parity, dataReduction.py:180)
-    val statsMat = spark.read.parquet(statsPath)
+    // stddev, err = noise/√n_all — reference parity, dataReduction.py:180).
+    // `combined` is a one-partition union-aggregate of two in-memory
+    // frames — each output write recomputes it, cheaper than its own
+    // checkpoint job.
     val pendStats = bothStats.filter(!col("_fin")).drop("_fin")
-    val combined = mergeStats(statsMat
+    val combined = mergeStats(statsNew
       .select((Seq(col("delay_c"), col("q_bin")) ++
         statsCols.map(col) :+ col("td")): _*)
       .unionByName(pendStats))
-      .localCheckpoint(true)
     val mean = col("sum_d") / col("n_nn")
     val noise = sqrt(greatest(col("sumsq_d") / col("n_nn") - mean * mean, lit(0.0)))
     val reduced = combined.select(
@@ -320,20 +337,43 @@ object IncrementalReduction {
       when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
     // median-mode twin (exact below 2·tdCompression kept reps per group —
     // see TDigestSketch): separate sink so the exact mean-mode `reduced`
-    // schema the q63 oracle pins stays untouched. Both output writes are
-    // independent 1-file jobs off the checkpointed `combined` — concurrent.
+    // schema the q63 oracle pins stays untouched.
     val medianOut = combined.select(
       col("delay_c").as("delay"), col("q_bin"),
       when(col("n_kept_nn") > 0,
         TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
           lit(0.5))).as("diff_med"),
       col("n_kept").as("n_rep"))
+
+    if (!incremental) {
+      // heal a pre-unified-layout state dir: the split stores would
+      // linger as orphans next to state.parquet
+      Bundle.deleteRecursively(s"$stateDir/stats.parquet")
+      Bundle.deleteRecursively(s"$stateDir/frontier.parquet")
+    }
+    // ONE concurrent write wave — state swap, tail swap, both outputs:
+    // every input is checkpointed (statsNew, fronts, bothStats) or reads
+    // only the path its OWN swap replaces (tailNew reads the old tail
+    // while writing the tmp side), so no write races another's delete.
+    // Each is a tiny job whose cost is per-job overhead, not data; a
+    // crash mid-swap leaves that store absent, which the next batch's
+    // validity check detects and heals with a full recompute. The
+    // manifest is written LAST — it is the commit marker.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     Seq(
+      Future(writeSwap(stateOut, statePath)),
+      Future(writeSwap(tailNew, tailPath)),
       Future(reduced.coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/reduced")),
       Future(medianOut.coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/reduced_median")))
       .foreach(Await.result(_, Duration.Inf))
+    Bundle.writeManifest(frontierDir(stateDir), Map(
+      "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
+        else refDelayNow.toString),
+      "maxIdx" -> batchMaxIdx.toString))
 
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
     // re-read the tail store we just overwrote. They cost three extra jobs
