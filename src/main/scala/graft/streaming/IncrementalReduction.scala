@@ -170,6 +170,10 @@ object IncrementalReduction {
           None, None, None)
       }
 
+    // Checkpointed: consumed by the frontier chain AND the diff/stats
+    // chain — recomputing the tag window per consumer measured SLOWER
+    // than the dedicated materialization job (r17 A/B: q200 7.8 → 11 s),
+    // so the checkpoint stays even in the metrics-off path.
     val tagged = Reduction.tagReferences(work, refDelay, atol)
       .localCheckpoint(true)
     val refDelayNow = refDelay.getOrElse {
@@ -319,31 +323,32 @@ object IncrementalReduction {
     // reduced output = finalized stats ⊕ pending-tail stats, then the A3
     // formulas recovered from moments (mean mode; noise = population
     // stddev, err = noise/√n_all — reference parity, dataReduction.py:180).
-    // `combined` is a one-partition union-aggregate of two in-memory
-    // frames — each output write recomputes it, cheaper than its own
-    // checkpoint job.
     val pendStats = bothStats.filter(!col("_fin")).drop("_fin")
     val combined = mergeStats(statsNew
       .select((Seq(col("delay_c"), col("q_bin")) ++
         statsCols.map(col) :+ col("td")): _*)
       .unionByName(pendStats))
-    val mean = col("sum_d") / col("n_nn")
-    val noise = sqrt(greatest(col("sumsq_d") / col("n_nn") - mean * mean, lit(0.0)))
-    val reduced = combined.select(
-      col("delay_c").as("delay"), col("q_bin"),
-      when(col("n_kept_nn") > 0, col("sum_kept") / col("n_kept_nn")).as("diff_av"),
-      when(col("n_nn") > 0, noise).as("noise"),
-      col("n_kept").as("n_rep"),
-      when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
-    // median-mode twin (exact below 2·tdCompression kept reps per group —
-    // see TDigestSketch): separate sink so the exact mean-mode `reduced`
-    // schema the q63 oracle pins stays untouched.
-    val medianOut = combined.select(
-      col("delay_c").as("delay"), col("q_bin"),
-      when(col("n_kept_nn") > 0,
-        TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
-          lit(0.5))).as("diff_med"),
-      col("n_kept").as("n_rep"))
+    def outputs(c: DataFrame): (DataFrame, DataFrame) = {
+      val mean = col("sum_d") / col("n_nn")
+      val noise = sqrt(greatest(col("sumsq_d") / col("n_nn") - mean * mean,
+        lit(0.0)))
+      val reduced = c.select(
+        col("delay_c").as("delay"), col("q_bin"),
+        when(col("n_kept_nn") > 0, col("sum_kept") / col("n_kept_nn")).as("diff_av"),
+        when(col("n_nn") > 0, noise).as("noise"),
+        col("n_kept").as("n_rep"),
+        when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
+      // median-mode twin (exact below 2·tdCompression kept reps per
+      // group — see TDigestSketch): separate sink so the exact mean-mode
+      // `reduced` schema the q63 oracle pins stays untouched.
+      val medianOut = c.select(
+        col("delay_c").as("delay"), col("q_bin"),
+        when(col("n_kept_nn") > 0,
+          TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
+            lit(0.5))).as("diff_med"),
+        col("n_kept").as("n_rep"))
+      (reduced, medianOut)
+    }
 
     if (!incremental) {
       // heal a pre-unified-layout state dir: the split stores would
@@ -351,24 +356,31 @@ object IncrementalReduction {
       Bundle.deleteRecursively(s"$stateDir/stats.parquet")
       Bundle.deleteRecursively(s"$stateDir/frontier.parquet")
     }
-    // ONE concurrent write wave — state swap, tail swap, both outputs:
-    // every input is checkpointed (statsNew, fronts, bothStats) or reads
-    // only the path its OWN swap replaces (tailNew reads the old tail
-    // while writing the tmp side), so no write races another's delete.
-    // Each is a tiny job whose cost is per-job overhead, not data; a
-    // crash mid-swap leaves that store absent, which the next batch's
-    // validity check detects and heals with a full recompute. The
-    // manifest is written LAST — it is the commit marker.
+    // ONE concurrent write wave — state swap, tail swap, and the output
+    // branch (combined materialized ONCE, its t-digest merge is the
+    // costly part, then both sinks written concurrently off it): every
+    // input is checkpointed (statsNew, fronts, bothStats) or reads only
+    // the path its OWN swap replaces (tailNew reads the old tail while
+    // writing the tmp side), so no write races another's delete. Each is
+    // a tiny job whose cost is per-job overhead, not data; a crash
+    // mid-swap leaves that store absent, which the next batch's validity
+    // check detects and heals with a full recompute. The manifest is
+    // written LAST — it is the commit marker.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     Seq(
       Future(writeSwap(stateOut, statePath)),
       Future(writeSwap(tailNew, tailPath)),
-      Future(reduced.coalesce(1).write.mode("overwrite")
-        .parquet(s"$stateDir/reduced")),
-      Future(medianOut.coalesce(1).write.mode("overwrite")
-        .parquet(s"$stateDir/reduced_median")))
+      Future {
+        val (reduced, medianOut) = outputs(combined.localCheckpoint(true))
+        Seq(
+          Future(reduced.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateDir/reduced")),
+          Future(medianOut.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateDir/reduced_median")))
+          .foreach(Await.result(_, Duration.Inf))
+      })
       .foreach(Await.result(_, Duration.Inf))
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
