@@ -5025,7 +5025,65 @@ object CorpusQueries {
         |  max(en)::BIGINT AS span_end,
         |  (max(en) - min(st) + 1)::BIGINT AS span_len,
         |  count(DISTINCT partner)::BIGINT AS n_partners
-        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin))
+        |FROM gi GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The removal TRANSFORM with includeSelf over the same augmented
+    // fixture: every later within-document occurrence AND every
+    // larger-id cross-document side sheds its matched tokens — each
+    // passage survives exactly once corpus-wide, q199's rule extended to
+    // the within-doc case. The oracle replays pair spans with the
+    // relaxed anchor rule, expands the b-side (later copy) to covered
+    // positions, and rebuilds the surviving normalized text in order.
+    QueryDef("q204_remove_within_doc_repeats",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val reps = docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat_ws(" ", concat(
+              slice(toks, 1, 30),
+              array_repeat(lit("pad"), (col("doc_id") % 5).cast("int") + 1),
+              slice(toks, 1, 30))).as("text"))
+        Dedup.removeExactSubstrings(docs.unionByName(reps),
+            minLen = 8, maxOcc = 256, verifiable = true,
+            includeSelf = true)
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT doc_id, text FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(list_slice(
+        |      regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 30), ' ')
+        |      || ' ' || repeat('pad ', doc_id % 5 + 1) ||
+        |    array_to_string(list_slice(
+        |      regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 30), ' ')
+        |  FROM docs0 WHERE doc_id % 9 = 0),
+        |${verifiableGramPosSql(8, "aug")},
+        |${exactSubstringPairSpanSql(8, 256, includeSelf = true)},
+        |cov AS (
+        |  SELECT DISTINCT id_b AS doc_id, tp FROM (
+        |    SELECT id_b, unnest(generate_series(pb, pb + len - 1)) AS tp
+        |    FROM pspan)),
+        |clean AS (
+        |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
+        |  WHERE c.tp IS NULL GROUP BY t.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |           AS n_tok
+        |  FROM aug)
+        |SELECT b.doc_id, b.n_tok,
+        |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM base b LEFT JOIN clean c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin))
   )
 
   /** Shared by q201 (batch scan) and q202 (streamed deliveries): the
