@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -18,7 +17,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    locally { val (fs, od) = graft.sources.Bundle.fsPath(outDir)
+      fs.mkdirs(od) }
     val selected =
       if (filters.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => filters.exists(n.contains) }
@@ -51,7 +51,8 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    locally { val (fs, od) = graft.sources.Bundle.fsPath(outDir)
+      graft.sources.Bundle.writeStringCommitted(fs, od, "oracle_sql.json", json) }
     spark.stop()
   }
 }

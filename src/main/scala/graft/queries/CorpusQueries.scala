@@ -162,7 +162,7 @@ object CorpusQueries {
 
   private def dataStamp(dir: String, tables: String*): String =
     (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
-      (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
+      (graft.sources.Bundle.mtimeMillis(s"$dir/$t.parquet") / 1000).toString))
       .mkString("_")
 
   private def stopHitsSql: String =
@@ -3034,7 +3034,7 @@ object CorpusQueries {
           val tbl = s"graft_${name}_$stamp"
           if (!s.catalog.tableExists(tbl)) {
             val loc = s"$base/$name"
-            if (new java.io.File(loc).exists())
+            if (graft.sources.Bundle.exists(loc))
               s.sql(s"CREATE TABLE `$tbl` (${df.schema.toDDL}) USING parquet " +
                 s"CLUSTERED BY ($key) SORTED BY ($key) INTO 16 BUCKETS " +
                 s"LOCATION '$loc'")

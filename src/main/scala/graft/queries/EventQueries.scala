@@ -34,7 +34,7 @@ object EventQueries {
     */
   private def dataStamp(dir: String, tables: String*): String =
     (dir.replaceAll("[^A-Za-z0-9]", "_") +: tables.map(t =>
-      (new java.io.File(s"$dir/$t.parquet").lastModified / 1000).toString))
+      (graft.sources.Bundle.mtimeMillis(s"$dir/$t.parquet") / 1000).toString))
       .mkString("_")
 
   private def events(s: SparkSession, dir: String): DataFrame = {
@@ -768,8 +768,10 @@ object EventQueries {
         val ev = events(s, dir)
         val st = System.getProperty("java.io.tmpdir") +
           "/graft_drift_q178_" + dataStamp(dir, "events")
-        val marker = new java.io.File(s"$st/_col")
-        if (!marker.exists()) {
+        // probe through the Hadoop FS — StreamingDrift WRITES _col through
+        // it, and a java.io probe of a non-local state dir would re-init
+        // (and fail loudly) every run
+        if (!graft.sources.Bundle.exists(s"$st/_col")) {
           StreamingDrift.init(
             ev.filter(col("event_type") === "view").select(col("value")),
             st, "value", breaks = Seq(50.0, 120.0, 250.0),
@@ -834,8 +836,10 @@ object EventQueries {
         val ev = events(s, dir)
         val st = System.getProperty("java.io.tmpdir") +
           "/graft_drift_q179_" + dataStamp(dir, "events")
-        val marker = new java.io.File(s"$st/_col")
-        if (!marker.exists()) {
+        // probe through the Hadoop FS — StreamingDrift WRITES _col through
+        // it, and a java.io probe of a non-local state dir would re-init
+        // (and fail loudly) every run
+        if (!graft.sources.Bundle.exists(s"$st/_col")) {
           StreamingDrift.init(
             ev.filter(pmod(col("user_id"), lit(2)) === 0)
               .select(col("value"), col("event_type")),
@@ -913,8 +917,10 @@ object EventQueries {
         val ev = events(s, dir)
         val st = System.getProperty("java.io.tmpdir") +
           "/graft_drift_q181_" + dataStamp(dir, "events")
-        val marker = new java.io.File(s"$st/_col")
-        if (!marker.exists()) {
+        // probe through the Hadoop FS — StreamingDrift WRITES _col through
+        // it, and a java.io probe of a non-local state dir would re-init
+        // (and fail loudly) every run
+        if (!graft.sources.Bundle.exists(s"$st/_col")) {
           StreamingDrift.init(
             ev.filter(col("event_type") === "view").select(col("value")),
             st, "value", breaks = Seq(50.0, 120.0, 250.0),
@@ -1088,9 +1094,7 @@ object EventQueries {
       (s, dir) => {
         import graft.sources.{Bundle, Hdf5Writer}
         val st = System.getProperty("java.io.tmpdir") + "/graft_h5dir_q183_v1"
-        val done = new java.io.File(s"$st/_done")
-        if (!done.exists()) {
-          new java.io.File(st).mkdirs()
+        if (!graft.sources.Bundle.exists(s"$st/_done")) {
           val nQ = 4
           for (run <- 0 until 3) {
             val nImg = 3 + run
@@ -1102,7 +1106,8 @@ object EventQueries {
                 "data" -> Hdf5Writer.Doubles(Seq(nImg, nQ), data),
                 "delays" -> Hdf5Writer.Doubles(Seq(nImg), delays))))
           }
-          done.createNewFile()
+          val (dfs, dp) = Bundle.fsPath(s"$st/_done")
+          dfs.create(dp, true).close()
         }
         Bundle.azavFromHdf5Dir(s, s"$st/*.h5")
           .withColumn("run",

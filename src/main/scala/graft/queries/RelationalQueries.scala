@@ -571,7 +571,7 @@ object RelationalQueries {
         val flagTable = flags.toSeq.zipWithIndex
           .map { case (f, i) => (i.toLong, f) }.toDF("idx", "value")
         val st = System.getProperty("java.io.tmpdir") + "/graft_q185"
-        new java.io.File(st).mkdirs()
+        locally { val (fs, sp) = Bundle.fsPath(st); fs.mkdirs(sp) }
         val h5 = s"$st/export.h5"
         Bundle.toHdf5(h5, Map("qty" -> grid, "flags" -> flagTable),
           Map("n_total" -> li.count().toString))

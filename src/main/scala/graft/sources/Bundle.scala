@@ -46,6 +46,14 @@ object Bundle {
     fs.exists(p)
   }
 
+  /** Modification time (epoch millis; 0 if absent) through the path's
+    * Hadoop FileSystem — the T2 data-stamp input.
+    */
+  def mtimeMillis(path: String): Long = {
+    val (fs, p) = fsPath(path)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
   /** Rename with overwrite, atomic where the filesystem can do it:
     * through Hadoop's FileContext (`Options.Rename.OVERWRITE`) when the
     * scheme has an AbstractFileSystem binding (local, HDFS, viewfs);

@@ -117,7 +117,8 @@ object Npz {
   def readNpy(path: String): NpArray = {
     val p = java.nio.file.Paths.get(path)
     val size = java.nio.file.Files.size(p)
-    val name = new java.io.File(path).getName.stripSuffix(".npy")
+    val name = path.substring(path.lastIndexOf('/') + 1)
+      .stripSuffix(".npy")
     if (size <= MaxMemberBytes) {
       val bytes = java.nio.file.Files.readAllBytes(p)
       val (dims, num, str) = parseNpy(bytes, path)

@@ -146,26 +146,24 @@ class ClusterFsSpec extends SparkSpec {
       "invalidation left stale closed partitions behind")
   }
 
-  test("grep gate: store/state management code paths carry no java.io.File") {
-    val storeFiles = Seq(
-      "src/main/scala/graft/sources/Bundle.scala",
-      "src/main/scala/graft/operators/AnnIndex.scala",
-      "src/main/scala/graft/operators/Snapshot.scala",
-      "src/main/scala/graft/operators/Layout.scala",
-      "src/main/scala/graft/pipeline/Pipeline.scala") ++
-      new java.io.File("src/main/scala/graft/streaming").listFiles()
-        .map(_.getPath).filter(_.endsWith(".scala")).sorted
-    val offenders = storeFiles.flatMap { f =>
-      val lines = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
-        .getLines().zipWithIndex.toSeq
-      lines.collect {
-        case (l, i) if l.contains("java.io.File") &&
-          !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
-          s"$f:${i + 1}: ${l.trim}"
-      }
+  test("grep gate: NO main-source code path touches java.io.File — " +
+       "store, state, query harness, and entry points all ride Hadoop FS") {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil)
+    val files = walk(new java.io.File("src/main/scala/graft"))
+    assert(files.size > 50, s"gate walked only ${files.size} files")
+    val offenders = files.sortBy(_.getPath).flatMap { f =>
+      scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+        .getLines().zipWithIndex.collect {
+          case (l, i) if l.contains("java.io.File") &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+            s"${f.getPath}:${i + 1}: ${l.trim}"
+        }
     }
     assert(offenders.isEmpty,
-      "store/state code must use the Hadoop FS API, found:\n" +
+      "main sources must use the Hadoop FS API, found:\n" +
         offenders.mkString("\n"))
   }
 }
