@@ -624,4 +624,52 @@ class PropertiesSpec extends SparkSpec {
       assert(kept(nm).contains(f), s"string FALSE NEGATIVE for $nm")
     }
   }
+
+  test("exact-substring pair spans equal a brute-force maximal-match " +
+       "reference on random small-alphabet corpora, includeSelf and not") {
+    // tiny alphabet + short docs force dense repeats at every alignment;
+    // the brute force enumerates every non-left-extendable match run of
+    // length >= minLen directly from the token arrays
+    def brute(docs: Map[Long, Vector[String]], minLen: Int,
+              includeSelf: Boolean): Set[(Long, Long, Int, Int, Int)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Int, Int, Int)]
+      for ((ia, ta) <- docs; (ib, tb) <- docs
+           if ia < ib || (includeSelf && ia == ib)) {
+        for (pa <- ta.indices; pb <- tb.indices
+             if ia < ib || pb > pa) {
+          val leftExt = pa > 0 && pb > 0 && ta(pa - 1) == tb(pb - 1) &&
+            (ia < ib || pb - 1 > pa - 1)
+          if (!leftExt) {
+            var l = 0
+            while (pa + l < ta.length && pb + l < tb.length &&
+                   ta(pa + l) == tb(pb + l)) l += 1
+            if (l >= minLen) out += ((ia, ib, pa, pb, l))
+          }
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 10) {
+      val minLen = 3 + rnd.nextInt(2)
+      val alpha = Vector("aa", "bb", "cc", "dd")
+      val docs = (1L to (3 + rnd.nextInt(3)).toLong).map { id =>
+        id -> Vector.fill(rnd.nextInt(22))(alpha(rnd.nextInt(alpha.size)))
+      }.toMap
+      val df = docs.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      for (includeSelf <- Seq(false, true)) {
+        val got = graft.operators.Dedup.exactSubstringPairSpans(df,
+            minLen = minLen, includeSelf = includeSelf).collect()
+          .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+            r.getAs[Int]("p_a"), r.getAs[Int]("p_b"), r.getAs[Int]("len")))
+          .toSet
+        val want = brute(docs, minLen, includeSelf)
+        assert(got == want,
+          s"trial $trial includeSelf=$includeSelf minLen=$minLen: " +
+            s"spark ${got.toSeq.sorted} != brute ${want.toSeq.sorted} " +
+            s"on ${docs.map { case (k, v) => k -> v.mkString(" ") }}")
+      }
+    }
+  }
 }
