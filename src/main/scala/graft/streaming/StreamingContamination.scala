@@ -48,6 +48,28 @@ object StreamingContamination {
   private def hitsDir(stateDir: String) = s"$stateDir/hits"
   private def countsDir(stateDir: String) = s"$stateDir/counts"
 
+  /** Fold every batch partition except the most recent `keepBatches`
+    * into base directories — a monitor at a 30 s cadence would otherwise
+    * accumulate ~86k hit/count directories a month (the listing wall).
+    * Hit PAIRS concatenate verbatim (batches are disjoint row sets);
+    * counts merge by per-anchor SUM (associative) — so the report,
+    * including its report-time global cap, is byte-identical before and
+    * after. Shares [[StreamingReport]]'s crash-safe swap protocol:
+    * `_folded_up_to` marker, finish-only heal, readers filter live
+    * batches past the fold cutoff so a resurrected folded directory
+    * never double-counts. Batch-keyed state only (the `batchKey = None`
+    * append mode has no fold grain and is left as written).
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              keepBatches: Int = 2): Unit = {
+    require(keepBatches >= 1, "must keep at least one recent batch")
+    StreamingReport.compactFamily(spark, hitsDir(stateDir),
+      s"$stateDir/hits_base", keepBatches, identity)
+    StreamingReport.compactFamily(spark, countsDir(stateDir),
+      s"$stateDir/counts_base", keepBatches,
+      merged => merged.groupBy(col("s")).agg(sum(col("cnt")).as("cnt")))
+  }
+
   /** Persist the eval corpus's anchor rows + the run's parameter
     * manifest. Must run before the sink starts; re-running replaces the
     * anchors (a changed eval set or parameter invalidates old hits —
@@ -99,6 +121,15 @@ object StreamingContamination {
     val counts = tShared.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
     val pairs = Dedup.contaminationMatchedAnchors(tShared, spE, p.maxOcc)
       .localCheckpoint(true)
+    // the pairs schema carries the caller's TRAIN id type (tid), which
+    // the eval anchors cannot predict — stamp it once so report()'s
+    // empty/unified reads never guess a type the state contradicts
+    val ddlPath = s"$stateDir/_pairs_ddl"
+    if (!graft.sources.Bundle.exists(ddlPath)) {
+      val (dfs, dp) = graft.sources.Bundle.fsPath(stateDir)
+      graft.sources.Bundle.writeStringCommitted(dfs, dp, "_pairs_ddl",
+        pairs.schema.toDDL)
+    }
     batchKey match {
       case Some(id) =>
         pairs.write.mode("overwrite")
@@ -126,23 +157,33 @@ object StreamingContamination {
     // empty-state schemas derive from the persisted eval anchors (id
     // type flows from the caller's corpus — hardcoding LONG would make
     // the never-delivered edge case diverge from every other read)
-    lazy val anchors = {
+    val anchors = {
       if (!graft.sources.Bundle.exists(anchorsPath(stateDir)))
         throw new IllegalStateException(
           s"no contamination state at $stateDir — run prepareEval first")
       spark.read.parquet(anchorsPath(stateDir))
     }
-    val pairs =
-      if (graft.sources.Bundle.exists(hitsDir(stateDir)))
-        spark.read.parquet(hitsDir(stateDir))
-          .select(col("s"), col("tid"), col("eid"), col("pe"), col("d"))
-      else anchors.select(col("s"), col("eid").as("tid"), col("eid"),
-        col("pe"), col("pe").as("d")).limit(0)
-    val counts =
-      if (graft.sources.Bundle.exists(countsDir(stateDir)))
-        spark.read.parquet(countsDir(stateDir))
-          .select(col("s"), col("cnt"))
-      else anchors.select(col("s"), lit(0L).as("cnt")).limit(0)
+    // base ∪ not-yet-folded live batches, torn compactions healed — the
+    // consistent-snapshot reader shared with the report family. The
+    // pairs schema comes from the _pairs_ddl stamp (the train id type is
+    // the caller's, not derivable from the eval anchors); before any
+    // delivery the anchors-derived placeholder serves the empty report.
+    val pairsEmpty = {
+      val (dfs, dp) = graft.sources.Bundle.fsPath(s"$stateDir/_pairs_ddl")
+      graft.sources.Bundle.readStringIfExists(dfs, dp)
+        .map(ddl => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        .getOrElse(anchors.select(col("s"), col("eid").as("tid"),
+          col("eid"), col("pe"), col("pe").as("d")).limit(0))
+    }
+    val pairs = StreamingReport.readState(spark, hitsDir(stateDir),
+        s"$stateDir/hits_base", pairsEmpty)
+      .select(col("s"), col("tid"), col("eid"), col("pe"), col("d"))
+    val counts = StreamingReport.readState(spark, countsDir(stateDir),
+        s"$stateDir/counts_base",
+        anchors.select(col("s"), lit(0L).as("cnt")).limit(0))
+      .select(col("s"), col("cnt"))
     val hot = counts.groupBy(col("s")).agg(sum(col("cnt")).as("_tot"))
       .filter(col("_tot") > p.maxOcc).select(col("s"))
     val kept = pairs.join(hot, Seq("s"), "left_anti").drop("s")
@@ -152,12 +193,19 @@ object StreamingContamination {
   }
 
   /** The registered live loop: watch `inputDir` for train-doc parquet
-    * drops, scan each batch against the prepared eval anchors.
+    * drops, scan each batch against the prepared eval anchors. Every
+    * `autoCompactEvery` batches the sink folds old hit/count partitions
+    * into the bases IN-LINE (foreachBatch runs between triggers, so the
+    * fold never races its own writer) — a month-long monitor stays at
+    * ≤ base + autoCompactEvery + keepBatches directories per family
+    * instead of one per trigger. 0 disables.
     */
   def sink(spark: SparkSession, inputDir: String, checkpointDir: String,
            stateDir: String, p: Params = Params(),
            pollSeconds: Int = 30,
-           schemaSource: DataFrame): StreamingQuery = {
+           schemaSource: DataFrame,
+           autoCompactEvery: Int = 64,
+           keepBatches: Int = 2): StreamingQuery = {
     val stream = spark.readStream
       .schema(schemaSource.schema)
       .option("maxFilesPerTrigger", 64)
@@ -169,6 +217,9 @@ object StreamingContamination {
         processBatch(batch.sparkSession,
           org.apache.spark.sql.graft.PlanExec.freshBatchDF(batch),
           stateDir, p, batchKey = Some(batchId))
+        if (autoCompactEvery > 0 && batchId > 0 &&
+            batchId % autoCompactEvery == 0)
+          compact(batch.sparkSession, stateDir, keepBatches)
         ()
       }
       .start()

@@ -1799,6 +1799,59 @@ class StreamingSpec extends SparkSpec {
       en - st + 1 >= 10 }, s"hot passage leaked through the cap: $streamed")
   }
 
+  test("streaming contamination compaction: folded hit/count partitions " +
+       "report byte-identically (global cap included), a resurrected " +
+       "folded batch never double-counts, torn swaps heal") {
+    import graft.streaming.StreamingContamination
+    val stateDir = Files.createTempDirectory("contam-compact").toString
+    val hotP = (1 to 10).map(i => s"h$i").mkString(" ")   // 6 docs: over cap
+    val coldP = (1 to 8).map(i => s"k$i").mkString(" ")   // 3 docs: at cap
+    val evalDocs = Seq((5L, s"top $hotP mid $coldP end")).toDF("doc_id", "text")
+    val p = StreamingContamination.Params(minLen = 4, maxOcc = 3)
+    StreamingContamination.prepareEval(spark, evalDocs, stateDir, p)
+    // six deliveries; the cold passage rides batches 0/2/4 only
+    val batches = (0 until 6).map { k =>
+      val extra = if (k % 2 == 0) s" $coldP" else ""
+      Seq((k.toLong + 10, s"x$k $hotP$extra")).toDF("doc_id", "text")
+    }
+    batches.zipWithIndex.foreach { case (b, k) =>
+      StreamingContamination.processBatch(spark, b, stateDir, p,
+        batchKey = Some(k.toLong)) }
+    def spans() = StreamingContamination.report(spark, stateDir, p)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+        r.getAs[Long]("n_partners"))).toSet
+    val before = spans()
+    // sanity: hot passage (6 > 3) capped away, cold (3 <= 3) reported
+    assert(before.exists { case (_, st, en, n) => en - st + 1 == 8 && n == 3L },
+      s"cold passage missing pre-compaction: $before")
+    assert(!before.exists { case (_, st, en, _) => en - st + 1 >= 10 }, before)
+
+    StreamingContamination.compact(spark, stateDir, keepBatches = 2)
+    assert(spans() == before, "compaction changed the report")
+    val (fs, hd) = graft.sources.Bundle.fsPath(s"$stateDir/hits")
+    def liveDirs(d: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(d)).count(
+        _.getPath.getName.startsWith("batch="))
+    assert(liveDirs(s"$stateDir/hits") == 2 &&
+      liveDirs(s"$stateDir/counts") == 2,
+      "fold must leave only keepBatches live partitions")
+
+    // a folded batch resurfacing (crash after rename, before the live
+    // delete — simulated by re-delivering batch 0) must not double-count
+    // the summed counts: the cap would over-trigger and drop coldP
+    StreamingContamination.processBatch(spark, batches(0), stateDir, p,
+      batchKey = Some(0L))
+    assert(spans() == before, "resurrected folded batch double-counted")
+
+    // torn swap: base renamed away mid-compaction — the reader heals
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/counts_base")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/counts_base_compact")
+    assert(fs.rename(base, tmp), "fixture: simulate the torn swap")
+    assert(spans() == before, "torn compaction swap not healed by report()")
+    assert(fs.exists(base) && !fs.exists(tmp), "heal must finish the rename")
+  }
+
   test("streaming contamination monitor end-to-end: the registered sink " +
        "scans drops as they arrive") {
     import graft.streaming.StreamingContamination
