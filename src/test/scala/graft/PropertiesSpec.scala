@@ -672,4 +672,92 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("contaminationSpans equals a brute-force reference on random " +
+       "corpora — hot-anchor cap, eval coordinates, and region merge — " +
+       "and the streamed report matches batch under random deliveries") {
+    def grams(t: Vector[String], n: Int): Seq[(Vector[String], Int)] =
+      if (t.length < n) Nil else (0 to t.length - n).map(p => t.slice(p, p + n) -> p)
+    def brute(train: Map[Long, Vector[String]], eval: Map[Long, Vector[String]],
+              minLen: Int, maxOcc: Int): Set[(Long, Int, Int, Long)] = {
+      val evalGramSet = eval.values.flatMap(grams(_, minLen).map(_._1)).toSet
+      val tCount = train.toSeq.flatMap { case (_, t) => grams(t, minLen).map(_._1) }
+        .filter(evalGramSet).groupBy(identity).view.mapValues(_.size).toMap
+      val anchors = for {
+        (tid, tt) <- train.toSeq; (g, pt) <- grams(tt, minLen)
+        if evalGramSet(g) && tCount(g) <= maxOcc
+        (eid, et) <- eval.toSeq; (ge, pe) <- grams(et, minLen) if ge == g
+      } yield (tid, eid, pe - pt, pe)
+      val sides = anchors.groupBy(a => (a._1, a._2, a._3)).toSeq.flatMap {
+        case ((tid, eid, _), as) =>
+          val ps = as.map(_._4).distinct.sorted
+          // consecutive runs of matched anchor positions
+          val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+            case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }
+          runs.map { case (s0, e0) => (eid, s0, e0 + minLen - 1, tid) }
+      }.distinct
+      // mergeDocSpans twin: overlapping-or-adjacent intervals fuse
+      sides.groupBy(_._1).toSeq.flatMap { case (eid, iv) =>
+        val sorted = iv.sortBy(x => (x._2, x._3, x._4))
+        val regions = scala.collection.mutable.ListBuffer
+          .empty[scala.collection.mutable.ListBuffer[(Long, Int, Int, Long)]]
+        var pm = Int.MinValue
+        sorted.foreach { case t @ (_, st, en, _) =>
+          if (regions.isEmpty || st > pm + 1)
+            regions += scala.collection.mutable.ListBuffer(t)
+          else regions.last += t
+          pm = math.max(pm, en)
+        }
+        regions.map { r =>
+          (eid, r.map(_._2).min, r.map(_._3).max, r.map(_._4).distinct.size.toLong)
+        }
+      }.toSet
+    }
+
+    val rnd = new scala.util.Random(31)
+    val alpha = Vector("pa", "qb", "rc", "sd")
+    for (trial <- 0 until 8) {
+      val minLen = 3
+      val maxOcc = Seq(1, 2, 3, 100)(rnd.nextInt(4))
+      def mk(n: Int, maxLen: Int) = (1L to n.toLong).map(id =>
+        id -> Vector.fill(rnd.nextInt(maxLen))(alpha(rnd.nextInt(alpha.size)))).toMap
+      val train = mk(3 + rnd.nextInt(2), 18)
+      val eval = mk(2 + rnd.nextInt(2), 14)
+      def df(m: Map[Long, Vector[String]]) =
+        m.toSeq.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val want = brute(train, eval, minLen, maxOcc)
+      val got = graft.operators.Dedup.contaminationSpans(df(train), df(eval),
+          minLen = minLen, maxOcc = maxOcc).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+          r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
+      assert(got == want,
+        s"trial $trial maxOcc=$maxOcc: spark ${got.toSeq.sorted} != " +
+          s"brute ${want.toSeq.sorted}\ntrain=$train\neval=$eval")
+
+      // streamed twin under a random 2-way delivery split: the global
+      // report-time cap must land on the same spans
+      if (trial % 2 == 0) {
+        import graft.streaming.StreamingContamination
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"contam-prop-$trial").toString
+        val p = StreamingContamination.Params(minLen = minLen, maxOcc = maxOcc)
+        StreamingContamination.prepareEval(spark, df(eval), stateDir, p)
+        val (b0, b1) = train.partition { case (id, _) => rnd.nextBoolean() }
+        Seq(b0, b1).zipWithIndex.foreach { case (b, k) =>
+          if (b.nonEmpty)
+            StreamingContamination.processBatch(spark, df(b), stateDir, p,
+              batchKey = Some(k.toLong)) }
+        val streamed = StreamingContamination.report(spark, stateDir, p)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+            r.getAs[Long]("n_partners"))).toSet
+        assert(streamed == want,
+          s"trial $trial: streamed ${streamed.toSeq.sorted} != " +
+            s"brute ${want.toSeq.sorted}")
+        graft.sources.Bundle.deleteRecursively(stateDir)
+      }
+    }
+  }
 }

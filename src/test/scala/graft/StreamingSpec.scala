@@ -1865,17 +1865,36 @@ class StreamingSpec extends SparkSpec {
     val t1 = Seq((1L, s"junk $passage more")).toDF("doc_id", "text")
     val t2 = Seq((2L, "nothing shared"), (3L, s"$passage tail"))
       .toDF("doc_id", "text")
+    // drops 3-5 only pad the trigger count so the in-line auto-compaction
+    // (every 2 batches) actually fires inside the running sink
+    val pads = (4L to 6L).map(i =>
+      Seq((i, s"pad$i $passage p")).toDF("doc_id", "text"))
     t1.write.mode("append").parquet(inDir)
     val q = StreamingContamination.sink(spark, inDir, ckDir, stateDir, p,
-      pollSeconds = 1, schemaSource = t1)
+      pollSeconds = 1, schemaSource = t1,
+      autoCompactEvery = 2, keepBatches = 1)
     try {
       q.processAllAvailable()
       t2.write.mode("append").parquet(inDir)
       q.processAllAvailable()
+      pads.foreach { d =>
+        d.write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val rep = StreamingContamination.report(spark, stateDir, p).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
         r.getAs[Int]("span_end"), r.getAs[Long]("n_partners"))).toSet
-    assert(rep == Set((7L, 1, 8, 2L)), s"sink report drifted: $rep")
+    assert(rep == Set((7L, 1, 8, 5L)), s"sink report drifted: $rep")
+    // the self-compacting sink folded old partitions into the bases
+    val (fs, _) = graft.sources.Bundle.fsPath(stateDir)
+    def liveDirs(d: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(d))
+      .count(_.getPath.getName.startsWith("batch="))
+    assert(graft.sources.Bundle.exists(s"$stateDir/hits_base"),
+      "auto-compaction never ran inside the sink")
+    assert(liveDirs(s"$stateDir/hits") <= 3 &&
+      liveDirs(s"$stateDir/counts") <= 3,
+      s"sink state unbounded: ${liveDirs(s"$stateDir/hits")} live hit dirs")
   }
 }
