@@ -383,6 +383,47 @@ object Dedup {
       .select(col("tid"), col("eid"), col("st"), col("en"))
   }
 
+  /** Train-side DECONTAMINATION transform — the production action after
+    * [[contaminationSpans]] flags matches: every maximal >= `minLen`-token
+    * cross-corpus match sheds its TRAIN-side tokens (the eval set is
+    * never edited — the GPT-3/Lee et al. discipline removes the overlap
+    * from the training data), with the same normalized-token rebuild as
+    * [[removeDupSpans]]. Output over the TRAIN corpus:
+    * (idCol, n_tok, clean_text, n_removed). Same scale shape as the
+    * scan: train anchors semi-join the eval anchor set before any
+    * pairing (train-train mass never joins), hot anchors capped on the
+    * train side, islands bounded by passage length — never train×train.
+    */
+  def removeContaminated(train: DataFrame, eval: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id", minLen: Int = 20,
+                         maxOcc: Int = 4096,
+                         verifiable: Boolean = false): DataFrame = {
+    require(minLen >= 2, s"removeContaminated: minLen=$minLen < 2")
+    require(maxOcc >= 1, s"removeContaminated: maxOcc=$maxOcc < 1")
+    val spT = shinglePosRows(train, textCol, idCol, minLen, verifiable)
+      .select(col("s"), col("id").as("tid"), col("p").as("pt"))
+    val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
+      .select(col("s"), col("id").as("eid"), col("p").as("pe"))
+    val pairs = contaminationMatchedAnchors(
+      contaminationSharedTrain(spT, spE), spE, maxOcc)
+    // islands as in the scan, but resolved to TRAIN coordinates: the
+    // alignment offset d is a group key, so pt = pe - d recovers the
+    // train-side span bounds exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tid"), col("eid"), col("d")).orderBy(col("pe"))
+    val spans = pairs.withColumn("_grp", col("pe") - row_number().over(w))
+      .groupBy(col("tid"), col("eid"), col("d"), col("_grp"))
+      .agg(min(col("pe")).as("_st"), max(col("pe")).as("_mx"))
+      .select(col("tid"),
+        (col("_st") - col("d")).as("t_st"),
+        (col("_mx") + minLen - 1 - col("d")).as("t_en"))
+    val covered = spans.select(col("tid").as("id"),
+        explode(sequence(col("t_st"), col("t_en"))).as("tp"))
+      .distinct()
+    rebuildWithout(train, textCol, idCol, covered)
+  }
+
   /** Anchor rows for one side of the contamination scan — exposed so
     * the streaming monitor can persist the EVAL side once (it is static
     * for a training run) and reuse it every micro-batch.

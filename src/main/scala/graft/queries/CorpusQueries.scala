@@ -5083,6 +5083,59 @@ object CorpusQueries {
         |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
         |  md5(coalesce(c.clean_text, '')) AS clean_md5
         |FROM base b LEFT JOIN clean c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // The decontamination ACTION over q201's scan: every maximal >= 8-token
+    // train/eval match sheds its TRAIN-side tokens (eval is never edited —
+    // the GPT-3 discipline removes the overlap from the training data).
+    // The oracle replays the capped cross-corpus islands, resolves them to
+    // train coordinates via the alignment offset, and rebuilds the
+    // surviving normalized train text in order.
+    QueryDef("q205_scrub_contaminated_train",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Dedup.removeContaminated(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            minLen = 8, maxOcc = 256, verifiable = true)
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tr AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 5 <> 0),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |${verifiableGramPosSql(8, "tr", "t_")},
+        |${verifiableGramPosSql(8, "ev", "e_")},
+        |eset AS (SELECT DISTINCT s FROM e_sp),
+        |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
+        |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
+        |         HAVING count(*) <= 256) c USING (s)),
+        |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
+        |               e.p - t.p AS d
+        |        FROM tcap t JOIN e_sp e USING (s)),
+        |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
+        |          ORDER BY pe) AS grp FROM prs),
+        |tspan AS (SELECT tid, min(pe) - d AS t_st, max(pe) + 7 - d AS t_en
+        |          FROM isl GROUP BY tid, eid, d, grp),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM (
+        |  SELECT tid AS doc_id, unnest(generate_series(t_st, t_en)) AS tp
+        |  FROM tspan)),
+        |clean AS (
+        |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM t_tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
+        |  WHERE c.tp IS NULL GROUP BY t.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+        |           AS n_tok
+        |  FROM tr)
+        |SELECT b.doc_id, b.n_tok,
+        |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM base b LEFT JOIN clean c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin))
   )
 

@@ -331,6 +331,29 @@ class DedupSpec extends SparkSpec {
     assert(spans.toSeq == Seq((0, 23)), spans.toSeq)
   }
 
+  test("removeContaminated scrubs exactly the TRAIN-side match tokens; " +
+       "eval-only overlaps and clean docs are untouched") {
+    val passage = (1 to 6).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"t1 t2 $passage t3"),
+      (7L, s"t4 $passage t5 t6"),
+      (9L, "clean words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, s"e1 $passage e2"),              // raw id collides with train 1
+      (2L, s"e3 $passage e4 s1 s2 s3 s4"),
+      (3L, "s1 s2 s3 s4 q1 q2 q3")          // eval-eval overlap only
+    ).toDF("doc_id", "text")
+    val m = graft.operators.Dedup.removeContaminated(train, eval,
+        minLen = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(m(1L) == (("t1 t2 t3", 6L)), m(1L))
+    assert(m(7L) == (("t4 t5 t6", 6L)), m(7L))
+    assert(m(9L)._2 == 0L, "clean train doc scrubbed")
+    assert(m.size == 3, "output must cover the whole TRAIN corpus")
+  }
+
   test("exactSubstringPairSpans: island extension stops at a mismatch") {
     // Two passages in the same doc pair separated by a one-token edit:
     // two DISTINCT maximal spans (same alignment offset d), never bridged.
