@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.EagerOps
 
 /** Near-duplicate CLUSTER resolution: candidate pairs (id_a, id_b) from any
   * of the Dedup blockers only say "these two are alike" — choosing which
@@ -43,13 +44,13 @@ object Clusters {
     // LSH-bucketed verification); materialize its 2-column projection once
     // so the two-direction union below doesn't evaluate that pipeline
     // twice (union branches don't share subplans).
-    val rawPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val rawPairs = pairs.select(col("id_a"), col("id_b")).eagerCheckpoint()
     // undirected edge list, both directions, deduplicated; materialized
     // once (localCheckpoint) — every round re-reads it
     val edges = rawPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(rawPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     // rawPairs only feeds the edge build — free its blocks immediately
     Checkpoints.release(rawPairs)
     // Each round MUST truncate lineage (eager localCheckpoint): chaining
@@ -59,7 +60,7 @@ object Clusters {
     // data pressure). On a production cluster with unreliable executors,
     // swap for reliable checkpoint(dir) at a cadence.
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val labelType = labels.schema("cluster").dataType
     var iter = 0
     var converged = false
@@ -78,7 +79,7 @@ object Clusters {
       val next = own.union(fromNbrs)
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"), max(col("_old")).as("_old"))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       // round N is materialized: round N-1's blocks are dead — free them
       // now instead of waiting for GC + ContextCleaner
       Checkpoints.release(labels)
@@ -129,12 +130,12 @@ object Clusters {
     // `pairs` is referenced three times below (edge init + both endpoint
     // unions in allVerts); one localCheckpoint of the 2-column projection
     // keeps the caller's expensive pair pipeline from running three times.
-    val rawPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val rawPairs = pairs.select(col("id_a"), col("id_b")).eagerCheckpoint()
     var edges = rawPairs.filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     // one-action set signature; exact for numeric ids (see scaladoc proof)
     val numericIds = edges.schema("hi").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -162,7 +163,7 @@ object Clusters {
       val large = nbrs.join(m, Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")) // m ≤ u < v ⇒ hi > lo
         .distinct()
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       // small-star: edges are (hi, lo) oriented, so Γ⁻(hi) = its smaller
       // neighbours; all re-hang onto m = min(Γ⁻(hi)), plus {hi, m} itself.
       val m2 = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
@@ -171,7 +172,7 @@ object Clusters {
       val roots = m2.select(col("hi"), col("m").as("lo"))
       val next = leaves.union(roots)
         .distinct()
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       // next is materialized: this round's large-star intermediate and
       // the previous round's edge set are dead — free their blocks now
       Checkpoints.release(large)
@@ -253,15 +254,15 @@ object Clusters {
   def labelPropagation(pairs: DataFrame, vertices: DataFrame, rounds: Int,
                        idCol: String = "id"): DataFrame = {
     val rawPairs = pairs.select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val sym = rawPairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(rawPairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     Checkpoints.release(rawPairs)
     var labels = vertices
       .select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     for (_ <- 1 to rounds) {
       val top = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
@@ -273,7 +274,7 @@ object Clusters {
       val next = vertices.select(col(idCol).as("id"))
         .join(top, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       // free the superseded round's label blocks eagerly
       Checkpoints.release(labels)
       labels = next
@@ -344,7 +345,7 @@ object Clusters {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -358,7 +359,7 @@ object Clusters {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val e1 = dir.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
     val e2 = dir.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
     val tri = e1.join(e2, Seq("src"))
@@ -371,7 +372,7 @@ object Clusters {
         .groupBy(col("id")).agg(count(lit(1)).as("n_tri")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     Checkpoints.release(und)
     Checkpoints.release(dir)
     out
@@ -401,17 +402,17 @@ object Clusters {
                idCol: String = "id", maxDepth: Int = 3,
                directed: Boolean = false): DataFrame = {
     require(maxDepth >= 1, s"bfsDepth: maxDepth=$maxDepth < 1")
-    val raw = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val raw = pairs.select(col("id_a"), col("id_b")).eagerCheckpoint()
     val fwd = raw.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = (if (directed) fwd
       else fwd.union(raw.select(col("id_b").as("src"),
         col("id_a").as("dst"))))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     Checkpoints.release(raw)
     var dist = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("depth", lit(0))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     for (k <- 1 to maxDepth) {
       val frontier = dist.filter(col("depth") === (k - 1))
         .select(col("id").as("src"))
@@ -419,14 +420,14 @@ object Clusters {
         .select(col("dst").as("id")).distinct()
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .withColumn("depth", lit(k))
-      val grown = dist.unionByName(next).localCheckpoint(true)
+      val grown = dist.unionByName(next).eagerCheckpoint()
       Checkpoints.release(dist)
       dist = grown
     }
     val out = vertices.select(col(idCol).as("id"))
       .join(dist, Seq("id"), "left")
       .select(col("id"), col("depth"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     Checkpoints.release(dist)
     Checkpoints.release(edges)
     out
@@ -458,10 +459,10 @@ object Clusters {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val deg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val tp = teleport
       .select(col(idCol).cast("long").as("id"),
         round(col(weightCol).cast("double"), 10).as("_wt"))
@@ -486,9 +487,9 @@ object Clusters {
       .join(tp, Seq("id"), "left")
       .select(col("id"),
         round(coalesce(col("_wt"), lit(0.0)) / lit(wTotVal), 12).as("wv"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     var ranks = w.select(col("id"), round(col("wv"), 10).as("rank"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
@@ -508,7 +509,7 @@ object Clusters {
           round(col("wv") * (lit(1.0 - damping) + lit(damping) *
             col("_dm")) + lit(damping) *
             coalesce(col("inflow"), lit(0.0)), 10).as("rank"))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
     }
@@ -543,20 +544,20 @@ object Clusters {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     def normalized(rawLazy: DataFrame, vcol: String): DataFrame = {
       // pin the pulled frame once: it feeds BOTH the norm aggregate and
       // the normalized select — left lazy, the join+agg would run twice
-      val raw = rawLazy.localCheckpoint(true)
+      val raw = rawLazy.eagerCheckpoint()
       val tot = raw.agg(sum(col("_raw").cast("decimal(28,10)"))
         .cast("double").as("_t"))
       val out = raw.crossJoin(broadcast(tot))
         .select(col("id"), round(col("_raw") / col("_t"), 10).as(vcol))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       Checkpoints.release(raw)
       out
     }
@@ -571,7 +572,7 @@ object Clusters {
           .select(col(to).as("id"), col("_raw")), Seq("id"), "left")
         .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
       val nextAuth = normalized(pulled(hub, "hub", "src", "dst"), "auth")
@@ -582,7 +583,7 @@ object Clusters {
       hub = nextHub
     }
     val out = hub.join(auth, Seq("id")).select(col("id"), col("hub"),
-      col("auth")).localCheckpoint(true)
+      col("auth")).eagerCheckpoint()
     Checkpoints.release(hub)
     Checkpoints.release(auth)
     Checkpoints.release(e)
@@ -643,7 +644,7 @@ object Clusters {
             col(dstCol).cast("long").as("dst"))
           .distinct()
           .withColumn("w", lit(1.0))
-          .localCheckpoint(true)
+          .eagerCheckpoint()
       case Some(wc) =>
         edges.select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"),
@@ -654,20 +655,20 @@ object Clusters {
           .groupBy(col("src"), col("dst"))
           .agg(sum(round(col("_w"), 10).cast("decimal(28,10)"))
             .cast("double").as("w"))
-          .localCheckpoint(true)
+          .eagerCheckpoint()
     }
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val deg = e.groupBy(col("src"))
       .agg(sum(col("w").cast("decimal(28,10)")).cast("double")
         .as("outdeg"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val n = verts.count().toDouble // the one driver scalar; computed once
     var ranks = verts
       .select(col("id"), round(lit(1.0) / n, 10).as("rank"))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
@@ -689,7 +690,7 @@ object Clusters {
           round(lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("inflow"), lit(0.0)) + col("_dm") / n), 10)
             .as("rank"))
-        .localCheckpoint(true)
+        .eagerCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
     }

@@ -345,15 +345,33 @@ object Layout {
             Some(m)
           case None =>
             stale = true
+            cache.clear() // degrade uniformly: drop superseded-build shards
             None
         }
+      }
+
+    /** A SKIP is the only dangerous answer (keeps are always safe), and
+      * shards cached BEFORE a concurrent [[saveBloom]] rerun would keep
+      * skipping from the superseded build until some uncached load flips
+      * `stale` — so every would-be skip re-verifies `_meta` first. One
+      * small driver read per skipped file, each saving that file's scan;
+      * a failed check flips the whole sidecar to keep-everything at the
+      * first would-be skip instead of mixing builds within one scan.
+      */
+    private def buildStillCurrent(): Boolean =
+      !stale && {
+        val ok = try readSmallFile(fs, new Path(dir, "_meta"))
+          .exists(_.trim == s"$nShards $buildId")
+        catch { case scala.util.control.NonFatal(_) => false }
+        if (!ok) { stale = true; cache.clear() }
+        ok
       }
 
     def mayContain(file: String, value: Any): Boolean =
       fileIdx.get(normFile(file)) match {
         case None => true // uncovered file: keep
         case Some(fi) =>
-          bloomDriverPositions(value, mBits, k).forall { p =>
+          val hit = bloomDriverPositions(value, mBits, k).forall { p =>
             val w = p / 63
             loadShard((w % nShards).toInt) match {
               case None => true // swapped/torn build: keep
@@ -362,6 +380,7 @@ object Layout {
                   (1L << (p % 63).toInt)) != 0L
             }
           }
+          hit || !buildStillCurrent()
       }
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.operators.Checkpoints.EagerOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -299,13 +300,15 @@ object Similarity {
     // the whole candidate list every round. min is associative and each
     // distance is individually round-6'd before the fold, so the carried
     // cost equals the full least(...) exactly — centroids are identical
-    // (the determinism spec pins this). localCheckpoint keeps the plan
-    // (and lineage) round-count-independent.
+    // (the determinism spec pins this). The eager per-round checkpoint
+    // (local, or reliable under spark.graft.checkpointDir — see
+    // [[Checkpoints]]) keeps the plan (and lineage) round-count-
+    // independent.
     var scored = corpus
       .select(VectorFunctions.asDouble(col(vecCol)).as("_v"), col(idCol))
       .withColumn("_cost",
         round(VectorFunctions.sqL2(col("_v"), typedLit(s0)), 6))
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     for (r <- 0 until rounds) {
       val next = scored
         .orderBy(col("_cost").desc, col(idCol))
@@ -317,7 +320,7 @@ object Similarity {
           round(VectorFunctions.sqL2(col("_v"), typedLit(c)), 6))
         val next = scored
           .withColumn("_cost", least((col("_cost") +: dists): _*))
-          .localCheckpoint(true)
+          .eagerCheckpoint()
         // free the superseded round's scored blocks eagerly
         Checkpoints.release(scored)
         scored = next

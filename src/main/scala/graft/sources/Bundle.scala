@@ -24,20 +24,38 @@ object Bundle {
     * `spark.hadoop.*` settings and test-registered schemes apply), or a
     * bare default before any session exists.
     */
-  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+  private def sessionConf: Option[org.apache.hadoop.conf.Configuration] =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    sessionConf.getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** A path resolved through its OWN Hadoop FileSystem. Every store /
     * state probe, delete and rename in the engine routes through here:
     * a `java.io.File` probe is always false on HDFS/S3, which silently
     * disables any incremental/warm path guarded by it while the writes
     * keep succeeding — the worst kind of cluster-only degradation.
+    *
+    * A bare `new Configuration()` carries NONE of the session's
+    * `spark.hadoop.*` settings (registered schemes, credentials), so a
+    * non-local scheme resolved through it would reach the wrong/default
+    * filesystem with valid-looking results — fail loudly instead of
+    * guessing; local `file:` paths need no session settings and keep
+    * working pre-session.
     */
   private[graft] def fsPath(path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
-    (p.getFileSystem(hadoopConf), p)
+    val conf = sessionConf.getOrElse {
+      val scheme = Option(p.toUri.getScheme)
+      require(scheme.forall(_ == "file"),
+        s"Bundle: '$path' uses scheme '${scheme.getOrElse("")}' but no " +
+          "SparkSession is active — its spark.hadoop.* settings " +
+          "(registered filesystems, credentials) are required to resolve " +
+          "non-local paths; create the session first")
+      new org.apache.hadoop.conf.Configuration()
+    }
+    (p.getFileSystem(conf), p)
   }
 
   /** Existence through the path's Hadoop FileSystem (any scheme). */

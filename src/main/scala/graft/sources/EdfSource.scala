@@ -84,8 +84,17 @@ case class EdfRelation(spark: SparkSession, path: String, glob: String,
   private def listFrames(): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir = fs.getFileStatus(p).isDirectory
     val names =
-      if (fs.getFileStatus(p).isDirectory) {
+      if (isDir && glob.contains("/")) {
+        // a path-shaped glob ("sub/*.edf") cannot match a bare file NAME
+        // — honor it with the explicit globStatus expansion the pre-
+        // iterator listing used, instead of silently matching nothing
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, glob)))
+          .map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile)
+          .map(_.getPath.toString)
+      } else if (isDir) {
         val matcher = new org.apache.hadoop.fs.GlobFilter(glob)
         val it = fs.listStatusIterator(p)
         val buf = Seq.newBuilder[String]

@@ -43,7 +43,10 @@ import graft.sources.Bundle
   *   - `frontier/manifest.json` — the reference delay and the max
   *     processed index (the strict-append validity check);
   *   - `curves/` — append-only raw history, never re-read except by the
-  *     full-recompute fallback.
+  *     full-recompute fallback; [[compact]] folds old `batch=<id>`
+  *     partitions into O(log) immutable range segments under
+  *     `curves_base/` so a month-long run never hits the one-directory-
+  *     per-trigger listing wall (see the compaction section below).
   *
   * Each batch: recompute diffs over (tail ∪ batch) only, finalize the rows
   * that crossed the frontier into `stats`, rewrite the (bounded) tail, and
@@ -55,7 +58,10 @@ import graft.sources.Bundle
   * while a group's kept count stays below 2·`tdCompression` and has the
   * documented 1/compression rank-error bound beyond — size `tdCompression`
   * to the expected per-(delay, q_bin) repetition count to keep month-long
-  * median runs exact.
+  * median runs exact. Each group's current regime is surfaced as the
+  * `exact` boolean of `reduced_median` (true while every centroid is a
+  * singleton), so crossing the line is visible telemetry, not a silent
+  * precision change.
   *
   * Falls back to a full recompute (and says so in the result) when the
   * incremental assumptions break: out-of-order image indices at/below the
@@ -68,6 +74,29 @@ object IncrementalReduction {
                                fullRecompute: Boolean)
 
   private def frontierDir(stateDir: String) = s"$stateDir/frontier"
+
+  /** Torn-commit detection for at-least-once replays: a batch stamps an
+    * INTENT marker (its batch token) before the state-swap wave and the
+    * same token into the manifest AFTER (the commit). A crash between
+    * the swaps and the manifest leaves intent ≠ committed — the stale
+    * manifest's `maxIdx` would then let a replay of that very batch pass
+    * the strict-append check and re-merge rows already folded into
+    * `state.parquet`. Any unmatched intent routes the next batch through
+    * the full-recompute fallback (the history append is batch-keyed
+    * idempotent, so the recompute rebuilds correct state from scratch).
+    */
+  private def intentPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"${frontierDir(stateDir)}/inflight")
+
+  private def readIntent(stateDir: String): Option[String] = {
+    val (fs, p) = Bundle.fsPath(intentPath(stateDir).toString)
+    Bundle.readStringIfExists(fs, p).map(_.trim)
+  }
+
+  private def writeIntent(stateDir: String, token: String): Unit = {
+    val (fs, d) = Bundle.fsPath(frontierDir(stateDir))
+    Bundle.writeStringCommitted(fs, d, "inflight", token)
+  }
 
   /** Write `df` to `path` via a sibling tmp directory + directory swap:
     * ONE Spark job, and the input plan may safely READ the old `path`
@@ -88,13 +117,184 @@ object IncrementalReduction {
       throw new java.io.IOException(s"writeSwap: rename $tp -> $hp failed")
   }
 
-  private def readFrontier(stateDir: String): Option[(Double, Long)] =
-    Bundle.readManifest(frontierDir(stateDir)).flatMap { m =>
+  private def readFrontier(m: Option[Map[String, String]]): Option[(Double, Long)] =
+    m.flatMap { m =>
       for {
         rd <- m.get("refDelay").map(_.toDouble)
         mx <- m.get("maxIdx").map(_.toLong)
       } yield (rd, mx)
     }
+
+  // ------------------------- curve-history compaction -------------------
+  //
+  // `curves/` is append-only and read ONLY by the full-recompute fallback,
+  // but one `batch=<id>` directory per trigger is ~86k directories after a
+  // month at the reference's 30 s poll — the listing/footer wall on
+  // exactly the shared storage the state layer targets. Unlike the sketch
+  // families (group-grain, rewrite-the-base-cheaply), the raw history IS
+  // the corpus: folding it into one base per compaction would rewrite
+  // O(history) bytes every K batches — O(history²/K) total, a scale
+  // killer. Instead batches fold into immutable RANGE SEGMENTS
+  // (`curves_base/seg=<lo>-<hi>`, ids inclusive; raw rows concatenate
+  // verbatim, no merge function needed), and adjacent segments merge
+  // GEOMETRICALLY (newest merges into its neighbour only while it is at
+  // least as wide — the binary-counter discipline), so every byte is
+  // rewritten O(log N) times total and the segment count stays
+  // O(log(N/K)).
+  //
+  // Crash protocol (every commit is ONE directory rename):
+  //   - a segment is written to `.tmp-<lo>-<hi>` then renamed to
+  //     `seg=<lo>-<hi>`; a crash before the rename leaves a `.tmp-*`
+  //     (ignored by readers, deleted by the next compact);
+  //   - a crash AFTER the rename but before the input deletes leaves
+  //     batch dirs with id ≤ the segment's hi (readers filter them out;
+  //     the next compact deletes them) or a merge's two input segments
+  //     whose ranges are CONTAINED in the new one (readers and compact
+  //     drop contained segments — their rows are in the superset);
+  //   - a foreachBatch replay that rewrites an already-folded
+  //     `batch=<id>` is invisible to readers for the same reason
+  //     (id ≤ max folded hi). `keepBatches` recent ids stay unfolded so
+  //     live replays keep overwriting their own partition.
+  //
+  // `compact` must not run concurrently with `processBatch` on the same
+  // stateDir — the streaming wrapper runs both inside foreachBatch, which
+  // serializes them by construction.
+
+  private val SegRe = "^seg=(\\d+)-(\\d+)$".r
+
+  private def curvesBaseDir(stateDir: String) = s"$stateDir/curves_base"
+
+  /** Committed segments (lo, hi, path), strictly-contained ranges
+    * dropped (leftover inputs of a completed merge — their rows live in
+    * the containing segment).
+    */
+  private def listSegments(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(base)) Nil
+    else {
+      val all = fs.listStatus(base).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case SegRe(lo, hi) if st.isDirectory =>
+            Some((lo.toLong, hi.toLong, st.getPath))
+          case _ => None
+        }
+      }
+      all.filter { case (lo, hi, _) =>
+        !all.exists { case (l2, h2, _) =>
+          (l2, h2) != (lo, hi) && l2 <= lo && hi <= h2 }
+      }
+    }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Concatenate `inputs`' files into a committed `seg=<lo>-<hi>`:
+    * write to a dot-tmp sibling sized at ~128 MB per output file, then
+    * rename (the commit point). Callers delete the inputs afterwards.
+    */
+  private def writeSegment(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      inputs: Seq[org.apache.hadoop.fs.FileStatus],
+      lo: Long, hi: Long): Unit = {
+    val nOut = math.max(1L,
+      (inputs.map(_.getLen).sum + (128L << 20) - 1) / (128L << 20)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(base, s".tmp-$lo-$hi")
+    fs.delete(tmp, true)
+    spark.read.parquet(inputs.map(_.getPath.toString): _*)
+      .coalesce(nOut)
+      .write.parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(base, s"seg=$lo-$hi")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"segment commit $tmp -> $dst failed")
+  }
+
+  /** Fold every `curves/batch=<id>` except the most recent `keepBatches`
+    * into the segment store, then run the geometric merge loop. Heals
+    * every torn-crash shape first; idempotent; batch-keyed history only
+    * (the `batchKey = None` flat-append layout has no fold grain and is
+    * refused loudly).
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              keepBatches: Int = 2): Unit = {
+    require(keepBatches >= 1, "must keep at least one recent batch")
+    val curvesDir = new org.apache.hadoop.fs.Path(s"$stateDir/curves")
+    val base = new org.apache.hadoop.fs.Path(curvesBaseDir(stateDir))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(curvesDir)) return
+    require(!fs.listStatus(curvesDir).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }, s"curve history at $curvesDir is flat-append (no batchKey) — " +
+      "it has no fold grain; run the stream with batch-keyed state")
+    // heal: stale tmps, contained merge inputs, already-folded batch dirs
+    if (fs.exists(base))
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, true)
+      }
+    val kept = listSegments(fs, base)
+    if (fs.exists(base))
+      fs.listStatus(base).foreach { st =>
+        st.getPath.getName match {
+          case SegRe(_, _) if !kept.exists(_._3 == st.getPath) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    val folded = kept.map(_._2).maxOption.getOrElse(-1L)
+    val (doneDirs, liveDirs) = StreamingReport.batchDirs(fs, curvesDir)
+      .partition(_._1 <= folded)
+    doneDirs.foreach { case (_, p) => fs.delete(p, true) }
+    // fold [folded+1 .. max live - keepBatches] into a fresh segment
+    val cutoff = liveDirs.map(_._1).maxOption.getOrElse(-1L) - keepBatches
+    val fold = liveDirs.filter(_._1 <= cutoff)
+    if (fold.nonEmpty) {
+      val hi = fold.map(_._1).max
+      writeSegment(spark, fs, base,
+        fold.flatMap { case (_, p) => dataFiles(fs, p) }, folded + 1, hi)
+      fold.foreach { case (_, p) => fs.delete(p, true) }
+    }
+    // geometric merge: newest segment folds into its neighbour only
+    // while at least as wide — each byte rewritten O(log N) times total
+    var segs = listSegments(fs, base).sortBy(_._1)
+    while (segs.length >= 2 && {
+      val a = segs(segs.length - 2); val b = segs.last
+      b._2 - b._1 >= a._2 - a._1
+    }) {
+      val a = segs(segs.length - 2); val b = segs.last
+      writeSegment(spark, fs, base,
+        Seq(a, b).flatMap(s => dataFiles(fs, s._3)), a._1, b._2)
+      fs.delete(a._3, true)
+      fs.delete(b._3, true)
+      segs = listSegments(fs, base).sortBy(_._1)
+    }
+  }
+
+  /** The full raw history the recompute fallback reduces: committed
+    * segments ∪ batch dirs past the fold frontier ∪ any flat-append
+    * files, read by CONCRETE file paths so leftover crash shapes
+    * (resurrected folded dirs, contained segments) never double-count.
+    * A never-compacted store keeps the plain directory read.
+    */
+  private[streaming] def readCurves(spark: SparkSession,
+                                    stateDir: String): DataFrame = {
+    val curvesDir = s"$stateDir/curves"
+    val base = new org.apache.hadoop.fs.Path(curvesBaseDir(stateDir))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return spark.read.parquet(curvesDir)
+    val segs = listSegments(fs, base)
+    val folded = segs.map(_._2).maxOption.getOrElse(-1L)
+    val cp = new org.apache.hadoop.fs.Path(curvesDir)
+    val live = StreamingReport.batchDirs(fs, cp).filter(_._1 > folded)
+    val files = (segs.map(_._3) ++ live.map(_._2))
+      .flatMap(d => dataFiles(fs, d)) ++
+      dataFiles(fs, cp) // flat-append rows, if a caller ever mixed modes
+    spark.read.parquet(files.map(_.getPath.toString): _*)
+  }
 
   /** Process one micro-batch of new curve rows
     * (image_idx, delay, q_bin, i, err); returns the updated full reduction
@@ -133,7 +333,8 @@ object IncrementalReduction {
     // storage (commit 876599a) is a cluster run, where a java.io.File
     // probe is ALWAYS false and would silently disable the incremental
     // path (full history recompute per trigger, correct but O(history)).
-    val prior = readFrontier(stateDir)
+    val manifest = Bundle.readManifest(frontierDir(stateDir))
+    val prior = readFrontier(manifest)
     val haveState = Bundle.exists(statePath)
     val batchMinDelay = Option(probe("mn")).map(_.toString.toDouble)
     val batchMinIdx = Option(probe("minIdx")).map(_.toString.toLong)
@@ -144,8 +345,19 @@ object IncrementalReduction {
     val batchMaxIdx = (Option(probe("maxIdx")).map(_.toString.toLong) ++
       prior.map(_._2)).reduceOption(_ max _).getOrElse(0L)
 
+    // a batch token unique enough to tell "this intent committed" from
+    // "this intent is an orphan of a crashed wave": the caller's batchKey
+    // when present (stable across a foreachBatch replay — exactly the
+    // identity a replay must be matched on), a nanotime nonce otherwise
+    val batchToken = batchKey.map(_.toString)
+      .getOrElse(s"a${System.nanoTime()}")
+    val committedToken = manifest.flatMap(_.get("lastBatch"))
+    val tornCommit = readIntent(stateDir).exists(i =>
+      !committedToken.contains(i))
+
     val haveTail = Bundle.exists(tailPath)
     val incremental = prior.isDefined && haveState && haveTail &&
+      !tornCommit &&
       batchMinDelay.forall(_ >= prior.get._1 - atol) &&
       batchMinIdx.forall(_ > prior.get._2)
 
@@ -165,7 +377,7 @@ object IncrementalReduction {
           Some(state.filter(col("_tbl") === "s").drop("_tbl", "f", "p")))
       } else {
         // fallback / first batch: the whole history is the window
-        (spark.read.parquet(curvesDir)
+        (readCurves(spark, stateDir)
           .select("image_idx", "delay", "q_bin", "i", "err"),
           None, None, None)
       }
@@ -340,13 +552,20 @@ object IncrementalReduction {
         when(col("n_nn") > 0, noise / sqrt(col("n_all"))).as("err"))
       // median-mode twin (exact below 2·tdCompression kept reps per
       // group — see TDigestSketch): separate sink so the exact mean-mode
-      // `reduced` schema the q63 oracle pins stays untouched.
+      // `reduced` schema the q63 oracle pins stays untouched. `exact`
+      // surfaces the regime PER GROUP from the digest itself — every
+      // centroid still a singleton (size == non-null kept count) means
+      // the interpolated quantile IS the sorted-history median; the
+      // first compress fold makes the flag flip instead of the
+      // precision changing silently mid-run.
       val medianOut = c.select(
         col("delay_c").as("delay"), col("q_bin"),
         when(col("n_kept_nn") > 0,
           TDigestSketch.tdigestQuantile(col("td.means"), col("td.weights"),
             lit(0.5))).as("diff_med"),
-        col("n_kept").as("n_rep"))
+        col("n_kept").as("n_rep"),
+        (size(col("td.means")).cast("long") === col("n_kept_nn"))
+          .as("exact"))
       (reduced, medianOut)
     }
 
@@ -369,6 +588,7 @@ object IncrementalReduction {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    writeIntent(stateDir, batchToken) // intent BEFORE any state mutation
     Seq(
       Future(writeSwap(stateOut, statePath)),
       Future(writeSwap(tailNew, tailPath)),
@@ -385,7 +605,8 @@ object IncrementalReduction {
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
         else refDelayNow.toString),
-      "maxIdx" -> batchMaxIdx.toString))
+      "maxIdx" -> batchMaxIdx.toString,
+      "lastBatch" -> batchToken))
 
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
     // re-read the tail store we just overwrote. They cost three extra jobs
@@ -404,7 +625,9 @@ object IncrementalReduction {
   def incrementalCurveFolderReduction(spark: SparkSession, inputDir: String,
                                       checkpointDir: String, stateDir: String,
                                       pollSeconds: Int = 30,
-                                      schemaSource: DataFrame): StreamingQuery = {
+                                      schemaSource: DataFrame,
+                                      autoCompactEvery: Int = 64,
+                                      keepBatches: Int = 2): StreamingQuery = {
     val stream = spark.readStream
       .schema(schemaSource.schema)
       .option("maxFilesPerTrigger", 64)
@@ -417,6 +640,14 @@ object IncrementalReduction {
         // batchKey makes the history append replay-idempotent
         processBatch(batch.sparkSession, batch, stateDir,
           withMetrics = false, batchKey = Some(batchId))
+        // fold old raw-history partitions in-line (foreachBatch runs
+        // between triggers, so the fold never races its own writer) —
+        // a month-long run stays at O(log) segment dirs + ≤
+        // autoCompactEvery + keepBatches live dirs instead of one
+        // directory per trigger. 0 disables.
+        if (autoCompactEvery > 0 && batchId > 0 &&
+            batchId % autoCompactEvery == 0)
+          compact(batch.sparkSession, stateDir, keepBatches)
         ()
       }
       .start()

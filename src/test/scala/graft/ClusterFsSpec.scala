@@ -146,6 +146,42 @@ class ClusterFsSpec extends SparkSpec {
       "invalidation left stale closed partitions behind")
   }
 
+  test("reliable closure checkpoints ride cluster storage: components and " +
+       "pageRank rounds checkpoint through the registered non-local " +
+       "FileSystem with results identical to local mode") {
+    import graft.operators.Clusters
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (0L until 16L).toDF("id")
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    def run() = (
+      Clusters.components(pairs, vertices).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Clusters.pageRank(edges, iterations = 3).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val (ccLocal, prLocal) = run()
+    val ckRoot = graftDir("gfs-ck")
+    spark.conf.set(graft.operators.Checkpoints.DirConf, ckRoot)
+    try {
+      // adopt the graftfs root explicitly (the shared context may carry
+      // an earlier suite's dir; an explicit set wins by contract)
+      spark.sparkContext.setCheckpointDir(ckRoot)
+      val adopted = spark.sparkContext.getCheckpointDir.get
+      assert(adopted.startsWith("graftfs:"),
+        s"checkpoint dir must resolve through graftfs, got $adopted")
+      val (ccRel, prRel) = run()
+      assert(ccRel == ccLocal, "graftfs-mode components diverged")
+      assert(prRel == prLocal, "graftfs-mode pageRank diverged")
+      // the rounds really wrote through the non-local scheme: the final
+      // (still-referenced) checkpoints live under the graftfs root
+      val (fs, p) = Bundle.fsPath(adopted)
+      val rddDirs = fs.listStatus(p).map(_.getPath.getName)
+        .count(_.startsWith("rdd-"))
+      assert(rddDirs >= 1,
+        "no rdd-* checkpoint dirs under the graftfs root — reliable " +
+          "mode silently fell back to local checkpoints")
+    } finally spark.conf.unset(graft.operators.Checkpoints.DirConf)
+  }
+
   test("grep gate: NO main-source code path touches java.io.File — " +
        "store, state, query harness, and entry points all ride Hadoop FS") {
     def walk(d: java.io.File): Seq[java.io.File] =

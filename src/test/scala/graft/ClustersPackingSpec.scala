@@ -76,6 +76,45 @@ class ClustersPackingSpec extends SparkSpec {
     assert(sl.collect().forall(_.getLong(1) == 0L))
   }
 
+  test("reliable checkpoint mode (spark.graft.checkpointDir): CC and " +
+       "pageRank results identical to the local mode, rounds go through " +
+       "persisted files, superseded round files are deleted eagerly") {
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (0L until 24L).toDF("id")
+    val edges = (0L until 23L).map(i => (i, i + 1)).toDF("src", "dst")
+    def run() = (
+      Clusters.components(pairs, vertices).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Clusters.pageRank(edges, iterations = 4).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val (ccLocal, prLocal) = run()
+    val ckRoot = java.nio.file.Files.createTempDirectory("graft-ck")
+    spark.conf.set("spark.graft.checkpointDir", ckRoot.toString)
+    try {
+      spark.sparkContext.setCheckpointDir(ckRoot.toString)
+      val (ccRel, prRel) = run()
+      assert(ccRel == ccLocal, "reliable-mode components diverged")
+      assert(prRel.keySet == prLocal.keySet)
+      prLocal.foreach { case (k, v) =>
+        assert(approx(prRel(k), v, 0.0), s"reliable-mode pageRank at $k") }
+      // reliable rounds are FILES (executor-loss-survivable), and the
+      // release hygiene deletes superseded rounds: after both loops, at
+      // most the few still-referenced final frames remain on disk
+      def rddDirs() = {
+        val d = new java.io.File(spark.sparkContext.getCheckpointDir.get
+          .stripPrefix("file:"))
+        Option(d.listFiles()).map(_.count(_.getName.startsWith("rdd-")))
+          .getOrElse(0)
+      }
+      val left = rddDirs()
+      assert(left >= 1,
+        "reliable mode must have produced checkpoint files (conf ignored?)")
+      assert(left <= 6,
+        s"$left rdd-* checkpoint dirs remain — superseded rounds' files " +
+          "must be deleted by Checkpoints.release")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("star contraction resolves a 1024-node chain in O(log n) rounds") {
     // THE adversarial case for label propagation (would need 1023 rounds —
     // more than maxIters); alternating large/small-star contracts it

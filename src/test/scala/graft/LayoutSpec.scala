@@ -808,6 +808,21 @@ class LayoutSpec extends SparkSpec {
       "a reader holding a superseded build must keep every file")
     assert(fresh.isStale, "the foreign build must mark the sidecar stale")
 
+    // shards CACHED before the rerun: a warm reader must not keep
+    // skipping from the superseded build until an uncached load flips
+    // stale — every would-be skip re-verifies the build first, so the
+    // FIRST post-swap probe already answers keep-everything
+    val warm = Layout.loadBloom(spark, dir, "id").get
+      .asInstanceOf[Layout.ShardedBloomSidecar]
+    assert((0 until n).count(i => !warm.mayContain(fname(i), 7L)) > 90,
+      "sanity: warm the shard cache with build-1 skips")
+    assert(!warm.isStale && warm.loadedShards > 0)
+    rebuild(7000L)
+    assert((0 until n).forall(i => warm.mayContain(fname(i), 7L)),
+      "a warm reader must keep every file from the first post-swap probe")
+    assert(warm.isStale && warm.loadedShards == 0,
+      "the failed skip-verify must flip stale and drop cached shards")
+
     // the delete→rename window itself: shard dir momentarily absent
     val fresh2 = Layout.loadBloom(spark, dir, "id").get
       .asInstanceOf[Layout.ShardedBloomSidecar]

@@ -139,6 +139,25 @@ class SourcesSpec extends SparkSpec {
       "limit must bound the file list before any read")
   }
 
+  test("graft-edf honors a path-shaped glob (sub/*.edf) via globStatus " +
+       "instead of silently matching nothing") {
+    val dir = Files.createTempDirectory("edfsub").toFile
+    val sub = new java.io.File(dir, "run01"); sub.mkdirs()
+    val other = new java.io.File(dir, "run02"); other.mkdirs()
+    (0 until 3).foreach { k =>
+      val raw = ImageSource.encodeEdf(2, 2,
+        Array.tabulate(4)(i => (i + k).toDouble))
+      Files.write(Paths.get(sub.getPath, s"a$k.edf"), raw)
+      Files.write(Paths.get(other.getPath, s"b$k.edf"), raw)
+    }
+    val got = spark.read.format("graft-edf")
+      .option("pathGlobFilter", "run01/*.edf")
+      .load(dir.getPath)
+      .select("image_id").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a0.edf", "a1.edf", "a2.edf"),
+      s"path-shaped glob must expand through globStatus, got ${got.toSeq}")
+  }
+
   test("readEdfFolder explodes frames into the pixel table") {
     val dir = Files.createTempDirectory("edf").toFile
     val data = Array.tabulate(6)(_.toDouble) // 3x2 image

@@ -265,6 +265,204 @@ class StreamingSpec extends SparkSpec {
     assert(late.fullRecompute)
   }
 
+  test("curve-history compaction: directory count bounded across triggers, " +
+       "incremental outputs untouched, and a post-compaction fallback " +
+       "recomputes identically to the uncompacted twin") {
+    import graft.streaming.IncrementalReduction
+    val sA = Files.createTempDirectory("inc-cpA").toString // compacted
+    val sB = Files.createTempDirectory("inc-cpB").toString // twin, never
+    val nB = 12
+    (0 until nB).foreach { k =>
+      val b = curveBatch(k * 5, (k + 1) * 5)
+      val rA = IncrementalReduction.processBatch(spark, b, sA,
+        batchKey = Some(k.toLong))
+      IncrementalReduction.processBatch(spark, b, sB,
+        batchKey = Some(k.toLong))
+      assert(rA.fullRecompute == (k == 0),
+        s"batch $k must stay incremental through compactions")
+      if (k > 0 && k % 4 == 0)
+        IncrementalReduction.compact(spark, sA, keepBatches = 2)
+    }
+    def snap(s: String, table: String, cols: Seq[String]) =
+      spark.read.parquet(s"$s/$table").select(cols.map(col): _*)
+        .collect().map(r => (r.getDouble(0), r.getInt(1)) ->
+          cols.drop(2).indices.map(i => r.getDouble(2 + i))).toMap
+    Seq(("reduced", Seq("delay", "q_bin", "diff_av", "noise", "err")),
+        ("reduced_median", Seq("delay", "q_bin", "diff_med"))).foreach {
+      case (t, cs) =>
+        val a = snap(sA, t, cs); val b = snap(sB, t, cs)
+        assert(a.keySet == b.keySet, s"$t groups diverged")
+        b.foreach { case (k, vs) => vs.indices.foreach(i =>
+          assert(approx(a(k)(i), vs(i), 1e-9), s"$t $k col $i")) }
+    }
+    // directory count: live batch dirs bounded by compact cadence + keep,
+    // segments bounded by the geometric (binary-counter) discipline
+    val (fs, cv) = graft.sources.Bundle.fsPath(s"$sA/curves")
+    val liveA = fs.listStatus(cv).count(_.getPath.getName.startsWith("batch="))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$sA/curves_base"))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
+    assert(liveA <= 2 + 4, s"live dirs $liveA — compaction not folding")
+    assert(segs.length <= 3,
+      s"segments ${segs.toSeq} — geometric merge not bounding the store")
+    val (_, cvB) = graft.sources.Bundle.fsPath(s"$sB/curves")
+    assert(fs.listStatus(cvB).count(_.getPath.getName.startsWith("batch=")) == nB)
+
+    // forced fallback on BOTH stores (out-of-order index below the
+    // frontier): the compacted history must recompute the exact same
+    // reduction as the one-directory-per-batch twin
+    def late() = curveBatch(200, 201)
+      .withColumn("image_idx", lit(7) + col("image_idx") * 0)
+    val fA = IncrementalReduction.processBatch(spark, late(), sA,
+      batchKey = Some(nB.toLong))
+    val fB = IncrementalReduction.processBatch(spark, late(), sB,
+      batchKey = Some(nB.toLong))
+    assert(fA.fullRecompute && fB.fullRecompute)
+    val a2 = snap(sA, "reduced", Seq("delay", "q_bin", "diff_av", "err"))
+    val b2 = snap(sB, "reduced", Seq("delay", "q_bin", "diff_av", "err"))
+    assert(a2.keySet == b2.keySet, "fallback over compacted history diverged")
+    b2.foreach { case (k, vs) => vs.indices.foreach(i =>
+      assert(approx(a2(k)(i), vs(i), 1e-9), s"fallback $k col $i")) }
+  }
+
+  test("curve-history compaction heals every torn-crash shape and a " +
+       "replay of a folded batch never double-counts") {
+    import graft.streaming.IncrementalReduction
+    val sA = Files.createTempDirectory("inc-czA").toString
+    val sB = Files.createTempDirectory("inc-czB").toString
+    (0 until 8).foreach { k =>
+      val b = curveBatch(k * 5, (k + 1) * 5)
+      IncrementalReduction.processBatch(spark, b, sA, batchKey = Some(k.toLong))
+      IncrementalReduction.processBatch(spark, b, sB, batchKey = Some(k.toLong))
+    }
+    IncrementalReduction.compact(spark, sA, keepBatches = 2) // folds 0..5
+    val (fs, base) = graft.sources.Bundle.fsPath(s"$sA/curves_base")
+    val seg = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("seg=")).head
+    // crash shape 1: replay of a FOLDED batch rewrote its partition
+    curveBatch(15, 20).write.mode("overwrite").parquet(s"$sA/curves/batch=3")
+    // crash shape 2: a segment write that never committed (stale .tmp)
+    spark.read.parquet(seg.toString).write
+      .parquet(s"$sA/curves_base/.tmp-6-9")
+    // crash shape 3: a completed merge whose contained input survived
+    // its delete — readers must drop the contained range entirely
+    spark.read.parquet(seg.toString).write
+      .parquet(s"$sA/curves_base/seg=0-2")
+    // fallback over the torn store ≡ fallback over the clean twin
+    def late() = curveBatch(200, 201)
+      .withColumn("image_idx", lit(7) + col("image_idx") * 0)
+    val fA = IncrementalReduction.processBatch(spark, late(), sA,
+      batchKey = Some(8L))
+    val fB = IncrementalReduction.processBatch(spark, late(), sB,
+      batchKey = Some(8L))
+    assert(fA.fullRecompute && fB.fullRecompute)
+    def snap(s: String) = spark.read.parquet(s"$s/reduced")
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val a = snap(sA); val b = snap(sB)
+    assert(a.keySet == b.keySet)
+    b.foreach { case (k, (av, n)) =>
+      assert(approx(a(k)._1, av, 1e-9) && a(k)._2 == n,
+        s"torn store double-counted at $k") }
+    // the next compact heals all three shapes
+    IncrementalReduction.compact(spark, sA, keepBatches = 2)
+    val names = fs.listStatus(base).map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith(".tmp-")), "stale tmp must be removed")
+    assert(!names.contains("seg=0-2"), "contained segment must be removed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sA/curves/batch=3")),
+      "resurrected folded batch dir must be removed")
+  }
+
+  test("a replay after a crash between the state swaps and the manifest " +
+       "write routes through the full recompute instead of double-counting") {
+    import graft.streaming.IncrementalReduction
+    val stateDir = Files.createTempDirectory("inc-torn").toString
+    val frontier = s"$stateDir/frontier"
+    IncrementalReduction.processBatch(spark, curveBatch(0, 20), stateDir,
+      batchKey = Some(1L))
+    val manifestAfter1 = graft.sources.Bundle.readManifest(frontier).get
+    IncrementalReduction.processBatch(spark, curveBatch(20, 40), stateDir,
+      batchKey = Some(2L))
+    // crash simulation: batch 2's swap wave completed (state/tail/curves
+    // all carry its rows) but the manifest write did not — restore the
+    // post-batch-1 manifest; the intent marker still says batch 2
+    graft.sources.Bundle.writeManifest(frontier, manifestAfter1)
+    // at-least-once replay of batch 2: the stale manifest's maxIdx (19)
+    // would pass the strict-append check and re-merge rows already folded
+    // into state.parquet — the unmatched intent must force the fallback
+    val replay = IncrementalReduction.processBatch(spark, curveBatch(20, 40),
+      stateDir, batchKey = Some(2L))
+    assert(replay.fullRecompute,
+      "a torn commit's replay must not take the incremental path")
+    val got = replay.reduced
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val want = graft.operators.Reduction.timeResolvedSignal(curveBatch(0, 40))
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (av, n)) =>
+      assert(approx(got(k)._1, av, 1e-9) && got(k)._2 == n, s"group $k") }
+    // the healed commit re-arms the incremental path
+    val next = IncrementalReduction.processBatch(spark, curveBatch(40, 60),
+      stateDir, batchKey = Some(3L))
+    assert(!next.fullRecompute, "the fallback must heal, not stick")
+  }
+
+  test("incremental median surfaces its exact regime per group: the flag " +
+       "flips when kept count reaches 2·tdCompression while mean-mode " +
+       "output and in-regime medians stay exact") {
+    import graft.streaming.IncrementalReduction
+    val stateDir = Files.createTempDirectory("inc-exact").toString
+    // tdCompression=10 → compress starts pairing at total weight ≥ 20.
+    // 60 images → 20 rows per (delay, q_bin) group; the delay=0 groups
+    // are references (W2-thinned to 10 kept) and stay in-regime, the
+    // delay=1/2 groups keep all 20 and cross the line on batch 2.
+    Seq((0, 30), (30, 60)).zipWithIndex.foreach { case ((a, b), k) =>
+      IncrementalReduction.processBatch(spark, curveBatch(a, b), stateDir,
+        withMetrics = false, batchKey = Some(k.toLong), tdCompression = 10)
+      if (k == 0) {
+        val all = spark.read.parquet(s"$stateDir/reduced_median")
+          .select("exact").collect().map(_.getBoolean(0))
+        assert(all.nonEmpty && all.forall(identity),
+          "below the regime every group must report exact=true")
+      }
+    }
+    val med = spark.read.parquet(s"$stateDir/reduced_median")
+      .select("delay", "q_bin", "diff_med", "n_rep", "exact").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    med.foreach { case ((d, q), (_, n, ex)) =>
+      if (d == 0.0) assert(n == 10 && ex,
+        s"thinned ref group ($d,$q) n=$n must stay exact")
+      else assert(n == 20 && !ex,
+        s"group ($d,$q) n=$n crossed 2·compression — flag must flip")
+    }
+    // in-regime groups' median is still the sorted-history median, and
+    // the mean-mode output is untouched by the telemetry column
+    val want = graft.operators.Reduction
+      .timeResolvedSignal(curveBatch(0, 60), useMedian = true)
+      .select("delay", "q_bin", "diff_av").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    med.filter(_._2._3).foreach { case (k, (m, _, _)) =>
+      assert(approx(m, want(k), 1e-9), s"exact-regime median diverged at $k") }
+    val gotMean = spark.read.parquet(s"$stateDir/reduced")
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val wantMean = graft.operators.Reduction
+      .timeResolvedSignal(curveBatch(0, 60))
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(gotMean.keySet == wantMean.keySet)
+    wantMean.foreach { case (k, (av, n)) =>
+      assert(approx(gotMean(k)._1, av, 1e-9) && gotMean(k)._2 == n,
+        s"mean-mode output changed at $k") }
+  }
+
   test("foreachBatch full re-reduction converges to the batch result") {
     val inDir = Files.createTempDirectory("s2-in").toString
     val ckDir = Files.createTempDirectory("s2-ck").toString
