@@ -469,15 +469,26 @@ object ScatteringFunctions {
     */
   @volatile private var elementOverrides: Map[String, ElementInfo] = Map.empty
 
+  /** The generated remainder of the periodic table (Z = 1..92): every
+    * element [[Elements]] does not anchor, grids derived from the
+    * anchored set — method and region-honest accuracy documented on
+    * [[ElementTable]]. Computed once; anchors always win over it.
+    */
+  lazy val GeneratedElements: Map[String, ElementInfo] =
+    ElementTable.generate(Elements)
+
   /** The effective table: override wins WHOLE (a partial merge of two
-    * grids would corrupt two-sided edge structure), else built-in.
+    * grids would corrupt two-sided edge structure), else anchored
+    * built-in, else the generated full-table entry.
     */
   def elementInfo(el: String): Option[ElementInfo] =
     elementOverrides.get(el).orElse(Elements.get(el))
+      .orElse(GeneratedElements.get(el))
 
-  /** Elements currently served (built-in ∪ overridden). */
+  /** Elements currently served (anchored ∪ generated ∪ overridden). */
   def tabulatedElements: Seq[String] =
-    (Elements.keySet ++ elementOverrides.keySet).toSeq.sorted
+    (Elements.keySet ++ GeneratedElements.keySet ++
+      elementOverrides.keySet).toSeq.sorted
 
   /** Parse a μ/ρ override table — CSV columns
     * `element,energy_keV,mu_rho[,weight[,density]]`, `#` comments and an
@@ -515,12 +526,12 @@ object ScatteringFunctions {
       }.toSeq
     rows.groupBy(_._1).map { case (el, rs) =>
       val weight = rs.flatMap(_._4).headOption
-        .orElse(Elements.get(el).map(_.weight))
+        .orElse(elementInfo(el).map(_.weight))
         .getOrElse(throw new IllegalArgumentException(
           s"element $el is not built in — its override rows must carry " +
             "a weight column (element,energy_keV,mu_rho,weight[,density])"))
       val density = rs.flatMap(_._5).headOption
-        .orElse(Elements.get(el).flatMap(_.density))
+        .orElse(elementInfo(el).flatMap(_.density))
       val grid = rs.map(r => (r._2, r._3)).sortBy(_._1)
       grid.zip(grid.tail).foreach { case ((e1, _), (e2, _)) =>
         require(e1 != e2,

@@ -160,8 +160,9 @@ object Dedup {
     * transform. Per-document groupBy (groups are document-sized by
     * construction); output (idCol, n_tok, clean_text, n_removed).
     */
-  private def rebuildWithout(docs: DataFrame, textCol: String,
-                             idCol: String, coveredPos: DataFrame): DataFrame = {
+  private[graft] def rebuildWithout(docs: DataFrame, textCol: String,
+                                    idCol: String,
+                                    coveredPos: DataFrame): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tp", "t")))
     val rebuilt = tok.join(coveredPos, Seq("id", "tp"), "left_anti")
@@ -407,21 +408,29 @@ object Dedup {
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
     val pairs = contaminationMatchedAnchors(
       contaminationSharedTrain(spT, spE), spE, maxOcc)
-    // islands as in the scan, but resolved to TRAIN coordinates: the
-    // alignment offset d is a group key, so pt = pe - d recovers the
-    // train-side span bounds exactly
+    rebuildWithout(train, textCol, idCol,
+      trainCoveredPositions(pairs, minLen))
+  }
+
+  /** Matched anchor pairs (tid, eid, pe, d) → the distinct TRAIN-side
+    * token positions their maximal islands cover: islands as in the
+    * scan, but resolved to train coordinates — the alignment offset d
+    * is a group key, so pt = pe - d recovers the train-side span bounds
+    * exactly. Shared by [[removeContaminated]] and the streaming scrub
+    * ([[graft.streaming.StreamingContamination]]) so both transforms
+    * remove literally the same positions.
+    */
+  private[graft] def trainCoveredPositions(pairs: DataFrame,
+                                           minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tid"), col("eid"), col("d")).orderBy(col("pe"))
-    val spans = pairs.withColumn("_grp", col("pe") - row_number().over(w))
+    pairs.withColumn("_grp", col("pe") - row_number().over(w))
       .groupBy(col("tid"), col("eid"), col("d"), col("_grp"))
       .agg(min(col("pe")).as("_st"), max(col("pe")).as("_mx"))
-      .select(col("tid"),
-        (col("_st") - col("d")).as("t_st"),
-        (col("_mx") + minLen - 1 - col("d")).as("t_en"))
-    val covered = spans.select(col("tid").as("id"),
-        explode(sequence(col("t_st"), col("t_en"))).as("tp"))
+      .select(col("tid").as("id"),
+        explode(sequence(col("_st") - col("d"),
+          col("_mx") + minLen - 1 - col("d"))).as("tp"))
       .distinct()
-    rebuildWithout(train, textCol, idCol, covered)
   }
 
   /** Anchor rows for one side of the contamination scan — exposed so

@@ -5103,41 +5103,79 @@ object CorpusQueries {
             md5(col("clean_text")).as("clean_md5"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH tr AS (SELECT doc_id, text FROM documents
-        |           WHERE doc_id % 5 <> 0),
-        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |${verifiableGramPosSql(8, "tr", "t_")},
-        |${verifiableGramPosSql(8, "ev", "e_")},
-        |eset AS (SELECT DISTINCT s FROM e_sp),
-        |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
-        |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
-        |         HAVING count(*) <= 256) c USING (s)),
-        |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
-        |               e.p - t.p AS d
-        |        FROM tcap t JOIN e_sp e USING (s)),
-        |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
-        |          ORDER BY pe) AS grp FROM prs),
-        |tspan AS (SELECT tid, min(pe) - d AS t_st, max(pe) + 7 - d AS t_en
-        |          FROM isl GROUP BY tid, eid, d, grp),
-        |cov AS (SELECT DISTINCT doc_id, tp FROM (
-        |  SELECT tid AS doc_id, unnest(generate_series(t_st, t_en)) AS tp
-        |  FROM tspan)),
-        |clean AS (
-        |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
-        |         count(*) AS n_kept
-        |  FROM t_tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
-        |  WHERE c.tp IS NULL GROUP BY t.doc_id),
-        |base AS (
-        |  SELECT doc_id,
-        |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
-        |           AS n_tok
-        |  FROM tr)
-        |SELECT b.doc_id, b.n_tok,
-        |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
-        |  md5(coalesce(c.clean_text, '')) AS clean_md5
-        |FROM base b LEFT JOIN clean c USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin))
+      Some(scrubOracleSql)),
+
+    // q205's STREAMING twin: three processBatch deliveries through the
+    // contamination monitor, then scrub() rebuilds the clean train text
+    // against the cumulative capped match set — the report()-side global
+    // cap included — so the streamed result must hash-match the one-shot
+    // batch transform (the oracle is q205's SQL verbatim: same split,
+    // same islands algebra, same rebuild).
+    QueryDef("q206_streaming_scrub",
+      (s, dir) => {
+        import graft.streaming.StreamingContamination
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        val p = StreamingContamination.Params(minLen = 8, maxOcc = 256,
+          verifiable = true)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-scrub-q206").toString
+        StreamingContamination.prepareEval(s,
+          docs.filter(col("doc_id") % 5 === 0), stateDir, p)
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        Seq(0L, 1L, 2L).foreach(k =>
+          StreamingContamination.processBatch(s,
+            train.filter(col("doc_id") % 3 === k), stateDir, p,
+            batchKey = Some(k)))
+        val out = StreamingContamination.scrub(s, train, stateDir, p)
+          .select(col("doc_id"), col("n_tok"), col("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+        graft.sources.Bundle.deleteRecursively(stateDir)
+        out
+      },
+      Some(scrubOracleSql))
   )
+
+  /** Shared by q205 (one-shot transform) and q206 (streamed deliveries +
+    * scrub): the DuckDB replay of the train-side decontamination rebuild.
+    */
+  private def scrubOracleSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id % 5 <> 0),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |${verifiableGramPosSql(8, "tr", "t_")},
+       |${verifiableGramPosSql(8, "ev", "e_")},
+       |eset AS (SELECT DISTINCT s FROM e_sp),
+       |tsh AS (SELECT t_sp.* FROM t_sp JOIN eset USING (s)),
+       |tcap AS (SELECT tsh.* FROM tsh JOIN (SELECT s FROM tsh GROUP BY s
+       |         HAVING count(*) <= 256) c USING (s)),
+       |prs AS (SELECT t.doc_id AS tid, e.doc_id AS eid, e.p AS pe,
+       |               e.p - t.p AS d
+       |        FROM tcap t JOIN e_sp e USING (s)),
+       |isl AS (SELECT *, pe - row_number() OVER (PARTITION BY tid, eid, d
+       |          ORDER BY pe) AS grp FROM prs),
+       |tspan AS (SELECT tid, min(pe) - d AS t_st, max(pe) + 7 - d AS t_en
+       |          FROM isl GROUP BY tid, eid, d, grp),
+       |cov AS (SELECT DISTINCT doc_id, tp FROM (
+       |  SELECT tid AS doc_id, unnest(generate_series(t_st, t_en)) AS tp
+       |  FROM tspan)),
+       |clean AS (
+       |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.p) AS clean_text,
+       |         count(*) AS n_kept
+       |  FROM t_tokt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.tp
+       |  WHERE c.tp IS NULL GROUP BY t.doc_id),
+       |base AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+       |           AS n_tok
+       |  FROM tr)
+       |SELECT b.doc_id, b.n_tok,
+       |  (b.n_tok - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+       |  md5(coalesce(c.clean_text, '')) AS clean_md5
+       |FROM base b LEFT JOIN clean c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 
   /** Shared by q201 (batch scan) and q202 (streamed deliveries): the
     * one-shot DuckDB replay of the cross-corpus contamination scan.

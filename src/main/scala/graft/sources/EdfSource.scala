@@ -48,10 +48,14 @@ class EdfSource extends RelationProvider with DataSourceRegister {
 
 object EdfSource {
   /** (files kept, files total, payload decoded?) of the most recent
-    * buildScan on this driver — the spec hook asserting that pruning
-    * and header-only projection actually happened.
+    * buildScan on this driver — a TEST-ONLY observability hook (the
+    * specs asserting that pruning and header-only projection actually
+    * happened): process-global, so two concurrent scans interleave
+    * their writes and the value is meaningful only in single-scan
+    * test flows. Nothing in the engine reads it.
     */
-  val lastScan = new AtomicReference[(Int, Int, Boolean)]((0, 0, false))
+  private[graft] val lastScan =
+    new AtomicReference[(Int, Int, Boolean)]((0, 0, false))
 }
 
 case class EdfRelation(spark: SparkSession, path: String, glob: String,

@@ -192,7 +192,7 @@ object ZOrderSource {
   /** (files kept, files total) of the most recent buildScan on this
     * driver — the spec hook measuring that skipping actually happened.
     */
-  val lastScan = new AtomicReference[(Int, Int)]((0, 0))
+  private[graft] val lastScan = new AtomicReference[(Int, Int)]((0, 0))
 }
 
 case class ZOrderRelation(spark: SparkSession, path: String)

@@ -137,8 +137,14 @@ object StreamingContamination {
         counts.write.mode("overwrite")
           .parquet(s"${countsDir(stateDir)}/batch=$id")
       case None =>
-        pairs.write.mode("append").parquet(hitsDir(stateDir))
+        // two non-idempotent appends cannot be made crash-atomic; write
+        // counts FIRST so a crash between them leaves a count-only
+        // orphan — the global cap then over-counts the anchor's
+        // occurrences and can only OVER-cap (drop pairs it would have
+        // kept), never report a span the one-shot scan would drop.
+        // Batch-keyed mode (above) is the crash-safe path.
         counts.write.mode("append").parquet(countsDir(stateDir))
+        pairs.write.mode("append").parquet(hitsDir(stateDir))
     }
     Dedup.contaminationIslands(pairs.drop("s"), p.minLen)
   }
@@ -152,8 +158,15 @@ object StreamingContamination {
     * it. Cost is O(stored matches), never O(train corpus). Output:
     * (idCol, span_start, span_end, span_len, n_partners).
     */
-  def report(spark: SparkSession, stateDir: String,
-             p: Params = Params()): DataFrame = {
+  /** Cumulative matched anchor pairs (tid, eid, pe, d) over every
+    * delivery, with the GLOBAL hot-anchor cap applied: `maxOcc`
+    * re-checked against each anchor's cumulative train occurrence
+    * count, so an anchor hot only in aggregate is dropped exactly as
+    * the one-shot scan drops it. The shared core of [[report]] and
+    * [[scrub]].
+    */
+  private def cappedPairs(spark: SparkSession, stateDir: String,
+                          p: Params): DataFrame = {
     // empty-state schemas derive from the persisted eval anchors (id
     // type flows from the caller's corpus — hardcoding LONG would make
     // the never-delivered edge case diverge from every other read)
@@ -186,10 +199,42 @@ object StreamingContamination {
       .select(col("s"), col("cnt"))
     val hot = counts.groupBy(col("s")).agg(sum(col("cnt")).as("_tot"))
       .filter(col("_tot") > p.maxOcc).select(col("s"))
-    val kept = pairs.join(hot, Seq("s"), "left_anti").drop("s")
-    Dedup.mergeDocSpans(Dedup.contaminationIslands(kept, p.minLen)
+    pairs.join(hot, Seq("s"), "left_anti").drop("s")
+  }
+
+  def report(spark: SparkSession, stateDir: String,
+             p: Params = Params()): DataFrame =
+    Dedup.mergeDocSpans(Dedup.contaminationIslands(
+        cappedPairs(spark, stateDir, p), p.minLen)
       .select(col("eid").as("id"), col("st"), col("en"),
         col("tid").as("partner")), p.idCol)
+
+  /** Train-side SCRUB over the cumulative capped match set — the
+    * streaming twin of [[graft.operators.Dedup.removeContaminated]]:
+    * rebuild clean text for `trainDocs` (any subset of the delivered
+    * corpus, re-presented by the caller — typically the docs about to
+    * ship to training) against EVERY stored delivery's matches, with
+    * [[report]]'s global-cap semantics. Because each train doc's
+    * matches are complete within the batch that delivered it (docs
+    * arrive whole, eval is static) and the per-delivery cap only drops
+    * anchors the cumulative cap drops a fortiori, scrubbing after N
+    * deliveries equals the one-shot batch transform over their union —
+    * q206 oracles that equality, a cap-straddling spec pins the hot-
+    * anchor edge. Cost: O(stored matches + trainDocs tokens), never
+    * O(history × corpus). Output: (idCol, n_tok, clean_text, n_removed).
+    */
+  def scrub(spark: SparkSession, trainDocs: DataFrame, stateDir: String,
+            p: Params = Params()): DataFrame = {
+    val m = graft.sources.Bundle.readManifest(stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no contamination state at $stateDir — run prepareEval first"))
+    require(m == p.manifest,
+      s"contamination params drifted: state has $m, caller passed ${p.manifest}")
+    val mine = cappedPairs(spark, stateDir, p)
+      .join(trainDocs.select(col(p.idCol).as("tid")).distinct(),
+        Seq("tid"), "left_semi")
+    Dedup.rebuildWithout(trainDocs, p.textCol, p.idCol,
+      Dedup.trainCoveredPositions(mine, p.minLen))
   }
 
   /** The registered live loop: watch `inputDir` for train-doc parquet

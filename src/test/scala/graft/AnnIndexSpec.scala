@@ -9,6 +9,7 @@ import graft.sources.Bundle
   * the live path, parameter changes must invalidate, and incremental
   * append must equal encoding everything with the build-time quantizers.
   */
+@SlowSuite
 class AnnIndexSpec extends SparkSpec {
 
   private lazy val emb =

@@ -6,6 +6,7 @@ import graft.operators.{Clusters, Packing}
 /** Dedup cluster resolution (connected components) + token-budget
   * sequence packing.
   */
+@SlowSuite
 class ClustersPackingSpec extends SparkSpec {
   import spark.implicits._
 

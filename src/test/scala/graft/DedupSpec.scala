@@ -6,6 +6,7 @@ import graft.operators.Dedup
 /** Deduplication: exact, MinHash+LSH, SimHash, exact n-gram Jaccard,
   * embedding near-dup — each on constructed corpora with known duplicates.
   */
+@SlowSuite
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 

@@ -102,15 +102,15 @@ class ExtrasSpec extends SparkSpec {
     } finally ScatteringFunctions.clearElementOverrides()
     // cleared: back to the built-ins
     assert(approx(muAt("Fe2O3", 10.0), fe10, 1e-12))
-    // missing element: the error names it and the remedy
+    // missing element (beyond Z=92): the error names it and the remedy
     val e1 = intercept[IllegalArgumentException](
-      ScatteringFunctions.formulaWeights("UO2"))
-    assert(e1.getMessage.contains("element U") &&
+      ScatteringFunctions.formulaWeights("PuO2"))
+    assert(e1.getMessage.contains("element Pu") &&
       e1.getMessage.contains("loadElementOverrides"))
     // unknown element without a weight column: named
     val e2 = intercept[IllegalArgumentException](
-      ScatteringFunctions.parseElementTable("U,10.0,100.0"))
-    assert(e2.getMessage.contains("U") && e2.getMessage.contains("weight"))
+      ScatteringFunctions.parseElementTable("Pu,10.0,100.0"))
+    assert(e2.getMessage.contains("Pu") && e2.getMessage.contains("weight"))
     // malformed line: line number and field named
     val e3 = intercept[IllegalArgumentException](
       ScatteringFunctions.parseElementTable("Fe,ten,1.0"))
@@ -143,6 +143,95 @@ class ExtrasSpec extends SparkSpec {
       .select(ScatteringFunctions.attenuationLength("Mo", $"e").as("l"))
       .as[Double].head()
     assert(lamMo > 0, "Mo bulk density must resolve")
+  }
+
+  test("G7 full periodic table: every element Z=1..92 resolves out of " +
+       "the box, generated grids are structurally sound, and spot values " +
+       "land on the published figures") {
+    import graft.functions.{ElementTable, ScatteringFunctions}
+    def muAt(f: String, e: Double): Double = Seq(e).toDF("e")
+      .select(ScatteringFunctions.massAttenuation(f, $"e").as("m"))
+      .as[Double].head()
+    assert(ScatteringFunctions.tabulatedElements.size >= 92)
+    ElementTable.data.foreach { d =>
+      val info = ScatteringFunctions.elementInfo(d.symbol).get
+      assert(info.mu.nonEmpty && info.mu.forall(_._2 > 0), d.symbol)
+      assert(info.mu.map(_._1) == info.mu.map(_._1).sorted.distinct,
+        s"${d.symbol}: grid energies must be strictly ascending")
+      // every in-grid edge of a GENERATED grid is a two-sided
+      // discontinuity, above > below (anchored grids keep their
+      // historical shapes — some predate two-sided edges)
+      if (ScatteringFunctions.GeneratedElements.contains(d.symbol))
+        Seq(d.k, d.l1, d.l2, d.l3).filter(e => e > 5.02 && e < 29.98)
+          .foreach { e =>
+            val lo = info.mu.find(p => math.abs(p._1 - (e - 0.001)) < 5e-4)
+            val hi = info.mu.find(p => math.abs(p._1 - (e + 0.001)) < 5e-4)
+            assert(lo.nonEmpty && hi.nonEmpty,
+              s"${d.symbol}: edge at $e keV has no two-sided points")
+            val r = hi.get._2 / lo.get._2
+            assert(r > 1.04 && r < 12,
+              s"${d.symbol}: edge jump $r at $e keV outside (1.04, 12)")
+          }
+    }
+    // spot checks against published XCOM figures (generated regions):
+    // Zr and U bracket the well-anchored gaps, Be the low-Z extension
+    val zr10 = muAt("Zr", 10.0); val u10 = muAt("U", 10.0)
+    val be10 = muAt("Be", 10.0); val gd8 = muAt("Gd", 8.0)
+    assert(zr10 > 58 && zr10 < 85, s"Zr@10keV $zr10 vs published ~72")
+    assert(u10 > 150 && u10 < 215, s"U@10keV $u10 vs published ~179")
+    assert(be10 > 0.5 && be10 < 0.8, s"Be@10keV $be10 vs published ~0.65")
+    assert(gd8 > 155 && gd8 < 250, s"Gd@8keV $gd8 vs published ~205")
+    // the verdict's named compounds compute end to end
+    val zro2 = muAt("ZrO2", 10.0)
+    assert(zro2 > 44 && zro2 < 66, s"ZrO2@10keV $zro2 vs published ~54")
+    assert(muAt("C22H10N2O5", 10.0) > 0) // Kapton (anchored elements)
+    assert(muAt("Gd2O3", 8.0) > 0 && muAt("LaB6", 10.0) > 0 &&
+      muAt("UO2", 17.0) > 0)
+    // single-element density rides into attenuationLength for generated
+    // elements too (Zr bulk 6.52)
+    val lamZr = Seq(10.0).toDF("e")
+      .select(ScatteringFunctions.attenuationLength("Zr", $"e").as("l"))
+      .as[Double].head()
+    assert(math.abs(lamZr - 0.01 / (muAt("Zr", 10.0) * 6.52)) < 1e-12)
+    // anchors always win over the generated table
+    assert(ScatteringFunctions.elementInfo("Fe").get.mu ==
+      ScatteringFunctions.Elements("Fe").mu)
+  }
+
+  test("G7 generation accuracy, measured: leave-one-out on well-anchored " +
+       "elements reproduces the real anchor within 12% away from edges") {
+    import graft.functions.{ElementTable, ScatteringFunctions}
+    // Sn's tolerance is wider: its sub-K branch sits between the
+    // Mo/Ag anchor family and the Ba/Ce family, whose L-region tables
+    // disagree by ~2x (documented on ElementTable) — the interpolated
+    // middle is the defensible answer but not a 12% one there (measured: up to ~31%)
+    val tol = Map("Sn" -> 0.35).withDefaultValue(0.12)
+    for (el <- Seq("Mn", "Zn", "Mo", "Ag", "Sn", "P")) {
+      val real = ScatteringFunctions.Elements(el)
+      val gen = ElementTable.generate(ScatteringFunctions.Elements,
+        exclude = Set(el))(el)
+      val edges = {
+        val d = ElementTable.bySymbol(el)
+        Seq(d.k, d.l1, d.l2, d.l3)
+      }
+      def interp(grid: Seq[(Double, Double)], e: Double): Double = {
+        if (e <= grid.head._1) return grid.head._2
+        if (e >= grid.last._1) return grid.last._2
+        val i = grid.lastIndexWhere(_._1 <= e)
+        val (e1, m1) = grid(i); val (e2, m2) = grid(i + 1)
+        def x(v: Double) = 1.0 / (v * v * v)
+        m1 + (x(e) - x(e1)) * (m2 - m1) / (x(e2) - x(e1))
+      }
+      for (e <- Seq(5.0, 6.0, 8.0, 10.0, 15.0, 20.0, 30.0)
+           if edges.forall(k => math.abs(k - e) > 1.0)) {
+        val want = interp(real.mu, e)
+        val got = interp(gen.mu, e)
+        val rel = math.abs(got - want) / want
+        assert(rel < tol(el),
+          f"$el@$e%.0f keV: generated $got%.1f vs anchored $want%.1f " +
+            f"(${rel * 100}%.1f%% off)")
+      }
+    }
   }
 
   test("S8 SPEC reader parses scans, labels, and motor snapshots") {

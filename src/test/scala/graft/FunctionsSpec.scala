@@ -210,10 +210,11 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseFormula("(H2O"))
     intercept[IllegalArgumentException](parseFormula("h2o"))
     // parseable but untabulated element → clear error at weights time
-    // (U is outside the table; Na joined it in the r15 extension, Ca
-    // in r14)
+    // (Z > 92 stays outside even the r18 full-table generation; U and F
+    // both joined in r18, Na in r15, Ca in r14)
     intercept[IllegalArgumentException](
-      ScatteringFunctions.formulaWeights("UF6"))
+      ScatteringFunctions.formulaWeights("PuF6"))
+    assert(ScatteringFunctions.formulaWeights("UF6").size == 2)
     assert(ScatteringFunctions.formulaWeights("NaCl").size == 2)
     assert(ScatteringFunctions.formulaWeights("Ca(OH)2").size == 3)
   }

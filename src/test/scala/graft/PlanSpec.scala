@@ -11,6 +11,7 @@ import graft.queries.Registry
   * `join`. These tests pin the plan properties the 100 TB design relies
   * on, on every registry query.
   */
+@SlowSuite
 class PlanSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"

@@ -10,6 +10,7 @@ import graft.sources.Hdf5Writer
   * round-trips, normalization invariants — run through Spark on batched
   * inputs so the properties exercise the real expressions.
   */
+@SlowSuite
 class PropertiesSpec extends SparkSpec {
   import spark.implicits._
 

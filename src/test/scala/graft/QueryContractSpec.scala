@@ -7,6 +7,7 @@ import graft.queries.Registry
   * smoke-scale data, and the oracle map must stay consistent with the
   * query map.
   */
+@SlowSuite
 class QueryContractSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

@@ -9,6 +9,7 @@ import graft.plans.RangeJoinRewriteRule
   * guard rails hold (type/join-type gates, no re-fire on its own output,
   * empty intervals), and the conf gate scopes it.
   */
+@SlowSuite
 class RangeJoinRewriteSpec extends SparkSpec {
 
   import spark.implicits._

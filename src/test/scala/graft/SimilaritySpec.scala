@@ -3,6 +3,7 @@ package graft
 import graft.operators.Similarity
 
 /** ANN search: brute-force exact top-k, LSH-bucketed, IVF-style. */
+@SlowSuite
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 

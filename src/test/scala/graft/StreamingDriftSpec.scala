@@ -9,6 +9,7 @@ import graft.streaming.StreamingDrift
   * detectors over (reference, streamed union) — counts merge losslessly —
   * with replay idempotence, an immutable reference, and fold-invisibility.
   */
+@SlowSuite
 class StreamingDriftSpec extends SparkSpec {
   import spark.implicits._
 

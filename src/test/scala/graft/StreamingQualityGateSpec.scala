@@ -9,6 +9,7 @@ import graft.streaming.StreamingQualityGate
   * batch suite over the union, routing partitions the input, replays are
   * idempotent, rule drift fails fast, and compaction is invisible.
   */
+@SlowSuite
 class StreamingQualityGateSpec extends SparkSpec {
   import spark.implicits._
 

@@ -7,6 +7,7 @@ import graft.streaming.Online
 /** T1/T3 — incremental folder processing via Structured Streaming must
   * reproduce the batch reduction as files arrive.
   */
+@SlowSuite
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -481,6 +482,50 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
       assert(streamed.keySet == batch.keySet)
       batch.foreach { case (k, v) => assert(approx(streamed(k), v, 1e-9), s"$k") }
+    } finally q.stop()
+  }
+
+  test("incremental streaming sink with in-line auto-compaction: the " +
+       "real foreachBatch loop folds its own history, stays incremental, " +
+       "and converges to the batch result") {
+    import graft.streaming.IncrementalReduction
+    val inDir = Files.createTempDirectory("s3-in").toString
+    val ckDir = Files.createTempDirectory("s3-ck").toString
+    val stateDir = Files.createTempDirectory("s3-state").toString
+    curveBatch(0, 5).coalesce(1).write.mode("append").parquet(inDir)
+    val q = IncrementalReduction.incrementalCurveFolderReduction(spark,
+      inDir, ckDir, stateDir, pollSeconds = 1,
+      schemaSource = curveBatch(0, 1),
+      autoCompactEvery = 2, keepBatches = 1)
+    try {
+      q.processAllAvailable()
+      (1 until 7).foreach { k =>
+        curveBatch(k * 5, (k + 1) * 5).coalesce(1)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      // the loop compacted its own history: bounded live dirs + segments
+      val (fs, cv) = graft.sources.Bundle.fsPath(s"$stateDir/curves")
+      val live = fs.listStatus(cv)
+        .count(_.getPath.getName.startsWith("batch="))
+      assert(live <= 1 + 2, s"live batch dirs $live — sink never compacted")
+      val (_, base) = graft.sources.Bundle.fsPath(s"$stateDir/curves_base")
+      assert(fs.exists(base) && fs.listStatus(base)
+        .exists(_.getPath.getName.startsWith("seg=")),
+        "no committed segments under curves_base")
+      val streamed = spark.read.parquet(s"$stateDir/reduced")
+        .select("delay", "q_bin", "diff_av", "n_rep").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+      val batch = graft.operators.Reduction
+        .timeResolvedSignal(curveBatch(0, 35))
+        .select("delay", "q_bin", "diff_av", "n_rep").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, (av, n)) =>
+        assert(approx(streamed(k)._1, av, 1e-9) && streamed(k)._2 == n,
+          s"group $k") }
     } finally q.stop()
   }
 
@@ -1995,6 +2040,48 @@ class StreamingSpec extends SparkSpec {
       en - st + 1 == 8 && n == 2L }, s"cold passage lost: $streamed")
     assert(!streamed.exists { case (_, st, en, _) =>
       en - st + 1 >= 10 }, s"hot passage leaked through the cap: $streamed")
+  }
+
+  test("streaming scrub equals the one-shot batch decontamination across " +
+       "deliveries, including a cap-straddling hot anchor, and scrubs " +
+       "any re-presented subset") {
+    import graft.streaming.StreamingContamination
+    val stateDir = Files.createTempDirectory("contam-scrub").toString
+    val hotP = (1 to 10).map(i => s"p$i").mkString(" ")   // in all 4 docs
+    val coldP = (1 to 8).map(i => s"q$i").mkString(" ")   // in 2 docs
+    val evalDocs = Seq((9L, s"head $hotP mid $coldP tail"))
+      .toDF("doc_id", "text")
+    val t1 = Seq((1L, s"a1 $hotP $coldP"), (2L, s"b1 $hotP"))
+    val t2 = Seq((3L, s"c1 $hotP $coldP"), (4L, s"d1 $hotP"))
+    // hotP anchors: 2 per delivery (≤ maxOcc = 2) but 4 in aggregate
+    // (> maxOcc) — the batch transform keeps those tokens, so the
+    // streamed scrub must too; coldP (2 ≤ cap) is removed on both sides
+    val p = StreamingContamination.Params(minLen = 4, maxOcc = 2)
+    StreamingContamination.prepareEval(spark, evalDocs, stateDir, p)
+    StreamingContamination.processBatch(spark, t1.toDF("doc_id", "text"),
+      stateDir, p, batchKey = Some(0L))
+    StreamingContamination.processBatch(spark, t2.toDF("doc_id", "text"),
+      stateDir, p, batchKey = Some(1L))
+    val union = (t1 ++ t2).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    val streamed = rows(StreamingContamination.scrub(spark, union,
+      stateDir, p))
+    val batch = rows(graft.operators.Dedup.removeContaminated(
+      union, evalDocs, minLen = 4, maxOcc = 2))
+    assert(streamed == batch,
+      s"scrub divergence:\nstreamed $streamed\nbatch    $batch")
+    // concretely: doc 1 lost exactly the cold passage (8 tokens), doc 2
+    // (hot-only) lost nothing — the global cap protected it
+    assert(streamed(1L)._2 == 8L, s"doc 1: ${streamed(1L)}")
+    assert(streamed(2L)._2 == 0L &&
+      streamed(2L)._3.contains("p1 p2"), s"doc 2: ${streamed(2L)}")
+    // a re-presented SUBSET scrubs only its own docs
+    val sub = rows(StreamingContamination.scrub(spark,
+      t1.toDF("doc_id", "text"), stateDir, p))
+    assert(sub.keySet == Set(1L, 2L) && sub(1L) == streamed(1L))
   }
 
   test("streaming contamination compaction: folded hit/count partitions " +

@@ -10,6 +10,7 @@ import graft.streaming.StreamingZLayout.{BatchResult, Params}
   * rides the atomic index-epoch commit), and drift-bounded compaction —
   * the stream must converge to the same table a batch build would.
   */
+@SlowSuite
 class StreamingZLayoutSpec extends SparkSpec {
 
   import spark.implicits._
