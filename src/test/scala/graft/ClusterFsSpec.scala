@@ -146,6 +146,50 @@ class ClusterFsSpec extends SparkSpec {
       "invalidation left stale closed partitions behind")
   }
 
+  test("curve-history compaction on cluster storage: segments commit " +
+       "through the non-local FileSystem, the incremental path stays " +
+       "engaged, and the fallback over the compacted store matches batch") {
+    import graft.streaming.IncrementalReduction
+    val stateDir = graftDir("gfs-compact")
+    (0 until 6).foreach { k =>
+      val r = IncrementalReduction.processBatch(spark,
+        curveBatch(k * 5, (k + 1) * 5), stateDir, batchKey = Some(k.toLong))
+      assert(r.fullRecompute == (k == 0), s"batch $k")
+    }
+    IncrementalReduction.compact(spark, stateDir, keepBatches = 1)
+    val (fs, base) = Bundle.fsPath(s"$stateDir/curves_base")
+    assert(fs.exists(base) && fs.listStatus(base)
+      .exists(_.getPath.getName.startsWith("seg=")),
+      "no committed segment under the graftfs curves_base")
+    val (_, cv) = Bundle.fsPath(s"$stateDir/curves")
+    assert(fs.listStatus(cv).count(_.getPath.getName.startsWith("batch=")) <= 1,
+      "folded batch dirs must be deleted on cluster storage")
+    // still incremental after the fold
+    val r6 = IncrementalReduction.processBatch(spark,
+      curveBatch(30, 35), stateDir, batchKey = Some(6L))
+    assert(!r6.fullRecompute, "compaction must not disturb the frontier")
+    // forced fallback reduces the segment store + live dirs correctly
+    // (the late rows join the history, so the oracle includes them)
+    val lateRows = curveBatch(100, 101)
+      .withColumn("image_idx", lit(2) + col("image_idx") * 0)
+      .localCheckpoint(true)
+    val late = IncrementalReduction.processBatch(spark, lateRows,
+      stateDir, batchKey = Some(7L))
+    assert(late.fullRecompute)
+    val got = late.reduced
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val want = graft.operators.Reduction.timeResolvedSignal(
+        curveBatch(0, 35).unionByName(lateRows))
+      .select("delay", "q_bin", "diff_av", "n_rep").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (av, n)) =>
+      assert(approx(got(k)._1, av, 1e-9) && got(k)._2 == n, s"group $k") }
+  }
+
   test("reliable closure checkpoints ride cluster storage: components and " +
        "pageRank rounds checkpoint through the registered non-local " +
        "FileSystem with results identical to local mode") {

@@ -87,14 +87,23 @@ class ClustersPackingSpec extends SparkSpec {
       Clusters.components(pairs, vertices).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap,
       Clusters.pageRank(edges, iterations = 4).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
-    val (ccLocal, prLocal) = run()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      Clusters.starComponents(pairs, vertices).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Clusters.labelPropagation(pairs, vertices, rounds = 6).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Clusters.hits(edges, iterations = 3).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap)
+    val (ccLocal, prLocal, stLocal, lpLocal, hitsLocal) = run()
     val ckRoot = java.nio.file.Files.createTempDirectory("graft-ck")
     spark.conf.set("spark.graft.checkpointDir", ckRoot.toString)
     try {
       spark.sparkContext.setCheckpointDir(ckRoot.toString)
-      val (ccRel, prRel) = run()
+      val (ccRel, prRel, stRel, lpRel, hitsRel) = run()
       assert(ccRel == ccLocal, "reliable-mode components diverged")
+      assert(stRel == stLocal, "reliable-mode starComponents diverged")
+      assert(lpRel == lpLocal, "reliable-mode labelPropagation diverged")
+      assert(hitsRel == hitsLocal, "reliable-mode HITS diverged")
       assert(prRel.keySet == prLocal.keySet)
       prLocal.foreach { case (k, v) =>
         assert(approx(prRel(k), v, 0.0), s"reliable-mode pageRank at $k") }
@@ -110,9 +119,9 @@ class ClustersPackingSpec extends SparkSpec {
       val left = rddDirs()
       assert(left >= 1,
         "reliable mode must have produced checkpoint files (conf ignored?)")
-      assert(left <= 6,
-        s"$left rdd-* checkpoint dirs remain — superseded rounds' files " +
-          "must be deleted by Checkpoints.release")
+      assert(left <= 20,
+        s"$left rdd-* checkpoint dirs remain after 5 algorithms — " +
+          "superseded rounds' files must be deleted by Checkpoints.release")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 

@@ -374,6 +374,80 @@ class StreamingSpec extends SparkSpec {
       "resurrected folded batch dir must be removed")
   }
 
+  test("curve-history compaction under a RANDOM fold/crash/replay storm: " +
+       "any interleaving of compactions, torn shapes, and garbage " +
+       "resurrections of folded state reduces identically to the " +
+       "untouched twin, and the segment store stays bounded") {
+    import graft.streaming.IncrementalReduction
+    val rnd = new scala.util.Random(20260817L)
+    def garbage() = curveBatch(900, 901) // rows that must stay INVISIBLE
+    (0 until 3).foreach { trial =>
+      val sA = Files.createTempDirectory(s"inc-storm$trial-A").toString
+      val sB = Files.createTempDirectory(s"inc-storm$trial-B").toString
+      val (fs, base) = graft.sources.Bundle.fsPath(s"$sA/curves_base")
+      def segs() =
+        if (!fs.exists(base)) Seq.empty
+        else fs.listStatus(base).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("seg="))
+      def segRange(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+        val Array(lo, hi) = p.getName.stripPrefix("seg=").split("-")
+        (lo.toLong, hi.toLong)
+      }
+      val n = 8 + rnd.nextInt(4)
+      (0 until n).foreach { k =>
+        val b = curveBatch(k * 4, (k + 1) * 4)
+        IncrementalReduction.processBatch(spark, b, sA,
+          withMetrics = false, batchKey = Some(k.toLong))
+        IncrementalReduction.processBatch(spark, b, sB,
+          withMetrics = false, batchKey = Some(k.toLong))
+        if (rnd.nextInt(3) == 0)
+          IncrementalReduction.compact(spark, sA,
+            keepBatches = 1 + rnd.nextInt(3))
+        if (rnd.nextInt(3) == 0) rnd.nextInt(3) match {
+          case 0 => // crash before a segment commit: stale garbage tmp
+            garbage().write.mode("overwrite")
+              .parquet(s"$sA/curves_base/.tmp-0-999")
+          case 1 => // crash after a merge commit: contained input survives
+            segs().map(segRange).filter(r => r._1 < r._2).headOption
+              .foreach { case (lo, _) =>
+                garbage().write.mode("overwrite")
+                  .parquet(s"$sA/curves_base/seg=$lo-$lo") }
+          case _ => // at-least-once replay resurrects a FOLDED batch dir
+            val folded = segs().map(segRange).map(_._2).maxOption
+            folded.filter(_ >= 0).foreach { f =>
+              val k2 = rnd.nextInt(f.toInt + 1)
+              garbage().write.mode("overwrite")
+                .parquet(s"$sA/curves/batch=$k2") }
+        }
+      }
+      // forced fallback on both stores: the stormed history must reduce
+      // exactly like the one-directory-per-batch twin
+      def late() = curveBatch(200, 201)
+        .withColumn("image_idx", lit(3) + col("image_idx") * 0)
+      val fA = IncrementalReduction.processBatch(spark, late(), sA,
+        withMetrics = false, batchKey = Some(n.toLong))
+      val fB = IncrementalReduction.processBatch(spark, late(), sB,
+        withMetrics = false, batchKey = Some(n.toLong))
+      assert(fA.fullRecompute && fB.fullRecompute, s"trial $trial")
+      Seq(("reduced", Seq("delay", "q_bin", "diff_av", "noise")),
+          ("reduced_median", Seq("delay", "q_bin", "diff_med"))).foreach {
+        case (t, cs) =>
+          def snap(s: String) = spark.read.parquet(s"$s/$t")
+            .select(cs.map(col): _*).collect()
+            .map(r => (r.getDouble(0), r.getInt(1)) ->
+              cs.drop(2).indices.map(i => r.getDouble(2 + i))).toMap
+          val a = snap(sA); val b = snap(sB)
+          assert(a.keySet == b.keySet,
+            s"trial $trial $t groups diverged under the storm")
+          b.foreach { case (k, vs) => vs.indices.foreach(i =>
+            assert(approx(a(k)(i), vs(i), 1e-9),
+              s"trial $trial $t $k col $i: ${a(k)(i)} vs ${vs(i)}")) }
+      }
+      assert(segs().size <= 6,
+        s"trial $trial: ${segs().size} segments — geometric merge broken")
+    }
+  }
+
   test("a replay after a crash between the state swaps and the manifest " +
        "write routes through the full recompute instead of double-counting") {
     import graft.streaming.IncrementalReduction
