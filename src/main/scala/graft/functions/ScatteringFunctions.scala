@@ -266,16 +266,19 @@ object ScatteringFunctions {
     */
   final case class MuTable(density: Double, points: Seq[(Double, Double)])
 
-  val MassAttenuation: Map[String, MuTable] = Map(
+  // lazy: the Ce entry derives from the GENERATED element grid (the
+  // round-18 Ba/Ce adjudication — see ElementTable's scaladoc; the old
+  // hand-typed Ce table was a uniform ~2.5x below the physics the
+  // certain Ag/W anchors pin, and is preserved there for the record),
+  // and GeneratedElements needs Elements initialized first.
+  lazy val MassAttenuation: Map[String, MuTable] = Map(
     "Si" -> MuTable(2.33, Seq(
       5.0 -> 245.0, 6.0 -> 147.0, 8.0 -> 64.68, 10.0 -> 33.89,
       15.0 -> 10.34, 20.0 -> 4.464, 30.0 -> 1.436)),
     "H2O" -> MuTable(1.0, Seq(
       5.0 -> 41.88, 6.0 -> 24.64, 8.0 -> 10.37, 10.0 -> 5.329,
       15.0 -> 1.673, 20.0 -> 0.8096, 30.0 -> 0.3756)),
-    "Ce" -> MuTable(6.77, Seq(
-      6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
-      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)))
+    "Ce" -> MuTable(6.77, GeneratedElements("Ce").mu))
 
   /** Piecewise-linear-in-E⁻³ interpolation over (keV, μ/ρ) points,
     * clamped to the endpoints — the shared kernel for both the legacy
@@ -306,9 +309,13 @@ object ScatteringFunctions {
   // Table provenance and accuracy, stated honestly (this environment has
   // no network and no local XCOM dump, so the table cannot simply be
   // regenerated from the published grid):
-  //  - the original nine elements (H C N O Al Si Fe Cu Ce) carry NIST
+  //  - the original core elements (H C N O Al Si Fe Cu) carry NIST
   //    XCOM grid values (~1-2%) and are BIT-UNCHANGED at their original
-  //    anchors;
+  //    anchors. Ce — once in this set — and round-15 Ba were found
+  //    INTERNALLY INCONSISTENT with the certain Ag/W anchors (a uniform
+  //    ~2.5x low across their whole sub-K branch) and are now GENERATED
+  //    from the consistent family instead; the full adjudication and
+  //    the superseded values live in ElementTable's scaladoc (r18);
   //  - K-edge discontinuities inside the grid are now TWO-SIDED table
   //    points (Fe 7.112, Cu 8.979, and the extended 3d metals): the
   //    below-edge point extrapolates the sub-edge branch (E^-2.7..2.9,
@@ -363,9 +370,6 @@ object ScatteringFunctions {
       5.0 -> 189.5, 6.0 -> 115.6, 8.0 -> 52.55, 8.978 -> 37.62,
       8.980 -> 288.6, 10.0 -> 215.9,
       15.0 -> 74.05, 20.0 -> 33.79, 30.0 -> 10.92)),
-    "Ce" -> ElementInfo(140.116, Some(6.77), Seq(
-      6.0 -> 305.0, 8.0 -> 151.8, 10.0 -> 84.84,
-      15.0 -> 28.33, 20.0 -> 12.97, 30.0 -> 4.242)),
     // ------- extended set (see the provenance note above): single
     // photoelectric branch for the sub-K-edge lights...
     "S" -> ElementInfo(32.06, Some(2.067), Seq(
@@ -426,10 +430,11 @@ object ScatteringFunctions {
     // (O–Al–Si–S power-law in Z at constant E, the in-grid calibration —
     // ~3%); Mo/Ag/Sn carry their K edge INSIDE the grid (20.000 /
     // 25.514 / 29.20 keV, two-sided points, Z-scaled jump ratios
-    // 6.1/5.75/5.6), Ba its three L edges (5.247/5.624/5.989 with the
-    // standard 2.4/1.4/1.16 jumps) — single-anchor branch fills,
-    // ~5% (±10% within ~1 keV of an edge). Edge-critical work should
-    // supply a measured table via [[loadElementOverrides]].
+    // 6.1/5.75/5.6) — single-anchor branch fills, ~5% (±10% within
+    // ~1 keV of an edge). Round-15's Ba entry was retired by the r18
+    // adjudication (see ElementTable) — Ba now generates with the rest
+    // of the periodic table. Edge-critical work should supply a
+    // measured table via [[loadElementOverrides]].
     "Na" -> ElementInfo(22.990, Some(0.971), Seq(
       5.0 -> 116.7, 6.0 -> 69.2, 8.0 -> 29.8, 10.0 -> 15.44,
       15.0 -> 4.71, 20.0 -> 2.10, 30.0 -> 0.759)),
@@ -449,12 +454,7 @@ object ScatteringFunctions {
     "Sn" -> ElementInfo(118.710, Some(7.287), Seq(
       5.0 -> 838.0, 6.0 -> 521.0, 8.0 -> 247.0, 10.0 -> 141.0,
       15.0 -> 49.1, 20.0 -> 23.3, 29.199 -> 8.7, 29.201 -> 48.7,
-      30.0 -> 45.3)),
-    "Ba" -> ElementInfo(137.327, Some(3.51), Seq(
-      5.0 -> 123.0, 5.246 -> 108.0, 5.248 -> 259.0, 5.623 -> 215.0,
-      5.625 -> 301.0, 5.988 -> 254.0, 5.990 -> 295.0, 6.0 -> 294.0,
-      8.0 -> 135.2, 10.0 -> 74.0, 15.0 -> 24.8, 20.0 -> 11.4,
-      30.0 -> 3.81)))
+      30.0 -> 45.3)))
 
   // ------------------------------------------- user element-table overrides
 

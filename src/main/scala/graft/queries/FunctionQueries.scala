@@ -252,7 +252,7 @@ object FunctionQueries {
         // SAME element-sorted summation order as the engine
         def muFormulaSql(formula: String, eE: String): String =
           ScatteringFunctions.formulaWeights(formula).map { case (el, w) =>
-            s"(${chainSql(ScatteringFunctions.Elements(el).mu, eE)}) * $w"
+            s"(${chainSql(ScatteringFunctions.elementInfo(el).get.mu, eE)}) * $w"
           }.mkString("(", " + ", ")")
         val drm = "(26700000000.0 / 1.347)"
         s"""WITH base AS (SELECT (l_orderkey % 251)::INT AS k FROM lineitem),

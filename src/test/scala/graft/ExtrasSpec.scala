@@ -180,7 +180,11 @@ class ExtrasSpec extends SparkSpec {
     assert(zr10 > 58 && zr10 < 85, s"Zr@10keV $zr10 vs published ~72")
     assert(u10 > 150 && u10 < 215, s"U@10keV $u10 vs published ~179")
     assert(be10 > 0.5 && be10 < 0.8, s"Be@10keV $be10 vs published ~0.65")
-    assert(gd8 > 155 && gd8 < 250, s"Gd@8keV $gd8 vs published ~205")
+    // Gd@8 keV sits 0.76 keV above its L3 edge — near-edge-top, so the
+    // band is wide; the bound pins the edge-aligned Sn<->W bracket (the
+    // r18 adjudication) against both the superseded Ba/Ce-family value
+    // (~200, uniformly low) and any naive fixed-E blowup (~540)
+    assert(gd8 > 260 && gd8 < 480, s"Gd@8keV $gd8 vs aligned-law ~365")
     // the verdict's named compounds compute end to end
     val zro2 = muAt("ZrO2", 10.0)
     assert(zro2 > 44 && zro2 < 66, s"ZrO2@10keV $zro2 vs published ~54")
@@ -201,11 +205,10 @@ class ExtrasSpec extends SparkSpec {
   test("G7 generation accuracy, measured: leave-one-out on well-anchored " +
        "elements reproduces the real anchor within 12% away from edges") {
     import graft.functions.{ElementTable, ScatteringFunctions}
-    // Sn's tolerance is wider: its sub-K branch sits between the
-    // Mo/Ag anchor family and the Ba/Ce family, whose L-region tables
-    // disagree by ~2x (documented on ElementTable) — the interpolated
-    // middle is the defensible answer but not a 12% one there (measured: up to ~31%)
-    val tol = Map("Sn" -> 0.35).withDefaultValue(0.12)
+    // uniform 12% everywhere: the r18 Ba/Ce adjudication removed the
+    // inconsistent anchor family that used to drag Sn's leave-one-out
+    // to ~30%, and the edge-aligned L-region method brings it to ~1-3%
+    val tol = Map.empty[String, Double].withDefaultValue(0.12)
     for (el <- Seq("Mn", "Zn", "Mo", "Ag", "Sn", "P")) {
       val real = ScatteringFunctions.Elements(el)
       val gen = ElementTable.generate(ScatteringFunctions.Elements,

@@ -192,10 +192,14 @@ class FunctionsSpec extends SparkSpec {
     assert(approx(lam(0), 0.01 / (33.89 * 2.33)))
     assert(approx(lam(2), 0.01 / (10.34 * 2.33)))
     assert(lam(0) < lam(1) && lam(1) < lam(2)) // harder X-rays go further
-    // density override (reference phosphor screen, absorption.py:62)
+    // density override (reference phosphor screen, absorption.py:62);
+    // the expected value reads the served Ce grid point (15 keV is a
+    // base grid energy of the r18 generated table)
+    val muCe15 = ScatteringFunctions.elementInfo("Ce").get.mu
+      .find(_._1 == 15.0).get._2
     val ce = Seq(15.0).toDF("e").select(ScatteringFunctions
       .attenuationLength("Ce", $"e", Some(4.75)).as("l")).as[Double].collect()
-    assert(approx(ce(0), 0.01 / (28.33 * 4.75)))
+    assert(approx(ce(0), 0.01 / (muCe15 * 4.75)))
   }
 
   test("G7 formula parser: symbols, counts, parentheses, errors") {
@@ -272,11 +276,11 @@ class FunctionsSpec extends SparkSpec {
   test("G7 arbitrary compounds: mass-weighted mixture of per-element " +
        "tables — hand-computed CeO2, polyimide, alumina; element-built " +
        "H2O agrees with the legacy compound table") {
-    import ScatteringFunctions.{Elements, formulaWeights}
+    import ScatteringFunctions.formulaWeights
     // the hand computation: the SAME mixture arithmetic, written out here
     // independently over the element tables
     def muAt(el: String, e: Double): Double = {
-      val pts = Elements(el).mu
+      val pts = ScatteringFunctions.elementInfo(el).get.mu
       def x(v: Double) = 1.0 / (v * v * v)
       if (e <= pts.head._1) pts.head._2
       else pts.sliding(2).collectFirst {
@@ -296,11 +300,12 @@ class FunctionsSpec extends SparkSpec {
     }
     // CeO2 @ 10 keV sanity vs the weights themselves: w(Ce)=0.8141,
     // both element points tabulated, so the value is exact arithmetic
+    // (Ce's 10 keV point read from the served r18 grid)
     val wCe = 140.116 / (140.116 + 2 * 15.999)
     val ceo2 = Seq(10.0).toDF("e")
       .select(ScatteringFunctions.massAttenuation("CeO2", $"e").as("mu"))
       .as[Double].head()
-    assert(approx(ceo2, wCe * 84.84 + (1 - wCe) * 5.952, 1e-9))
+    assert(approx(ceo2, wCe * muAt("Ce", 10.0) + (1 - wCe) * 5.952, 1e-9))
     // element-built H2O tracks the legacy compound table (<0.5% at the
     // shared grid; the tables were sourced independently)
     for (e <- Seq(5.0, 8.0, 10.0, 15.0, 20.0, 30.0)) {
