@@ -5,18 +5,33 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector math over `ArrayType` embedding columns, plus the hashing
   * primitives for near-duplicate detection (MinHash, SimHash, random-
-  * hyperplane LSH). All built from `zip_with` / `aggregate` / `transform`
-  * higher-order functions — native Catalyst expressions, no UDFs, so the
-  * hot loops run inside whole-stage codegen and scale to 100 TB embedding
-  * tables.
+  * hyperplane LSH). No UDFs anywhere; the per-pair kernels (dot / sqL2 /
+  * cosine / minhashJaccard / the LSH sign bits) are native codegen'd
+  * Catalyst expressions ([[VectorExpressions]]) — the former
+  * `aggregate`/`zip_with` higher-order forms are CodegenFallback in Spark
+  * (interpreted lambda walk + a zipped array allocation per row), which
+  * dominated the candidate-verification stages of the similarity family.
+  * The lambda twins ([[dotLambda]] etc.) are kept for the FunctionsSpec
+  * bit-identity pins.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.PlanExec.{column => ofExpr, expression}
+
+  /** Cast to array<double> (codegen'd Cast — the HOF `transform` twin of
+    * this is interpreted). No-op on array<double> inputs.
+    */
+  private def asDoubleArr(a: Column): Column = a.cast("array<double>")
 
   /** Elementwise product then sum — dot(a, b). Arrays are cast to double
     * first so float inputs accumulate in double (deterministic across
-    * engines).
+    * engines). Fused one-pass codegen kernel; ascending fold order.
     */
   def dot(a: Column, b: Column): Column =
+    ofExpr(VectorExpressions.DotExpr(
+      expression(asDoubleArr(a)), expression(asDoubleArr(b))))
+
+  /** HOF twin of [[dot]] (spec pin only). */
+  private[graft] def dotLambda(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
@@ -29,16 +44,30 @@ object VectorFunctions {
 
   /** Squared L2 distance — ascending-index sequential fold, so an external
     * engine's `list_reduce` over `generate_series` accumulates bit-
-    * identically.
+    * identically. Fused one-pass codegen kernel.
     */
   def sqL2(a: Column, b: Column): Column =
+    ofExpr(VectorExpressions.SqL2Expr(
+      expression(asDoubleArr(a)), expression(asDoubleArr(b))))
+
+  /** HOF twin of [[sqL2]] (spec pin only). */
+  private[graft] def sqL2Lambda(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity; null-safe via greatest(eps) in the denominator. */
+  /** Cosine similarity; null-safe via greatest(eps) in the denominator.
+    * Fused kernel: dot and both norms in ONE ascending pass (the HOF form
+    * walked both arrays three times, interpreted).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / greatest(l2Norm(a) * l2Norm(b), lit(1e-300))
+    ofExpr(VectorExpressions.CosineExpr(
+      expression(asDoubleArr(a)), expression(asDoubleArr(b))))
+
+  /** HOF twin of [[cosine]] (spec pin only). */
+  private[graft] def cosineLambda(a: Column, b: Column): Column =
+    dotLambda(a, b) /
+      greatest(sqrt(dotLambda(a, a)) * sqrt(dotLambda(b, b)), lit(1e-300))
 
   /** Driver-side twin of [[cosine]]: the same ordered left folds over
     * doubles (each accumulator folds positions ascending, then the same
@@ -124,9 +153,22 @@ object VectorFunctions {
     * with high cosine similarity collide with high probability; used to
     * bucket candidates before exact re-ranking (the scale path for ANN —
     * the bucket join shuffles only same-signature groups instead of the
-    * full n² cross join).
+    * full n² cross join). Fused codegen kernel: all `nBits` plane dots in
+    * one pass over the vector ([[lshBits]]); the per-bit HOF chain built
+    * nBits interpreted folds per row.
     */
   def lshSignature(v: Column, nBits: Int, dim: Int): Column =
+    lshBits(v, 0, nBits, dim)
+
+  /** [[lshSignature]] starting at an arbitrary plane index — table t of a
+    * multi-table family is `lshBits(v, t * nBits, nBits, dim)`.
+    */
+  def lshBits(v: Column, startPlane: Int, nBits: Int, dim: Int): Column =
+    ofExpr(VectorExpressions.LshBitsExpr(
+      expression(asDoubleArr(v)), startPlane, nBits, dim))
+
+  /** HOF twin of [[lshSignature]] (spec pin only). */
+  private[graft] def lshSignatureLambda(v: Column, nBits: Int, dim: Int): Column =
     concat((0 until nBits).map(j => hyperplaneBit(v, j, dim).cast("string")): _*)
 
   /** Corpus-scale LSH signatures as a relational pipeline: explode vector
@@ -270,7 +312,12 @@ object VectorFunctions {
   /** Estimated Jaccard similarity from two equal-length MinHash signatures:
     * fraction of agreeing positions.
     */
-  def minhashJaccard(sigA: Column, sigB: Column): Column = {
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    ofExpr(VectorExpressions.MinhashJaccardExpr(
+      expression(sigA), expression(sigB)))
+
+  /** HOF twin of [[minhashJaccard]] (spec pin only). */
+  private[graft] def minhashJaccardLambda(sigA: Column, sigB: Column): Column = {
     val agree = aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
       lit(0.0), (acc, v) => acc + v)

@@ -488,15 +488,19 @@ object Similarity {
 
   /** Argmin cell by ROUNDED squared L2 with smallest-cell tie-break — the
     * cross-engine-stable assignment both [[distributedKMeans]] iterations
-    * and its oracle replay use (round(d2, 6) ASC, cell ASC).
+    * and its oracle replay use (round(d2, 6) ASC, cell ASC). ONE constant-
+    * size codegen kernel over the flattened centroid matrix
+    * ([[graft.functions.VectorExpressions.NearestCentroidExpr]]) — the
+    * former k-struct array_sort built k interpreted sqL2 folds per row and
+    * generated code linear in k.
     */
-  private def nearestCellStable(v: Column, cents: Seq[Seq[Double]]): Column = {
-    val dists = cents.zipWithIndex.map { case (cv, i) =>
-      struct(round(VectorFunctions.sqL2(v, typedLit(cv)), 6).as("d2"),
-        lit(i).as("cell"))
-    }
-    element_at(array_sort(array(dists: _*)), 1).getField("cell")
-  }
+  private def nearestCellStable(v: Column, cents: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.PlanExec.column(
+      graft.functions.VectorExpressions.NearestCentroidExpr(
+        org.apache.spark.sql.graft.PlanExec.expression(
+          v.cast("array<double>")),
+        cents, cents.indices.map(_.toLong), cosineMode = false))
+      .cast("int")
 
   /** First `sampleN` vectors by id as driver-side double arrays — the
     * bounded sample both k-means trainers run on.
@@ -638,8 +642,13 @@ object Similarity {
                     threshold: Double = 0.3, maxClusterSize: Int = 0,
                     subMaxBits: Int = 8, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // the seed set is bounded by nSeeds BY CONSTRUCTION (model state, the
+    // sampledKMeans collect contract) — collecting it lets the assignment
+    // run as one per-row kernel instead of a broadcast join + shuffle
     val cents = e.filter(col("id") < nSeeds)
-      .select(col("id").as("cid"), col("v").as("cv"))
+      .select(col("id").cast("long"), VectorFunctions.asDouble(col("v")))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
       subMaxBits, dim)
   }
@@ -666,31 +675,34 @@ object Similarity {
     require(sample.nonEmpty, "empty corpus")
     val k = math.max(1L, math.min(n / math.max(targetClusterSize, 1),
       sampleN.toLong)).toInt
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = lloyd(sample, k, kmeansIters).toSeq.map(_.toSeq)
-      .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toDF("cid", "cv")
+    val cents = lloyd(sample, k, kmeansIters).toSeq
+      .zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
       subMaxBits, dim)
   }
 
   /** Nearest-centroid assignment, deterministic: argmax over
-    * round(cos, 6) with ties to the smallest centroid id — as a
-    * partial-aggregatable max(struct) rather than a window sort, so the
-    * n×k candidate table combines map-side instead of being sorted per
-    * vector id. Input: (id, v) × (cid, cv); output: (id, cluster, v).
+    * round(cos, 6) with ties to the smallest centroid id. The centroid
+    * set is driver-resident (bounded model state), so the assignment is
+    * ONE per-row constant-size codegen kernel
+    * ([[graft.functions.VectorExpressions.NearestCentroidExpr]]) — the
+    * former broadcast join + max(struct) aggregation materialized an n×k
+    * candidate table and paid a full shuffle keyed on id for the argmax.
+    * Input: (id, v) rows + driver (cid, centroid) pairs (cids ascending);
+    * output: (id, cluster, v) — values identical to the join+argmax form
+    * (same round-6 cosine, same smallest-cid tie-break).
     */
-  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
-    e.join(broadcast(cents))
-      .select(col("id"), col("v"),
-        struct(
-          round(VectorFunctions.cosine(col("v"), col("cv")), 6).as("_cos"),
-          (col("cid") * lit(-1)).as("_negcid")).as("_cand"))
-      .groupBy(col("id"))
-      .agg(max(col("_cand")).as("_best"), first(col("v")).as("v"))
-      .select(col("id"),
-        (col("_best").getField("_negcid") * lit(-1)).as("cluster"), col("v"))
+  private def assignToCentroids(e: DataFrame,
+                                cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.select(col("id"),
+      org.apache.spark.sql.graft.PlanExec.column(
+        graft.functions.VectorExpressions.NearestCentroidExpr(
+          org.apache.spark.sql.graft.PlanExec.expression(
+            col("v").cast("array<double>")),
+          cents.map(_._2), cents.map(_._1), cosineMode = true))
+        .as("cluster"),
+      col("v"))
 
   /** (id, cluster, v) → (id, cluster, v, _sub): the adaptive LSH
     * sub-bucket key, "" when the cluster is within the cap (or no cap).
@@ -1149,12 +1161,13 @@ object Similarity {
                nTables: Int = 8, idCol: String = "vec_id",
                vecCol: String = "embedding",
                maxBucketSize: Int = 4096): DataFrame = {
+    // one fused codegen kernel per table (all nBits plane dots in one pass
+    // over the vector) — the per-bit when/concat chain built nTables·nBits
+    // interpreted HOF folds per row
     val tables = (0 until nTables).map { t =>
-      val bits = (0 until nBits).map { j =>
-        when(VectorFunctions.hyperplaneBit(col(vecCol), t * nBits + j, dim) === 1,
-          "1").otherwise("0")
-      }
-      struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
+      struct(lit(t).as("t"),
+        VectorFunctions.lshBits(col(vecCol), t * nBits, nBits, dim)
+          .as("bucket"))
     }
     val sigs = embeddings
       .select(col(idCol).as("id"), explode(array(tables: _*)).as("_tb"))

@@ -21,6 +21,21 @@ object PlanExec {
     */
   def head(plan: LogicalPlan): Row = df(plan).head()
 
+  /** Wrap a Catalyst expression as a `Column` — the same one-liner
+    * `functions._` uses internally. Lets the library's native codegen
+    * kernels ([[graft.functions.VectorExpressions]]) be used directly
+    * from Column-level helpers without requiring a session that has the
+    * function registry extensions installed.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]]: the Catalyst expression behind a `Column`. */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Wrap an analyzed logical plan as a DataFrame, so a rewrite rule can
     * construct its replacement plan with the full DataFrame API instead
     * of hand-assembling Window/Union Catalyst nodes.

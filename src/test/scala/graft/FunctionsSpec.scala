@@ -484,4 +484,129 @@ class FunctionsSpec extends SparkSpec {
     try check() finally
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
+
+  test("native vector kernels equal the HOF lambda forms bit-for-bit, " +
+       "codegen and interpreted (r18 optimization)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorExpressions, VectorFunctions => VF}
+    import org.apache.spark.sql.graft.PlanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // pair every vector with a rotated copy: float-input path, plus edge
+    // rows — null vector, null element, length mismatch, NaN element
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("b", reverse(col("a")))
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(null AS array<double>), array(1.0d, 2.0d)),
+        |  (array(1.0d, CAST(null AS double)), array(1.0d, 2.0d)),
+        |  (array(1.0d, 2.0d), array(1.0d)),
+        |  (array(1.0d, CAST('NaN' AS double)), array(3.0d, 4.0d)),
+        |  (array(), array()),
+        |  (array(-1e-9d, 0.0d), array(1.0d, 0.0d))
+        |AS t(a, b)""".stripMargin)
+
+    def check(): Unit = {
+      for (df <- Seq(pairs.select(col("a"), col("b")), edge)) {
+        val out = df.select(
+          VF.cosine(col("a"), col("b")).as("n_cos"),
+          VF.cosineLambda(col("a"), col("b")).as("l_cos"),
+          VF.sqL2(col("a"), col("b")).as("n_l2"),
+          VF.sqL2Lambda(col("a"), col("b")).as("l_l2"),
+          VF.dot(col("a"), col("b")).as("n_dot"),
+          VF.dotLambda(col("a"), col("b")).as("l_dot"))
+        assert(out.filter(not(col("n_cos") <=> col("l_cos"))).count() == 0,
+          "native cosine diverged from the lambda form")
+        assert(out.filter(not(col("n_l2") <=> col("l_l2"))).count() == 0,
+          "native sqL2 diverged from the lambda form")
+        assert(out.filter(not(col("n_dot") <=> col("l_dot"))).count() == 0,
+          "native dot diverged from the lambda form")
+      }
+      // lsh bits: float path + null/NaN edges, multi-table offsets
+      val vecs = emb.select(col("embedding").as("v"))
+        .unionByName(spark.sql(
+          """SELECT * FROM VALUES
+            |  (CAST(null AS array<double>)),
+            |  (array(1.0d, CAST(null AS double))),
+            |  (array(CAST('NaN' AS double), 1.0d))
+            |AS t(v)""".stripMargin).select(col("v").cast("array<float>")))
+      for (start <- Seq(0, 6)) {
+        // the lambda twin of lshBits(start, n, dim): per-bit when/concat
+        val lambdaBits = concat((0 until 6).map(j =>
+          when(VF.hyperplaneBit(col("v"), start + j, 64) === 1, "1")
+            .otherwise("0")): _*)
+        val lb = vecs.filter(size(col("v")) === 64 || col("v").isNull)
+          .select(VF.lshBits(col("v"), start, 6, 64).as("native"),
+            coalesce(lambdaBits, lit("0" * 6)).as("lambda"))
+        assert(lb.filter(not(col("native") <=> col("lambda"))).count() == 0,
+          s"native lshBits(start=$start) diverged from the lambda form")
+      }
+      // minhash jaccard incl. length mismatch + empty
+      val sigs = spark.sql(
+        """SELECT * FROM VALUES
+          |  (array(1L, 2L, 3L), array(1L, 9L, 3L)),
+          |  (array(1L, 2L), array(1L, 2L, 3L)),
+          |  (array(1L, 2L, 3L), array(1L)),
+          |  (array(), array(1L)),
+          |  (CAST(null AS array<bigint>), array(1L))
+          |AS t(a, b)""".stripMargin)
+      val mj = sigs.select(
+        VF.minhashJaccard(col("a"), col("b")).as("native"),
+        VF.minhashJaccardLambda(col("a"), col("b")).as("lambda"))
+      assert(mj.filter(not(col("native") <=> col("lambda"))).count() == 0,
+        "native minhashJaccard diverged from the lambda form")
+      // nearest-centroid kernel vs the struct-sort / max(struct) forms
+      val cents = emb.orderBy("vec_id").limit(3)
+        .select(VF.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0)).toSeq
+      val cids = Seq(2L, 5L, 9L) // non-contiguous, ascending
+      def l2Lambda(v: org.apache.spark.sql.Column) = {
+        val dists = cents.zipWithIndex.map { case (cv, i) =>
+          struct(round(VF.sqL2Lambda(v, typedLit(cv)), 6).as("d2"),
+            lit(cids(i)).as("cell"))
+        }
+        element_at(array_sort(array(dists: _*)), 1).getField("cell")
+      }
+      def cosLambda(v: org.apache.spark.sql.Column) = {
+        val cands = cents.zipWithIndex.map { case (cv, i) =>
+          struct(round(VF.cosineLambda(v, typedLit(cv)), 6).as("_cos"),
+            lit(-cids(i)).as("_negcid"))
+        }
+        -greatest(cands: _*).getField("_negcid")
+      }
+      val nc = emb.select(col("embedding").as("v")).select(
+        PlanExec.column(VectorExpressions.NearestCentroidExpr(
+          PlanExec.expression(col("v").cast("array<double>")),
+          cents, cids, cosineMode = false)).as("n_l2"),
+        l2Lambda(col("v")).as("l_l2"),
+        PlanExec.column(VectorExpressions.NearestCentroidExpr(
+          PlanExec.expression(col("v").cast("array<double>")),
+          cents, cids, cosineMode = true)).as("n_cos"),
+        cosLambda(col("v")).as("l_cos"))
+      assert(nc.filter(not(col("n_l2") <=> col("l_l2"))).count() == 0,
+        "nearest-centroid (l2) diverged from the struct-sort form")
+      assert(nc.filter(not(col("n_cos") <=> col("l_cos"))).count() == 0,
+        "nearest-centroid (cos) diverged from the max(struct) form")
+      // identical-score tie-break: duplicate centroids → smallest cid
+      val dupCents = Seq(cents.head, cents.head)
+      val tie = emb.limit(8).select(col("embedding").as("v")).select(
+        PlanExec.column(VectorExpressions.NearestCentroidExpr(
+          PlanExec.expression(col("v").cast("array<double>")),
+          dupCents, Seq(3L, 7L), cosineMode = true)).as("c"),
+        PlanExec.column(VectorExpressions.NearestCentroidExpr(
+          PlanExec.expression(col("v").cast("array<double>")),
+          dupCents, Seq(3L, 7L), cosineMode = false)).as("l"))
+      assert(tie.filter(col("c") =!= 3L || col("l") =!= 3L).count() == 0,
+        "tie-break must pick the smallest cid in both modes")
+    }
+
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try check() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }
