@@ -880,7 +880,17 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     // Shuffle 8-byte shingle hashes, not strings (xxhash64 collisions are
     // ~1e-8 at corpus scale and shift one intersection count by one).
+    //
+    // The shingle table feeds FIVE consumers below (document frequencies,
+    // the ranked prefix, sizes, and both sides of the verification join),
+    // and column pruning pushes a different ReadSchema into each branch so
+    // exchange reuse never fires — unmaterialized, the scan + posexplode +
+    // lead-window chain ran 8× per call (measured in the q37 plan: 8 scans
+    // of `documents`, 8 Generates, 12 Windows). Persist it once and release
+    // after the (small) verified-pair output is materialized — the
+    // simhashPairs/embeddingNearDupPairs lifecycle discipline.
     val sh = distinctShingleRows(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_df"), col("s"))
@@ -923,13 +933,16 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    pairs
   }
 
   /** Embedding near-duplicate pairs: LSH-signature blocking + exact cosine

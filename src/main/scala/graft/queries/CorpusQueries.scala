@@ -4351,7 +4351,12 @@ object CorpusQueries {
               (id, Codecs.encodePng(w, h, ch, px))
             }
           }.toDF("media_id", "payload")
-        Multimodal.decodeMedia(s, media).toDF().orderBy("media_id")
+        // materialize before the global sort: range-partitioning SAMPLES
+        // its child, which re-ran the whole encode+decode chain a second
+        // time (no shuffle below the sort to replay from) — the guide's
+        // materialize-before-orderBy shape; rows unchanged
+        Multimodal.decodeMedia(s, media).toDF().localCheckpoint(true)
+          .orderBy("media_id")
       },
       Some("""WITH p AS (
         |  SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
@@ -4406,7 +4411,10 @@ object CorpusQueries {
               (id, Codecs.encodeTiff(w, h, frames))
             }
           }.toDF("media_id", "payload")
+        // materialized before the global sort — same double-compute shape
+        // as q137 (range-partitioning sampling re-runs the codec chain)
         Multimodal.decodeFrameStats(s, media, stride = 2).toDF()
+          .localCheckpoint(true)
           .orderBy("media_id", "frame_idx")
       },
       Some("""WITH p AS (
