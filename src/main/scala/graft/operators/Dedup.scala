@@ -105,7 +105,10 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", n: Int = 3,
                    verifiable: Boolean = false): DataFrame = {
+    // two consumers (shared-anchor aggregate + the join back) — persist
+    // once; released after the covered-token aggregate is materialized
     val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = sp.groupBy(col("s"))
       .agg(countDistinct(col("id")).as("_nd"))
       .filter(col("_nd") >= 2).select(col("s"))
@@ -118,6 +121,8 @@ object Dedup {
       .withColumn("_c", greatest(lit(0), (col("p") + (n - 1)) -
         greatest(coalesce(prevEnd, col("p") - n), col("p") - 1)))
       .groupBy(col("id")).agg(sum(col("_c")).as("covered"))
+      .localCheckpoint(true) // doc-grain; lets sp release eagerly
+    sp.unpersist(false)
     docs.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tok"))
       .join(covered.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
@@ -145,13 +150,19 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", n: Int = 3,
                      verifiable: Boolean = false): DataFrame = {
+    // two consumers of the position table (min-id aggregate + the join
+    // back) — persist once, release after the (dup-mass-bounded) covered
+    // positions are materialized; the exactSubstringPairSpans lifecycle
     val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstDoc = sp.groupBy(col("s")).agg(min(col("id")).as("_min_id"))
     val coveredPos = sp.join(firstDoc, Seq("s"))
       .filter(col("id") > col("_min_id"))
       .select(col("id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
       .distinct()
+      .localCheckpoint(true)
+    sp.unpersist(false)
     rebuildWithout(docs, textCol, idCol, coveredPos)
   }
 
@@ -221,7 +232,14 @@ object Dedup {
                               includeSelf: Boolean = false): DataFrame = {
     require(minLen >= 2, s"exactSubstringPairSpans: minLen=$minLen < 2")
     require(maxOcc >= 2, s"exactSubstringPairSpans: maxOcc=$maxOcc < 2")
+    // The anchor table feeds the shared-anchor aggregate AND both sides of
+    // the occurrence self-join; the sides prune different columns, so
+    // exchange reuse does not fire and the token-explode + (minLen−1)-lead
+    // window chain — the dominant per-token cost at minLen = 20 — ran up
+    // to 4× per call. Persist once, release after the (match-mass-bounded)
+    // pair spans are materialized — the ngramJaccardPairs lifecycle.
     val sp = shinglePosRows(docs, textCol, idCol, minLen, verifiable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // includeSelf widens the match universe to WITHIN-document repeats
     // (the same passage twice in one document at offset d ≠ 0 — the Lee
     // et al. 2022 generation-loop/boilerplate case): an anchor then
@@ -245,12 +263,15 @@ object Dedup {
         (col("p_a") - col("p_b")).as("d"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("p_a"))
-    pairs.withColumn("_grp", col("p_a") - row_number().over(w))
+    val spans = pairs.withColumn("_grp", col("p_a") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), col("d"), col("_grp"))
       .agg(min(col("p_a")).as("pa"), min(col("p_b")).as("pb"),
         max(col("p_a")).as("pmax"))
       .select(col("id_a"), col("pa").as("p_a"), col("id_b"),
         col("pb").as("p_b"), (col("pmax") - col("pa") + minLen).as("len"))
+      .localCheckpoint(true)
+    sp.unpersist(false)
+    spans
   }
 
   /** Per-document MAXIMAL duplicated regions of arbitrary length ≥
@@ -322,11 +343,18 @@ object Dedup {
     require(maxOcc >= 1, s"contaminationSpans: maxOcc=$maxOcc < 1")
     val spT = shinglePosRows(train, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("tid"), col("p").as("pt"))
+    // the eval anchor table feeds the semi-join's distinct set AND the
+    // matched-anchor join — persist it once (eval corpora are the small
+    // side by contract); released after the span output is materialized
     val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
-    mergeDocSpans(contaminationPairSpans(spT, spE, minLen, maxOcc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = mergeDocSpans(contaminationPairSpans(spT, spE, minLen, maxOcc)
       .select(col("eid").as("id"), col("st"), col("en"),
         col("tid").as("partner")), idCol)
+      .localCheckpoint(true) // bounded by eval-side match mass
+    spE.unpersist(false)
+    out
   }
 
   /** The cross-corpus pair-span core shared by [[contaminationSpans]]
@@ -337,10 +365,15 @@ object Dedup {
     */
   private[graft] def contaminationPairSpans(spT: DataFrame, spE: DataFrame,
                                             minLen: Int,
-                                            maxOcc: Int): DataFrame =
+                                            maxOcc: Int): DataFrame = {
+    // the shared-train table feeds both sides of the hot-anchor cap join
+    // (rows × their per-anchor counts) — materialized once so the TRAIN
+    // anchor chain (the big side) runs a single time; bounded by shared-
+    // anchor mass, the quantity the semi-join exists to keep small
+    val tShared = contaminationSharedTrain(spT, spE).localCheckpoint(true)
     contaminationIslands(
-      contaminationMatchedAnchors(contaminationSharedTrain(spT, spE), spE,
-        maxOcc).drop("s"), minLen)
+      contaminationMatchedAnchors(tShared, spE, maxOcc).drop("s"), minLen)
+  }
 
   /** Train anchor rows that appear in the eval anchor set — the
     * semi-join that keeps train-train duplicate mass out of every later
@@ -404,12 +437,18 @@ object Dedup {
     require(maxOcc >= 1, s"removeContaminated: maxOcc=$maxOcc < 1")
     val spT = shinglePosRows(train, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("tid"), col("p").as("pt"))
+    // same two-consumer lifecycle as contaminationSpans: spE persisted
+    // across the semi-join + matched join, tShared materialized once (the
+    // cap join reads it twice), covered positions (match-mass-bounded)
+    // materialized so spE can release before the corpus-sized rebuild
     val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
-    val pairs = contaminationMatchedAnchors(
-      contaminationSharedTrain(spT, spE), spE, maxOcc)
-    rebuildWithout(train, textCol, idCol,
-      trainCoveredPositions(pairs, minLen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tShared = contaminationSharedTrain(spT, spE).localCheckpoint(true)
+    val pairs = contaminationMatchedAnchors(tShared, spE, maxOcc)
+    val covered = trainCoveredPositions(pairs, minLen).localCheckpoint(true)
+    spE.unpersist(false)
+    rebuildWithout(train, textCol, idCol, covered)
   }
 
   /** Matched anchor pairs (tid, eid, pe, d) → the distinct TRAIN-side
@@ -735,12 +774,19 @@ object Dedup {
   def pairQuality(candidates: DataFrame, docs: DataFrame,
                   threshold: Double, textCol: String = "text",
                   idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    // norm feeds THREE consumers (inter, the left-join spine, the truth
+    // probe) — materialize once so the caller's blocker pipeline (often a
+    // full LSH pass) cannot re-run per consumer; pair lists are small by
+    // the blockers' construction. Same reasoning for the shingle table
+    // (three consumers) — the ngramJaccardPairs lifecycle.
     val norm = candidates.select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
+      .localCheckpoint(true)
     val sh = distinctShingleRows(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = norm
       .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
@@ -763,7 +809,7 @@ object Dedup {
       .join(norm.withColumn("_f", lit(1L)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_qualifying"),
         coalesce(sum(coalesce(col("_f"), lit(0L))), lit(0L)).as("n_found"))
-    candStats.crossJoin(truthStats)
+    val report = candStats.crossJoin(truthStats)
       .select(col("n_candidates"), col("n_true_candidates"),
         round(when(col("n_candidates") > 0,
           col("n_true_candidates").cast("double") / col("n_candidates")),
@@ -772,6 +818,9 @@ object Dedup {
         round(when(col("n_qualifying") > 0,
           col("n_found").cast("double") / col("n_qualifying")), 6)
           .as("recall"))
+      .localCheckpoint(true) // one row; lets sh release eagerly
+    sh.unpersist(false)
+    report
   }
 
   def simhashValues(docs: DataFrame, textCol: String = "text",
