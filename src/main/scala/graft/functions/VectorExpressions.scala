@@ -59,6 +59,12 @@ object VectorExpressions {
     */
   sealed abstract class FusedPairFold extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // can be NULL even on non-null children (length mismatch, null
+    // element) — without this override, non-nullable inputs made codegen
+    // emit an assignment to the FalseLiteral isNull slot, which fails
+    // janino compilation ("not an rvalue") and silently degrades the
+    // whole stage to the interpreted path
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       if (vectorTypeOk(left.dataType) && vectorTypeOk(right.dataType))
         TypeCheckResult.TypeCheckSuccess
@@ -180,6 +186,9 @@ object VectorExpressions {
   final case class MinhashJaccardExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // NULL on an empty left signature even when children are non-nullable
+    // (see FusedPairFold's nullable note)
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash_jaccard"
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
