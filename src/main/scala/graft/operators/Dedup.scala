@@ -105,10 +105,12 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", n: Int = 3,
                    verifiable: Boolean = false): DataFrame = {
-    // two consumers (shared-anchor aggregate + the join back) — persist
-    // once; released after the covered-token aggregate is materialized
+    // NOT persisted: at the default n=3 the anchor chain is a 2-lead
+    // window — recomputing it for the two consumers measured CHEAPER than
+    // an eager materialization (full-suite A/B q70 1.34→1.51 with the
+    // persist); the ≥20-lead chains (exactSubstringPairSpans family) are
+    // the ones worth materializing
     val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = sp.groupBy(col("s"))
       .agg(countDistinct(col("id")).as("_nd"))
       .filter(col("_nd") >= 2).select(col("s"))
@@ -121,8 +123,6 @@ object Dedup {
       .withColumn("_c", greatest(lit(0), (col("p") + (n - 1)) -
         greatest(coalesce(prevEnd, col("p") - n), col("p") - 1)))
       .groupBy(col("id")).agg(sum(col("_c")).as("covered"))
-      .localCheckpoint(true) // doc-grain; lets sp release eagerly
-    sp.unpersist(false)
     docs.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tok"))
       .join(covered.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
@@ -150,19 +150,15 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", n: Int = 3,
                      verifiable: Boolean = false): DataFrame = {
-    // two consumers of the position table (min-id aggregate + the join
-    // back) — persist once, release after the (dup-mass-bounded) covered
-    // positions are materialized; the exactSubstringPairSpans lifecycle
+    // NOT persisted — the n=3 anchor chain is recompute-cheap (see
+    // dupSpanStats); materialization is reserved for the ≥20-lead family
     val sp = shinglePosRows(docs, textCol, idCol, n, verifiable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstDoc = sp.groupBy(col("s")).agg(min(col("id")).as("_min_id"))
     val coveredPos = sp.join(firstDoc, Seq("s"))
       .filter(col("id") > col("_min_id"))
       .select(col("id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
       .distinct()
-      .localCheckpoint(true)
-    sp.unpersist(false)
     rebuildWithout(docs, textCol, idCol, coveredPos)
   }
 
