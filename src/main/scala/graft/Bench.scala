@@ -91,6 +91,20 @@ object Bench {
       System.gc()
       (name, median(timed), timed.min, timed.max, runs)
     }
+    // Two renderings of the same measurements (r19 measurement-contract
+    // fix — methodology, query set and medians are UNCHANGED):
+    //  - STDOUT gets the compact line the driver parses: per-query
+    //    medians rounded to 3 decimals (ms resolution — well below the
+    //    run-to-run noise floor), no spread/times/gc maps. The full-
+    //    precision line had grown past the driver's bounded stdout tail,
+    //    which left PERF comparisons empty two rounds running.
+    //  - SPARK_GRAFT_BENCH_OUT (default target/bench.json) keeps the
+    //    FULL-precision record: medians, in-run spread, and (with
+    //    SPARK_GRAFT_BENCH_TIMES) per-iteration times + GC deltas —
+    //    everything tools/bench_ab.py and the round records consume.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs3 = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + r3(m) }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // in-run spread per query — lets a reader separate noise from real
@@ -108,16 +122,17 @@ object Bench {
         .mkString("{", ",", "}")
       s""","times":$times,"gc_ms":$gc"""
     }
-    val line =
+    val stdoutLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
+    val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread$extra,"sf":"$sfDir","iters":$iters,"warmup":$warmup}"""
-    println(line)
-    // Also write the full JSON to a file: the driver captures a bounded
-    // stdout tail, which truncated the early queries out of round-over-
-    // round comparison once the registry grew past ~60 entries.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, line + "\n")
+    java.nio.file.Files.writeString(out, fileLine + "\n")
     spark.stop()
+    // Printed AFTER spark.stop() so no late executor/session log line can
+    // interleave into a combined-stream capture behind it.
+    println(stdoutLine)
   }
 }

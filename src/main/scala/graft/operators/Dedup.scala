@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import graft.operators.Checkpoints.EagerOps
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 
@@ -13,6 +14,22 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * hash prefix / coarse quantization) so the candidate-pair join shuffles
   * only same-bucket groups; the expensive verification runs per candidate
   * pair, whose count is ~linear in corpus size for realistic dup rates.
+  *
+  * EAGER contract: the pair/span-producing operators here
+  * ([[ngramJaccardPairs]], [[simhashPairs]], [[embeddingNearDupPairs]],
+  * [[exactSubstringPairSpans]], [[contaminationSpans]], [[pairQuality]],
+  * and the checkpointed core of [[removeContaminated]]) EXECUTE at call
+  * time and return a materialized (checkpointed) frame: their shared
+  * shingle/anchor tables feed many consumers whose differing column
+  * pruning defeats exchange reuse, so the persist-once/checkpoint/release
+  * lifecycle is what keeps the corpus read at 1× instead of 8× per call.
+  * Consequence for callers: predicates composed on the RETURNED frame do
+  * not push down into the blocker chain (filter inputs beforehand where
+  * that matters), and constructing the frame already pays its jobs.
+  * Materialization goes through [[Checkpoints.EagerOps.eagerCheckpoint]]:
+  * local (fast, non-replayable) by default, reliable files under
+  * `spark.graft.checkpointDir` for cluster deployments where an executor
+  * loss mid-query must degrade to recompute instead of job failure.
   */
 object Dedup {
 
@@ -236,6 +253,7 @@ object Dedup {
     // pair spans are materialized — the ngramJaccardPairs lifecycle.
     val sp = shinglePosRows(docs, textCol, idCol, minLen, verifiable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // includeSelf widens the match universe to WITHIN-document repeats
     // (the same passage twice in one document at offset d ≠ 0 — the Lee
     // et al. 2022 generation-loop/boilerplate case): an anchor then
@@ -265,9 +283,9 @@ object Dedup {
         max(col("p_a")).as("pmax"))
       .select(col("id_a"), col("pa").as("p_a"), col("id_b"),
         col("pb").as("p_b"), (col("pmax") - col("pa") + minLen).as("len"))
-      .localCheckpoint(true)
-    sp.unpersist(false)
+      .eagerCheckpoint()
     spans
+    } finally sp.unpersist(false)
   }
 
   /** Per-document MAXIMAL duplicated regions of arbitrary length ≥
@@ -345,12 +363,11 @@ object Dedup {
     val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = mergeDocSpans(contaminationPairSpans(spT, spE, minLen, maxOcc)
+    try mergeDocSpans(contaminationPairSpans(spT, spE, minLen, maxOcc)
       .select(col("eid").as("id"), col("st"), col("en"),
         col("tid").as("partner")), idCol)
-      .localCheckpoint(true) // bounded by eval-side match mass
-    spE.unpersist(false)
-    out
+      .eagerCheckpoint() // bounded by eval-side match mass
+    finally spE.unpersist(false)
   }
 
   /** The cross-corpus pair-span core shared by [[contaminationSpans]]
@@ -366,7 +383,7 @@ object Dedup {
     // (rows × their per-anchor counts) — materialized once so the TRAIN
     // anchor chain (the big side) runs a single time; bounded by shared-
     // anchor mass, the quantity the semi-join exists to keep small
-    val tShared = contaminationSharedTrain(spT, spE).localCheckpoint(true)
+    val tShared = contaminationSharedTrain(spT, spE).eagerCheckpoint()
     contaminationIslands(
       contaminationMatchedAnchors(tShared, spE, maxOcc).drop("s"), minLen)
   }
@@ -440,10 +457,11 @@ object Dedup {
     val spE = shinglePosRows(eval, textCol, idCol, minLen, verifiable)
       .select(col("s"), col("id").as("eid"), col("p").as("pe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tShared = contaminationSharedTrain(spT, spE).localCheckpoint(true)
-    val pairs = contaminationMatchedAnchors(tShared, spE, maxOcc)
-    val covered = trainCoveredPositions(pairs, minLen).localCheckpoint(true)
-    spE.unpersist(false)
+    val covered = try {
+      val tShared = contaminationSharedTrain(spT, spE).eagerCheckpoint()
+      val pairs = contaminationMatchedAnchors(tShared, spE, maxOcc)
+      trainCoveredPositions(pairs, minLen).eagerCheckpoint()
+    } finally spE.unpersist(false)
     rebuildWithout(train, textCol, idCol, covered)
   }
 
@@ -780,9 +798,10 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCheckpoint()
     val sh = distinctShingleRows(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = norm
       .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
@@ -814,9 +833,9 @@ object Dedup {
         round(when(col("n_qualifying") > 0,
           col("n_found").cast("double") / col("n_qualifying")), 6)
           .as("recall"))
-      .localCheckpoint(true) // one row; lets sh release eagerly
-    sh.unpersist(false)
+      .eagerCheckpoint() // one row; lets sh release eagerly
     report
+    } finally sh.unpersist(false)
   }
 
   def simhashValues(docs: DataFrame, textCol: String = "text",
@@ -900,15 +919,14 @@ object Dedup {
     // unpersist lives in the cache manager for the whole session and
     // evicts later queries' storage. The checkpoint blocks holding the
     // result are context-cleaned once the caller drops the DataFrame.
-    val pairs = cappedSelfJoin(hashed, Seq("band", "bucket"), "id", "sh",
+    try cappedSelfJoin(hashed, Seq("band", "bucket"), "id", "sh",
         maxBucketSize)
       .withColumn("hamming", VectorFunctions.hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
-      .localCheckpoint(true)
-    hashed.unpersist(false)
-    pairs
+      .eagerCheckpoint()
+    finally hashed.unpersist(false)
   }
 
   /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
@@ -936,6 +954,7 @@ object Dedup {
     // simhashPairs/embeddingNearDupPairs lifecycle discipline.
     val sh = distinctShingleRows(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_df"), col("s"))
@@ -985,9 +1004,9 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .localCheckpoint(true)
-    sh.unpersist(false)
+      .eagerCheckpoint()
     pairs
+    } finally sh.unpersist(false)
   }
 
   /** Embedding near-duplicate pairs: LSH-signature blocking + exact cosine
@@ -1009,12 +1028,11 @@ object Dedup {
     // verified-pair output eagerly, release the bucketed vectors now.
     // Hot buckets star to the min-id member (identical embeddings →
     // identical signatures; see minhashLshPairs).
-    val pairs = cappedSelfJoin(sig, Seq("bucket"), "id", "v", maxBucketSize)
+    try cappedSelfJoin(sig, Seq("bucket"), "id", "v", maxBucketSize)
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .localCheckpoint(true)
-    sig.unpersist(false)
-    pairs
+      .eagerCheckpoint()
+    finally sig.unpersist(false)
   }
 }

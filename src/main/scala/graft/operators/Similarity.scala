@@ -644,11 +644,24 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     // the seed set is bounded by nSeeds BY CONSTRUCTION (model state, the
     // sampledKMeans collect contract) — collecting it lets the assignment
-    // run as one per-row kernel instead of a broadcast join + shuffle
-    val cents = e.filter(col("id") < nSeeds)
+    // run as one per-row kernel instead of a broadcast join + shuffle.
+    // NULL seed vectors (and vectors with null ELEMENTS) are dropped
+    // BEFORE the collect: under the former broadcast-join+argmax form
+    // such a seed produced null cosines and could never win an
+    // assignment, so filtering reproduces that semantics instead of
+    // NPE-ing in the kernel's driver-side require.
+    val rows = e.filter(col("id") < nSeeds && col("v").isNotNull &&
+        !exists(col("v"), _.isNull))
       .select(col("id").cast("long"), VectorFunctions.asDouble(col("v")))
       .orderBy(col("id")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(rows.nonEmpty,
+      s"semanticDedup: no usable seed vectors with $idCol < $nSeeds " +
+        "(empty corpus, non-dense ids, or all-null seed vectors) — " +
+        "re-key ids densely or use semanticDedupScaled (k-means seeds)")
+    val cents = rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.map(_._1).distinct.size == cents.size,
+      s"semanticDedup: duplicate $idCol values in the seed range — " +
+        "seed ids must be unique")
     markDups(assignToCentroids(e, cents), threshold, maxClusterSize,
       subMaxBits, dim)
   }

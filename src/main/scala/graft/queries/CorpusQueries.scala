@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.{Codecs, Multimodal}
 import graft.operators.{AnnIndex, Chunking, Classifier, Clusters, Dedup, Drift, Expectations, Importance, Layout, LmScore, LshIndex, Packing, Positional, Quality, Retrieval, Sampling, Similarity, Sketches, Snapshot}
+import graft.operators.Checkpoints.EagerOps
 import QueryUtil._
 import Tables._
 
@@ -4355,7 +4356,7 @@ object CorpusQueries {
         // its child, which re-ran the whole encode+decode chain a second
         // time (no shuffle below the sort to replay from) — the guide's
         // materialize-before-orderBy shape; rows unchanged
-        Multimodal.decodeMedia(s, media).toDF().localCheckpoint(true)
+        Multimodal.decodeMedia(s, media).toDF().eagerCheckpoint()
           .orderBy("media_id")
       },
       Some("""WITH p AS (
@@ -4414,7 +4415,7 @@ object CorpusQueries {
         // materialized before the global sort — same double-compute shape
         // as q137 (range-partitioning sampling re-runs the codec chain)
         Multimodal.decodeFrameStats(s, media, stride = 2).toDF()
-          .localCheckpoint(true)
+          .eagerCheckpoint()
           .orderBy("media_id", "frame_idx")
       },
       Some("""WITH p AS (

@@ -310,9 +310,12 @@ object CurveQueries {
           c.filter(col("image_idx") <= cut1),
           c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
           c.filter(col("image_idx") > cut2))
-        val out = batches.map(b =>
+        // only the LAST batch's reduction is consumed — the earlier
+        // batches commit state but skip their sink writes (three pure
+        // per-job-overhead jobs each at this scale)
+        val out = batches.zipWithIndex.map { case (b, i) =>
             graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
-              withMetrics = false))
+              withMetrics = false, emitOutputs = i == batches.size - 1) }
           .last.reduced
           .select(col("delay"), col("q_bin"),
             r4(col("diff_av")).as("diff_av"), r4(col("noise")).as("noise"),
@@ -348,9 +351,12 @@ object CurveQueries {
           c.filter(col("image_idx") <= cut1),
           c.filter(col("image_idx") > cut1 && col("image_idx") <= cut2),
           c.filter(col("image_idx") > cut2))
-        batches.foreach(b =>
+        // the reduced_median sink is read once, after the final batch —
+        // the earlier batches commit state only (see q63)
+        batches.zipWithIndex.foreach { case (b, i) =>
           graft.streaming.IncrementalReduction.processBatch(s, b, stateDir,
-            withMetrics = false, tdCompression = 1024))
+            withMetrics = false, tdCompression = 1024,
+            emitOutputs = i == batches.size - 1) }
         val out = s.read.parquet(s"$stateDir/reduced_median")
           .select(col("delay"), col("q_bin"),
             r4(col("diff_med")).as("diff_med"), col("n_rep"))

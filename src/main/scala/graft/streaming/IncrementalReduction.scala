@@ -300,11 +300,23 @@ object IncrementalReduction {
     * (image_idx, delay, q_bin, i, err); returns the updated full reduction
     * plus the work-size metrics the churn contract is asserted on.
     */
+  /** @param emitOutputs when false, the `reduced`/`reduced_median` SINK
+    *   writes (and the checkpoint that feeds them) are skipped — state is
+    *   still fully committed, and the returned `reduced` frame is the
+    *   equivalent LAZY computation over the batch's checkpointed stats
+    *   (correct if evaluated, free if not). Callers that drive a known
+    *   batch sequence and only read the LAST result (the q63/q200 chunked
+    *   fixtures) pass false for the non-final batches: three sink jobs per
+    *   batch of pure per-job overhead otherwise (guide §1.2 — don't
+    *   compute what is thrown away). The streaming wrapper keeps the
+    *   default: its sinks ARE the per-trigger contract.
+    */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                    atol: Double = 1e-12,
                    withMetrics: Boolean = true,
                    batchKey: Option[Long] = None,
-                   tdCompression: Int = 200): BatchResult = {
+                   tdCompression: Int = 200,
+                   emitOutputs: Boolean = true): BatchResult = {
     val curvesDir = s"$stateDir/curves"
     val statePath = s"$stateDir/state.parquet"
     val tailPath = s"$stateDir/tail.parquet"
@@ -494,27 +506,39 @@ object IncrementalReduction {
     // row precedes every pending row within its (delay_c, q_bin) group
     // (the frontier is an image_idx cut), so the thinning marks are
     // identical to numbering the two sides separately.
-    val bothStats = suffStats(withKeep(keepRows, nFinPrev), Seq(col("_fin")))
-      .coalesce(1).localCheckpoint(true)
-    val finStats = bothStats.filter(col("_fin")).drop("_fin")
     val statsCols = Seq("n_all", "n_nn", "sum_d", "sumsq_d", "n_kept",
       "n_kept_nn", "sum_kept")
-    def mergeStats(parts: DataFrame): DataFrame = {
+    def mergeStatsBy(parts: DataFrame,
+                     keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val aggs = statsCols.map(c => sum(col(c)).as(c)) :+
         TDigestSketch.tdigestMerge(col("td"), tdCompression).as("td")
-      parts.groupBy(col("delay_c"), col("q_bin")).agg(aggs.head, aggs.tail: _*)
+      parts.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
-    // Checkpointed (one tiny 1-partition job): the new stats are read by
-    // BOTH the state-store commit and the two output writes below — off
-    // memory, so none of them depends on the just-swapped store file and
-    // all four writes can run as ONE concurrent wave.
-    val statsNew = (statsPrev match {
-      case None => finStats
+    def mergeStats(parts: DataFrame): DataFrame =
+      mergeStatsBy(parts, Seq(col("delay_c"), col("q_bin")))
+    // The PREVIOUS batch's finalized stats fold into the SAME aggregation
+    // plan as the window's row stats (they enter as `_fin = true` partial
+    // rows), so ONE group-grain checkpoint replaces the former two
+    // (bothStats + statsNew) — one materialization job per batch saved,
+    // values bit-identical: each merged group sums exactly the same
+    // {prev row, finalized partial} pair (2-operand double sums are
+    // order-exact; the t-digest merge of the same digest pair is the same
+    // sorted centroid multiset in its exact regime).
+    // Checkpointed (one tiny 1-partition job): read by the state-store
+    // commit AND the output writes below — off memory, so none of them
+    // depends on the just-swapped store file and the writes can run as
+    // ONE concurrent wave.
+    val rowStats = suffStats(withKeep(keepRows, nFinPrev), Seq(col("_fin")))
+    val allStats = (statsPrev match {
+      case None => rowStats
       case Some(prev) =>
-        mergeStats(prev.select((Seq(col("delay_c"), col("q_bin")) ++
+        mergeStatsBy(rowStats.unionByName(
+          prev.select((Seq(col("delay_c"), col("q_bin")) ++
             statsCols.map(col) :+ col("td")): _*)
-          .unionByName(finStats))
+            .withColumn("_fin", lit(true))),
+          Seq(col("delay_c"), col("q_bin"), col("_fin")))
     }).coalesce(1).localCheckpoint(true)
+    val statsNew = allStats.filter(col("_fin")).drop("_fin")
     // bounded raw tail for the next batch: per bin, from the
     // second-to-last reference on (the prev-anchor the frontier row's
     // recompute needs); bins with <2 refs keep everything
@@ -535,8 +559,8 @@ object IncrementalReduction {
     // reduced output = finalized stats ⊕ pending-tail stats, then the A3
     // formulas recovered from moments (mean mode; noise = population
     // stddev, err = noise/√n_all — reference parity, dataReduction.py:180).
-    val pendStats = bothStats.filter(!col("_fin")).drop("_fin")
-    val combined = mergeStats(statsNew
+    val pendStats = allStats.filter(!col("_fin")).drop("_fin")
+    lazy val combined = mergeStats(statsNew
       .select((Seq(col("delay_c"), col("q_bin")) ++
         statsCols.map(col) :+ col("td")): _*)
       .unionByName(pendStats))
@@ -589,10 +613,10 @@ object IncrementalReduction {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     writeIntent(stateDir, batchToken) // intent BEFORE any state mutation
-    Seq(
+    (Seq(
       Future(writeSwap(stateOut, statePath)),
-      Future(writeSwap(tailNew, tailPath)),
-      Future {
+      Future(writeSwap(tailNew, tailPath))) ++
+      (if (!emitOutputs) Nil else Seq(Future {
         val (reduced, medianOut) = outputs(combined.localCheckpoint(true))
         Seq(
           Future(reduced.coalesce(1).write.mode("overwrite")
@@ -600,7 +624,7 @@ object IncrementalReduction {
           Future(medianOut.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateDir/reduced_median")))
           .foreach(Await.result(_, Duration.Inf))
-      })
+      })))
       .foreach(Await.result(_, Duration.Inf))
     Bundle.writeManifest(frontierDir(stateDir), Map(
       "refDelay" -> (if (refDelayNow.isNaN) prior.map(_._1.toString).getOrElse("NaN")
@@ -611,7 +635,12 @@ object IncrementalReduction {
     // metrics from the CHECKPOINTED frames — `work` itself would lazily
     // re-read the tail store we just overwrote. They cost three extra jobs
     // per batch, so callers that only need the reduction skip them.
-    BatchResult(spark.read.parquet(s"$stateDir/reduced"),
+    BatchResult(
+      if (emitOutputs) spark.read.parquet(s"$stateDir/reduced")
+      // sink skipped: the SAME reduction, lazily, off the checkpointed
+      // stats (evaluating it later is safe — no dependency on the
+      // swapped store files)
+      else outputs(combined)._1,
       windowRows = if (withMetrics) tagged.count() else -1L,
       finalizedRows = if (withMetrics) finalizedNew.count() else -1L,
       pendingRows = if (withMetrics) spark.read.parquet(tailPath).count()

@@ -226,6 +226,41 @@ class ClusterFsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.operators.Checkpoints.DirConf)
   }
 
+  test("reliable checkpoint mode: the EAGER dedup operators (persist-once " +
+       "lifecycles) produce identical results through the registered " +
+       "non-local FileSystem, and the persist is released either way") {
+    import graft.operators.Dedup
+    val passage = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage unique one tail words here"),
+      (2L, s"other head material first $passage"),
+      (3L, passage),
+      (4L, "completely different text with nothing shared at all among"))
+      .toDF("doc_id", "text")
+    def run() = (
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+        .map(_.toSeq).sortBy(_.toString()).toSeq,
+      Dedup.exactSubstringPairSpans(docs, minLen = 20).collect()
+        .map(_.toSeq).sortBy(_.toString()).toSeq,
+      Dedup.contaminationSpans(docs.filter(col("doc_id") <= 2),
+          docs.filter(col("doc_id") === 3), minLen = 20).collect()
+        .map(_.toSeq).sortBy(_.toString()).toSeq)
+    val local = run()
+    assert(local._1.nonEmpty && local._2.nonEmpty && local._3.nonEmpty,
+      "fixture must exercise all three pair/span operators")
+    val ckRoot = graftDir("gfs-dedup-ck")
+    spark.conf.set(graft.operators.Checkpoints.DirConf, ckRoot)
+    try {
+      spark.sparkContext.setCheckpointDir(ckRoot)
+      assert(run() == local,
+        "reliable-mode dedup operators diverged from local mode")
+      // sc nests checkpoints under <root>/<uuid>/rdd-*
+      val (fs, p) = Bundle.fsPath(spark.sparkContext.getCheckpointDir.get)
+      assert(fs.listStatus(p).map(_.getPath.getName).count(_.startsWith("rdd-")) >= 1,
+        "no rdd-* dirs under the graftfs root — eagerCheckpoint fell back")
+    } finally spark.conf.unset(graft.operators.Checkpoints.DirConf)
+  }
+
   test("grep gate: NO main-source code path touches java.io.File — " +
        "store, state, query harness, and entry points all ride Hadoop FS") {
     def walk(d: java.io.File): Seq[java.io.File] =

@@ -521,20 +521,26 @@ class FunctionsSpec extends SparkSpec {
         assert(out.filter(not(col("n_dot") <=> col("l_dot"))).count() == 0,
           "native dot diverged from the lambda form")
       }
-      // lsh bits: float path + null/NaN edges, multi-table offsets
+      // lsh bits: float path + null/NaN edges, multi-table offsets. The
+      // edge vectors are built at the FULL dim (64) with the null/NaN
+      // element inside — shorter edge rows were silently filtered out of
+      // the pin, leaving the '0'-on-null and NaN-dot branches uncompared.
       val vecs = emb.select(col("embedding").as("v"))
         .unionByName(spark.sql(
-          """SELECT * FROM VALUES
-            |  (CAST(null AS array<double>)),
-            |  (array(1.0d, CAST(null AS double))),
-            |  (array(CAST('NaN' AS double), 1.0d))
-            |AS t(v)""".stripMargin).select(col("v").cast("array<float>")))
+          """SELECT CAST(null AS array<double>) AS v
+            |UNION ALL SELECT transform(sequence(1, 64), i ->
+            |  CASE WHEN i = 3 THEN CAST(null AS double)
+            |       ELSE CAST(i AS double) END)
+            |UNION ALL SELECT transform(sequence(1, 64), i ->
+            |  CASE WHEN i = 5 THEN CAST('NaN' AS double)
+            |       ELSE CAST(i - 32 AS double) END)""".stripMargin)
+          .select(col("v").cast("array<float>")))
       for (start <- Seq(0, 6)) {
         // the lambda twin of lshBits(start, n, dim): per-bit when/concat
         val lambdaBits = concat((0 until 6).map(j =>
           when(VF.hyperplaneBit(col("v"), start + j, 64) === 1, "1")
             .otherwise("0")): _*)
-        val lb = vecs.filter(size(col("v")) === 64 || col("v").isNull)
+        val lb = vecs
           .select(VF.lshBits(col("v"), start, 6, 64).as("native"),
             coalesce(lambdaBits, lit("0" * 6)).as("lambda"))
         assert(lb.filter(not(col("native") <=> col("lambda"))).count() == 0,
