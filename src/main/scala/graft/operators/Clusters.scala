@@ -67,23 +67,33 @@ object Clusters {
     while (iter < maxIters && !converged) {
       // candidate label per vertex: min over (own, neighbours' labels).
       // The previous label rides along as `_old` (max() picks the single
-      // non-null own-row value), so convergence is read off the SAME
-      // aggregation output — a join-free isEmpty on the materialized
-      // checkpoint instead of an extra join + count action per round.
+      // non-null own-row value), and the changed-row count rides the
+      // checkpoint job itself as an OBSERVED metric — convergence costs
+      // zero extra actions per round (the former isEmpty probe was one
+      // more job per round across every closure-bearing query).
       val own = labels.select(col("id"), col("cluster"),
         col("cluster").as("_old"))
       val fromNbrs = edges
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
         .select(col("dst").as("id"), col("cluster"),
           lit(null).cast(labelType).as("_old"))
+      val obs = new org.apache.spark.sql.Observation()
       val next = own.union(fromNbrs)
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"), max(col("_old")).as("_old"))
+        // same predicate the isEmpty probe filtered on; a null comparison
+        // (edge-only vertex, _old null) counts as unchanged both ways
+        .observe(obs, sum(when(col("cluster") =!= col("_old"), 1L))
+          .as("_changed"))
         .eagerCheckpoint()
       // round N is materialized: round N-1's blocks are dead — free them
       // now instead of waiting for GC + ContextCleaner
       Checkpoints.release(labels)
-      converged = next.filter(col("cluster") =!= col("_old")).isEmpty
+      converged = obs.get("_changed") match {
+        case null => true
+        case n: java.lang.Long => n.longValue() == 0L
+        case n: Number => n.longValue() == 0L
+      }
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
@@ -131,24 +141,36 @@ object Clusters {
     // unions in allVerts); one localCheckpoint of the 2-column projection
     // keeps the caller's expensive pair pipeline from running three times.
     val rawPairs = pairs.select(col("id_a"), col("id_b")).eagerCheckpoint()
-    var edges = rawPairs.filter(col("id_a") =!= col("id_b"))
-      .select(greatest(col("id_a"), col("id_b")).as("hi"),
-        least(col("id_a"), col("id_b")).as("lo"))
-      .distinct()
-      .eagerCheckpoint()
-    // one-action set signature; exact for numeric ids (see scaladoc proof)
-    val numericIds = edges.schema("hi").dataType
+    // the set signature rides each edge set's CHECKPOINT job as observed
+    // metrics — zero extra actions per round (was one agg job per round)
+    val numericIds = rawPairs.schema("id_a").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+    def sigExprs: Seq[org.apache.spark.sql.Column] = {
       val s =
         if (numericIds)
           sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))
         else sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))
-      val r = df.agg(count(lit(1)).as("n"), s.as("s")).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+      Seq(count(lit(1)).as("_n"), s.as("_s"))
     }
-    var edgeSig = sig(edges)
+    def readSig(obs: org.apache.spark.sql.Observation): (Long, java.math.BigDecimal) = {
+      val m = obs.get
+      val n = m("_n") match { case l: java.lang.Long => l.longValue()
+                              case x: Number => x.longValue() }
+      val s = m("_s") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (n, s)
+    }
+    val obs0 = new org.apache.spark.sql.Observation()
+    var edges = rawPairs.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct()
+      .observe(obs0, sigExprs.head, sigExprs.tail: _*)
+      .eagerCheckpoint()
+    var edgeSig = readSig(obs0)
     var iter = 0
     var converged = edgeSig._1 == 0L
     while (!converged && iter < maxIters) {
@@ -170,14 +192,16 @@ object Clusters {
       val leaves = large.join(m2, Seq("hi")).filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo")) // m ≤ lo ⇒ hi > lo
       val roots = m2.select(col("hi"), col("m").as("lo"))
+      val obsN = new org.apache.spark.sql.Observation()
       val next = leaves.union(roots)
         .distinct()
+        .observe(obsN, sigExprs.head, sigExprs.tail: _*)
         .eagerCheckpoint()
       // next is materialized: this round's large-star intermediate and
       // the previous round's edge set are dead — free their blocks now
       Checkpoints.release(large)
       Checkpoints.release(edges)
-      val nextSig = sig(next)
+      val nextSig = readSig(obsN)
       converged = nextSig._1 == edgeSig._1 &&
         nextSig._2.compareTo(edgeSig._2) == 0
       edges = next
@@ -482,13 +506,29 @@ object Clusters {
       .union(e.select(col("dst").as("id")))
       .union(tp.select(col("id")))
       .distinct()
-    // normalized teleport weight per vertex (0 off-seed), pinned at 12 dp
+    // normalized teleport weight per vertex (0 off-seed), pinned at 12 dp;
+    // danglingness is fixed, so it rides this table and each round's
+    // dangling mass becomes an observed metric on the round's checkpoint
+    // (same fusion as [[pageRank]] — one fewer job and subplan per round)
     val w = verts
       .join(tp, Seq("id"), "left")
+      .join(deg.select(col("src").as("id"), col("outdeg")), Seq("id"), "left")
       .select(col("id"),
-        round(coalesce(col("_wt"), lit(0.0)) / lit(wTotVal), 12).as("wv"))
+        round(coalesce(col("_wt"), lit(0.0)) / lit(wTotVal), 12).as("wv"),
+        col("outdeg").isNull.as("_dang"))
       .eagerCheckpoint()
-    var ranks = w.select(col("id"), round(col("wv"), 10).as("rank"))
+    def dangSum: org.apache.spark.sql.Column =
+      coalesce(sum(when(col("_dang"), col("rank")).cast("decimal(20,10)"))
+        .cast("double"), lit(0.0)).as("_dm")
+    def readDang(obs: org.apache.spark.sql.Observation): Double =
+      obs.get("_dm") match {
+        case d: java.lang.Double => d.doubleValue()
+        case x: Number => x.doubleValue()
+      }
+    var obsPrev = new org.apache.spark.sql.Observation()
+    var ranks = w.select(col("id"), col("_dang"),
+        round(col("wv"), 10).as("rank"))
+      .observe(obsPrev, dangSum)
       .eagerCheckpoint()
     for (_ <- 1 to iterations) {
       val inflow = e
@@ -498,25 +538,25 @@ object Clusters {
         .agg(sum(round(col("rank") / col("outdeg"), 14)
           .cast("decimal(38,14)")).cast("double").as("inflow"))
         .select(col("dst").as("id"), col("inflow"))
-      val dangling = ranks
-        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast("decimal(20,10)"))
-          .cast("double"), lit(0.0)).as("_dm"))
+      val dm = readDang(obsPrev)
+      val obsNext = new org.apache.spark.sql.Observation()
       val next = w
         .join(inflow, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("_dang"),
           round(col("wv") * (lit(1.0 - damping) + lit(damping) *
-            col("_dm")) + lit(damping) *
+            lit(dm)) + lit(damping) *
             coalesce(col("inflow"), lit(0.0)), 10).as("rank"))
+        .observe(obsNext, dangSum)
         .eagerCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
+      obsPrev = obsNext
     }
     Checkpoints.release(e)
     Checkpoints.release(deg)
     Checkpoints.release(w)
-    ranks
+    // the surviving frame is a projection over the final checkpoint
+    ranks.select(col("id"), col("rank"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
@@ -549,21 +589,17 @@ object Clusters {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .eagerCheckpoint()
-    def normalized(rawLazy: DataFrame, vcol: String): DataFrame = {
-      // pin the pulled frame once: it feeds BOTH the norm aggregate and
-      // the normalized select — left lazy, the join+agg would run twice
-      val raw = rawLazy.eagerCheckpoint()
-      val tot = raw.agg(sum(col("_raw").cast("decimal(28,10)"))
-        .cast("double").as("_t"))
-      val out = raw.crossJoin(broadcast(tot))
-        .select(col("id"), round(col("_raw") / col("_t"), 10).as(vcol))
-        .eagerCheckpoint()
-      Checkpoints.release(raw)
-      out
-    }
-    def pulled(scores: DataFrame, scoreCol: String, from: String,
-               to: String): DataFrame =
-      verts
+    // One checkpoint job per half-round: the pulled frame materializes
+    // once with its L1 norm riding the SAME job as an observed metric
+    // (decimal-exact, identical to the former 1-row aggregate), and the
+    // normalized scores are a zero-cost projection over that checkpoint —
+    // the former shape paid three jobs per half-round (pull checkpoint,
+    // norm broadcast build, normalized checkpoint). The returned frame is
+    // Project-over-LogicalRDD, exactly what [[Checkpoints.release]] frees.
+    def pulledNorm(scores: DataFrame, scoreCol: String, from: String,
+                   to: String, vcol: String): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation()
+      val raw = verts
         .join(e.join(scores.select(col("id").as(from), col(scoreCol)),
             Seq(from))
           .groupBy(col(to))
@@ -571,14 +607,27 @@ object Clusters {
             .as("_raw"))
           .select(col(to).as("id"), col("_raw")), Seq("id"), "left")
         .select(col("id"), coalesce(col("_raw"), lit(0.0)).as("_raw"))
+        .observe(obs, sum(col("_raw").cast("decimal(28,10)"))
+          .cast("double").as("_t"))
+        .eagerCheckpoint()
+      // the same double the broadcast 1-row aggregate carried (empty
+      // graph → null; the projection then yields zero rows anyway)
+      val tot = obs.get("_t") match {
+        case d: java.lang.Double => lit(d.doubleValue())
+        case _ => lit(null).cast("double")
+      }
+      raw.select(col("id"), round(col("_raw") / tot, 10).as(vcol))
+    }
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
       .eagerCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val nextAuth = normalized(pulled(hub, "hub", "src", "dst"), "auth")
+      // the new half-round's backing checkpoint is materialized inside
+      // pulledNorm, so the superseded frame's blocks are dead here
+      val nextAuth = pulledNorm(hub, "hub", "src", "dst", "auth")
       if (auth != null) Checkpoints.release(auth)
       auth = nextAuth
-      val nextHub = normalized(pulled(auth, "auth", "dst", "src"), "hub")
+      val nextHub = pulledNorm(auth, "auth", "dst", "src", "hub")
       Checkpoints.release(hub)
       hub = nextHub
     }
@@ -657,17 +706,33 @@ object Clusters {
             .cast("double").as("w"))
           .eagerCheckpoint()
     }
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .eagerCheckpoint()
     val deg = e.groupBy(col("src"))
       .agg(sum(col("w").cast("decimal(28,10)")).cast("double")
         .as("outdeg"))
       .eagerCheckpoint()
+    // vertex table carries its (fixed) danglingness, so each round's
+    // dangling mass is an OBSERVED metric on that round's checkpoint job —
+    // the former left-anti aggregate + crossJoin(broadcast) was one more
+    // job and two more operators per round for the same decimal-exact sum
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(deg.select(col("src").as("id"), col("outdeg")), Seq("id"), "left")
+      .select(col("id"), col("outdeg").isNull.as("_dang"))
+      .eagerCheckpoint()
     val n = verts.count().toDouble // the one driver scalar; computed once
+    def dangSum: org.apache.spark.sql.Column =
+      coalesce(sum(when(col("_dang"), col("rank")).cast("decimal(20,10)"))
+        .cast("double"), lit(0.0)).as("_dm")
+    def readDang(obs: org.apache.spark.sql.Observation): Double =
+      obs.get("_dm") match {
+        case d: java.lang.Double => d.doubleValue()
+        case x: Number => x.doubleValue()
+      }
+    var obsPrev = new org.apache.spark.sql.Observation()
     var ranks = verts
-      .select(col("id"), round(lit(1.0) / n, 10).as("rank"))
+      .select(col("id"), col("_dang"), round(lit(1.0) / n, 10).as("rank"))
+      .observe(obsPrev, dangSum)
       .eagerCheckpoint()
     for (_ <- 1 to iterations) {
       val inflow = e
@@ -677,27 +742,27 @@ object Clusters {
         .agg(sum(round(col("rank") * col("w") / col("outdeg"), 14)
           .cast("decimal(38,14)")).cast("double").as("inflow"))
         .select(col("dst").as("id"), col("inflow"))
-      // total rank mass on dangling vertices (no out-edges), as a 1-row
-      // frame broadcast back into the update — never a collected value
-      val dangling = ranks
-        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast("decimal(20,10)"))
-          .cast("double"), lit(0.0)).as("_dm"))
+      // total rank mass on dangling vertices (no out-edges), read off the
+      // PREVIOUS round's checkpoint job — the identical decimal(20,10)
+      // sum over the identical row set, injected as the same IEEE double
+      val dm = readDang(obsPrev)
+      val obsNext = new org.apache.spark.sql.Observation()
       val next = verts
         .join(inflow, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("_dang"),
           round(lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("inflow"), lit(0.0)) + col("_dm") / n), 10)
+            (coalesce(col("inflow"), lit(0.0)) + lit(dm) / n), 10)
             .as("rank"))
+        .observe(obsNext, dangSum)
         .eagerCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
+      obsPrev = obsNext
     }
     Checkpoints.release(e)
     Checkpoints.release(deg)
-    // verts feeds nothing further; ranks is the surviving checkpoint
     Checkpoints.release(verts)
-    ranks
+    // the surviving frame is a projection over the final checkpoint
+    ranks.select(col("id"), col("rank"))
   }
 }
