@@ -67,6 +67,9 @@ object Dedup {
     * through the window/distinct, which measured ~4× slower cold).
     * Output: (id, s) distinct; in verifiable mode s is already < 1e9+7.
     */
+  private def fanOutNarrowScan(docs: DataFrame): DataFrame =
+    Scans.fanOutNarrowScan(docs)
+
   private def distinctShingleRows(docs: DataFrame, textCol: String,
                                   idCol: String, n: Int,
                                   verifiable: Boolean = false): DataFrame =
@@ -79,15 +82,25 @@ object Dedup {
   private[graft] def shingleRows(docs: DataFrame, textCol: String,
                                  idCol: String, n: Int,
                                  verifiable: Boolean = false): DataFrame =
-    shinglePosRows(docs, textCol, idCol, n, verifiable).select(col("id"), col("s"))
+    shinglePosRows(docs, textCol, idCol, n, verifiable, fanOut = true)
+      .select(col("id"), col("s"))
 
   /** [[shingleRows]] keeping the starting token position `p` of each n-gram
     * (span analysis needs the coordinates, not just the identities).
     */
   private[graft] def shinglePosRows(docs: DataFrame, textCol: String,
                                     idCol: String, n: Int,
-                                    verifiable: Boolean = false): DataFrame = {
-    val tok0 = docs.select(col(idCol).as("id"),
+                                    verifiable: Boolean = false,
+                                    fanOut: Boolean = false): DataFrame = {
+    // fanOut is passed by the IDENTITY consumers (shingleRows → the
+    // distinct/aggregation pipelines: minhash signatures, n-gram Jaccard,
+    // simhash) where the A/B showed 17-32% wins; the POSITION consumers
+    // (exact-substring/contamination spans) measured mildly WORSE with it
+    // (q203 +14%, q61 +20% across two interleaved runs) — their window
+    // chains re-cluster by id immediately and the extra exchange only adds
+    // a stage to every persisted-side evaluation
+    val in = if (fanOut) fanOutNarrowScan(docs) else docs
+    val tok0 = in.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p", "_t")))
     val tok =
       if (verifiable)
@@ -841,7 +854,7 @@ object Dedup {
   def simhashValues(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id",
                     verifiable: Boolean = false): DataFrame = {
-    val tok0 = docs.select(col(idCol).as("id"),
+    val tok0 = fanOutNarrowScan(docs).select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("_t"))
     // One row per (token, BYTE) with 8 vote columns: the middle ground
     // between a 64× bit fan-out (8× the rows for tiny per-row work) and

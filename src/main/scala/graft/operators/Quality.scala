@@ -65,7 +65,11 @@ object Quality {
     val stopHits = TextFunctions.EnStopwords
       .map(w => TextFunctions.wordOccurrences(text, w)).reduce(_ + _)
     // keepCols ride along so callers that need the text (or any payload
-    // column) next to the stats don't pay a self-join to re-attach it
+    // column) next to the stats don't pay a self-join to re-attach it.
+    // NOT fanned out (Scans.fanOutNarrowScan): the A/B measured +11-34%
+    // here — the stats ride WITH the text payload, so the repartition
+    // shuffles the heavy bodies themselves (guide §8: move heavy rows
+    // once), unlike the dedup chains whose shuffle carries 8-byte hashes
     docs.select(
       (col(idCol) +: keepCols.map(col)) ++ Seq(
         nWords.as("n_words"),

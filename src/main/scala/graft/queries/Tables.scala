@@ -21,8 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Session-keyed METADATA memo for the base-table reads: every
+    * `spark.read.parquet` call pays a file-listing + parquet schema-
+    * inference job (~30-40 ms) plus the relation's re-analysis — a pure
+    * per-query constant that the 100+ sub-second queries repaid on every
+    * bench iteration (the same role a catalog's table metadata plays; the
+    * guide's §6 file-listing-cache point). Only the analyzed RELATION is
+    * reused — no data is cached or persisted: every execution still scans
+    * the parquet files. Keyed by (session, path) so concurrent sessions
+    * (tests vs mains) never share state; a stopped session's entry is a
+    * few KB of plan until the map is next written.
+    */
+  private val readMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readMemo.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      kv => kv._1.read.parquet(kv._2))
 
   // -------------------------------------------------------------- curves --
   // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
