@@ -832,7 +832,9 @@ object Dedup {
     val candStats = exactJ.agg(count(lit(1)).as("n_candidates"),
       coalesce(sum(when(col("_j") >= threshold, 1L).otherwise(0L)), lit(0L))
         .as("n_true_candidates"))
-    val truthStats = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+    // truth probe over the SAME persisted shingle table — the public
+    // entry point would rebuild the identical table a second time
+    val truthStats = ngramJaccardPairsFrom(sh, threshold)
       .select(col("id_a"), col("id_b"))
       .join(norm.withColumn("_f", lit(1L)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_qualifying"),
@@ -967,7 +969,18 @@ object Dedup {
     // simhashPairs/embeddingNearDupPairs lifecycle discipline.
     val sh = distinctShingleRows(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try ngramJaccardPairsFrom(sh, threshold).eagerCheckpoint()
+    finally sh.unpersist(false)
+  }
+
+  /** The PPJoin pipeline over an ALREADY-materialized (persisted/
+    * checkpointed) shingle table `(id, s)` — shared with [[pairQuality]],
+    * which otherwise built the identical table a second time for its
+    * truth probe. LAZY: the caller owns materialization and the shingle
+    * table's lifetime.
+    */
+  private def ngramJaccardPairsFrom(sh: DataFrame,
+                                    threshold: Double): DataFrame = {
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_df"), col("s"))
@@ -1017,9 +1030,7 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .eagerCheckpoint()
     pairs
-    } finally sh.unpersist(false)
   }
 
   /** Embedding near-duplicate pairs: LSH-signature blocking + exact cosine
